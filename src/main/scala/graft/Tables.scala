@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided test tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under `sfDir`. At cluster scale the
+  * same call reads a partitioned directory — `spark.read.parquet` is
+  * agnostic. Filters/projections applied downstream are pushed into the
+  * parquet scan by Catalyst (verify via `.explain`: PushedFilters/ReadSchema).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+  * has no timestamp type for — it is read as nanosecond longs
+  * (`nanosAsLong`) and converted to micros TimestampType with integer
+  * division (never double division: nano epochs exceed 2^53). The test
+  * data carries no sub-microsecond precision, so this is lossless and
+  * matches what DuckDB/pyarrow see.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+}

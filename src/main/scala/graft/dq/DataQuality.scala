@@ -1,0 +1,268 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality framework (SURVEY §2.4 P4–P6, §2.6 A1–A4; reference
+  * `src/utils/data_quality.py`).
+  *
+  * Same fluent surface as the reference — completeness / uniqueness / range /
+  * validity / freshness / referential / custom checks, thresholds, a report,
+  * and a valid/invalid split with per-row failure reasons — but a different
+  * execution design: the reference runs one Spark job per check (k checks =
+  * k+2 full scans, data_quality.py:515-547); here all row-level checks
+  * evaluate in ONE aggregate pass (`sum(when(violation,1))` per check +
+  * `count_distinct` for uniqueness + `max` for freshness), so a 100 TB table
+  * is scanned once regardless of how many checks are registered. Referential
+  * checks are the only extra jobs (they need an anti-join against the
+  * dimension).
+  */
+object CheckType extends Enumeration {
+  val Completeness, Uniqueness, Range, Validity, Freshness, Referential,
+      Custom = Value
+}
+
+object Severity extends Enumeration {
+  val Critical, High, Medium, Low = Value
+}
+
+/** One executed check. `passRate` = (total-failed)/total as double. */
+final case class DQCheckResult(
+    checkName: String,
+    checkType: String,
+    column: String,
+    passed: Boolean,
+    totalCount: Long,
+    failedCount: Long,
+    passRate: Double,
+    threshold: Double,
+    severity: String,
+    details: String)
+
+final case class DQReport(
+    tableName: String,
+    results: Seq[DQCheckResult]) {
+  def passed: Boolean = results.forall(_.passed)
+  def failedChecks: Seq[DQCheckResult] = results.filterNot(_.passed)
+
+  /** Report as a DataFrame (deterministic columns only — no wall-clock). */
+  def toDF(spark: SparkSession): DataFrame = {
+    val rows = results.map(r => Row(tableName, r.checkName, r.checkType,
+      r.column, r.passed, r.totalCount, r.failedCount, r.passRate,
+      r.threshold, r.severity, r.details))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), DQReport.schema)
+  }
+}
+
+object DQReport {
+  val schema: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("check_name", StringType, nullable = false),
+    StructField("check_type", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("passed", BooleanType, nullable = false),
+    StructField("total_count", LongType, nullable = false),
+    StructField("failed_count", LongType, nullable = false),
+    StructField("pass_rate", DoubleType, nullable = false),
+    StructField("threshold", DoubleType, nullable = false),
+    StructField("severity", StringType, nullable = false),
+    StructField("details", StringType, nullable = true)))
+}
+
+/** Internal registered check. `violation` is the per-row failure predicate
+  * for row-level checks; aggregate-level checks (uniqueness, freshness,
+  * referential) carry their own plumbing. */
+private final case class RegisteredCheck(
+    name: String,
+    checkType: CheckType.Value,
+    column: String,
+    threshold: Double,
+    severity: Severity.Value,
+    violation: Option[Column],
+    failureReason: Option[String],
+    details: String)
+
+/** Fluent checker over one DataFrame (reference data_quality.py:205-634). */
+final class DataQualityChecker(df: DataFrame, tableName: String) {
+
+  private var checks = Vector.empty[RegisteredCheck]
+  private var uniquenessChecks = Vector.empty[(String, Seq[String], Double, Severity.Value)]
+  private var freshnessChecks = Vector.empty[(String, String, Double, Severity.Value)]
+  private var referentialChecks = Vector.empty[(String, DataFrame, Seq[String], Double, Severity.Value)]
+
+  private def numericTypes: Set[DataType] =
+    Set(DoubleType, FloatType, IntegerType, LongType, ShortType, ByteType)
+
+  /** Null-or-empty predicate, type-gated: `isnan` only on float/double
+    * (the reference's `isnan(cast(string))` hazard, SURVEY §4.4). */
+  private def nullOrEmpty(c: String): Column = {
+    val base = col(c).isNull ||
+      (col(c).cast(StringType).isNotNull && trim(col(c).cast(StringType)) === "")
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(DoubleType) | Some(FloatType) => base || isnan(col(c))
+      case _ => base
+    }
+  }
+
+  /** Non-null/non-empty rate per column ≥ threshold
+    * (reference data_quality.py:246-318; default 0.95 from base.py:57). */
+  def checkCompleteness(columns: Seq[String], threshold: Double = 0.95,
+      severity: Severity.Value = Severity.High): this.type = {
+    columns.foreach { c =>
+      checks :+= RegisteredCheck(s"completeness_$c", CheckType.Completeness,
+        c, threshold, severity, Some(nullOrEmpty(c)),
+        Some(s"NULL_OR_EMPTY_${c.toUpperCase}"),
+        s"non-null rate of $c")
+    }
+    this
+  }
+
+  /** Distinct (key-combo) rate = distinct/total ≥ threshold (reference
+    * data_quality.py:321-437; default 1.0 = fully unique). */
+  def checkUniqueness(columns: Seq[String], threshold: Double = 1.0,
+      severity: Severity.Value = Severity.Critical): this.type = {
+    uniquenessChecks :+= ((s"uniqueness_${columns.mkString("_")}", columns,
+      threshold, severity))
+    this
+  }
+
+  /** Value-in-[min,max] rate ≥ threshold (reference data_quality.py:383-437).
+    * Nulls do not fail range (completeness owns nulls). */
+  def checkRange(column: String, minValue: Double, maxValue: Double,
+      threshold: Double = 1.0,
+      severity: Severity.Value = Severity.High): this.type = {
+    val viol = col(column).isNotNull &&
+      (col(column) < minValue || col(column) > maxValue)
+    checks :+= RegisteredCheck(s"range_$column", CheckType.Range, column,
+      threshold, severity, Some(viol),
+      Some(s"OUT_OF_RANGE_${column.toUpperCase}"),
+      s"$column in [$minValue, $maxValue]")
+    this
+  }
+
+  /** Value-in-enum rate ≥ threshold (reference data_quality.py:340-380).
+    * Nulls do not fail validity. */
+  def checkValidity(column: String, allowedValues: Seq[String],
+      threshold: Double = 1.0,
+      severity: Severity.Value = Severity.High): this.type = {
+    val viol = col(column).isNotNull && !col(column).isin(allowedValues: _*)
+    checks :+= RegisteredCheck(s"validity_$column", CheckType.Validity,
+      column, threshold, severity, Some(viol),
+      Some(s"INVALID_VALUE_${column.toUpperCase}"),
+      s"$column in {${allowedValues.mkString(",")}}")
+    this
+  }
+
+  /** max(tsColumn) within maxAgeHours of now (reference monitoring-style
+    * freshness, declared DQ default 24 h, base.py:59). */
+  def checkFreshness(tsColumn: String, maxAgeHours: Double = 24.0,
+      severity: Severity.Value = Severity.Medium): this.type = {
+    freshnessChecks :+= ((s"freshness_$tsColumn", tsColumn, maxAgeHours,
+      severity))
+    this
+  }
+
+  /** Foreign-key integrity: rows of `df` whose `keys` have no match in
+    * `dimension` fail (the reference's declared-but-unimplemented
+    * DQCheckType.REFERENTIAL, data_quality.py:82 — implemented here as a
+    * left-anti join; SURVEY §2.5 J4). */
+  def checkReferential(name: String, dimension: DataFrame,
+      keys: Seq[String], threshold: Double = 1.0,
+      severity: Severity.Value = Severity.Critical): this.type = {
+    referentialChecks :+= ((name, dimension, keys, threshold, severity))
+    this
+  }
+
+  /** Arbitrary boolean Column; rows where `condition` is FALSE fail
+    * (reference data_quality.py:440-486 — its extensibility story; no UDFs
+    * needed, any Column algebra works). */
+  def checkCustom(name: String, condition: Column, column: String = "",
+      threshold: Double = 1.0,
+      severity: Severity.Value = Severity.Medium): this.type = {
+    checks :+= RegisteredCheck(name, CheckType.Custom, column, threshold,
+      severity, Some(!coalesce(condition, lit(false))),
+      Some(s"CUSTOM_${name.toUpperCase}"), s"custom: $name")
+    this
+  }
+
+  /** Execute all checks. Row-level + uniqueness + freshness run in ONE
+    * aggregate job; each referential check adds one anti-join job. */
+  def run(nowMs: Long = System.currentTimeMillis()): DQReport = {
+    val aggs = Seq(count(lit(1)).cast(LongType).as("__total")) ++
+      checks.zipWithIndex.map { case (c, i) =>
+        sum(when(c.violation.get, 1L).otherwise(0L)).as(s"__viol_$i")
+      } ++
+      uniquenessChecks.zipWithIndex.map { case ((_, cols, _, _), i) =>
+        count_distinct(col(cols.head), cols.tail.map(col): _*)
+          .as(s"__uniq_$i")
+      } ++
+      freshnessChecks.zipWithIndex.map { case ((_, ts, _, _), i) =>
+        max(col(ts).cast(LongType)).as(s"__fresh_$i")
+      }
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__total")
+
+    def rate(failed: Long): Double =
+      if (total == 0L) 1.0 else (total - failed).toDouble / total.toDouble
+
+    val rowLevel = checks.zipWithIndex.map { case (c, i) =>
+      val failed = Option(row.getAs[Long](s"__viol_$i")).getOrElse(0L)
+      DQCheckResult(c.name, c.checkType.toString, c.column,
+        rate(failed) >= c.threshold, total, failed, rate(failed),
+        c.threshold, c.severity.toString, c.details)
+    }
+    val uniq = uniquenessChecks.zipWithIndex.map { case ((n, cols, th, sev), i) =>
+      val distinct = Option(row.getAs[Long](s"__uniq_$i")).getOrElse(0L)
+      val failed = total - distinct
+      DQCheckResult(n, CheckType.Uniqueness.toString, cols.mkString(","),
+        rate(failed) >= th, total, failed, rate(failed), th, sev.toString,
+        s"distinct=$distinct")
+    }
+    val fresh = freshnessChecks.zipWithIndex.map { case ((n, ts, maxH, sev), i) =>
+      val maxTs = Option(row.get(row.fieldIndex(s"__fresh_$i")))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val ageHours = (nowMs / 1000.0 - maxTs) / 3600.0
+      val ok = maxTs > 0 && ageHours <= maxH
+      DQCheckResult(n, CheckType.Freshness.toString, ts, ok, total,
+        if (ok) 0L else total, if (ok) 1.0 else 0.0, 1.0, sev.toString,
+        f"age_hours=$ageHours%.2f max=$maxH")
+    }
+    val ref = referentialChecks.map { case (n, dim, keys, th, sev) =>
+      val failed = df.join(dim.select(keys.map(col): _*).distinct(),
+        keys, "left_anti").count()
+      DQCheckResult(n, CheckType.Referential.toString, keys.mkString(","),
+        rate(failed) >= th, total, failed, rate(failed), th, sev.toString,
+        s"fk=${keys.mkString(",")}")
+    }
+    DQReport(tableName, rowLevel ++ uniq ++ fresh ++ ref)
+  }
+
+  /** Valid/invalid split with per-row failure reasons (reference
+    * data_quality.py:570-634 = P5): one flag column per row-level check
+    * (`when(viol, reason)`), `array_compact` into `_validation_failures`;
+    * valid = empty array (audit columns dropped), invalid = non-empty +
+    * `_quarantine_timestamp`. Lazy — caller triggers; narrow ops only. */
+  def validInvalidSplit(): (DataFrame, DataFrame) = {
+    val rowChecks = checks.filter(_.violation.isDefined)
+    if (rowChecks.isEmpty) return (df, df.limit(0)
+      .withColumn("_validation_failures", array().cast("array<string>"))
+      .withColumn("_quarantine_timestamp", current_timestamp()))
+    val flags = rowChecks.map(c =>
+      when(c.violation.get, lit(c.failureReason.get))
+        .otherwise(lit(null).cast(StringType)))
+    val flagged = df.withColumn("_validation_failures",
+      array_compact(array(flags: _*)))
+    val valid = flagged.filter(size(col("_validation_failures")) === 0)
+      .drop("_validation_failures")
+    val invalid = flagged.filter(size(col("_validation_failures")) > 0)
+      .withColumn("_quarantine_timestamp", current_timestamp())
+    (valid, invalid)
+  }
+}
+
+object DataQualityChecker {
+  def apply(df: DataFrame, tableName: String): DataQualityChecker =
+    new DataQualityChecker(df, tableName)
+}

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join (SURVEY §2.5 J3 — the reference's declared
+  * exchange-rate lookup: for each fact row, the latest rate row with
+  * rate ts ≤ fact ts, per key).
+  *
+  * Spark-first design: instead of a range join (O(n·m) without a custom
+  * operator) or a per-row subquery, both sides are unioned and a single
+  * `last(..., ignoreNulls)` running window per key fills each left row with
+  * the most recent right-side values. ONE hash shuffle on the keys, merge
+  * semantics identical to a sort-merge as-of join; scales linearly and
+  * keeps whole-stage codegen (window exec aside).
+  *
+  * Tie rule: a right row at exactly left ts matches (≤). Right side should
+  * be unique per (keys, ts) — pre-aggregate otherwise (else which duplicate
+  * wins is plan-dependent).
+  */
+object AsOfJoin {
+
+  /** For each row of `left`, attach `valueCols` of the latest `right` row
+    * with `right.rightTs <= left.leftTs`, equi-matched on `keys`. Output =
+    * all left columns + `<prefix>ts` + prefixed value columns (null when no
+    * right row precedes). */
+  def asOfBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    // Align schemas: keys, event time, side marker (right sorts before left
+    // at equal ts so "<=" holds), left payload (null on right rows), right
+    // payload (null on left rows).
+    val rightU = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val leftU = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val filled = rightU.unionByName(leftU)
+      .withColumn(s"$prefix$rightTs",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    val withVals = valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"$prefix$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+
+    val restored =
+      keys.map(col) ++
+        Seq(col("__ts").as(leftTs)) ++
+        leftCols.filterNot(k => keys.contains(k) || k == leftTs)
+          .map(c => col(s"__l_$c").as(c)) ++
+        Seq(col(s"$prefix$rightTs")) ++ valueCols.map(c => col(s"$prefix$c"))
+    withVals.filter(col("__side") === 1).select(restored: _*)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Embedding similarity search (north-star; SURVEY §2.11): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH bucketed
+  * variant as the scale path (candidates restricted to same-bucket pairs —
+  * the IVF/LSH family used in web-scale ANN).
+  *
+  * All vector math is higher-order-function Column algebra
+  * (`zip_with`/`aggregate`) over `array<float>` cast to double — no UDFs,
+  * deterministic sequential accumulation (left-to-right fold), which keeps
+  * results bit-identical across partitionings and matches a sequential
+  * oracle.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm in double. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Exact brute-force top-k: each query row against every candidate row.
+    * The query side is broadcast (queries << corpus is the standard ANN
+    * shape), so the corpus — the 100 TB side — never shuffles; per-partition
+    * ranking then a final top-k per query via window. Similarities are
+    * rounded to `roundDigits` before ranking so rank order is robust to
+    * last-ulp noise; ties break on candidate id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      roundDigits: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), roundDigits))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (seeded), as literal
+    * arrays baked into the plan — no driver-side randomness at execution. */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id: bit i = sign(v · plane_i). */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    (0 until numPlanes).map { i =>
+      val p = typedlit(planes(numPlanes, dim, seed)(i))
+      when(dot(vec, p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k: candidates limited to the query's LSH bucket (plus
+    * Hamming-1 neighboring buckets via multi-probe when `multiProbe`), then
+    * exact cosine rank within candidates. Trades recall for a candidate
+    * set ~corpus/2^numPlanes per bucket; the join is a hash join on the
+    * bucket key — no cross join at any scale. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+      multiProbe: Boolean = true, roundDigits: Int = 4): DataFrame = {
+    val bucket = lshBucket(col(vecCol), numPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), bucket.as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), bucket.as("qbucket"))
+    // multi-probe: also search the numPlanes buckets at Hamming distance 1
+    val q0 = qBase.withColumn("bucket", col("qbucket"))
+    val q = if (!multiProbe) q0 else q0.unionByName(
+      qBase.select(col("query_id"), col("__qv"), col("qbucket"),
+        explode(array((0 until numPlanes).map(i =>
+          col("qbucket").bitwiseXOR(shiftleft(lit(1L), i))): _*)).as("bucket")))
+    val scored = broadcast(q.drop("qbucket")).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), roundDigits))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text analysis for training-data pipelines (north-star ops; SURVEY §2.11):
+  * word/char/token counts, quality scoring, n-gram language ID — all pure
+  * Column algebra (codegen'd, no UDFs), so every operator runs inside
+  * whole-stage codegen and scales linearly with one pass over the text.
+  */
+object TextStats {
+
+  /** Whitespace-token count; empty/blank text counts 0. */
+  def nWords(text: Column): Column =
+    when(trim(text) === "" || text.isNull, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast(LongType))
+
+  /** Count of regex-token matches — a BPE-ish tokenizer proxy
+    * (letter runs or single digits). */
+  def tokenCount(text: Column, pattern: String = "[a-z]+|[0-9]"): Column =
+    regexp_count(text, lit(pattern)).cast(LongType)
+
+  private def digitCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast(LongType)
+
+  /** Per-document stats: chars, words, digits, non-space chars, average
+    * word length. All integer counts are exact; the single division is on
+    * identical integers → deterministic double. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).cast(LongType).as("n_chars"),
+      nWords(t).as("n_words"),
+      digitCount(t).as("n_digits"),
+      length(regexp_replace(t, "\\s", "")).cast(LongType).as("n_nonspace"))
+      .withColumn("avg_word_len",
+        when(col("n_words") > 0,
+          col("n_nonspace").cast(DoubleType) / col("n_words").cast(DoubleType)))
+  }
+
+  /** Heuristic quality score in [0,1]: additive rubric over word count,
+    * digit ratio and length (the length/punct/stopword-ratio style scoring
+    * used in LLM data curation). Deterministic: thresholds on exact
+    * integer counts. */
+  def qualityScore(text: Column): Column = {
+    val words = nWords(text)
+    val digitRatio = when(length(text) > 0,
+      digitCount(text).cast(DoubleType) / length(text).cast(DoubleType))
+      .otherwise(lit(1.0))
+    (when(words.between(20, 10000), lit(0.5)).otherwise(lit(0.0)) +
+      when(digitRatio < 0.3, lit(0.3)).otherwise(lit(0.0)) +
+      when(length(text) >= 100, lit(0.2)).otherwise(lit(0.0)))
+  }
+
+  /** Tiny per-language stopword tables for the n-gram/stopword language-ID
+    * heuristic. Real pipelines plug fastText-style models behind the same
+    * shape; the Spark plumbing (tokenize → per-language evidence → argmax)
+    * is what matters here. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "un", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est"))
+
+  /** Predict language as argmax of stopword-hit counts over whitespace
+    * tokens; ties and zero evidence fall back to "und" (undetermined).
+    * Ties break by language code order (deterministic). */
+  def langId(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val set = array(words.map(lit): _*)
+      val hits = size(filter(tokens, t => array_contains(set, t)))
+      (lang, hits)
+    }
+    // argmax via fold: keep (bestLang, bestScore); strict > keeps earlier
+    // (lexicographically smaller) language on ties.
+    val best = scores.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    best._1
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
+    * rolling hashes, minimum per sliding window of `w`, distinct set of
+    * selected hashes per doc. Used for robust near-dup detection at scale;
+    * here hashes are xxhash64 over word k-grams (character k-grams work the
+    * same way, swap the tokenizer). */
+  def winnowingFingerprint(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4): DataFrame = {
+    val shingled = docs.select(col(idCol),
+      Shingles.wordShingles(col(textCol), k).as("shingles"))
+    val hashes = shingled.select(col(idCol),
+      transform(col("shingles"), s => xxhash64(s)).as("hs"))
+    // min over each sliding window of size `window`
+    val fp = hashes.select(col(idCol),
+      when(size(col("hs")) <= window, array_distinct(array(array_min(col("hs")))))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(col("hs")) - window),
+          i => array_min(slice(col("hs"), i + 1, lit(window))))))
+        .as("fingerprint"))
+    fp
+  }
+}

@@ -1,0 +1,84 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Table maintenance (SURVEY §4): the Delta OPTIMIZE / ZORDER / VACUUM
+  * surface (reference `src/utils/spark_utils.py:519-588`) re-expressed for
+  * plain parquet.
+  *
+  *  - compact: small-file compaction — read, coalesce to a target file
+  *    count, rewrite. At 100 TB this is what keeps scan task counts sane
+  *    after many small streaming/batch appends.
+  *  - clusterBy (Z-ORDER approximation): range-repartition on the clustering
+  *    keys + sort within partitions, so parquet row-group min/max footers
+  *    become selective and data-skipping prunes on those columns.
+  *  - vacuum: GC of `.retired-*` / `.staging-*` directories left by
+  *    Upsert's atomic swap (the Delta time-travel retention analogue;
+  *    reference default 168 h, spark_utils.py:562).
+  */
+object Maintenance {
+
+  /** OPTIMIZE-style compaction: rewrite `path` into `targetFiles` files. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val staging = s"$path.staging-compact"
+    spark.read.parquet(path).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staging)
+    swap(path, staging)
+  }
+
+  /** ZORDER-approximation: cluster rows so min/max stats prune on `cols`.
+    * A true Z-curve interleaves bits of all columns; lexicographic
+    * range-partition + local sort gives the same pruning on the leading
+    * column and good pruning on followers, with zero custom code. */
+  def clusterBy(spark: SparkSession, path: String, cols: Seq[String],
+      targetFiles: Int): Unit = {
+    val staging = s"$path.staging-cluster"
+    spark.read.parquet(path)
+      .repartitionByRange(targetFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(staging)
+    swap(path, staging)
+  }
+
+  /** Delete retired/staging siblings of `path` older than `retainMs`
+    * (default 7 days, mirroring the reference's 168 h). Returns the number
+    * of directories removed. */
+  def vacuum(path: String, retainMs: Long = 168L * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    val dir = Paths.get(path).toAbsolutePath
+    val parent = dir.getParent
+    if (parent == null || !Files.exists(parent)) return 0
+    val prefixRetired = dir.getFileName.toString + ".retired-"
+    val prefixStaging = dir.getFileName.toString + ".staging-"
+    var removed = 0
+    val it = Files.list(parent).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      val retireTs =
+        if (n.startsWith(prefixRetired))
+          scala.util.Try(n.stripPrefix(prefixRetired).toLong).toOption
+        else None
+      val stale = retireTs.exists(ts => nowMs - ts > retainMs) ||
+        (n.startsWith(prefixStaging) &&
+          Files.getLastModifiedTime(p).toMillis < nowMs - retainMs)
+      if (stale) { deleteRecursively(p); removed += 1 }
+    }
+    removed
+  }
+
+  private def swap(path: String, staging: String): Unit = {
+    val dir = Paths.get(path)
+    val retired = Paths.get(s"$path.retired-${System.currentTimeMillis()}")
+    Files.move(dir, retired, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staging), dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+}

@@ -1,0 +1,111 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE/upsert emulation (SURVEY §2.3 M1, §7.4).
+  *
+  * The reference uses Delta `MERGE` (reference `src/utils/spark_utils.py:285-344`):
+  * equi-match on merge keys, matched rows update listed columns (or all),
+  * unmatched source rows insert. Delta itself implements MERGE as a join plus
+  * a file rewrite; without Delta jars we express the same thing directly as a
+  * full-outer join with source-wins resolution, then commit via
+  * staging-directory + atomic rename.
+  *
+  * Scale notes:
+  *  - The join shuffles both sides on the merge keys; when the source batch is
+  *    small relative to the target (the common CDC shape) AQE converts it to a
+  *    broadcast join automatically — no hint needed, but `broadcastSource`
+  *    forces it for predictable plans.
+  *  - Matched/inserted counts come from one aggregate over the join output
+  *    (the reference returns a -1 sentinel, spark_utils.py:344 — we return
+  *    real counts).
+  */
+object Upsert {
+
+  final case class MergeStats(inserted: Long, updated: Long)
+
+  /** Pure (lazy) merge of `source` into `target`: full-outer join on `keys`;
+    * on match, `updateColumns` (default: all non-key columns) come from the
+    * source; unmatched source rows are inserted; unmatched target rows are
+    * kept. Null-safe on data columns: presence is judged by join-side marker
+    * columns, not by data nullability, so a source row carrying NULLs still
+    * wins its matched columns.
+    */
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateColumns: Option[Seq[String]] = None,
+      broadcastSource: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "merge keys must be non-empty")
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    val updSet = updateColumns.getOrElse(dataCols).toSet
+
+    val t = target.withColumn("__t_present", lit(true)).alias("t")
+    val s0 = source.withColumn("__s_present", lit(true)).alias("s")
+    val s = if (broadcastSource) broadcast(s0) else s0
+
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+
+    val sHere = col("s.__s_present").isNotNull
+    val tHere = col("t.__t_present").isNotNull
+    val keyCols = keys.map(k => when(sHere, col(s"s.$k")).otherwise(col(s"t.$k")).as(k))
+    val valCols = dataCols.map { c =>
+      val fromSource = if (updSet.contains(c)) sHere else sHere && !tHere
+      when(fromSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    joined.select(keyCols ++ valCols: _*)
+  }
+
+  /** Merge stats without materialising the merge twice: one aggregate over
+    * the join output. */
+  def mergeStats(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String]): MergeStats = {
+    val t = target.select(keys.map(col): _*).withColumn("__t", lit(true))
+    val s = source.select(keys.map(col): _*).withColumn("__s", lit(true))
+    val cond = keys.map(k => t(k) <=> s(k)).reduce(_ && _)
+    val row = t.join(s, cond, "full_outer")
+      .agg(
+        sum(when(t("__t").isNotNull && s("__s").isNotNull, 1L).otherwise(0L)).as("updated"),
+        sum(when(t("__t").isNull && s("__s").isNotNull, 1L).otherwise(0L)).as("inserted"))
+      .head()
+    MergeStats(
+      inserted = Option(row.getAs[Long]("inserted")).getOrElse(0L),
+      updated = Option(row.getAs[Long]("updated")).getOrElse(0L))
+  }
+
+  /** Upsert `source` into the parquet table at `targetPath` (reference
+    * EP2, spark_utils.py:285-344). Bootstrap path: target absent → plain
+    * write. Otherwise merge → write staging dir → atomic directory swap; the
+    * prior version is retired alongside for `Maintenance.vacuum` to GC.
+    * Returns real inserted/updated counts.
+    */
+  def upsertParquet(
+      spark: SparkSession,
+      source: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      updateColumns: Option[Seq[String]] = None): MergeStats = {
+    val dir = Paths.get(targetPath)
+    if (!Files.exists(dir)) {
+      val n = source.count()
+      source.write.mode("overwrite").parquet(targetPath)
+      return MergeStats(inserted = n, updated = 0L)
+    }
+    val target = spark.read.parquet(targetPath)
+    val stats = mergeStats(target, source, keys)
+    val staging = s"$targetPath.staging-${UUID.randomUUID().toString.take(8)}"
+    merge(target, source, keys, updateColumns).write.mode("overwrite").parquet(staging)
+    val retired = s"$targetPath.retired-${System.currentTimeMillis()}"
+    Files.move(dir, Paths.get(retired), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staging), dir, StandardCopyOption.ATOMIC_MOVE)
+    stats
+  }
+}

@@ -1,0 +1,62 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sinks and DDL (SURVEY §2.2, W1–W4).
+  *
+  * The reference writes Delta (reference `src/utils/spark_utils.py:203-282`);
+  * this environment has no Delta jars, so the same *semantics* are provided
+  * over partitioned parquet: overwrite/append modes, `partitionBy` for
+  * partition pruning, schema merge on read, and catalog registration so
+  * `spark.table(db.t)` works.
+  *
+  * Scale note: `partitionBy` on a low-cardinality column (e.g. a date) is the
+  * primary pruning lever at 100 TB — a date-filtered query then touches only
+  * matching directories. Never partition by a high-cardinality key (file
+  * explosion); bucket or z-order-approximate instead (Maintenance.scala).
+  */
+object Writers {
+
+  /** Parquet write with the reference's defaults (spark_utils.py:203-245):
+    * overwrite, optional partition columns. Schema evolution
+    * (`mergeSchema=true` on the reference's writes) is handled on the read
+    * side: `readMerged` below sets `mergeSchema` so files written with added
+    * columns union cleanly.
+    */
+  def writeParquet(
+      df: DataFrame,
+      path: String,
+      mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** Read a parquet dir written across schema versions, unioning columns
+    * (the reference's mergeSchema=true contract, spark_utils.py:233-235). */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Register a parquet location as an external table
+    * (reference spark_utils.py:248-282): CREATE DATABASE IF NOT EXISTS +
+    * CREATE TABLE ... USING PARQUET LOCATION. */
+  def registerTable(
+      spark: SparkSession,
+      path: String,
+      database: String,
+      table: String,
+      partitioned: Boolean = false): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS `$database`.`$table` USING PARQUET LOCATION '$path'")
+    // external partitioned locations need partition discovery before the
+    // catalog sees any data
+    if (partitioned) spark.sql(s"MSCK REPAIR TABLE `$database`.`$table`")
+  }
+
+  /** Append rows to a managed table, creating it on first write
+    * (reference monitoring.py:224-235). */
+  def appendToTable(df: DataFrame, tableName: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(tableName)
+}

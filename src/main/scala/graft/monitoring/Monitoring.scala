@@ -1,0 +1,146 @@
+package graft.monitoring
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline monitoring (SURVEY §2.6 A5–A6; reference
+  * `src/utils/monitoring.py`): stage metrics with a persisted metrics table,
+  * freshness checks, and volume-anomaly detection.
+  *
+  * The reference collects a tiny aggregate and does the decision math on the
+  * driver (monitoring.py:441-454) — the right shape at any scale, kept here.
+  * `volumeAnomalyDF` additionally exposes the whole computation as a single
+  * declarative plan (window over daily counts) so it can run as one job and
+  * be verified against a SQL oracle.
+  */
+final case class StageMetrics(
+    pipelineName: String,
+    stageName: String,
+    status: String,
+    startTimeMs: Long,
+    endTimeMs: Long,
+    durationSeconds: Double,
+    recordsRead: Long,
+    recordsWritten: Long,
+    recordsFailed: Long,
+    errorMessage: Option[String])
+
+object StageMetrics {
+  val schema: StructType = StructType(Seq(
+    StructField("pipeline_name", StringType, nullable = false),
+    StructField("stage_name", StringType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("start_time", TimestampType, nullable = false),
+    StructField("end_time", TimestampType, nullable = false),
+    StructField("duration_seconds", DoubleType, nullable = false),
+    StructField("records_read", LongType, nullable = false),
+    StructField("records_written", LongType, nullable = false),
+    StructField("records_failed", LongType, nullable = false),
+    StructField("error_message", StringType, nullable = true)))
+}
+
+/** Stage lifecycle bookkeeping (reference monitoring.py:144-235). */
+final class PipelineMonitor(
+    spark: SparkSession,
+    pipelineName: String,
+    metricsTable: Option[String] = None,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val open = mutable.Map.empty[String, Long]
+  private val finished = mutable.ArrayBuffer.empty[StageMetrics]
+
+  def startStage(stage: String): Unit = open(stage) = clock()
+
+  def endStage(stage: String, status: String = "SUCCESS",
+      recordsRead: Long = 0L, recordsWritten: Long = 0L,
+      recordsFailed: Long = 0L, errorMessage: Option[String] = None): StageMetrics = {
+    val start = open.remove(stage).getOrElse(clock())
+    val end = clock()
+    val m = StageMetrics(pipelineName, stage, status, start, end,
+      (end - start) / 1000.0, recordsRead, recordsWritten, recordsFailed,
+      errorMessage)
+    finished += m
+    metricsTable.foreach(writeMetrics(m, _))
+    m
+  }
+
+  def metrics: Seq[StageMetrics] = finished.toSeq
+
+  private def writeMetrics(m: StageMetrics, table: String): Unit = {
+    val row = Row(m.pipelineName, m.stageName, m.status,
+      new java.sql.Timestamp(m.startTimeMs), new java.sql.Timestamp(m.endTimeMs),
+      m.durationSeconds, m.recordsRead, m.recordsWritten, m.recordsFailed,
+      m.errorMessage.orNull)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), StageMetrics.schema)
+      .write.mode("append").format("parquet").saveAsTable(table)
+  }
+}
+
+object Monitoring {
+
+  /** Metrics table DDL (reference monitoring.py:284-309). */
+  def createMetricsTable(spark: SparkSession, tableName: String): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $tableName (
+         |  pipeline_name STRING NOT NULL,
+         |  stage_name STRING NOT NULL,
+         |  status STRING NOT NULL,
+         |  start_time TIMESTAMP NOT NULL,
+         |  end_time TIMESTAMP NOT NULL,
+         |  duration_seconds DOUBLE NOT NULL,
+         |  records_read BIGINT NOT NULL,
+         |  records_written BIGINT NOT NULL,
+         |  records_failed BIGINT NOT NULL,
+         |  error_message STRING
+         |) USING PARQUET""".stripMargin)
+
+  /** Freshness: max(ts) per group vs an SLA (reference monitoring.py:317-384).
+    * One small aggregate job; the SLA compare is driver-side. */
+  def freshnessDF(df: DataFrame, tsCol: String, groupBy: Seq[String] = Nil): DataFrame = {
+    val base = if (groupBy.isEmpty) df.groupBy() else df.groupBy(groupBy.map(col): _*)
+    base.agg(max(col(tsCol)).as("last_ts"), count(lit(1)).as("n_rows"))
+  }
+
+  def isFresh(df: DataFrame, tsCol: String, maxAgeHours: Double,
+      nowMs: Long = System.currentTimeMillis()): Boolean = {
+    val last = df.agg(max(col(tsCol)).cast(LongType)).head().getLong(0)
+    (nowMs / 1000.0 - last) / 3600.0 <= maxAgeHours
+  }
+
+  /** Volume anomaly as one declarative plan (reference monitoring.py:392-468):
+    * daily counts, trailing-window mean (exact integer sum / count, divided
+    * as doubles — deterministic), percent change, anomaly flag at
+    * `threshold` (reference default 0.5 = 50%, base.py:60). */
+  def volumeAnomalyDF(df: DataFrame, tsCol: String,
+      threshold: Double = 0.5, lookbackDays: Int = 7): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-lookbackDays, -1)
+    daily
+      .withColumn("prev_sum", sum(col("n")).over(w))
+      .withColumn("prev_cnt", count(col("n")).over(w))
+      .withColumn("avg_prev",
+        when(col("prev_cnt") > 0,
+          col("prev_sum").cast(DoubleType) / col("prev_cnt").cast(DoubleType)))
+      .withColumn("pct_change",
+        when(col("avg_prev").isNotNull && col("avg_prev") =!= 0.0,
+          (col("n").cast(DoubleType) - col("avg_prev")) / col("avg_prev")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("pct_change")) > threshold, lit(false)))
+      .select("day", "n", "avg_prev", "pct_change", "is_anomaly")
+  }
+
+  /** Driver-side verdict over the tail of [[volumeAnomalyDF]] — mirrors the
+    * reference's collect-then-decide shape (≤ lookback+1 rows collected). */
+  def checkVolumeAnomaly(df: DataFrame, tsCol: String,
+      threshold: Double = 0.5, lookbackDays: Int = 7): Boolean = {
+    val rows = volumeAnomalyDF(df, tsCol, threshold, lookbackDays)
+      .orderBy(col("day").desc).limit(1).collect()
+    rows.headOption.exists(_.getAs[Boolean]("is_anomaly"))
+  }
+}

@@ -1,0 +1,381 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.io.Upsert
+import graft.ops.Transforms
+import graft.dq.{DataQualityChecker, Severity}
+import Q._
+
+/** Core relational operator coverage (SURVEY §2.4–§2.8): scan+filter+project
+  * with pushdown, aggregation, broadcast dim joins, window dedup, surrogate
+  * keys, top-k, set ops, semi/anti joins, MERGE, rollup, DQ report & split.
+  */
+object Relational {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // Q1-style pricing summary: one shuffle on the two low-cardinality group
+    // keys; exact decimal money math (Q.dsum).
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1)).cast(DoubleType)).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Q6-style selective filter: predicates + 3-column projection reach the
+    // parquet scan (PushedFilters/ReadSchema) — the pushdown showcase.
+    "q02_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(dmul(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Q3-style shipping priority: two shuffle joins pruned by selective
+    // filters; top-10 via TakeOrderedAndProject (no full sort).
+    "q03_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Dimension snowflake: fact shuffles once; nation/region are broadcast.
+    "q04_dim_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // WF1 keyed dedup keep-latest, PK tie-breaker for determinism.
+    "q05_dedup_latest" -> ((s, dir) => {
+      Transforms.deduplicateByKey(
+        t(s, dir, "orders"), Seq("o_custkey"), "o_orderdate",
+        ascending = false, tieBreakers = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // WF2 surrogate key — reference-faithful global window (dimension-sized).
+    "q06_surrogate_key" -> ((s, dir) => {
+      Transforms.addSurrogateKey(t(s, dir, "nation"), "nation_sk", Seq("n_name"))
+        .select(col("n_nationkey"), col("n_name"), col("nation_sk"))
+        .orderBy(col("nation_sk"))
+    }),
+
+    // WF2 at scale: two-phase partition-offset surrogate keys (same output).
+    "q06b_surrogate_scalable" -> ((s, dir) => {
+      Transforms.addSurrogateKeyScalable(
+        t(s, dir, "customer"), "customer_sk", Seq("c_custkey"))
+        .select(col("c_custkey"), col("customer_sk"))
+        .orderBy(col("customer_sk"))
+    }),
+
+    // O1 top-k: group + TakeOrderedAndProject.
+    "q07_daily_topk" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("day").desc)
+        .limit(7)
+    }),
+
+    // Exact content dedup: group on md5, deterministic survivor.
+    "q08_exact_dedup" -> ((s, dir) => {
+      graft.ext.Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("text_hash"))
+    }),
+
+    // A4 distinct counts (exact; HLL variant is q09b, rows-only).
+    "q09_distinct_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // A4 at 100 TB: HLL sketches — no exact-distinct shuffle. Rows-only
+    // check (sketch estimates are engine-specific).
+    "q09b_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
+    // The DQ centerpiece: 5 checks over orders in ONE aggregate pass.
+    "q10_dq_report" -> ((s, dir) => {
+      DataQualityChecker(t(s, dir, "orders"), "orders")
+        .checkCompleteness(Seq("o_custkey"), threshold = 0.95)
+        .checkRange("o_totalprice", 1.0, 1000000.0, threshold = 1.0)
+        .checkValidity("o_orderstatus", Seq("O", "F", "P"), threshold = 1.0)
+        .checkUniqueness(Seq("o_orderkey"), threshold = 1.0)
+        .checkCustom("positive_price", col("o_totalprice") > 0,
+          column = "o_totalprice", severity = Severity.Medium)
+        .run().toDF(s)
+        .orderBy(col("check_name"))
+    }),
+
+    // P5 valid/invalid split — quarantine rows with failure reasons.
+    "q11_quarantine" -> ((s, dir) => {
+      val (_, invalid) = DataQualityChecker(t(s, dir, "lineitem"), "lineitem")
+        .checkRange("l_quantity", 1.0, 30.0)
+        .checkCustom("moderate_price", col("l_extendedprice") < 90000)
+        .validInvalidSplit()
+      invalid.select(col("l_orderkey"), col("l_linenumber"),
+        array_join(col("_validation_failures"), ";").as("failures"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P3 string standardisation as a single projection.
+    "q12_standardize" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val up = Transforms.standardizeStrings(c, Seq("c_name"), "upper")
+      Transforms.standardizeStrings(up, Seq("c_mktsegment"), "lower")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // M1 MERGE emulation: full-outer join, source wins on match.
+    "q13_merge_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      val source = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U"))
+      Upsert.merge(target, source, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J4 referential-integrity anti join.
+    "q14_anti_join" -> ((s, dir) => {
+      val bigParts = t(s, dir, "part").filter(col("p_size") > 25)
+        .select(col("p_partkey").as("l_partkey"))
+      t(s, dir, "lineitem")
+        .join(bigParts, Seq("l_partkey"), "left_anti")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    // J4 semi join (EXISTS).
+    "q15_semi_join" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      t(s, dir, "orders")
+        .join(building, Seq("o_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Set ops: ((a INTERSECT b) UNION c) EXCEPT d, all distinct variants.
+    "q16_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_nationkey") < 10).select(col("c_custkey"))
+      val b = c.filter(col("c_acctbal") > 0).select(col("c_custkey"))
+      val u = c.filter(col("c_nationkey") === 20).select(col("c_custkey"))
+      val e = c.filter(col("c_acctbal") < -500).select(col("c_custkey"))
+      a.intersect(b).union(u).distinct().except(e)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Grouping-set rollup over orders.
+    "q17_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |  ${sqlDsum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_top_orders" ->
+      s"""SELECT l.l_orderkey, o.o_orderdate,
+         |  ${sqlRevenueSum("l.l_extendedprice", "l.l_discount")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+         |GROUP BY l.l_orderkey, o.o_orderdate
+         |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_dim_join" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+         |  ${sqlDsum("c_acctbal")} AS total_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_dedup_latest" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q06_surrogate_key" ->
+      """SELECT n_nationkey, n_name,
+        |  CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS nation_sk
+        |FROM nation ORDER BY nation_sk""".stripMargin,
+
+    "q06b_surrogate_scalable" ->
+      """SELECT c_custkey,
+        |  CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk
+        |FROM customer ORDER BY customer_sk""".stripMargin,
+
+    "q07_daily_topk" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |FROM events GROUP BY 1
+        |ORDER BY n_events DESC, day DESC LIMIT 7""".stripMargin,
+
+    "q08_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "q09_distinct_stats" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n_rows FROM lineitem""".stripMargin,
+
+    "q10_dq_report" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL OR trim(CAST(o_custkey AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_comp,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 1.0 OR o_totalprice > 1000000.0) THEN 1 ELSE 0 END) AS BIGINT) AS f_range,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS f_val,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f_cust,
+        |    COUNT(DISTINCT o_orderkey) AS n_uniq
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'orders' AS table_name, 'completeness_o_custkey' AS check_name, 'Completeness' AS check_type,
+        |    'o_custkey' AS column_name, CAST(total - f_comp AS DOUBLE)/CAST(total AS DOUBLE) >= 0.95 AS passed,
+        |    total AS total_count, f_comp AS failed_count,
+        |    CAST(total - f_comp AS DOUBLE)/CAST(total AS DOUBLE) AS pass_rate,
+        |    CAST(0.95 AS DOUBLE) AS threshold, 'High' AS severity, 'non-null rate of o_custkey' AS details FROM m
+        |  UNION ALL
+        |  SELECT 'orders', 'range_o_totalprice', 'Range', 'o_totalprice',
+        |    CAST(total - f_range AS DOUBLE)/CAST(total AS DOUBLE) >= 1.0,
+        |    total, f_range, CAST(total - f_range AS DOUBLE)/CAST(total AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE), 'High', 'o_totalprice in [1.0, 1000000.0]' FROM m
+        |  UNION ALL
+        |  SELECT 'orders', 'validity_o_orderstatus', 'Validity', 'o_orderstatus',
+        |    CAST(total - f_val AS DOUBLE)/CAST(total AS DOUBLE) >= 1.0,
+        |    total, f_val, CAST(total - f_val AS DOUBLE)/CAST(total AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE), 'High', 'o_orderstatus in {O,F,P}' FROM m
+        |  UNION ALL
+        |  SELECT 'orders', 'uniqueness_o_orderkey', 'Uniqueness', 'o_orderkey',
+        |    CAST(total - (total - n_uniq) AS DOUBLE)/CAST(total AS DOUBLE) >= 1.0,
+        |    total, total - n_uniq, CAST(total - (total - n_uniq) AS DOUBLE)/CAST(total AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE), 'Critical', 'distinct=' || CAST(n_uniq AS VARCHAR) FROM m
+        |  UNION ALL
+        |  SELECT 'orders', 'positive_price', 'Custom', 'o_totalprice',
+        |    CAST(total - f_cust AS DOUBLE)/CAST(total AS DOUBLE) >= 1.0,
+        |    total, f_cust, CAST(total - f_cust AS DOUBLE)/CAST(total AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE), 'Medium', 'custom: positive_price' FROM m
+        |) ORDER BY check_name""".stripMargin,
+
+    "q11_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  concat_ws(';',
+        |    CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 30.0) THEN 'OUT_OF_RANGE_L_QUANTITY' END,
+        |    CASE WHEN NOT COALESCE(l_extendedprice < 90000, FALSE) THEN 'CUSTOM_MODERATE_PRICE' END) AS failures
+        |FROM lineitem
+        |WHERE (l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 30.0))
+        |   OR NOT COALESCE(l_extendedprice < 90000, FALSE)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q12_standardize" ->
+      """SELECT c_custkey, upper(trim(c_name)) AS c_name,
+        |  lower(trim(c_mktsegment)) AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q13_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0),
+        |source AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 'U' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+        |FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT l_partkey, COUNT(*) AS n FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_size > 25)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "q15_semi_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q16_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_nationkey < 10
+        | INTERSECT
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_nationkey = 20
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal < -500
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q17_rollup" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin)
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ext.AsOfJoin
+import graft.monitoring.Monitoring
+import Q._
+
+/** Time-oriented operators (SURVEY §2.5 J3, §2.10 batch-equivalents):
+  * as-of join, tumbling-window aggregation, sessionization (gap-and-island),
+  * volume-anomaly, freshness. Their streaming twins live in
+  * `graft.streaming` and are exercised by ScalaTest (streams can't be
+  * oracle-hashed by a batch SQL engine).
+  */
+object Temporal {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // J3 as-of join: each purchase gets the latest click at or before its
+    // ts, per user. One shuffle on user_id (union + running-last window) —
+    // the merge-join as-of shape, no range cross join.
+    "q19_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      AsOfJoin.asOfBackward(purchases, clicks, Seq("user_id"),
+          "ts", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Tumbling hourly window (batch twin of the streaming agg).
+    "q20_hourly_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Gap-and-island sessionization (30-min inactivity gap), batch form.
+    // One shuffle on user_id; both windows share the same partitioning.
+    "q21_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast(LongType) - col("prev_ts").cast(LongType)) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun).cast(LongType))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // A6 volume anomaly as one declarative plan.
+    "q22_volume_anomaly" -> ((s, dir) => {
+      Monitoring.volumeAnomalyDF(t(s, dir, "events"), "ts",
+          threshold = 0.5, lookbackDays = 7)
+        .orderBy(col("day"))
+    }),
+
+    // A5 freshness probe per group.
+    "q23_freshness" -> ((s, dir) => {
+      Monitoring.freshnessDF(t(s, dir, "events"), "ts", Seq("event_type"))
+        .orderBy(col("event_type"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q19_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts, c.click_value AS asof_click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q20_hourly_agg" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q21_sessionize" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)) > 1800
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q22_volume_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+        |win AS (SELECT day, n,
+        |  CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum,
+        |  CAST(COUNT(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_cnt
+        |FROM daily)
+        |SELECT day, n,
+        |  CASE WHEN prev_cnt > 0 THEN CAST(prev_sum AS DOUBLE)/CAST(prev_cnt AS DOUBLE) END AS avg_prev,
+        |  CASE WHEN prev_cnt > 0 AND CAST(prev_sum AS DOUBLE)/CAST(prev_cnt AS DOUBLE) <> 0
+        |    THEN (CAST(n AS DOUBLE) - CAST(prev_sum AS DOUBLE)/CAST(prev_cnt AS DOUBLE))
+        |         / (CAST(prev_sum AS DOUBLE)/CAST(prev_cnt AS DOUBLE)) END AS pct_change,
+        |  COALESCE(abs(CASE WHEN prev_cnt > 0 AND CAST(prev_sum AS DOUBLE)/CAST(prev_cnt AS DOUBLE) <> 0
+        |    THEN (CAST(n AS DOUBLE) - CAST(prev_sum AS DOUBLE)/CAST(prev_cnt AS DOUBLE))
+        |         / (CAST(prev_sum AS DOUBLE)/CAST(prev_cnt AS DOUBLE)) END) > 0.5, FALSE) AS is_anomaly
+        |FROM win ORDER BY day""".stripMargin,
+
+    "q23_freshness" ->
+      """SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

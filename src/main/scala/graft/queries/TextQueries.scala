@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ext.{Dedup, TextStats}
+import Q._
+
+/** Text-analysis + near-dup operator coverage over `documents`
+  * (north-star ops; SURVEY §2.11). The deterministic-count queries carry
+  * DuckDB oracles; hash-based signature/pair queries are rows-only (their
+  * semantics are asserted in ScalaTest with planted near-duplicates).
+  */
+object TextQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** documents unioned with slightly-perturbed copies (id + 1,000,000,
+    * one token appended) — plants guaranteed near-dup pairs so pair-mining
+    * queries have deterministic, non-empty output on any corpus. */
+  private def withPlantedNearDups(docs: DataFrame): DataFrame =
+    docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" zyxqj"))))
+
+  val queries: Map[String, QFn] = Map(
+    // Per-doc deterministic text statistics.
+    "q24_text_stats" -> ((s, dir) => {
+      TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Regex token counting (BPE-ish proxy).
+    "q25_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.nWords(col("text")).as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus profile by language/source.
+    "q26_lang_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Stopword-argmax language ID (rows-only; heuristic is engine-side).
+    "q27_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextStats.langId(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring rubric.
+    "q28_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash+LSH near-dup pairs over planted dups (rows-only; ~1 pair per
+    // source doc expected, jaccard near 1).
+    "q29_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashLsh(withPlantedNearDups(t(s, dir, "documents")),
+          "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 4,
+          minJaccard = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash near-dup pairs over planted dups (rows-only).
+    "q30_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(withPlantedNearDups(t(s, dir, "documents")),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Exact n-gram Jaccard pairs within a source block, top candidates
+    // (rows-only: double-threshold tie behavior is asserted in tests).
+    "q31_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          blockCol = "source", shingleSize = 3)
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
+    // Winnowing fingerprints (rows-only; hash-set per doc).
+    "q32_fingerprint" -> ((s, dir) => {
+      TextStats.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), size(col("fingerprint")).cast(LongType).as("n_grams"),
+          xxhash64(col("fingerprint")).as("fp_hash"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q24_text_stats" ->
+      """SELECT doc_id, n_chars, n_words, n_digits, n_nonspace,
+        |  CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE)/CAST(n_words AS DOUBLE) END AS avg_word_len
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_lang_profile" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q28_quality_score" ->
+      """SELECT doc_id,
+        |  (CASE WHEN n_words BETWEEN 20 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        |   + CASE WHEN digit_ratio < 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        |   + CASE WHEN n_chars >= 100 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS score
+        |FROM (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |      ELSE CAST(1 AS DOUBLE) END AS digit_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import Q._
+
+/** Embedding similarity search over `embeddings` (north-star ops).
+  * Brute-force top-k carries a DuckDB oracle (both sides compute the dot
+  * product as a sequential double fold and round to 4 digits before
+  * ranking); the LSH variant is rows-only with recall asserted in tests.
+  */
+object VectorQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // Exact ANN baseline: 16 query vectors against the full corpus,
+    // query side broadcast so the corpus never shuffles.
+    "q33_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 16),
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // LSH-bucketed ANN (random hyperplanes, multi-probe). Rows-only.
+    "q34_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 16),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          numPlanes = 8, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Embedding-cosine near-dup pairs via LSH buckets, over a corpus with
+    // planted duplicates (scaled copies — cosine is scale-invariant, so
+    // each plant pairs with its source at sim 1.0). Rows-only.
+    "q35_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.unionByName(emb
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.001f))))
+      Similarity.lshTopK(
+          corpus = planted, queries = planted,
+          idCol = "vec_id", vecCol = "embedding", k = 3,
+          numPlanes = 8, dim = 64)
+        .filter(col("sim") >= 0.9 && col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("sim"))
+        .orderBy(col("a"), col("b"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q33_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 16),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROUND(list_cosine_similarity(qe, ce), 4) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, rnk""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.10 — the reference *declared*
+  * streaming via CHECKPOINT_PATH but never implemented it; this is the
+  * honest minimal surface over the `events` table shape).
+  *
+  * Batch/stream parity: `hourlyAgg` is the streaming twin of
+  * `q20_hourly_agg`, `dedupByKey` of WF1 (`dropDuplicatesWithinWatermark`),
+  * `sessionize` of q21 (stateful gap sessions via
+  * `flatMapGroupsWithState`). Watermarks bound state so the queries run
+  * indefinitely at scale; state is partitioned by the group key — the same
+  * shuffle contract as the batch versions.
+  */
+object Streams {
+
+  val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+
+  /** File-based streaming source over an events directory. */
+  def eventsStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(path)
+
+  /** Tumbling-window hourly aggregation with late-data watermark. */
+  def hourlyAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming twin of WF1 keyed dedup: exactly-once per key within the
+    * watermark horizon (state is GC'd past it). */
+  def dedupByKey(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Stateful sessionization (gap-close after `gapSeconds` of inactivity),
+    * emitting a session when its gap elapses (event-time timeout). The
+    * batch gap-and-island version is q21_sessionize; this one maintains
+    * per-user state bounded by the watermark. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, new Timestamp(s.start),
+          new Timestamp(s.end), s.n))
+      }
+      var closed = List.empty[Session]
+      // order within the micro-batch; cross-batch order is handled by the
+      // watermark (events older than it never arrive)
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapSeconds * 1000 =>
+            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+          case Some(s) =>
+            closed ::= Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+      }
+      closed.reverseIterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dq.{DataQualityChecker, Severity}
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("completeness passes at threshold and fails below it") {
+    // 1 null of 10 = 90% non-null
+    val df = (1 to 9).map(i => (s"T$i", s"C$i")).toDF("txn_id", "customer_id")
+      .union(Seq(("T10", null.asInstanceOf[String])).toDF("txn_id", "customer_id"))
+    val pass = DataQualityChecker(df, "t")
+      .checkCompleteness(Seq("customer_id"), threshold = 0.9).run()
+    assert(pass.passed)
+    val fail = DataQualityChecker(df, "t")
+      .checkCompleteness(Seq("customer_id"), threshold = 0.95).run()
+    assert(!fail.passed)
+    assert(fail.results.head.failedCount == 1)
+  }
+
+  test("empty string counts as incomplete") {
+    val df = Seq(("T1", ""), ("T2", "C2")).toDF("txn_id", "customer_id")
+    val r = DataQualityChecker(df, "t")
+      .checkCompleteness(Seq("customer_id"), threshold = 1.0).run()
+    assert(!r.passed)
+    assert(r.results.head.failedCount == 1)
+  }
+
+  test("uniqueness detects duplicate keys") {
+    val df = Seq("A", "A", "B").toDF("id")
+    val r = DataQualityChecker(df, "t").checkUniqueness(Seq("id")).run()
+    assert(!r.passed)
+    assert(r.results.head.failedCount == 1) // 3 rows - 2 distinct
+  }
+
+  test("range check fails on out-of-bounds, ignores nulls") {
+    val df = Seq(Some(5.0), Some(500.0), None).toDF("amount")
+    val r = DataQualityChecker(df, "t")
+      .checkRange("amount", 0.0, 100.0).run()
+    assert(r.results.head.failedCount == 1)
+  }
+
+  test("validity check flags out-of-enum values") {
+    val df = Seq("COMPLETED", "UNKNOWN").toDF("status")
+    val r = DataQualityChecker(df, "t")
+      .checkValidity("status", Seq("COMPLETED", "PENDING", "FAILED")).run()
+    assert(r.results.head.failedCount == 1)
+  }
+
+  test("referential check counts orphan foreign keys") {
+    val facts = Seq(("T1", "C1"), ("T2", "C9")).toDF("txn_id", "customer_id")
+    val dim = Seq("C1", "C2").toDF("customer_id")
+    val r = DataQualityChecker(facts, "t")
+      .checkReferential("fk_customer", dim, Seq("customer_id")).run()
+    assert(r.results.head.failedCount == 1)
+    assert(!r.passed)
+  }
+
+  test("all registered checks produce results in one report") {
+    val df = Seq((1.0, "A")).toDF("amount", "status")
+    val r = DataQualityChecker(df, "t")
+      .checkCompleteness(Seq("amount", "status"))
+      .checkRange("amount", 0.0, 10.0)
+      .checkValidity("status", Seq("A"))
+      .checkUniqueness(Seq("status"))
+      .run()
+    assert(r.results.length == 5)
+    assert(r.passed)
+  }
+
+  test("split partitions input: valid ∪ invalid == input, disjoint") {
+    val df = Seq(("T1", "C1", 10.0), ("T2", null.asInstanceOf[String], 20.0),
+      ("T3", "C3", -5.0)).toDF("txn_id", "customer_id", "amount")
+    val checker = DataQualityChecker(df, "t")
+      .checkCompleteness(Seq("customer_id"), threshold = 1.0)
+      .checkRange("amount", 0.0, 100.0)
+    val (valid, invalid) = checker.validInvalidSplit()
+    assert(valid.count() + invalid.count() == df.count())
+    assert(valid.columns.toSet == df.columns.toSet)
+    val inv = invalid.orderBy("txn_id").collect()
+    assert(inv.length == 2)
+    val reasons = inv.map(_.getAs[scala.collection.Seq[String]]("_validation_failures").toSeq)
+    assert(reasons(0) == Seq("NULL_OR_EMPTY_CUSTOMER_ID"))
+    assert(reasons(1) == Seq("OUT_OF_RANGE_AMOUNT"))
+    assert(invalid.columns.contains("_quarantine_timestamp"))
+  }
+
+  test("no checks registered → empty invalid with preserved schema") {
+    val df = Seq(("T1", 1.0)).toDF("txn_id", "amount")
+    val (valid, invalid) = DataQualityChecker(df, "t").validInvalidSplit()
+    assert(valid.count() == 1)
+    assert(invalid.count() == 0)
+  }
+
+  test("custom check with null condition treats null as failure") {
+    val df = Seq(Some(5.0), None).toDF("amount")
+    val r = DataQualityChecker(df, "t")
+      .checkCustom("positive", col("amount") > 0, severity = Severity.Low)
+      .run()
+    assert(r.results.head.failedCount == 1)
+  }
+
+  test("single-pass run issues one aggregate for row-level checks") {
+    // regression guard on the design: all row-level checks evaluate in one
+    // job — verified indirectly by the report being consistent across many
+    // checks on a non-trivial table
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val r = DataQualityChecker(li, "lineitem")
+      .checkCompleteness(Seq("l_orderkey", "l_partkey", "l_quantity"))
+      .checkRange("l_discount", 0.0, 0.1)
+      .checkUniqueness(Seq("l_orderkey", "l_linenumber"))
+      .run()
+    assert(r.results.length == 5)
+    assert(r.results.forall(_.totalCount == li.count()))
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{AsOfJoin, Dedup, Similarity, TextStats}
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- as-of join ----------
+
+  test("asOfBackward picks the latest right row at-or-before left ts") {
+    val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 5L, 9.0))
+      .toDF("k", "rts", "px")
+      .select(col("k"), col("rts").cast("timestamp").as("rts"), col("px"))
+    val asks = Seq((1L, 15L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 100L, "d"), (3L, 7L, "e"))
+      .toDF("k", "ts", "tag")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"), col("tag"))
+    val out = AsOfJoin.asOfBackward(asks, quotes, Seq("k"), "ts", "rts", Seq("px"))
+      .orderBy("k", "ts").collect()
+    // k=1: ts=5 → none; ts=15 → px@10=1.0; ts=20 → px@20=2.0 (inclusive)
+    assert(out(0).getAs[Any]("asof_px") == null)
+    assert(out(1).getAs[Double]("asof_px") == 1.0)
+    assert(out(2).getAs[Double]("asof_px") == 2.0)
+    // k=2: ts=100 → px@5=9.0 ; k=3: no right rows at all → null
+    assert(out(3).getAs[Double]("asof_px") == 9.0)
+    assert(out(4).getAs[Any]("asof_px") == null)
+  }
+
+  // ---------- text ----------
+
+  test("nWords handles blanks, multiple spaces") {
+    val df = Seq("a b  c", " ", "", "single").toDF("t")
+      .select(TextStats.nWords(col("t")).as("n"))
+    assert(df.as[Long].collect().toSeq == Seq(3L, 0L, 0L, 1L))
+  }
+
+  test("langId picks language with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "el perro y la casa de los gatos",
+      "zzz qqq www").toDF("t")
+      .select(TextStats.langId(col("t")).as("lang"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
+  }
+
+  test("qualityScore rubric bounds") {
+    val good = ("word " * 50) + "tail"  // 51 words, >100 chars, no digits
+    val df = Seq(good, "1234567890").toDF("t")
+      .select(TextStats.qualityScore(col("t")).as("s"))
+    val got = df.as[Double].collect()
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0) // 1 word (<20), all digits (ratio 1.0), <100 chars
+  }
+
+  test("winnowing fingerprint overlaps heavily for near-dup docs") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a + " extra"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val fp = TextStats.winnowingFingerprint(df, "id", "text")
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    val (s1, s2) = (fp(0)._2.toSet, fp(1)._2.toSet)
+    val jac = s1.intersect(s2).size.toDouble / s1.union(s2).size
+    assert(jac > 0.5)
+  }
+
+  // ---------- dedup ----------
+
+  private def docsWithDups = {
+    val base = Tables.load(spark, sfDir, "documents").limit(50)
+    base.unionByName(base
+      .withColumn("doc_id", col("doc_id") + 1000L)
+      .withColumn("text", concat(col("text"), lit(" zzzz"))))
+  }
+
+  test("minHashLsh finds planted near-duplicates with high jaccard") {
+    val pairs = Dedup.minHashLsh(docsWithDups, "doc_id", "text",
+      shingleSize = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.5)
+      .collect()
+    val planted = pairs.filter(r =>
+      r.getAs[Long]("b") == r.getAs[Long]("a") + 1000L)
+    assert(planted.length >= 45) // ≥90% recall of the 50 planted pairs
+    assert(planted.forall(_.getAs[Double]("jaccard") > 0.8))
+  }
+
+  test("simHashPairs: planted near-dups within small hamming distance") {
+    val pairs = Dedup.simHashPairs(docsWithDups, "doc_id", "text",
+      maxHamming = 6).collect()
+    val planted = pairs.filter(r =>
+      r.getAs[Long]("b") == r.getAs[Long]("a") + 1000L)
+    assert(planted.length >= 30)
+  }
+
+  test("exactDedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard within blocks") {
+    val df = Seq((1L, "a b c d e", "s"), (2L, "a b c d e", "s"),
+      (3L, "x y z w v", "s")).toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source")
+      .orderBy("a", "b").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Double]("jaccard") == 1.0) // (1,2) identical
+    assert(out(1).getAs[Double]("jaccard") == 0.0) // (1,3) disjoint
+  }
+
+  // ---------- similarity ----------
+
+  test("cosine of identical and orthogonal vectors") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK: planted duplicate is every query's top neighbor") {
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(100)
+    val planted = emb.unionByName(emb
+      .withColumn("vec_id", col("vec_id") + 1000L)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f))))
+    val queries = planted.filter(col("vec_id") < 10)
+    val top = Similarity.bruteForceTopK(planted, queries, "vec_id", "embedding", 1)
+      .collect()
+    assert(top.forall(r =>
+      r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") + 1000L))
+    assert(top.forall(_.getAs[Double]("sim") == 1.0))
+  }
+
+  test("lshTopK achieves reasonable recall of brute-force top-5") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val approx = pairs(Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      numPlanes = 4, dim = 64))
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+}

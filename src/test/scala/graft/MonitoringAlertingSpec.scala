@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.alerting._
+import graft.monitoring._
+
+class MonitoringAlertingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PipelineMonitor tracks stage duration and counts") {
+    var now = 1000L
+    val mon = new PipelineMonitor(spark, "p", clock = () => now)
+    mon.startStage("ingest")
+    now = 4000L
+    val m = mon.endStage("ingest", recordsRead = 10, recordsWritten = 8,
+      recordsFailed = 2)
+    assert(m.durationSeconds == 3.0)
+    assert(m.recordsRead == 10 && m.recordsWritten == 8 && m.recordsFailed == 2)
+    assert(mon.metrics.length == 1)
+  }
+
+  test("volume anomaly flags a spike day") {
+    // 7 steady days then a 3x spike
+    val rows = (1 to 7).flatMap(d =>
+      (1 to 100).map(i => (s"2024-01-0$d 00:00:00", i))) ++
+      (1 to 300).map(i => ("2024-01-08 00:00:00", i))
+    val df = rows.toDF("ts", "i").select(col("ts").cast("timestamp").as("ts"))
+    assert(Monitoring.checkVolumeAnomaly(df, "ts", threshold = 0.5))
+    val last = Monitoring.volumeAnomalyDF(df, "ts").orderBy(desc("day")).head()
+    assert(last.getAs[Boolean]("is_anomaly"))
+    assert(math.abs(last.getAs[Double]("pct_change") - 2.0) < 1e-9)
+  }
+
+  test("steady volume is not anomalous") {
+    val rows = (1 to 8).flatMap(d => (1 to 100).map(i => s"2024-01-0$d 00:00:00"))
+    val df = rows.toDF("ts").select(col("ts").cast("timestamp").as("ts"))
+    assert(!Monitoring.checkVolumeAnomaly(df, "ts"))
+  }
+
+  test("freshness verdict against SLA") {
+    val now = System.currentTimeMillis()
+    val fresh = Seq(new java.sql.Timestamp(now - 3600 * 1000)).toDF("ts")
+    val stale = Seq(new java.sql.Timestamp(now - 100L * 3600 * 1000)).toDF("ts")
+    assert(Monitoring.isFresh(fresh, "ts", maxAgeHours = 4, nowMs = now))
+    assert(!Monitoring.isFresh(stale, "ts", maxAgeHours = 4, nowMs = now))
+  }
+
+  test("alert severity routing: P1 pages, P3 does not") {
+    val poster = new RecordingPoster
+    val mgr = new AlertManager(Some("http://slack"), Some("http://pd"),
+      dryRun = false, poster = poster)
+    val p3 = mgr.send(Alert("t", "m", AlertSeverity.P3, "pipe"))
+    assert(p3 == Seq("slack"))
+    val p1 = mgr.send(Alert("t", "m", AlertSeverity.P1, "pipe"))
+    assert(p1 == Seq("slack", "pagerduty"))
+    assert(poster.sent.length == 3)
+    assert(mgr.history.length == 2)
+  }
+
+  test("dry-run sends nothing") {
+    val poster = new RecordingPoster
+    val mgr = new AlertManager(Some("http://slack"), Some("http://pd"),
+      dryRun = true, poster = poster)
+    assert(mgr.send(Alert("t", "m", AlertSeverity.P1, "p")) == Seq("dry-run"))
+    assert(poster.sent.isEmpty)
+  }
+
+  test("payloads are valid JSON-ish and escape quotes") {
+    val mgr = new AlertManager()
+    val p = mgr.slackPayload(Alert("a \"quoted\" title", "msg\nline2",
+      AlertSeverity.P2, "pipe", Map("k" -> "v")))
+    assert(p.contains("\\\"quoted\\\""))
+    assert(!p.contains("\n"))
+  }
+}

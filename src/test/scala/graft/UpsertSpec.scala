@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.io.{Maintenance, Upsert, Writers}
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+    .toDF("id", "name", "amount")
+  private def source = Seq((2, "B2", 99.0), (4, "d", 40.0))
+    .toDF("id", "name", "amount")
+
+  test("merge: matched rows take source values, unmatched kept/inserted") {
+    val out = Upsert.merge(target, source, Seq("id"))
+      .orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(out(1).getAs[String]("name") == "B2")
+    assert(out(1).getAs[Double]("amount") == 99.0)
+    assert(out(0).getAs[String]("name") == "a")
+    assert(out(3).getAs[Double]("amount") == 40.0)
+  }
+
+  test("merge with updateColumns limits which columns the source wins") {
+    val out = Upsert.merge(target, source, Seq("id"),
+      updateColumns = Some(Seq("amount"))).orderBy("id").collect()
+    assert(out(1).getAs[String]("name") == "b")     // not updated
+    assert(out(1).getAs[Double]("amount") == 99.0)  // updated
+  }
+
+  test("merge is null-safe: source NULL overwrites on match") {
+    val s = Seq((2, null.asInstanceOf[String], 99.0)).toDF("id", "name", "amount")
+    val out = Upsert.merge(target, s, Seq("id")).orderBy("id").collect()
+    assert(out(1).getAs[String]("name") == null)
+  }
+
+  test("mergeStats returns real inserted/updated counts") {
+    val st = Upsert.mergeStats(target, source, Seq("id"))
+    assert(st == Upsert.MergeStats(inserted = 1, updated = 1))
+  }
+
+  test("upsertParquet bootstraps, merges atomically, vacuum GCs retired") {
+    val dir = Files.createTempDirectory("upsert").toString
+    val path = s"$dir/t"
+    val st1 = Upsert.upsertParquet(spark, target, path, Seq("id"))
+    assert(st1 == Upsert.MergeStats(3, 0))
+    val st2 = Upsert.upsertParquet(spark, source, path, Seq("id"))
+    assert(st2 == Upsert.MergeStats(1, 1))
+    val back = spark.read.parquet(path).orderBy("id").collect()
+    assert(back.length == 4)
+    assert(back(1).getAs[Double]("amount") == 99.0)
+    // one retired dir from the swap; vacuum with retain=0 removes it
+    assert(Maintenance.vacuum(path, retainMs = 0) == 1)
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
+  test("maintenance compact reduces file count, preserves rows") {
+    val dir = Files.createTempDirectory("compact").toString
+    val path = s"$dir/t"
+    Tables.load(spark, sfDir, "lineitem").repartition(16)
+      .write.parquet(path)
+    val before = Files.list(Paths.get(path)).filter(_.toString.endsWith(".parquet")).count()
+    val n = spark.read.parquet(path).count()
+    Maintenance.compact(spark, path, targetFiles = 2)
+    val after = Files.list(Paths.get(path)).filter(_.toString.endsWith(".parquet")).count()
+    assert(before > after && after <= 2)
+    assert(spark.read.parquet(path).count() == n)
+    Maintenance.vacuum(path, retainMs = 0)
+  }
+
+  test("clusterBy rewrite preserves content and sorts within files") {
+    val dir = Files.createTempDirectory("cluster").toString
+    val path = s"$dir/t"
+    Tables.load(spark, sfDir, "orders").write.parquet(path)
+    val n = spark.read.parquet(path).count()
+    Maintenance.clusterBy(spark, path, Seq("o_orderdate"), targetFiles = 4)
+    assert(spark.read.parquet(path).count() == n)
+    Maintenance.vacuum(path, retainMs = 0)
+  }
+
+  test("writers roundtrip with partitionBy and registerTable") {
+    val dir = Files.createTempDirectory("writers").toString
+    val path = s"$dir/orders"
+    val o = Tables.load(spark, sfDir, "orders")
+    Writers.writeParquet(o, path, partitionBy = Seq("o_orderstatus"))
+    assert(spark.read.parquet(path).count() == o.count())
+    Writers.registerTable(spark, path, "testdb", "orders_t", partitioned = true)
+    assert(spark.table("testdb.orders_t").count() == o.count())
+    spark.sql("DROP TABLE testdb.orders_t")
+    spark.sql("DROP DATABASE testdb")
+  }
+}
