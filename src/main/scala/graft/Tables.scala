@@ -25,11 +25,23 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(_.name == "ts") match {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = raw.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
     }
+    // The driver's test files are single-row-group parquet, so a scan
+    // yields ONE task no matter what maxPartitionBytes says. For the
+    // CPU-dense per-row tables (text shingling, vector math) that would
+    // serialize all work onto one core — spread them across the cluster at
+    // load. Relational tables stay as scanned: their per-row work is
+    // cheap, their aggregates/joins parallelize at the shuffle anyway, and
+    // an unconditional repartition costs more than it buys. At real scale
+    // inputs arrive multi-row-group and no spread is needed.
+    if (cpuDense(name)) df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
+
+  private val cpuDense = Set("documents", "embeddings")
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object Shingles {
   /** Word n-grams as space-joined strings; docs shorter than n words yield
     * a single shingle of the whole text. Pure higher-order-function Column
-    * algebra — no UDF, stays in codegen. */
+    * algebra — no UDF. */
   def wordShingles(text: Column, n: Int): Column = {
     val tokens = split(lower(trim(text)), "\\s+")
     when(size(tokens) <= n, array(concat_ws(" ", tokens)))
@@ -17,7 +17,13 @@ object Shingles {
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
   }
 
-  /** Exact Jaccard over two string arrays (as sets). */
+  /** Distinct 64-bit hashes of a doc's word shingles — the compact set
+    * representation all near-dup math runs on (8-byte longs instead of
+    * ~20-byte strings: smaller shuffles, cheaper set ops). */
+  def shingleHashSet(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))
+
+  /** Exact Jaccard over two array columns (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
     val union = size(array_union(a, b)).cast(DoubleType)
@@ -33,7 +39,13 @@ object Shingles {
   * never an all-pairs cross join. Candidate generation is a self-join on
   * LSH bucket keys, so the quadratic blow-up is confined to within-bucket
   * groups (tunable via bands/rows). This is the standard web-scale dedup
-  * shape (e.g. the GPT-3/C4 dedup pipelines from public papers).
+  * shape (the C4/GPT-3-style dedup pipelines from public papers).
+  *
+  * Performance: the k seeded MinHash functions are derived from ONE
+  * xxhash64 per shingle via a splitmix64-style integer mix — plain
+  * arithmetic that stays in whole-stage codegen — and reduced with
+  * `min` aggregates after an explode (map-side partial aggregation), not
+  * per-row lambda re-hashing.
   */
 object Dedup {
 
@@ -43,72 +55,76 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min of xxhash64(seed # shingle) over the doc's shingle set. Returns
-    * (id, shingles, sig: array<long>). */
+  /** Per-doc shingle-hash sets (id, shset: array<long>). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      Shingles.shingleHashSet(col(textCol), shingleSize).as("shset"))
+
+  /** MinHash signature per doc: explode the shingle-hash set and reduce
+    * with the one-permutation MinHash aggregate
+    * (graft.functions.MinHashAgg — one mask+compare per shingle instead of
+    * k hash evaluations; rotation densification for short docs). One
+    * shuffle on the doc id with map-side combine.
+    * Returns (id, sig: array<long>[numHashes]). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 32): DataFrame = {
-    val sh = Shingles.wordShingles(col(textCol), shingleSize)
-    val sig = array((0 until numHashes).map { seed =>
-      array_min(transform(col("shingles"), s =>
-        xxhash64(concat(lit(s"$seed#"), s))))
-    }: _*)
-    docs.select(col(idCol), sh.as("shingles")).withColumn("sig", sig)
-  }
+      shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
+    sigsFromSets(shingleSets(docs, idCol, textCol, shingleSize), numHashes)
+
+  private def sigsFromSets(sets: DataFrame, numHashes: Int): DataFrame =
+    sets.select(col("id"), explode(col("shset")).as("h"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("h"), numHashes).as("sig"))
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
-    * Jaccard. `numHashes = bands * rowsPerBand`. Returns candidate pairs
-    * (a < b) with estimated and exact Jaccard, filtered at `minJaccard`.
+    * Jaccard over shingle-hash sets. `numHashes = bands * rowsPerBand`.
+    * Returns pairs (a < b) with exact Jaccard ≥ `minJaccard`.
     *
-    * Shuffles: one to explode/group by (band, bandHash); the self-join on
-    * the band key is a hash join on a high-cardinality key — no global
-    * cross join anywhere. */
+    * Shuffles: signature agg (by id), band explode + self-join (by band
+    * hash), two hash joins to re-attach shingle sets. No global cross
+    * join anywhere. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val signed = minHashSignatures(docs, idCol, textCol, shingleSize, numHashes)
-      .select(col(idCol).as("id"), col("shingles"), col("sig"))
+    // persisted: sets feed both signature building and (twice) the exact
+    // verification join; banded feeds both sides of the candidate
+    // self-join — without caching each branch would recompute the whole
+    // shingle/signature pipeline
+    val sets = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    val sigs = sigsFromSets(sets, numHashes)
 
-    val banded = signed.select(col("id"), col("shingles"),
+    val banded = sigs.select(col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
-        .as(Seq("band", "band_hash")))
+        .as(Seq("band", "band_hash"))).persist()
 
-    val l = banded.select(col("band"), col("band_hash"),
-      col("id").as("a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("id").as("b"), col("shingles").as("sh_b"))
-    val cand = l.join(r, Seq("band", "band_hash"))
+    val cand = banded.select(col("band"), col("band_hash"), col("id").as("a"))
+      .join(banded.select(col("band"), col("band_hash"), col("id").as("b")),
+        Seq("band", "band_hash"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("a", "b")
+      .select("a", "b").dropDuplicates("a", "b")
 
     cand
+      .join(sets.select(col("id").as("a"), col("shset").as("sh_a")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("shset").as("sh_b")), Seq("b"))
       .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** 64-bit SimHash per doc from token hashes: bit j of the signature is
-    * the sign of sum over tokens of ±1 (weighted by token count) at bit j.
-    * Implemented as explode → 64 conditional sums → bit reassembly; one
-    * shuffle on the doc id. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol),
+    * set iff more tokens have bit j set than clear (count-weighted).
+    * Explode → ONE imperative mergeable aggregate
+    * (graft.functions.SimHashAgg: 65-long buffer, map-side combine) —
+    * one shuffle on the doc id. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val agg = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sig.as("simhash"))
-  }
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming`, candidates via 4×16-bit
     * band blocking (any pair within Hamming distance 3 shares at least one
@@ -116,7 +132,7 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = simHash(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
+      .select(col(idCol).as("id"), col("simhash")).persist()
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
@@ -134,18 +150,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard for all pairs within a blocking key (e.g. source
-    * or length bucket) — the brute verification tier; candidates should
-    * come from LSH at scale. */
+  /** Exact n-gram Jaccard for pairs within a blocking key (e.g. source or
+    * length bucket) that share ≥1 shingle (disjoint pairs have Jaccard 0
+    * and are never materialised). Intersection sizes come from a self-join
+    * on (block, shingle-hash) + count — a hash join over exploded rows, so
+    * cost scales with actual overlap, not with |block|² array comparisons.
+    * Union sizes via |a|+|b|−|a∩b|. The brute verification tier; candidates
+    * should come from LSH at scale. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      Shingles.wordShingles(col(textCol), shingleSize).as("sh"))
-    val l = sh.select(col("blk"), col("id").as("a"), col("sh").as("sh_a"))
-    val r = sh.select(col("blk"), col("id").as("b"), col("sh").as("sh_b"))
-    l.join(r, Seq("blk"))
+      blockCols: Seq[String], shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(xxhash64(blockCols.map(col): _*).as("blk"),
+      col(idCol).as("id"),
+      Shingles.shingleHashSet(col(textCol), shingleSize).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("blk"), col("id"), explode(col("sh")).as("h"))
+    val inter = ex.select(col("blk"), col("h"), col("id").as("a"))
+      .join(ex.select(col("blk"), col("h"), col("id").as("b")), Seq("blk", "h"))
       .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n").as("n_b")), Seq("b"))
       .select(col("a"), col("b"),
-        Shingles.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+          .as("jaccard"))
   }
 }

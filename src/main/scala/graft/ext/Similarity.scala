@@ -18,10 +18,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Dot product in double: a native codegen'd Catalyst expression
+    * (graft.functions.VecDot — primitive loop, no per-element lambda
+    * interpretation/boxing). Accumulates left-to-right exactly like the
+    * `aggregate(zip_with(...))` fold it replaces, so results are
+    * bit-identical to the sequential oracle. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   /** L2 norm in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -36,17 +39,24 @@ object Similarity {
   /** Exact brute-force top-k: each query row against every candidate row.
     * The query side is broadcast (queries << corpus is the standard ANN
     * shape), so the corpus — the 100 TB side — never shuffles; per-partition
-    * ranking then a final top-k per query via window. Similarities are
-    * rounded to `roundDigits` before ranking so rank order is robust to
-    * last-ulp noise; ties break on candidate id. */
+    * ranking then a final top-k per query via window. Norms are computed
+    * once per row BEFORE the join (one higher-order-function pass per pair
+    * instead of three). Similarities are rounded to `roundDigits` before
+    * ranking so rank order is robust to last-ulp noise; ties break on
+    * candidate id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       roundDigits: Int = 4): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), roundDigits))
+      .withColumn("sim", round(
+        when(col("__qn") > 0 && col("__cn") > 0,
+          dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)),
+        roundDigits))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -79,18 +89,22 @@ object Similarity {
       multiProbe: Boolean = true, roundDigits: Int = 4): DataFrame = {
     val bucket = lshBucket(col(vecCol), numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), bucket.as("bucket"))
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"), bucket.as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), bucket.as("qbucket"))
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"), bucket.as("qbucket"))
     // multi-probe: also search the numPlanes buckets at Hamming distance 1
     val q0 = qBase.withColumn("bucket", col("qbucket"))
     val q = if (!multiProbe) q0 else q0.unionByName(
-      qBase.select(col("query_id"), col("__qv"), col("qbucket"),
+      qBase.select(col("query_id"), col("__qv"), col("__qn"), col("qbucket"),
         explode(array((0 until numPlanes).map(i =>
           col("qbucket").bitwiseXOR(shiftleft(lit(1L), i))): _*)).as("bucket")))
     val scored = broadcast(q.drop("qbucket")).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), roundDigits))
+      .withColumn("sim", round(
+        when(col("__qn") > 0 && col("__cn") > 0,
+          dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)),
+        roundDigits))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)

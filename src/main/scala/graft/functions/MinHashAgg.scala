@@ -1,0 +1,105 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** One-permutation MinHash (OPH) with rotation densification as a single
+  * imperative Catalyst aggregate.
+  *
+  * Classic k-hash MinHash evaluates k hash functions per shingle (k×|doc|
+  * work). OPH (Li, Owen, Zhang, NIPS'12) instead splits ONE hash's value
+  * space into k bins — each input updates exactly one bin's minimum — and
+  * densification (Shrivastava & Li, ICML'14 rotation scheme) fills empty
+  * bins from the next non-empty bin so the collision property holds for
+  * short documents too. Update cost per shingle: one mask + one compare,
+  * independent of k. Buffer: k longs, mergeable (map-side combine works).
+  *
+  * `k` must be a power of two (bin = hash & (k-1); the min is taken over
+  * the remaining bits).
+  */
+case class MinHashAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bin = (h & (k - 1)).toInt
+      // rank within the bin: the remaining (shifted) bits, made unsigned
+      val r = (h >>> 1) // keep comparisons simple & non-negative
+      if (r < buf(bin)) buf(bin) = r
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    // rotation densification: an empty bin borrows from the next non-empty
+    // bin (circularly), offset-mixed so borrowed values differ across bins
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      if (buf(i) != Long.MaxValue) out(i) = buf(i)
+      else {
+        var j = (i + 1) % k
+        var hops = 1L
+        while (buf(j) == Long.MaxValue && j != i) { j = (j + 1) % k; hops += 1 }
+        out(i) =
+          if (buf(j) == Long.MaxValue) -1L // fully empty doc
+          else buf(j) + hops               // offset so distinct bins differ
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(k * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MinHashAgg =
+    copy(child = c)
+}
+
+object MinHashAgg {
+  /** Aggregate Column: k-slot OPH MinHash signature of a long-hash column. */
+  def minhash(tokenHash: Column, k: Int): Column =
+    Bridge.column(
+      MinHashAgg(Bridge.expression(tokenHash), k).toAggregateExpression())
+}

@@ -86,7 +86,7 @@ object TextQueries {
     // (rows-only: double-threshold tie behavior is asserted in tests).
     "q31_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          blockCol = "source", shingleSize = 3)
+          blockCols = Seq("source", "lang"), shingleSize = 3)
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)
     }),

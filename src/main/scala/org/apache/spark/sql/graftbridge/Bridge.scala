@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made the Column ↔ catalyst Expression bridge `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`). Custom native
+  * expressions (graft.functions.VecDot etc.) still need it, so this tiny
+  * forwarder lives under the `org.apache.spark.sql` package — the standard
+  * pattern for Spark-native extension libraries on Spark 4.x. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

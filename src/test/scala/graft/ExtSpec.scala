@@ -101,14 +101,17 @@ class ExtSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_copies") == 2L)
   }
 
-  test("ngramJaccardPairs computes exact jaccard within blocks") {
+  test("ngramJaccardPairs computes exact jaccard for overlapping pairs") {
     val df = Seq((1L, "a b c d e", "s"), (2L, "a b c d e", "s"),
-      (3L, "x y z w v", "s")).toDF("doc_id", "text", "source")
-    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source")
+      (3L, "x y z w v", "s"), (4L, "a b c q r", "s")).toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq("source"))
       .orderBy("a", "b").collect()
-    assert(out.length == 3)
-    assert(out(0).getAs[Double]("jaccard") == 1.0) // (1,2) identical
-    assert(out(1).getAs[Double]("jaccard") == 0.0) // (1,3) disjoint
+    // disjoint pairs (with 3) are never materialised — jaccard 0
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(out(0).getAs[Double]("jaccard") == 1.0) // identical docs
+    // docs 1 & 4: 3-shingles {abc,bcd,cde} vs {abc,bcq,cqr} → 1/5
+    assert(out(1).getAs[Double]("jaccard") == 0.2)
   }
 
   // ---------- similarity ----------
