@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Temporal.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ GoldQueries.queries
+      VectorQueries.queries ++ GoldQueries.queries ++ FintechQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Temporal.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ GoldQueries.oracles
+      VectorQueries.oracles ++ GoldQueries.oracles ++ FintechQueries.oracles
 }

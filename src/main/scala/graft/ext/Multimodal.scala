@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (north-star; SURVEY §2.11): images/audio/video
+  * as opaque `binary` columns with typed metadata, processed in batches via
+  * `mapPartitions` over typed Datasets (the JVM analogue of the
+  * mapInPandas/Arrow-batch shape — per-partition iterator, codec state
+  * initialised once per partition, never per row).
+  *
+  * The actual media codecs are STUBBED (this container ships no
+  * image/audio libraries): `decodeStub` derives deterministic pseudo
+  * -features from the bytes. Every Spark-side contract — schema, binary
+  * payload handling, per-partition batching, feature/resize/frame-sample
+  * signatures — is real and tested; swapping `decodeStub` for a JNI/JavaCV
+  * call is a one-function change.
+  */
+object Multimodal {
+
+  /** Asset row: opaque payload + typed metadata (the lakehouse pattern for
+    * multimodal training data: bytes in the column, facts in metadata). */
+  final case class MediaAsset(
+      asset_id: Long,
+      media_type: String,     // "image" | "audio" | "video"
+      content: Array[Byte],
+      source_uri: String,
+      n_bytes: Long)
+
+  final case class MediaFeatures(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,             // decoded dimensions (stub: derived)
+      height: Int,
+      duration_ms: Long,      // audio/video only (stub: derived)
+      mean_intensity: Double, // stub: byte-mean proxy
+      feature_hash: Long)
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("source_uri", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** STUB decoder — deterministic fake standing in for the real codec
+    * (===> replace with an actual image/audio decode when libs exist).
+    * Derives stable pseudo-dimensions/intensity from the payload bytes so
+    * tests and oracles are reproducible. */
+  private[ext] def decodeStub(a: MediaAsset): MediaFeatures = {
+    val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
+    var h = 1125899906842597L // deterministic FNV-ish fold
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31 + bytes(i)
+      sum += bytes(i) & 0xFF
+      i += 1
+    }
+    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    MediaFeatures(
+      asset_id = a.asset_id,
+      media_type = a.media_type,
+      n_bytes = bytes.length.toLong,
+      width = 64 + (math.abs(h) % 1024).toInt,
+      height = 64 + (math.abs(h / 1024) % 1024).toInt,
+      duration_ms = if (a.media_type == "image") 0L else math.abs(h) % 600000L,
+      mean_intensity = mean,
+      feature_hash = h)
+  }
+
+  /** Batched feature extraction: one decoder context per partition (the
+    * expensive-init pattern for real codecs), iterator-to-iterator so
+    * nothing materialises per partition. */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // ===> real impl: initialise codec/context ONCE here
+      it.map(decodeStub)
+    }
+  }
+
+  /** Frame sampling contract for video payloads: emits `framesPer` rows per
+    * asset with deterministic pseudo-frame hashes (flatMap shape — the
+    * generator/explode pattern on binary data). */
+  def sampleFrames(assets: Dataset[MediaAsset], framesPer: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "video").flatMap { a =>
+      val base = decodeStub(a)
+      (0 until framesPer).map { f =>
+        (a.asset_id, f, base.feature_hash * 31 + f, base.width, base.height)
+      }
+    }.toDF("asset_id", "frame_idx", "frame_hash", "width", "height")
+  }
+
+  /** Build a deterministic asset table from any text corpus (test/demo
+    * harness: payload = utf-8 bytes; at production the payload comes from
+    * binary files / object storage). */
+  def assetsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3).cast(IntegerType) + 1).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      concat(lit("synthetic://"), col("doc_id")).as("source_uri"),
+      length(col("text")).cast(LongType).as("n_bytes"))
+      .as[MediaAsset]
+  }
+}

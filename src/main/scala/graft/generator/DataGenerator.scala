@@ -1,0 +1,190 @@
+package graft.generator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.config.Enums
+
+/** Seeded synthetic fintech data (reference `src/data_generator/generator.py`
+  * — SURVEY §1.4). Faithful to the reference's distributions: lognormal(3.5,
+  * 1.5) amounts capped [0.01, 50000] (generator.py:451-453), 2.5% fraud rate
+  * with indicator arrays (:38,:504-521), structuring pattern $9–10k
+  * (:511-515), after-hours pattern (:517-521), cross-border =
+  * merchant_country ≠ customer_country (:495-497).
+  *
+  * Architecture differs deliberately (SURVEY: "not a port"): the reference
+  * builds rows in a Python loop on one machine; here every column is derived
+  * from `spark.range(n)` via counter-based hashing — `u(id, salt)` turns
+  * xxhash64 into a uniform [0,1) — so generation is embarrassingly parallel,
+  * deterministic under ANY partitioning (no `rand()`, whose draw depends on
+  * partition layout), and scales to billions of rows by changing `n`.
+  * Output is bronze-shaped: all columns strings (bronze contract).
+  */
+object DataGenerator {
+
+  val Seed = 42
+
+  /** Uniform [0,1) from the row id and a salt: top 53 bits of xxhash64. */
+  private def u(id: Column, salt: String): Column =
+    shiftrightunsigned(xxhash64(id, lit(salt), lit(Seed)), 11).cast(DoubleType) /
+      lit(9007199254740992.0) // 2^53
+
+  /** Uniform pick from a value list. */
+  private def pick(id: Column, salt: String, values: Seq[String]): Column =
+    element_at(typedlit(values),
+      (u(id, salt) * values.size).cast(IntegerType) + 1)
+
+  /** Standard normal via Box–Muller on two hash uniforms. */
+  private def gaussian(id: Column, salt: String): Column =
+    sqrt(lit(-2.0) * log(lit(1.0) - u(id, salt + "_u1"))) *
+      cos(lit(2.0 * math.Pi) * u(id, salt + "_u2"))
+
+  /** 2-decimal plain string (no locale/thousands separators). */
+  private def money2(c: Column): Column =
+    round(c, 2).cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")
+
+  /** 4-decimal plain string. */
+  private def dec4(c: Column): Column =
+    round(c, 4).cast(org.apache.spark.sql.types.DecimalType(8, 4)).cast("string")
+
+  private val baseTs = "2024-01-01 00:00:00"
+
+  def customers(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val firstNames = Seq("John", "Jane", "Alex", "Maria", "Wei", "Yuki",
+      "Hans", "Ana", "Raj", "Emma")
+    val lastNames = Seq("Smith", "Doe", "Garcia", "Chen", "Tanaka", "Mueller",
+      "Silva", "Patel", "Brown", "Wilson")
+    spark.range(n).select(
+      format_string("CUST%06d", id).as("customer_id"),
+      pick(id, "fn", firstNames).as("first_name"),
+      pick(id, "ln", lastNames).as("last_name"),
+      concat(lower(pick(id, "fn", firstNames)), lit("."), id.cast("string"),
+        lit("@example.com")).as("email"),
+      format_string("+1-555-%07d", (u(id, "ph") * 10000000).cast(LongType)).as("phone"),
+      pick(id, "co", Enums.countries).as("country"),
+      concat(lit("City"), (u(id, "ci") * 100).cast(IntegerType).cast("string")).as("city"),
+      format_string("%05d", (u(id, "pc") * 100000).cast(LongType)).as("postal_code"),
+      date_format(date_add(lit("1950-01-01").cast("date"),
+        (u(id, "dob") * 18262).cast(IntegerType)), "yyyy-MM-dd").as("date_of_birth"),
+      pick(id, "seg", Enums.customerSegments).as("segment"),
+      pick(id, "kyc", Enums.kycStatuses).as("kyc_status"),
+      date_format(date_add(lit("2020-01-01").cast("date"),
+        (u(id, "kvd") * 1460).cast(IntegerType)), "yyyy-MM-dd").as("kyc_verified_date"),
+      (u(id, "rs") * 101).cast(IntegerType).cast("string").as("risk_score"),
+      when(u(id, "pep") < 0.02, "True").otherwise("False").as("is_pep"),
+      lit(baseTs).as("created_at"),
+      lit(baseTs).as("updated_at"))
+  }
+
+  def merchants(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val mccs = Seq("5411", "5812", "5999", "4111", "7995", "6011", "5732")
+    val cats = Seq("GROCERY", "RESTAURANT", "RETAIL", "TRANSPORT", "GAMBLING",
+      "ATM", "ELECTRONICS")
+    spark.range(n).select(
+      format_string("MERCH%05d", id).as("merchant_id"),
+      concat(lit("Merchant "), id.cast("string")).as("merchant_name"),
+      pick(id, "mcc", mccs).as("mcc_code"),
+      pick(id, "mcc", cats).as("mcc_category"),
+      pick(id, "co", Enums.countries).as("country"),
+      pick(id, "cur", Enums.currencies).as("currency"),
+      pick(id, "rt", Enums.riskTiers).as("risk_tier"),
+      money2(round(exp(lit(3.0) + gaussian(id, "ticket")), 2)).as("avg_ticket_size"),
+      (u(id, "mv") * 1000000).cast(IntegerType).cast("string").as("monthly_volume"),
+      date_format(date_add(lit("2018-01-01").cast("date"),
+        (u(id, "ob") * 2190).cast(IntegerType)), "yyyy-MM-dd").as("onboarding_date"),
+      pick(id, "st", Enums.merchantStatuses).as("status"),
+      dec4(u(id, "fr") * 0.03).as("fee_rate"),
+      lit(baseTs).as("created_at"),
+      lit(baseTs).as("updated_at"))
+  }
+
+  /** 90 days × 9 currencies = 810 rows by default (generator.py:586-601). */
+  def exchangeRates(spark: SparkSession, days: Int = 90): DataFrame = {
+    val id = col("id")
+    val nCur = Enums.currencies.size
+    spark.range(days.toLong * nCur).select(
+      date_format(date_add(lit("2024-01-01").cast("date"),
+        (id / nCur).cast(IntegerType)), "yyyy-MM-dd").as("rate_date"),
+      element_at(typedlit(Enums.currencies),
+        (id % nCur).cast(IntegerType) + 1).as("source_currency"),
+      lit("USD").as("target_currency"),
+      dec4(lit(0.5) + u(id, "rate") * 1.5).as("exchange_rate"),
+      lit(baseTs).as("created_at"))
+  }
+
+  /** Bronze transactions with the reference's fraud/AML patterns baked in. */
+  def transactions(spark: SparkSession, n: Long, nCustomers: Long,
+      nMerchants: Long, days: Int = 90): DataFrame = {
+    val id = col("id")
+    // base lognormal(3.5, 1.5) capped [0.01, 50000] (generator.py:451-453)
+    val baseAmount = least(greatest(
+      round(exp(lit(3.5) + lit(1.5) * gaussian(id, "amt")), 2),
+      lit(0.01)), lit(50000.0))
+    // structuring pattern: ~0.5% of rows pushed just under the CTR line
+    // ($9000–9999.99), concentrated on a handful of "offender" customers
+    // inside a two-week burst — the repeated-near-threshold shape the AML
+    // window screen exists to catch
+    val structuring = u(id, "struct") < 0.005
+    val amount = when(structuring,
+      round(lit(9000.0) + u(id, "samt") * 999.0, 2)).otherwise(baseAmount)
+    // after-hours pattern: 1% forced into 00:00–04:59
+    val afterHours = u(id, "ah") < 0.01
+    val secondOfDay =
+      when(afterHours, (u(id, "sod") * 18000).cast(LongType))
+        .otherwise((u(id, "sod") * 86400).cast(LongType))
+    // 2024-01-01T00:00:00Z; fixed constant (not Timestamp.valueOf, which
+    // would depend on the JVM default timezone). Structuring bursts land in
+    // the first 14 days.
+    val dayOffset = when(structuring, (u(id, "day") * 14).cast(LongType))
+      .otherwise((u(id, "day") * days).cast(LongType))
+    val ts = timestamp_seconds(lit(1704067200L) +
+      dayOffset * 86400 + secondOfDay)
+    val mc = pick(id, "mco", Enums.countries)
+    val cc = pick(id, "cco", Enums.countries)
+    // fraud flags at 2.5% base rate, plus all structuring rows; the random
+    // indicator pool excludes STRUCTURING — that label is reserved for the
+    // actual structuring pattern
+    val flagged = (u(id, "fraud") < 0.025) || structuring
+    val randomIndicators = Enums.fraudIndicators.filterNot(_ == "STRUCTURING")
+    val indicator1 = pick(id, "ind1", randomIndicators)
+    val indicator2 = pick(id, "ind2", randomIndicators)
+    val indicators = when(!flagged, lit(""))
+      .when(structuring, lit("STRUCTURING"))
+      .when(u(id, "nind") < 0.5, indicator1)
+      .otherwise(concat_ws("|", indicator1, indicator2))
+    val feeRate = lit(0.015) + u(id, "fee") * 0.015
+    val fee = round(amount * feeRate, 2)
+
+    spark.range(n).select(
+      format_string("TXN%09d", id).as("transaction_id"),
+      when(structuring, format_string("CUST%06d",
+        (u(id, "scust") * math.min(10L, nCustomers)).cast(LongType)))
+        .otherwise(format_string("CUST%06d",
+          (u(id, "cust") * nCustomers).cast(LongType))).as("customer_id"),
+      format_string("MERCH%05d", (u(id, "merch") * nMerchants).cast(LongType)).as("merchant_id"),
+      money2(amount).as("amount"),
+      pick(id, "cur", Enums.currencies).as("currency"),
+      money2(amount).as("amount_usd"),
+      money2(fee).as("fee_amount"),
+      money2(round(amount - fee, 2)).as("net_amount"),
+      pick(id, "tt", Enums.transactionTypes).as("transaction_type"),
+      pick(id, "pm", Enums.paymentMethods).as("payment_method"),
+      pick(id, "ch", Enums.channels).as("channel"),
+      pick(id, "st", Enums.transactionStatuses).as("status"),
+      mc.as("merchant_country"),
+      cc.as("customer_country"),
+      when(mc =!= cc, "True").otherwise("False").as("is_cross_border"),
+      when(flagged, "True").otherwise("False").as("is_flagged"),
+      indicators.as("fraud_indicators"),
+      format_string("10.%d.%d.%d",
+        (u(id, "ip1") * 256).cast(IntegerType),
+        (u(id, "ip2") * 256).cast(IntegerType),
+        (u(id, "ip3") * 256).cast(IntegerType)).as("ip_address"),
+      format_string("DEV%08d", (u(id, "dev") * 100000000).cast(LongType)).as("device_id"),
+      date_format(ts, "yyyy-MM-dd HH:mm:ss").as("transaction_timestamp"),
+      lit(baseTs).as("created_at"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.config.Thresholds
+import graft.ops.Transforms
+
+/** Fintech gold star schema over silver tables (the reference's DECLARED
+  * gold layer, `src/config/base.py:83-97`: dim_date, dim_customer,
+  * dim_merchant, fact_transactions, agg_daily_metrics, agg_customer_360,
+  * agg_merchant_performance) plus the AML screens implied by the
+  * regulatory thresholds (base.py:49-50).
+  *
+  * Scale notes: dimensions get surrogate keys via the scalable two-phase
+  * ranker; the fact join broadcasts both dims; aggregates cast
+  * DECIMAL(18,2) sums back at the gold boundary (SURVEY §7.4 decimal
+  * widening note).
+  */
+object FintechGold {
+
+  private val money = DecimalType(18, 2)
+
+  /** dim_customer: silver customers + surrogate key. */
+  def dimCustomer(silverCustomers: DataFrame): DataFrame =
+    Transforms.addSurrogateKeyScalable(silverCustomers, "customer_sk",
+      Seq("customer_id"))
+
+  /** dim_merchant: silver merchants + surrogate key. */
+  def dimMerchant(silverMerchants: DataFrame): DataFrame =
+    Transforms.addSurrogateKeyScalable(silverMerchants, "merchant_sk",
+      Seq("merchant_id"))
+
+  /** fact_transactions: silver txns with dim surrogate keys attached.
+    * Dims broadcast — the fact side never shuffles for this join. */
+  def factTransactions(silverTxns: DataFrame, dimCust: DataFrame,
+      dimMerch: DataFrame): DataFrame = silverTxns
+    .join(broadcast(dimCust.select(col("customer_id"), col("customer_sk"))),
+      Seq("customer_id"), "left")
+    .join(broadcast(dimMerch.select(col("merchant_id"), col("merchant_sk"))),
+      Seq("merchant_id"), "left")
+
+  /** agg_daily_metrics (base.py:92): per day × status: volume, exact
+    * amounts, fees, flagged counts. */
+  def aggDailyMetrics(silverTxns: DataFrame): DataFrame = silverTxns
+    .groupBy(col("transaction_date"), col("status"))
+    .agg(
+      count(lit(1)).as("n_transactions"),
+      sum(col("amount_usd")).cast(money).as("total_amount_usd"),
+      sum(col("fee_amount")).cast(money).as("total_fees"),
+      sum(when(col("is_flagged"), 1L).otherwise(0L)).as("n_flagged"),
+      countDistinct(col("customer_id")).as("n_customers"))
+
+  /** agg_customer_360 (base.py:93): per-customer activity + fraud rate,
+    * joined to customer dims. */
+  def aggCustomer360(silverTxns: DataFrame, silverCustomers: DataFrame): DataFrame = {
+    val per = silverTxns.groupBy(col("customer_id")).agg(
+      count(lit(1)).as("n_transactions"),
+      sum(col("amount_usd")).cast(money).as("total_spend_usd"),
+      avg(col("amount_usd")).cast(money).as("avg_transaction_usd"),
+      min(col("transaction_date")).as("first_transaction_date"),
+      max(col("transaction_date")).as("last_transaction_date"),
+      (sum(when(col("is_flagged"), 1.0).otherwise(0.0)) /
+        count(lit(1)).cast(DoubleType)).as("fraud_rate"),
+      countDistinct(col("merchant_id")).as("n_merchants"))
+    silverCustomers
+      .select(col("customer_id"), col("segment"), col("kyc_status"),
+        col("risk_score"), col("country"))
+      .join(per, Seq("customer_id"), "left")
+  }
+
+  /** agg_merchant_performance (base.py:94): volume, revenue = fees, average
+    * ticket, flagged share. */
+  def aggMerchantPerformance(silverTxns: DataFrame,
+      silverMerchants: DataFrame): DataFrame = {
+    val per = silverTxns.groupBy(col("merchant_id")).agg(
+      count(lit(1)).as("n_transactions"),
+      sum(col("amount_usd")).cast(money).as("total_volume_usd"),
+      sum(col("fee_amount")).cast(money).as("revenue_usd"),
+      avg(col("amount_usd")).cast(money).as("avg_ticket_usd"),
+      (sum(when(col("is_flagged"), 1.0).otherwise(0.0)) /
+        count(lit(1)).cast(DoubleType)).as("flagged_share"))
+    silverMerchants
+      .select(col("merchant_id"), col("mcc_category"), col("risk_tier"),
+        col("country"))
+      .join(per, Seq("merchant_id"), "left")
+  }
+
+  // ---------- AML screens (base.py:49-50 thresholds) ----------
+
+  /** CTR screen: transactions at/above the $10,000 reporting threshold. */
+  def amlCtr(silverTxns: DataFrame): DataFrame = silverTxns
+    .filter(col("amount_usd") >= Thresholds.amlCtrThreshold)
+    .select(col("transaction_id"), col("customer_id"), col("amount_usd"),
+      col("transaction_date"))
+
+  /** Structuring screen: customers with ≥ `minCount` just-under-CTR
+    * transactions ($9,000–$10,000) inside any `windowDays` window.
+    * Implemented as a per-customer sliding count (range window over event
+    * time) — one shuffle on customer_id. */
+  def amlStructuring(silverTxns: DataFrame, windowDays: Int = 7,
+      minCount: Int = 3): DataFrame = {
+    val sub = silverTxns.filter(
+      col("amount_usd") >= Thresholds.amlStructuringThreshold &&
+        col("amount_usd") < Thresholds.amlCtrThreshold)
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("transaction_timestamp").cast(LongType))
+      .rangeBetween(-windowDays.toLong * 86400, 0)
+    sub
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window", sum(col("amount_usd")).over(w).cast(money))
+      .filter(col("n_window") >= minCount)
+      .select(col("customer_id"), col("transaction_id"),
+        col("transaction_timestamp"), col("amount_usd"),
+        col("n_window"), col("sum_window"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schemas.Silver
+
+/** Bronze → Silver typing pipeline (SURVEY §2.4 P7, §7.3.4 — the casts the
+  * reference declares via `src/schemas/silver.py` but whose transformation
+  * notebooks were never committed; semantics derived from the schema and
+  * the generator's formats: timestamps `yyyy-MM-dd HH:mm:ss`
+  * (generator.py:543-544), booleans as "True"/"False" strings, pipe-joined
+  * fraud indicators (:540)).
+  *
+  * All narrow column operations — a single projection node per table, no
+  * shuffle; the derived date column becomes the partition key for silver
+  * writes (partition pruning at read time).
+  */
+object SilverPipeline {
+
+  private def parseBool(c: Column): Column = lower(trim(c)) === "true"
+  private def parseTs(c: Column): Column =
+    to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
+  private def parseDate(c: Column): Column = to_date(c, "yyyy-MM-dd")
+
+  /** Age in whole years at `asOf` (reference silver.py:80 derived col).
+    * `asOf` is a parameter — not bare current_date() — so results are
+    * reproducible in tests and backfills. */
+  def ageYears(dob: Column, asOf: Column): Column =
+    floor(datediff(asOf, dob) / 365.25).cast(IntegerType)
+
+  def transactionsToSilver(bronze: DataFrame): DataFrame = {
+    val ts = parseTs(col("transaction_timestamp"))
+    bronze.select(
+      col("transaction_id"),
+      col("customer_id"),
+      col("merchant_id"),
+      col("amount").cast(Silver.money).as("amount"),
+      col("currency"),
+      col("amount_usd").cast(Silver.money).as("amount_usd"),
+      col("fee_amount").cast(Silver.money).as("fee_amount"),
+      col("net_amount").cast(Silver.money).as("net_amount"),
+      col("transaction_type"),
+      col("payment_method"),
+      col("channel"),
+      col("status"),
+      col("merchant_country"),
+      col("customer_country"),
+      parseBool(col("is_cross_border")).as("is_cross_border"),
+      parseBool(col("is_flagged")).as("is_flagged"),
+      Transforms.parseDelimitedArray(col("fraud_indicators")).as("fraud_indicators"),
+      col("ip_address"),
+      col("device_id"),
+      ts.as("transaction_timestamp"),
+      parseTs(col("created_at")).as("created_at"),
+      to_date(ts).as("transaction_date"),
+      hour(ts).as("transaction_hour"),
+      dayofweek(ts).as("transaction_day_of_week"))
+  }
+
+  def customersToSilver(bronze: DataFrame,
+      asOf: Column = current_date()): DataFrame = {
+    val dob = parseDate(col("date_of_birth"))
+    bronze.select(
+      col("customer_id"),
+      col("first_name"),
+      col("last_name"),
+      col("email"),
+      col("phone"),
+      col("country"),
+      col("city"),
+      col("postal_code"),
+      dob.as("date_of_birth"),
+      ageYears(dob, asOf).as("age"),
+      col("segment"),
+      col("kyc_status"),
+      parseDate(col("kyc_verified_date")).as("kyc_verified_date"),
+      col("risk_score").cast(IntegerType).as("risk_score"),
+      parseBool(col("is_pep")).as("is_pep"),
+      parseTs(col("created_at")).as("created_at"),
+      parseTs(col("updated_at")).as("updated_at"))
+  }
+
+  def merchantsToSilver(bronze: DataFrame,
+      asOf: Column = current_date()): DataFrame = {
+    val onboarding = parseDate(col("onboarding_date"))
+    bronze.select(
+      col("merchant_id"),
+      col("merchant_name"),
+      col("mcc_code"),
+      col("mcc_category"),
+      col("country"),
+      col("currency"),
+      col("risk_tier"),
+      col("avg_ticket_size").cast(Silver.money).as("avg_ticket_size"),
+      col("monthly_volume").cast(IntegerType).as("monthly_volume"),
+      onboarding.as("onboarding_date"),
+      datediff(asOf, onboarding).cast(IntegerType).as("days_active"),
+      col("status"),
+      col("fee_rate").cast(Silver.rate).as("fee_rate"),
+      parseTs(col("created_at")).as("created_at"),
+      parseTs(col("updated_at")).as("updated_at"))
+  }
+
+  def exchangeRatesToSilver(bronze: DataFrame): DataFrame = bronze.select(
+    parseDate(col("rate_date")).as("rate_date"),
+    col("source_currency"),
+    col("target_currency"),
+    col("exchange_rate").cast(DecimalType(18, 6)).as("exchange_rate"),
+    parseTs(col("created_at")).as("created_at"))
+}

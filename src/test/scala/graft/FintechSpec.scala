@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.{EnvConfig, Thresholds}
+import graft.generator.DataGenerator
+import graft.gold.FintechGold
+import graft.ops.SilverPipeline
+
+class FintechSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val bronzeTxns =
+    DataGenerator.transactions(spark, 5000, nCustomers = 200, nMerchants = 50)
+  private lazy val silverTxns = SilverPipeline.transactionsToSilver(bronzeTxns)
+
+  test("generator is deterministic and bronze-shaped (all strings)") {
+    val a = bronzeTxns.orderBy("transaction_id").collect()
+    val b = DataGenerator.transactions(spark, 5000, 200, 50)
+      .orderBy("transaction_id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(bronzeTxns.schema.fields.forall(_.dataType == StringType))
+    assert(bronzeTxns.columns.toSeq == graft.schemas.Bronze.transactions.fieldNames.toSeq)
+  }
+
+  test("generator distributions match the reference patterns") {
+    val n = silverTxns.count().toDouble
+    // fraud rate ≳ 2.5% base (structuring rows add a little)
+    val flagged = silverTxns.filter(col("is_flagged")).count() / n
+    assert(flagged > 0.02 && flagged < 0.05, s"flag rate $flagged")
+    // amounts within the cap
+    val mm = silverTxns.agg(min("amount"), max("amount")).head()
+    assert(mm.getDecimal(0).doubleValue() >= 0.01)
+    assert(mm.getDecimal(1).doubleValue() <= 50000.0)
+    // cross-border consistency with countries
+    val bad = silverTxns.filter(
+      col("is_cross_border") =!= (col("merchant_country") =!= col("customer_country"))
+    ).count()
+    assert(bad == 0)
+    // structuring rows carry the STRUCTURING indicator
+    val structs = silverTxns.filter(array_contains(col("fraud_indicators"), "STRUCTURING"))
+    assert(structs.count() > 0)
+    assert(structs.filter(col("amount") < 9000 || col("amount") >= 10000).count() == 0)
+  }
+
+  test("silver cast pipeline matches the declared schema and derivations") {
+    val schema = silverTxns.schema
+    assert(schema("amount").dataType == DecimalType(18, 2))
+    assert(schema("is_flagged").dataType == BooleanType)
+    assert(schema("fraud_indicators").dataType == ArrayType(StringType))
+    assert(schema("transaction_timestamp").dataType == TimestampType)
+    assert(schema("transaction_date").dataType == DateType)
+    val r = silverTxns.select("transaction_timestamp", "transaction_date",
+      "transaction_hour", "transaction_day_of_week").head()
+    val ts = r.getTimestamp(0).toLocalDateTime
+    assert(r.getDate(1).toLocalDate == ts.toLocalDate)
+    assert(r.getInt(2) == ts.getHour)
+  }
+
+  test("silver customers: age derived against a pinned as-of date") {
+    val cust = SilverPipeline.customersToSilver(
+      DataGenerator.customers(spark, 100), asOf = lit("2024-06-01").cast("date"))
+    val ages = cust.select("age").as[Int].collect()
+    assert(ages.forall(a => a >= 23 && a <= 75))
+    assert(cust.schema("age").dataType == IntegerType)
+  }
+
+  test("fintech gold daily metrics are exact and complete") {
+    val daily = FintechGold.aggDailyMetrics(silverTxns)
+    assert(daily.agg(sum("n_transactions")).head().getLong(0) == 5000L)
+    // money sums stay DECIMAL(18,2) at the gold boundary
+    assert(daily.schema("total_amount_usd").dataType == DecimalType(18, 2))
+  }
+
+  test("customer 360 keeps txn-less customers with null aggregates") {
+    val cust = SilverPipeline.customersToSilver(
+      DataGenerator.customers(spark, 300), asOf = lit("2024-06-01").cast("date"))
+    val c360 = FintechGold.aggCustomer360(silverTxns, cust)
+    assert(c360.count() == 300)
+    assert(c360.filter(col("n_transactions").isNull).count() > 0)
+  }
+
+  test("AML CTR screen catches exactly the >=10k transactions") {
+    val hits = FintechGold.amlCtr(silverTxns)
+    val expected = silverTxns.filter(col("amount_usd") >= 10000.0).count()
+    assert(hits.count() == expected && expected > 0)
+  }
+
+  test("AML structuring screen finds repeat just-under-CTR offenders") {
+    // craft a guaranteed offender: 3 x $9.5k within 2 days
+    def row(id: String, cust: String, amt: Double, ts: String) =
+      (id, cust, "M1", BigDecimal(amt), ts)
+    val crafted = Seq(
+      row("T1", "C1", 9500.0, "2024-01-01 10:00:00"),
+      row("T2", "C1", 9200.0, "2024-01-02 11:00:00"),
+      row("T3", "C1", 9900.0, "2024-01-03 09:00:00"),
+      row("T4", "C2", 9500.0, "2024-01-01 10:00:00"))
+      .toDF("transaction_id", "customer_id", "merchant_id", "amount_usd", "ts")
+      .withColumn("transaction_timestamp", col("ts").cast("timestamp"))
+    val hits = FintechGold.amlStructuring(crafted)
+    val byCust = hits.select("customer_id").distinct().as[String].collect()
+    assert(byCust.toSeq == Seq("C1"))
+    assert(hits.filter(col("n_window") >= 3).count() == 1) // third txn triggers
+  }
+
+  test("EP1 ingestion pipeline: silver + quarantine + metrics end-to-end") {
+    val root = Files.createTempDirectory("ep1").toString
+    val env = EnvConfig.dev(root)
+    // poison a slice: null customer_id on ~2% of rows and one bad amount
+    val poisoned = bronzeTxns
+      .withColumn("customer_id",
+        when(rand(7) < 0.02, lit(null)).otherwise(col("customer_id")))
+      .withColumn("amount",
+        when(col("transaction_id") === "TXN000000001", lit("999999.99"))
+          .otherwise(col("amount")))
+    val mon = new graft.monitoring.PipelineMonitor(spark, "ep1-test")
+    val res = Pipeline.ingestTransactions(spark, poisoned, env, Some(mon))
+    assert(res.validCount + res.quarantinedCount == 5000)
+    assert(res.quarantinedCount > 0)
+    assert(res.report.results.nonEmpty)
+    // silver is partitioned by transaction_date and typed
+    val silver = spark.read.parquet(s"${env.silverPath}/transactions")
+    assert(silver.schema("amount").dataType == DecimalType(18, 2))
+    val quarantine = spark.read.parquet(s"${env.quarantinePath}/transactions")
+    assert(quarantine.columns.contains("_validation_failures"))
+    assert(mon.metrics.head.recordsWritten == res.validCount)
+    // partition pruning surface: date filter reads a subset of partitions
+    val oneDay = silver.select("transaction_date").distinct().head().getDate(0)
+    assert(silver.filter(col("transaction_date") === oneDay).count() > 0)
+  }
+
+  test("exchange-rate as-of enrichment covers every currency") {
+    val out = graft.queries.FintechQueries.queries("q44_rate_asof")(spark, sfDir)
+    assert(out.filter(col("asof_rate").isNull).count() == 0)
+    assert(out.count() == 20000)
+  }
+}

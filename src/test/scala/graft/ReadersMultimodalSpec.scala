@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+import graft.io.Readers
+import graft.schemas.Bronze
+
+class ReadersMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CSV roundtrip with explicit schema; corrupt rows land in-band") {
+    val dir = Files.createTempDirectory("csv").toString
+    // bronze generator output → CSV → read back with the bronze schema
+    graft.generator.DataGenerator.transactions(spark, 100, 20, 5)
+      .coalesce(1).write.option("header", "true").csv(s"$dir/txns")
+    // cache: Spark disallows corrupt-record-only queries on raw file scans
+    val back = Readers.readCsv(spark, s"$dir/txns",
+      schema = Some(Bronze.transactions)).cache()
+    assert(back.count() == 100)
+    assert(back.columns.contains(Readers.CorruptRecordColumn))
+    assert(back.filter(col(Readers.CorruptRecordColumn).isNotNull).count() == 0)
+  }
+
+  test("CSV schema inference fallback works") {
+    val dir = Files.createTempDirectory("csv2").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.option("header", "true").csv(s"$dir/t")
+    val back = Readers.readCsv(spark, s"$dir/t")
+    assert(back.count() == 2)
+    assert(back.schema("id").dataType.typeName == "integer")
+  }
+
+  test("JSON lines + corrupt record capture") {
+    val dir = Files.createTempDirectory("json").toString
+    val f = new java.io.PrintWriter(s"$dir/data.json")
+    f.println("""{"id": 1, "v": "ok"}""")
+    f.println("""{"id": 2, "v": "also ok"}""")
+    f.println("""{not valid json at all""")
+    f.close()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val back = Readers.readJson(spark, s"$dir/data.json",
+      schema = Some(schema)).cache()
+    assert(back.count() == 3)
+    assert(back.filter(col(Readers.CorruptRecordColumn).isNotNull).count() == 1)
+  }
+
+  test("readTable enforces path XOR tableName") {
+    intercept[IllegalArgumentException] {
+      Readers.readTable(spark, None, None)
+    }
+    intercept[IllegalArgumentException] {
+      Readers.readTable(spark, Some("p"), Some("t"))
+    }
+  }
+
+  test("multimodal: batched feature extraction is deterministic and total") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val assets = Multimodal.assetsFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(assets)
+    assert(feats.count() == docs.count())
+    val f = feats.filter(col("asset_id") === 0).head()
+    val f2 = Multimodal.extractFeatures(assets).filter(col("asset_id") === 0).head()
+    assert(f == f2)
+    assert(f.n_bytes > 0 && f.width >= 64 && f.height >= 64)
+    // images have no duration; audio/video do
+    assert(feats.filter(col("media_type") === "image" && col("duration_ms") =!= 0)
+      .count() == 0)
+  }
+
+  test("multimodal: frame sampling emits framesPer rows per video asset") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val assets = Multimodal.assetsFromDocuments(spark, docs)
+    val nVideos = assets.filter(_.media_type == "video").count()
+    val frames = Multimodal.sampleFrames(assets, framesPer = 4)
+    assert(frames.count() == nVideos * 4)
+    assert(frames.groupBy("asset_id").count()
+      .filter(col("count") =!= 4).count() == 0)
+  }
+}
