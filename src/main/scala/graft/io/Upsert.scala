@@ -45,19 +45,25 @@ object Upsert {
     val dataCols = target.columns.filterNot(keys.contains).toSeq
     val updSet = updateColumns.getOrElse(dataCols).toSet
 
-    val t = target.withColumn("__t_present", lit(true)).alias("t")
-    val s0 = source.withColumn("__s_present", lit(true)).alias("s")
+    // Rename every source column up front: the aliased projection mints
+    // fresh attribute ids, so merging a frame into ITSELF (or any shared
+    // lineage) cannot hit self-join attribute ambiguity.
+    val s0 = source.select(
+      source.columns.map(c => col(c).as(s"__s_$c")).toIndexedSeq :+
+        lit(true).as("__s_present"): _*)
     val s = if (broadcastSource) broadcast(s0) else s0
+    val t = target.withColumn("__t_present", lit(true))
 
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val cond = keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
     val joined = t.join(s, cond, "full_outer")
 
-    val sHere = col("s.__s_present").isNotNull
-    val tHere = col("t.__t_present").isNotNull
-    val keyCols = keys.map(k => when(sHere, col(s"s.$k")).otherwise(col(s"t.$k")).as(k))
+    val sHere = col("__s_present").isNotNull
+    val tHere = col("__t_present").isNotNull
+    val keyCols = keys.map(k =>
+      when(sHere, col(s"__s_$k")).otherwise(col(k)).as(k))
     val valCols = dataCols.map { c =>
       val fromSource = if (updSet.contains(c)) sHere else sHere && !tHere
-      when(fromSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      when(fromSource, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
     joined.select(keyCols ++ valCols: _*)
   }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Test => SCTest, Prop}
+
+import graft.dq.DataQualityChecker
+import graft.io.Upsert
+import graft.ops.Transforms
+
+/** Property-based invariants (SURVEY §5 strategy item 2) via ScalaCheck
+  * over randomized small frames. Each property runs a reduced number of
+  * cases (Spark jobs are not cheap per case). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8).withWorkers(1)
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val rowGen: Gen[(String, Option[String], Double, Long)] = for {
+    key <- Gen.oneOf("K1", "K2", "K3", "K4")
+    fk <- Gen.option(Gen.oneOf("C1", "C2", ""))
+    amt <- Gen.chooseNum(-100.0, 1000.0)
+    ts <- Gen.chooseNum(0L, 1000L)
+  } yield (key, fk, amt, ts)
+
+  private val dfGen: Gen[List[(String, Option[String], Double, Long)]] =
+    Gen.nonEmptyListOf(rowGen)
+
+  private def toDF(rows: List[(String, Option[String], Double, Long)]): DataFrame =
+    rows.toDF("k", "fk", "amount", "ts")
+      .select(col("k"), col("fk"), col("amount"), col("ts"),
+        monotonically_increasing_id().as("row_id"))
+
+  test("dedup is idempotent and keeps exactly one row per key") {
+    check("dedup", Prop.forAll(dfGen) { rows =>
+      val df = toDF(rows)
+      val once = Transforms.deduplicateByKey(df, Seq("k"), "ts",
+        tieBreakers = Seq("row_id"))
+      val twice = Transforms.deduplicateByKey(once, Seq("k"), "ts",
+        tieBreakers = Seq("row_id"))
+      val keys = df.select("k").distinct().count()
+      once.count() == keys &&
+        once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty
+    })
+  }
+
+  test("valid/invalid split partitions the input") {
+    check("split", Prop.forAll(dfGen) { rows =>
+      val df = toDF(rows)
+      val checker = DataQualityChecker(df, "t")
+        .checkCompleteness(Seq("fk"), threshold = 1.0)
+        .checkRange("amount", 0.0, 500.0)
+      val (valid, invalid) = checker.validInvalidSplit()
+      val v = valid.count()
+      val i = invalid.count()
+      v + i == df.count() &&
+        valid.join(invalid.select("row_id"), Seq("row_id"), "left_semi").isEmpty
+    })
+  }
+
+  test("split failed counts agree with the report") {
+    check("split-report", Prop.forAll(dfGen) { rows =>
+      val df = toDF(rows)
+      def checker = DataQualityChecker(df, "t")
+        .checkRange("amount", 0.0, 500.0, threshold = 1.0)
+      val report = checker.run()
+      val (_, invalid) = checker.validInvalidSplit()
+      report.results.head.failedCount == invalid.count()
+    })
+  }
+
+  test("standardization is idempotent") {
+    val strGen = Gen.listOf(Gen.oneOf("  a B ", "x", " Y", "", "MiXeD c"))
+    check("standardize", Prop.forAll(strGen) { strs =>
+      strs.isEmpty || {
+        val df = strs.toDF("s")
+        val once = Transforms.standardizeStrings(df, Seq("s"), "upper")
+        val twice = Transforms.standardizeStrings(once, Seq("s"), "upper")
+        once.exceptAll(twice).isEmpty
+      }
+    })
+  }
+
+  test("merge identities: empty source is no-op; self-merge is identity") {
+    // multiset compare via collect — exceptAll's RewriteExceptAll chokes on
+    // shared-lineage plans (Spark internal), and semantics are what's
+    // under test here
+    def bag(df: DataFrame): Map[Seq[Any], Int] =
+      df.collect().toSeq.map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.size) }
+    check("merge", Prop.forAll(dfGen) { rows =>
+      val df = toDF(rows).dropDuplicates("k")
+        .select(col("k"), col("amount"), col("ts"))
+      val expected = bag(df)
+      bag(Upsert.merge(df, df.limit(0), Seq("k"))) == expected &&
+        bag(Upsert.merge(df, df, Seq("k"))) == expected
+    })
+  }
+
+  test("surrogate keys are dense 1..N regardless of input partitioning") {
+    check("surrogate", Prop.forAll(dfGen, Gen.chooseNum(1, 5)) { (rows, parts) =>
+      val df = toDF(rows).repartition(parts)
+      val keys = Transforms.addSurrogateKeyScalable(df, "sk", Seq("row_id"))
+        .select("sk").as[Long].collect().sorted.toSeq
+      keys == (1L to rows.length.toLong)
+    })
+  }
+
+  test("vec_dot SQL function matches the Column API") {
+    GraftExtensions.register(spark)
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT vec_dot(a, b) AS d FROM vecs")
+      .as[Double].head()
+    val viaCol = df.select(
+      graft.functions.VectorFunctions.vec_dot(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(viaSql == 32.0 && viaCol == 32.0)
+  }
+}
