@@ -59,4 +59,10 @@ object Writers {
     * (reference monitoring.py:224-235). */
   def appendToTable(df: DataFrame, tableName: String): Unit =
     df.write.mode(SaveMode.Append).format("parquet").saveAsTable(tableName)
+
+  /** Existence probe (reference uses `DESCRIBE db.table` wrapped in
+    * try/except, spark_utils.py:616-636; the catalog API is the idiomatic
+    * Spark form). */
+  def tableExists(spark: SparkSession, tableName: String): Boolean =
+    spark.catalog.tableExists(tableName)
 }

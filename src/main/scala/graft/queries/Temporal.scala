@@ -75,6 +75,29 @@ object Temporal {
     "q23_freshness" -> ((s, dir) => {
       Monitoring.freshnessDF(t(s, dir, "events"), "ts", Seq("event_type"))
         .orderBy(col("event_type"))
+    }),
+
+    // The streaming engine itself, oracle-checked: the hourly agg runs as
+    // a real Structured Streaming query (AvailableNow over a file source,
+    // complete mode into a memory sink) and must hash-match the same SQL
+    // a batch engine produces — exact decimal sums make the streaming
+    // result independent of micro-batch arrival order.
+    "q47_stream_hourly" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("q47-events").toString
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(src)
+      val name = s"q47_hourly_${System.nanoTime()}"
+      val q = graft.streaming.Streams
+        .hourlyAgg(graft.streaming.Streams.eventsStream(s, src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+      s.table(name).orderBy(col("hour"), col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -124,5 +147,10 @@ object Temporal {
 
     "q23_freshness" ->
       """SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_rows
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q47_stream_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
 }

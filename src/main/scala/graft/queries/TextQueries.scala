@@ -50,7 +50,7 @@ object TextQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
-    // Stopword-argmax language ID (rows-only; heuristic is engine-side).
+    // Stopword-argmax language ID (oracle replicates the argmax in SQL).
     "q27_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("labeled_lang"),
@@ -99,7 +99,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }))
 
+  private def sqlStop(lang: String): String = {
+    val words = graft.ext.TextStats.stopwords(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, x -> list_contains([$words], x))) AS h_$lang"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q27_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, labeled_lang,
+         |    ${sqlStop("de")}, ${sqlStop("en")}, ${sqlStop("es")}, ${sqlStop("fr")}
+         |  FROM t)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+
     "q24_text_stats" ->
       """SELECT doc_id, n_chars, n_words, n_digits, n_nonspace,
         |  CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE)/CAST(n_words AS DOUBLE) END AS avg_word_len

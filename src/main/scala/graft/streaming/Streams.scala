@@ -26,12 +26,17 @@ object Streams {
   def eventsStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(path)
 
-  /** Tumbling-window hourly aggregation with late-data watermark. */
+  /** Tumbling-window hourly aggregation with late-data watermark. The
+    * money sum goes through DECIMAL(18,2) — exact, so the streaming result
+    * is bit-identical to the batch twin (q20) regardless of micro-batch
+    * arrival order. */
   def hourlyAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 

@@ -46,6 +46,20 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(!Monitoring.isFresh(stale, "ts", maxAgeHours = 4, nowMs = now))
   }
 
+  test("metrics table DDL + monitor append + existence probe") {
+    assert(!graft.io.Writers.tableExists(spark, "graft_metrics"))
+    Monitoring.createMetricsTable(spark, "graft_metrics")
+    assert(graft.io.Writers.tableExists(spark, "graft_metrics"))
+    val mon = new PipelineMonitor(spark, "p", metricsTable = Some("graft_metrics"))
+    mon.startStage("s1")
+    mon.endStage("s1", recordsRead = 5)
+    val rows = spark.table("graft_metrics").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("stage_name") == "s1")
+    assert(rows.head.getAs[Long]("records_read") == 5L)
+    spark.sql("DROP TABLE graft_metrics")
+  }
+
   test("alert severity routing: P1 pages, P3 does not") {
     val poster = new RecordingPoster
     val mgr = new AlertManager(Some("http://slack"), Some("http://pd"),
