@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // imperative aggregates (MinHashAgg/SimHashAgg) run in
+      // ObjectHashAggregateExec; the default 128-key fallback would
+      // degrade them to sort-based aggregation on any real group count
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (JIT, codegen compiler, shuffle machinery,

@@ -8,13 +8,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object Shingles {
   /** Word n-grams as space-joined strings; docs shorter than n words yield
     * a single shingle of the whole text. Pure higher-order-function Column
-    * algebra — no UDF. */
+    * algebra — no UDF.
+    *
+    * The `transform(array(tokens), ts => ...)` wrapper is a LET-BINDING:
+    * lambda bodies re-evaluate every captured subtree per element, so
+    * referencing the raw `split(...)` inside the per-shingle lambda would
+    * re-run the regex split once PER SHINGLE — O(tokens²) per doc. Binding
+    * the split result to a lambda variable evaluates it once per row. */
   def wordShingles(text: Column, n: Int): Column = {
     val tokens = split(lower(trim(text)), "\\s+")
-    when(size(tokens) <= n, array(concat_ws(" ", tokens)))
-      .otherwise(transform(
-        sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    element_at(transform(array(tokens), ts =>
+      when(size(ts) <= n, array(concat_ws(" ", ts)))
+        .otherwise(transform(
+          sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))), 1)
   }
 
   /** Distinct 64-bit hashes of a doc's word shingles — the compact set

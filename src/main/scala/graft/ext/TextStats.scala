@@ -54,6 +54,25 @@ object TextStats {
       when(length(text) >= 100, lit(0.2)).otherwise(lit(0.0)))
   }
 
+  /** Canonical text normalization for dedup/tokenization: lowercase,
+    * non-alphanumerics → space, whitespace collapsed, trimmed. One
+    * codegen'd projection. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Share of whitespace tokens that are `lang` stopwords — a standard
+    * quality/fluency signal. Deterministic: integer counts, one double
+    * division. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val set = array(stopwords(lang).map(lit): _*)
+    val hits = size(filter(tokens, t => array_contains(set, t)))
+    when(nWords(text) > 0,
+      hits.cast(DoubleType) / nWords(text).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
   /** Tiny per-language stopword tables for the n-gram/stopword language-ID
     * heuristic. Real pipelines plug fastText-style models behind the same
     * shape; the Spark plumbing (tokenize → per-language evidence → argmax)
@@ -90,17 +109,16 @@ object TextStats {
     * same way, swap the tokenizer). */
   def winnowingFingerprint(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 4): DataFrame = {
-    val shingled = docs.select(col(idCol),
-      Shingles.wordShingles(col(textCol), k).as("shingles"))
-    val hashes = shingled.select(col(idCol),
-      transform(col("shingles"), s => xxhash64(s)).as("hs"))
-    // min over each sliding window of size `window`
-    val fp = hashes.select(col(idCol),
-      when(size(col("hs")) <= window, array_distinct(array(array_min(col("hs")))))
+    val hashes = transform(Shingles.wordShingles(col(textCol), k),
+      s => xxhash64(s))
+    // let-bind the hash array (transform-over-singleton): project collapse
+    // would otherwise inline it into the sliding-window lambda and
+    // re-evaluate the whole shingle pipeline once per window position
+    val fp = element_at(transform(array(hashes), hs =>
+      when(size(hs) <= window, array_distinct(array(array_min(hs))))
         .otherwise(array_distinct(transform(
-          sequence(lit(0), size(col("hs")) - window),
-          i => array_min(slice(col("hs"), i + 1, lit(window))))))
-        .as("fingerprint"))
-    fp
+          sequence(lit(0), size(hs) - window),
+          i => array_min(slice(hs, i + 1, lit(window))))))), 1)
+    docs.select(col(idCol), fp.as("fingerprint"))
   }
 }

@@ -218,6 +218,54 @@ object Relational {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("total"))
         .orderBy(col("status"), col("priority"))
+    }),
+
+    // Full cube over lineitem flags.
+    "q49_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // Exact interpolated percentiles per group (rounded to 6 digits so the
+    // two engines' interpolation arithmetic can't diverge at the last ulp).
+    // At 100 TB use approx_percentile (q50b) — exact percentile sorts each
+    // group.
+    "q50_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("round(percentile(l_extendedprice, 0.25), 6)").as("p25"),
+          expr("round(percentile(l_extendedprice, 0.5), 6)").as("p50"),
+          expr("round(percentile(l_extendedprice, 0.75), 6)").as("p75"),
+          expr("round(percentile(l_extendedprice, 0.95), 6)").as("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Sketch-based percentiles — the 100 TB path (rows-only: sketch
+    // internals are engine-specific).
+    "q50b_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 1000)")
+          .as("approx_pcts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Salted equi-join for skew: results identical to the plain join.
+    "q51_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val parts = t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))
+      graft.ops.SkewJoin.saltedJoin(li, parts, Seq("l_partkey"), saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("p_brand"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -377,5 +425,25 @@ object Relational {
          |  COALESCE(o_orderpriority, 'ALL') AS priority,
          |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-         |ORDER BY status, priority""".stripMargin)
+         |ORDER BY status, priority""".stripMargin,
+
+    "q49_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         |  COALESCE(l_linestatus, 'ALL') AS ls,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q50_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q51_salted_join" ->
+      s"""SELECT p.p_brand, COUNT(*) AS n, ${sqlDsum("l.l_extendedprice")} AS total
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
 }

@@ -91,6 +91,15 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Canonical normalization + stopword-ratio quality signal.
+    "q48_text_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.normalizeText(col("text")).as("norm_text"),
+          TextStats.stopwordRatio(col("text"), "en").as("en_stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (rows-only; hash-set per doc).
     "q32_fingerprint" -> ((s, dir) => {
       TextStats.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text")
@@ -105,7 +114,24 @@ object TextQueries {
     s"len(list_filter(toks, x -> list_contains([$words], x))) AS h_$lang"
   }
 
+  private def enStopList: String =
+    graft.ext.TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "q48_text_normalize" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+         |  CASE WHEN n_words > 0 THEN CAST(hits AS DOUBLE)/CAST(n_words AS DOUBLE)
+         |       ELSE CAST(0 AS DOUBLE) END AS en_stopword_ratio
+         |FROM (
+         |  SELECT doc_id, text,
+         |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |      ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_words,
+         |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |        x -> list_contains([$enStopList], x))) AS hits
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
     "q27_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS labeled_lang,

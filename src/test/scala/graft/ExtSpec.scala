@@ -64,6 +64,32 @@ class ExtSpec extends SparkSpec {
     assert(jac > 0.5)
   }
 
+  test("normalizeText strips punctuation and collapses whitespace") {
+    val df = Seq("  Hello,   WORLD!! 42 ", "").toDF("t")
+      .select(TextStats.normalizeText(col("t")).as("n"))
+    assert(df.as[String].collect().toSeq == Seq("hello world 42", ""))
+  }
+
+  test("stopwordRatio counts stopword share of tokens") {
+    val df = Seq("the cat and the dog", "zzz qqq").toDF("t")
+      .select(TextStats.stopwordRatio(col("t"), "en").as("r"))
+    val got = df.as[Double].collect()
+    assert(got(0) == 0.6) // the, and, the of 5 tokens
+    assert(got(1) == 0.0)
+  }
+
+  test("saltedJoin matches the plain join on skewed data") {
+    // 90% of rows share one hot key
+    val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val right = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).groupBy("name")
+      .count().orderBy("name").collect()
+    val salted = graft.ops.SkewJoin.saltedJoin(left, right, Seq("k"), 8)
+      .groupBy("name").count().orderBy("name").collect()
+    assert(plain.toSeq == salted.toSeq)
+  }
+
   // ---------- dedup ----------
 
   private def docsWithDups = {
