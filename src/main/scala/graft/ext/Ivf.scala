@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** IVF (inverted-file) approximate nearest neighbour search — the coarse
+  * -quantizer scale path for embedding search (north-star; SURVEY §2.11),
+  * complementing the random-hyperplane LSH variant in [[Similarity]].
+  *
+  * Train: a small k-means (Lloyd) over the corpus — deterministic
+  * hash-picked init, element-wise mean via posexplode + groupBy, centroids
+  * collected to the driver (k × dim doubles — trivially driver-sized at
+  * any corpus scale). Search: every vector is assigned to its best cell by
+  * argmax cosine against the broadcast centroid literals (k codegen'd
+  * VecDot calls per row); queries probe their `nprobe` best cells and rank
+  * exact cosine only within those cells.
+  *
+  * Scale: the corpus shuffles once on cell id; per-query candidate count is
+  * ~nprobe/k of the corpus. Cell assignment is a narrow map — the classic
+  * IVF-flat layout (FAISS-style) expressed as DataFrame ops.
+  */
+object Ivf {
+
+  final case class Model(centroids: Seq[Seq[Double]]) {
+    def k: Int = centroids.size
+  }
+
+  private def normalized(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Cosine of a vector column against one centroid literal. */
+  private def centroidSim(vec: Column, c: Seq[Double]): Column = {
+    val d = Similarity.dot(vec, typedlit(c))
+    val n = Similarity.norm(vec)
+    when(n > 0, d / n).otherwise(lit(0.0)) // centroids pre-normalized
+  }
+
+  /** Array of sims to all centroids (let-bound once per row). */
+  private def simArray(vec: Column, m: Model): Column =
+    array(m.centroids.map(c => centroidSim(vec, c)): _*)
+
+  /** Best-cell id (0-based; first max wins deterministically). Let-bound
+    * so the k centroid dot products run once per row, not once per
+    * array_position/array_max reference. */
+  def cellId(vec: Column, m: Model): Column =
+    (element_at(transform(array(simArray(vec, m)),
+      a => array_position(a, array_max(a))), 1) - 1).cast(IntegerType)
+
+  /** Lloyd k-means on cosine similarity (spherical k-means). Deterministic:
+    * init picks the k corpus rows with the smallest xxhash64(id). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3): Model = {
+    val initRows = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .collect()
+    var centroids: Seq[Seq[Double]] = initRows.toSeq.map(r =>
+      normalized(r.getSeq[Float](1).map(_.toDouble)))
+
+    for (_ <- 0 until iters) {
+      val m = Model(centroids)
+      val assigned = corpus.select(col(vecCol).as("v"))
+        .withColumn("cell", cellId(col("v"), m))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            normalized(rows.sortBy(_.getInt(1)).toSeq.map(_.getDouble(2)))
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    Model(centroids)
+  }
+
+  /** Approximate top-k: probe the query's `nprobe` best cells, exact cosine
+    * within candidates, rank per query. */
+  def topK(corpus: DataFrame, queries: DataFrame, m: Model,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      roundDigits: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      Similarity.norm(col(vecCol)).as("__cn"),
+      cellId(col(vecCol), m).as("cell"))
+    // top-nprobe cells per query: sort (−sim, idx) structs, slice, explode
+    val sims = simArray(col(vecCol), m)
+    val ranked = array_sort(zip_with(sims,
+      sequence(lit(0), lit(m.k - 1)),
+      (s, i) => struct((-s).as("neg"), i.cast(IntegerType).as("idx"))))
+    val probes = transform(slice(ranked, 1, nprobe), e => e.getField("idx"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      Similarity.norm(col(vecCol)).as("__qn"),
+      explode(probes).as("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        when(col("__qn") > 0 && col("__cn") > 0,
+          Similarity.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)), roundDigits))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+  }
+}

@@ -77,6 +77,20 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // Semi-structured payloads: JSON props column → typed values → agg
+    // (the §1.2 map/JSON surface).
+    "q53_parse_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // The streaming engine itself, oracle-checked: the hourly agg runs as
     // a real Structured Streaming query (AvailableNow over a file source,
     // complete mode into a memory sink) and must hash-match the same SQL
@@ -152,5 +166,12 @@ object Temporal {
     "q47_stream_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
-         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q53_parse_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -54,7 +54,20 @@ object VectorQueries {
         .filter(col("sim") >= 0.9 && col("query_id") < col("neighbor_id"))
         .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("sim"))
         .orderBy(col("a"), col("b"))
-    }))
+    }),
+
+    "q52_ivf_topk" -> ((s, dir) => ivfQuery(s, dir)))
+
+  /** IVF-flat ANN: train a 16-cell spherical k-means coarse quantizer,
+    * probe 4 cells per query. Rows-only (centroids are engine-derived);
+    * recall against brute force is asserted in IvfSpec. */
+  val ivfQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val model = graft.ext.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 3)
+    graft.ext.Ivf.topK(emb, emb.filter(col("vec_id") < 16), model,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q33_cosine_topk" ->
