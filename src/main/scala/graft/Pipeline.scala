@@ -70,4 +70,39 @@ object Pipeline {
       recordsWritten = validCount, recordsFailed = quarantined))
     IngestionResult(report, validCount, quarantined)
   }
+
+  /** Post-load maintenance, gated by the env's ENABLE_OPTIMIZATION flag
+    * (reference dev.py:61/prod.py:64): compaction + clustering rewrite +
+    * retired-version GC. */
+  def runMaintenance(spark: SparkSession, env: EnvConfig, tablePath: String,
+      clusterCols: Seq[String], targetFiles: Int = 8): Boolean = {
+    if (!env.enableOptimization) return false
+    graft.io.Maintenance.clusterBy(spark, tablePath, clusterCols, targetFiles)
+    graft.io.Maintenance.vacuum(tablePath)
+    true
+  }
+
+  /** DQ report → alert bridge (the reference wires DQ failures into
+    * alerting.py's severity routing): worst failing severity maps to the
+    * paging tier; no failures → no alert. */
+  def alertFromReport(report: DQReport,
+      pipelineName: String): Option[graft.alerting.Alert] = {
+    import graft.alerting.{Alert, AlertSeverity}
+    val failed = report.failedChecks
+    if (failed.isEmpty) return None
+    val worst = failed.map(_.severity).distinct
+    val sev =
+      if (worst.contains("Critical")) AlertSeverity.P1
+      else if (worst.contains("High")) AlertSeverity.P2
+      else if (worst.contains("Medium")) AlertSeverity.P3
+      else AlertSeverity.P4
+    Some(Alert(
+      title = s"DQ failures on ${report.tableName}",
+      message = failed.map(c =>
+        f"${c.checkName}: ${c.failedCount} failed (rate ${c.passRate}%.4f < ${c.threshold})")
+        .mkString("; "),
+      severity = sev,
+      pipelineName = pipelineName,
+      details = failed.map(c => c.checkName -> c.failedCount.toString).toMap))
+  }
 }

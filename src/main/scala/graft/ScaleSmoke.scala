@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
+
+/** Scale smoke: run the heavy operators on synthetic volumes 20–40× the
+  * sf0.1 bench (2M transactions, 100k documents, 200k embeddings) and
+  * print wall-clock per stage. Not part of the driver gate — this is the
+  * evidence run that the shuffle-bounded designs hold as data grows
+  * (`sbt "runMain graft.ScaleSmoke"`).
+  */
+object ScaleSmoke {
+
+  private val vocab = Seq("the", "fast", "key", "order", "sort", "table",
+    "scan", "merge", "part", "window", "small", "hash", "join", "stream",
+    "customer", "data", "group", "query", "row", "slow", "filter", "line",
+    "batch", "value", "spark", "index", "cache", "disk", "node", "shard",
+    "plan", "cost", "stats", "page", "block", "tuple", "field", "type",
+    "null", "count")
+
+  /** n synthetic docs, 50–250 words each, from counter-based hashing. */
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    val nWords = (pmod(xxhash64(col("id"), lit("nw")), lit(200)) + 50)
+      .cast(IntegerType)
+    val words = typedlit(vocab)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), nWords),
+        i => element_at(words,
+          pmod(xxhash64(col("id"), i), lit(vocab.size)).cast(IntegerType) + 1)))
+        .as("text"))
+  }
+
+  /** n synthetic 64-dim embeddings (hash-gaussian-ish via sums of uniforms). */
+  def syntheticEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000)).cast(DoubleType) / 1000.0) - 1.0)
+          .cast(FloatType)).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $label%-50s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    // 2M fintech transactions end-to-end
+    val bronze = generator.DataGenerator
+      .transactions(spark, 2000000, nCustomers = 100000, nMerchants = 5000)
+    val silver = ops.SilverPipeline.transactionsToSilver(bronze)
+      .persist()
+    time("2M bronze→silver materialize") { silver.count() }
+    time("2M gold daily metrics") {
+      gold.FintechGold.aggDailyMetrics(silver).count() }
+    time("2M AML structuring window") {
+      gold.FintechGold.amlStructuring(silver).count() }
+    time("2M customer-360") {
+      gold.FintechGold.aggCustomer360(silver,
+        ops.SilverPipeline.customersToSilver(
+          generator.DataGenerator.customers(spark, 100000),
+          asOf = lit("2024-06-01").cast("date"))).count() }
+    silver.unpersist()
+
+    // 100k docs near-dup + text analysis
+    val docs = syntheticDocs(spark, 100000).persist()
+    time("100k docs materialize") { docs.count() }
+    time("100k docs text stats + quality") {
+      ext.TextStats.stats(docs, "doc_id", "text").count() }
+    time("100k docs minhash LSH near-dup") {
+      ext.Dedup.minHashLsh(docs, "doc_id", "text", 3, 8, 4, 0.5).count() }
+    time("100k docs simhash pairs") {
+      ext.Dedup.simHashPairs(docs, "doc_id", "text", 3).count() }
+    docs.unpersist()
+
+    // 200k embeddings ANN
+    val emb = syntheticEmbeddings(spark, 200000).persist()
+    time("200k embeddings materialize") { emb.count() }
+    val queries = emb.filter(col("vec_id") < 100)
+    time("200k brute-force top-5 (100 queries)") {
+      ext.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).count() }
+    time("200k LSH top-5 (100 queries)") {
+      ext.Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        numPlanes = 10, dim = 64).count() }
+    emb.unpersist()
+
+    spark.stop()
+  }
+}

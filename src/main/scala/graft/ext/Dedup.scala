@@ -135,26 +135,56 @@ object Dedup {
 
   /** SimHash near-dup pairs within `maxHamming`, candidates via 4×16-bit
     * band blocking (any pair within Hamming distance 3 shares at least one
-    * exact 16-bit band — pigeonhole), verified with bit_count(xor). */
+    * exact 16-bit band — pigeonhole), verified with bit_count(xor).
+    *
+    * Scale shape (found by ScaleSmoke at 100k docs): naive banding is
+    * quadratic in identical/near-identical signature mass — a corpus with
+    * heavy duplication explodes the band self-join. So:
+    *   1. identical signatures are clustered FIRST; each cluster emits
+    *      linear (representative → member) pairs at Hamming 0, and only
+    *      the representative enters banding;
+    *   2. band buckets larger than `maxBucketSize` distinct signatures are
+    *      dropped from candidate generation (a bucket that hot means the
+    *      band carries no discriminating information; its members are
+    *      still reachable through their other 3 bands).
+    */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = simHash(docs, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash")).persist()
-    val banded = sigs.select(col("id"), col("simhash"),
+
+    // identical-signature clusters: rep = min id, members pair to the rep
+    val clustered = sigs.groupBy(col("simhash"))
+      .agg(min(col("id")).as("rep"))
+    val dupPairs = sigs.join(clustered, Seq("simhash"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"),
+        lit(0L).as("hamming"))
+
+    // band-block only distinct signatures (one rep per signature)
+    val reps = clustered.select(col("rep").as("id"), col("simhash"))
+    val banded = reps.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band", "band_val")))
-    val l = banded.select(col("band"), col("band_val"),
+    val bucketSizes = banded.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("__bucket_n"))
+    val bounded = banded.join(
+      bucketSizes.filter(col("__bucket_n") <= maxBucketSize),
+      Seq("band", "band_val"))
+    val l = bounded.select(col("band"), col("band_val"),
       col("id").as("a"), col("simhash").as("sig_a"))
-    val r = banded.select(col("band"), col("band_val"),
+    val r = bounded.select(col("band"), col("band_val"),
       col("id").as("b"), col("simhash").as("sig_b"))
-    l.join(r, Seq("band", "band_val"))
+    val nearPairs = l.join(r, Seq("band", "band_val"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType)
           .as("hamming"))
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
+
+    dupPairs.unionByName(nearPairs)
   }
 
   /** Exact n-gram Jaccard for pairs within a blocking key (e.g. source or

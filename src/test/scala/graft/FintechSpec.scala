@@ -132,6 +132,31 @@ class FintechSpec extends SparkSpec {
     assert(silver.filter(col("transaction_date") === oneDay).count() > 0)
   }
 
+  test("maintenance runner honors the enableOptimization flag") {
+    val root = Files.createTempDirectory("maint").toString
+    val path = s"$root/t"
+    silverTxns.limit(100).write.parquet(path)
+    assert(!Pipeline.runMaintenance(spark, EnvConfig.dev(root), path,
+      Seq("transaction_date")))
+    assert(Pipeline.runMaintenance(spark, EnvConfig.prod(root), path,
+      Seq("transaction_date")))
+    assert(spark.read.parquet(path).count() == 100)
+  }
+
+  test("DQ report failures map to severity-routed alerts") {
+    val df = Seq(("T1", null.asInstanceOf[String])).toDF("id", "fk")
+    val report = graft.dq.DataQualityChecker(df, "t")
+      .checkCompleteness(Seq("fk"), threshold = 1.0,
+        severity = graft.dq.Severity.Critical)
+      .run()
+    val alert = Pipeline.alertFromReport(report, "p").get
+    assert(alert.severity == graft.alerting.AlertSeverity.P1)
+    assert(alert.message.contains("completeness_fk"))
+    val clean = graft.dq.DataQualityChecker(df, "t")
+      .checkCompleteness(Seq("id")).run()
+    assert(Pipeline.alertFromReport(clean, "p").isEmpty)
+  }
+
   test("exchange-rate as-of enrichment covers every currency") {
     val out = graft.queries.FintechQueries.queries("q44_rate_asof")(spark, sfDir)
     assert(out.filter(col("asof_rate").isNull).count() == 0)

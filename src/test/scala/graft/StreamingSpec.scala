@@ -53,6 +53,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() == 100)
   }
 
+  test("streaming parquet sink with checkpoint resumes without duplicates") {
+    val out = Files.createTempDirectory("sink").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    def run(): Unit = {
+      val q = Streams.eventsStream(spark, eventsDir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    val n = Tables.load(spark, sfDir, "events").count()
+    assert(spark.read.parquet(out).count() == n)
+    // re-run against the same checkpoint: no new data → no duplicates
+    run()
+    assert(spark.read.parquet(out).count() == n)
+  }
+
   test("stateful sessionize emits gap-separated sessions") {
     val dir = Files.createTempDirectory("sess-stream").toString
     def ev(id: Long, user: Long, minute: Long) =
