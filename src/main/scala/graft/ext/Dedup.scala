@@ -92,7 +92,7 @@ object Dedup {
     * join anywhere. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // persisted: sets feed both signature building and (twice) the exact
     // verification join; banded feeds both sides of the candidate
@@ -101,19 +101,39 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, shingleSize).persist()
     val sigs = sigsFromSets(sets, numHashes)
 
-    val banded = sigs.select(col("id"),
+    // identical signatures cluster first: linear rep→member candidates
+    // instead of a quadratic band bucket (duplicate-heavy corpora)
+    val withSigKey = sigs.select(col("id"), xxhash64(col("sig")).as("sig_key"),
+      col("sig")).persist()
+    val clusters = withSigKey.groupBy(col("sig_key"))
+      .agg(min(col("id")).as("rep"))
+    val dupCand = withSigKey.join(clusters, Seq("sig_key"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"))
+
+    // band-block only distinct signatures, skipping non-discriminating
+    // (over-full) buckets — their members remain reachable via other bands
+    val reps = withSigKey.join(clusters,
+      withSigKey("sig_key") === clusters("sig_key") &&
+        withSigKey("id") === clusters("rep"))
+      .select(col("id"), col("sig"))
+    val banded = reps.select(col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "band_hash"))).persist()
-
-    val cand = banded.select(col("band"), col("band_hash"), col("id").as("a"))
-      .join(banded.select(col("band"), col("band_hash"), col("id").as("b")),
+    val bucketSizes = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+    val bounded = banded.join(bucketSizes.filter(col("__n") <= maxBucketSize),
+      Seq("band", "band_hash"))
+    val bandCand = bounded
+      .select(col("band"), col("band_hash"), col("id").as("a"))
+      .join(bounded.select(col("band"), col("band_hash"), col("id").as("b")),
         Seq("band", "band_hash"))
       .filter(col("a") < col("b"))
-      .select("a", "b").dropDuplicates("a", "b")
+      .select("a", "b")
 
-    cand
+    dupCand.unionByName(bandCand).dropDuplicates("a", "b")
       .join(sets.select(col("id").as("a"), col("shset").as("sh_a")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("shset").as("sh_b")), Seq("b"))
       .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))

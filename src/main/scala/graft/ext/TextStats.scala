@@ -54,6 +54,27 @@ object TextStats {
       when(length(text) >= 100, lit(0.2)).otherwise(lit(0.0)))
   }
 
+  /** Within-document repetition: 1 − distinct/total word n-grams (the
+    * Gopher/C4-style duplicated-n-gram quality filter). Let-bound so the
+    * shingle pipeline runs once per row. */
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    element_at(transform(array(Shingles.wordShingles(text, n)), sh =>
+      when(size(sh) > 0,
+        lit(1.0) - size(array_distinct(sh)).cast(DoubleType) /
+          size(sh).cast(DoubleType))
+        .otherwise(lit(0.0))), 1)
+
+  /** PII-style redaction: emails, 16-digit card-ish numbers, then
+    * US-format phone numbers, replaced with typed placeholders. Regexes are
+    * intentionally conservative/portable (same semantics in RE2 and Java
+    * regex). */
+  def redact(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val card = regexp_replace(email, "\\b[0-9]{16}\\b", "<CARD>")
+    regexp_replace(card, "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>")
+  }
+
   /** Canonical text normalization for dedup/tokenization: lowercase,
     * non-alphanumerics → space, whitespace collapsed, trimmed. One
     * codegen'd projection. */

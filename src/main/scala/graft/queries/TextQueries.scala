@@ -100,6 +100,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher/C4-style duplicated-n-gram quality filter.
+    "q54_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.repetitionRatio(col("text"), 3).as("repetition"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII-style redaction (email/card/phone placeholders).
+    "q55_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.redact(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (rows-only; hash-set per doc).
     "q32_fingerprint" -> ((s, dir) => {
       TextStats.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text")
@@ -118,6 +133,31 @@ object TextQueries {
     graft.ext.TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q54_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    END AS sh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(sh) > 0
+        |    THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(sh)) AS DOUBLE)/CAST(len(sh) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS repetition
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q55_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{16}\b', '<CARD>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q48_text_normalize" ->
       s"""SELECT doc_id,
          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,

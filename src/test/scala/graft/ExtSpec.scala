@@ -78,6 +78,23 @@ class ExtSpec extends SparkSpec {
     assert(got(1) == 0.0)
   }
 
+  test("repetitionRatio flags repeated n-grams") {
+    val df = Seq(
+      "a b c a b c a b c a b c",  // heavy 3-gram repetition
+      "one two three four five six seven").toDF("t")
+      .select(TextStats.repetitionRatio(col("t")).as("r"))
+    val got = df.as[Double].collect()
+    assert(got(0) > 0.5)
+    assert(got(1) == 0.0)
+  }
+
+  test("redact replaces emails, cards, phones") {
+    val s = "mail me at jo.doe@x-corp.io or 555-123-4567, card 4111111111111111"
+    val got = Seq(s).toDF("t").select(TextStats.redact(col("t")).as("r"))
+      .as[String].head()
+    assert(got == "mail me at <EMAIL> or <PHONE>, card <CARD>")
+  }
+
   test("saltedJoin matches the plain join on skewed data") {
     // 90% of rows share one hot key
     val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
