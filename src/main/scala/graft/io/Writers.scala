@@ -60,6 +60,24 @@ object Writers {
   def appendToTable(df: DataFrame, tableName: String): Unit =
     df.write.mode(SaveMode.Append).format("parquet").saveAsTable(tableName)
 
+  /** Bucketed managed table: pre-hash-partitioned on `bucketCols` so
+    * repeated joins/aggregations on those keys read co-located buckets and
+    * skip the shuffle entirely — the bucketing lever from SURVEY §2 /
+    * SCALING.md (verified by a no-Exchange plan assertion in tests).
+    * `sortCols` additionally sorts within buckets (sort-merge joins then
+    * skip the sort too). */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      numBuckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
   /** Existence probe (reference uses `DESCRIBE db.table` wrapped in
     * try/except, spark_utils.py:616-636; the catalog API is the idiomatic
     * Spark form). */

@@ -257,6 +257,20 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Pivot (explicit value list → deterministic column set; nulls
+    // coalesced to 0 to match conditional-aggregation semantics).
+    "q56_pivot" -> ((s, dir) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      val pivoted = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+      pivoted.select(col("o_orderstatus") +:
+        priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Salted equi-join for skew: results identical to the plain join.
     "q51_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -445,5 +459,14 @@ object Relational {
     "q51_salted_join" ->
       s"""SELECT p.p_brand, COUNT(*) AS n, ${sqlDsum("l.l_extendedprice")} AS total
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    "q56_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -79,6 +79,28 @@ class UpsertSpec extends SparkSpec {
     Maintenance.vacuum(path, retainMs = 0)
   }
 
+  test("bucketed tables join without any exchange") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    Writers.writeBucketed(o, "b_orders", 8, Seq("o_custkey"))
+    Writers.writeBucketed(
+      c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", 8,
+      Seq("o_custkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), Seq("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      assert(joined.count() == o.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE b_orders")
+      spark.sql("DROP TABLE b_customer")
+    }
+  }
+
   test("writers roundtrip with partitionBy and registerTable") {
     val dir = Files.createTempDirectory("writers").toString
     val path = s"$dir/orders"
