@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.io.{Maintenance, Upsert, Writers}
 
 class UpsertSpec extends SparkSpec {
@@ -77,6 +79,16 @@ class UpsertSpec extends SparkSpec {
     Maintenance.clusterBy(spark, path, Seq("o_orderdate"), targetFiles = 4)
     assert(spark.read.parquet(path).count() == n)
     Maintenance.vacuum(path, retainMs = 0)
+  }
+
+  test("schema evolution: readMerged unions columns across file versions") {
+    val dir = Files.createTempDirectory("evolve").toString
+    Seq((1, "a")).toDF("id", "v1").write.parquet(s"$dir/t/p1")
+    Seq((2, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$dir/t/p2")
+    val merged = Writers.readMerged(spark, s"$dir/t/*")
+    assert(merged.columns.toSet == Set("id", "v1", "v2"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("v2").isNull).count() == 1)
   }
 
   test("bucketed tables join without any exchange") {
