@@ -1,19 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // imperative aggregates (MinHashAgg/SimHashAgg) run in
-      // ObjectHashAggregateExec; the default 128-key fallback would
-      // degrade them to sort-based aggregation on any real group count
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("graft-bench", cpus.toInt)
     // Warm the session once (JIT, codegen compiler, shuffle machinery,
     // parquet footer cache) so per-query timings measure the queries, not
     // first-job startup.

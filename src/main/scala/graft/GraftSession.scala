@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory — the one place the engine's recommended Spark
+  * configuration lives (Verify, Bench, tests and library users all build
+  * through it).
+  *
+  *  - shuffle partitions sized to the execution environment (AQE coalesces
+  *    upward at cluster scale; the Spark default of 200 is wrong for local
+  *    runs);
+  *  - AQE on (runtime join re-selection, skew splitting, partition
+  *    coalescing);
+  *  - ObjectHashAggregate fallback raised so the engine's imperative
+  *    aggregates (MinHashAgg/SimHashAgg) keep hash aggregation on real
+  *    group counts;
+  *  - UTC session time zone (oracle/temporal determinism);
+  *  - nanosAsLong for parquet TIMESTAMP(NANOS) inputs (converted to µs by
+  *    `Tables.load`);
+  *  - graft SQL functions registered via extensions (`vec_dot`).
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(b.master)
+  }
+
+  /** Local session with `cpus` threads (the Verify/Bench shape). */
+  def local(appName: String, cpus: Int): SparkSession = {
+    val s = builder(appName, Some(s"local[$cpus]"), Some(cpus)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
