@@ -27,8 +27,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    # exact compare, including floats: the engine is designed for
+    # bit-identical parity (decimal-cast sums, identical double ops), and
+    # the driver's hash gate may be exact — so the local gate is too
     return v
 
 fails, passes, rows_only = [], [], []

@@ -98,17 +98,23 @@ object Upsert {
       source: DataFrame,
       targetPath: String,
       keys: Seq[String],
-      updateColumns: Option[Seq[String]] = None): MergeStats = {
+      updateColumns: Option[Seq[String]] = None,
+      partitionBy: Seq[String] = Nil): MergeStats = {
+    def write(df: DataFrame, path: String): Unit = {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(path)
+    }
     val dir = Paths.get(targetPath)
     if (!Files.exists(dir)) {
       val n = source.count()
-      source.write.mode("overwrite").parquet(targetPath)
+      write(source, targetPath)
       return MergeStats(inserted = n, updated = 0L)
     }
     val target = spark.read.parquet(targetPath)
     val stats = mergeStats(target, source, keys)
     val staging = s"$targetPath.staging-${UUID.randomUUID().toString.take(8)}"
-    merge(target, source, keys, updateColumns).write.mode("overwrite").parquet(staging)
+    write(merge(target, source, keys, updateColumns), staging)
     val retired = s"$targetPath.retired-${System.currentTimeMillis()}"
     Files.move(dir, Paths.get(retired), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(staging), dir, StandardCopyOption.ATOMIC_MOVE)

@@ -57,6 +57,20 @@ class UpsertSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  test("upsertParquet preserves a partitioned layout") {
+    val dir = Files.createTempDirectory("upsert-part").toString
+    val path = s"$dir/t"
+    val t0 = Seq((1, "x", 10.0), (2, "y", 20.0)).toDF("id", "part", "amount")
+    val s0 = Seq((2, "y", 99.0), (3, "x", 30.0)).toDF("id", "part", "amount")
+    Upsert.upsertParquet(spark, t0, path, Seq("id"), partitionBy = Seq("part"))
+    Upsert.upsertParquet(spark, s0, path, Seq("id"), partitionBy = Seq("part"))
+    // partition directories exist and content merged
+    assert(Files.exists(Paths.get(s"$path/part=x")))
+    val back = spark.read.parquet(path).orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(1).getAs[Double]("amount") == 99.0)
+  }
+
   test("maintenance compact reduces file count, preserves rows") {
     val dir = Files.createTempDirectory("compact").toString
     val path = s"$dir/t"
