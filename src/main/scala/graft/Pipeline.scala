@@ -50,25 +50,33 @@ object Pipeline {
       monitor: Option[PipelineMonitor] = None): IngestionResult = {
     monitor.foreach(_.startStage("ingest_transactions"))
 
-    val withMeta = Transforms.addIngestionMetadata(bronze)
-    val checker = transactionChecks(withMeta)
-    val report = checker.run()
-    val (valid, invalid) = checker.validInvalidSplit()
+    // cache the metadata-stamped bronze once: the DQ aggregate, the silver
+    // write and the quarantine write all read it — without this the source
+    // is re-scanned (and all flag predicates recomputed) per consumer
+    val withMeta = Transforms.addIngestionMetadata(bronze).persist()
+    try {
+      val checker = transactionChecks(withMeta)
+      val report = checker.run()
+      val (valid, invalid) = checker.validInvalidSplit()
 
-    val silver = Transforms.addProcessingMetadata(
-      SilverPipeline.transactionsToSilver(valid.drop("_source_file",
-        "_ingestion_timestamp")))
-    Writers.writeParquet(silver, s"${env.silverPath}/transactions",
-      partitionBy = Seq("transaction_date"))
-    Writers.writeParquet(invalid, s"${env.quarantinePath}/transactions")
+      val silver = Transforms.addProcessingMetadata(
+        SilverPipeline.transactionsToSilver(valid.drop("_source_file",
+          "_ingestion_timestamp")))
+      Writers.writeParquet(silver, s"${env.silverPath}/transactions",
+        partitionBy = Seq("transaction_date"))
+      Writers.writeParquet(invalid, s"${env.quarantinePath}/transactions")
 
-    val validCount = spark.read.parquet(s"${env.silverPath}/transactions").count()
-    val quarantined = spark.read.parquet(s"${env.quarantinePath}/transactions").count()
-    monitor.foreach(_.endStage("ingest_transactions",
-      status = if (report.passed) "SUCCESS" else "SUCCESS_WITH_WARNINGS",
-      recordsRead = report.results.headOption.map(_.totalCount).getOrElse(0L),
-      recordsWritten = validCount, recordsFailed = quarantined))
-    IngestionResult(report, validCount, quarantined)
+      // counts from the cached frames (identical to what was written —
+      // the pipeline is deterministic), not from re-reading the output
+      val quarantined = invalid.count()
+      val validCount = report.results.headOption.map(_.totalCount)
+        .getOrElse(withMeta.count()) - quarantined
+      monitor.foreach(_.endStage("ingest_transactions",
+        status = if (report.passed) "SUCCESS" else "SUCCESS_WITH_WARNINGS",
+        recordsRead = report.results.headOption.map(_.totalCount).getOrElse(0L),
+        recordsWritten = validCount, recordsFailed = quarantined))
+      IngestionResult(report, validCount, quarantined)
+    } finally withMeta.unpersist()
   }
 
   /** Post-load maintenance, gated by the env's ENABLE_OPTIMIZATION flag

@@ -54,12 +54,17 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
 
+    // Fill with the latest right ROW as one struct: row-atomic, so a NULL
+    // value inside the winning right row stays NULL (filling each value
+    // column independently would skip back to an older row for that
+    // column and disagree with the reported asof ts).
+    val rightRow = when(col("__side") === 0,
+      struct(col("__ts").as("__rts") +: valueCols.map(c => col(s"__r_$c")): _*))
     val filled = rightU.unionByName(leftU)
-      .withColumn(s"$prefix$rightTs",
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .withColumn("__last_right", last(rightRow, ignoreNulls = true).over(w))
+      .withColumn(s"$prefix$rightTs", col("__last_right.__rts"))
     val withVals = valueCols.foldLeft(filled) { (df, c) =>
-      df.withColumn(s"$prefix$c",
-        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"$prefix$c", col(s"__last_right.__r_$c"))
     }
 
     val restored =

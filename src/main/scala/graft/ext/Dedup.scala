@@ -85,7 +85,18 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
     * Jaccard over shingle-hash sets. `numHashes = bands * rowsPerBand`.
-    * Returns pairs (a < b) with exact Jaccard ≥ `minJaccard`.
+    *
+    * Output contract: a near-duplicate GRAPH (a < b, exact Jaccard ≥
+    * `minJaccard`) sufficient to recover duplicate clusters via connected
+    * components — members of an identical-signature cluster link to their
+    * representative (linear, not all-pairs), and cross-cluster near pairs
+    * link representatives. It is deliberately NOT the exhaustive pair
+    * list: materializing every member×member pair is exactly the
+    * quadratic blow-up the clustering step exists to avoid.
+    *
+    * Eager: the (small) verified pair set is materialized and cached
+    * before returning so intermediate caches can be released — repeated
+    * calls in a long-lived session don't accumulate storage.
     *
     * Shuffles: signature agg (by id), band explode + self-join (by band
     * hash), two hash joins to re-attach shingle sets. No global cross
@@ -133,12 +144,19 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
 
-    dupCand.unionByName(bandCand).dropDuplicates("a", "b")
+    val result = dupCand.unionByName(bandCand).dropDuplicates("a", "b")
       .join(sets.select(col("id").as("a"), col("shset").as("sh_a")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("shset").as("sh_b")), Seq("b"))
       .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
+      .persist()
+    // eager: materialize the (small) verified pair set, then release the
+    // intermediate caches — repeated calls in a long-lived session must
+    // not accumulate cached blocks
+    result.count()
+    sets.unpersist(); withSigKey.unpersist(); banded.unpersist()
+    result
   }
 
   /** 64-bit SimHash per doc from token hashes: bit j of the signature is
@@ -156,6 +174,10 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming`, candidates via 4×16-bit
     * band blocking (any pair within Hamming distance 3 shares at least one
     * exact 16-bit band — pigeonhole), verified with bit_count(xor).
+    *
+    * Output contract matches [[minHashLsh]]: a near-dup graph (cluster
+    * members → representative at Hamming 0, near pairs between
+    * representatives), not the exhaustive member×member pair list.
     *
     * Scale shape (found by ScaleSmoke at 100k docs): naive banding is
     * quadratic in identical/near-identical signature mass — a corpus with
@@ -204,7 +226,10 @@ object Dedup {
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
 
-    dupPairs.unionByName(nearPairs)
+    val result = dupPairs.unionByName(nearPairs).persist()
+    result.count() // eager, then release the signature cache
+    sigs.unpersist()
+    result
   }
 
   /** Exact n-gram Jaccard for pairs within a blocking key (e.g. source or

@@ -106,7 +106,9 @@ object Multimodal {
         (col("doc_id") % 3).cast(IntegerType) + 1).as("media_type"),
       encode(col("text"), "UTF-8").as("content"),
       concat(lit("synthetic://"), col("doc_id")).as("source_uri"),
-      length(col("text")).cast(LongType).as("n_bytes"))
+      // byte length of the actual payload (length of a binary column is
+      // octets; length of the text column would be characters)
+      length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"))
       .as[MediaAsset]
   }
 }

@@ -71,14 +71,12 @@ object Gold {
     .groupBy(col("l_suppkey"))
     .agg(
       count(lit(1)).as("volume"),
-      dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("gross_revenue"),
       sum(col("l_extendedprice").cast(money) *
         (lit(1).cast(money) - col("l_discount").cast(money)))
         .cast(DoubleType).as("net_revenue"),
       countDistinct(col("l_partkey")).as("n_parts"))
     .withColumn("avg_ticket",
       col("net_revenue") / col("volume").cast(DoubleType))
-    .drop("gross_revenue")
 
   /** fact_transactions analogue (reference base.py:91): lineitem enriched
     * with order and customer attributes. Dimension sides are broadcast —

@@ -108,8 +108,10 @@ object Monitoring {
 
   def isFresh(df: DataFrame, tsCol: String, maxAgeHours: Double,
       nowMs: Long = System.currentTimeMillis()): Boolean = {
-    val last = df.agg(max(col(tsCol)).cast(LongType)).head().getLong(0)
-    (nowMs / 1000.0 - last) / 3600.0 <= maxAgeHours
+    val row = df.agg(max(col(tsCol)).cast(LongType)).head()
+    // empty/all-null table has no newest row → stale, not an NPE
+    if (row.isNullAt(0)) return false
+    (nowMs / 1000.0 - row.getLong(0)) / 3600.0 <= maxAgeHours
   }
 
   /** Volume anomaly as one declarative plan (reference monitoring.py:392-468):

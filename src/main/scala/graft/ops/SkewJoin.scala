@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val supportedJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi")
+
   def saltedJoin(
       skewed: DataFrame,
       small: DataFrame,
@@ -24,6 +27,12 @@ object SkewJoin {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // right/full outer would emit one null-padded copy of each unmatched
+    // small-side row PER SALT REPLICA — only join types whose unmatched
+    // rows live on the (un-replicated) skewed side preserve plain-join
+    // semantics
+    require(supportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi joins, got $joinType")
     // deterministic per-row salt: hash of the whole row (not rand(), which
     // breaks on task retry)
     val allCols = skewed.columns.map(col).toIndexedSeq

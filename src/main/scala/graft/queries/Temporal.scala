@@ -97,7 +97,8 @@ object Temporal {
     // a batch engine produces — exact decimal sums make the streaming
     // result independent of micro-batch arrival order.
     "q47_stream_hourly" -> ((s, dir) => {
-      val src = java.nio.file.Files.createTempDirectory("q47-events").toString
+      val srcDir = java.nio.file.Files.createTempDirectory("q47-events")
+      val src = srcDir.toString
       t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -111,7 +112,16 @@ object Temporal {
         .start()
       q.awaitTermination(120000)
       q.stop()
-      s.table(name).orderBy(col("hour"), col("event_type"))
+      // detach the result from the memory sink + temp source so repeated
+      // invocations in one session don't accumulate tables/dirs
+      val rows = s.table(name).orderBy(col("hour"), col("event_type")).collect()
+      val schema = s.table(name).schema
+      s.catalog.dropTempView(name)
+      java.nio.file.Files.walk(srcDir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("hour"), col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(

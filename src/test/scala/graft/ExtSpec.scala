@@ -27,6 +27,20 @@ class ExtSpec extends SparkSpec {
     assert(out(4).getAs[Any]("asof_px") == null)
   }
 
+  test("asOfBackward is row-atomic: a NULL in the winning right row stays NULL") {
+    val quotes = Seq((1L, 10L, Some(2.0)), (1L, 20L, None))
+      .toDF("k", "rts", "px")
+      .select(col("k"), col("rts").cast("timestamp").as("rts"), col("px"))
+    val asks = Seq((1L, 30L)).toDF("k", "ts")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"))
+    val out = AsOfJoin.asOfBackward(asks, quotes, Seq("k"), "ts", "rts", Seq("px"))
+      .collect().head
+    // latest right row is (ts=20, px=NULL): asof ts must be 20 AND the
+    // value NULL — not 20 paired with the older row's 2.0
+    assert(out.getAs[java.sql.Timestamp]("asof_rts").getTime == 20000L)
+    assert(out.getAs[Any]("asof_px") == null)
+  }
+
   // ---------- text ----------
 
   test("nWords handles blanks, multiple spaces") {
