@@ -232,6 +232,61 @@ object Dedup {
     result
   }
 
+  /** Connected components over an undirected pair graph (a, b) via
+    * iterative min-label propagation: every vertex takes the minimum label
+    * among itself and its neighbours until fixpoint (or `maxIterations`).
+    * Near-dup clusters have tiny diameters (members link to a
+    * representative), so convergence is fast; each iteration is one join +
+    * one aggregate, both keyed shuffles.
+    * Returns (id, component) where component = min id in the cluster. */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-duplicate corpus dedup: mine the near-dup graph
+    * (MinHash+LSH, exact-Jaccard verified), cluster it, and keep one
+    * survivor (min id) per cluster plus every unclustered doc. The
+    * standard C4/GPT-style corpus-cleaning entry point.
+    *
+    * `docs` must be a deterministic plan (file scans, filters — not a bare
+    * `limit` over shuffled input): it is evaluated once for graph mining
+    * and once for the final anti-join, like any Spark frame used twice. */
+  def dedupNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val pairs = minHashLsh(docs, idCol, textCol, shingleSize, bands,
+      rowsPerBand, minJaccard)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for pairs within a blocking key (e.g. source or
     * length bucket) that share ≥1 shingle (disjoint pairs have Jaccard 0
     * and are never materialised). Intersection sizes come from a self-join

@@ -124,7 +124,9 @@ class ExtSpec extends SparkSpec {
   // ---------- dedup ----------
 
   private def docsWithDups = {
-    val base = Tables.load(spark, sfDir, "documents").limit(50)
+    // deterministic subset: filter, NOT limit — documents is repartitioned
+    // at load, so limit(n) picks a different n rows per evaluation
+    val base = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 50)
     base.unionByName(base
       .withColumn("doc_id", col("doc_id") + 1000L)
       .withColumn("text", concat(col("text"), lit(" zzzz"))))
@@ -171,6 +173,27 @@ class ExtSpec extends SparkSpec {
     assert(out(1).getAs[Double]("jaccard") == 0.2)
   }
 
+  test("connectedComponents labels chains with the min id") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.9))
+      .toDF("a", "b", "jaccard")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("dedupNearDuplicates removes planted dups, keeps originals") {
+    val cleaned = Dedup.dedupNearDuplicates(docsWithDups, "doc_id", "text",
+      minJaccard = 0.8)
+    val n = cleaned.count()
+    // 100 docs, 50 planted near-dups: survivors ≈ the 50 originals (a few
+    // original-vs-original pairs can legitimately cross the threshold in
+    // this small-vocabulary corpus)
+    assert(n >= 45 && n <= 55, s"survivors $n")
+    // survivors are the minimum ids (originals, not the +1000 copies)
+    assert(cleaned.filter(col("doc_id") >= 1000L).count() <= 5)
+  }
+
   // ---------- similarity ----------
 
   test("cosine of identical and orthogonal vectors") {
@@ -184,7 +207,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("bruteForceTopK: planted duplicate is every query's top neighbor") {
-    val emb = Tables.load(spark, sfDir, "embeddings").limit(100)
+    val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 100)
     val planted = emb.unionByName(emb
       .withColumn("vec_id", col("vec_id") + 1000L)
       .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f))))
