@@ -124,9 +124,8 @@ object Dedup {
 
     // band-block only distinct signatures, skipping non-discriminating
     // (over-full) buckets — their members remain reachable via other bands
-    val reps = withSigKey.join(clusters,
-      withSigKey("sig_key") === clusters("sig_key") &&
-        withSigKey("id") === clusters("rep"))
+    val reps = withSigKey.join(
+      clusters.select(col("rep").as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("sig"))
     val banded = reps.select(col("id"),
       posexplode(transform(
@@ -243,8 +242,12 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
+    // localCheckpoint per iteration: each round's plan references the
+    // previous round twice (join + change count), so WITHOUT lineage
+    // truncation the logical plan doubles per iteration — exponential
+    // plan size long before the data is large
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
+      .withColumn("component", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -256,10 +259,9 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation — the LLM-training-data composition tying the text
+  * operators together (the `ext` analogue of `graft.Pipeline`'s EP1):
+  *
+  *   normalize → per-doc quality signals → rule filter (quality score,
+  *   repetition, length, language) → exact dedup → near-dup dedup →
+  *   curated corpus + per-stage survivor counts.
+  *
+  * All filter signals evaluate in ONE projection pass over the text; the
+  * dedup stages are the shuffle-bounded operators from [[Dedup]]. This is
+  * the C4/Gopher-style cleaning recipe expressed as a reusable call.
+  */
+object TextPipeline {
+
+  final case class CurationStats(
+      input: Long,
+      afterRuleFilter: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long)
+
+  final case class CurationResult(curated: DataFrame, stats: CurationStats)
+
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.7,
+      maxRepetition: Double = 0.5,
+      minChars: Int = 50,
+      allowedLangs: Seq[String] = Nil,
+      nearDupJaccard: Double = 0.8): CurationResult = {
+    val t = col(textCol)
+    val langOk: Column =
+      if (allowedLangs.isEmpty) lit(true)
+      else TextStats.langId(t).isin(allowedLangs: _*)
+
+    val input = docs.count()
+    val filtered = docs
+      .withColumn("__norm", TextStats.normalizeText(t))
+      .filter(length(col("__norm")) >= minChars &&
+        TextStats.qualityScore(t) >= minQuality &&
+        TextStats.repetitionRatio(t) <= maxRepetition &&
+        langOk)
+      .persist()
+    val afterFilter = filtered.count()
+
+    // exact dedup: survivors are min-id per content hash
+    val keep = Dedup.exactDedup(filtered, idCol, "__norm")
+      .select(col("keep_id").as(idCol))
+    val exact = filtered.join(keep, Seq(idCol), "left_semi").persist()
+    val afterExact = exact.count()
+    filtered.unpersist()
+
+    val near = Dedup.dedupNearDuplicates(exact, idCol, textCol,
+      minJaccard = nearDupJaccard).drop("__norm").persist()
+    val afterNear = near.count()
+    exact.unpersist()
+
+    CurationResult(near,
+      CurationStats(input, afterFilter, afterExact, afterNear))
+  }
+}

@@ -115,6 +115,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end near-dup corpus dedup over planted duplicates: the
+    // C4/GPT-style cleaning entry point (rows-only; graph semantics
+    // asserted in ExtSpec).
+    "q57_dedup_corpus" -> ((s, dir) => {
+      Dedup.dedupNearDuplicates(withPlantedNearDups(t(s, dir, "documents")),
+          "doc_id", "text", minJaccard = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Full curation recipe: rule filters + exact dedup + near-dup dedup.
+    "q58_curate_corpus" -> ((s, dir) => {
+      graft.ext.TextPipeline.curate(
+          withPlantedNearDups(t(s, dir, "documents")), "doc_id", "text",
+          minQuality = 0.7, maxRepetition = 0.5, minChars = 50)
+        .curated
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (rows-only; hash-set per doc).
     "q32_fingerprint" -> ((s, dir) => {
       TextStats.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text")

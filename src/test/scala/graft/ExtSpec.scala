@@ -194,6 +194,20 @@ class ExtSpec extends SparkSpec {
     assert(cleaned.filter(col("doc_id") >= 1000L).count() <= 5)
   }
 
+  test("curate pipeline filters, dedups, and reports stage counts") {
+    val res = graft.ext.TextPipeline.curate(docsWithDups, "doc_id", "text",
+      minQuality = 0.7, maxRepetition = 0.5, minChars = 50)
+    val s = res.stats
+    assert(s.input == 100)
+    assert(s.afterRuleFilter <= s.input)
+    assert(s.afterExactDedup <= s.afterRuleFilter)
+    assert(s.afterNearDedup <= s.afterExactDedup)
+    // planted near-dups must be mostly gone
+    assert(s.afterNearDedup <= s.afterExactDedup - 40)
+    assert(res.curated.count() == s.afterNearDedup)
+    assert(!res.curated.columns.contains("__norm"))
+  }
+
   // ---------- similarity ----------
 
   test("cosine of identical and orthogonal vectors") {
