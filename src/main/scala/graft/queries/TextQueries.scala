@@ -117,9 +117,12 @@ object TextQueries {
 
     // End-to-end near-dup corpus dedup over planted duplicates: the
     // C4/GPT-style cleaning entry point (rows-only; graph semantics
-    // asserted in ExtSpec).
+    // asserted in ExtSpec). Scoped to a deterministic subset — the
+    // operator is already exercised at full width by q29; this query
+    // demonstrates the composition.
     "q57_dedup_corpus" -> ((s, dir) => {
-      Dedup.dedupNearDuplicates(withPlantedNearDups(t(s, dir, "documents")),
+      val subset = t(s, dir, "documents").filter(col("doc_id") < 1500)
+      Dedup.dedupNearDuplicates(withPlantedNearDups(subset),
           "doc_id", "text", minJaccard = 0.8)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
@@ -127,8 +130,9 @@ object TextQueries {
 
     // Full curation recipe: rule filters + exact dedup + near-dup dedup.
     "q58_curate_corpus" -> ((s, dir) => {
+      val subset = t(s, dir, "documents").filter(col("doc_id") < 1500)
       graft.ext.TextPipeline.curate(
-          withPlantedNearDups(t(s, dir, "documents")), "doc_id", "text",
+          withPlantedNearDups(subset), "doc_id", "text",
           minQuality = 0.7, maxRepetition = 0.5, minChars = 50)
         .curated
         .select(col("doc_id"), col("lang"), col("n_chars"))
