@@ -110,12 +110,17 @@ object Dedup {
     // self-join — without caching each branch would recompute the whole
     // shingle/signature pipeline
     val sets = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    // force each cached stage ONCE before fan-out: the final action would
+    // otherwise launch its branch stages concurrently and they'd race to
+    // fill the cache, recomputing the shingle pipeline per branch
+    sets.count()
     val sigs = sigsFromSets(sets, numHashes)
 
     // identical signatures cluster first: linear rep→member candidates
     // instead of a quadratic band bucket (duplicate-heavy corpora)
     val withSigKey = sigs.select(col("id"), xxhash64(col("sig")).as("sig_key"),
       col("sig")).persist()
+    withSigKey.count()
     val clusters = withSigKey.groupBy(col("sig_key"))
       .agg(min(col("id")).as("rep"))
     val dupCand = withSigKey.join(clusters, Seq("sig_key"))
@@ -132,6 +137,7 @@ object Dedup {
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "band_hash"))).persist()
+    banded.count()
     val bucketSizes = banded.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
     val bounded = banded.join(bucketSizes.filter(col("__n") <= maxBucketSize),
@@ -193,6 +199,7 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sigs = simHash(docs, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash")).persist()
+    sigs.count() // materialize once before the branches race for the cache
 
     // identical-signature clusters: rep = min id, members pair to the rep
     val clustered = sigs.groupBy(col("simhash"))
@@ -217,13 +224,15 @@ object Dedup {
       col("id").as("a"), col("simhash").as("sig_a"))
     val r = bounded.select(col("band"), col("band_val"),
       col("id").as("b"), col("simhash").as("sig_b"))
+    // hamming is a cheap bit_count — filter BEFORE the dedup shuffle so
+    // only surviving pairs (not every multi-band candidate) get shuffled
     val nearPairs = l.join(r, Seq("band", "band_val"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType)
           .as("hamming"))
-      .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
 
     val result = dupPairs.unionByName(nearPairs).persist()
     result.count() // eager, then release the signature cache
