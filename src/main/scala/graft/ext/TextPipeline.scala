@@ -32,13 +32,17 @@ object TextPipeline {
       maxRepetition: Double = 0.5,
       minChars: Int = 50,
       allowedLangs: Seq[String] = Nil,
-      nearDupJaccard: Double = 0.8): CurationResult = {
+      nearDupJaccard: Double = 0.8,
+      computeStats: Boolean = true): CurationResult = {
     val t = col(textCol)
     val langOk: Column =
       if (allowedLangs.isEmpty) lit(true)
       else TextStats.langId(t).isin(allowedLangs: _*)
+    // per-stage counts are extra actions; callers that only want the
+    // curated frame skip them (-1 sentinel)
+    def maybeCount(df: DataFrame): Long = if (computeStats) df.count() else -1L
 
-    val input = docs.count()
+    val input = maybeCount(docs)
     val filtered = docs
       .withColumn("__norm", TextStats.normalizeText(t))
       .filter(length(col("__norm")) >= minChars &&
@@ -46,6 +50,7 @@ object TextPipeline {
         TextStats.repetitionRatio(t) <= maxRepetition &&
         langOk)
       .persist()
+    // the materializing counts double as (free) stage stats
     val afterFilter = filtered.count()
 
     // exact dedup: survivors are min-id per content hash
@@ -57,7 +62,7 @@ object TextPipeline {
 
     val near = Dedup.dedupNearDuplicates(exact, idCol, textCol,
       minJaccard = nearDupJaccard).drop("__norm").persist()
-    val afterNear = near.count()
+    val afterNear = maybeCount(near)
     exact.unpersist()
 
     CurationResult(near,

@@ -133,7 +133,8 @@ object TextQueries {
       val subset = t(s, dir, "documents").filter(col("doc_id") < 1500)
       graft.ext.TextPipeline.curate(
           withPlantedNearDups(subset), "doc_id", "text",
-          minQuality = 0.7, maxRepetition = 0.5, minChars = 50)
+          minQuality = 0.7, maxRepetition = 0.5, minChars = 50,
+          computeStats = false)
         .curated
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
