@@ -61,6 +61,20 @@ object Readers {
     }
   }
 
+  /** ORC scan — same pushdown/pruning properties as parquet (predicates
+    * and projections reach the reader; min/max stripe statistics prune). */
+  def readOrc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val reader = spark.read
+    schema.fold(reader)(reader.schema).orc(path)
+  }
+
+  /** Raw text-corpus source: one row per line (`wholetext=true` for one
+    * row per file — the document-ingestion shape for LLM pipelines). */
+  def readText(spark: SparkSession, path: String,
+      wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
   /** Table scan by path XOR metastore name (reference spark_utils.py:160-195).
     * Exactly one of `path`/`tableName` must be provided.
     */

@@ -47,6 +47,25 @@ class ReadersMultimodalSpec extends SparkSpec {
     assert(back.filter(col(Readers.CorruptRecordColumn).isNotNull).count() == 1)
   }
 
+  test("ORC roundtrip preserves schema and rows") {
+    val dir = Files.createTempDirectory("orc").toString
+    val o = Tables.load(spark, sfDir, "orders")
+    o.write.orc(s"$dir/orders")
+    val back = Readers.readOrc(spark, s"$dir/orders")
+    assert(back.count() == o.count())
+    assert(back.schema == o.schema)
+  }
+
+  test("text source reads lines and whole files") {
+    val dir = Files.createTempDirectory("txt").toString
+    val f = new java.io.PrintWriter(s"$dir/doc1.txt")
+    f.println("line one"); f.println("line two"); f.close()
+    assert(Readers.readText(spark, s"$dir/doc1.txt").count() == 2)
+    val whole = Readers.readText(spark, s"$dir/doc1.txt", wholeFile = true)
+    assert(whole.count() == 1)
+    assert(whole.head().getString(0).contains("line two"))
+  }
+
   test("readTable enforces path XOR tableName") {
     intercept[IllegalArgumentException] {
       Readers.readTable(spark, None, None)
