@@ -49,6 +49,18 @@ class DataQualitySpec extends SparkSpec {
     assert(r.results.head.failedCount == 1)
   }
 
+  test("freshness check passes within SLA and fails beyond it") {
+    val now = System.currentTimeMillis()
+    val df = Seq(new java.sql.Timestamp(now - 2 * 3600 * 1000)).toDF("ts")
+    val fresh = DataQualityChecker(df, "t")
+      .checkFreshness("ts", maxAgeHours = 4.0).run(nowMs = now)
+    assert(fresh.passed)
+    val stale = DataQualityChecker(df, "t")
+      .checkFreshness("ts", maxAgeHours = 1.0).run(nowMs = now)
+    assert(!stale.passed)
+    assert(stale.results.head.checkType == "Freshness")
+  }
+
   test("referential check counts orphan foreign keys") {
     val facts = Seq(("T1", "C1"), ("T2", "C9")).toDF("txn_id", "customer_id")
     val dim = Seq("C1", "C2").toDF("customer_id")

@@ -68,6 +68,18 @@ class FintechSpec extends SparkSpec {
     assert(cust.schema("age").dataType == IntegerType)
   }
 
+  test("silver merchants: typed casts and days_active derivation") {
+    val m = SilverPipeline.merchantsToSilver(
+      DataGenerator.merchants(spark, 50), asOf = lit("2024-06-01").cast("date"))
+    assert(m.schema("fee_rate").dataType == DecimalType(8, 4))
+    assert(m.schema("avg_ticket_size").dataType == DecimalType(18, 2))
+    assert(m.schema("monthly_volume").dataType == IntegerType)
+    val r = m.select("onboarding_date", "days_active").head()
+    val expected = java.time.temporal.ChronoUnit.DAYS.between(
+      r.getDate(0).toLocalDate, java.time.LocalDate.parse("2024-06-01"))
+    assert(r.getInt(1) == expected)
+  }
+
   test("fintech gold daily metrics are exact and complete") {
     val daily = FintechGold.aggDailyMetrics(silverTxns)
     assert(daily.agg(sum("n_transactions")).head().getLong(0) == 5000L)
