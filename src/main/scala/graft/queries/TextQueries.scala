@@ -183,6 +183,32 @@ object TextQueries {
         |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q31_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, lang,
+        |    list_distinct(CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+        |      ELSE list_transform(range(1, len(tk) - 1),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, source, lang, unnest(s) AS h FROM sh),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+        |  FROM ex x JOIN ex y
+        |    ON x.source = y.source AND x.lang = y.lang AND x.h = y.h
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        |SELECT i.a, i.b,
+        |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.a
+        |JOIN sizes sb ON sb.doc_id = i.b
+        |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin,
+
     "q48_text_normalize" ->
       s"""SELECT doc_id,
          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
