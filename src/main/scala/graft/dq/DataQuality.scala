@@ -265,4 +265,14 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
 object DataQualityChecker {
   def apply(df: DataFrame, tableName: String): DataQualityChecker =
     new DataQualityChecker(df, tableName)
+
+  /** One-call sanity check (the reference's quick-check convenience,
+    * SURVEY §7.2): key completeness + uniqueness at the standard
+    * thresholds, one aggregate pass. */
+  def quickCheck(df: DataFrame, tableName: String,
+      keyColumns: Seq[String]): DQReport =
+    apply(df, tableName)
+      .checkCompleteness(keyColumns, threshold = 0.95)
+      .checkUniqueness(keyColumns, threshold = 1.0)
+      .run()
 }

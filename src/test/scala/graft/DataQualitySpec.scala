@@ -114,6 +114,15 @@ class DataQualitySpec extends SparkSpec {
     assert(r.results.head.failedCount == 1)
   }
 
+  test("quickCheck bundles key completeness + uniqueness") {
+    val ok = Seq(("A", 1), ("B", 2)).toDF("id", "v")
+    assert(DataQualityChecker.quickCheck(ok, "t", Seq("id")).passed)
+    val dup = Seq(("A", 1), ("A", 2)).toDF("id", "v")
+    val r = DataQualityChecker.quickCheck(dup, "t", Seq("id"))
+    assert(!r.passed)
+    assert(r.results.length == 2)
+  }
+
   test("single-pass run issues one aggregate for row-level checks") {
     // regression guard on the design: all row-level checks evaluate in one
     // job — verified indirectly by the report being consistent across many
