@@ -8,6 +8,17 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
+    // Dump the generated silver inputs so the DuckDB oracle can recompute
+    // the fintech queries from the exact same bytes (generator is seeded +
+    // partition-independent, so this equals what the queries consume).
+    graft.queries.FintechQueries.oracleTables(spark).foreach {
+      case (name, df) =>
+        try df.write.mode("overwrite").parquet(s"$absOut/_oracle_tables/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] oracle table $name failed: ${e.getMessage}")
+        }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -28,7 +39,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.queries.FintechQueries.OutPlaceholder, absOut))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

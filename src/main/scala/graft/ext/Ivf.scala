@@ -51,36 +51,49 @@ object Ivf {
       a => array_position(a, array_max(a))), 1) - 1).cast(IntegerType)
 
   /** Lloyd k-means on cosine similarity (spherical k-means). Deterministic:
-    * init picks the k corpus rows with the smallest xxhash64(id). */
+    * init picks the k corpus rows with the smallest xxhash64(id).
+    *
+    * The projected vector column is persisted across the `iters` Lloyd
+    * scans (each iteration re-reads it for assignment + mean), then
+    * unpersisted — without this the source is rescanned per iteration.
+    * Works for both array&lt;float&gt; and array&lt;double&gt; corpora; null
+    * vectors are dropped up front. The two collect()s are driver-sized by
+    * construction (k rows; k × dim means). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3): Model = {
-    val initRows = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(k)
-      .collect()
-    var centroids: Seq[Seq[Double]] = initRows.toSeq.map(r =>
-      normalized(r.getSeq[Float](1).map(_.toDouble)))
-
-    for (_ <- 0 until iters) {
-      val m = Model(centroids)
-      val assigned = corpus.select(col(vecCol).as("v"))
-        .withColumn("cell", cellId(col("v"), m))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x").cast(DoubleType)).as("m"))
+    // one cast up front: downstream code sees array<double> regardless of
+    // the corpus element type
+    val vecs = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist()
+    try {
+      val initRows = vecs
+        .orderBy(xxhash64(col("id")), col("id"))
+        .limit(k)
         .collect()
-      val byCell = means.groupBy(_.getInt(0))
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        byCell.get(c) match {
-          case Some(rows) =>
-            normalized(rows.sortBy(_.getInt(1)).toSeq.map(_.getDouble(2)))
-          case None => old // empty cell keeps its centroid
+      var centroids: Seq[Seq[Double]] = initRows.toSeq.map(r =>
+        normalized(r.getSeq[Double](1)))
+
+      for (_ <- 0 until iters) {
+        val m = Model(centroids)
+        val means = vecs
+          .withColumn("cell", cellId(col("v"), m))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("x").cast(DoubleType)).as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getInt(0))
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          byCell.get(c) match {
+            case Some(rows) =>
+              normalized(rows.sortBy(_.getInt(1)).toSeq.map(_.getDouble(2)))
+            case None => old // empty cell keeps its centroid
+          }
         }
       }
-    }
-    Model(centroids)
+      Model(centroids)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Approximate top-k: probe the query's `nprobe` best cells, exact cosine

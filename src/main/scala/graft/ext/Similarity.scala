@@ -82,11 +82,19 @@ object Similarity {
     * Hamming-1 neighboring buckets via multi-probe when `multiProbe`), then
     * exact cosine rank within candidates. Trades recall for a candidate
     * set ~corpus/2^numPlanes per bucket; the join is a hash join on the
-    * bucket key — no cross join at any scale. */
+    * bucket key — no cross join at any scale.
+    *
+    * `broadcastQueries` only when the query side is genuinely small (the
+    * point-lookup ANN shape): it keeps the corpus un-shuffled. For the
+    * all-pairs shape (queries == corpus, e.g. embedding near-dup), leave it
+    * false — broadcasting the full corpus ×(numPlanes+1) probe copies is
+    * exactly the 100 TB scale-killer; a shuffle hash join on the bucket key
+    * costs one co-partition of each side instead. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
-      multiProbe: Boolean = true, roundDigits: Int = 4): DataFrame = {
+      multiProbe: Boolean = true, roundDigits: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
     val bucket = lshBucket(col(vecCol), numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"), bucket.as("bucket"))
@@ -98,7 +106,9 @@ object Similarity {
       qBase.select(col("query_id"), col("__qv"), col("__qn"), col("qbucket"),
         explode(array((0 until numPlanes).map(i =>
           col("qbucket").bitwiseXOR(shiftleft(lit(1L), i))): _*)).as("bucket")))
-    val scored = broadcast(q.drop("qbucket")).join(c, Seq("bucket"))
+    val qSide = if (broadcastQueries) broadcast(q.drop("qbucket"))
+                else q.drop("qbucket")
+    val scored = qSide.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(
         when(col("__qn") > 0 && col("__cn") > 0,

@@ -56,13 +56,17 @@ object FintechGold {
   /** agg_customer_360 (base.py:93): per-customer activity + fraud rate,
     * joined to customer dims. */
   def aggCustomer360(silverTxns: DataFrame, silverCustomers: DataFrame): DataFrame = {
+    // avg and fraud_rate as exact-integer/decimal numerator ÷ count with an
+    // explicit double division — identical operands give identical IEEE
+    // results in any engine (oracle-parity rule, see queries.Q scaladoc)
     val per = silverTxns.groupBy(col("customer_id")).agg(
       count(lit(1)).as("n_transactions"),
       sum(col("amount_usd")).cast(money).as("total_spend_usd"),
-      avg(col("amount_usd")).cast(money).as("avg_transaction_usd"),
+      (sum(col("amount_usd")).cast(money).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avg_transaction_usd"),
       min(col("transaction_date")).as("first_transaction_date"),
       max(col("transaction_date")).as("last_transaction_date"),
-      (sum(when(col("is_flagged"), 1.0).otherwise(0.0)) /
+      (sum(when(col("is_flagged"), 1L).otherwise(0L)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("fraud_rate"),
       countDistinct(col("merchant_id")).as("n_merchants"))
     silverCustomers
@@ -79,8 +83,9 @@ object FintechGold {
       count(lit(1)).as("n_transactions"),
       sum(col("amount_usd")).cast(money).as("total_volume_usd"),
       sum(col("fee_amount")).cast(money).as("revenue_usd"),
-      avg(col("amount_usd")).cast(money).as("avg_ticket_usd"),
-      (sum(when(col("is_flagged"), 1.0).otherwise(0.0)) /
+      (sum(col("amount_usd")).cast(money).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avg_ticket_usd"),
+      (sum(when(col("is_flagged"), 1L).otherwise(0L)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("flagged_share"))
     silverMerchants
       .select(col("merchant_id"), col("mcc_category"), col("risk_tier"),

@@ -11,18 +11,46 @@ import graft.ops.SilverPipeline
 /** Fintech-domain coverage (the reference's own data model end-to-end:
   * seeded generator → bronze → silver casts → gold star schema → AML
   * screens) plus the multimodal plumbing queries. These operate on
-  * engine-generated deterministic data (seed 42), not the driver parquet,
-  * so they are rows-only for the driver gate; exact values are asserted in
-  * ScalaTest (FintechSpec).
+  * engine-generated deterministic data (seed 42), not the driver parquet.
+  *
+  * Oracle strategy: the generator can't run in DuckDB, but it IS
+  * deterministic and partition-independent — so `Verify` dumps the exact
+  * silver inputs ([[oracleTables]]) to parquet next to the query outputs,
+  * and the oracle SQL reads them back via `read_parquet` (the
+  * [[OutPlaceholder]] token is replaced with the absolute output dir at
+  * dump time). That turns the whole fintech gold/AML layer from rows-only
+  * into DuckDB-hash-checked.
   */
 object FintechQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Token in oracle SQL that Verify rewrites to the absolute out dir. */
+  val OutPlaceholder = "__GRAFT_OUT__"
+
+  /** `read_parquet` reference to a Verify-dumped oracle input table. */
+  private def st(name: String): String =
+    s"read_parquet('$OutPlaceholder/_oracle_tables/$name/*.parquet')"
+
   // modest volumes: enough to exercise every pattern incl. AML tails
   private def silverTxns(s: SparkSession): DataFrame =
     SilverPipeline.transactionsToSilver(
       DataGenerator.transactions(s, 20000, nCustomers = 1000, nMerchants = 100))
+
+  private def silverCustomers(s: SparkSession): DataFrame =
+    SilverPipeline.customersToSilver(
+      DataGenerator.customers(s, 1000), asOf = lit("2024-06-01").cast("date"))
+
+  private def silverRates(s: SparkSession): DataFrame =
+    SilverPipeline.exchangeRatesToSilver(
+      DataGenerator.exchangeRates(s, days = 90))
+
+  /** The exact silver inputs the fintech queries consume, for Verify to
+    * dump so the DuckDB oracle can recompute q40–q44 from the same bytes. */
+  def oracleTables(s: SparkSession): Map[String, DataFrame] = Map(
+    "silver_txns" -> silverTxns(s),
+    "silver_customers" -> silverCustomers(s),
+    "silver_rates" -> silverRates(s))
 
   val queries: Map[String, QFn] = Map(
     // generator → silver casts → gold daily metrics, fully deterministic
@@ -33,9 +61,7 @@ object FintechQueries {
 
     // customer 360 over generated customers + txns
     "q41_fintech_c360" -> ((s, _) => {
-      val cust = SilverPipeline.customersToSilver(
-        DataGenerator.customers(s, 1000), asOf = lit("2024-06-01").cast("date"))
-      FintechGold.aggCustomer360(silverTxns(s), cust)
+      FintechGold.aggCustomer360(silverTxns(s), silverCustomers(s))
         .orderBy(col("customer_id"))
     }),
 
@@ -56,8 +82,7 @@ object FintechQueries {
       val txns = silverTxns(s)
         .select(col("transaction_id"), col("currency"),
           col("transaction_timestamp").as("ts"), col("amount"))
-      val rates = SilverPipeline.exchangeRatesToSilver(
-        DataGenerator.exchangeRates(s, days = 90))
+      val rates = silverRates(s)
         .select(col("source_currency").as("currency"),
           col("rate_date").cast("timestamp").as("rts"),
           col("exchange_rate").cast("double").as("rate"))
@@ -82,5 +107,69 @@ object FintechQueries {
         .orderBy(col("asset_id"), col("frame_idx"))
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB equivalents over the Verify-dumped silver parquet. Decimal sums
+    * mirror Spark's cast chain; ratios are exact-numerator ÷ count with an
+    * explicit double division (queries.Q parity rules). */
+  val oracles: Map[String, String] = Map(
+    "q40_fintech_daily" ->
+      s"""SELECT transaction_date, status, COUNT(*) AS n_transactions,
+         |  CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS total_amount_usd,
+         |  CAST(SUM(fee_amount) AS DECIMAL(18,2)) AS total_fees,
+         |  CAST(SUM(CASE WHEN is_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  COUNT(DISTINCT customer_id) AS n_customers
+         |FROM ${st("silver_txns")}
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q41_fintech_c360" ->
+      s"""WITH per AS (
+         |  SELECT customer_id, COUNT(*) AS n_transactions,
+         |    CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS total_spend_usd,
+         |    CAST(CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS avg_transaction_usd,
+         |    MIN(transaction_date) AS first_transaction_date,
+         |    MAX(transaction_date) AS last_transaction_date,
+         |    CAST(SUM(CASE WHEN is_flagged THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS fraud_rate,
+         |    COUNT(DISTINCT merchant_id) AS n_merchants
+         |  FROM ${st("silver_txns")} GROUP BY 1)
+         |SELECT c.customer_id, c.segment, c.kyc_status, c.risk_score, c.country,
+         |  p.n_transactions, p.total_spend_usd, p.avg_transaction_usd,
+         |  p.first_transaction_date, p.last_transaction_date, p.fraud_rate,
+         |  p.n_merchants
+         |FROM ${st("silver_customers")} c LEFT JOIN per p USING (customer_id)
+         |ORDER BY c.customer_id""".stripMargin,
+
+    "q42_aml_ctr" ->
+      s"""SELECT transaction_id, customer_id, amount_usd, transaction_date
+         |FROM ${st("silver_txns")}
+         |WHERE amount_usd >= 10000 ORDER BY transaction_id""".stripMargin,
+
+    "q43_aml_structuring" ->
+      s"""WITH sub AS (
+         |  SELECT customer_id, transaction_id, transaction_timestamp, amount_usd
+         |  FROM ${st("silver_txns")}
+         |  WHERE amount_usd >= 9000 AND amount_usd < 10000),
+         |w AS (
+         |  SELECT customer_id, transaction_id, transaction_timestamp, amount_usd,
+         |    COUNT(*) OVER win AS n_window,
+         |    CAST(SUM(amount_usd) OVER win AS DECIMAL(18,2)) AS sum_window
+         |  FROM sub
+         |  WINDOW win AS (PARTITION BY customer_id
+         |    ORDER BY CAST(FLOOR(epoch(transaction_timestamp)) AS BIGINT)
+         |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW))
+         |SELECT * FROM w WHERE n_window >= 3
+         |ORDER BY customer_id, transaction_timestamp""".stripMargin,
+
+    "q44_rate_asof" ->
+      s"""WITH t AS (
+         |  SELECT transaction_id, currency, transaction_timestamp AS ts, amount
+         |  FROM ${st("silver_txns")}),
+         |r AS (
+         |  SELECT source_currency AS currency, CAST(rate_date AS TIMESTAMP) AS rts,
+         |    CAST(exchange_rate AS DOUBLE) AS rate
+         |  FROM ${st("silver_rates")})
+         |SELECT t.currency, t.ts, t.transaction_id, t.amount,
+         |  r.rts AS asof_rts, r.rate AS asof_rate
+         |FROM t ASOF LEFT JOIN r ON t.currency = r.currency AND r.rts <= t.ts
+         |ORDER BY t.transaction_id""".stripMargin)
 }

@@ -250,11 +250,19 @@ object Relational {
     // Sketch-based percentiles — the 100 TB path (rows-only: sketch
     // internals are engine-specific).
     "q50b_approx_percentiles" -> ((s, dir) => {
+      // exploded to one (flag, quantile, value) row per percentile — scalar
+      // cells only, so the driver's value hasher can sort/hash the result
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 1000)")
-          .as("approx_pcts"))
-        .orderBy(col("l_returnflag"))
+          .as("pcts"))
+        .select(col("l_returnflag"),
+          posexplode(col("pcts")).as(Seq("pos", "value")))
+        .select(col("l_returnflag"),
+          element_at(typedlit(Seq(0.25, 0.5, 0.75, 0.95)), col("pos") + 1)
+            .as("quantile"),
+          col("value"))
+        .orderBy(col("l_returnflag"), col("quantile"))
     }),
 
     // Pivot (explicit value list → deterministic column set; nulls

@@ -47,10 +47,12 @@ object VectorQueries {
         .withColumn("vec_id", col("vec_id") + 1000000L)
         .withColumn("embedding",
           transform(col("embedding"), x => x * lit(1.001f))))
+      // all-pairs shape: queries == corpus, so the query side must NOT be
+      // broadcast — shuffle hash join on the bucket key instead
       Similarity.lshTopK(
           corpus = planted, queries = planted,
           idCol = "vec_id", vecCol = "embedding", k = 3,
-          numPlanes = 8, dim = 64)
+          numPlanes = 8, dim = 64, broadcastQueries = false)
         .filter(col("sim") >= 0.9 && col("query_id") < col("neighbor_id"))
         .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("sim"))
         .orderBy(col("a"), col("b"))
