@@ -252,9 +252,9 @@ object Dedup {
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
     // localCheckpoint per iteration: each round's plan references the
-    // previous round twice (join + change count), so WITHOUT lineage
-    // truncation the logical plan doubles per iteration — exponential
-    // plan size long before the data is large
+    // previous round, so WITHOUT lineage truncation the logical plan
+    // doubles per iteration — exponential plan size long before the data
+    // is large
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
     var converged = false
@@ -264,15 +264,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // convergence detection rides the checkpoint action as an observed
+      // metric (labels only ever decrease, so changed = new < old) — ONE
+      // Spark job per round instead of checkpoint + a label-diff join
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
+      val next = labels.withColumnRenamed("component", "old")
+        .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("component"),
+          col("old"))
+        .observe(obs,
+          sum(when(col("component") < col("old"), 1L).otherwise(0L))
+            .as("changed"))
+        .select(col("id"), col("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
       labels = next
-      converged = changed == 0
+      converged = Option(obs.get("changed")).forall(_ == 0L)
       i += 1
     }
     edges.unpersist()
