@@ -12,9 +12,11 @@ object Verify {
     // Dump the generated silver inputs so the DuckDB oracle can recompute
     // the fintech queries from the exact same bytes (generator is seeded +
     // partition-independent, so this equals what the queries consume).
+    // Sibling dir, not inside outDir: the driver enumerates outDir subdirs
+    // as query outputs, so an in-tree dump pollutes the correctness roster.
     graft.queries.FintechQueries.oracleTables(spark).foreach {
       case (name, df) =>
-        try df.write.mode("overwrite").parquet(s"$absOut/_oracle_tables/$name")
+        try df.write.mode("overwrite").parquet(s"${absOut}_inputs/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] oracle table $name failed: ${e.getMessage}")
         }

@@ -279,7 +279,14 @@ object Dedup {
         .select(col("id"), col("component"))
         .localCheckpoint(true)
       labels = next
-      converged = Option(obs.get("changed")).forall(_ == 0L)
+      // getOrEmpty, not get: the eager checkpoint above has already run the
+      // observed plan, but if that action ever stops posting SQL-execution
+      // -end events (e.g. a Spark upgrade moving checkpoint to an RDD-level
+      // job) a blocking get() would hang forever. Missing metrics → assume
+      // not converged and spend one more bounded iteration instead.
+      converged = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+        .get("changed")
+        .exists(v => v == null || v == 0L) // null = zero-row graph = fixpoint
       i += 1
     }
     edges.unpersist()

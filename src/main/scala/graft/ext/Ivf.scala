@@ -97,21 +97,27 @@ object Ivf {
   }
 
   /** Approximate top-k: probe the query's `nprobe` best cells, exact cosine
-    * within candidates, rank per query. */
+    * within candidates, rank per query.
+    *
+    * Vectors are cast to array&lt;double&gt; up front, matching [[train]]'s
+    * projection exactly — otherwise a float corpus computes cellId in
+    * different arithmetic at search time than the one its mass trained,
+    * and borderline vectors silently land in the wrong cell. */
   def topK(corpus: DataFrame, queries: DataFrame, m: Model,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
       roundDigits: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      Similarity.norm(col(vecCol)).as("__cn"),
-      cellId(col(vecCol), m).as("cell"))
+    val cv = col(vecCol).cast("array<double>")
+    val c = corpus.select(col(idCol).as("neighbor_id"), cv.as("__cv"),
+      Similarity.norm(cv).as("__cn"),
+      cellId(cv, m).as("cell"))
     // top-nprobe cells per query: sort (−sim, idx) structs, slice, explode
-    val sims = simArray(col(vecCol), m)
+    val sims = simArray(cv, m)
     val ranked = array_sort(zip_with(sims,
       sequence(lit(0), lit(m.k - 1)),
       (s, i) => struct((-s).as("neg"), i.cast(IntegerType).as("idx"))))
     val probes = transform(slice(ranked, 1, nprobe), e => e.getField("idx"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      Similarity.norm(col(vecCol)).as("__qn"),
+    val q = queries.select(col(idCol).as("query_id"), cv.as("__qv"),
+      Similarity.norm(cv).as("__qn"),
       explode(probes).as("cell"))
     val scored = broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

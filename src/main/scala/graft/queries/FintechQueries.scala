@@ -28,9 +28,11 @@ object FintechQueries {
   /** Token in oracle SQL that Verify rewrites to the absolute out dir. */
   val OutPlaceholder = "__GRAFT_OUT__"
 
-  /** `read_parquet` reference to a Verify-dumped oracle input table. */
+  /** `read_parquet` reference to a Verify-dumped oracle input table.
+    * Lives in a sibling `<outDir>_inputs` dir, NOT inside outDir — the
+    * driver's gate enumerates every subdir of outDir as a query output. */
   private def st(name: String): String =
-    s"read_parquet('$OutPlaceholder/_oracle_tables/$name/*.parquet')"
+    s"read_parquet('${OutPlaceholder}_inputs/$name/*.parquet')"
 
   // modest volumes: enough to exercise every pattern incl. AML tails
   private def silverTxns(s: SparkSession): DataFrame =
@@ -53,26 +55,37 @@ object FintechQueries {
     "silver_rates" -> silverRates(s))
 
   val queries: Map[String, QFn] = Map(
-    // generator → silver casts → gold daily metrics, fully deterministic
+    // generator → silver casts → gold daily metrics, fully deterministic.
+    // DECIMAL outputs are cast to DOUBLE at the query boundary: the driver
+    // hashes Spark parquet via pyarrow (Decimal '1763.20') vs the oracle
+    // via DuckDB->pandas (float64 '1763.2'), so decimals can never
+    // hash-match even when values are identical (Q parity rules).
     "q40_fintech_daily" -> ((s, _) => {
       FintechGold.aggDailyMetrics(silverTxns(s))
+        .withColumn("total_amount_usd", col("total_amount_usd").cast("double"))
+        .withColumn("total_fees", col("total_fees").cast("double"))
         .orderBy(col("transaction_date"), col("status"))
     }),
 
     // customer 360 over generated customers + txns
     "q41_fintech_c360" -> ((s, _) => {
       FintechGold.aggCustomer360(silverTxns(s), silverCustomers(s))
+        .withColumn("total_spend_usd", col("total_spend_usd").cast("double"))
         .orderBy(col("customer_id"))
     }),
 
     // AML: CTR screen at the $10k reporting threshold
     "q42_aml_ctr" -> ((s, _) => {
-      FintechGold.amlCtr(silverTxns(s)).orderBy(col("transaction_id"))
+      FintechGold.amlCtr(silverTxns(s))
+        .withColumn("amount_usd", col("amount_usd").cast("double"))
+        .orderBy(col("transaction_id"))
     }),
 
     // AML: structuring screen — ≥3 just-under-CTR txns in a 7-day window
     "q43_aml_structuring" -> ((s, _) => {
       FintechGold.amlStructuring(silverTxns(s))
+        .withColumn("amount_usd", col("amount_usd").cast("double"))
+        .withColumn("sum_window", col("sum_window").cast("double"))
         .orderBy(col("customer_id"), col("transaction_timestamp"))
     }),
 
@@ -81,7 +94,8 @@ object FintechQueries {
     "q44_rate_asof" -> ((s, _) => {
       val txns = silverTxns(s)
         .select(col("transaction_id"), col("currency"),
-          col("transaction_timestamp").as("ts"), col("amount"))
+          col("transaction_timestamp").as("ts"),
+          col("amount").cast("double").as("amount"))
       val rates = silverRates(s)
         .select(col("source_currency").as("currency"),
           col("rate_date").cast("timestamp").as("rts"),
@@ -113,8 +127,8 @@ object FintechQueries {
   val oracles: Map[String, String] = Map(
     "q40_fintech_daily" ->
       s"""SELECT transaction_date, status, COUNT(*) AS n_transactions,
-         |  CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS total_amount_usd,
-         |  CAST(SUM(fee_amount) AS DECIMAL(18,2)) AS total_fees,
+         |  CAST(CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS DOUBLE) AS total_amount_usd,
+         |  CAST(CAST(SUM(fee_amount) AS DECIMAL(18,2)) AS DOUBLE) AS total_fees,
          |  CAST(SUM(CASE WHEN is_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
          |  COUNT(DISTINCT customer_id) AS n_customers
          |FROM ${st("silver_txns")}
@@ -123,7 +137,7 @@ object FintechQueries {
     "q41_fintech_c360" ->
       s"""WITH per AS (
          |  SELECT customer_id, COUNT(*) AS n_transactions,
-         |    CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS total_spend_usd,
+         |    CAST(CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend_usd,
          |    CAST(CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS DOUBLE)
          |      / CAST(COUNT(*) AS DOUBLE) AS avg_transaction_usd,
          |    MIN(transaction_date) AS first_transaction_date,
@@ -140,7 +154,8 @@ object FintechQueries {
          |ORDER BY c.customer_id""".stripMargin,
 
     "q42_aml_ctr" ->
-      s"""SELECT transaction_id, customer_id, amount_usd, transaction_date
+      s"""SELECT transaction_id, customer_id,
+         |  CAST(amount_usd AS DOUBLE) AS amount_usd, transaction_date
          |FROM ${st("silver_txns")}
          |WHERE amount_usd >= 10000 ORDER BY transaction_id""".stripMargin,
 
@@ -157,12 +172,16 @@ object FintechQueries {
          |  WINDOW win AS (PARTITION BY customer_id
          |    ORDER BY CAST(FLOOR(epoch(transaction_timestamp)) AS BIGINT)
          |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW))
-         |SELECT * FROM w WHERE n_window >= 3
+         |SELECT customer_id, transaction_id, transaction_timestamp,
+         |  CAST(amount_usd AS DOUBLE) AS amount_usd, n_window,
+         |  CAST(sum_window AS DOUBLE) AS sum_window
+         |FROM w WHERE n_window >= 3
          |ORDER BY customer_id, transaction_timestamp""".stripMargin,
 
     "q44_rate_asof" ->
       s"""WITH t AS (
-         |  SELECT transaction_id, currency, transaction_timestamp AS ts, amount
+         |  SELECT transaction_id, currency, transaction_timestamp AS ts,
+         |    CAST(amount AS DOUBLE) AS amount
          |  FROM ${st("silver_txns")}),
          |r AS (
          |  SELECT source_currency AS currency, CAST(rate_date AS TIMESTAMP) AS rts,

@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `Observation.getOrEmpty` is `private[sql]` on Spark 4.x: non-blocking
+    * metric read (≤100 ms wait, empty map if the action never posted its
+    * SQL-execution-end event) — the safe form for convergence checks that
+    * must not hang if an eager action stops reporting. */
+  def observedOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
 }
