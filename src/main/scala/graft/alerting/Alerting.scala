@@ -72,3 +72,58 @@ final class AlertManager(
     .replace("\\", "\\\\").replace("\"", "\\\"")
     .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
 }
+
+/** Convenience wrappers mirroring the reference's standard alert shapes
+  * (`src/utils/alerting.py:355-478`): pipeline failure (P1, pages),
+  * DQ-check failure (P2 default, fail-rate context), freshness SLA breach
+  * (P2, age vs SLA context). Each returns the channels notified. */
+object Alerts {
+
+  /** Pipeline failure: P1 — the only severity that pages. Error text is
+    * truncated to 500 chars like the reference. */
+  def pipelineFailureAlert(mgr: AlertManager, pipelineName: String,
+      errorMessage: String, retryCount: Int = 0): Seq[String] =
+    mgr.send(Alert(
+      title = s"$pipelineName Pipeline Failed",
+      message = s"Pipeline failed after $retryCount retries. " +
+        s"Error: ${errorMessage.take(500)}",
+      severity = AlertSeverity.P1,
+      pipelineName = pipelineName,
+      details = Map("Retry Count" -> retryCount.toString)))
+
+  /** DQ-check failure with failed/total context and a percentage fail rate
+    * (0 when totalRecords is 0, as in the reference). */
+  def dqFailureAlert(mgr: AlertManager, pipelineName: String,
+      tableName: String, checkName: String, failedRecords: Long,
+      totalRecords: Long,
+      severity: AlertSeverity.Value = AlertSeverity.P2): Seq[String] = {
+    val failRate =
+      if (totalRecords > 0) failedRecords.toDouble / totalRecords * 100 else 0.0
+    val ratePct = f"$failRate%.2f%%"
+    mgr.send(Alert(
+      title = s"Data Quality Check Failed: $checkName",
+      message = s"DQ check `$checkName` failed on table `$tableName`. " +
+        s"Failed records: $failedRecords ($ratePct) of $totalRecords.",
+      severity = severity,
+      pipelineName = pipelineName,
+      details = Map(
+        "Table" -> tableName,
+        "Check" -> checkName,
+        "Fail Rate" -> ratePct)))
+  }
+
+  /** Freshness SLA breach: table age vs SLA hours, P2, synthesized
+    * `freshness_check_<table>` pipeline name like the reference. */
+  def freshnessAlert(mgr: AlertManager, tableName: String, hoursOld: Double,
+      slaHours: Int): Seq[String] =
+    mgr.send(Alert(
+      title = s"Data Freshness SLA Breach: $tableName",
+      message = f"Table `$tableName` data is $hoursOld%.1f hours old. " +
+        s"SLA: $slaHours hours. Check upstream pipelines.",
+      severity = AlertSeverity.P2,
+      pipelineName = s"freshness_check_$tableName",
+      details = Map(
+        "Table" -> tableName,
+        "Current Age" -> f"$hoursOld%.1f hours",
+        "SLA" -> s"$slaHours hours")))
+}

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * mapInPandas/Arrow-batch shape — per-partition iterator, codec state
   * initialised once per partition, never per row).
   *
-  * The actual media codecs are STUBBED (this container ships no
-  * image/audio libraries): `decodeStub` derives deterministic pseudo
-  * -features from the bytes. Every Spark-side contract — schema, binary
-  * payload handling, per-partition batching, feature/resize/frame-sample
+  * Image decode is REAL (`javax.imageio` ships with the JDK): width,
+  * height and mean luminance come from actual pixel data for any format
+  * ImageIO reads (PNG/JPEG/BMP/GIF). Audio/video codecs are STUBBED (this
+  * container ships no media libraries): `decodeStub` derives deterministic
+  * pseudo-features from the bytes, and undecodable "image" payloads fall
+  * back to it too. Every Spark-side contract — schema, binary payload
+  * handling, per-partition batching, feature/resize/frame-sample
   * signatures — is real and tested; swapping `decodeStub` for a JNI/JavaCV
   * call is a one-function change.
   */
@@ -71,14 +74,67 @@ object Multimodal {
       feature_hash = h)
   }
 
+  /** Real image decode via the JDK's own codec: dimensions straight from
+    * the decoded raster; mean intensity = average luminance (0–255,
+    * ITU-R 601 weights) over a bounded deterministic sample grid (≤64×64
+    * points — a 100-megapixel scan costs the same as a thumbnail);
+    * feature_hash folds the same sampled pixels. Returns None when the
+    * bytes aren't a decodable image (ImageIO sniffs magic bytes), letting
+    * the caller fall back to the deterministic stub. */
+  private[ext] def decodeImage(a: MediaAsset): Option[MediaFeatures] = {
+    val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
+    if (bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val sx = math.max(1, w / 64)
+      val sy = math.max(1, h / 64)
+      var sum = 0.0
+      var n = 0L
+      var hash = 1125899906842597L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          sum += lum
+          n += 1
+          hash = hash * 31 + rgb
+          x += sx
+        }
+        y += sy
+      }
+      Some(MediaFeatures(
+        asset_id = a.asset_id,
+        media_type = a.media_type,
+        n_bytes = bytes.length.toLong,
+        width = w,
+        height = h,
+        duration_ms = 0L,
+        mean_intensity = if (n == 0) 0.0 else sum / n,
+        feature_hash = hash))
+    } catch { case _: Exception => None }
+  }
+
+  /** Dispatch: real codec where one exists (images, via the JDK), stub for
+    * audio/video and undecodable payloads. */
+  private[ext] def decode(a: MediaAsset): MediaFeatures =
+    if (a.media_type == "image") decodeImage(a).getOrElse(decodeStub(a))
+    else decodeStub(a)
+
   /** Batched feature extraction: one decoder context per partition (the
     * expensive-init pattern for real codecs), iterator-to-iterator so
     * nothing materialises per partition. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // ===> real impl: initialise codec/context ONCE here
-      it.map(decodeStub)
+      // real codec init happens lazily per partition (ImageIO scanners are
+      // process-wide; an expensive per-codec context would be built HERE)
+      it.map(decode)
     }
   }
 
@@ -88,7 +144,7 @@ object Multimodal {
   def sampleFrames(assets: Dataset[MediaAsset], framesPer: Int): DataFrame = {
     import assets.sparkSession.implicits._
     assets.filter(_.media_type == "video").flatMap { a =>
-      val base = decodeStub(a)
+      val base = decode(a)
       (0 until framesPer).map { f =>
         (a.asset_id, f, base.feature_hash * 31 + f, base.width, base.height)
       }

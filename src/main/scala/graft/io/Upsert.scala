@@ -40,7 +40,20 @@ object Upsert {
       source: DataFrame,
       keys: Seq[String],
       updateColumns: Option[Seq[String]] = None,
-      broadcastSource: Boolean = false): DataFrame = {
+      broadcastSource: Boolean = false): DataFrame =
+    mergeTracked(target, source, keys, updateColumns, broadcastSource, None)
+
+  /** [[merge]] with an optional [[org.apache.spark.sql.Observation]]: when
+    * supplied, updated/inserted counts are observed on the merge plan
+    * itself, so whatever action consumes the result (e.g. the upsert's
+    * staging write) yields the stats for free — no second join. */
+  def mergeTracked(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      updateColumns: Option[Seq[String]],
+      broadcastSource: Boolean,
+      observation: Option[org.apache.spark.sql.Observation]): DataFrame = {
     require(keys.nonEmpty, "merge keys must be non-empty")
     val dataCols = target.columns.filterNot(keys.contains).toSeq
     val updSet = updateColumns.getOrElse(dataCols).toSet
@@ -59,13 +72,19 @@ object Upsert {
 
     val sHere = col("__s_present").isNotNull
     val tHere = col("__t_present").isNotNull
+    val tracked = observation match {
+      case Some(obs) => joined.observe(obs,
+        sum(when(sHere && tHere, 1L).otherwise(0L)).as("updated"),
+        sum(when(sHere && !tHere, 1L).otherwise(0L)).as("inserted"))
+      case None => joined
+    }
     val keyCols = keys.map(k =>
       when(sHere, col(s"__s_$k")).otherwise(col(k)).as(k))
     val valCols = dataCols.map { c =>
       val fromSource = if (updSet.contains(c)) sHere else sHere && !tHere
       when(fromSource, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
-    joined.select(keyCols ++ valCols: _*)
+    tracked.select(keyCols ++ valCols: _*)
   }
 
   /** Merge stats without materialising the merge twice: one aggregate over
@@ -127,12 +146,25 @@ object Upsert {
         .map(f => df.withColumn(c, col(c).cast(f.dataType)))
         .getOrElse(df)
     }
-    val stats = mergeStats(target, source, keys)
+    // Stats ride the staging write as observed metrics: ONE full-outer join
+    // total. A separate mergeStats() pass would run the join twice — at
+    // 100 TB that doubles the most expensive operation in the pipeline.
+    val obs = org.apache.spark.sql.Observation(
+      s"merge_${UUID.randomUUID().toString.take(8)}")
     val staging = s"$targetPath.staging-${UUID.randomUUID().toString.take(8)}"
-    write(merge(target, source, keys, updateColumns), staging)
+    write(mergeTracked(target, source, keys, updateColumns,
+      broadcastSource = false, Some(obs)), staging)
     val retired = s"$targetPath.retired-${System.currentTimeMillis()}"
     Files.move(dir, Paths.get(retired), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(staging), dir, StandardCopyOption.ATOMIC_MOVE)
-    stats
+    val m = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+    def metric(name: String): Option[Long] =
+      m.get(name).collect { case l: java.lang.Long => l.longValue }
+    (metric("inserted"), metric("updated")) match {
+      case (Some(ins), Some(upd)) => MergeStats(inserted = ins, updated = upd)
+      // metrics missing (action stopped posting SQL events — shouldn't
+      // happen on current Spark): fall back to the two-pass count
+      case _ => mergeStats(target, source, keys)
+    }
   }
 }

@@ -157,7 +157,98 @@ object TextQueries {
   private def enStopList: String =
     graft.ext.TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
 
+  /** Shared oracle fragments for the corpus-composition queries (q57/q58):
+    * the planted corpus, word-3-shingle sets, the exact-Jaccard ≥0.8 pair
+    * graph, and min-label connected components as a recursive CTE. Valid
+    * as an oracle because the LSH mining is exact-Jaccard VERIFIED and, on
+    * this deterministic subset, finds every ≥0.8 pair — so the survivor
+    * set equals exact-pair-graph CC (established empirically, bit-exact). */
+  private val ccTail: String =
+    """ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+      |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT i.a, i.b
+      |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  private val shingleList: String =
+    """list_distinct(CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+      |      ELSE list_transform(range(1, len(tk) - 1),
+      |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q57_dedup_corpus" ->
+      s"""WITH RECURSIVE
+         |corpus AS (
+         |  SELECT doc_id, lang, source, text FROM documents WHERE doc_id < 1500
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, text || ' zyxqj'
+         |  FROM documents WHERE doc_id < 1500),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         |  FROM corpus),
+         |sh AS (SELECT doc_id, $shingleList AS s FROM toks),
+         |$ccTail
+         |SELECT c.doc_id, c.lang, c.source FROM corpus c
+         |WHERE c.doc_id NOT IN (SELECT id FROM cc WHERE comp < id)
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "q58_curate_corpus" ->
+      s"""WITH RECURSIVE
+         |corpus AS (
+         |  SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id < 1500
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, n_chars, text || ' zyxqj'
+         |  FROM documents WHERE doc_id < 1500),
+         |sig AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm,
+         |    CAST(length(text) AS BIGINT) AS len_chars,
+         |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |      ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_words,
+         |    CASE WHEN length(text) > 0
+         |      THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |      ELSE CAST(1 AS DOUBLE) END AS digit_ratio,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         |  FROM corpus),
+         |rep AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(rsh) > 0
+         |      THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(rsh)) AS DOUBLE)/CAST(len(rsh) AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END AS repetition
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+         |           ELSE list_transform(range(1, len(tk) - 1),
+         |                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS rsh
+         |    FROM sig)),
+         |filtered AS (
+         |  SELECT s.doc_id, s.lang, s.n_chars, s.text, s.norm, s.tk
+         |  FROM sig s JOIN rep r ON r.doc_id = s.doc_id
+         |  WHERE length(s.norm) >= 50
+         |    AND (CASE WHEN s.n_words BETWEEN 20 AND 10000 THEN 0.5 ELSE 0 END
+         |       + CASE WHEN s.digit_ratio < 0.3 THEN 0.3 ELSE 0 END
+         |       + CASE WHEN s.len_chars >= 100 THEN 0.2 ELSE 0 END) >= 0.7
+         |    AND r.repetition <= 0.5),
+         |exact AS (
+         |  SELECT * FROM filtered
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY norm)),
+         |sh AS (SELECT doc_id, $shingleList AS s FROM exact),
+         |$ccTail
+         |SELECT e.doc_id, e.lang, e.n_chars FROM exact e
+         |WHERE e.doc_id NOT IN (SELECT id FROM cc WHERE comp < id)
+         |ORDER BY e.doc_id""".stripMargin,
+
     "q54_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks

@@ -87,4 +87,40 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(p.contains("\\\"quoted\\\""))
     assert(!p.contains("\n"))
   }
+
+  test("pipeline failure wrapper: P1, pages, truncates error to 500 chars") {
+    val poster = new RecordingPoster
+    val mgr = new AlertManager(Some("http://slack"), Some("http://pd"),
+      dryRun = false, poster = poster)
+    val channels = Alerts.pipelineFailureAlert(mgr, "silver_txns",
+      errorMessage = "x" * 800, retryCount = 3)
+    assert(channels == Seq("slack", "pagerduty"))
+    val a = mgr.history.last
+    assert(a.severity == AlertSeverity.P1)
+    assert(a.title == "silver_txns Pipeline Failed")
+    assert(a.message.contains("after 3 retries"))
+    assert(a.message.length < 600) // 500-char error cap
+    assert(a.details("Retry Count") == "3")
+  }
+
+  test("dq failure wrapper: fail rate context, zero-total safe") {
+    val mgr = new AlertManager() // dry-run
+    Alerts.dqFailureAlert(mgr, "bronze_load", "transactions", "not_null_id",
+      failedRecords = 25, totalRecords = 1000)
+    val a = mgr.history.last
+    assert(a.severity == AlertSeverity.P2)
+    assert(a.details("Fail Rate") == "2.50%")
+    Alerts.dqFailureAlert(mgr, "p", "t", "c", 0, 0)
+    assert(mgr.history.last.details("Fail Rate") == "0.00%")
+  }
+
+  test("freshness wrapper: age vs SLA context, synthesized pipeline name") {
+    val mgr = new AlertManager()
+    Alerts.freshnessAlert(mgr, "silver_txns", hoursOld = 26.37, slaHours = 24)
+    val a = mgr.history.last
+    assert(a.severity == AlertSeverity.P2)
+    assert(a.pipelineName == "freshness_check_silver_txns")
+    assert(a.message.contains("26.4 hours old"))
+    assert(a.details("SLA") == "24 hours")
+  }
 }

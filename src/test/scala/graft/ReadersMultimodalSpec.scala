@@ -89,6 +89,30 @@ class ReadersMultimodalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("multimodal: real PNG payloads decode to true dimensions and intensity") {
+    // encode an actual PNG (JDK codec) — 80×40, uniform gray (100,100,100):
+    // ITU-R 601 luminance of that pixel is exactly 100.0
+    val img = new java.awt.image.BufferedImage(
+      80, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (100 << 16) | (100 << 8) | 100
+    for (y <- 0 until 40; x <- 0 until 80) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", png, "test://png", png.length.toLong),
+      // text bytes are not a decodable image → deterministic stub fallback
+      Multimodal.MediaAsset(2L, "image", "not an image".getBytes("UTF-8"),
+        "test://txt", 12L)).toDS()
+    val feats = Multimodal.extractFeatures(assets)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats(1L).width == 80 && feats(1L).height == 40)
+    assert(math.abs(feats(1L).mean_intensity - 100.0) < 1e-9)
+    assert(feats(1L).duration_ms == 0L)
+    // fallback keeps the stub's derived pseudo-dimensions
+    assert(feats(2L).width >= 64 && feats(2L).height >= 64)
+  }
+
   test("multimodal: frame sampling emits framesPer rows per video asset") {
     val docs = Tables.load(spark, sfDir, "documents")
     val assets = Multimodal.assetsFromDocuments(spark, docs)
