@@ -169,10 +169,11 @@ object Dedup {
     * Explode → ONE imperative mergeable aggregate
     * (graft.functions.SimHashAgg: 65-long buffer, map-side combine) —
     * one shuffle on the doc id. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+      hash: Column => Column = xxhash64(_)): DataFrame =
     docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
+      .select(col(idCol), hash(col("tok")).as("h"))
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
 
@@ -196,8 +197,9 @@ object Dedup {
     *      still reachable through their other 3 bands).
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = simHash(docs, idCol, textCol)
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    val sigs = simHash(docs, idCol, textCol, hash)
       .select(col(idCol).as("id"), col("simhash")).persist()
     sigs.count() // materialize once before the branches race for the cache
 

@@ -123,15 +123,26 @@ object TextStats {
     best._1
   }
 
+  /** 60-bit gram hash derived from md5 — slower than xxhash64 but exactly
+    * reproducible in any engine with md5 + hex parsing (DuckDB:
+    * `('0x' || substr(md5(s),1,15))::BIGINT`). Use as the `hash` for
+    * [[winnowingFingerprint]] when cross-engine-checkable output matters
+    * more than throughput. */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(encode(c, "UTF-8")), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
     * rolling hashes, minimum per sliding window of `w`, distinct set of
     * selected hashes per doc. Used for robust near-dup detection at scale;
-    * here hashes are xxhash64 over word k-grams (character k-grams work the
-    * same way, swap the tokenizer). */
+    * default hash is xxhash64 over word k-grams (character k-grams work the
+    * same way, swap the tokenizer); pass [[md5Hash64]] for oracle-checkable
+    * fingerprints. */
   def winnowingFingerprint(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, window: Int = 4): DataFrame = {
+      k: Int = 3, window: Int = 4,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
     val hashes = transform(Shingles.wordShingles(col(textCol), k),
-      s => xxhash64(s))
+      s => hash(s))
     // let-bind the hash array (transform-over-singleton): project collapse
     // would otherwise inline it into the sliding-window lambda and
     // re-evaluate the whole shingle pipeline once per window position

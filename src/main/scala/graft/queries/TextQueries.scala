@@ -2,8 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
-
 import graft.ext.{Dedup, TextStats}
 import Q._
 
@@ -75,10 +73,15 @@ object TextQueries {
         .orderBy(col("a"), col("b"))
     }),
 
-    // SimHash near-dup pairs over planted dups (rows-only).
+    // SimHash near-dup pairs over planted dups. md5-derived token hash →
+    // the signature AND the rep-mediated pair graph are reproducible in
+    // DuckDB (bit-majority per bit, 16-bit-band candidates are complete
+    // for hamming ≤3 by pigeonhole), so this is hash-checked; the
+    // xxhash64 default remains the production path.
     "q30_simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(withPlantedNearDups(t(s, dir, "documents")),
-          "doc_id", "text", maxHamming = 3)
+          "doc_id", "text", maxHamming = 3,
+          hash = graft.ext.TextStats.md5Hash64)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -140,12 +143,14 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Winnowing fingerprints (rows-only; hash-set per doc).
+    // Winnowing fingerprints, md5-derived gram hash + exploded to scalar
+    // rows so the fingerprint SET itself is DuckDB-hash-checked (the
+    // xxhash64 default stays for production throughput).
     "q32_fingerprint" -> ((s, dir) => {
-      TextStats.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), size(col("fingerprint")).cast(LongType).as("n_grams"),
-          xxhash64(col("fingerprint")).as("fp_hash"))
-        .orderBy(col("doc_id"))
+      TextStats.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text",
+          hash = TextStats.md5Hash64)
+        .select(col("doc_id"), explode(col("fingerprint")).as("gram"))
+        .orderBy(col("doc_id"), col("gram"))
     }))
 
   private def sqlStop(lang: String): String = {
@@ -187,6 +192,57 @@ object TextQueries {
       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q30_simhash_pairs" ->
+      """WITH
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' zyxqj' FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM corpus),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |    CASE WHEN 2 * SUM((hv >> b.bit) & 1) > COUNT(*)
+        |         THEN (1::BIGINT << b.bit) ELSE 0 END AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |sig AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+        |clustered AS (SELECT simhash, MIN(doc_id) AS rep FROM sig GROUP BY simhash),
+        |dup AS (
+        |  SELECT c.rep AS a, s.doc_id AS b, 0::BIGINT AS hamming
+        |  FROM sig s JOIN clustered c USING (simhash) WHERE s.doc_id <> c.rep),
+        |near AS (
+        |  SELECT x.rep AS a, y.rep AS b,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |  FROM clustered x JOIN clustered y ON x.rep < y.rep
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+        |SELECT a, b, hamming FROM (SELECT * FROM dup UNION ALL SELECT * FROM near)
+        |ORDER BY a, b""".stripMargin,
+
+    "q32_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |gs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(1, len(tk) - 1),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS sh
+        |  FROM toks),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(sh, s -> (('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
+        |  FROM gs),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) <= 4 THEN [list_min(h)]
+        |         ELSE list_distinct(list_transform(range(0, len(h) - 3),
+        |                i -> list_min(list_slice(h, i + 1, i + 4)))) END AS f
+        |  FROM hs)
+        |SELECT doc_id, unnest(f) AS gram FROM fp ORDER BY doc_id, gram""".stripMargin,
+
     "q57_dedup_corpus" ->
       s"""WITH RECURSIVE
          |corpus AS (
