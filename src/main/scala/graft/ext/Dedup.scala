@@ -248,8 +248,25 @@ object Dedup {
     * Near-dup clusters have tiny diameters (members link to a
     * representative), so convergence is fast; each iteration is one join +
     * one aggregate, both keyed shuffles.
+    *
+    * Small graphs skip the distributed loop: a near-dup pair graph is a
+    * sliver of its corpus (pairs are 16 bytes each — 10M edges ≈ 160 MB),
+    * and the distributed path costs ~2 jobs × rounds no matter how tiny
+    * the data, so graphs with ≤ `maxDriverEdges` edges and long ids are
+    * solved by driver-side union-find in ONE collect (identical output:
+    * component = min id). Same size-gated-fallback pattern as Spark's own
+    * broadcast threshold; pass maxDriverEdges = 0 to force the
+    * distributed path.
     * Returns (id, component) where component = min id in the cluster. */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10,
+      maxDriverEdges: Long = 10000000L): DataFrame = {
+    val longIds = pairs.schema("a").dataType == LongType &&
+      pairs.schema("b").dataType == LongType
+    // pairs from minHashLsh/simHashPairs arrive persisted+counted, so this
+    // count is a cache read, and a re-count of anything else is no more
+    // than the first pass the distributed path would do anyway
+    if (longIds && maxDriverEdges > 0 && pairs.count() <= maxDriverEdges)
+      return unionFindLocal(pairs)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
@@ -293,6 +310,37 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side union-find for small pair graphs: one collect, zero
+    * shuffles. Union-by-min keeps every set's root at its minimum id, so
+    * the output matches the distributed propagation bit for bit. */
+  private def unionFindLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a"), col("b")).collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var c = x
+      while (parent.getOrElse(c, c) != root) { // path compression
+        val next = parent(c); parent(c) = root; c = next
+      }
+      root
+    }
+    edges.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted
+      .map(id => (id, find(id)))
+      .toDF("id", "component")
   }
 
   /** End-to-end near-duplicate corpus dedup: mine the near-dup graph

@@ -182,6 +182,19 @@ class ExtSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponents: driver union-find equals distributed propagation") {
+    // chain + star + isolated pair, adversarial ordering (high ids first)
+    val pairs = Seq((9L, 8L), (8L, 7L), (7L, 1L), (20L, 25L), (20L, 22L),
+      (40L, 41L), (3L, 9L)).map { case (a, b) => (a, b, 0.9) }
+      .toDF("a", "b", "jaccard")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
+    assert(local.filter(_._2 == 1L).map(_._1) == Set(1L, 3L, 7L, 8L, 9L))
+  }
+
   test("dedupNearDuplicates removes planted dups, keeps originals") {
     val cleaned = Dedup.dedupNearDuplicates(docsWithDups, "doc_id", "text",
       minJaccard = 0.8)
