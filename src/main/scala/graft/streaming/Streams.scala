@@ -99,4 +99,55 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Continuous MERGE into a parquet lakehouse table — the standard
+    * CDC-ingest sink shape: each micro-batch is reduced to its latest row
+    * per key (intra-batch CDC ordering by `orderCol`, PK tiebreak), then
+    * upserted via the atomic-swap [[graft.io.Upsert]]. Restart-safe: the
+    * checkpoint replays an incomplete batch and the upsert is idempotent
+    * for identical input (same keys → same source-wins result).
+    *
+    * Scale: state-free — all heavy lifting is the batch merge join, which
+    * inherits Upsert's AQE broadcast of small CDC batches against the big
+    * target. */
+  def mergeSink(events: DataFrame, targetPath: String, keys: Seq[String],
+      orderCol: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = graft.ops.Transforms.deduplicateByKey(
+            batch, keys, orderCol, ascending = false, tieBreakers = keys)
+          graft.io.Upsert.upsertParquet(
+            batch.sparkSession, latest, targetPath, keys)
+        }
+        ()
+      }
+      .start()
+
+  /** Stream-stream inner join: each left event picks up right-side events
+    * for the same user within the trailing `rangeSeconds` window. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so state on BOTH sides is GC-able — the canonical bounded
+    * stream-stream join (ad-click attribution shape). One shuffle per side
+    * on user_id. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      rangeSeconds: Long = 300, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts"),
+      col("event_id").as("l_event_id"), col("event_type").as("l_type"))
+      .withWatermark("ts", watermark)
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+      col("event_id").as("r_event_id"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $rangeSeconds SECONDS") &&
+        col("r_ts") <= col("ts"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("ts"), col("r_ts"), col("l_type"), col("r_type"))
+  }
 }

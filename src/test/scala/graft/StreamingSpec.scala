@@ -71,6 +71,56 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n)
   }
 
+  test("streaming merge sink upserts each micro-batch into the target") {
+    val src = Files.createTempDirectory("cdc-src").toString
+    val tgt = Files.createTempDirectory("cdc-tgt").toString + "/table"
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+    def ev(id: Long, user: Long, sec: Int, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), user, "upd", v)
+    def run(rows: Seq[(Long, Timestamp, Long, String, Double)], f: String): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$src/$f")
+      val q = Streams.mergeSink(Streams.eventsStream(spark, s"$src/*"),
+        tgt, keys = Seq("event_id"), orderCol = "ts", checkpoint = ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: keys 1,2 (key 1 twice — later ts must win inside the batch)
+    run(Seq(ev(1, 10, 1, 1.0), ev(1, 10, 5, 7.0), ev(2, 20, 2, 2.0)), "b1")
+    val after1 = spark.read.parquet(tgt)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(after1 == Map(1L -> 7.0, 2L -> 2.0))
+    // batch 2: update key 2, insert key 3
+    run(Seq(ev(2, 20, 9, 9.0), ev(3, 30, 9, 3.0)), "b2")
+    val after2 = spark.read.parquet(tgt)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(after2 == Map(1L -> 7.0, 2L -> 9.0, 3L -> 3.0))
+  }
+
+  test("stream-stream interval join attributes right events to left") {
+    val lDir = Files.createTempDirectory("ss-left").toString
+    val rDir = Files.createTempDirectory("ss-right").toString
+    def ev(id: Long, user: Long, sec: Int, typ: String) =
+      (id, Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d"),
+        user, typ, 1.0)
+    // left purchase at t=300; right clicks at t=60 (in 5-min window),
+    // t=299 (in), t=301 (after → out), different user t=200 (out)
+    Seq(ev(100, 1, 300, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(lDir)
+    Seq(ev(1, 1, 60, "click"), ev(2, 1, 299, "click"),
+      ev(3, 1, 301, "click"), ev(4, 2, 200, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(rDir)
+    val joined = Streams.intervalJoin(
+      Streams.eventsStream(spark, lDir), Streams.eventsStream(spark, rDir),
+      rangeSeconds = 300, watermark = "1 hour")
+    runToMemory(joined, "attributed")
+    val got = spark.table("attributed")
+      .select("l_event_id", "r_event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (100L, 2L)))
+  }
+
   test("stateful sessionize emits gap-separated sessions") {
     val dir = Files.createTempDirectory("sess-stream").toString
     def ev(id: Long, user: Long, minute: Long) =
