@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: split assignment
+  * and sampling decisions are pure functions of the row's id hash, so
+  * they are stable across runs, partitionings, cluster sizes and Spark
+  * versions — the property that matters for reproducible train/val/test
+  * membership and for incrementally-growing corpora (a doc's split never
+  * changes when new data arrives). Seeded `df.sample`/`sampleBy` give
+  * none of these guarantees.
+  *
+  * All decisions compare an integer bucket `pmod(hash(id), 1e6)` against
+  * integer thresholds (`round(rate * 1e6)`) — no float boundaries, so an
+  * external system (or SQL oracle) reproducing the arithmetic gets the
+  * identical row set. Narrow Column algebra: no shuffle, no UDF; a
+  * sample/split over 100 TB is a map-only scan that combines with
+  * filter/column pushdown. Hash is pluggable like the other ext
+  * operators: xxhash64 by default, [[TextStats.md5Hash64]] when the
+  * assignment must be reproducible outside the JVM.
+  */
+object Sampling {
+
+  /** Bucket resolution: rates are honored to 1e-6. */
+  val Buckets = 1000000L
+
+  /** Integer bucket in [0, Buckets) from the id hash. Ids are hashed via
+    * their canonical string form so any engine can reproduce the bucket. */
+  def bucket(id: Column, hash: Column => Column = xxhash64(_)): Column =
+    pmod(hash(id.cast("string")), lit(Buckets))
+
+  /** Assign every row a stable split label ("train"/"val"/"test"...) from
+    * `weights` (need not sum to 1 — they are normalized). Assignment is
+    * by cumulative-bucket interval in the given order of `weights`; the
+    * last split takes the otherwise-branch, so no row is ever
+    * unassigned. */
+  def hashSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)],
+      splitCol: String = "split",
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum > 0, "weights must be non-negative, sum > 0")
+    val total = weights.map(_._2).sum
+    val b = bucket(col(idCol), hash)
+    val uppers = weights
+      .map(w => w._2 / total)
+      .scanLeft(0.0)(_ + _).tail
+      .map(u => math.round(u * Buckets))
+    val label = weights.map(_._1).zip(uppers).init
+      .foldLeft(Option.empty[Column]) { case (acc, (name, upper)) =>
+        Some(acc.fold(when(b < upper, lit(name)))(_.when(b < upper, lit(name))))
+      }
+      .fold(lit(weights.last._1))(_.otherwise(lit(weights.last._1)))
+    df.withColumn(splitCol, label)
+  }
+
+  /** Deterministic Bernoulli sample at `rate`: keeps a row iff its id
+    * bucket falls under `round(rate * 1e6)`. Same row set on every run. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
+    df.filter(bucket(col(idCol), hash) < math.round(rate * Buckets))
+  }
+
+  /** Deterministic stratified sample: a per-stratum rate (default for
+    * strata not listed). The training-mixture primitive — e.g. keep 100%
+    * of books, 10% of web crawl. Map-only; no shuffle. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * Buckets))) {
+      case (acc, (k, r)) =>
+        when(col(strataCol) === k, lit(math.round(r * Buckets))).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), hash) < threshold)
+  }
+}

@@ -129,7 +129,7 @@ object TextStats {
     * [[winnowingFingerprint]] when cross-engine-checkable output matters
     * more than throughput. */
   def md5Hash64(c: Column): Column =
-    conv(substring(md5(encode(c, "UTF-8")), 1, 15), 16, 10)
+    conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 15), 16, 10)
       .cast(org.apache.spark.sql.types.LongType)
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram

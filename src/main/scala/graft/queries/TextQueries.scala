@@ -143,6 +143,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split (md5-bucket variant → the
+    // assignment itself is DuckDB-hash-checked).
+    "q59_hash_split" -> ((s, dir) => {
+      graft.ext.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hash = TextStats.md5Hash64)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified mixture: per-language keep rates.
+    "q60_stratified_sample" -> ((s, dir) => {
+      graft.ext.Sampling.stratifiedSample(t(s, dir, "documents"),
+          strataCol = "lang", idCol = "doc_id",
+          rates = Map("en" -> 1.0, "de" -> 0.5), defaultRate = 0.25,
+          hash = TextStats.md5Hash64)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints, md5-derived gram hash + exploded to scalar
     // rows so the fingerprint SET itself is DuckDB-hash-checked (the
     // xxhash64 default stays for production throughput).
@@ -192,6 +212,27 @@ object TextQueries {
       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q59_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q60_stratified_sample" ->
+      """SELECT doc_id, lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+        |  FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 1000000
+        |                    WHEN 'de' THEN 500000 ELSE 250000 END
+        |ORDER BY doc_id""".stripMargin,
+
     "q30_simhash_pairs" ->
       """WITH
         |corpus AS (

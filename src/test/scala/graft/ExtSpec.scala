@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, Dedup, Similarity, TextStats}
+import graft.ext.{AsOfJoin, Dedup, Sampling, Similarity, TextStats}
 
 class ExtSpec extends SparkSpec {
   import spark.implicits._
@@ -256,5 +256,43 @@ class ExtSpec extends SparkSpec {
       numPlanes = 4, dim = 64))
     val recall = brute.intersect(approx).size.toDouble / brute.size
     assert(recall >= 0.3, s"recall $recall too low")
+  }
+
+  test("hashSplit covers every row, is disjoint, stable, and near-weights") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byLabel = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum == n) // total coverage, no unassigned rows
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train").toDouble / n > 0.7 &&
+      byLabel("train").toDouble / n < 0.9)
+    // determinism: same assignment under a different partitioning
+    val again = Sampling.hashSplit(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = split.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
+  test("hashSample and stratifiedSample are deterministic subsets at rate") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // a higher rate strictly contains a lower one (nested samples)
+    val s3 = Sampling.hashSample(docs, "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+    val strat = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      rates = Map("en" -> 1.0), defaultRate = 0.0)
+    val langs = strat.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"))
+    assert(strat.count() == docs.filter(col("lang") === "en").count())
   }
 }
