@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{AsOfJoin, Sampling}
+import graft.generator.DataGenerator
+import graft.gold.FintechGold
+import graft.ops.SilverPipeline
+
+/** Plan-quality assertions: the physical shapes the 100 TB design relies
+  * on must actually appear in the compiled plans — pushed filters, pruned
+  * scans, broadcast fact-dim joins, TakeOrderedAndProject top-k, the
+  * single-shuffle as-of join, shuffle-free sampling. A regression here is
+  * a scale bug even when every value is still correct. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOcc(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = planOf(SparkEntry.queries("q02_filter_pushdown")(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    // non-empty pushdown (not "PushedFilters: []")
+    assert(!p.contains("PushedFilters: []"), p)
+    // column pruning: the lineitem scan must not read all 16 columns
+    assert(p.contains("ReadSchema"), p)
+  }
+
+  test("q03: top-k compiles to TakeOrderedAndProject, no global sort") {
+    val p = planOf(SparkEntry.queries("q03_top_orders")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("fintech fact build broadcasts both dims, never sort-merges") {
+    val txns = SilverPipeline.transactionsToSilver(
+      DataGenerator.transactions(spark, 2000, 100, 20))
+    val cust = FintechGold.dimCustomer(SilverPipeline.customersToSilver(
+      DataGenerator.customers(spark, 100), asOf = lit("2024-06-01").cast("date")))
+    val merch = FintechGold.dimMerchant(SilverPipeline.merchantsToSilver(
+      DataGenerator.merchants(spark, 20)))
+    val p = planOf(FintechGold.factTransactions(txns, cust, merch))
+    // the two fact-dim joins themselves (the dims' internal surrogate-key
+    // builders contribute additional broadcast joins of their own)
+    assert(countOcc(p, "LeftOuter, BuildRight") == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("as-of join runs on a single keyed shuffle") {
+    val txns = spark.range(100).select(col("id"),
+      lit("USD").as("ccy"), (col("id") * 1000).as("ts"))
+    val rates = spark.range(10).select(lit("USD").as("ccy"),
+      (col("id") * 10000).as("rts"), (col("id") + 1).cast("double").as("rate"))
+    val joined = AsOfJoin.asOfBackward(txns, rates, Seq("ccy"), "ts", "rts",
+      Seq("rate"))
+    val p = planOf(joined)
+    assert(countOcc(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("deterministic sampling and splitting add no keyed exchange") {
+    // Tables.load round-robins the single-row-group test parquet; the
+    // sampling ops themselves must add no hash/range repartition
+    val docs = Tables.load(spark, sfDir, "documents")
+    val split = planOf(Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.2)))
+    assert(!split.contains("Exchange hashpartitioning") &&
+      !split.contains("Exchange rangepartitioning"), split)
+    val strat = planOf(Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5), defaultRate = 0.1))
+    assert(!strat.contains("Exchange hashpartitioning") &&
+      !strat.contains("Exchange rangepartitioning"), strat)
+  }
+
+  test("aml structuring screen is one shuffle on customer_id") {
+    val txns = SilverPipeline.transactionsToSilver(
+      DataGenerator.transactions(spark, 2000, 100, 20))
+    val p = planOf(FintechGold.amlStructuring(txns))
+    assert(countOcc(p, "Exchange hashpartitioning") == 1, p)
+  }
+}
