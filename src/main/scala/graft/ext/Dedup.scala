@@ -250,23 +250,27 @@ object Dedup {
     * one aggregate, both keyed shuffles.
     *
     * Small graphs skip the distributed loop: a near-dup pair graph is a
-    * sliver of its corpus (pairs are 16 bytes each — 10M edges ≈ 160 MB),
-    * and the distributed path costs ~2 jobs × rounds no matter how tiny
-    * the data, so graphs with ≤ `maxDriverEdges` edges and long ids are
-    * solved by driver-side union-find in ONE collect (identical output:
-    * component = min id). Same size-gated-fallback pattern as Spark's own
-    * broadcast threshold; pass maxDriverEdges = 0 to force the
-    * distributed path.
+    * sliver of its corpus, and the distributed path costs ~2 jobs × rounds
+    * no matter how tiny the data — so graphs with ≤ `maxDriverEdges` edges
+    * and long ids are solved by driver-side union-find (identical output:
+    * component = min id). The gate is a single `limit(n+1)` collect — one
+    * evaluation of the pairs plan that IS the edge list when it fits, so
+    * nothing runs twice; only an over-threshold graph pays a discarded
+    * probe before the distributed pass (which persists its own edges).
+    * Default 1M edges ≈ low hundreds of MB of boxed driver rows — same
+    * size-gated-fallback idea as Spark's broadcast threshold; pass
+    * maxDriverEdges = 0 to force the distributed path.
     * Returns (id, component) where component = min id in the cluster. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 10,
-      maxDriverEdges: Long = 10000000L): DataFrame = {
+      maxDriverEdges: Int = 1000000): DataFrame = {
     val longIds = pairs.schema("a").dataType == LongType &&
       pairs.schema("b").dataType == LongType
-    // pairs from minHashLsh/simHashPairs arrive persisted+counted, so this
-    // count is a cache read, and a re-count of anything else is no more
-    // than the first pass the distributed path would do anyway
-    if (longIds && maxDriverEdges > 0 && pairs.count() <= maxDriverEdges)
-      return unionFindLocal(pairs)
+    if (longIds && maxDriverEdges > 0) {
+      val probe = pairs.select(col("a"), col("b"))
+        .limit(maxDriverEdges + 1).collect()
+      if (probe.length <= maxDriverEdges)
+        return unionFindLocal(pairs.sparkSession, probe)
+    }
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
@@ -312,13 +316,13 @@ object Dedup {
     labels
   }
 
-  /** Driver-side union-find for small pair graphs: one collect, zero
-    * shuffles. Union-by-min keeps every set's root at its minimum id, so
-    * the output matches the distributed propagation bit for bit. */
-  private def unionFindLocal(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  /** Driver-side union-find for small pair graphs (edges already
+    * collected by the caller's gate probe): zero shuffles. Union-by-min
+    * keeps every set's root at its minimum id, so the output matches the
+    * distributed propagation bit for bit. */
+  private def unionFindLocal(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val edges = pairs.select(col("a"), col("b")).collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var root = x

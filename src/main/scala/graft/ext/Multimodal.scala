@@ -89,8 +89,10 @@ object Multimodal {
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight
-      val sx = math.max(1, w / 64)
-      val sy = math.max(1, h / 64)
+      // ceil division: stride guarantees ≤64 samples per axis for EVERY
+      // size (floor div sampled up to 127×127 points in the 65–127 band)
+      val sx = (w + 63) / 64
+      val sy = (h + 63) / 64
       var sum = 0.0
       var n = 0L
       var hash = 1125899906842597L

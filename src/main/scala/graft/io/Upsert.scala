@@ -154,17 +154,22 @@ object Upsert {
     val staging = s"$targetPath.staging-${UUID.randomUUID().toString.take(8)}"
     write(mergeTracked(target, source, keys, updateColumns,
       broadcastSource = false, Some(obs)), staging)
-    val retired = s"$targetPath.retired-${System.currentTimeMillis()}"
-    Files.move(dir, Paths.get(retired), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staging), dir, StandardCopyOption.ATOMIC_MOVE)
+    // Resolve stats BEFORE the swap: the fallback re-reads `target`, whose
+    // file listing points at the pre-swap paths — after the move those
+    // files live in the retired dir and the scan would fail (or silently
+    // recount against the merged table).
     val m = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
     def metric(name: String): Option[Long] =
       m.get(name).collect { case l: java.lang.Long => l.longValue }
-    (metric("inserted"), metric("updated")) match {
+    val stats = (metric("inserted"), metric("updated")) match {
       case (Some(ins), Some(upd)) => MergeStats(inserted = ins, updated = upd)
       // metrics missing (action stopped posting SQL events — shouldn't
       // happen on current Spark): fall back to the two-pass count
       case _ => mergeStats(target, source, keys)
     }
+    val retired = s"$targetPath.retired-${System.currentTimeMillis()}"
+    Files.move(dir, Paths.get(retired), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staging), dir, StandardCopyOption.ATOMIC_MOVE)
+    stats
   }
 }

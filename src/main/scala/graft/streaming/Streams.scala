@@ -102,10 +102,15 @@ object Streams {
 
   /** Continuous MERGE into a parquet lakehouse table — the standard
     * CDC-ingest sink shape: each micro-batch is reduced to its latest row
-    * per key (intra-batch CDC ordering by `orderCol`, PK tiebreak), then
-    * upserted via the atomic-swap [[graft.io.Upsert]]. Restart-safe: the
-    * checkpoint replays an incomplete batch and the upsert is idempotent
-    * for identical input (same keys → same source-wins result).
+    * per key (intra-batch CDC ordering by `orderCol`; remaining columns
+    * tie-break so the winner is a DETERMINISTIC total order, which makes a
+    * checkpoint-replayed batch upsert the same row again), then upserted
+    * via the atomic-swap [[graft.io.Upsert]].
+    *
+    * Each upsert retires the previous table version next to the target;
+    * `vacuumRetired` (default on) deletes versions older than
+    * `retainMs` after every batch — leave it on for continuous streams or
+    * disk grows by one table copy per micro-batch.
     *
     * Scale: state-free — all heavy lifting is the batch merge join, which
     * inherits Upsert's AQE broadcast of small CDC batches against the big
@@ -113,17 +118,23 @@ object Streams {
   def mergeSink(events: DataFrame, targetPath: String, keys: Seq[String],
       orderCol: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      vacuumRetired: Boolean = true,
+      retainMs: Long = 3600L * 1000)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          val ties = batch.columns.filterNot(c =>
+            keys.contains(c) || c == orderCol).toSeq
           val latest = graft.ops.Transforms.deduplicateByKey(
-            batch, keys, orderCol, ascending = false, tieBreakers = keys)
+            batch, keys, orderCol, ascending = false, tieBreakers = ties)
           graft.io.Upsert.upsertParquet(
             batch.sparkSession, latest, targetPath, keys)
+          if (vacuumRetired)
+            graft.io.Maintenance.vacuum(targetPath, retainMs)
         }
         ()
       }
