@@ -96,6 +96,31 @@ object ScaleSmoke {
         numPlanes = 10, dim = 64).count() }
     emb.unpersist()
 
+    // 2M-row deterministic sampling (map-only — should track scan speed)
+    val big = spark.range(2000000).select(col("id"),
+      element_at(typedlit(Seq("web", "books", "code")),
+        pmod(col("id"), lit(3)).cast(IntegerType) + 1).as("source"))
+    time("2M hashSplit train/val/test") {
+      ext.Sampling.hashSplit(big, "id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split").count().count() }
+    time("2M stratified mixture sample") {
+      ext.Sampling.stratifiedSample(big, "source", "id",
+        Map("books" -> 1.0, "web" -> 0.1), defaultRate = 0.5).count() }
+
+    // 1.2M-edge pair graph: exceeds the 1M driver gate → exercises the
+    // distributed min-label path at a volume the driver path refuses
+    val bigPairs = spark.range(1200000).select(
+      (col("id") + 1000000L).as("a"),
+      // ~100k chains of ~12 nodes each
+      when(col("id") % 12 === 0, col("id") + 1000000L)
+        .otherwise(col("id") + 999999L).as("b"))
+    time("1.2M-edge distributed connected components") {
+      ext.Dedup.connectedComponents(bigPairs).count() }
+    time("0.9M-edge driver union-find connected components") {
+      ext.Dedup.connectedComponents(
+        bigPairs.filter(col("a") < 1900000L)).count() }
+
     spark.stop()
   }
 }

@@ -182,6 +182,17 @@ class ExtSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponents: pointer jumping converges on deep chains") {
+    // a 40-deep path needs 39 rounds of plain neighbor-min propagation —
+    // far past maxIterations — but O(log 40) ≈ 6 rounds with jumping
+    val chain = (0L until 39L).map(i => (i, i + 1, 0.9))
+      .toDF("a", "b", "jaccard")
+    val comps = Dedup.connectedComponents(chain, maxDriverEdges = 0)
+      .as[(Long, Long)].collect()
+    assert(comps.length == 40)
+    assert(comps.forall(_._2 == 0L), comps.filter(_._2 != 0L).mkString(","))
+  }
+
   test("connectedComponents: driver union-find equals distributed propagation") {
     // chain + star + isolated pair, adversarial ordering (high ids first)
     val pairs = Seq((9L, 8L), (8L, 7L), (7L, 1L), (20L, 25L), (20L, 22L),
