@@ -9,6 +9,17 @@ object Bench {
     // first-job startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // JIT-warm the heavy expression paths (HOF shingle pipeline, MinHash/
+    // SimHash aggregates) on a 200-doc token corpus: the first LSH call in
+    // a fresh JVM pays ~8 s of interpreter->JIT ramp (measured; NOT
+    // codegen — same cost with wholeStage off), which would land on
+    // whichever near-dup query happens to run first.
+    try {
+      val mini = spark.range(200).selectExpr("id as doc_id",
+        "concat('w', id % 7, ' w', id % 11, ' w', id % 13, ' w', id % 5) as text")
+      graft.ext.Dedup.minHashLsh(mini, "doc_id", "text", 3, 8, 4, 0.5).count()
+      graft.ext.Dedup.simHashPairs(mini, "doc_id", "text", 3).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
