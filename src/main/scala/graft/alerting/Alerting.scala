@@ -79,6 +79,12 @@ final class AlertManager(
   * (P2, age vs SLA context). Each returns the channels notified. */
 object Alerts {
 
+  /** Locale-stable decimal formatting: a German-locale JVM would render
+    * f"%.2f" as "12,34", breaking the reference alert shape and any
+    * downstream parser expecting dot decimals. */
+  private def fmt(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
   /** Pipeline failure: P1 — the only severity that pages. Error text is
     * truncated to 500 chars like the reference. */
   def pipelineFailureAlert(mgr: AlertManager, pipelineName: String,
@@ -99,7 +105,7 @@ object Alerts {
       severity: AlertSeverity.Value = AlertSeverity.P2): Seq[String] = {
     val failRate =
       if (totalRecords > 0) failedRecords.toDouble / totalRecords * 100 else 0.0
-    val ratePct = f"$failRate%.2f%%"
+    val ratePct = fmt("%.2f%%", failRate)
     mgr.send(Alert(
       title = s"Data Quality Check Failed: $checkName",
       message = s"DQ check `$checkName` failed on table `$tableName`. " +
@@ -118,12 +124,12 @@ object Alerts {
       slaHours: Int): Seq[String] =
     mgr.send(Alert(
       title = s"Data Freshness SLA Breach: $tableName",
-      message = f"Table `$tableName` data is $hoursOld%.1f hours old. " +
+      message = s"Table `$tableName` data is ${fmt("%.1f", hoursOld)} hours old. " +
         s"SLA: $slaHours hours. Check upstream pipelines.",
       severity = AlertSeverity.P2,
       pipelineName = s"freshness_check_$tableName",
       details = Map(
         "Table" -> tableName,
-        "Current Age" -> f"$hoursOld%.1f hours",
+        "Current Age" -> s"${fmt("%.1f", hoursOld)} hours",
         "SLA" -> s"$slaHours hours")))
 }

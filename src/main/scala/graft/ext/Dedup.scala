@@ -257,22 +257,28 @@ object Dedup {
     * evaluation of the pairs plan that IS the edge list when it fits, so
     * nothing runs twice; only an over-threshold graph pays a discarded
     * probe before the distributed pass (which persists its own edges).
-    * Default 1M edges ≈ low hundreds of MB of boxed driver rows — same
+    * Default 200k edges ≈ tens of MB of boxed driver rows — safe on a
+    * default-sized driver heap; raise it on big drivers. Same
     * size-gated-fallback idea as Spark's broadcast threshold; pass
     * maxDriverEdges = 0 to force the distributed path.
+    *
+    * Edges with a null endpoint are dropped up front (both paths): a null
+    * id has no identity to cluster by, and the driver path would NPE on
+    * it while the distributed path emitted a meaningless null label.
     * Returns (id, component) where component = min id in the cluster. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 10,
-      maxDriverEdges: Int = 1000000): DataFrame = {
+      maxDriverEdges: Int = 200000): DataFrame = {
+    val cleanPairs = pairs.filter(col("a").isNotNull && col("b").isNotNull)
     val longIds = pairs.schema("a").dataType == LongType &&
       pairs.schema("b").dataType == LongType
     if (longIds && maxDriverEdges > 0) {
-      val probe = pairs.select(col("a"), col("b"))
+      val probe = cleanPairs.select(col("a"), col("b"))
         .limit(maxDriverEdges + 1).collect()
       if (probe.length <= maxDriverEdges)
         return unionFindLocal(pairs.sparkSession, probe)
     }
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val edges = cleanPairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(cleanPairs.select(col("b").as("src"), col("a").as("dst")))
       .persist()
     // localCheckpoint per iteration: each round's plan references the
     // previous round, so WITHOUT lineage truncation the logical plan

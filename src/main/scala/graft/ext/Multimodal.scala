@@ -85,7 +85,22 @@ object Multimodal {
     val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
     if (bytes.isEmpty) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // Header-only dimension check BEFORE decoding: a ~100 KB PNG can
+      // declare 60000×60000 and ImageIO.read would allocate the full
+      // ~14 GB raster (an OutOfMemoryError no catch below survives).
+      // Reject decompression bombs from the header alone.
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis)
+          if (reader.getWidth(0).toLong * reader.getHeight(0) > 100000000L)
+            return None // > 100 MP: refuse to materialize the raster
+          reader.read(0)
+        } finally { reader.dispose(); iis.close() }
       if (img == null) return None
       val w = img.getWidth
       val h = img.getHeight

@@ -158,7 +158,16 @@ object Upsert {
     // file listing points at the pre-swap paths — after the move those
     // files live in the retired dir and the scan would fail (or silently
     // recount against the merged table).
-    val m = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+    // The metrics arrive via the async listener bus; under backlog a
+    // single non-blocking read can miss them and the fallback would
+    // re-run the full-outer join — the exact cost this path eliminates.
+    // Poll briefly (bounded, never hangs) before giving up.
+    var m = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+    var waitedMs = 0
+    while (m.isEmpty && waitedMs < 5000) {
+      Thread.sleep(100); waitedMs += 100
+      m = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+    }
     def metric(name: String): Option[Long] =
       m.get(name).collect { case l: java.lang.Long => l.longValue }
     val stats = (metric("inserted"), metric("updated")) match {

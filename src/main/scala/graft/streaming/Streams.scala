@@ -127,8 +127,15 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val ties = batch.columns.filterNot(c =>
-            keys.contains(c) || c == orderCol).toSeq
+          // tie-break by the remaining ORDERABLE columns (maps can't sort;
+          // tie-breaking by the partition keys would be a no-op) so a
+          // checkpoint-replayed batch deterministically picks the same row
+          def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(dt)
+          val ties = batch.schema.fields.filterNot(f =>
+            keys.contains(f.name) || f.name == orderCol ||
+              !orderable(f.dataType)).map(_.name).toSeq
           val latest = graft.ops.Transforms.deduplicateByKey(
             batch, keys, orderCol, ascending = false, tieBreakers = ties)
           graft.io.Upsert.upsertParquet(

@@ -182,6 +182,17 @@ class ExtSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponents drops null-endpoint edges on both paths") {
+    val pairs = Seq((Option(1L), Option(2L)), (Option(3L), Option.empty[Long]),
+      (Option.empty[Long], Option(4L))).toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == Map(1L -> 1L, 2L -> 1L))
+    assert(dist == local)
+  }
+
   test("connectedComponents: pointer jumping converges on deep chains") {
     // a 40-deep path needs 39 rounds of plain neighbor-min propagation —
     // far past maxIterations — but O(log 40) ≈ 6 rounds with jumping
