@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: assign documents to
+  * fixed-token-budget packs (context-window filling). Semantics are
+  * contiguous-fill in id order — pack p holds the docs whose PRECEDING
+  * token mass lies in [p·budget, (p+1)·budget) — i.e. a streaming
+  * first-fit, deterministic for a given ordering, the standard shape for
+  * assembling pretraining examples (docs are not reordered, a doc
+  * straddling a boundary starts pack p and spills into it).
+  *
+  * Two forms, same output: [[packByBudget]] uses a global ordered window
+  * (one cumsum — fine up to millions of docs, single-partition window at
+  * the extreme); [[packByBudgetScalable]] computes the identical running
+  * sum with range partitioning + per-partition cumsum + broadcast
+  * offsets (the two-phase pattern of `addSurrogateKeyScalable`) — no
+  * single-partition stage, safe at corpus scale.
+  */
+object Packing {
+
+  /** (idCol, tokensCol) → + pack_id via one global cumulative sum. */
+  def packByBudget(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, packCol: String = "pack_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val before = coalesce(
+      sum(col(tokensCol)).over(Window.orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    df.withColumn(packCol, floor(before.cast("double") / budget).cast("long"))
+  }
+
+  /** Identical assignment without a global window: range-partition by id,
+    * per-partition running sum, partition token totals broadcast as
+    * offsets (k scalars — driver-sized by construction). */
+  def packByBudgetScalable(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, packCol: String = "pack_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val ordered = df.repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val localBefore = coalesce(
+      sum(col(tokensCol)).over(
+        Window.partitionBy(col("__pid")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val withLocal = ordered.withColumn("__lsum", localBefore)
+    val offsets = withLocal.groupBy("__pid")
+      .agg(sum(col(tokensCol)).as("__ptotal"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__ptotal")).over(
+            Window.orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(packCol,
+        floor((col("__offset") + col("__lsum")).cast("double") / budget)
+          .cast("long"))
+      .drop("__pid", "__lsum", "__offset")
+  }
+}

@@ -143,6 +143,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: context-window filling at a 2048-token budget
+    // via the scalable two-phase running sum (no global window).
+    "q61_pack_sequences" -> ((s, dir) => {
+      val tc = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))
+      graft.ext.Packing.packByBudgetScalable(tc, "doc_id", "n_tokens", 2048)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/val/test split (md5-bucket variant → the
     // assignment itself is DuckDB-hash-checked).
     "q59_hash_split" -> ((s, dir) => {
@@ -212,6 +221,20 @@ object TextQueries {
       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q61_pack_sequences" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+        |  FROM tc)
+        |SELECT doc_id, n_tokens,
+        |  CAST(FLOOR(CAST(b AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q59_hash_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN b < 800000 THEN 'train'

@@ -280,6 +280,30 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low")
   }
 
+  test("packing: scalable two-phase assignment equals the global window") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"))
+    val global = graft.ext.Packing.packByBudget(docs, "doc_id", "n_tokens", 1000)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    val scalable = graft.ext.Packing
+      .packByBudgetScalable(docs, "doc_id", "n_tokens", 1000)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(global == scalable)
+    // pack ids are non-decreasing in doc order and start at 0
+    val inOrder = global.toSeq.sortBy(_._1).map(_._2)
+    assert(inOrder.head == 0L)
+    assert(inOrder.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("packing: boundary doc starts the pack its preceding mass falls in") {
+    // budgets of 10: docs of 6,6,6 tokens → preceding mass 0,6,12 →
+    // packs 0,0,1 (the second doc straddles 10 but starts in pack 0)
+    val df = Seq((1L, 6L), (2L, 6L), (3L, 6L)).toDF("doc_id", "n_tokens")
+    val out = graft.ext.Packing.packByBudget(df, "doc_id", "n_tokens", 10)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("hashSplit covers every row, is disjoint, stable, and near-weights") {
     val docs = Tables.load(spark, sfDir, "documents")
     val n = docs.count()

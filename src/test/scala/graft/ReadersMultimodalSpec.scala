@@ -113,6 +113,32 @@ class ReadersMultimodalSpec extends SparkSpec {
     assert(feats(2L).width >= 64 && feats(2L).height >= 64)
   }
 
+  test("multimodal: decompression-bomb image falls back to the stub") {
+    // hand-crafted PNG header declaring 60000x60000 — ImageIO reads the
+    // dimensions from the IHDR without decoding; the guard must refuse
+    // to materialize the ~14GB raster and fall back deterministically
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes("US-ASCII"))
+    val dims = java.nio.ByteBuffer.allocate(8).putInt(60000).putInt(60000).array()
+    ihdr.write(dims)
+    ihdr.write(Array[Byte](8, 2, 0, 0, 0)) // bit depth 8, RGB
+    val body = ihdr.toByteArray
+    val len = java.nio.ByteBuffer.allocate(4).putInt(13).array()
+    bos.write(len)
+    bos.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    val bomb = bos.toByteArray
+    val asset = Multimodal.MediaAsset(7L, "image", bomb, "test://bomb",
+      bomb.length.toLong)
+    val f = Multimodal.extractFeatures(Seq(asset).toDS()).collect().head
+    // stub-derived pseudo dimensions, NOT the declared 60000
+    assert(f.width != 60000 && f.height != 60000)
+    assert(f.n_bytes == bomb.length.toLong)
+  }
+
   test("multimodal: frame sampling emits framesPer rows per video asset") {
     val docs = Tables.load(spark, sfDir, "documents")
     val assets = Multimodal.assetsFromDocuments(spark, docs)
