@@ -107,6 +107,12 @@ object ScaleSmoke {
     time("2M stratified mixture sample") {
       ext.Sampling.stratifiedSample(big, "source", "id",
         Map("books" -> 1.0, "web" -> 0.1), defaultRate = 0.5).count() }
+    time("2M-doc sequence packing (two-phase cumsum)") {
+      ext.Packing.packByBudgetScalable(
+        big.select(col("id"),
+          (pmod(xxhash64(col("id"), lit("tk")), lit(900)) + 100).as("n_tokens")),
+        "id", "n_tokens", 4096)
+        .groupBy("pack_id").count().count() }
 
     // 1.2M-edge pair graph: exceeds the 1M driver gate → exercises the
     // distributed min-label path at a volume the driver path refuses
@@ -118,8 +124,11 @@ object ScaleSmoke {
     time("1.2M-edge distributed connected components") {
       ext.Dedup.connectedComponents(bigPairs).count() }
     time("0.9M-edge driver union-find connected components") {
+      // gate raised explicitly: the 200k default would route this
+      // distributed; a big driver can opt in to larger graphs
       ext.Dedup.connectedComponents(
-        bigPairs.filter(col("a") < 1900000L)).count() }
+        bigPairs.filter(col("a") < 1900000L),
+        maxDriverEdges = 1000000).count() }
 
     spark.stop()
   }
