@@ -111,6 +111,44 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("hashSplit partitions every id set under arbitrary weights") {
+    val weightsGen = for {
+      w1 <- Gen.chooseNum(1, 100)
+      w2 <- Gen.chooseNum(0, 100)
+      w3 <- Gen.chooseNum(0, 100)
+      n <- Gen.chooseNum(1, 500)
+    } yield (w1, w2, w3, n)
+    check("hashSplit", Prop.forAll(weightsGen) { case (w1, w2, w3, n) =>
+      val df = spark.range(n.toLong).toDF("id")
+      val split = graft.ext.Sampling.hashSplit(df, "id",
+        Seq("a" -> w1.toDouble, "b" -> w2.toDouble, "c" -> w3.toDouble))
+      // total coverage (every row gets exactly one label), labels ⊆ declared
+      val counts = split.groupBy("split").count()
+        .as[(String, Long)].collect().toMap
+      counts.values.sum == n.toLong &&
+        counts.keySet.subsetOf(Set("a", "b", "c"))
+    })
+  }
+
+  test("packing: both forms agree and pack boundaries respect the budget") {
+    val packGen = for {
+      budget <- Gen.chooseNum(10L, 500L)
+      toks <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 100L))
+    } yield (budget, toks.take(100))
+    check("packing", Prop.forAll(packGen) { case (budget, toks) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "n_tokens")
+      val g = graft.ext.Packing.packByBudget(df, "id", "n_tokens", budget)
+        .select("id", "pack_id").as[(Long, Long)].collect().toMap
+      val s = graft.ext.Packing
+        .packByBudgetScalable(df, "id", "n_tokens", budget)
+        .select("id", "pack_id").as[(Long, Long)].collect().toMap
+      // forms agree; pack of each doc == floor(preceding mass / budget)
+      val prefix = toks.scanLeft(0L)(_ + _)
+      g == s && toks.indices.forall(i => g(i.toLong) == prefix(i) / budget)
+    })
+  }
+
   test("vec_dot SQL function matches the Column API") {
     GraftExtensions.register(spark)
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
