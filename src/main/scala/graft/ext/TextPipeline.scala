@@ -62,8 +62,14 @@ object TextPipeline {
 
     val near = Dedup.dedupNearDuplicates(exact, idCol, textCol,
       minJaccard = nearDupJaccard).drop("__norm").persist()
-    val afterNear = maybeCount(near)
+    // ALWAYS materialize `near` while `exact` is still cached: its plan
+    // anti-joins against exact, and unpersisting first would make the
+    // caller's first action recompute the whole filter+dedup chain over
+    // the corpus. The count is over the (small) survivor set; only the
+    // REPORTING of it is optional.
+    val afterNear0 = near.count()
     exact.unpersist()
+    val afterNear = if (computeStats) afterNear0 else -1L
 
     CurationResult(near,
       CurationStats(input, afterFilter, afterExact, afterNear))
