@@ -114,15 +114,17 @@ object ScaleSmoke {
         "id", "n_tokens", 4096)
         .groupBy("pack_id").count().count() }
 
-    // 1.2M-edge pair graph: exceeds the 1M driver gate → exercises the
-    // distributed min-label path at a volume the driver path refuses
+    // 1.2M-edge pair graph: far above the 200k default driver gate (and
+    // above the 1M opt-in exercised below) → exercises the distributed
+    // min-label path. maxDriverEdges = 0 skips the gate's probe collect so
+    // the timing measures ONLY the distributed path.
     val bigPairs = spark.range(1200000).select(
       (col("id") + 1000000L).as("a"),
       // ~100k chains of ~12 nodes each
       when(col("id") % 12 === 0, col("id") + 1000000L)
         .otherwise(col("id") + 999999L).as("b"))
     time("1.2M-edge distributed connected components") {
-      ext.Dedup.connectedComponents(bigPairs).count() }
+      ext.Dedup.connectedComponents(bigPairs, maxDriverEdges = 0).count() }
     time("0.9M-edge driver union-find connected components") {
       // gate raised explicitly: the 200k default would route this
       // distributed; a big driver can opt in to larger graphs

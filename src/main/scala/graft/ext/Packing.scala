@@ -1,8 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Sequence packing for training pipelines: assign documents to
   * fixed-token-budget packs (context-window filling). Semantics are
@@ -21,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Exact long floor-division (`div`): a double cast would lose precision
+    * past 2^53 cumulative tokens and silently misassign boundary docs.
+    * Token counts are non-negative, so truncation == floor. */
+  private def floorDiv(num: Column, budget: Long): Column =
+    Bridge.column(new IntegralDivide(Bridge.expression(num), Literal(budget)))
+
   /** (idCol, tokensCol) → + pack_id via one global cumulative sum. */
   def packByBudget(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, packCol: String = "pack_id"): DataFrame = {
@@ -29,7 +37,7 @@ object Packing {
       sum(col(tokensCol)).over(Window.orderBy(col(idCol))
         .rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
-    df.withColumn(packCol, floor(before.cast("double") / budget).cast("long"))
+    df.withColumn(packCol, floorDiv(before, budget))
   }
 
   /** Identical assignment without a global window: range-partition by id,
@@ -57,9 +65,7 @@ object Packing {
           lit(0L)))
       .select(col("__pid"), col("__offset"))
     withLocal.join(broadcast(offsets), "__pid")
-      .withColumn(packCol,
-        floor((col("__offset") + col("__lsum")).cast("double") / budget)
-          .cast("long"))
+      .withColumn(packCol, floorDiv(col("__offset") + col("__lsum"), budget))
       .drop("__pid", "__lsum", "__offset")
   }
 }

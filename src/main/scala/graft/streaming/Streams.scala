@@ -129,15 +129,27 @@ object Streams {
         if (!batch.isEmpty) {
           // tie-break by the remaining ORDERABLE columns (maps can't sort;
           // tie-breaking by the partition keys would be a no-op) so a
-          // checkpoint-replayed batch deterministically picks the same row
+          // checkpoint-replayed batch deterministically picks the same row.
+          // Non-orderable columns (maps) still participate via their JSON
+          // serialization as the FINAL tie-breaker — without it, two rows
+          // equal on orderCol + all orderable columns but differing only in
+          // a map could yield different winners on replay.
           def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
             org.apache.spark.sql.catalyst.expressions.RowOrdering
               .isOrderable(dt)
-          val ties = batch.schema.fields.filterNot(f =>
-            keys.contains(f.name) || f.name == orderCol ||
-              !orderable(f.dataType)).map(_.name).toSeq
+          val rest = batch.schema.fields.filterNot(f =>
+            keys.contains(f.name) || f.name == orderCol)
+          val ties = rest.filter(f => orderable(f.dataType)).map(_.name).toSeq
+          val unord = rest.filterNot(f => orderable(f.dataType)).map(_.name)
+          val tieJson = "__graft_tiebreak_json"
+          val withJson =
+            if (unord.isEmpty) batch
+            else batch.withColumn(tieJson,
+              to_json(struct(unord.map(col).toSeq: _*)))
           val latest = graft.ops.Transforms.deduplicateByKey(
-            batch, keys, orderCol, ascending = false, tieBreakers = ties)
+            withJson, keys, orderCol, ascending = false,
+            tieBreakers = if (unord.isEmpty) ties else ties :+ tieJson)
+            .drop(tieJson)
           graft.io.Upsert.upsertParquet(
             batch.sparkSession, latest, targetPath, keys)
           if (vacuumRetired)
