@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Retrieval primitives for RAG / data-curation pipelines: Okapi BM25
+  * lexical scoring and sliding-token-window document chunking. Both are
+  * pure Column algebra (codegen'd, no UDFs).
+  */
+object Retrieval {
+
+  /** Okapi BM25 score of every document against a FIXED literal query
+    * (the lexical-retrieval counterpart of [[Similarity.bruteTopK]]).
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with the Lucene-style smoothed idf(t) = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale design: query terms are a literal handful, so per-doc tf is a
+    * fixed set of `filter(tokens, = term)` counts inside one narrow
+    * projection — the corpus is NEVER exploded to (doc, term) rows and
+    * never shuffled. Corpus statistics (N, Σdl, per-term df) reduce to ONE
+    * single-row aggregate (map-side partial) that re-joins via a broadcast
+    * cross join. Two corpus scans total, both map-only.
+    *
+    * Determinism: the per-term contributions are added in the FIXED order
+    * of `terms` — a literal expression chain, not a float aggregation — so
+    * the double result is reproducible; `roundTo` (default 4) absorbs
+    * last-ulp `ln` differences across math libraries for cross-engine
+    * comparison. Tokens are whitespace-split lowercase words. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 4): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    def tf(i: Int): String = s"__tf$i"
+    // one narrow projection: doc length + one tf column per query term,
+    // let-bound so the split runs once per row (lambda capture re-evaluates
+    // per element otherwise)
+    val perDoc = docs.select(
+      col(idCol) +:
+        element_at(transform(array(toks), ts =>
+          struct(
+            (when(trim(col(textCol)) === "" || col(textCol).isNull, lit(0L))
+              .otherwise(size(ts).cast(LongType))).as("dl") +:
+              terms.zipWithIndex.map { case (t, i) =>
+                size(filter(ts, x => x === lit(t))).cast(LongType).as(tf(i))
+              }: _*)), 1).as("__d") +: Nil: _*)
+      .select(col(idCol) +: col("__d.dl").as("__dl") +:
+        terms.indices.map(i => col(s"__d.${tf(i)}").as(tf(i))): _*)
+    // single-row corpus stats: N, total tokens, per-term doc frequency
+    val statCols = sum(col("__dl")).as("__sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(tf(i)) > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(count(lit(1)).as("__n"), statCols: _*)
+    val joined = perDoc.crossJoin(broadcast(stats))
+    val nD = col("__n").cast("double")
+    val avgdl = col("__sdl").cast("double") / nD
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl)
+    val score = terms.indices.map { i =>
+      val tfd = col(tf(i)).cast("double")
+      val dfd = col(s"__df$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfd + lit(0.5)) / (dfd + lit(0.5)))
+      idf * (tfd * lit(k1 + 1.0)) / (tfd + norm)
+    }.reduce(_ + _)
+    joined.select(col(idCol), round(score, roundTo).as("score"))
+  }
+
+  /** BM25 top-k: score, keep positives, TakeOrderedAndProject. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25(docs, idCol, textCol, terms, k1, b)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Sliding token-window chunking: `chunkSize` tokens per chunk, a new
+    * chunk every `stride` tokens (overlap = chunkSize − stride) — the RAG /
+    * context-assembly shape. Output: (idCol, chunk_id, chunk_text,
+    * n_tokens), chunk_id 0-based in document order; the final chunk may be
+    * short; blank/null docs yield no chunks.
+    *
+    * Scale: narrow per-row explode — no shuffle, combines with pushdown.
+    * Tokens are whitespace-split (case preserved — chunk text should stay
+    * faithful to the source; normalize downstream if needed). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 256, stride: Int = 192): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val nonBlank = docs.filter(col(textCol).isNotNull &&
+      trim(col(textCol)) =!= "")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // let-bind the token array; build one struct per window start
+    val chunks = element_at(transform(array(toks), ts =>
+      transform(sequence(lit(0), size(ts) - 1, lit(stride)), st =>
+        struct(
+          concat_ws(" ", slice(ts, st + 1, lit(chunkSize))).as("chunk_text"),
+          least(size(ts) - st, lit(chunkSize)).cast(LongType)
+            .as("n_tokens")))), 1)
+    nonBlank
+      .select(col(idCol), posexplode(chunks).as(Seq("__pos", "__c")))
+      .select(col(idCol), col("__pos").cast(LongType).as("chunk_id"),
+        col("__c.chunk_text").as("chunk_text"),
+        col("__c.n_tokens").as("n_tokens"))
+  }
+}

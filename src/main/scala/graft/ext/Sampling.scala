@@ -63,6 +63,20 @@ object Sampling {
     df.filter(bucket(col(idCol), hash) < math.round(rate * Buckets))
   }
 
+  /** Deterministic corpus shuffle: a seeded hash of the id becomes the
+    * sort key, giving a reproducible "random" row order for training-data
+    * writes (epoch order must be stable across reruns and restarts; a
+    * different seed = a different epoch permutation). The plan is a
+    * range-partitioned sort — no global window, no single-partition stage —
+    * so it scales like any ORDER BY. Ties (hash collisions) break by id,
+    * making the total order fully deterministic. */
+  def shuffled(df: DataFrame, idCol: String, seed: Long = 0,
+      keyCol: String = "shuffle_key",
+      hash: Column => Column = xxhash64(_)): DataFrame =
+    df.withColumn(keyCol,
+        hash(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))))
+      .orderBy(col(keyCol), col(idCol))
+
   /** Deterministic stratified sample: a per-stratum rate (default for
     * strata not listed). The training-mixture primitive — e.g. keep 100%
     * of books, 10% of web crawl. Map-only; no shuffle. */

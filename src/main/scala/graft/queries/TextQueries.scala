@@ -180,6 +180,41 @@ object TextQueries {
           hash = TextStats.md5Hash64)
         .select(col("doc_id"), explode(col("fingerprint")).as("gram"))
         .orderBy(col("doc_id"), col("gram"))
+    }),
+
+    // Benchmark decontamination: corpus docs sharing a word 3-gram with the
+    // "benchmark" subset (doc_id % 97 == 0). Output exposes only counts/ids,
+    // so the production xxhash64 join key is itself oracle-checked (the
+    // oracle joins on gram STRINGS — identical result absent collisions).
+    "q62_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Decontam.contaminated(docs,
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Okapi BM25 lexical scoring against a fixed query; fixed-order term
+    // sum + round(4) make the double score cross-engine-checkable.
+    "q63_bm25" -> ((s, dir) => {
+      graft.ext.Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "spark", "window", "merge"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sliding token-window chunking (RAG/context assembly): 32-token
+    // chunks, stride 24 (8-token overlap).
+    "q64_chunk_documents" -> ((s, dir) => {
+      graft.ext.Retrieval.chunk(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Deterministic seeded corpus shuffle (stable epoch order); md5-bucket
+    // variant so the permutation itself is DuckDB-hash-checked.
+    "q65_shuffle_order" -> ((s, dir) => {
+      graft.ext.Sampling.shuffled(t(s, dir, "documents"), "doc_id",
+          seed = 7, hash = TextStats.md5Hash64)
+        .select(col("doc_id"), col("shuffle_key"))
     }))
 
   private def sqlStop(lang: String): String = {
@@ -221,6 +256,74 @@ object TextQueries {
       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q62_decontaminate" ->
+      s"""WITH ct AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         |  FROM documents),
+         |bt AS (SELECT * FROM ct WHERE doc_id % 97 = 0),
+         |cg AS (SELECT doc_id, unnest($shingleList) AS g
+         |       FROM (SELECT doc_id, tk FROM ct)),
+         |bg AS (SELECT doc_id, unnest($shingleList) AS g
+         |       FROM (SELECT doc_id, tk FROM bt))
+         |SELECT c.doc_id,
+         |  COUNT(DISTINCT c.g) AS n_hit_grams,
+         |  COUNT(DISTINCT b.doc_id) AS n_bench_docs,
+         |  MIN(b.doc_id) AS first_bench_id
+         |FROM cg c JOIN bg b ON c.g = b.g
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q63_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(tk) END AS dl,
+        |    len(list_filter(tk, x -> x = 'join')) AS tf0,
+        |    len(list_filter(tk, x -> x = 'spark')) AS tf1,
+        |    len(list_filter(tk, x -> x = 'window')) AS tf2,
+        |    len(list_filter(tk, x -> x = 'merge')) AS tf3
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) AS sdl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        |  FROM d)
+        |SELECT doc_id, ROUND(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n)))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n)))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n)))
+        |  + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+        |      * (CAST(tf3 AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n))), 4) AS score
+        |FROM d, s ORDER BY doc_id""".stripMargin,
+
+    "q64_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS st FROM t)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(tk, st + 1, st + 32), ' ') AS chunk_text,
+        |  CAST(LEAST(len(tk) - st, 32) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q65_shuffle_order" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '7'), 1, 15))::BIGINT AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
     "q61_pack_sequences" ->
       """WITH tc AS (
         |  SELECT doc_id,

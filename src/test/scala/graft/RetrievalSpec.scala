@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Decontam, Retrieval, Sampling}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- BM25 ----------
+
+  test("bm25 matches a hand-computed Okapi score on a tiny corpus") {
+    val docs = Seq(
+      (1L, "spark spark spark runs fast"),
+      (2L, "ducks swim in the pond"),
+      (3L, "spark and flink stream data")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "doc_id", "text", Seq("spark"),
+        roundTo = 6)
+      .orderBy("doc_id").collect()
+    // N=3, df=2, dl = 5 for all, avgdl = 5 → length norm term = k1
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def s(tf: Double) = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 1.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Double]("score") == r6(s(3.0)))
+    assert(out(1).getAs[Double]("score") == r6(s(0.0)))
+    assert(out(2).getAs[Double]("score") == r6(s(1.0)))
+    assert(out(0).getAs[Double]("score") > out(2).getAs[Double]("score"))
+  }
+
+  test("bm25TopK keeps only positive scores, ordered, limited") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha beta"), (3L, "gamma delta"),
+      (4L, "alpha")).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("alpha"), k = 2)
+      .collect()
+    assert(top.length == 2)
+    // doc 4: tf=1 but dl=1 (short doc boost) outranks doc 1 (tf=1, dl=2);
+    // doc 2 has tf=2 — the ranking must be by score desc
+    assert(top(0).getAs[Double]("score") >= top(1).getAs[Double]("score"))
+    assert(!top.map(_.getAs[Long]("doc_id")).contains(3L))
+  }
+
+  // ---------- chunking ----------
+
+  test("chunk produces overlapping windows with a short tail") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "  "))
+      .toDF("doc_id", "text")
+    val out = Retrieval.chunk(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    // starts 0,3,6,9 → 4 chunks; blank doc 2 yields none
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("doc_id") == 1L))
+    assert(out.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(out.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("chunk with stride == chunkSize partitions tokens exactly") {
+    val docs = Seq((1L, (1 to 9).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Retrieval.chunk(docs, "doc_id", "text", 3, 3)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("chunk_text")).mkString(" ") ==
+      (1 to 9).map("w" + _).mkString(" "))
+  }
+
+  // ---------- decontamination ----------
+
+  test("contaminated flags exactly the docs sharing an n-gram with bench") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content about databases here"),
+      (3L, "another text with quick brown fox inside it")).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox")).toDF("doc_id", "text")
+    val hit = Decontam.contaminated(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // docs 1 and 3 contain the trigram "quick brown fox"; doc 2 is clean
+    assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L))
+    assert(hit.forall(_.getAs[Long]("n_hit_grams") == 1L))
+    assert(hit.forall(_.getAs[Long]("first_bench_id")== 100L))
+
+    val clean = Decontam.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(2L))
+  }
+
+  test("contaminationRate is hits/total-grams, 0.0 for clean docs") {
+    val corpus = Seq(
+      (1L, "a b c d"), // 3-grams: "a b c", "b c d"
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val out = Decontam.contaminationRate(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("contamination") == 0.5)
+    assert(out(0).getAs[Long]("n_grams") == 2L)
+    assert(out(1).getAs[Double]("contamination") == 0.0)
+    assert(out(1).getAs[Long]("n_hit_grams") == 0L)
+  }
+
+  test("contaminated plan broadcasts the bench side, not the corpus") {
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val plan = Decontam.contaminated(corpus, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  // ---------- deterministic shuffle ----------
+
+  test("shuffled is a stable seeded permutation; seeds differ") {
+    val docs = spark.range(100).toDF("doc_id")
+    def order(seed: Long): Seq[Long] =
+      Sampling.shuffled(docs, "doc_id", seed)
+        .select("doc_id").as[Long].collect().toSeq
+    val a1 = order(1); val a2 = order(1); val b = order(2)
+    assert(a1 == a2)                  // reproducible across runs
+    assert(a1.sorted == b.sorted)     // same row set
+    assert(a1 != b)                   // different epoch permutation
+    assert(a1 != a1.sorted)           // actually shuffled
+  }
+}
