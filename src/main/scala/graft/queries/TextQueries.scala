@@ -215,6 +215,23 @@ object TextQueries {
       graft.ext.Sampling.shuffled(t(s, dir, "documents"), "doc_id",
           seed = 7, hash = TextStats.md5Hash64)
         .select(col("doc_id"), col("shuffle_key"))
+    }),
+
+    // Top-200 corpus vocabulary with frequency rank (tokenizer-training
+    // prep; rank window only over the LIMITED set).
+    "q66_vocabulary" -> ((s, dir) => {
+      graft.ext.TextModel.topVocabulary(t(s, dir, "documents"),
+          "doc_id", "text", v = 200)
+        .orderBy(col("rank"))
+    }),
+
+    // Unigram LM scoring (CCNet-style perplexity filter): integer
+    // micro-nat contributions make the per-doc sum order-independent and
+    // cross-engine exact.
+    "q67_lm_score" -> ((s, dir) => {
+      graft.ext.TextModel.unigramNll(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   private def sqlStop(lang: String): String = {
@@ -323,6 +340,35 @@ object TextQueries {
       """SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '7'), 1, 15))::BIGINT AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "q66_vocabulary" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |v AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM t GROUP BY term)
+        |SELECT term, n_tokens, n_docs,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, term) AS BIGINT) AS rank
+        |FROM v ORDER BY n_tokens DESC, term LIMIT 200""".stripMargin,
+
+    "q67_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (SELECT term, COUNT(*) AS nt FROM t GROUP BY term),
+        |s AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tt FROM c),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(-ln(CAST(nt AS DOUBLE) / tt) * 1e6) AS BIGINT) AS mi
+        |  FROM t JOIN c USING (term), s)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(mi) AS BIGINT) AS nll_micros,
+        |  ROUND(CAST(SUM(mi) AS DOUBLE) / 1e6 / COUNT(*), 4) AS avg_nll
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q61_pack_sequences" ->
       """WITH tc AS (

@@ -109,6 +109,55 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  // ---------- vocabulary + unigram LM ----------
+
+  test("vocabulary counts occurrences and containing docs; minCount floors") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "   "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val v = graft.ext.TextModel.vocabulary(docs, "doc_id", "text")
+      .orderBy("term").collect()
+    assert(v.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
+    val floored = graft.ext.TextModel.vocabulary(docs, "doc_id", "text",
+      minCount = 2).collect()
+    assert(floored.map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("topVocabulary ranks by frequency then term") {
+    val docs = Seq((1L, "b b b a a c")).toDF("doc_id", "text")
+    val top = graft.ext.TextModel.topVocabulary(docs, "doc_id", "text", 2)
+      .orderBy("rank").collect()
+    assert(top.map(r => (r.getAs[String]("term"), r.getAs[Long]("rank")))
+      .toSeq == Seq(("b", 1L), ("a", 2L)))
+  }
+
+  test("unigramNll matches hand-computed micro-nat sums") {
+    // corpus: 4 tokens total — "a" ×3 (p=3/4), "b" ×1 (p=1/4)
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = graft.ext.TextModel.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val mA = math.round(-math.log(3.0 / 4.0) * 1e6)
+    val mB = math.round(-math.log(1.0 / 4.0) * 1e6)
+    assert(out(0).getAs[Long]("nll_micros") == 3 * mA)
+    assert(out(1).getAs[Long]("nll_micros") == mB)
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    // rarer tokens → higher per-token NLL
+    assert(out(1).getAs[Double]("avg_nll") > out(0).getAs[Double]("avg_nll"))
+  }
+
+  test("unigramNll with smoothing scores OOV terms finitely") {
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq((9L, "a z")).toDF("doc_id", "text")
+    val out = graft.ext.TextModel.unigramNll(docs, "doc_id", "text",
+        alpha = 1.0, reference = Some(ref))
+      .collect().head
+    // T=3, V=2: p(a)=(2+1)/(3+2)=0.6, p(z)=(0+1)/(3+2)=0.2
+    val exp = math.round(-math.log(0.6) * 1e6) +
+      math.round(-math.log(0.2) * 1e6)
+    assert(out.getAs[Long]("nll_micros") == exp)
+  }
+
   // ---------- deterministic shuffle ----------
 
   test("shuffled is a stable seeded permutation; seeds differ") {
