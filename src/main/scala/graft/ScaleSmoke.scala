@@ -114,6 +114,26 @@ object ScaleSmoke {
         "id", "n_tokens", 4096)
         .groupBy("pack_id").count().count() }
 
+    // 2M docs through the retrieval/LM/decontamination operators
+    val corpus = syntheticDocs(spark, 2000000).persist()
+    time("2M docs materialize") { corpus.count() }
+    time("2M docs chunk (32/24 sliding windows)") {
+      ext.Retrieval.chunk(corpus, "doc_id", "text", 32, 24).count() }
+    time("2M docs bm25 (4-term query)") {
+      ext.Retrieval.bm25(corpus, "doc_id", "text",
+        Seq("join", "spark", "window", "merge")).count() }
+    time("2M docs vocabulary") {
+      ext.TextModel.vocabulary(corpus, "doc_id", "text").count() }
+    time("2M docs unigram LM scoring") {
+      ext.TextModel.unigramNll(corpus, "doc_id", "text").count() }
+    time("2M docs decontaminate vs 2k bench") {
+      ext.Decontam.contaminated(corpus,
+        corpus.filter(col("doc_id") % 1000 === 0), "doc_id", "text",
+        n = 13).count() }
+    time("2M docs deterministic shuffle") {
+      ext.Sampling.shuffled(corpus, "doc_id", seed = 1).count() }
+    corpus.unpersist()
+
     // 1.2M-edge pair graph: far above the 200k default driver gate (and
     // above the 1M opt-in exercised below) → exercises the distributed
     // min-label path. maxDriverEdges = 0 skips the gate's probe collect so

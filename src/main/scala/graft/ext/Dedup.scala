@@ -30,6 +30,18 @@ object Shingles {
   def shingleHashSet(text: Column, n: Int): Column =
     array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))
 
+  /** Distinct combined-word-hash n-grams as a native imperative
+    * expression ([[graft.functions.GramMixHashes]]): one per-row loop —
+    * no n-word shingle strings, no interpreted per-window lambdas (the
+    * HOF formulation spent more time in lambda interpretation than the
+    * entire downstream join; measured ~20× on 2M-doc 13-gram
+    * decontamination). Docs with ≤ n tokens yield one whole-text gram
+    * that equals the matching n-window of a longer doc. */
+  def wordHashGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.GramMixHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), n))
+
   /** Exact Jaccard over two array columns (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)

@@ -80,4 +80,38 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf(FintechGold.amlStructuring(txns))
     assert(countOcc(p, "Exchange hashpartitioning") == 1, p)
   }
+
+  test("chunking adds no exchange — a pure per-row transform") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = planOf(graft.ext.Retrieval.chunk(docs, "doc_id", "text", 32, 24))
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("bm25 never explodes or shuffles the corpus; stats join broadcasts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = planOf(graft.ext.Retrieval.bm25(docs, "doc_id", "text",
+      Seq("join", "spark")))
+    // no (doc, term) explosion and no corpus-keyed exchange — only the
+    // single-row stats aggregate exchanges (SinglePartition)
+    assert(!p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("deterministic shuffle is a range-partitioned sort, no global window") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = planOf(Sampling.shuffled(docs, "doc_id", seed = 3))
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("vocabulary aggregates map-side before its one term shuffle") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = planOf(graft.ext.TextModel.vocabulary(docs, "doc_id", "text"))
+    // partial_count before the exchange = map-side combine
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
 }
