@@ -26,9 +26,16 @@ object Shingles {
 
   /** Distinct 64-bit hashes of a doc's word shingles — the compact set
     * representation all near-dup math runs on (8-byte longs instead of
-    * ~20-byte strings: smaller shuffles, cheaper set ops). */
+    * ~20-byte strings: smaller shuffles, cheaper set ops). Delegates to
+    * the native [[wordHashGrams]] expression: consumers (MinHash
+    * aggregate, Jaccard intersection joins, LSH banding) are
+    * order-independent SET ops, so the value space of the hashes is free
+    * to choose — and the imperative per-row loop avoids building shingle
+    * strings and interpreting a lambda per window (the near-dup hot
+    * path). Positional consumers (winnowing) must keep hashing
+    * [[wordShingles]] directly. */
   def shingleHashSet(text: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))
+    wordHashGrams(text, n)
 
   /** Distinct combined-word-hash n-grams as a native imperative
     * expression ([[graft.functions.GramMixHashes]]): one per-row loop —
