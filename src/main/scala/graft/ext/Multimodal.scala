@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   *
   * Image decode is REAL (`javax.imageio` ships with the JDK): width,
   * height and mean luminance come from actual pixel data for any format
-  * ImageIO reads (PNG/JPEG/BMP/GIF). Audio/video codecs are STUBBED (this
-  * container ships no media libraries): `decodeStub` derives deterministic
-  * pseudo-features from the bytes, and undecodable "image" payloads fall
-  * back to it too. Every Spark-side contract — schema, binary payload
-  * handling, per-partition batching, feature/resize/frame-sample
-  * signatures — is real and tested; swapping `decodeStub` for a JNI/JavaCV
-  * call is a one-function change.
+  * ImageIO reads (PNG/JPEG/BMP/GIF). Audio decode is REAL for the
+  * formats the JDK ships codecs for (`javax.sound.sampled`: WAV/AIFF/AU
+  * PCM): sample rate, channels, duration and mean amplitude from the
+  * actual frames. Video codecs are STUBBED (this container ships no
+  * media libraries): `decodeStub` derives deterministic pseudo-features
+  * from the bytes, and undecodable image/audio payloads fall back to it
+  * too. Every Spark-side contract — schema, binary payload handling,
+  * per-partition batching, feature/resize/frame-sample signatures — is
+  * real and tested; swapping `decodeStub` for a JNI/JavaCV call is a
+  * one-function change.
   */
 object Multimodal {
 
@@ -137,10 +140,69 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Dispatch: real codec where one exists (images, via the JDK), stub for
-    * audio/video and undecodable payloads. */
+  /** Real audio decode via the JDK's sampled-sound codecs (WAV/AIFF/AU).
+    * Feature mapping for audio rows: width = sample rate (Hz), height =
+    * channel count, duration_ms from the header frame count, mean
+    * intensity = mean |amplitude| in [0,1] over AT MOST the first 64k
+    * frames of signed-16-bit PCM (bounded work — an hour-long recording
+    * costs the same as a clip; non-16-bit encodings report header
+    * features with intensity 0). Returns None for bytes the JDK can't
+    * parse as audio, letting the caller fall back to the stub. */
+  private[ext] def decodeAudio(a: MediaAsset): Option[MediaFeatures] = {
+    val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val rate = fmt.getFrameRate
+        if (frames < 0 || rate <= 0) return None
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getFrameSize > 0
+        var sum = 0.0
+        var n = 0L
+        var hash = 1125899906842597L
+        if (pcm16) {
+          val want = math.min(frames, 65536L) * fmt.getFrameSize
+          val buf = new Array[Byte](math.min(want, 1L << 22).toInt)
+          var off = 0
+          var read = 0
+          while (off < buf.length &&
+            { read = ais.read(buf, off, buf.length - off); read > 0 })
+            off += read
+          val be = fmt.isBigEndian
+          var i = 0
+          while (i + 1 < off) {
+            val s =
+              if (be) ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+              else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+            sum += math.abs(s / 32768.0)
+            n += 1
+            hash = hash * 31 + s
+            i += 2
+          }
+        }
+        Some(MediaFeatures(
+          asset_id = a.asset_id,
+          media_type = a.media_type,
+          n_bytes = bytes.length.toLong,
+          width = math.round(fmt.getSampleRate),
+          height = fmt.getChannels,
+          duration_ms = math.round(frames * 1000.0 / rate),
+          mean_intensity = if (n == 0) 0.0 else sum / n,
+          feature_hash = hash))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Dispatch: real codec where one exists (images and PCM audio, via the
+    * JDK), stub for video and undecodable payloads. */
   private[ext] def decode(a: MediaAsset): MediaFeatures =
     if (a.media_type == "image") decodeImage(a).getOrElse(decodeStub(a))
+    else if (a.media_type == "audio") decodeAudio(a).getOrElse(decodeStub(a))
     else decodeStub(a)
 
   /** Batched feature extraction: one decoder context per partition (the

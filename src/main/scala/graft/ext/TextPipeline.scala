@@ -74,4 +74,45 @@ object TextPipeline {
     CurationResult(near,
       CurationStats(input, afterFilter, afterExact, afterNear))
   }
+
+  /** Line-level corpus deduplication (the C4/RefinedWeb boilerplate
+    * remover): any line occurring more than `maxOccurrences` times ACROSS
+    * THE WHOLE CORPUS (navigation chrome, cookie banners, license
+    * headers) is dropped from every document; surviving lines are
+    * reassembled in original order. Docs that lose every line disappear.
+    *
+    * Output: (idCol, dedup_text, n_lines_kept, n_lines_dropped).
+    *
+    * Scale: lines explode narrowly; occurrence counting is one shuffle on
+    * the 8-byte line hash with map-side combine; the drop is a left-anti
+    * join against the (small — only lines that repeat corpus-wide)
+    * over-threshold hash set; reassembly is one shuffle on doc id with
+    * `array_sort(struct(pos, line))` making the collect order
+    * deterministic under any partitioning. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxOccurrences: Long = 1): DataFrame = {
+    require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+    val lines = docs
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__lh", xxhash64(col("__line")))
+    val over = lines.groupBy(col("__lh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select(col("__lh"))
+    lines.join(over, Seq("__lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("dedup_text"),
+        count(lit(1)).as("n_lines_kept"))
+      .join(
+        docs.select(col(idCol),
+          size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+            .cast("long").as("__total")),
+        Seq(idCol))
+      .withColumn("n_lines_dropped", col("__total") - col("n_lines_kept"))
+      .drop("__total")
+  }
 }

@@ -232,6 +232,20 @@ object TextQueries {
       graft.ext.TextModel.unigramNll(t(s, dir, "documents"),
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Line-level corpus dedup (C4/RefinedWeb boilerplate removal): docs
+    // are first re-laid-out as 8-word lines (the synthetic corpus is
+    // single-line), then every line repeating corpus-wide is dropped and
+    // survivors reassembled in order.
+    "q68_line_dedup" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        element_at(transform(array(toks), ts =>
+          concat_ws("\n", transform(sequence(lit(0), size(ts) - 1, lit(8)),
+            st => concat_ws(" ", slice(ts, st + 1, lit(8)))))), 1).as("text"))
+      graft.ext.TextPipeline.dedupLines(multi, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   private def sqlStop(lang: String): String = {
@@ -340,6 +354,29 @@ object TextQueries {
       """SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '7'), 1, 15))::BIGINT AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "q68_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(tk), 8),
+        |      st -> array_to_string(list_slice(tk, st + 1, st + 8), ' ')) AS lines
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |    generate_subscripts(lines, 1) AS pos
+        |  FROM l),
+        |c AS (SELECT line, COUNT(*) AS n FROM e GROUP BY line),
+        |k AS (SELECT e.* FROM e JOIN c USING (line) WHERE c.n <= 1),
+        |tot AS (SELECT doc_id, len(lines) AS total FROM l)
+        |SELECT k.doc_id,
+        |  string_agg(k.line, chr(10) ORDER BY k.pos) AS dedup_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+        |  CAST(ANY_VALUE(tot.total) - COUNT(*) AS BIGINT) AS n_lines_dropped
+        |FROM k JOIN tot ON tot.doc_id = k.doc_id
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
 
     "q66_vocabulary" ->
       """WITH t AS (

@@ -113,6 +113,38 @@ class ReadersMultimodalSpec extends SparkSpec {
     assert(feats(2L).width >= 64 && feats(2L).height >= 64)
   }
 
+  test("multimodal: real WAV payloads decode rate/channels/duration/amplitude") {
+    // encode an actual 1-second 8kHz mono 16-bit PCM WAV (JDK codec):
+    // a 440 Hz sine at half amplitude → mean |amplitude| = (2/π)·0.5
+    val rate = 8000f
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val nFrames = 8000
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 16384).toInt.toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "audio", wav, "test://wav", wav.length.toLong),
+      // text bytes are not decodable audio → deterministic stub fallback
+      Multimodal.MediaAsset(2L, "audio", "not audio".getBytes("UTF-8"),
+        "test://txt", 9L)).toDS()
+    val feats = Multimodal.extractFeatures(assets)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats(1L).width == 8000)        // sample rate
+    assert(feats(1L).height == 1)          // channels
+    assert(feats(1L).duration_ms == 1000L)
+    assert(math.abs(feats(1L).mean_intensity - (2 / math.Pi) * 0.5) < 0.01)
+    assert(feats(2L).duration_ms != 1000L) // stub-derived, not a real parse
+  }
+
   test("multimodal: decompression-bomb image falls back to the stub") {
     // hand-crafted PNG header declaring 60000x60000 — ImageIO reads the
     // dimensions from the IHDR without decoding; the guard must refuse

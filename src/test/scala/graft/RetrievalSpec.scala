@@ -158,6 +158,35 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getAs[Long]("nll_micros") == exp)
   }
 
+  // ---------- line-level corpus dedup ----------
+
+  test("dedupLines drops corpus-wide repeated lines, keeps order") {
+    val docs = Seq(
+      (1L, "unique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nown content"),
+      (3L, "cookie banner")).toDF("doc_id", "text")
+    val out = graft.ext.TextPipeline.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // "cookie banner" occurs 3× corpus-wide → dropped everywhere; doc 3
+    // loses its only line and disappears
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("dedup_text") == "unique alpha\nunique beta")
+    assert(out(0).getAs[Long]("n_lines_kept") == 2L)
+    assert(out(0).getAs[Long]("n_lines_dropped") == 1L)
+    assert(out(1).getAs[String]("dedup_text") == "own content")
+    assert(out(1).getAs[Long]("n_lines_dropped") == 1L)
+  }
+
+  test("dedupLines maxOccurrences threshold keeps lines at or under it") {
+    val docs = Seq(
+      (1L, "twice\nonce-a"), (2L, "twice\nonce-b")).toDF("doc_id", "text")
+    val keep2 = graft.ext.TextPipeline.dedupLines(docs, "doc_id", "text",
+        maxOccurrences = 2)
+      .orderBy("doc_id").collect()
+    assert(keep2.forall(_.getAs[Long]("n_lines_dropped") == 0L))
+    assert(keep2(0).getAs[String]("dedup_text") == "twice\nonce-a")
+  }
+
   // ---------- deterministic shuffle ----------
 
   test("shuffled is a stable seeded permutation; seeds differ") {
