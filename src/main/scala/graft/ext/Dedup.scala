@@ -400,6 +400,93 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dup matches: NEW docs against an existing KEPT
+    * corpus and against each other — the daily-increment shape. A crawl
+    * delta is a sliver of the accumulated corpus, so candidate generation
+    * must scale with |new|: the kept side is banded and bucket-counted
+    * but NEVER self-joined — kept×kept pairs (the quadratic mass a full
+    * re-dedup would pay every day) are simply never generated.
+    *
+    * Output: exact-verified matches (new_id, matched_id, jaccard,
+    * matched_kept) where jaccard ≥ `minJaccard`; new×new matches appear
+    * once with new_id > matched_id (smaller-id doc is the "original").
+    * Requires globally unique ids across both frames.
+    *
+    * At true scale the kept side's band table is a precomputed dedup
+    * INDEX maintained incrementally (append each day's survivors);
+    * banding it per call — as here — is still one narrow pass, never a
+    * join. */
+  def incrementalNearDupMatches(newDocs: DataFrame, kept: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newSets = shingleSets(newDocs, idCol, textCol, shingleSize).persist()
+    newSets.count()
+    val keptSets = shingleSets(kept, idCol, textCol, shingleSize).persist()
+    keptSets.count()
+    def banded(sets: DataFrame): DataFrame =
+      sigsFromSets(sets, numHashes).select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)), b)))
+          .as(Seq("band", "band_hash")))
+    val newBand = banded(newSets).persist()
+    newBand.count()
+    val keptBand = banded(keptSets)
+    // cap non-discriminating buckets per side (a hot kept bucket ×
+    // every new probe is the incremental analogue of the self-join
+    // blow-up; members stay reachable via their other bands)
+    def bounded(b: DataFrame): DataFrame =
+      b.join(b.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize),
+        Seq("band", "band_hash"))
+    val nb = bounded(newBand)
+    val candKept = nb.select(col("band"), col("band_hash"),
+        col("id").as("new_id"))
+      .join(bounded(keptBand).select(col("band"), col("band_hash"),
+        col("id").as("matched_id")), Seq("band", "band_hash"))
+      .select(col("new_id"), col("matched_id"))
+      .withColumn("matched_kept", lit(true))
+    val candNew = nb.select(col("band"), col("band_hash"),
+        col("id").as("new_id"))
+      .join(nb.select(col("band"), col("band_hash"),
+        col("id").as("matched_id")), Seq("band", "band_hash"))
+      .filter(col("new_id") > col("matched_id"))
+      .select(col("new_id"), col("matched_id"))
+      .withColumn("matched_kept", lit(false))
+    val allSets = keptSets.unionByName(newSets)
+    val result = candKept.unionByName(candNew)
+      .dropDuplicates("new_id", "matched_id")
+      .join(newSets.select(col("id").as("new_id"), col("shset").as("sh_n")),
+        Seq("new_id"))
+      .join(allSets.select(col("id").as("matched_id"),
+        col("shset").as("sh_m")), Seq("matched_id"))
+      .withColumn("jaccard", Shingles.jaccard(col("sh_n"), col("sh_m")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("matched_id"), col("jaccard"),
+        col("matched_kept"))
+      .persist()
+    result.count() // eager, then release the intermediate caches
+    newSets.unpersist(); keptSets.unpersist(); newBand.unpersist()
+    result
+  }
+
+  /** Incremental dedup survivors: the new docs with NO ≥`minJaccard`
+    * match in the kept corpus and none to a smaller-id new doc (pairwise
+    * policy: a doc is judged against originals, not against whether its
+    * match itself survived). Anti join against the (small) matched set. */
+  def incrementalNearDup(newDocs: DataFrame, kept: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val matched = incrementalNearDupMatches(newDocs, kept, idCol, textCol,
+      shingleSize, bands, rowsPerBand, minJaccard, maxBucketSize)
+      .select(col("new_id").as(idCol))
+    newDocs.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for pairs within a blocking key (e.g. source or
     * length bucket) that share ≥1 shingle (disjoint pairs have Jaccard 0
     * and are never materialised). Intersection sizes come from a self-join

@@ -246,6 +246,24 @@ object TextQueries {
             st => concat_ws(" ", slice(ts, st + 1, lit(8)))))), 1).as("text"))
       graft.ext.TextPipeline.dedupLines(multi, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental near-dup dedup (the daily-increment shape): kept corpus
+    // = docs < 250, new batch = docs ≥ 250 plus perturbed copies of docs
+    // < 100 (guaranteed matches into kept). kept×kept is never joined.
+    // Oracle-checkable like q57: LSH recall is complete at ≥0.8 on this
+    // corpus, so survivors equal the exact-Jaccard pairwise rule.
+    "q70_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" zyxqj"))))
+      graft.ext.Dedup.incrementalNearDup(fresh, kept, "doc_id", "text",
+          minJaccard = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     }))
 
   private def sqlStop(lang: String): String = {
@@ -354,6 +372,41 @@ object TextQueries {
       """SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '7'), 1, 15))::BIGINT AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "q70_incremental_dedup" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |newd AS (
+         |  SELECT doc_id, lang, source, text FROM documents WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, text || ' zyxqj'
+         |  FROM documents WHERE doc_id < 100),
+         |allc AS (
+         |  SELECT doc_id, text, TRUE AS is_kept FROM kept
+         |  UNION ALL
+         |  SELECT doc_id, text, FALSE FROM newd),
+         |toks AS (
+         |  SELECT doc_id, is_kept,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         |  FROM allc),
+         |sh AS (SELECT doc_id, is_kept, $shingleList AS s FROM toks),
+         |ex AS (SELECT doc_id, is_kept, unnest(s) AS h FROM sh),
+         |inter AS (
+         |  SELECT n.doc_id AS a, m.doc_id AS b, COUNT(*) AS n_inter
+         |  FROM ex n JOIN ex m ON n.h = m.h
+         |  WHERE NOT n.is_kept
+         |    AND (m.is_kept OR m.doc_id < n.doc_id)
+         |    AND n.doc_id <> m.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |matched AS (
+         |  SELECT DISTINCT i.a FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.a
+         |  JOIN sizes sb ON sb.doc_id = i.b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.8)
+         |SELECT n.doc_id, n.lang, n.source FROM newd n
+         |WHERE n.doc_id NOT IN (SELECT a FROM matched)
+         |ORDER BY n.doc_id""".stripMargin,
 
     "q68_line_dedup" ->
       """WITH t AS (

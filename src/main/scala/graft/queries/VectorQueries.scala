@@ -58,7 +58,17 @@ object VectorQueries {
         .orderBy(col("a"), col("b"))
     }),
 
-    "q52_ivf_topk" -> ((s, dir) => ivfQuery(s, dir)))
+    "q52_ivf_topk" -> ((s, dir) => ivfQuery(s, dir)),
+
+    // Symmetric per-vector int8 quantization (4× embedding storage cut),
+    // exploded to scalar rows so every quantized value is hash-checked.
+    "q69_quantize" -> ((s, dir) => {
+      graft.ext.Quantize.int8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("dim", "q")))
+        .withColumn("dim", col("dim").cast("long"))
+        .orderBy(col("vec_id"), col("dim"))
+    }))
 
   /** IVF-flat ANN: train a 16-cell spherical k-means coarse quantizer,
     * probe 4 cells per query. Rows-only (centroids are engine-derived);
@@ -84,5 +94,21 @@ object VectorQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
-        |ORDER BY query_id, rnk""".stripMargin)
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q69_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS ma
+        |  FROM e),
+        |x AS (
+        |  SELECT vec_id, ma, unnest(v) AS xv,
+        |    generate_subscripts(v, 1) AS ds
+        |  FROM m)
+        |SELECT vec_id, ma / 127.0 AS scale,
+        |  CAST(ds - 1 AS BIGINT) AS dim,
+        |  CAST(CASE WHEN ma > 0 THEN ROUND(xv * 127.0 / ma) ELSE 0 END AS BIGINT) AS q
+        |FROM x ORDER BY vec_id, dim""".stripMargin)
 }

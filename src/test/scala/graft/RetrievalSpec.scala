@@ -158,6 +158,55 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getAs[Long]("nll_micros") == exp)
   }
 
+  // ---------- incremental near-dup ----------
+
+  test("incremental dedup matches new docs against kept and smaller new ids") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "spark shuffles partitions across the cluster nodes today"
+    val kept = Seq(
+      (1L, base),
+      (2L, "totally different kept content about bm25 scoring and idf weights"))
+      .toDF("doc_id", "text")
+    val novel = "completely novel text describing vector quantization " +
+      "and token budget packing for pretraining corpora at scale"
+    val fresh = Seq(
+      (10L, base + " zz"),     // near-dup of kept 1 → dropped
+      (11L, novel),            // survives
+      (12L, novel + " qq"))    // near-dup of smaller new 11 → dropped
+      .toDF("doc_id", "text")
+    val matches = graft.ext.Dedup.incrementalNearDupMatches(
+      fresh, kept, "doc_id", "text", minJaccard = 0.8)
+      .orderBy("new_id").collect()
+    assert(matches.map(r => (r.getAs[Long]("new_id"),
+      r.getAs[Long]("matched_id"), r.getAs[Boolean]("matched_kept")))
+      .toSeq == Seq((10L, 1L, true), (12L, 11L, false)))
+    val survivors = graft.ext.Dedup.incrementalNearDup(
+      fresh, kept, "doc_id", "text", minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(survivors == Seq(11L))
+  }
+
+  // ---------- int8 quantization ----------
+
+  test("int8 quantization: exact codes, scale, bounded dequant error") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = graft.ext.Quantize.int8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // max|v| = 1 → codes round(v*127): 127, -63.5→-64 (away from zero), 31.75→32, 0
+    assert(q(0).getAs[scala.collection.Seq[Long]]("qvec").toSeq ==
+      Seq(127L, -64L, 32L, 0L))
+    assert(math.abs(q(0).getAs[Double]("scale") - 1.0 / 127.0) < 1e-15)
+    // zero vector: zero codes, zero scale
+    assert(q(1).getAs[scala.collection.Seq[Long]]("qvec").toSeq == Seq(0L, 0L))
+    assert(q(1).getAs[Double]("scale") == 0.0)
+    val err = graft.ext.Quantize.int8Error(vecs, "vec_id", "embedding")
+      .filter(col("vec_id") === 1L).collect().head
+    // dequant error per element is at most scale/2
+    assert(err.getAs[Double]("mean_abs_err") <= 0.5 / 127.0 + 1e-12)
+  }
+
   // ---------- line-level corpus dedup ----------
 
   test("dedupLines drops corpus-wide repeated lines, keeps order") {
