@@ -132,6 +132,24 @@ object ScaleSmoke {
         n = 13).count() }
     time("2M docs deterministic shuffle") {
       ext.Sampling.shuffled(corpus, "doc_id", seed = 1).count() }
+    // incremental dedup: build the kept index ONCE (the corpus-wide
+    // one-off; at 100 TB it lives in the lakehouse and is appended), then
+    // match a 20k-doc delta — 10k novel docs + 10k perturbed copies of
+    // kept docs — whose cost must track the DELTA, not the corpus
+    val idx0 = ext.Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    val idx = idx0.copy(sets = idx0.sets.persist(),
+      banded = idx0.banded.persist())
+    time("2M-doc near-dup index build (one-off)") {
+      idx.sets.count() + idx.banded.count() }
+    val delta = syntheticDocs(spark, 2010000)
+      .filter(col("doc_id") >= 2000000L) // genuinely novel synthetic text
+      .unionByName(corpus.filter(col("doc_id") < 10000)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text")))
+    time("20k-delta incremental match vs 2M index") {
+      ext.Dedup.incrementalNearDupMatches(delta, idx, "doc_id", "text",
+        minJaccard = 0.8, maxBucketSize = 1000).count() }
+    idx.sets.unpersist(); idx.banded.unpersist()
     corpus.unpersist()
 
     // 1.2M-edge pair graph: far above the 200k default driver gate (and

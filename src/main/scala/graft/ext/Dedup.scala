@@ -416,37 +416,66 @@ object Dedup {
     * INDEX maintained incrementally (append each day's survivors);
     * banding it per call — as here — is still one narrow pass, never a
     * join. */
-  def incrementalNearDupMatches(newDocs: DataFrame, kept: DataFrame,
-      idCol: String, textCol: String, shingleSize: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 4, minJaccard: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val newSets = shingleSets(newDocs, idCol, textCol, shingleSize).persist()
+  /** Precomputed kept-side near-dup index: per-doc shingle-hash sets and
+    * the bounded banded-signature table (buckets hotter than
+    * `maxBucketSize` are already dropped — they carry no discriminating
+    * information). Built in one narrow pass over the kept corpus; at
+    * scale this lives in the lakehouse and is APPENDED each increment
+    * (survivors' rows), so no call ever re-scans the accumulated corpus. */
+  final case class NearDupIndex(sets: DataFrame, banded: DataFrame,
+      bands: Int, rowsPerBand: Int, shingleSize: Int)
+
+  private def bandify(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+          lit(rowsPerBand)), b)))
+        .as(Seq("band", "band_hash")))
+
+  def buildNearDupIndex(kept: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucketSize: Int = 1000): NearDupIndex = {
+    val sets = shingleSets(kept, idCol, textCol, shingleSize)
+    val banded = bandify(sigsFromSets(sets, bands * rowsPerBand),
+      bands, rowsPerBand)
+    val bounded = banded.join(
+      banded.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+        .select(col("band"), col("band_hash")),
+      Seq("band", "band_hash"))
+    NearDupIndex(sets, bounded, bands, rowsPerBand, shingleSize)
+  }
+
+  /** Match a delta against a prebuilt [[NearDupIndex]] — the per-call
+    * cost scales with the DELTA (new-side shingles/signatures plus joins
+    * that stream the index), never re-scanning the kept corpus. Callers
+    * should persist (or store) the index frames across increments. */
+  def incrementalNearDupMatches(newDocs: DataFrame, index: NearDupIndex,
+      idCol: String, textCol: String, minJaccard: Double,
+      maxBucketSize: Int): DataFrame = {
+    val newSets = shingleSets(newDocs, idCol, textCol, index.shingleSize)
+      .persist()
     newSets.count()
-    val keptSets = shingleSets(kept, idCol, textCol, shingleSize).persist()
-    keptSets.count()
-    def banded(sets: DataFrame): DataFrame =
-      sigsFromSets(sets, numHashes).select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand)), b)))
-          .as(Seq("band", "band_hash")))
-    val newBand = banded(newSets).persist()
+    val newBand = bandify(
+      sigsFromSets(newSets, index.bands * index.rowsPerBand),
+      index.bands, index.rowsPerBand).persist()
     newBand.count()
-    val keptBand = banded(keptSets)
-    // cap non-discriminating buckets per side (a hot kept bucket ×
-    // every new probe is the incremental analogue of the self-join
-    // blow-up; members stay reachable via their other bands)
-    def bounded(b: DataFrame): DataFrame =
-      b.join(b.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize),
-        Seq("band", "band_hash"))
-    val nb = bounded(newBand)
-    val candKept = nb.select(col("band"), col("band_hash"),
-        col("id").as("new_id"))
-      .join(bounded(keptBand).select(col("band"), col("band_hash"),
-        col("id").as("matched_id")), Seq("band", "band_hash"))
+    // cap hot NEW buckets too (a hot bucket × every kept member is the
+    // incremental analogue of the self-join blow-up)
+    val nb = newBand.join(
+      newBand.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+        .select(col("band"), col("band_hash")),
+      Seq("band", "band_hash"))
+    // the DELTA side broadcasts (it's small by contract): the index
+    // streams map-side through the join — no corpus-sized shuffle per
+    // increment
+    val candKept = index.banded
+      .select(col("band"), col("band_hash"), col("id").as("matched_id"))
+      .join(broadcast(nb.select(col("band"), col("band_hash"),
+        col("id").as("new_id"))), Seq("band", "band_hash"))
       .select(col("new_id"), col("matched_id"))
       .withColumn("matched_kept", lit(true))
     val candNew = nb.select(col("band"), col("band_hash"),
@@ -456,20 +485,42 @@ object Dedup {
       .filter(col("new_id") > col("matched_id"))
       .select(col("new_id"), col("matched_id"))
       .withColumn("matched_kept", lit(false))
-    val allSets = keptSets.unionByName(newSets)
-    val result = candKept.unionByName(candNew)
+    val allSets = index.sets.unionByName(newSets)
+    // candidates (delta-sized) broadcast into the set-attach join too, so
+    // the kept shingle sets also stream map-side
+    val cand = candKept.unionByName(candNew)
       .dropDuplicates("new_id", "matched_id")
       .join(newSets.select(col("id").as("new_id"), col("shset").as("sh_n")),
         Seq("new_id"))
-      .join(allSets.select(col("id").as("matched_id"),
-        col("shset").as("sh_m")), Seq("matched_id"))
+    val result = allSets
+      .select(col("id").as("matched_id"), col("shset").as("sh_m"))
+      .join(broadcast(cand), Seq("matched_id"))
       .withColumn("jaccard", Shingles.jaccard(col("sh_n"), col("sh_m")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("new_id"), col("matched_id"), col("jaccard"),
         col("matched_kept"))
       .persist()
-    result.count() // eager, then release the intermediate caches
-    newSets.unpersist(); keptSets.unpersist(); newBand.unpersist()
+    result.count() // eager, then release the delta-side caches
+    newSets.unpersist(); newBand.unpersist()
+    result
+  }
+
+  /** Convenience form building a throwaway index from `kept` (persisted
+    * for the duration of the call — the index frames feed both candidate
+    * generation and exact verification). Repeated increments should build
+    * the index once via [[buildNearDupIndex]] instead. */
+  def incrementalNearDupMatches(newDocs: DataFrame, kept: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val idx0 = buildNearDupIndex(kept, idCol, textCol, shingleSize, bands,
+      rowsPerBand, maxBucketSize)
+    val idx = idx0.copy(sets = idx0.sets.persist(),
+      banded = idx0.banded.persist())
+    idx.sets.count(); idx.banded.count()
+    val result = incrementalNearDupMatches(newDocs, idx, idCol, textCol,
+      minJaccard, maxBucketSize)
+    idx.sets.unpersist(); idx.banded.unpersist()
     result
   }
 
