@@ -151,16 +151,9 @@ object Dedup {
     val reps = withSigKey.join(
       clusters.select(col("rep").as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("sig"))
-    val banded = reps.select(col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
-        .as(Seq("band", "band_hash"))).persist()
+    val banded = bandify(reps, bands, rowsPerBand).persist()
     banded.count()
-    val bucketSizes = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-    val bounded = banded.join(bucketSizes.filter(col("__n") <= maxBucketSize),
-      Seq("band", "band_hash"))
+    val bounded = boundBuckets(banded, maxBucketSize)
     val bandCand = bounded
       .select(col("band"), col("band_hash"), col("id").as("a"))
       .join(bounded.select(col("band"), col("band_hash"), col("id").as("b")),
@@ -425,6 +418,9 @@ object Dedup {
   final case class NearDupIndex(sets: DataFrame, banded: DataFrame,
       bands: Int, rowsPerBand: Int, shingleSize: Int)
 
+  /** (id, sig) → one row per (band, 64-bit band hash). Shared by the
+    * batch LSH and the incremental index — the two paths must band
+    * identically or an index is not interchangeable with a re-dedup. */
   private def bandify(sigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame =
     sigs.select(col("id"),
@@ -434,17 +430,35 @@ object Dedup {
           lit(rowsPerBand)), b)))
         .as(Seq("band", "band_hash")))
 
+  /** Drop band buckets hotter than `cap`: they carry no discriminating
+    * information and their members remain reachable via other bands. */
+  private def boundBuckets(banded: DataFrame, cap: Int): DataFrame =
+    banded.join(
+      banded.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+        .select(col("band"), col("band_hash")),
+      Seq("band", "band_hash"))
+
+  /** One representative (min id) per distinct signature — the
+    * duplicate-heavy-corpus guard: banding members individually would
+    * push every bucket of heavily-duplicated content over the cap and
+    * silently lose it from candidate generation. */
+  private def sigReps(sigs: DataFrame): DataFrame =
+    sigs.withColumn("__sk", xxhash64(col("sig")))
+      .groupBy(col("__sk"))
+      .agg(min(struct(col("id"), col("sig"))).as("__r"))
+      .select(col("__r.id").as("id"), col("__r.sig").as("sig"))
+
   def buildNearDupIndex(kept: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       maxBucketSize: Int = 1000): NearDupIndex = {
     val sets = shingleSets(kept, idCol, textCol, shingleSize)
-    val banded = bandify(sigsFromSets(sets, bands * rowsPerBand),
-      bands, rowsPerBand)
-    val bounded = banded.join(
-      banded.groupBy(col("band"), col("band_hash"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
-        .select(col("band"), col("band_hash")),
-      Seq("band", "band_hash"))
+    // band one rep per distinct signature (duplicate-heavy guard, same as
+    // minHashLsh): a new copy of kept boilerplate matches the rep — and
+    // rep verification (exact Jaccard vs the rep's shingle set) decides
+    val reps = sigReps(sigsFromSets(sets, bands * rowsPerBand))
+    val bounded = boundBuckets(bandify(reps, bands, rowsPerBand),
+      maxBucketSize)
     NearDupIndex(sets, bounded, bands, rowsPerBand, shingleSize)
   }
 

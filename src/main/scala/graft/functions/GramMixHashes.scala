@@ -44,8 +44,15 @@ case class GramMixHashes(child: Expression, n: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.trim
-      .toLowerCase(java.util.Locale.ROOT)
+    // SQL trim semantics (strip SPACES only — Java String.trim would also
+    // strip tabs/newlines and diverge from `lower(trim(text))` tokenizing
+    // in wordShingles and the SQL oracles)
+    val raw = input.asInstanceOf[UTF8String].toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val s = raw.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
     val toks = s.split("\\s+")
     val m = toks.length
     val wh = new Array[Long](m)
