@@ -35,11 +35,15 @@ object Bench {
     // only the tail of the sbt output and parses the one JSON line — full
     // float precision made the 60+-query line long enough to overflow that
     // window.
+    // Locale.ROOT: f"%.3f" under a comma-decimal locale (de_DE) would emit
+    // `"q":0,123` and corrupt the one JSON line the driver parses
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -472,12 +472,32 @@ object Dedup {
     val newSets = shingleSets(newDocs, idCol, textCol, index.shingleSize)
       .persist()
     newSets.count()
-    val newBand = bandify(
-      sigsFromSets(newSets, index.bands * index.rowsPerBand),
+    // duplicate-heavy DELTA guard (mirrors the batch path's sigReps): band
+    // ONE representative per distinct signature. Banding members
+    // individually means a delta carrying >maxBucketSize copies of the
+    // same boilerplate overflows every one of its band buckets, the cap
+    // drops them all, and every copy silently survives. Non-rep members
+    // inherit their rep's candidates (plus a member→rep candidate), all
+    // exact-Jaccard verified against each member's own shingle set.
+    val newSigs = sigsFromSets(newSets, index.bands * index.rowsPerBand)
+      .withColumn("__sk", xxhash64(col("sig")))
+    val reps = newSigs.groupBy(col("__sk"))
+      .agg(min(struct(col("id"), col("sig"))).as("__r"))
+      .select(col("__sk"), col("__r.id").as("rep_id"),
+        col("__r.sig").as("sig"))
+      .persist()
+    reps.count()
+    val memberOf = newSigs.select(col("id"), col("__sk"))
+      .join(reps.select(col("__sk"), col("rep_id")), Seq("__sk"))
+      .select(col("id"), col("rep_id"))
+      .persist()
+    memberOf.count()
+    val newBand = bandify(reps.select(col("rep_id").as("id"), col("sig")),
       index.bands, index.rowsPerBand).persist()
     newBand.count()
     // cap hot NEW buckets too (a hot bucket × every kept member is the
-    // incremental analogue of the self-join blow-up)
+    // incremental analogue of the self-join blow-up); reps-only banding
+    // means identical-content floods no longer trip this cap
     val nb = newBand.join(
       newBand.groupBy(col("band"), col("band_hash"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
@@ -489,20 +509,28 @@ object Dedup {
     val candKept = index.banded
       .select(col("band"), col("band_hash"), col("id").as("matched_id"))
       .join(broadcast(nb.select(col("band"), col("band_hash"),
-        col("id").as("new_id"))), Seq("band", "band_hash"))
-      .select(col("new_id"), col("matched_id"))
+        col("id").as("rep_id"))), Seq("band", "band_hash"))
+      .select(col("rep_id"), col("matched_id"))
       .withColumn("matched_kept", lit(true))
     val candNew = nb.select(col("band"), col("band_hash"),
-        col("id").as("new_id"))
+        col("id").as("rep_id"))
       .join(nb.select(col("band"), col("band_hash"),
         col("id").as("matched_id")), Seq("band", "band_hash"))
-      .filter(col("new_id") > col("matched_id"))
-      .select(col("new_id"), col("matched_id"))
+      .filter(col("rep_id") > col("matched_id"))
+      .select(col("rep_id"), col("matched_id"))
       .withColumn("matched_kept", lit(false))
+    // expand rep-level candidates to every member of the rep's signature
+    // group (a member is ≥ its rep, so the new-vs-new smaller-id ordering
+    // is preserved), and pair each non-rep member with its own rep
+    val expanded = memberOf.join(candKept.unionByName(candNew), Seq("rep_id"))
+      .select(col("id").as("new_id"), col("matched_id"), col("matched_kept"))
+    val intraGroup = memberOf.filter(col("id") =!= col("rep_id"))
+      .select(col("id").as("new_id"), col("rep_id").as("matched_id"),
+        lit(false).as("matched_kept"))
     val allSets = index.sets.unionByName(newSets)
     // candidates (delta-sized) broadcast into the set-attach join too, so
     // the kept shingle sets also stream map-side
-    val cand = candKept.unionByName(candNew)
+    val cand = expanded.unionByName(intraGroup)
       .dropDuplicates("new_id", "matched_id")
       .join(newSets.select(col("id").as("new_id"), col("shset").as("sh_n")),
         Seq("new_id"))
@@ -515,7 +543,8 @@ object Dedup {
         col("matched_kept"))
       .persist()
     result.count() // eager, then release the delta-side caches
-    newSets.unpersist(); newBand.unpersist()
+    newSets.unpersist(); newBand.unpersist(); reps.unpersist()
+    memberOf.unpersist()
     result
   }
 

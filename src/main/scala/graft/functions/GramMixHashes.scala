@@ -53,7 +53,10 @@ case class GramMixHashes(child: Expression, n: Int)
     while (lo < hi && raw.charAt(lo) == ' ') lo += 1
     while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
     val s = raw.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
-    val toks = s.split("\\s+")
+    // limit -1 keeps trailing empty tokens, matching Spark SQL `split`
+    // (and DuckDB regexp_split_to_array): a doc ending in \t/\n yields a
+    // trailing "" token in wordShingles, so it must here too
+    val toks = s.split("\\s+", -1)
     val m = toks.length
     val wh = new Array[Long](m)
     var i = 0

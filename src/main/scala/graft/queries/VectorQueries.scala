@@ -107,8 +107,8 @@ object VectorQueries {
         |  SELECT vec_id, ma, unnest(v) AS xv,
         |    generate_subscripts(v, 1) AS ds
         |  FROM m)
-        |SELECT vec_id, ma / 127.0 AS scale,
+        |SELECT vec_id, COALESCE(ma, 0) / 127.0 AS scale,
         |  CAST(ds - 1 AS BIGINT) AS dim,
-        |  CAST(CASE WHEN ma > 0 THEN ROUND(xv * 127.0 / ma) ELSE 0 END AS BIGINT) AS q
+        |  CAST(CASE WHEN COALESCE(ma, 0) > 0 THEN ROUND(xv * 127.0 / ma) ELSE 0 END AS BIGINT) AS q
         |FROM x ORDER BY vec_id, dim""".stripMargin)
 }

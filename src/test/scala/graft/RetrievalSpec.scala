@@ -186,6 +186,40 @@ class RetrievalSpec extends SparkSpec {
     assert(survivors == Seq(11L))
   }
 
+  test("wordHashGrams keeps trailing empty tokens (Spark split parity)") {
+    // SQL trim strips spaces only, so a trailing \n survives and Spark's
+    // split (limit -1) emits a trailing "" token — the native gram
+    // expression must tokenize identically or gram sets diverge from
+    // wordShingles and the DuckDB regexp_split_to_array oracles
+    val df = Seq((1L, "alpha beta\n"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        size(graft.ext.Shingles.wordHashGrams(col("text"), 1)).as("n1"),
+        graft.ext.Shingles.wordHashGrams(col("text"), 3).as("g3"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n1") == 3) // alpha, beta, ""
+    assert(out(1).getAs[Int]("n1") == 2)
+    assert(out(0).getAs[scala.collection.Seq[Long]]("g3").toSeq !=
+      out(1).getAs[scala.collection.Seq[Long]]("g3").toSeq)
+  }
+
+  test("incremental dedup survives a duplicate-heavy delta (bucket cap)") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "spark shuffles partitions across the cluster nodes today"
+    val kept = Seq((1L, base)).toDF("doc_id", "text")
+    // 30 identical copies with maxBucketSize = 5: banding members
+    // individually overflows every new-side bucket and the cap silently
+    // drops ALL copies; signature-rep banding must still match every one
+    val fresh = (100L to 129L).map(i => (i, base + " zz"))
+      .toDF("doc_id", "text")
+    val matches = graft.ext.Dedup.incrementalNearDupMatches(
+      fresh, kept, "doc_id", "text", minJaccard = 0.8, maxBucketSize = 5)
+    assert(matches.select("new_id").distinct().count() == 30)
+    val survivors = graft.ext.Dedup.incrementalNearDup(
+      fresh, kept, "doc_id", "text", minJaccard = 0.8, maxBucketSize = 5)
+    assert(survivors.count() == 0)
+  }
+
   // ---------- int8 quantization ----------
 
   test("int8 quantization: exact codes, scale, bounded dequant error") {
