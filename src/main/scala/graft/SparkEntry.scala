@@ -32,9 +32,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Temporal.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ GoldQueries.queries ++ FintechQueries.queries
+      VectorQueries.queries ++ GoldQueries.queries ++
+      FintechQueries.queries ++ OpsQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Temporal.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ GoldQueries.oracles ++ FintechQueries.oracles
+      VectorQueries.oracles ++ GoldQueries.oracles ++
+      FintechQueries.oracles ++ OpsQueries.oracles
 }

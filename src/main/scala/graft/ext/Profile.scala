@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** One-pass column profiling: per-column row counts, null counts, distinct
+  * cardinality, numeric min/max, string min/max and mean length — the
+  * "what did I just ingest" summary every curation pipeline runs before
+  * spending cluster time on it.
+  *
+  * Plan shape: ONE aggregate over the input (no per-column scans), then a
+  * literal melt (`explode` of a struct array over the single aggregate
+  * row) into one output row per column — no driver collect.
+  *
+  * Scale note: `exactDistinct = true` plans Spark's multi-distinct
+  * Expand — the input is replicated (#distinct-aggs + 1)× before the
+  * partial aggregate. Exact mode is for oracle-checked correctness and
+  * modest column lists; at 100 TB profile with `exactDistinct = false`
+  * (HyperLogLog++), which keeps the whole profile a single
+  * partial-agg/final-agg pass with no expansion.
+  */
+object Profile {
+
+  def summarize(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    def isNum(c: String): Boolean =
+      schema(c).dataType.isInstanceOf[NumericType]
+    def isStr(c: String): Boolean = schema(c).dataType == StringType
+
+    val aggs: Seq[Column] = count(lit(1)).as("__total") +: cols.flatMap {
+      c =>
+        val d =
+          if (exactDistinct) countDistinct(col(c))
+          else approx_count_distinct(col(c))
+        Seq(count(col(c)).as(s"$c@n"), d.as(s"$c@d")) ++
+          (if (isNum(c))
+            Seq(min(col(c)).cast("double").as(s"$c@mn"),
+              max(col(c)).cast("double").as(s"$c@mx"))
+          else Nil) ++
+          (if (isStr(c))
+            Seq(min(col(c)).as(s"$c@smn"), max(col(c)).as(s"$c@smx"),
+              sum(length(col(c))).cast("double").as(s"$c@sl"))
+          else Nil)
+    }
+
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__total").as("n_rows"),
+        col(s"`$c@n`").as("n_nonnull"),
+        col(s"`$c@d`").cast("long").as("n_distinct"),
+        (if (isNum(c)) col(s"`$c@mn`") else nullD).as("min_num"),
+        (if (isNum(c)) col(s"`$c@mx`") else nullD).as("max_num"),
+        (if (isStr(c)) col(s"`$c@smn`") else nullS).as("min_str"),
+        (if (isStr(c)) col(s"`$c@smx`") else nullS).as("max_str"),
+        (if (isStr(c))
+          // explicit sum/count division (not avg) for bit-exact parity
+          // with the SQL oracle's CAST(SUM)/CAST(COUNT)
+          when(col(s"`$c@n`") > 0,
+            col(s"`$c@sl`") / col(s"`$c@n`").cast("double"))
+        else nullD).as("avg_len"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

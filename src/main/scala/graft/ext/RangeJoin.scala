@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range joins re-expressed as equi-joins on a grid key.
+  *
+  * Spark turns a bare `p >= lo AND p < hi` join condition into a
+  * BroadcastNestedLoopJoin (or a cartesian product when neither side is
+  * broadcast-able) — O(|points| × |intervals|) comparisons and a
+  * single-threaded build side at cluster scale. The standard scale shape
+  * (used by every production range-join implementation, e.g. the interval
+  * join in stream processors) is to overlay a fixed-width grid: each
+  * interval is exploded to the cells it covers, each point maps to exactly
+  * ONE cell, and the join becomes a plain shuffled hash join on
+  * (keys…, cell) followed by the exact predicate as a cheap filter.
+  *
+  * Cost model: |points| + Σ ceil(span/binWidth) exploded interval rows —
+  * choose `binWidth` near the median interval span so most intervals
+  * explode to 1–2 cells. Skewed cells behave like any other skewed join
+  * key (AQE skew split applies). No row ever compares against an interval
+  * outside its own cell.
+  */
+object RangeJoin {
+
+  import org.apache.spark.sql.Column
+
+  /** Last grid cell covered by an EXCLUSIVE upper bound: `floor(hi/w)`,
+    * minus one when `hi` sits exactly on a cell boundary (an interval
+    * ending there does not cover that cell). Exact for integral and
+    * fractional bounds alike — no `hi - ε` float hack, which would lose
+    * precision past 2^53 (e.g. epoch nanos). */
+  private def lastCell(hi: Column, binWidth: Long): Column =
+    (floor(hi / binWidth) -
+      when(hi % binWidth === 0, 1).otherwise(0)).cast("long")
+
+  /** Join each point to every interval containing it: `lo <= p < hi`
+    * (half-open, the calendar/window convention). Both inputs may be
+    * arbitrarily large — the join is a hash equi-join on (`keys`…, cell).
+    *
+    * `pointCol`, `loCol`, `hiCol` must be numeric (cast timestamps to
+    * epoch seconds/micros first); empty intervals (`hi <= lo`) match
+    * nothing; rows with null bounds/points drop (inner-join semantics).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String, binWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val cells = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__cell",
+        explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+          lastCell(col(hiCol), binWidth))))
+    val pts = points
+      .withColumn("__cell", floor(col(pointCol) / binWidth).cast("long"))
+    pts.join(cells, keys :+ "__cell")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__cell")
+  }
+
+  /** Join overlapping interval pairs: `[aLo, aHi)` meets `[bLo, bHi)`.
+    * Both sides explode to covered cells; a pair meets in every shared
+    * cell, so to avoid a dedup shuffle each pair is emitted ONLY from its
+    * canonical cell — the one containing `max(aLo, bLo)` (the leftmost
+    * cell where both are present). Plan: hash join on (`keys`…, cell) +
+    * two scalar filters; no dropDuplicates, no cross join. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String, binWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def cellsOf(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__cell",
+        explode(sequence(floor(col(lo) / binWidth).cast("long"),
+          lastCell(col(hi), binWidth))))
+    cellsOf(left, aLo, aHi).join(cellsOf(right, bLo, bHi), keys :+ "__cell")
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__cell") ===
+        floor(greatest(col(aLo), col(bLo)) / binWidth).cast("long"))
+      .drop("__cell")
+  }
+}

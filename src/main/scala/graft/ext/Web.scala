@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-crawl curation: canonical URL forms (so the exact
+  * dedup key actually collides for the same page), registrable-domain
+  * extraction (the unit of crawl policy: blocklists, per-domain caps,
+  * mixture weights), and domain filtering.
+  *
+  * All pure Column algebra over `regexp_extract`/`split`/array ops —
+  * codegen'd, no UDFs, narrow (zero shuffles until the caller
+  * aggregates).
+  */
+object Web {
+
+  private val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+  private val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+
+  /** Tracking parameters stripped during normalization (the ad-tech set
+    * every crawl pipeline drops: they never change page content). */
+  val trackingParams: Seq[String] =
+    Seq("utm_source", "utm_medium", "utm_campaign", "utm_term",
+      "utm_content", "gclid", "fbclid", "msclkid", "ref")
+
+  /** Canonical form: lowercase scheme and host, strip a leading `www.`,
+    * drop default ports (:80 http, :443 https), drop the fragment, drop
+    * tracking query parameters, sort surviving parameters (query order is
+    * not semantic), and trim a trailing `/` from non-root paths. Two URLs
+    * for the same page normalize to the same string — the precondition
+    * for URL-level exact dedup. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, schemeRe, 1))
+    val hostPort = lower(regexp_extract(url, hostRe, 1))
+    val host0 = regexp_replace(hostPort, ":\\d+$", "")
+    val host = regexp_replace(host0, "^www\\.", "")
+    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
+    val keepPort = when(
+      port === "" || (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    // path?query#fragment = everything after the authority
+    val rest = regexp_replace(url, hostRe, "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val path0 = regexp_replace(noFrag, "\\?.*$", "")
+    val path = when(path0 === "" , lit(""))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val tracked = trackingParams.map(p => lit(p)).toArray
+    val params = array_sort(filter(split(query, "&"), kv =>
+      kv =!= "" && !array_contains(
+        array(tracked.toIndexedSeq: _*),
+        lower(element_at(split(kv, "=", 2), 1)))))
+    val q = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, keepPort, path, q)
+  }
+
+  /** Multi-label public suffixes where the registrable domain is THREE
+    * labels (a small static core of the public-suffix list; a production
+    * deployment swaps in the full PSL snapshot the same way). */
+  val multiLabelSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp", "com.au",
+      "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in", "co.kr",
+      "com.sg", "com.tr")
+
+  /** Registrable domain of a URL or bare hostname: the last two labels,
+    * or the last three when the two-label tail is a known public suffix
+    * (`example.co.uk` → `example.co.uk`, not `co.uk`). */
+  def registeredDomain(url: Column): Column = {
+    val hostPort = when(url.rlike(schemeRe),
+      regexp_extract(url, hostRe, 1)).otherwise(url)
+    val host = regexp_replace(lower(hostPort), ":\\d+$", "")
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    val suffixes = array(multiLabelSuffixes.map(lit).toIndexedSeq: _*)
+    when(n <= 2, host)
+      .when(array_contains(suffixes, last2), last3)
+      .otherwise(last2)
+  }
+
+  /** Drop rows whose registrable domain is on the blocklist. The
+    * blocklist is a DataFrame (it can be millions of rows — an anti join,
+    * which AQE turns into a broadcast when it is small), not an in-memory
+    * list. */
+  def filterBlockedDomains(docs: DataFrame, urlCol: String,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val withDomain = docs.withColumn("__dom", registeredDomain(col(urlCol)))
+    withDomain.join(
+      blocklist.select(lower(col(domainCol)).as("__dom")).distinct(),
+      Seq("__dom"), "left_anti")
+      .drop("__dom")
+  }
+}

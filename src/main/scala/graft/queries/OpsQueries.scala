@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q.t
+
+/** Driver-gate queries for the round-5 operator additions: grid-bucketed
+  * range join, one-pass column profiling, URL hygiene, and BPE tokenizer
+  * prep. Oracle-parity notes per query inline.
+  */
+object OpsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Grid-bucketed range join: orders priced into overlapping price
+    // bands. Money compared in integer CENTS (playbook rule: integer
+    // bucket thresholds — float band edges drift between engines).
+    "q71_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val bands = s.range(0, 40).select(col("id").cast("long").as("band_id"),
+        (col("id") * 1500000L).as("lo"),
+        (col("id") * 1500000L + 2250000L).as("hi"))
+      graft.ext.RangeJoin.pointInInterval(pts, bands, "cents", "lo", "hi",
+          binWidth = 1500000L)
+        .select(col("o_orderkey"), col("band_id"))
+        .orderBy(col("o_orderkey"), col("band_id"))
+    }),
+
+    // One-pass column profile of orders (exact distincts so the DuckDB
+    // oracle can reproduce them).
+    "q72_profile" -> ((s, dir) => {
+      graft.ext.Profile.summarize(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy(col("column"))
+    }),
+
+    // URL normalization + registrable domain over synthetic crawl URLs
+    // (documents carry no URL column; the synthesis exercises mixed-case
+    // scheme/host, default vs explicit ports, tracking params, param
+    // order, trailing slash, and fragments).
+    "q73_url_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("Http://WWW.")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8080")),
+        lit("/Docs/"), col("doc_id"),
+        lit("/?utm_source=crawl&b=2&a=1#Frag"))
+      d.select(col("doc_id"),
+          graft.ext.Web.normalizeUrl(url).as("norm_url"),
+          graft.ext.Web.registeredDomain(url).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE tokenizer prep: learn 30 merges from the corpus word-frequency
+    // profile, encode every document. Rows-only by design: the greedy
+    // merge loop is not SQL-expressible; BpeSpec hand-verifies the
+    // algorithm and q74 smoke-checks the full corpus path.
+    "q74_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.train(docs, "text", numMerges = 30,
+        maxWords = 20000)
+      docs.select(col("doc_id"),
+          graft.ext.Bpe.encode(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          concat_ws(" ", slice(col("toks"), 1, 8)).as("head_tokens"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q71_range_join" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |bands AS (
+        |  SELECT CAST(i AS BIGINT) AS band_id,
+        |    CAST(i * 1500000 AS BIGINT) AS lo,
+        |    CAST(i * 1500000 + 2250000 AS BIGINT) AS hi
+        |  FROM range(0, 40) t(i))
+        |SELECT p.o_orderkey, b.band_id
+        |FROM pts p JOIN bands b ON p.cents >= b.lo AND p.cents < b.hi
+        |ORDER BY p.o_orderkey, b.band_id""".stripMargin,
+
+    "q72_profile" ->
+      """SELECT 'o_custkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+        |  CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(NULL AS DOUBLE) AS avg_len
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(o_orderkey) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(o_orderstatus) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  MIN(o_orderstatus), MAX(o_orderstatus),
+        |  CAST(SUM(length(o_orderstatus)) AS DOUBLE) /
+        |    CAST(COUNT(o_orderstatus) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(o_totalprice) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |FROM orders
+        |ORDER BY "column"""".stripMargin,
+
+    // expected normalized forms built directly (source is lowercase
+    // alphanumeric in the test data): even ids lose the default :443,
+    // odd ids keep :8080; both lose www., the fragment, the utm_ param,
+    // the trailing slash, and gain sorted params
+    "q73_url_normalize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'https://' || source || '.example.com/Docs/' || doc_id || '?a=1&b=2'
+        |    ELSE 'http://' || source || '.example.com:8080/Docs/' || doc_id || '?a=1&b=2'
+        |  END AS norm_url,
+        |  'example.com' AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

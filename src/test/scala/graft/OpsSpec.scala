@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- range join ----------
+
+  test("pointInInterval equals the brute-force inequality join") {
+    val points = (0L until 50L).map(i => (i, (i * 7) % 101 - 20))
+      .toDF("p_id", "v")
+    val intervals = (0L until 12L).map { i =>
+      val lo = i * 9 - 25
+      (i, lo, lo + (i % 4) * 6) // i % 4 == 0 → empty interval
+    }.toDF("i_id", "lo", "hi")
+    val got = graft.ext.RangeJoin.pointInInterval(
+        points, intervals, "v", "lo", "hi", binWidth = 8)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    val want = points.crossJoin(intervals)
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("pointInInterval boundary semantics: lo inclusive, hi exclusive") {
+    val points = Seq((1L, 8L), (2L, 16L), (3L, 15L)).toDF("p_id", "v")
+    val intervals = Seq((10L, 8L, 16L)).toDF("i_id", "lo", "hi")
+    val got = graft.ext.RangeJoin.pointInInterval(
+        points, intervals, "v", "lo", "hi", binWidth = 8)
+      .select("p_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L)) // 8 in, 16 out, 15 in
+  }
+
+  test("pointInInterval honors equality keys") {
+    val points = Seq(("a", 5L, 1L), ("b", 5L, 2L)).toDF("grp", "v", "p_id")
+    val intervals = Seq(("a", 0L, 10L, 7L)).toDF("grp", "lo", "hi", "i_id")
+    val got = graft.ext.RangeJoin.pointInInterval(
+        points, intervals, "v", "lo", "hi", binWidth = 4, keys = Seq("grp"))
+      .select("p_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // group b has no interval
+  }
+
+  test("intervalOverlap equals brute force with no duplicate pairs") {
+    val left = (0L until 16L).map { i =>
+      val lo = i * 5 - 20
+      (i, lo, lo + (i % 5) * 4)
+    }.toDF("a_id", "a_lo", "a_hi")
+    val right = (0L until 14L).map { j =>
+      val lo = j * 7 - 30
+      (j, lo, lo + (j % 3) * 9)
+    }.toDF("b_id", "b_lo", "b_hi")
+    val gotRows = graft.ext.RangeJoin.intervalOverlap(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(gotRows.size == gotRows.toSet.size) // canonical-cell dedup works
+    val want = left.filter(col("a_hi") > col("a_lo")).crossJoin(
+        right.filter(col("b_hi") > col("b_lo")))
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(gotRows.toSet == want)
+    assert(want.nonEmpty)
+  }
+
+  // ---------- column profile ----------
+
+  test("profile summarizes counts, distincts, min/max, string lengths") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "x", 1.5), (2L, null, 2.5), (2L, "yyy", null))
+      .toDF("id", "s", "v")
+    val out = graft.ext.Profile.summarize(df, Seq("id", "s", "v"))
+      .orderBy("column").collect()
+    val id = out(0); val s = out(1); val v = out(2)
+    assert(id.getAs[String]("column") == "id")
+    assert(id.getAs[Long]("n_rows") == 3 && id.getAs[Long]("n_nonnull") == 3)
+    assert(id.getAs[Long]("n_distinct") == 2)
+    assert(id.getAs[Double]("min_num") == 1.0 &&
+      id.getAs[Double]("max_num") == 2.0)
+    assert(id.isNullAt(id.fieldIndex("min_str")))
+    assert(s.getAs[Long]("n_nonnull") == 2 && s.getAs[Long]("n_distinct") == 2)
+    assert(s.getAs[String]("min_str") == "x" &&
+      s.getAs[String]("max_str") == "yyy")
+    assert(s.getAs[Double]("avg_len") == 2.0)
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+    assert(v.getAs[Long]("n_nonnull") == 2)
+    assert(v.getAs[Double]("min_num") == 1.5 &&
+      v.getAs[Double]("max_num") == 2.5)
+  }
+
+  test("profile approx mode keeps one row per column, no Expand") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val out = graft.ext.Profile.summarize(df, Seq("id", "s"),
+      exactDistinct = false)
+    assert(out.count() == 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+
+  // ---------- URL hygiene ----------
+
+  test("normalizeUrl canonicalizes case, ports, params, fragments") {
+    val urls = Seq(
+      "HTTPS://WWW.News.Example.co.uk:443/Path/Sub/?utm_campaign=x&z=9&a=1#top",
+      "http://example.com:8080/",
+      "https://Example.COM/a?fbclid=123",
+      "http://example.com:80/p").toDF("u")
+    val got = urls.select(graft.ext.Web.normalizeUrl(col("u")).as("n"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "https://news.example.co.uk/Path/Sub?a=1&z=9",
+      "http://example.com:8080",
+      "https://example.com/a",
+      "http://example.com/p"))
+  }
+
+  test("registeredDomain: PSL two-level suffixes, bare hosts, ports") {
+    val got = Seq(
+      "https://www.news.example.co.uk/x",
+      "example.com",
+      "a.b.c.example.com:9090",
+      "localhost").toDF("u")
+      .select(graft.ext.Web.registeredDomain(col("u")).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("example.co.uk", "example.com", "example.com",
+      "localhost"))
+  }
+
+  test("filterBlockedDomains drops blocklisted registrable domains") {
+    val docs = Seq(
+      (1L, "https://www.spam.com/buy"),
+      (2L, "https://news.example.org/a"),
+      (3L, "http://sub.spam.com/x")).toDF("id", "url")
+    val block = Seq("Spam.com").toDF("domain")
+    val kept = graft.ext.Web.filterBlockedDomains(docs, "url", block,
+      "domain").select("id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  // ---------- BPE ----------
+
+  test("bpe train learns frequency-ordered merges deterministically") {
+    val docs = Seq("aaab aaab", "aaab aab aab").toDF("text")
+    val merges = graft.ext.Bpe.train(docs, "text", numMerges = 3)
+    // pair counts round 1: (a,a)=8, (a,b)=5 → merge (a,a)
+    // round 2: (aa,a)=3, (a,b)=3 tie → lexicographically smaller (a,b)
+    // round 3: (aa,ab)=3 beats (aa,b)=2
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("bpe encode applies merges greedily by rank; unseen chars pass") {
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val got = Seq("aaab", "aab", "ba", "xyz", "AAab  ba")
+      .toDF("t")
+      .select(graft.ext.Bpe.encode(col("t"), merges).as("toks"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("aaab"))
+    assert(got(1) == Seq("aa", "b"))
+    assert(got(2) == Seq("b", "a"))
+    assert(got(3) == Seq("x", "y", "z"))
+    // lowercased, whitespace-split: "aaab" + "ba"
+    assert(got(4) == Seq("aaab", "b", "a"))
+  }
+
+  test("bpe train caps the word table but still merges head pairs") {
+    val docs = (0 until 200).map(i => s"zz$i common common").toDF("text")
+    val merges = graft.ext.Bpe.train(docs, "text", numMerges = 1,
+      maxWords = 50)
+    assert(merges.nonEmpty) // "common" dominates the capped table
+  }
+}

@@ -114,4 +114,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count"), p)
     assert(p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("range join is a hash equi-join on the grid cell, never a loop") {
+    val p = planOf(SparkEntry.queries("q71_range_join")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the cell key joins as an equality (broadcast or shuffled hash both
+    // acceptable — the small band table broadcasts under AQE)
+    assert(p.contains("Join") && p.contains("__cell"), p)
+  }
+
+  test("url normalization is a narrow projection — no exchange, no UDF") {
+    import spark.implicits._
+    val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")
+    val p = planOf(docs.select(col("doc_id"),
+      graft.ext.Web.normalizeUrl(concat(lit("https://"), col("source"),
+        lit(".example.com/d?utm_source=x&b=1"))).as("u")))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
 }
