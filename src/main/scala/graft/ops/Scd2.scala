@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing dimensions: turn a change log into versioned
+  * rows with `[effective_from, effective_to)` validity, and resolve facts
+  * against the version in force at the fact timestamp.
+  *
+  * Scale shape: `build` is ONE shuffle on the dimension key (a `lead`
+  * window — the change log for one key sorts within its partition;
+  * dimension change logs are key-heavy, version-shallow, so no partition
+  * outgrows memory). `lookup` is a plain hash equi-join on the key
+  * followed by the validity filter: each fact meets only its own key's
+  * versions (a handful), never a time-range blow-up — the right plan when
+  * versions-per-key is small. For version-deep keys, fall back to
+  * [[graft.ext.RangeJoin.pointInInterval]] with the key in `keys`.
+  */
+object Scd2 {
+
+  /** One row per change, stamped with its validity window. `changes` must
+    * be unique per (`keyCol`, `tsCol`) — pre-aggregate collisions (e.g.
+    * keep the highest-priority change per instant) or the overlapping
+    * versions would be ambiguous. `effective_to` is null for the current
+    * version (open-ended), giving half-open `[from, to)` windows that
+    * tile each key's timeline with no gaps or overlaps. */
+  def build(changes: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    changes
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
+  /** Resolve each fact to the dimension version valid at its timestamp
+    * (left join: facts before a key's first version, or with no key
+    * match, keep null dimension columns). `dim` is the output of
+    * [[build]]; its payload columns are prefixed with `dimPrefix` to
+    * avoid collisions with fact columns. */
+  def lookup(facts: DataFrame, dim: DataFrame, keyCol: String,
+      factTsCol: String, dimPrefix: String = "dim_"): DataFrame = {
+    val payload = dim.columns.filterNot(c =>
+      c == keyCol || c == "effective_from" || c == "effective_to" ||
+        c == "is_current")
+    val renamed = payload.foldLeft(dim) { (d, c) =>
+      d.withColumnRenamed(c, dimPrefix + c)
+    }
+      .withColumnRenamed(keyCol, "__scd_key")
+    facts.join(renamed,
+      facts(keyCol) === col("__scd_key") &&
+        col(factTsCol) >= col("effective_from") &&
+        (col("effective_to").isNull ||
+          col(factTsCol) < col("effective_to")),
+      "left")
+      .drop("__scd_key", "effective_from", "effective_to", "is_current")
+  }
+}

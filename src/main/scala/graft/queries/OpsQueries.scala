@@ -55,6 +55,22 @@ object OpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SCD2 dimension build: customer order-status history versioned into
+    // [effective_from, effective_to) windows. Change log pre-aggregated
+    // to one row per (customer, instant) — highest orderkey wins — per
+    // the build contract.
+    "q75_scd2_build" -> ((s, dir) => {
+      val chg = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(struct(col("o_orderkey"), col("o_orderstatus"))).as("r"))
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("r.o_orderstatus").as("status"))
+      graft.ops.Scd2.build(chg, "o_custkey", "o_orderdate")
+        .select(col("o_custkey"), col("effective_from"),
+          col("effective_to"), col("status"), col("is_current"))
+        .orderBy(col("o_custkey"), col("effective_from"))
+    }),
+
     // BPE tokenizer prep: learn 30 merges from the corpus word-frequency
     // profile, encode every document. Rows-only by design: the greedy
     // merge loop is not SQL-expressible; BpeSpec hand-verifies the
@@ -119,6 +135,18 @@ object OpsQueries {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
         |FROM orders
         |ORDER BY "column"""".stripMargin,
+
+    "q75_scd2_build" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    arg_max(o_orderstatus, o_orderkey) AS status
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, o_orderdate AS effective_from,
+        |  lead(o_orderdate) OVER w AS effective_to, status,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |ORDER BY o_custkey, effective_from""".stripMargin,
 
     // expected normalized forms built directly (source is lowercase
     // alphanumeric in the test data): even ids lose the default :443,

@@ -137,6 +137,45 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(2L))
   }
 
+  // ---------- SCD2 ----------
+
+  test("scd2 build tiles each key's timeline with half-open windows") {
+    val chg = Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "silver"), (1L, 35L, "gold"),
+      (2L, 15L, "bronze")).toDF("cust", "ts", "tier")
+    val dim = graft.ops.Scd2.build(chg, "cust", "ts")
+      .orderBy("cust", "effective_from")
+      .select("cust", "effective_from", "effective_to", "tier", "is_current")
+      .collect()
+    assert(dim.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3),
+      r.getBoolean(4))).toSeq == Seq(
+      (1L, 10L, 20L, "bronze", false),
+      (1L, 20L, 35L, "silver", false),
+      (1L, 35L, -1L, "gold", true),
+      (2L, 15L, -1L, "bronze", true)))
+  }
+
+  test("scd2 lookup resolves facts to the version in force") {
+    val dim = graft.ops.Scd2.build(Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "silver")).toDF("cust", "ts", "tier"),
+      "cust", "ts")
+    val facts = Seq(
+      (100L, 1L, 5L),   // before first version → null tier
+      (101L, 1L, 10L),  // exactly at from → bronze
+      (102L, 1L, 19L),  // last instant of bronze
+      (103L, 1L, 20L),  // switch instant → silver (from inclusive)
+      (104L, 1L, 99L),  // open-ended current
+      (105L, 7L, 50L))  // unknown key → null
+      .toDF("fact_id", "cust", "fts")
+    val got = graft.ops.Scd2.lookup(facts, dim, "cust", "fts")
+      .orderBy("fact_id")
+      .select("fact_id", "dim_tier").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1)))
+    assert(got.toSeq == Seq((100L, "-"), (101L, "bronze"), (102L, "bronze"),
+      (103L, "silver"), (104L, "silver"), (105L, "-")))
+  }
+
   // ---------- BPE ----------
 
   test("bpe train learns frequency-ordered merges deterministically") {
