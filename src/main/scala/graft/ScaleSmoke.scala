@@ -170,6 +170,43 @@ object ScaleSmoke {
         bigPairs.filter(col("a") < 1900000L),
         maxDriverEdges = 1000000).count() }
 
+    // round-5 operators: grid range join, profile, URL hygiene, BPE, SCD2
+    val pts5m = spark.range(5000000).select(col("id").as("p_id"),
+      pmod(xxhash64(col("id"), lit("v")), lit(10000000L)).as("v"))
+    val iv200k = spark.range(200000).select(col("id").as("i_id"),
+      pmod(xxhash64(col("id"), lit("lo")), lit(10000000L)).as("lo"))
+      .withColumn("hi", col("lo") +
+        pmod(xxhash64(col("i_id"), lit("w")), lit(100L)) + 1)
+    time("5M points × 200k intervals grid range join") {
+      ext.RangeJoin.pointInInterval(pts5m, iv200k, "v", "lo", "hi",
+        binWidth = 64).count() }
+    val wide = spark.range(2000000).select(col("id"),
+      element_at(typedlit(Seq("web", "books", "code")),
+        pmod(col("id"), lit(3)).cast(IntegerType) + 1).as("source"),
+      (pmod(xxhash64(col("id")), lit(100000L)).cast(DoubleType) / 100.0)
+        .as("v"))
+    time("2M-row HLL column profile (single pass, no Expand)") {
+      ext.Profile.summarize(wide, Seq("id", "source", "v"),
+        exactDistinct = false).count() }
+    time("2M URL normalize + registrable domain") {
+      wide.select(
+        ext.Web.normalizeUrl(concat(lit("https://www."), col("source"),
+          lit(".example.com/p/"), col("id"),
+          lit("?utm_source=x&b=2&a=1#f"))).as("u"),
+        ext.Web.registeredDomain(col("source"))).count() }
+    val corpus2 = syntheticDocs(spark, 2000000).persist()
+    corpus2.count()
+    val merges = ext.Bpe.train(corpus2.limit(200000), "text",
+      numMerges = 50, maxWords = 100000)
+    time("2M docs BPE encode (50 merges)") {
+      corpus2.select(explode(ext.Bpe.encode(col("text"), merges))).count() }
+    corpus2.unpersist()
+    val changes = spark.range(2000000).select(
+      pmod(col("id"), lit(200000L)).as("cust"), col("id").as("ts"),
+      pmod(xxhash64(col("id")), lit(5L)).as("tier"))
+    time("2M-change SCD2 build (200k keys)") {
+      ops.Scd2.build(changes, "cust", "ts").count() }
+
     spark.stop()
   }
 }
