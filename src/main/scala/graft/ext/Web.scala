@@ -82,6 +82,30 @@ object Web {
       .otherwise(last2)
   }
 
+  /** HTML → text extraction (the curation step before any text analysis
+    * of crawled pages): drop script/style payloads and comments, strip
+    * tags, decode the common entities, collapse whitespace. Pure
+    * codegen'd regex algebra — narrow, shuffle-free. RE2-compatible
+    * patterns (no backreferences, non-greedy only), so the DuckDB oracle
+    * runs the identical pipeline. A production deployment swaps in a
+    * full parser the same way (e.g. jsoup behind this signature); the
+    * regex tier is the cheap first pass that handles the overwhelming
+    * share of crawl HTML. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)</?[a-zA-Z][^>]*>", " ")
+    // literal entity decode; &amp; LAST so "&amp;lt;" yields "&lt;", not "<"
+    val decoded = Seq(
+      ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+      ("&#39;", "'"), ("&amp;", "&"))
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Drop rows whose registrable domain is on the blocklist. The
     * blocklist is a DataFrame (it can be millions of rows — an anti join,
     * which AQE turns into a broadcast when it is small), not an in-memory

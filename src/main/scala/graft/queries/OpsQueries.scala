@@ -55,6 +55,21 @@ object OpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML → text extraction over synthesized crawl pages (script/style
+    // payloads, comments, entities, attribute-bearing tags).
+    "q76_html_to_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><script type=\"x\">var a = 1 < 2;</script>" +
+          "<style>p{color:red}</style></head><body><h1>"),
+        col("source"),
+        lit("</h1> <p class=\"m\">"), col("text"),
+        lit("</p><!-- note --><div>5 &lt; 6 &amp;&nbsp;ok</div>" +
+          "</body></html>"))
+      d.select(col("doc_id"), graft.ext.Web.stripHtml(html).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SCD2 dimension build: customer order-status history versioned into
     // [effective_from, effective_to) windows. Change log pre-aggregated
     // to one row per (customer, instant) — highest orderkey wins — per
@@ -135,6 +150,33 @@ object OpsQueries {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
         |FROM orders
         |ORDER BY "column"""".stripMargin,
+
+    "q76_html_to_text" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="x">var a = 1 < 2;</script>' ||
+        |    '<style>p{color:red}</style></head><body><h1>' || source ||
+        |    '</h1> <p class="m">' || text ||
+        |    '</p><!-- note --><div>5 &lt; 6 &amp;&nbsp;ok</div>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+        |  FROM h),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)</?[a-zA-Z][^>]*>', ' ', 'g') AS t FROM s3),
+        |d AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&') AS t
+        |  FROM s4)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q75_scd2_build" ->
       """WITH chg AS (

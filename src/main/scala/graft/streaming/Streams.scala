@@ -165,6 +165,71 @@ object Streams {
     * distance, so state on BOTH sides is GC-able — the canonical bounded
     * stream-stream join (ad-click attribution shape). One shuffle per side
     * on user_id. */
+  /** Continuous corpus ingestion with near-dup filtering — the streaming
+    * face of [[graft.ext.Dedup.incrementalNearDup]]: every micro-batch is
+    * matched against the persistent kept-corpus index (per-batch cost
+    * tracks the DELTA; the accumulated corpus is never re-scanned),
+    * in-batch duplicates resolve to the smallest id, and survivors append
+    * both to the corpus and to the index (their shingle sets + band
+    * buckets), so later batches dedup against them too.
+    *
+    * Replay safety: every write lands in an `ingest_batch=<id>` partition
+    * with dynamic-partition overwrite, so a checkpoint-replayed batch
+    * rewrites its own partition instead of duplicating — idempotent
+    * at-least-once, the same contract as [[mergeSink]]. Readers of the
+    * index drop the partition column, so index frames stay byte-compatible
+    * with [[graft.ext.Dedup.buildNearDupIndex]] output. */
+  def dedupIngestSink(docs: DataFrame, corpusDir: String, indexDir: String,
+      checkpoint: String, idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8, maxBucketSize: Int = 1000,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val setsDir = s"$indexDir/sets"
+          val bandedDir = s"$indexDir/banded"
+          val setsPath = new org.apache.hadoop.fs.Path(setsDir)
+          val fs = setsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val idx =
+            if (fs.exists(setsPath))
+              graft.ext.Dedup.NearDupIndex(
+                s.read.parquet(setsDir).select("id", "shset"),
+                s.read.parquet(bandedDir).select("band", "band_hash", "id"),
+                bands, rowsPerBand, shingleSize)
+            else // first batch: an empty index with the right schemas
+              graft.ext.Dedup.buildNearDupIndex(batch.limit(0), idCol,
+                textCol, shingleSize, bands, rowsPerBand, maxBucketSize)
+          val matched = graft.ext.Dedup.incrementalNearDupMatches(
+            batch, idx, idCol, textCol, minJaccard, maxBucketSize)
+            .select(col("new_id").as(idCol)).distinct()
+          val survivors = batch.join(matched, Seq(idCol), "left_anti")
+            .persist()
+          if (survivors.count() > 0) {
+            def appendPartition(df: DataFrame, dir: String): Unit =
+              df.withColumn("ingest_batch", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(dir)
+            appendPartition(survivors, corpusDir)
+            val delta = graft.ext.Dedup.buildNearDupIndex(survivors, idCol,
+              textCol, shingleSize, bands, rowsPerBand, maxBucketSize)
+            appendPartition(delta.sets, setsDir)
+            appendPartition(
+              delta.banded.select("band", "band_hash", "id"), bandedDir)
+          }
+          survivors.unpersist()
+        }
+        ()
+      }
+      .start()
+
   def intervalJoin(left: DataFrame, right: DataFrame,
       rangeSeconds: Long = 300, watermark: String = "10 minutes"): DataFrame = {
     val l = left.select(col("user_id"), col("ts"),

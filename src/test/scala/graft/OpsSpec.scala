@@ -126,6 +126,18 @@ class OpsSpec extends SparkSpec {
       "localhost"))
   }
 
+  test("stripHtml removes script/style/comments/tags, decodes entities") {
+    val html = "<html><head><script>var a = '</p>' + 1;</script>" +
+      "<style>p { x: '<'; }</style></head><body>\n" +
+      "<h1 class=\"t\">Title</h1><p>one &amp;&nbsp;two &lt;3&gt;</p>" +
+      "<!-- secret --><br/>tail &amp;lt;</body></html>"
+    val got = Seq(html).toDF("h")
+      .select(graft.ext.Web.stripHtml(col("h")).as("t"))
+      .as[String].collect().head
+    // &amp; decodes last: "&amp;lt;" → "&lt;", never "<"
+    assert(got == "Title one & two <3> tail &lt;")
+  }
+
   test("filterBlockedDomains drops blocklisted registrable domains") {
     val docs = Seq(
       (1L, "https://www.spam.com/buy"),

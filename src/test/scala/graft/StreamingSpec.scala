@@ -96,6 +96,41 @@ class StreamingSpec extends SparkSpec {
     assert(after2 == Map(1L -> 7.0, 2L -> 9.0, 3L -> 3.0))
   }
 
+  test("streaming dedup ingest filters each batch against the kept index") {
+    val src = Files.createTempDirectory("ingest-src").toString
+    val corpus = Files.createTempDirectory("ingest-corpus").toString + "/kept"
+    val index = Files.createTempDirectory("ingest-idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("ingest-ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "spark shuffles partitions across the cluster nodes today"
+    val novel1 = "completely novel text describing vector quantization " +
+      "and token budget packing for pretraining corpora at scale"
+    val novel2 = "another unrelated passage on streaming watermarks state " +
+      "stores and exactly once sinks for incremental pipelines"
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def run(rows: Seq[(Long, String)], f: String): Unit = {
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$f")
+      val stream = spark.readStream.schema(docSchema).parquet(s"$src/*")
+      val q = Streams.dedupIngestSink(stream, corpus, index, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: 2 is an in-batch near-dup of 1; 3 is novel
+    run(Seq((1L, base), (2L, base + " zz"), (3L, novel1)), "b1")
+    def keptIds: Seq[Long] = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptIds == Seq(1L, 3L))
+    // batch 2: 10 duplicates kept 1, 12 duplicates in-batch 11
+    run(Seq((10L, base + " qq"), (11L, novel2), (12L, novel2 + " rr")), "b2")
+    assert(keptIds == Seq(1L, 3L, 11L))
+    // replay with no new files: nothing changes
+    val q3 = Streams.dedupIngestSink(
+      spark.readStream.schema(docSchema).parquet(s"$src/*"), corpus, index,
+      ckpt)
+    q3.awaitTermination(60000)
+    assert(keptIds == Seq(1L, 3L, 11L))
+  }
+
   test("stream-stream interval join attributes right events to left") {
     val lDir = Files.createTempDirectory("ss-left").toString
     val rDir = Files.createTempDirectory("ss-right").toString
