@@ -77,6 +77,27 @@ object Sampling {
         hash(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))))
       .orderBy(col(keyCol), col(idCol))
 
+  /** Keep at most `n` rows per group, chosen deterministically by seeded
+    * id hash (the C4-style per-domain cap: no domain may dominate the
+    * mixture however large its crawl). ONE shuffle on the group key; the
+    * per-group ranking is a window, so a pathological mega-group
+    * (the "blogspot.com problem") still sorts within one partition —
+    * cap AFTER domain-level filtering, or pre-thin giant groups with
+    * [[hashSample]] when a group alone outweighs a partition. Hash ties
+    * break by id: fully deterministic, stable across reruns. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
+      seed: Long = 0, hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(
+        hash(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))),
+        col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Deterministic stratified sample: a per-stratum rate (default for
     * strata not listed). The training-mixture primitive — e.g. keep 100%
     * of books, 10% of web crawl. Map-only; no shuffle. */

@@ -55,6 +55,16 @@ object OpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-domain cap (C4-style): at most 20 docs per source, selected by
+    // seeded hash. md5-based hash (parameterize-the-hash pattern) so the
+    // oracle reproduces the selection bit-exactly.
+    "q77_cap_per_group" -> ((s, dir) => {
+      graft.ext.Sampling.capPerGroup(t(s, dir, "documents"), "source",
+          "doc_id", n = 20, seed = 5, hash = graft.ext.TextStats.md5Hash64)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML → text extraction over synthesized crawl pages (script/style
     // payloads, comments, entities, attribute-bearing tags).
     "q76_html_to_text" -> ((s, dir) => {
@@ -150,6 +160,18 @@ object OpsQueries {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
         |FROM orders
         |ORDER BY "column"""".stripMargin,
+
+    "q77_cap_per_group" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '5'), 1, 15))::BIGINT AS sk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rk
+        |  FROM k)
+        |SELECT doc_id, source FROM r WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin,
 
     "q76_html_to_text" ->
       """WITH h AS (

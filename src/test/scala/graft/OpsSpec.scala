@@ -149,6 +149,25 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(2L))
   }
 
+  // ---------- per-group cap ----------
+
+  test("capPerGroup keeps exactly n deterministic rows per group") {
+    val df = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = graft.ext.Sampling.capPerGroup(df, "grp", "id", n = 5, seed = 1)
+      .select("id").as[Long].collect().toSet
+    val b = graft.ext.Sampling.capPerGroup(df, "grp", "id", n = 5, seed = 1)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 15) // 3 groups × 5, stable across runs
+    // different seed → (almost surely) different selection, same size
+    val c = graft.ext.Sampling.capPerGroup(df, "grp", "id", n = 5, seed = 2)
+      .select("id").as[Long].collect().toSet
+    assert(c.size == 15 && c != a)
+    // groups under the cap pass through whole
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(graft.ext.Sampling.capPerGroup(small, "grp", "id", 5)
+      .count() == 2)
+  }
+
   // ---------- SCD2 ----------
 
   test("scd2 build tiles each key's timeline with half-open windows") {
