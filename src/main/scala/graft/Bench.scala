@@ -15,8 +15,12 @@ object Bench {
     // codegen — same cost with wholeStage off), which would land on
     // whichever near-dup query happens to run first.
     try {
-      val mini = spark.range(200).selectExpr("id as doc_id",
-        "concat('w', id % 7, ' w', id % 11, ' w', id % 13, ' w', id % 5) as text")
+      // docs long enough (~24 tokens) to drive the per-window loops past
+      // the JIT compile thresholds the 4-token version never reached
+      val mini = spark.range(2000).selectExpr("id as doc_id",
+        """concat_ws(' ', transform(sequence(0, 23),
+          |  i -> concat('w', pmod(id * 31 + i * 7, 97)))) as text"""
+          .stripMargin)
       // both return persisted frames — release the blocks so the warm-up
       // leaves no storage-memory residue in the measured queries
       val w1 = graft.ext.Dedup.minHashLsh(mini, "doc_id", "text", 3, 8, 4, 0.5)
