@@ -35,16 +35,25 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // Compact formatting (3 decimals ≈ ms resolution): the driver captures
-    // only the tail of the sbt output and parses the one JSON line — full
-    // float precision made the 60+-query line long enough to overflow that
-    // window.
     // Locale.ROOT: f"%.3f" under a comma-decimal locale (de_DE) would emit
     // `"q":0,123` and corrupt the one JSON line the driver parses
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Human-readable breakdown with FULL query names, printed BEFORE the
+    // machine line (plain text, no braces, so a tail-window parser can
+    // never mistake a truncated breakdown line for the JSON line).
+    results.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(s"bench $k ${f3(v)}")
+    }
+    // The driver captures only the LAST ~2000 chars of the sbt output and
+    // parses the one JSON line from it; sbt appends its own [warn]/[success]
+    // lines (~300 chars) after us. At 79 queries the full-name line is
+    // ~2.6 KB and overflowed that window (round 5: parsed=null). Short keys
+    // ("q57" for "q57_dedup_corpus" — unique by construction) keep the line
+    // ~1.2 KB. Full names are in the breakdown above.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

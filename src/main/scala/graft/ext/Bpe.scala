@@ -36,9 +36,10 @@ object Bpe {
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    // words as mutable symbol arrays, weighted by corpus frequency
+    // words as mutable symbol arrays (whole code points — see
+    // BpeEncode.codePointSymbols), weighted by corpus frequency
     val words = freq.map { case (w, n) =>
-      (mutable.ArrayBuffer.tabulate(w.length)(i => w.substring(i, i + 1)), n)
+      (graft.functions.BpeEncode.codePointSymbols(w), n)
     }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round = 0

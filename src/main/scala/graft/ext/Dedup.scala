@@ -465,7 +465,17 @@ object Dedup {
   /** Match a delta against a prebuilt [[NearDupIndex]] — the per-call
     * cost scales with the DELTA (new-side shingles/signatures plus joins
     * that stream the index), never re-scanning the kept corpus. Callers
-    * should persist (or store) the index frames across increments. */
+    * should persist (or store) the index frames across increments.
+    *
+    * Recall caveat: candidates are generated at the REPRESENTATIVE level
+    * (one rep per distinct MinHash signature, both in the index and in
+    * the delta — the duplicate-heavy-corpus guard). Two docs that share a
+    * signature can still have different shingle sets, so a member-vs-
+    * member pair whose rep-vs-rep pair fails exact-Jaccard verification
+    * is missed. Identical-signature groups are in practice near-identical
+    * content, so the loss is marginal — and the alternative (banding
+    * every member) silently drops ALL copies of any >maxBucketSize
+    * boilerplate flood, a far worse failure mode. */
   def incrementalNearDupMatches(newDocs: DataFrame, index: NearDupIndex,
       idCol: String, textCol: String, minJaccard: Double,
       maxBucketSize: Int): DataFrame = {

@@ -28,7 +28,13 @@ object Web {
     * tracking query parameters, sort surviving parameters (query order is
     * not semantic), and trim a trailing `/` from non-root paths. Two URLs
     * for the same page normalize to the same string — the precondition
-    * for URL-level exact dedup. */
+    * for URL-level exact dedup.
+    *
+    * Scheme-less inputs (bare hosts, protocol-relative refs) pass through
+    * unchanged: without `scheme://` the authority regexes extract nothing
+    * and the rewrite would degenerate to `"://" + input`. Best-effort
+    * canonicalization keeps the raw string as its own dedup key instead
+    * (use [[registeredDomain]] for bare hosts — it handles them). */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, schemeRe, 1))
     val hostPort = lower(regexp_extract(url, hostRe, 1))
@@ -53,7 +59,9 @@ object Web {
         lower(element_at(split(kv, "=", 2), 1)))))
     val q = when(size(params) > 0,
       concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
-    concat(scheme, lit("://"), host, keepPort, path, q)
+    when(url.rlike(schemeRe),
+      concat(scheme, lit("://"), host, keepPort, path, q))
+      .otherwise(url)
   }
 
   /** Multi-label public suffixes where the registrable domain is THREE

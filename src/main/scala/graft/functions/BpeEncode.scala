@@ -37,7 +37,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     merges.zipWithIndex.toMap
 
   private def encodeWord(w: String, out: ArrayBuffer[UTF8String]): Unit = {
-    var syms = ArrayBuffer.tabulate(w.length)(i => w.substring(i, i + 1))
+    var syms = BpeEncode.codePointSymbols(w)
     while (syms.length > 1) {
       // lowest-rank adjacent pair this round (ranks are unique, so the
       // scan is deterministic); stop when no pair is mergeable
@@ -78,4 +78,22 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(
       newChild: Expression): BpeEncode = copy(child = newChild)
+}
+
+object BpeEncode {
+  /** Seed symbols = whole code points, not UTF-16 chars: per-char
+    * substring would split surrogate pairs (emoji, CJK extensions) into
+    * lone surrogates, which `UTF8String.fromString` emits as malformed
+    * UTF-8. Shared by inference here and [[graft.ext.Bpe.train]] so the
+    * learned merge table and the encoder agree on the symbol alphabet. */
+  def codePointSymbols(w: String): ArrayBuffer[String] = {
+    val syms = new ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      syms += w.substring(i, i + n)
+      i += n
+    }
+    syms
+  }
 }

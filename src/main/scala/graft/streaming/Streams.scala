@@ -159,12 +159,6 @@ object Streams {
       }
       .start()
 
-  /** Stream-stream inner join: each left event picks up right-side events
-    * for the same user within the trailing `rangeSeconds` window. Both
-    * sides carry watermarks and the join condition bounds event-time
-    * distance, so state on BOTH sides is GC-able — the canonical bounded
-    * stream-stream join (ad-click attribution shape). One shuffle per side
-    * on user_id. */
   /** Continuous corpus ingestion with near-dup filtering — the streaming
     * face of [[graft.ext.Dedup.incrementalNearDup]]: every micro-batch is
     * matched against the persistent kept-corpus index (per-batch cost
@@ -195,9 +189,20 @@ object Streams {
           val setsDir = s"$indexDir/sets"
           val bandedDir = s"$indexDir/banded"
           val setsPath = new org.apache.hadoop.fs.Path(setsDir)
+          val bandedPath = new org.apache.hadoop.fs.Path(bandedDir)
           val fs = setsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          // BOTH halves must exist before the index is loadable: a crash
+          // between the sets write and the banded write (below) leaves
+          // setsDir alone, and reading bandedDir would then fail the
+          // replayed batch forever. Falling back to the empty index is
+          // safe — the replay rewrites its own ingest_batch partitions.
+          // (Write order matters the other way too: sets-before-banded
+          // means a partially-written batch can never band-collide with
+          // itself on replay — banded rows for its ids don't exist yet —
+          // so replayed docs are never dropped as duplicates of their own
+          // half-committed copy.)
           val idx =
-            if (fs.exists(setsPath))
+            if (fs.exists(setsPath) && fs.exists(bandedPath))
               graft.ext.Dedup.NearDupIndex(
                 s.read.parquet(setsDir).select("id", "shset"),
                 s.read.parquet(bandedDir).select("band", "band_hash", "id"),
@@ -230,6 +235,12 @@ object Streams {
       }
       .start()
 
+  /** Stream-stream inner join: each left event picks up right-side events
+    * for the same user within the trailing `rangeSeconds` window. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so state on BOTH sides is GC-able — the canonical bounded
+    * stream-stream join (ad-click attribution shape). One shuffle per side
+    * on user_id. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       rangeSeconds: Long = 300, watermark: String = "10 minutes"): DataFrame = {
     val l = left.select(col("user_id"), col("ts"),

@@ -114,6 +114,16 @@ class OpsSpec extends SparkSpec {
       "http://example.com/p"))
   }
 
+  test("normalizeUrl passes scheme-less inputs through unchanged") {
+    // without scheme://host the authority regexes extract nothing and the
+    // old rewrite degenerated to "://" + input
+    val raw = Seq("example.com/path?a=1", "//cdn.example.com/x", "localhost")
+    val got = raw.toDF("u")
+      .select(graft.ext.Web.normalizeUrl(col("u")).as("n"))
+      .as[String].collect().toSeq
+    assert(got == raw)
+  }
+
   test("registeredDomain: PSL two-level suffixes, bare hosts, ports") {
     val got = Seq(
       "https://www.news.example.co.uk/x",
@@ -230,6 +240,18 @@ class OpsSpec extends SparkSpec {
     assert(got(3) == Seq("x", "y", "z"))
     // lowercased, whitespace-split: "aaab" + "ba"
     assert(got(4) == Seq("aaab", "b", "a"))
+  }
+
+  test("bpe treats non-BMP code points as whole symbols") {
+    // per-UTF-16-char seeding would split the 😀 surrogate pair into two
+    // lone surrogates and emit malformed UTF-8 tokens
+    val docs = Seq("😀😀 😀😀").toDF("text")
+    val merges = graft.ext.Bpe.train(docs, "text", numMerges = 1)
+    assert(merges == Seq(("😀", "😀")))
+    val got = Seq("😀😀a").toDF("text")
+      .select(graft.ext.Bpe.encode(col("text"), merges).as("toks"))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("😀😀", "a"))
   }
 
   test("bpe train caps the word table but still merges head pairs") {

@@ -131,6 +131,37 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds == Seq(1L, 3L, 11L))
   }
 
+  test("dedup ingest recovers when the banded index half is missing") {
+    val src = Files.createTempDirectory("ingest2-src").toString
+    val corpus = Files.createTempDirectory("ingest2-corpus").toString + "/kept"
+    val index = Files.createTempDirectory("ingest2-idx").toString + "/idx"
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "spark shuffles partitions across the cluster nodes today"
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    Seq((1L, base), (2L, base + " zz")).toDF("doc_id", "text")
+      .write.parquet(s"$src/b1")
+    def runOnce(ck: String): Unit = {
+      val q = Streams.dedupIngestSink(
+        spark.readStream.schema(docSchema).parquet(s"$src/*"),
+        corpus, index, ck)
+      q.awaitTermination(60000)
+    }
+    runOnce(Files.createTempDirectory("ingest2-ckpt").toString)
+    // simulate the crash window: the sink writes sets BEFORE banded, so a
+    // crash between the two leaves a half-written index on disk
+    val banded = new org.apache.hadoop.fs.Path(s"$index/banded")
+    val fs = banded.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(banded, true)
+    // replay: the half-written index must read as empty (not throw), the
+    // batch rewrites its own ingest_batch partitions, the index heals
+    runOnce(Files.createTempDirectory("ingest2-ckpt2").toString)
+    val keptIds = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptIds == Seq(1L))
+    assert(fs.exists(banded))
+  }
+
   test("stream-stream interval join attributes right events to left") {
     val lDir = Files.createTempDirectory("ss-left").toString
     val rDir = Files.createTempDirectory("ss-right").toString
