@@ -122,4 +122,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Sign-bit coarse cells: bit i set when dimension i+1 is ≥ 0. A
+    * trivial fully-deterministic quantizer — SQL-expressible, so the
+    * [[clusterDupes]] oracle can reproduce the cells exactly; production
+    * paths pass k-means cells instead ([[semDedup]]). */
+  def signCells(vec: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** SemDeDup-style semantic duplicates (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are partitioned into coarse cells and
+    * every within-cell pair is scored with exact cosine; a doc is a
+    * duplicate when some SMALLER-id doc in its cell has cosine ≥ `minCos`
+    * (keep-min-id — deterministic regardless of partitioning; the paper's
+    * keep-farthest-from-centroid rule is a one-line swap of the keep
+    * side). Output: one row per dropped doc — (idCol, `dup_of` = smallest
+    * matching id, `max_sim` = strongest smaller-id match).
+    *
+    * Scale: the corpus shuffles ONCE on the cell id; the quadratic
+    * pairwise work is confined within cells — the paper's own design
+    * (cell count grows with the corpus so cluster sizes stay bounded).
+    * Norms are computed once per row before the self-join. Cross-cell
+    * near-dups are missed by construction (the SemDeDup recall tradeoff). */
+  def clusterDupes(corpus: DataFrame, idCol: String, vecCol: String,
+      cell: Column, minCos: Double, roundDigits: Int = 4): DataFrame = {
+    val base = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"), cell.as("__cell"))
+      .withColumn("__n", norm(col("__v")))
+    val a = base.select(col("__cell"), col("__id").as("__a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = base.select(col("__cell"), col("__id").as("__b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__cell"))
+      .filter(col("__a") < col("__b"))
+      .withColumn("sim", round(
+        when(col("__na") > 0 && col("__nb") > 0,
+          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .otherwise(lit(0.0)), roundDigits))
+      .filter(col("sim") >= minCos)
+      .groupBy(col("__b").as(idCol))
+      .agg(min(col("__a")).as("dup_of"), max(col("sim")).as("max_sim"))
+  }
+
+  /** Survivors after [[clusterDupes]]: anti join on the dropped sliver
+    * (duplicate-sized, broadcast-able in the common case). */
+  def clusterDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      cell: Column, minCos: Double, roundDigits: Int = 4): DataFrame =
+    corpus.join(
+      clusterDupes(corpus, idCol, vecCol, cell, minCos, roundDigits)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** SemDeDup proper: cells from the IVF spherical k-means coarse
+    * quantizer ([[Ivf.train]] — deterministic init, centroids driver-sized
+    * by construction), dedup within them. Choose `k` ≈ corpus size /
+    * target cluster size so per-cell pairwise cost stays bounded. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, k: Int = 64, iters: Int = 3): DataFrame = {
+    val m = Ivf.train(corpus, idCol, vecCol, k, iters)
+    clusterDedup(corpus, idCol, vecCol,
+      Ivf.cellId(col(vecCol).cast("array<double>"), m), minCos)
+  }
 }

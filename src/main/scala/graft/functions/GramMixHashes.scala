@@ -6,6 +6,79 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared token/window hashing for the gram expressions: tokens are
+  * `trim → lowercase → split \s+` (SQL trim semantics — spaces only;
+  * `limit = -1` keeps trailing empty tokens, matching Spark SQL `split`
+  * and DuckDB `regexp_split_to_array`), each token FNV-1a'd then
+  * splitmix64-finalized, windows folded order-sensitively with
+  * rotate-xor. */
+private[functions] object GramHashing {
+
+  /** splitmix64 finalizer: full-avalanche mix of the FNV accumulator. */
+  private def mix64(z0: Long): Long = {
+    var z = (z0 ^ (z0 >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-token 64-bit hashes of the doc's tokens. */
+  def tokenHashes(input: UTF8String): Array[Long] = {
+    // SQL trim semantics (strip SPACES only — Java String.trim would also
+    // strip tabs/newlines and diverge from `lower(trim(text))` tokenizing
+    // in wordShingles and the SQL oracles)
+    val raw = input.toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val s = raw.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
+    // limit -1 keeps trailing empty tokens, matching Spark SQL `split`
+    // (and DuckDB regexp_split_to_array): a doc ending in \t/\n yields a
+    // trailing "" token in wordShingles, so it must here too
+    val toks = s.split("\\s+", -1)
+    val m = toks.length
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = toks(i)
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < t.length) {
+        h = (h ^ t.charAt(j)) * 0x100000001b3L
+        j += 1
+      }
+      wh(i) = mix64(h)
+      i += 1
+    }
+    wh
+  }
+
+  /** Order-sensitive window fold: rotl(acc, 5) ^ tokenHash. */
+  def fold(wh: Array[Long], from: Int, until: Int): Long = {
+    var acc = 0L
+    var k = from
+    while (k < until) {
+      acc = java.lang.Long.rotateLeft(acc, 5) ^ wh(k)
+      k += 1
+    }
+    acc
+  }
+
+  /** All `n`-window folds in position order (index i = gram starting at
+    * token i); docs with ≤ n tokens yield the single whole-doc fold. */
+  def positional(wh: Array[Long], n: Int): Array[Long] = {
+    val m = wh.length
+    if (m <= n) Array(fold(wh, 0, m))
+    else {
+      val w = m - n + 1
+      val out = new Array[Long](w)
+      var k = 0
+      while (k < w) { out(k) = fold(wh, k, k + n); k += 1 }
+      out
+    }
+  }
+}
+
 /** Distinct 64-bit hashes of a document's word `n`-grams, computed in ONE
   * imperative loop per row.
   *
@@ -36,69 +109,44 @@ case class GramMixHashes(child: Expression, n: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"gram_mix_hashes needs a string input, got ${child.dataType.sql}")
 
-  /** splitmix64 finalizer: full-avalanche mix of the FNV accumulator. */
-  private def mix64(z0: Long): Long = {
-    var z = (z0 ^ (z0 >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   override def nullSafeEval(input: Any): Any = {
-    // SQL trim semantics (strip SPACES only — Java String.trim would also
-    // strip tabs/newlines and diverge from `lower(trim(text))` tokenizing
-    // in wordShingles and the SQL oracles)
-    val raw = input.asInstanceOf[UTF8String].toString
-    var lo = 0
-    var hi = raw.length
-    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
-    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
-    val s = raw.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
-    // limit -1 keeps trailing empty tokens, matching Spark SQL `split`
-    // (and DuckDB regexp_split_to_array): a doc ending in \t/\n yields a
-    // trailing "" token in wordShingles, so it must here too
-    val toks = s.split("\\s+", -1)
-    val m = toks.length
-    val wh = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      val t = toks(i)
-      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-      var j = 0
-      while (j < t.length) {
-        h = (h ^ t.charAt(j)) * 0x100000001b3L
-        j += 1
-      }
-      wh(i) = mix64(h)
-      i += 1
+    val wh = GramHashing.tokenHashes(input.asInstanceOf[UTF8String])
+    val out = GramHashing.positional(wh, n)
+    java.util.Arrays.sort(out)
+    var u = 1
+    var p = 1
+    while (p < out.length) {
+      if (out(p) != out(p - 1)) { out(u) = out(p); u += 1 }
+      p += 1
     }
-    // order-sensitive window fold: rotl(acc, 5) ^ tokenHash
-    def fold(from: Int, until: Int): Long = {
-      var acc = 0L
-      var k = from
-      while (k < until) {
-        acc = java.lang.Long.rotateLeft(acc, 5) ^ wh(k)
-        k += 1
-      }
-      acc
-    }
-    if (m <= n) {
-      UnsafeArrayData.fromPrimitiveArray(Array(fold(0, m)))
-    } else {
-      val w = m - n + 1
-      val out = new Array[Long](w)
-      var k = 0
-      while (k < w) { out(k) = fold(k, k + n); k += 1 }
-      java.util.Arrays.sort(out)
-      var u = 1
-      var p = 1
-      while (p < w) {
-        if (out(p) != out(p - 1)) { out(u) = out(p); u += 1 }
-        p += 1
-      }
-      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, u))
-    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (u == out.length) out else java.util.Arrays.copyOf(out, u))
   }
 
   override protected def withNewChildInternal(
       newChild: Expression): GramMixHashes = copy(child = newChild)
+}
+
+/** Position-aligned variant of [[GramMixHashes]]: element i is the hash
+  * of the gram STARTING at token i (0-based; no sort, no dedup), so
+  * consumers can map a gram back to its token span — what exact-substring
+  * dedup needs to mask duplicated spans. Same tokenizer, same per-token
+  * hash, same window fold, same ≤-n-tokens whole-doc gram. */
+case class GramPosHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+  require(n > 0, "gram size must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_pos_hashes needs a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(GramHashing.positional(
+      GramHashing.tokenHashes(input.asInstanceOf[UTF8String]), n))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramPosHashes = copy(child = newChild)
 }

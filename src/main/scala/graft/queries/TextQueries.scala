@@ -193,6 +193,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Same contamination semantics as q62, through the 100 TB physical
+    // path: Bloom filter over the benchmark grams probed in a zero-shuffle
+    // narrow map, exact gram join only on the flagged sliver. Output is
+    // identical to q62 by construction (no bloom false negatives; the
+    // exact pass discards false positives) — the oracle proves it.
+    "q78_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Decontam.contaminatedScreened(docs,
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Okapi BM25 lexical scoring against a fixed query; fixed-order term
     // sum + round(4) make the double score cross-engine-checkable.
     "q63_bm25" -> ((s, dir) => {
@@ -306,6 +318,23 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q62_decontaminate" ->
+      s"""WITH ct AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         |  FROM documents),
+         |bt AS (SELECT * FROM ct WHERE doc_id % 97 = 0),
+         |cg AS (SELECT doc_id, unnest($shingleList) AS g
+         |       FROM (SELECT doc_id, tk FROM ct)),
+         |bg AS (SELECT doc_id, unnest($shingleList) AS g
+         |       FROM (SELECT doc_id, tk FROM bt))
+         |SELECT c.doc_id,
+         |  COUNT(DISTINCT c.g) AS n_hit_grams,
+         |  COUNT(DISTINCT b.doc_id) AS n_bench_docs,
+         |  MIN(b.doc_id) AS first_bench_id
+         |FROM cg c JOIN bg b ON c.g = b.g
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // bloom-screened path: same exact-output semantics as q62
+    "q78_bloom_decontaminate" ->
       s"""WITH ct AS (
          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
          |  FROM documents),

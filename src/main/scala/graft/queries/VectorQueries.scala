@@ -60,6 +60,23 @@ object VectorQueries {
 
     "q52_ivf_topk" -> ((s, dir) => ivfQuery(s, dir)),
 
+    // SemDeDup-style cluster-confined semantic dedup over a corpus with
+    // planted scaled copies. The oracle variant uses the SQL-expressible
+    // sign-bit quantizer so the dropped set is DuckDB-hash-checked; the
+    // production path swaps in k-means cells (Similarity.semDedup, recall
+    // asserted in IvfSpec). Planting multiplies AFTER the double cast so
+    // both engines do identical double arithmetic.
+    "q79_semantic_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = base.unionByName(base.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * lit(1.001)).as("v")))
+      Similarity.clusterDupes(planted, "vec_id", "v",
+          Similarity.signCells(col("v"), 3), minCos = 0.92)
+        .orderBy(col("vec_id"))
+    }),
+
     // Symmetric per-vector int8 quantization (4× embedding storage cut),
     // exploded to scalar rows so every quantized value is hash-checked.
     "q69_quantize" -> ((s, dir) => {
@@ -95,6 +112,28 @@ object VectorQueries {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q79_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001)
+        |  FROM base),
+        |cells AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) AS cell
+        |  FROM planted),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    ROUND(list_cosine_similarity(x.v, y.v), 4) AS sim
+        |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |SELECT b AS vec_id, MIN(a) AS dup_of, MAX(sim) AS max_sim
+        |FROM pairs WHERE sim >= 0.92
+        |GROUP BY b ORDER BY vec_id""".stripMargin,
 
     "q69_quantize" ->
       """WITH e AS (

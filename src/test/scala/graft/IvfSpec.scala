@@ -52,4 +52,70 @@ class IvfSpec extends SparkSpec {
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.25, s"recall $recall")
   }
+
+  // ---------- SemDeDup (cluster-confined semantic dedup) ----------
+
+  test("semDedup drops every planted scaled copy, keep-min-id") {
+    // scaled copies share the source's direction → same k-means cell,
+    // cosine 1.0 → every copy (larger id) drops, every source survives
+    val planted = emb.unionByName(emb
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(2.0f))))
+    val survivors = Similarity
+      .semDedup(planted, "vec_id", "embedding", minCos = 0.95, k = 8,
+        iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val sources = emb.select("vec_id").as[Long].collect().toSet
+    assert(survivors.intersect(sources.map(_ + 1000000L)).isEmpty)
+    // a source can only drop against a smaller-id near-dup source — all
+    // sources whose id is the minimum of their dup group survive; at the
+    // very least the smallest id overall does
+    assert(survivors.contains(sources.min))
+    assert(survivors.subsetOf(sources))
+  }
+
+  test("clusterDupes matches the brute-force pairwise rule in one cell") {
+    val sub = emb.filter(col("vec_id") < 60)
+    val got = Similarity.clusterDupes(sub, "vec_id", "embedding",
+        cell = lit(0L), minCos = 0.2)
+      .orderBy("vec_id")
+      .select("vec_id", "dup_of", "max_sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    // brute force: for each b, smaller-id a with round(cos,4) >= 0.2
+    val rows = sub.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      val d = x.zip(y).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+      val nx = math.sqrt(x.foldLeft(0.0)((a, v) => a + v * v))
+      val ny = math.sqrt(y.foldLeft(0.0)((a, v) => a + v * v))
+      if (nx > 0 && ny > 0) d / (nx * ny) else 0.0
+    }
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (b, vb) <- rows
+      matches = rows.filter { case (a, va) =>
+        a < b && r4(cos(va, vb)) >= 0.2 }
+      if matches.nonEmpty
+    } yield (b, matches.map(_._1).min,
+        matches.map { case (_, va) => r4(cos(va, vb)) }.max))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 5e-5, s"${g._1}: ${g._3} vs ${e._3}")
+    }
+  }
+
+  test("clusterDedup survivors + dupes partition the corpus") {
+    val cell = Similarity.signCells(
+      col("embedding").cast("array<double>"), 3)
+    val dupes = Similarity.clusterDupes(emb, "vec_id", "embedding",
+      cell, minCos = 0.5).select("vec_id").as[Long].collect().toSet
+    val survivors = Similarity.clusterDedup(emb, "vec_id", "embedding",
+      cell, minCos = 0.5).select("vec_id").as[Long].collect().toSet
+    assert(dupes.intersect(survivors).isEmpty)
+    assert(dupes.size + survivors.size == emb.count())
+  }
 }

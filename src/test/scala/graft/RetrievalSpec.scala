@@ -109,6 +109,39 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("bloom screen never misses a contaminated doc; exact pass agrees") {
+    val corpus = (1L to 200L).map(i => (i, s"filler u$i v$i w$i x$i y$i"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(
+        (501L, "the quick brown fox jumps today"),
+        (502L, "an unrelated clean document entirely")).toDF("doc_id", "text"))
+    val bench = Seq((9L, "quick brown fox")).toDF("doc_id", "text")
+    val bloom = Decontam.gramBloom(bench, "doc_id", "text", n = 3)
+    // screen: doc 501 MUST be flagged (no false negatives by construction)
+    val screened = Decontam.bloomScreen(corpus, bloom, "doc_id", "text", 3)
+      .filter(col("n_flagged_grams") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(screened.contains(501L))
+    // screened composite == plain exact contamination, bit for bit
+    val exact = Decontam.contaminated(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    val viaBloom = Decontam
+      .contaminatedScreened(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaBloom == exact)
+    assert(exact.map(_.getAs[Long]("doc_id")) == Seq(501L))
+  }
+
+  test("bloom screen is a narrow map: no join, no shuffle") {
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val bloom = Decontam.gramBloom(bench, "doc_id", "text", 3)
+    val plan = Decontam.bloomScreen(corpus, bloom, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"bloom screen must stay narrow:\n$plan")
+  }
+
   // ---------- vocabulary + unigram LM ----------
 
   test("vocabulary counts occurrences and containing docs; minCount floors") {
