@@ -94,6 +94,12 @@ object ScaleSmoke {
     time("200k LSH top-5 (100 queries)") {
       ext.Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
         numPlanes = 10, dim = 64).count() }
+    // SemDeDup: 100k vectors in 128 k-means cells → ~780 per cell, so the
+    // within-cell pairwise stage does ~40M dot products total — the
+    // bounded-by-cell-size shape that must hold as k grows with the corpus
+    time("100k embeddings SemDeDup (128 k-means cells)") {
+      ext.Similarity.semDedup(emb.filter(col("vec_id") < 100000),
+        "vec_id", "embedding", minCos = 0.99, k = 128, iters = 2).count() }
     emb.unpersist()
 
     // 2M-row deterministic sampling (map-only — should track scan speed)
@@ -130,6 +136,13 @@ object ScaleSmoke {
       ext.Decontam.contaminated(corpus,
         corpus.filter(col("doc_id") % 1000 === 0), "doc_id", "text",
         n = 13).count() }
+    time("2M docs BLOOM-screened decontaminate vs 2k bench") {
+      ext.Decontam.contaminatedScreened(corpus,
+        corpus.filter(col("doc_id") % 1000 === 0), "doc_id", "text",
+        n = 13).count() }
+    time("500k docs exact-substring dedup (8-token spans)") {
+      ext.TextPipeline.dedupSpans(corpus.filter(col("doc_id") < 500000),
+        "doc_id", "text", n = 8).count() }
     time("2M docs deterministic shuffle") {
       ext.Sampling.shuffled(corpus, "doc_id", seed = 1).count() }
     // incremental dedup: build the kept index ONCE (the corpus-wide

@@ -49,6 +49,14 @@ object Shingles {
       graft.functions.GramMixHashes(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), n))
 
+  /** Position-aligned gram hashes: element i = hash of the gram starting
+    * at token i (0-based; duplicates kept) — the form exact-substring
+    * dedup needs to map a gram back to its token span. */
+  def gramPosHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.GramPosHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), n))
+
   /** Exact Jaccard over two array columns (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus curation — the LLM-training-data composition tying the text
@@ -114,5 +115,73 @@ object TextPipeline {
         Seq(idCol))
       .withColumn("n_lines_dropped", col("__total") - col("n_lines_kept"))
       .drop("__total")
+  }
+
+  /** Exact-substring dedup (ExactSubstr; Lee et al. 2022,
+    * arXiv:2107.06499): every occurrence of a corpus-duplicated `n`-token
+    * span is masked out of the text EXCEPT the corpus-wide first
+    * occurrence (smallest (doc id, position) — deterministic under any
+    * partitioning), and each doc's surviving tokens are re-joined.
+    * Duplicated spans overlap and chain, so coverage is computed per
+    * TOKEN with a bounded range window (a token is masked when any
+    * masked span starts within the previous n-1 positions), not per span.
+    *
+    * Output: one row per input doc with non-null text —
+    * (idCol, n_tokens, n_kept, text_clean); text_clean = "" when every
+    * token was masked (an exact short duplicate of an earlier doc).
+    * Tokens keep their original case; gram matching is case-folded
+    * ([[graft.functions.GramPosHashes]] — same tokenizer as the rest of
+    * the gram family). Gram equality is 64-bit-hash equality (identical
+    * to string equality absent collisions — the q62/q78 caveat).
+    *
+    * Scale: token rows are the unit of work (the same explosion
+    * [[dedupLines]] pays) and every stage is key-partitioned — gram
+    * groupBy to find duplicated spans + their first occurrence, a join
+    * of token rows against the duplication-sized masked-start set, one
+    * per-doc window + regroup to reassemble. Nothing collects to the
+    * driver. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        split(trim(col(textCol)), "\\s+", -1).as("__tk"),
+        Shingles.gramPosHashes(col(textCol), n).as("__grams"))
+    val occ = base
+      .select(col("__id"), posexplode(col("__grams")).as(Seq("__i", "__g")))
+      .select(col("__id"), (col("__i") + 1).as("__pos"), col("__g"))
+    // duplicated grams only (a unique gram is its own first occurrence);
+    // min(struct) = corpus-wide first occurrence in (id, pos) order
+    val dup = occ.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("__id"), col("__pos"))).as("__f"))
+      .filter(col("__c") > 1)
+      .select(col("__g"), col("__f.__id").as("__fid"),
+        col("__f.__pos").as("__fpos"))
+    val maskStarts = occ.join(dup, Seq("__g"))
+      .filter(!(col("__id") === col("__fid") && col("__pos") === col("__fpos")))
+      .select(col("__id"), col("__pos"))
+      .withColumn("__m", lit(1))
+    val toks = base
+      .select(col("__id"), size(col("__tk")).cast("long").as("__ntok"),
+        posexplode(col("__tk")).as(Seq("__ti", "__w")))
+      .select(col("__id"), col("__ntok"), (col("__ti") + 1).as("__pos"),
+        col("__w"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rangeBetween(-(n - 1), 0)
+    val marked = toks
+      .join(maskStarts, Seq("__id", "__pos"), "left")
+      .withColumn("__cov", max(coalesce(col("__m"), lit(0))).over(w))
+    marked.groupBy(col("__id"))
+      .agg(first(col("__ntok")).as("n_tokens"),
+        sum(when(col("__cov") === 0, 1L).otherwise(0L)).as("n_kept"),
+        // when() without otherwise -> null for masked tokens, which
+        // collect_list skips; sort by (pos, token) restores doc order
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__cov") === 0, struct(col("__pos"), col("__w"))))),
+          e => e.getField("__w")), " ").as("text_clean"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_kept"),
+        col("text_clean"))
   }
 }

@@ -205,6 +205,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-substring dedup (ExactSubstr, Lee et al. 2022): non-first
+    // occurrences of corpus-duplicated 8-token spans masked out, survivor
+    // tokens re-joined. The cleaned TEXT itself is hash-checked, so the
+    // whole span-mask/window/reassembly path is oracle-verified.
+    "q80_span_dedup" -> ((s, dir) => {
+      graft.ext.TextPipeline.dedupSpans(t(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Okapi BM25 lexical scoring against a fixed query; fixed-order term
     // sum + round(4) make the double score cross-engine-checkable.
     "q63_bm25" -> ((s, dir) => {
@@ -349,6 +359,46 @@ object TextQueries {
          |  MIN(b.doc_id) AS first_bench_id
          |FROM cg c JOIN bg b ON c.g = b.g
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // keep-first = smallest (doc_id, pos) per duplicated gram; a token is
+    // masked when a masked span starts within the previous 7 positions
+    "q80_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ltk,
+        |    regexp_split_to_array(trim(text), '\s+') AS otk
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ltk) <= 8 THEN [array_to_string(ltk, ' ')]
+        |         ELSE list_transform(range(1, len(ltk) - 6),
+        |                i -> array_to_string(ltk[i:i+7], ' ')) END AS grams
+        |  FROM t),
+        |occ AS (
+        |  SELECT doc_id, unnest(grams) AS gr, generate_subscripts(grams, 1) AS pos
+        |  FROM g),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY gr ORDER BY doc_id, pos) AS rn,
+        |    COUNT(*) OVER (PARTITION BY gr) AS c
+        |  FROM occ),
+        |mask AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+        |tok AS (
+        |  SELECT doc_id, len(otk) AS n_tokens, unnest(otk) AS w,
+        |    generate_subscripts(otk, 1) AS pos
+        |  FROM t),
+        |cov AS (
+        |  SELECT k.doc_id, k.n_tokens, k.pos, k.w,
+        |    MAX(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY k.doc_id ORDER BY k.pos
+        |            RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM tok k LEFT JOIN mask m ON k.doc_id = m.doc_id AND k.pos = m.pos)
+        |SELECT doc_id,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN covered = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN covered = 0 THEN w END, ' ' ORDER BY pos), '')
+        |    AS text_clean
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q63_bm25" ->
       """WITH t AS (

@@ -305,6 +305,56 @@ class RetrievalSpec extends SparkSpec {
 
   // ---------- deterministic shuffle ----------
 
+  test("dedupSpans masks non-first occurrences of duplicated spans") {
+    // span "a b c d" (n=4) appears in docs 1, 2 and twice in doc 1's tail
+    val docs = Seq(
+      (1L, "a b c d x y z a b c d"),
+      (2L, "p q a b c d r s"),
+      (3L, "totally novel content here")).toDF("doc_id", "text")
+    val out = graft.ext.TextPipeline.dedupSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: first occurrence (pos 1) survives; the second copy at pos 8
+    //        masks tokens 8-11
+    assert(out(0) == ((1L, 11L, 7L, "a b c d x y z")))
+    // doc 2: its copy (pos 3) masks tokens 3-6; p q r s survive
+    assert(out(1) == ((2L, 8L, 4L, "p q r s")))
+    // doc 3: untouched
+    assert(out(2) == ((3L, 4L, 4L, "totally novel content here")))
+  }
+
+  test("dedupSpans chains overlapping duplicated spans; short dups empty") {
+    // doc 20 repeats doc 10's whole text shifted: every 3-window of
+    // "a b c d e" in doc 20 duplicates doc 10 -> all of doc 20's span
+    // tokens mask; doc 30 is an exact short dup (< n tokens -> single
+    // whole-doc gram) so it empties entirely
+    val docs = Seq(
+      (10L, "a b c d e"),
+      (20L, "z a b c d e"),
+      (30L, "hi yo"),
+      (31L, "hi yo")).toDF("doc_id", "text")
+    val out = graft.ext.TextPipeline.dedupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept", "text_clean")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out(0) == ((10L, 5L, "a b c d e")))
+    assert(out(1) == ((20L, 1L, "z")))
+    assert(out(2) == ((30L, 2L, "hi yo")))
+    assert(out(3) == ((31L, 0L, "")))
+  }
+
+  test("dedupSpans keep-first is corpus-wide deterministic (min id, pos)") {
+    // the same span planted in many docs: only the smallest doc_id keeps it
+    val span = "one two three four five six seven eight"
+    val docs = (1L to 20L).map(i => (i, s"prefix$i $span suffix$i"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextPipeline.dedupSpans(docs, "doc_id", "text", n = 8)
+      .filter(col("n_kept") === col("n_tokens"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
   test("shuffled is a stable seeded permutation; seeds differ") {
     val docs = spark.range(100).toDF("doc_id")
     def order(seed: Long): Seq[Long] =
