@@ -185,4 +185,49 @@ object Similarity {
     clusterDedup(corpus, idCol, vecCol,
       Ivf.cellId(col(vecCol).cast("array<double>"), m), minCos)
   }
+
+  /** Incremental SemDeDup — the embedding analogue of
+    * [[Dedup.incrementalNearDupMatches]]: match a DELTA against the kept
+    * corpus without ever re-pairing kept×kept. A delta vector is a
+    * duplicate when cosine ≥ `minCos` to ANY kept vector in its cell, or
+    * to a smaller-id delta vector in its cell (in-batch dedup, keep-min-
+    * id). Output: one row per dropped delta vector —
+    * (idCol, dup_of = smallest matching id, max_sim, matched_kept).
+    *
+    * Per-call cost tracks |delta| × cell density: the kept side streams
+    * through ONE hash join on the cell id (shuffled on its cells exactly
+    * once per call — persist the kept projection with cells precomputed
+    * across increments to amortize even that). The quantizer must be the
+    * FIXED one the kept corpus was indexed with (retraining centroids
+    * would silently re-cell the world). */
+  def semDedupIncrement(kept: DataFrame, delta: DataFrame,
+      idCol: String, vecCol: String, cell: Column, minCos: Double,
+      roundDigits: Int = 4): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"), cell.as("__cell"))
+      .withColumn("__n", norm(col("__v")))
+    val d = prep(delta)
+    val candidates = prep(kept)
+      .select(col("__cell"), col("__id").as("__a"), col("__v").as("__va"),
+        col("__n").as("__na"))
+      .withColumn("__kept", lit(true))
+      .unionByName(d
+        .select(col("__cell"), col("__id").as("__a"), col("__v").as("__va"),
+          col("__n").as("__na"))
+        .withColumn("__kept", lit(false)))
+    candidates
+      .join(d.select(col("__cell"), col("__id").as("__b"),
+        col("__v").as("__vb"), col("__n").as("__nb")), Seq("__cell"))
+      // kept beats any delta id; delta-vs-delta keeps the smaller id
+      .filter(col("__kept") || col("__a") < col("__b"))
+      .withColumn("sim", round(
+        when(col("__na") > 0 && col("__nb") > 0,
+          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .otherwise(lit(0.0)), roundDigits))
+      .filter(col("sim") >= minCos)
+      .groupBy(col("__b").as(idCol))
+      .agg(min(col("__a")).as("dup_of"), max(col("sim")).as("max_sim"),
+        max(col("__kept")).as("matched_kept"))
+  }
 }

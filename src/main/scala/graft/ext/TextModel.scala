@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -85,5 +85,31 @@ object TextModel {
       .withColumn("avg_nll",
         round(col("nll_micros").cast("double") / lit(1e6) /
           col("n_tokens").cast("double"), roundTo))
+  }
+
+  /** Feature-hashed bag-of-words embedding (the hashing trick; Weinberger
+    * et al. 2009): token t increments bucket `hash(t) mod dim`, giving a
+    * dense `array<double>` of counts that plugs a text-only corpus
+    * straight into the vector operators ([[Similarity.clusterDedup]],
+    * [[Similarity.bruteForceTopK]], [[Quantize.int8]]) with no neural
+    * embedding table. Counts are left UN-normalized: cosine — the
+    * consumer metric — is scale-invariant, and integer-valued doubles are
+    * exactly cross-engine-reproducible.
+    *
+    * Pure narrow Column algebra — no explode, no shuffle; at 100 TB the
+    * embedding rides the scan like any projection. The histogram costs
+    * O(dim · tokens) lambda steps per doc (a probe per bucket), so keep
+    * `dim` modest — hashed BoW gains little past a few dozen buckets.
+    * Pass `hash = TextStats.md5Hash64` for oracle-checkable output, keep
+    * the xxhash64 default for production throughput. */
+  def hashEmbedding(text: Column, dim: Int = 64,
+      hash: Column => Column = xxhash64(_)): Column = {
+    val buckets = transform(split(lower(trim(text)), "\\s+"),
+      t => pmod(hash(t), lit(dim)))
+    // let-bind the bucket array (transform-over-singleton) so the
+    // histogram probes don't re-hash every token once per bucket
+    element_at(transform(array(buckets), bs =>
+      transform(sequence(lit(0), lit(dim - 1)),
+        b => size(filter(bs, x => x === b)).cast("double"))), 1)
   }
 }

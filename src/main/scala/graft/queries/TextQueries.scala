@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextStats}
+import graft.ext.{Dedup, Similarity, TextStats}
 import Q._
 
 /** Text-analysis + near-dup operator coverage over `documents`
@@ -215,6 +215,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Text-only semantic dedup: feature-hashed bag-of-words embeddings
+    // (hashing trick; md5 hash variant for oracle parity), argmax-bucket
+    // coarse cells, cluster-confined pairwise cosine. The full composition
+    // — embed, quantize to cells, dedup — is DuckDB-hash-checked.
+    "q81_hashed_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ext.TextModel.hashEmbedding(col("text"), dim = 16,
+            hash = TextStats.md5Hash64).as("v"))
+      Similarity.clusterDupes(emb, "doc_id", "v",
+          array_position(col("v"), array_max(col("v"))), minCos = 0.98)
+        .orderBy(col("doc_id"))
+    }),
+
     // Okapi BM25 lexical scoring against a fixed query; fixed-order term
     // sum + round(4) make the double score cross-engine-checkable.
     "q63_bm25" -> ((s, dir) => {
@@ -399,6 +414,27 @@ object TextQueries {
         |  COALESCE(string_agg(CASE WHEN covered = 0 THEN w END, ' ' ORDER BY pos), '')
         |    AS text_clean
         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // md5-derived 60-bit bucket hash == Spark TextStats.md5Hash64 % 16;
+    // argmax cell = 1-based first position of the max count both engines
+    "q81_hashed_semantic_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), b -> CAST(len(list_filter(tk,
+        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 16 = b))
+        |      AS DOUBLE)) AS v
+        |  FROM t),
+        |c AS (SELECT doc_id, v, list_position(v, list_max(v)) AS cell FROM e),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    ROUND(list_cosine_similarity(x.v, y.v), 4) AS sim
+        |  FROM c x JOIN c y ON x.cell = y.cell AND x.doc_id < y.doc_id)
+        |SELECT b AS doc_id, MIN(a) AS dup_of, MAX(sim) AS max_sim
+        |FROM pairs WHERE sim >= 0.98
+        |GROUP BY b ORDER BY doc_id""".stripMargin,
 
     "q63_bm25" ->
       """WITH t AS (

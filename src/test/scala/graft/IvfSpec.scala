@@ -108,6 +108,34 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("semDedupIncrement matches delta vs kept and smaller delta ids") {
+    val cellOf = Similarity.signCells(
+      col("embedding").cast("array<double>"), 3)
+    val kept = emb.filter(col("vec_id") < 400)
+    // delta: copies of kept 0 and 1 (scaled — same cell, cos 1.0), one
+    // in-batch duplicated pair (2000/2001), one novel vector
+    val copies = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val pairA = emb.filter(col("vec_id") === 450)
+      .select(lit(2000L).as("vec_id"), col("embedding"))
+    val pairB = emb.filter(col("vec_id") === 450)
+      .select(lit(2001L).as("vec_id"), col("embedding"))
+    val novel = emb.filter(col("vec_id") === 460)
+      .select(lit(3000L).as("vec_id"), col("embedding"))
+    val delta = copies.unionByName(pairA).unionByName(pairB)
+      .unionByName(novel)
+    val out = Similarity.semDedupIncrement(kept, delta, "vec_id",
+        "embedding", cellOf, minCos = 0.999)
+      .orderBy("vec_id")
+      .select("vec_id", "dup_of", "matched_kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // 1000/1001 match kept 0/1; 2001 matches in-batch 2000 (450 is NOT
+    // kept, so matched_kept = false); 3000 survives (absent)
+    assert(out == Seq((1000L, 0L, true), (1001L, 1L, true),
+      (2001L, 2000L, false)))
+  }
+
   test("clusterDedup survivors + dupes partition the corpus") {
     val cell = Similarity.signCells(
       col("embedding").cast("array<double>"), 3)

@@ -124,6 +124,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("__cell"), p)
   }
 
+  test("semantic dedup pairs join hash-equi on the cell, never a loop") {
+    val p = planOf(SparkEntry.queries("q79_semantic_dedup")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__cell"), p)
+  }
+
+  test("span dedup never loops or cross-joins; windows stay per-doc") {
+    val p = planOf(SparkEntry.queries("q80_span_dedup")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one bounded range window, partitioned by doc id
+    assert(p.contains("specifiedwindowframe(RangeFrame"), p)
+  }
+
   test("url normalization is a narrow projection — no exchange, no UDF") {
     import spark.implicits._
     val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")

@@ -355,6 +355,27 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("hashEmbedding histograms tokens into hashed buckets, no shuffle") {
+    // deterministic stand-in hash: bucket = token length % dim
+    val df = Seq((1L, "a bb a"), (2L, "ccc ccc"), (3L, "a bb a"))
+      .toDF("doc_id", "text")
+    val emb = df.select(col("doc_id"),
+      graft.ext.TextModel.hashEmbedding(col("text"), dim = 4,
+        hash = c => length(c).cast("long")).as("v"))
+    val got = emb.orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    assert(got(0)._2 == Seq(0.0, 2.0, 1.0, 0.0)) // "a"(len1)x2, "bb"(len2)
+    assert(got(1)._2 == Seq(0.0, 0.0, 0.0, 2.0)) // "ccc"(len3)x2
+    assert(got(0)._2 == got(2)._2)               // deterministic
+    val plan = emb.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must stay narrow:\n$plan")
+    // composition: identical docs cluster-dedup at cos 1.0, keep-min-id
+    val dupes = graft.ext.Similarity.clusterDupes(emb, "doc_id", "v",
+        array_position(col("v"), array_max(col("v"))), minCos = 0.999)
+      .collect()
+    assert(dupes.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 1L)))
+  }
+
   test("shuffled is a stable seeded permutation; seeds differ") {
     val docs = spark.range(100).toDF("doc_id")
     def order(seed: Long): Seq[Long] =
