@@ -126,10 +126,13 @@ object Similarity {
   /** Sign-bit coarse cells: bit i set when dimension i+1 is ≥ 0. A
     * trivial fully-deterministic quantizer — SQL-expressible, so the
     * [[clusterDupes]] oracle can reproduce the cells exactly; production
-    * paths pass k-means cells instead ([[semDedup]]). */
+    * paths pass k-means cells instead ([[semDedup]]). Dimensions past the
+    * vector's length contribute 0 (guarded — ANSI `element_at` would
+    * error, not null, on short vectors). */
   def signCells(vec: Column, bits: Int): Column =
     (0 until bits).map(i =>
-      when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      when(size(vec) > i && element_at(vec, i + 1) >= 0, lit(1L << i))
+        .otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** SemDeDup-style semantic duplicates (Abbas et al. 2023,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -229,6 +229,62 @@ object Streams {
             appendPartition(
               delta.banded.select("band", "band_hash", "id"), bandedDir)
           }
+          survivors.unpersist()
+        }
+        ()
+      }
+      .start()
+
+  /** Continuous embedding ingestion with semantic dedup — the streaming
+    * face of [[graft.ext.Similarity.semDedupIncrement]], and the vector
+    * twin of [[dedupIngestSink]]: each micro-batch is matched against the
+    * persistent kept corpus (cell-confined cosine; per-batch cost tracks
+    * the delta × cell density, never kept×kept), in-batch duplicates
+    * resolve keep-min-id, and survivors append to the corpus so later
+    * batches dedup against them.
+    *
+    * The kept store is ONE parquet dir (vectors re-cell on read via the
+    * fixed `quantizer`), so there is no two-halves crash window; writes
+    * land in `ingest_batch=<id>` partitions with dynamic-partition
+    * overwrite — a checkpoint-replayed batch rewrites its own partition
+    * (or, if it fully committed, self-matches at cosine 1.0 and writes
+    * nothing) — idempotent at-least-once. The quantizer must stay fixed
+    * for the life of the corpus: re-quantizing would re-cell the world. */
+  def semanticIngestSink(embeddings: DataFrame, corpusDir: String,
+      checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCos: Double = 0.99,
+      quantizer: Column => Column =
+        v => graft.ext.Similarity.signCells(v, 8),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val cellOf = quantizer(col(vecCol).cast("array<double>"))
+          val dir = new org.apache.hadoop.fs.Path(corpusDir)
+          val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val matched =
+            if (fs.exists(dir)) {
+              val kept = s.read.parquet(corpusDir).drop("ingest_batch")
+              graft.ext.Similarity.semDedupIncrement(
+                kept, batch, idCol, vecCol, cellOf, minCos)
+                .select(col(idCol))
+            } else // first batch: in-batch dedup only
+              graft.ext.Similarity.clusterDupes(
+                batch, idCol, vecCol, cellOf, minCos)
+                .select(col(idCol))
+          val survivors = batch.join(matched, Seq(idCol), "left_anti")
+            .persist()
+          if (survivors.count() > 0)
+            survivors.withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch")
+              .parquet(corpusDir)
           survivors.unpersist()
         }
         ()

@@ -131,6 +131,36 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds == Seq(1L, 3L, 11L))
   }
 
+  test("semantic ingest dedups each batch against the kept embeddings") {
+    val src = Files.createTempDirectory("sem-src").toString
+    val corpus = Files.createTempDirectory("sem-corpus").toString + "/kept"
+    val ckpt = Files.createTempDirectory("sem-ckpt").toString
+    val a = Seq(1.0f, 0.5f, -0.25f, 2.0f)
+    val b = Seq(-1.0f, 2.0f, 0.5f, -0.75f)
+    val c = Seq(0.5f, -1.5f, 2.0f, 1.0f)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    def run(rows: Seq[(Long, Seq[Float])], f: String): Unit = {
+      rows.toDF("vec_id", "embedding").write.parquet(s"$src/$f")
+      val q = Streams.semanticIngestSink(
+        spark.readStream.schema(schema).parquet(s"$src/*"), corpus, ckpt)
+      q.awaitTermination(60000)
+    }
+    def keptIds: Seq[Long] = spark.read.parquet(corpus)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    // batch 1: 2 is a scaled copy of 1 (in-batch dup); 3 is novel
+    run(Seq((1L, a), (2L, a.map(_ * 2f)), (3L, b)), "b1")
+    assert(keptIds == Seq(1L, 3L))
+    // batch 2: 10 duplicates kept 1; 11 is novel
+    run(Seq((10L, a.map(_ * 0.5f)), (11L, c)), "b2")
+    assert(keptIds == Seq(1L, 3L, 11L))
+    // replay with no new files: nothing changes
+    val q3 = Streams.semanticIngestSink(
+      spark.readStream.schema(schema).parquet(s"$src/*"), corpus, ckpt)
+    q3.awaitTermination(60000)
+    assert(keptIds == Seq(1L, 3L, 11L))
+  }
+
   test("dedup ingest recovers when the banded index half is missing") {
     val src = Files.createTempDirectory("ingest2-src").toString
     val corpus = Files.createTempDirectory("ingest2-corpus").toString + "/kept"
