@@ -52,6 +52,12 @@ object Bench {
     // ("q57" for "q57_dedup_corpus" — unique by construction) keep the line
     // ~1.2 KB. Full names are in the breakdown above.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    // duplicate short keys would silently drop a timing from the parsed
+    // JSON dict — fail loudly instead
+    locally {
+      val dup = results.keys.toSeq.groupBy(shortKey).filter(_._2.size > 1)
+      require(dup.isEmpty, s"duplicate bench short keys: $dup")
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")

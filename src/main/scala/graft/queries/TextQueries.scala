@@ -220,11 +220,18 @@ object TextQueries {
     // coarse cells, cluster-confined pairwise cosine. The full composition
     // — embed, quantize to cells, dedup — is DuckDB-hash-checked.
     "q81_hashed_semantic_dedup" -> ((s, dir) => {
+      // repartition = a materialization barrier: clusterDupes references
+      // the vector column from several expressions on each self-join side,
+      // and CollapseProject would re-inline the whole O(dim·tokens)
+      // embedding pipeline into every reference. Behind the exchange the
+      // embedding is computed ONCE per row total (exchange reuse shares it
+      // across both join branches) — the playbook lambda-capture trap.
       val emb = t(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           graft.ext.TextModel.hashEmbedding(col("text"), dim = 16,
             hash = TextStats.md5Hash64).as("v"))
+        .repartition(col("doc_id"))
       Similarity.clusterDupes(emb, "doc_id", "v",
           array_position(col("v"), array_max(col("v"))), minCos = 0.98)
         .orderBy(col("doc_id"))
@@ -341,39 +348,31 @@ object TextQueries {
       |      ELSE list_transform(range(1, len(tk) - 1),
       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)""".stripMargin
 
+  /** Shared by q62 (exact path) and q78 (bloom-screened path): the two
+    * queries are output-identical by construction, so they must verify
+    * against the SAME oracle text — binding it once prevents silent
+    * divergence if the tokenization ever changes. */
+  private val decontamOracle: String =
+    s"""WITH ct AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |bt AS (SELECT * FROM ct WHERE doc_id % 97 = 0),
+       |cg AS (SELECT doc_id, unnest($shingleList) AS g
+       |       FROM (SELECT doc_id, tk FROM ct)),
+       |bg AS (SELECT doc_id, unnest($shingleList) AS g
+       |       FROM (SELECT doc_id, tk FROM bt))
+       |SELECT c.doc_id,
+       |  COUNT(DISTINCT c.g) AS n_hit_grams,
+       |  COUNT(DISTINCT b.doc_id) AS n_bench_docs,
+       |  MIN(b.doc_id) AS first_bench_id
+       |FROM cg c JOIN bg b ON c.g = b.g
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q62_decontaminate" ->
-      s"""WITH ct AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-         |  FROM documents),
-         |bt AS (SELECT * FROM ct WHERE doc_id % 97 = 0),
-         |cg AS (SELECT doc_id, unnest($shingleList) AS g
-         |       FROM (SELECT doc_id, tk FROM ct)),
-         |bg AS (SELECT doc_id, unnest($shingleList) AS g
-         |       FROM (SELECT doc_id, tk FROM bt))
-         |SELECT c.doc_id,
-         |  COUNT(DISTINCT c.g) AS n_hit_grams,
-         |  COUNT(DISTINCT b.doc_id) AS n_bench_docs,
-         |  MIN(b.doc_id) AS first_bench_id
-         |FROM cg c JOIN bg b ON c.g = b.g
-         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q62_decontaminate" -> decontamOracle,
 
     // bloom-screened path: same exact-output semantics as q62
-    "q78_bloom_decontaminate" ->
-      s"""WITH ct AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-         |  FROM documents),
-         |bt AS (SELECT * FROM ct WHERE doc_id % 97 = 0),
-         |cg AS (SELECT doc_id, unnest($shingleList) AS g
-         |       FROM (SELECT doc_id, tk FROM ct)),
-         |bg AS (SELECT doc_id, unnest($shingleList) AS g
-         |       FROM (SELECT doc_id, tk FROM bt))
-         |SELECT c.doc_id,
-         |  COUNT(DISTINCT c.g) AS n_hit_grams,
-         |  COUNT(DISTINCT b.doc_id) AS n_bench_docs,
-         |  MIN(b.doc_id) AS first_bench_id
-         |FROM cg c JOIN bg b ON c.g = b.g
-         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q78_bloom_decontaminate" -> decontamOracle,
 
     // keep-first = smallest (doc_id, pos) per duplicated gram; a token is
     // masked when a masked span starts within the previous 7 positions

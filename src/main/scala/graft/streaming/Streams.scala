@@ -159,6 +159,26 @@ object Streams {
       }
       .start()
 
+  /** True iff the directory holds at least one COMMITTED data file —
+    * `fs.exists` alone is not loadability: a crash mid-write leaves the
+    * directory with only `_temporary`/metadata droppings, and
+    * `read.parquet` on it throws "unable to infer schema" forever,
+    * bricking the replayed batch. Used by the ingest sinks to decide
+    * between loading persistent state and the empty-state fallback. */
+  private def hasCommittedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        found = f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          !f.getPath.toString.contains("/_temporary/")
+      }
+      found
+    }
+
   /** Continuous corpus ingestion with near-dup filtering — the streaming
     * face of [[graft.ext.Dedup.incrementalNearDup]]: every micro-batch is
     * matched against the persistent kept-corpus index (per-batch cost
@@ -191,21 +211,29 @@ object Streams {
           val setsPath = new org.apache.hadoop.fs.Path(setsDir)
           val bandedPath = new org.apache.hadoop.fs.Path(bandedDir)
           val fs = setsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-          // BOTH halves must exist before the index is loadable: a crash
-          // between the sets write and the banded write (below) leaves
-          // setsDir alone, and reading bandedDir would then fail the
-          // replayed batch forever. Falling back to the empty index is
-          // safe — the replay rewrites its own ingest_batch partitions.
-          // (Write order matters the other way too: sets-before-banded
-          // means a partially-written batch can never band-collide with
-          // itself on replay — banded rows for its ids don't exist yet —
-          // so replayed docs are never dropped as duplicates of their own
-          // half-committed copy.)
+          // BOTH halves need committed data files before the index is
+          // loadable: a crash between the sets write and the banded write
+          // (below) leaves setsDir alone — and a crash MID-write leaves a
+          // directory with only _temporary droppings that read.parquet
+          // fails on forever. Falling back to the empty index is safe —
+          // the replay rewrites its own ingest_batch partitions.
+          // The batch's OWN partition is excluded from the index read:
+          // with task-level committers a crashed write can leave SOME of
+          // this batch's rows visible, and a replayed doc matching its
+          // own half-committed copy would be dropped from survivors while
+          // the dynamic overwrite deletes that copy — silent loss. Prior
+          // batches' partitions are immutable, so the exclusion only ever
+          // removes this batch's partial state.
           val idx =
-            if (fs.exists(setsPath) && fs.exists(bandedPath))
+            if (hasCommittedFiles(fs, setsPath) &&
+              hasCommittedFiles(fs, bandedPath))
               graft.ext.Dedup.NearDupIndex(
-                s.read.parquet(setsDir).select("id", "shset"),
-                s.read.parquet(bandedDir).select("band", "band_hash", "id"),
+                s.read.parquet(setsDir)
+                  .filter(col("ingest_batch") =!= batchId)
+                  .select("id", "shset"),
+                s.read.parquet(bandedDir)
+                  .filter(col("ingest_batch") =!= batchId)
+                  .select("band", "band_hash", "id"),
                 bands, rowsPerBand, shingleSize)
             else // first batch: an empty index with the right schemas
               graft.ext.Dedup.buildNearDupIndex(batch.limit(0), idCol,
@@ -267,9 +295,18 @@ object Streams {
           val cellOf = quantizer(col(vecCol).cast("array<double>"))
           val dir = new org.apache.hadoop.fs.Path(corpusDir)
           val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          // committed-files guard + own-partition exclusion: same replay
+          // reasoning as dedupIngestSink — an exists-but-uncommitted dir
+          // must read as empty (not throw forever), and a replayed batch
+          // must never self-match rows its crashed attempt left visible
+          // (they'd drop from survivors while the dynamic overwrite
+          // deletes them — silent loss). Here the match source IS the
+          // overwrite target, so the exclusion is the whole defense.
           val matched =
-            if (fs.exists(dir)) {
-              val kept = s.read.parquet(corpusDir).drop("ingest_batch")
+            if (hasCommittedFiles(fs, dir)) {
+              val kept = s.read.parquet(corpusDir)
+                .filter(col("ingest_batch") =!= batchId)
+                .drop("ingest_batch")
               graft.ext.Similarity.semDedupIncrement(
                 kept, batch, idCol, vecCol, cellOf, minCos)
                 .select(col(idCol))
