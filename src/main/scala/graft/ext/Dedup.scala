@@ -218,24 +218,37 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
-    val sigs = simHash(docs, idCol, textCol, hash)
-      .select(col(idCol).as("id"), col("simhash")).persist()
+      hash: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs64(
+      simHash(docs, idCol, textCol, hash)
+        .select(col(idCol).as("id"), col("simhash").as("sig")),
+      maxHamming, maxBucketSize)
+
+  /** Near-dup pairs within `maxHamming` over ANY 64-bit signature column
+    * (SimHash over tokens, dHash over image pixels, …): candidates via
+    * 4×16-bit band blocking (pigeonhole: Hamming ≤ 3 shares ≥ 1 exact
+    * band), verified with `bit_count(xor)`. Input schema: (id, sig).
+    * Output/scale contract is [[simHashPairs]]'s — identical signatures
+    * cluster to a representative first, only distinct signatures enter
+    * banding, and band buckets over `maxBucketSize` are dropped. */
+  def hammingPairs64(sigsIn: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = sigsIn.select(col("id"), col("sig")).persist()
     sigs.count() // materialize once before the branches race for the cache
 
     // identical-signature clusters: rep = min id, members pair to the rep
-    val clustered = sigs.groupBy(col("simhash"))
+    val clustered = sigs.groupBy(col("sig"))
       .agg(min(col("id")).as("rep"))
-    val dupPairs = sigs.join(clustered, Seq("simhash"))
+    val dupPairs = sigs.join(clustered, Seq("sig"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("a"), col("id").as("b"),
         lit(0L).as("hamming"))
 
     // band-block only distinct signatures (one rep per signature)
-    val reps = clustered.select(col("rep").as("id"), col("simhash"))
-    val banded = reps.select(col("id"), col("simhash"),
+    val reps = clustered.select(col("rep").as("id"), col("sig"))
+    val banded = reps.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band", "band_val")))
     val bucketSizes = banded.groupBy(col("band"), col("band_val"))
       .agg(count(lit(1)).as("__bucket_n"))
@@ -243,9 +256,9 @@ object Dedup {
       bucketSizes.filter(col("__bucket_n") <= maxBucketSize),
       Seq("band", "band_val"))
     val l = bounded.select(col("band"), col("band_val"),
-      col("id").as("a"), col("simhash").as("sig_a"))
+      col("id").as("a"), col("sig").as("sig_a"))
     val r = bounded.select(col("band"), col("band_val"),
-      col("id").as("b"), col("simhash").as("sig_b"))
+      col("id").as("b"), col("sig").as("sig_b"))
     // hamming is a cheap bit_count — filter BEFORE the dedup shuffle so
     // only surviving pairs (not every multi-band candidate) get shuffled
     val nearPairs = l.join(r, Seq("band", "band_val"))

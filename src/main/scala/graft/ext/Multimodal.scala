@@ -84,14 +84,15 @@ object Multimodal {
     * feature_hash folds the same sampled pixels. Returns None when the
     * bytes aren't a decodable image (ImageIO sniffs magic bytes), letting
     * the caller fall back to the deterministic stub. */
-  private[ext] def decodeImage(a: MediaAsset): Option[MediaFeatures] = {
-    val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
+  /** Decode bytes to a raster with the decompression-bomb guard applied
+    * from the HEADER alone: a ~100 KB PNG can declare 60000×60000 and
+    * `ImageIO.read` would allocate the full ~14 GB raster (an
+    * OutOfMemoryError no catch survives). Readers sniff magic bytes, so
+    * non-image payloads return None cheaply. */
+  private[ext] def readImageBounded(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes.isEmpty) return None
     try {
-      // Header-only dimension check BEFORE decoding: a ~100 KB PNG can
-      // declare 60000×60000 and ImageIO.read would allocate the full
-      // ~14 GB raster (an OutOfMemoryError no catch below survives).
-      // Reject decompression bombs from the header alone.
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -104,7 +105,16 @@ object Multimodal {
             return None // > 100 MP: refuse to materialize the raster
           reader.read(0)
         } finally { reader.dispose(); iis.close() }
-      if (img == null) return None
+      Option(img)
+    } catch { case _: Exception => None }
+  }
+
+  private[ext] def decodeImage(a: MediaAsset): Option[MediaFeatures] = {
+    val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
+    try {
+      val imgOpt = readImageBounded(bytes)
+      if (imgOpt.isEmpty) return None
+      val img = imgOpt.get
       val w = img.getWidth
       val h = img.getHeight
       // ceil division: stride guarantees ≤64 samples per axis for EVERY
@@ -217,6 +227,86 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image: average luminance
+    * over a 9×8 block grid, bit (y*8+x) set iff block (x+1,y) is brighter
+    * than block (x,y). Robust to resizing/re-encoding/brightness shifts
+    * (compares only neighbour ORDER), which byte-level hashing is not —
+    * the standard perceptual key for image near-dup at corpus scale.
+    * Block averages sample ≤ 8×8 points per block (bounded work per
+    * image, same rationale as [[decodeImage]]'s sample grid). */
+  private[ext] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = Array.ofDim[Double](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        // block bounds in source pixels (ceil-divided grid)
+        val x0 = gx * w / 9; val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+        val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        val sx = math.max(1, (x1 - x0 + 7) / 8)
+        val sy = math.max(1, (y1 - y0 + 7) / 8)
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        lum(gy)(gx) = if (n == 0) 0.0 else sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val y = i / 8; val x = i % 8
+      if (lum(y)(x + 1) > lum(y)(x)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-asset perceptual hash rows (asset_id, dhash): REAL dHash for
+    * decodable images, deterministic stub fold otherwise (same fallback
+    * contract as [[extractFeatures]] — the pipeline shape stays testable
+    * on non-image payloads). One pass, no shuffle. */
+  def perceptualHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val dh =
+          if (a.media_type == "image")
+            readImageBounded(
+              Option(a.content).getOrElse(Array.emptyByteArray))
+              .map(dHash64)
+              .getOrElse(decodeStub(a).feature_hash)
+          else decodeStub(a).feature_hash
+        (a.asset_id, dh)
+      }
+    }.toDF("id", "sig")
+  }
+
+  /** Image near-duplicate pairs: perceptual dHash + banded Hamming join
+    * ([[graft.ext.Dedup.hammingPairs64]] — identical-hash clustering
+    * first, 4×16-bit band blocking, bounded buckets). A re-encoded /
+    * resized / slightly-recolored copy lands within a few bits of its
+    * original; byte-level exact dedup misses all of those. Returns
+    * (a, b, hamming) with a < b. */
+  def imageNearDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    graft.ext.Dedup.hammingPairs64(perceptualHashes(assets), maxHamming,
+      maxBucketSize)
+
   /** Frame sampling contract for video payloads: emits `framesPer` rows per
     * asset with deterministic pseudo-frame hashes (flatMap shape — the
     * generator/explode pattern on binary data). */
@@ -228,6 +318,43 @@ object Multimodal {
         (a.asset_id, f, base.feature_hash * 31 + f, base.width, base.height)
       }
     }.toDF("asset_id", "frame_idx", "frame_hash", "width", "height")
+  }
+
+  /** Deterministic synthetic IMAGE assets from a document table: each doc
+    * renders a small real PNG (JDK codec) whose pattern is keyed by
+    * `doc_id % groups` with a per-doc brightness shift — so every group
+    * is a planted near-dup cluster (same pattern, slightly different
+    * bytes) and cross-group images are far apart in dHash space. Drives
+    * the REAL decode → perceptual-hash path end-to-end without external
+    * media files; per-row cost is a bounded 48×32 render. */
+  def syntheticImageAssets(docs: DataFrame, groups: Int = 50): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast(LongType)).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val freq = 2 + (id % groups)          // group pattern
+        val shift = ((id / groups) % 3) * 12  // near-dup jitter within group
+        val w = 48; val h = 32
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val u = x.toDouble / w; val v = y.toDouble / h
+            val l0 = 120 + 110 * math.sin(2 * math.Pi * freq * u) *
+              math.cos(2 * math.Pi * 2 * v)
+            val l = math.min(250, l0.toInt + shift.toInt)
+            img.setRGB(x, y, (l << 16) | (l << 8) | l)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val png = bos.toByteArray
+        MediaAsset(id, "image", png, s"synthetic-png://$id", png.length.toLong)
+      }
+    }
   }
 
   /** Build a deterministic asset table from any text corpus (test/demo

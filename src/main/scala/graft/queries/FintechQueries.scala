@@ -119,6 +119,18 @@ object FintechQueries {
         Multimodal.assetsFromDocuments(s, Q.t(s, dir, "documents")),
         framesPer = 4)
         .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+
+    // perceptual image near-dup: real PNG render → real JDK decode →
+    // dHash → banded Hamming join. Docs sharing a pattern group are
+    // planted near-dup clusters (brightness-jittered copies), so the
+    // pair graph exercises identical-hash clustering AND banding.
+    // Rows-only: pixel-sampling dHash is engine-specific.
+    "q82_image_neardup" -> ((s, dir) => {
+      Multimodal.imageNearDupPairs(
+        Multimodal.syntheticImageAssets(Q.t(s, dir, "documents")),
+        maxHamming = 3)
+        .orderBy(col("a"), col("b"))
     }))
 
   /** DuckDB equivalents over the Verify-dumped silver parquet. Decimal sums

@@ -171,6 +171,58 @@ class ReadersMultimodalSpec extends SparkSpec {
     assert(f.n_bytes == bomb.length.toLong)
   }
 
+  test("multimodal: dHash is stable under re-encode/brightness/resize and separates content") {
+    // smooth synthetic pattern (normalized coordinates, so a resized copy
+    // samples ~the same field): luminance in [2,252], no clipping
+    def render(w: Int, h: Int, phase: Double, freq: Double): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val u = x.toDouble / w; val v = y.toDouble / h
+        val l = (127 + 125 * math.sin(2 * math.Pi * freq * u + phase) *
+          math.cos(2 * math.Pi * 2 * v)).toInt
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def brighten(png: Array[Byte], d: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val l = math.min(255, ((img.getRGB(x, y) >> 16) & 0xFF) + d)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = render(72, 48, 0.0, 3)
+    val scaled = render(144, 96, 0.0, 3)   // 2× resolution, same content
+    val bright = brighten(base, 20)        // +20 luminance, same ordering
+    val other = render(72, 48, 1.7, 7)     // different content
+    def asset(id: Long, b: Array[Byte]) =
+      Multimodal.MediaAsset(id, "image", b, s"test://$id", b.length.toLong)
+    val assets = Seq(asset(1, base), asset(2, base), asset(3, bright),
+      asset(4, scaled), asset(5, other)).toDS()
+
+    val hashes = Multimodal.perceptualHashes(assets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(ham(1, 2) == 0)  // identical bytes → identical hash
+    assert(ham(1, 3) <= 2)  // brightness shift preserves neighbour order
+    assert(ham(1, 4) <= 3)  // 2× resize samples the same field
+    assert(ham(1, 5) > 10)  // different content is far away
+
+    val pairs = Multimodal.imageNearDupPairs(assets, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2 collapse to one signature cluster; 3/4 reach it via banding
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("multimodal: frame sampling emits framesPer rows per video asset") {
     val docs = Tables.load(spark, sfDir, "documents")
     val assets = Multimodal.assetsFromDocuments(spark, docs)
