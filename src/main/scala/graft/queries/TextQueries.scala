@@ -237,6 +237,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Trained quality filter (fastText/CCNet shape): distill the rubric
+    // heuristic into a hashed-BoW logistic regression on the corpus as
+    // its own seed, then score every doc with the pure-Column decision
+    // function (broadcast weights, O(tokens)/doc, rides the scan).
+    // Rows-only: L-BFGS float iteration order is engine-specific.
+    "q83_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val model = graft.ext.QualityClassifier.distill(
+        docs, "text", TextStats.qualityScore(col("text")), threshold = 0.8,
+        dim = 64, maxIter = 50)
+      docs.select(col("doc_id"),
+        round(graft.ext.QualityClassifier.scoreColumn(col("text"), model), 4)
+          .as("quality_p"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Okapi BM25 lexical scoring against a fixed query; fixed-order term
     // sum + round(4) make the double score cross-engine-checkable.
     "q63_bm25" -> ((s, dir) => {
