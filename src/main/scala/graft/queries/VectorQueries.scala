@@ -60,6 +60,21 @@ object VectorQueries {
 
     "q52_ivf_topk" -> ((s, dir) => ivfQuery(s, dir)),
 
+    // Product-quantized ANN: 8 codebooks × 16 centroids over 64 dims
+    // (64 floats → 8 nibbles stored), ADC shortlist scored by table
+    // lookup, exact rerank over the shortlist only. Rows-only (codebooks
+    // are engine-derived floats); recall vs exact L2 is asserted in
+    // PqSpec.
+    "q84_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.ext.Pq.train(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 3)
+      val encoded = graft.ext.Pq.encode(emb, "vec_id", "embedding", model)
+      graft.ext.Pq.topKRerank(encoded, emb, emb.filter(col("vec_id") < 8),
+          model, "vec_id", "embedding", k = 5, shortlist = 50)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // SemDeDup-style cluster-confined semantic dedup over a corpus with
     // planted scaled copies. The oracle variant uses the SQL-expressible
     // sign-bit quantizer so the dropped set is DuckDB-hash-checked; the
