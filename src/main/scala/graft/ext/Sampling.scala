@@ -112,4 +112,62 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), hash) < threshold)
   }
+
+  /** Temperature-weighted source mixture table (the Pile/LLaMA data-mix
+    * recipe): per source s with token share p_s, mixture weight
+    * w_s = p_s^α / Σ p^α — α &lt; 1 flattens the mix (upweights small
+    * curated sources against the web crawl), α = 1 is natural sampling.
+    * `rate` = targetTokens · w_s / tokens_s is the expected EPOCH COUNT
+    * over that source (may exceed 1: small sources repeat).
+    *
+    * Determinism: token totals are exact long sums; the power-sum
+    * normalizer folds over the collected per-source list in source
+    * order (a handful of rows — collect_list is bounded by the number
+    * of SOURCES, never docs), so no double addition depends on
+    * partitioning. Output doubles round to 6. */
+  def mixtureWeights(df: DataFrame, sourceCol: String, tokensCol: String,
+      alpha: Double, targetTokens: Long): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val per = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__total"))
+    val withPa = per.crossJoin(broadcast(tot))
+      .withColumn("__pa",
+        pow(col("n_tokens").cast("double") / col("__total").cast("double"),
+          lit(alpha)))
+    val z = withPa.agg(
+      aggregate(
+        array_sort(collect_list(struct(
+          col(sourceCol).as("s"), col("__pa").as("p")))),
+        lit(0.0), (acc, e) => acc + e.getField("p")).as("__z"))
+    withPa.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n_tokens"),
+        round(col("__pa") / col("__z"), 6).as("weight"),
+        round(lit(targetTokens.toDouble) * (col("__pa") / col("__z")) /
+          col("n_tokens").cast("double"), 6).as("rate"))
+  }
+
+  /** Materialize the mixture: every doc repeats `floor(rate_s)` times
+    * plus one more iff its id bucket clears the fractional remainder —
+    * deterministic expected-token-exact sampling WITH repetition (rates
+    * over 1 mean epochs, the small-source case). Output adds `epoch`
+    * (1-based repeat index); docs whose source samples to zero drop out.
+    * One broadcast join against the source-count table + a narrow
+    * sequence-explode — the corpus never shuffles. */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, alpha: Double, targetTokens: Long,
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    val rates = mixtureWeights(df, sourceCol, tokensCol, alpha, targetTokens)
+      .select(col(sourceCol), col("rate"))
+    val whole = floor(col("rate")).cast("int")
+    val fracThreshold = round((col("rate") - floor(col("rate"))) *
+      lit(Buckets.toDouble), 0)
+    val repeats = whole +
+      when(bucket(col(idCol), hash) < fracThreshold, 1).otherwise(0)
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("__n", repeats)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("__n"))))
+      .drop("__n", "rate")
+  }
 }

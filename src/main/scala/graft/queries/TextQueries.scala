@@ -172,6 +172,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-weighted source mixture table (α = 0.5 flattening):
+    // exact long token sums + fixed-order power-sum normalizer make the
+    // weight/rate doubles cross-engine-checkable at round(6).
+    "q85_mixture_weights" -> ((s, dir) => {
+      graft.ext.Sampling.mixtureWeights(t(s, dir, "documents"),
+          sourceCol = "source", tokensCol = "n_chars",
+          alpha = 0.5, targetTokens = 1000000L)
+        .orderBy(col("source"))
+    }),
+
+    // Materialized mixture sample with repetition (md5-bucket variant):
+    // per-doc epoch counts from the q85 rates — floor(rate) full epochs
+    // plus a deterministic fractional pass. The repeated-row set itself
+    // is DuckDB-hash-checked.
+    "q86_mixture_sample" -> ((s, dir) => {
+      graft.ext.Sampling.mixtureSample(t(s, dir, "documents"),
+          sourceCol = "source", idCol = "doc_id", tokensCol = "n_chars",
+          alpha = 0.5, targetTokens = 1000000L,
+          hash = TextStats.md5Hash64)
+        .select(col("doc_id"), col("source"),
+          col("epoch").cast("long").as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // Winnowing fingerprints, md5-derived gram hash + exploded to scalar
     // rows so the fingerprint SET itself is DuckDB-hash-checked (the
     // xxhash64 default stays for production throughput).
@@ -624,6 +648,48 @@ object TextQueries {
         |WHERE b < CASE lang WHEN 'en' THEN 1000000
         |                    WHEN 'de' THEN 500000 ELSE 250000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q85_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(n_tokens) AS total FROM per),
+        |pa AS (
+        |  SELECT source, n_tokens,
+        |    POW(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 0.5) AS pa
+        |  FROM per CROSS JOIN tot),
+        |z AS (SELECT SUM(pa) AS z FROM pa)
+        |SELECT source, n_tokens, ROUND(pa / z, 6) AS weight,
+        |  ROUND(1000000.0 * (pa / z) / CAST(n_tokens AS DOUBLE), 6) AS rate
+        |FROM pa CROSS JOIN z
+        |ORDER BY source""".stripMargin,
+
+    "q86_mixture_sample" ->
+      """WITH per AS (
+        |  SELECT source, SUM(n_chars) AS n_tokens FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(n_tokens) AS total FROM per),
+        |pa AS (
+        |  SELECT source, n_tokens,
+        |    POW(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 0.5) AS pa
+        |  FROM per CROSS JOIN tot),
+        |z AS (SELECT SUM(pa) AS z FROM pa),
+        |rates AS (
+        |  SELECT source,
+        |    ROUND(1000000.0 * (pa / z) / CAST(n_tokens AS DOUBLE), 6) AS rate
+        |  FROM pa CROSS JOIN z),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+        |  FROM documents),
+        |rep AS (
+        |  SELECT doc_id, d.source,
+        |    CAST(FLOOR(rate) AS INT) +
+        |      (CASE WHEN b < ROUND((rate - FLOOR(rate)) * 1000000.0, 0)
+        |            THEN 1 ELSE 0 END) AS n
+        |  FROM d JOIN rates USING (source))
+        |SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
+        |FROM rep WHERE n > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q30_simhash_pairs" ->
       """WITH

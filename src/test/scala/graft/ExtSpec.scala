@@ -341,4 +341,56 @@ class ExtSpec extends SparkSpec {
     assert(langs == Set("en"))
     assert(strat.count() == docs.filter(col("lang") === "en").count())
   }
+
+  test("mixtureWeights flattens shares at alpha<1 and rates hit the token target") {
+    // two sources, 9:1 token split: natural share 0.9/0.1; alpha=0.5
+    // pulls toward 0.75/0.25 (sqrt ratio 3:1)
+    val df = ((1 to 90).map(i => (i.toLong, "big", 100L)) ++
+      (91 to 100).map(i => (i.toLong, "small", 100L)))
+      .toDF("doc_id", "src", "toks")
+    val w = Sampling.mixtureWeights(df, "src", "toks", alpha = 0.5,
+      targetTokens = 10000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(w("big")._1 == 9000L && w("small")._1 == 1000L)
+    assert(math.abs(w("big")._2 - 0.75) < 1e-6)
+    assert(math.abs(w("small")._2 - 0.25) < 1e-6)
+    // Σ rate_s · tokens_s = targetTokens (the budget is conserved)
+    val total = w.values.map { case (t, _, r) => t * r }.sum
+    assert(math.abs(total - 10000.0) < 1.0)
+    // alpha=1 is natural sampling: every source gets the same rate
+    val nat = Sampling.mixtureWeights(df, "src", "toks", alpha = 1.0,
+      targetTokens = 10000L)
+      .select("rate").as[Double].collect().toSet
+    assert(nat.size == 1)
+  }
+
+  test("mixtureSample repeats small sources and is deterministic") {
+    val df = ((1 to 90).map(i => (i.toLong, "big", 100L)) ++
+      (91 to 100).map(i => (i.toLong, "small", 100L)))
+      .toDF("doc_id", "src", "toks")
+    // target = 2× corpus: small source (weight .25, 1k tokens) needs
+    // rate 5.0 — every small doc appears exactly 5 times
+    val sample = Sampling.mixtureSample(df, "src", "doc_id", "toks",
+      alpha = 0.5, targetTokens = 20000L)
+    val perDoc = sample.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    (91 to 100).foreach(i => assert(perDoc(i.toLong) == 5L,
+      s"small doc $i repeated ${perDoc.get(i.toLong)}"))
+    // big source: rate 15000/9000 = 1.6667 → every doc 1-2 times, total
+    // within the fractional-bucket tolerance of 15000 tokens
+    val bigRows = sample.filter(col("src") === "big").count()
+    assert(bigRows >= 90 && bigRows <= 180)
+    // epoch indices are 1..n per doc
+    val epochs = sample.filter(col("doc_id") === 95L)
+      .select("epoch").as[Int].collect().sorted
+    assert(epochs.sameElements(1 to 5))
+    // deterministic under repartitioning
+    val again = Sampling.mixtureSample(df.repartition(7), "src", "doc_id",
+      "toks", alpha = 0.5, targetTokens = 20000L)
+      .select("doc_id", "epoch").as[(Long, Int)].collect().toSet
+    val first = sample.select("doc_id", "epoch")
+      .as[(Long, Int)].collect().toSet
+    assert(first == again)
+  }
 }
