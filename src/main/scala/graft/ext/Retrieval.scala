@@ -75,6 +75,41 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of N
+    * candidate rankings: every doc scores Σ_lists 1/(k0 + rank_list) —
+    * the standard way to combine lexical (BM25) and dense (embedding)
+    * retrieval without score calibration, since only RANKS enter the sum.
+    * Inputs are (idCol, scoreCol) frames; rank = row_number by (score
+    * desc, id). Output: (idCol, rrf, n_lists), rrf rounded to `roundTo`.
+    *
+    * Contract: inputs are TOP-K CANDIDATE LISTS (bm25TopK, Pq.topKRerank,
+    * Ivf.topK output for one query…), already bounded — the ranking
+    * window is global (no partitionBy), which is exactly right for a
+    * bounded list and exactly wrong for a full corpus. Fusion itself is
+    * one union + one groupBy over ≤ Σ|lists| rows. The per-doc sum folds
+    * over the (list, contribution) pairs in list order — deterministic
+    * regardless of partitioning. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      scoreCol: String = "score", k0: Int = 60,
+      roundTo: Int = 6): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val contribs = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(scoreCol))
+        .withColumn("__r", row_number().over(w))
+        .select(col(idCol), lit(i).as("__list"),
+          (lit(1.0) / (lit(k0.toDouble) + col("__r").cast("double")))
+            .as("__c"))
+    }.reduce(_ unionByName _)
+    contribs.groupBy(col(idCol))
+      .agg(
+        round(aggregate(
+          array_sort(collect_list(struct(col("__list"), col("__c")))),
+          lit(0.0), (acc, e) => acc + e.getField("__c")), roundTo).as("rrf"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Sliding token-window chunking: `chunkSize` tokens per chunk, a new
     * chunk every `stride` tokens (overlap = chunkSize − stride) — the RAG /
     * context-assembly shape. Output: (idCol, chunk_id, chunk_text,

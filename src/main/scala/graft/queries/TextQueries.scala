@@ -285,6 +285,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hybrid retrieval: BM25 top-50 ∪ hashed-BoW-cosine top-50 fused by
+    // reciprocal rank (no score calibration — only ranks enter). Both
+    // branches use md5 hashing / fixed-order math, so the fused list is
+    // DuckDB-hash-checked end-to-end.
+    "q87_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qTerms = Seq("join", "spark", "window", "merge")
+      val lex = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        qTerms, k = 50)
+      val qv = graft.ext.TextModel.hashEmbedding(
+        lit(qTerms.mkString(" ")), dim = 16, hash = TextStats.md5Hash64)
+      val dv = graft.ext.TextModel.hashEmbedding(col("text"), dim = 16,
+        hash = TextStats.md5Hash64)
+      // let-bind the doc embedding: dot + norm must not re-run the
+      // O(dim·tokens) histogram (qv constant-folds — it's literal-rooted)
+      val cos = element_at(transform(array(dv), v =>
+        when(Similarity.norm(v) > 0 && Similarity.norm(qv) > 0,
+          Similarity.dot(v, qv) / (Similarity.norm(v) * Similarity.norm(qv)))
+          .otherwise(lit(0.0))), 1)
+      val dense = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), round(cos, 4).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      graft.ext.Retrieval.rrfFuse(Seq(lex, dense), "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // Sliding token-window chunking (RAG/context assembly): 32-token
     // chunks, stride 24 (8-token overlap).
     "q64_chunk_documents" -> ((s, dir) => {
@@ -648,6 +675,74 @@ object TextQueries {
         |WHERE b < CASE lang WHEN 'en' THEN 1000000
         |                    WHEN 'de' THEN 500000 ELSE 250000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q87_hybrid_retrieval" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(tk) END AS dl,
+        |    len(list_filter(tk, x -> x = 'join')) AS tf0,
+        |    len(list_filter(tk, x -> x = 'spark')) AS tf1,
+        |    len(list_filter(tk, x -> x = 'window')) AS tf2,
+        |    len(list_filter(tk, x -> x = 'merge')) AS tf3
+        |  FROM t),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) AS sdl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        |  FROM d),
+        |lex AS (
+        |  SELECT doc_id, ROUND(
+        |      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |        * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n)))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |        * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n)))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |        * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n)))
+        |    + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5))
+        |        * (CAST(tf3 AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n))), 4) AS score
+        |  FROM d, s),
+        |lextop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM lex WHERE score > 0
+        |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 50),
+        |e AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), b -> CAST(len(list_filter(tk,
+        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 16 = b))
+        |      AS DOUBLE)) AS v
+        |  FROM t WHERE text IS NOT NULL),
+        |qv AS (
+        |  SELECT list_transform(range(0, 16), b -> CAST(len(list_filter(
+        |    ['join', 'spark', 'window', 'merge'],
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 16 = b))
+        |    AS DOUBLE)) AS q),
+        |dense AS (
+        |  SELECT doc_id, ROUND(list_cosine_similarity(v, q), 4) AS score
+        |  FROM e CROSS JOIN qv),
+        |densetop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM dense WHERE score > 0
+        |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 50),
+        |u AS (
+        |  SELECT doc_id, 1.0 / (60.0 + r) AS c FROM lextop
+        |  UNION ALL
+        |  SELECT doc_id, 1.0 / (60.0 + r) AS c FROM densetop)
+        |SELECT doc_id, ROUND(SUM(c), 6) AS rrf,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id""".stripMargin,
 
     "q85_mixture_weights" ->
       """WITH per AS (

@@ -376,6 +376,24 @@ class RetrievalSpec extends SparkSpec {
       Seq((3L, 1L)))
   }
 
+  test("rrfFuse combines ranks without score calibration") {
+    // lexical list: doc 1 first, doc 2 second; dense list: doc 2 first,
+    // doc 3 second — doc 2 appears in both and must win the fusion even
+    // though neither list ranks it first (the RRF selling point)
+    val lex = Seq((1L, 9.5), (2L, 4.0)).toDF("doc_id", "score")
+    val dense = Seq((2L, 0.99), (3L, 0.50)).toDF("doc_id", "score")
+    val fused = graft.ext.Retrieval.rrfFuse(Seq(lex, dense), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val exp2 = BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused(2L)._1 == exp2 && fused(2L)._2 == 2L)
+    assert(fused(1L)._1 == BigDecimal(1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(fused(1L)._2 == 1L && fused(3L)._2 == 1L)
+    assert(fused(2L)._1 > fused(1L)._1 && fused(1L)._1 > fused(3L)._1)
+  }
+
   test("shuffled is a stable seeded permutation; seeds differ") {
     val docs = spark.range(100).toDF("doc_id")
     def order(seed: Long): Seq[Long] =
