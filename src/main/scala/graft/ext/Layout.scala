@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multi-dimensional data layout (Z-ordering) — the data-skipping
+  * complement to partitioning: sorting by an interleaved-bit key keeps
+  * rows that are close in EVERY clustering column inside the same files,
+  * so parquet row-group min/max stats prune scans for predicates on ANY
+  * of the columns, not just the leading sort key. (A linear sort by `a`
+  * gives perfect pruning on `a` and none on `b`; Z-order gives ~√ pruning
+  * on each.) Same idea as Delta/Iceberg OPTIMIZE ZORDER BY, expressed as
+  * plain Column algebra + a range-partitioned write.
+  *
+  * Key construction: each column min-max-quantizes to `bits` integer
+  * buckets (one broadcast stats row — exact BIGINT arithmetic for
+  * integer columns, so the key is cross-engine-reproducible), then the
+  * bucket bits interleave: bit i of column j lands at position
+  * i·ncols + j. Everything is long shifts/masks — codegen'd, no UDF,
+  * rides the scan. */
+object Layout {
+
+  /** Append an interleaved Z-order key column (`keyCol`) built from
+    * `cols` (numeric; each quantized to `bits` bits by min-max range).
+    * ncols·bits must fit a long (≤ 63). One stats aggregate, broadcast
+    * back — the corpus itself never shuffles for KEY COMPUTATION (the
+    * write sorts, which is the point). */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      keyCol: String = "zkey"): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits > 63")
+    val buckets = 1L << bits
+    val statCols = cols.flatMap { c =>
+      Seq(min(col(c).cast(LongType)).as(s"__min_$c"),
+        max(col(c).cast(LongType)).as(s"__max_$c"))
+    }
+    val stats = df.agg(statCols.head, statCols.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    // exact integer quantization: ((x − min) · 2^bits) div (range + 1)
+    // — `div` (not `/`, which is DOUBLE division in Spark SQL) keeps the
+    // whole computation in BIGINT, so any engine reproduces the bucket
+    // bit-exactly
+    def bucket(c: String): Column = expr(
+      s"((CAST(`$c` AS BIGINT) - `__min_$c`) * ${buckets}L) div " +
+        s"(`__max_$c` - `__min_$c` + 1L)")
+    val key = cols.zipWithIndex.map { case (c, j) =>
+      val q = bucket(c)
+      (0 until bits).map { i =>
+        shiftleft(shiftright(q, i).bitwiseAND(lit(1L)),
+          i * cols.size + j)
+      }.reduce[Column](_ + _)
+    }.reduce[Column](_ + _)
+    joined.withColumn(keyCol, key.cast(LongType))
+      .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Z-order-cluster a frame into `numFiles` output partitions: range
+    * partition on the interleaved key, sort within each partition (a
+    * global sort shape — scales like ORDER BY, no single-partition
+    * stage). Write the result with `.write.parquet(...)` and every file
+    * holds a compact Z-curve segment: min/max stats on the ORIGINAL
+    * columns are tight in every dimension. */
+  def zorderCluster(df: DataFrame, cols: Seq[String], numFiles: Int,
+      bits: Int = 8): DataFrame = {
+    val keyed = zorderKey(df, cols, bits, "__zkey")
+    keyed.repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
+}

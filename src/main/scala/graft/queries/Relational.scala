@@ -288,6 +288,21 @@ object Relational {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy(col("p_brand"))
+    }),
+
+    // Z-order clustering key (Delta/Iceberg OPTIMIZE ZORDER BY shape):
+    // 8-bit min-max quantization per column, bit-interleaved — exact
+    // BIGINT arithmetic end-to-end, so the key itself is
+    // DuckDB-hash-checked.
+    "q88_zorder_key" -> ((s, dir) => {
+      graft.ext.Layout.zorderKey(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")),
+          Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -476,5 +491,25 @@ object Relational {
         |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
         |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
         |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q88_zorder_key" -> {
+      // interleave term list generated to mirror Layout.zorderKey exactly:
+      // bit i of column j lands at position i·2 + j (qp = col 0, qs = col 1)
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((qp >> $i) & 1) * ${1L << (2 * i)}",
+        s"((qs >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp,
+         |         MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
+         |  FROM lineitem),
+         |q AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS qp,
+         |    ((l_suppkey - mns) * 256) // (mxs - mns + 1) AS qs
+         |  FROM lineitem CROSS JOIN s)
+         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  CAST($terms AS BIGINT) AS zkey
+         |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })
 }
