@@ -220,6 +220,49 @@ object ScaleSmoke {
     time("2M-change SCD2 build (200k keys)") {
       ops.Scd2.build(changes, "cust", "ts").count() }
 
+    // round-6 operators: PQ, quality classifier, mixture, Z-order, dHash
+    val emb6 = syntheticEmbeddings(spark, 200000).persist()
+    emb6.count()
+    val pqModel = ext.Pq.train(emb6, "vec_id", "embedding", dim = 64,
+      m = 8, k = 16, iters = 2)
+    val pqCodes = ext.Pq.encode(emb6, "vec_id", "embedding", pqModel)
+      .persist()
+    time("200k embeddings PQ encode (8×16 codebooks)") { pqCodes.count() }
+    time("200k PQ ADC+rerank top-5 (100 queries)") {
+      ext.Pq.topKRerank(pqCodes, emb6, emb6.filter(col("vec_id") < 100),
+        pqModel, "vec_id", "embedding", k = 5, shortlist = 50).count() }
+    pqCodes.unpersist(); emb6.unpersist()
+
+    val docs6 = syntheticDocs(spark, 500000).persist()
+    docs6.count()
+    val qcModel = ext.QualityClassifier.distill(
+      docs6.limit(50000), "text",
+      ext.TextStats.qualityScore(col("text")), threshold = 0.8,
+      dim = 64, maxIter = 20)
+    time("500k docs quality-classifier scoring (Column fold)") {
+      docs6.select(ext.QualityClassifier.scoreColumn(col("text"), qcModel))
+        .count() }
+    docs6.unpersist()
+
+    val mix = spark.range(2000000).select(col("id"),
+      element_at(typedlit(Seq("web", "books", "code", "wiki")),
+        pmod(col("id"), lit(4)).cast(IntegerType) + 1).as("source"),
+      (pmod(xxhash64(col("id"), lit("tk")), lit(900)) + 100).as("n_tokens"))
+    time("2M-doc temperature mixture sample (α=0.5)") {
+      ext.Sampling.mixtureSample(mix, "source", "id", "n_tokens",
+        alpha = 0.5, targetTokens = 2000000000L).count() }
+    time("2M-row Z-order cluster (2 dims, 64 files)") {
+      ext.Layout.zorderCluster(
+        mix.select(col("id"), col("n_tokens")), Seq("id", "n_tokens"),
+        numFiles = 64).count() }
+
+    time("100k synthetic-PNG render + dHash + Hamming pairs") {
+      ext.Multimodal.imageNearDupPairs(
+        ext.Multimodal.syntheticImageAssets(
+          spark.range(100000).select(col("id").as("doc_id")),
+          groups = 5000),
+        maxHamming = 3).count() }
+
     spark.stop()
   }
 }

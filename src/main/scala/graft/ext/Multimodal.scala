@@ -307,6 +307,87 @@ object Multimodal {
     graft.ext.Dedup.hammingPairs64(perceptualHashes(assets), maxHamming,
       maxBucketSize)
 
+  /** 64-bit audio difference fingerprint: mean |amplitude| over 65
+    * equal time windows of the first ≤64k frames (PCM-16 via the JDK
+    * codec), bit i set iff window i+1 is louder than window i — the
+    * energy-envelope analogue of [[dHash64]] (compares neighbour ORDER,
+    * so it survives volume scaling and re-encoding, which byte hashing
+    * does not). Non-PCM16/undecodable payloads return None. */
+  private[ext] def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getFrameSize > 0
+        if (!pcm16 || frames <= 65) return None
+        val want = math.min(frames, 65536L) * fmt.getFrameSize
+        val buf = new Array[Byte](math.min(want, 1L << 22).toInt)
+        var off = 0
+        var read = 0
+        while (off < buf.length &&
+          { read = ais.read(buf, off, buf.length - off); read > 0 })
+          off += read
+        val be = fmt.isBigEndian
+        val step = fmt.getFrameSize
+        val nFrames = off / step
+        if (nFrames <= 65) return None
+        val energy = new Array[Double](65)
+        val counts = new Array[Long](65)
+        var f = 0
+        while (f < nFrames) {
+          val i = f * step // first channel's sample only
+          val s =
+            if (be) ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+            else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+          val w = (f.toLong * 65 / nFrames).toInt
+          energy(w) += math.abs(s / 32768.0)
+          counts(w) += 1
+          f += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          val a = if (counts(i) == 0) 0.0 else energy(i) / counts(i)
+          val b = if (counts(i + 1) == 0) 0.0 else energy(i + 1) / counts(i + 1)
+          if (b > a) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-asset audio fingerprints (id, sig) — real envelope fingerprint
+    * for decodable PCM audio, deterministic stub fold otherwise (same
+    * fallback contract as [[perceptualHashes]]). */
+  def audioFingerprints(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val sig =
+          if (a.media_type == "audio")
+            audioFingerprint64(
+              Option(a.content).getOrElse(Array.emptyByteArray))
+              .getOrElse(decodeStub(a).feature_hash)
+          else decodeStub(a).feature_hash
+        (a.asset_id, sig)
+      }
+    }.toDF("id", "sig")
+  }
+
+  /** Audio near-duplicate pairs: envelope fingerprint + banded Hamming
+    * join — catches re-encoded / volume-shifted copies of the same
+    * recording. Same contract as [[imageNearDupPairs]]. */
+  def audioNearDupPairs(assets: Dataset[MediaAsset], maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    graft.ext.Dedup.hammingPairs64(audioFingerprints(assets), maxHamming,
+      maxBucketSize)
+
   /** Frame sampling contract for video payloads: emits `framesPer` rows per
     * asset with deterministic pseudo-frame hashes (flatMap shape — the
     * generator/explode pattern on binary data). */

@@ -285,6 +285,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus version diff: v2 drops every 13th doc, edits every 17th,
+    // adds 50 new ones — the full-outer status classification is
+    // DuckDB-hash-checked.
+    "q89_corpus_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ext.Diff.corpusDiff(v1, v2, "doc_id", Seq("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hybrid retrieval: BM25 top-50 ∪ hashed-BoW-cosine top-50 fused by
     // reciprocal rank (no score calibration — only ranks enter). Both
     // branches use md5 hashing / fixed-order math, so the fused list is
@@ -674,6 +689,22 @@ object TextQueries {
         |  FROM documents)
         |WHERE b < CASE lang WHEN 'en' THEN 1000000
         |                    WHEN 'de' THEN 500000 ELSE 250000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q89_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.text IS NOT DISTINCT FROM v2.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q87_hybrid_retrieval" ->

@@ -342,6 +342,21 @@ class ExtSpec extends SparkSpec {
     assert(strat.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged exactly") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, null: String), (5L, "e"))
+      .toDF("doc_id", "text")
+    val d = graft.ext.Diff.corpusDiff(v1, v2, "doc_id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added")) // null text compares null-safe
+    val sum = graft.ext.Diff.diffSummary(v1, v2, "doc_id", Seq("text"))
+      .as[(String, Long)].collect().toMap
+    assert(sum == Map("removed" -> 1L, "unchanged" -> 2L, "changed" -> 1L,
+      "added" -> 1L))
+  }
+
   test("mixtureWeights flattens shares at alpha<1 and rates hit the token target") {
     // two sources, 9:1 token split: natural share 0.9/0.1; alpha=0.5
     // pulls toward 0.75/0.25 (sqrt ratio 3:1)

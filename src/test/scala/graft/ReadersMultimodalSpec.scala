@@ -223,6 +223,50 @@ class ReadersMultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("multimodal: audio fingerprint survives volume change and separates content") {
+    // 1-second 8kHz WAVs with a MODULATED envelope (a flat sine has no
+    // envelope shape to fingerprint): carrier 440Hz, envelope sin at
+    // `envHz`, per-sample amplitude = |sin(2π·envHz·t)|
+    def renderWav(envHz: Double, gain: Double): Array[Byte] = {
+      val rate = 8000f
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val n = 8000
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val t = i / rate
+        val env = math.abs(math.sin(2 * math.Pi * envHz * t))
+        val s = (math.sin(2 * math.Pi * 440 * t) * env * gain * 30000)
+          .toInt.max(-32768).min(32767).toShort
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def asset(id: Long, b: Array[Byte]) =
+      Multimodal.MediaAsset(id, "audio", b, s"test://$id", b.length.toLong)
+    val base = renderWav(3.0, 1.0)
+    val quiet = renderWav(3.0, 0.4)   // same envelope shape, 40% volume
+    val other = renderWav(7.5, 1.0)   // different envelope
+    val assets = Seq(asset(1, base), asset(2, base), asset(3, quiet),
+      asset(4, other)).toDS()
+    val sigs = Multimodal.audioFingerprints(assets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1, 2) == 0)  // identical bytes
+    assert(ham(1, 3) <= 3)  // volume scaling preserves envelope order
+    assert(ham(1, 4) > 10)  // different modulation is far away
+    val pairs = Multimodal.audioNearDupPairs(assets, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("multimodal: frame sampling emits framesPer rows per video asset") {
     val docs = Tables.load(spark, sfDir, "documents")
     val assets = Multimodal.assetsFromDocuments(spark, docs)
