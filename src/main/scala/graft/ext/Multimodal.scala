@@ -438,6 +438,43 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic AUDIO assets: each doc renders a real
+    * 0.5-second 8kHz PCM WAV (JDK codec) whose envelope-modulation
+    * frequency is keyed by `doc_id % groups`, with per-doc volume
+    * jitter — every group is a planted near-dup cluster for
+    * [[audioNearDupPairs]] and cross-group envelopes are far apart.
+    * The audio twin of [[syntheticImageAssets]]. */
+  def syntheticAudioAssets(docs: DataFrame, groups: Int = 50): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast(LongType)).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val envHz = 2.0 + (id % groups)       // group envelope pattern
+        val gain = 1.0 - ((id / groups) % 3) * 0.25 // volume jitter
+        val rate = 8000f
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val n = 4000
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val t = i / rate
+          val env = math.abs(math.sin(2 * math.Pi * envHz * t))
+          val s = (math.sin(2 * math.Pi * 440 * t) * env * gain * 30000)
+            .toInt.max(-32768).min(32767).toShort
+          data(2 * i) = (s & 0xFF).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val wav = bos.toByteArray
+        MediaAsset(id, "audio", wav, s"synthetic-wav://$id", wav.length.toLong)
+      }
+    }
+  }
+
   /** Build a deterministic asset table from any text corpus (test/demo
     * harness: payload = utf-8 bytes; at production the payload comes from
     * binary files / object storage). */

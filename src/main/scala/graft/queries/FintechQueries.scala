@@ -131,6 +131,17 @@ object FintechQueries {
         Multimodal.syntheticImageAssets(Q.t(s, dir, "documents")),
         maxHamming = 3)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // audio near-dup twin of q82: real WAV render → real JDK decode →
+    // envelope fingerprint → banded Hamming join over planted
+    // volume-jittered clusters. Rows-only: frame-sampled envelope math
+    // is engine-specific.
+    "q90_audio_neardup" -> ((s, dir) => {
+      Multimodal.audioNearDupPairs(
+        Multimodal.syntheticAudioAssets(Q.t(s, dir, "documents")),
+        maxHamming = 3)
+        .orderBy(col("a"), col("b"))
     }))
 
   /** DuckDB equivalents over the Verify-dumped silver parquet. Decimal sums
