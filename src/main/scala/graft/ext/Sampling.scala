@@ -128,23 +128,29 @@ object Sampling {
   def mixtureWeights(df: DataFrame, sourceCol: String, tokensCol: String,
       alpha: Double, targetTokens: Long): DataFrame = {
     require(alpha > 0, "alpha must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE corpus scan: the per-source totals are bounded by the number of
+    // SOURCES (a mixture has tens, not millions) — driver-sized by
+    // construction, same pattern as Ivf centroids. Chaining the
+    // normalizer as DataFrame aggregates instead would recompute this
+    // aggregate once per downstream branch (4 corpus scans, measured).
     val per = df.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).as("n_tokens"))
-    val tot = per.agg(sum(col("n_tokens")).as("__total"))
-    val withPa = per.crossJoin(broadcast(tot))
-      .withColumn("__pa",
-        pow(col("n_tokens").cast("double") / col("__total").cast("double"),
-          lit(alpha)))
-    val z = withPa.agg(
-      aggregate(
-        array_sort(collect_list(struct(
-          col(sourceCol).as("s"), col("__pa").as("p")))),
-        lit(0.0), (acc, e) => acc + e.getField("p")).as("__z"))
-    withPa.crossJoin(broadcast(z))
-      .select(col(sourceCol), col("n_tokens"),
-        round(col("__pa") / col("__z"), 6).as("weight"),
-        round(lit(targetTokens.toDouble) * (col("__pa") / col("__z")) /
-          col("n_tokens").cast("double"), 6).as("rate"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // fixed fold order: no double sum depends on anything
+    val total = per.map(_._2).sum.toDouble
+    val pa = per.map { case (_, n) => math.pow(n / total, alpha) }
+    val z = pa.sum // source-ordered fold
+    // mirror Spark's Round expression exactly (BigDecimal.valueOf = the
+    // double's SHORTEST decimal rep, not its exact binary expansion —
+    // the variant DuckDB's ROUND agreed with in the oracle gate)
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    per.zip(pa).map { case ((s, n), p) =>
+      (s, n, r6(p / z), r6(targetTokens.toDouble * (p / z) / n))
+    }.toSeq.toDF(sourceCol, "n_tokens", "weight", "rate")
   }
 
   /** Materialize the mixture: every doc repeats `floor(rate_s)` times

@@ -139,6 +139,61 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("specifiedwindowframe(RangeFrame"), p)
   }
 
+  test("quality-classifier scoring is a narrow projection — no exchange, no UDF") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val model = graft.ext.QualityClassifier.LinearTextModel(
+      Seq.fill(64)(0.1), -0.5, 64) // literal weights: scoring needs no fit
+    val p = planOf(docs.select(
+      graft.ext.QualityClassifier.scoreColumn(col("text"), model)))
+    // Tables.load round-robins the single-split test parquet; scoring
+    // itself must add no KEYED exchange
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("mixture sample never shuffles the corpus — one broadcast of the rate table") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = planOf(graft.ext.Sampling.mixtureSample(docs, "source",
+      "doc_id", "n_chars", alpha = 0.5, targetTokens = 1000000L))
+    // the rate table is a collected driver-side literal (bounded by
+    // #sources) joined back by broadcast; the corpus side itself adds NO
+    // keyed exchange — explode is narrow
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("zorder key is computed without shuffling; clustering is one range sort") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val keyed = planOf(graft.ext.Layout.zorderKey(docs,
+      Seq("doc_id", "n_chars")))
+    // stats agg broadcasts back; the keyed frame itself never hash/range
+    // partitions
+    assert(keyed.contains("BroadcastExchange"), keyed)
+    assert(!keyed.contains("Exchange hashpartitioning") &&
+      !keyed.contains("Exchange rangepartitioning"), keyed)
+    val clustered = planOf(graft.ext.Layout.zorderCluster(docs,
+      Seq("doc_id", "n_chars"), numFiles = 4))
+    // exactly one range exchange (the clustering sort); the only other
+    // exchange is the single-ROW stats aggregate feeding the broadcast
+    assert(countOcc(clustered, "Exchange rangepartitioning") == 1, clustered)
+    assert(!clustered.contains("Exchange hashpartitioning"), clustered)
+  }
+
+  test("PQ ADC scoring joins broadcast query tables against codes — no corpus vector math") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = graft.ext.Pq.Model(
+      Seq.fill(8)(Seq.fill(16)(Seq.fill(8)(0.0)))) // literal codebooks
+    val encoded = graft.ext.Pq.encode(emb, "vec_id", "embedding", model)
+    val p = planOf(graft.ext.Pq.topK(encoded,
+      emb.filter(col("vec_id") < 4), model, "vec_id", "embedding", k = 5))
+    assert(p.contains("BroadcastExchange"), p)
+    // the corpus side must not shuffle for the scoring join
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+  }
+
   test("url normalization is a narrow projection — no exchange, no UDF") {
     import spark.implicits._
     val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")
