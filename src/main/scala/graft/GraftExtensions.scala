@@ -2,11 +2,19 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.VecDot
+import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, SimHashAgg, VecDot}
 
-/** SQL surface for the engine's native expressions.
+/** SQL surface for the engine's native expressions — `spark.sql(...)`
+  * callers get the same codegen'd/imperative kernels the Column API uses:
+  *
+  *  - `vec_dot(a, b)`            codegen'd double dot product
+  *  - `gram_mix_hashes(text, n)` distinct word-n-gram hash set
+  *  - `gram_pos_hashes(text, n)` position-aligned word-n-gram hashes
+  *  - `simhash_agg(hash)`        aggregate: 64-bit SimHash of a hash column
+  *  - `minhash_agg(hash, k)`     aggregate: k-slot one-permutation MinHash
   *
   * Two registration paths:
   *  - `spark.sql.extensions=graft.GraftExtensions` at session build
@@ -16,25 +24,61 @@ import graft.functions.VecDot
   *    route, handy in tests/notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.vecDotDescriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
-  private def build(exprs: Seq[Expression]): Expression = {
+
+  /** n/k arguments must be literal ints — they size buffers/loops at
+    * plan time (the same contract as Spark's own `approx_count_distinct`
+    * precision argument). */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def mkVecDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "vec_dot(a, b) takes exactly two arguments")
     VecDot(exprs.head, exprs(1))
   }
+  private def mkGramMix(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "gram_mix_hashes(text, n) takes two arguments")
+    GramMixHashes(exprs.head, intLit(exprs(1), "gram_mix_hashes", "n"))
+  }
+  private def mkGramPos(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "gram_pos_hashes(text, n) takes two arguments")
+    GramPosHashes(exprs.head, intLit(exprs(1), "gram_pos_hashes", "n"))
+  }
+  private def mkSimHash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "simhash_agg(hash) takes one argument")
+    SimHashAgg(exprs.head)
+  }
+  private def mkMinHash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "minhash_agg(hash, k) takes two arguments")
+    MinHashAgg(exprs.head, intLit(exprs(1), "minhash_agg", "k"))
+  }
 
-  private[graft] val vecDotDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("vec_dot"),
-    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-    build _)
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def descriptor(name: String, clazz: Class[_],
+      build: Seq[Expression] => Expression): Descriptor =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      build)
+
+  private[graft] val descriptors: Seq[Descriptor] = Seq(
+    descriptor("vec_dot", classOf[VecDot], mkVecDot),
+    descriptor("gram_mix_hashes", classOf[GramMixHashes], mkGramMix),
+    descriptor("gram_pos_hashes", classOf[GramPosHashes], mkGramPos),
+    descriptor("simhash_agg", classOf[SimHashAgg], mkSimHash),
+    descriptor("minhash_agg", classOf[MinHashAgg], mkMinHash))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", build, "scala_udf")
+    descriptors.foreach { case (id, _, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, build, "scala_udf")
+    }
 }

