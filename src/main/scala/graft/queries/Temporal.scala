@@ -45,6 +45,17 @@ object Temporal {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Per-user last-20 event sequences (behavior-sequence training prep):
+    // cap before collect, one shared user shuffle; the pipe-joined
+    // sequence string is DuckDB-hash-checked.
+    "q91_event_sequences" -> ((s, dir) => {
+      graft.ext.Sequences.userSequences(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), col("event_type"), maxLen = 20)
+        .select(col("user_id"), col("n_events"),
+          concat_ws("|", col("seq")).as("seq"))
+        .orderBy(col("user_id"))
+    }),
+
     // Gap-and-island sessionization (30-min inactivity gap), batch form.
     // One shuffle on user_id; both windows share the same partitioning.
     "q21_sessionize" -> ((s, dir) => {
@@ -136,6 +147,17 @@ object Temporal {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q91_event_sequences" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  string_agg(event_type, '|' ORDER BY ts, event_id) AS seq
+        |FROM ranked WHERE rk <= 20
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q21_sessionize" ->
       """WITH flags AS (

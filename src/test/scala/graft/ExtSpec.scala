@@ -342,6 +342,31 @@ class ExtSpec extends SparkSpec {
     assert(strat.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("userSequences caps to the LAST maxLen events in ascending order") {
+    val events = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "c"),
+      (1L, 40L, 103L, "d"), (2L, 15L, 104L, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val seqs = graft.ext.Sequences.userSequences(events, "user_id",
+      Seq("ts", "event_id"), col("event_type"), maxLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[String](2))).toMap
+    // user 1: last 3 of 4 events, re-sorted ascending
+    assert(seqs(1L) == ((3L, Seq("b", "c", "d"))))
+    assert(seqs(2L) == ((1L, Seq("x"))))
+    // determinism under repartitioning
+    val again = graft.ext.Sequences.userSequences(events.repartition(4),
+      "user_id", Seq("ts", "event_id"), col("event_type"), maxLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(again(1L) == Seq("b", "c", "d"))
+    // autoregressive pairs: context grows, target follows
+    val ex = graft.ext.Sequences.nextEventExamples(events, "user_id",
+      Seq("ts", "event_id"), col("event_type"), maxLen = 3)
+      .filter(col("user_id") === 1L)
+      .collect().map(r => (r.getSeq[String](1), r.getString(2))).toSet
+    assert(ex == Set((Seq("b"), "c"), (Seq("b", "c"), "d")))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged exactly") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String))
       .toDF("doc_id", "text")
