@@ -44,14 +44,27 @@ object Packing {
     * per-partition running sum, partition token totals broadcast as
     * offsets (k scalars — driver-sized by construction). */
   def packByBudgetScalable(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Long, packCol: String = "pack_id"): DataFrame = {
+      budget: Long, packCol: String = "pack_id"): DataFrame =
+    packByBudgetOrdered(df, Seq(col(idCol)), tokensCol, budget, packCol)
+
+  /** [[packByBudgetScalable]] generalized to an arbitrary TOTAL order —
+    * the curriculum-packing shape: sort by (quality desc, id) and the
+    * cumulative token budget walks the curriculum, so early packs hold
+    * the highest-quality docs. `sortCols` must be a total order
+    * (append the id as tiebreaker) or pack assignment is
+    * nondeterministic. Same two-phase cumsum: range partition on the
+    * sort key, per-partition running sum, broadcast partition offsets. */
+  def packByBudgetOrdered(df: DataFrame, sortCols: Seq[Column],
+      tokensCol: String, budget: Long,
+      packCol: String = "pack_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val ordered = df.repartitionByRange(col(idCol))
-      .sortWithinPartitions(col(idCol))
+    require(sortCols.nonEmpty, "at least one sort column")
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
     val localBefore = coalesce(
       sum(col(tokensCol)).over(
-        Window.partitionBy(col("__pid")).orderBy(col(idCol))
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
     val withLocal = ordered.withColumn("__lsum", localBefore)

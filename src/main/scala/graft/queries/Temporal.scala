@@ -45,6 +45,20 @@ object Temporal {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Daily metric gap-fill: event types with silent days get explicit
+    // zero rows over their [min, max] span, so downstream window math
+    // (7-day averages, anomaly screens) sees a regular series. The
+    // filled series is DuckDB-hash-checked.
+    "q93_gap_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ext.GapFill.daily(daily, "event_type", "day",
+          fillZero = Seq("n"))
+        .select(col("event_type"), col("day"), col("n"), col("is_filled"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Per-user last-20 event sequences (behavior-sequence training prep):
     // cap before collect, one shared user shuffle; the pipe-joined
     // sequence string is DuckDB-hash-checked.
@@ -147,6 +161,23 @@ object Temporal {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q93_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans)
+        |SELECT s.event_type, s.day,
+        |  COALESCE(d.n, 0) AS n,
+        |  (d.n IS NULL) AS is_filled
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.event_type = d.event_type AND s.day = d.day
+        |ORDER BY s.event_type, s.day""".stripMargin,
 
     "q91_event_sequences" ->
       """WITH ranked AS (

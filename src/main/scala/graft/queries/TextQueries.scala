@@ -285,6 +285,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Curriculum packing: order by (quality desc, doc_id) and walk the
+    // 2048-token budget down the curriculum — early packs hold the
+    // highest-quality docs. Two-phase cumsum, no global window; the
+    // pack assignment is DuckDB-hash-checked.
+    "q92_curriculum_pack" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("quality"),
+          TextStats.tokenCount(col("text")).as("n_tokens"))
+      graft.ext.Packing.packByBudgetOrdered(scored,
+          Seq(col("quality").desc, col("doc_id")), "n_tokens", 2048)
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus version diff: v2 drops every 13th doc, edits every 17th,
     // adds 50 new ones — the full-outer status classification is
     // DuckDB-hash-checked.
@@ -690,6 +704,31 @@ object TextQueries {
         |WHERE b < CASE lang WHEN 'en' THEN 1000000
         |                    WHEN 'de' THEN 500000 ELSE 250000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q92_curriculum_pack" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n_words BETWEEN 20 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        |     + CASE WHEN digit_ratio < 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        |     + CASE WHEN n_chars >= 100 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS quality,
+        |    n_tokens
+        |  FROM (
+        |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |      CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |      CASE WHEN length(text) > 0
+        |        THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |        ELSE CAST(1 AS DOUBLE) END AS digit_ratio,
+        |      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS n_tokens
+        |    FROM documents)),
+        |c AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+        |  FROM q)
+        |SELECT doc_id, quality, n_tokens,
+        |  CAST(FLOOR(CAST(b AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q89_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

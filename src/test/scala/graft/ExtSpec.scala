@@ -342,6 +342,42 @@ class ExtSpec extends SparkSpec {
     assert(strat.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("gap fill synthesizes missing days with zeros and forward-fills values") {
+    val daily = Seq(
+      ("a", "2024-01-01", 5L, 10.0), ("a", "2024-01-04", 3L, 30.0),
+      ("b", "2024-01-02", 1L, 7.0))
+      .toDF("k", "day", "n", "price")
+      .withColumn("day", col("day").cast("date"))
+    val filled = graft.ext.GapFill.daily(daily, "k", "day",
+      fillZero = Seq("n"), fillForward = Seq("price"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(filled.size == 5) // a: 4 days, b: 1 day
+    assert(filled(("a", "2024-01-02")) == ((0L, 10.0, true)))  // zero + ffill
+    assert(filled(("a", "2024-01-03")) == ((0L, 10.0, true)))
+    assert(filled(("a", "2024-01-04")) == ((3L, 30.0, false)))
+    assert(filled(("b", "2024-01-02")) == ((1L, 7.0, false)))
+  }
+
+  test("curriculum packing walks the budget in quality order") {
+    // quality ties broken by id; budget 10 → packs follow quality rank
+    val docs = Seq(
+      (1L, 0.2, 6L), (2L, 0.9, 6L), (3L, 0.9, 6L), (4L, 0.5, 6L))
+      .toDF("doc_id", "quality", "n_tokens")
+    val packed = graft.ext.Packing.packByBudgetOrdered(docs,
+      Seq(col("quality").desc, col("doc_id")), "n_tokens", 10)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // order: 2 (0.9), 3 (0.9), 4 (0.5), 1 (0.2) → cumsums 0,6,12,18
+    assert(packed == Map(2L -> 0L, 3L -> 0L, 4L -> 1L, 1L -> 1L))
+    // parity with the id-ordered scalable path when sorting by id
+    val byId = graft.ext.Packing.packByBudgetOrdered(docs,
+      Seq(col("doc_id")), "n_tokens", 10)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    val legacy = graft.ext.Packing.packByBudget(docs, "doc_id", "n_tokens", 10)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(byId == legacy)
+  }
+
   test("userSequences caps to the LAST maxLen events in ascending order") {
     val events = Seq(
       (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "c"),
