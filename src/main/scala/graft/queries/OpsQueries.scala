@@ -110,6 +110,24 @@ object OpsQueries {
           size(col("toks")).cast("long").as("n_bpe_tokens"),
           concat_ws(" ", slice(col("toks"), 1, 8)).as("head_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PageRank link-quality over a deterministic synthetic citation
+    // graph (doc i cites docs derived from i): 5 power iterations, one
+    // keyed shuffle each, dangling mass recycled via a broadcast
+    // single-row aggregate. Rows-only: iterative double sums are
+    // engine-specific; closed-form/mass-conservation asserted in
+    // GraphSpec.
+    "q94_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 300).as("dst"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 13 + 1) % 300).as("dst")))
+      graft.ext.Graph.pageRank(edges, iters = 5)
+        .select(col("id"), round(col("rank") * 1e6, 3).as("rank_ppm"))
+        .orderBy(col("id"))
     }))
 
   val oracles: Map[String, String] = Map(

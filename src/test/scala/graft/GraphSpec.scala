@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches the closed form on a 3-cycle and conserves mass") {
+    // a→b→c→a: perfect symmetry — every rank must be exactly 1/3
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(cycle, iters = 20)
+      .as[(String, Double)].collect().toMap
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9, r))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank ranks a hub above spokes and handles dangling sinks") {
+    // spokes 1..4 all link to hub 0; hub links nowhere (dangling)
+    val star = (1 to 4).map(i => (i.toLong, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(star, iters = 30)
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) > r(1L) * 2, r)       // hub dominates
+    assert((1 to 4).forall(i => math.abs(r(i.toLong) - r(1L)) < 1e-12))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // dangling mass recycled
+  }
+
+  test("pageRank is stable under repartitioning") {
+    val edges = spark.range(500).select(col("id").as("src"),
+      ((col("id") * 7 + 3) % 200).as("dst"))
+    val a = Graph.pageRank(edges, iters = 5)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(edges.repartition(7), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, k) }
+  }
+
+  test("degrees counts both directions with zero defaults") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val d = Graph.degrees(edges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(d == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 2L))))
+  }
+}
