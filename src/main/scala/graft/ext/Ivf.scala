@@ -40,7 +40,7 @@ object Ivf {
   }
 
   /** Array of sims to all centroids (let-bound once per row). */
-  private def simArray(vec: Column, m: Model): Column =
+  private[ext] def simArray(vec: Column, m: Model): Column =
     array(m.centroids.map(c => centroidSim(vec, c)): _*)
 
   /** Best-cell id (0-based; first max wins deterministically). Let-bound

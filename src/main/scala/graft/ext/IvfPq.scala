@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** IVF-PQ — the composition FAISS ships for billion-vector search, and
+  * the honest 100 TB ANN design: the [[Ivf]] coarse quantizer prunes the
+  * SEARCH (probe nprobe of k cells ⇒ touch ~nprobe/k of the corpus) and
+  * [[Pq]] prunes the MEMORY (codes, not vectors, in the index). Codes
+  * encode the RESIDUAL v − centroid(cell): residuals concentrate near
+  * zero, so the same codebook bits carry far more precision than raw
+  * vectors — the textbook accuracy win.
+  *
+  * Search: a query explodes to its nprobe probed cells, builds ONE ADC
+  * table per (query, cell) from its residual against that cell, joins
+  * encoded rows by cell (hash equi-join — candidates are cell-confined
+  * by construction), scores by M table lookups, shortlists, and
+  * reranks the shortlist with exact L2 on raw vectors. */
+object IvfPq {
+
+  final case class Index(ivf: Ivf.Model, pq: Pq.Model)
+
+  private def residual(vec: Column, ivf: Ivf.Model, cell: Column): Column =
+    zip_with(vec.cast("array<double>"),
+      element_at(typedlit(ivf.centroids), cell + 1),
+      (a, b) => a - b)
+
+  /** Train both quantizers and encode the corpus: (Index, encoded
+    * (idCol, cell, codes)). The PQ codebooks train on residuals — the
+    * distribution they will encode. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      kCells: Int = 16, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 3): (Index, DataFrame) = {
+    val ivf = Ivf.train(corpus, idCol, vecCol, kCells, iters)
+    val cv = col(vecCol).cast("array<double>")
+    val withRes = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__cell", Ivf.cellId(cv, ivf))
+      .withColumn("__res", residual(cv, ivf, col("__cell")))
+      .persist()
+    withRes.count()
+    val pq = Pq.train(withRes, idCol, "__res", dim, m, kCodes, iters)
+    val encoded = withRes.select(col(idCol), col("__cell").as("cell"),
+      Pq.encodeColumn(col("__res"), pq).as("codes"))
+    val out = encoded.persist()
+    out.count()
+    withRes.unpersist()
+    (Index(ivf, pq), out)
+  }
+
+  /** Approximate top-k with exact rerank. `encoded` is [[build]]'s
+    * second output (REUSE it across query batches — that's the index);
+    * `corpus` supplies raw vectors for the rerank join, sized by the
+    * shortlist only. */
+  def topK(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      index: Index, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4, shortlist: Int = 0,
+      roundDigits: Int = 4): DataFrame = {
+    val r = if (shortlist > 0) shortlist else 10 * k
+    val cv = col(vecCol).cast("array<double>")
+    // nprobe best cells per query (by cosine to the coarse centroids,
+    // mirroring Ivf.topK's probe order)
+    val sims = Ivf.simArray(cv, index.ivf)
+    val ranked = array_sort(zip_with(sims,
+      sequence(lit(0), lit(index.ivf.k - 1)),
+      (s, i) => struct((-s).as("neg"), i.cast(IntegerType).as("idx"))))
+    val probes = transform(slice(ranked, 1, nprobe), e => e.getField("idx"))
+    val q0 = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), cv.as("__qv"),
+        explode(probes).as("cell"))
+      .withColumn("__rq", residual(col("__qv"), index.ivf, col("cell")))
+    // ADC table of the residual against THIS cell: M×K folds per
+    // (query, probed cell) row — nprobe tables per query, total
+    val table = array((0 until index.pq.m).map { mm =>
+      val sv = slice(col("__rq"), mm * index.pq.subDim + 1, index.pq.subDim)
+      element_at(transform(array(sv), s =>
+        array(index.pq.codebooks(mm).map(c =>
+          aggregate(zip_with(s, typedlit(c), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)): _*)), 1)
+    }: _*)
+    val q = q0.select(col("query_id"), col("cell"), table.as("__tab"))
+    val adist = aggregate(
+      zip_with(col("codes"), col("__tab"), (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val cand = encoded.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(adist, roundDigits).as("adist"))
+      .dropDuplicates("query_id", "neighbor_id") // multi-probe overlap
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = cand.withColumn("__r", row_number().over(ws))
+      .filter(col("__r") <= r)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: raw vectors join only the shortlist
+    val qv = queries.select(col(idCol).as("query_id"), cv.as("__qv2"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), cv.as("__nv"))
+    val exact = short
+      .join(broadcast(qv), Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
+      .withColumn("dist", round(
+        aggregate(zip_with(col("__qv2"), col("__nv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x),
+        roundDigits))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    exact.withColumn("rnk", row_number().over(wk).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"), col("rnk"))
+  }
+}

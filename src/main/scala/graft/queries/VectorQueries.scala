@@ -60,6 +60,20 @@ object VectorQueries {
 
     "q52_ivf_topk" -> ((s, dir) => ivfQuery(s, dir)),
 
+    // IVF-PQ (the FAISS billion-scale composition): coarse cells prune
+    // the search, residual PQ codes prune the memory, exact rerank on
+    // the shortlist only. Rows-only; recall asserted in PqSpec.
+    "q95_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (index, encoded) = graft.ext.IvfPq.build(emb, "vec_id",
+        "embedding", dim = 64, kCells = 16, m = 8, kCodes = 16, iters = 2)
+      val out = graft.ext.IvfPq.topK(encoded, emb,
+          emb.filter(col("vec_id") < 8), index,
+          "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rnk"))
+      out
+    }),
+
     // Product-quantized ANN: 8 codebooks × 16 centroids over 64 dims
     // (64 floats → 8 nibbles stored), ADC shortlist scored by table
     // lookup, exact rerank over the shortlist only. Rows-only (codebooks

@@ -85,6 +85,41 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.7, s"mean recall@10 $recall")
   }
 
+  test("IVF-PQ recalls exact neighbours while probing a cell subset") {
+    val clustered = spark.range(3000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        sin((col("id") % 100) * lit(31.0) + j * lit(7.0)) +
+          lit(0.1) * sin(col("id") * lit(13.0) + j * lit(17.0)))
+        .as("embedding"))
+    val (index, encoded) = graft.ext.IvfPq.build(clustered, "vec_id",
+      "embedding", dim = 64, kCells = 16, m = 8, kCodes = 16, iters = 2)
+    val queries = clustered.filter(col("vec_id") < 5)
+    val approx = graft.ext.IvfPq.topK(encoded, clustered, queries, index,
+        "vec_id", "embedding", k = 10, nprobe = 4, shortlist = 50)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val all = clustered.select(col("vec_id"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val exact = all.filter(_._1 < 5).map { case (qid, qv) =>
+      val top = all.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val t = qv(i) - nv(i); d += t * t; i += 1 }
+          (nid, d)
+        }
+        .sortBy { case (nid, d) => (d, nid) }.take(10).map(_._1).toSet
+      qid -> top
+    }.toMap
+    val recall = exact.map { case (qid, ex) =>
+      approx.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.7, s"IVF-PQ mean recall@10 $recall")
+    encoded.unpersist()
+  }
+
   test("decode concatenates the selected centroids") {
     val model = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8,
       k = 16, iters = 1)
