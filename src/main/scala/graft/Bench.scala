@@ -58,8 +58,14 @@ object Bench {
       val dup = results.keys.toSeq.groupBy(shortKey).filter(_._2.size > 1)
       require(dup.isEmpty, s"duplicate bench short keys: $dup")
     }
+    // 2 decimals in the machine line (10 ms resolution is plenty for the
+    // driver's trend view; full 3-decimal values are in the breakdown
+    // lines above) — keeps the line comfortably inside the tail window
+    // as the query count grows
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
