@@ -263,6 +263,40 @@ object ScaleSmoke {
           groups = 5000),
         maxHamming = 3).count() }
 
+    // IVF-PQ end-to-end: residual-coded index + cell-confined search
+    val emb7 = syntheticEmbeddings(spark, 200000).persist()
+    emb7.count()
+    var ivfpqIdx: ext.IvfPq.Index = null
+    var ivfpqEnc: DataFrame = null
+    time("200k IVF-PQ index build (coarse+residual codebooks)") {
+      val built = ext.IvfPq.build(emb7, "vec_id", "embedding",
+        dim = 64, kCells = 16, m = 8, kCodes = 16, iters = 2)
+      ivfpqIdx = built._1; ivfpqEnc = built._2
+      ivfpqEnc.count() }
+    time("200k IVF-PQ top-5 (100 queries, nprobe 4)") {
+      ext.IvfPq.topK(ivfpqEnc, emb7, emb7.filter(col("vec_id") < 100),
+        ivfpqIdx, "vec_id", "embedding", k = 5, nprobe = 4,
+        shortlist = 50).count() }
+    ivfpqEnc.unpersist(); emb7.unpersist()
+
+    // 2M-edge PageRank: each iteration = one keyed shuffle + broadcast
+    // dangling aggregate; cost must be linear in edges × iters
+    val links = spark.range(2000000).select(
+      pmod(col("id"), lit(500000L)).as("src"),
+      pmod(xxhash64(col("id"), lit("dst")), lit(500000L)).as("dst"))
+    time("2M-edge PageRank (5 iterations, 500k vertices)") {
+      ext.Graph.pageRank(links, iters = 5).count() }
+
+    // 5M-event sequence assembly: cap-before-collect must bound state
+    val evs = spark.range(5000000).select(
+      pmod(col("id"), lit(200000L)).as("user_id"),
+      col("id").as("ts"), col("id").as("event_id"),
+      element_at(typedlit(Seq("view", "click", "buy")),
+        pmod(col("id"), lit(3)).cast(IntegerType) + 1).as("event_type"))
+    time("5M events → 200k capped user sequences (last 20)") {
+      ext.Sequences.userSequences(evs, "user_id", Seq("ts", "event_id"),
+        col("event_type"), maxLen = 20).count() }
+
     spark.stop()
   }
 }

@@ -328,6 +328,46 @@ object Streams {
       }
       .start()
 
+  /** Continuous quality-gated ingestion: each micro-batch is scored by
+    * the TRAINED quality classifier's pure-Column decision function
+    * ([[graft.ext.QualityClassifier.scoreColumn]] — broadcast literal
+    * weights, O(tokens)/doc, no model object on the stream) and only
+    * docs clearing `minScore` land in the corpus, with the score
+    * attached for downstream mixture weighting.
+    *
+    * Replay safety: same `ingest_batch=<id>` dynamic-partition-overwrite
+    * contract as [[dedupIngestSink]] — a checkpoint-replayed batch
+    * rewrites its own partition. The model trains ONCE before the
+    * stream starts (pass it in); training inside the sink would refit
+    * per micro-batch on batch-local data. */
+  def qualityIngestSink(docs: DataFrame, corpusDir: String,
+      checkpoint: String,
+      model: graft.ext.QualityClassifier.LinearTextModel,
+      textCol: String = "text", minScore: Double = 0.5,
+      scoreCol: String = "quality_p",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val survivors = batch
+            .withColumn(scoreCol,
+              graft.ext.QualityClassifier.scoreColumn(col(textCol), model))
+            .filter(col(scoreCol) >= minScore)
+          if (!survivors.isEmpty)
+            survivors.withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch")
+              .parquet(corpusDir)
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream inner join: each left event picks up right-side events
     * for the same user within the trailing `rangeSeconds` window. Both
     * sides carry watermarks and the join condition bounds event-time

@@ -131,6 +131,44 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds == Seq(1L, 3L, 11L))
   }
 
+  test("quality ingest keeps only docs clearing the classifier threshold") {
+    val src = Files.createTempDirectory("qual-src").toString
+    val corpus = Files.createTempDirectory("qual-corpus").toString + "/kept"
+    val ckpt = Files.createTempDirectory("qual-ckpt").toString
+    // train once on planted labels: alpha-vocab = quality
+    val seed = (0 until 200).map { i =>
+      val label = i % 2
+      val word = if (label == 1) s"alpha${i % 20}" else s"beta${i % 20}"
+      (i.toLong, Seq.fill(12)(word).mkString(" "), label)
+    }.toDF("doc_id", "text", "label")
+    val model = graft.ext.QualityClassifier.train(seed, "text", "label",
+      dim = 32, maxIter = 30)
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def run(rows: Seq[(Long, String)], f: String): Unit = {
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$f")
+      val q = Streams.qualityIngestSink(
+        spark.readStream.schema(docSchema).parquet(s"$src/*"),
+        corpus, ckpt, model)
+      q.awaitTermination(60000)
+    }
+    run(Seq((1L, "alpha1 alpha2 alpha3 alpha4"),
+      (2L, "beta1 beta2 beta3 beta4")), "b1")
+    def kept: Map[Long, Double] = spark.read.parquet(corpus)
+      .select("doc_id", "quality_p").as[(Long, Double)].collect().toMap
+    assert(kept.keySet == Set(1L))
+    assert(kept(1L) > 0.5)
+    // batch 2 appends; batch 1's partition is untouched
+    run(Seq((3L, "alpha5 alpha6 alpha7"), (4L, "beta5 beta6 beta7")), "b2")
+    assert(kept.keySet == Set(1L, 3L))
+    // replay with no new files: nothing changes
+    val q3 = Streams.qualityIngestSink(
+      spark.readStream.schema(docSchema).parquet(s"$src/*"),
+      corpus, ckpt, model)
+    q3.awaitTermination(60000)
+    assert(kept.keySet == Set(1L, 3L))
+  }
+
   test("semantic ingest dedups each batch against the kept embeddings") {
     val src = Files.createTempDirectory("sem-src").toString
     val corpus = Files.createTempDirectory("sem-corpus").toString + "/kept"
