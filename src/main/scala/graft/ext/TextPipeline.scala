@@ -76,6 +76,77 @@ object TextPipeline {
       CurationStats(input, afterFilter, afterExact, afterNear))
   }
 
+  final case class TrainingDataStats(
+      curation: CurationStats,
+      afterDecontamination: Long,
+      sampledRows: Long,
+      nPacks: Long)
+
+  final case class TrainingDataResult(data: DataFrame,
+      stats: TrainingDataStats)
+
+  /** The full pretraining-data run as one call — curate (rule filter +
+    * exact + near dedup) → benchmark decontamination → temperature
+    * mixture sampling (per `sourceCol`, repeating small sources) →
+    * curriculum packing (quality desc) → deterministic epoch shuffle.
+    * Output rows: original columns + quality, n_tokens, epoch, pack_id,
+    * shuffle_key, ordered for sequential write.
+    *
+    * Composition of independently-tested operators; each stage keeps
+    * its own scale shape (bounded near-dup joins, broadcast benchmark
+    * grams, broadcast mixture rates, two-phase pack cumsum, range-sort
+    * shuffle). The intermediate corpus persists across the count
+    * barriers exactly once per stage. */
+  def prepareTrainingData(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      benchmark: Option[DataFrame] = None,
+      minQuality: Double = 0.7,
+      nearDupJaccard: Double = 0.8,
+      mixtureAlpha: Double = 0.5,
+      targetTokens: Long = 0L, // 0 ⇒ natural size (one epoch of everything)
+      packBudget: Long = 2048,
+      shuffleSeed: Long = 0L): TrainingDataResult = {
+    val cur = curate(docs, idCol, textCol, minQuality = minQuality,
+      nearDupJaccard = nearDupJaccard)
+    val clean = benchmark match {
+      case Some(bench) =>
+        val hits = Decontam.contaminatedScreened(cur.curated, bench,
+          idCol, textCol, n = 13).select(col(idCol))
+        cur.curated.join(hits, Seq(idCol), "left_anti")
+      case None => cur.curated
+    }
+    val scored = clean
+      .withColumn("quality", TextStats.qualityScore(col(textCol)))
+      .withColumn("n_tokens", TextStats.tokenCount(col(textCol)))
+      .persist()
+    val afterDecon = scored.count()
+    val target =
+      if (targetTokens > 0) targetTokens
+      else scored.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .head().getLong(0)
+    val sampled =
+      if (target == 0) scored.withColumn("epoch", lit(1))
+      else Sampling.mixtureSample(scored, sourceCol, idCol, "n_tokens",
+        mixtureAlpha, target)
+    // epoch-qualified id keeps repeated docs distinct through packing
+    // and shuffling (they are separate training rows)
+    val withKey = sampled.withColumn("__eid",
+      concat_ws(":", col(idCol).cast("string"), col("epoch").cast("string")))
+    val packed = Packing.packByBudgetOrdered(withKey,
+      Seq(col("quality").desc, col("__eid")), "n_tokens", packBudget)
+    val shuffled = Sampling.shuffled(packed, "__eid", seed = shuffleSeed)
+      .drop("__eid")
+    val out = shuffled.persist()
+    val nRows = out.count()
+    val nPacks = out.select(countDistinct(col("pack_id"))).head().getLong(0)
+    scored.unpersist()
+    TrainingDataResult(out,
+      TrainingDataStats(cur.stats, afterDecon, nRows, nPacks))
+  }
+
   /** Line-level corpus deduplication (the C4/RefinedWeb boilerplate
     * remover): any line occurring more than `maxOccurrences` times ACROSS
     * THE WHOLE CORPUS (navigation chrome, cookie banners, license

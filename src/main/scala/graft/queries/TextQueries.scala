@@ -285,6 +285,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Flagship composition: curate → decontaminate (docs sharing a
+    // 13-gram with the doc_id%97 benchmark) → temperature mixture →
+    // curriculum pack → epoch shuffle, one call. Rows-only (the near-dup
+    // stage is LSH-based); every constituent stage is oracle-checked
+    // individually (q57/q62/q86/q92/q65).
+    "q96_training_data" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.TextPipeline.prepareTrainingData(docs, "doc_id", "text",
+          sourceCol = "source",
+          benchmark = Some(docs.filter(col("doc_id") % 97 === 0)))
+        .data
+        .select(col("doc_id"), col("source"), col("epoch"),
+          col("pack_id"), col("shuffle_key"))
+    }),
+
     // Curriculum packing: order by (quality desc, doc_id) and walk the
     // 2048-token budget down the curriculum — early packs hold the
     // highest-quality docs. Two-phase cumsum, no global window; the

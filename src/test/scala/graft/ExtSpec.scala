@@ -342,6 +342,39 @@ class ExtSpec extends SparkSpec {
     assert(strat.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("prepareTrainingData runs the full composition with planted stages") {
+    // corpus: quality docs (long, wordy), one exact dup pair, one doc
+    // contaminated with a benchmark 13-gram, two sources of unequal size
+    val good = (0 until 30).map { i =>
+      val src = if (i < 24) "web" else "books"
+      (i.toLong,
+        (0 until 40).map(j => s"tok${(i * 7 + j) % 200}").mkString(" "),
+        src)
+    }
+    val dup = Seq((100L, good(3)._2, "web")) // exact dup of doc 3
+    val benchText = (0 until 20).map(j => s"bench$j").mkString(" ")
+    val contaminated = Seq((101L,
+      good(5)._2 + " " + benchText, "web"))
+    val docs = (good ++ dup ++ contaminated)
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((9000L, benchText)).toDF("doc_id", "text")
+    val r = graft.ext.TextPipeline.prepareTrainingData(docs, "doc_id",
+      "text", "source", benchmark = Some(bench),
+      minQuality = 0.5, packBudget = 100)
+    val ids = r.data.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(100L), "exact dup must be removed")
+    assert(!ids.contains(101L), "contaminated doc must be removed")
+    assert(ids.nonEmpty)
+    assert(r.stats.afterDecontamination ==
+      r.stats.curation.afterNearDedup - 1) // exactly the contaminated doc
+    assert(r.stats.nPacks > 1)
+    // natural target ⇒ every surviving doc appears ≥ 1 time; output is
+    // ordered by the seeded shuffle key
+    val keys = r.data.select("shuffle_key").as[Long].collect().toSeq
+    assert(keys == keys.sorted)
+    r.data.unpersist()
+  }
+
   test("gap fill synthesizes missing days with zeros and forward-fills values") {
     val daily = Seq(
       ("a", "2024-01-01", 5L, 10.0), ("a", "2024-01-04", 3L, 30.0),
