@@ -112,9 +112,23 @@ object Pq {
   }
 
   /** PQ codes as a Column: array<int> of length M, code m = argmin
-    * centroid of subspace m. M×K distance folds per row, all codegen'd;
-    * first-min wins deterministically. */
-  def encodeColumn(vec: Column, model: Model): Column = {
+    * centroid of subspace m; first-min wins deterministically.
+    *
+    * Two equivalent plans, selected by codebook size: small books unroll
+    * into M×K literal distance folds (stays inside whole-stage codegen);
+    * past `unrollLimit` expressions the codebooks ship as ONE 3-level
+    * literal array walked by nested lambdas — plan size (and task-binary
+    * bytes) independent of M×K, which is what lets K go to 256 without a
+    * megabyte of generated code per stage. Parity is pinned in PqSpec. */
+  def encodeColumn(vec: Column, model: Model): Column =
+    if (model.m * model.k <= unrollLimit) encodeUnrolled(vec, model)
+    else encodeDataDriven(vec, model)
+
+  /** Above this many (subspace × centroid) pairs, switch from unrolled
+    * literal expressions to the data-driven lambda plan. */
+  val unrollLimit = 256
+
+  private[graft] def encodeUnrolled(vec: Column, model: Model): Column = {
     val cols = (0 until model.m).map { mm =>
       val sv = subvec(vec, mm, model.subDim)
       // let-bind the subvector: K distance folds share one slice
@@ -124,6 +138,20 @@ object Pq {
       }), 1)
     }
     array(cols: _*)
+  }
+
+  private[graft] def encodeDataDriven(vec: Column, model: Model): Column = {
+    val books = typedlit(model.codebooks)
+    transform(sequence(lit(0), lit(model.m - 1)), mm => {
+      val sv = slice(vec.cast("array<double>"),
+        mm * model.subDim + 1, lit(model.subDim))
+      element_at(transform(array(sv), s => {
+        val d = transform(element_at(books, mm + 1), cb =>
+          aggregate(zip_with(s, cb, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+        (array_position(d, array_min(d)) - 1).cast(IntegerType)
+      }), 1)
+    })
   }
 
   /** (idCol, codes) for a corpus — the stored representation. */

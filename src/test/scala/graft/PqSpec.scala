@@ -120,6 +120,18 @@ class PqSpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("unrolled and data-driven encode plans produce identical codes") {
+    val model = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8,
+      k = 16, iters = 2)
+    val v = col("embedding")
+    val both = emb.limit(200).select(col("vec_id"),
+      Pq.encodeUnrolled(v, model).as("a"),
+      Pq.encodeDataDriven(v, model).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0)
+    // the dispatch threshold routes a K=64 book through the lambda plan
+    assert(8 * 64 > Pq.unrollLimit)
+  }
+
   test("decode concatenates the selected centroids") {
     val model = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8,
       k = 16, iters = 1)
