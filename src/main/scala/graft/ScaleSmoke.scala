@@ -287,6 +287,36 @@ object ScaleSmoke {
     time("2M-edge PageRank (5 iterations, 500k vertices)") {
       ext.Graph.pageRank(links, iters = 5).count() }
 
+    // q96 flagship composition at 2 volumes: with computeStats=false the
+    // driver choreography is FIXED — the Spark job count must not grow
+    // with data, only per-job work does. Job ids are counted per run via
+    // a job group (public statusTracker API).
+    def q96At(n: Long, tag: String): (Double, Int) = {
+      val d = syntheticDocs(spark, n).withColumn("source",
+        element_at(typedlit(Seq("web", "books", "code")),
+          pmod(col("doc_id"), lit(3)).cast(IntegerType) + 1))
+      val sc = spark.sparkContext
+      sc.setJobGroup(tag, tag, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      val r = ext.TextPipeline.prepareTrainingData(d, "doc_id", "text",
+        sourceCol = "source",
+        benchmark = Some(d.filter(col("doc_id") % 97 === 0)),
+        computeStats = false)
+      val secs = (System.nanoTime() - t0) / 1e9
+      sc.clearJobGroup()
+      Thread.sleep(500) // let the async listener bus drain job-start events
+      r.data.unpersist()
+      (secs, sc.statusTracker.getJobIdsForGroup(tag).length)
+    }
+    locally {
+      val (t1, j1) = q96At(100000, "q96-100k")
+      val (t2, j2) = q96At(400000, "q96-400k")
+      println(f"[scale] q96 training-data composition 100k docs $t1%8.2f s  ($j1 jobs)")
+      println(f"[scale] q96 training-data composition 400k docs $t2%8.2f s  ($j2 jobs)")
+      if (j1 != j2)
+        println(s"[scale] WARNING: q96 job count grew with data ($j1 -> $j2) — AQE re-plan or a data-dependent action leaked in")
+    }
+
     // 5M-event sequence assembly: cap-before-collect must bound state
     val evs = spark.range(5000000).select(
       pmod(col("id"), lit(200000L)).as("user_id"),

@@ -24,9 +24,23 @@ object Graph {
     * plan-doubling fix as [[Dedup.connectedComponents]]); cost is one
     * materialization per iteration, which IS the power-iteration
     * minimum. Degrees and vertices are computed once and persisted
-    * across iterations. */
+    * across iterations. Runs EXACTLY `iters` rounds — the
+    * fixed-iteration contract the cross-engine oracle reproduces; for
+    * convergence-gated early stop use [[pageRankConverged]]. */
   def pageRank(edges: DataFrame, iters: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85): DataFrame =
+    pageRankConverged(edges, iters, damping, tol = 0.0)._1
+
+  /** [[pageRank]] with an optional convergence gate: when `tol > 0`,
+    * stop as soon as an iteration moves no vertex by more than `tol`
+    * (max-norm of the rank delta — an observed per-iteration metric,
+    * the same early-exit trick as [[Dedup.connectedComponents]]).
+    * Returns (ranks, iterations actually run). The delta check is one
+    * extra aggregate per iteration over the two already-materialized
+    * rank snapshots, and is skipped entirely at `tol = 0`, which runs
+    * exactly `maxIters` rounds (deterministic, oracle-reproducible). */
+  def pageRankConverged(edges: DataFrame, maxIters: Int = 10,
+      damping: Double = 0.85, tol: Double = 0.0): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist()
@@ -40,7 +54,9 @@ object Graph {
     outDeg.count()
 
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    var used = 0
+    var converged = false
+    while (used < maxIters && !converged) {
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .join(outDeg, Seq("src"))
@@ -51,7 +67,7 @@ object Graph {
       val dangling = ranks
         .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      ranks = verts
+      val next = verts
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
@@ -59,9 +75,19 @@ object Graph {
             (coalesce(col("__in"), lit(0.0)) + col("__dm") / n))
             .as("rank"))
         .localCheckpoint(true)
+      used += 1
+      if (tol > 0) {
+        // both sides are materialized checkpoints — the delta join scans
+        // 2n cached rows, no recompute
+        converged = next.join(
+            ranks.select(col("id"), col("rank").as("__prev")), Seq("id"))
+          .agg(max(abs(col("rank") - col("__prev"))).as("__d"))
+          .head().getDouble(0) <= tol
+      }
+      ranks = next
     }
     e.unpersist(); verts.unpersist(); outDeg.unpersist()
-    ranks
+    (ranks, used)
   }
 
   /** In/out degree table — the cheap link-spam screen (pages with

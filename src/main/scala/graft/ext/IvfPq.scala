@@ -52,11 +52,19 @@ object IvfPq {
   /** Approximate top-k with exact rerank. `encoded` is [[build]]'s
     * second output (REUSE it across query batches — that's the index);
     * `corpus` supplies raw vectors for the rerank join, sized by the
-    * shortlist only. */
+    * shortlist only.
+    *
+    * `broadcastQueries` only when the query side is genuinely small (the
+    * point-lookup batch shape): each query row carries an M×K-double ADC
+    * table ×nprobe probe rows, so broadcasting a corpus-sized query frame
+    * is a driver OOM, not a slow plan. For the all-pairs shape set it
+    * false — both probe and rerank joins fall back to shuffle hash joins
+    * on their keys, one co-partition of each side (the same contract as
+    * [[Similarity.lshTopK]]). */
   def topK(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
       index: Index, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4, shortlist: Int = 0,
-      roundDigits: Int = 4): DataFrame = {
+      roundDigits: Int = 4, broadcastQueries: Boolean = true): DataFrame = {
     val r = if (shortlist > 0) shortlist else 10 * k
     val cv = col(vecCol).cast("array<double>")
     // nprobe best cells per query (by cosine to the coarse centroids,
@@ -83,7 +91,8 @@ object IvfPq {
     val adist = aggregate(
       zip_with(col("codes"), col("__tab"), (c, row) => element_at(row, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val cand = encoded.join(broadcast(q), Seq("cell"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val cand = encoded.join(qSide, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(adist, roundDigits).as("adist"))
@@ -96,8 +105,9 @@ object IvfPq {
     // exact rerank: raw vectors join only the shortlist
     val qv = queries.select(col(idCol).as("query_id"), cv.as("__qv2"))
     val nv = corpus.select(col(idCol).as("neighbor_id"), cv.as("__nv"))
+    val qvSide = if (broadcastQueries) broadcast(qv) else qv
     val exact = short
-      .join(broadcast(qv), Seq("query_id"))
+      .join(qvSide, Seq("query_id"))
       .join(nv, Seq("neighbor_id"))
       .withColumn("dist", round(
         aggregate(zip_with(col("__qv2"), col("__nv"),

@@ -15,12 +15,14 @@ import org.apache.spark.sql.types._
   * ImageIO reads (PNG/JPEG/BMP/GIF). Audio decode is REAL for the
   * formats the JDK ships codecs for (`javax.sound.sampled`: WAV/AIFF/AU
   * PCM): sample rate, channels, duration and mean amplitude from the
-  * actual frames. Video codecs are STUBBED (this container ships no
-  * media libraries): `decodeStub` derives deterministic pseudo-features
-  * from the bytes, and undecodable image/audio payloads fall back to it
-  * too. Every Spark-side contract — schema, binary payload handling,
-  * per-partition batching, feature/resize/frame-sample signatures — is
-  * real and tested; swapping `decodeStub` for a JNI/JavaCV call is a
+  * actual frames. Multi-frame video containers the JDK can read
+  * (animated GIF) decode REAL frames via `readFramesBounded`. True
+  * video codecs (mp4/webm…) are STUBBED — this container ships no media
+  * libraries: `decodeStub` derives deterministic pseudo-features from
+  * the bytes, and undecodable payloads fall back to it too. Every
+  * Spark-side contract — schema, binary payload handling, per-partition
+  * batching, feature/resize/frame-sample signatures — is real and
+  * tested; swapping `decodeStub` for a JNI/JavaCV call is a
   * one-function change.
   */
 object Multimodal {
@@ -109,6 +111,38 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Mean luminance (ITU-R 601) + pixel-fold hash over the bounded
+    * deterministic sample grid (≤64×64 points — ceil-division stride, so
+    * a 100-megapixel frame costs the same as a thumbnail). Shared by
+    * single-image decode and per-frame video sampling. */
+  private[graft] def sampleRaster(
+      img: java.awt.image.BufferedImage): (Double, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    // ceil division: stride guarantees ≤64 samples per axis for EVERY
+    // size (floor div sampled up to 127×127 points in the 65–127 band)
+    val sx = (w + 63) / 64
+    val sy = (h + 63) / 64
+    var sum = 0.0
+    var n = 0L
+    var hash = 1125899906842597L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        sum += lum
+        n += 1
+        hash = hash * 31 + rgb
+        x += sx
+      }
+      y += sy
+    }
+    (if (n == 0) 0.0 else sum / n, hash)
+  }
+
   private[ext] def decodeImage(a: MediaAsset): Option[MediaFeatures] = {
     val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
     try {
@@ -117,27 +151,7 @@ object Multimodal {
       val img = imgOpt.get
       val w = img.getWidth
       val h = img.getHeight
-      // ceil division: stride guarantees ≤64 samples per axis for EVERY
-      // size (floor div sampled up to 127×127 points in the 65–127 band)
-      val sx = (w + 63) / 64
-      val sy = (h + 63) / 64
-      var sum = 0.0
-      var n = 0L
-      var hash = 1125899906842597L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-            0.114 * (rgb & 0xFF)
-          sum += lum
-          n += 1
-          hash = hash * 31 + rgb
-          x += sx
-        }
-        y += sy
-      }
+      val (mean, hash) = sampleRaster(img)
       Some(MediaFeatures(
         asset_id = a.asset_id,
         media_type = a.media_type,
@@ -145,9 +159,39 @@ object Multimodal {
         width = w,
         height = h,
         duration_ms = 0L,
-        mean_intensity = if (n == 0) 0.0 else sum / n,
+        mean_intensity = mean,
         feature_hash = hash))
     } catch { case _: Exception => None }
+  }
+
+  /** Real multi-frame decode for containers the JDK can read (animated
+    * GIF — `getNumImages` then per-frame `read`): up to `maxFrames`
+    * frames sampled EVENLY across the container (first frame always
+    * included), with the same decompression-bomb guard as
+    * [[readImageBounded]]. Single-frame formats yield one frame; Nil for
+    * payloads no installed reader recognises (true video codecs — the
+    * only remaining stub territory). */
+  private[graft] def readFramesBounded(bytes: Array[Byte],
+      maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
+    if (bytes.isEmpty || maxFrames <= 0) return Nil
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return Nil }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        if (reader.getWidth(0).toLong * reader.getHeight(0) > 100000000L)
+          return Nil // > 100 MP frames: refuse to materialize
+        // allowSearch=true: the stream is an in-memory IIS, so the full
+        // scan for the frame count is cheap and exact
+        val n = reader.getNumImages(true)
+        if (n <= 0) return Nil
+        val take = math.min(n, maxFrames)
+        (0 until take).map(i => reader.read((i.toLong * n / take).toInt))
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: Exception => Nil }
   }
 
   /** Real audio decode via the JDK's sampled-sound codecs (WAV/AIFF/AU).
@@ -388,15 +432,26 @@ object Multimodal {
     graft.ext.Dedup.hammingPairs64(audioFingerprints(assets), maxHamming,
       maxBucketSize)
 
-  /** Frame sampling contract for video payloads: emits `framesPer` rows per
-    * asset with deterministic pseudo-frame hashes (flatMap shape — the
-    * generator/explode pattern on binary data). */
+  /** Frame sampling for video payloads (flatMap shape — the
+    * generator/explode pattern on binary data): REAL frames whenever the
+    * container is JDK-readable (animated GIF via [[readFramesBounded]] —
+    * up to `framesPer` frames sampled evenly, hash/dimensions from
+    * actual pixel data); deterministic pseudo-frames only for codecs no
+    * installed reader handles (true video — the documented stub). */
   def sampleFrames(assets: Dataset[MediaAsset], framesPer: Int): DataFrame = {
     import assets.sparkSession.implicits._
     assets.filter(_.media_type == "video").flatMap { a =>
-      val base = decode(a)
-      (0 until framesPer).map { f =>
-        (a.asset_id, f, base.feature_hash * 31 + f, base.width, base.height)
+      val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
+      val frames = readFramesBounded(bytes, framesPer)
+      if (frames.nonEmpty)
+        frames.zipWithIndex.map { case (img, f) =>
+          (a.asset_id, f, sampleRaster(img)._2, img.getWidth, img.getHeight)
+        }
+      else {
+        val base = decodeStub(a)
+        (0 until framesPer).map { f =>
+          (a.asset_id, f, base.feature_hash * 31 + f, base.width, base.height)
+        }
       }
     }.toDF("asset_id", "frame_idx", "frame_hash", "width", "height")
   }
@@ -436,6 +491,63 @@ object Multimodal {
         MediaAsset(id, "image", png, s"synthetic-png://$id", png.length.toLong)
       }
     }
+  }
+
+  /** Deterministic synthetic VIDEO assets: each doc renders a real
+    * multi-frame animated GIF (the JDK's own GIF writer, frame sequence
+    * via `writeToSequence`) whose pattern is keyed by `doc_id % groups`
+    * and whose phase advances per frame — frames genuinely differ, so
+    * [[sampleFrames]] exercises the REAL multi-frame decode end-to-end
+    * without external media files. */
+  def syntheticVideoAssets(docs: DataFrame, groups: Int = 50,
+      framesPer: Int = 3): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast(LongType)).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val freq = 2 + (id % groups)
+        val w = 48; val h = 32
+        val frames = (0 until framesPer).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val u = x.toDouble / w; val v = y.toDouble / h
+              val l = (120 + 110 *
+                math.sin(2 * math.Pi * (freq * u + f * 0.25)) *
+                math.cos(2 * math.Pi * 2 * v)).toInt.max(0).min(255)
+              img.setRGB(x, y, (l << 16) | (l << 8) | l)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        val gif = writeAnimatedGif(frames)
+        MediaAsset(id, "video", gif, s"synthetic-gif://$id",
+          gif.length.toLong)
+      }
+    }
+  }
+
+  /** Encode frames as one animated GIF with the JDK's own writer. No
+    * graphics-control metadata is attached — frame EXTRACTION counts
+    * image blocks (`getNumImages`), not animation extensions, so the
+    * sequence alone is sufficient and byte-deterministic. */
+  private[ext] def writeAnimatedGif(
+      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img => writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Deterministic synthetic AUDIO assets: each doc renders a real

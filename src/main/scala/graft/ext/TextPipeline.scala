@@ -96,7 +96,11 @@ object TextPipeline {
     * its own scale shape (bounded near-dup joins, broadcast benchmark
     * grams, broadcast mixture rates, two-phase pack cumsum, range-sort
     * shuffle). The intermediate corpus persists across the count
-    * barriers exactly once per stage. */
+    * barriers exactly once per stage. `computeStats = false` drops every
+    * pure-reporting corpus scan (input count, decontamination count,
+    * distinct-pack count) and keeps only the actions that materialize a
+    * cache or feed a downstream stage — the production setting; skipped
+    * stats report the -1 sentinel. */
   def prepareTrainingData(
       docs: DataFrame,
       idCol: String,
@@ -108,9 +112,10 @@ object TextPipeline {
       mixtureAlpha: Double = 0.5,
       targetTokens: Long = 0L, // 0 ⇒ natural size (one epoch of everything)
       packBudget: Long = 2048,
-      shuffleSeed: Long = 0L): TrainingDataResult = {
+      shuffleSeed: Long = 0L,
+      computeStats: Boolean = true): TrainingDataResult = {
     val cur = curate(docs, idCol, textCol, minQuality = minQuality,
-      nearDupJaccard = nearDupJaccard)
+      nearDupJaccard = nearDupJaccard, computeStats = computeStats)
     val clean = benchmark match {
       case Some(bench) =>
         val hits = Decontam.contaminatedScreened(cur.curated, bench,
@@ -122,7 +127,10 @@ object TextPipeline {
       .withColumn("quality", TextStats.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextStats.tokenCount(col(textCol)))
       .persist()
-    val afterDecon = scored.count()
+    // `scored` is read several times downstream (target sum, mixture
+    // rates, sampling); the persist populates lazily on the first of
+    // those actions, so the explicit count here is REPORTING only.
+    val afterDecon = if (computeStats) scored.count() else -1L
     val target =
       if (targetTokens > 0) targetTokens
       else scored.agg(coalesce(sum(col("n_tokens")), lit(0L)))
@@ -140,8 +148,15 @@ object TextPipeline {
     val shuffled = Sampling.shuffled(packed, "__eid", seed = shuffleSeed)
       .drop("__eid")
     val out = shuffled.persist()
-    val nRows = out.count()
-    val nPacks = out.select(countDistinct(col("pack_id"))).head().getLong(0)
+    // One action materializes `out` while `scored` is still cached (same
+    // rationale as curate's afterNear). With stats on, the same pass also
+    // counts distinct packs — NOT max(pack_id)+1: a doc larger than the
+    // budget spills past whole budget windows, leaving empty pack ids.
+    val (nRows, nPacks) =
+      if (computeStats) {
+        val r = out.agg(count(lit(1)), countDistinct(col("pack_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      } else (out.count(), -1L)
     scored.unpersist()
     TrainingDataResult(out,
       TrainingDataStats(cur.stats, afterDecon, nRows, nPacks))

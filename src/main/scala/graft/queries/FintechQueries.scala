@@ -113,10 +113,14 @@ object FintechQueries {
         .toDF().orderBy(col("asset_id"))
     }),
 
-    // multimodal frame sampling (flatMap/generator shape over binary)
+    // multimodal frame sampling (flatMap/generator shape over binary):
+    // REAL frame extraction — each doc renders an actual 3-frame
+    // animated GIF, decoded back frame-by-frame via the JDK's GIF
+    // reader (hash/dimensions from real pixels, no stub on this path)
     "q46_media_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
-        Multimodal.assetsFromDocuments(s, Q.t(s, dir, "documents")),
+        Multimodal.syntheticVideoAssets(Q.t(s, dir, "documents"),
+          framesPer = 3),
         framesPer = 4)
         .orderBy(col("asset_id"), col("frame_idx"))
     }),

@@ -115,9 +115,11 @@ object OpsQueries {
     // PageRank link-quality over a deterministic synthetic citation
     // graph (doc i cites docs derived from i): 5 power iterations, one
     // keyed shuffle each, dangling mass recycled via a broadcast
-    // single-row aggregate. Rows-only: iterative double sums are
-    // engine-specific; closed-form/mass-conservation asserted in
-    // GraphSpec.
+    // single-row aggregate. Hash-checked: the oracle unrolls the same 5
+    // iterations with identical double arithmetic (per-dst sums are
+    // ~dozens of like-magnitude terms, so FP noise ~1e-17 sits far
+    // below the 1e-9 rounding granularity); closed-form/mass
+    // conservation additionally asserted in GraphSpec.
     "q94_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val edges = docs.select(col("doc_id").as("src"),
@@ -130,7 +132,50 @@ object OpsQueries {
         .orderBy(col("id"))
     }))
 
+  /** One unrolled power-iteration step: r_{k+1}(v) = (1-d)/n + d ·
+    * (Σ_{e: src→v} r_k(src)/deg(src) + dangling_k/n), the exact
+    * expression `Graph.pageRank` evaluates — same fold order, so the
+    * doubles agree to the last bits that survive round(·, 3) on ppm. */
+  private def prStep(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT v.id,
+       |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params)
+       |      + CAST(0.85 AS DOUBLE) *
+       |        (COALESCE(c.inr, CAST(0 AS DOUBLE)) +
+       |         (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) FROM $prev
+       |          WHERE id NOT IN (SELECT src FROM outdeg))
+       |           / (SELECT n FROM params)) AS rank
+       |  FROM verts v LEFT JOIN (
+       |    SELECT e.dst AS id, SUM(r.rank / d.deg) AS inr
+       |    FROM edges e
+       |    JOIN $prev r ON r.id = e.src
+       |    JOIN outdeg d ON d.src = e.src
+       |    GROUP BY e.dst) c ON v.id = c.id)""".stripMargin
+
+  private val q94Oracle: String = {
+    val steps = (0 until 5).map(i => prStep(s"r$i", s"r${i + 1}"))
+      .mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT doc_id AS src, (doc_id * 7 + 3) % 300 AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id AS src, (doc_id * 13 + 1) % 300 AS dst
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |verts AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+       |params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (
+       |  SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM params) AS rank
+       |  FROM verts),
+       |$steps
+       |SELECT id, ROUND(rank * 1e6, 3) AS rank_ppm
+       |FROM r5 ORDER BY id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q94_pagerank" -> q94Oracle,
 
     "q71_range_join" ->
       """WITH pts AS (

@@ -129,12 +129,22 @@ object Temporal {
           col("event_type"), col("value"))
         .write.mode("overwrite").parquet(src)
       val name = s"q47_hourly_${System.nanoTime()}"
-      val q = graft.streaming.Streams
-        .hourlyAgg(graft.streaming.Streams.eventsStream(s, src))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // size the streaming STATE partitions to the state, not the batch
+      // default: the agg holds ~hours×event_types keys, and each state
+      // partition pays per-batch checkpoint I/O whether or not it holds
+      // keys (32 partitions measured 1.80 s vs 4 at 1.37 s warm). The
+      // partition count is pinned into the query's checkpoint at first
+      // start, so the session conf only needs to cover .start().
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try graft.streaming.Streams
+          .hourlyAgg(graft.streaming.Streams.eventsStream(s, src))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       q.awaitTermination(120000)
       q.stop()
       // detach the result from the memory sink + temp source so repeated

@@ -294,7 +294,8 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       graft.ext.TextPipeline.prepareTrainingData(docs, "doc_id", "text",
           sourceCol = "source",
-          benchmark = Some(docs.filter(col("doc_id") % 97 === 0)))
+          benchmark = Some(docs.filter(col("doc_id") % 97 === 0)),
+          computeStats = false)
         .data
         .select(col("doc_id"), col("source"), col("epoch"),
           col("pack_id"), col("shuffle_key"))

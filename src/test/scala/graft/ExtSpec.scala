@@ -372,7 +372,22 @@ class ExtSpec extends SparkSpec {
     // ordered by the seeded shuffle key
     val keys = r.data.select("shuffle_key").as[Long].collect().toSeq
     assert(keys == keys.sorted)
-    r.data.unpersist()
+
+    // computeStats=false (the production setting) must change ONLY the
+    // reporting: identical output rows, -1 sentinels for skipped scans
+    val q = graft.ext.TextPipeline.prepareTrainingData(docs, "doc_id",
+      "text", "source", benchmark = Some(bench),
+      minQuality = 0.5, packBudget = 100, computeStats = false)
+    assert(q.stats.curation.input == -1L)
+    assert(q.stats.afterDecontamination == -1L)
+    assert(q.stats.nPacks == -1L)
+    assert(q.stats.sampledRows == r.stats.sampledRows)
+    val a = r.data.select("doc_id", "epoch", "pack_id", "shuffle_key")
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+    val b = q.data.select("doc_id", "epoch", "pack_id", "shuffle_key")
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    r.data.unpersist(); q.data.unpersist()
   }
 
   test("gap fill synthesizes missing days with zeros and forward-fills values") {

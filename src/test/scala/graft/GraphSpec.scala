@@ -37,6 +37,21 @@ class GraphSpec extends SparkSpec {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, k) }
   }
 
+  test("pageRankConverged early-stops with ranks identical to the full run") {
+    // 3-cycle: uniform is stationary from iteration 0, so the very first
+    // delta is FP noise and the tol gate fires immediately
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val (full, fullIters) = Graph.pageRankConverged(cycle, maxIters = 20)
+    val (fast, fastIters) =
+      Graph.pageRankConverged(cycle, maxIters = 20, tol = 1e-12)
+    assert(fullIters == 20, fullIters) // tol=0 runs exactly maxIters
+    assert(fastIters == 1, fastIters)  // gate fires on the first delta
+    val fm = full.as[(String, Double)].collect().toMap
+    val qm = fast.as[(String, Double)].collect().toMap
+    assert(fm.keySet == qm.keySet)
+    fm.foreach { case (k, v) => assert(math.abs(v - qm(k)) < 1e-12, k) }
+  }
+
   test("degrees counts both directions with zero defaults") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val d = Graph.degrees(edges)

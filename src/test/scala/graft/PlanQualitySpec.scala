@@ -194,6 +194,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(vec_id"), p)
   }
 
+  test("ivf-pq topK honors broadcastQueries: hint on by default, pure hash joins off") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // literal models — plan shape only, no training run needed
+    val ivf = graft.ext.Ivf.Model(Seq.tabulate(4)(i =>
+      Seq.tabulate(64)(j => math.sin(i * 7.0 + j))))
+    val pq = graft.ext.Pq.Model(Seq.fill(8)(Seq.fill(16)(Seq.fill(8)(0.0))))
+    val index = graft.ext.IvfPq.Index(ivf, pq)
+    val encoded = emb.select(col("vec_id"),
+      (col("vec_id") % 4).cast("int").as("cell"),
+      graft.ext.Pq.encodeColumn(col("embedding").cast("array<double>"), pq)
+        .as("codes"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      // flag off + auto-broadcast disabled: a corpus-sized query frame
+      // must produce ZERO BroadcastExchange — both the ADC probe join
+      // and the rerank join fall back to shuffle hash joins
+      val off = planOf(graft.ext.IvfPq.topK(encoded, emb, emb, index,
+        "vec_id", "embedding", k = 5, broadcastQueries = false))
+      assert(!off.contains("BroadcastExchange"), off)
+      // default (query-batch contract): the hint forces the broadcast
+      // even with the threshold disabled
+      val on = planOf(graft.ext.IvfPq.topK(encoded, emb,
+        emb.filter(col("vec_id") < 4), index, "vec_id", "embedding", k = 5))
+      assert(on.contains("BroadcastExchange"), on)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("url normalization is a narrow projection — no exchange, no UDF") {
     import spark.implicits._
     val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")

@@ -267,6 +267,29 @@ class ReadersMultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("multimodal: real 3-frame animated GIF decodes frame-by-frame") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val assets = Multimodal.syntheticVideoAssets(docs, framesPer = 3)
+    // the container genuinely holds 3 image blocks
+    val a = assets.collect().find(_.asset_id == 1L).get
+    val raw = Multimodal.readFramesBounded(a.content, 10)
+    assert(raw.size == 3, raw.size)
+    assert(raw.head.getWidth == 48 && raw.head.getHeight == 32)
+    // sampleFrames takes the real path: 3 rows (actual frames, not
+    // padded to framesPer), real dimensions, distinct per-frame pixels
+    val rows = Multimodal.sampleFrames(assets, framesPer = 4).collect()
+    val mine = rows.filter(_.getLong(0) == 1L)
+    assert(mine.length == 3, mine.length)
+    assert(mine.map(_.getLong(2)).distinct.length == 3) // phase advance
+    assert(rows.forall(r => r.getInt(3) == 48 && r.getInt(4) == 32))
+    // capped sampling still includes the first frame
+    val capped = Multimodal.readFramesBounded(a.content, 2)
+    assert(capped.size == 2)
+    assert(Multimodal.sampleRaster(capped.head)._2 ==
+      Multimodal.sampleRaster(raw.head)._2)
+  }
+
   test("multimodal: frame sampling emits framesPer rows per video asset") {
     val docs = Tables.load(spark, sfDir, "documents")
     val assets = Multimodal.assetsFromDocuments(spark, docs)

@@ -355,6 +355,76 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("dedupSpans property: fixpoint on random corpora with planted dups") {
+    // 40 seeded pseudo-random docs over a 200-word vocab + 8 planted
+    // copies of a shared span: after one pass, re-running on the cleaned
+    // text (emptied docs dropped, as a pipeline would) changes nothing
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val span = (0 until 6).map(i => s"dup$i").mkString(" ")
+    val docs = (1L to 40L).map { i =>
+      val body = Seq.fill(12 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (i % 5 == 0) s"$body $span" else body)
+    }.toDF("doc_id", "text")
+    val p1 = graft.ext.TextPipeline.dedupSpans(docs, "doc_id", "text", n = 4)
+      .filter(col("n_kept") > 0).persist()
+    val p2 = graft.ext.TextPipeline.dedupSpans(
+      p1.select(col("doc_id"), col("text_clean").as("text")),
+      "doc_id", "text", n = 4)
+    val changed = p2.filter(col("n_kept") =!= col("n_tokens")).count()
+    assert(changed == 0, s"$changed docs changed on the second pass")
+    val t1 = p1.select("doc_id", "text_clean").as[(Long, String)]
+      .collect().toMap
+    val t2 = p2.select("doc_id", "text_clean").as[(Long, String)]
+      .collect().toMap
+    assert(t1 == t2)
+    p1.unpersist()
+  }
+
+  test("dedupSpans property: adversarial chaining converges, not 1-pass") {
+    // masking can CREATE duplicated spans: docs 3/4 have distinct
+    // middles (each duplicated elsewhere) and collapse to the same
+    // "a b" — a brand-new dup the FIRST pass cannot see. A single pass
+    // is therefore not a guaranteed global fixpoint (same as Lee et
+    // al.'s ExactSubstr); iterating reaches one.
+    def pass(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.TextPipeline.dedupSpans(df, "doc_id", "text", n = 2)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_clean").as("text"))
+    val docs = Seq(
+      (1L, "c d"), (2L, "e f"),
+      (3L, "a c d b"), (4L, "a e f b")).toDF("doc_id", "text")
+    val p1 = pass(docs).persist()
+    val m1 = p1.as[(Long, String)].collect().toMap
+    assert(m1(3L) == "a b" && m1(4L) == "a b", m1) // new dup created
+    val p2 = pass(p1).persist()
+    val m2 = p2.as[(Long, String)].collect().toMap
+    assert(m2 == Map(1L -> "c d", 2L -> "e f", 3L -> "a b"), m2)
+    val m3 = pass(p2).as[(Long, String)].collect().toMap
+    assert(m3 == m2) // fixpoint reached
+    p1.unpersist(); p2.unpersist()
+  }
+
+  test("dedupSpans property: non-BMP tokens round-trip and mask exactly") {
+    // emoji / CJK-extension tokens are surrogate PAIRS in UTF-16 — the
+    // q74 bug class: any per-char (not per-code-point) processing
+    // corrupts them. Clean docs must pass through byte-identical;
+    // duplicated spans containing non-BMP tokens must mask by content.
+    val span = "😀😀 𠜎𠜱 🚀 道 x5"
+    val docs = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"beta $span gamma"),       // same 5-token span -> masked here
+      (3L, "😈 unique 𡃁 content 🎉 here")).toDF("doc_id", "text")
+    val out = graft.ext.TextPipeline.dedupSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 7L, 7L, s"alpha $span omega")))
+    assert(out(1) == ((2L, 7L, 2L, "beta gamma")))
+    assert(out(2) == ((3L, 6L, 6L, "😈 unique 𡃁 content 🎉 here")))
+  }
+
   test("hashEmbedding histograms tokens into hashed buckets, no shuffle") {
     // deterministic stand-in hash: bucket = token length % dim
     val df = Seq((1L, "a bb a"), (2L, "ccc ccc"), (3L, "a bb a"))
