@@ -313,8 +313,13 @@ object ScaleSmoke {
       val (t2, j2) = q96At(400000, "q96-400k")
       println(f"[scale] q96 training-data composition 100k docs $t1%8.2f s  ($j1 jobs)")
       println(f"[scale] q96 training-data composition 400k docs $t2%8.2f s  ($j2 jobs)")
-      if (j1 != j2)
-        println(s"[scale] WARNING: q96 job count grew with data ($j1 -> $j2) — AQE re-plan or a data-dependent action leaked in")
+      // a few extra jobs are legitimate — connectedComponents inside the
+      // near-dup stage runs O(log diameter) pointer-jumping rounds, so a
+      // bigger dup graph can add a round or two (measured 64 -> 66 at
+      // 100k -> 400k). A LEAK (per-row or per-partition driver action)
+      // would grow the count far faster than log.
+      if (j2 > j1 + 6)
+        println(s"[scale] WARNING: q96 job count grew with data ($j1 -> $j2) — beyond log-round growth; a data-dependent action leaked in")
     }
 
     // 5M-event sequence assembly: cap-before-collect must bound state

@@ -117,6 +117,20 @@ class PqSpec extends SparkSpec {
       approx.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
     }.sum / exact.size
     assert(recall >= 0.7, s"IVF-PQ mean recall@10 $recall")
+
+    // broadcastQueries=false is a pure JOIN-STRATEGY switch: identical
+    // rows to the default broadcast path (the all-pairs-shape contract)
+    val queries2 = clustered.filter(col("vec_id") < 5)
+    val shuffled = graft.ext.IvfPq.topK(encoded, clustered, queries2, index,
+        "vec_id", "embedding", k = 10, nprobe = 4, shortlist = 50,
+        broadcastQueries = false)
+      .select("query_id", "neighbor_id", "dist", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val bcast = graft.ext.IvfPq.topK(encoded, clustered, queries2, index,
+        "vec_id", "embedding", k = 10, nprobe = 4, shortlist = 50)
+      .select("query_id", "neighbor_id", "dist", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(shuffled == bcast)
     encoded.unpersist()
   }
 
