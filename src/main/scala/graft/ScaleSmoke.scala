@@ -130,6 +130,14 @@ object ScaleSmoke {
         Seq("join", "spark", "window", "merge")).count() }
     time("2M docs vocabulary") {
       ext.TextModel.vocabulary(corpus, "doc_id", "text").count() }
+    // heavy hitters vs vocabulary: a per-doc junk token makes the domain
+    // 2M+ distinct terms — vocabulary must shuffle all of them, the MG
+    // screen shuffles only its bounded candidate set
+    time("2M docs exact heavy hitters (2M+ distinct, MG screen)") {
+      ext.HeavyHitters.frequentTokens(
+        corpus.select(concat(col("text"), lit(" u"), col("doc_id"))
+          .as("text")),
+        "text", minFreqRatio = 0.01).count() }
     time("2M docs unigram LM scoring") {
       ext.TextModel.unigramNll(corpus, "doc_id", "text").count() }
     time("2M docs decontaminate vs 2k bench") {

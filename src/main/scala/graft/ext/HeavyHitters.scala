@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGriesAgg
+
+/** Exact corpus-wide frequent tokens WITHOUT shuffling the vocabulary —
+  * the two-pass heavy-hitters design for unbounded key domains:
+  *
+  *   pass 1: one [[MisraGriesAgg]] sketch over the token stream (narrow
+  *           explode, partial aggregation, a single `capacity`-bounded
+  *           buffer per partition merged on one reducer — NO token-keyed
+  *           shuffle). Guarantee: every token with frequency
+  *           > n/(capacity+1) is among the candidates.
+  *   pass 2: exact counts for ONLY the candidate set (an `isin` filter
+  *           compiles to a broadcast-free InSet probe riding the scan;
+  *           the groupBy shuffles at most `capacity` distinct keys).
+  *
+  * Contrast with [[TextModel.vocabulary]], which is the right call when
+  * you WANT the full vocabulary as a distributed frame; this is the
+  * right call when you want the heavy tail cut before the shuffle — at
+  * web scale the vocabulary is ~1e9 junk-heavy terms while the answer
+  * is a few hundred rows.
+  *
+  * Output is EXACT (token, freq) for every token with
+  * freq ≥ ceil(minFreqRatio·n), ordered by (freq desc, token) — fully
+  * deterministic (the sketch's merge-order wobble affects only which
+  * EXTRA candidates reach pass 2, and pass 2's exact threshold filters
+  * those identically). `capacity` defaults to 2/minFreqRatio — twice
+  * the 1/minFreqRatio the guarantee needs. */
+object HeavyHitters {
+
+  def frequentTokens(docs: DataFrame, textCol: String,
+      minFreqRatio: Double, capacity: Int = 0): DataFrame = {
+    require(minFreqRatio > 0 && minFreqRatio <= 1,
+      s"minFreqRatio must be in (0, 1], got $minFreqRatio")
+    val cap =
+      if (capacity > 0) capacity
+      else math.max(16, math.ceil(2.0 / minFreqRatio).toInt)
+    require(cap + 1 > 1.0 / minFreqRatio,
+      s"capacity $cap cannot guarantee ratio $minFreqRatio " +
+        s"(need capacity+1 > ${1.0 / minFreqRatio})")
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+    // candidates + total token count in ONE pass over the stream
+    val first = toks.agg(
+      MisraGriesAgg.candidates(col("token"), cap).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = first.getSeq[String](0)
+    val n = first.getLong(1)
+    val threshold = math.max(1L, math.ceil(minFreqRatio * n).toLong)
+    if (cands.isEmpty)
+      return toks.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "token STRING, freq BIGINT"))
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= threshold)
+      .orderBy(col("freq").desc, col("token"))
+  }
+}

@@ -23,6 +23,20 @@ object TextQueries {
       .withColumn("text", concat(col("text"), lit(" zyxqj"))))
 
   val queries: Map[String, QFn] = Map(
+    // Exact heavy hitters via two-pass Misra-Gries: bounded-memory
+    // candidate sketch (NO vocabulary-wide shuffle), then exact counts
+    // on the candidate set only. A per-doc junk token is appended so
+    // the token domain (531 distinct) overflows the 100-slot sketch and
+    // the eviction/guarantee path actually runs; the DuckDB oracle
+    // computes the same answer from the FULL vocabulary — exactness of
+    // the sketch-screened path is precisely what the hash check proves.
+    "q97_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" u"), col("doc_id")).as("text"))
+      graft.ext.HeavyHitters.frequentTokens(docs, "text",
+        minFreqRatio = 0.02)
+    }),
+
     // Per-doc deterministic text statistics.
     "q24_text_stats" -> ((s, dir) => {
       TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -481,6 +495,24 @@ object TextQueries {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full-vocabulary exact computation of what the sketch-screened
+    // two-pass returns; threshold arithmetic mirrors the Scala side
+    // (double multiply then ceil)
+    "q97_heavy_hitters" ->
+      """WITH aug AS (
+        |  SELECT lower(trim(text || ' u' || CAST(doc_id AS VARCHAR))) AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT unnest(regexp_split_to_array(t, '\s+')) AS token
+        |  FROM aug WHERE t IS NOT NULL AND t <> ''),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+        |cnt AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM toks GROUP BY token)
+        |SELECT token, freq FROM cnt
+        |WHERE freq >= CEIL((SELECT n FROM tot) * 0.02)
+        |ORDER BY freq DESC, token""".stripMargin,
+
     "q62_decontaminate" -> decontamOracle,
 
     // bloom-screened path: same exact-output semantics as q62

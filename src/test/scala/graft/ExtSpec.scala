@@ -390,6 +390,42 @@ class ExtSpec extends SparkSpec {
     r.data.unpersist(); q.data.unpersist()
   }
 
+  test("heavy hitters: sketch-screened result is exact under eviction pressure") {
+    // heavy head + ~3.5k singleton junk tokens: far beyond the 25-slot
+    // sketch, so MG decrement/trim paths carry the guarantee
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        lit("alpha"),
+        when(col("id") % 2 === 0, lit("beta")).otherwise(lit("g")),
+        when(col("id") % 4 === 0, lit("gamma"))
+          .otherwise(concat(lit("junk"), col("id"))),
+        concat(lit("u"), col("id"))).as("text"))
+    val toks = docs.select(
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val n = toks.count()
+    val threshold = math.max(1L, math.ceil(0.05 * n).toLong)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= threshold)
+      .orderBy(col("freq").desc, col("token"))
+      .as[(String, Long)].collect().toSeq
+    assert(exact.map(_._1).toSet == Set("alpha", "beta", "g", "gamma"))
+    val got = graft.ext.HeavyHitters.frequentTokens(docs, "text",
+      minFreqRatio = 0.05, capacity = 25)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact)
+    // merge-order independence: a different partitioning changes which
+    // EXTRA candidates the sketch carries, never the exact answer
+    val got2 = graft.ext.HeavyHitters.frequentTokens(docs.repartition(13),
+      "text", minFreqRatio = 0.05, capacity = 25)
+      .as[(String, Long)].collect().toSeq
+    assert(got2 == exact)
+    // capacity below the guarantee bound is refused loudly
+    intercept[IllegalArgumentException] {
+      graft.ext.HeavyHitters.frequentTokens(docs, "text",
+        minFreqRatio = 0.05, capacity = 8)
+    }
+  }
+
   test("gap fill synthesizes missing days with zeros and forward-fills values") {
     val daily = Seq(
       ("a", "2024-01-01", 5L, 10.0), ("a", "2024-01-04", 3L, 30.0),

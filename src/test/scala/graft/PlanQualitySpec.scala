@@ -222,6 +222,18 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("heavy-hitter candidate pass never shuffles tokens by key") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val p = planOf(toks.agg(
+      graft.functions.MisraGriesAgg.candidates(col("token"), 100)))
+    // partial sketches merge through the single-partition exchange; the
+    // token stream itself is NEVER hash-partitioned by token
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("misragriesagg") || p.contains("MisraGriesAgg"), p)
+  }
+
   test("url normalization is a narrow projection — no exchange, no UDF") {
     import spark.implicits._
     val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")
