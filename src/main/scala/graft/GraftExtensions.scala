@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, SimHashAgg, VecDot}
+import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg, SimHashAgg, VecDot}
 
 /** SQL surface for the engine's native expressions — `spark.sql(...)`
   * callers get the same codegen'd/imperative kernels the Column API uses:
@@ -15,6 +15,7 @@ import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, SimHashAgg, Ve
   *  - `gram_pos_hashes(text, n)` position-aligned word-n-gram hashes
   *  - `simhash_agg(hash)`        aggregate: 64-bit SimHash of a hash column
   *  - `minhash_agg(hash, k)`     aggregate: k-slot one-permutation MinHash
+  *  - `misra_gries_agg(item, capacity)` aggregate: frequent-item candidates
   *
   * Two registration paths:
   *  - `spark.sql.extensions=graft.GraftExtensions` at session build
@@ -59,6 +60,11 @@ object GraftExtensions {
     require(exprs.length == 2, "minhash_agg(hash, k) takes two arguments")
     MinHashAgg(exprs.head, intLit(exprs(1), "minhash_agg", "k"))
   }
+  private def mkMisraGries(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "misra_gries_agg(item, capacity) takes two arguments")
+    MisraGriesAgg(exprs.head, intLit(exprs(1), "misra_gries_agg", "capacity"))
+  }
 
   private type Descriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
@@ -73,7 +79,8 @@ object GraftExtensions {
     descriptor("gram_mix_hashes", classOf[GramMixHashes], mkGramMix),
     descriptor("gram_pos_hashes", classOf[GramPosHashes], mkGramPos),
     descriptor("simhash_agg", classOf[SimHashAgg], mkSimHash),
-    descriptor("minhash_agg", classOf[MinHashAgg], mkMinHash))
+    descriptor("minhash_agg", classOf[MinHashAgg], mkMinHash),
+    descriptor("misra_gries_agg", classOf[MisraGriesAgg], mkMisraGries))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =

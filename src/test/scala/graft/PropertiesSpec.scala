@@ -191,5 +191,12 @@ class PropertiesSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("literal") ||
       err.getMessage != null)
+    // misra_gries_agg: with capacity >= distinct items the candidate set
+    // is exactly the distinct tokens, sorted
+    val cands = spark.sql(
+      """SELECT misra_gries_agg(t, 16) AS c FROM
+        |(SELECT explode(split(text, ' ')) AS t FROM gdocs)""".stripMargin)
+      .head().getSeq[String](0)
+    assert(cands == Seq("a", "b", "c", "d", "w", "x", "y", "z"))
   }
 }
