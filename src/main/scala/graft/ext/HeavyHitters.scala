@@ -28,7 +28,14 @@ import graft.functions.MisraGriesAgg
   * deterministic (the sketch's merge-order wobble affects only which
   * EXTRA candidates reach pass 2, and pass 2's exact threshold filters
   * those identically). `capacity` defaults to 2/minFreqRatio — twice
-  * the 1/minFreqRatio the guarantee needs. */
+  * the 1/minFreqRatio the guarantee needs.
+  *
+  * Sizing honesty: the buffer is `capacity` (string, long) entries per
+  * partial aggregate, so the design targets ratios down to ~1e-5
+  * (200k-entry buffers). For far rarer thresholds the candidate set
+  * stops being driver-sized and the right tool is
+  * [[TextModel.vocabulary]]'s distributed frame again — the sketch's
+  * win is exactly the regime where the answer is small. */
 object HeavyHitters {
 
   def frequentTokens(docs: DataFrame, textCol: String,
