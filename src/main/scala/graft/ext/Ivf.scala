@@ -102,10 +102,16 @@ object Ivf {
     * Vectors are cast to array&lt;double&gt; up front, matching [[train]]'s
     * projection exactly — otherwise a float corpus computes cellId in
     * different arithmetic at search time than the one its mass trained,
-    * and borderline vectors silently land in the wrong cell. */
+    * and borderline vectors silently land in the wrong cell.
+    *
+    * `broadcastQueries` only for genuinely small query batches (the
+    * point-lookup contract — keeps the corpus un-shuffled); set false
+    * for the all-pairs shape and the probe join falls back to a shuffle
+    * hash join on the cell key (same contract as
+    * [[Similarity.lshTopK]] / [[IvfPq.topK]]). */
   def topK(corpus: DataFrame, queries: DataFrame, m: Model,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-      roundDigits: Int = 4): DataFrame = {
+      roundDigits: Int = 4, broadcastQueries: Boolean = true): DataFrame = {
     val cv = col(vecCol).cast("array<double>")
     val c = corpus.select(col(idCol).as("neighbor_id"), cv.as("__cv"),
       Similarity.norm(cv).as("__cn"),
@@ -119,7 +125,8 @@ object Ivf {
     val q = queries.select(col(idCol).as("query_id"), cv.as("__qv"),
       Similarity.norm(cv).as("__qn"),
       explode(probes).as("cell"))
-    val scored = broadcast(q).join(c, Seq("cell"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val scored = qSide.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(
         when(col("__qn") > 0 && col("__cn") > 0,

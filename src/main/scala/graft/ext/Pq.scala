@@ -188,7 +188,15 @@ object Pq {
     * (query_id, neighbor_id, adist, rnk) ranked by ascending approximate
     * distance (ties by id). `encoded` is [[encode]] output; pass the raw
     * corpus through [[encode]] first and REUSE it across query batches —
-    * that's the point of the compressed index. */
+    * that's the point of the compressed index.
+    *
+    * QUERY-BATCH API: every code row scores against every query (that is
+    * what flat ADC means), so the query side must be broadcast-sized —
+    * each query row carries an M×K-double table. There is deliberately
+    * no non-broadcast fallback: without a blocking key the join can only
+    * degenerate to a Cartesian. For corpus-sized query frames (all-pairs
+    * near-dup) use [[IvfPq.topK]] with `broadcastQueries = false` — its
+    * cell key gives a true shuffle hash equi-join. */
   def topK(encoded: DataFrame, queries: DataFrame, model: Model,
       idCol: String, vecCol: String, k: Int,
       roundDigits: Int = 4): DataFrame = {

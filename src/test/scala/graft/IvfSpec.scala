@@ -53,6 +53,26 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("topK broadcastQueries=false: identical rows, no broadcast in plan") {
+    val m = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val bcast = Ivf.topK(emb, queries, m, "vec_id", "embedding", 5)
+    val shuffled = Ivf.topK(emb, queries, m, "vec_id", "embedding", 5,
+      broadcastQueries = false)
+    assert(rows(bcast) == rows(shuffled))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = Ivf.topK(emb, emb, m, "vec_id", "embedding", 5,
+        broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---------- SemDeDup (cluster-confined semantic dedup) ----------
 
   test("semDedup drops every planted scaled copy, keep-min-id") {
