@@ -368,6 +368,72 @@ object Streams {
       }
       .start()
 
+  /** Continuous corpus token statistics — the streaming face of
+    * [[graft.ext.HeavyHitters]]: each micro-batch reduces its own token
+    * stream to (token, cnt) partials (a BATCH-sized vocabulary shuffle —
+    * the only aggregation that ever runs) and lands them in an
+    * `ingest_batch=<id>` partition. Counts are additive, so the store
+    * accumulates exact corpus-wide state at delta cost: no read-
+    * modify-write of prior state, no state store, and nothing ever
+    * re-scans history on the write path.
+    *
+    * Replay safety: the dynamic-partition overwrite REWRITES a replayed
+    * batch's own partition — counts never double. (Pure insert-only
+    * replay contract; unlike the ingest sinks there is no cross-batch
+    * read at write time, so no committed-files guard is needed.)
+    *
+    * Read side: [[frequentTokensFromCounts]]. Compact sporadically by
+    * summing partitions into a single base partition if batch count
+    * grows into the thousands — the read-side groupBy handles either
+    * layout. */
+  def tokenCountSink(docs: DataFrame, countsDir: String, checkpoint: String,
+      textCol: String = "text",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val partial = batch
+            .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+            .select(explode(split(lower(trim(col(textCol))), "\\s+"))
+              .as("token"))
+            .groupBy(col("token"))
+            .agg(count(lit(1)).as("cnt"))
+          if (!partial.isEmpty)
+            partial.withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch")
+              .parquet(countsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Exact heavy hitters over everything [[tokenCountSink]] has ingested:
+    * per-batch partials sum by token (the store holds one row per
+    * (token, batch) — already collapsed within batches, so this shuffle
+    * is store-sized, far below the raw token stream), then the same
+    * exact threshold rule as [[graft.ext.HeavyHitters.frequentTokens]].
+    * Returns (token, freq) for freq ≥ ceil(minFreqRatio·n), ordered. */
+  def frequentTokensFromCounts(spark: SparkSession, countsDir: String,
+      minFreqRatio: Double): DataFrame = {
+    require(minFreqRatio > 0 && minFreqRatio <= 1,
+      s"minFreqRatio must be in (0, 1], got $minFreqRatio")
+    val counts = spark.read.parquet(countsDir)
+    // the store is partial-count-sized (one row per token per batch), so
+    // the two scans here cost a fraction of one raw-corpus pass
+    val n = counts.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    val threshold = math.max(1L, math.ceil(minFreqRatio * n).toLong)
+    counts.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("freq"))
+      .filter(col("freq") >= threshold)
+      .orderBy(col("freq").desc, col("token"))
+  }
+
   /** Stream-stream inner join: each left event picks up right-side events
     * for the same user within the trailing `rangeSeconds` window. Both
     * sides carry watermarks and the join condition bounds event-time

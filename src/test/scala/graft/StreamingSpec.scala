@@ -230,6 +230,40 @@ class StreamingSpec extends SparkSpec {
     assert(fs.exists(banded))
   }
 
+  test("token count sink accumulates exact counts; replay never doubles") {
+    val src = Files.createTempDirectory("tok-src").toString
+    val store = Files.createTempDirectory("tok-store").toString + "/counts"
+    val ckpt = Files.createTempDirectory("tok-ckpt").toString
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def run(rows: Seq[(Long, String)], f: String): Unit = {
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$f")
+      val q = Streams.tokenCountSink(
+        spark.readStream.schema(docSchema).parquet(s"$src/*"), store, ckpt)
+      q.awaitTermination(60000)
+    }
+    run(Seq((1L, "a b a"), (2L, "b c")), "b1")
+    run(Seq((3L, "a a b"), (4L, null.asInstanceOf[String])), "b2")
+    def hh(ratio: Double): Seq[(String, Long)] =
+      Streams.frequentTokensFromCounts(spark, store, ratio)
+        .as[(String, Long)].collect().toSeq
+    // 8 tokens total: a=4, b=3, c=1
+    assert(hh(0.125) == Seq("a" -> 4L, "b" -> 3L, "c" -> 1L))
+    assert(hh(0.3) == Seq("a" -> 4L, "b" -> 3L))
+    // replay with no new files: counts unchanged (no doubling)
+    val q3 = Streams.tokenCountSink(
+      spark.readStream.schema(docSchema).parquet(s"$src/*"), store, ckpt)
+    q3.awaitTermination(60000)
+    assert(hh(0.125) == Seq("a" -> 4L, "b" -> 3L, "c" -> 1L))
+    // batch parity: the streamed store answers exactly what the batch
+    // operator computes over the full corpus at the same threshold
+    val batchAnswer = graft.ext.HeavyHitters.frequentTokens(
+      Seq((1L, "a b a"), (2L, "b c"), (3L, "a a b")).toDF("doc_id", "text"),
+      "text", minFreqRatio = 0.3, capacity = 16)
+      .as[(String, Long)].collect().toSeq
+    assert(hh(0.3) == batchAnswer)
+  }
+
   test("stream-stream interval join attributes right events to left") {
     val lDir = Files.createTempDirectory("ss-left").toString
     val rDir = Files.createTempDirectory("ss-right").toString
