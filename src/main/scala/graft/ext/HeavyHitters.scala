@@ -63,7 +63,17 @@ object HeavyHitters {
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(
           "token STRING, freq BIGINT"))
-    toks.filter(col("token").isin(cands: _*))
+    // small candidate sets ride the scan as an InSet predicate; large
+    // ones would bloat the plan (every candidate is a literal in the
+    // expression tree), so they probe via a broadcast semi-join instead
+    // — same result, plan size independent of the candidate count
+    val screened =
+      if (cands.size <= 1000) toks.filter(col("token").isin(cands: _*))
+      else {
+        import toks.sparkSession.implicits._
+        toks.join(broadcast(cands.toDF("token")), Seq("token"), "left_semi")
+      }
+    screened
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= threshold)

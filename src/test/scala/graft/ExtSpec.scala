@@ -424,6 +424,13 @@ class ExtSpec extends SparkSpec {
       graft.ext.HeavyHitters.frequentTokens(docs, "text",
         minFreqRatio = 0.05, capacity = 8)
     }
+    // >1000 candidates flips the pass-2 screen from InSet literals to a
+    // broadcast semi-join; the answer must not change (threshold 8 keeps
+    // the same four heavy tokens, singletons stay below)
+    val got3 = graft.ext.HeavyHitters.frequentTokens(docs, "text",
+      minFreqRatio = 0.001, capacity = 1100)
+      .as[(String, Long)].collect().toSeq
+    assert(got3 == exact)
   }
 
   test("gap fill synthesizes missing days with zeros and forward-fills values") {
