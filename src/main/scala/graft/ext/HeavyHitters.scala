@@ -38,10 +38,22 @@ import graft.functions.MisraGriesAgg
   * win is exactly the regime where the answer is small. */
 object HeavyHitters {
 
+  /** `sketchGroups > 1` shards the candidate pass by token hash: every
+    * occurrence of a token lands in exactly ONE group, so a token heavy
+    * in the whole stream (freq > n/(capacity+1)) is at least as heavy
+    * relative to its own group's substream and the per-group guarantee
+    * still covers it. Use when ratio is small AND the cluster is large:
+    * the single-reducer final merge of the ungrouped pass receives one
+    * `capacity`-entry partial per map partition, which at 10k partitions
+    * × a 200k-entry capacity is a many-GB single-task merge — sharding
+    * splits that across `sketchGroups` reducers at the cost of a
+    * `sketchGroups × capacity` candidate bound. */
   def frequentTokens(docs: DataFrame, textCol: String,
-      minFreqRatio: Double, capacity: Int = 0): DataFrame = {
+      minFreqRatio: Double, capacity: Int = 0,
+      sketchGroups: Int = 1): DataFrame = {
     require(minFreqRatio > 0 && minFreqRatio <= 1,
       s"minFreqRatio must be in (0, 1], got $minFreqRatio")
+    require(sketchGroups >= 1, s"sketchGroups must be >= 1, got $sketchGroups")
     val cap =
       if (capacity > 0) capacity
       else math.max(16, math.ceil(2.0 / minFreqRatio).toInt)
@@ -52,11 +64,22 @@ object HeavyHitters {
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
     // candidates + total token count in ONE pass over the stream
-    val first = toks.agg(
-      MisraGriesAgg.candidates(col("token"), cap).as("cands"),
-      count(lit(1)).as("n")).head()
-    val cands = first.getSeq[String](0)
-    val n = first.getLong(1)
+    val (cands, n) =
+      if (sketchGroups == 1) {
+        val r = toks.agg(
+          MisraGriesAgg.candidates(col("token"), cap).as("cands"),
+          count(lit(1)).as("n")).head()
+        (r.getSeq[String](0), r.getLong(1))
+      } else {
+        val rows = toks
+          .groupBy(pmod(xxhash64(col("token")), lit(sketchGroups.toLong))
+            .as("__g"))
+          .agg(MisraGriesAgg.candidates(col("token"), cap).as("cands"),
+            count(lit(1)).as("n"))
+          .collect()
+        (rows.flatMap(_.getSeq[String](1)).toSeq,
+          rows.map(_.getLong(2)).sum)
+      }
     val threshold = math.max(1L, math.ceil(minFreqRatio * n).toLong)
     if (cands.isEmpty)
       return toks.sparkSession.createDataFrame(

@@ -431,6 +431,13 @@ class ExtSpec extends SparkSpec {
       minFreqRatio = 0.001, capacity = 1100)
       .as[(String, Long)].collect().toSeq
     assert(got3 == exact)
+    // hash-sharded candidate pass (the large-cluster merge shape): every
+    // token's whole mass lands in one shard, so the guarantee — and the
+    // exact answer — are unchanged
+    val got4 = graft.ext.HeavyHitters.frequentTokens(docs, "text",
+      minFreqRatio = 0.05, capacity = 25, sketchGroups = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(got4 == exact)
   }
 
   test("gap fill synthesizes missing days with zeros and forward-fills values") {
