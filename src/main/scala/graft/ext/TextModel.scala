@@ -87,6 +87,41 @@ object TextModel {
           col("n_tokens").cast("double"), roundTo))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every doc with the corpus (or reference)
+    * unigram LM and split the corpus at the `lo`/`hi` avg-NLL
+    * percentiles into head / middle / tail — the standard recipe for
+    * quality-tiered pretraining mixtures (head = most fluent under the
+    * reference distribution).
+    *
+    * Scale shape: the thresholds are ONE single-row exact-percentile
+    * aggregate broadcast back into a narrow projection — no global sort
+    * or window over the corpus. The scored frame appears twice in the
+    * plan (threshold agg + bucketing side); Spark reuses the underlying
+    * shuffle exchanges, and callers looping over buckets should persist
+    * [[unigramNll]]'s output and bucket it themselves.
+    *
+    * Determinism: avg_nll is the round(·,4) of an integer micro-nat sum
+    * (order-independent), thresholds round(·,6) after the standard
+    * linear-interpolation percentile — both cross-engine-stable (the
+    * q67/q50 parity classes). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.0, lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+      reference: Option[DataFrame] = None): DataFrame = {
+    require(lo > 0 && hi < 1 && lo < hi, s"need 0 < lo < hi < 1; got $lo, $hi")
+    val scored = unigramNll(docs, idCol, textCol, alpha,
+      reference = reference)
+    val th = scored.agg(
+      round(expr(s"percentile(avg_nll, $lo)"), 6).as("__t1"),
+      round(expr(s"percentile(avg_nll, $hi)"), 6).as("__t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("__t1"), lit("head"))
+          .when(col("avg_nll") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__t1", "__t2")
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick; Weinberger
     * et al. 2009): token t increments bucket `hash(t) mod dim`, giving a
     * dense `array<double>` of counts that plugs a text-only corpus

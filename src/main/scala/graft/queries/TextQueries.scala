@@ -37,6 +37,19 @@ object TextQueries {
         minFreqRatio = 0.02)
     }),
 
+    // CCNet perplexity bucketing: head/middle/tail split at the exact
+    // p33/p67 avg-NLL percentiles, thresholds via one broadcast
+    // single-row aggregate (no global sort). Hash-checked end-to-end —
+    // integer micro-nat scores (q67 class) + interpolated percentiles
+    // (q50 class).
+    "q98_perplexity_buckets" -> ((s, dir) => {
+      graft.ext.TextModel.perplexityBuckets(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-doc deterministic text statistics.
     "q24_text_stats" -> ((s, dir) => {
       TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -512,6 +525,35 @@ object TextQueries {
         |SELECT token, freq FROM cnt
         |WHERE freq >= CEIL((SELECT n FROM tot) * 0.02)
         |ORDER BY freq DESC, token""".stripMargin,
+
+    // q67's integer micro-nat scoring + q50's quantile_cont parity; the
+    // percentile fractions are the exact double literals Spark
+    // interpolates (1.0/3, 2.0/3 in shortest-decimal form)
+    "q98_perplexity_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (SELECT term, COUNT(*) AS nt FROM t GROUP BY term),
+        |s AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tt FROM c),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(-ln(CAST(nt AS DOUBLE) / tt) * 1e6) AS BIGINT) AS mi
+        |  FROM t JOIN c USING (term), s),
+        |d AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(SUM(mi) AS DOUBLE) / 1e6 / COUNT(*), 4) AS avg_nll
+        |  FROM m GROUP BY doc_id),
+        |th AS (
+        |  SELECT
+        |    ROUND(quantile_cont(avg_nll, 0.3333333333333333), 6) AS t1,
+        |    ROUND(quantile_cont(avg_nll, 0.6666666666666666), 6) AS t2
+        |  FROM d)
+        |SELECT doc_id, n_tokens, avg_nll,
+        |  CASE WHEN avg_nll <= (SELECT t1 FROM th) THEN 'head'
+        |       WHEN avg_nll <= (SELECT t2 FROM th) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q62_decontaminate" -> decontamOracle,
 

@@ -425,6 +425,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2) == ((3L, 6L, 6L, "😈 unique 𡃁 content 🎉 here")))
   }
 
+  test("perplexityBuckets tiers docs by LM score with ordered thresholds") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = graft.ext.TextModel
+      .perplexityBuckets(docs, "doc_id", "text").persist()
+    val n = docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .count()
+    assert(out.count() == n) // buckets partition the scored corpus
+    val byBucket = out.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("avg_nll").as("lo"),
+        max("avg_nll").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // tiers are ordered: every head doc scores <= every middle doc, etc.
+    assert(byBucket("head")._3 <= byBucket("middle")._2)
+    assert(byBucket("middle")._3 <= byBucket("tail")._2)
+    // percentile split: no tier bigger than ~half the corpus (exact
+    // thirds only when avg_nll values are distinct; ties may lump)
+    assert(byBucket.values.forall(_._1 <= n / 2 + 1))
+    out.unpersist()
+  }
+
   test("hashEmbedding histograms tokens into hashed buckets, no shuffle") {
     // deterministic stand-in hash: bucket = token length % dim
     val df = Seq((1L, "a bb a"), (2L, "ccc ccc"), (3L, "a bb a"))
