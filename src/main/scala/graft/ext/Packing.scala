@@ -47,6 +47,34 @@ object Packing {
       budget: Long, packCol: String = "pack_id"): DataFrame =
     packByBudgetOrdered(df, Seq(col(idCol)), tokensCol, budget, packCol)
 
+  /** Materialize the packed training examples: one row per pack with the
+    * member docs' text concatenated in pack order (the sequence a
+    * trainer would consume), plus member count and token total. The
+    * `orderCols` must be the SAME total order packing used — the
+    * within-pack sort is what makes the concatenation deterministic.
+    * The sort is an ascending STRUCT sort: encode a descending member
+    * (curriculum quality) by negation (`-col("quality")`), mirroring
+    * how it was packed.
+    *
+    * Scale: one shuffle on pack_id; each group holds only the docs of
+    * one budget-bounded pack, so `collect_list` state is capped by
+    * budget/min-doc-tokens members — group size is bounded by
+    * construction, the safe shape for collect_list. */
+  def assemblePacks(packed: DataFrame, textCol: String,
+      orderCols: Seq[Column], tokensCol: String,
+      packCol: String = "pack_id", sep: String = "\n\n"): DataFrame = {
+    require(orderCols.nonEmpty, "at least one order column")
+    packed
+      .withColumn("__ord", struct(orderCols: _*))
+      .groupBy(col(packCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("__ord"), col(textCol)))),
+          e => e.getField(textCol))).as("pack_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"))
+  }
+
   /** [[packByBudgetScalable]] generalized to an arbitrary TOTAL order —
     * the curriculum-packing shape: sort by (quality desc, id) and the
     * cumulative token budget walks the curriculum, so early packs hold

@@ -50,6 +50,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance resampling: pick the 100 raw docs that look most
+    // like the doc_id%7 target domain under hashed-unigram LMs, by
+    // Gumbel-max sampling on integer micro-nat log-weights — every
+    // stage deterministic (md5 bucket bridge + q67 micro-nat class +
+    // hash-derived Gumbel), so the selection hash-matches end-to-end.
+    "q100_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Dsir.resample(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        k = 100, dim = 64, hash = TextStats.md5Hash64)
+    }),
+
     // Per-doc deterministic text statistics.
     "q24_text_stats" -> ((s, dir) => {
       TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -177,6 +189,20 @@ object TextQueries {
         TextStats.tokenCount(col("text")).as("n_tokens"))
       graft.ext.Packing.packByBudgetScalable(tc, "doc_id", "n_tokens", 2048)
         .orderBy(col("doc_id"))
+    }),
+
+    // Pack ASSEMBLY: the packed training examples themselves — member
+    // texts concatenated in pack order (one budget-bounded collect_list
+    // group per pack). String output is DuckDB-hash-checked via
+    // string_agg with the same order.
+    "q99_assemble_packs" -> ((s, dir) => {
+      val tc = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))
+      val packed = graft.ext.Packing.packByBudgetScalable(
+        tc, "doc_id", "n_tokens", 2048)
+      graft.ext.Packing.assemblePacks(packed, "text",
+          Seq(col("doc_id")), "n_tokens")
+        .orderBy(col("pack_id"))
     }),
 
     // Deterministic train/val/test split (md5-bucket variant → the
@@ -526,6 +552,50 @@ object TextQueries {
         |WHERE freq >= CEIL((SELECT n FROM tot) * 0.02)
         |ORDER BY freq DESC, token""".stripMargin,
 
+    // bucket LMs + per-doc micro-nat weights + hash-Gumbel keys, all
+    // replicated with the md5 bridge; LIMIT after (key desc, id) order
+    "q100_dsir_resample" ->
+      """WITH raw AS (
+        |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''),
+        |rtok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        |  FROM raw),
+        |ttok AS (SELECT tok FROM rtok WHERE doc_id % 7 = 0),
+        |rb AS (
+        |  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b,
+        |    COUNT(*) AS c
+        |  FROM rtok GROUP BY 1),
+        |tb AS (
+        |  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b,
+        |    COUNT(*) AS c
+        |  FROM ttok GROUP BY 1),
+        |bk AS (SELECT i AS b FROM range(0, 64) t(i)),
+        |j AS (
+        |  SELECT bk.b, COALESCE(tb.c, 0) AS ct, COALESCE(rb.c, 0) AS cr
+        |  FROM bk LEFT JOIN tb ON bk.b = tb.b LEFT JOIN rb ON bk.b = rb.b),
+        |tot AS (
+        |  SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr
+        |  FROM j),
+        |mi AS (
+        |  SELECT b, CAST(ROUND(ln(
+        |      (CAST(ct AS DOUBLE) + 1) / (tt + 64) /
+        |      ((CAST(cr AS DOUBLE) + 1) / (tr + 64))) * 1e6) AS BIGINT) AS m
+        |  FROM j, tot),
+        |sc AS (
+        |  SELECT r.doc_id, CAST(SUM(mi.m) AS BIGINT) AS score_micros
+        |  FROM rtok r
+        |  JOIN mi ON ('0x' || substr(md5(r.tok), 1, 15))::BIGINT % 64 = mi.b
+        |  GROUP BY r.doc_id),
+        |g AS (
+        |  SELECT doc_id, score_micros,
+        |    CAST(ROUND(-ln(-ln(
+        |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 15))::BIGINT
+        |        % 1000000) + 0.5) / 1000000.0)) * 1e6) AS BIGINT) AS gm
+        |  FROM sc)
+        |SELECT doc_id, score_micros, score_micros + gm AS key_micros
+        |FROM g ORDER BY key_micros DESC, doc_id LIMIT 100""".stripMargin,
+
     // q67's integer micro-nat scoring + q50's quantile_cont parity; the
     // percentile fractions are the exact double literals Spark
     // interpolates (1.0/3, 2.0/3 in shortest-decimal form)
@@ -773,6 +843,27 @@ object TextQueries {
         |SELECT doc_id, n_tokens,
         |  CAST(FLOOR(CAST(b AS DOUBLE) / 2048) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q61's pack assignment + string_agg assembly in the same order
+    "q99_assemble_packs" ->
+      """WITH tc AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+        |  FROM tc),
+        |p AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(FLOOR(CAST(b AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+        |  FROM c)
+        |SELECT pack_id,
+        |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS pack_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
     "q59_hash_split" ->
       """SELECT doc_id, lang,

@@ -425,6 +425,26 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2) == ((3L, 6L, 6L, "😈 unique 𡃁 content 🎉 here")))
   }
 
+  test("DSIR resampling prefers docs that look like the target domain") {
+    val raw = spark.range(200).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0,
+        lit("alpha beta gamma delta alpha beta"))
+        .otherwise(lit("omega sigma theta lambda omega sigma")).as("text"))
+    val target = spark.range(50).select((col("id") * 2).as("doc_id"),
+      lit("alpha beta gamma delta").as("text"))
+    val picked = graft.ext.Dsir.resample(raw, target, "doc_id", "text",
+      k = 50).select("doc_id").as[Long].collect()
+    assert(picked.length == 50)
+    // weight ratio between families is e^~9 per doc — Gumbel noise
+    // cannot realistically flip the family preference
+    val evenShare = picked.count(_ % 2 == 0).toDouble / picked.length
+    assert(evenShare >= 0.9, s"target-family share $evenShare")
+    // hash-derived noise: bit-identical selection under repartitioning
+    val again = graft.ext.Dsir.resample(raw.repartition(7), target,
+      "doc_id", "text", k = 50).select("doc_id").as[Long].collect()
+    assert(picked.toSeq == again.toSeq)
+  }
+
   test("perplexityBuckets tiers docs by LM score with ordered thresholds") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = graft.ext.TextModel
