@@ -234,6 +234,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("misragriesagg") || p.contains("MisraGriesAgg"), p)
   }
 
+  test("dsir scoring rides the scan; selection is TakeOrderedAndProject") {
+    val p = planOf(SparkEntry.queries("q100_dsir_resample")(spark, sfDir))
+    // the bucket LMs collapsed to a literal before this plan was built:
+    // scoring is a pure projection (no join against the corpus) and the
+    // top-k never global-sorts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("pack assembly is one keyed shuffle on pack_id") {
+    val p = planOf(SparkEntry.queries("q99_assemble_packs")(spark, sfDir))
+    // two-phase packing contributes its range partitioning; the assembly
+    // adds exactly one hash exchange (the pack_id groupBy)
+    assert(countOcc(p, "Exchange hashpartitioning(pack_id") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("url normalization is a narrow projection — no exchange, no UDF") {
     import spark.implicits._
     val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")
