@@ -45,24 +45,29 @@ object Dsir {
     val tgtC = bucketCounts(target)
     // dense 0..dim-1 bucket frame so absent buckets still smooth to +1
     val buckets = spark.range(dim).select(col("id").as("__b"))
+    // persist the dim-sized count table: the totals action and the
+    // log-ratio collect below must not EACH re-scan both token streams
     val joined = buckets
       .join(tgtC.withColumnRenamed("__c", "__ct"), Seq("__b"), "left")
       .join(rawC.withColumnRenamed("__c", "__cr"), Seq("__b"), "left")
       .select(col("__b"),
         coalesce(col("__ct"), lit(0L)).as("__ct"),
         coalesce(col("__cr"), lit(0L)).as("__cr"))
-    val totals = joined.agg(sum(col("__ct")).as("__tt"),
-      sum(col("__cr")).as("__tr")).head()
-    val tt = totals.getLong(0); val tr = totals.getLong(1)
-    // p(b) = (c_b + 1) / (T + dim); ratio folded in one ln for one round
-    val mi = round(
-      log((col("__ct").cast("double") + 1.0) / lit((tt + dim).toDouble) /
-        ((col("__cr").cast("double") + 1.0) / lit((tr + dim).toDouble)))
-        * lit(1e6), 0).cast(LongType)
-    val rows = joined.select(col("__b"), mi.as("__mi")).collect()
-    val out = new Array[Long](dim)
-    rows.foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
-    out
+      .persist()
+    try {
+      val totals = joined.agg(sum(col("__ct")).as("__tt"),
+        sum(col("__cr")).as("__tr")).head()
+      val tt = totals.getLong(0); val tr = totals.getLong(1)
+      // p(b) = (c_b + 1) / (T + dim); ratio folded in one ln, one round
+      val mi = round(
+        log((col("__ct").cast("double") + 1.0) / lit((tt + dim).toDouble) /
+          ((col("__cr").cast("double") + 1.0) / lit((tr + dim).toDouble)))
+          * lit(1e6), 0).cast(LongType)
+      val rows = joined.select(col("__b"), mi.as("__mi")).collect()
+      val out = new Array[Long](dim)
+      rows.foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    } finally joined.unpersist(blocking = false)
   }
 
   /** Select `k` docs from `raw` by importance to `target`. Output:
