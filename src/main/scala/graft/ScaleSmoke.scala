@@ -138,6 +138,12 @@ object ScaleSmoke {
         corpus.select(concat(col("text"), lit(" u"), col("doc_id"))
           .as("text")),
         "text", minFreqRatio = 0.01).count() }
+    // DSIR: two bucket-LM aggregates (map-side combine onto 64 keys) +
+    // one narrow scoring/top-k pass — three scans total, no corpus join
+    time("2M docs DSIR importance resample (top 100k vs 20k target)") {
+      ext.Dsir.resample(corpus,
+        corpus.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+        k = 100000).count() }
     time("2M docs unigram LM scoring") {
       ext.TextModel.unigramNll(corpus, "doc_id", "text").count() }
     time("2M docs decontaminate vs 2k bench") {

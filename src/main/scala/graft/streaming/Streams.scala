@@ -396,18 +396,20 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val partial = batch
+          // no emptiness probe: a zero-row frame under dynamic partition
+          // overwrite touches no partitions (a free no-op), and probing
+          // would cost an extra pass over the batch
+          batch
             .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
             .select(explode(split(lower(trim(col(textCol))), "\\s+"))
               .as("token"))
             .groupBy(col("token"))
             .agg(count(lit(1)).as("cnt"))
-          if (!partial.isEmpty)
-            partial.withColumn("ingest_batch", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ingest_batch")
-              .parquet(countsDir)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(countsDir)
         }
         ()
       }
