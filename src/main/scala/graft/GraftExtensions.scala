@@ -5,12 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg, SimHashAgg, VecDot}
+import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg, SimHashAgg, VecDot, VecL2Sq}
 
 /** SQL surface for the engine's native expressions — `spark.sql(...)`
   * callers get the same codegen'd/imperative kernels the Column API uses:
   *
   *  - `vec_dot(a, b)`            codegen'd double dot product
+  *  - `vec_l2sq(a, b)`           codegen'd squared L2 distance
   *  - `gram_mix_hashes(text, n)` distinct word-n-gram hash set
   *  - `gram_pos_hashes(text, n)` position-aligned word-n-gram hashes
   *  - `simhash_agg(hash)`        aggregate: 64-bit SimHash of a hash column
@@ -44,6 +45,10 @@ object GraftExtensions {
     require(exprs.length == 2, "vec_dot(a, b) takes exactly two arguments")
     VecDot(exprs.head, exprs(1))
   }
+  private def mkVecL2Sq(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "vec_l2sq(a, b) takes exactly two arguments")
+    VecL2Sq(exprs.head, exprs(1))
+  }
   private def mkGramMix(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "gram_mix_hashes(text, n) takes two arguments")
     GramMixHashes(exprs.head, intLit(exprs(1), "gram_mix_hashes", "n"))
@@ -76,6 +81,7 @@ object GraftExtensions {
 
   private[graft] val descriptors: Seq[Descriptor] = Seq(
     descriptor("vec_dot", classOf[VecDot], mkVecDot),
+    descriptor("vec_l2sq", classOf[VecL2Sq], mkVecL2Sq),
     descriptor("gram_mix_hashes", classOf[GramMixHashes], mkGramMix),
     descriptor("gram_pos_hashes", classOf[GramPosHashes], mkGramPos),
     descriptor("simhash_agg", classOf[SimHashAgg], mkSimHash),

@@ -84,8 +84,7 @@ object IvfPq {
       val sv = slice(col("__rq"), mm * index.pq.subDim + 1, index.pq.subDim)
       element_at(transform(array(sv), s =>
         array(index.pq.codebooks(mm).map(c =>
-          aggregate(zip_with(s, typedlit(c), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x)): _*)), 1)
+          graft.functions.VectorFunctions.vec_l2sq(s, typedlit(c))): _*)), 1)
     }: _*)
     val q = q0.select(col("query_id"), col("cell"), table.as("__tab"))
     val adist = aggregate(
@@ -110,8 +109,7 @@ object IvfPq {
       .join(qvSide, Seq("query_id"))
       .join(nv, Seq("neighbor_id"))
       .withColumn("dist", round(
-        aggregate(zip_with(col("__qv2"), col("__nv"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x),
+        graft.functions.VectorFunctions.vec_l2sq(col("__qv2"), col("__nv")),
         roundDigits))
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)

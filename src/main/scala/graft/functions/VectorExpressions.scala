@@ -88,8 +88,88 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared L2 distance — [[VecDot]]'s twin for the PQ/IVF hot
+  * loops (codebook training, encoding, ADC tables, exact rerank), where
+  * the `aggregate(zip_with(...))` fold interprets two lambdas per
+  * element. Same contracts as VecDot: sequential left-to-right
+  * accumulation (bit-identical to the fold it replaces), null elements
+  * contribute 0, overlap of differing lengths, null array → null.
+  * Inside a higher-order function (runtime codebooks) it still wins:
+  * the HOF evaluates it as ONE tight interpreted loop instead of a
+  * lambda call per element. */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq needs array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+        val d = xv - yv
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(arr: String, dt: DataType, i: String): String = dt match {
+      case FloatType => s"(double)$arr.getFloat($i)"
+      case _         => s"$arr.getDouble($i)"
+    }
+    val (lt, rt) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = ${getter(a, lt, i)} - ${getter(b, rt, i)};
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product (see [[VecDot]]). */
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd squared L2 distance (see [[VecL2Sq]]). */
+  def vec_l2sq(a: Column, b: Column): Column =
+    Bridge.column(VecL2Sq(Bridge.expression(a), Bridge.expression(b)))
 }

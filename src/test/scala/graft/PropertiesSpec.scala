@@ -162,6 +162,28 @@ class PropertiesSpec extends SparkSpec {
     assert(viaSql == 32.0 && viaCol == 32.0)
   }
 
+  test("vec_l2sq matches the HOF fold bit-exactly, from Column and SQL") {
+    GraftExtensions.register(spark)
+    val df = spark.range(50).select(col("id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        sin(col("id") * lit(3.0) + j)).as("a"),
+      transform(sequence(lit(0), lit(15)), j =>
+        cos(col("id") * lit(7.0) + j)).as("b"))
+    val cmp = df.select(
+      graft.functions.VectorFunctions.vec_l2sq(col("a"), col("b")).as("n"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(cmp == 0) // same left-to-right accumulation: bit-identical
+    df.createOrReplaceTempView("l2vecs")
+    val viaSql = spark.sql(
+      "SELECT sum(vec_l2sq(a, b)) FROM l2vecs").head().getDouble(0)
+    val viaCol = df.select(sum(
+      graft.functions.VectorFunctions.vec_l2sq(col("a"), col("b"))))
+      .head().getDouble(0)
+    assert(viaSql == viaCol)
+  }
+
   test("native gram/sketch functions are callable from SQL") {
     GraftExtensions.register(spark)
     Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
