@@ -16,7 +16,7 @@ import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg,
   *  - `gram_pos_hashes(text, n)` position-aligned word-n-gram hashes
   *  - `simhash_agg(hash)`        aggregate: 64-bit SimHash of a hash column
   *  - `minhash_agg(hash, k)`     aggregate: k-slot one-permutation MinHash
-  *  - `misra_gries_agg(item, capacity)` aggregate: frequent-item candidates
+  *  - `misra_gries_agg(item[, weight], capacity)` aggregate: frequent-item candidates
   *
   * Two registration paths:
   *  - `spark.sql.extensions=graft.GraftExtensions` at session build
@@ -65,10 +65,16 @@ object GraftExtensions {
     require(exprs.length == 2, "minhash_agg(hash, k) takes two arguments")
     MinHashAgg(exprs.head, intLit(exprs(1), "minhash_agg", "k"))
   }
-  private def mkMisraGries(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2,
-      "misra_gries_agg(item, capacity) takes two arguments")
-    MisraGriesAgg(exprs.head, intLit(exprs(1), "misra_gries_agg", "capacity"))
+  private def mkMisraGries(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(item, cap) =>
+      MisraGriesAgg(item,
+        Literal(1L, org.apache.spark.sql.types.LongType),
+        intLit(cap, "misra_gries_agg", "capacity"))
+    case Seq(item, weight, cap) =>
+      MisraGriesAgg(item, weight,
+        intLit(cap, "misra_gries_agg", "capacity"))
+    case _ => throw new IllegalArgumentException(
+      "misra_gries_agg(item[, weight], capacity) takes 2 or 3 arguments")
   }
 
   private type Descriptor =

@@ -50,56 +50,78 @@ object HeavyHitters {
     * `sketchGroups × capacity` candidate bound. */
   def frequentTokens(docs: DataFrame, textCol: String,
       minFreqRatio: Double, capacity: Int = 0,
+      sketchGroups: Int = 1): DataFrame =
+    frequentWeighted(
+      docs
+        .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+        .select(explode(split(lower(trim(col(textCol))), "\\s+"))
+          .as("token"))
+        .withColumn("__w", lit(1L)),
+      "token", "__w", minFreqRatio, capacity, sketchGroups)
+      .withColumnRenamed("weight", "freq")
+
+  /** The general form over ANY (item, weight) frame — top domains by
+    * bytes, sources by token mass, or the bounded-memory screen over a
+    * pre-aggregated (token, count) store (the streaming count sink's
+    * read side at extreme scale). Exact (item, weight = Σ) for every
+    * item with weight ≥ ceil(minWeightRatio · W); null items and
+    * non-positive weights contribute nothing. */
+  def frequentWeighted(items: DataFrame, itemCol: String, weightCol: String,
+      minWeightRatio: Double, capacity: Int = 0,
       sketchGroups: Int = 1): DataFrame = {
-    require(minFreqRatio > 0 && minFreqRatio <= 1,
-      s"minFreqRatio must be in (0, 1], got $minFreqRatio")
+    require(minWeightRatio > 0 && minWeightRatio <= 1,
+      s"minWeightRatio must be in (0, 1], got $minWeightRatio")
     require(sketchGroups >= 1, s"sketchGroups must be >= 1, got $sketchGroups")
     val cap =
       if (capacity > 0) capacity
-      else math.max(16, math.ceil(2.0 / minFreqRatio).toInt)
-    require(cap + 1 > 1.0 / minFreqRatio,
-      s"capacity $cap cannot guarantee ratio $minFreqRatio " +
-        s"(need capacity+1 > ${1.0 / minFreqRatio})")
-    val toks = docs
-      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
-    // candidates + total token count in ONE pass over the stream
-    val (cands, n) =
+      else math.max(16, math.ceil(2.0 / minWeightRatio).toInt)
+    require(cap + 1 > 1.0 / minWeightRatio,
+      s"capacity $cap cannot guarantee ratio $minWeightRatio " +
+        s"(need capacity+1 > ${1.0 / minWeightRatio})")
+    val base = items
+      .filter(col(itemCol).isNotNull && col(weightCol) > 0)
+      .select(col(itemCol).cast("string").as("item"),
+        col(weightCol).cast("long").as("__w"))
+    // candidates + total weight in ONE pass over the stream
+    val (cands, w) =
       if (sketchGroups == 1) {
-        val r = toks.agg(
-          MisraGriesAgg.candidates(col("token"), cap).as("cands"),
-          count(lit(1)).as("n")).head()
+        val r = base.agg(
+          MisraGriesAgg.weightedCandidates(col("item"), col("__w"), cap)
+            .as("cands"),
+          sum(col("__w")).as("w")).head()
         (r.getSeq[String](0), r.getLong(1))
       } else {
-        val rows = toks
-          .groupBy(pmod(xxhash64(col("token")), lit(sketchGroups.toLong))
+        val rows = base
+          .groupBy(pmod(xxhash64(col("item")), lit(sketchGroups.toLong))
             .as("__g"))
-          .agg(MisraGriesAgg.candidates(col("token"), cap).as("cands"),
-            count(lit(1)).as("n"))
+          .agg(MisraGriesAgg.weightedCandidates(col("item"), col("__w"), cap)
+            .as("cands"),
+            sum(col("__w")).as("w"))
           .collect()
         (rows.flatMap(_.getSeq[String](1)).toSeq,
           rows.map(_.getLong(2)).sum)
       }
-    val threshold = math.max(1L, math.ceil(minFreqRatio * n).toLong)
+    val threshold = math.max(1L, math.ceil(minWeightRatio * w).toLong)
     if (cands.isEmpty)
-      return toks.sparkSession.createDataFrame(
+      return base.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType.fromDDL(
-          "token STRING, freq BIGINT"))
+          s"$itemCol STRING, weight BIGINT"))
     // small candidate sets ride the scan as an InSet predicate; large
     // ones would bloat the plan (every candidate is a literal in the
     // expression tree), so they probe via a broadcast semi-join instead
     // — same result, plan size independent of the candidate count
     val screened =
-      if (cands.size <= 1000) toks.filter(col("token").isin(cands: _*))
+      if (cands.size <= 1000) base.filter(col("item").isin(cands: _*))
       else {
-        import toks.sparkSession.implicits._
-        toks.join(broadcast(cands.toDF("token")), Seq("token"), "left_semi")
+        import base.sparkSession.implicits._
+        base.join(broadcast(cands.toDF("item")), Seq("item"), "left_semi")
       }
     screened
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= threshold)
-      .orderBy(col("freq").desc, col("token"))
+      .groupBy(col("item"))
+      .agg(sum(col("__w")).as("weight"))
+      .filter(col("weight") >= threshold)
+      .orderBy(col("weight").desc, col("item"))
+      .withColumnRenamed("item", itemCol)
   }
 }

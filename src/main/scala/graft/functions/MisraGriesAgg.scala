@@ -7,62 +7,86 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Misra-Gries frequent-items sketch (Misra & Gries 1982) as a mergeable
-  * imperative Catalyst aggregate — the bounded-memory candidate pass for
-  * exact heavy hitters over an UNBOUNDED key domain (a 100 TB web corpus
-  * has ~1e9+ distinct junk tokens; a groupBy over all of them shuffles
-  * the whole vocabulary, this sketch shuffles `capacity` entries per
-  * partial buffer).
+/** Misra-Gries frequent-items sketch (Misra & Gries 1982), WEIGHTED, as
+  * a mergeable imperative Catalyst aggregate — the bounded-memory
+  * candidate pass for exact heavy hitters over an UNBOUNDED key domain
+  * (a 100 TB web corpus has ~1e9+ distinct junk tokens; a groupBy over
+  * all of them shuffles the whole vocabulary, this sketch shuffles
+  * `capacity` entries per partial buffer).
   *
-  * Buffer: at most `capacity` (item, residual-count) pairs. Update is the
-  * classic rule — increment a tracked item, insert while there is room,
-  * otherwise decrement ALL counters and drop zeros (amortized O(1): each
-  * decrement pays for one unmatched insert). Merge adds counts, then
-  * restores the size bound by subtracting the (capacity+1)-th largest
-  * residual from every counter and dropping non-positives — the
-  * mergeable-summaries rule (Agarwal et al., PODS'12), which preserves
-  * the global guarantee: ANY item with true frequency > n/(capacity+1)
-  * over the n total inputs survives to the output.
+  * Buffer: at most `capacity` (item, residual-weight) pairs. Update adds
+  * the row's weight to its item; when the table overflows, the
+  * (capacity+1)-th largest residual is subtracted from every counter and
+  * non-positives drop — the mergeable-summaries rule (Agarwal et al.,
+  * PODS'12), applied identically on merge. The guarantee: ANY item whose
+  * true total weight exceeds W/(capacity+1) — W the total weight seen —
+  * survives to the output. Unit weights give the classic frequent-items
+  * bound; weights let the same sketch answer "top domains by bytes" or
+  * screen a pre-aggregated (token, count) store.
   *
-  * Residual counts are merge-ORDER-dependent (only the candidate-set
+  * Residual weights are merge-ORDER-dependent (only the candidate-set
   * guarantee is deterministic), so eval returns the candidate ITEMS
-  * alone, sorted — callers needing frequencies run an exact second pass
-  * over this bounded set ([[graft.ext.HeavyHitters]]). */
+  * alone, sorted — callers needing exact totals run a second pass over
+  * this bounded set ([[graft.ext.HeavyHitters]]). Null items and
+  * non-positive weights contribute nothing. */
 case class MisraGriesAgg(
-    child: Expression,
+    left: Expression,
+    right: Expression,
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
-  with UnaryLike[Expression] {
+  with BinaryLike[Expression] {
 
   require(capacity > 0, s"capacity must be positive, got $capacity")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"misra_gries_agg item must be STRING, got ${left.dataType.sql}")
+    else right.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"misra_gries_agg weight must be INT/BIGINT, got ${other.sql}")
+    }
+  }
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
+  /** Restore the size bound: subtract the (capacity+1)-th largest
+    * residual from every counter, drop non-positives. */
+  private def trim(buf: mutable.HashMap[String, Long]): Unit =
+    if (buf.size > capacity) {
+      val cut = buf.values.toArray.sortBy(-_).apply(capacity)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.mapValuesInPlace { (_, c) => c - cut }
+      buf.foreach { case (k, c) => if (c <= 0) dead += k }
+      dead.foreach(buf.remove)
+    }
+
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
-    val v = child.eval(input)
+    val v = left.eval(input)
     if (v != null) {
-      val item = v.asInstanceOf[UTF8String].toString
-      buf.get(item) match {
-        case Some(c) => buf.update(item, c + 1)
-        case None if buf.size < capacity => buf.update(item, 1L)
-        case None =>
-          // decrement-all: every tracked counter pays one; zeros drop
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.mapValuesInPlace { (_, c) => c - 1 }
-          buf.foreach { case (k, c) => if (c <= 0) dead += k }
-          dead.foreach(buf.remove)
+      val w = right.eval(input) match {
+        case null => 0L
+        case x: Long => x
+        case x: Int => x.toLong
+      }
+      if (w > 0) {
+        val item = v.asInstanceOf[UTF8String].toString
+        buf.update(item, buf.getOrElse(item, 0L) + w)
+        trim(buf)
       }
     }
     buf
@@ -73,14 +97,7 @@ case class MisraGriesAgg(
     b2.foreach { case (k, c) =>
       b1.update(k, b1.getOrElse(k, 0L) + c)
     }
-    if (b1.size > capacity) {
-      // subtract the (capacity+1)-th largest residual, drop non-positive
-      val cut = b1.values.toArray.sortBy(-_).apply(capacity)
-      val dead = mutable.ArrayBuffer.empty[String]
-      b1.mapValuesInPlace { (_, c) => c - cut }
-      b1.foreach { case (k, c) => if (c <= 0) dead += k }
-      dead.foreach(b1.remove)
-    }
+    trim(b1)
     b1
   }
 
@@ -123,14 +140,22 @@ case class MisraGriesAgg(
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
     copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(c: Expression): MisraGriesAgg =
-    copy(child = c)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MisraGriesAgg =
+    copy(left = newLeft, right = newRight)
 }
 
 object MisraGriesAgg {
   /** Aggregate Column: sorted candidate items (array<string>) covering
     * every item with frequency > n/(capacity+1). */
   def candidates(item: Column, capacity: Int): Column =
-    Bridge.column(
-      MisraGriesAgg(Bridge.expression(item), capacity).toAggregateExpression())
+    Bridge.column(MisraGriesAgg(Bridge.expression(item),
+      Literal(1L, LongType), capacity).toAggregateExpression())
+
+  /** Weighted form: every item whose total weight exceeds
+    * W/(capacity+1) is guaranteed among the candidates. */
+  def weightedCandidates(item: Column, weight: Column,
+      capacity: Int): Column =
+    Bridge.column(MisraGriesAgg(Bridge.expression(item),
+      Bridge.expression(weight), capacity).toAggregateExpression())
 }

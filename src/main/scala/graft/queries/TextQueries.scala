@@ -62,6 +62,19 @@ object TextQueries {
         k = 100, dim = 64, hash = TextStats.md5Hash64)
     }),
 
+    // WEIGHTED heavy hitters (top sources by character mass): odd docs
+    // contribute per-doc junk items so the 260-item domain overflows the
+    // 200-slot weighted sketch; the oracle computes the same answer from
+    // the full groupBy — exactness of the weighted screen is the check.
+    "q101_weighted_hitters" -> ((s, dir) => {
+      val items = t(s, dir, "documents").select(
+        when(col("doc_id") % 2 === 0, col("source"))
+          .otherwise(concat(lit("u"), col("doc_id"))).as("item"),
+        col("n_chars").cast("long").as("w"))
+      graft.ext.HeavyHitters.frequentWeighted(items, "item", "w",
+        minWeightRatio = 0.01)
+    }),
+
     // Per-doc deterministic text statistics.
     "q24_text_stats" -> ((s, dir) => {
       TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -551,6 +564,20 @@ object TextQueries {
         |SELECT token, freq FROM cnt
         |WHERE freq >= CEIL((SELECT n FROM tot) * 0.02)
         |ORDER BY freq DESC, token""".stripMargin,
+
+    // full-groupBy exact computation of the weighted-screen output
+    "q101_weighted_hitters" ->
+      """WITH it AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN source
+        |              ELSE 'u' || CAST(doc_id AS VARCHAR) END AS item,
+        |    CAST(n_chars AS BIGINT) AS w
+        |  FROM documents WHERE n_chars > 0),
+        |tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS tw FROM it),
+        |s AS (SELECT item, CAST(SUM(w) AS BIGINT) AS weight
+        |      FROM it GROUP BY item)
+        |SELECT item, weight FROM s
+        |WHERE weight >= CEIL((SELECT tw FROM tot) * 0.01)
+        |ORDER BY weight DESC, item""".stripMargin,
 
     // bucket LMs + per-doc micro-nat weights + hash-Gumbel keys, all
     // replicated with the md5 bridge; LIMIT after (key desc, id) order

@@ -440,6 +440,36 @@ class ExtSpec extends SparkSpec {
     assert(got4 == exact)
   }
 
+  test("weighted heavy hitters: exact totals under eviction pressure") {
+    // 4 heavy items carry most of the mass; 2000 singleton junk items
+    // (weight 1-3) overflow the 20-slot sketch constantly
+    val items = spark.range(2000).select(
+      when(col("id") % 4 === 0, lit("big")) // weight 100 × 500
+        .when(col("id") % 4 === 1, lit("mid")) // weight 40 × 500
+        .when(col("id") % 4 === 2, lit("low")) // weight 20 × 500
+        .otherwise(concat(lit("junk"), col("id"))).as("item"),
+      when(col("id") % 4 === 0, lit(100L))
+        .when(col("id") % 4 === 1, lit(40L))
+        .when(col("id") % 4 === 2, lit(20L))
+        .otherwise(col("id") % 3 + 1).as("w"))
+    val toksW = items.groupBy("item").agg(sum("w").as("tw"))
+    val total = items.agg(sum("w")).head().getLong(0)
+    val threshold = math.max(1L, math.ceil(0.06 * total).toLong)
+    val exact = toksW.filter(col("tw") >= threshold)
+      .orderBy(col("tw").desc, col("item"))
+      .as[(String, Long)].collect().toSeq
+    assert(exact.map(_._1).toSet == Set("big", "mid", "low"))
+    val got = graft.ext.HeavyHitters.frequentWeighted(items, "item", "w",
+      minWeightRatio = 0.06, capacity = 20)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact)
+    // partition permutation changes only the discarded extras
+    val got2 = graft.ext.HeavyHitters.frequentWeighted(items.repartition(9),
+      "item", "w", minWeightRatio = 0.06, capacity = 20)
+      .as[(String, Long)].collect().toSeq
+    assert(got2 == exact)
+  }
+
   test("gap fill synthesizes missing days with zeros and forward-fills values") {
     val daily = Seq(
       ("a", "2024-01-01", 5L, 10.0), ("a", "2024-01-04", 3L, 30.0),
