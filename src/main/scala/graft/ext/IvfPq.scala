@@ -87,9 +87,9 @@ object IvfPq {
           graft.functions.VectorFunctions.vec_l2sq(s, typedlit(c))): _*)), 1)
     }: _*)
     val q = q0.select(col("query_id"), col("cell"), table.as("__tab"))
-    val adist = aggregate(
-      zip_with(col("codes"), col("__tab"), (c, row) => element_at(row, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // per-(candidate × probe) inner loop, codegen'd ([[VecAdcSum]])
+    val adist = graft.functions.VectorFunctions.vec_adc_sum(
+      col("codes"), col("__tab"))
     val qSide = if (broadcastQueries) broadcast(q) else q
     val cand = encoded.join(qSide, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))

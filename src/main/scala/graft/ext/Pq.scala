@@ -207,11 +207,10 @@ object Pq {
     }: _*)
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), table.as("__tab"))
-    // score = Σ_m tab[m][codes[m]]: pure lookups, no vector math
-    val adist = aggregate(
-      zip_with(col("codes"), col("__tab"),
-        (c, row) => element_at(row, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // score = Σ_m tab[m][codes[m]]: pure lookups, no vector math — the
+    // per-(candidate × query) inner loop, codegen'd ([[VecAdcSum]])
+    val adist = graft.functions.VectorFunctions.vec_adc_sum(
+      col("codes"), col("__tab"))
     val scored = encoded.join(broadcast(q),
         col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),

@@ -164,6 +164,74 @@ case class VecL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd ADC table lookup-sum — the per-CANDIDATE inner loop of PQ
+  * search: `Σ_m tables[m][codes[m]]`. Left: `array<int>` codes; right:
+  * `array<array<double>>` per-subspace distance rows (the query's ADC
+  * table). This fold runs once per (candidate × query) pair — the
+  * hottest loop in the engine — so the interpreted
+  * `aggregate(zip_with(codes, tab, element_at))` it replaces paid two
+  * lambda calls plus boxing per subspace per pair. Same left-to-right
+  * accumulation; a code outside its row (or any null) contributes 0 —
+  * codes are in-range by construction ([[graft.ext.Pq.encodeColumn]]
+  * emits argmin indices). Null codes/tables array → null. */
+case class VecAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_adc_sum needs (array<int>, array<array<double>>), got ${l.sql}, ${r.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tab = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), tab.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!codes.isNullAt(i) && !tab.isNullAt(i)) {
+        val row = tab.getArray(i)
+        val c = codes.getInt(i)
+        if (c >= 0 && c < row.numElements() && !row.isNullAt(c))
+          s += row.getDouble(c)
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
+         |    int $c = $a.getInt($i);
+         |    if ($c >= 0 && $c < $row.numElements() && !$row.isNullAt($c)) {
+         |      $s += $row.getDouble($c);
+         |    }
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecAdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product (see [[VecDot]]). */
   def vec_dot(a: Column, b: Column): Column =
@@ -172,4 +240,8 @@ object VectorFunctions {
   /** Codegen'd squared L2 distance (see [[VecL2Sq]]). */
   def vec_l2sq(a: Column, b: Column): Column =
     Bridge.column(VecL2Sq(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd ADC lookup-sum (see [[VecAdcSum]]). */
+  def vec_adc_sum(codes: Column, tables: Column): Column =
+    Bridge.column(VecAdcSum(Bridge.expression(codes), Bridge.expression(tables)))
 }

@@ -184,6 +184,23 @@ class PropertiesSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("vec_adc_sum matches the zip_with lookup fold bit-exactly") {
+    val df = spark.range(100).select(
+      transform(sequence(lit(0), lit(7)), m =>
+        pmod(col("id") * lit(7) + m, lit(16)).cast("int")).as("codes"),
+      transform(sequence(lit(0), lit(7)), m =>
+        transform(sequence(lit(0), lit(15)), kk =>
+          sin(col("id") + m * lit(3.0) + kk))).as("tab"))
+    val cmp = df.select(
+      graft.functions.VectorFunctions.vec_adc_sum(col("codes"), col("tab"))
+        .as("n"),
+      aggregate(zip_with(col("codes"), col("tab"),
+        (c, row) => element_at(row, c + 1)),
+        lit(0.0), (acc, x) => acc + x).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(cmp == 0)
+  }
+
   test("native gram/sketch functions are callable from SQL") {
     GraftExtensions.register(spark)
     Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
