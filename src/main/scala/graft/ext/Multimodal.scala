@@ -167,10 +167,15 @@ object Multimodal {
   /** Real multi-frame decode for containers the JDK can read (animated
     * GIF — `getNumImages` then per-frame `read`): up to `maxFrames`
     * frames sampled EVENLY across the container (first frame always
-    * included), with the same decompression-bomb guard as
-    * [[readImageBounded]]. Single-frame formats yield one frame; Nil for
-    * payloads no installed reader recognises (true video codecs — the
-    * only remaining stub territory). */
+    * included), with [[readImageBounded]]'s decompression-bomb guard
+    * applied to EVERY sampled frame's header dims. Single-frame formats
+    * yield one frame; Nil for payloads no installed reader recognises
+    * (true video codecs — the only remaining stub territory). Honesty
+    * note: a frame-OPTIMIZED GIF stores later frames as changed-region
+    * patches; `read(i)` returns the patch raster, so dims/hash then
+    * describe the patch, not the composited frame (the synthetic
+    * generator emits full frames; full compositing needs the disposal
+    * metadata and is out of scope for feature hashing). */
   private[graft] def readFramesBounded(bytes: Array[Byte],
       maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
     if (bytes.isEmpty || maxFrames <= 0) return Nil
@@ -182,14 +187,20 @@ object Multimodal {
       val reader = readers.next()
       try {
         reader.setInput(iis)
-        if (reader.getWidth(0).toLong * reader.getHeight(0) > 100000000L)
-          return Nil // > 100 MP frames: refuse to materialize
         // allowSearch=true: the stream is an in-memory IIS, so the full
         // scan for the frame count is cheap and exact
         val n = reader.getNumImages(true)
         if (n <= 0) return Nil
         val take = math.min(n, maxFrames)
-        (0 until take).map(i => reader.read((i.toLong * n / take).toInt))
+        (0 until take).map { i =>
+          val idx = (i.toLong * n / take).toInt
+          // bomb guard PER FRAME from header dims alone — GIF image
+          // descriptors are per-block, so a tiny first frame must not
+          // whitelist later huge ones
+          if (reader.getWidth(idx).toLong * reader.getHeight(idx) >
+            100000000L) return Nil
+          reader.read(idx)
+        }
       } finally { reader.dispose(); iis.close() }
     } catch { case _: Exception => Nil }
   }

@@ -121,9 +121,16 @@ object Pq {
     * literal array walked by nested lambdas — plan size (and task-binary
     * bytes) independent of M×K, which is what lets K go to 256 without a
     * megabyte of generated code per stage. Parity is pinned in PqSpec. */
-  def encodeColumn(vec: Column, model: Model): Column =
-    if (model.m * model.k <= unrollLimit) encodeUnrolled(vec, model)
-    else encodeDataDriven(vec, model)
+  def encodeColumn(vec: Column, model: Model): Column = {
+    val codes =
+      if (model.m * model.k <= unrollLimit) encodeUnrolled(vec, model)
+      else encodeDataDriven(vec, model)
+    // dimension guard: a vector shorter than m×subDim must encode to
+    // NULL, not to codes of truncated subvectors (VecL2Sq scores the
+    // overlap, so without this a malformed row would silently enter the
+    // index with a plausible-looking code)
+    when(size(vec) === model.m * model.subDim, codes)
+  }
 
   /** Above this many (subspace × centroid) pairs, switch from unrolled
     * literal expressions to the data-driven lambda plan. */

@@ -64,10 +64,15 @@ case class MisraGriesAgg(
     mutable.HashMap.empty
 
   /** Restore the size bound: subtract the (capacity+1)-th largest
-    * residual from every counter, drop non-positives. */
+    * residual from every counter, drop non-positives. On the per-row
+    * update path the buffer is exactly capacity+1 entries, where the
+    * (capacity+1)-th largest IS the minimum — O(k), no sort; the sort
+    * runs only on merge, where size can exceed capacity+1. */
   private def trim(buf: mutable.HashMap[String, Long]): Unit =
     if (buf.size > capacity) {
-      val cut = buf.values.toArray.sortBy(-_).apply(capacity)
+      val cut =
+        if (buf.size == capacity + 1) buf.values.min
+        else buf.values.toArray.sortBy(-_).apply(capacity)
       val dead = mutable.ArrayBuffer.empty[String]
       buf.mapValuesInPlace { (_, c) => c - cut }
       buf.foreach { case (k, c) => if (c <= 0) dead += k }

@@ -92,8 +92,11 @@ case class VecDot(left: Expression, right: Expression)
   * loops (codebook training, encoding, ADC tables, exact rerank), where
   * the `aggregate(zip_with(...))` fold interprets two lambdas per
   * element. Same contracts as VecDot: sequential left-to-right
-  * accumulation (bit-identical to the fold it replaces), null elements
-  * contribute 0, overlap of differing lengths, null array → null.
+  * accumulation — bit-identical to the fold it replaces for WELL-FORMED
+  * inputs (equal lengths, no null elements; the fold null-propagates on
+  * length mismatch where this computes the overlap, so callers guard
+  * dimensions — `Pq.encodeColumn` nulls short vectors explicitly).
+  * Null elements contribute 0; null array → null.
   * Inside a higher-order function (runtime codebooks) it still wins:
   * the HOF evaluates it as ONE tight interpreted loop instead of a
   * lambda call per element. */

@@ -127,8 +127,13 @@ object OpsQueries {
         .unionByName(docs.filter(col("doc_id") % 3 === 0)
           .select(col("doc_id").as("src"),
             ((col("doc_id") * 13 + 1) % 300).as("dst")))
+      // 1 decimal of ppm = 1e-7 absolute on rank: ~1e10 above the
+      // cross-engine FP noise of the unordered contribution sums, so a
+      // rank landing on a rounding half-boundary is effectively
+      // impossible (at 3 decimals the margin was ~1e8 — fine, but this
+      // retires the tail risk entirely at no checking power lost)
       graft.ext.Graph.pageRank(edges, iters = 5)
-        .select(col("id"), round(col("rank") * 1e6, 3).as("rank_ppm"))
+        .select(col("id"), round(col("rank") * 1e6, 1).as("rank_ppm"))
         .orderBy(col("id"))
     }))
 
@@ -169,7 +174,7 @@ object OpsQueries {
        |  SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM params) AS rank
        |  FROM verts),
        |$steps
-       |SELECT id, ROUND(rank * 1e6, 3) AS rank_ppm
+       |SELECT id, ROUND(rank * 1e6, 1) AS rank_ppm
        |FROM r5 ORDER BY id""".stripMargin
   }
 

@@ -571,7 +571,10 @@ object TextQueries {
         |  SELECT CASE WHEN doc_id % 2 = 0 THEN source
         |              ELSE 'u' || CAST(doc_id AS VARCHAR) END AS item,
         |    CAST(n_chars AS BIGINT) AS w
-        |  FROM documents WHERE n_chars > 0),
+        |  FROM documents
+        |  -- mirror frequentWeighted's guards: null items AND
+        |  -- non-positive weights contribute nothing
+        |  WHERE n_chars > 0 AND (doc_id % 2 = 1 OR source IS NOT NULL)),
         |tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS tw FROM it),
         |s AS (SELECT item, CAST(SUM(w) AS BIGINT) AS weight
         |      FROM it GROUP BY item)

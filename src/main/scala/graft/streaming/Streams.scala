@@ -395,22 +395,20 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // no emptiness probe: a zero-row frame under dynamic partition
-          // overwrite touches no partitions (a free no-op), and probing
-          // would cost an extra pass over the batch
-          batch
-            .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-            .select(explode(split(lower(trim(col(textCol))), "\\s+"))
-              .as("token"))
-            .groupBy(col("token"))
-            .agg(count(lit(1)).as("cnt"))
-            .withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(countsDir)
-        }
+        // no emptiness probe at all: a zero-row frame under dynamic
+        // partition overwrite touches no partitions (a free no-op), and
+        // probing would cost an extra pass over the batch
+        batch
+          .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+          .select(explode(split(lower(trim(col(textCol))), "\\s+"))
+            .as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(countsDir)
         ()
       }
       .start()
