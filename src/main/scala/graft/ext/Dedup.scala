@@ -144,13 +144,16 @@ object Dedup {
     val sigs = sigsFromSets(sets, numHashes)
 
     // identical signatures cluster first: linear rep→member candidates
-    // instead of a quadratic band bucket (duplicate-heavy corpora)
-    val withSigKey = sigs.select(col("id"), xxhash64(col("sig")).as("sig_key"),
-      col("sig")).persist()
+    // instead of a quadratic band bucket (duplicate-heavy corpora).
+    // Group on the signature ARRAY itself, not a 64-bit hash of it — at
+    // billion-signature scale a hash collision would silently merge two
+    // unrelated groups and drop the loser from banding (arrays are valid
+    // group/join keys; the hash indirection bought nothing)
+    val withSigKey = sigs.select(col("id"), col("sig")).persist()
     withSigKey.count()
-    val clusters = withSigKey.groupBy(col("sig_key"))
+    val clusters = withSigKey.groupBy(col("sig"))
       .agg(min(col("id")).as("rep"))
-    val dupCand = withSigKey.join(clusters, Seq("sig_key"))
+    val dupCand = withSigKey.join(clusters, Seq("sig"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("a"), col("id").as("b"))
 
@@ -408,7 +411,12 @@ object Dedup {
       minJaccard: Double = 0.8): DataFrame = {
     val pairs = minHashLsh(docs, idCol, textCol, shingleSize, bands,
       rowsPerBand, minJaccard)
+    // connectedComponents materializes eagerly (driver union-find or
+    // per-round localCheckpoint), so the cached pair set can be released
+    // here instead of pinning one block set per call for the session's
+    // lifetime
     val comps = connectedComponents(pairs)
+    pairs.unpersist(blocking = false)
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -465,10 +473,11 @@ object Dedup {
     * push every bucket of heavily-duplicated content over the cap and
     * silently lose it from candidate generation. */
   private def sigReps(sigs: DataFrame): DataFrame =
-    sigs.withColumn("__sk", xxhash64(col("sig")))
-      .groupBy(col("__sk"))
-      .agg(min(struct(col("id"), col("sig"))).as("__r"))
-      .select(col("__r.id").as("id"), col("__r.sig").as("sig"))
+    // group on the signature array directly (collision-proof; see
+    // minHashLsh's cluster step for why hashing the array is wrong)
+    sigs.groupBy(col("sig"))
+      .agg(min(col("id")).as("id"))
+      .select(col("id"), col("sig"))
 
   def buildNearDupIndex(kept: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
@@ -510,16 +519,19 @@ object Dedup {
     // drops them all, and every copy silently survives. Non-rep members
     // inherit their rep's candidates (plus a member→rep candidate), all
     // exact-Jaccard verified against each member's own shingle set.
+    // persisted: newSigs feeds BOTH reps and memberOf — without the cache
+    // the delta's explode+MinHash shuffle would run twice per call. The
+    // reps.count() action below populates it (actions here are
+    // sequential — no branch race). Signature grouping is on the array
+    // itself (collision-proof, same as the batch path).
     val newSigs = sigsFromSets(newSets, index.bands * index.rowsPerBand)
-      .withColumn("__sk", xxhash64(col("sig")))
-    val reps = newSigs.groupBy(col("__sk"))
-      .agg(min(struct(col("id"), col("sig"))).as("__r"))
-      .select(col("__sk"), col("__r.id").as("rep_id"),
-        col("__r.sig").as("sig"))
+      .persist()
+    val reps = newSigs.groupBy(col("sig"))
+      .agg(min(col("id")).as("rep_id"))
       .persist()
     reps.count()
-    val memberOf = newSigs.select(col("id"), col("__sk"))
-      .join(reps.select(col("__sk"), col("rep_id")), Seq("__sk"))
+    val memberOf = newSigs
+      .join(reps.select(col("sig"), col("rep_id")), Seq("sig"))
       .select(col("id"), col("rep_id"))
       .persist()
     memberOf.count()
@@ -559,15 +571,18 @@ object Dedup {
       .select(col("id").as("new_id"), col("rep_id").as("matched_id"),
         lit(false).as("matched_kept"))
     val allSets = index.sets.unionByName(newSets)
-    // candidates (delta-sized) broadcast into the set-attach join too, so
-    // the kept shingle sets also stream map-side
-    val cand = expanded.unionByName(intraGroup)
+    // broadcast ID-ONLY candidate pairs into the kept-set attach (the
+    // kept shingle sets stream map-side); the new side's shingle sets
+    // attach AFTER, as their own delta-sized broadcast. Attaching sh_n
+    // BEFORE the pair broadcast would ship |pairs| × shingle-array —
+    // pairs can be ~100× the delta, exactly the blow-up to avoid.
+    val candIds = expanded.unionByName(intraGroup)
       .dropDuplicates("new_id", "matched_id")
-      .join(newSets.select(col("id").as("new_id"), col("shset").as("sh_n")),
-        Seq("new_id"))
     val result = allSets
       .select(col("id").as("matched_id"), col("shset").as("sh_m"))
-      .join(broadcast(cand), Seq("matched_id"))
+      .join(broadcast(candIds), Seq("matched_id"))
+      .join(broadcast(newSets.select(col("id").as("new_id"),
+        col("shset").as("sh_n"))), Seq("new_id"))
       .withColumn("jaccard", Shingles.jaccard(col("sh_n"), col("sh_m")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("new_id"), col("matched_id"), col("jaccard"),
@@ -575,7 +590,7 @@ object Dedup {
       .persist()
     result.count() // eager, then release the delta-side caches
     newSets.unpersist(); newBand.unpersist(); reps.unpersist()
-    memberOf.unpersist()
+    memberOf.unpersist(); newSigs.unpersist()
     result
   }
 
@@ -608,8 +623,12 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val matched = incrementalNearDupMatches(newDocs, kept, idCol, textCol,
       shingleSize, bands, rowsPerBand, minJaccard, maxBucketSize)
-      .select(col("new_id").as(idCol))
-    newDocs.join(matched, Seq(idCol), "left_anti")
+    // pin only the (small) matched-id set — eager lineage-free snapshot —
+    // and release the full match frame instead of leaking its cache
+    val ids = matched.select(col("new_id").as(idCol)).distinct()
+      .localCheckpoint(true)
+    matched.unpersist(blocking = false)
+    newDocs.join(ids, Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard for pairs within a blocking key (e.g. source or
@@ -624,8 +643,12 @@ object Dedup {
     val sh = docs.select(xxhash64(blockCols.map(col): _*).as("blk"),
       col(idCol).as("id"),
       Shingles.shingleHashSet(col(textCol), shingleSize).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val ex = sh.select(col("blk"), col("id"), explode(col("sh")).as("h"))
+    // set sizes from the exploded rows (shset holds distinct hashes, so
+    // the per-id count IS the set size): the gram-hash subtree then
+    // feeds only `ex`, not two extra `sizes` evaluations; empty-set docs
+    // can't appear in `inter` either way
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = ex.select(col("blk"), col("h"), col("id").as("a"))
       .join(ex.select(col("blk"), col("h"), col("id").as("b")), Seq("blk", "h"))
       .filter(col("a") < col("b"))

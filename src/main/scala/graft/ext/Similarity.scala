@@ -72,11 +72,15 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: bit i = sign(v · plane_i). */
-  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    // generate the matrix once — regenerating per bit is O(numPlanes²·dim)
+    // RNG draws at plan-build time
+    val ps = planes(numPlanes, dim, seed)
     (0 until numPlanes).map { i =>
-      val p = typedlit(planes(numPlanes, dim, seed)(i))
+      val p = typedlit(ps(i))
       when(dot(vec, p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Approximate top-k: candidates limited to the query's LSH bucket (plus
     * Hamming-1 neighboring buckets via multi-probe when `multiProbe`), then
@@ -108,6 +112,10 @@ object Similarity {
           col("qbucket").bitwiseXOR(shiftleft(lit(1L), i))): _*)).as("bucket")))
     val qSide = if (broadcastQueries) broadcast(q.drop("qbucket"))
                 else q.drop("qbucket")
+    // no pair dedup needed: a corpus row lives in exactly ONE bucket and
+    // a query's probe values (qbucket + single-bit XORs) are pairwise
+    // distinct, so each (query, neighbor) pair joins at most once — a
+    // dropDuplicates here would add a full shuffle of the scored set
     val scored = qSide.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(
@@ -115,7 +123,6 @@ object Similarity {
           dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
           .otherwise(lit(0.0)),
         roundDigits))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))

@@ -78,7 +78,11 @@ object Streams {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.end <= gapSeconds * 1000 =>
-            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+            // min on start: a legal in-watermark event can predate the
+            // session's first-seen event (cross-batch disorder) — losing
+            // it would misreport session_start vs the batch twin (q21)
+            cur = Some(SessionState(math.min(s.start, t),
+              math.max(s.end, t), s.n + 1))
           case Some(s) =>
             closed ::= Session(userId, new Timestamp(s.start),
               new Timestamp(s.end), s.n)
@@ -238,8 +242,12 @@ object Streams {
             else // first batch: an empty index with the right schemas
               graft.ext.Dedup.buildNearDupIndex(batch.limit(0), idCol,
                 textCol, shingleSize, bands, rowsPerBand, maxBucketSize)
-          val matched = graft.ext.Dedup.incrementalNearDupMatches(
+          // keep the handle: incrementalNearDupMatches returns a
+          // PERSISTED frame, and a continuous stream would otherwise pin
+          // one cached block set per micro-batch forever
+          val matchedFrame = graft.ext.Dedup.incrementalNearDupMatches(
             batch, idx, idCol, textCol, minJaccard, maxBucketSize)
+          val matched = matchedFrame
             .select(col("new_id").as(idCol)).distinct()
           val survivors = batch.join(matched, Seq(idCol), "left_anti")
             .persist()
@@ -258,6 +266,7 @@ object Streams {
               delta.banded.select("band", "band_hash", "id"), bandedDir)
           }
           survivors.unpersist()
+          matchedFrame.unpersist(blocking = false)
         }
         ()
       }
@@ -423,6 +432,16 @@ object Streams {
       minFreqRatio: Double): DataFrame = {
     require(minFreqRatio > 0 && minFreqRatio <= 1,
       s"minFreqRatio must be in (0, 1], got $minFreqRatio")
+    // committed-files guard, same crash window as the ingest sinks: a
+    // store holding only _temporary droppings (or not yet created) must
+    // read as empty, not throw "unable to infer schema" at the caller
+    val p = new org.apache.hadoop.fs.Path(countsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hasCommittedFiles(fs, p))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "token STRING, freq BIGINT"))
     val counts = spark.read.parquet(countsDir)
     // the store is partial-count-sized (one row per token per batch), so
     // the two scans here cost a fraction of one raw-corpus pass
