@@ -66,7 +66,7 @@ object Decontam {
     * ~1.2 bytes/gram at 0.1% fpp: a 100M-gram eval suite compresses to a
     * ~170 MB constant instead of a join-able row set. Build it once,
     * store the bytes, reuse across corpus shards and runs. */
-  def gramBloom(bench: DataFrame, idCol: String, textCol: String,
+  def gramBloom(bench: DataFrame, textCol: String,
       n: Int = 13, fpp: Double = 0.001): Array[Byte] = {
     val bg = bench
       .select(explode(Shingles.wordHashGrams(col(textCol), n)).as("__gram"))
@@ -98,8 +98,10 @@ object Decontam {
     * is 100 TB and the answer for almost every doc is "clean". */
   def bloomScreen(corpus: DataFrame, bloom: Array[Byte],
       idCol: String, textCol: String, n: Int = 13): DataFrame =
+    // wordHashGrams output is already sorted-deduped (GramMixHashes) — a
+    // further array_distinct would be pure per-row tax on the 100 TB pass
     corpus.select(col(idCol),
-      size(filter(array_distinct(Shingles.wordHashGrams(col(textCol), n)),
+      size(filter(Shingles.wordHashGrams(col(textCol), n),
         g => mightContainGram(bloom, g))).as("n_flagged_grams"))
 
   /** Exact contamination with the bloom as a pre-screen: output is
@@ -110,12 +112,15 @@ object Decontam {
     * that survives a 100 TB corpus against a large eval suite. */
   def contaminatedScreened(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
-      fpp: Double = 0.001): DataFrame = {
-    val bloom = gramBloom(bench, idCol, textCol, n, fpp)
+      fpp: Double = 0.001, broadcastBench: Boolean = true): DataFrame = {
+    val bloom = gramBloom(bench, textCol, n, fpp)
     val flagged = corpus.filter(
       exists(Shingles.wordHashGrams(col(textCol), n),
         g => mightContainGram(bloom, g)))
-    contaminated(flagged, bench, idCol, textCol, n)
+    // plumb broadcastBench: the bloom path exists for LARGE eval suites,
+    // exactly when broadcasting the bench gram rows into the exact join
+    // may be infeasible — false degrades it to a shuffle hash join
+    contaminated(flagged, bench, idCol, textCol, n, broadcastBench)
   }
 
   /** Per-doc contamination RATE rather than a boolean: fraction of the

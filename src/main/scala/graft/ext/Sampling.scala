@@ -128,6 +128,10 @@ object Sampling {
   def mixtureWeights(df: DataFrame, sourceCol: String, tokensCol: String,
       alpha: Double, targetTokens: Long): DataFrame = {
     require(alpha > 0, "alpha must be positive")
+    require(df.schema(sourceCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"$sourceCol must be STRING — cast upstream (the driver-side rate " +
+        "table is keyed by string)")
     val spark = df.sparkSession
     import spark.implicits._
     // ONE corpus scan: the per-source totals are bounded by the number of
@@ -135,12 +139,18 @@ object Sampling {
     // construction, same pattern as Ivf centroids. Chaining the
     // normalizer as DataFrame aggregates instead would recompute this
     // aggregate once per downstream branch (4 corpus scans, measured).
-    val per = df.groupBy(col(sourceCol))
+    // Null-source rows are EXCLUDED (they'd NPE the string sort and have
+    // no principled mixture membership).
+    val per = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).as("n_tokens"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // fixed fold order: no double sum depends on anything
     val total = per.map(_._2).sum.toDouble
+    val empty = Seq.empty[(String, Long, Double, Double)]
+      .toDF(sourceCol, "n_tokens", "weight", "rate")
+    if (per.isEmpty || total == 0) return empty // all-zero corpus: no mix
     val pa = per.map { case (_, n) => math.pow(n / total, alpha) }
     val z = pa.sum // source-ordered fold
     // mirror Spark's Round expression exactly (BigDecimal.valueOf = the
@@ -149,7 +159,13 @@ object Sampling {
     def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     per.zip(pa).map { case ((s, n), p) =>
-      (s, n, r6(p / z), r6(targetTokens.toDouble * (p / z) / n))
+      // a zero-token source has no mass to repeat: weight/rate 0, not
+      // the 0/0 NaN that would throw in BigDecimal.valueOf
+      val rate = if (n == 0) 0.0 else targetTokens.toDouble * (p / z) / n
+      require(rate <= 1e6,
+        s"source '$s' would repeat ${rate.toLong}x — targetTokens " +
+          s"$targetTokens is implausible against its $n tokens")
+      (s, n, r6(p / z), r6(rate))
     }.toSeq.toDF(sourceCol, "n_tokens", "weight", "rate")
   }
 

@@ -88,9 +88,11 @@ object TextPipeline {
   /** The full pretraining-data run as one call — curate (rule filter +
     * exact + near dedup) → benchmark decontamination → temperature
     * mixture sampling (per `sourceCol`, repeating small sources) →
-    * curriculum packing (quality desc) → deterministic epoch shuffle.
+    * curriculum packing (quality desc) → deterministic PACK shuffle.
     * Output rows: original columns + quality, n_tokens, epoch, pack_id,
-    * shuffle_key, ordered for sequential write.
+    * shuffle_key, ordered for sequential write with every pack's
+    * members adjacent (the pack is the training example; shuffling
+    * rows instead would scatter each context window).
     *
     * Composition of independently-tested operators; each stage keeps
     * its own scale shape (bounded near-dup joins, broadcast benchmark
@@ -140,13 +142,28 @@ object TextPipeline {
       else Sampling.mixtureSample(scored, sourceCol, idCol, "n_tokens",
         mixtureAlpha, target)
     // epoch-qualified id keeps repeated docs distinct through packing
-    // and shuffling (they are separate training rows)
-    val withKey = sampled.withColumn("__eid",
-      concat_ws(":", col(idCol).cast("string"), col("epoch").cast("string")))
+    // and shuffling (they are separate training rows); __spread (a
+    // seeded hash of the epoch-qualified id) tiebreaks INSIDE each
+    // quality level, so the epoch copies of a repeated small-source doc
+    // scatter across their quality band instead of stacking
+    // back-to-back into one context window
+    val withKey = sampled
+      .withColumn("__eid",
+        concat_ws(":", col(idCol).cast("string"), col("epoch").cast("string")))
+      .withColumn("__spread", xxhash64(col("__eid"), lit(shuffleSeed)))
+    val packOrder = Seq(col("quality").desc, col("__spread"), col("__eid"))
     val packed = Packing.packByBudgetOrdered(withKey,
-      Seq(col("quality").desc, col("__eid")), "n_tokens", packBudget)
-    val shuffled = Sampling.shuffled(packed, "__eid", seed = shuffleSeed)
-      .drop("__eid")
+      packOrder, "n_tokens", packBudget)
+    // shuffle PACKS, not rows: a pack IS the training example, so its
+    // members must stay adjacent in the emitted order. The seeded hash
+    // of the pack id permutes pack order; within a pack, rows keep the
+    // exact curriculum order packing used.
+    val shuffled = packed
+      .withColumn("shuffle_key", xxhash64(
+        concat_ws(":", col("pack_id").cast("string"),
+          lit(shuffleSeed.toString))))
+      .orderBy(col("shuffle_key") +: col("pack_id") +: packOrder: _*)
+      .drop("__eid", "__spread")
     val out = shuffled.persist()
     // One action materializes `out` while `scored` is still cached (same
     // rationale as curate's afterNear). With stats on, the same pass also
@@ -158,6 +175,9 @@ object TextPipeline {
         (r.getLong(0), r.getLong(1))
       } else (out.count(), -1L)
     scored.unpersist()
+    // release the curated-corpus cache too: `out` is materialized, so
+    // nothing downstream re-reads it through this plan
+    cur.curated.unpersist(blocking = false)
     TrainingDataResult(out,
       TrainingDataStats(cur.stats, afterDecon, nRows, nPacks))
   }

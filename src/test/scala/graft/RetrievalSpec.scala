@@ -116,7 +116,7 @@ class RetrievalSpec extends SparkSpec {
         (501L, "the quick brown fox jumps today"),
         (502L, "an unrelated clean document entirely")).toDF("doc_id", "text"))
     val bench = Seq((9L, "quick brown fox")).toDF("doc_id", "text")
-    val bloom = Decontam.gramBloom(bench, "doc_id", "text", n = 3)
+    val bloom = Decontam.gramBloom(bench, "text", n = 3)
     // screen: doc 501 MUST be flagged (no false negatives by construction)
     val screened = Decontam.bloomScreen(corpus, bloom, "doc_id", "text", 3)
       .filter(col("n_flagged_grams") > 0)
@@ -135,7 +135,7 @@ class RetrievalSpec extends SparkSpec {
   test("bloom screen is a narrow map: no join, no shuffle") {
     val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
-    val bloom = Decontam.gramBloom(bench, "doc_id", "text", 3)
+    val bloom = Decontam.gramBloom(bench, "text", 3)
     val plan = Decontam.bloomScreen(corpus, bloom, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
