@@ -195,8 +195,12 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
         sum(when(c.violation.get, 1L).otherwise(0L)).as(s"__viol_$i")
       } ++
       uniquenessChecks.zipWithIndex.map { case ((_, cols, _, _), i) =>
-        count_distinct(col(cols.head), cols.tail.map(col): _*)
-          .as(s"__uniq_$i")
+        // struct wrap: bare count_distinct DROPS any tuple containing a
+        // null, so rows with a null key would all count as duplicates
+        // (and a composite key with one all-null column would report 0
+        // distinct). A struct is non-null even when its fields are null,
+        // so null key tuples participate like any other value.
+        count_distinct(struct(cols.map(col): _*)).as(s"__uniq_$i")
       } ++
       freshnessChecks.zipWithIndex.map { case ((_, ts, _, _), i) =>
         max(col(ts).cast(LongType)).as(s"__fresh_$i")

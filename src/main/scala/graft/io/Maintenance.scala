@@ -24,6 +24,7 @@ object Maintenance {
 
   /** OPTIMIZE-style compaction: rewrite `path` into `targetFiles` files. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    recoverOrphanedSwap(path)
     val staging = s"$path.staging-compact"
     spark.read.parquet(path).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staging)
@@ -36,6 +37,7 @@ object Maintenance {
     * column and good pruning on followers, with zero custom code. */
   def clusterBy(spark: SparkSession, path: String, cols: Seq[String],
       targetFiles: Int): Unit = {
+    recoverOrphanedSwap(path)
     val staging = s"$path.staging-cluster"
     spark.read.parquet(path)
       .repartitionByRange(targetFiles, cols.map(col): _*)
@@ -46,39 +48,86 @@ object Maintenance {
 
   /** Delete retired/staging siblings of `path` older than `retainMs`
     * (default 7 days, mirroring the reference's 168 h). Returns the number
-    * of directories removed. */
+    * of directories removed. NEVER deletes a retired version while `path`
+    * itself is missing — that retired dir is the crash-recovery source
+    * [[recoverOrphanedSwap]] restores from. */
   def vacuum(path: String, retainMs: Long = 168L * 3600 * 1000,
       nowMs: Long = System.currentTimeMillis()): Int = {
     val dir = Paths.get(path).toAbsolutePath
     val parent = dir.getParent
     if (parent == null || !Files.exists(parent)) return 0
+    val pathAlive = Files.exists(dir)
     val prefixRetired = dir.getFileName.toString + ".retired-"
     val prefixStaging = dir.getFileName.toString + ".staging-"
     var removed = 0
-    val it = Files.list(parent).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val n = p.getFileName.toString
-      val retireTs =
-        if (n.startsWith(prefixRetired))
-          scala.util.Try(n.stripPrefix(prefixRetired).toLong).toOption
-        else None
-      val stale = retireTs.exists(ts => nowMs - ts > retainMs) ||
-        (n.startsWith(prefixStaging) &&
-          Files.getLastModifiedTime(p).toMillis < nowMs - retainMs)
-      if (stale) { deleteRecursively(p); removed += 1 }
-    }
+    val listing = Files.list(parent)
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        val retireTs =
+          if (n.startsWith(prefixRetired))
+            scala.util.Try(n.stripPrefix(prefixRetired).toLong).toOption
+          else None
+        val stale = (retireTs.exists(ts => nowMs - ts > retainMs) &&
+          pathAlive) ||
+          (n.startsWith(prefixStaging) &&
+            Files.getLastModifiedTime(p).toMillis < nowMs - retainMs)
+        if (stale) { deleteRecursively(p); removed += 1 }
+      }
+    } finally listing.close() // directory streams hold an fd until closed
     removed
   }
 
-  private def swap(path: String, staging: String): Unit = {
+  /** Crash recovery for the two-move swap: a kill between "retire the
+    * live dir" and "promote staging" leaves `path` ABSENT with the full
+    * pre-swap table sitting in the newest `.retired-*` sibling. Restore
+    * it (the interrupted operation simply never happened; its orphaned
+    * staging dir is garbage vacuum collects). Returns true when a
+    * restore was performed. Call before any read-modify-write of the
+    * table — [[graft.io.Upsert.upsertParquet]], [[compact]],
+    * [[clusterBy]] all do. */
+  def recoverOrphanedSwap(path: String): Boolean = {
+    val dir = Paths.get(path).toAbsolutePath
+    if (Files.exists(dir)) return false
+    val parent = dir.getParent
+    if (parent == null || !Files.exists(parent)) return false
+    val prefix = dir.getFileName.toString + ".retired-"
+    val listing = Files.list(parent)
+    val newest =
+      try {
+        val it = listing.iterator()
+        var best: Option[(Long, Path)] = None
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix))
+            scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+              .foreach(ts => if (best.forall(_._1 < ts)) best = Some(ts -> p))
+        }
+        best
+      } finally listing.close()
+    newest.exists { case (_, p) =>
+      Files.move(p, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    }
+  }
+
+  /** Two-move commit: retire the live dir, promote staging. NOT atomic
+    * across the two renames — the crash window between them is healed by
+    * [[recoverOrphanedSwap]] on the next table operation. */
+  private[io] def swap(path: String, staging: String): Unit = {
     val dir = Paths.get(path)
     val retired = Paths.get(s"$path.retired-${System.currentTimeMillis()}")
     Files.move(dir, retired, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(staging), dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+  private def deleteRecursively(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))
+    finally walk.close()
+  }
 }

@@ -37,7 +37,19 @@ object Readers {
       .options(options)
     schema match {
       case Some(s) => reader.schema(withCorruptField(s)).csv(path)
-      case None    => reader.option("inferSchema", "true").csv(path)
+      case None =>
+        // PERMISSIVE only captures into _corrupt_record when the column
+        // exists in the schema, and inference never adds it — so infer
+        // first, then re-read with the corrupt field appended (inference
+        // already cost a pass; the contract that malformed rows land
+        // in-band must hold on this path too)
+        val inferred = spark.read
+          .option("header", header.toString)
+          .option("delimiter", delimiter)
+          .option("inferSchema", "true")
+          .options(options)
+          .csv(path).schema
+        reader.schema(withCorruptField(inferred)).csv(path)
     }
   }
 
@@ -57,7 +69,16 @@ object Readers {
       .options(options)
     schema match {
       case Some(s) => reader.schema(withCorruptField(s)).json(path)
-      case None    => reader.json(path)
+      case None =>
+        // same as readCsv: inferred schemas lack the corrupt column, so
+        // re-read with it appended to keep the quarantine contract.
+        // (JSON inference ALREADY surfaces _corrupt_record when it meets
+        // malformed rows — withCorruptField is a no-op then.)
+        val inferred = spark.read
+          .option("multiLine", multiline.toString)
+          .options(options)
+          .json(path).schema
+        reader.schema(withCorruptField(inferred)).json(path)
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.io
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -34,7 +34,13 @@ object Upsert {
     * kept. Null-safe on data columns: presence is judged by join-side marker
     * columns, not by data nullability, so a source row carrying NULLs still
     * wins its matched columns.
-    */
+    *
+    * PRECONDITION: the source must be key-unique. Duplicate source keys
+    * match the same target row repeatedly — the output then carries the
+    * key twice and the stats double-count (Delta MERGE raises an error
+    * here; this emulation cannot detect it without an extra pass).
+    * Pre-reduce CDC batches with `Transforms.deduplicateByKey` — the
+    * streaming `mergeSink` does exactly that. */
   def merge(
       target: DataFrame,
       source: DataFrame,
@@ -119,11 +125,13 @@ object Upsert {
       keys: Seq[String],
       updateColumns: Option[Seq[String]] = None,
       partitionBy: Seq[String] = Nil): MergeStats = {
-    def write(df: DataFrame, path: String): Unit = {
-      val w = df.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(path)
-    }
+    def write(df: DataFrame, path: String): Unit =
+      Writers.writeParquet(df, path, partitionBy = partitionBy)
+    // heal an interrupted swap FIRST: a crash between the two commit
+    // moves leaves targetPath absent with the whole table in the newest
+    // .retired-* dir — without this the bootstrap branch below would
+    // silently rebuild the table from this batch alone
+    Maintenance.recoverOrphanedSwap(targetPath)
     val dir = Paths.get(targetPath)
     if (!Files.exists(dir)) {
       val n = source.count()
@@ -176,9 +184,9 @@ object Upsert {
       // happen on current Spark): fall back to the two-pass count
       case _ => mergeStats(target, source, keys)
     }
-    val retired = s"$targetPath.retired-${System.currentTimeMillis()}"
-    Files.move(dir, Paths.get(retired), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staging), dir, StandardCopyOption.ATOMIC_MOVE)
+    // the shared two-move commit (crash window healed by
+    // recoverOrphanedSwap at the top of the next table operation)
+    Maintenance.swap(targetPath, staging)
     stats
   }
 }

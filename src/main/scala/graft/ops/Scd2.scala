@@ -43,16 +43,23 @@ object Scd2 {
     val payload = dim.columns.filterNot(c =>
       c == keyCol || c == "effective_from" || c == "effective_to" ||
         c == "is_current")
+    // prefix the VALIDITY columns too: facts carrying their own
+    // effective_from/effective_to/is_current (a fact derived from another
+    // SCD output) would otherwise hit ambiguous-reference errors in the
+    // join condition — or silently lose their columns to the final drop
     val renamed = payload.foldLeft(dim) { (d, c) =>
       d.withColumnRenamed(c, dimPrefix + c)
     }
       .withColumnRenamed(keyCol, "__scd_key")
+      .withColumnRenamed("effective_from", "__scd_from")
+      .withColumnRenamed("effective_to", "__scd_to")
+      .withColumnRenamed("is_current", "__scd_current")
     facts.join(renamed,
       facts(keyCol) === col("__scd_key") &&
-        col(factTsCol) >= col("effective_from") &&
-        (col("effective_to").isNull ||
-          col(factTsCol) < col("effective_to")),
+        col(factTsCol) >= col("__scd_from") &&
+        (col("__scd_to").isNull ||
+          col(factTsCol) < col("__scd_to")),
       "left")
-      .drop("__scd_key", "effective_from", "effective_to", "is_current")
+      .drop("__scd_key", "__scd_from", "__scd_to", "__scd_current")
   }
 }

@@ -26,9 +26,16 @@ object SilverPipeline {
 
   /** Age in whole years at `asOf` (reference silver.py:80 derived col).
     * `asOf` is a parameter — not bare current_date() — so results are
-    * reproducible in tests and backfills. */
+    * reproducible in tests and backfills. Calendar arithmetic, not
+    * floor(days/365.25): the division form understates by one for days
+    * after a birthday whenever the span carries fewer than span/4 leap
+    * days (an 18th birthday with 4 leap days ⇒ 6574/365.25 = 17.998 →
+    * 17) — wrong exactly where the KYC age gate looks. */
   def ageYears(dob: Column, asOf: Column): Column =
-    floor(datediff(asOf, dob) / 365.25).cast(IntegerType)
+    (year(asOf) - year(dob) -
+      when(month(asOf) < month(dob) ||
+        (month(asOf) === month(dob) && dayofmonth(asOf) < dayofmonth(dob)),
+        1).otherwise(0)).cast(IntegerType)
 
   def transactionsToSilver(bronze: DataFrame): DataFrame = {
     val ts = parseTs(col("transaction_timestamp"))

@@ -33,11 +33,17 @@ object SkewJoin {
     // semantics
     require(supportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/left_semi joins, got $joinType")
-    // deterministic per-row salt: hash of the whole row (not rand(), which
-    // breaks on task retry)
+    // per-row salt: hash of the whole row PLUS a per-row ordinal —
+    // row-content alone would give identical rows identical salts, and
+    // duplicate-heavy hot keys (50M copies of one event row) would all
+    // land in a single salt bucket, recreating the straggler this
+    // function exists to break. monotonically_increasing_id is stable
+    // within a task attempt; salt placement does not affect join
+    // RESULTS, only distribution, so retry-nondeterminism is harmless.
     val allCols = skewed.columns.map(col).toIndexedSeq
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(allCols: _*), lit(saltFactor.toLong)))
+      pmod(xxhash64(allCols :+ monotonically_increasing_id(): _*),
+        lit(saltFactor.toLong)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -94,9 +94,17 @@ object Transforms {
       df: DataFrame,
       keyColumnName: String,
       naturalKeys: Seq[String]): DataFrame = {
+    // persist the range-partitioned frame: the offsets aggregate and the
+    // main join both consume it, and correctness REQUIRES both to see
+    // the same sampled range boundaries — under exchange-reuse both
+    // branches share one exchange anyway, but with reuse disabled (or an
+    // AQE recompute) an unpersisted subtree could re-sample different
+    // boundaries, silently duplicating/skipping key values. The shared
+    // InMemoryRelation makes boundary agreement unconditional.
     val ordered = df.repartitionByRange(naturalKeys.map(col): _*)
       .sortWithinPartitions(naturalKeys.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .persist()
     val localRank = row_number().over(
       Window.partitionBy(col("__pid")).orderBy(naturalKeys.map(col): _*))
     val withLocal = ordered.withColumn("__lrn", localRank)
