@@ -68,9 +68,23 @@ final class AlertManager(
   def pagerDutyPayload(a: Alert): String =
     s"""{"event_action":"trigger","payload":{"summary":"${esc(a.title)}: ${esc(a.message)}","severity":"critical","source":"${esc(a.pipelineName)}"}}"""
 
-  private def esc(s: String): String = s
-    .replace("\\", "\\\\").replace("\"", "\\\"")
-    .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+  /** JSON string escaping, INCLUDING the C0 control range: exception text
+    * routinely carries ANSI escapes (0x1b) from captured log lines, and
+    * a raw control byte inside a string literal makes the whole payload
+    * invalid JSON — losing the page exactly when it matters most. */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 }
 
 /** Convenience wrappers mirroring the reference's standard alert shapes

@@ -72,6 +72,19 @@ object HeavyHitters {
     require(minWeightRatio > 0 && minWeightRatio <= 1,
       s"minWeightRatio must be in (0, 1], got $minWeightRatio")
     require(sketchGroups >= 1, s"sketchGroups must be >= 1, got $sketchGroups")
+    // the sketch counts in longs — a fractional weight column would
+    // silently truncate (0.5 → 0, contributing nothing); make the caller
+    // scale to integer units (bytes, micro-tokens) instead
+    items.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 => ()
+      case other => throw new IllegalArgumentException(
+        s"weight column `$weightCol` must be integral (got $other): " +
+          "scale fractional weights to integer units first")
+    }
     val cap =
       if (capacity > 0) capacity
       else math.max(16, math.ceil(2.0 / minWeightRatio).toInt)
@@ -88,7 +101,9 @@ object HeavyHitters {
         val r = base.agg(
           MisraGriesAgg.weightedCandidates(col("item"), col("__w"), cap)
             .as("cands"),
-          sum(col("__w")).as("w")).head()
+          // coalesce: sum over an empty frame is NULL, and getLong would
+          // NPE before the empty-candidates early return below
+          coalesce(sum(col("__w")), lit(0L)).as("w")).head()
         (r.getSeq[String](0), r.getLong(1))
       } else {
         val rows = base

@@ -113,18 +113,23 @@ object Ivf {
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
       roundDigits: Int = 4, broadcastQueries: Boolean = true): DataFrame = {
     val cv = col(vecCol).cast("array<double>")
-    val c = corpus.select(col(idCol).as("neighbor_id"), cv.as("__cv"),
-      Similarity.norm(cv).as("__cn"),
-      cellId(cv, m).as("cell"))
+    // null vectors drop on BOTH sides (mirroring train/build): a null vec
+    // would otherwise land in cell 0 with sim 0.0 and outrank genuinely
+    // dissimilar (negative-cosine) neighbors in every query probing it
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), cv.as("__cv"),
+        Similarity.norm(cv).as("__cn"),
+        cellId(cv, m).as("cell"))
     // top-nprobe cells per query: sort (−sim, idx) structs, slice, explode
     val sims = simArray(cv, m)
     val ranked = array_sort(zip_with(sims,
       sequence(lit(0), lit(m.k - 1)),
       (s, i) => struct((-s).as("neg"), i.cast(IntegerType).as("idx"))))
     val probes = transform(slice(ranked, 1, nprobe), e => e.getField("idx"))
-    val q = queries.select(col(idCol).as("query_id"), cv.as("__qv"),
-      Similarity.norm(cv).as("__qn"),
-      explode(probes).as("cell"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), cv.as("__qv"),
+        Similarity.norm(cv).as("__qn"),
+        explode(probes).as("cell"))
     val qSide = if (broadcastQueries) broadcast(q) else q
     val scored = qSide.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

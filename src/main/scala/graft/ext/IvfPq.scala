@@ -41,8 +41,13 @@ object IvfPq {
       .persist()
     withRes.count()
     val pq = Pq.train(withRes, idCol, "__res", dim, m, kCodes, iters)
+    // drop rows whose codes came back null (wrong-dimension vectors fail
+    // Pq.encodeColumn's guard) — a null-codes row would score NULL adist
+    // at search time and, under NULLS FIRST ascending, hijack the top of
+    // every shortlist
     val encoded = withRes.select(col(idCol), col("__cell").as("cell"),
       Pq.encodeColumn(col("__res"), pq).as("codes"))
+      .filter(col("codes").isNotNull)
     val out = encoded.persist()
     out.count()
     withRes.unpersist()
@@ -91,10 +96,15 @@ object IvfPq {
     val adist = graft.functions.VectorFunctions.vec_adc_sum(
       col("codes"), col("__tab"))
     val qSide = if (broadcastQueries) broadcast(q) else q
-    val cand = encoded.join(qSide, Seq("cell"))
+    // codes/adist null guards: [[build]] filters null codes, but encoded
+    // is caller-supplied; a NULL adist (null codes OR a wrong-dimension
+    // query vector nulling the ADC table) sorts NULLS FIRST ascending and
+    // would take rank 1 in every shortlist
+    val cand = encoded.filter(col("codes").isNotNull).join(qSide, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(adist, roundDigits).as("adist"))
+      .filter(col("adist").isNotNull)
       .dropDuplicates("query_id", "neighbor_id") // multi-probe overlap
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)

@@ -39,11 +39,20 @@ object Layout {
     val joined = df.crossJoin(broadcast(stats))
     // exact integer quantization: ((x − min) · 2^bits) div (range + 1)
     // — `div` (not `/`, which is DOUBLE division in Spark SQL) keeps the
-    // whole computation in BIGINT, so any engine reproduces the bucket
-    // bit-exactly
+    // whole computation exact, so any engine reproduces the bucket
+    // bit-exactly. The arithmetic runs in DECIMAL(38,0), not BIGINT: a
+    // clustering column spanning the full long range (hash-distributed
+    // ids, ±2^63) overflows max−min+1 and (x−min)·2^bits in 64-bit
+    // arithmetic, yielding garbage buckets with no error. The decimal
+    // bound span·2^bits < 10^38 holds for every realistic layout
+    // (span ≤ 2^64 needs bits ≤ 62; multi-column keys sit far below).
+    require(BigInt(2).pow(64) * BigInt(buckets) < BigInt(10).pow(38),
+      s"bits=$bits too wide for exact DECIMAL(38,0) quantization")
     def bucket(c: String): Column = expr(
-      s"((CAST(`$c` AS BIGINT) - `__min_$c`) * ${buckets}L) div " +
-        s"(`__max_$c` - `__min_$c` + 1L)")
+      s"((CAST(CAST(`$c` AS BIGINT) AS DECIMAL(38,0)) - " +
+        s"CAST(`__min_$c` AS DECIMAL(38,0))) * ${buckets}L) div " +
+        s"(CAST(`__max_$c` AS DECIMAL(38,0)) - " +
+        s"CAST(`__min_$c` AS DECIMAL(38,0)) + 1L)")
     val key = cols.zipWithIndex.map { case (c, j) =>
       val q = bucket(c)
       (0 until bits).map { i =>

@@ -24,15 +24,35 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType}
+
+  /** `floor(x / w)` as a grid-cell id, EXACT for integral and decimal
+    * columns: `floor(x/w) = (x − pmod(x, w)) / w`, where the numerator is
+    * an exact multiple of `w`, so the decimal division has no fractional
+    * part to round — all integer arithmetic, no double rounding past 2^53
+    * (e.g. epoch nanos; a bare `floor(x / w)` is DOUBLE division in Spark
+    * and silently merges adjacent cells there). Float/double columns keep
+    * the double floor — their values carry double precision to begin
+    * with. */
+  private def cellOf(x: Column, binWidth: Long, dt: DataType): Column =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val xd = x.cast(DecimalType(38, 0))
+        ((xd - pmod(xd, lit(binWidth))) / lit(binWidth)).cast(LongType)
+      case d: DecimalType =>
+        // widen precision, keep scale — the cast is exact, and the
+        // division's numerator is an exact multiple of binWidth
+        val xd = x.cast(DecimalType(38, d.scale))
+        ((xd - pmod(xd, lit(binWidth))) / lit(binWidth)).cast(LongType)
+      case _ => floor(x / binWidth).cast(LongType)
+    }
 
   /** Last grid cell covered by an EXCLUSIVE upper bound: `floor(hi/w)`,
     * minus one when `hi` sits exactly on a cell boundary (an interval
-    * ending there does not cover that cell). Exact for integral and
-    * fractional bounds alike — no `hi - ε` float hack, which would lose
-    * precision past 2^53 (e.g. epoch nanos). */
-  private def lastCell(hi: Column, binWidth: Long): Column =
-    (floor(hi / binWidth) -
-      when(hi % binWidth === 0, 1).otherwise(0)).cast("long")
+    * ending there does not cover that cell). */
+  private def lastCell(hi: Column, binWidth: Long, dt: DataType): Column =
+    cellOf(hi, binWidth, dt) -
+      when(pmod(hi, lit(binWidth)) === 0, 1).otherwise(0)
 
   /** Join each point to every interval containing it: `lo <= p < hi`
     * (half-open, the calendar/window convention). Both inputs may be
@@ -49,10 +69,12 @@ object RangeJoin {
     val cells = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("__cell",
-        explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-          lastCell(col(hiCol), binWidth))))
+        explode(sequence(
+          cellOf(col(loCol), binWidth, intervals.schema(loCol).dataType),
+          lastCell(col(hiCol), binWidth, intervals.schema(hiCol).dataType))))
     val pts = points
-      .withColumn("__cell", floor(col(pointCol) / binWidth).cast("long"))
+      .withColumn("__cell",
+        cellOf(col(pointCol), binWidth, points.schema(pointCol).dataType))
     pts.join(cells, keys :+ "__cell")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__cell")
@@ -71,12 +93,27 @@ object RangeJoin {
     def cellsOf(df: DataFrame, lo: String, hi: String): DataFrame = df
       .filter(col(hi) > col(lo))
       .withColumn("__cell",
-        explode(sequence(floor(col(lo) / binWidth).cast("long"),
-          lastCell(col(hi), binWidth))))
+        explode(sequence(cellOf(col(lo), binWidth, df.schema(lo).dataType),
+          lastCell(col(hi), binWidth, df.schema(hi).dataType))))
+    // canonical-cell arithmetic must match the explode's: exact path only
+    // when BOTH lower bounds are exact (integral/decimal) types —
+    // greatest() then yields an exact common type; any float side already
+    // computed its cells in double
+    def scaleOf(dt: DataType): Option[Int] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(0)
+      case d: DecimalType => Some(d.scale)
+      case _ => None
+    }
+    val canonDt =
+      (scaleOf(left.schema(aLo).dataType), scaleOf(right.schema(bLo).dataType))
+        match {
+        case (Some(sa), Some(sb)) => DecimalType(38, math.max(sa, sb))
+        case _ => org.apache.spark.sql.types.DoubleType
+      }
     cellsOf(left, aLo, aHi).join(cellsOf(right, bLo, bHi), keys :+ "__cell")
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
       .filter(col("__cell") ===
-        floor(greatest(col(aLo), col(bLo)) / binWidth).cast("long"))
+        cellOf(greatest(col(aLo), col(bLo)), binWidth, canonDt))
       .drop("__cell")
   }
 }

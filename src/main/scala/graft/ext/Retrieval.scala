@@ -32,7 +32,11 @@ object Retrieval {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       roundTo: Int = 4): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // null text scores 0 like an empty doc ("score of every document"):
+    // without the coalesce, split(null) nulls every tf and the NULL
+    // propagates through the score sum into downstream consumers (rrfFuse
+    // would rank NULL-scored rows by engine null ordering)
+    val toks = split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")
     def tf(i: Int): String = s"__tf$i"
     // one narrow projection: doc length + one tf column per query term,
     // let-bound so the split runs once per row (lambda capture re-evaluates

@@ -76,9 +76,17 @@ object Web {
     * or the last three when the two-label tail is a known public suffix
     * (`example.co.uk` → `example.co.uk`, not `co.uk`). */
   def registeredDomain(url: Column): Column = {
+    // scheme-less inputs (bare hosts, protocol-relative refs) must still
+    // truncate the authority at the first /?# — otherwise a path rides
+    // into the label split ("example.com/page" → last label "com/page")
+    // and blocklist matches silently fail; userinfo is stripped for the
+    // same reason ("trusted.com@evil.com" must resolve to evil.com)
     val hostPort = when(url.rlike(schemeRe),
-      regexp_extract(url, hostRe, 1)).otherwise(url)
-    val host = regexp_replace(lower(hostPort), ":\\d+$", "")
+      regexp_extract(url, hostRe, 1))
+      .otherwise(regexp_replace(regexp_replace(url, "^//", ""),
+        "[/?#].*$", ""))
+    val noUser = regexp_replace(hostPort, "^[^/?#]*@", "")
+    val host = regexp_replace(lower(noUser), ":\\d+$", "")
     val labels = split(host, "\\.")
     val n = size(labels)
     val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))

@@ -138,11 +138,30 @@ object Monitoring {
   }
 
   /** Driver-side verdict over the tail of [[volumeAnomalyDF]] — mirrors the
-    * reference's collect-then-decide shape (≤ lookback+1 rows collected). */
+    * reference's collect-then-decide shape (≤ lookback+1 rows collected).
+    *
+    * Blind spot of the pure-window form: a TOTAL outage writes no rows, so
+    * the newest day in the frame is the last day that HAD data and looks
+    * normal (the repo's GapFill scaladoc names exactly this failure mode).
+    * Pass `asOfMs` (wall clock of the check) to also flag a gap: data whose
+    * newest day is before yesterday (UTC) means at least one full day of
+    * zero volume. Left `None`, behavior is purely data-relative —
+    * deterministic for backtests. An empty frame is [[isFresh]]'s job, not
+    * an anomaly verdict (no baseline to compare against). */
   def checkVolumeAnomaly(df: DataFrame, tsCol: String,
-      threshold: Double = 0.5, lookbackDays: Int = 7): Boolean = {
+      threshold: Double = 0.5, lookbackDays: Int = 7,
+      asOfMs: Option[Long] = None): Boolean = {
     val rows = volumeAnomalyDF(df, tsCol, threshold, lookbackDays)
       .orderBy(col("day").desc).limit(1).collect()
-    rows.headOption.exists(_.getAs[Boolean]("is_anomaly"))
+    val latestAnomalous = rows.headOption.exists(_.getAs[Boolean]("is_anomaly"))
+    val outage = asOfMs.exists { now =>
+      rows.headOption.exists { r =>
+        val lastDay = r.getAs[java.sql.Date]("day").toLocalDate
+        val today = java.time.Instant.ofEpochMilli(now)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        java.time.temporal.ChronoUnit.DAYS.between(lastDay, today) > 1
+      }
+    }
+    latestAnomalous || outage
   }
 }

@@ -724,7 +724,7 @@ object TextQueries {
     "q63_bm25" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS tk
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,

@@ -470,6 +470,21 @@ class ExtSpec extends SparkSpec {
     assert(got2 == exact)
   }
 
+  test("heavy hitters: empty input returns empty (no NPE on null total)") {
+    val docs = Seq[(Long, Option[String])]((1L, None), (2L, Some("  ")))
+      .toDF("doc_id", "text")
+    assert(graft.ext.HeavyHitters.frequentTokens(docs, "text", 0.5)
+      .count() == 0L)
+  }
+
+  test("heavy hitters: fractional weight columns are rejected loudly") {
+    val items = Seq(("a", 0.5), ("a", 0.5)).toDF("item", "w")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.HeavyHitters.frequentWeighted(items, "item", "w", 0.5)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("gap fill synthesizes missing days with zeros and forward-fills values") {
     val daily = Seq(
       ("a", "2024-01-01", 5L, 10.0), ("a", "2024-01-04", 3L, 30.0),

@@ -75,6 +75,24 @@ class IvfSpec extends SparkSpec {
 
   // ---------- SemDeDup (cluster-confined semantic dedup) ----------
 
+  test("topK drops null-vector rows on both sides") {
+    val m = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val base = emb.select("vec_id", "embedding")
+    val nullRow = base.limit(1)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        lit(null).cast(base.schema("embedding").dataType).as("embedding"))
+    val corpus = base.unionByName(nullRow)
+    val queries = corpus.filter(col("vec_id") < 10 ||
+      col("vec_id") >= 100000L)
+    val got = Ivf.topK(corpus, queries, m, "vec_id", "embedding",
+      k = 3, nprobe = 2).collect()
+    // the null-vec row neither answers (it has no vector to be near)...
+    assert(!got.exists(_.getAs[Long]("neighbor_id") >= 100000L))
+    // ...nor asks (a null query has no probe cells)
+    assert(!got.exists(_.getAs[Long]("query_id") >= 100000L))
+    assert(got.nonEmpty)
+  }
+
   test("semDedup drops every planted scaled copy, keep-min-id") {
     // scaled copies share the source's direction → same k-means cell,
     // cosine 1.0 → every copy (larger id) drops, every source survives

@@ -27,6 +27,20 @@ class LayoutSpec extends SparkSpec {
     assert(keys((2L, 1L)) == interleave(2, 1))
   }
 
+  test("zorderKey is exact for full-long-range columns (no overflow)") {
+    // hash-distributed ids spanning ±2^62: max−min+1 and (x−min)·2^bits
+    // both blow past 64 bits — BIGINT arithmetic silently corrupted every
+    // bucket; the DECIMAL(38,0) path must order buckets monotonically
+    val big = 1L << 62
+    val df = Seq(-big, -big / 2, 0L, big / 2, big).toDF("x")
+    val keys = Layout.zorderKey(df, Seq("x"), bits = 8)
+      .orderBy("x").select("zkey").as[Long].collect().toSeq
+    assert(keys == keys.sorted, s"buckets not monotone: $keys")
+    assert(keys.head == 0L) // min quantizes to bucket 0
+    assert(keys.last == 255L) // max lands in the top bucket
+    assert(keys.distinct.size == keys.size) // evenly spread, no collapse
+  }
+
   test("z-order clustering prunes a 2-d box query better than linear sort") {
     // 64×64 grid of points, 16 "files"; query box = one column stripe in
     // y (the NON-leading dimension for the linear layout)

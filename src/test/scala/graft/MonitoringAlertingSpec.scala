@@ -38,6 +38,23 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(!Monitoring.checkVolumeAnomaly(df, "ts"))
   }
 
+  test("total outage: asOf gap check flags zero-volume days") {
+    val rows = (1 to 8).flatMap(d => (1 to 100).map(_ => s"2024-01-0$d 00:00:00"))
+    val df = rows.toDF("ts").select(col("ts").cast("timestamp").as("ts"))
+    val dayMs = 86400000L
+    val jan8 = java.time.Instant.parse("2024-01-08T12:00:00Z").toEpochMilli
+    // data current through the as-of day (or yesterday): no outage
+    assert(!Monitoring.checkVolumeAnomaly(df, "ts", asOfMs = Some(jan8)))
+    assert(!Monitoring.checkVolumeAnomaly(df, "ts",
+      asOfMs = Some(jan8 + dayMs)))
+    // newest data two+ days old: a full zero-volume day passed — flagged,
+    // even though the newest PRESENT day looks perfectly normal
+    assert(Monitoring.checkVolumeAnomaly(df, "ts",
+      asOfMs = Some(jan8 + 2 * dayMs)))
+    // without asOf the pure-window form stays blind to it (documented)
+    assert(!Monitoring.checkVolumeAnomaly(df, "ts"))
+  }
+
   test("freshness verdict against SLA") {
     val now = System.currentTimeMillis()
     val fresh = Seq(new java.sql.Timestamp(now - 3600 * 1000)).toDF("ts")
@@ -86,6 +103,17 @@ class MonitoringAlertingSpec extends SparkSpec {
       AlertSeverity.P2, "pipe", Map("k" -> "v")))
     assert(p.contains("\\\"quoted\\\""))
     assert(!p.contains("\n"))
+  }
+
+  test("payloads escape C0 control chars (ANSI codes in exception text)") {
+    val mgr = new AlertManager()
+    val p = mgr.pagerDutyPayload(Alert("t",
+      "\u001b[31mFAILED\u001b[0m\u0001 at stage x",
+      AlertSeverity.P1, "pipe"))
+    // no raw control byte may survive into the JSON body
+    assert(!p.exists(c => c < 0x20))
+    assert(p.contains("\\u001b[31m"))
+    assert(p.contains("\\u0001"))
   }
 
   test("pipeline failure wrapper: P1, pages, truncates error to 500 chars") {

@@ -42,6 +42,29 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(1L)) // group b has no interval
   }
 
+  test("pointInInterval is exact past 2^53 (epoch-nano keys)") {
+    // doubles are 128 apart at 1e18: both base-1 and base-10 round to
+    // base, so the old floor(x / w) double division collapsed the cells
+    val base = 1000000000000000000L
+    val points = Seq((1L, base - 1L), (2L, base), (3L, base - 11L))
+      .toDF("p_id", "v")
+    val intervals = Seq((10L, base - 10L, base)).toDF("i_id", "lo", "hi")
+    val got = graft.ext.RangeJoin.pointInInterval(
+        points, intervals, "v", "lo", "hi", binWidth = 10)
+      .select("p_id").as[Long].collect().toSet
+    assert(got == Set(1L)) // base-1 in [base-10, base); base out; base-11 out
+  }
+
+  test("intervalOverlap is exact past 2^53") {
+    val base = 1000000000000000000L
+    val left = Seq((1L, base - 20L, base - 5L)).toDF("a_id", "a_lo", "a_hi")
+    val right = Seq((2L, base - 10L, base)).toDF("b_id", "b_lo", "b_hi")
+    val got = graft.ext.RangeJoin.intervalOverlap(left, right,
+        "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
   test("intervalOverlap equals brute force with no duplicate pairs") {
     val left = (0L until 16L).map { i =>
       val lo = i * 5 - 20
@@ -134,6 +157,19 @@ class OpsSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == Seq("example.co.uk", "example.com", "example.com",
       "localhost"))
+  }
+
+  test("registeredDomain: scheme-less paths, protocol-relative, userinfo") {
+    val got = Seq(
+      "example.com/page",                 // path must not ride into labels
+      "example.com?q=1",
+      "//cdn.example.com/asset.js",       // protocol-relative ref
+      "http://trusted.com@evil.com/x",    // userinfo spoof → evil.com
+      "user@example.com").toDF("u")
+      .select(graft.ext.Web.registeredDomain(col("u")).as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("example.com", "example.com", "example.com",
+      "evil.com", "example.com"))
   }
 
   test("stripHtml removes script/style/comments/tags, decodes entities") {

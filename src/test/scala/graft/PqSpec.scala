@@ -134,6 +134,28 @@ class PqSpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("IVF-PQ: wrong-dimension vectors cannot hijack the shortlist") {
+    val clustered = spark.range(500).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        sin((col("id") % 20) * lit(31.0) + j * lit(7.0))).as("embedding"))
+    // one corpus row with a truncated (wrong-dim) vector: its codes are
+    // null; under NULLS FIRST ascending it would previously take rank 1
+    // in EVERY query's shortlist
+    val bad = spark.range(1).select(lit(99999L).as("vec_id"),
+      transform(sequence(lit(0), lit(3)), j => lit(0.0)).as("embedding"))
+    val corpus = clustered.unionByName(bad)
+    val (index, encoded) = graft.ext.IvfPq.build(corpus, "vec_id",
+      "embedding", dim = 16, kCells = 4, m = 4, kCodes = 8, iters = 1)
+    val queries = clustered.filter(col("vec_id") < 3)
+    val got = graft.ext.IvfPq.topK(encoded, corpus, queries, index,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_.getAs[Long]("neighbor_id") == 99999L))
+    encoded.unpersist()
+  }
+
   test("unrolled and data-driven encode plans produce identical codes") {
     val model = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8,
       k = 16, iters = 2)

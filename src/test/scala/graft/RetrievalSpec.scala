@@ -41,6 +41,18 @@ class RetrievalSpec extends SparkSpec {
     assert(!top.map(_.getAs[Long]("doc_id")).contains(3L))
   }
 
+  test("bm25 scores null-text docs 0, not NULL") {
+    val docs = Seq[(Long, Option[String])](
+      (1L, Some("alpha beta")), (2L, None), (3L, Some("")))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("alpha"))
+      .orderBy("doc_id").collect()
+    assert(got.length == 3) // "score of every document" includes null text
+    assert(got(0).getAs[Double]("score") > 0)
+    assert(!got(1).isNullAt(1) && got(1).getAs[Double]("score") == 0.0)
+    assert(!got(2).isNullAt(1) && got(2).getAs[Double]("score") == 0.0)
+  }
+
   // ---------- chunking ----------
 
   test("chunk produces overlapping windows with a short tail") {
