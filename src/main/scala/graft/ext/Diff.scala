@@ -20,14 +20,21 @@ object Diff {
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "at least one compare column")
-    val o = oldDf.select(col(idCol),
-      struct(compareCols.map(col): _*).as("__old"))
-    val n = newDf.select(col(idCol),
-      struct(compareCols.map(col): _*).as("__new"))
-    o.join(n, Seq(idCol), "full_outer")
-      .select(col(idCol),
-        when(col("__old").isNull, lit("added"))
-          .when(col("__new").isNull, lit("removed"))
+    // the id join itself is null-safe (<=>), honoring the scaladoc: a
+    // null-id row present in both versions pairs up as unchanged/changed
+    // instead of surfacing as a phantom added+removed pair. Presence is
+    // tracked with marker literals — with null-safe ids, the id column's
+    // own nullness can no longer distinguish "absent side" from "null id"
+    val o = oldDf.select(col(idCol).as("__oid"),
+      struct(compareCols.map(col): _*).as("__old"), lit(true).as("__ino"))
+    val n = newDf.select(col(idCol).as("__nid"),
+      struct(compareCols.map(col): _*).as("__new"), lit(true).as("__inn"))
+    o.join(n, col("__oid") <=> col("__nid"), "full_outer")
+      .select(
+        when(col("__inn").isNotNull, col("__nid")).otherwise(col("__oid"))
+          .as(idCol),
+        when(col("__ino").isNull, lit("added"))
+          .when(col("__inn").isNull, lit("removed"))
           .when(col("__old") <=> col("__new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }

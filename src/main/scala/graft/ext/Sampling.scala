@@ -192,4 +192,90 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1), col("__n"))))
       .drop("__n", "rate")
   }
+
+  /** Budget-constrained quality selection — "keep the best docs until the
+    * token budget runs out", the subset-construction step behind
+    * classifier-filtered pretraining corpora (select top-quality mass,
+    * e.g. an edu-scored web crawl cut to a 1.5T-token budget).
+    *
+    * Semantics (exact, deterministic): order docs by
+    * (quality band DESC, id-hash ASC, id ASC) — band =
+    * `floor(score·bands)` clipped to [0, bands) — and keep the maximal
+    * PREFIX whose cumulative `tokensCol` stays ≤ `budgetTokens`. The
+    * hash tiebreak inside a band makes the boundary cut an unbiased
+    * sample of the boundary band rather than an id-ordered slice.
+    *
+    * Scale shape — the corpus never globally sorts and never shuffles:
+    *  1. one map-side aggregate of token mass per (band, hash-prefix
+    *     bucket) — ≤ bands·256 rows collected (the only driver data);
+    *  2. the driver walks groups in selection order to find the boundary
+    *     group and its remaining budget;
+    *  3. one windowed cumsum over JUST the boundary group (~1/(bands·256)
+    *     of the corpus, filter-pushed) resolves the exact cut row;
+    *  4. the selection is then a broadcast-literal filter riding a plain
+    *     corpus scan.
+    * A global ORDER BY + running sum computes the same thing in one
+    * shot — and range-shuffles the entire corpus to do it.
+    *
+    * Rows with a null score or null/negative tokens are ineligible and
+    * never selected; zero-token rows are free and keep whole-band
+    * semantics. `scoreCol` must lie in [0, 1] (clipped); ids must be
+    * unique. The id hash is [[TextStats.md5Hash64]] of
+    * `"<seed>|<id>"` — reproducible in any engine. */
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budgetTokens: Long, bands: Int = 256,
+      seed: Long = 0): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    require(bands > 0, "bands must be positive")
+    val eligible = col(scoreCol).isNotNull && col(tokensCol).isNotNull &&
+      col(tokensCol) >= 0
+    val band = least(greatest(floor(col(scoreCol) * bands), lit(0)),
+      lit(bands - 1)).cast("int")
+    val h = TextStats.md5Hash64(
+      concat(lit(seed.toString), lit("|"), col(idCol).cast("string")))
+    // md5Hash64 ∈ [0, 2^60): the top 8 bits give 256 buckets whose
+    // ascending order EQUALS ascending hash order — the group walk and
+    // the row order agree by construction
+    val bucketOf = shiftright(h, 52).cast("int")
+    val keyed = df.filter(eligible)
+      .select(col(idCol).as("__id"), col(tokensCol).cast("long").as("__t"),
+        band.as("__band"), bucketOf.as("__bkt"), h.as("__h"))
+    val groups = keyed.groupBy(col("__band"), col("__bkt"))
+      .agg(sum(col("__t")).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (b, k, _) => (-b, k) }
+    var cum = 0L
+    var boundary: Option[(Int, Int, Long)] = None // (band, bucket, remaining)
+    val it = groups.iterator
+    while (boundary.isEmpty && it.hasNext) {
+      val (b, k, t) = it.next()
+      if (cum + t > budgetTokens) boundary = Some((b, k, budgetTokens - cum))
+      else cum += t
+    }
+    boundary match {
+      case None => df.filter(eligible) // whole eligible corpus fits
+      case Some((bStar, kStar, remaining)) =>
+        val pre = band > bStar ||
+          (band === bStar && bucketOf < kStar)
+        // resolve the exact cut row inside the boundary group: window
+        // cumsum over ~1/(bands·256) of the corpus, then keep rows at or
+        // before the last fitting (hash, id) — collected as two literals
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__h").asc, col("__id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val lastKept = keyed
+          .filter(col("__band") === bStar && col("__bkt") === kStar)
+          .withColumn("__cum", sum(col("__t")).over(w))
+          .filter(col("__cum") <= remaining)
+          .orderBy(col("__h").desc, col("__id").desc)
+          .limit(1).collect()
+        val bnd = lastKept.headOption.map { r =>
+          val hStar = r.getAs[Long]("__h")
+          band === bStar && bucketOf === kStar &&
+            (h < hStar || (h === hStar && col(idCol) <= lit(r.get(0))))
+        }.getOrElse(lit(false))
+        df.filter(eligible && (pre || bnd))
+    }
+  }
 }

@@ -12,7 +12,10 @@ object Sequences {
 
   /** Per-entity ordered payload sequence, capped to the LAST `maxLen`
     * events. Output: (entityCol, n_events, seq) where `seq` is the
-    * payloads in ascending `orderCols` order.
+    * payloads in ascending `orderCols` order and `n_events` is the
+    * entity's TRUE (pre-cap) event count — the capped length is simply
+    * `size(seq)`; reporting the capped count as "n_events" would make
+    * every heavy entity look like it had exactly `maxLen` events.
     *
     * Scale: the length cap applies BEFORE collection (row_number over
     * the entity window + filter), so a pathological mega-entity bounds
@@ -30,12 +33,17 @@ object Sequences {
     require(maxLen > 0, "maxLen must be positive")
     val w = Window.partitionBy(col(entityCol))
       .orderBy(orderCols.map(col(_).desc): _*)
+    // the true count rides the SAME window spec (full frame), so both
+    // window functions evaluate in one Window operator on one exchange
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val capped = events
       .withColumn("__rk", row_number().over(w))
+      .withColumn("__tot", count(lit(1)).over(wAll))
       .filter(col("__rk") <= maxLen)
     capped
       .groupBy(col(entityCol))
-      .agg(count(lit(1)).as("n_events"),
+      .agg(max(col("__tot")).as("n_events"),
         transform(
           array_sort(collect_list(struct(
             orderCols.map(col) :+ payload.as("__p"): _*))),

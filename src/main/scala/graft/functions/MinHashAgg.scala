@@ -34,6 +34,17 @@ case class MinHashAgg(
 
   require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
 
+  /** Registered as a SQL function — without this, a non-BIGINT input
+    * passes analysis and dies per-row with ClassCastException at
+    * execution instead of a plan-time type error. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_agg input must be BIGINT (a 64-bit shingle hash), " +
+        s"got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
 

@@ -106,9 +106,15 @@ case class MisraGriesAgg(
     b1
   }
 
+  /** Sort in UTF8String BINARY order, not Java String (UTF-16) order —
+    * they disagree on supplementary characters (an emoji sorts before
+    * U+FFFD in UTF-16 code units but after it in UTF-8 bytes), and the
+    * sorted-output contract must match SQL-side orderings and
+    * cross-engine oracles. */
   override def eval(buf: mutable.HashMap[String, Long]): Any =
     new GenericArrayData(
-      buf.keys.toArray.sorted.map(UTF8String.fromString(_): AnyRef))
+      buf.keys.toArray.map(UTF8String.fromString)
+        .sortWith(_.compareTo(_) < 0).map(x => x: AnyRef))
 
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val entries = buf.toArray.map { case (k, c) =>

@@ -27,6 +27,17 @@ case class SimHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
+  /** Registered as a SQL function — without this, a non-BIGINT input
+    * passes analysis and dies per-row with ClassCastException at
+    * execution instead of a plan-time type error. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash_agg input must be BIGINT (a 64-bit token hash), " +
+        s"got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

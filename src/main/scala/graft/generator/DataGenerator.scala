@@ -148,9 +148,16 @@ object DataGenerator {
     // indicator pool excludes STRUCTURING — that label is reserved for the
     // actual structuring pattern
     val flagged = (u(id, "fraud") < 0.025) || structuring
+    // two indicators sample WITHOUT replacement (like the reference):
+    // the second pick draws from the n−1 values after the first, offset
+    // modulo n, so "NEW_DEVICE|NEW_DEVICE" can never be emitted
     val randomIndicators = Enums.fraudIndicators.filterNot(_ == "STRUCTURING")
-    val indicator1 = pick(id, "ind1", randomIndicators)
-    val indicator2 = pick(id, "ind2", randomIndicators)
+    val nInd = randomIndicators.size
+    val idx1 = (u(id, "ind1") * nInd).cast(IntegerType)
+    val idx2 = pmod(idx1 + 1 + (u(id, "ind2") * (nInd - 1)).cast(IntegerType),
+      lit(nInd))
+    val indicator1 = element_at(typedlit(randomIndicators), idx1 + 1)
+    val indicator2 = element_at(typedlit(randomIndicators), idx2 + 1)
     val indicators = when(!flagged, lit(""))
       .when(structuring, lit("STRUCTURING"))
       .when(u(id, "nind") < 0.5, indicator1)

@@ -79,8 +79,13 @@ object Gold {
       col("net_revenue") / col("volume").cast(DoubleType))
 
   /** fact_transactions analogue (reference base.py:91): lineitem enriched
-    * with order and customer attributes. Dimension sides are broadcast —
-    * at 100 TB the fact never shuffles for these joins. */
+    * with order and customer attributes. Customer — a true dimension —
+    * is broadcast; orders is order-of-fact-sized (~¼ of lineitem at
+    * TPC-H ratios), far past any broadcast threshold, so it
+    * shuffle-joins on the natural key. At 100 TB make THAT join
+    * exchange-free by bucketing both tables on the order key
+    * ([[graft.io.Writers.writeBucketed]] — the zero-Exchange co-location
+    * the plan tests assert), not by broadcasting a fact-sized side. */
   def factLineitem(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame): DataFrame = lineitem
     .join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"),

@@ -22,28 +22,86 @@ import org.apache.spark.sql.functions.col
   */
 object Maintenance {
 
-  /** OPTIMIZE-style compaction: rewrite `path` into `targetFiles` files. */
+  /** OPTIMIZE-style compaction: rewrite `path` into `targetFiles` files.
+    * Partition-LAYOUT-PRESERVING: see [[readPreservingLayout]] — a naive
+    * read+rewrite would flatten `col=value` directories into data columns
+    * with partition-type inference applied, silently corrupting string
+    * partition keys ("007" → int 7) and destroying the pruning layout. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     recoverOrphanedSwap(path)
     val staging = s"$path.staging-compact"
-    spark.read.parquet(path).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staging)
+    val (df, parts) = readPreservingLayout(spark, path)
+    val w = df.coalesce(targetFiles).write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging)
     swap(path, staging)
   }
 
   /** ZORDER-approximation: cluster rows so min/max stats prune on `cols`.
     * A true Z-curve interleaves bits of all columns; lexicographic
     * range-partition + local sort gives the same pruning on the leading
-    * column and good pruning on followers, with zero custom code. */
+    * column and good pruning on followers, with zero custom code.
+    * Partition-layout-preserving like [[compact]]. */
   def clusterBy(spark: SparkSession, path: String, cols: Seq[String],
       targetFiles: Int): Unit = {
     recoverOrphanedSwap(path)
     val staging = s"$path.staging-cluster"
-    spark.read.parquet(path)
+    val (df, parts) = readPreservingLayout(spark, path)
+    val w = df
       .repartitionByRange(targetFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
-      .write.mode("overwrite").parquet(staging)
+      .write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging)
     swap(path, staging)
+  }
+
+  /** Read a parquet table so a rewrite round-trips its partition layout
+    * EXACTLY: partition columns are discovered from the `col=value`
+    * directory chain and read with type inference OFF, so their values
+    * stay the literal directory strings. Writing back with the same
+    * `partitionBy` re-emits identical directory names — partition values
+    * never pass through a lossy type round-trip ("007" → 7 → "7"), and
+    * since partition columns live in directory names, not data files, the
+    * on-disk schema is unchanged. Returns (frame, partition columns). */
+  private[io] def readPreservingLayout(
+      spark: SparkSession, path: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val parts = partitionColumnsOf(path)
+    if (parts.isEmpty) (spark.read.parquet(path), Nil)
+    else {
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.get(inferKey)
+      val df =
+        try { spark.conf.set(inferKey, "false"); spark.read.parquet(path) }
+        finally spark.conf.set(inferKey, prev)
+      (df, parts)
+    }
+  }
+
+  /** Partition columns of a parquet directory, from the first
+    * `name=value` directory chain (Hive layout). */
+  private[graft] def partitionColumnsOf(path: String): Seq[String] = {
+    def firstPartDir(p: Path): Option[Path] = {
+      val l = Files.list(p)
+      try {
+        val it = l.iterator()
+        var found: Option[Path] = None
+        while (it.hasNext && found.isEmpty) {
+          val c = it.next()
+          val n = c.getFileName.toString
+          if (Files.isDirectory(c) && n.contains("=") && !n.startsWith("."))
+            found = Some(c)
+        }
+        found
+      } finally l.close()
+    }
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = Paths.get(path)
+    var next = firstPartDir(cur)
+    while (next.isDefined) {
+      cols += next.get.getFileName.toString.split("=", 2)(0)
+      cur = next.get
+      next = firstPartDir(cur)
+    }
+    cols.toSeq
   }
 
   /** Delete retired/staging siblings of `path` older than `retainMs`

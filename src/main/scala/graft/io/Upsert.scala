@@ -134,8 +134,24 @@ object Upsert {
     Maintenance.recoverOrphanedSwap(targetPath)
     val dir = Paths.get(targetPath)
     if (!Files.exists(dir)) {
-      val n = source.count()
-      write(source, targetPath)
+      // observe the count ON the bootstrap write — a separate count()
+      // would execute the whole source plan twice (the dominant cost of
+      // bootstrapping a large snapshot), and for a non-deterministic
+      // source could even disagree with what was written
+      val obs = org.apache.spark.sql.Observation(
+        s"boot_${UUID.randomUUID().toString.take(8)}")
+      write(source.observe(obs, count(lit(1)).as("inserted")), targetPath)
+      var m = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+      var waitedMs = 0
+      while (m.isEmpty && waitedMs < 5000) {
+        Thread.sleep(100); waitedMs += 100
+        m = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
+      }
+      val n = m.get("inserted")
+        .collect { case l: java.lang.Long => l.longValue }
+        // fallback recounts the WRITTEN files (metadata-cheap), never the
+        // source plan
+        .getOrElse(spark.read.parquet(targetPath).count())
       return MergeStats(inserted = n, updated = 0L)
     }
     // Partition-column values come back from DIRECTORY NAMES on read;

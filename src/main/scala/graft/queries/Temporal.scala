@@ -192,9 +192,10 @@ object Temporal {
     "q91_event_sequences" ->
       """WITH ranked AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS tot
         |  FROM events)
-        |SELECT user_id, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(MAX(tot) AS BIGINT) AS n_events,
         |  string_agg(event_type, '|' ORDER BY ts, event_id) AS seq
         |FROM ranked WHERE rk <= 20
         |GROUP BY user_id

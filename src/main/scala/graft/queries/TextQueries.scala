@@ -75,6 +75,25 @@ object TextQueries {
         minWeightRatio = 0.01)
     }),
 
+    // Budget-constrained quality selection (FineWeb-Edu-style "top
+    // quality under a token budget"): q28's quality score bands + md5
+    // hash tiebreak, maximal prefix with Σtokens ≤ 40% of corpus mass.
+    // The grouped two-phase cut must equal the oracle's global-order
+    // running-sum prefix exactly.
+    "q102_budget_select" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("score"),
+        TextStats.tokenCount(col("text")).as("toks"))
+      val total = scored
+        .filter(col("score").isNotNull && col("toks").isNotNull &&
+          col("toks") >= 0)
+        .agg(coalesce(sum(col("toks")), lit(0L))).head().getLong(0)
+      graft.ext.Sampling.selectByTokenBudget(scored, "doc_id", "score",
+          "toks", budgetTokens = total * 2 / 5, bands = 256, seed = 7)
+        .select(col("doc_id"), col("score"), col("toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-doc deterministic text statistics.
     "q24_text_stats" -> ((s, dir) => {
       TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -581,6 +600,39 @@ object TextQueries {
         |SELECT item, weight FROM s
         |WHERE weight >= CEIL((SELECT tw FROM tot) * 0.01)
         |ORDER BY weight DESC, item""".stripMargin,
+
+    // global-order running-sum prefix — the one-shot form of the
+    // grouped two-phase cut (q28 score expr + q25 token expr + md5
+    // bridge, budget = 40% integer-division of eligible token mass)
+    "q102_budget_select" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n_words BETWEEN 20 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        |     + CASE WHEN digit_ratio < 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        |     + CASE WHEN n_chars >= 100 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS score,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS toks
+        |  FROM (
+        |    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+        |      CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |      CASE WHEN length(text) > 0
+        |        THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |        ELSE CAST(1 AS DOUBLE) END AS digit_ratio
+        |    FROM documents)),
+        |e AS (
+        |  SELECT doc_id, score, toks,
+        |    CAST(LEAST(GREATEST(floor(score * 256), 0), 255) AS INT) AS band,
+        |    ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM s WHERE score IS NOT NULL AND toks IS NOT NULL AND toks >= 0),
+        |b AS (SELECT CAST(SUM(toks) AS BIGINT) * 2 // 5 AS budget FROM e),
+        |o AS (
+        |  SELECT doc_id, score, toks,
+        |    SUM(toks) OVER (ORDER BY band DESC, h ASC, doc_id ASC
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM e)
+        |SELECT o.doc_id, o.score, CAST(o.toks AS BIGINT) AS toks
+        |FROM o, b WHERE o.cum <= b.budget
+        |ORDER BY o.doc_id""".stripMargin,
 
     // bucket LMs + per-doc micro-nat weights + hash-Gumbel keys, all
     // replicated with the md5 bridge; LIMIT after (key desc, id) order

@@ -530,8 +530,9 @@ class ExtSpec extends SparkSpec {
       Seq("ts", "event_id"), col("event_type"), maxLen = 3)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getSeq[String](2))).toMap
-    // user 1: last 3 of 4 events, re-sorted ascending
-    assert(seqs(1L) == ((3L, Seq("b", "c", "d"))))
+    // user 1: last 3 of 4 events, re-sorted ascending; n_events is the
+    // TRUE pre-cap count (the capped length is size(seq))
+    assert(seqs(1L) == ((4L, Seq("b", "c", "d"))))
     assert(seqs(2L) == ((1L, Seq("x"))))
     // determinism under repartitioning
     val again = graft.ext.Sequences.userSequences(events.repartition(4),
@@ -559,6 +560,53 @@ class ExtSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(sum == Map("removed" -> 1L, "unchanged" -> 2L, "changed" -> 1L,
       "added" -> 1L))
+  }
+
+  test("corpusDiff pairs null ids null-safely (no phantom add+remove)") {
+    val v1 = Seq((Option(1L), "a"), (Option.empty[Long], "n"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((Option(1L), "a2"), (Option.empty[Long], "n"),
+      (Option(2L), "b")).toDF("doc_id", "text")
+    val d = graft.ext.Diff.corpusDiff(v1, v2, "doc_id", Seq("text"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        r.getString(1)).toMap
+    // the null-id row exists unchanged in both versions — it must NOT
+    // surface as one "added" plus one "removed"
+    assert(d == Map(-1L -> "unchanged", 1L -> "changed", 2L -> "added"))
+  }
+
+  test("selectByTokenBudget equals the global-order prefix exactly") {
+    val docs = spark.range(500).select(
+      col("id").as("doc_id"),
+      (pmod(col("id") * 37, lit(100)) / 100.0).as("score"),
+      pmod(col("id") * 13, lit(50)).cast("long").as("toks"))
+    val budget = 2000L
+    val got = Sampling.selectByTokenBudget(docs, "doc_id", "score", "toks",
+        budget, bands = 16, seed = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // brute force: the documented total order + running-sum prefix
+    val h = TextStats.md5Hash64(
+      concat(lit("3"), lit("|"), col("doc_id").cast("string")))
+    val band = least(greatest(floor(col("score") * 16), lit(0)), lit(15))
+      .cast("int")
+    val rows = docs.select(col("doc_id"), band.as("b"), h.as("h"), col("toks"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (id, b, hh, _) => (-b, hh, id) }
+    var cum = 0L
+    val want = rows.takeWhile { case (_, _, _, t) =>
+      cum += t; cum <= budget
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < 500)
+    // budget covering everything keeps every eligible row
+    assert(Sampling.selectByTokenBudget(docs, "doc_id", "score", "toks",
+      10000000L).count() == 500)
+    // ineligible rows (null score / null or negative tokens) never select
+    val nullRow = spark.range(1).select(lit(9999L).as("doc_id"),
+      lit(null).cast("double").as("score"), lit(5L).as("toks"))
+    assert(Sampling.selectByTokenBudget(docs.unionByName(nullRow),
+        "doc_id", "score", "toks", 10000000L)
+      .filter(col("doc_id") === 9999L).count() == 0)
   }
 
   test("mixtureWeights flattens shares at alpha<1 and rates hit the token target") {

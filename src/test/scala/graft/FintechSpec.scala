@@ -44,6 +44,12 @@ class FintechSpec extends SparkSpec {
     val structs = silverTxns.filter(array_contains(col("fraud_indicators"), "STRUCTURING"))
     assert(structs.count() > 0)
     assert(structs.filter(col("amount") < 9000 || col("amount") >= 10000).count() == 0)
+    // indicators sample WITHOUT replacement — no row repeats one
+    assert(silverTxns.filter(
+      size(col("fraud_indicators")) =!=
+        size(array_distinct(col("fraud_indicators")))).count() == 0)
+    // two-indicator rows actually occur (the path the above guards)
+    assert(silverTxns.filter(size(col("fraud_indicators")) === 2).count() > 0)
   }
 
   test("silver cast pipeline matches the declared schema and derivations") {

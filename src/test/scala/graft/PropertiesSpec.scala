@@ -201,6 +201,35 @@ class PropertiesSpec extends SparkSpec {
     assert(cmp == 0)
   }
 
+  test("sketch aggs reject non-BIGINT input at analysis time") {
+    GraftExtensions.register(spark)
+    Seq(1).toDF("i").createOrReplaceTempView("ints")
+    // without checkInputDataTypes these passed analysis and died per-row
+    // with ClassCastException mid-execution
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash_agg(i) FROM ints").collect()
+    }
+    assert(e1.getMessage.contains("BIGINT"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_agg(i, 8) FROM ints").collect()
+    }
+    assert(e2.getMessage.contains("BIGINT"))
+  }
+
+  test("misra_gries candidates sort in UTF-8 binary order, not UTF-16") {
+    GraftExtensions.register(spark)
+    // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes but AFTER it in UTF-16
+    // code units — the sketch's sorted output must match SQL orderings
+    val df = Seq("�", "😀", "b").toDF("t")
+    df.createOrReplaceTempView("mgtoks")
+    val cands = spark.sql("SELECT misra_gries_agg(t, 8) AS c FROM mgtoks")
+      .head().getSeq[String](0)
+    assert(cands == Seq("b", "�", "😀"))
+    val sparkSorted = df.agg(sort_array(collect_list(col("t"))))
+      .head().getSeq[String](0)
+    assert(cands == sparkSorted)
+  }
+
   test("native gram/sketch functions are callable from SQL") {
     GraftExtensions.register(spark)
     Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))

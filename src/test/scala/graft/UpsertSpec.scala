@@ -85,6 +85,43 @@ class UpsertSpec extends SparkSpec {
     Maintenance.vacuum(path, retainMs = 0)
   }
 
+  test("compact preserves partition layout and string partition values") {
+    val dir = Files.createTempDirectory("compactp").toString
+    val path = s"$dir/t"
+    // "007" is the inference trap: a naive read+rewrite turns it into
+    // int 7 and flattens the directory layout entirely
+    Seq(("007", 1L), ("007", 2L), ("12", 3L)).toDF("acct", "v")
+      .repartition(8).write.partitionBy("acct").parquet(path)
+    Maintenance.compact(spark, path, targetFiles = 1)
+    assert(Files.exists(Paths.get(s"$path/acct=007")))
+    assert(Files.exists(Paths.get(s"$path/acct=12")))
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey)
+    val got =
+      try {
+        spark.conf.set(inferKey, "false")
+        spark.read.parquet(path).select("acct", "v")
+          .as[(String, Long)].collect().toSet
+      } finally spark.conf.set(inferKey, prev)
+    assert(got == Set(("007", 1L), ("007", 2L), ("12", 3L)))
+    // nested layouts are detected in order
+    assert(Maintenance.partitionColumnsOf(path) == Seq("acct"))
+    Maintenance.vacuum(path, retainMs = 0)
+  }
+
+  test("clusterBy preserves a two-level partition layout") {
+    val dir = Files.createTempDirectory("clusterp").toString
+    val path = s"$dir/t"
+    Seq(("a", "01", 3L), ("a", "02", 1L), ("b", "01", 2L))
+      .toDF("x", "mon", "v").write.partitionBy("x", "mon").parquet(path)
+    assert(Maintenance.partitionColumnsOf(path) == Seq("x", "mon"))
+    Maintenance.clusterBy(spark, path, Seq("v"), targetFiles = 1)
+    assert(Files.exists(Paths.get(s"$path/x=a/mon=02")))
+    assert(Files.exists(Paths.get(s"$path/x=b/mon=01")))
+    assert(spark.read.parquet(path).count() == 3L)
+    Maintenance.vacuum(path, retainMs = 0)
+  }
+
   test("clusterBy rewrite preserves content and sorts within files") {
     val dir = Files.createTempDirectory("cluster").toString
     val path = s"$dir/t"
