@@ -28,6 +28,15 @@ object Bench {
       val w2 = graft.ext.Dedup.simHashPairs(mini, "doc_id", "text", 3)
       w2.count(); w2.unpersist(blocking = false)
     } catch { case _: Throwable => () }
+    // duplicate short keys would silently drop a timing from the parsed
+    // JSON dict — fail loudly BEFORE the (many-minute) measurement loop:
+    // the keys are static in SparkEntry.queries
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    locally {
+      val dup = SparkEntry.queries.keys.toSeq.groupBy(shortKey)
+        .filter(_._2.size > 1)
+      require(dup.isEmpty, s"duplicate bench short keys: $dup")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -51,13 +60,6 @@ object Bench {
     // ~2.6 KB and overflowed that window (round 5: parsed=null). Short keys
     // ("q57" for "q57_dedup_corpus" — unique by construction) keep the line
     // ~1.2 KB. Full names are in the breakdown above.
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    // duplicate short keys would silently drop a timing from the parsed
-    // JSON dict — fail loudly instead
-    locally {
-      val dup = results.keys.toSeq.groupBy(shortKey).filter(_._2.size > 1)
-      require(dup.isEmpty, s"duplicate bench short keys: $dup")
-    }
     // 2 decimals in the machine line (10 ms resolution is plenty for the
     // driver's trend view; full 3-decimal values are in the breakdown
     // lines above) — keeps the line comfortably inside the tail window

@@ -26,7 +26,7 @@ object ScaleSmoke {
     val words = typedlit(vocab)
     spark.range(n).select(
       col("id").as("doc_id"),
-      concat_ws(" ", transform(sequence(lit(0), nWords),
+      concat_ws(" ", transform(sequence(lit(0), nWords - 1),
         i => element_at(words,
           pmod(xxhash64(col("id"), i), lit(vocab.size)).cast(IntegerType) + 1)))
         .as("text"))
@@ -119,6 +119,19 @@ object ScaleSmoke {
           (pmod(xxhash64(col("id"), lit("tk")), lit(900)) + 100).as("n_tokens")),
         "id", "n_tokens", 4096)
         .groupBy("pack_id").count().count() }
+
+    // budget-constrained quality selection at 2M docs: fixed driver
+    // choreography (one group histogram + one boundary-group cumsum +
+    // one filtered output scan) regardless of volume — the corpus itself
+    // never shuffles
+    time("2M-doc budget selection (40% token budget)") {
+      val scored = big.select(col("id"),
+        (pmod(xxhash64(col("id"), lit("q")), lit(1000)).cast(DoubleType) /
+          1000.0).as("score"),
+        (pmod(xxhash64(col("id"), lit("tk")), lit(900)) + 100).as("toks"))
+      val total = scored.agg(sum(col("toks"))).head().getLong(0)
+      ext.Sampling.selectByTokenBudget(scored, "id", "score", "toks",
+        total * 2 / 5).count() }
 
     // 2M docs through the retrieval/LM/decontamination operators
     val corpus = syntheticDocs(spark, 2000000).persist()

@@ -113,7 +113,7 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
     columns.foreach { c =>
       checks :+= RegisteredCheck(s"completeness_$c", CheckType.Completeness,
         c, threshold, severity, Some(nullOrEmpty(c)),
-        Some(s"NULL_OR_EMPTY_${c.toUpperCase}"),
+        Some(s"NULL_OR_EMPTY_${c.toUpperCase(java.util.Locale.ROOT)}"),
         s"non-null rate of $c")
     }
     this
@@ -137,7 +137,7 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
       (col(column) < minValue || col(column) > maxValue)
     checks :+= RegisteredCheck(s"range_$column", CheckType.Range, column,
       threshold, severity, Some(viol),
-      Some(s"OUT_OF_RANGE_${column.toUpperCase}"),
+      Some(s"OUT_OF_RANGE_${column.toUpperCase(java.util.Locale.ROOT)}"),
       s"$column in [$minValue, $maxValue]")
     this
   }
@@ -150,7 +150,7 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
     val viol = col(column).isNotNull && !col(column).isin(allowedValues: _*)
     checks :+= RegisteredCheck(s"validity_$column", CheckType.Validity,
       column, threshold, severity, Some(viol),
-      Some(s"INVALID_VALUE_${column.toUpperCase}"),
+      Some(s"INVALID_VALUE_${column.toUpperCase(java.util.Locale.ROOT)}"),
       s"$column in {${allowedValues.mkString(",")}}")
     this
   }
@@ -183,7 +183,7 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
       severity: Severity.Value = Severity.Medium): this.type = {
     checks :+= RegisteredCheck(name, CheckType.Custom, column, threshold,
       severity, Some(!coalesce(condition, lit(false))),
-      Some(s"CUSTOM_${name.toUpperCase}"), s"custom: $name")
+      Some(s"CUSTOM_${name.toUpperCase(java.util.Locale.ROOT)}"), s"custom: $name")
     this
   }
 
@@ -202,7 +202,16 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
         // so null key tuples participate like any other value.
         count_distinct(struct(cols.map(col): _*)).as(s"__uniq_$i")
       } ++
-      freshnessChecks.zipWithIndex.map { case ((_, ts, _, _), i) =>
+      freshnessChecks.zipWithIndex.map { case ((n, ts, _, _), i) =>
+        // the age math divides by seconds — an epoch-MILLIS bigint column
+        // would make every check pass forever (hugely negative age), and
+        // a DATE breaks the cast. Demand a real timestamp; callers with
+        // numeric epochs cast explicitly, stating their unit.
+        val dt = df.schema(ts).dataType
+        require(dt.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+          s"freshness check '$n' needs a TIMESTAMP column, got " +
+            s"${dt.catalogString} — cast epoch numerics explicitly " +
+            "(e.g. timestamp_seconds)")
         max(col(ts).cast(LongType)).as(s"__fresh_$i")
       }
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -234,11 +243,18 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
         f"age_hours=$ageHours%.2f max=$maxH")
     }
     val ref = referentialChecks.map { case (n, dim, keys, th, sev) =>
-      val failed = df.join(dim.select(keys.map(col): _*).distinct(),
-        keys, "left_anti").count()
+      // SQL FK semantics: a null key is exempt from the referential
+      // constraint (completeness owns nulls — the same rule range and
+      // validity apply via isNotNull). Without the filter, a left-anti
+      // join can never match a null key and every optional-FK row
+      // double-fails both completeness and referential.
+      val failed = df
+        .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .join(dim.select(keys.map(col): _*).distinct(),
+          keys, "left_anti").count()
       DQCheckResult(n, CheckType.Referential.toString, keys.mkString(","),
         rate(failed) >= th, total, failed, rate(failed), th, sev.toString,
-        s"fk=${keys.mkString(",")}")
+        s"fk=${keys.mkString(",")} (null keys exempt)")
     }
     DQReport(tableName, rowLevel ++ uniq ++ fresh ++ ref)
   }

@@ -548,9 +548,25 @@ object Dedup {
       Seq("band", "band_hash"))
     // the DELTA side broadcasts (it's small by contract): the index
     // streams map-side through the join — no corpus-sized shuffle per
-    // increment
-    val candKept = index.banded
+    // increment. The kept side RE-APPLIES the bucket cap on the touched
+    // buckets: an accumulated store (streaming ingest appends per-batch
+    // deltas, each individually under the cap) can grow a boilerplate
+    // bucket far past maxBucketSize, and pairing every delta rep with
+    // that bucket's whole population is exactly the hot-bucket blow-up
+    // the cap exists to stop. Touched membership is delta-confined, so
+    // the re-cap is one aggregate over the pruned join output — never an
+    // index-wide shuffle; over-cap buckets drop entirely (their members
+    // stay reachable via other bands — the batch boundBuckets rule).
+    val keptTouched = index.banded
       .select(col("band"), col("band_hash"), col("id").as("matched_id"))
+      .join(broadcast(nb.select(col("band"), col("band_hash")).distinct()),
+        Seq("band", "band_hash"))
+      .persist()
+    val okBuckets = keptTouched.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__kn")).filter(col("__kn") <= maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val candKept = keptTouched
+      .join(broadcast(okBuckets), Seq("band", "band_hash"))
       .join(broadcast(nb.select(col("band"), col("band_hash"),
         col("id").as("rep_id"))), Seq("band", "band_hash"))
       .select(col("rep_id"), col("matched_id"))
@@ -590,7 +606,7 @@ object Dedup {
       .persist()
     result.count() // eager, then release the delta-side caches
     newSets.unpersist(); newBand.unpersist(); reps.unpersist()
-    memberOf.unpersist(); newSigs.unpersist()
+    memberOf.unpersist(); newSigs.unpersist(); keptTouched.unpersist()
     result
   }
 

@@ -145,8 +145,14 @@ object Temporal {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
-      q.awaitTermination(120000)
+      // a timed-out stream must fail LOUDLY: stopping it and reading the
+      // memory sink anyway would verify a silently partial aggregate as
+      // the query's answer (an oracle mismatch masquerading as an engine
+      // bug instead of a machine-contention timeout)
+      val finished = q.awaitTermination(120000)
       q.stop()
+      require(finished,
+        "q47 stream did not finish within 120 s — partial result discarded")
       // detach the result from the memory sink + temp source so repeated
       // invocations in one session don't accumulate tables/dirs
       val rows = s.table(name).orderBy(col("hour"), col("event_type")).collect()

@@ -423,11 +423,12 @@ object Streams {
       .start()
 
   /** Exact heavy hitters over everything [[tokenCountSink]] has ingested:
-    * per-batch partials sum by token (the store holds one row per
-    * (token, batch) — already collapsed within batches, so this shuffle
-    * is store-sized, far below the raw token stream), then the same
-    * exact threshold rule as [[graft.ext.HeavyHitters.frequentTokens]].
-    * Returns (token, freq) for freq ≥ ceil(minFreqRatio·n), ordered. */
+    * the store holds one row per (token, batch) — already collapsed
+    * within batches, far below the raw token stream — and the screen
+    * delegates to [[graft.ext.HeavyHitters.frequentWeighted]] (whose
+    * documented use case this is), so threshold and ordering can never
+    * drift from the batch path. Returns (token, freq) for
+    * freq ≥ ceil(minFreqRatio·n), ordered. */
   def frequentTokensFromCounts(spark: SparkSession, countsDir: String,
       minFreqRatio: Double): DataFrame = {
     require(minFreqRatio > 0 && minFreqRatio <= 1,
@@ -443,14 +444,14 @@ object Streams {
         org.apache.spark.sql.types.StructType.fromDDL(
           "token STRING, freq BIGINT"))
     val counts = spark.read.parquet(countsDir)
-    // the store is partial-count-sized (one row per token per batch), so
-    // the two scans here cost a fraction of one raw-corpus pass
-    val n = counts.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
-    val threshold = math.max(1L, math.ceil(minFreqRatio * n).toLong)
-    counts.groupBy(col("token"))
-      .agg(sum(col("cnt")).as("freq"))
-      .filter(col("freq") >= threshold)
-      .orderBy(col("freq").desc, col("token"))
+    // one implementation of the exactness contract: the bounded-memory
+    // weighted screen over a pre-aggregated (token, cnt) store IS
+    // HeavyHitters.frequentWeighted's documented use case — duplicating
+    // its threshold/ordering rules here invited silent stream/batch
+    // drift when either copy changed
+    graft.ext.HeavyHitters.frequentWeighted(counts, "token", "cnt",
+        minFreqRatio)
+      .withColumnRenamed("weight", "freq")
   }
 
   /** Stream-stream inner join: each left event picks up right-side events

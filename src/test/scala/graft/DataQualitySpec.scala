@@ -70,6 +70,40 @@ class DataQualitySpec extends SparkSpec {
     assert(!r.passed)
   }
 
+  test("referential check exempts null keys (completeness owns nulls)") {
+    val facts = Seq(("T1", "C1"), ("T2", null), ("T3", "C9"))
+      .toDF("txn_id", "customer_id")
+    val dim = Seq("C1", "C2").toDF("customer_id")
+    val r = DataQualityChecker(facts, "t")
+      .checkReferential("fk_customer", dim, Seq("customer_id")).run()
+    // only C9 is an orphan — the null key is completeness's finding
+    assert(r.results.head.failedCount == 1)
+  }
+
+  test("freshness check rejects non-timestamp columns loudly") {
+    val df = Seq(System.currentTimeMillis()).toDF("event_time_ms")
+    val e = intercept[IllegalArgumentException] {
+      DataQualityChecker(df, "t")
+        .checkFreshness("event_time_ms", maxAgeHours = 4.0).run()
+    }
+    // an epoch-millis bigint would otherwise make the check pass forever
+    assert(e.getMessage.contains("TIMESTAMP"))
+  }
+
+  test("failure reason codes are locale-stable (Turkish İ trap)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val df = Seq((0.5, 1L)).toDF("price", "id")
+      val (_, invalid) = DataQualityChecker(df, "t")
+        .checkRange("price", 1.0, 10.0)
+        .validInvalidSplit()
+      val reasons = invalid.select(explode(col("_validation_failures")))
+        .as[String].collect()
+      assert(reasons.contains("OUT_OF_RANGE_PRICE")) // not PRİCE
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("all registered checks produce results in one report") {
     val df = Seq((1.0, "A")).toDF("amount", "status")
     val r = DataQualityChecker(df, "t")

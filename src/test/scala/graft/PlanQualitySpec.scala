@@ -74,6 +74,21 @@ class PlanQualitySpec extends SparkSpec {
       !strat.contains("Exchange rangepartitioning"), strat)
   }
 
+  test("budget selection output is a shuffle-free broadcast-literal scan") {
+    // the driver phases (group histogram, boundary cumsum) run inside the
+    // call; the RETURNED frame — the thing a 100 TB pipeline consumes —
+    // must be a plain filtered scan with no exchange of the corpus
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = docs.select(col("doc_id"),
+      graft.ext.TextStats.qualityScore(col("text")).as("score"),
+      graft.ext.TextStats.tokenCount(col("text")).as("toks"))
+    val sel = Sampling.selectByTokenBudget(scored, "doc_id", "score",
+      "toks", budgetTokens = 10000L)
+    val p = planOf(sel)
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("aml structuring screen is one shuffle on customer_id") {
     val txns = SilverPipeline.transactionsToSilver(
       DataGenerator.transactions(spark, 2000, 100, 20))

@@ -248,6 +248,39 @@ class RetrievalSpec extends SparkSpec {
       out(1).getAs[scala.collection.Seq[Long]]("g3").toSeq)
   }
 
+  test("incremental matches re-cap ACCUMULATED hot kept buckets") {
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "spark shuffles partitions across the cluster nodes today"
+    val kept1 = Seq((1L, base)).toDF("doc_id", "text")
+    val idx0 = graft.ext.Dedup.buildNearDupIndex(kept1, "doc_id", "text",
+      3, 8, 4, maxBucketSize = 5)
+    // simulate a streaming store grown batch-by-batch: replicate doc 1's
+    // band entries (and shingle set) under 9 more ids — each delta was
+    // individually under the cap, the accumulated bucket is 10 > 5
+    val ids = (2L to 10L).toDF("nid")
+    val moreBanded = ids
+      .crossJoin(idx0.banded.select("band", "band_hash"))
+      .select(col("band"), col("band_hash"), col("nid").as("id"))
+    val moreSets = ids
+      .crossJoin(idx0.sets.filter(col("id") === 1L).select("shset"))
+      .select(col("nid").as("id"), col("shset"))
+    val idx = idx0.copy(sets = idx0.sets.unionByName(moreSets),
+      banded = idx0.banded.unionByName(moreBanded))
+    val newDocs = Seq((100L, base)).toDF("doc_id", "text")
+    // over-cap buckets drop entirely (the batch boundBuckets rule applied
+    // to the accumulated store) — without the re-cap every delta rep
+    // would pair with the bucket's whole population forever
+    val m = graft.ext.Dedup.incrementalNearDupMatches(newDocs, idx,
+      "doc_id", "text", minJaccard = 0.5, maxBucketSize = 5)
+    assert(m.count() == 0)
+    m.unpersist()
+    // with the cap above the accumulated size, all 10 kept copies match
+    val m2 = graft.ext.Dedup.incrementalNearDupMatches(newDocs, idx,
+      "doc_id", "text", minJaccard = 0.5, maxBucketSize = 100)
+    assert(m2.select("matched_id").distinct().count() == 10)
+    m2.unpersist()
+  }
+
   test("incremental dedup survives a duplicate-heavy delta (bucket cap)") {
     val base = "the quick brown fox jumps over the lazy dog while " +
       "spark shuffles partitions across the cluster nodes today"
