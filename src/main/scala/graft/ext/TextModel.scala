@@ -122,6 +122,83 @@ object TextModel {
       .drop("__t1", "__t2")
   }
 
+  /** Adjacent lowercase token pairs (idCol, w1, w2) — one narrow
+    * zip-of-slices per row, no join, no shuffle; docs with fewer than
+    * two tokens contribute nothing. */
+  private def bigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ts = split(lower(trim(col(textCol))), "\\s+")
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), element_at(transform(array(ts), a =>
+        arrays_zip(slice(a, lit(1), size(a) - 1),
+          slice(a, lit(2), size(a) - 1))), 1)
+        .as("__ps"))
+      .select(col(idCol), explode(col("__ps")).as("__p"))
+      .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
+  }
+
+  /** Per-doc INTERPOLATED BIGRAM negative log-likelihood — the next rung
+    * above [[unigramNll]] on the CCNet-style fluency ladder (a bigram LM
+    * separates scrambled-word gibberish from fluent text where a unigram
+    * model cannot: both have the same word histogram):
+    *
+    *   p(w2 | w1) = λ · c(w1,w2)/c(w1·)  +  (1−λ) · (c(w2)+α)/(T+α·V)
+    *
+    * with c(w1·) the context count (occurrences of w1 as a left token)
+    * and the second term the add-α unigram exactly as [[unigramNll]].
+    * `λ < 1` and `α > 0` are required so unseen contexts/words keep
+    * finite NLL (the interpolation floor — the standard Jelinek-Mercer
+    * backoff shape). Output: (idCol, n_bigrams, nll_micros, avg_nll);
+    * docs with fewer than two tokens yield no row.
+    *
+    * Determinism: per-pair integer micro-nats, long-summed — the q67
+    * parity class (order-independent, cross-engine-stable; round
+    * absorbs last-ulp `ln` differences).
+    *
+    * Scale: the reference tables (bigram, context, unigram counts) are
+    * DISTRIBUTED frames — a web-corpus bigram table is ~1e9+ rows, far
+    * past broadcast — and scoring joins shuffle the pair stream on
+    * (w1,w2), w1, w2 plus one integer sum by doc: the honest cost of
+    * corpus-wide LM scoring, the same family as [[unigramNll]]'s three
+    * token shuffles. The (T, V) totals are one single-row broadcast. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75, alpha: Double = 1.0, roundTo: Int = 4,
+      reference: Option[DataFrame] = None): DataFrame = {
+    require(lambda >= 0 && lambda < 1,
+      s"lambda must be in [0, 1) — the unigram floor handles unseen " +
+        s"contexts; got $lambda")
+    require(alpha > 0, s"alpha must be > 0 (unseen-word smoothing), got $alpha")
+    val docPairs = bigrams(docs, idCol, textCol)
+    val refPairs = reference.map(bigrams(_, idCol, textCol))
+      .getOrElse(docPairs)
+    val big = refPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val ctx = refPairs.groupBy(col("w1")).agg(count(lit(1)).as("__cc"))
+    val uni = reference.map(tokens(_, idCol, textCol))
+      .getOrElse(tokens(docs, idCol, textCol))
+      .groupBy(col("term")).agg(count(lit(1)).as("__cu"))
+      .withColumnRenamed("term", "w2")
+    val stats = uni.agg(sum(col("__cu")).as("__T"), count(lit(1)).as("__V"))
+    val pMl = when(coalesce(col("__cc"), lit(0L)) > 0,
+      coalesce(col("__cb"), lit(0L)).cast("double") /
+        col("__cc").cast("double"))
+      .otherwise(lit(0.0))
+    val pUni = (coalesce(col("__cu"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("__T").cast("double") + lit(alpha) * col("__V").cast("double"))
+    val p = lit(lambda) * pMl + lit(1.0 - lambda) * pUni
+    docPairs
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), round(-log(p) * lit(1e6), 0).cast(LongType).as("__m"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__m")).as("nll_micros"))
+      .withColumn("avg_nll",
+        round(col("nll_micros").cast("double") / lit(1e6) /
+          col("n_bigrams").cast("double"), roundTo))
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick; Weinberger
     * et al. 2009): token t increments bucket `hash(t) mod dim`, giving a
     * dense `array<double>` of counts that plugs a text-only corpus

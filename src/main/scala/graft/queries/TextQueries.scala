@@ -94,6 +94,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated bigram LM scoring (Jelinek-Mercer λ=0.75 over the
+    // add-1 unigram floor), corpus as its own reference — the fluency
+    // rung above q67's unigram NLL; integer micro-nat sums keep it
+    // hash-exact.
+    "q103_bigram_nll" -> ((s, dir) => {
+      graft.ext.TextModel.bigramNll(t(s, dir, "documents"), "doc_id",
+          "text", lambda = 0.75, alpha = 1.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-doc deterministic text statistics.
     "q24_text_stats" -> ((s, dir) => {
       TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
@@ -600,6 +610,40 @@ object TextQueries {
         |SELECT item, weight FROM s
         |WHERE weight >= CEIL((SELECT tw FROM tot) * 0.01)
         |ORDER BY weight DESC, item""".stripMargin,
+
+    // same pair stream + count tables + interpolation arithmetic,
+    // assembled relationally; COALESCEd sides mirror the Spark
+    // left-join coalesces so the (here impossible) OOV path can never
+    // null out a pair's micro-nat contribution
+    "q103_bigram_nll" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |pairs AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r),
+        |toks AS (SELECT doc_id, unnest(tk) AS term FROM d),
+        |bg AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+        |cx AS (SELECT w1, COUNT(*) AS cc FROM pairs GROUP BY w1),
+        |un AS (SELECT term AS w2, COUNT(*) AS cu FROM toks GROUP BY term),
+        |st AS (SELECT CAST(SUM(cu) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM un),
+        |m AS (
+        |  SELECT p.doc_id,
+        |    CAST(ROUND(-ln(
+        |      0.75 * (CASE WHEN COALESCE(cx.cc, 0) > 0
+        |                THEN CAST(COALESCE(bg.cb, 0) AS DOUBLE) / CAST(cx.cc AS DOUBLE)
+        |                ELSE 0 END)
+        |      + 0.25 * ((CAST(COALESCE(un.cu, 0) AS DOUBLE) + 1.0) / (st.t + 1.0 * st.v))
+        |    ) * 1000000.0) AS BIGINT) AS mm
+        |  FROM pairs p
+        |  LEFT JOIN bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+        |  LEFT JOIN cx ON p.w1 = cx.w1
+        |  LEFT JOIN un ON p.w2 = un.w2
+        |  CROSS JOIN st)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(mm) AS BIGINT) AS nll_micros,
+        |  ROUND(CAST(SUM(mm) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS BIGINT), 4) AS avg_nll
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // global-order running-sum prefix — the one-shot form of the
     // grouped two-phase cut (q28 score expr + q25 token expr + md5

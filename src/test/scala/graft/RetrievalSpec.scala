@@ -203,6 +203,37 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getAs[Long]("nll_micros") == exp)
   }
 
+  test("bigramNll matches hand-computed interpolated scores") {
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val out = graft.ext.TextModel.bigramNll(docs, "doc_id", "text",
+        lambda = 0.5, alpha = 1.0)
+      .orderBy("doc_id").collect()
+    def m(p: Double) = math.round(-math.log(p) * 1e6)
+    // corpus: T=5 tokens, V=2; bigrams (a,b):1 (b,a):2; contexts a:1 b:2
+    val pab = 0.5 * 1.0 + 0.5 * (3.0 / 7.0) // ml 1/1; uni(b) (2+1)/(5+2)
+    val pba = 0.5 * 1.0 + 0.5 * (4.0 / 7.0)
+    assert(out(0).getAs[Long]("n_bigrams") == 2L)
+    assert(out(0).getAs[Long]("nll_micros") == m(pab) + m(pba))
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1).getAs[Long]("nll_micros") == m(pba))
+    // one-token docs have no bigram to score — no row
+    val single = Seq((3L, "a")).toDF("doc_id", "text")
+    assert(graft.ext.TextModel.bigramNll(single, "doc_id", "text")
+      .count() == 0)
+  }
+
+  test("bigramNll: unseen context falls to the unigram floor, finite") {
+    val ref = Seq((10L, "a b a")).toDF("doc_id", "text")
+    val q = Seq((1L, "z a")).toDF("doc_id", "text")
+    val out = graft.ext.TextModel.bigramNll(q, "doc_id", "text",
+        lambda = 0.5, alpha = 1.0, reference = Some(ref))
+      .collect().head
+    // ref: T=3, V=2, uni(a)=(2+1)/(3+2); context z unseen → ml term 0
+    val p = 0.5 * 0.0 + 0.5 * 0.6
+    assert(out.getAs[Long]("nll_micros") ==
+      math.round(-math.log(p) * 1e6))
+  }
+
   // ---------- incremental near-dup ----------
 
   test("incremental dedup matches new docs against kept and smaller new ids") {
