@@ -16,7 +16,13 @@ object Diff {
     * compared column differs), `unchanged`. Comparison is exact
     * null-safe struct equality — no hashing, so no collision risk; pass
     * a content-hash column in `compareCols` instead when the payload is
-    * too wide to shuffle twice. Output: (idCol, status). */
+    * too wide to shuffle twice. Output: (idCol, status).
+    *
+    * Precondition: `idCol` is UNIQUE within each version — a duplicated
+    * id (null included: the join is null-safe, so all null-id rows share
+    * one key) pairs many-to-many like any duplicated join key and makes
+    * the statuses meaningless, the same contract [[graft.io.Upsert]]
+    * documents for its merge keys. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "at least one compare column")

@@ -60,21 +60,12 @@ object HeavyHitters {
       "token", "__w", minFreqRatio, capacity, sketchGroups)
       .withColumnRenamed("weight", "freq")
 
-  /** The general form over ANY (item, weight) frame — top domains by
-    * bytes, sources by token mass, or the bounded-memory screen over a
-    * pre-aggregated (token, count) store (the streaming count sink's
-    * read side at extreme scale). Exact (item, weight = Σ) for every
-    * item with weight ≥ ceil(minWeightRatio · W); null items and
-    * non-positive weights contribute nothing. */
-  def frequentWeighted(items: DataFrame, itemCol: String, weightCol: String,
-      minWeightRatio: Double, capacity: Int = 0,
-      sketchGroups: Int = 1): DataFrame = {
-    require(minWeightRatio > 0 && minWeightRatio <= 1,
-      s"minWeightRatio must be in (0, 1], got $minWeightRatio")
-    require(sketchGroups >= 1, s"sketchGroups must be >= 1, got $sketchGroups")
-    // the sketch counts in longs — a fractional weight column would
-    // silently truncate (0.5 → 0, contributing nothing); make the caller
-    // scale to integer units (bytes, micro-tokens) instead
+  /** Sanitized (item, __w) projection shared by the exact and sketched
+    * forms: null items and non-positive weights contribute nothing; a
+    * fractional weight column is rejected (the counts are longs — 0.5
+    * would silently truncate to 0; scale to integer units instead). */
+  private def weightedBase(items: DataFrame, itemCol: String,
+      weightCol: String): DataFrame = {
     items.schema(weightCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
@@ -85,16 +76,55 @@ object HeavyHitters {
         s"weight column `$weightCol` must be integral (got $other): " +
           "scale fractional weights to integer units first")
     }
+    items
+      .filter(col(itemCol).isNotNull && col(weightCol) > 0)
+      .select(col(itemCol).cast("string").as("item"),
+        col(weightCol).cast("long").as("__w"))
+  }
+
+  /** Exact totals ≥ threshold, (weight desc, item) order — the ONE copy
+    * of the output contract both the sketched and exact forms share. */
+  private def screen(base: DataFrame, threshold: Long,
+      itemCol: String): DataFrame =
+    base.groupBy(col("item"))
+      .agg(sum(col("__w")).as("weight"))
+      .filter(col("weight") >= threshold)
+      .orderBy(col("weight").desc, col("item"))
+      .withColumnRenamed("item", itemCol)
+
+  /** Exact heavy hitters by FULL aggregation — for inputs whose distinct
+    * item domain is already bounded: a pre-aggregated (item, weight)
+    * store ([[graft.streaming.Streams.tokenCountSink]]'s read side), a
+    * per-source mass table. No sketch pass and no driver-sized candidate
+    * array — two store-sized scans (total + groupBy). Same threshold and
+    * ordering contract as [[frequentWeighted]]; prefer the sketched form
+    * when the domain is unbounded (raw token streams). */
+  def frequentExact(items: DataFrame, itemCol: String, weightCol: String,
+      minWeightRatio: Double): DataFrame = {
+    require(minWeightRatio > 0 && minWeightRatio <= 1,
+      s"minWeightRatio must be in (0, 1], got $minWeightRatio")
+    val base = weightedBase(items, itemCol, weightCol)
+    val w = base.agg(coalesce(sum(col("__w")), lit(0L))).head().getLong(0)
+    screen(base, math.max(1L, math.ceil(minWeightRatio * w).toLong), itemCol)
+  }
+
+  /** The general form over ANY (item, weight) frame — top domains by
+    * bytes, sources by token mass. Exact (item, weight = Σ) for every
+    * item with weight ≥ ceil(minWeightRatio · W); null items and
+    * non-positive weights contribute nothing. */
+  def frequentWeighted(items: DataFrame, itemCol: String, weightCol: String,
+      minWeightRatio: Double, capacity: Int = 0,
+      sketchGroups: Int = 1): DataFrame = {
+    require(minWeightRatio > 0 && minWeightRatio <= 1,
+      s"minWeightRatio must be in (0, 1], got $minWeightRatio")
+    require(sketchGroups >= 1, s"sketchGroups must be >= 1, got $sketchGroups")
     val cap =
       if (capacity > 0) capacity
       else math.max(16, math.ceil(2.0 / minWeightRatio).toInt)
     require(cap + 1 > 1.0 / minWeightRatio,
       s"capacity $cap cannot guarantee ratio $minWeightRatio " +
         s"(need capacity+1 > ${1.0 / minWeightRatio})")
-    val base = items
-      .filter(col(itemCol).isNotNull && col(weightCol) > 0)
-      .select(col(itemCol).cast("string").as("item"),
-        col(weightCol).cast("long").as("__w"))
+    val base = weightedBase(items, itemCol, weightCol)
     // candidates + total weight in ONE pass over the stream
     val (cands, w) =
       if (sketchGroups == 1) {
@@ -132,11 +162,6 @@ object HeavyHitters {
         import base.sparkSession.implicits._
         base.join(broadcast(cands.toDF("item")), Seq("item"), "left_semi")
       }
-    screened
-      .groupBy(col("item"))
-      .agg(sum(col("__w")).as("weight"))
-      .filter(col("weight") >= threshold)
-      .orderBy(col("weight").desc, col("item"))
-      .withColumnRenamed("item", itemCol)
+    screen(screened, threshold, itemCol)
   }
 }

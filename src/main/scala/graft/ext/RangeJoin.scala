@@ -54,6 +54,25 @@ object RangeJoin {
     cellOf(hi, binWidth, dt) -
       when(pmod(hi, lit(binWidth)) === 0, 1).otherwise(0)
 
+  /** Decimal scale for exact types, None for floating ones. */
+  private def scaleOf(dt: DataType): Option[Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(0)
+    case d: DecimalType => Some(d.scale)
+    case _ => None
+  }
+
+  /** Exact (integral/decimal) and floating columns compute grid cells in
+    * different arithmetic that can disagree past 2^53 — a mixed set of
+    * key columns would silently lose matches at the cell join, so it is
+    * rejected loudly: cast one side first. */
+  private def requireConsistentArithmetic(dts: Seq[DataType],
+      what: String): Unit =
+    require(dts.map(scaleOf(_).isDefined).distinct.size == 1,
+      s"$what mix exact and floating numeric types " +
+        s"(${dts.map(_.catalogString).mkString(", ")}): their grid cells " +
+        "can disagree past 2^53 and silently drop matches — cast one " +
+        "side first")
+
   /** Join each point to every interval containing it: `lo <= p < hi`
     * (half-open, the calendar/window convention). Both inputs may be
     * arbitrarily large — the join is a hash equi-join on (`keys`…, cell).
@@ -66,6 +85,9 @@ object RangeJoin {
       pointCol: String, loCol: String, hiCol: String, binWidth: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    requireConsistentArithmetic(
+      Seq(points.schema(pointCol).dataType, intervals.schema(loCol).dataType,
+        intervals.schema(hiCol).dataType), "pointInInterval columns")
     val cells = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("__cell",
@@ -95,15 +117,12 @@ object RangeJoin {
       .withColumn("__cell",
         explode(sequence(cellOf(col(lo), binWidth, df.schema(lo).dataType),
           lastCell(col(hi), binWidth, df.schema(hi).dataType))))
-    // canonical-cell arithmetic must match the explode's: exact path only
-    // when BOTH lower bounds are exact (integral/decimal) types —
-    // greatest() then yields an exact common type; any float side already
-    // computed its cells in double
-    def scaleOf(dt: DataType): Option[Int] = dt match {
-      case ByteType | ShortType | IntegerType | LongType => Some(0)
-      case d: DecimalType => Some(d.scale)
-      case _ => None
-    }
+    // canonical-cell arithmetic must agree with BOTH sides' exploded
+    // cells — mixed exact/floating bound sets are rejected up front
+    requireConsistentArithmetic(
+      Seq(left.schema(aLo).dataType, left.schema(aHi).dataType,
+        right.schema(bLo).dataType, right.schema(bHi).dataType),
+      "intervalOverlap bounds")
     val canonDt =
       (scaleOf(left.schema(aLo).dataType), scaleOf(right.schema(bLo).dataType))
         match {

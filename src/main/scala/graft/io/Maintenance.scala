@@ -66,14 +66,21 @@ object Maintenance {
       spark: SparkSession, path: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
     val parts = partitionColumnsOf(path)
     if (parts.isEmpty) (spark.read.parquet(path), Nil)
-    else {
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val prev = spark.conf.get(inferKey)
-      val df =
-        try { spark.conf.set(inferKey, "false"); spark.read.parquet(path) }
-        finally spark.conf.set(inferKey, prev)
-      (df, parts)
-    }
+    else (readInferenceOff(spark, path), parts)
+  }
+
+  /** Read parquet with partition-type inference OFF: partition values
+    * come back as the literal directory strings instead of inferred
+    * types ("007" stays "007", never int 7). The one shared copy of the
+    * conf save/set/restore dance — the DataFrame resolves its partition
+    * schema eagerly, so restoring the conf immediately is safe. Used by
+    * [[readPreservingLayout]] and [[Upsert.upsertParquet]]. */
+  private[io] def readInferenceOff(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey)
+    try { spark.conf.set(inferKey, "false"); spark.read.parquet(path) }
+    finally spark.conf.set(inferKey, prev)
   }
 
   /** Partition columns of a parquet directory, from the first

@@ -157,14 +157,9 @@ object Upsert {
     // Partition-column values come back from DIRECTORY NAMES on read;
     // default type inference would turn a string partition value like
     // "007" into int 7 and corrupt keys through the merge round-trip.
-    // Read them as strings (inference off; the DataFrame is built eagerly
-    // here, so restoring the conf is safe) and cast each partition column
-    // back to the SOURCE's declared type.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(inferKey)
-    val raw =
-      try { spark.conf.set(inferKey, "false"); spark.read.parquet(targetPath) }
-      finally spark.conf.set(inferKey, prev)
+    // Read them as strings and cast each partition column back to the
+    // SOURCE's declared type.
+    val raw = Maintenance.readInferenceOff(spark, targetPath)
     val target = partitionBy.foldLeft(raw) { (df, c) =>
       source.schema.find(_.name == c)
         .map(f => df.withColumn(c, col(c).cast(f.dataType)))

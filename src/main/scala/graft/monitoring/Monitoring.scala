@@ -155,12 +155,23 @@ object Monitoring {
       .orderBy(col("day").desc).limit(1).collect()
     val latestAnomalous = rows.headOption.exists(_.getAs[Boolean]("is_anomaly"))
     val outage = asOfMs.exists { now =>
-      rows.headOption.exists { r =>
-        val lastDay = r.getAs[java.sql.Date]("day").toLocalDate
-        val today = java.time.Instant.ofEpochMilli(now)
-          .atZone(java.time.ZoneOffset.UTC).toLocalDate
-        java.time.temporal.ChronoUnit.DAYS.between(lastDay, today) > 1
-      }
+      rows.headOption
+        // an all-null ts column yields one day=null row: no newest day
+        // to gap-check (and nothing to NPE on) — that table's health is
+        // isFresh's verdict
+        .filter(r => !r.isNullAt(r.fieldIndex("day")))
+        .exists { r =>
+          val lastDay = r.getAs[java.sql.Date]("day").toLocalDate
+          // compare in the SESSION timezone — volumeAnomalyDF's to_date
+          // bucketed days there; a UTC "today" against session-tz days
+          // falsely flags healthy daily batches for hours every evening
+          // in any UTC-negative zone
+          val zone = java.time.ZoneId.of(
+            df.sparkSession.conf.get("spark.sql.session.timeZone"))
+          val today = java.time.Instant.ofEpochMilli(now)
+            .atZone(zone).toLocalDate
+          java.time.temporal.ChronoUnit.DAYS.between(lastDay, today) > 1
+        }
     }
     latestAnomalous || outage
   }

@@ -425,7 +425,7 @@ object Streams {
   /** Exact heavy hitters over everything [[tokenCountSink]] has ingested:
     * the store holds one row per (token, batch) — already collapsed
     * within batches, far below the raw token stream — and the screen
-    * delegates to [[graft.ext.HeavyHitters.frequentWeighted]] (whose
+    * delegates to [[graft.ext.HeavyHitters.frequentExact]] (whose
     * documented use case this is), so threshold and ordering can never
     * drift from the batch path. Returns (token, freq) for
     * freq ≥ ceil(minFreqRatio·n), ordered. */
@@ -444,12 +444,12 @@ object Streams {
         org.apache.spark.sql.types.StructType.fromDDL(
           "token STRING, freq BIGINT"))
     val counts = spark.read.parquet(countsDir)
-    // one implementation of the exactness contract: the bounded-memory
-    // weighted screen over a pre-aggregated (token, cnt) store IS
-    // HeavyHitters.frequentWeighted's documented use case — duplicating
-    // its threshold/ordering rules here invited silent stream/batch
-    // drift when either copy changed
-    graft.ext.HeavyHitters.frequentWeighted(counts, "token", "cnt",
+    // one implementation of the exactness contract: frequentExact is the
+    // full-aggregation form for exactly this pre-aggregated-store shape
+    // (no sketch pass — the store's domain is already collapsed, and a
+    // sketch would pointlessly funnel a capacity-sized candidate array
+    // through the driver)
+    graft.ext.HeavyHitters.frequentExact(counts, "token", "cnt",
         minFreqRatio)
       .withColumnRenamed("weight", "freq")
   }

@@ -470,6 +470,21 @@ class ExtSpec extends SparkSpec {
     assert(got2 == exact)
   }
 
+  test("frequentExact on a pre-aggregated store equals the sketched form") {
+    val store = spark.range(300).select(
+      when(col("id") % 3 === 0, lit("big"))
+        .otherwise(concat(lit("junk"), col("id"))).as("item"),
+      when(col("id") % 3 === 0, lit(50L)).otherwise(lit(1L)).as("w"))
+      .groupBy("item").agg(sum("w").as("w"))
+    val exact = graft.ext.HeavyHitters.frequentExact(store, "item", "w", 0.05)
+      .as[(String, Long)].collect().toSeq
+    val sketched = graft.ext.HeavyHitters.frequentWeighted(store, "item", "w",
+        0.05)
+      .as[(String, Long)].collect().toSeq
+    assert(exact == sketched)
+    assert(exact.map(_._1) == Seq("big"))
+  }
+
   test("heavy hitters: empty input returns empty (no NPE on null total)") {
     val docs = Seq[(Long, Option[String])]((1L, None), (2L, Some("  ")))
       .toDF("doc_id", "text")

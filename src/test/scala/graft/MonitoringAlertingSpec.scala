@@ -55,6 +55,13 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(!Monitoring.checkVolumeAnomaly(df, "ts"))
   }
 
+  test("outage check survives an all-null ts column (no NPE)") {
+    val df = Seq[Option[java.sql.Timestamp]](None, None).toDF("ts")
+    // day=null row: no newest day to gap-check — isFresh's territory
+    assert(!Monitoring.checkVolumeAnomaly(df, "ts",
+      asOfMs = Some(System.currentTimeMillis())))
+  }
+
   test("freshness verdict against SLA") {
     val now = System.currentTimeMillis()
     val fresh = Seq(new java.sql.Timestamp(now - 3600 * 1000)).toDF("ts")

@@ -55,6 +55,18 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(1L)) // base-1 in [base-10, base); base out; base-11 out
   }
 
+  test("range joins reject mixed exact/floating key types loudly") {
+    // a long point column against double interval bounds computes grid
+    // cells in different arithmetic — silently lossy past 2^53, so the
+    // pairing must refuse up front
+    val pts = Seq((1L, 5L)).toDF("p_id", "v")
+    val ivals = Seq((1L, 0.0, 10.0)).toDF("i_id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.RangeJoin.pointInInterval(pts, ivals, "v", "lo", "hi", 4)
+    }
+    assert(e.getMessage.contains("cast one side"))
+  }
+
   test("intervalOverlap is exact past 2^53") {
     val base = 1000000000000000000L
     val left = Seq((1L, base - 20L, base - 5L)).toDF("a_id", "a_lo", "a_hi")
