@@ -159,6 +159,8 @@ object ScaleSmoke {
         k = 100000).count() }
     time("2M docs unigram LM scoring") {
       ext.TextModel.unigramNll(corpus, "doc_id", "text").count() }
+    time("2M docs interpolated bigram LM scoring") {
+      ext.TextModel.bigramNll(corpus, "doc_id", "text").count() }
     time("2M docs decontaminate vs 2k bench") {
       ext.Decontam.contaminated(corpus,
         corpus.filter(col("doc_id") % 1000 === 0), "doc_id", "text",
