@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
   * configuration lives (Verify, Bench, tests and library users all build
   * through it).
   *
-  *  - shuffle partitions sized to the execution environment (AQE coalesces
-  *    upward at cluster scale; the Spark default of 200 is wrong for local
-  *    runs);
+  *  - shuffle partitions: [[local]] pins them to the thread count (the
+  *    Spark default of 200 is wrong for local runs). [[builder]] leaves
+  *    them at the cluster/submit default unless the caller passes a value
+  *    — AQE only coalesces partition counts DOWNWARD (plus skew splits),
+  *    so defaulting to the driver JVM's core count would cap every
+  *    cluster shuffle at a fraction of executor parallelism;
   *  - AQE on (runtime join re-selection, skew splitting, partition
   *    coalescing);
   *  - ObjectHashAggregate fallback raised so the engine's imperative
@@ -24,12 +27,11 @@ object GraftSession {
   def builder(appName: String = "graft",
       master: Option[String] = None,
       shufflePartitions: Option[Int] = None): SparkSession.Builder = {
-    val cores = Runtime.getRuntime.availableProcessors()
-    val b = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .appName(appName)
-      .config("spark.sql.shuffle.partitions",
-        shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
+    val b = shufflePartitions.fold(b0)(n =>
+      b0.config("spark.sql.shuffle.partitions", n.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")

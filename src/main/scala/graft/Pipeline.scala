@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, trim, try_to_timestamp, when}
 
 import graft.config.{Enums, EnvConfig, Thresholds}
 import graft.dq.{DataQualityChecker, DQReport}
@@ -15,9 +15,10 @@ import graft.ops.{SilverPipeline, Transforms}
   *
   * Execution shape vs the reference: the reference runs k+2 jobs for k DQ
   * checks plus separate counts (§4 hazard 1); here the whole pipeline is
-  * TWO jobs — one aggregate for the DQ report, one pass that writes both
-  * splits (narrow ops after the scan; quarantine is a second filter over
-  * the same cached flagged frame).
+  * four fixed actions regardless of k — one aggregate for the DQ report,
+  * one write per split (two sinks are necessarily two jobs), and one
+  * count — all reading the one cached flagged frame, so the source is
+  * scanned once.
   */
 object Pipeline {
 
@@ -27,18 +28,35 @@ object Pipeline {
       quarantinedCount: Long)
 
   /** Standard DQ contract for bronze transactions (thresholds from
-    * config: completeness 0.95, uniqueness 1.0, amount bounds). */
-  def transactionChecks(df: DataFrame): DataQualityChecker =
+    * config: completeness 0.95, uniqueness 1.0, amount bounds, timestamp
+    * parseability). Bronze is all-string, so parse checks use try_* forms:
+    * under Spark 4's default ANSI mode a plain cast would THROW on exactly
+    * the dirty rows the quarantine exists to catch. Nulls/blanks are
+    * exempt from the parse checks — completeness owns nulls (the same
+    * rule checkRange/checkValidity apply). */
+  def transactionChecks(df: DataFrame): DataQualityChecker = {
+    def blank(c: String): Column = col(c).isNull || trim(col(c)) === ""
     DataQualityChecker(df, "transactions")
       .checkCompleteness(Seq("transaction_id", "customer_id", "merchant_id",
-        "amount", "status"), Thresholds.dqCompletenessThreshold)
+        "amount", "status", "transaction_timestamp"),
+        Thresholds.dqCompletenessThreshold)
       .checkUniqueness(Seq("transaction_id"), Thresholds.dqUniquenessThreshold)
       .checkCustom("amount_in_bounds",
-        col("amount").cast("double").between(
-          Thresholds.minTransactionAmount, Thresholds.maxTransactionAmount),
+        when(blank("amount"), lit(true)).otherwise(
+          col("amount").try_cast("double").between(
+            Thresholds.minTransactionAmount, Thresholds.maxTransactionAmount)),
         column = "amount")
+      // silver partitions by to_date(transaction_timestamp): an unparseable
+      // timestamp would land in __HIVE_DEFAULT_PARTITION__ and vanish from
+      // every date-pruned gold read — quarantine it here instead
+      .checkCustom("timestamp_parseable",
+        when(blank("transaction_timestamp"), lit(true)).otherwise(
+          try_to_timestamp(col("transaction_timestamp"),
+            lit("yyyy-MM-dd HH:mm:ss")).isNotNull),
+        column = "transaction_timestamp")
       .checkValidity("status", Enums.transactionStatuses)
       .checkValidity("transaction_type", Enums.transactionTypes)
+  }
 
   /** Run bronze→silver ingestion for transactions. Writes silver
     * partitioned by transaction_date (partition pruning on the gold side)
@@ -59,9 +77,10 @@ object Pipeline {
       val report = checker.run()
       val (valid, invalid) = checker.validInvalidSplit()
 
+      // transactionsToSilver's explicit projection drops the metadata
+      // columns; no pre-drop needed
       val silver = Transforms.addProcessingMetadata(
-        SilverPipeline.transactionsToSilver(valid.drop("_source_file",
-          "_ingestion_timestamp")))
+        SilverPipeline.transactionsToSilver(valid))
       Writers.writeParquet(silver, s"${env.silverPath}/transactions",
         partitionBy = Seq("transaction_date"))
       Writers.writeParquet(invalid, s"${env.quarantinePath}/transactions")

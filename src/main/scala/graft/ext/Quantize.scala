@@ -12,20 +12,30 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Quantize {
 
+  /** Non-finite elements are excluded from the scale and quantize to 0:
+    * one NaN/±Inf element must not zero (non-ANSI) or crash (ANSI — NaN
+    * sorts greatest, so it would win array_max and poison every division;
+    * round(NaN).cast(long) then throws) the whole vector. */
+  private def finite(x: Column): Column =
+    !isnan(x) && x =!= lit(Double.PositiveInfinity) &&
+      x =!= lit(Double.NegativeInfinity)
+
   private def maxAbs(vec: Column): Column =
-    array_max(transform(vec, x => abs(x.cast(DoubleType))))
+    array_max(transform(
+      filter(vec, x => finite(x.cast(DoubleType))),
+      x => abs(x.cast(DoubleType))))
 
   /** (idCol, vecCol) → (idCol, scale, qvec): qvec_i = round(v_i·127/max|v|)
     * ∈ [−127, 127], scale = max|v|/127 (dequant: v̂_i = qvec_i·scale).
-    * Zero/empty vectors quantize to zeros with scale 0. Rounding is
-    * half-away-from-zero in every engine (exact at the extremes: the max
-    * element is ±127 exactly). */
+    * Zero/empty/all-non-finite vectors quantize to zeros with scale 0.
+    * Rounding is half-away-from-zero in every engine (exact at the
+    * extremes: the max element is ±127 exactly). */
   def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
     // let-bind max|v| (lambda capture would re-reduce the array per element)
     val q = element_at(transform(array(maxAbs(v)), m =>
       transform(v, x =>
-        when(m > 0,
+        when(m > 0 && finite(x.cast(DoubleType)),
           round(x.cast(DoubleType) * lit(127.0) / m, 0).cast("long"))
           .otherwise(lit(0L)))), 1)
     df.select(col(idCol),
@@ -35,17 +45,24 @@ object Quantize {
 
   /** Mean absolute dequantization error per vector — the quality audit
     * paired with [[int8]] (high error flags vectors whose distribution
-    * defeats symmetric quantization). */
+    * defeats symmetric quantization). Single projection over the input —
+    * scale, codes and the error fold all ride one map-only pass (no
+    * self-join back to the source, which at embedding-table scale would
+    * pay a full shuffle and double-count duplicate ids). Non-finite
+    * elements contribute 0 error, matching their quantize-to-0 rule. */
   def int8Error(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val quantized = int8(df, idCol, vecCol)
-      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
-    val err = element_at(transform(array(col("scale")), s =>
-      when(size(col(vecCol)) > 0,
+    val v = col(vecCol)
+    val err = element_at(transform(array(maxAbs(v)), m =>
+      when(size(v) > 0 && m > 0,
         aggregate(
-          zip_with(col(vecCol), col("qvec"), (x, qv) =>
-            abs(x.cast(DoubleType) - qv.cast(DoubleType) * s)),
-          lit(0.0), (acc, e) => acc + e) / size(col(vecCol)))
+          filter(v, x => finite(x.cast(DoubleType))),
+          lit(0.0), (acc, x) => acc + abs(
+            x.cast(DoubleType) -
+              round(x.cast(DoubleType) * lit(127.0) / m, 0) * (m / lit(127.0)))) /
+          size(v))
         .otherwise(lit(0.0))), 1)
-    quantized.select(col(idCol), col("scale"), err.as("mean_abs_err"))
+    df.select(col(idCol),
+      (coalesce(maxAbs(v), lit(0.0)) / lit(127.0)).as("scale"),
+      err.as("mean_abs_err"))
   }
 }

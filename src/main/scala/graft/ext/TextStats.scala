@@ -11,10 +11,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object TextStats {
 
-  /** Whitespace-token count; empty/blank text counts 0. */
+  /** Whitespace-token count as the number of `\S+` runs; empty/blank/null
+    * text counts 0. Counting matches — not `size(split(trim(x), "\\s+"))`
+    * — matters twice: split keeps leading/trailing empty tokens when the
+    * text starts/ends with non-space whitespace (Spark `trim` strips only
+    * spaces, so "a b\n" would count 3), and regexp_count needs no array
+    * materialization. DuckDB mirror: `len(regexp_extract_all(t, '\S+'))`. */
   def nWords(text: Column): Column =
-    when(trim(text) === "" || text.isNull, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast(LongType))
+    when(text.isNull, lit(0L))
+      .otherwise(regexp_count(text, lit("\\S+")).cast(LongType))
 
   /** Count of regex-token matches — a BPE-ish tokenizer proxy
     * (letter runs or single digits). */

@@ -19,10 +19,16 @@ import graft.schemas.Silver
   */
 object SilverPipeline {
 
+  // try_* parse forms throughout: bronze is all-string and only partially
+  // DQ-screened (the contract validates the columns it checks, not every
+  // castable field), so unparseable values must become NULL — the
+  // reference's PySpark non-ANSI cast semantics — rather than throw, which
+  // is what a plain cast/to_timestamp does under Spark 4's default ANSI
+  // mode. On parseable data try_* is value-identical to the plain forms.
   private def parseBool(c: Column): Column = lower(trim(c)) === "true"
   private def parseTs(c: Column): Column =
-    to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
-  private def parseDate(c: Column): Column = to_date(c, "yyyy-MM-dd")
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss"))
+  private def parseDate(c: Column): Column = try_to_date(c, "yyyy-MM-dd")
 
   /** Age in whole years at `asOf` (reference silver.py:80 derived col).
     * `asOf` is a parameter — not bare current_date() — so results are
@@ -43,11 +49,11 @@ object SilverPipeline {
       col("transaction_id"),
       col("customer_id"),
       col("merchant_id"),
-      col("amount").cast(Silver.money).as("amount"),
+      col("amount").try_cast(Silver.money).as("amount"),
       col("currency"),
-      col("amount_usd").cast(Silver.money).as("amount_usd"),
-      col("fee_amount").cast(Silver.money).as("fee_amount"),
-      col("net_amount").cast(Silver.money).as("net_amount"),
+      col("amount_usd").try_cast(Silver.money).as("amount_usd"),
+      col("fee_amount").try_cast(Silver.money).as("fee_amount"),
+      col("net_amount").try_cast(Silver.money).as("net_amount"),
       col("transaction_type"),
       col("payment_method"),
       col("channel"),
@@ -83,7 +89,7 @@ object SilverPipeline {
       col("segment"),
       col("kyc_status"),
       parseDate(col("kyc_verified_date")).as("kyc_verified_date"),
-      col("risk_score").cast(IntegerType).as("risk_score"),
+      col("risk_score").try_cast(IntegerType).as("risk_score"),
       parseBool(col("is_pep")).as("is_pep"),
       parseTs(col("created_at")).as("created_at"),
       parseTs(col("updated_at")).as("updated_at"))
@@ -100,12 +106,12 @@ object SilverPipeline {
       col("country"),
       col("currency"),
       col("risk_tier"),
-      col("avg_ticket_size").cast(Silver.money).as("avg_ticket_size"),
-      col("monthly_volume").cast(IntegerType).as("monthly_volume"),
+      col("avg_ticket_size").try_cast(Silver.money).as("avg_ticket_size"),
+      col("monthly_volume").try_cast(IntegerType).as("monthly_volume"),
       onboarding.as("onboarding_date"),
       datediff(asOf, onboarding).cast(IntegerType).as("days_active"),
       col("status"),
-      col("fee_rate").cast(Silver.rate).as("fee_rate"),
+      col("fee_rate").try_cast(Silver.rate).as("fee_rate"),
       parseTs(col("created_at")).as("created_at"),
       parseTs(col("updated_at")).as("updated_at"))
   }
@@ -114,6 +120,6 @@ object SilverPipeline {
     parseDate(col("rate_date")).as("rate_date"),
     col("source_currency"),
     col("target_currency"),
-    col("exchange_rate").cast(DecimalType(18, 6)).as("exchange_rate"),
+    col("exchange_rate").try_cast(DecimalType(18, 6)).as("exchange_rate"),
     parseTs(col("created_at")).as("created_at"))
 }

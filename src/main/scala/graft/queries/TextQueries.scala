@@ -657,8 +657,8 @@ object TextQueries {
         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS toks
         |  FROM (
         |    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
-        |      CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |      CASE WHEN text IS NULL THEN 0
+        |        ELSE CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) END AS n_words,
         |      CASE WHEN length(text) > 0
         |        THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
         |        ELSE CAST(1 AS DOUBLE) END AS digit_ratio
@@ -1021,8 +1021,8 @@ object TextQueries {
         |    n_tokens
         |  FROM (
         |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-        |      CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |      CASE WHEN text IS NULL THEN 0
+        |        ELSE CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) END AS n_words,
         |      CASE WHEN length(text) > 0
         |        THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
         |        ELSE CAST(1 AS DOUBLE) END AS digit_ratio,
@@ -1241,8 +1241,8 @@ object TextQueries {
          |  SELECT doc_id, lang, n_chars, text,
          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm,
          |    CAST(length(text) AS BIGINT) AS len_chars,
-         |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-         |      ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_words,
+         |    CASE WHEN text IS NULL THEN 0
+         |      ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) END AS n_words,
          |    CASE WHEN length(text) > 0
          |      THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
          |      ELSE CAST(1 AS DOUBLE) END AS digit_ratio,
@@ -1334,8 +1334,8 @@ object TextQueries {
          |       ELSE CAST(0 AS DOUBLE) END AS en_stopword_ratio
          |FROM (
          |  SELECT doc_id, text,
-         |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-         |      ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_words,
+         |    CASE WHEN text IS NULL THEN 0
+         |      ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) END AS n_words,
          |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
          |        x -> list_contains([$enStopList], x))) AS hits
          |  FROM documents)
@@ -1364,8 +1364,8 @@ object TextQueries {
         |FROM (
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) END AS n_words,
         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
         |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace
         |  FROM documents)
@@ -1374,8 +1374,8 @@ object TextQueries {
     "q25_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS n_tokens,
-        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words
+        |  CASE WHEN text IS NULL THEN 0
+        |    ELSE CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) END AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q26_lang_profile" ->
@@ -1391,8 +1391,8 @@ object TextQueries {
         |   + CASE WHEN n_chars >= 100 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS score
         |FROM (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) END AS n_words,
         |    CASE WHEN length(text) > 0
         |      THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
         |      ELSE CAST(1 AS DOUBLE) END AS digit_ratio
