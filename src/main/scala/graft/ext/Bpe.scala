@@ -29,7 +29,7 @@ object Bpe {
       maxWords: Int = 100000): Seq[(String, String)] = {
     require(numMerges >= 0 && maxWords > 0)
     val freq = docs
-      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w"))

@@ -16,7 +16,7 @@ object Shingles {
     * re-run the regex split once PER SHINGLE — O(tokens²) per doc. Binding
     * the split result to a lambda variable evaluates it once per row. */
   def wordShingles(text: Column, n: Int): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
+    val tokens = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     element_at(transform(array(tokens), ts =>
       when(size(ts) <= n, array(concat_ws(" ", ts)))
         .otherwise(transform(
@@ -195,7 +195,7 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       hash: Column => Column = xxhash64(_)): DataFrame =
     docs.select(col(idCol),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))).as("tok"))
       .select(col(idCol), hash(col("tok")).as("h"))
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))

@@ -38,7 +38,7 @@ object Dsir {
     def bucketCounts(docs: DataFrame): DataFrame =
       docs
         .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-        .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+        .select(explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))).as("__t"))
         .select(pmod(hash(col("__t")), lit(dim.toLong)).as("__b"))
         .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
     val rawC = bucketCounts(raw)
@@ -86,7 +86,7 @@ object Dsir {
     val miLit = typedlit(mi.toSeq)
     // Σ over tokens of mi[bucket(token)] — long fold, order-independent
     val score = aggregate(
-      transform(split(lower(trim(col(textCol))), "\\s+"),
+      transform(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)),
         t => element_at(miLit, pmod(hash(t), lit(dim.toLong))
           .cast("int") + 1)),
       lit(0L), (acc, x) => acc + x)

@@ -54,7 +54,7 @@ object HeavyHitters {
     frequentWeighted(
       docs
         .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-        .select(explode(split(lower(trim(col(textCol))), "\\s+"))
+        .select(explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
           .as("token"))
         .withColumn("__w", lit(1L)),
       "token", "__w", minFreqRatio, capacity, sketchGroups)

@@ -73,14 +73,18 @@ object QualityClassifier {
   def scoreColumn(text: Column, model: LinearTextModel,
       hash: Column => Column = xxhash64(_)): Column = {
     val w = typedlit(model.weights)
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     // let-bind the token array: `size` and the fold must not re-split
+    // blank text tokenizes to ZERO tokens: guard the mean's divisor (ANSI
+    // division by zero throws) — no evidence means score = σ(intercept)
     element_at(transform(array(toks), ts =>
       lit(1.0) / (lit(1.0) + exp(-(lit(model.intercept) +
-        aggregate(ts, lit(0.0), (acc, t) =>
-          acc + element_at(w,
-            (pmod(hash(t), lit(model.dim)) + 1).cast("int"))) /
-          size(ts).cast("double"))))), 1)
+        when(size(ts) > 0,
+          aggregate(ts, lit(0.0), (acc, t) =>
+            acc + element_at(w,
+              (pmod(hash(t), lit(model.dim)) + 1).cast("int"))) /
+            size(ts).cast("double"))
+          .otherwise(lit(0.0)))))), 1)
   }
 
   /** Distill a Column heuristic into a trained filter — the standard

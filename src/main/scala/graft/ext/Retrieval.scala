@@ -36,7 +36,7 @@ object Retrieval {
     // without the coalesce, split(null) nulls every tf and the NULL
     // propagates through the score sum into downstream consumers (rrfFuse
     // would rank NULL-scored rows by engine null ordering)
-    val toks = split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")
+    val toks = regexp_extract_all(lower(coalesce(col(textCol), lit(""))), lit("\\S+"), lit(0))
     def tf(i: Int): String = s"__tf$i"
     // one narrow projection: doc length + one tf column per query term,
     // let-bound so the split runs once per row (lambda capture re-evaluates
@@ -128,7 +128,7 @@ object Retrieval {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
     val nonBlank = docs.filter(col(textCol).isNotNull &&
       trim(col(textCol)) =!= "")
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
     // let-bind the token array; build one struct per window start
     val chunks = element_at(transform(array(toks), ts =>
       transform(sequence(lit(0), size(ts) - 1, lit(stride)), st =>

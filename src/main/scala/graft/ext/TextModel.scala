@@ -19,7 +19,7 @@ object TextModel {
       textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+        explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))).as("term"))
 
   /** Full corpus vocabulary: (term, n_tokens = total occurrences,
     * n_docs = containing docs), `minCount` floor. ONE shuffle on term with
@@ -127,7 +127,7 @@ object TextModel {
     * two tokens contribute nothing. */
   private def bigrams(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val ts = split(lower(trim(col(textCol))), "\\s+")
+    val ts = regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))
     docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol), element_at(transform(array(ts), a =>
         arrays_zip(slice(a, lit(1), size(a) - 1),
@@ -216,7 +216,7 @@ object TextModel {
     * the xxhash64 default for production throughput. */
   def hashEmbedding(text: Column, dim: Int = 64,
       hash: Column => Column = xxhash64(_)): Column = {
-    val buckets = transform(split(lower(trim(text)), "\\s+"),
+    val buckets = transform(regexp_extract_all(lower(text), lit("\\S+"), lit(0)),
       t => pmod(hash(t), lit(dim)))
     // let-bind the bucket array (transform-over-singleton) so the
     // histogram probes don't re-hash every token once per bucket

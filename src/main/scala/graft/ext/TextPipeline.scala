@@ -251,7 +251,7 @@ object TextPipeline {
     val base = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
-        split(trim(col(textCol)), "\\s+", -1).as("__tk"),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__tk"),
         Shingles.gramPosHashes(col(textCol), n).as("__grams"))
     val occ = base
       .select(col("__id"), posexplode(col("__grams")).as(Seq("__i", "__g")))

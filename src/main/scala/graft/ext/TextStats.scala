@@ -91,7 +91,7 @@ object TextStats {
     * quality/fluency signal. Deterministic: integer counts, one double
     * division. */
   def stopwordRatio(text: Column, lang: String = "en"): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
+    val tokens = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     val set = array(stopwords(lang).map(lit): _*)
     val hits = size(filter(tokens, t => array_contains(set, t)))
     when(nWords(text) > 0,
@@ -113,7 +113,7 @@ object TextStats {
     * tokens; ties and zero evidence fall back to "und" (undetermined).
     * Ties break by language code order (deterministic). */
   def langId(text: Column): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
+    val tokens = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val set = array(words.map(lit): _*)
       val hits = size(filter(tokens, t => array_contains(set, t)))

@@ -6,10 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Shared token/window hashing for the gram expressions: tokens are
-  * `trim → lowercase → split \s+` (SQL trim semantics — spaces only;
-  * `limit = -1` keeps trailing empty tokens, matching Spark SQL `split`
-  * and DuckDB `regexp_split_to_array`), each token FNV-1a'd then
+/** Shared token/window hashing for the gram expressions: tokens are the
+  * `\S+` runs of the lowercased text (Java regex whitespace class — the
+  * same matches `regexp_extract_all(lower(x), '\S+', 0)` produces, so
+  * token INDEXES here stay position-aligned with the `__tk` arrays
+  * exact-substring dedup joins back against), each token FNV-1a'd then
   * splitmix64-finalized, windows folded order-sensitively with
   * rotate-xor. */
 private[functions] object GramHashing {
@@ -21,36 +22,31 @@ private[functions] object GramHashing {
     z ^ (z >>> 31)
   }
 
-  /** Per-token 64-bit hashes of the doc's tokens. */
+  /** Java regex `\s` membership: [ \t\n\x0B\f\r] — the class the Column
+    * tokenizers' `\S+` complements. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  /** Per-token 64-bit hashes of the doc's tokens (maximal non-whitespace
+    * runs; blank text yields zero tokens — never a phantom "" token). */
   def tokenHashes(input: UTF8String): Array[Long] = {
-    // SQL trim semantics (strip SPACES only — Java String.trim would also
-    // strip tabs/newlines and diverge from `lower(trim(text))` tokenizing
-    // in wordShingles and the SQL oracles)
-    val raw = input.toString
-    var lo = 0
-    var hi = raw.length
-    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
-    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
-    val s = raw.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
-    // limit -1 keeps trailing empty tokens, matching Spark SQL `split`
-    // (and DuckDB regexp_split_to_array): a doc ending in \t/\n yields a
-    // trailing "" token in wordShingles, so it must here too
-    val toks = s.split("\\s+", -1)
-    val m = toks.length
-    val wh = new Array[Long](m)
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
     var i = 0
-    while (i < m) {
-      val t = toks(i)
-      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-      var j = 0
-      while (j < t.length) {
-        h = (h ^ t.charAt(j)) * 0x100000001b3L
-        j += 1
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+        while (i < n && !isWs(s.charAt(i))) {
+          h = (h ^ s.charAt(i)) * 0x100000001b3L
+          i += 1
+        }
+        out += mix64(h)
       }
-      wh(i) = mix64(h)
-      i += 1
     }
-    wh
+    out.result()
   }
 
   /** Order-sensitive window fold: rotl(acc, 5) ^ tokenHash. */
@@ -92,8 +88,8 @@ private[functions] object GramHashing {
   * the interpreter overhead. Per-row `CodegenFallback` costs one virtual
   * call per ROW, amortized over the row's hundreds of windows.
   *
-  * Semantics mirror `Shingles.wordShingles` windowing: tokens are
-  * `trim → lowercase → split \s+`; docs with ≤ n tokens yield ONE gram —
+  * Semantics mirror `Shingles.wordShingles` windowing: tokens are the
+  * `\S+` runs of the lowercased text; docs with ≤ n tokens yield ONE gram —
   * the fold over all tokens, so an exactly-n-token doc equals the
   * matching n-window of a longer doc (the property join-based consumers
   * like decontamination rely on). Output order is sorted (set semantics).

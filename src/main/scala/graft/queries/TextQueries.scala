@@ -490,7 +490,7 @@ object TextQueries {
     // single-line), then every line repeating corpus-wide is dropped and
     // survivors reassembled in order.
     "q68_line_dedup" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
+      val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
       val multi = t(s, dir, "documents").select(col("doc_id"),
         element_at(transform(array(toks), ts =>
           concat_ws("\n", transform(sequence(lit(0), size(ts) - 1, lit(8)),
@@ -561,7 +561,7 @@ object TextQueries {
     * divergence if the tokenization ever changes. */
   private val decontamOracle: String =
     s"""WITH ct AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
        |  FROM documents),
        |bt AS (SELECT * FROM ct WHERE doc_id % 97 = 0),
        |cg AS (SELECT doc_id, unnest($shingleList) AS g
@@ -584,7 +584,7 @@ object TextQueries {
         |  SELECT lower(trim(text || ' u' || CAST(doc_id AS VARCHAR))) AS t
         |  FROM documents),
         |toks AS (
-        |  SELECT unnest(regexp_split_to_array(t, '\s+')) AS token
+        |  SELECT unnest(regexp_extract_all(t, '\S+')) AS token
         |  FROM aug WHERE t IS NOT NULL AND t <> ''),
         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
         |cnt AS (
@@ -617,7 +617,7 @@ object TextQueries {
     // null out a pair's micro-nat contribution
     "q103_bigram_nll" ->
       """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |pairs AS (
         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
@@ -685,7 +685,7 @@ object TextQueries {
         |  SELECT doc_id, lower(trim(text)) AS t FROM documents
         |  WHERE text IS NOT NULL AND trim(text) <> ''),
         |rtok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        |  SELECT doc_id, unnest(regexp_extract_all(t, '\S+')) AS tok
         |  FROM raw),
         |ttok AS (SELECT tok FROM rtok WHERE doc_id % 7 = 0),
         |rb AS (
@@ -728,7 +728,7 @@ object TextQueries {
     "q98_perplexity_buckets" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS term
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |c AS (SELECT term, COUNT(*) AS nt FROM t GROUP BY term),
         |s AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tt FROM c),
@@ -761,8 +761,8 @@ object TextQueries {
     "q80_span_dedup" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS ltk,
-        |    regexp_split_to_array(trim(text), '\s+') AS otk
+        |    regexp_extract_all(lower(text), '\S+') AS ltk,
+        |    regexp_extract_all(text, '\S+') AS otk
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (
         |  SELECT doc_id,
@@ -800,7 +800,7 @@ object TextQueries {
     // argmax cell = 1-based first position of the max count both engines
     "q81_hashed_semantic_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
         |  FROM documents WHERE text IS NOT NULL),
         |e AS (
         |  SELECT doc_id,
@@ -820,7 +820,7 @@ object TextQueries {
     "q63_bm25" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS tk
+        |    regexp_extract_all(lower(coalesce(text, '')), '\S+') AS tk
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
@@ -856,7 +856,7 @@ object TextQueries {
 
     "q64_chunk_documents" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS st FROM t)
         |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
@@ -883,7 +883,7 @@ object TextQueries {
          |  SELECT doc_id, text, FALSE FROM newd),
          |toks AS (
          |  SELECT doc_id, is_kept,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         |    regexp_extract_all(lower(text), '\\S+') AS tk
          |  FROM allc),
          |sh AS (SELECT doc_id, is_kept, $shingleList AS s FROM toks),
          |ex AS (SELECT doc_id, is_kept, unnest(s) AS h FROM sh),
@@ -906,7 +906,7 @@ object TextQueries {
 
     "q68_line_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk
         |  FROM documents),
         |l AS (
         |  SELECT doc_id,
@@ -930,7 +930,7 @@ object TextQueries {
     "q66_vocabulary" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS term
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |v AS (
         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -943,7 +943,7 @@ object TextQueries {
     "q67_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS term
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |c AS (SELECT term, COUNT(*) AS nt FROM t GROUP BY term),
         |s AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tt FROM c),
@@ -1056,7 +1056,7 @@ object TextQueries {
     "q87_hybrid_retrieval" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |    regexp_extract_all(lower(text), '\S+') AS tk
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
@@ -1170,7 +1170,7 @@ object TextQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text || ' zyxqj' FROM documents),
         |tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t
         |  FROM corpus),
         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
         |bits AS (
@@ -1194,7 +1194,7 @@ object TextQueries {
 
     "q32_fingerprint" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
         |  FROM documents),
         |gs AS (
         |  SELECT doc_id,
@@ -1222,7 +1222,7 @@ object TextQueries {
          |  SELECT doc_id + 1000000, lang, source, text || ' zyxqj'
          |  FROM documents WHERE doc_id < 1500),
          |toks AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
          |  FROM corpus),
          |sh AS (SELECT doc_id, $shingleList AS s FROM toks),
          |$ccTail
@@ -1246,7 +1246,7 @@ object TextQueries {
          |    CASE WHEN length(text) > 0
          |      THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
          |      ELSE CAST(1 AS DOUBLE) END AS digit_ratio,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+         |    regexp_extract_all(lower(text), '\\S+') AS tk
          |  FROM corpus),
          |rep AS (
          |  SELECT doc_id,
@@ -1278,7 +1278,7 @@ object TextQueries {
 
     "q54_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -1304,7 +1304,7 @@ object TextQueries {
     "q31_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, source, lang,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |    regexp_extract_all(lower(text), '\S+') AS tk
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, source, lang,
@@ -1336,7 +1336,7 @@ object TextQueries {
          |  SELECT doc_id, text,
          |    CASE WHEN text IS NULL THEN 0
          |      ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) END AS n_words,
-         |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
          |        x -> list_contains([$enStopList], x))) AS hits
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
@@ -1344,7 +1344,7 @@ object TextQueries {
     "q27_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS labeled_lang,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |    regexp_extract_all(lower(text), '\\S+') AS toks
          |  FROM documents),
          |s AS (
          |  SELECT doc_id, labeled_lang,

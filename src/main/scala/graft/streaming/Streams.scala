@@ -409,7 +409,7 @@ object Streams {
         // probing would cost an extra pass over the batch
         batch
           .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-          .select(explode(split(lower(trim(col(textCol))), "\\s+"))
+          .select(explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
             .as("token"))
           .groupBy(col("token"))
           .agg(count(lit(1)).as("cnt"))

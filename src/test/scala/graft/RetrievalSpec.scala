@@ -262,21 +262,23 @@ class RetrievalSpec extends SparkSpec {
     assert(survivors == Seq(11L))
   }
 
-  test("wordHashGrams keeps trailing empty tokens (Spark split parity)") {
-    // SQL trim strips spaces only, so a trailing \n survives and Spark's
-    // split (limit -1) emits a trailing "" token — the native gram
-    // expression must tokenize identically or gram sets diverge from
-    // wordShingles and the DuckDB regexp_split_to_array oracles
-    val df = Seq((1L, "alpha beta\n"), (2L, "alpha beta"))
+  test("wordHashGrams ignores edge whitespace (\\S+ tokenizer parity)") {
+    // tokens are the \S+ runs of the lowercased text — leading/trailing
+    // whitespace of ANY kind (not just the spaces SQL trim strips) must
+    // not mint phantom "" tokens, so a doc ending in \n grams identically
+    // to its trimmed twin, matching wordShingles and the DuckDB
+    // regexp_extract_all oracles
+    val df = Seq((1L, "alpha beta\n"), (2L, "alpha beta"), (3L, " \t\n"))
       .toDF("doc_id", "text")
     val out = df.select(col("doc_id"),
         size(graft.ext.Shingles.wordHashGrams(col("text"), 1)).as("n1"),
         graft.ext.Shingles.wordHashGrams(col("text"), 3).as("g3"))
       .orderBy("doc_id").collect()
-    assert(out(0).getAs[Int]("n1") == 3) // alpha, beta, ""
+    assert(out(0).getAs[Int]("n1") == 2) // alpha, beta — no phantom ""
     assert(out(1).getAs[Int]("n1") == 2)
-    assert(out(0).getAs[scala.collection.Seq[Long]]("g3").toSeq !=
+    assert(out(0).getAs[scala.collection.Seq[Long]]("g3").toSeq ==
       out(1).getAs[scala.collection.Seq[Long]]("g3").toSeq)
+    assert(out(2).getAs[Int]("n1") == 1) // blank doc: the single empty fold
   }
 
   test("incremental matches re-cap ACCUMULATED hot kept buckets") {
