@@ -10,7 +10,7 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // JIT-warm the heavy expression paths (HOF shingle pipeline, MinHash/
-    // SimHash aggregates) on a 200-doc token corpus: the first LSH call in
+    // SimHash aggregates) on a 2000-doc token corpus: the first LSH call in
     // a fresh JVM pays ~8 s of interpreter->JIT ramp (measured; NOT
     // codegen — same cost with wholeStage off), which would land on
     // whichever near-dup query happens to run first.
@@ -37,22 +37,29 @@ object Bench {
         .filter(_._2.size > 1)
       require(dup.isEmpty, s"duplicate bench short keys: $dup")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    // Locale.ROOT: f"%.3f" under a comma-decimal locale (de_DE) would emit
-    // `"q":0,123` and corrupt the one JSON line the driver parses
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // a failed query must NOT contribute its elapsed-until-crash to the
+    // machine line — a plan-time throw looks like a 100x speedup to the
+    // driver's trend view; it goes to the `failed` list instead
+    val results = timed.collect { case (n, t, true) => n -> t }.toMap
+    val failed = timed.collect { case (n, _, false) => n }
+    // Locale.ROOT via Fmt: f"%.3f" under a comma-decimal locale (de_DE)
+    // would emit `"q":0,123` and corrupt the one JSON line the driver
+    // parses
+    def f3(v: Double): String = graft.util.Fmt.fmt("%.3f", v)
     // Human-readable breakdown with FULL query names, printed BEFORE the
     // machine line (plain text, no braces, so a tail-window parser can
     // never mistake a truncated breakdown line for the JSON line).
-    results.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      println(s"bench $k ${f3(v)}")
+    timed.foreach { case (k, v, ok) =>
+      println(s"bench $k ${if (ok) f3(v) else "FAILED"}")
     }
     // The driver captures only the LAST ~2000 chars of the sbt output and
     // parses the one JSON line from it; sbt appends its own [warn]/[success]
@@ -64,13 +71,19 @@ object Bench {
     // driver's trend view; full 3-decimal values are in the breakdown
     // lines above) — keeps the line comfortably inside the tail window
     // as the query count grows
-    def f2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def f2(v: Double): String = graft.util.Fmt.fmt("%.2f", v)
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries surface as MISSING keys plus an explicit list (the
+    // key is absent only when something broke, never silently); sfDir is
+    // env-provided, so it gets real JSON escaping like every other string
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map(n => graft.util.Fmt.jsonString(shortKey(n)))
+        .mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$failedJson,"sf":${graft.util.Fmt.jsonString(sfDir)}}""")
     spark.stop()
   }
 }

@@ -24,6 +24,9 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // session-global by necessity: nanosAsLong is a SQLConf, not a
+    // per-read option, and must be set before the reader resolves the
+    // schema (GraftSession sets it at build; this covers foreign sessions)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val df = raw.schema.find(_.name == "ts") match {

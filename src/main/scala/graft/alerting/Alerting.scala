@@ -45,17 +45,24 @@ final class AlertManager(
 
   /** Severity routing mirrors the reference: every alert goes to Slack;
     * only P1 pages PagerDuty (reference alerting.py severity gate). Returns
-    * the channels actually notified. */
+    * the channels actually notified. Channels are isolated from each
+    * other: a THROWING transport (connect timeout, DNS — the trait only
+    * promises a boolean for HTTP-level failure) counts as not-notified
+    * and must not abort the remaining channels, or a flaky Slack webhook
+    * would swallow the P1 page exactly when it matters most. */
   def send(alert: Alert): Seq[String] = {
     history += alert
     if (dryRun) return Seq("dry-run")
     val channels = mutable.ArrayBuffer.empty[String]
-    slackWebhookUrl.foreach { url =>
-      if (poster.post(url, slackPayload(alert))) channels += "slack"
-    }
-    if (alert.severity == AlertSeverity.P1) pagerDutyUrl.foreach { url =>
-      if (poster.post(url, pagerDutyPayload(alert))) channels += "pagerduty"
-    }
+    def attempt(name: String, url: String, payload: String): Unit =
+      try { if (poster.post(url, payload)) channels += name }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[alerting] $name post failed: ${e.getMessage}")
+      }
+    slackWebhookUrl.foreach(attempt("slack", _, slackPayload(alert)))
+    if (alert.severity == AlertSeverity.P1)
+      pagerDutyUrl.foreach(attempt("pagerduty", _, pagerDutyPayload(alert)))
     channels.toSeq
   }
 
@@ -68,23 +75,9 @@ final class AlertManager(
   def pagerDutyPayload(a: Alert): String =
     s"""{"event_action":"trigger","payload":{"summary":"${esc(a.title)}: ${esc(a.message)}","severity":"critical","source":"${esc(a.pipelineName)}"}}"""
 
-  /** JSON string escaping, INCLUDING the C0 control range: exception text
-    * routinely carries ANSI escapes (0x1b) from captured log lines, and
-    * a raw control byte inside a string literal makes the whole payload
-    * invalid JSON — losing the page exactly when it matters most. */
-  private def esc(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '\\' => sb.append("\\\\")
-      case '"' => sb.append("\\\"")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  // full JSON escaping incl. the C0 control range (shared impl — see
+  // graft.util.Fmt.jsonEscape for why control bytes matter here)
+  private def esc(s: String): String = graft.util.Fmt.jsonEscape(s)
 }
 
 /** Convenience wrappers mirroring the reference's standard alert shapes
@@ -93,11 +86,9 @@ final class AlertManager(
   * (P2, age vs SLA context). Each returns the channels notified. */
 object Alerts {
 
-  /** Locale-stable decimal formatting: a German-locale JVM would render
-    * f"%.2f" as "12,34", breaking the reference alert shape and any
-    * downstream parser expecting dot decimals. */
+  // locale-stable decimal formatting (shared impl — graft.util.Fmt)
   private def fmt(pattern: String, v: Double): String =
-    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    graft.util.Fmt.fmt(pattern, v)
 
   /** Pipeline failure: P1 — the only severity that pages. Error text is
     * truncated to 500 chars like the reference. */

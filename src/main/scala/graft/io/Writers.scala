@@ -47,12 +47,19 @@ object Writers {
       database: String,
       table: String,
       partitioned: Boolean = false): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    // identifiers/literal are interpolated into SQL text: escape the
+    // quoting character of each position (backtick for identifiers,
+    // single quote for the location) so a hostile or merely unusual
+    // name/path can't break out of its quotes
+    val db = database.replace("`", "``")
+    val tbl = table.replace("`", "``")
+    val loc = path.replace("'", "''")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS `$database`.`$table` USING PARQUET LOCATION '$path'")
+      s"CREATE TABLE IF NOT EXISTS `$db`.`$tbl` USING PARQUET LOCATION '$loc'")
     // external partitioned locations need partition discovery before the
     // catalog sees any data
-    if (partitioned) spark.sql(s"MSCK REPAIR TABLE `$database`.`$table`")
+    if (partitioned) spark.sql(s"MSCK REPAIR TABLE `$db`.`$tbl`")
   }
 
   /** Append rows to a managed table, creating it on first write

@@ -58,7 +58,14 @@ final class PipelineMonitor(
   def endStage(stage: String, status: String = "SUCCESS",
       recordsRead: Long = 0L, recordsWritten: Long = 0L,
       recordsFailed: Long = 0L, errorMessage: Option[String] = None): StageMetrics = {
-    val start = open.remove(stage).getOrElse(clock())
+    // an end without a start is a caller bookkeeping bug (typo'd stage
+    // name): don't crash the pipeline over telemetry, but don't silently
+    // fabricate a plausible 0-duration metric either
+    val start = open.remove(stage).getOrElse {
+      System.err.println(
+        s"[monitor] endStage('$stage') without startStage — recording zero duration")
+      clock()
+    }
     val end = clock()
     val m = StageMetrics(pipelineName, stage, status, start, end,
       (end - start) / 1000.0, recordsRead, recordsWritten, recordsFailed,
@@ -120,7 +127,12 @@ object Monitoring {
     * `threshold` (reference default 0.5 = 50%, base.py:60). */
   def volumeAnomalyDF(df: DataFrame, tsCol: String,
       threshold: Double = 0.5, lookbackDays: Int = 7): DataFrame = {
-    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+    // null timestamps would fold into a day=NULL pseudo-row that sorts
+    // FIRST (ascending NULLS FIRST) and lands inside every early day's
+    // trailing window, corrupting avg_prev/pct_change for real days —
+    // null-ts health is completeness's job, not the volume baseline's
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("day")).rowsBetween(-lookbackDays, -1)
     daily
@@ -138,7 +150,8 @@ object Monitoring {
   }
 
   /** Driver-side verdict over the tail of [[volumeAnomalyDF]] — mirrors the
-    * reference's collect-then-decide shape (≤ lookback+1 rows collected).
+    * reference's collect-then-decide shape (exactly the newest day's row
+    * is collected; the window math already folded the lookback in).
     *
     * Blind spot of the pure-window form: a TOTAL outage writes no rows, so
     * the newest day in the frame is the last day that HAD data and looks
@@ -156,9 +169,9 @@ object Monitoring {
     val latestAnomalous = rows.headOption.exists(_.getAs[Boolean]("is_anomaly"))
     val outage = asOfMs.exists { now =>
       rows.headOption
-        // an all-null ts column yields one day=null row: no newest day
-        // to gap-check (and nothing to NPE on) — that table's health is
-        // isFresh's verdict
+        // volumeAnomalyDF filters null timestamps, so an all-null ts
+        // column yields an EMPTY frame (headOption None) — belt-and-
+        // braces null guard kept for robustness against foreign frames
         .filter(r => !r.isNullAt(r.fieldIndex("day")))
         .exists { r =>
           val lastDay = r.getAs[java.sql.Date]("day").toLocalDate

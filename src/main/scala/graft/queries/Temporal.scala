@@ -224,7 +224,8 @@ object Temporal {
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q22_volume_anomaly" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
         |win AS (SELECT day, n,
         |  CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum,
         |  CAST(COUNT(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_cnt

@@ -127,13 +127,21 @@ class FintechSpec extends SparkSpec {
   test("EP1 ingestion pipeline: silver + quarantine + metrics end-to-end") {
     val root = Files.createTempDirectory("ep1").toString
     val env = EnvConfig.dev(root)
-    // poison a slice: null customer_id on ~2% of rows and one bad amount
+    // poison a slice: null customer_id on ~2% of rows, one out-of-bounds
+    // amount, one NON-NUMERIC amount and one garbage timestamp — the two
+    // parse-poison rows crash the whole job if any DQ predicate or silver
+    // cast uses plain cast/to_timestamp under default ANSI mode; they must
+    // instead quarantine
     val poisoned = bronzeTxns
       .withColumn("customer_id",
         when(rand(7) < 0.02, lit(null)).otherwise(col("customer_id")))
       .withColumn("amount",
         when(col("transaction_id") === "TXN000000001", lit("999999.99"))
+          .when(col("transaction_id") === "TXN000000002", lit("not-a-number"))
           .otherwise(col("amount")))
+      .withColumn("transaction_timestamp",
+        when(col("transaction_id") === "TXN000000003", lit("garbage-ts"))
+          .otherwise(col("transaction_timestamp")))
     val mon = new graft.monitoring.PipelineMonitor(spark, "ep1-test")
     val res = Pipeline.ingestTransactions(spark, poisoned, env, Some(mon))
     assert(res.validCount + res.quarantinedCount == 5000)
@@ -144,6 +152,14 @@ class FintechSpec extends SparkSpec {
     assert(silver.schema("amount").dataType == DecimalType(18, 2))
     val quarantine = spark.read.parquet(s"${env.quarantinePath}/transactions")
     assert(quarantine.columns.contains("_validation_failures"))
+    // the parse-poison rows landed in quarantine with the right reasons,
+    // not in silver (and not as a job-killing ANSI cast exception)
+    val qByid = quarantine.select("transaction_id", "_validation_failures")
+      .as[(String, Seq[String])].collect().toMap
+    assert(qByid("TXN000000002").contains("CUSTOM_AMOUNT_IN_BOUNDS"))
+    assert(qByid("TXN000000003").contains("CUSTOM_TIMESTAMP_PARSEABLE"))
+    assert(silver.filter(col("transaction_id")
+      .isin("TXN000000002", "TXN000000003")).count() == 0)
     assert(mon.metrics.head.recordsWritten == res.validCount)
     // partition pruning surface: date filter reads a subset of partitions
     val oneDay = silver.select("transaction_date").distinct().head().getDate(0)

@@ -57,9 +57,25 @@ class MonitoringAlertingSpec extends SparkSpec {
 
   test("outage check survives an all-null ts column (no NPE)") {
     val df = Seq[Option[java.sql.Timestamp]](None, None).toDF("ts")
-    // day=null row: no newest day to gap-check — isFresh's territory
+    // null timestamps are filtered: empty frame, nothing to gap-check —
+    // isFresh's territory
     assert(!Monitoring.checkVolumeAnomaly(df, "ts",
       asOfMs = Some(System.currentTimeMillis())))
+  }
+
+  test("null timestamps do not poison the volume baseline") {
+    // 3 steady days of 100 rows plus a pile of null-ts rows: the nulls
+    // would fold into a day=NULL pseudo-row that sorts FIRST and lands in
+    // every early day's trailing window (avg_prev 5000 -> phantom -98%
+    // "anomaly"); filtered, the volume is perfectly steady
+    val good = (1 to 3).flatMap(d =>
+      (1 to 100).map(_ => Some(s"2024-01-0$d 00:00:00")))
+    val bad = (1 to 5000).map(_ => Option.empty[String])
+    val df = (good ++ bad).toDF("raw")
+      .select(col("raw").cast("timestamp").as("ts"))
+    val out = Monitoring.volumeAnomalyDF(df, "ts").orderBy("day").collect()
+    assert(out.length == 3) // no day=NULL row
+    assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
   }
 
   test("freshness verdict against SLA") {
@@ -94,6 +110,22 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(p1 == Seq("slack", "pagerduty"))
     assert(poster.sent.length == 3)
     assert(mgr.history.length == 2)
+  }
+
+  test("a throwing Slack transport does not swallow the P1 page") {
+    // the trait only promises a boolean for HTTP-level failure — real
+    // transports throw on connect timeout/DNS; each channel is isolated
+    val poster = new HttpPoster {
+      val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+      def post(url: String, jsonBody: String): Boolean =
+        if (url.contains("slack")) throw new RuntimeException("timeout")
+        else { sent += url; true }
+    }
+    val mgr = new AlertManager(Some("http://slack"), Some("http://pd"),
+      dryRun = false, poster = poster)
+    val p1 = mgr.send(Alert("t", "m", AlertSeverity.P1, "pipe"))
+    assert(p1 == Seq("pagerduty")) // slack failed but the page went out
+    assert(poster.sent == Seq("http://pd"))
   }
 
   test("dry-run sends nothing") {
