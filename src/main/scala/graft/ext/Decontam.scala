@@ -143,4 +143,53 @@ object Decontam {
             col("n_grams").cast("double"))
           .otherwise(lit(0.0)).as("contamination"))
   }
+
+  /** Semantic (embedding-space) decontamination: for every corpus vector,
+    * the maximum cosine similarity against ANY benchmark vector, plus a
+    * contaminated verdict at `minCos`. Catches the paraphrased / reworded
+    * eval leakage that exact n-gram overlap misses (the reason modern
+    * decontamination runs both checks).
+    *
+    * Output: one row per corpus doc — (idCol, max_sim, contaminated).
+    * Every corpus doc is returned (max_sim 0.0 when the benchmark is
+    * empty); droppers use [[semanticDecontaminate]].
+    *
+    * Scale design: mirrors [[contaminated]] — the benchmark embedding set
+    * is tiny vs the corpus, so it is BROADCAST and the corpus-side pass is
+    * narrow (a BroadcastNestedLoopJoin fan-out evaluated per partition).
+    * The per-doc `max` reduces map-side BEFORE the only shuffle, which
+    * therefore carries one (id, double) row per corpus doc — not the
+    * fan-out. Norms are computed once per row before the join; pair
+    * similarity is one codegen'd VecDot. Cosines are rounded to
+    * `roundDigits` BEFORE the max so the result is order-independent and
+    * cross-engine reproducible. */
+  def semanticScreen(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCos: Double,
+      roundDigits: Int = 4): DataFrame = {
+    val b = broadcast(bench.select(col(vecCol).as("__bv"),
+      Similarity.norm(col(vecCol)).as("__bn")))
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      Similarity.norm(col(vecCol)).as("__cn"))
+    // LEFT join on a literal-true condition: an empty benchmark must keep
+    // every corpus doc (max_sim 0.0), not silently return zero rows
+    c.join(b, lit(true), "left")
+      .withColumn("__sim", round(
+        when(col("__cn") > 0 && col("__bn") > 0,
+          Similarity.dot(col("__cv"), col("__bv")) /
+            (col("__cn") * col("__bn")))
+          .otherwise(lit(0.0)), roundDigits))
+      .groupBy(col(idCol))
+      .agg(max(col("__sim")).as("max_sim"))
+      .select(col(idCol), col("max_sim"),
+        (col("max_sim") >= lit(minCos)).as("contaminated"))
+  }
+
+  /** Anti-join droppers' view of [[semanticScreen]]: the corpus minus
+    * every doc whose max benchmark cosine reaches `minCos`. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame =
+    corpus.join(
+      semanticScreen(corpus, bench, idCol, vecCol, minCos)
+        .filter(col("contaminated")).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -89,6 +89,42 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-source duplicate-overlap matrix: for every pair of sources that
+    * share at least one exact content hash, the count of shared distinct
+    * hashes plus each side's distinct-hash total and the containment ratio
+    * `n_shared / min(n_a, n_b)` — the curation report that tells you how
+    * much of CommonCrawl is already inside C4 before you pay to dedup the
+    * union.
+    *
+    * Output: (source_a, source_b, n_shared, n_a, n_b, overlap) with
+    * source_a < source_b; fully disjoint pairs are absent.
+    *
+    * Scale design: one distinct shuffle on (hash, source) — within-source
+    * copies collapse BEFORE the pair stage — then a self-join keyed on the
+    * hash whose per-group fan-out is bounded by the source count (dozens),
+    * never by corpus size; per-source totals are a tiny frame re-attached
+    * by broadcast. No all-pairs stage anywhere. */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val h = docs.select(md5(col(textCol)).as("__h"),
+      col(sourceCol).as("__src")).distinct()
+    val totals = h.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val a = h.select(col("__h"), col("__src").as("source_a"))
+    val b = h.select(col("__h"), col("__src").as("source_b"))
+    a.join(b, Seq("__h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("__src").as("source_a"),
+        col("__n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("__src").as("source_b"),
+        col("__n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType), 6).as("overlap"))
+  }
+
   /** Per-doc shingle-hash sets (id, shset: array<long>). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =

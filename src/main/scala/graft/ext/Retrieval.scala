@@ -142,4 +142,46 @@ object Retrieval {
         col("__c.chunk_text").as("chunk_text"),
         col("__c.n_tokens").as("n_tokens"))
   }
+
+  /** Hard-negative mining for embedding-model training (the DPR /
+    * contrastive-learning data op): for each query item, the `k` corpus
+    * items MOST similar by cosine that carry a DIFFERENT label — maximally
+    * confusing non-matches, which is exactly what a contrastive loss needs
+    * as negatives. Label comparison is null-safe: a null-label corpus item
+    * counts as a different label than any labelled query (unknown
+    * provenance must not be silently treated as a positive and excluded).
+    *
+    * Output: (query_id, neg_id, sim, rnk), rnk 1-based per query by sim
+    * desc with id tiebreak.
+    *
+    * Scale design: identical to [[Similarity.bruteForceTopK]] — the query
+    * batch is broadcast, the corpus (the 100 TB side) never shuffles for
+    * scoring; norms computed once per row before the join; per-query
+    * top-k via window over the scored sliver. Similarities are rounded to
+    * `roundDigits` before ranking so rank order is robust to last-ulp
+    * noise. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      roundDigits: Int = 4): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("__qv"),
+      Similarity.norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neg_id"),
+      col(labelCol).as("__cl"), col(vecCol).as("__cv"),
+      Similarity.norm(col(vecCol)).as("__cn"))
+    val scored = q.join(c,
+        col("query_id") =!= col("neg_id") && !(col("__cl") <=> col("__ql")))
+      .withColumn("sim", round(
+        when(col("__qn") > 0 && col("__cn") > 0,
+          Similarity.dot(col("__qv"), col("__cv")) /
+            (col("__qn") * col("__cn")))
+          .otherwise(lit(0.0)), roundDigits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neg_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neg_id"), col("sim"), col("rnk"))
+  }
 }

@@ -413,6 +413,23 @@ object TextQueries {
     // Corpus version diff: v2 drops every 13th doc, edits every 17th,
     // adds 50 new ones — the full-outer status classification is
     // DuckDB-hash-checked.
+    // Cross-source duplicate-overlap matrix on a corpus with planted
+    // cross-source copies: every 5th doc re-scraped into an aggregator
+    // source 'crawl_mix', every 7th into 'crawl_mix2' (so the two mixes
+    // also overlap with each other on the %35 docs). Hash-checked.
+    "q106_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text", "source")
+      def replant(mod: Int, idOff: Long, src: String) =
+        d.filter(col("doc_id") % mod === 0).select(
+          (col("doc_id") + idOff).as("doc_id"), col("text"),
+          lit(src).as("source"))
+      val planted = d
+        .unionByName(replant(5, 1000000L, "crawl_mix"))
+        .unionByName(replant(7, 2000000L, "crawl_mix2"))
+      graft.ext.Dedup.sourceOverlap(planted, "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "q89_corpus_diff" -> ((s, dir) => {
       val v1 = t(s, dir, "documents")
       val v2 = v1.filter(col("doc_id") % 13 =!= 0)
@@ -1036,6 +1053,29 @@ object TextQueries {
         |SELECT doc_id, quality, n_tokens,
         |  CAST(FLOOR(CAST(b AS DOUBLE) / 2048) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q106_source_overlap" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'crawl_mix' FROM documents
+        |  WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, 'crawl_mix2' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |h AS (SELECT DISTINCT md5(text) AS h, source FROM planted),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+        |  ROUND(CAST(n_shared AS DOUBLE) / LEAST(ta.n, tb.n), 6) AS overlap
+        |FROM p
+        |JOIN tot ta ON ta.source = p.source_a
+        |JOIN tot tb ON tb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "q89_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

@@ -106,6 +106,35 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Semantic decontamination: max benchmark cosine per corpus vector,
+    // contaminated verdict at 0.9. Bench = vec_id < 32 (broadcast);
+    // corpus = the rest plus planted near-copies of every 4th bench
+    // vector (scaled AFTER the double cast so both engines do identical
+    // double arithmetic — the q79 planting discipline). Hash-checked.
+    "q104_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bench = emb.filter(col("vec_id") < 16)
+      val planted = emb.filter(col("vec_id") >= 16).unionByName(
+        bench.filter(col("vec_id") % 4 === 0).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(1.001)).as("v")))
+      graft.ext.Decontam.semanticScreen(planted, bench, "vec_id", "v",
+          minCos = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Hard-negative mining (DPR-style): for 8 query vectors, the 5 most
+    // cosine-similar corpus vectors with a DIFFERENT label. Query side
+    // broadcast; corpus never shuffles for scoring. Hash-checked.
+    "q105_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ext.Retrieval.hardNegatives(
+          corpus = emb, queries = emb.filter(col("vec_id") < 8),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Symmetric per-vector int8 quantization (4× embedding storage cut),
     // exploded to scalar rows so every quantized value is hash-checked.
     "q69_quantize" -> ((s, dir) => {
@@ -140,6 +169,37 @@ object VectorQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q104_semantic_decontam" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bench AS (SELECT vec_id, v FROM e WHERE vec_id < 16),
+        |corpus AS (
+        |  SELECT vec_id, v FROM e WHERE vec_id >= 16
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001)
+        |  FROM bench WHERE vec_id % 4 = 0),
+        |sims AS (
+        |  SELECT c.vec_id, ROUND(list_cosine_similarity(c.v, b.v), 4) AS sim
+        |  FROM corpus c CROSS JOIN bench b)
+        |SELECT vec_id, MAX(sim) AS max_sim, MAX(sim) >= 0.9 AS contaminated
+        |FROM sims GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q105_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql,
+        |             CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neg_id, label AS cl,
+        |        CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neg_id,
+        |    ROUND(list_cosine_similarity(qe, ce), 4) AS sim
+        |  FROM q JOIN c ON query_id <> neg_id AND cl IS DISTINCT FROM ql)
+        |SELECT query_id, neg_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neg_id) AS BIGINT) AS rnk
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neg_id) <= 5
         |ORDER BY query_id, rnk""".stripMargin,
 
     "q79_semantic_dedup" ->

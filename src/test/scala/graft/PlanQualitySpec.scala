@@ -266,6 +266,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("semantic decontam broadcasts the bench; one corpus-id exchange") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = planOf(graft.ext.Decontam.semanticScreen(
+      emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", minCos = 0.9))
+    // bench rides a BroadcastNestedLoopJoin into every corpus partition;
+    // the only hash exchange is the per-doc max (post partial-agg, so it
+    // carries one row per corpus doc, not the bench fan-out)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hard negatives broadcast the query batch; corpus never shuffles " +
+      "for scoring") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = planOf(graft.ext.Retrieval.hardNegatives(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+      k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the single hash exchange is the per-query top-k window over the
+    // scored sliver
+    assert(countOcc(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("source overlap self-joins on the hash key, totals re-attach broadcast") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = planOf(graft.ext.Dedup.sourceOverlap(docs, "text", "source"))
+    // keyed exchanges only (distinct + hash self-join + pair groupBy);
+    // the tiny per-source totals must come back via broadcast, never a
+    // sort-merge
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("url normalization is a narrow projection — no exchange, no UDF") {
     import spark.implicits._
     val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")

@@ -584,6 +584,113 @@ class RetrievalSpec extends SparkSpec {
     assert(fused(2L)._1 > fused(1L)._1 && fused(1L)._1 > fused(3L)._1)
   }
 
+  // ---------- hard-negative mining ----------
+
+  test("hardNegatives excludes same-label items and self, ranks by cosine") {
+    // axis-aligned vectors: query (1,0,0) label 0. Candidates:
+    //   2: (0.9,0.1,0) label 1  -> closest different-label = rank 1
+    //   3: (0.5,0.5,0) label 1  -> rank 2
+    //   4: (0.99,0,0) label 0   -> same label: EXCLUDED despite max sim
+    //   5: (0,1,0)   null label -> different from 0: included, rank 3
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), Option(0)),
+      (2L, Seq(0.9, 0.1, 0.0), Option(1)),
+      (3L, Seq(0.5, 0.5, 0.0), Option(1)),
+      (4L, Seq(0.99, 0.0, 0.0), Option(0)),
+      (5L, Seq(0.0, 1.0, 0.0), Option.empty[Int]))
+      .toDF("vec_id", "v", "label")
+    val out = Retrieval.hardNegatives(emb, emb.filter(col("vec_id") === 1),
+        "vec_id", "v", "label", k = 5)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("neg_id")).toSeq == Seq(2L, 3L, 5L))
+    assert(out.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Double]("sim") > out(1).getAs[Double]("sim"))
+  }
+
+  test("hardNegatives: a null-label query treats labelled items as negatives") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0), Option.empty[Int]),
+      (2L, Seq(1.0, 0.1), Option(7)),
+      (3L, Seq(1.0, 0.0), Option.empty[Int])) // null <=> null: same, excluded
+      .toDF("vec_id", "v", "label")
+    val out = Retrieval.hardNegatives(emb, emb.filter(col("vec_id") === 1),
+        "vec_id", "v", "label", k = 5).collect()
+    assert(out.map(_.getAs[Long]("neg_id")).toSeq == Seq(2L))
+  }
+
+  test("hardNegatives caps at k per query") {
+    val emb = (1L to 20L).map(i =>
+      (i, Seq(1.0, i / 100.0), (i % 2).toInt)).toDF("vec_id", "v", "label")
+    val out = Retrieval.hardNegatives(emb, emb.filter(col("vec_id") <= 2),
+      "vec_id", "v", "label", k = 3)
+    val counts = out.groupBy("query_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L))
+  }
+
+  // ---------- semantic decontamination ----------
+
+  test("semanticScreen flags near-copies of bench vectors, keeps clean docs") {
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val corpus = Seq(
+      (1L, Seq(2.0, 0.001, 0.0)),  // scaled near-copy: contaminated
+      (2L, Seq(0.0, 1.0, 0.0)),    // orthogonal: clean
+      (3L, Seq(0.0, 0.0, 0.0)))    // zero vector: sim 0.0, clean
+      .toDF("vec_id", "v")
+    val out = Decontam.semanticScreen(corpus, bench, "vec_id", "v",
+        minCos = 0.95)
+      .orderBy("vec_id").collect()
+    assert(out.length == 3) // every corpus doc present
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(0).getAs[Double]("max_sim") >= 0.99)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+    assert(out(2).getAs[Double]("max_sim") == 0.0)
+    val kept = Decontam.semanticDecontaminate(corpus, bench, "vec_id", "v",
+      minCos = 0.95).select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("semanticScreen with an empty benchmark keeps everything at sim 0") {
+    val bench = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val out = Decontam.semanticScreen(corpus, bench, "vec_id", "v", 0.9)
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Double]("max_sim") == 0.0))
+    assert(out.forall(!_.getAs[Boolean]("contaminated")))
+  }
+
+  // ---------- cross-source overlap ----------
+
+  test("sourceOverlap counts shared hashes with containment ratio") {
+    val docs = Seq(
+      (1L, "aaa", "s1"), (2L, "bbb", "s1"), (3L, "ccc", "s1"),
+      (4L, "aaa", "s2"), (5L, "bbb", "s2"),      // s1∩s2 = {aaa,bbb}
+      (6L, "aaa", "s3"),                         // s3∩s1 = s3∩s2 = {aaa}
+      (7L, "aaa", "s2"))                         // within-source copy: no double count
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Dedup.sourceOverlap(docs, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("s1", "s2", 2L, 3L, 2L, 1.0),
+      ("s1", "s3", 1L, 3L, 1L, 1.0),
+      ("s2", "s3", 1L, 2L, 1L, 1.0)))
+  }
+
+  test("sourceOverlap omits disjoint pairs and never emits self-pairs") {
+    val docs = Seq(
+      (1L, "x", "a"), (2L, "y", "b"), (3L, "x", "c"), (4L, "x", "a"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Dedup.sourceOverlap(docs, "text", "source").collect()
+    assert(out.length == 1) // only (a, c); b is disjoint
+    val r = out.head
+    assert(r.getAs[String]("source_a") == "a" &&
+      r.getAs[String]("source_b") == "c")
+    assert(r.getAs[Long]("n_shared") == 1L)
+  }
+
   test("shuffled is a stable seeded permutation; seeds differ") {
     val docs = spark.range(100).toDF("doc_id")
     def order(seed: Long): Seq[Long] =
