@@ -280,6 +280,25 @@ object Relational {
     }),
 
     // Salted equi-join for skew: results identical to the plain join.
+    // Fuzzy watchlist screen (AML sanctions-matching shape): a planted
+    // watchlist of perturbed customer names (one char deleted → edit
+    // distance 1 from the source) matched against all customers under
+    // Levenshtein ≤ 1 via rare-q-gram prefix filtering + exact verify.
+    // Blocking is recall-complete, so the brute-force oracle reproduces
+    // the output bit-for-bit.
+    "q107_fuzzy_match" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val watch = cust.filter(col("c_custkey") % 37 === 0)
+        .select((col("c_custkey") + 9000000L).as("watch_id"),
+          expr("concat(substr(c_name, 1, 11), substr(c_name, 13))")
+            .as("w_name"))
+      graft.ext.FuzzyJoin.fuzzyMatch(watch, cust,
+          "watch_id", "w_name", "c_custkey", "c_name", maxDist = 1)
+        .select(col("watch_id"), col("c_custkey"), col("w_name"),
+          col("c_name"), col("dist"))
+        .orderBy(col("watch_id"), col("c_custkey"))
+    }),
+
     "q51_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val parts = t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
@@ -483,6 +502,17 @@ object Relational {
       s"""SELECT p.p_brand, COUNT(*) AS n, ${sqlDsum("l.l_extendedprice")} AS total
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    "q107_fuzzy_match" ->
+      """WITH w AS (
+        |  SELECT c_custkey + 9000000 AS watch_id,
+        |    substr(c_name, 1, 11) || substr(c_name, 13) AS w_name
+        |  FROM customer WHERE c_custkey % 37 = 0)
+        |SELECT w.watch_id, c.c_custkey, w.w_name, c.c_name,
+        |  CAST(levenshtein(lower(w.w_name), lower(c.c_name)) AS BIGINT) AS dist
+        |FROM w CROSS JOIN customer c
+        |WHERE levenshtein(lower(w.w_name), lower(c.c_name)) <= 1
+        |ORDER BY watch_id, c_custkey""".stripMargin,
 
     "q56_pivot" ->
       """SELECT o_orderstatus,

@@ -45,6 +45,22 @@ object Temporal {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Ordered funnel signup → view → click → purchase: stage i counts
+    // users whose first stage-i event is strictly after their stage-(i-1)
+    // entry. Chained user-keyed joins over shrinking survivor frames.
+    "q108_funnel" -> ((s, dir) => {
+      graft.ext.Funnel.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"))
+    }),
+
+    // Cohort retention: users bucketed by first-active day, per-offset
+    // active counts and rates up to day 14.
+    "q109_retention" -> ((s, dir) => {
+      graft.ext.Funnel.retention(t(s, dir, "events"), "user_id", "ts",
+          maxOffset = 14)
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Daily metric gap-fill: event types with silent days get explicit
     // zero rows over their [min, max] span, so downstream window math
     // (7-day averages, anomaly screens) sees a regular series. The
@@ -177,6 +193,50 @@ object Temporal {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q108_funnel" ->
+      """WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 0 AS stage_idx, 'signup' AS stage,
+        |    (SELECT COUNT(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'view', (SELECT COUNT(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  ROUND(CASE WHEN (SELECT COUNT(*) FROM s0) > 0
+        |    THEN CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s0)
+        |    ELSE 0.0 END, 6) AS pct_of_first
+        |FROM c ORDER BY stage_idx""".stripMargin,
+
+    "q109_retention" ->
+      """WITH nn AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+        |fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM nn GROUP BY 1),
+        |ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM nn),
+        |cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        |  FROM fd GROUP BY 1),
+        |act AS (
+        |  SELECT fd.cohort_day,
+        |    CAST(date_diff('day', fd.cohort_day, ad.day) AS BIGINT) AS day_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM ad JOIN fd ON ad.user_id = fd.user_id
+        |  WHERE date_diff('day', fd.cohort_day, ad.day) <= 14
+        |  GROUP BY 1, 2)
+        |SELECT act.cohort_day, act.day_offset, act.n_active, cs.n_cohort,
+        |  ROUND(CAST(act.n_active AS DOUBLE) / cs.n_cohort, 6) AS retention
+        |FROM act JOIN cs ON act.cohort_day = cs.cohort_day
+        |ORDER BY act.cohort_day, act.day_offset""".stripMargin,
 
     "q93_gap_fill" ->
       """WITH daily AS (

@@ -308,4 +308,127 @@ class OpsSpec extends SparkSpec {
       maxWords = 50)
     assert(merges.nonEmpty) // "common" dominates the capped table
   }
+
+  // ---------- fuzzy matching join ----------
+
+  test("fuzzyMatch finds every pair within maxDist and nothing beyond") {
+    val watch = Seq((1L, "jonathan smith"), (2L, "acme corp"))
+      .toDF("w_id", "w_name")
+    val corpus = Seq(
+      (10L, "Jonathan Smith"),   // dist 0 (case-insensitive)
+      (11L, "jonathan smyth"),   // dist 1
+      (12L, "jonathen smythe"),  // dist 3: out at maxDist 2
+      (13L, "acme corp."),       // dist 1
+      (14L, "acme inc"))         // dist 4: out
+      .toDF("c_id", "c_name")
+    val out = graft.ext.FuzzyJoin.fuzzyMatch(watch, corpus,
+        "w_id", "w_name", "c_id", "c_name", maxDist = 2)
+      .select("w_id", "c_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set((1L, 10L, 0L), (1L, 11L, 1L), (2L, 13L, 1L)))
+  }
+
+  test("fuzzyMatch equals brute force on a low-entropy shared-prefix corpus") {
+    // every name shares "Customer#0000" — naive gram blocking would match
+    // everything to everything; rare-gram prefix filtering must still
+    // return EXACTLY the brute-force answer
+    val corpus = (0L until 200L).map(i => (i, f"Customer#${i}%09d"))
+      .toDF("c_id", "c_name")
+    val watch = (0L until 200L by 41L)
+      .map(i => (i + 9000L, f"Customer#${i}%09d".patch(12, "", 1)))
+      .toDF("w_id", "w_name")
+    val got = graft.ext.FuzzyJoin.fuzzyMatch(watch, corpus,
+        "w_id", "w_name", "c_id", "c_name", maxDist = 1)
+      .select("w_id", "c_id").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (wid, wn) <- (0L until 200L by 41L)
+        .map(i => (i + 9000L, f"Customer#${i}%09d".patch(12, "", 1)))
+      (cid, cn) <- (0L until 200L).map(i => (i, f"Customer#${i}%09d"))
+      if levenshteinDist(wn.toLowerCase, cn.toLowerCase) <= 1
+    } yield (wid, cid)).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("fuzzyMatch handles names shorter than the gram size and nulls") {
+    val watch = Seq((1L, "ab"), (2L, null.asInstanceOf[String]))
+      .toDF("w_id", "w_name")
+    val corpus = Seq((10L, "ab"), (11L, "ax"), (12L, "abcdef"))
+      .toDF("c_id", "c_name")
+    val out = graft.ext.FuzzyJoin.fuzzyMatch(watch, corpus,
+        "w_id", "w_name", "c_id", "c_name", maxDist = 1)
+      .select("w_id", "c_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    // "ab"→"ab" dist 0; "ab"→"ax" dist 1; null watch row matches nothing
+    assert(out == Set((1L, 10L, 0L), (1L, 11L, 1L)))
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // ---------- funnel / retention ----------
+
+  test("funnel counts stage survivors in strict order") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1 completes the whole funnel in order
+      (1L, ts(0), "signup"), (1L, ts(1), "view"), (1L, ts(2), "click"),
+      (1L, ts(3), "purchase"),
+      // user 2: view BEFORE signup (must not count), clicks after
+      (2L, ts(5), "view"), (2L, ts(6), "signup"), (2L, ts(7), "click"),
+      // user 3: signup only
+      (3L, ts(0), "signup"),
+      // user 4: never signs up — excluded from every stage
+      (4L, ts(0), "view"), (4L, ts(1), "click"), (4L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.ext.Funnel.funnel(events, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .collect()
+    val byStage = out.map(r => r.getAs[String]("stage") ->
+      r.getAs[Long]("n_users")).toMap
+    assert(byStage == Map("signup" -> 3L, "view" -> 1L, "click" -> 1L,
+      "purchase" -> 1L))
+    val pcts = out.sortBy(_.getAs[Long]("stage_idx"))
+      .map(_.getAs[Double]("pct_of_first")).toSeq
+    assert(pcts == Seq(1.0, 0.333333, 0.333333, 0.333333))
+  }
+
+  test("funnel with an equal-timestamp stage pair requires strict progress") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // view at the exact signup instant does NOT advance the funnel
+    val events = Seq((1L, ts(0), "signup"), (1L, ts(0), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.ext.Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("signup", "view")).collect()
+    val byStage = out.map(r => r.getAs[String]("stage") ->
+      r.getAs[Long]("n_users")).toMap
+    assert(byStage == Map("signup" -> 1L, "view" -> 0L))
+  }
+
+  test("retention buckets users by first day with exact rates") {
+    def ts(d: Int, h: Int = 9) =
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(4)),   // cohort d1, back d2 d4
+      (2L, ts(1)), (2L, ts(1, 23)),            // cohort d1, only d1 (2 events)
+      (3L, ts(2)), (3L, ts(4)))                // cohort d2, back d4
+      .toDF("user_id", "ts")
+    val out = graft.ext.Funnel.retention(events, "user_id", "ts",
+        maxOffset = 14)
+      .orderBy("cohort_day", "day_offset")
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect().toSeq
+    val d = (i: Int) => java.sql.Date.valueOf(f"2024-03-$i%02d")
+    assert(out == Seq(
+      (d(1), 0L, 2L, 2L, 1.0),    // both cohort-d1 users active day 0
+      (d(1), 1L, 1L, 2L, 0.5),    // user 1 back on day 2
+      (d(1), 3L, 1L, 2L, 0.5),    // user 1 back on day 4
+      (d(2), 0L, 1L, 1L, 1.0),
+      (d(2), 2L, 1L, 1L, 1.0)))   // user 3 back on day 4
+  }
 }

@@ -302,6 +302,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("fuzzy match probes corpus grams by broadcast — no cartesian, no " +
+      "sort-merge") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i => (i, f"Customer#${i}%09d"))
+      .toDF("c_id", "c_name")
+    val watch = Seq((9000L, "Customer#00000004")).toDF("w_id", "w_name")
+    val p = planOf(graft.ext.FuzzyJoin.fuzzyMatch(watch, corpus,
+      "w_id", "w_name", "c_id", "c_name", maxDist = 1))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("funnel stages filter-push their event type and join keyed on user") {
+    val events = Tables.load(spark, sfDir, "events")
+    val p = planOf(graft.ext.Funnel.funnel(events, "user_id", "ts",
+      "event_type", Seq("signup", "view", "purchase")))
+    // the event-type predicate must reach the scan, and no stage may
+    // cross-join or globally sort the events
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||
+      p.contains("EqualTo(event_type,signup)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("retention attaches cohort sizes by broadcast, never sort-merge") {
+    val events = Tables.load(spark, sfDir, "events")
+    val p = planOf(graft.ext.Funnel.retention(events, "user_id", "ts", 14))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("url normalization is a narrow projection — no exchange, no UDF") {
     import spark.implicits._
     val docs = Seq((1L, "src0"), (2L, "src1")).toDF("doc_id", "source")
