@@ -199,6 +199,89 @@ object TextModel {
           col("n_bigrams").cast("double"), roundTo))
   }
 
+  /** Per-doc top-`k` keywords by TF-IDF (sklearn-style smoothed idf):
+    *
+    *   tfidf(t, d) = tf(t,d) · (ln((N+1)/(df(t)+1)) + 1)
+    *
+    * Output: (idCol, term, tf, df, tfidf, rnk), rnk 1-based per doc by
+    * tfidf desc with term tiebreak. The score is a SINGLE product of a
+    * long tf and one `ln` — no float summation anywhere — so it is
+    * order-independent and cross-engine-reproducible at `roundTo`
+    * digits (ranking runs on the ROUNDED value so ties break
+    * identically everywhere).
+    *
+    * Scale: per-(doc, term) tf is one keyed aggregate with map-side
+    * combine; df reduces the tf frame by term; N is a single-row
+    * broadcast; the df re-attach shuffles on term and the top-k window
+    * on the doc id — all keyed, no global sort, vocabulary stays a
+    * distributed frame. */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") *
+          (log((col("__n").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))) + lit(1.0)),
+        roundTo))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+  }
+
+  /** Collocation mining by pointwise mutual information over adjacent
+    * token pairs (the phrase-discovery pass of tokenizer / n-gram
+    * pipeline prep — "new york" scores high because its joint count far
+    * exceeds the independence expectation):
+    *
+    *   pmi(a,b) = ln( (c(a,b) · T · T) / (B · c(a) · c(b)) )
+    *
+    * with T total tokens, B total bigrams. Only pairs with c(a,b) ≥
+    * `minCount` are emitted (PMI of rare pairs is pure noise — the
+    * standard floor). Output: (term_a, term_b, n_pair, n_a, n_b, pmi).
+    *
+    * Determinism: one `ln` of a ratio of integer-derived doubles,
+    * multiplied in a FIXED written order — no float aggregation — so
+    * `roundTo` digits are cross-engine-stable.
+    *
+    * Scale: bigram and unigram counts are keyed aggregates with map-side
+    * combine (distributed frames, never collected); the two count
+    * re-attaches shuffle the SURVIVING pair set (already floored by
+    * `minCount`) on each term; T and B are single-row broadcasts. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5, roundTo: Int = 4): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val pairs = bigrams(docs, idCol, textCol)
+    val toks = tokens(docs, idCol, textCol)
+    val uc = toks.groupBy(col("term")).agg(count(lit(1)).as("__cu"))
+    val tot = toks.agg(count(lit(1)).as("__T"))
+    val btot = pairs.agg(count(lit(1)).as("__B"))
+    pairs.groupBy(col("w1").as("term_a"), col("w2").as("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .join(uc.select(col("term").as("term_a"), col("__cu").as("n_a")),
+        Seq("term_a"))
+      .join(uc.select(col("term").as("term_b"), col("__cu").as("n_b")),
+        Seq("term_b"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(btot))
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round(log(
+          (col("n_pair").cast("double") * col("__T") * col("__T")) /
+            (col("__B").cast("double") * col("n_a") * col("n_b"))),
+          roundTo).as("pmi"))
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick; Weinberger
     * et al. 2009): token t increments bucket `hash(t) mod dim`, giving a
     * dense `array<double>` of counts that plugs a text-only corpus

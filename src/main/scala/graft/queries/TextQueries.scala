@@ -413,6 +413,22 @@ object TextQueries {
     // Corpus version diff: v2 drops every 13th doc, edits every 17th,
     // adds 50 new ones — the full-outer status classification is
     // DuckDB-hash-checked.
+    // Per-doc top-5 TF-IDF keywords (sklearn-style smoothed idf); ranking
+    // runs on the rounded score so ties break identically cross-engine.
+    "q110_keywords" -> ((s, dir) => {
+      graft.ext.TextModel.keywords(t(s, dir, "documents"), "doc_id",
+          "text", k = 5)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // PMI collocations over adjacent token pairs (phrase discovery),
+    // floored at 5 occurrences.
+    "q111_pmi_collocations" -> ((s, dir) => {
+      graft.ext.TextModel.pmiCollocations(t(s, dir, "documents"),
+          "doc_id", "text", minCount = 5)
+        .orderBy(col("term_a"), col("term_b"))
+    }),
+
     // Cross-source duplicate-overlap matrix on a corpus with planted
     // cross-source copies: every 5th doc re-scraped into an aggregator
     // source 'crawl_mix', every 7th into 'crawl_mix2' (so the two mixes
@@ -1053,6 +1069,50 @@ object TextQueries {
         |SELECT doc_id, quality, n_tokens,
         |  CAST(FLOOR(CAST(b AS DOUBLE) / 2048) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q110_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    ROUND(CAST(tf.tf AS DOUBLE) *
+        |      (LN((CAST(n AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0),
+        |      6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term, nd)
+        |SELECT doc_id, term, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q111_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |uni AS (SELECT unnest(tk) AS term FROM t),
+        |uc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS T FROM uni),
+        |bi AS (SELECT u.a, u.b FROM t,
+        |  LATERAL (SELECT unnest(tk[1:len(tk)-1]) AS a,
+        |           unnest(tk[2:len(tk)]) AS b) u
+        |  WHERE len(tk) >= 2),
+        |bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM bi GROUP BY 1, 2),
+        |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi)
+        |SELECT bc.a AS term_a, bc.b AS term_b, n_pair,
+        |  ua.n AS n_a, ub.n AS n_b,
+        |  ROUND(LN((CAST(n_pair AS DOUBLE) * T * T) /
+        |    (CAST(nb AS DOUBLE) * ua.n * ub.n)), 4) AS pmi
+        |FROM bc, tot, btot
+        |JOIN uc ua ON ua.term = bc.a
+        |JOIN uc ub ON ub.term = bc.b
+        |WHERE n_pair >= 5
+        |ORDER BY term_a, term_b""".stripMargin,
 
     "q106_source_overlap" ->
       """WITH planted AS (

@@ -584,6 +584,43 @@ class RetrievalSpec extends SparkSpec {
     assert(fused(2L)._1 > fused(1L)._1 && fused(1L)._1 > fused(3L)._1)
   }
 
+  // ---------- TF-IDF keywords / PMI collocations ----------
+
+  test("keywords ranks hand-computed tfidf with rounded-score tiebreak") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry")).toDF("doc_id", "text")
+    val out = graft.ext.TextModel.keywords(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk")
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSeq
+    // df = 2 for every term, N = 3 → idf = ln(4/3) + 1 for all
+    def s(tf: Long) = BigDecimal(tf * (math.log(4.0 / 3.0) + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (1L, "apple", 2L, 2L, s(2), 1L), (1L, "banana", 1L, 2L, s(1), 2L),
+      (2L, "banana", 1L, 2L, s(1), 1L), (2L, "cherry", 1L, 2L, s(1), 2L),
+      (3L, "cherry", 2L, 2L, s(2), 1L), (3L, "apple", 1L, 2L, s(1), 2L)))
+  }
+
+  test("pmiCollocations matches hand-computed PMI; minCount floors") {
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // pairs: (a,b)x2, (b,a)x1; B=3; counts a=2 b=2; T=4
+    val all = graft.ext.TextModel.pmiCollocations(docs, "doc_id", "text",
+        minCount = 1)
+      .orderBy("term_a", "term_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(all == Seq(
+      ("a", "b", 2L, 2L, 2L, r4(math.log(2.0 * 4 * 4 / (3.0 * 2 * 2)))),
+      ("b", "a", 1L, 2L, 2L, r4(math.log(1.0 * 4 * 4 / (3.0 * 2 * 2))))))
+    val floored = graft.ext.TextModel.pmiCollocations(docs, "doc_id",
+      "text", minCount = 2).collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+  }
+
   // ---------- hard-negative mining ----------
 
   test("hardNegatives excludes same-label items and self, ranks by cosine") {
