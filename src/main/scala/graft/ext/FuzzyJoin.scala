@@ -33,11 +33,13 @@ import org.apache.spark.sql.types.LongType
   * insensitive) — blocking choices are invisible in the result, so a
   * brute-force oracle reproduces it bit-for-bit.
   *
-  * Scale design: the left side is the small watchlist (broadcast through
-  * both its df-annotation join and the candidate probe). Corpus-side work
-  * is one padded-gram explode feeding (a) a gram-keyed df aggregate
-  * (map-side combined) and (b) the broadcast candidate probe. The
-  * quadratic verify runs only on the deduped candidate sliver.
+  * Scale design: the left side is the small watchlist; everything keyed
+  * off it stays broadcast-sized. Corpus-side work is one padded-gram
+  * explode feeding (a) a df aggregate pre-screened by a broadcast
+  * semi-join to the watchlist's own grams (so the count shuffle carries
+  * at most |watchlist grams| keys, never the corpus vocabulary) and
+  * (b) the broadcast candidate probe. The quadratic verify runs only on
+  * the deduped candidate sliver.
   */
 object FuzzyJoin {
 
@@ -67,20 +69,27 @@ object FuzzyJoin {
       length(col(rightNameCol)) > 0)
     val rg = r.select(col(rightIdCol), col(rightNameCol),
       explode(qgrams(col(rightNameCol), q)).as("__gram"))
-    // corpus gram document frequency — the rarity signal (one gram-keyed
-    // aggregate with map-side partial combine)
-    val gramDf = rg.groupBy(col("__gram"))
-      .agg(count(lit(1)).as("__df"))
     // left rows with enough grams to guarantee a surviving blocking gram:
     // padded gram count is length + q − 1, need > q·maxDist
     val guaranteed = col(leftNameCol).isNotNull &&
       (length(col(leftNameCol)) + (q - 1)) > q * maxDist
     val lg = l.filter(guaranteed).select(col(leftIdCol), col(leftNameCol),
       explode(qgrams(col(leftNameCol), q)).as("__gram"))
+    // corpus gram document frequency — the rarity signal. Rarity is only
+    // ever consulted for the WATCHLIST's own grams, so screen the corpus
+    // gram stream down to them with a broadcast semi-join BEFORE the df
+    // aggregate: the count shuffle then carries at most |watchlist grams|
+    // keys instead of the corpus's whole gram vocabulary. (The ranking is
+    // unchanged — kept grams get identical df values — and the recall
+    // guarantee never depended on WHICH q·maxDist+1 grams are kept.)
+    val lgrams = lg.select(col("__gram")).distinct()
+    val gramDf = rg.join(broadcast(lgrams), Seq("__gram"), "left_semi")
+      .groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__df"))
     // annotate watchlist grams with corpus df (absent → 0: a gram the
     // corpus has never seen is maximally rare), keep the q·maxDist+1
     // rarest per left row
-    val rare = broadcast(lg).join(gramDf, Seq("__gram"), "left")
+    val rare = lg.join(broadcast(gramDf), Seq("__gram"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(leftIdCol))

@@ -107,7 +107,7 @@ object VectorQueries {
     }),
 
     // Semantic decontamination: max benchmark cosine per corpus vector,
-    // contaminated verdict at 0.9. Bench = vec_id < 32 (broadcast);
+    // contaminated verdict at 0.9. Bench = vec_id < 16 (broadcast);
     // corpus = the rest plus planted near-copies of every 4th bench
     // vector (scaled AFTER the double cast so both engines do identical
     // double arithmetic — the q79 planting discipline). Hash-checked.
