@@ -55,6 +55,44 @@ object Sampling {
     df.withColumn(splitCol, label)
   }
 
+  /** Leakage-safe split: [[hashSplit]] keyed on the doc's NEAR-DUP
+    * COMPONENT representative instead of the doc itself, so near-
+    * duplicates can never straddle a split boundary. A doc-keyed split
+    * leaks eval answers into training whenever the corpus still contains
+    * near-copies (it always does before dedup, and residually after);
+    * grouping by the minhash-LSH ≥`minJaccard` component closes that
+    * hole — the group moves between splits as a unit.
+    *
+    * Output: the input plus `group_id` (the component's min doc id;
+    * singletons are their own group) and `splitCol`. Split RATES are
+    * honored at component granularity, so realized doc-level proportions
+    * drift with dup-cluster sizes — inherent to leakage safety.
+    *
+    * Scale design: pair mining and components are the q57 dedup path
+    * (banded LSH candidates + exact-Jaccard verify, pointer-jumping CC —
+    * every stage keyed, bucket-capped, no all-pairs); the component
+    * re-attach is one join keyed on the id whose right side holds only
+    * docs that belong to some dup pair (a sliver of the corpus); the
+    * split itself stays a narrow hash of `group_id`. */
+  def leakSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Double)],
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8, splitCol: String = "split",
+      hash: Column => Column = xxhash64(_)): DataFrame = {
+    val pairs = Dedup.minHashLsh(docs, idCol, textCol, shingleSize,
+      bands, rowsPerBand, minJaccard)
+    // connectedComponents materializes eagerly, so the pair cache can be
+    // released here (the dedupNearDuplicates discipline)
+    val comps = Dedup.connectedComponents(pairs)
+    pairs.unpersist(blocking = false)
+    val grouped = docs
+      .join(comps.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    hashSplit(grouped, "group_id", weights, splitCol, hash)
+  }
+
   /** Deterministic Bernoulli sample at `rate`: keeps a row iff its id
     * bucket falls under `round(rate * 1e6)`. Same row set on every run. */
   def hashSample(df: DataFrame, idCol: String, rate: Double,

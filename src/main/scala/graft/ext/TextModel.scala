@@ -282,6 +282,41 @@ object TextModel {
           roundTo).as("pmi"))
   }
 
+  /** Per-doc n-gram novelty: the share of a doc's DISTINCT word
+    * `n`-grams that appear in NO other document (corpus df == 1) — the
+    * cheap memorization/boilerplate screen: low novelty means the doc is
+    * assembled from text the corpus already contains (template spam,
+    * mirrored pages, quotation-heavy pages), high novelty means unique
+    * content worth keeping. Docs shorter than `n` tokens contribute one
+    * whole-text gram (the [[Shingles.wordShingles]] convention), so every
+    * non-empty doc gets a score.
+    *
+    * Output: (idCol, n_grams, n_unique, novelty = n_unique / n_grams
+    * rounded to `roundTo`).
+    *
+    * Scale design: the q31/vocabulary shape — per-doc distinct grams ride
+    * the scan (one HOF pass per row), then one gram-keyed df aggregate
+    * (map-side combined; grams are already distinct per doc so df is a
+    * plain count), one gram-keyed re-attach, and a doc-keyed final
+    * aggregate. No all-pairs stage, nothing collected. */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, roundTo: Int = 6): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val dg = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        explode(array_distinct(Shingles.wordShingles(col(textCol), n)))
+          .as("__gram"))
+    val dfc = dg.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    dg.join(dfc, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col(idCol), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") /
+          col("n_grams").cast("double"), roundTo).as("novelty"))
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick; Weinberger
     * et al. 2009): token t increments bucket `hash(t) mod dim`, giving a
     * dense `array<double>` of counts that plugs a text-only corpus

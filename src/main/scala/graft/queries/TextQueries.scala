@@ -429,6 +429,27 @@ object TextQueries {
         .orderBy(col("term_a"), col("term_b"))
     }),
 
+    // Leakage-safe split: assignment keyed on the near-dup component
+    // representative (planted dups land in the same split as their
+    // source by construction — the property a doc-keyed split violates).
+    "q112_leak_safe_split" -> ((s, dir) => {
+      val subset = t(s, dir, "documents").filter(col("doc_id") < 1500)
+      graft.ext.Sampling.leakSafeSplit(withPlantedNearDups(subset),
+          "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hash = TextStats.md5Hash64)
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-doc 3-gram novelty (share of distinct grams no other doc has)
+    // — the memorization/boilerplate screen. Every value hash-checked.
+    "q113_novelty" -> ((s, dir) => {
+      graft.ext.TextModel.noveltyScore(t(s, dir, "documents"), "doc_id",
+          "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-source duplicate-overlap matrix on a corpus with planted
     // cross-source copies: every 5th doc re-scraped into an aggregator
     // source 'crawl_mix', every 7th into 'crawl_mix2' (so the two mixes
@@ -1329,6 +1350,46 @@ object TextQueries {
          |SELECT c.doc_id, c.lang, c.source FROM corpus c
          |WHERE c.doc_id NOT IN (SELECT id FROM cc WHERE comp < id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    "q112_leak_safe_split" ->
+      s"""WITH RECURSIVE
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 1500
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zyxqj'
+         |  FROM documents WHERE doc_id < 1500),
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
+         |  FROM corpus),
+         |sh AS (SELECT doc_id, $shingleList AS s FROM toks),
+         |$ccTail,
+         |g AS (
+         |  SELECT c.doc_id, COALESCE(cc.comp, c.doc_id) AS group_id
+         |  FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id),
+         |b AS (
+         |  SELECT doc_id, group_id,
+         |    ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS bk
+         |  FROM g)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN bk < 800000 THEN 'train'
+         |       WHEN bk < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q113_novelty" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |sh AS (SELECT doc_id, $shingleList AS s FROM t),
+         |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |dfc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1),
+         |agg AS (
+         |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM g JOIN dfc ON dfc.gram = g.gram GROUP BY 1)
+         |SELECT doc_id, n_grams, n_unique,
+         |  ROUND(CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS novelty
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q58_curate_corpus" ->
       s"""WITH RECURSIVE

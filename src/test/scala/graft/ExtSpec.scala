@@ -324,6 +324,49 @@ class ExtSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("leakSafeSplit keeps near-dup groups in one split; singletons " +
+      "match hashSplit of their own id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today extra"),
+      (3L, "completely different text about sailing ships at sea"),
+      (4L, "unrelated musings on compiler construction and parsing"))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakSafeSplit(docs, "doc_id", "text",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25),
+        minJaccard = 0.5)
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // 1 and 2 are near-dups → same group (min id 1) and same split
+    assert(out(0)._2 == 1L && out(1)._2 == 1L)
+    assert(out(0)._3 == out(1)._3)
+    // singletons group as themselves and split exactly like hashSplit
+    assert(out(2)._2 == 3L && out(3)._2 == 4L)
+    val plain = Sampling.hashSplit(
+        docs.filter(col("doc_id") >= 3), "doc_id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out(2)._3 == plain(3L) && out(3)._3 == plain(4L))
+  }
+
+  test("noveltyScore counts corpus-unique grams per doc") {
+    val docs = Seq(
+      (1L, "a b c d"),     // grams: "a b c", "b c d"
+      (2L, "a b c e"),     // grams: "a b c", "b c e"
+      (3L, "x"))           // short doc: one whole-text gram "x"
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextModel.noveltyScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // "a b c" is shared (df 2); "b c d"/"b c e"/"x" are unique
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0)))
+    // empty/whitespace docs are excluded, not scored
+    val e = graft.ext.TextModel.noveltyScore(
+      Seq((9L, "   "), (10L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(e.count() == 0)
+  }
+
   test("hashSample and stratifiedSample are deterministic subsets at rate") {
     val docs = Tables.load(spark, sfDir, "documents")
     val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
