@@ -356,8 +356,9 @@ object Dedup {
     // previous round, so WITHOUT lineage truncation the logical plan
     // doubles per iteration — exponential plan size long before the data
     // is large
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
+    var labels = graft.util.Iterate.checkpointCut(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -388,7 +389,11 @@ object Dedup {
             .as("changed"))
         .select(col("id"), col("component"))
         .localCheckpoint(true)
-      labels = next
+      // stats reset AFTER the observed checkpoint action (the eager
+      // checkpoint posts the convergence metric; the rewrap is lazy) —
+      // without it the self-referencing join squares sizeInBytes per
+      // round (see Iterate.checkpointCut)
+      labels = org.apache.spark.sql.graftbridge.Bridge.statsFreeCopy(next)
       // getOrEmpty, not get: the eager checkpoint above has already run the
       // observed plan, but if that action ever stops posting SQL-execution
       // -end events (e.g. a Spark upgrade moving checkpoint to an RDD-level

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation aggregates for retrieval and labeling pipelines: ranked-
+  * retrieval quality (recall@k / MRR / nDCG against graded relevance
+  * judgments) and inter-annotator agreement (Cohen's kappa). Both are
+  * the measurement half of the curation loop — retrieval metrics grade
+  * the BM25/ANN/RRF rankers ([[Retrieval]], [[Similarity]]) against
+  * ground truth, kappa grades two labelers (human or heuristic, e.g.
+  * the declared corpus language vs [[TextStats.langId]]) against each
+  * other before their labels are trusted as filter signals.
+  */
+object Eval {
+
+  /** Per-query ranked-retrieval metrics at cutoff `k` against graded
+    * relevance judgments.
+    *
+    * Inputs: `results` (queryCol, docCol, rankCol — rank 1-based within
+    * each query's candidate list) and `qrels` (queryCol, docCol, relCol
+    * — graded relevance; rows with rel ≤ 0 are ignored). Queries are
+    * the qrels query set (TREC convention): a query with judgments but
+    * no retrieved hits scores zeros; retrieved queries without any
+    * judgment row are dropped.
+    *
+    * Output, one row per judged query:
+    * (queryCol, n_rel, n_hits, recall_at_k, mrr_at_k, ndcg_at_k) with
+    *   recall@k = |retrieved∩relevant, rank ≤ k| / |relevant|
+    *   MRR@k    = 1 / min rank of a relevant hit (0 if none ≤ k)
+    *   nDCG@k   = Σ_hits (2^rel − 1)/log2(rank+1) normalized by the
+    *              ideal DCG of the top-k judgments sorted by rel desc.
+    *
+    * Scale: `results` is top-k candidate lists (bounded per query) and
+    * `qrels` is human-judgment-sized; the hit join shuffles on
+    * (query, doc) and each metric is one per-query aggregate — no
+    * corpus-sized frame enters. Doubles: contributions are O(1)
+    * like-magnitude terms and ≤ k per query, so partial-agg order
+    * noise (~1e-15) sits far below the `roundTo` grid (repo q87/q94
+    * convention). */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String, relCol: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val rel = qrels.filter(col(relCol) > 0)
+      .select(col(queryCol), col(docCol),
+        col(relCol).cast("double").as("__rel"))
+    // ideal DCG: judgments ranked by grade desc (doc id tiebreak — any
+    // total order over equal grades yields the same DCG), cut at k
+    val wIdeal = Window.partitionBy(col(queryCol))
+      .orderBy(col("__rel").desc, col(docCol))
+    val gain = (r: org.apache.spark.sql.Column,
+        pos: org.apache.spark.sql.Column) =>
+      (pow(lit(2.0), r) - lit(1.0)) / log2(pos.cast("double") + lit(1.0))
+    val ideal = rel
+      .withColumn("__i", row_number().over(wIdeal))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("__i") <= k, gain(col("__rel"), col("__i")))
+          .otherwise(lit(0.0))).as("__idcg"))
+    val hits = results.filter(col(rankCol) <= k)
+      .join(rel, Seq(queryCol, docCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col(rankCol)).cast("double").as("__minr"),
+        sum(gain(col("__rel"), col(rankCol))).as("__dcg"))
+    ideal.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), roundTo).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__minr"), lit(0.0)), roundTo)
+          .as("mrr_at_k"),
+        // __idcg > 0 whenever n_rel > 0 (the best judgment contributes
+        // (2^rel − 1)/log2(2) > 0 at position 1)
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), roundTo)
+          .as("ndcg_at_k"))
+  }
+
+  /** Cohen's kappa between two nominal labelers, per group.
+    *
+    * Input: one row per doubly-labeled item with label columns `aCol`,
+    * `bCol`; rows where either label is null are excluded (and counted
+    * in `n_excluded` — silent exclusion would overstate n). Output per
+    * group: (groupCols…, n, n_excluded, po, pe, kappa) where
+    * po = observed agreement rate, pe = Σ_c pA(c)·pB(c) is chance
+    * agreement from the two labelers' marginals, and
+    * kappa = (po − pe)/(1 − pe) — null when pe = 1 (both labelers
+    * constant and identical: agreement is unmeasurable, not perfect).
+    *
+    * Scale: two grouped counts per labeler marginal + an inner join on
+    * (group, category) — all keyed on the group columns, O(groups ×
+    * categories) intermediate, never item-sized after the first
+    * aggregate. */
+  def cohenKappa(labeled: DataFrame, groupCols: Seq[String],
+      aCol: String, bCol: String, roundTo: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val valid = labeled.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val base = labeled.groupBy(g: _*)
+      .agg(count(lit(1)).as("__tot"),
+        sum(when(col(aCol).isNull || col(bCol).isNull, 1L).otherwise(0L))
+          .as("n_excluded"))
+    val agree = valid.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).as("__agree"))
+    val margA = valid.groupBy(g :+ col(aCol).as("__cat"): _*)
+      .agg(count(lit(1)).as("__na"))
+    val margB = valid.groupBy(g :+ col(bCol).as("__cat"): _*)
+      .agg(count(lit(1)).as("__nb"))
+    // categories missing from one labeler contribute 0 to pe — inner join
+    val pe = margA.join(margB, groupCols :+ "__cat")
+      .groupBy(g: _*)
+      .agg(sum(col("__na") * col("__nb")).as("__ab"))
+    val po = col("__agree").cast("double") / col("__n").cast("double")
+    // exact integer ratio: Σ na·nb / n² in one division, not a float dot
+    // product of marginal rates — deterministic under any agg order.
+    // coalesce(0): labelers sharing NO category have pe = 0 exactly
+    val peC = coalesce(col("__ab"), lit(0L)).cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    // left joins from base: a group whose every row lost a label still
+    // reports (n = 0, n_excluded) instead of vanishing
+    base.join(agree, groupCols.toSeq, "left")
+      .join(pe, groupCols.toSeq, "left")
+      .select(g ++ Seq(
+        coalesce(col("__n"), lit(0L)).as("n"), col("n_excluded"),
+        round(po, roundTo).as("po"),
+        round(peC, roundTo).as("pe"),
+        round(when(peC < 1.0, (po - peC) / (lit(1.0) - peC)), roundTo)
+          .as("kappa")): _*)
+  }
+}

@@ -20,7 +20,8 @@ object Graph {
     * dangling-mass aggregate — dangling pages (no out-links) spread
     * their mass evenly instead of leaking it, so the distribution stays
     * normalized without any driver-side collect in the loop. Lineage
-    * truncates per iteration via eager `localCheckpoint` (the same
+    * AND compounding size stats truncate per iteration via
+    * [[graft.util.Iterate.checkpointCut]] (the same
     * plan-doubling fix as [[Dedup.connectedComponents]]); cost is one
     * materialization per iteration, which IS the power-iteration
     * minimum. Degrees and vertices are computed once and persisted
@@ -53,7 +54,8 @@ object Graph {
       .persist()
     outDeg.count()
 
-    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var ranks = graft.util.Iterate.checkpointCut(
+      verts.withColumn("rank", lit(1.0 / n)))
     var used = 0
     var converged = false
     while (used < maxIters && !converged) {
@@ -67,14 +69,13 @@ object Graph {
       val dangling = ranks
         .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      val next = verts
+      val next = graft.util.Iterate.checkpointCut(verts
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__in"), lit(0.0)) + col("__dm") / n))
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
       used += 1
       if (tol > 0) {
         // both sides are materialized checkpoints — the delta join scans

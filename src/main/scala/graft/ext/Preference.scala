@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-data operators for RLHF / evaluation pipelines: turning a
+  * log of pairwise outcomes ("a beat b") into per-item strength scores
+  * via the Bradley–Terry model — the standard way chat-model
+  * leaderboards and preference-reward datasets rank items from noisy
+  * pairwise human judgments.
+  */
+object Preference {
+
+  /** Bradley–Terry strengths from a pairwise-outcome log via `iters`
+    * rounds of the classic MM (minorization–maximization) update
+    * (Hunter 2004, doi:10.1214/aos/1079120141):
+    *
+    *   s_i ← W_i / Σ_j n_ij / (s_i + s_j),  then normalize Σ s = 1
+    *
+    * where W_i is item i's total wins and n_ij the number of
+    * comparisons between i and j. Input: one row per decided
+    * comparison (winnerCol, loserCol); ties must be dropped upstream
+    * (the BT model has no tie outcome). Output: (item, wins, n_comp,
+    * strength) over every item appearing in any comparison, strength
+    * rounded to `roundTo` and summing to ~1.
+    *
+    * Items that never win keep strength 0 (the MM fixpoint for a
+    * zero-win item) — the MLE diverges to −∞ for such items, and 0 is
+    * the conventional boundary answer; regularize upstream (add a
+    * pseudo-win per item) if a finite score is needed.
+    *
+    * Scale shape — [[Graph.pageRank]]'s exactly: the comparison log
+    * aggregates ONCE to a symmetric per-pair count table (shuffle on
+    * the pair key, map-side combine — the log itself is never touched
+    * again) and a per-item win table; each MM round is then one join of
+    * the pair table against current strengths (keyed shuffle on item)
+    * plus a broadcast single-row normalizer — no driver collect in the
+    * loop, lineage + compounding stats cut per round by
+    * [[graft.util.Iterate.checkpointCut]].
+    * Cost per round is O(pairs), pairs ≤ items², typically ≪ log size.
+    * Runs EXACTLY `iters` rounds (deterministic, oracle-reproducible —
+    * the q94 contract). */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+      loserCol: String, iters: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(iters > 0, "iters must be > 0")
+    val comps = comparisons
+      .select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    // symmetric pair counts: every comparison appears under both
+    // orientations so the denominator sum groups once on "__a"
+    val pairs = comps
+      .select(col("__w").as("__a"), col("__l").as("__b"))
+      .unionByName(comps.select(col("__l").as("__a"), col("__w").as("__b")))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .persist()
+    val wins = comps.groupBy(col("__w").as("item"))
+      .agg(count(lit(1)).as("wins"))
+    val items = pairs.select(col("__a").as("item"))
+      .distinct()
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .persist()
+    val nItems = items.count() // materializes both persisted tables
+    require(nItems > 0, "no decided comparisons")
+
+    var s = graft.util.Iterate.checkpointCut(items.select(col("item"),
+      lit(1.0 / nItems).as("__s")))
+    for (_ <- 1 to iters) {
+      val denom = pairs
+        .join(s.select(col("item").as("__a"), col("__s").as("__sa")),
+          Seq("__a"))
+        .join(s.select(col("item").as("__b"), col("__s").as("__sb")),
+          Seq("__b"))
+        .groupBy(col("__a").as("item"))
+        .agg(sum(col("__n") / (col("__sa") + col("__sb"))).as("__d"))
+      val raw = items.join(denom, Seq("item"))
+        .select(col("item"),
+          (col("wins").cast("double") / col("__d")).as("__r"))
+      val z = raw.agg(sum(col("__r")).as("__z"))
+      s = graft.util.Iterate.checkpointCut(raw.crossJoin(broadcast(z))
+        .select(col("item"), (col("__r") / col("__z")).as("__s")))
+    }
+    val out = items
+      .join(s, Seq("item"))
+      .join(pairs.groupBy(col("__a").as("item"))
+        .agg(sum(col("__n")).cast("long").as("n_comp")), Seq("item"))
+      .select(col("item"), col("wins"), col("n_comp"),
+        round(col("__s"), roundTo).as("strength"))
+    pairs.unpersist(); items.unpersist()
+    out
+  }
+}

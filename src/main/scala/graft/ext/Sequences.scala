@@ -50,6 +50,65 @@ object Sequences {
           e => e.getField("__p")).as("seq"))
   }
 
+  /** Chat-transcript assembly for SFT/dialog training data: serialize
+    * each conversation's turns into one "role: text" transcript,
+    * flagging broken role alternation and truncating to a token budget
+    * by WHOLE turns from the end (most-recent context survives — the
+    * chat-window convention).
+    *
+    * Input: one row per turn. `orderCols` must totally order turns
+    * within a conversation (pass the event id as tiebreaker). Output,
+    * one row per conversation:
+    * (convCol, n_turns, n_turns_kept, n_tokens_kept, is_alternating,
+    * transcript) where is_alternating = no two ADJACENT turns (in the
+    * full pre-truncation conversation) share a role, n_tokens counts
+    * whitespace tokens of the text payload, and `transcript` joins the
+    * kept turns as "role: text" lines in turn order. A conversation
+    * whose latest turn alone exceeds the budget keeps zero turns
+    * (empty transcript) rather than a truncated turn — a cut-off turn
+    * is worse training data than a dropped conversation.
+    *
+    * Scale: one hash exchange on the conversation key shared by the
+    * window pass (turn index, lag-role, reverse token cumsum) and the
+    * final groupBy — the [[userSequences]] single-shuffle shape. The
+    * collected transcript is bounded by `tokenBudget`, not by the raw
+    * conversation length, so a bot's mega-thread cannot blow an
+    * aggregation buffer. */
+  def assembleTranscripts(turns: DataFrame, convCol: String,
+      orderCols: Seq[String], roleCol: String, textCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(orderCols.nonEmpty, "at least one order column")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val wAsc = Window.partitionBy(col(convCol))
+      .orderBy(orderCols.map(col): _*)
+    val wDesc = Window.partitionBy(col(convCol))
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val toks = when(col(textCol).isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(col(textCol), lit("\\S+"),
+        lit(0))).cast("long"))
+    val marked = turns
+      .withColumn("__i", row_number().over(wAsc))
+      .withColumn("__brk",
+        when(lag(col(roleCol), 1).over(wAsc) === col(roleCol), 1L)
+          .otherwise(0L))
+      // suffix token count: this turn + everything after it
+      .withColumn("__suffix", sum(toks).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("__suffix") <= tokenBudget, 1L).otherwise(0L))
+          .as("n_turns_kept"),
+        coalesce(max(when(col("__suffix") <= tokenBudget, col("__suffix"))),
+          lit(0L)).as("n_tokens_kept"),
+        (sum(col("__brk")) === 0).as("is_alternating"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__suffix") <= tokenBudget,
+            struct(col("__i"),
+              concat_ws(": ", col(roleCol), coalesce(col(textCol), lit("")))
+                .as("__line"))))),
+          e => e.getField("__line")), "\n").as("transcript"))
+  }
+
   /** Sliding next-event training pairs from capped sequences: for each
     * entity, (context = events [0, i), target = event i) for every
     * i ≥ `minContext` — the autoregressive example generator. Narrow

@@ -128,6 +128,51 @@ object TextStats {
     best._1
   }
 
+  /** Source-code detection signals — the natural-language/code routing
+    * step of a pretraining mix (code goes to a code-aware tokenizer and
+    * its own mixture bucket; symbol-heavy "text" is usually markup
+    * noise). Three portable ratios from one projection:
+    *
+    *   sym_ratio    = code punctuation ({}();=<>[]) per character
+    *   kw_ratio     = reserved-word hits (def/class/import/return/if/
+    *                  else/for/while/function/var/const) per word
+    *   indent_ratio = lines starting with 2+ spaces or a tab, per line
+    *
+    * and code_score = min(1, 4·sym + 2·kw + indent) — fixed weights on
+    * exact integer counts, so the double result is a single expression
+    * per row (deterministic, cross-engine reproducible; regexes are
+    * RE2-safe). Output: (idCol, sym_ratio, kw_ratio, indent_ratio,
+    * code_score, is_code at the 0.5 threshold), ratios rounded to
+    * `roundTo`. Null/empty text scores 0. Narrow projection — rides the
+    * scan, no shuffle. */
+  def codeSignals(docs: DataFrame, idCol: String, textCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nChars = length(t).cast(DoubleType)
+    val sym = (length(t) -
+      length(regexp_replace(t, "[{}();=<>\\[\\]]", ""))).cast(DoubleType)
+    val kw = size(regexp_extract_all(lower(t),
+      lit("\\b(def|class|import|return|if|else|for|while|function|var|const)\\b"),
+      lit(0))).cast(DoubleType)
+    val words = nWords(col(textCol)).cast(DoubleType)
+    // (?m): ^ matches at every line start in both Java regex and RE2
+    val indented = size(regexp_extract_all(t, lit("(?m)^(?:  +|\\t)"),
+      lit(0))).cast(DoubleType)
+    val nLines = (size(regexp_extract_all(t, lit("\n"), lit(0))) + 1)
+      .cast(DoubleType)
+    val symR = when(nChars > 0, sym / nChars).otherwise(lit(0.0))
+    val kwR = when(words > 0, kw / words).otherwise(lit(0.0))
+    val indR = when(nChars > 0, indented / nLines).otherwise(lit(0.0))
+    val score = least(lit(1.0),
+      lit(4.0) * symR + lit(2.0) * kwR + indR)
+    docs.select(col(idCol),
+      round(symR, roundTo).as("sym_ratio"),
+      round(kwR, roundTo).as("kw_ratio"),
+      round(indR, roundTo).as("indent_ratio"),
+      round(score, roundTo).as("code_score"),
+      (score >= 0.5).as("is_code"))
+  }
+
   /** 60-bit gram hash derived from md5 — slower than xxhash64 but exactly
     * reproducible in any engine with md5 + hex parsing (DuckDB:
     * `('0x' || substr(md5(s),1,15))::BIGINT`). Use as the `hash` for

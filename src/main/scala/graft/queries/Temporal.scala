@@ -86,6 +86,44 @@ object Temporal {
         .orderBy(col("user_id"))
     }),
 
+    // SFT transcript assembly: the event log as synthetic dialogs —
+    // click/view turns speak as 'user', everything else as 'assistant';
+    // role-alternation flag + whole-turn truncation to a 30-token budget
+    // keeping the most recent turns. Every transcript string is
+    // DuckDB-hash-checked.
+    "q115_sft_transcripts" -> ((s, dir) => {
+      val turns = t(s, dir, "events")
+        .withColumn("role",
+          when(col("event_type").isin("click", "view"), "user")
+            .otherwise("assistant"))
+        .withColumn("txt", concat_ws(" ", col("event_type"), col("props")))
+      graft.ext.Sequences.assembleTranscripts(turns, "user_id",
+          Seq("ts", "event_id"), "role", "txt", tokenBudget = 30L)
+        .orderBy(col("user_id"))
+    }),
+
+    // Bradley–Terry preference strengths over event types: each user's
+    // consecutive event pairs vote (higher value wins, ties dropped),
+    // 10 MM rounds — the RLHF leaderboard shape. Hash-checked against a
+    // DuckDB oracle unrolling the same 10 iterations (q94 convention).
+    "q118_bradley_terry" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val comps = t(s, dir, "events")
+        .withColumn("nt", lead(col("event_type"), 1).over(w))
+        .withColumn("nv", lead(col("value"), 1).over(w))
+        .filter(col("nt").isNotNull && col("event_type") =!= col("nt") &&
+          col("value") =!= col("nv"))
+        .select(
+          when(col("value") > col("nv"), col("event_type"))
+            .otherwise(col("nt")).as("winner"),
+          when(col("value") > col("nv"), col("nt"))
+            .otherwise(col("event_type")).as("loser"))
+      graft.ext.Preference.bradleyTerry(comps, "winner", "loser",
+          iters = 10)
+        .orderBy(col("item"))
+    }),
+
     // Gap-and-island sessionization (30-min inactivity gap), batch form.
     // One shuffle on user_id; both windows share the same partitioning.
     "q21_sessionize" -> ((s, dir) => {
@@ -181,6 +219,65 @@ object Temporal {
         .orderBy(col("hour"), col("event_type"))
     }))
 
+  /** One unrolled Bradley–Terry MM round: raw_i = W_i / Σ_j n_ij/(s_i+s_j)
+    * then normalize to Σ s = 1 — the exact expression
+    * `Preference.bradleyTerry` evaluates, same join shape, so the doubles
+    * agree to the bits that survive round(·, 6). */
+  private def btStep(prev: String, cur: String): String =
+    // MATERIALIZED: each step references the previous one twice (sa, sb)
+    // and its own raw table twice (join + normalizer sum); DuckDB inlines
+    // plain CTEs per reference, which unrolls 10 chained steps into 2^10
+    // base-table scans (observed: "Too many open files"). Materializing
+    // makes the oracle evaluate each step once, like the Spark loop.
+    s"""${cur}r AS MATERIALIZED (
+       |  SELECT it.item, it.wins,
+       |    CASE WHEN it.wins = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(it.wins AS DOUBLE)
+       |           / SUM(p.n / (sa.s + sb.s)) END AS r
+       |  FROM pairs p
+       |  JOIN $prev sa ON sa.item = p.a
+       |  JOIN $prev sb ON sb.item = p.b
+       |  JOIN items it ON it.item = p.a
+       |  GROUP BY it.item, it.wins),
+       |$cur AS MATERIALIZED (
+       |  SELECT item, r / (SELECT SUM(r) FROM ${cur}r) AS s FROM ${cur}r)""".stripMargin
+
+  private val q118Oracle: String = {
+    val steps = (0 until 10).map(i => btStep(s"s$i", s"s${i + 1}"))
+      .mkString(",\n")
+    s"""WITH nxt AS MATERIALIZED (
+       |  SELECT event_type AS a, lead(event_type) OVER w AS b,
+       |    value AS va, lead(value) OVER w AS vb
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |comp AS MATERIALIZED (
+       |  SELECT CASE WHEN va > vb THEN a ELSE b END AS winner,
+       |         CASE WHEN va > vb THEN b ELSE a END AS loser
+       |  FROM nxt WHERE b IS NOT NULL AND a <> b AND va <> vb),
+       |pairs AS MATERIALIZED (
+       |  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n FROM (
+       |    SELECT winner AS a, loser AS b FROM comp
+       |    UNION ALL
+       |    SELECT loser AS a, winner AS b FROM comp)
+       |  GROUP BY a, b),
+       |wintab AS (SELECT winner AS item, COUNT(*) AS wins FROM comp GROUP BY winner),
+       |items AS MATERIALIZED (
+       |  SELECT i.item, COALESCE(w.wins, 0) AS wins
+       |  FROM (SELECT DISTINCT a AS item FROM pairs) i
+       |  LEFT JOIN wintab w ON w.item = i.item),
+       |np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM items),
+       |s0 AS (SELECT item, 1.0 / (SELECT n FROM np) AS s FROM items),
+       |$steps
+       |SELECT it.item, CAST(it.wins AS BIGINT) AS wins,
+       |  CAST(pc.nc AS BIGINT) AS n_comp,
+       |  ROUND(s.s, 6) AS strength
+       |FROM items it
+       |JOIN s10 s ON s.item = it.item
+       |JOIN (SELECT a AS item, SUM(n) AS nc FROM pairs GROUP BY a) pc
+       |  ON pc.item = it.item
+       |ORDER BY it.item""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q19_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -266,6 +363,34 @@ object Temporal {
         |FROM ranked WHERE rk <= 20
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q115_sft_transcripts" ->
+      """WITH turns AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    event_type || ' ' || props AS txt
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, role, txt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+        |    CASE WHEN lag(role) OVER (PARTITION BY user_id ORDER BY ts, event_id) = role
+        |         THEN 1 ELSE 0 END AS brk,
+        |    SUM(len(regexp_extract_all(txt, '\S+')))
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix
+        |  FROM turns)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  CAST(SUM(CASE WHEN suffix <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_turns_kept,
+        |  CAST(COALESCE(MAX(CASE WHEN suffix <= 30 THEN suffix END), 0) AS BIGINT) AS n_tokens_kept,
+        |  SUM(brk) = 0 AS is_alternating,
+        |  COALESCE(string_agg(CASE WHEN suffix <= 30 THEN role || ': ' || txt END,
+        |    chr(10) ORDER BY i), '') AS transcript
+        |FROM m GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q118_bradley_terry" -> q118Oracle,
 
     "q21_sessionize" ->
       """WITH flags AS (

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Similarity, TextStats}
 import Q._
@@ -22,7 +23,69 @@ object TextQueries {
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("text", concat(col("text"), lit(" zyxqj"))))
 
+  /** The three term-count retrieval probes behind q114: (query_id,
+    * terms). Term-frequency ranking keeps the metric oracle compact —
+    * the BM25 ranker itself is independently hash-checked (q63). */
+  private val irQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("join", "spark"),
+    2L -> Seq("window", "merge"),
+    3L -> Seq("table", "scan"))
+
   val queries: Map[String, QFn] = Map(
+    // Ranked-retrieval evaluation: recall/MRR/nDCG@10 of three
+    // term-count retrieval runs against graded term-presence qrels —
+    // the measurement loop that grades every ranker in the library.
+    // All three metric rows hash-checked against DuckDB.
+    "q114_retrieval_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+        lit("\\S+"), lit(0))
+      val runs = irQueries.map { case (qid, terms) =>
+        val tfs = terms.map(tm =>
+          size(filter(toks, x => x === lit(tm))).cast("long"))
+        val score = tfs.reduce(_ + _)
+        // top-20 candidate list, then rank the bounded sliver (the
+        // rrfFuse global-window-on-candidates contract)
+        docs.select(col("doc_id"), score.as("__tf"))
+          .filter(col("__tf") > 0)
+          .orderBy(col("__tf").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("rnk", row_number().over(Window
+            .orderBy(col("__tf").desc, col("doc_id"))))
+          .select(lit(qid).as("query_id"), col("doc_id"), col("rnk"))
+      }.reduce(_ unionByName _)
+      val qrels = irQueries.map { case (qid, terms) =>
+        val rel = terms.map(tm =>
+          when(size(filter(toks, x => x === lit(tm))) > 0, 1)
+            .otherwise(0)).reduce(_ + _)
+        docs.select(lit(qid).as("query_id"), col("doc_id"),
+            rel.as("rel"))
+          .filter(col("rel") > 0)
+      }.reduce(_ unionByName _)
+      graft.ext.Eval.retrievalMetrics(runs, qrels, "query_id", "doc_id",
+          "rnk", "rel", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    // Inter-annotator agreement: Cohen's kappa per source between the
+    // declared corpus language and the langId heuristic — the "can I
+    // trust this label as a filter signal" gate. Hash-checked.
+    "q116_annotator_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        col("lang").as("a"),
+        graft.ext.TextStats.langId(col("text")).as("b"))
+      graft.ext.Eval.cohenKappa(d, Seq("source"), "a", "b")
+        .orderBy(col("source"))
+    }),
+
+    // Natural-language vs source-code routing signals (symbol density,
+    // reserved words, indentation) — every ratio hash-checked.
+    "q117_code_detect" -> ((s, dir) => {
+      graft.ext.TextStats.codeSignals(t(s, dir, "documents"), "doc_id",
+          "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact heavy hitters via two-pass Misra-Gries: bounded-memory
     // candidate sketch (NO vocabulary-wide shuffle), then exact counts
     // on the candidate set only. A per-doc junk token is appended so
@@ -629,7 +692,145 @@ object TextQueries {
        |FROM cg c JOIN bg b ON c.g = b.g
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Per-probe CTE block for the q114 oracle: term-count run (top-20),
+    * graded qrels, ideal DCG, hit aggregates, metric row — the exact
+    * arithmetic `Eval.retrievalMetrics` evaluates at k = 10. */
+  private def irBlock(qid: Long, terms: Seq[String]): String = {
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      s"len(list_filter(tk, x -> x = '$tm')) AS tf$i"
+    }.mkString(",\n|    ")
+    val tfSum = terms.indices.map(i => s"tf$i").mkString(" + ")
+    val relSum = terms.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""d$qid AS (
+       |  SELECT doc_id,
+       |    $tfCols
+       |  FROM tkall),
+       |res$qid AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY $tfSum DESC, doc_id) AS rnk
+       |  FROM d$qid WHERE $tfSum > 0
+       |  QUALIFY row_number() OVER (ORDER BY $tfSum DESC, doc_id) <= 20),
+       |qrel$qid AS (
+       |  SELECT doc_id, $relSum AS rel
+       |  FROM d$qid WHERE $relSum > 0),
+       |ideal$qid AS (
+       |  SELECT COUNT(*) AS n_rel,
+       |    SUM(CASE WHEN i <= 10
+       |      THEN (POW(2, rel) - 1) / log2(CAST(i AS DOUBLE) + 1)
+       |      ELSE CAST(0 AS DOUBLE) END) AS idcg
+       |  FROM (SELECT rel,
+       |          row_number() OVER (ORDER BY rel DESC, doc_id) AS i
+       |        FROM qrel$qid)),
+       |hit$qid AS (
+       |  SELECT COUNT(*) AS n_hits, MIN(r.rnk) AS minr,
+       |    SUM((POW(2, q.rel) - 1) / log2(CAST(r.rnk AS DOUBLE) + 1)) AS dcg
+       |  FROM res$qid r JOIN qrel$qid q USING (doc_id)
+       |  WHERE r.rnk <= 10),
+       |row$qid AS (
+       |  SELECT CAST($qid AS BIGINT) AS query_id,
+       |    CAST(n_rel AS BIGINT) AS n_rel,
+       |    CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       |    ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE), 6) AS recall_at_k,
+       |    ROUND(COALESCE(1.0 / CAST(minr AS DOUBLE), 0), 6) AS mrr_at_k,
+       |    ROUND(COALESCE(dcg, 0) / idcg, 6) AS ndcg_at_k
+       |  FROM ideal$qid CROSS JOIN hit$qid)""".stripMargin
+  }
+
+  private val q114Oracle: String = {
+    val blocks = irQueries.map { case (qid, terms) =>
+      irBlock(qid, terms)
+    }.mkString(",\n")
+    val union = irQueries.map { case (qid, _) => s"SELECT * FROM row$qid" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH tkall AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS tk
+       |  FROM documents),
+       |$blocks
+       |$union
+       |ORDER BY query_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q114_retrieval_metrics" -> q114Oracle,
+
+    "q116_annotator_kappa" ->
+      s"""WITH t AS (
+         |  SELECT source, lang AS a,
+         |    regexp_extract_all(lower(text), '\\S+') AS toks
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, a,
+         |    ${sqlStop("de")}, ${sqlStop("en")}, ${sqlStop("es")}, ${sqlStop("fr")}
+         |  FROM t),
+         |s AS (
+         |  SELECT source, a,
+         |    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |         WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+         |         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         |         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         |         ELSE 'fr' END AS b
+         |  FROM p),
+         |base AS (
+         |  SELECT source, COUNT(*) AS tot,
+         |    SUM(CASE WHEN a IS NULL OR b IS NULL THEN 1 ELSE 0 END) AS n_excluded
+         |  FROM s GROUP BY source),
+         |v AS (SELECT * FROM s WHERE a IS NOT NULL AND b IS NOT NULL),
+         |agree AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS ag
+         |  FROM v GROUP BY source),
+         |ma AS (SELECT source, a AS cat, COUNT(*) AS na FROM v GROUP BY 1, 2),
+         |mb AS (SELECT source, b AS cat, COUNT(*) AS nb FROM v GROUP BY 1, 2),
+         |petab AS (
+         |  SELECT ma.source, SUM(na * nb) AS ab
+         |  FROM ma JOIN mb ON ma.source = mb.source AND ma.cat = mb.cat
+         |  GROUP BY ma.source),
+         |m AS (
+         |  SELECT b.source, agree.n, b.n_excluded,
+         |    CAST(agree.ag AS DOUBLE) / CAST(agree.n AS DOUBLE) AS po,
+         |    CAST(COALESCE(pe2.ab, 0) AS DOUBLE)
+         |      / (CAST(agree.n AS DOUBLE) * CAST(agree.n AS DOUBLE)) AS pe
+         |  FROM base b
+         |  LEFT JOIN agree USING (source)
+         |  LEFT JOIN petab pe2 USING (source))
+         |SELECT source, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+         |  CAST(n_excluded AS BIGINT) AS n_excluded,
+         |  ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+         |  ROUND(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6) AS kappa
+         |FROM m ORDER BY source""".stripMargin,
+
+    "q117_code_detect" ->
+      """WITH f AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE len(regexp_extract_all(text, '\S+')) END AS nw
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) > 0
+        |      THEN CAST(length(t) - length(regexp_replace(t, '[{}();=<>\[\]]', '', 'g')) AS DOUBLE)
+        |           / CAST(length(t) AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS symr,
+        |    CASE WHEN nw > 0
+        |      THEN CAST(len(regexp_extract_all(lower(t),
+        |             '\b(def|class|import|return|if|else|for|while|function|var|const)\b')) AS DOUBLE)
+        |           / CAST(nw AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS kwr,
+        |    CASE WHEN length(t) > 0
+        |      THEN CAST(len(regexp_extract_all(t, '(?m)^(?:  +|\t)')) AS DOUBLE)
+        |           / CAST(len(regexp_extract_all(t, chr(10))) + 1 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS indr
+        |  FROM f)
+        |SELECT doc_id,
+        |  ROUND(symr, 4) AS sym_ratio,
+        |  ROUND(kwr, 4) AS kw_ratio,
+        |  ROUND(indr, 4) AS indent_ratio,
+        |  ROUND(LEAST(1.0, 4.0 * symr + 2.0 * kwr + indr), 4) AS code_score,
+        |  LEAST(1.0, 4.0 * symr + 2.0 * kwr + indr) >= 0.5 AS is_code
+        |FROM r ORDER BY doc_id""".stripMargin,
     // full-vocabulary exact computation of what the sketch-screened
     // two-pass returns; threshold arithmetic mirrors the Scala side
     // (double multiply then ceil)

@@ -13,6 +13,22 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Rewrap a DataFrame's physical rows in a fresh `LogicalRDD` with
+    * DEFAULT statistics, dropping the origin plan's propagated stats.
+    * Needed by iterative self-referencing loops (PageRank,
+    * connected components, Bradley–Terry): `Dataset.localCheckpoint`
+    * truncates the plan but PRESERVES origin stats, and a loop that
+    * joins its own output twice per round then SQUARES the
+    * `sizeInBytes` estimate each iteration — the BigInt's digit count
+    * doubles per round and Catalyst planning time turns exponential
+    * (BigInteger.multiply dominates profiles from ~20 rounds).
+    * `internalCreateDataFrame` is `private[sql]`; zero row conversion
+    * (the InternalRow RDD is reused as-is). */
+  def statsFreeCopy(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
+  }
+
   /** `Observation.getOrEmpty` is `private[sql]` on Spark 4.x: non-blocking
     * metric read (≤100 ms wait, empty map if the action never posted its
     * SQL-execution-end event) — the safe form for convergence checks that
