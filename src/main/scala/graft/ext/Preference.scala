@@ -15,7 +15,9 @@ object Preference {
     * rounds of the classic MM (minorization–maximization) update
     * (Hunter 2004, doi:10.1214/aos/1079120141):
     *
-    *   s_i ← W_i / Σ_j n_ij / (s_i + s_j),  then normalize Σ s = 1
+    *   s_i ← W_i / Σ_j n_ij / (s_i + s_j),  normalized to Σ s = 1 once
+    *   at the end (the map is homogeneous of degree 1, so per-round
+    *   normalization changes nothing but costs a job per round)
     *
     * where W_i is item i's total wins and n_ij the number of
     * comparisons between i and j. Input: one row per decided
@@ -33,9 +35,9 @@ object Preference {
     * aggregates ONCE to a symmetric per-pair count table (shuffle on
     * the pair key, map-side combine — the log itself is never touched
     * again) and a per-item win table; each MM round is then one join of
-    * the pair table against current strengths (keyed shuffle on item)
-    * plus a broadcast single-row normalizer — no driver collect in the
-    * loop, lineage + compounding stats cut per round by
+    * the pair table against current strengths (keyed shuffle on item) —
+    * no driver collect and no normalizer job in the loop, lineage +
+    * compounding stats cut per round by
     * [[graft.util.Iterate.checkpointCut]].
     * Cost per round is O(pairs), pairs ≤ items², typically ≪ log size.
     * Runs EXACTLY `iters` rounds (deterministic, oracle-reproducible —
@@ -67,6 +69,13 @@ object Preference {
 
     var s = graft.util.Iterate.checkpointCut(items.select(col("item"),
       lit(1.0 / nItems).as("__s")))
+    // the MM map is homogeneous of degree 1 (scaling every strength by c
+    // scales every update by c), so per-round normalization is pure
+    // overhead — one extra aggregate + broadcast job per round. Iterate
+    // UNNORMALIZED and divide by Σs once at the end: half the jobs per
+    // round, and magnitudes stay O(1) (the update roughly conserves Σs —
+    // Σ raw = Σ_i W_i/D_i with D_i built from strengths of the same
+    // scale), so no overflow risk at any realistic iteration count.
     for (_ <- 1 to iters) {
       val denom = pairs
         .join(s.select(col("item").as("__a"), col("__s").as("__sa")),
@@ -75,19 +84,18 @@ object Preference {
           Seq("__b"))
         .groupBy(col("__a").as("item"))
         .agg(sum(col("__n") / (col("__sa") + col("__sb"))).as("__d"))
-      val raw = items.join(denom, Seq("item"))
+      s = graft.util.Iterate.checkpointCut(items.join(denom, Seq("item"))
         .select(col("item"),
-          (col("wins").cast("double") / col("__d")).as("__r"))
-      val z = raw.agg(sum(col("__r")).as("__z"))
-      s = graft.util.Iterate.checkpointCut(raw.crossJoin(broadcast(z))
-        .select(col("item"), (col("__r") / col("__z")).as("__s")))
+          (col("wins").cast("double") / col("__d")).as("__s")))
     }
+    val z = s.agg(sum(col("__s")).as("__z"))
     val out = items
       .join(s, Seq("item"))
       .join(pairs.groupBy(col("__a").as("item"))
         .agg(sum(col("__n")).cast("long").as("n_comp")), Seq("item"))
+      .crossJoin(broadcast(z))
       .select(col("item"), col("wins"), col("n_comp"),
-        round(col("__s"), roundTo).as("strength"))
+        round(col("__s") / col("__z"), roundTo).as("strength"))
     pairs.unpersist(); items.unpersist()
     out
   }

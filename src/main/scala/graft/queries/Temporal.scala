@@ -219,28 +219,27 @@ object Temporal {
         .orderBy(col("hour"), col("event_type"))
     }))
 
-  /** One unrolled Bradley–Terry MM round: raw_i = W_i / Σ_j n_ij/(s_i+s_j)
-    * then normalize to Σ s = 1 — the exact expression
-    * `Preference.bradleyTerry` evaluates, same join shape, so the doubles
-    * agree to the bits that survive round(·, 6). */
+  /** One unrolled Bradley–Terry MM round: s'_i = W_i / Σ_j n_ij/(s_i+s_j)
+    * (UNNORMALIZED — the map is homogeneous, Σ s = 1 is imposed once in
+    * the final select) — the exact expression `Preference.bradleyTerry`
+    * evaluates, same join shape, so the doubles agree to the bits that
+    * survive round(·, 6). */
   private def btStep(prev: String, cur: String): String =
-    // MATERIALIZED: each step references the previous one twice (sa, sb)
-    // and its own raw table twice (join + normalizer sum); DuckDB inlines
-    // plain CTEs per reference, which unrolls 10 chained steps into 2^10
-    // base-table scans (observed: "Too many open files"). Materializing
-    // makes the oracle evaluate each step once, like the Spark loop.
-    s"""${cur}r AS MATERIALIZED (
-       |  SELECT it.item, it.wins,
+    // MATERIALIZED: each step references the previous one twice (sa, sb);
+    // DuckDB inlines plain CTEs per reference, which unrolls 10 chained
+    // steps into 2^10 base-table scans (observed: "Too many open files").
+    // Materializing makes the oracle evaluate each step once, like the
+    // Spark loop.
+    s"""$cur AS MATERIALIZED (
+       |  SELECT it.item,
        |    CASE WHEN it.wins = 0 THEN CAST(0 AS DOUBLE)
        |         ELSE CAST(it.wins AS DOUBLE)
-       |           / SUM(p.n / (sa.s + sb.s)) END AS r
+       |           / SUM(p.n / (sa.s + sb.s)) END AS s
        |  FROM pairs p
        |  JOIN $prev sa ON sa.item = p.a
        |  JOIN $prev sb ON sb.item = p.b
        |  JOIN items it ON it.item = p.a
-       |  GROUP BY it.item, it.wins),
-       |$cur AS MATERIALIZED (
-       |  SELECT item, r / (SELECT SUM(r) FROM ${cur}r) AS s FROM ${cur}r)""".stripMargin
+       |  GROUP BY it.item, it.wins)""".stripMargin
 
   private val q118Oracle: String = {
     val steps = (0 until 10).map(i => btStep(s"s$i", s"s${i + 1}"))
@@ -270,7 +269,7 @@ object Temporal {
        |$steps
        |SELECT it.item, CAST(it.wins AS BIGINT) AS wins,
        |  CAST(pc.nc AS BIGINT) AS n_comp,
-       |  ROUND(s.s, 6) AS strength
+       |  ROUND(s.s / (SELECT SUM(s) FROM s10), 6) AS strength
        |FROM items it
        |JOIN s10 s ON s.item = it.item
        |JOIN (SELECT a AS item, SUM(n) AS nc FROM pairs GROUP BY a) pc
