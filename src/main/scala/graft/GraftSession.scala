@@ -34,6 +34,10 @@ object GraftSession {
       b0.config("spark.sql.shuffle.partitions", n.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver testdata stores naive TIMESTAMP(MICROS); read it as a UTC
+      // instant (TimestampType), not TIMESTAMP_NTZ — NTZ breaks epoch
+      // casts under ANSI and diverges from the DuckDB oracle's view
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")

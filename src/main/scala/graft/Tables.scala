@@ -28,6 +28,11 @@ object Tables {
     // per-read option, and must be set before the reader resolves the
     // schema (GraftSession sets it at build; this covers foreign sessions)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // naive TIMESTAMP(MICROS) inputs (current driver format) must read as
+    // UTC-instant TimestampType, not TIMESTAMP_NTZ: ANSI forbids NTZ →
+    // BIGINT epoch casts and the DuckDB oracle sees the same wall-clock
+    // values either way under the UTC session
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val df = raw.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == LongType =>
