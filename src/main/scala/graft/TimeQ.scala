@@ -1,0 +1,20 @@
+package graft
+
+/** Dev-only single-query timer: `runMain graft.TimeQ q96_training_data ...`
+  * times each named SparkEntry query on SPARK_GRAFT_SF_DIR (default sf0.1)
+  * in a fresh warmed session — clean numbers without the full Bench
+  * sweep's session pressure. */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("graft-timeq", 32)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[timeq] $name ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}
