@@ -4,7 +4,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd+ args: only dump the named queries (dev spot-checks);
+    // the driver always calls with exactly (sfDir, outDir)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o, rest @ _*) => (s, o, rest.toSet)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
@@ -21,7 +25,9 @@ object Verify {
           System.err.println(s"[verify] oracle table $name failed: ${e.getMessage}")
         }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -33,6 +39,7 @@ object Verify {
     // silently zero the round's correctness
     def q(s: String): String = graft.util.Fmt.jsonString(s)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(graft.queries.FintechQueries.OutPlaceholder, absOut))}"
       }.mkString("{", ",", "}")

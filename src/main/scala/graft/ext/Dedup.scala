@@ -718,4 +718,52 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
           .as("jaccard"))
   }
+
+  /** Winnowing-fingerprint near-dup pairs (the MOSS matcher — Schleimer
+    * et al., SIGMOD'03 §4, over [[TextStats.winnowingFingerprint]]'s
+    * selected k-gram hashes): pairs of docs sharing ≥ `minShared`
+    * fingerprints, after dropping fingerprints present in more than
+    * `maxDf` docs. The df screen is the standard MOSS move — an
+    * over-common fingerprint (boilerplate chrome, license headers) pairs
+    * everyone with everyone and carries no identifying signal; the
+    * winnowing guarantee (any shared token run of ≥ window+k−1 tokens
+    * yields a shared fingerprint) survives for material whose shared run
+    * also selects a sub-threshold fingerprint.
+    *
+    * Complements the other near-dup family members: MinHash-LSH
+    * ([[minHashLsh]]) estimates whole-doc SET similarity; winnowing
+    * match counts are POSITIONAL — local contiguous overlap (a copied
+    * paragraph inside an otherwise-unrelated doc) that set-level Jaccard
+    * dilutes away.
+    *
+    * Output: (id_a, id_b, n_shared) with id_a < id_b,
+    * n_shared ≥ `minShared`.
+    *
+    * Scale: winnowing selects ~2/(window+1) of grams, so the exploded
+    * fingerprint frame is a fraction of corpus tokens; the df screen is
+    * one keyed aggregate with map-side combine; the pair join shuffles
+    * on the 8-byte fingerprint with per-key fan-out capped at `maxDf`²
+    * by the screen — no all-pairs or cross join anywhere. Default hash
+    * is the portable [[TextStats.md5Hash64]] so the whole path is
+    * oracle-checkable; swap xxhash64 for raw throughput. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, window: Int = 4, maxDf: Int = 20,
+      minShared: Int = 2,
+      hash: Column => Column = graft.ext.TextStats.md5Hash64): DataFrame = {
+    val fps = graft.ext.TextStats
+      .winnowingFingerprint(docs, idCol, textCol, shingleSize, window, hash)
+      .select(col(idCol).as("id"), explode(col("fingerprint")).as("fp"))
+    // fingerprint arrays are distinct per doc, so count(*) per fp IS the
+    // document frequency
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val screened = fps.join(rare, Seq("fp"), "left_semi")
+    screened.select(col("fp"), col("id").as("id_a"))
+      .join(screened.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

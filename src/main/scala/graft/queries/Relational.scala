@@ -18,6 +18,23 @@ object Relational {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Map[String, QFn] = Map(
+    // Per-group closed-form OLS (price on quantity per return flag):
+    // decimal-exact sums, double algebra on identical operands — slope/
+    // intercept/r² all hash-checked vs the oracle's REGR_* closed form.
+    "q120_grouped_ols" -> ((s, dir) => {
+      graft.ext.Stats.groupedOls(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Chi-square independence of lang × source over documents: one
+    // cell-count shuffle, margins from the cell frame, unobserved cells
+    // folded in algebraically (χ² = n·Σo²/(ra·cb) − n).
+    "q122_chi_square" -> ((s, dir) => {
+      graft.ext.Stats.chiSquareIndependence(t(s, dir, "documents"),
+        "lang", "source")
+    }),
+
     // Q1-style pricing summary: one shuffle on the two low-cardinality group
     // keys; exact decimal money math (Q.dsum).
     "q01_pricing_summary" -> ((s, dir) => {
@@ -325,6 +342,45 @@ object Relational {
     }))
 
   val oracles: Map[String, String] = Map(
+    // identical two-step arithmetic as Stats.groupedOls: exact decimal
+    // sums cast to double, then the same closed-form expression tree
+    "q120_grouped_ols" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND(CASE WHEN nd * sxx - sx * sx <> 0
+        |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END, 6) AS slope,
+        |  ROUND(CASE WHEN nd * sxx - sx * sx <> 0
+        |    THEN (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd END, 6) AS intercept,
+        |  ROUND(CASE WHEN nd * sxx - sx * sx <> 0 AND nd * syy - sy * sy <> 0
+        |    THEN (nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+        |         / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END, 6) AS r2
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // observed-cells identity: χ² = n·Σo²/(ra·cb) − n
+    "q122_chi_square" ->
+      """WITH c AS (
+        |  SELECT lang AS a, source AS b, COUNT(*) AS o FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT a, SUM(o) AS ra FROM c GROUP BY a),
+        |cl AS (SELECT b, SUM(o) AS cb FROM c GROUP BY b)
+        |SELECT CAST(SUM(c.o) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT c.a) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT c.b) AS BIGINT) AS n_cols,
+        |  CAST((COUNT(DISTINCT c.a) - 1) * (COUNT(DISTINCT c.b) - 1) AS BIGINT) AS dof,
+        |  ROUND(CAST(SUM(c.o) AS DOUBLE) * SUM(CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE)
+        |          / (CAST(r.ra AS DOUBLE) * CAST(cl.cb AS DOUBLE)))
+        |        - CAST(SUM(c.o) AS DOUBLE), 6) AS chi2
+        |FROM c JOIN r ON c.a = r.a JOIN cl ON c.b = cl.b""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,

@@ -124,6 +124,16 @@ object Temporal {
         .orderBy(col("item"))
     }),
 
+    // Robust per-type outlier profile on event values: exact median +
+    // MAD (both quantile_cont-parity percentiles) and the robust-z
+    // outlier count — anomaly detection that mean/stddev rules get
+    // dragged away from by the very outliers they hunt. Hash-checked.
+    "q121_mad_outliers" -> ((s, dir) => {
+      graft.ext.Stats.madOutliers(t(s, dir, "events"),
+          Seq("event_type"), "value")
+        .orderBy(col("event_type"))
+    }),
+
     // Gap-and-island sessionization (30-min inactivity gap), batch form.
     // One shuffle on user_id; both windows share the same partitioning.
     "q21_sessionize" -> ((s, dir) => {
@@ -278,6 +288,24 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // same two quantile passes as Stats.madOutliers; DuckDB median ==
+    // quantile_cont(0.5) == Spark percentile(·, 0.5)
+    "q121_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY event_type)
+        |SELECT d.event_type,
+        |  COUNT(*) AS n,
+        |  ROUND(ANY_VALUE(d.med), 6) AS median,
+        |  ROUND(ANY_VALUE(x.mad), 6) AS mad,
+        |  CAST(SUM(CASE WHEN (x.mad > 0 AND d.adev / (1.4826 * x.mad) > 3.0)
+        |                  OR (x.mad = 0 AND d.adev > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad x ON d.event_type = x.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     "q19_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts, max(value) AS click_value FROM events WHERE event_type = 'click' GROUP BY 1, 2)

@@ -364,6 +364,15 @@ object TextQueries {
         .orderBy(col("doc_id"), col("gram"))
     }),
 
+    // MOSS matcher on the q32 fingerprints: doc pairs sharing ≥2 selected
+    // fingerprints after the df≤20 boilerplate screen — POSITIONAL local
+    // overlap (a copied paragraph) where set-level Jaccard dilutes away.
+    // Every pair + shared count hash-checked.
+    "q119_winnow_pairs" -> ((s, dir) => {
+      graft.ext.Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Benchmark decontamination: corpus docs sharing a word 3-gram with the
     // "benchmark" subset (doc_id % 97 == 0). Output exposes only counts/ids,
     // so the production xxhash64 join key is itself oracle-checked (the
@@ -1535,6 +1544,35 @@ object TextQueries {
         |                i -> list_min(list_slice(h, i + 1, i + 4)))) END AS f
         |  FROM hs)
         |SELECT doc_id, unnest(f) AS gram FROM fp ORDER BY doc_id, gram""".stripMargin,
+
+    // same fingerprint CTE chain as q32, then df-screen + pair join
+    "q119_winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM documents),
+        |gs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(1, len(tk) - 1),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS sh
+        |  FROM toks),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(sh, s -> (('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
+        |  FROM gs),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) <= 4 THEN [list_min(h)]
+        |         ELSE list_distinct(list_transform(range(0, len(h) - 3),
+        |                i -> list_min(list_slice(h, i + 1, i + 4)))) END AS f
+        |  FROM hs),
+        |fps AS (SELECT doc_id, unnest(f) AS fp FROM fp),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20),
+        |s AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM rare))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q57_dedup_corpus" ->
       s"""WITH RECURSIVE

@@ -150,6 +150,46 @@ class ExtSpec extends SparkSpec {
     assert(planted.length >= 30)
   }
 
+  test("winnowPairs finds positional overlap and screens boilerplate") {
+    // docs 1/2 share a long contiguous run (guarantee: any shared run of
+    // ≥ window+k−1 = 6 tokens yields a shared fingerprint); doc 3 is
+    // unrelated; docs 100-119 are IDENTICAL boilerplate — every one
+    // selects the same fingerprint set, so each fingerprint has df=20 >
+    // maxDf and the screen drops them all (identical text is what the
+    // screen provably kills; partially-shared chrome is screened only
+    // when > maxDf docs SELECT the common gram — the MOSS index
+    // semantics, df over selected fingerprints, not raw grams)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = (0 until 20).map(i =>
+      (100L + i, "cookie banner accept terms privacy policy footer site"))
+    val df = (Seq(
+      (1L, s"intro text $shared closing remarks one"),
+      (2L, s"totally different opening $shared and another ending"),
+      (3L, "unrelated content about something else entirely here now"))
+      ++ boiler).toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(df, "doc_id", "text",
+      maxDf = 5, minShared = 1).collect()
+    assert(out.exists(r =>
+      r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    // no boilerplate-only pair survives the df screen
+    assert(!out.exists(r => r.getAs[Long]("id_a") >= 100L))
+  }
+
+  test("winnowPairs: identical docs share every fingerprint") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(df, "doc_id", "text",
+      maxDf = 5, minShared = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) == (1L, 2L))
+    // 10 tokens → 8 grams → 5 full windows; every selected fingerprint
+    // is shared, and there is at least ⌈(8−4+1)/4⌉ = 2 of them
+    assert(r.getAs[Long]("n_shared") >= 2L)
+  }
+
   test("exactDedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")

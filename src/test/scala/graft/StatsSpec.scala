@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedOls recovers a planted exact line") {
+    // y = 3x + 2 exactly: slope/intercept exact, r² = 1
+    val df = (1 to 20).map(i => ("g", i.toDouble, 3.0 * i + 2.0))
+      .toDF("g", "x", "y")
+    val r = Stats.groupedOls(df, Seq("g"), "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 2.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("groupedOls hand-computed slope and degenerate groups") {
+    // points (1,1),(2,3),(3,2): slope = 0.5, r2 = 0.25
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 3.0), ("a", 3.0, 2.0),
+      ("v", 2.0, 1.0), ("v", 2.0, 5.0), // zero x-variance: vertical line
+      ("h", 1.0, 4.0), ("h", 2.0, 4.0)) // zero y-variance: r2 undefined
+      .toDF("g", "x", "y")
+    val rows = Stats.groupedOls(df, Seq("g"), "x", "y")
+      .orderBy("g").collect()
+    val a = rows(0)
+    assert(a.getAs[Double]("slope") == 0.5)
+    assert(a.getAs[Double]("r2") == 0.25)
+    val h = rows(1)
+    assert(h.getAs[Double]("slope") == 0.0) // flat line fits exactly
+    assert(h.isNullAt(h.fieldIndex("r2")))
+    val v = rows(2)
+    assert(v.isNullAt(v.fieldIndex("slope")))
+    assert(v.isNullAt(v.fieldIndex("intercept")))
+  }
+
+  test("madOutliers flags the planted spike and respects MAD=0 rule") {
+    val base = (1 to 11).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)
+    val const = (1 to 5).map(_ => ("c", 7.0)) :+ ("c", 7.5)
+    val df = (base ++ const).toDF("g", "v")
+    val rows = Stats.madOutliers(df, Seq("g"), "v").orderBy("g").collect()
+    val a = rows(0)
+    // median of 1..11,1000 = 6.5; MAD = median(|v-6.5|) = 3.0; the spike's
+    // robust z = 993.5/(1.4826*3) ≈ 223 — the only value past 3 sigmas
+    assert(a.getAs[Double]("median") == 6.5)
+    assert(a.getAs[Double]("mad") == 3.0)
+    assert(a.getAs[Long]("n_outliers") == 1L)
+    val c = rows(1)
+    // over half identical → MAD 0 → any deviation counts
+    assert(c.getAs[Double]("mad") == 0.0)
+    assert(c.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("chiSquareIndependence: independent table scores 0, dependent scores n") {
+    // perfectly independent 2x2: chi2 = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = Stats.chiSquareIndependence(ind, "a", "b").collect().head
+    assert(r1.getAs[Double]("chi2") == 0.0)
+    assert(r1.getAs[Long]("dof") == 1L)
+    // perfect association: chi2 = n
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val r2 = Stats.chiSquareIndependence(dep, "a", "b").collect().head
+    assert(r2.getAs[Double]("chi2") == 4.0)
+    assert(r2.getAs[Long]("n") == 4L)
+  }
+}
