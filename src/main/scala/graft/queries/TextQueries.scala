@@ -373,6 +373,26 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Corpus drift in KIND: JS divergence between the en and de token
+    // distributions — the release gate row-level corpusDiff can't see.
+    // Totals, vocab overlap and the divergence itself hash-checked.
+    "q123_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Diff.tokenDistributionDrift(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"), "text")
+    }),
+
+    // The drill-down: top-20 tokens by probability shift between the
+    // same two corpora, ranked on the rounded shift (q110 convention)
+    // so the cut is deterministic cross-engine. Hash-checked.
+    "q124_drifted_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Diff.topDriftedTokens(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"), "text", k = 20)
+    }),
+
     // Benchmark decontamination: corpus docs sharing a word 3-gram with the
     // "benchmark" subset (doc_id % 97 == 0). Output exposes only counts/ids,
     // so the production xxhash64 join key is itself oracle-checked (the
@@ -1544,6 +1564,62 @@ object TextQueries {
         |                i -> list_min(list_slice(h, i + 1, i + 4)))) END AS f
         |  FROM hs)
         |SELECT doc_id, unnest(f) AS gram FROM fp ORDER BY doc_id, gram""".stripMargin,
+
+    // identical JS arithmetic: exact counts, double p/q/m, log2, round(6)
+    "q123_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE lang = 'de'),
+        |ca AS (SELECT tok, COUNT(*) AS c FROM ta GROUP BY tok),
+        |cb AS (SELECT tok, COUNT(*) AS c FROM tb GROUP BY tok),
+        |v AS (
+        |  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+        |    COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        |t AS (SELECT CAST(SUM(cca) AS DOUBLE) AS na,
+        |             CAST(SUM(ccb) AS DOUBLE) AS nb FROM v)
+        |SELECT
+        |  CAST(SUM(v.cca) AS BIGINT) AS n_tokens_a,
+        |  CAST(SUM(v.ccb) AS BIGINT) AS n_tokens_b,
+        |  CAST(SUM(CASE WHEN v.cca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        |  CAST(SUM(CASE WHEN v.ccb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+        |  CAST(SUM(CASE WHEN v.cca > 0 AND v.ccb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+        |  ROUND(SUM(
+        |    CASE WHEN v.cca > 0 THEN 0.5 * (CAST(v.cca AS DOUBLE) / t.na)
+        |      * log2((CAST(v.cca AS DOUBLE) / t.na)
+        |              / (((CAST(v.cca AS DOUBLE) / t.na) + (CAST(v.ccb AS DOUBLE) / t.nb)) / 2.0))
+        |      ELSE 0.0 END
+        |    + CASE WHEN v.ccb > 0 THEN 0.5 * (CAST(v.ccb AS DOUBLE) / t.nb)
+        |      * log2((CAST(v.ccb AS DOUBLE) / t.nb)
+        |              / (((CAST(v.cca AS DOUBLE) / t.na) + (CAST(v.ccb AS DOUBLE) / t.nb)) / 2.0))
+        |      ELSE 0.0 END), 6) AS js_divergence
+        |FROM v, t""".stripMargin,
+
+    "q124_drifted_tokens" ->
+      """WITH ta AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents WHERE lang = 'de'),
+        |ca AS (SELECT tok, COUNT(*) AS c FROM ta GROUP BY tok),
+        |cb AS (SELECT tok, COUNT(*) AS c FROM tb GROUP BY tok),
+        |v AS (
+        |  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+        |    COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        |t AS (SELECT CAST(SUM(cca) AS DOUBLE) AS na,
+        |             CAST(SUM(ccb) AS DOUBLE) AS nb FROM v)
+        |SELECT v.tok,
+        |  ROUND(CAST(v.cca AS DOUBLE) / t.na, 6) AS p_a,
+        |  ROUND(CAST(v.ccb AS DOUBLE) / t.nb, 6) AS p_b,
+        |  ROUND(CAST(v.ccb AS DOUBLE) / t.nb - CAST(v.cca AS DOUBLE) / t.na, 6) AS shift
+        |FROM v, t
+        |ORDER BY abs(ROUND(CAST(v.ccb AS DOUBLE) / t.nb - CAST(v.cca AS DOUBLE) / t.na, 6)) DESC, tok
+        |LIMIT 20""".stripMargin,
 
     // same fingerprint CTE chain as q32, then df-screen + pair join
     "q119_winnow_pairs" ->

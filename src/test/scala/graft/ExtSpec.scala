@@ -660,6 +660,35 @@ class ExtSpec extends SparkSpec {
       "added" -> 1L))
   }
 
+  test("tokenDistributionDrift: identical corpora diverge 0, disjoint diverge 1") {
+    val a = Seq((1L, "x y z"), (2L, "x x w")).toDF("doc_id", "text")
+    val same = graft.ext.Diff.tokenDistributionDrift(a, a, "text")
+      .collect().head
+    assert(same.getAs[Double]("js_divergence") == 0.0)
+    assert(same.getAs[Long]("vocab_shared") == 4L)
+    assert(same.getAs[Long]("n_tokens_a") == 6L)
+    val b = Seq((1L, "p q r s t u")).toDF("doc_id", "text")
+    val disj = graft.ext.Diff.tokenDistributionDrift(a, b, "text")
+      .collect().head
+    // disjoint supports: JS = 1 bit exactly
+    assert(disj.getAs[Double]("js_divergence") == 1.0)
+    assert(disj.getAs[Long]("vocab_shared") == 0L)
+  }
+
+  test("topDriftedTokens ranks the moved token first with signed shift") {
+    // 'x' goes 1/2 -> 0; 'z' goes 0 -> 1/2; 'y' stays at 1/2
+    val a = Seq((1L, "x y")).toDF("doc_id", "text")
+    val b = Seq((1L, "z y")).toDF("doc_id", "text")
+    val out = graft.ext.Diff.topDriftedTokens(a, b, "text", k = 2)
+      .collect()
+    assert(out.length == 2)
+    // |shift| = 0.5 for both x and z; tok asc tiebreak puts x first
+    assert(out(0).getAs[String]("tok") == "x")
+    assert(out(0).getAs[Double]("shift") == -0.5)
+    assert(out(1).getAs[String]("tok") == "z")
+    assert(out(1).getAs[Double]("shift") == 0.5)
+  }
+
   test("corpusDiff pairs null ids null-safely (no phantom add+remove)") {
     val v1 = Seq((Option(1L), "a"), (Option.empty[Long], "n"))
       .toDF("doc_id", "text")
