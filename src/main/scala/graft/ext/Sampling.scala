@@ -316,4 +316,49 @@ object Sampling {
         df.filter(eligible && (pre || bnd))
     }
   }
+
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): the `k` rows with the smallest key −ln(u)/w, where u is
+    * a deterministic uniform in (0, 1] from a seeded hash of the id and
+    * w = `weightCol` — at every sequential selection step each
+    * remaining row's inclusion odds are proportional to its weight (the
+    * importance-sampling primitive: quality-weighted corpus draws,
+    * upweighted rare-source draws). Same seed ⇒ same sample, and with
+    * the default [[TextStats.md5Hash64]] the draw reproduces in any
+    * engine with md5 — the exponential key is pure arithmetic on an
+    * exactly-representable dyadic uniform (h mod 2⁵³ + 1)/2⁵³.
+    *
+    * Rows with null/non-positive weight are ineligible (w ≤ 0 has no
+    * sampling odds). `groupCols` empty draws one global sample as a
+    * TakeOrderedAndProject (top-k, never a global sort); non-empty
+    * draws k per group through ONE shuffle + per-group window. Ties
+    * (impossible absent hash collisions) break by id. Output: input
+    * columns + `sample_rank` (1-based selection order within the
+    * group — the order sequential A-ES would have drawn them). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, groupCols: Seq[String] = Nil, seed: Long = 0,
+      hash: Column => Column = TextStats.md5Hash64(_)): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val twoTo53 = 9007199254740992L // 2^53: dyadic → u is exact in double
+    val u = (pmod(hash(concat_ws(":", col(idCol).cast("string"),
+      lit(seed.toString))), lit(twoTo53)) + lit(1L)).cast("double") /
+      lit(twoTo53.toDouble)
+    val key = -log(u) / col(weightCol).cast("double")
+    val eligible = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__key", key)
+    val ranked =
+      if (groupCols.isEmpty)
+        eligible.orderBy(col("__key"), col(idCol)).limit(k)
+          .withColumn("sample_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("__key"), col(idCol))))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__key"), col(idCol))
+        eligible.withColumn("sample_rank", row_number().over(w))
+          .filter(col("sample_rank") <= k)
+      }
+    ranked.drop("__key")
+  }
 }

@@ -393,6 +393,18 @@ object TextQueries {
         docs.filter(col("lang") === "de"), "text", k = 20)
     }),
 
+    // Weighted sample without replacement (A-ES exponential keys,
+    // length-weighted, 10 docs per lang): the deterministic draw and
+    // its selection order both hash-checked — the md5-derived dyadic
+    // uniform reproduces bit-exactly in DuckDB.
+    "q125_weighted_sample" -> ((s, dir) => {
+      graft.ext.Sampling.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "doc_id", "n_chars", k = 10, groupCols = Seq("lang"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
     // Benchmark decontamination: corpus docs sharing a word 3-gram with the
     // "benchmark" subset (doc_id % 97 == 0). Output exposes only counts/ids,
     // so the production xxhash64 join key is itself oracle-checked (the
@@ -1620,6 +1632,23 @@ object TextQueries {
         |FROM v, t
         |ORDER BY abs(ROUND(CAST(v.ccb AS DOUBLE) / t.nb - CAST(v.cca AS DOUBLE) / t.na, 6)) DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // same A-ES key arithmetic: dyadic uniform from the md5 hash, -ln/w
+    "q125_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    -ln(((('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT
+        |          % 9007199254740992 + 1) / 9007199254740992.0)
+        |      ) / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id)
+        |      AS sample_rank
+        |  FROM s)
+        |SELECT doc_id, lang, n_chars, CAST(sample_rank AS INT) AS sample_rank
+        |FROM r WHERE sample_rank <= 10
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     // same fingerprint CTE chain as q32, then df-screen + pair join
     "q119_winnow_pairs" ->

@@ -660,6 +660,36 @@ class ExtSpec extends SparkSpec {
       "added" -> 1L))
   }
 
+  test("weightedSample: deterministic, k-bounded, weight-biased") {
+    val df = ((1 to 50).map(i => (i.toLong, "g", 1.0)) :+
+      (99L, "g", 10000.0)).toDF("id", "g", "w")
+    val s1 = graft.ext.Sampling.weightedSample(df, "id", "w", k = 5,
+      groupCols = Seq("g"), seed = 7).collect()
+    val s2 = graft.ext.Sampling.weightedSample(df, "id", "w", k = 5,
+      groupCols = Seq("g"), seed = 7).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    assert(s1.length == 5)
+    assert(s1.map(_.getAs[Int]("sample_rank")).sorted.toSeq == (1 to 5))
+    // a weight 10000x the others is drawn ~always; across 10 seeds it
+    // must appear in every 5-of-51 sample (miss odds < 1e-13 overall)
+    (0 until 10).foreach { seed =>
+      val ids = graft.ext.Sampling.weightedSample(df, "id", "w", k = 5,
+        groupCols = Seq("g"), seed = seed).collect().map(_.getLong(0))
+      assert(ids.contains(99L), s"heavy row missing at seed $seed")
+    }
+  }
+
+  test("weightedSample: global top-k path and ineligible weights") {
+    val df = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, Some(3.0)), (5L, Option.empty[Double]))
+      .toDF("id", "w")
+    val out = graft.ext.Sampling.weightedSample(df, "id", "w", k = 10)
+      .collect()
+    // only the two positive-weight rows are eligible
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(out.map(_.getAs[Int]("sample_rank")).sorted.toSeq == Seq(1, 2))
+  }
+
   test("tokenDistributionDrift: identical corpora diverge 0, disjoint diverge 1") {
     val a = Seq((1L, "x y z"), (2L, "x x w")).toDF("doc_id", "text")
     val same = graft.ext.Diff.tokenDistributionDrift(a, a, "text")
