@@ -91,6 +91,61 @@ object Graph {
     (ranks, used)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * UNDIRECTED view of the edge list: every vertex starts labeled with
+    * its own id, and each round simultaneously adopts the most frequent
+    * label among its neighbors (ties → smallest label — the
+    * deterministic variant; classic LPA breaks ties randomly and is
+    * unreproducible). Runs EXACTLY `iters` rounds — the fixed-iteration
+    * contract the cross-engine oracle unrolls; communities are the
+    * label groups. The cheap community detector for near-dup/link
+    * graphs where [[Dedup.connectedComponents]] is too coarse (CC merges
+    * everything reachable; LPA splits weakly-bridged clusters).
+    *
+    * Vertex ids must be numeric (labels ride the same column, and the
+    * argmax uses numeric negation for the tie order). Self-loops are
+    * dropped (a self-vote frustrates propagation); parallel edges vote
+    * with their multiplicity — pre-`distinct` the edge list if each
+    * neighbor should vote once.
+    *
+    * Scale shape: per round, ONE shuffle to count (vertex, label) votes
+    * + a keyed argmax via `max(struct(count, −label))` — no window, no
+    * global sort, no collect. Lineage truncates per round
+    * ([[graft.util.Iterate.checkpointCut]], the same plan-doubling fix
+    * as PageRank/CC). Synchronous updates can oscillate on bipartite
+    * structures — fixed `iters` bounds that by construction. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val e2 = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    // every endpoint appears as a src in the doubled list, so src alone
+    // covers the vertex set
+    val verts = e2.select(col("src").as("id")).distinct().persist()
+    verts.count()
+    var labels = graft.util.Iterate.checkpointCut(
+      verts.select(col("id"), col("id").cast("long").as("label")))
+    var i = 0
+    while (i < iters) {
+      val votes = e2
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val best = votes.groupBy(col("id"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__b"))
+        .select(col("id"), (-col("__b.__nl")).as("__new"))
+      labels = graft.util.Iterate.checkpointCut(
+        labels.join(best, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__new"), col("label")).as("label")))
+      i += 1
+    }
+    e2.unpersist(); verts.unpersist()
+    labels
+  }
+
   /** In/out degree table — the cheap link-spam screen (pages with
     * pathological in-degree are boilerplate hubs; zero out-degree with
     * high in-degree is a sink). One shuffle per direction on the

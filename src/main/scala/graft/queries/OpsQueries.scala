@@ -135,6 +135,22 @@ object OpsQueries {
       graft.ext.Graph.pageRank(edges, iters = 5)
         .select(col("id"), round(col("rank") * 1e6, 1).as("rank_ppm"))
         .orderBy(col("id"))
+    }),
+
+    // Deterministic label propagation over the same citation graph
+    // (undirected view): 5 synchronous rounds, most-frequent neighbor
+    // label with min-label tiebreak — integer-exact, so every vertex's
+    // final community label is hash-checked against the oracle's
+    // unrolled 5 rounds.
+    "q126_label_propagation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 300).as("dst"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 13 + 1) % 300).as("dst")))
+      graft.ext.Graph.labelPropagation(edges, iters = 5)
+        .orderBy(col("id"))
     }))
 
   /** One unrolled power-iteration step: r_{k+1}(v) = (1-d)/n + d ·
@@ -178,9 +194,43 @@ object OpsQueries {
        |FROM r5 ORDER BY id""".stripMargin
   }
 
+  /** One unrolled synchronous LPA round: the (vertex, label) vote count
+    * over the doubled edge list, then the (count desc, label asc)
+    * argmax — the exact integer computation `Graph.labelPropagation`
+    * performs, so the hash check is exact with no FP anywhere. */
+  private def lpaStep(prev: String, cur: String, i: Int): String =
+    s"""lc$i AS (
+       |  SELECT e.dst AS id, l.label AS lbl, COUNT(*) AS c
+       |  FROM e2 e JOIN $prev l ON l.id = e.src GROUP BY 1, 2),
+       |$cur AS (
+       |  SELECT p.id, COALESCE(b.lbl, p.label) AS label
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT id, lbl FROM (
+       |      SELECT id, lbl,
+       |        ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+       |      FROM lc$i) WHERE rn = 1) b ON b.id = p.id)""".stripMargin
+
+  private val q126Oracle: String = {
+    val steps = (0 until 5).map(i => lpaStep(s"l$i", s"l${i + 1}", i))
+      .mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT doc_id AS src, (doc_id * 7 + 3) % 300 AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id AS src, (doc_id * 13 + 1) % 300 AS dst
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |e0 AS (SELECT src, dst FROM edges WHERE src <> dst),
+       |e2 AS (SELECT src, dst FROM e0
+       |       UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e2),
+       |$steps
+       |SELECT id, label FROM l5 ORDER BY id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q94_pagerank" -> q94Oracle,
+
+    "q126_label_propagation" -> q126Oracle,
 
     "q71_range_join" ->
       """WITH pts AS (

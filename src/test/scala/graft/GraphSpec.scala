@@ -58,4 +58,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
     assert(d == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 2L))))
   }
+
+  test("labelPropagation splits two triangles across a bridge") {
+    // CC would merge everything reachable; LPA keeps the two dense
+    // triangles as separate communities despite the 3–10 bridge.
+    // Hand-traced sync rounds with min-tiebreak: after 4 rounds
+    // {1,2,3} → label 1 and {10,11,12} → label 3, and round 5 is a
+    // fixpoint (asserting both catches oscillation bugs).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    Seq(4, 5).foreach { iters =>
+      val l = Graph.labelPropagation(edges, iters = iters)
+        .as[(Long, Long)].collect().toMap
+      assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 3L, 11L -> 3L, 12L -> 3L), s"iters=$iters")
+    }
+  }
+
+  test("labelPropagation drops self-loops and is repartition-stable") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = Graph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(edges.repartition(7), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // a triangle converges to the minimum id as the shared label
+    assert(a.values.toSet == Set(1L))
+  }
 }
