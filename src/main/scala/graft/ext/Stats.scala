@@ -140,4 +140,51 @@ object Stats {
     cells.unpersist(blocking = false)
     out
   }
+
+  /** Benford's-law deviation screen (the classic fabricated-amounts
+    * test): per group, the observed leading-significant-digit
+    * distribution of |valueCol| against Benford's p(d) = log₁₀(1+1/d),
+    * with the group's χ² goodness-of-fit repeated on each digit row —
+    * naturally-grown monetary amounts follow Benford closely; invented
+    * ones (structuring, padding) don't. Rows with null/zero values
+    * carry no leading digit and are excluded.
+    *
+    * Output: (groupCols*, digit 1-9, n_d, p_obs, p_exp, chi2) — digits
+    * with zero observations still appear (their (0−np)²/np term is part
+    * of χ², and their absence IS signal), via a group × 1-9 frame the
+    * observed counts left-join into.
+    *
+    * Scale: leading-digit extraction is pure arithmetic riding the
+    * scan (floor(v/10^floor(log₁₀ v)) — no string formatting); one
+    * shuffle to count (group, digit) cells; the digit scaffold and χ²
+    * join back broadcast (9 × |groups| rows). */
+  def benfordDeviation(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, roundTo: Int = 6): DataFrame = {
+    val gcols = groupCols.map(col)
+    val v = abs(col(valueCol).cast(DoubleType))
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val cells = df.filter(col(valueCol).isNotNull && v > 0.0)
+      .groupBy(gcols :+ digit.as("digit"): _*)
+      .agg(count(lit(1)).as("n_d"))
+    // group × digit scaffold so zero-observation digits surface
+    val groups = cells.groupBy(gcols: _*).agg(sum(col("n_d")).as("n"))
+    val scaffold = groups.crossJoin(broadcast(
+      df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))))
+    val pExp = log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+    val full = scaffold
+      .join(cells, groupCols :+ "digit", "left")
+      .na.fill(0L, Seq("n_d"))
+      .withColumn("__pexp", pExp)
+    val chi2 = full.groupBy(gcols: _*)
+      .agg(sum(
+        (col("n_d").cast(DoubleType) - col("n").cast(DoubleType) * col("__pexp")) *
+          (col("n_d").cast(DoubleType) - col("n").cast(DoubleType) * col("__pexp")) /
+          (col("n").cast(DoubleType) * col("__pexp"))).as("__chi2"))
+    full.join(broadcast(chi2), groupCols)
+      .select(gcols ++ Seq(col("digit"), col("n_d"),
+        round(col("n_d").cast(DoubleType) / col("n").cast(DoubleType),
+          roundTo).as("p_obs"),
+        round(col("__pexp"), roundTo).as("p_exp"),
+        round(col("__chi2"), roundTo).as("chi2")): _*)
+  }
 }

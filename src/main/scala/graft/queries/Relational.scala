@@ -35,6 +35,16 @@ object Relational {
         "lang", "source")
     }),
 
+    // Benford's-law screen on order totals per priority class: leading
+    // significant digit via pure arithmetic (no string formatting),
+    // zero-observation digits scaffolded in, per-group χ² GOF repeated
+    // on each digit row. The fraud-analytics classic — hash-checked.
+    "q127_benford" -> ((s, dir) => {
+      graft.ext.Stats.benfordDeviation(t(s, dir, "orders"),
+          Seq("o_orderpriority"), "o_totalprice")
+        .orderBy(col("o_orderpriority"), col("digit"))
+    }),
+
     // Q1-style pricing summary: one shuffle on the two low-cardinality group
     // keys; exact decimal money math (Q.dsum).
     "q01_pricing_summary" -> ((s, dir) => {
@@ -364,6 +374,38 @@ object Relational {
         |    THEN (nd * sxy - sx * sy) * (nd * sxy - sx * sy)
         |         / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END, 6) AS r2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // same digit arithmetic (floor(v/10^floor(log10 v))) and χ² algebra
+    "q127_benford" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, CAST(floor(abs(o_totalprice)
+        |      / power(10, floor(log10(abs(o_totalprice))))) AS INT) AS digit,
+        |    COUNT(*) AS n_d
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+        |  GROUP BY 1, 2),
+        |g AS (SELECT o_orderpriority, CAST(SUM(n_d) AS BIGINT) AS n
+        |      FROM cells GROUP BY o_orderpriority),
+        |d AS (SELECT CAST(i AS INT) AS digit FROM range(1, 10) t(i)),
+        |f AS (
+        |  SELECT g.o_orderpriority, d.digit,
+        |    CAST(COALESCE(c.n_d, 0) AS BIGINT) AS n_d, g.n,
+        |    log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)) AS pexp
+        |  FROM g CROSS JOIN d
+        |  LEFT JOIN cells c
+        |    ON c.o_orderpriority = g.o_orderpriority AND c.digit = d.digit),
+        |chi AS (
+        |  SELECT o_orderpriority,
+        |    SUM((CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * pexp)
+        |      * (CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE) * pexp)
+        |      / (CAST(n AS DOUBLE) * pexp)) AS chi2
+        |  FROM f GROUP BY o_orderpriority)
+        |SELECT f.o_orderpriority, f.digit, f.n_d,
+        |  ROUND(CAST(f.n_d AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS p_obs,
+        |  ROUND(f.pexp, 6) AS p_exp,
+        |  ROUND(chi.chi2, 6) AS chi2
+        |FROM f JOIN chi ON f.o_orderpriority = chi.o_orderpriority
+        |ORDER BY f.o_orderpriority, f.digit""".stripMargin,
 
     // observed-cells identity: χ² = n·Σo²/(ra·cb) − n
     "q122_chi_square" ->

@@ -53,6 +53,35 @@ class StatsSpec extends SparkSpec {
     assert(c.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("benfordDeviation: digit extraction, scaffold, and deviation ordering") {
+    // benford-ish group: digit counts ~ proportional to log10(1+1/d)
+    val benfordish = Seq.fill(30)(1.0) ++ Seq.fill(18)(2.0) ++
+      Seq.fill(12)(3.0) ++ Seq.fill(10)(4.0) ++ Seq.fill(8)(5.0) ++
+      Seq.fill(7)(6.0) ++ Seq.fill(6)(7.0) ++ Seq.fill(5)(8.0) ++
+      Seq.fill(4)(9.0)
+    // fabricated group: every amount starts with 5 (round-number fraud)
+    val flat = Seq.fill(100)(500.0) ++ Seq.fill(100)(5999.99)
+    val df = (benfordish.map(("ok", _)) ++ flat.map(("bad", _)))
+      .toDF("g", "v")
+    val rows = Stats.benfordDeviation(df, Seq("g"), "v").collect()
+    assert(rows.length == 18) // 9 digits x 2 groups, zero digits included
+    val bad = rows.filter(_.getString(0) == "bad")
+    assert(bad.filter(_.getAs[Int]("digit") == 5).head.getAs[Long]("n_d") == 200L)
+    assert(bad.filter(_.getAs[Int]("digit") == 1).head.getAs[Long]("n_d") == 0L)
+    val okChi = rows.filter(_.getString(0) == "ok").head.getAs[Double]("chi2")
+    val badChi = bad.head.getAs[Double]("chi2")
+    assert(badChi > okChi * 10, s"bad=$badChi ok=$okChi")
+    // p_exp is the Benford mass and sums to ~1 over the digits
+    val pSum = rows.filter(_.getString(0) == "ok")
+      .map(_.getAs[Double]("p_exp")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4)
+    // digit of 0.0234 is 2 (sub-1 magnitudes work through the log path)
+    val small = Seq(("s", 0.0234)).toDF("g", "v")
+    val d = Stats.benfordDeviation(small, Seq("g"), "v")
+      .filter(col("n_d") > 0).collect().head
+    assert(d.getAs[Int]("digit") == 2)
+  }
+
   test("chiSquareIndependence: independent table scores 0, dependent scores n") {
     // perfectly independent 2x2: chi2 = 0
     val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
