@@ -134,6 +134,17 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // Per-user rolling velocity features: lag, trailing-3-row mean,
+    // 1-hour event count + value sum — one shuffle, all four features
+    // on one sort. Every feature value hash-checked.
+    "q128_velocity_features" -> ((s, dir) => {
+      graft.ext.Features.velocityFeatures(
+          t(s, dir, "events").select(col("user_id"), col("event_id"),
+            col("ts"), col("value")),
+          "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Gap-and-island sessionization (30-min inactivity gap), batch form.
     // One shuffle on user_id; both windows share the same partitioning.
     "q21_sessionize" -> ((s, dir) => {
@@ -288,6 +299,21 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical frames: (ts, event_id) row order, whole-epoch-second range
+    "q128_velocity_features" ->
+      """SELECT user_id, event_id, ts, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_value,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg_rows,
+        |  COUNT(*) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_range,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS sum_range
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
     // same two quantile passes as Stats.madOutliers; DuckDB median ==
     // quantile_cont(0.5) == Spark percentile(·, 0.5)
     "q121_mad_outliers" ->

@@ -82,6 +82,39 @@ class StatsSpec extends SparkSpec {
     assert(d.getAs[Int]("digit") == 2)
   }
 
+  test("velocityFeatures: hand-computed lag/rolling/range features") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // user A: events at 0s, 10s, 3600s, 7300s with values 1,2,3,4
+    val df = Seq(
+      (1L, 101L, ts(0), 1.0), (1L, 102L, ts(10), 2.0),
+      (1L, 103L, ts(3600), 3.0), (1L, 104L, ts(7300), 4.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = graft.ext.Features.velocityFeatures(df, "user_id", "ts",
+        "event_id", "value")
+      .orderBy("event_id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("prev_value")))
+    assert(out(1).getAs[Double]("prev_value") == 1.0)
+    // trailing-3-row means: 1, 1.5, 2, 3
+    assert(out.map(_.getAs[Double]("avg_rows")).toSeq ==
+      Seq(1.0, 1.5, 2.0, 3.0))
+    // 1h range (inclusive both ends): t=3600 still sees t=0 and t=10;
+    // t=7300 sees only itself
+    assert(out.map(_.getAs[Long]("n_range")).toSeq == Seq(1L, 2L, 3L, 1L))
+    assert(out.map(_.getAs[Double]("sum_range")).toSeq ==
+      Seq(1.0, 3.0, 6.0, 4.0))
+  }
+
+  test("velocityFeatures: one exchange feeds all four features") {
+    val df = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val plan = graft.ext.Features.velocityFeatures(df, "user_id", "ts",
+      "event_id", "value").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
   test("chiSquareIndependence: independent table scores 0, dependent scores n") {
     // perfectly independent 2x2: chi2 = 0
     val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
