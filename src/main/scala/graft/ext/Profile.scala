@@ -68,4 +68,44 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Functional-dependency discovery over every ordered column pair in
+    * `cols`: does `determinant → dependent` hold, and how nearly — the
+    * schema-inference / DQ-rule-mining profiler ("source determines
+    * lang" becomes a checkable constraint; a 0.98 strength surfaces the
+    * rows violating an almost-FD).
+    *
+    * Per pair: `n_groups` (distinct determinant values, nulls are a
+    * value), `n_violating` (determinant values mapping to >1 dependent),
+    * `fd_holds` (no violations), and `strength` — the g₃ measure: the
+    * fraction of rows that survive if each determinant group keeps only
+    * its majority dependent value (1.0 ⟺ exact FD).
+    *
+    * Scale: one (det, dep) cell-count shuffle per pair — the shuffled
+    * frames are cell-sized (map-side combine), and the k·(k−1) pair
+    * fan-out is over COLUMNS, not rows; profile a bounded column set,
+    * not a 1000-column table. */
+  def functionalDependencies(df: DataFrame, cols: Seq[String],
+      roundTo: Int = 6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      det <- cols; dep <- cols if det != dep
+    } yield {
+      val cells = df.groupBy(col(det).as("__det"), col(dep).as("__dep"))
+        .agg(count(lit(1)).as("__c"))
+      val perDet = cells.groupBy(col("__det"))
+        .agg(count(lit(1)).as("__nd"), sum(col("__c")).as("__tot"),
+          max(col("__c")).as("__maxc"))
+      perDet.agg(
+        lit(det).as("determinant"),
+        lit(dep).as("dependent"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__nd") > 1L, 1L).otherwise(0L)).as("n_violating"),
+        (sum(when(col("__nd") > 1L, 1L).otherwise(0L)) === 0L)
+          .as("fd_holds"),
+        round(sum(col("__maxc")).cast("double") /
+          sum(col("__tot")).cast("double"), roundTo).as("strength"))
+    }
+    pairs.reduce(_ unionByName _)
+  }
 }

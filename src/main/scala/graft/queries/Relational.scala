@@ -45,6 +45,16 @@ object Relational {
         .orderBy(col("o_orderpriority"), col("digit"))
     }),
 
+    // FD discovery over nation's columns: n_nationkey → n_name holds
+    // exactly (key → attribute), n_regionkey → n_name is far from an FD
+    // — every pair's group/violation counts and g3 strength
+    // hash-checked.
+    "q129_fd_profile" -> ((s, dir) => {
+      graft.ext.Profile.functionalDependencies(t(s, dir, "nation"),
+          Seq("n_nationkey", "n_name", "n_regionkey"))
+        .orderBy(col("determinant"), col("dependent"))
+    }),
+
     // Q1-style pricing summary: one shuffle on the two low-cardinality group
     // keys; exact decimal money math (Q.dsum).
     "q01_pricing_summary" -> ((s, dir) => {
@@ -351,7 +361,31 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }))
 
+  /** One FD pair's oracle block — the same cells → per-determinant →
+    * g3 aggregation `Profile.functionalDependencies` runs. */
+  private def fdBlock(det: String, dep: String): String =
+    s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+       |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds,
+       |  ROUND(CAST(SUM(maxc) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE), 6) AS strength
+       |FROM (
+       |  SELECT det, COUNT(*) AS nd, SUM(c) AS tot, MAX(c) AS maxc FROM (
+       |    SELECT $det AS det, $dep AS dep, COUNT(*) AS c
+       |    FROM nation GROUP BY 1, 2) GROUP BY det)""".stripMargin
+
+  private val q129Oracle: String = {
+    val cols = Seq("n_nationkey", "n_name", "n_regionkey")
+    val blocks = (for { a <- cols; b <- cols if a != b } yield fdBlock(a, b))
+      .mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$blocks
+       |) ORDER BY determinant, dependent""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q129_fd_profile" -> q129Oracle,
+
     // identical two-step arithmetic as Stats.groupedOls: exact decimal
     // sums cast to double, then the same closed-form expression tree
     "q120_grouped_ols" ->

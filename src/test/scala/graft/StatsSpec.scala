@@ -115,6 +115,22 @@ class StatsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("functionalDependencies: exact FD, broken FD, g3 strength") {
+    // a -> b holds; b -> a broken once (b=1 maps to a in {x,y});
+    // strength of b -> a: keep majority per b-group = 3 of 4 rows
+    val df = Seq(("x", 1), ("x", 1), ("y", 1), ("z", 2)).toDF("a", "b")
+    val rows = graft.ext.Profile.functionalDependencies(df, Seq("a", "b"))
+      .orderBy("determinant").collect()
+    val ab = rows(0)
+    assert(ab.getAs[Boolean]("fd_holds"))
+    assert(ab.getAs[Double]("strength") == 1.0)
+    assert(ab.getAs[Long]("n_groups") == 3L)
+    val ba = rows(1)
+    assert(!ba.getAs[Boolean]("fd_holds"))
+    assert(ba.getAs[Long]("n_violating") == 1L)
+    assert(ba.getAs[Double]("strength") == 0.75)
+  }
+
   test("chiSquareIndependence: independent table scores 0, dependent scores n") {
     // perfectly independent 2x2: chi2 = 0
     val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
