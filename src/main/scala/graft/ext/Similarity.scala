@@ -240,4 +240,63 @@ object Similarity {
       .agg(min(col("__a")).as("dup_of"), max(col("sim")).as("max_sim"),
         max(col("__kept")).as("matched_kept"))
   }
+
+  /** Embedding-space drift between two vector corpora — the
+    * representation-level release gate that pairs with
+    * [[Diff.tokenDistributionDrift]] (token drift sees surface change;
+    * centroid drift sees semantic change even under paraphrase, and a
+    * norm shift flags an embedding-model version mix-up before any
+    * ANN index is rebuilt against it).
+    *
+    * Output (one row): n_a, n_b, dim, avg_norm_a, avg_norm_b,
+    * centroid_cosine (cosine of the two mean vectors; 0 if either
+    * centroid is zero), centroid_l2 (euclidean distance between them).
+    *
+    * Scale: per-dim sums via posexplode + groupBy(pos) — the shuffled
+    * frame is dim-sized after map-side combine, never corpus-sized;
+    * row norms ride the scan ([[norm]] is the codegen'd VecDot);
+    * corpus sizes and the final combine are single-row broadcast
+    * cross-joins. Null/empty vectors are excluded from both the
+    * centroid and the norm averages. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      roundTo: Int = 6): DataFrame = {
+    def side(df: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val rows = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      val meta = rows.agg(count(lit(1)).as(s"n_$tag"),
+        max(size(col(vecCol))).cast(LongType).as(s"__dim_$tag"),
+        avg(norm(col(vecCol))).as(s"__an_$tag"))
+      val dims = rows
+        .select(posexplode(col(vecCol)).as(Seq("pos", "__v")))
+        .groupBy(col("pos"))
+        .agg(sum(col("__v").cast(DoubleType)).as(s"__s_$tag"))
+      (meta, dims)
+    }
+    val (ma, da) = side(a, "a")
+    val (mb, db) = side(b, "b")
+    // per-dim means need the corpus sizes: broadcast the 1-row metas
+    val dims = da.join(db, Seq("pos"), "full_outer")
+      .na.fill(0.0, Seq("__s_a", "__s_b"))
+      .crossJoin(broadcast(ma)).crossJoin(broadcast(mb))
+      .select(
+        (col("__s_a") / col("n_a").cast(DoubleType)).as("__ma"),
+        (col("__s_b") / col("n_b").cast(DoubleType)).as("__mb"))
+      .agg(sum(col("__ma") * col("__mb")).as("__ab"),
+        sum(col("__ma") * col("__ma")).as("__aa"),
+        sum(col("__mb") * col("__mb")).as("__bb"),
+        // direct Σ(ma−mb)² — the expanded aa−2ab+bb form cancels to a
+        // tiny NEGATIVE under FP when the centroids nearly coincide and
+        // sqrt would NaN
+        sum((col("__ma") - col("__mb")) * (col("__ma") - col("__mb")))
+          .as("__d2"))
+    ma.crossJoin(mb).crossJoin(broadcast(dims))
+      .select(
+        col("n_a"), col("n_b"),
+        greatest(col("__dim_a"), col("__dim_b")).as("dim"),
+        round(col("__an_a"), roundTo).as("avg_norm_a"),
+        round(col("__an_b"), roundTo).as("avg_norm_b"),
+        round(when(col("__aa") > 0.0 && col("__bb") > 0.0,
+          col("__ab") / (sqrt(col("__aa")) * sqrt(col("__bb"))))
+          .otherwise(lit(0.0)), roundTo).as("centroid_cosine"),
+        round(sqrt(col("__d2")), roundTo).as("centroid_l2"))
+  }
 }

@@ -16,6 +16,16 @@ object VectorQueries {
   type QFn = (SparkSession, String) => DataFrame
 
   val queries: Map[String, QFn] = Map(
+    // Embedding-space drift between the label-0 and label-1 vector
+    // populations: corpus sizes, mean norms, centroid cosine + L2 —
+    // the representation-level release gate. Hash-checked end-to-end.
+    "q130_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+        emb.filter(col("label") === 0),
+        emb.filter(col("label") === 1), "embedding")
+    }),
+
     // Exact ANN baseline: 16 query vectors against the full corpus,
     // query side broadcast so the corpus never shuffles.
     "q33_cosine_topk" -> ((s, dir) => {
@@ -157,6 +167,43 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same shapes: per-dim sums, mean-vector cosine, direct Σ(ma−mb)²
+    "q130_embedding_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE label = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |b AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE label = 1 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |ma AS (SELECT COUNT(*) AS n_a, CAST(MAX(len(e)) AS BIGINT) AS dim_a,
+        |         AVG(sqrt(list_inner_product(e, e))) AS an_a FROM a),
+        |mb AS (SELECT COUNT(*) AS n_b, CAST(MAX(len(e)) AS BIGINT) AS dim_b,
+        |         AVG(sqrt(list_inner_product(e, e))) AS an_b FROM b),
+        |da AS (SELECT pos, SUM(v) AS s FROM (
+        |         SELECT unnest(e) AS v, generate_subscripts(e, 1) AS pos
+        |         FROM a) GROUP BY pos),
+        |db AS (SELECT pos, SUM(v) AS s FROM (
+        |         SELECT unnest(e) AS v, generate_subscripts(e, 1) AS pos
+        |         FROM b) GROUP BY pos),
+        |dims AS (
+        |  SELECT
+        |    COALESCE(da.s, 0) / (SELECT CAST(n_a AS DOUBLE) FROM ma) AS mma,
+        |    COALESCE(db.s, 0) / (SELECT CAST(n_b AS DOUBLE) FROM mb) AS mmb
+        |  FROM da FULL OUTER JOIN db ON da.pos = db.pos),
+        |agg AS (
+        |  SELECT SUM(mma * mmb) AS ab, SUM(mma * mma) AS aa,
+        |    SUM(mmb * mmb) AS bb,
+        |    SUM((mma - mmb) * (mma - mmb)) AS d2
+        |  FROM dims)
+        |SELECT CAST(ma.n_a AS BIGINT) AS n_a, CAST(mb.n_b AS BIGINT) AS n_b,
+        |  greatest(ma.dim_a, mb.dim_b) AS dim,
+        |  ROUND(ma.an_a, 6) AS avg_norm_a,
+        |  ROUND(mb.an_b, 6) AS avg_norm_b,
+        |  ROUND(CASE WHEN agg.aa > 0 AND agg.bb > 0
+        |    THEN agg.ab / (sqrt(agg.aa) * sqrt(agg.bb)) ELSE 0.0 END, 6)
+        |    AS centroid_cosine,
+        |  ROUND(sqrt(agg.d2), 6) AS centroid_l2
+        |FROM ma, mb, agg""".stripMargin,
     "q33_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 16),

@@ -690,6 +690,25 @@ class ExtSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("sample_rank")).sorted.toSeq == Seq(1, 2))
   }
 
+  test("embeddingDrift: identical, orthogonal, and empty-vector handling") {
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val same = graft.ext.Similarity.embeddingDrift(a, a, "embedding")
+      .collect().head
+    assert(same.getAs[Double]("centroid_cosine") == 1.0)
+    assert(same.getAs[Double]("centroid_l2") == 0.0)
+    assert(same.getAs[Double]("avg_norm_a") == 1.0)
+    assert(same.getAs[Long]("dim") == 2L)
+    val b = Seq((3L, Seq(0.0f, 1.0f)),
+      (4L, Seq.empty[Float])) // empty vector excluded from both stats
+      .toDF("vec_id", "embedding")
+    val orth = graft.ext.Similarity.embeddingDrift(a, b, "embedding")
+      .collect().head
+    assert(orth.getAs[Long]("n_b") == 1L)
+    assert(orth.getAs[Double]("centroid_cosine") == 0.0)
+    assert(orth.getAs[Double]("centroid_l2") == 1.414214) // √2 rounded
+  }
+
   test("tokenDistributionDrift: identical corpora diverge 0, disjoint diverge 1") {
     val a = Seq((1L, "x y z"), (2L, "x x w")).toDF("doc_id", "text")
     val same = graft.ext.Diff.tokenDistributionDrift(a, a, "text")
