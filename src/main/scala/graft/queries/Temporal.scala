@@ -134,6 +134,22 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // Incremental aggregate maintenance: three disjoint per-partition
+    // states built independently, k-way merged, finalized — the oracle
+    // recomputes from the FULL table, so the hash check proves
+    // incremental ≡ full recompute bit-exactly (associative decimal
+    // state algebra).
+    "q131_incremental_agg" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val states = Seq(0, 1, 2).map(i =>
+        graft.ops.IncrementalAgg.aggState(
+          e.filter(col("event_id") % 3 === i), Seq("event_type"), "value"))
+      graft.ops.IncrementalAgg.finalizeState(
+          graft.ops.IncrementalAgg.mergeStates(states, Seq("event_type")),
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // Per-user rolling velocity features: lag, trailing-3-row mean,
     // 1-hour event count + value sum — one shuffle, all four features
     // on one sort. Every feature value hash-checked.
@@ -299,6 +315,18 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // full recompute — equality with the merged incremental states IS
+    // the check
+    "q131_incremental_agg" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(CAST(value AS DOUBLE)) AS min_value,
+        |  MAX(CAST(value AS DOUBLE)) AS max_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // identical frames: (ts, event_id) row order, whole-epoch-second range
     "q128_velocity_features" ->
       """SELECT user_id, event_id, ts, value,

@@ -431,4 +431,41 @@ class OpsSpec extends SparkSpec {
       (d(2), 0L, 1L, 1L, 1.0),
       (d(2), 2L, 1L, 1L, 1.0)))   // user 3 back on day 4
   }
+
+  test("IncrementalAgg: merged partition states equal the full recompute") {
+    import graft.ops.IncrementalAgg._
+    val full = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val parts = Seq(0, 1, 2).map(i => full.filter(col("event_id") % 3 === i))
+    val keys = Seq("event_type")
+    val merged = finalizeState(
+      mergeStates(parts.map(aggState(_, keys, "value")), keys), keys)
+      .orderBy("event_type").collect().toSeq
+    val direct = finalizeState(aggState(full, keys, "value"), keys)
+      .orderBy("event_type").collect().toSeq
+    assert(merged == direct) // bit-exact, decimal state algebra
+    // merge is associative: ((a ⊕ b) ⊕ c) == (a ⊕ (b ⊕ c))
+    val s = parts.map(aggState(_, keys, "value"))
+    val left = finalizeState(
+      mergeStates(Seq(mergeStates(Seq(s(0), s(1)), keys), s(2)), keys), keys)
+      .orderBy("event_type").collect().toSeq
+    val right = finalizeState(
+      mergeStates(Seq(s(0), mergeStates(Seq(s(1), s(2)), keys)), keys), keys)
+      .orderBy("event_type").collect().toSeq
+    assert(left == right && left == direct)
+  }
+
+  test("IncrementalAgg: empty delta is the merge identity") {
+    import graft.ops.IncrementalAgg._
+    val full = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("value"))
+    val keys = Seq("event_type")
+    val state = aggState(full, keys, "value")
+    val empty = aggState(full.filter(lit(false)), keys, "value")
+    val merged = finalizeState(mergeStates(Seq(state, empty), keys), keys)
+      .orderBy("event_type").collect().toSeq
+    val direct = finalizeState(state, keys)
+      .orderBy("event_type").collect().toSeq
+    assert(merged == direct)
+  }
 }
