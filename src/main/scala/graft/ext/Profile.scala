@@ -85,6 +85,42 @@ object Profile {
     * frames are cell-sized (map-side combine), and the k·(k−1) pair
     * fan-out is over COLUMNS, not rows; profile a bounded column set,
     * not a 1000-column table. */
+  /** Key-skew diagnostics over candidate join/group columns — the
+    * "should this key be broadcast, salted, or AQE-skew-split" report.
+    * For each column: its heaviest `topN` values with count, share of
+    * rows, and rank, plus the column's distinct count and row total on
+    * every row. A 0.4-share key is a salting candidate; a 50-distinct
+    * column is a broadcast-dim signal; both are visible at a glance.
+    *
+    * All columns profile through ONE shuffle: values melt to
+    * (column, value-as-string) pairs first (map-side combine collapses
+    * them to cell counts), then per-column totals and the top-N window
+    * run on the cell-sized frame. Null is a value (it skews joins like
+    * any other); rank order is (count desc, value asc NULLS FIRST) —
+    * pinned because engines disagree on default null order. */
+  def skewReport(df: DataFrame, cols: Seq[String], topN: Int = 5,
+      roundTo: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(topN > 0, "topN must be > 0")
+    val melted = df.select(explode(map(
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+      .as(Seq("column_name", "value")))
+    val counts = melted.groupBy(col("column_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("column_name"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_distinct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column_name"))
+      .orderBy(col("n").desc, col("value").asc_nulls_first)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .join(broadcast(totals), Seq("column_name"))
+      .select(col("column_name"), col("value"), col("n"),
+        round(col("n").cast("double") / col("n_rows").cast("double"),
+          roundTo).as("share"),
+        col("rnk"), col("n_distinct"), col("n_rows"))
+  }
+
   def functionalDependencies(df: DataFrame, cols: Seq[String],
       roundTo: Int = 6): DataFrame = {
     require(cols.size >= 2, "need at least two columns")

@@ -393,6 +393,15 @@ object TextQueries {
         docs.filter(col("lang") === "de"), "text", k = 20)
     }),
 
+    // Key-skew diagnostics (broadcast/salt/AQE-split advisor): heaviest
+    // values + share + distincts for lang and source, all columns
+    // through one melted shuffle. Hash-checked.
+    "q132_skew_report" -> ((s, dir) => {
+      graft.ext.Profile.skewReport(t(s, dir, "documents"),
+          Seq("lang", "source"), topN = 3)
+        .orderBy(col("column_name"), col("rnk"))
+    }),
+
     // Weighted sample without replacement (A-ES exponential keys,
     // length-weighted, 10 docs per lang): the deterministic draw and
     // its selection order both hash-checked — the md5-derived dyadic
@@ -1632,6 +1641,29 @@ object TextQueries {
         |FROM v, t
         |ORDER BY abs(ROUND(CAST(v.ccb AS DOUBLE) / t.nb - CAST(v.cca AS DOUBLE) / t.na, 6)) DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // per-column cell counts → totals → pinned-null-order top-N rank
+    "q132_skew_report" -> {
+      def block(c: String) =
+        s"""SELECT column_name, value, CAST(n AS BIGINT) AS n,
+           |  ROUND(CAST(n AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6) AS share,
+           |  CAST(rnk AS INT) AS rnk, t.n_distinct, t.n_rows
+           |FROM (
+           |  SELECT '$c' AS column_name, value, n,
+           |    ROW_NUMBER() OVER (ORDER BY n DESC, value ASC NULLS FIRST) AS rnk
+           |  FROM (SELECT CAST($c AS VARCHAR) AS value, COUNT(*) AS n
+           |        FROM documents GROUP BY 1)) r,
+           |  (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           |          CAST(COUNT(*) AS BIGINT) AS n_distinct
+           |   FROM (SELECT CAST($c AS VARCHAR) AS value, COUNT(*) AS n
+           |         FROM documents GROUP BY 1)) t
+           |WHERE rnk <= 3""".stripMargin
+      s"""SELECT * FROM (
+         |${block("lang")}
+         |UNION ALL
+         |${block("source")}
+         |) ORDER BY column_name, rnk""".stripMargin
+    },
 
     // same A-ES key arithmetic: dyadic uniform from the md5 hash, -ln/w
     "q125_weighted_sample" ->

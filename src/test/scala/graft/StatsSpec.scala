@@ -115,6 +115,21 @@ class StatsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("skewReport surfaces heavy keys, nulls, and distinct counts") {
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b") ++
+      Seq(null.asInstanceOf[String], null.asInstanceOf[String]))
+      .map(Tuple1(_)).toDF("k")
+    val rows = graft.ext.Profile.skewReport(df, Seq("k"), topN = 2)
+      .orderBy("rnk").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("value") == "hot")
+    assert(rows(0).getAs[Double]("share") == 0.6)
+    // null is a value and ranks by its count (2, tied with nothing)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("value")))
+    assert(rows(0).getAs[Long]("n_distinct") == 4L)
+    assert(rows(0).getAs[Long]("n_rows") == 10L)
+  }
+
   test("functionalDependencies: exact FD, broken FD, g3 strength") {
     // a -> b holds; b -> a broken once (b=1 maps to a in {x,y});
     // strength of b -> a: keep majority per b-group = 3 of 4 rows
