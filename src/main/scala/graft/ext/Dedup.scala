@@ -750,20 +750,31 @@ object Dedup {
       shingleSize: Int = 3, window: Int = 4, maxDf: Int = 20,
       minShared: Int = 2,
       hash: Column => Column = graft.ext.TextStats.md5Hash64): DataFrame = {
+    // persisted: the exploded fingerprint frame feeds the df screen AND
+    // both sides of the pair self-join — without the cache the whole
+    // tokenize/gram-hash/window-min pipeline would re-run per branch
+    // (the minHashLsh eager pattern; the pair output is small, so
+    // materialize it before releasing the cache)
     val fps = graft.ext.TextStats
       .winnowingFingerprint(docs, idCol, textCol, shingleSize, window, hash)
       .select(col(idCol).as("id"), explode(col("fingerprint")).as("fp"))
+      .persist()
+    fps.count()
     // fingerprint arrays are distinct per doc, so count(*) per fp IS the
     // document frequency
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("fp"))
     val screened = fps.join(rare, Seq("fp"), "left_semi")
-    screened.select(col("fp"), col("id").as("id_a"))
+    val result = screened.select(col("fp"), col("id").as("id_a"))
       .join(screened.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .persist()
+    result.count()
+    fps.unpersist(blocking = false)
+    result
   }
 }

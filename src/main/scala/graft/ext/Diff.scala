@@ -81,10 +81,11 @@ object Diff {
     * convention). */
   def tokenDistributionDrift(a: DataFrame, b: DataFrame, textCol: String,
       roundTo: Int = 6): DataFrame = {
-    val ca = tokenCounts(a, textCol).select(col("tok"), col("c").as("__ca"))
-    val cb = tokenCounts(b, textCol).select(col("tok"), col("c").as("__cb"))
-    val vocab = ca.join(cb, Seq("tok"), "full_outer")
-      .na.fill(0L, Seq("__ca", "__cb"))
+    // persisted: the vocabulary frame feeds the totals aggregate AND the
+    // divergence pass — uncached, both corpora would tokenize twice.
+    // Eagerly released by the single-row result materialization below.
+    val vocab = joinedVocab(a, b, textCol).persist()
+    vocab.count()
     val tot = vocab.agg(sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"))
     val w = vocab.crossJoin(broadcast(tot))
@@ -94,7 +95,7 @@ object Diff {
     val term =
       when(col("__ca") > 0L, lit(0.5) * p * log2(p / m)).otherwise(0.0) +
         when(col("__cb") > 0L, lit(0.5) * q * log2(q / m)).otherwise(0.0)
-    w.agg(
+    val out = w.agg(
       sum(col("__ca")).as("n_tokens_a"),
       sum(col("__cb")).as("n_tokens_b"),
       sum(when(col("__ca") > 0L, 1L).otherwise(0L)).as("vocab_a"),
@@ -102,7 +103,18 @@ object Diff {
       sum(when(col("__ca") > 0L && col("__cb") > 0L, 1L).otherwise(0L))
         .as("vocab_shared"),
       round(sum(term), roundTo).as("js_divergence"))
+      .persist()
+    out.count()
+    vocab.unpersist(blocking = false)
+    out
   }
+
+  private def joinedVocab(a: DataFrame, b: DataFrame,
+      textCol: String): DataFrame =
+    tokenCounts(a, textCol).select(col("tok"), col("c").as("__ca"))
+      .join(tokenCounts(b, textCol).select(col("tok"), col("c").as("__cb")),
+        Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
 
   /** The per-token view of [[tokenDistributionDrift]]: each token's
     * probability under both corpora and the shift between them, top
@@ -115,20 +127,25 @@ object Diff {
   def topDriftedTokens(a: DataFrame, b: DataFrame, textCol: String,
       k: Int = 20, roundTo: Int = 6): DataFrame = {
     require(k > 0, "k must be > 0")
-    val ca = tokenCounts(a, textCol).select(col("tok"), col("c").as("__ca"))
-    val cb = tokenCounts(b, textCol).select(col("tok"), col("c").as("__cb"))
-    val vocab = ca.join(cb, Seq("tok"), "full_outer")
-      .na.fill(0L, Seq("__ca", "__cb"))
+    // same double-scan shape as tokenDistributionDrift: cache the vocab
+    // across the totals aggregate and the shift pass, release it once
+    // the (k-row) result is materialized
+    val vocab = joinedVocab(a, b, textCol).persist()
+    vocab.count()
     val tot = vocab.agg(sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"))
     val w = vocab.crossJoin(broadcast(tot))
     val p = col("__ca").cast("double") / col("__na").cast("double")
     val q = col("__cb").cast("double") / col("__nb").cast("double")
-    w.select(col("tok"),
+    val out = w.select(col("tok"),
         round(p, roundTo).as("p_a"),
         round(q, roundTo).as("p_b"),
         round(q - p, roundTo).as("shift"))
       .orderBy(abs(col("shift")).desc, col("tok"))
       .limit(k)
+      .persist()
+    out.count()
+    vocab.unpersist(blocking = false)
+    out
   }
 }

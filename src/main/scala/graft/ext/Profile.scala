@@ -105,20 +105,29 @@ object Profile {
     val melted = df.select(explode(map(
       cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
       .as(Seq("column_name", "value")))
+    // persisted: the cell counts feed both the per-column totals and the
+    // top-N window — uncached, the melt + count shuffle would run twice.
+    // Released once the (topN × |cols|)-row result materializes.
     val counts = melted.groupBy(col("column_name"), col("value"))
       .agg(count(lit(1)).as("n"))
+      .persist()
+    counts.count()
     val totals = counts.groupBy(col("column_name"))
       .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_distinct"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("column_name"))
       .orderBy(col("n").desc, col("value").asc_nulls_first)
-    counts.withColumn("rnk", row_number().over(w))
+    val out = counts.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topN)
       .join(broadcast(totals), Seq("column_name"))
       .select(col("column_name"), col("value"), col("n"),
         round(col("n").cast("double") / col("n_rows").cast("double"),
           roundTo).as("share"),
         col("rnk"), col("n_distinct"), col("n_rows"))
+      .persist()
+    out.count()
+    counts.unpersist(blocking = false)
+    out
   }
 
   def functionalDependencies(df: DataFrame, cols: Seq[String],

@@ -163,9 +163,15 @@ object Stats {
     val gcols = groupCols.map(col)
     val v = abs(col(valueCol).cast(DoubleType))
     val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    // persisted: the cell counts feed the group totals, the scaffold
+    // join and (via `full`) the χ² aggregate — uncached, the raw scan +
+    // digit extraction would re-run per branch. Cells are 9 × |groups|
+    // at most; the result materialization below releases the cache.
     val cells = df.filter(col(valueCol).isNotNull && v > 0.0)
       .groupBy(gcols :+ digit.as("digit"): _*)
       .agg(count(lit(1)).as("n_d"))
+      .persist()
+    cells.count()
     // group × digit scaffold so zero-observation digits surface
     val groups = cells.groupBy(gcols: _*).agg(sum(col("n_d")).as("n"))
     val scaffold = groups.crossJoin(broadcast(
@@ -180,11 +186,15 @@ object Stats {
         (col("n_d").cast(DoubleType) - col("n").cast(DoubleType) * col("__pexp")) *
           (col("n_d").cast(DoubleType) - col("n").cast(DoubleType) * col("__pexp")) /
           (col("n").cast(DoubleType) * col("__pexp"))).as("__chi2"))
-    full.join(broadcast(chi2), groupCols)
+    val out = full.join(broadcast(chi2), groupCols)
       .select(gcols ++ Seq(col("digit"), col("n_d"),
         round(col("n_d").cast(DoubleType) / col("n").cast(DoubleType),
           roundTo).as("p_obs"),
         round(col("__pexp"), roundTo).as("p_exp"),
         round(col("__chi2"), roundTo).as("chi2")): _*)
+      .persist()
+    out.count()
+    cells.unpersist(blocking = false)
+    out
   }
 }
