@@ -316,6 +316,32 @@ object ScaleSmoke {
     time("2M-edge PageRank (5 iterations, 500k vertices)") {
       ext.Graph.pageRank(links, iters = 5).count() }
 
+    // same edge volume through label propagation: per round one
+    // vote-count shuffle + keyed argmax — also linear in edges × iters
+    time("2M-edge label propagation (5 rounds, 500k vertices)") {
+      ext.Graph.labelPropagation(links, iters = 5).count() }
+
+    // winnowing pair matcher: fingerprint explode is ~2/(w+1) of corpus
+    // grams, the df screen caps per-key join fan-out at maxDf² — pair
+    // time must track corpus size, not corpus²
+    time("500k docs winnowing near-dup pairs (df-screened)") {
+      ext.Dedup.winnowPairs(syntheticDocs(spark, 500000), "doc_id",
+        "text", maxDf = 20, minShared = 2,
+        hash = org.apache.spark.sql.functions.xxhash64(_)).count() }
+
+    // rolling velocity features: one shuffle on the entity, all four
+    // features on one sort — linear in events
+    time("2M events velocity features (lag/rolling/range)") {
+      val ev = spark.range(2000000).select(
+        pmod(col("id"), lit(200000L)).as("user_id"),
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("id"), lit("t")), lit(86400L * 30))).as("ts"),
+        (pmod(xxhash64(col("id"), lit("v")), lit(10000L)).cast(DoubleType)
+          / 100.0).as("value"))
+      ext.Features.velocityFeatures(ev, "user_id", "ts", "event_id",
+        "value").count() }
+
     // q96 flagship composition at 2 volumes: with computeStats=false the
     // driver choreography is FIXED — the Spark job count must not grow
     // with data, only per-job work does. Job ids are counted per run via

@@ -141,6 +141,121 @@ object Stats {
     out
   }
 
+  /** Population stability index between a reference and a current
+    * numeric population — the model-ops drift gate for numeric
+    * features, completing the drift family ([[Diff.tokenDistributionDrift]]
+    * tokens, [[Similarity.embeddingDrift]] vectors, this one scalars).
+    * Bins are the reference's exact decile cuts (so "no drift" always
+    * reads ~0.1 per reference bin regardless of the distribution's
+    * shape); PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref), with shares
+    * floored at `floorShare` so empty bins contribute a large-but-
+    * finite penalty (the standard convention; PSI > 0.25 ⇒ drifted).
+    *
+    * Output: one row per bin (bin 1..`bins`, n_ref, n_cur, p_ref,
+    * p_cur, contrib) with the total `psi` repeated on each row.
+    *
+    * Scale: the cut points are ONE bounded driver collect (bins−1
+    * doubles — the IVF-centroid pattern); binning is a literal
+    * comparison chain riding both scans; shares are one keyed
+    * aggregate per side. Null values are excluded. */
+  def populationStability(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10, floorShare: Double = 1e-6,
+      roundTo: Int = 6): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val cuts: Seq[Double] = ref
+      .filter(col(valueCol).isNotNull)
+      .agg(percentile(col(valueCol).cast(DoubleType),
+        typedlit(probs)).as("c"))
+      .head().getSeq[Double](0)
+    def binOf: Column = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(valueCol).cast(DoubleType) > c, 1).otherwise(0)
+    }
+    def shares(df: DataFrame, tag: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(binOf.as("bin")).agg(count(lit(1)).as(s"n_$tag"))
+    val spark = ref.sparkSession
+    val scaffold = spark.range(1, bins + 1)
+      .select(col("id").cast("int").as("bin"))
+    val joined = scaffold
+      .join(shares(ref, "ref"), Seq("bin"), "left")
+      .join(shares(cur, "cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .persist()
+    joined.count()
+    val tot = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val withShares = joined.crossJoin(broadcast(tot))
+      .withColumn("__pr", greatest(
+        col("n_ref").cast(DoubleType) / col("__tr").cast(DoubleType),
+        lit(floorShare)))
+      .withColumn("__pc", greatest(
+        col("n_cur").cast(DoubleType) / col("__tc").cast(DoubleType),
+        lit(floorShare)))
+      .withColumn("__contrib",
+        (col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")))
+    val psi = withShares.agg(sum(col("__contrib")).as("__psi"))
+    val out = withShares.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__pr"), roundTo).as("p_ref"),
+        round(col("__pc"), roundTo).as("p_cur"),
+        round(col("__contrib"), roundTo).as("contrib"),
+        round(col("__psi"), roundTo).as("psi"))
+      .persist()
+    out.count()
+    joined.unpersist(blocking = false)
+    out
+  }
+
+  /** Welch's two-sample t-test between `groupA` and `groupB` of
+    * `groupCol` on `valueCol`: difference in means over the unpooled
+    * standard error, with Welch–Satterthwaite degrees of freedom — the
+    * A/B-experiment primitive that doesn't assume equal variances.
+    * Sums and sums-of-squares accumulate in DECIMAL (exact, order-free)
+    * from the fixed-point input; the t/df algebra runs in double on
+    * those exact operands. Output (one row): n_a, n_b, mean_a, mean_b,
+    * var_a, var_b (sample variances), t_stat, df. Groups with fewer
+    * than 2 rows or zero variance in both yield null t/df. One shuffle
+    * on the group key. */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String,
+      decimals: DecimalType = DecimalType(18, 2),
+      roundTo: Int = 6): DataFrame = {
+    val v = col(valueCol).cast(decimals)
+    val agg = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast(DoubleType).as("s"),
+        sum(v * v).cast(DoubleType).as("ss"))
+      .withColumn("m", col("s") / col("n").cast(DoubleType))
+      .withColumn("var", when(col("n") > 1L,
+        (col("n").cast(DoubleType) * col("ss") - col("s") * col("s")) /
+          (col("n").cast(DoubleType) *
+            (col("n").cast(DoubleType) - lit(1.0)))))
+    val a = agg.filter(col(groupCol) === groupA)
+      .select(col("n").as("n_a"), col("m").as("__ma"),
+        col("var").as("__va"))
+    val b = agg.filter(col(groupCol) === groupB)
+      .select(col("n").as("n_b"), col("m").as("__mb"),
+        col("var").as("__vb"))
+    val sa = col("__va") / col("n_a").cast(DoubleType)
+    val sb = col("__vb") / col("n_b").cast(DoubleType)
+    val se2 = sa + sb
+    a.crossJoin(b).select(
+      col("n_a"), col("n_b"),
+      round(col("__ma"), roundTo).as("mean_a"),
+      round(col("__mb"), roundTo).as("mean_b"),
+      round(col("__va"), roundTo).as("var_a"),
+      round(col("__vb"), roundTo).as("var_b"),
+      round(when(se2 > 0.0,
+        (col("__ma") - col("__mb")) / sqrt(se2)), roundTo).as("t_stat"),
+      round(when(se2 > 0.0,
+        se2 * se2 / (sa * sa / (col("n_a").cast(DoubleType) - lit(1.0)) +
+          sb * sb / (col("n_b").cast(DoubleType) - lit(1.0)))), roundTo)
+        .as("df"))
+  }
+
   /** Benford's-law deviation screen (the classic fabricated-amounts
     * test): per group, the observed leading-significant-digit
     * distribution of |valueCol| against Benford's p(d) = log₁₀(1+1/d),

@@ -134,6 +134,24 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // Numeric-feature drift: PSI of purchase values against click
+    // values on the reference's exact decile bins — every bin share,
+    // contribution and the total PSI hash-checked.
+    "q133_psi" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.ext.Stats.populationStability(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"), "value")
+        .orderBy(col("bin"))
+    }),
+
+    // Welch's t-test between click and purchase values: decimal-exact
+    // moment sums, unpooled SE, Welch–Satterthwaite df. Hash-checked.
+    "q134_welch_ttest" -> ((s, dir) => {
+      graft.ext.Stats.welchTTest(t(s, dir, "events"), "event_type",
+        "value", "click", "purchase")
+    }),
+
     // Incremental aggregate maintenance: three disjoint per-partition
     // states built independently, k-way merged, finalized — the oracle
     // recomputes from the FULL table, so the hash check proves
@@ -315,6 +333,76 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // same decile cuts (quantile_cont array == Spark percentile array),
+    // same list-filter binning, floor, and ln contributions
+    "q133_psi" ->
+      """WITH r AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |c AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |cuts AS (SELECT quantile_cont(v,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM r),
+        |rb AS (SELECT 1 + len(list_filter((SELECT q FROM cuts),
+        |         x -> v > x)) AS bin FROM r),
+        |cb AS (SELECT 1 + len(list_filter((SELECT q FROM cuts),
+        |         x -> v > x)) AS bin FROM c),
+        |rs AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY bin),
+        |cs AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY bin),
+        |sc AS (SELECT CAST(i AS INT) AS bin FROM range(1, 11) t(i)),
+        |j AS (
+        |  SELECT sc.bin, CAST(COALESCE(rs.n_ref, 0) AS BIGINT) AS n_ref,
+        |    CAST(COALESCE(cs.n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM sc LEFT JOIN rs ON sc.bin = rs.bin
+        |  LEFT JOIN cs ON sc.bin = cs.bin),
+        |tt AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+        |              CAST(SUM(n_cur) AS DOUBLE) AS tc FROM j),
+        |w AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    greatest(CAST(n_ref AS DOUBLE) / tt.tr, 1e-6) AS pr,
+        |    greatest(CAST(n_cur AS DOUBLE) / tt.tc, 1e-6) AS pc
+        |  FROM j, tt),
+        |p AS (SELECT SUM((pc - pr) * ln(pc / pr)) AS psi FROM w)
+        |SELECT bin, n_ref, n_cur,
+        |  ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+        |  ROUND((pc - pr) * ln(pc / pr), 6) AS contrib,
+        |  ROUND(p.psi, 6) AS psi
+        |FROM w, p ORDER BY bin""".stripMargin,
+
+    // identical moment algebra: decimal-exact s/ss, then the same
+    // double expression tree for mean/var/t/df
+    "q134_welch_ttest" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY event_type),
+        |a AS (
+        |  SELECT n AS n_a, s / CAST(n AS DOUBLE) AS ma,
+        |    CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * ss - s * s)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS va
+        |  FROM g WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT n AS n_b, s / CAST(n AS DOUBLE) AS mb,
+        |    CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * ss - s * s)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS vb
+        |  FROM g WHERE event_type = 'purchase')
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND(va, 6) AS var_a, ROUND(vb, 6) AS var_b,
+        |  ROUND(CASE WHEN va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
+        |    THEN (ma - mb) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) END, 6) AS t_stat,
+        |  ROUND(CASE WHEN va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
+        |    THEN (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+        |       * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+        |       / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+        |          + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) END, 6) AS df
+        |FROM a, b""".stripMargin,
+
     // full recompute — equality with the merged incremental states IS
     // the check
     "q131_incremental_agg" ->

@@ -53,6 +53,34 @@ class StatsSpec extends SparkSpec {
     assert(c.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("populationStability: identical populations score 0, shifted drift") {
+    val ref = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val same = Stats.populationStability(ref, ref, "v").collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getAs[Double]("psi") == 0.0))
+    assert(same.forall(_.getAs[Double]("contrib") == 0.0))
+    // decile bins of the reference each hold ~10% of the reference
+    assert(same.forall(r => math.abs(r.getAs[Double]("p_ref") - 0.1) < 0.02))
+    // shift by +900: most current mass lands in the top bins
+    val cur = (1 to 1000).map(i => Tuple1(i.toDouble + 900.0)).toDF("v")
+    val drift = Stats.populationStability(ref, cur, "v").collect()
+    assert(drift.head.getAs[Double]("psi") > 0.25)
+  }
+
+  test("welchTTest matches the hand-computed closed form") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.welchTTest(df, "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("mean_b") == 4.0)
+    assert(r.getAs[Double]("var_a") == 1.0)
+    assert(r.getAs[Double]("var_b") == 4.0)
+    // t = -2/sqrt(1/3 + 4/3); df = (5/3)^2 / ((1/9)/2 + (16/9)/2) = 50/17
+    assert(r.getAs[Double]("t_stat") == -1.549193)
+    assert(r.getAs[Double]("df") == 2.941176)
+  }
+
   test("benfordDeviation: digit extraction, scaffold, and deviation ordering") {
     // benford-ish group: digit counts ~ proportional to log10(1+1/d)
     val benfordish = Seq.fill(30)(1.0) ++ Seq.fill(18)(2.0) ++
