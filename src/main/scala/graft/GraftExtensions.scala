@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg, SimHashAgg, VecDot, VecL2Sq}
+import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg, SimHashAgg, VecDot, VecL2Sq, WinnowHashes}
 
 /** SQL surface for the engine's native expressions — `spark.sql(...)`
   * callers get the same codegen'd/imperative kernels the Column API uses:
@@ -14,6 +14,7 @@ import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg,
   *  - `vec_l2sq(a, b)`           codegen'd squared L2 distance
   *  - `gram_mix_hashes(text, n)` distinct word-n-gram hash set
   *  - `gram_pos_hashes(text, n)` position-aligned word-n-gram hashes
+  *  - `winnow_hashes(text, n, window, exact)` winnowing fingerprint selection
   *  - `simhash_agg(hash)`        aggregate: 64-bit SimHash of a hash column
   *  - `minhash_agg(hash, k)`     aggregate: k-slot one-permutation MinHash
   *  - `misra_gries_agg(item[, weight], capacity)` aggregate: frequent-item candidates
@@ -57,6 +58,17 @@ object GraftExtensions {
     require(exprs.length == 2, "gram_pos_hashes(text, n) takes two arguments")
     GramPosHashes(exprs.head, intLit(exprs(1), "gram_pos_hashes", "n"))
   }
+  private def mkWinnow(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      "winnow_hashes(text, n, window, exact) takes four arguments")
+    val exact = exprs(3) match {
+      case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+      case other => throw new IllegalArgumentException(
+        s"winnow_hashes: exact must be a boolean literal, got $other")
+    }
+    WinnowHashes(exprs.head, intLit(exprs(1), "winnow_hashes", "n"),
+      intLit(exprs(2), "winnow_hashes", "window"), exact)
+  }
   private def mkSimHash(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, "simhash_agg(hash) takes one argument")
     SimHashAgg(exprs.head)
@@ -90,6 +102,7 @@ object GraftExtensions {
     descriptor("vec_l2sq", classOf[VecL2Sq], mkVecL2Sq),
     descriptor("gram_mix_hashes", classOf[GramMixHashes], mkGramMix),
     descriptor("gram_pos_hashes", classOf[GramPosHashes], mkGramPos),
+    descriptor("winnow_hashes", classOf[WinnowHashes], mkWinnow),
     descriptor("simhash_agg", classOf[SimHashAgg], mkSimHash),
     descriptor("minhash_agg", classOf[MinHashAgg], mkMinHash),
     descriptor("misra_gries_agg", classOf[MisraGriesAgg], mkMisraGries))

@@ -326,8 +326,7 @@ object ScaleSmoke {
     // time must track corpus size, not corpus²
     time("500k docs winnowing near-dup pairs (df-screened)") {
       ext.Dedup.winnowPairs(syntheticDocs(spark, 500000), "doc_id",
-        "text", maxDf = 20, minShared = 2,
-        hash = org.apache.spark.sql.functions.xxhash64(_)).count() }
+        "text", maxDf = 20, minShared = 2, exact = false).count() }
 
     // rolling velocity features: one shuffle on the entity, all four
     // features on one sort — linear in events

@@ -748,15 +748,19 @@ object Dedup {
     * oracle-checkable; swap xxhash64 for raw throughput. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, window: Int = 4, maxDf: Int = 20,
-      minShared: Int = 2,
-      hash: Column => Column = graft.ext.TextStats.md5Hash64): DataFrame = {
+      minShared: Int = 2, exact: Boolean = true): DataFrame = {
     // persisted: the exploded fingerprint frame feeds the df screen AND
     // both sides of the pair self-join — without the cache the whole
     // tokenize/gram-hash/window-min pipeline would re-run per branch
     // (the minHashLsh eager pattern; the pair output is small, so
-    // materialize it before releasing the cache)
+    // materialize it before releasing the cache). Fingerprints come
+    // from the native one-pass WinnowHashes expression; `exact = true`
+    // keeps the md5-derived oracle-checkable gram values, `false` the
+    // faster fold hash (value space free — only equality joins consume
+    // the fingerprints).
     val fps = graft.ext.TextStats
-      .winnowingFingerprint(docs, idCol, textCol, shingleSize, window, hash)
+      .winnowingFingerprintNative(docs, idCol, textCol, shingleSize,
+        window, exact)
       .select(col(idCol).as("id"), explode(col("fingerprint")).as("fp"))
       .persist()
     fps.count()

@@ -188,6 +188,23 @@ object TextStats {
     * default hash is xxhash64 over word k-grams (character k-grams work the
     * same way, swap the tokenizer); pass [[md5Hash64]] for oracle-checkable
     * fingerprints. */
+  /** [[winnowingFingerprint]] through the native
+    * [[graft.functions.WinnowHashes]] expression — one imperative pass
+    * per row instead of an interpreted lambda per window element (the
+    * HOF form measured 176 s on 500k docs; this is the production
+    * path). `exact = true` hashes grams exactly like
+    * [[md5Hash64]]`(concat_ws(" ", gram))` — bit-identical output to
+    * the Column form, oracle-checkable; `exact = false` uses the
+    * GramHashing fold (set semantics, throughput). */
+  def winnowingFingerprintNative(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, window: Int = 4,
+      exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col(idCol), Bridge.column(graft.functions.WinnowHashes(
+      Bridge.expression(col(textCol)), k, window, exact))
+      .as("fingerprint"))
+  }
+
   def winnowingFingerprint(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 4,
       hash: Column => Column = xxhash64(_)): DataFrame = {

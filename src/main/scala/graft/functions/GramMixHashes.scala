@@ -30,8 +30,11 @@ private[functions] object GramHashing {
 
   /** Per-token 64-bit hashes of the doc's tokens (maximal non-whitespace
     * runs; blank text yields zero tokens — never a phantom "" token). */
-  def tokenHashes(input: UTF8String): Array[Long] = {
-    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+  def tokenHashes(input: UTF8String): Array[Long] =
+    tokenHashesOf(input.toString.toLowerCase(java.util.Locale.ROOT))
+
+  /** [[tokenHashes]] over an already-lowercased string. */
+  def tokenHashesOf(s: String): Array[Long] = {
     val n = s.length
     val out = new scala.collection.mutable.ArrayBuilder.ofLong
     var i = 0
@@ -121,6 +124,141 @@ case class GramMixHashes(child: Expression, n: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): GramMixHashes = copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03) in ONE
+  * imperative pass per row: tokenize → per-position gram hash →
+  * monotonic-deque sliding-window minima → first-occurrence dedup.
+  *
+  * Two gram-hash modes:
+  *  - `md5 = true`: each gram hashes to the top 60 bits of the MD5 of
+  *    the UTF-8 gram string "tok₁ tok₂ …" — BIT-IDENTICAL to
+  *    `TextStats.md5Hash64(concat_ws(" ", slice(tokens, i+1, n)))`, so
+  *    the oracle-checkable output (q32/q119) survives the native
+  *    rewrite unchanged;
+  *  - `md5 = false`: the [[GramHashing]] rotate-xor fold — value space
+  *    free to choose (fingerprint consumers are equality joins), the
+  *    throughput path.
+  *
+  * Why native: the HOF formulation (`transform` over windows with
+  * `slice` + `array_min`) interprets a lambda per window ELEMENT and
+  * allocates a slice per window — measured 176 s for 500k docs at the
+  * scale smoke; this loop is O(grams) primitive arithmetic plus one
+  * MD5 per gram in exact mode. Windowing semantics mirror the Column
+  * form exactly: tokens are `\S+` runs of the lowercased text, ≤ n
+  * tokens yield ONE whole-text gram (empty text: the "" gram), ≤
+  * `window` grams yield the single global minimum, else minima of each
+  * full window, deduped in first-occurrence order. */
+case class WinnowHashes(child: Expression, n: Int, window: Int, md5: Boolean)
+    extends UnaryExpression with CodegenFallback with Serializable {
+  require(n > 0, "gram size must be positive")
+  require(window > 0, "window must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_hashes needs a string input, got ${child.dataType.sql}")
+
+  @transient private lazy val digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Gram hashes in position order under the selected mode. */
+  private def gramHashes(s: String): Array[Long] =
+    if (!md5) {
+      GramHashing.positional(GramHashing.tokenHashesOf(s), n)
+    } else {
+      // token byte slices of the lowercased string, then MD5 per gram
+      // over "tok( tok)*" bytes — no per-window string building
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // token boundaries over BYTES: the \s class is pure ASCII, so a
+      // byte-level scan splits identically to the char-level regex
+      val starts = new scala.collection.mutable.ArrayBuilder.ofInt
+      val ends = new scala.collection.mutable.ArrayBuilder.ofInt
+      var i = 0
+      val len = bytes.length
+      def ws(b: Byte): Boolean = b == ' ' || b == '\t' || b == '\n' ||
+        b == 0x0B || b == '\f' || b == '\r'
+      while (i < len) {
+        while (i < len && ws(bytes(i))) i += 1
+        if (i < len) {
+          starts += i
+          while (i < len && !ws(bytes(i))) i += 1
+          ends += i
+        }
+      }
+      val st = starts.result(); val en = ends.result()
+      val t = st.length
+      val md = digest.get()
+      def gram(from: Int, until: Int): Long = {
+        md.reset()
+        var k = from
+        while (k < until) {
+          if (k > from) md.update(' '.toByte)
+          md.update(bytes, st(k), en(k) - st(k))
+          k += 1
+        }
+        val d = md.digest()
+        // conv(substring(hex, 1, 15), 16, 10) == the first 60 bits of
+        // the digest, big-endian
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v >>> 4
+      }
+      if (t <= n) Array(gram(0, t))
+      else {
+        val m = t - n + 1
+        val out = new Array[Long](m)
+        var k = 0
+        while (k < m) { out(k) = gram(k, k + n); k += 1 }
+        out
+      }
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
+    val gh = gramHashes(s)
+    val m = gh.length
+    val mins: Array[Long] =
+      if (m <= window) {
+        var mn = gh(0); var k = 1
+        while (k < m) { if (gh(k) < mn) mn = gh(k); k += 1 }
+        Array(mn)
+      } else {
+        val w = m - window + 1
+        val out = new Array[Long](w)
+        // monotonic deque of indexes, front = current window minimum
+        val dq = new Array[Int](m)
+        var head = 0; var tail = 0 // [head, tail)
+        var k = 0
+        while (k < m) {
+          while (tail > head && gh(dq(tail - 1)) >= gh(k)) tail -= 1
+          dq(tail) = k; tail += 1
+          if (dq(head) <= k - window) head += 1
+          if (k >= window - 1) out(k - window + 1) = gh(dq(head))
+          k += 1
+        }
+        out
+      }
+    // first-occurrence dedup (== array_distinct over the window mins)
+    val seen = new java.util.HashSet[Long](mins.length * 2)
+    val ded = new scala.collection.mutable.ArrayBuilder.ofLong
+    var k = 0
+    while (k < mins.length) {
+      if (seen.add(mins(k))) ded += mins(k)
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(ded.result())
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowHashes = copy(child = newChild)
 }
 
 /** Position-aligned variant of [[GramMixHashes]]: element i is the hash

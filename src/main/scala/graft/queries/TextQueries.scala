@@ -354,12 +354,13 @@ object TextQueries {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
-    // Winnowing fingerprints, md5-derived gram hash + exploded to scalar
-    // rows so the fingerprint SET itself is DuckDB-hash-checked (the
-    // xxhash64 default stays for production throughput).
+    // Winnowing fingerprints through the NATIVE one-pass expression
+    // (WinnowHashes, exact md5 mode) + exploded to scalar rows: the
+    // hash check against the Column-form oracle proves the native
+    // rewrite is bit-identical.
     "q32_fingerprint" -> ((s, dir) => {
-      TextStats.winnowingFingerprint(t(s, dir, "documents"), "doc_id", "text",
-          hash = TextStats.md5Hash64)
+      TextStats.winnowingFingerprintNative(t(s, dir, "documents"),
+          "doc_id", "text")
         .select(col("doc_id"), explode(col("fingerprint")).as("gram"))
         .orderBy(col("doc_id"), col("gram"))
     }),

@@ -267,4 +267,58 @@ class PropertiesSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(cands == Seq("a", "b", "c", "d", "w", "x", "y", "z"))
   }
+
+  test("winnow_hashes exact mode is bit-identical to the Column HOF form") {
+    // real corpus text (multi-line, punctuation, varying lengths) — the
+    // native tokenizer/md5/deque path must reproduce the interpreted
+    // md5Hash64-over-wordShingles pipeline value for value
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val hof = graft.ext.TextStats.winnowingFingerprint(docs, "doc_id",
+        "text", hash = graft.ext.TextStats.md5Hash64)
+      .select(col("doc_id"), explode(col("fingerprint")).as("g"))
+      .orderBy("doc_id", "g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val native = graft.ext.TextStats.winnowingFingerprintNative(docs,
+        "doc_id", "text")
+      .select(col("doc_id"), explode(col("fingerprint")).as("g"))
+      .orderBy("doc_id", "g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hof.length == native.length && hof.sameElements(native))
+    // edge shapes: empty text (the "" gram), exactly-n tokens, n..window
+    // gram counts, and non-ASCII content
+    val edge = Seq((1L, ""), (2L, "one two three"), (3L, "a b c d e f"),
+      (4L, "Ünïcode tökens σπλιτ ασ εχπεκτεδ here"),
+      (5L, "  \t spaced \n out \r tokens  ")).toDF("doc_id", "text")
+    val eh = graft.ext.TextStats.winnowingFingerprint(edge, "doc_id",
+        "text", hash = graft.ext.TextStats.md5Hash64)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).sorted)
+    val en = graft.ext.TextStats.winnowingFingerprintNative(edge,
+        "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).sorted)
+    assert(eh.toSeq == en.toSeq)
+    // SQL surface: registered function matches the Column API
+    edge.createOrReplaceTempView("wdocs")
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT doc_id, winnow_hashes(text, 3, 4, true) AS f FROM wdocs")
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).sorted)
+    assert(sql.toSeq == en.toSeq)
+  }
+
+  test("winnow_hashes fast mode keeps set semantics across partitionings") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    val a = graft.ext.TextStats.winnowingFingerprintNative(docs, "doc_id",
+        "text", exact = false)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSet)
+    val b = graft.ext.TextStats.winnowingFingerprintNative(
+        docs.repartition(13), "doc_id", "text", exact = false)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSet)
+    assert(a.toSeq == b.toSeq)
+    // identical docs share identical fingerprint sets in fast mode too
+    val dup = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val f = graft.ext.TextStats.winnowingFingerprintNative(dup, "doc_id",
+        "text", exact = false).collect().map(_.getSeq[Long](1).toSet)
+    assert(f(0) == f(1) && f(0).nonEmpty)
+  }
 }
