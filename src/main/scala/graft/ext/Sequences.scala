@@ -127,4 +127,51 @@ object Sequences {
         slice(col("seq"), lit(1), col("__i")).as("context"),
         col("target"))
   }
+
+  /** First-order transition matrix over per-entity event sequences:
+    * for every consecutive (state → next) pair, the transition count,
+    * conditional probability p(next|state), and lift against the
+    * unconditional next-state share — lift ≫ 1 marks "state A pulls B"
+    * structure (funnel edges, scripted bot paths); lift ≈ 1 means the
+    * sequence carries no signal over the base rate.
+    *
+    * Transitions come from a lead window over (orderCols) within each
+    * entity — ONE shuffle on the entity; the matrix, margins and the
+    * base distribution then aggregate the transition-count frame
+    * (cells ≤ |states|², broadcast-joined back). All probabilities are
+    * explicit count-ratio double divisions (oracle-parity rule).
+    * Output: (state, next, n, p_next_given_state, lift). */
+  def transitionMatrix(events: DataFrame, entityCol: String,
+      orderCols: Seq[String], stateCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val trans = events
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("state"), col("__next").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    trans.count()
+    val fromTot = trans.groupBy(col("state"))
+      .agg(sum(col("n")).as("__nf"))
+    val toTot = trans.groupBy(col("next"))
+      .agg(sum(col("n")).as("__nt"))
+    val all = trans.agg(sum(col("n")).as("__na"))
+    val out = trans
+      .join(broadcast(fromTot), Seq("state"))
+      .join(broadcast(toTot), Seq("next"))
+      .crossJoin(broadcast(all))
+      .select(col("state"), col("next"), col("n"),
+        round(col("n").cast("double") / col("__nf").cast("double"),
+          roundTo).as("p_next_given_state"),
+        round((col("n").cast("double") / col("__nf").cast("double")) /
+          (col("__nt").cast("double") / col("__na").cast("double")),
+          roundTo).as("lift"))
+      .persist()
+    out.count()
+    trans.unpersist(blocking = false)
+    out
+  }
 }

@@ -141,6 +141,47 @@ object Stats {
     out
   }
 
+  /** Pairwise Pearson correlation matrix over `cols` in ONE aggregate
+    * pass: a single row of moment sums (count, Σxᵢ, Σxᵢxⱼ — decimal,
+    * exact, order-free) melts to one output row per unordered pair
+    * with r = (nΣxy − ΣxΣy)/(√(nΣx² − (Σx)²)·√(nΣy² − (Σy)²)).
+    * Listwise-complete: rows with a null in ANY profiled column are
+    * excluded, so every pair shares the same n (the standard matrix
+    * convention; run column pairs separately for pairwise-complete).
+    * Zero-variance columns yield null r against everything. k columns
+    * cost k(k+1)/2 sum expressions inside one scan — profile a bounded
+    * column set. Output: (col_a, col_b, n, corr), a < b. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      decimals: DecimalType = DecimalType(18, 2),
+      roundTo: Int = 6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val sums =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(col(c).cast(decimals)).cast(DoubleType)
+          .as(s"__s_$c")) ++
+        (for { i <- cols.indices; j <- i until cols.size } yield {
+          val (a, b) = (cols(i), cols(j))
+          sum(col(a).cast(decimals) * col(b).cast(decimals))
+            .cast(DoubleType).as(s"__p_${a}_$b")
+        })
+    val one = complete.agg(sums.head, sums.tail: _*)
+    val nD = col("__n").cast(DoubleType)
+    def varN(c: String): Column =
+      nD * col(s"__p_${c}_$c") - col(s"__s_$c") * col(s"__s_$c")
+    val entries = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield {
+      val (a, b) = (cols(i), cols(j))
+      val covN = nD * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n"),
+        round(when(varN(a) > 0.0 && varN(b) > 0.0,
+          covN / (sqrt(varN(a)) * sqrt(varN(b)))), roundTo).as("corr"))
+    }
+    one.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
   /** Population stability index between a reference and a current
     * numeric population — the model-ops drift gate for numeric
     * features, completing the drift family ([[Diff.tokenDistributionDrift]]

@@ -55,6 +55,15 @@ object Relational {
         .orderBy(col("determinant"), col("dependent"))
     }),
 
+    // Pairwise Pearson matrix over the four lineitem measures in ONE
+    // aggregate pass (decimal-exact moments melted to pair rows).
+    // Every coefficient hash-checked.
+    "q135_correlation_matrix" -> ((s, dir) => {
+      graft.ext.Stats.correlationMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // Q1-style pricing summary: one shuffle on the two low-cardinality group
     // keys; exact decimal money math (Q.dsum).
     "q01_pricing_summary" -> ((s, dir) => {
@@ -383,8 +392,36 @@ object Relational {
        |) ORDER BY determinant, dependent""".stripMargin
   }
 
+  private val q135Oracle: String = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val moments =
+      cs.map(c => s"CAST(SUM(${d(c)}) AS DOUBLE) AS s_$c") ++
+        (for { i <- cs.indices; j <- i until cs.size } yield
+          s"CAST(SUM(${d(cs(i))} * ${d(cs(j))}) AS DOUBLE) AS p_${cs(i)}_${cs(j)}")
+    def varN(c: String) = s"(CAST(n AS DOUBLE) * p_${c}_$c - s_$c * s_$c)"
+    val rows = for { i <- cs.indices; j <- (i + 1) until cs.size } yield {
+      val (a, b) = (cs(i), cs(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         |  ROUND(CASE WHEN ${varN(a)} > 0 AND ${varN(b)} > 0
+         |    THEN (CAST(n AS DOUBLE) * p_${a}_$b - s_$a * s_$b)
+         |         / (sqrt(${varN(a)}) * sqrt(${varN(b)})) END, 6) AS corr
+         |FROM m""".stripMargin
+    }
+    s"""WITH m AS (
+       |  SELECT COUNT(*) AS n,
+       |    ${moments.mkString(",\n    ")}
+       |  FROM lineitem
+       |  WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+       |SELECT * FROM (
+       |${rows.mkString("\nUNION ALL\n")}
+       |) ORDER BY col_a, col_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q129_fd_profile" -> q129Oracle,
+
+    "q135_correlation_matrix" -> q135Oracle,
 
     // identical two-step arithmetic as Stats.groupedOls: exact decimal
     // sums cast to double, then the same closed-form expression tree

@@ -134,6 +134,15 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // First-order event transition matrix per user: counts, p(next|state)
+    // and lift vs the base next-state rate — funnel-edge / bot-path
+    // structure detection. Hash-checked cell by cell.
+    "q136_transition_matrix" -> ((s, dir) => {
+      graft.ext.Sequences.transitionMatrix(t(s, dir, "events"),
+          "user_id", Seq("ts", "event_id"), "event_type")
+        .orderBy(col("state"), col("next"))
+    }),
+
     // Numeric-feature drift: PSI of purchase values against click
     // values on the reference's exact decile bins — every bin share,
     // contribution and the total PSI hash-checked.
@@ -333,6 +342,27 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical lead-window transitions + count-ratio arithmetic
+    "q136_transition_matrix" ->
+      """WITH tr AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |c AS (SELECT state, next, COUNT(*) AS n FROM tr
+        |      WHERE next IS NOT NULL GROUP BY state, next),
+        |f AS (SELECT state, SUM(n) AS nf FROM c GROUP BY state),
+        |t2 AS (SELECT next, SUM(n) AS nt FROM c GROUP BY next),
+        |a AS (SELECT SUM(n) AS na FROM c)
+        |SELECT c.state, c.next, CAST(c.n AS BIGINT) AS n,
+        |  ROUND(CAST(c.n AS DOUBLE) / CAST(f.nf AS DOUBLE), 6)
+        |    AS p_next_given_state,
+        |  ROUND((CAST(c.n AS DOUBLE) / CAST(f.nf AS DOUBLE))
+        |    / (CAST(t2.nt AS DOUBLE) / CAST(a.na AS DOUBLE)), 6) AS lift
+        |FROM c JOIN f ON c.state = f.state
+        |JOIN t2 ON c.next = t2.next, a
+        |ORDER BY c.state, c.next""".stripMargin,
+
     // same decile cuts (quantile_cont array == Spark percentile array),
     // same list-filter binning, floor, and ln contributions
     "q133_psi" ->

@@ -690,6 +690,19 @@ class ExtSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("sample_rank")).sorted.toSeq == Seq(1, 2))
   }
 
+  test("transitionMatrix: hand-computed counts, conditionals, lift") {
+    // user 1: A B A B → A→B ×2, B→A ×1; user 2: A C → A→C ×1
+    val df = Seq((1L, 1, "A"), (1L, 2, "B"), (1L, 3, "A"), (1L, 4, "B"),
+      (2L, 1, "A"), (2L, 2, "C")).toDF("u", "seq", "s")
+    val m = graft.ext.Sequences.transitionMatrix(df, "u", Seq("seq"), "s")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m.size == 3)
+    assert(m(("A", "B")) == ((2L, 0.666667, 1.333333)))
+    assert(m(("B", "A")) == ((1L, 1.0, 4.0)))
+    assert(m(("A", "C")) == ((1L, 0.333333, 1.333333)))
+  }
+
   test("embeddingDrift: identical, orthogonal, and empty-vector handling") {
     val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")

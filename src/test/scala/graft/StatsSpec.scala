@@ -53,6 +53,28 @@ class StatsSpec extends SparkSpec {
     assert(c.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("correlationMatrix: perfect, inverse, and zero-variance columns") {
+    // y = 2x (r = 1), z = -x (r = -1 with x), c constant (null r)
+    val df = (1 to 10).map(i =>
+      (i.toDouble, 2.0 * i, -i.toDouble, 5.0)).toDF("x", "y", "z", "c")
+    val m = graft.ext.Stats.correlationMatrix(df, Seq("x", "y", "z", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m.size == 6)
+    assert(m(("x", "y")) == Some(1.0))
+    assert(m(("x", "z")) == Some(-1.0))
+    assert(m(("y", "z")) == Some(-1.0))
+    assert(m(("x", "c")) == None)
+    // listwise: a null row drops from every pair's n
+    val withNull = ((1 to 10).map(i =>
+      (i.toDouble, 2.0 * i, -i.toDouble, Option(5.0))) :+
+      ((11.0, 22.0, -11.0, Option.empty[Double])))
+      .toDF("x", "y", "z", "c")
+    val n = graft.ext.Stats.correlationMatrix(withNull,
+      Seq("x", "y", "z", "c")).collect().head.getAs[Long]("n")
+    assert(n == 10L)
+  }
+
   test("populationStability: identical populations score 0, shifted drift") {
     val ref = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
     val same = Stats.populationStability(ref, ref, "v").collect()
