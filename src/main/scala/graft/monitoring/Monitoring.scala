@@ -188,4 +188,45 @@ object Monitoring {
     }
     latestAnomalous || outage
   }
+
+  /** Seasonal volume anomaly: [[volumeAnomalyDF]]'s trailing-mean
+    * baseline flags every weekend dip on a weekday-heavy stream; this
+    * variant compares each day against the mean of ITS OWN day-of-week
+    * cohort, so only deviations from the weekly rhythm flag. Baseline
+    * is the exact integer daily-count sum over the day's cohort divided
+    * as doubles; `ratio` = n / cohort mean; anomalous when the ratio
+    * leaves [1/threshold, threshold]. Days whose cohort is only
+    * themselves (ratio exactly 1) never flag. Two small aggregates over
+    * the daily-count frame (cohorts broadcast back); dow is ISO-free
+    * 1=Sunday..7=Saturday (Spark `dayofweek`). */
+  def seasonalAnomalyDF(df: DataFrame, tsCol: String,
+      threshold: Double = 2.0, roundTo: Int = 6): DataFrame = {
+    require(threshold > 1.0, "threshold must be > 1")
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    daily.count()
+    val cohort = daily
+      .groupBy(dayofweek(col("day")).as("dow"))
+      .agg(sum(col("n")).as("__cs"), count(lit(1)).as("__cc"))
+    val out = daily.withColumn("dow", dayofweek(col("day")))
+      .join(broadcast(cohort), Seq("dow"))
+      .select(col("day"), col("dow"), col("n"),
+        round(col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType),
+          roundTo).as("dow_mean"),
+        round(col("n").cast(DoubleType) /
+          (col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType)),
+          roundTo).as("ratio"),
+        (col("n").cast(DoubleType) /
+          (col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType))
+          > threshold ||
+          col("n").cast(DoubleType) /
+            (col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType))
+            < 1.0 / threshold).as("is_anomaly"))
+      .persist()
+    out.count()
+    daily.unpersist(blocking = false)
+    out
+  }
 }

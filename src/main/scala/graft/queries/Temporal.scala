@@ -207,6 +207,14 @@ object Temporal {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Day-of-week seasonal anomaly: each day vs its own weekday
+    // cohort's mean — the weekly-rhythm-aware variant of q22.
+    // Hash-checked (exact counts, explicit double ratios).
+    "q137_seasonal_anomaly" -> ((s, dir) => {
+      Monitoring.seasonalAnomalyDF(t(s, dir, "events"), "ts")
+        .orderBy(col("day"))
+    }),
+
     // A6 volume anomaly as one declarative plan.
     "q22_volume_anomaly" -> ((s, dir) => {
       Monitoring.volumeAnomalyDF(t(s, dir, "events"), "ts",
@@ -342,6 +350,24 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — +1 aligns
+    "q137_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events
+        |  WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT dayofweek(day) + 1 AS dow, SUM(n) AS cs, COUNT(*) AS cc
+        |  FROM daily GROUP BY 1)
+        |SELECT d.day, CAST(c.dow AS INT) AS dow, CAST(d.n AS BIGINT) AS n,
+        |  ROUND(CAST(c.cs AS DOUBLE) / CAST(c.cc AS DOUBLE), 6) AS dow_mean,
+        |  ROUND(CAST(d.n AS DOUBLE)
+        |    / (CAST(c.cs AS DOUBLE) / CAST(c.cc AS DOUBLE)), 6) AS ratio,
+        |  (CAST(d.n AS DOUBLE) / (CAST(c.cs AS DOUBLE) / CAST(c.cc AS DOUBLE)) > 2.0
+        |   OR CAST(d.n AS DOUBLE) / (CAST(c.cs AS DOUBLE) / CAST(c.cc AS DOUBLE)) < 0.5)
+        |    AS is_anomaly
+        |FROM daily d JOIN c ON dayofweek(d.day) + 1 = c.dow
+        |ORDER BY d.day""".stripMargin,
+
     // identical lead-window transitions + count-ratio arithmetic
     "q136_transition_matrix" ->
       """WITH tr AS (

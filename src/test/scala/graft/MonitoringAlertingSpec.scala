@@ -190,4 +190,27 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(a.message.contains("26.4 hours old"))
     assert(a.details("SLA") == "24 hours")
   }
+
+  test("seasonalAnomalyDF flags only the day that breaks its weekday rhythm") {
+    // 7 Mondays at 20 events, the last at 100 (the spike); one Tuesday
+    // cohort of a single day — ratio exactly 1, never anomalous
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15",
+      "2024-01-22", "2024-01-29", "2024-02-05")
+    val rows =
+      mondays.flatMap(d => (1 to 20).map(i =>
+        java.sql.Timestamp.valueOf(s"$d 10:00:${i % 60 / 10}${i % 10}"))) ++
+        (1 to 100).map(i =>
+          java.sql.Timestamp.valueOf(s"2024-02-12 11:0${i % 10}:00")) ++
+        (1 to 5).map(i =>
+          java.sql.Timestamp.valueOf(s"2024-01-02 09:00:0$i"))
+    val df = rows.map(Tuple1(_)).toDF("ts")
+    val out = graft.monitoring.Monitoring.seasonalAnomalyDF(df, "ts")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(out.size == 8)
+    assert(out("2024-02-12") == ((100L, true)))  // 100/31.43 ≈ 3.2 > 2
+    assert(out("2024-01-01") == ((20L, false))) // 20/31.43 ≈ 0.64
+    assert(out("2024-01-02") == ((5L, false)))  // singleton cohort, ratio 1
+    assert(out.count(_._2._2) == 1)
+  }
 }
