@@ -297,6 +297,92 @@ object Stats {
         .as("df"))
   }
 
+  /** Weight-of-evidence binning + information value — the
+    * credit-scoring feature transform: equal-frequency bins of
+    * `valueCol` (the population's own exact quantile cuts, the
+    * [[populationStability]] machinery), and per bin the
+    * Laplace-smoothed log-odds of the boolean `labelCol`:
+    *   woe_i = ln(ps_i / ns_i),  iv = Σ (ps_i − ns_i)·woe_i
+    * with ps_i = (pos_i + ½)/(posTot + ½·bins) (and ns likewise) — the
+    * smoothing makes empty/pure bins finite and deterministic. IV reads
+    * on the usual scale: < 0.02 useless, > 0.3 strong.
+    *
+    * Output: one row per bin (bin, n, n_pos, n_neg, woe, iv_contrib)
+    * with the total `iv` repeated. Null values/labels are excluded.
+    * Same scale shape as PSI: one bounded cut collect, binning rides
+    * the scan, one cell aggregate. */
+  def weightOfEvidence(df: DataFrame, valueCol: String, labelCol: String,
+      bins: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val eligible = df.filter(col(valueCol).isNotNull &&
+      col(labelCol).isNotNull)
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val cuts: Seq[Double] = eligible
+      .agg(percentile(col(valueCol).cast(DoubleType),
+        typedlit(probs)).as("c"))
+      .head().getSeq[Double](0)
+    val binOf = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(valueCol).cast(DoubleType) > c, 1).otherwise(0)
+    }
+    val cells = eligible
+      .groupBy(binOf.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val scaffold = df.sparkSession.range(1, bins + 1)
+      .select(col("id").cast("int").as("bin"))
+    val full = scaffold.join(cells, Seq("bin"), "left")
+      .na.fill(0L, Seq("n", "n_pos", "n_neg"))
+      .persist()
+    full.count()
+    val tot = full.agg(sum(col("n_pos")).as("__tp"),
+      sum(col("n_neg")).as("__tn"))
+    val ps = (col("n_pos").cast(DoubleType) + lit(0.5)) /
+      (col("__tp").cast(DoubleType) + lit(0.5 * bins))
+    val ns = (col("n_neg").cast(DoubleType) + lit(0.5)) /
+      (col("__tn").cast(DoubleType) + lit(0.5 * bins))
+    val withWoe = full.crossJoin(broadcast(tot))
+      .withColumn("__woe", log(ps / ns))
+      .withColumn("__ivc", (ps - ns) * log(ps / ns))
+    val iv = withWoe.agg(sum(col("__ivc")).as("__iv"))
+    val out = withWoe.crossJoin(broadcast(iv))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        round(col("__woe"), roundTo).as("woe"),
+        round(col("__ivc"), roundTo).as("iv_contrib"),
+        round(col("__iv"), roundTo).as("iv"))
+      .persist()
+    out.count()
+    full.unpersist(blocking = false)
+    out
+  }
+
+  /** Recency-weighted (exponentially decayed) per-key aggregate — the
+    * behavioral-feature staple ("how active is this user, counting
+    * yesterday more than last month"): each row contributes
+    * value · 0.5^((asOf − ts)/halfLife), summed per key. `asOfEpochSec`
+    * is an explicit parameter, NOT wall clock — the score is a pure
+    * function of its inputs (reproducible backfills; pass the batch's
+    * watermark). Rows after `asOf` are excluded (their weight would
+    * exceed 1 — a leak from the future). One shuffle on the keys.
+    * Output: keys*, n, decayed_sum, last_ts. */
+  def decayedSum(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, halfLifeDays: Double, asOfEpochSec: Long,
+      roundTo: Int = 6): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be > 0")
+    val age = lit(asOfEpochSec).cast(DoubleType) -
+      col(tsCol).cast("long").cast(DoubleType)
+    val w = pow(lit(0.5), age / lit(halfLifeDays * 86400.0))
+    df.filter(col(tsCol).isNotNull &&
+        col(tsCol).cast("long") <= asOfEpochSec &&
+        col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast(DoubleType) * w), roundTo)
+          .as("decayed_sum"),
+        max(col(tsCol)).as("last_ts"))
+  }
+
   /** Benford's-law deviation screen (the classic fabricated-amounts
     * test): per group, the observed leading-significant-digit
     * distribution of |valueCol| against Benford's p(d) = log₁₀(1+1/d),

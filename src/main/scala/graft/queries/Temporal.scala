@@ -134,6 +134,16 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // Recency-weighted user activity (7-day half-life as of 2024-01-31):
+    // the reproducible behavioral-feature aggregate — asOf is explicit,
+    // never wall clock. Hash-checked per user.
+    "q139_decayed_activity" -> ((s, dir) => {
+      graft.ext.Stats.decayedSum(t(s, dir, "events"), Seq("user_id"),
+          "ts", "value", halfLifeDays = 7.0,
+          asOfEpochSec = 1706659200L)
+        .orderBy(col("user_id"))
+    }),
+
     // First-order event transition matrix per user: counts, p(next|state)
     // and lift vs the base next-state rate — funnel-edge / bot-path
     // structure detection. Hash-checked cell by cell.
@@ -367,6 +377,18 @@ object Temporal {
         |    AS is_anomaly
         |FROM daily d JOIN c ON dayofweek(d.day) + 1 = c.dow
         |ORDER BY d.day""".stripMargin,
+
+    // same decay arithmetic: whole-second age, 0.5^(age/halfLife)
+    "q139_decayed_activity" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  ROUND(SUM(value * power(0.5,
+        |    (1706659200.0 - CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE))
+        |      / 604800.0)), 6) AS decayed_sum,
+        |  MAX(ts) AS last_ts
+        |FROM events
+        |WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  AND CAST(floor(epoch(ts)) AS BIGINT) <= 1706659200
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // identical lead-window transitions + count-ratio arithmetic
     "q136_transition_matrix" ->

@@ -394,6 +394,17 @@ object TextQueries {
         docs.filter(col("lang") === "de"), "text", k = 20)
     }),
 
+    // Weight-of-evidence binning of doc length against the "is English"
+    // label + information value — the credit-scoring feature transform
+    // on corpus signals. Hash-checked per bin including the IV.
+    "q138_woe_binning" -> ((s, dir) => {
+      graft.ext.Stats.weightOfEvidence(
+          t(s, dir, "documents").select(col("n_chars"),
+            (col("lang") === "en").as("is_en")),
+          "n_chars", "is_en")
+        .orderBy(col("bin"))
+    }),
+
     // Key-skew diagnostics (broadcast/salt/AQE-split advisor): heaviest
     // values + share + distincts for lang and source, all columns
     // through one melted shuffle. Hash-checked.
@@ -1642,6 +1653,40 @@ object TextQueries {
         |FROM v, t
         |ORDER BY abs(ROUND(CAST(v.ccb AS DOUBLE) / t.nb - CAST(v.cca AS DOUBLE) / t.na, 6)) DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // same decile cuts, list-filter binning, Laplace-smoothed log-odds
+    "q138_woe_binning" ->
+      """WITH e AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |cuts AS (SELECT quantile_cont(v,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM e),
+        |b AS (SELECT 1 + len(list_filter((SELECT q FROM cuts),
+        |        x -> v > x)) AS bin, y FROM e),
+        |cells AS (SELECT bin, COUNT(*) AS n,
+        |            SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+        |          FROM b GROUP BY bin),
+        |sc AS (SELECT CAST(i AS INT) AS bin FROM range(1, 11) t(i)),
+        |f AS (
+        |  SELECT sc.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |    CAST(COALESCE(c.n_pos, 0) AS BIGINT) AS n_pos,
+        |    CAST(COALESCE(c.n, 0) - COALESCE(c.n_pos, 0) AS BIGINT) AS n_neg
+        |  FROM sc LEFT JOIN cells c ON sc.bin = c.bin),
+        |t AS (SELECT CAST(SUM(n_pos) AS DOUBLE) AS tp,
+        |             CAST(SUM(n_neg) AS DOUBLE) AS tn FROM f),
+        |w AS (
+        |  SELECT bin, n, n_pos, n_neg,
+        |    ln(((CAST(n_pos AS DOUBLE) + 0.5) / (t.tp + 5.0))
+        |       / ((CAST(n_neg AS DOUBLE) + 0.5) / (t.tn + 5.0))) AS woe,
+        |    (((CAST(n_pos AS DOUBLE) + 0.5) / (t.tp + 5.0))
+        |     - ((CAST(n_neg AS DOUBLE) + 0.5) / (t.tn + 5.0)))
+        |      * ln(((CAST(n_pos AS DOUBLE) + 0.5) / (t.tp + 5.0))
+        |            / ((CAST(n_neg AS DOUBLE) + 0.5) / (t.tn + 5.0))) AS ivc
+        |  FROM f, t),
+        |iv AS (SELECT SUM(ivc) AS iv FROM w)
+        |SELECT bin, n, n_pos, n_neg, ROUND(woe, 6) AS woe,
+        |  ROUND(ivc, 6) AS iv_contrib, ROUND(iv.iv, 6) AS iv
+        |FROM w, iv ORDER BY bin""".stripMargin,
 
     // per-column cell counts → totals → pinned-null-order top-N rank
     "q132_skew_report" -> {

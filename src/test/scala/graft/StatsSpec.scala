@@ -103,6 +103,40 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("df") == 2.941176)
   }
 
+  test("weightOfEvidence: hand-computed smoothed log-odds and IV") {
+    // two bins at the median of 1..10; label = v >= 4
+    // bin1 (v<=5.5): 2 pos / 3 neg; bin2: 5 pos / 0 neg; tp=7 tn=3
+    // ps1=2.5/8, ns1=3.5/4 -> woe1=ln(0.357143); ps2=5.5/8, ns2=0.5/4
+    val df = (1 to 10).map(i => (i.toDouble, i >= 4)).toDF("v", "y")
+    val rows = Stats.weightOfEvidence(df, "v", "y", bins = 2)
+      .orderBy("bin").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_pos") == 2L)
+    assert(rows(0).getAs[Double]("woe") == -1.029619)
+    assert(rows(1).getAs[Double]("woe") == 1.704748)
+    assert(rows(0).getAs[Double]("iv_contrib") == 0.579161)
+    assert(rows(1).getAs[Double]("iv_contrib") == 0.958921)
+    assert(rows(0).getAs[Double]("iv") == 1.538082)
+  }
+
+  test("decayedSum: half-life weighting, future rows excluded") {
+    val asOf = 1000000L
+    def ts(e: Long) = new java.sql.Timestamp(e * 1000L)
+    val df = Seq(
+      (1L, ts(asOf), 10.0),          // age 0 -> weight 1
+      (1L, ts(asOf - 86400), 10.0),  // one half-life -> weight 0.5
+      (1L, ts(asOf + 5), 99.0),      // future: excluded
+      (2L, ts(asOf - 172800), 8.0))  // two half-lives -> weight 0.25
+      .toDF("user_id", "ts", "v")
+    val out = Stats.decayedSum(df, Seq("user_id"), "ts", "v",
+        halfLifeDays = 1.0, asOfEpochSec = asOf)
+      .orderBy("user_id").collect()
+    assert(out(0).getAs[Long]("n") == 2L)
+    assert(out(0).getAs[Double]("decayed_sum") == 15.0)
+    assert(out(1).getAs[Double]("decayed_sum") == 2.0)
+    assert(out(0).getAs[java.sql.Timestamp]("last_ts") == ts(asOf))
+  }
+
   test("benfordDeviation: digit extraction, scaffold, and deviation ordering") {
     // benford-ish group: digit counts ~ proportional to log10(1+1/d)
     val benfordish = Seq.fill(30)(1.0) ++ Seq.fill(18)(2.0) ++
