@@ -53,4 +53,41 @@ object Features {
       .withColumn("sum_range",
         round(sum(col(valueCol).cast(DoubleType)).over(byTime), roundTo))
   }
+
+  /** Time-weighted average per key — the TWAP/position-exposure
+    * aggregate: each observation's value holds until the NEXT
+    * observation (step function), and the average weights each value
+    * by its holding duration in whole seconds:
+    *   twa = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first).
+    * A plain AVG over irregular samples over-counts bursts (ten quotes
+    * in one minute ≠ ten minutes at that price); the step integral
+    * doesn't. The last observation of a key carries no duration and
+    * contributes only its timestamp (standard TWAP bracketing); keys
+    * with one observation yield null (no measurable interval).
+    *
+    * One shuffle on the key: a lead window for the hold duration, then
+    * one keyed aggregate. Durations are exact integer MICROseconds
+    * (`unix_micros` — full timestamp resolution; `tieCol` makes the
+    * step order deterministic under equal timestamps); the
+    * value·duration products and the final division run in double
+    * (`roundTo` absorbs partial-agg order noise).
+    * Output: keys*, n_obs, t_first, t_last, time_weighted_avg. */
+  def timeWeightedAverage(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, valueCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val stepped = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__dur",
+        (lead(unix_micros(col(tsCol)), 1).over(w) -
+          unix_micros(col(tsCol))).cast(DoubleType))
+    stepped.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        min(col(tsCol)).as("t_first"),
+        max(col(tsCol)).as("t_last"),
+        round(when(sum(col("__dur")) > 0.0,
+          sum(col(valueCol).cast(DoubleType) * col("__dur")) /
+            sum(col("__dur"))), roundTo).as("time_weighted_avg"))
+  }
 }

@@ -134,6 +134,15 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // TWAP per user: step-function time-weighted value average — the
+    // exposure/price aggregate a plain AVG over irregular samples gets
+    // wrong. Hash-checked per user.
+    "q140_time_weighted_avg" -> ((s, dir) => {
+      graft.ext.Features.timeWeightedAverage(t(s, dir, "events"),
+          Seq("user_id"), "ts", "event_id", "value")
+        .orderBy(col("user_id"))
+    }),
+
     // Recency-weighted user activity (7-day half-life as of 2024-01-31):
     // the reproducible behavioral-feature aggregate — asOf is explicit,
     // never wall clock. Hash-checked per user.
@@ -377,6 +386,19 @@ object Temporal {
         |    AS is_anomaly
         |FROM daily d JOIN c ON dayofweek(d.day) + 1 = c.dow
         |ORDER BY d.day""".stripMargin,
+
+    // identical step integral: micros durations by (ts, event_id) order
+    "q140_time_weighted_avg" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) - epoch_us(ts) AS DOUBLE) AS dur
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_obs,
+        |  MIN(ts) AS t_first, MAX(ts) AS t_last,
+        |  ROUND(CASE WHEN SUM(dur) > 0
+        |    THEN SUM(value * dur) / SUM(dur) END, 6) AS time_weighted_avg
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // same decay arithmetic: whole-second age, 0.5^(age/halfLife)
     "q139_decayed_activity" ->

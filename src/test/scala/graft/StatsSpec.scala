@@ -166,6 +166,24 @@ class StatsSpec extends SparkSpec {
     assert(d.getAs[Int]("digit") == 2)
   }
 
+  test("timeWeightedAverage: step integral vs naive mean") {
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // value 10 held 91s (t=0 → first burst quote at t=91), then a
+    // 10-quote burst of 100s spanning 9 one-second holds: naive mean
+    // ≈ 91.8, TWA = (10·91 + 100·9)/100 = 18.1
+    val rows = Seq((1L, 0, 10.0)) ++
+      (1 to 10).map(i => (1L, 90 + i, 100.0)) :+
+      ((2L, 0, 5.0)) // single obs: no interval, null TWA
+    val df = rows.map { case (u, s, v) => (u, ts(s), s.toLong, v) }
+      .toDF("user_id", "ts", "event_id", "v")
+    val out = graft.ext.Features.timeWeightedAverage(df, Seq("user_id"),
+        "ts", "event_id", "v")
+      .orderBy("user_id").collect()
+    assert(out(0).getAs[Long]("n_obs") == 11L)
+    assert(out(0).getAs[Double]("time_weighted_avg") == 18.1)
+    assert(out(1).isNullAt(out(1).fieldIndex("time_weighted_avg")))
+  }
+
   test("velocityFeatures: hand-computed lag/rolling/range features") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
