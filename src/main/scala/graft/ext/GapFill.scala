@@ -21,6 +21,42 @@ object GapFill {
     * the spine join and the forward-fill window share partitioning.
     * Output: one row per key per day, `is_filled` flagging synthesized
     * rows. */
+  /** Linear interpolation of null observations between their known
+    * neighbors (per key, time-ordered): sensor dropouts and sparse
+    * metric samples get v(t) = v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀) from the
+    * bracketing non-null readings — [[daily]]'s forward-fill holds a
+    * step; this draws the line. Nulls before the first or after the
+    * last known value stay null (no extrapolation — that's a model,
+    * not a fill). Equal-timestamp neighbors (t₁ = t₀) take v₀.
+    *
+    * ONE shuffle on the key: the backward- and forward-looking
+    * `last/first(ignoreNulls)` windows share the same (partition,
+    * sort); time runs in exact microseconds; the interpolation runs in
+    * double, rounded. `tieCol` pins the order under equal timestamps.
+    * Output: input columns + `value_filled` + `is_interpolated`. */
+  def interpolateLinear(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, valueCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val base = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val back = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val t = unix_micros(col(tsCol)).cast("double")
+    val known = when(col(valueCol).isNotNull, t)
+    val v0 = last(col(valueCol), ignoreNulls = true).over(back)
+    val t0 = last(known, ignoreNulls = true).over(back)
+    val v1 = first(col(valueCol), ignoreNulls = true).over(fwd)
+    val t1 = first(known, ignoreNulls = true).over(fwd)
+    val interp = when(t1 === t0, v0)
+      .otherwise(v0 + (v1 - v0) * (t - t0) / (t1 - t0))
+    df.withColumn("value_filled",
+        when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+          .otherwise(round(
+            when(v0.isNotNull && v1.isNotNull, interp), roundTo)))
+      .withColumn("is_interpolated",
+        col(valueCol).isNull && col("value_filled").isNotNull)
+  }
+
   def daily(df: DataFrame, keyCol: String, dateCol: String,
       fillZero: Seq[String] = Nil,
       fillForward: Seq[String] = Nil): DataFrame = {

@@ -297,6 +297,54 @@ object Stats {
         .as("df"))
   }
 
+  /** Per-group concentration profile of a non-negative measure: Gini
+    * coefficient (rank formula over the group's sorted values), HHI
+    * (Herfindahl — Σ shareᵢ², the antitrust/market-concentration
+    * index) and Shannon entropy of the share distribution — "is this
+    * segment's revenue three customers or three thousand", "is this
+    * corpus one source in a trench coat".
+    *
+    * All three come from ONE window pass (the rank — ties commute, the
+    * rank·value sum is tie-order invariant) + ONE keyed aggregate:
+    * entropy uses the identity −Σ(v/S)ln(v/S) = ln S − (Σ v·ln v)/S so
+    * no per-row share (and no second pass over the group) is needed.
+    * Value and rank·value sums accumulate in DECIMAL (exact); the
+    * index algebra runs in double. Rows with null/negative values are
+    * excluded; all-zero groups yield null indices (no mass to
+    * concentrate). Output: keys*, n, total, gini, hhi, entropy. */
+  def concentration(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, decimals: DecimalType = DecimalType(18, 2),
+      roundTo: Int = 6): DataFrame = {
+    val gcols = groupCols.map(col)
+    val vd = col(valueCol).cast(decimals)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col(valueCol).cast(DoubleType))
+    val ranked = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__i", row_number().over(w))
+    val agg = ranked.groupBy(gcols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(vd).cast(DoubleType).as("__s"),
+      sum(col("__i") * vd).cast(DoubleType).as("__siv"),
+      sum(vd * vd).cast(DoubleType).as("__sv2"),
+      sum(when(col(valueCol) > 0,
+        col(valueCol).cast(DoubleType) *
+          log(col(valueCol).cast(DoubleType))).otherwise(0.0))
+        .as("__svlv"))
+    val nD = col("n").cast(DoubleType)
+    agg.select(gcols ++ Seq(
+      col("n"),
+      col("__s").as("total"),
+      round(when(col("__s") > 0.0,
+        lit(2.0) * col("__siv") / (nD * col("__s")) -
+          (nD + lit(1.0)) / nD), roundTo).as("gini"),
+      round(when(col("__s") > 0.0,
+        col("__sv2") / (col("__s") * col("__s"))), roundTo).as("hhi"),
+      round(when(col("__s") > 0.0,
+        log(col("__s")) - col("__svlv") / col("__s")), roundTo)
+        .as("entropy")): _*)
+  }
+
   /** Weight-of-evidence binning + information value — the
     * credit-scoring feature transform: equal-frequency bins of
     * `valueCol` (the population's own exact quantile cuts, the

@@ -64,6 +64,14 @@ object Relational {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // Revenue concentration per priority class: Gini + HHI + share
+    // entropy from one window pass + one aggregate. Hash-checked.
+    "q141_concentration" -> ((s, dir) => {
+      graft.ext.Stats.concentration(t(s, dir, "orders"),
+          Seq("o_orderpriority"), "o_totalprice")
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Q1-style pricing summary: one shuffle on the two low-cardinality group
     // keys; exact decimal money math (Q.dsum).
     "q01_pricing_summary" -> ((s, dir) => {
@@ -420,6 +428,28 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q129_fd_profile" -> q129Oracle,
+
+    // same rank formula / entropy identity on decimal-exact sums
+    "q141_concentration" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS vd,
+        |    CAST(o_totalprice AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DOUBLE)) AS i
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0),
+        |a AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(vd) AS DOUBLE) AS s,
+        |    CAST(SUM(i * vd) AS DOUBLE) AS siv,
+        |    CAST(SUM(vd * vd) AS DOUBLE) AS sv2,
+        |    SUM(CASE WHEN v > 0 THEN v * ln(v) ELSE 0.0 END) AS svlv
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n, s AS total,
+        |  ROUND(CASE WHEN s > 0 THEN 2.0 * siv / (CAST(n AS DOUBLE) * s)
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END, 6) AS gini,
+        |  ROUND(CASE WHEN s > 0 THEN sv2 / (s * s) END, 6) AS hhi,
+        |  ROUND(CASE WHEN s > 0 THEN ln(s) - svlv / s END, 6) AS entropy
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
 
     "q135_correlation_matrix" -> q135Oracle,
 

@@ -134,6 +134,19 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // Linear interpolation of planted dropouts (every 7th event's value
+    // nulled): bracketing-neighbor line fill per user, no
+    // extrapolation. Every filled value hash-checked.
+    "q142_interpolate" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+            .as("value"))
+      graft.ext.GapFill.interpolateLinear(e, Seq("user_id"), "ts",
+          "event_id", "value")
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // TWAP per user: step-function time-weighted value average — the
     // exposure/price aggregate a plain AVG over irregular samples gets
     // wrong. Hash-checked per user.
@@ -386,6 +399,40 @@ object Temporal {
         |    AS is_anomaly
         |FROM daily d JOIN c ON dayofweek(d.day) + 1 = c.dow
         |ORDER BY d.day""".stripMargin,
+
+    // identical bracketing windows (IGNORE NULLS last/first), micros time
+    "q142_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS t,
+        |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+        |    last_value(CASE WHEN value IS NOT NULL
+        |        THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+        |    first_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+        |    first_value(CASE WHEN value IS NOT NULL
+        |        THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+        |  FROM e)
+        |SELECT user_id, event_id, ts, value,
+        |  CASE WHEN value IS NOT NULL THEN value
+        |       WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN
+        |         ROUND(CASE WHEN t1 = t0 THEN v0
+        |           ELSE v0 + (v1 - v0) * (t - t0) / (t1 - t0) END, 6)
+        |  END AS value_filled,
+        |  (value IS NULL AND v0 IS NOT NULL AND v1 IS NOT NULL)
+        |    AS is_interpolated
+        |FROM w ORDER BY user_id, ts, event_id""".stripMargin,
 
     // identical step integral: micros durations by (ts, event_id) order
     "q140_time_weighted_avg" ->

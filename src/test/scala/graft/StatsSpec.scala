@@ -166,6 +166,42 @@ class StatsSpec extends SparkSpec {
     assert(d.getAs[Int]("digit") == 2)
   }
 
+  test("concentration: uniform vs single-payer closed forms") {
+    val df = (Seq.fill(4)(("a", 1.0)) ++
+      Seq(("b", 0.0), ("b", 0.0), ("b", 0.0), ("b", 10.0)))
+      .toDF("g", "v")
+    val rows = Stats.concentration(df, Seq("g"), "v")
+      .orderBy("g").collect()
+    val a = rows(0)
+    assert(a.getAs[Double]("gini") == 0.0)      // perfectly equal
+    assert(a.getAs[Double]("hhi") == 0.25)      // 1/n
+    assert(a.getAs[Double]("entropy") == 1.386294) // ln 4
+    val b = rows(1)
+    assert(b.getAs[Double]("gini") == 0.75)     // (n-1)/n: one payer
+    assert(b.getAs[Double]("hhi") == 1.0)
+    assert(b.getAs[Double]("entropy") == 0.0)
+  }
+
+  test("interpolateLinear fills between neighbors, never extrapolates") {
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val df = Seq(
+      (1L, 1L, ts(-10), Option.empty[Double]), // before first known
+      (1L, 2L, ts(0), Option(10.0)),
+      (1L, 3L, ts(10), Option.empty[Double]),  // interp -> 20
+      (1L, 4L, ts(20), Option(30.0)),
+      (1L, 5L, ts(30), Option.empty[Double]))  // after last known
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = graft.ext.GapFill.interpolateLinear(df, Seq("user_id"),
+        "ts", "event_id", "value")
+      .orderBy("event_id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("value_filled")))
+    assert(!out(0).getAs[Boolean]("is_interpolated"))
+    assert(out(1).getAs[Double]("value_filled") == 10.0)
+    assert(out(2).getAs[Double]("value_filled") == 20.0)
+    assert(out(2).getAs[Boolean]("is_interpolated"))
+    assert(out(4).isNullAt(out(4).fieldIndex("value_filled")))
+  }
+
   test("timeWeightedAverage: step integral vs naive mean") {
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
     // value 10 held 91s (t=0 → first burst quote at t=91), then a
