@@ -128,6 +128,45 @@ object Sequences {
         col("target"))
   }
 
+  /** Entry-path analysis: each entity's FIRST `depth` states joined
+    * into a journey string ("view>click>purchase"), counted across
+    * entities with the share of all entities — the onboarding/funnel
+    * exploration view ([[transitionMatrix]] is memoryless; this keeps
+    * the actual prefix). Entities with fewer than `depth` events keep
+    * their shorter path — dropping them would hide every short journey.
+    *
+    * Scale: the depth cap applies BEFORE collection (the
+    * [[userSequences]] discipline — row_number + filter bounds
+    * per-entity state at `depth` rows); path counting is a second
+    * shuffle on the (≤ |states|^depth) path strings; the entity total
+    * is a broadcast single-row aggregate.
+    * Output: (path, n_entities, share), share = n/total entities. */
+  def entryPaths(events: DataFrame, entityCol: String,
+      orderCols: Seq[String], stateCol: String, depth: Int = 3,
+      roundTo: Int = 6): DataFrame = {
+    require(depth > 0, "depth must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val paths = events
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= depth)
+      .groupBy(col(entityCol))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(
+          orderCols.map(col) :+ col(stateCol).as("__s"): _*))),
+        e => e.getField("__s"))).as("path"))
+    // total entities straight from the input (every entity with a row
+    // has a path), so the path frame isn't computed twice
+    val total = events.agg(countDistinct(col(entityCol)).as("__t"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_entities"))
+      .crossJoin(broadcast(total))
+      .select(col("path"), col("n_entities"),
+        round(col("n_entities").cast("double") / col("__t").cast("double"),
+          roundTo).as("share"))
+  }
+
   /** First-order transition matrix over per-entity event sequences:
     * for every consecutive (state → next) pair, the transition count,
     * conditional probability p(next|state), and lift against the

@@ -96,6 +96,33 @@ object Stats {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Robust per-group feature scaling: each row's value becomes its
+    * robust z-score (v − median)/(1.4826·MAD) — the normalization that
+    * [[madOutliers]] thresholds, exposed per row for feature pipelines
+    * (outlier-resistant, unlike mean/stddev scaling which the outliers
+    * themselves drag). Groups with MAD = 0 (over half the values
+    * identical) yield null scores — there is no scale to divide by.
+    * Same shape as madOutliers: two quantile passes, medians broadcast
+    * back, the scaling itself rides the row scan.
+    * Output: input columns + robust_z. */
+  def robustScale(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val gcols = groupCols.map(col)
+    val med = df.groupBy(gcols: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed
+      .withColumn("__adev", abs(col(valueCol) - col("__med")))
+      .groupBy(gcols: _*)
+      .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("robust_z", round(
+        when(col("__mad") > 0.0,
+          (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad"))),
+        roundTo))
+      .drop("__med", "__mad")
+  }
+
   /** Chi-square test of independence between two categorical columns:
     * one row with the statistic, degrees of freedom, and the table
     * shape. Uses the observed-cells identity

@@ -124,6 +124,25 @@ object Temporal {
         .orderBy(col("item"))
     }),
 
+    // Robust per-row feature scaling: (v - median)/(1.4826*MAD) per
+    // event type — outlier-resistant normalization, every scaled value
+    // hash-checked.
+    "q143_robust_scale" -> ((s, dir) => {
+      graft.ext.Stats.robustScale(
+          t(s, dir, "events").select(col("event_id"), col("event_type"),
+            col("value")),
+          Seq("event_type"), "value")
+        .orderBy(col("event_id"))
+    }),
+
+    // Entry-path journeys: each user's first three event types as a
+    // path string, counted with entity shares. Hash-checked.
+    "q144_entry_paths" -> ((s, dir) => {
+      graft.ext.Sequences.entryPaths(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type", depth = 3)
+        .orderBy(col("path"))
+    }),
+
     // Robust per-type outlier profile on event values: exact median +
     // MAD (both quantile_cont-parity percentiles) and the robust-z
     // outlier count — anomaly detection that mean/stddev rules get
@@ -576,6 +595,35 @@ object Temporal {
         |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS sum_range
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // same median/MAD chain as q121, surfaced per row
+    "q143_robust_scale" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ROUND(CASE WHEN x.mad > 0
+        |    THEN (e.value - m.med) / (1.4826 * x.mad) END, 6) AS robust_z
+        |FROM events e JOIN med m ON e.event_type = m.event_type
+        |JOIN mad x ON e.event_type = x.event_type
+        |ORDER BY e.event_id""".stripMargin,
+
+    // first-depth states by (ts, event_id), shares over all users
+    "q144_entry_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+        |  FROM r WHERE rk <= 3 GROUP BY user_id),
+        |t AS (SELECT COUNT(DISTINCT user_id) AS tot FROM events)
+        |SELECT path, COUNT(*) AS n_entities,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+        |FROM p, t GROUP BY path, t.tot ORDER BY path""".stripMargin,
 
     // same two quantile passes as Stats.madOutliers; DuckDB median ==
     // quantile_cont(0.5) == Spark percentile(·, 0.5)

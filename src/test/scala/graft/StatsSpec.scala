@@ -166,6 +166,38 @@ class StatsSpec extends SparkSpec {
     assert(d.getAs[Int]("digit") == 2)
   }
 
+  test("robustScale: spike scores high, MAD=0 group yields null") {
+    val df = ((1 to 11).map(i => ("a", i.toDouble)) :+ ("a", 1000.0))
+      .++(Seq(("c", 7.0), ("c", 7.0), ("c", 7.5)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val out = Stats.robustScale(df, Seq("g"), "v").collect()
+    val spike = out.find(r => r.getAs[Double]("v") == 1000.0).get
+    assert(spike.getAs[Double]("robust_z") > 200.0)
+    // c: median 7, MAD 0 -> null scores for the whole group
+    assert(out.filter(_.getAs[String]("g") == "c")
+      .forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
+    // near-median values score near zero
+    val six = out.find(r => r.getAs[String]("g") == "a" &&
+      r.getAs[Double]("v") == 6.0).get
+    assert(math.abs(six.getAs[Double]("robust_z")) < 0.2)
+  }
+
+  test("entryPaths: first-depth journeys with shares") {
+    val df = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D"),
+      (2L, 1L, "A"),
+      (3L, 1L, "A"), (3L, 2L, "B")).toDF("u", "seq", "s")
+    val out = graft.ext.Sequences.entryPaths(df, "u", Seq("seq"), "s",
+        depth = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "A>B>C" -> ((1L, 0.333333)),
+      "A" -> ((1L, 0.333333)),
+      "A>B" -> ((1L, 0.333333))))
+  }
+
   test("concentration: uniform vs single-payer closed forms") {
     val df = (Seq.fill(4)(("a", 1.0)) ++
       Seq(("b", 0.0), ("b", 0.0), ("b", 0.0), ("b", 10.0)))
