@@ -475,4 +475,78 @@ object Streams {
       .select(col("user_id"), col("l_event_id"), col("r_event_id"),
         col("ts"), col("r_ts"), col("l_type"), col("r_type"))
   }
+
+  /** Streaming numeric-drift monitor: every micro-batch's `valueCol`
+    * population scores a PSI against a FIXED reference distribution
+    * (the training-time population, passed as a static frame), and one
+    * (ingest_batch, n_cur, psi) row lands in `metricsDir` — the live
+    * "is serving data still the data we trained on" gate, the
+    * streaming face of [[graft.ext.Stats.populationStability]].
+    *
+    * The reference is reduced ONCE at sink build to its decile cuts +
+    * per-bin shares (2·bins doubles on the driver — the bounded-collect
+    * pattern); each batch then pays ONE binning aggregate (bins rows
+    * collected) and the PSI arithmetic runs on the driver in fixed bin
+    * order — same floored-share formula as the batch operator.
+    * Replay-safe the same way as the other sinks: the metrics row
+    * partitions by batch id under dynamic partition overwrite, so a
+    * replayed batch overwrites its own row instead of appending a
+    * duplicate. */
+  def driftMonitorSink(stream: DataFrame, reference: DataFrame,
+      valueCol: String, metricsDir: String, checkpoint: String,
+      bins: Int = 10,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(bins >= 2, "bins must be >= 2")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val refRows = reference.filter(col(valueCol).isNotNull)
+    val cuts: Seq[Double] = refRows
+      .agg(percentile(col(valueCol).cast("double"),
+        typedlit(probs)).as("c"))
+      .head().getSeq[Double](0)
+    def binOf: Column = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(valueCol).cast("double") > c, 1).otherwise(0)
+    }
+    def binCounts(df: DataFrame): Array[Long] = {
+      val m = df.filter(col(valueCol).isNotNull)
+        .groupBy(binOf.as("bin")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (1 to bins).map(b => m.getOrElse(b, 0L)).toArray
+    }
+    val refCounts = binCounts(refRows)
+    val refTotal = refCounts.sum.toDouble
+    val floor = 1e-6
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = binCounts(batch)
+        val curTotal = cur.sum.toDouble
+        // an all-null/empty batch has no distribution to score — its
+        // metrics row records n_cur = 0 with a null psi (NaN would
+        // poison downstream aggregates of the metrics table)
+        val psi: Option[Double] =
+          if (curTotal == 0) None
+          else Some {
+            val raw = (0 until bins).map { b =>
+              val pr = math.max(refCounts(b) / refTotal, floor)
+              val pc = math.max(cur(b) / curTotal, floor)
+              (pc - pr) * math.log(pc / pr)
+            }.sum
+            BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          }
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Seq((batchId, curTotal.toLong, psi))
+          .toDF("ingest_batch", "n_cur", "psi")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(metricsDir)
+        ()
+      }
+      .start()
+  }
 }

@@ -264,6 +264,40 @@ class StreamingSpec extends SparkSpec {
     assert(hh(0.3) == batchAnswer)
   }
 
+  test("drift monitor scores batches against the fixed reference; replay-safe") {
+    val src = Files.createTempDirectory("drift-src").toString
+    val store = Files.createTempDirectory("drift-store").toString + "/metrics"
+    val ckpt = Files.createTempDirectory("drift-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v DOUBLE")
+    val ref = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    def run(rows: Seq[(Long, Double)], f: String): Unit = {
+      rows.toDF("id", "v").write.parquet(s"$src/$f")
+      val q = Streams.driftMonitorSink(
+        spark.readStream.schema(schema).parquet(s"$src/*"), ref, "v",
+        store, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 0: same distribution as the reference -> psi ~ 0
+    run((1 to 1000).map(i => (i.toLong, i.toDouble)), "b0")
+    // batch 1: shifted far right -> psi past the 0.25 drift bar
+    run((1 to 1000).map(i => (2000L + i, i + 900.0)), "b1")
+    val m = spark.read.parquet(store)
+      .select("ingest_batch", "n_cur", "psi")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m.size == 2)
+    assert(m(0L)._1 == 1000L)
+    assert(math.abs(m(0L)._2.get) < 0.001)
+    assert(m(1L)._2.get > 0.25)
+    // replay with no new files: still exactly one row per batch
+    val q3 = Streams.driftMonitorSink(
+      spark.readStream.schema(schema).parquet(s"$src/*"), ref, "v",
+      store, ckpt)
+    q3.awaitTermination(60000)
+    assert(spark.read.parquet(store).count() == 2)
+  }
+
   test("stream-stream interval join attributes right events to left") {
     val lDir = Files.createTempDirectory("ss-left").toString
     val rDir = Files.createTempDirectory("ss-right").toString
