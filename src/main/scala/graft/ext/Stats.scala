@@ -41,7 +41,10 @@ object Stats {
       roundTo: Int = 6): DataFrame = {
     val x = col(xCol).cast(decimals)
     val y = col(yCol).cast(decimals)
-    val agg = df.groupBy(groupCols.map(col): _*).agg(
+    // complete pairs only: a null x or y row must drop from n too, or
+    // the count disagrees with the sums it normalizes
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(x).cast(DoubleType).as("__sx"),
       sum(y).cast(DoubleType).as("__sy"),

@@ -465,7 +465,9 @@ object Relational {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  ROUND(CASE WHEN nd * sxx - sx * sx <> 0
         |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END, 6) AS slope,

@@ -36,6 +36,18 @@ class StatsSpec extends SparkSpec {
     assert(v.isNullAt(v.fieldIndex("intercept")))
   }
 
+  test("groupedOls drops incomplete pairs from n and the moments") {
+    val df = Seq(("g", Option(1.0), Option(3.0)),
+      ("g", Option(2.0), Option(5.0)),
+      ("g", Option(9.0), Option.empty[Double]),  // incomplete: excluded
+      ("g", Option.empty[Double], Option(7.0)))  // incomplete: excluded
+      .toDF("g", "x", "y")
+    val r = Stats.groupedOls(df, Seq("g"), "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("slope") == 2.0) // exact line through 2 points
+    assert(r.getAs[Double]("intercept") == 1.0)
+  }
+
   test("madOutliers flags the planted spike and respects MAD=0 rule") {
     val base = (1 to 11).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)
     val const = (1 to 5).map(_ => ("c", 7.0)) :+ ("c", 7.5)
