@@ -135,6 +135,14 @@ object Temporal {
         .orderBy(col("event_id"))
     }),
 
+    // Market-basket rules over (user, event_type) baskets: support,
+    // both confidences, lift. Hash-checked pair by pair.
+    "q145_association_rules" -> ((s, dir) => {
+      graft.ext.Associations.pairRules(t(s, dir, "events"), "user_id",
+          "event_type", minSupport = 0.01)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // Entry-path journeys: each user's first three event types as a
     // path string, counted with entity shares. Hash-checked.
     "q144_entry_paths" -> ((s, dir) => {
@@ -610,6 +618,32 @@ object Temporal {
         |FROM events e JOIN med m ON e.event_type = m.event_type
         |JOIN mad x ON e.event_type = x.event_type
         |ORDER BY e.event_id""".stripMargin,
+
+    // same basket dedup / cap / pair-count chain (cap never binds at
+    // 5 event types, but the predicate is mirrored for parity)
+    "q145_association_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS e, event_type AS i FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |keep AS (SELECT e FROM b GROUP BY e HAVING COUNT(*) <= 100),
+        |k AS (SELECT b.e, b.i FROM b JOIN keep ON b.e = keep.e),
+        |t AS (SELECT CAST(COUNT(DISTINCT e) AS DOUBLE) AS n FROM k),
+        |ic AS (SELECT i, COUNT(*) AS ni FROM k GROUP BY i),
+        |co AS (
+        |  SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS n_co
+        |  FROM k a JOIN k b2 ON a.e = b2.e AND a.i < b2.i
+        |  GROUP BY 1, 2)
+        |SELECT co.item_a, co.item_b, CAST(co.n_co AS BIGINT) AS n_co,
+        |  ROUND(CAST(co.n_co AS DOUBLE) / t.n, 6) AS support,
+        |  ROUND(CAST(co.n_co AS DOUBLE) / CAST(na.ni AS DOUBLE), 6) AS conf_a_to_b,
+        |  ROUND(CAST(co.n_co AS DOUBLE) / CAST(nb.ni AS DOUBLE), 6) AS conf_b_to_a,
+        |  ROUND(CAST(co.n_co AS DOUBLE) * t.n
+        |    / (CAST(na.ni AS DOUBLE) * CAST(nb.ni AS DOUBLE)), 6) AS lift
+        |FROM co
+        |JOIN ic na ON co.item_a = na.i
+        |JOIN ic nb ON co.item_b = nb.i, t
+        |WHERE CAST(co.n_co AS DOUBLE) >= 0.01 * t.n
+        |ORDER BY item_a, item_b""".stripMargin,
 
     // first-depth states by (ts, event_id), shares over all users
     "q144_entry_paths" ->

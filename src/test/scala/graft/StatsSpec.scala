@@ -195,6 +195,29 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(six.getAs[Double]("robust_z")) < 0.2)
   }
 
+  test("associationRules: hand-computed support/confidence/lift, basket cap") {
+    val df = Seq((1L, "A"), (1L, "B"), (1L, "C"), (1L, "A"), // dup presence
+      (2L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (4L, "C"))
+      .toDF("u", "i")
+    val rules = graft.ext.Associations.pairRules(df, "u", "i",
+        minSupport = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // (A,C) support 0.25 < 0.3 -> filtered; n=4 baskets
+    assert(rules.keySet == Set(("A", "B"), ("B", "C")))
+    assert(rules(("A", "B")) == ((2L, 0.5, 0.666667, 0.666667, 0.888889)))
+    assert(rules(("B", "C")) == ((2L, 0.5, 0.666667, 1.0, 1.333333)))
+    // basket cap drops the whole oversized entity, totals follow
+    val capped = graft.ext.Associations.pairRules(df, "u", "i",
+      minSupport = 0.1, maxBasket = 2).collect()
+    // u1 (3 items) dropped -> pairs only from u2/u4; n = 3 survivors
+    assert(capped.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("A", "B"), ("B", "C")))
+    assert(capped.find(r => r.getString(0) == "A").get
+      .getAs[Long]("n_co") == 1L)
+  }
+
   test("entryPaths: first-depth journeys with shares") {
     val df = Seq(
       (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D"),
