@@ -146,6 +146,59 @@ object Graph {
     labels
   }
 
+  /** Per-vertex triangle counts + local clustering coefficient over
+    * the UNDIRECTED simple graph (self-loops dropped, parallel edges
+    * collapsed): coeff(v) = 2·T(v)/(deg(v)·(deg(v)−1)) — how much of
+    * v's neighborhood is itself connected. High-coefficient dense
+    * pockets are communities/boilerplate rings; a high-degree
+    * zero-coefficient vertex is a hub/spam signature that degree
+    * screens alone can't separate from a genuine community member.
+    *
+    * Enumeration: canonical edges (u < v) joined twice with the
+    * a < b < c ordering — every triangle materializes exactly once.
+    * Shuffles: two edge-keyed hash joins + one per-vertex count; no
+    * cross join. Cost is Σ_v deg(v)² in the worst case — on a
+    * hub-heavy graph, screen pathological degrees first ([[degrees]]),
+    * the same pre-thinning discipline as [[Dedup]]'s bucket caps.
+    * Output: (id, degree, n_triangles, clustering_coeff) over ALL
+    * vertices (triangle-free ones read 0 / 0.0; degree-1 vertices get
+    * null coeff — no pair of neighbors to close). */
+  def triangleStats(edges: DataFrame, roundTo: Int = 6): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val canon = und.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+    canon.count()
+    // a < b < c: (a,b) ⋈ (b,c) closes with (a,c)
+    val tri = canon
+      .join(canon.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(canon.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val perVertex = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val out = deg.join(perVertex, Seq("id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("id"), col("degree"), col("n_triangles"),
+        round(when(col("degree") >= 2L,
+          lit(2.0) * col("n_triangles").cast("double") /
+            (col("degree").cast("double") *
+              (col("degree").cast("double") - lit(1.0)))), roundTo)
+          .as("clustering_coeff"))
+      .persist()
+    out.count()
+    canon.unpersist(blocking = false)
+    out
+  }
+
   /** In/out degree table — the cheap link-spam screen (pages with
     * pathological in-degree are boilerplate hubs; zero out-degree with
     * high in-degree is a sink). One shuffle per direction on the

@@ -151,6 +151,21 @@ object OpsQueries {
             ((col("doc_id") * 13 + 1) % 300).as("dst")))
       graft.ext.Graph.labelPropagation(edges, iters = 5)
         .orderBy(col("id"))
+    }),
+
+    // Triangle counts + local clustering coefficient over the same
+    // citation graph (undirected simple view): dense-pocket vs hub
+    // separation that degree screens alone can't make. Integer-exact
+    // counts; every coefficient hash-checked.
+    "q146_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 300).as("dst"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 13 + 1) % 300).as("dst")))
+      graft.ext.Graph.triangleStats(edges)
+        .orderBy(col("id"))
     }))
 
   /** One unrolled power-iteration step: r_{k+1}(v) = (1-d)/n + d ·
@@ -231,6 +246,38 @@ object OpsQueries {
     "q94_pagerank" -> q94Oracle,
 
     "q126_label_propagation" -> q126Oracle,
+
+    // same canonical-edge a<b<c enumeration + per-vertex explode
+    "q146_triangles" ->
+      """WITH edges AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % 300 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id AS src, (doc_id * 13 + 1) % 300 AS dst
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |e0 AS (SELECT src, dst FROM edges WHERE src <> dst),
+        |canon AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0),
+        |tri AS (
+        |  SELECT t1.a, t1.b, t2.c FROM canon t1
+        |  JOIN (SELECT a AS b, b AS c FROM canon) t2 ON t1.b = t2.b
+        |  WHERE EXISTS (SELECT 1 FROM canon t3
+        |                WHERE t3.a = t1.a AND t3.b = t2.c)),
+        |pv AS (
+        |  SELECT id, COUNT(*) AS n_triangles FROM (
+        |    SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+        |    UNION ALL SELECT c AS id FROM tri) GROUP BY id),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS degree FROM (
+        |    SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon)
+        |  GROUP BY id)
+        |SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  ROUND(CASE WHEN d.degree >= 2
+        |    THEN 2.0 * CAST(COALESCE(pv.n_triangles, 0) AS DOUBLE)
+        |      / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+        |    END, 6) AS clustering_coeff
+        |FROM deg d LEFT JOIN pv ON d.id = pv.id ORDER BY d.id""".stripMargin,
 
     "q71_range_join" ->
       """WITH pts AS (

@@ -59,6 +59,27 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 2L))))
   }
 
+  test("triangleStats: K4 closed form, triangle-free path, dirty edges") {
+    // K4: every vertex in 3 triangles, coefficient exactly 1
+    val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val r4 = Graph.triangleStats(k4)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r4.size == 4)
+    assert(r4.values.forall(_ == ((3L, 3L, Some(1.0)))))
+    // path 1-2-3-4 + noise: self-loop, duplicate + reversed edges must
+    // collapse; no triangles anywhere; endpoints (deg 1) null coeff
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 2L), (2L, 1L),
+      (1L, 2L)).toDF("src", "dst")
+    val rp = Graph.triangleStats(path)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(rp(1L) == ((1L, 0L, None)))
+    assert(rp(2L) == ((2L, 0L, Some(0.0))))
+    assert(rp(3L) == ((2L, 0L, Some(0.0))))
+  }
+
   test("labelPropagation splits two triangles across a bridge") {
     // CC would merge everything reachable; LPA keeps the two dense
     // triangles as separate communities despite the 3–10 bridge.
