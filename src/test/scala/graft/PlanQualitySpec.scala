@@ -343,4 +343,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("grouped OLS / correlation matrix are single-aggregate plans") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ols = planOf(graft.ext.Stats.groupedOls(li, Seq("l_returnflag"),
+      "l_quantity", "l_extendedprice"))
+    // one keyed shuffle for the group-by, nothing else
+    assert(countOcc(ols, "Exchange hashpartitioning") == 1, ols)
+    assert(!ols.contains("ScalaUDF"), ols)
+    val corr = planOf(graft.ext.Stats.correlationMatrix(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount")))
+    // global aggregate: a single-partition exchange, no keyed shuffle
+    assert(countOcc(corr, "Exchange hashpartitioning") == 0, corr)
+    assert(!corr.contains("CartesianProduct"), corr)
+  }
+
+  test("decayed sums and Welch's t ride one keyed/group exchange each") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val dec = planOf(graft.ext.Stats.decayedSum(ev, Seq("user_id"), "ts",
+      "value", 7.0, 1706659200L))
+    assert(countOcc(dec, "Exchange hashpartitioning") == 1, dec)
+    val tw = planOf(graft.ext.Features.timeWeightedAverage(ev,
+      Seq("user_id"), "ts", "event_id", "value"))
+    // the lead window and the aggregate share the user_id partitioning
+    assert(countOcc(tw, "Exchange hashpartitioning") == 1, tw)
+  }
+
+  test("association rules never cross-join; base rates broadcast back") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = planOf(graft.ext.Associations.pairRules(ev, "user_id",
+      "event_type", minSupport = 0.01))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
