@@ -59,6 +59,35 @@ object TextStats {
       when(length(text) >= 100, lit(0.2)).otherwise(lit(0.0)))
   }
 
+  /** Flesch reading-ease score: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words) — the classic readability signal (90+ ≈
+    * grade school, <30 ≈ academic), a standard curation feature next to
+    * [[qualityScore]]'s rubric. Sentences count as runs of
+    * terminal punctuation ([.!?]+, floored at 1); syllables as vowel
+    * groups ([aeiouy]+) per lowercased token, floored at 1 per word —
+    * the usual heuristic approximations, exact-integer counts so the
+    * score is deterministic and cross-engine reproducible. Null/empty/
+    * wordless text yields null. The per-token vowel-group regex is a
+    * let-bound HOF (one interpreted lambda per TOKEN, not per char) —
+    * fine for a scoring pass, keep it off the hottest path. */
+  def fleschReadingEase(text: Column, roundTo: Int = 6): Column = {
+    val t = coalesce(text, lit(""))
+    val toks = regexp_extract_all(lower(t), lit("\\S+"), lit(0))
+    element_at(transform(array(toks), tk => {
+      val nW = size(tk).cast(DoubleType)
+      val nS = greatest(lit(1),
+        size(regexp_extract_all(t, lit("[.!?]+"), lit(0))))
+        .cast(DoubleType)
+      val nSyl = aggregate(tk, lit(0L), (acc, w) =>
+        acc + greatest(lit(1),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))).cast(LongType))
+        .cast(DoubleType)
+      round(when(size(tk) > 0,
+        lit(206.835) - lit(1.015) * (nW / nS) - lit(84.6) * (nSyl / nW)),
+        roundTo)
+    }), 1)
+  }
+
   /** Within-document repetition: 1 − distinct/total word n-grams (the
     * Gopher/C4-style duplicated-n-gram quality filter). Let-bound so the
     * shingle pipeline runs once per row. */

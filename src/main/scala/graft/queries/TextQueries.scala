@@ -394,6 +394,15 @@ object TextQueries {
         docs.filter(col("lang") === "de"), "text", k = 20)
     }),
 
+    // Flesch reading ease per doc (heuristic sentences/syllables on
+    // exact integer counts). Hash-checked.
+    "q147_readability" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.fleschReadingEase(col("text")).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weight-of-evidence binning of doc length against the "is English"
     // label + information value — the credit-scoring feature transform
     // on corpus signals. Hash-checked per bin including the IV.
@@ -1653,6 +1662,23 @@ object TextQueries {
         |FROM v, t
         |ORDER BY abs(ROUND(CAST(v.ccb AS DOUBLE) / t.nb - CAST(v.cca AS DOUBLE) / t.na, 6)) DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // same token/sentence/vowel-group regexes on exact integer counts
+    "q147_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, COALESCE(text, '') AS tx,
+        |    regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(CASE WHEN len(tk) > 0 THEN
+        |    206.835
+        |    - 1.015 * (CAST(len(tk) AS DOUBLE)
+        |        / CAST(greatest(1, len(regexp_extract_all(tx, '[.!?]+'))) AS DOUBLE))
+        |    - 84.6 * (CAST(list_sum(list_transform(tk, w ->
+        |          greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS DOUBLE)
+        |        / CAST(len(tk) AS DOUBLE))
+        |  END, 6) AS flesch
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // same decile cuts, list-filter binning, Laplace-smoothed log-odds
     "q138_woe_binning" ->

@@ -690,6 +690,22 @@ class ExtSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("sample_rank")).sorted.toSeq == Seq(1, 2))
   }
 
+  test("fleschReadingEase: hand-computed score and edge cases") {
+    val df = Seq(
+      (1L, "The cat sat."),              // 3 words / 1 sentence / 3 syl
+      (2L, "Complicated vocabulary impedes comprehension! Readability suffers."),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.ext.TextStats.fleschReadingEase(col("text")).as("f"))
+      .orderBy("doc_id").collect()
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(out(0).getAs[Double]("f") == 119.19)
+    // polysyllabic two-sentence doc scores far lower
+    assert(out(1).getAs[Double]("f") < 40.0)
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
   test("transitionMatrix: hand-computed counts, conditionals, lift") {
     // user 1: A B A B → A→B ×2, B→A ×1; user 2: A C → A→C ×1
     val df = Seq((1L, 1, "A"), (1L, 2, "B"), (1L, 3, "A"), (1L, 4, "B"),
