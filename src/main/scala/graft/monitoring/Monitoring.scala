@@ -189,6 +189,53 @@ object Monitoring {
     latestAnomalous || outage
   }
 
+  /** Seasonal-naive forecast backtest: forecast(day) = the actual count
+    * on the SAME WEEKDAY LAST WEEK (a calendar join on day−7, not a
+    * 7-row lag — row lags silently misalign across gap days), per-day
+    * absolute percentage error, and the group's MAPE — the "would the
+    * naive weekly model have predicted this" yardstick that any real
+    * forecasting model must beat before it earns the alert pager.
+    * First-week days have no forecast (null ape, excluded from MAPE).
+    * Shapes: one daily-count shuffle, a self-join of the (tiny) daily
+    * frame on (group, day−7), MAPE broadcast back.
+    * Output: (groupCols*, day, n, forecast, ape, mape). */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String,
+      groupCols: Seq[String] = Nil, roundTo: Int = 6): DataFrame = {
+    val gcols = groupCols.map(col)
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(gcols :+ to_date(col(tsCol)).as("day"): _*)
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    daily.count()
+    // rename-based self-join: unambiguous columns under any groupCols
+    val left = daily
+    val right = daily.select(
+      (groupCols.map(c => col(c).as(s"__g_$c")) :+
+        col("day").as("__fday") :+ col("n").as("forecast")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .foldLeft(date_sub(col("day"), 7) === col("__fday"))(_ && _)
+    val withF = left.join(right, cond, "left")
+      .select(gcols ++ Seq(col("day"), col("n"), col("forecast")): _*)
+      .withColumn("ape", round(
+        abs(col("n").cast(DoubleType) - col("forecast").cast(DoubleType)) /
+          col("n").cast(DoubleType), roundTo))
+    val mape =
+      (if (groupCols.isEmpty) withF.filter(col("forecast").isNotNull)
+         .groupBy()
+       else withF.filter(col("forecast").isNotNull)
+         .groupBy(gcols: _*))
+        .agg(round(avg(
+          abs(col("n").cast(DoubleType) - col("forecast").cast(DoubleType)) /
+            col("n").cast(DoubleType)), roundTo).as("mape"))
+    val out =
+      (if (groupCols.isEmpty) withF.crossJoin(broadcast(mape))
+       else withF.join(broadcast(mape), groupCols, "left"))
+        .persist()
+    out.count()
+    daily.unpersist(blocking = false)
+    out
+  }
+
   /** Seasonal volume anomaly: [[volumeAnomalyDF]]'s trailing-mean
     * baseline flags every weekend dip on a weekday-heavy stream; this
     * variant compares each day against the mean of ITS OWN day-of-week

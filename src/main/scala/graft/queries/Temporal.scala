@@ -266,6 +266,15 @@ object Temporal {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Seasonal-naive backtest: forecast = same weekday last week
+    // (calendar join, not a row lag), per-day APE + per-type MAPE —
+    // the baseline any forecaster must beat. Hash-checked.
+    "q148_forecast_backtest" -> ((s, dir) => {
+      Monitoring.seasonalNaiveBacktest(t(s, dir, "events"), "ts",
+          Seq("event_type"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Day-of-week seasonal anomaly: each day vs its own weekday
     // cohort's mean — the weekly-rhythm-aware variant of q22.
     // Hash-checked (exact counts, explicit double ratios).
@@ -409,6 +418,28 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // same calendar day−7 self-join + APE/MAPE arithmetic
+    "q148_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type, d.day, d.n, f.n AS forecast
+        |  FROM daily d LEFT JOIN daily f
+        |    ON d.event_type = f.event_type AND f.day = d.day - 7),
+        |m AS (
+        |  SELECT event_type,
+        |    ROUND(AVG(abs(CAST(n AS DOUBLE) - CAST(forecast AS DOUBLE))
+        |      / CAST(n AS DOUBLE)), 6) AS mape
+        |  FROM j WHERE forecast IS NOT NULL GROUP BY event_type)
+        |SELECT j.event_type, j.day, CAST(j.n AS BIGINT) AS n,
+        |  CAST(j.forecast AS BIGINT) AS forecast,
+        |  ROUND(abs(CAST(j.n AS DOUBLE) - CAST(j.forecast AS DOUBLE))
+        |    / CAST(j.n AS DOUBLE), 6) AS ape,
+        |  m.mape
+        |FROM j LEFT JOIN m ON j.event_type = m.event_type
+        |ORDER BY j.event_type, j.day""".stripMargin,
+
     // DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — +1 aligns
     "q137_seasonal_anomaly" ->
       """WITH daily AS (

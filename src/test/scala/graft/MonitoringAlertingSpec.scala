@@ -191,6 +191,27 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(a.details("SLA") == "24 hours")
   }
 
+  test("seasonalNaiveBacktest: calendar-lag forecast survives gap days") {
+    // counts: day1=10, day8=20, day15=40; day9 missing entirely — a
+    // 7-ROW lag would misalign day15's forecast; the calendar join
+    // must still pick day8
+    def at(d: String, n: Int) = (1 to n).map(_ =>
+      java.sql.Timestamp.valueOf(s"2024-01-$d 12:00:00"))
+    val df = (at("01", 10) ++ at("08", 20) ++ at("15", 40))
+      .map(Tuple1(_)).toDF("ts")
+    val out = graft.monitoring.Monitoring
+      .seasonalNaiveBacktest(df, "ts")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (Option(r.getAs[Any]("forecast")), Option(r.getAs[Any]("ape")),
+          r.getAs[Double]("mape"))).toMap
+    assert(out("2024-01-01")._1.isEmpty) // no prior week
+    assert(out("2024-01-08")._1 == Some(10L))
+    assert(out("2024-01-08")._2 == Some(0.5))  // |20-10|/20
+    assert(out("2024-01-15")._1 == Some(20L))
+    assert(out("2024-01-15")._2 == Some(0.5))  // |40-20|/40
+    assert(out.values.forall(_._3 == 0.5))     // MAPE over the two
+  }
+
   test("seasonalAnomalyDF flags only the day that breaks its weekday rhythm") {
     // 7 Mondays at 20 events, the last at 100 (the spike); one Tuesday
     // cohort of a single day — ratio exactly 1, never anomalous
