@@ -189,6 +189,47 @@ object Monitoring {
     latestAnomalous || outage
   }
 
+  /** Rolling distinct active entities (DAU/WAU-style): for each
+    * OBSERVED day, the distinct `userCol` count that day (dau) and
+    * over the trailing `windowDays` window (rolling_active), plus
+    * stickiness = dau/rolling — the engagement ratio product teams
+    * watch. Distinct-over-sliding-window can't ride an ordinary window
+    * frame (COUNT DISTINCT isn't frame-mergeable); instead each
+    * (day, user) pair EXPLODES to the `windowDays` target days it
+    * counts toward, and the rolling count is a plain keyed
+    * countDistinct — one shuffle, no range join, no per-day rescan.
+    * The exploded frame is (distinct day-user pairs) × windowDays —
+    * daily-grain input, so ~windowDays× a frame that is already tiny
+    * relative to the raw events. Output: (day, dau, rolling_active,
+    * stickiness), observed days only. */
+  def rollingActiveUsers(df: DataFrame, tsCol: String, userCol: String,
+      windowDays: Int = 7, roundTo: Int = 6): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val du = df.where(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .distinct()
+      .persist()
+    du.count()
+    val days = du.select(col("day")).distinct()
+    val dau = du.groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("dau"))
+    val rolling = du
+      .select(explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1),
+        expr("interval 1 day"))).as("day"), col("__u"))
+      .join(days, Seq("day"), "left_semi") // only observed days report
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__u")).as("rolling_active"))
+    val out = dau.join(rolling, Seq("day"))
+      .select(col("day"), col("dau"), col("rolling_active"),
+        round(col("dau").cast(DoubleType) /
+          col("rolling_active").cast(DoubleType), roundTo).as("stickiness"))
+      .persist()
+    out.count()
+    du.unpersist(blocking = false)
+    out
+  }
+
   /** Seasonal-naive forecast backtest: forecast(day) = the actual count
     * on the SAME WEEKDAY LAST WEEK (a calendar join on day−7, not a
     * 7-row lag — row lags silently misalign across gap days), per-day

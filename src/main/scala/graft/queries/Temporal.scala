@@ -266,6 +266,14 @@ object Temporal {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // DAU / rolling-7-day active users / stickiness per observed day —
+    // distinct-over-sliding-window via day-explosion, no range join.
+    // Hash-checked.
+    "q149_active_users" -> ((s, dir) => {
+      Monitoring.rollingActiveUsers(t(s, dir, "events"), "ts", "user_id")
+        .orderBy(col("day"))
+    }),
+
     // Seasonal-naive backtest: forecast = same weekday last week
     // (calendar join, not a row lag), per-day APE + per-type MAPE —
     // the baseline any forecaster must beat. Hash-checked.
@@ -418,6 +426,24 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // BETWEEN formulation — result-identical to the day-explosion plan
+    "q149_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |roll AS (
+        |  SELECT s.day, COUNT(DISTINCT d.user_id) AS rolling_active
+        |  FROM days s JOIN du d ON d.day BETWEEN s.day - 6 AND s.day
+        |  GROUP BY s.day)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(roll.rolling_active AS BIGINT) AS rolling_active,
+        |  ROUND(CAST(dau.dau AS DOUBLE) / CAST(roll.rolling_active AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN roll ON dau.day = roll.day
+        |ORDER BY dau.day""".stripMargin,
+
     // same calendar day−7 self-join + APE/MAPE arithmetic
     "q148_forecast_backtest" ->
       """WITH daily AS (

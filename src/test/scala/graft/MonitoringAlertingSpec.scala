@@ -191,6 +191,33 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(a.details("SLA") == "24 hours")
   }
 
+  test("rollingActiveUsers: dau, trailing distinct, stickiness") {
+    def at(d: String, u: Long) =
+      (java.sql.Timestamp.valueOf(s"2024-01-$d 12:00:00"), u)
+    // u1 active day 1 and 5; u2 day 5; u3 day 20 (outside any window)
+    val df = Seq(at("01", 1L), at("01", 1L), at("05", 1L), at("05", 2L),
+      at("20", 3L)).toDF("ts", "user_id")
+    val out = graft.monitoring.Monitoring
+      .rollingActiveUsers(df, "ts", "user_id")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("rolling_active"),
+          r.getAs[Double]("stickiness"))).toMap
+    assert(out.size == 3)
+    assert(out("2024-01-01") == ((1L, 1L, 1.0)))
+    // day 5 window [day-1 .. day 5]: users {1, 2}; dau 2
+    assert(out("2024-01-05") == ((2L, 2L, 1.0)))
+    assert(out("2024-01-20") == ((1L, 1L, 1.0)))
+    // widen: with a spread fixture the rolling set exceeds the day's
+    val df2 = Seq(at("01", 1L), at("03", 2L), at("05", 3L))
+      .toDF("ts", "user_id")
+    val o2 = graft.monitoring.Monitoring
+      .rollingActiveUsers(df2, "ts", "user_id")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("rolling_active"),
+          r.getAs[Double]("stickiness"))).toMap
+    assert(o2("2024-01-05") == ((1L, 3L, 0.333333)))
+  }
+
   test("seasonalNaiveBacktest: calendar-lag forecast survives gap days") {
     // counts: day1=10, day8=20, day15=40; day9 missing entirely — a
     // 7-ROW lag would misalign day15's forecast; the calendar join
