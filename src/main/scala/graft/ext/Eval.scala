@@ -130,4 +130,42 @@ object Eval {
         round(when(peC < 1.0, (po - peC) / (lit(1.0) - peC)), roundTo)
           .as("kappa")): _*)
   }
+
+  /** Exact ROC AUC of a score against a boolean label — the
+    * classifier-quality headline (0.5 random, 1.0 perfect), computed
+    * WITHOUT a global row ranking: rows collapse to one cell per
+    * DISTINCT score (nPos_s, nNeg_s), and the Mann–Whitney identity
+    *   AUC = Σ_s nPos_s·(cumNegBelow_s + nNeg_s/2) / (nPos·nNeg)
+    * folds tied scores in exactly (each tie contributes half a win).
+    * The only window runs over the distinct-score frame — cell-sized,
+    * not corpus-sized (a raw-rank formulation would global-sort every
+    * row); one shuffle to build the cells. Rows with null score or
+    * label are excluded; a degenerate single-class input yields null.
+    * Output (one row): n_pos, n_neg, auc. */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val cells = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__np"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L))
+          .as("__nn"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = cells
+      .withColumn("__cumNegBelow",
+        coalesce(sum(col("__nn")).over(w), lit(0L)))
+    withCum.agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"),
+        sum(col("__np").cast("double") *
+          (col("__cumNegBelow").cast("double") +
+            col("__nn").cast("double") / lit(2.0))).as("__u"))
+      .select(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("__u") / (col("n_pos").cast("double") *
+            col("n_neg").cast("double"))), roundTo).as("auc"))
+  }
 }

@@ -394,6 +394,16 @@ object TextQueries {
         docs.filter(col("lang") === "de"), "text", k = 20)
     }),
 
+    // Exact ROC AUC of doc length as an "is English" classifier —
+    // Mann–Whitney on distinct-score cells, ties folded exactly, no
+    // global row rank. Hash-checked.
+    "q150_auc" -> ((s, dir) => {
+      graft.ext.Eval.binaryAuc(
+        t(s, dir, "documents").select(col("n_chars"),
+          (col("lang") === "en").as("is_en")),
+        "n_chars", "is_en")
+    }),
+
     // Flesch reading ease per doc (heuristic sentences/syllables on
     // exact integer counts). Hash-checked.
     "q147_readability" -> ((s, dir) => {
@@ -1662,6 +1672,26 @@ object TextQueries {
         |FROM v, t
         |ORDER BY abs(ROUND(CAST(v.ccb AS DOUBLE) / t.nb - CAST(v.cca AS DOUBLE) / t.na, 6)) DESC, tok
         |LIMIT 20""".stripMargin,
+
+    // same distinct-score cells + Mann–Whitney half-tie identity
+    "q150_auc" ->
+      """WITH c AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS s,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT np, nn,
+        |    COALESCE(SUM(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM c)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  ROUND(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    SUM(CAST(np AS DOUBLE) * (CAST(cb AS DOUBLE) + CAST(nn AS DOUBLE) / 2.0))
+        |      / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)) END, 6) AS auc
+        |FROM w""".stripMargin,
 
     // same token/sentence/vowel-group regexes on exact integer counts
     "q147_readability" ->

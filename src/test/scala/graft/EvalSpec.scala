@@ -200,4 +200,26 @@ class EvalSpec extends SparkSpec {
     assert(out(2).getAs[Double]("code_score") == 0.0)
     assert(!out(2).getAs[Boolean]("is_code"))
   }
+
+  test("binaryAuc: separation, hand pairs, ties, degenerate input") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val r = graft.ext.Eval.binaryAuc(rows.toDF("s", "y"), "s", "y")
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    // perfect separation
+    assert(auc(Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true)))
+      == Some(1.0))
+    // hand-counted pairwise wins: pos {1,3} vs neg {2,4} -> 1/4
+    assert(auc(Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false)))
+      == Some(0.25))
+    // full tie: every pos-neg pair is half a win
+    assert(auc(Seq((2.0, true), (2.0, false))) == Some(0.5))
+    // inverted scorer
+    assert(auc(Seq((4.0, false), (3.0, false), (1.0, true), (2.0, true)))
+      == Some(0.0))
+    // single class: undefined
+    assert(auc(Seq((1.0, true), (2.0, true))) == None)
+  }
 }
