@@ -328,6 +328,20 @@ object ScaleSmoke {
       ext.Dedup.winnowPairs(syntheticDocs(spark, 500000), "doc_id",
         "text", maxDf = 20, minShared = 2, exact = false).count() }
 
+    // triangle enumeration cost is Σ deg² — on this 2M-edge graph the
+    // canonical-edge joins stay keyed-hash, no cross join
+    time("2M-edge triangle counts + clustering coefficients") {
+      ext.Graph.triangleStats(links).count() }
+
+    // association rules over 2M (user, item) rows, 200k baskets of ≤10
+    // items — pair fan-out bounded by the basket cap
+    time("2M-row association rules (200k baskets, 40 items)") {
+      val rows = spark.range(2000000).select(
+        pmod(col("id"), lit(200000L)).as("user"),
+        pmod(xxhash64(col("id"), lit("it")), lit(40L)).as("item"))
+      ext.Associations.pairRules(rows, "user", "item",
+        minSupport = 0.001, maxBasket = 20).count() }
+
     // rolling velocity features: one shuffle on the entity, all four
     // features on one sort — linear in events
     time("2M events velocity features (lag/rolling/range)") {
