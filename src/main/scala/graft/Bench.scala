@@ -28,6 +28,7 @@ object Bench {
       val w2 = graft.ext.Dedup.simHashPairs(mini, "doc_id", "text", 3)
       w2.count(); w2.unpersist(blocking = false)
     } catch { case _: Throwable => () }
+    graft.util.Caches.clearAll(spark)
     // duplicate short keys would silently drop a timing from the parsed
     // JSON dict — fail loudly BEFORE the (many-minute) measurement loop:
     // the keys are static in SparkEntry.queries
@@ -44,7 +45,16 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      // release every cached plan and persisted/checkpointed block the
+      // query left behind — OUTSIDE its timed window. Operators snapshot
+      // results eagerly (util.Caches contract); without this drain the
+      // 150-query single-session sweep accumulates hundreds of storage
+      // blocks and the back half of the alphabet runs under storage-pool
+      // eviction + GC pressure (r7: 19 phantom >2x "regressions", q58
+      // measured 87 s in-sweep vs 7.6 s in a fresh session).
+      graft.util.Caches.clearAll(spark)
+      (name, t, ok)
     }
     // a failed query must NOT contribute its elapsed-until-crash to the
     // machine line — a plan-time throw looks like a 100x speedup to the

@@ -47,6 +47,12 @@ object Associations {
     kept.count()
     baskets.unpersist(blocking = false)
     val nEntities = kept.select(col("__e")).distinct().count()
+    // no broadcast hint on the item base rates: the item vocabulary is
+    // corpus-scale in real basket data (the 5-type test fixture is not
+    // the sizing case), so a forced broadcast could OOM the driver.
+    // After the minSupport floor the surviving pair set is small, the
+    // re-attach joins shuffle it by item key, and AQE still converts to
+    // broadcast at runtime when the counts frame is actually small.
     val itemCounts = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val co = kept.select(col("__e"), col("__i").as("item_a"))
       .join(kept.select(col("__e"), col("__i").as("item_b")), Seq("__e"))
@@ -56,10 +62,10 @@ object Associations {
       .filter(col("n_co").cast("double") >= lit(minSupport * nEntities))
     val nD = lit(nEntities.toDouble)
     val out = co
-      .join(broadcast(itemCounts.select(col("__i").as("item_a"),
-        col("__ni").as("__na"))), Seq("item_a"))
-      .join(broadcast(itemCounts.select(col("__i").as("item_b"),
-        col("__ni").as("__nb"))), Seq("item_b"))
+      .join(itemCounts.select(col("__i").as("item_a"),
+        col("__ni").as("__na")), Seq("item_a"))
+      .join(itemCounts.select(col("__i").as("item_b"),
+        col("__ni").as("__nb")), Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("n_co"),
         round(col("n_co").cast("double") / nD, roundTo).as("support"),
         round(col("n_co").cast("double") / col("__na").cast("double"),
@@ -69,9 +75,10 @@ object Associations {
         round(col("n_co").cast("double") * nD /
           (col("__na").cast("double") * col("__nb").cast("double")),
           roundTo).as("lift"))
-      .persist()
-    out.count()
+    // eager snapshot (util.Caches contract): no CacheManager entry left
+    // behind; the result's blocks GC-release with the returned frame
+    val snap = graft.util.Caches.snapshot(out)
     kept.unpersist(blocking = false)
-    out
+    snap
   }
 }

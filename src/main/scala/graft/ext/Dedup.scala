@@ -157,9 +157,11 @@ object Dedup {
     * list: materializing every member×member pair is exactly the
     * quadratic blow-up the clustering step exists to avoid.
     *
-    * Eager: the (small) verified pair set is materialized and cached
-    * before returning so intermediate caches can be released — repeated
-    * calls in a long-lived session don't accumulate storage.
+    * Eager: the (small) verified pair set is materialized into a
+    * [[graft.util.Caches.snapshot]] before returning so intermediate
+    * caches can be released — repeated calls in a long-lived session
+    * leave no CacheManager entries, and the result's own blocks are
+    * GC-released once the caller drops the frame.
     *
     * Shuffles: signature agg (by id), band explode + self-join (by band
     * hash), two hash joins to re-attach shingle sets. No global cross
@@ -181,15 +183,22 @@ object Dedup {
 
     // identical signatures cluster first: linear rep→member candidates
     // instead of a quadratic band bucket (duplicate-heavy corpora).
-    // Group on the signature ARRAY itself, not a 64-bit hash of it — at
-    // billion-signature scale a hash collision would silently merge two
-    // unrelated groups and drop the loser from banding (arrays are valid
-    // group/join keys; the hash indirection bought nothing)
-    val withSigKey = sigs.select(col("id"), col("sig")).persist()
+    // Group/join on a 128-bit hash of the signature (two independent
+    // xxhash64 streams), not the array itself: the 32-long array key is
+    // ~16× the bytes and element-wise to compare on the hottest dedup
+    // shuffle, while a 128-bit collision needs ~2^64 DISTINCT signatures
+    // before the birthday bound bites (at 10^9 distinct sigs the
+    // any-collision probability is ~10^-21) — the same practical safety
+    // at a fraction of the shuffle weight. A single 64-bit key would NOT
+    // be safe here (birthday-collides at ~10^9 with real probability,
+    // silently merging unrelated groups); 128 bits is the floor.
+    val withSigKey = sigs.select(col("id"), col("sig"),
+      xxhash64(col("sig")).as("__sk1"),
+      xxhash64(col("sig"), lit(1L)).as("__sk2")).persist()
     withSigKey.count()
-    val clusters = withSigKey.groupBy(col("sig"))
+    val clusters = withSigKey.groupBy(col("__sk1"), col("__sk2"))
       .agg(min(col("id")).as("rep"))
-    val dupCand = withSigKey.join(clusters, Seq("sig"))
+    val dupCand = withSigKey.join(clusters, Seq("__sk1", "__sk2"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("a"), col("id").as("b"))
 
@@ -208,17 +217,16 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
 
-    val result = dupCand.unionByName(bandCand).dropDuplicates("a", "b")
-      .join(sets.select(col("id").as("a"), col("shset").as("sh_a")), Seq("a"))
-      .join(sets.select(col("id").as("b"), col("shset").as("sh_b")), Seq("b"))
-      .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
-      .persist()
-    // eager: materialize the (small) verified pair set, then release the
-    // intermediate caches — repeated calls in a long-lived session must
-    // not accumulate cached blocks
-    result.count()
+    // eager snapshot: materialize the (small) verified pair set, then
+    // release the intermediate caches — repeated calls in a long-lived
+    // session must not accumulate cached blocks (util.Caches contract)
+    val result = graft.util.Caches.snapshot(
+      dupCand.unionByName(bandCand).dropDuplicates("a", "b")
+        .join(sets.select(col("id").as("a"), col("shset").as("sh_a")), Seq("a"))
+        .join(sets.select(col("id").as("b"), col("shset").as("sh_b")), Seq("b"))
+        .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("a"), col("b"), col("jaccard")))
     sets.unpersist(); withSigKey.unpersist(); banded.unpersist()
     result
   }
@@ -308,8 +316,8 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("a", "b")
 
-    val result = dupPairs.unionByName(nearPairs).persist()
-    result.count() // eager, then release the signature cache
+    // eager snapshot, then release the signature cache (Caches contract)
+    val result = graft.util.Caches.snapshot(dupPairs.unionByName(nearPairs))
     sigs.unpersist()
     result
   }
@@ -452,12 +460,9 @@ object Dedup {
       minJaccard: Double = 0.8): DataFrame = {
     val pairs = minHashLsh(docs, idCol, textCol, shingleSize, bands,
       rowsPerBand, minJaccard)
-    // connectedComponents materializes eagerly (driver union-find or
-    // per-round localCheckpoint), so the cached pair set can be released
-    // here instead of pinning one block set per call for the session's
-    // lifetime
+    // pairs is a Caches.snapshot — no CacheManager entry; its blocks are
+    // GC-released once this frame goes out of scope after the clustering
     val comps = connectedComponents(pairs)
-    pairs.unpersist(blocking = false)
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -512,12 +517,14 @@ object Dedup {
   /** One representative (min id) per distinct signature — the
     * duplicate-heavy-corpus guard: banding members individually would
     * push every bucket of heavily-duplicated content over the cap and
-    * silently lose it from candidate generation. */
+    * silently lose it from candidate generation. Grouped on the compact
+    * 128-bit signature hash (see minHashLsh's cluster step for the
+    * collision/shuffle-weight arithmetic); the surviving row's own sig
+    * array rides along via min_by. */
   private def sigReps(sigs: DataFrame): DataFrame =
-    // group on the signature array directly (collision-proof; see
-    // minHashLsh's cluster step for why hashing the array is wrong)
-    sigs.groupBy(col("sig"))
-      .agg(min(col("id")).as("id"))
+    sigs.groupBy(xxhash64(col("sig")).as("__sk1"),
+        xxhash64(col("sig"), lit(1L)).as("__sk2"))
+      .agg(min(col("id")).as("id"), min_by(col("sig"), col("id")).as("sig"))
       .select(col("id"), col("sig"))
 
   def buildNearDupIndex(kept: DataFrame, idCol: String, textCol: String,
@@ -563,16 +570,22 @@ object Dedup {
     // persisted: newSigs feeds BOTH reps and memberOf — without the cache
     // the delta's explode+MinHash shuffle would run twice per call. The
     // reps.count() action below populates it (actions here are
-    // sequential — no branch race). Signature grouping is on the array
-    // itself (collision-proof, same as the batch path).
+    // sequential — no branch race). Signature grouping/joining is on the
+    // compact 128-bit hash key (see minHashLsh's cluster step), with the
+    // rep's own sig array riding along via min_by for banding.
     val newSigs = sigsFromSets(newSets, index.bands * index.rowsPerBand)
+      .select(col("id"), col("sig"),
+        xxhash64(col("sig")).as("__sk1"),
+        xxhash64(col("sig"), lit(1L)).as("__sk2"))
       .persist()
-    val reps = newSigs.groupBy(col("sig"))
-      .agg(min(col("id")).as("rep_id"))
+    val reps = newSigs.groupBy(col("__sk1"), col("__sk2"))
+      .agg(min(col("id")).as("rep_id"),
+        min_by(col("sig"), col("id")).as("sig"))
       .persist()
     reps.count()
     val memberOf = newSigs
-      .join(reps.select(col("sig"), col("rep_id")), Seq("sig"))
+      .join(reps.select(col("__sk1"), col("__sk2"), col("rep_id")),
+        Seq("__sk1", "__sk2"))
       .select(col("id"), col("rep_id"))
       .persist()
     memberOf.count()
@@ -635,7 +648,8 @@ object Dedup {
     // pairs can be ~100× the delta, exactly the blow-up to avoid.
     val candIds = expanded.unionByName(intraGroup)
       .dropDuplicates("new_id", "matched_id")
-    val result = allSets
+    // eager snapshot, then release the delta-side caches
+    val result = graft.util.Caches.snapshot(allSets
       .select(col("id").as("matched_id"), col("shset").as("sh_m"))
       .join(broadcast(candIds), Seq("matched_id"))
       .join(broadcast(newSets.select(col("id").as("new_id"),
@@ -643,9 +657,7 @@ object Dedup {
       .withColumn("jaccard", Shingles.jaccard(col("sh_n"), col("sh_m")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("new_id"), col("matched_id"), col("jaccard"),
-        col("matched_kept"))
-      .persist()
-    result.count() // eager, then release the delta-side caches
+        col("matched_kept")))
     newSets.unpersist(); newBand.unpersist(); reps.unpersist()
     memberOf.unpersist(); newSigs.unpersist(); keptTouched.unpersist()
     result
@@ -680,11 +692,10 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val matched = incrementalNearDupMatches(newDocs, kept, idCol, textCol,
       shingleSize, bands, rowsPerBand, minJaccard, maxBucketSize)
-    // pin only the (small) matched-id set — eager lineage-free snapshot —
-    // and release the full match frame instead of leaking its cache
-    val ids = matched.select(col("new_id").as(idCol)).distinct()
-      .localCheckpoint(true)
-    matched.unpersist(blocking = false)
+    // pin only the (small) matched-id set — the full match snapshot's
+    // blocks are GC-released once `matched` goes out of scope
+    val ids = graft.util.Caches.snapshot(
+      matched.select(col("new_id").as(idCol)).distinct())
     newDocs.join(ids, Seq(idCol), "left_anti")
   }
 
@@ -770,14 +781,13 @@ object Dedup {
       .filter(col("__df") <= maxDf)
       .select(col("fp"))
     val screened = fps.join(rare, Seq("fp"), "left_semi")
-    val result = screened.select(col("fp"), col("id").as("id_a"))
-      .join(screened.select(col("fp"), col("id").as("id_b")), Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .persist()
-    result.count()
+    val result = graft.util.Caches.snapshot(
+      screened.select(col("fp"), col("id").as("id_a"))
+        .join(screened.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared))
     fps.unpersist(blocking = false)
     result
   }

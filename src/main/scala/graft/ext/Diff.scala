@@ -103,10 +103,9 @@ object Diff {
       sum(when(col("__ca") > 0L && col("__cb") > 0L, 1L).otherwise(0L))
         .as("vocab_shared"),
       round(sum(term), roundTo).as("js_divergence"))
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     vocab.unpersist(blocking = false)
-    out
+    snap
   }
 
   private def joinedVocab(a: DataFrame, b: DataFrame,
@@ -143,9 +142,8 @@ object Diff {
         round(q - p, roundTo).as("shift"))
       .orderBy(abs(col("shift")).desc, col("tok"))
       .limit(k)
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     vocab.unpersist(blocking = false)
-    out
+    snap
   }
 }

@@ -193,10 +193,9 @@ object Graph {
             (col("degree").cast("double") *
               (col("degree").cast("double") - lit(1.0)))), roundTo)
           .as("clustering_coeff"))
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     canon.unpersist(blocking = false)
-    out
+    snap
   }
 
   /** In/out degree table — the cheap link-spam screen (pages with

@@ -48,8 +48,10 @@ object IvfPq {
     val encoded = withRes.select(col(idCol), col("__cell").as("cell"),
       Pq.encodeColumn(col("__res"), pq).as("codes"))
       .filter(col("codes").isNotNull)
-    val out = encoded.persist()
-    out.count()
+    // eager snapshot (Caches contract): the encoded index is queried
+    // repeatedly — its blocks live exactly as long as the caller holds
+    // the frame, with no CacheManager entry to leak
+    val out = graft.util.Caches.snapshot(encoded)
     withRes.unpersist()
     (Index(ivf, pq), out)
   }

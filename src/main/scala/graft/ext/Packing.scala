@@ -87,14 +87,15 @@ object Packing {
       packCol: String = "pack_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(sortCols.nonEmpty, "at least one sort column")
-    // persist: offsets and the main join must see the SAME sampled range
-    // boundaries (same reasoning as addSurrogateKeyScalable — exchange
-    // reuse usually guarantees it, the shared cache makes it
-    // unconditional)
-    val ordered = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    // eager snapshot: offsets and the main join must see the SAME
+    // sampled range boundaries (same reasoning as
+    // addSurrogateKeyScalable — exchange reuse usually guarantees it,
+    // the materialized snapshot makes it unconditional without leaving
+    // a CacheManager entry behind)
+    val ordered = graft.util.Caches.snapshot(
+      df.repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val localBefore = coalesce(
       sum(col(tokensCol)).over(
         Window.partitionBy(col("__pid")).orderBy(sortCols: _*)

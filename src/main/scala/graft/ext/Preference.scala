@@ -96,7 +96,9 @@ object Preference {
       .crossJoin(broadcast(z))
       .select(col("item"), col("wins"), col("n_comp"),
         round(col("__s") / col("__z"), roundTo).as("strength"))
+    // materialize while pairs/items are still cached, then release them
+    val snap = graft.util.Caches.snapshot(out)
     pairs.unpersist(); items.unpersist()
-    out
+    snap
   }
 }

@@ -124,10 +124,9 @@ object Profile {
         round(col("n").cast("double") / col("n_rows").cast("double"),
           roundTo).as("share"),
         col("rnk"), col("n_distinct"), col("n_rows"))
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     counts.unpersist(blocking = false)
-    out
+    snap
   }
 
   def functionalDependencies(df: DataFrame, cols: Seq[String],

@@ -208,9 +208,8 @@ object Sequences {
         round((col("n").cast("double") / col("__nf").cast("double")) /
           (col("__nt").cast("double") / col("__na").cast("double")),
           roundTo).as("lift"))
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     trans.unpersist(blocking = false)
-    out
+    snap
   }
 }

@@ -98,8 +98,17 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
       multiProbe: Boolean = true, roundDigits: Int = 4,
-      broadcastQueries: Boolean = true): DataFrame = {
-    val bucket = lshBucket(col(vecCol), numPlanes, dim, seed)
+      broadcastQueries: Boolean = true,
+      bucketOf: Column => Column = null): DataFrame = {
+    // bucketOf overrides the hash family: pass v => signCells(v, numPlanes)
+    // for the axis-aligned sign-bit LSH (projections onto the first
+    // numPlanes basis vectors — a degenerate-but-valid hyperplane choice
+    // that is SQL-expressible, so the whole probe/score/rank path can be
+    // oracle-checked end to end; the seeded random-plane default remains
+    // the production family). Multi-probe bit flips apply to either.
+    val bucket =
+      if (bucketOf != null) bucketOf(col(vecCol))
+      else lshBucket(col(vecCol), numPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"), bucket.as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"),

@@ -166,9 +166,10 @@ object Stats {
         ((col("__ka") - 1L) * (col("__kb") - 1L)).as("dof"),
         round(col("__n").cast(DoubleType) * col("__s") -
           col("__n").cast(DoubleType), roundTo).as("chi2"))
-    out.persist().count() // materialize before releasing the cell cache
+    // eager snapshot before releasing the cell cache (Caches contract)
+    val snap = graft.util.Caches.snapshot(out)
     cells.unpersist(blocking = false)
-    out
+    snap
   }
 
   /** Pairwise Pearson correlation matrix over `cols` in ONE aggregate
@@ -180,19 +181,33 @@ object Stats {
     * convention; run column pairs separately for pairwise-complete).
     * Zero-variance columns yield null r against everything. k columns
     * cost k(k+1)/2 sum expressions inside one scan — profile a bounded
-    * column set. Output: (col_a, col_b, n, corr), a < b. */
+    * column set. Output: (col_a, col_b, n, corr), a < b.
+    *
+    * `decimals = null` selects the double-precision fast path: moment
+    * sums accumulate as raw doubles instead of exact decimals. Decimal
+    * accumulation is the default because it is order-free — bit-
+    * identical across partial-agg orders and across engines (the
+    * oracle-parity requirement) — but each decimal multiply/add is
+    * ~an order of magnitude costlier than a double fma. Profiling
+    * use-cases that only read r to a few digits should pass null: the
+    * result differs from exact only by partial-sum rounding noise far
+    * below `roundTo` for well-conditioned data (it IS run-to-run
+    * deterministic under a fixed partitioning, but not guaranteed
+    * stable across partitionings — don't hash-compare it). */
   def correlationMatrix(df: DataFrame, cols: Seq[String],
       decimals: DecimalType = DecimalType(18, 2),
       roundTo: Int = 6): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    val acc: Column => Column =
+      if (decimals == null) _.cast(DoubleType) else _.cast(decimals)
     val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val sums =
       Seq(count(lit(1)).as("__n")) ++
-        cols.map(c => sum(col(c).cast(decimals)).cast(DoubleType)
+        cols.map(c => sum(acc(col(c))).cast(DoubleType)
           .as(s"__s_$c")) ++
         (for { i <- cols.indices; j <- i until cols.size } yield {
           val (a, b) = (cols(i), cols(j))
-          sum(col(a).cast(decimals) * col(b).cast(decimals))
+          sum(acc(col(a)) * acc(col(b)))
             .cast(DoubleType).as(s"__p_${a}_$b")
         })
     val one = complete.agg(sums.head, sums.tail: _*)
@@ -272,10 +287,9 @@ object Stats {
         round(col("__pc"), roundTo).as("p_cur"),
         round(col("__contrib"), roundTo).as("contrib"),
         round(col("__psi"), roundTo).as("psi"))
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     joined.unpersist(blocking = false)
-    out
+    snap
   }
 
   /** Welch's two-sample t-test between `groupA` and `groupB` of
@@ -429,10 +443,9 @@ object Stats {
         round(col("__woe"), roundTo).as("woe"),
         round(col("__ivc"), roundTo).as("iv_contrib"),
         round(col("__iv"), roundTo).as("iv"))
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     full.unpersist(blocking = false)
-    out
+    snap
   }
 
   /** Recency-weighted (exponentially decayed) per-key aggregate — the
@@ -512,9 +525,8 @@ object Stats {
           roundTo).as("p_obs"),
         round(col("__pexp"), roundTo).as("p_exp"),
         round(col("__chi2"), roundTo).as("chi2")): _*)
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     cells.unpersist(blocking = false)
-    out
+    snap
   }
 }

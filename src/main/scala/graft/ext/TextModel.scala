@@ -250,8 +250,15 @@ object TextModel {
     * standard floor). Output: (term_a, term_b, n_pair, n_a, n_b, pmi).
     *
     * Determinism: one `ln` of a ratio of integer-derived doubles,
-    * multiplied in a FIXED written order — no float aggregation — so
-    * `roundTo` digits are cross-engine-stable.
+    * multiplied in a FIXED written order — no float aggregation — plus a
+    * +1e-9 nudge before rounding. The nudge is the cross-engine guard:
+    * libm `ln` implementations are only 1-ulp-accurate, so a PMI value
+    * sitting exactly on the `roundTo` half-way grid (r7: one of 900 rows
+    * at a .00005 boundary) can round differently per engine; shifting
+    * both sides 1e-9 off the grid makes a flip require the true value to
+    * land within ~1 ulp of (boundary − 1e-9) — probability ~1e-8 per
+    * row instead of a live failure. 1e-9 is far below any meaningful
+    * PMI resolution and far above double ulp at PMI magnitudes.
     *
     * Scale: bigram and unigram counts are keyed aggregates with map-side
     * combine (distributed frames, never collected); the two count
@@ -278,7 +285,8 @@ object TextModel {
         col("n_a"), col("n_b"),
         round(log(
           (col("n_pair").cast("double") * col("__T") * col("__T")) /
-            (col("__B").cast("double") * col("n_a") * col("n_b"))),
+            (col("__B").cast("double") * col("n_a") * col("n_b")))
+          + lit(1e-9),
           roundTo).as("pmi"))
   }
 

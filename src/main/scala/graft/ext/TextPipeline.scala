@@ -61,14 +61,15 @@ object TextPipeline {
     val afterExact = exact.count()
     filtered.unpersist()
 
-    val near = Dedup.dedupNearDuplicates(exact, idCol, textCol,
-      minJaccard = nearDupJaccard).drop("__norm").persist()
-    // ALWAYS materialize `near` while `exact` is still cached: its plan
-    // anti-joins against exact, and unpersisting first would make the
-    // caller's first action recompute the whole filter+dedup chain over
-    // the corpus. The count is over the (small) survivor set; only the
-    // REPORTING of it is optional.
-    val afterNear0 = near.count()
+    // eager snapshot (Caches contract), taken while `exact` is still
+    // cached: the plan anti-joins against exact, and materializing after
+    // release would recompute the whole filter+dedup chain over the
+    // corpus. No CacheManager entry rides out with the result; its
+    // blocks GC-release once the caller drops the frame.
+    val near = graft.util.Caches.snapshot(
+      Dedup.dedupNearDuplicates(exact, idCol, textCol,
+        minJaccard = nearDupJaccard).drop("__norm"))
+    val afterNear0 = near.count() // cheap: scans the snapshot blocks
     exact.unpersist()
     val afterNear = if (computeStats) afterNear0 else -1L
 
@@ -164,16 +165,16 @@ object TextPipeline {
           lit(shuffleSeed.toString))))
       .orderBy(col("shuffle_key") +: col("pack_id") +: packOrder: _*)
       .drop("__eid", "__spread")
-    val out = shuffled.persist()
-    // One action materializes `out` while `scored` is still cached (same
-    // rationale as curate's afterNear). With stats on, the same pass also
-    // counts distinct packs — NOT max(pack_id)+1: a doc larger than the
-    // budget spills past whole budget windows, leaving empty pack ids.
+    // eager snapshot while `scored` is still cached (same rationale as
+    // curate's afterNear); stats run over the snapshot blocks. Distinct
+    // packs — NOT max(pack_id)+1: a doc larger than the budget spills
+    // past whole budget windows, leaving empty pack ids.
+    val out = graft.util.Caches.snapshot(shuffled)
     val (nRows, nPacks) =
       if (computeStats) {
         val r = out.agg(count(lit(1)), countDistinct(col("pack_id"))).head()
         (r.getLong(0), r.getLong(1))
-      } else (out.count(), -1L)
+      } else (out.count(), -1L) // cheap: counts the snapshot blocks
     scored.unpersist()
     // release the curated-corpus cache too: `out` is materialized, so
     // nothing downstream re-reads it through this plan

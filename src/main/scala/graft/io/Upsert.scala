@@ -28,6 +28,52 @@ object Upsert {
 
   final case class MergeStats(inserted: Long, updated: Long)
 
+  /** Thrown when a second writer attempts a concurrent [[upsertParquet]]
+    * on the same target. This emulation is SINGLE-WRITER BY CONTRACT —
+    * Delta's log-mediated optimistic concurrency (the reference's MERGE,
+    * spark_utils.py:285-344) is exactly what a directory-swap commit
+    * cannot provide — so the guard exists to turn a silent lost-update /
+    * torn-swap into a loud, retryable error. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Advisory single-writer lock around a table mutation: atomic
+    * lock-file create (POSIX `O_EXCL` semantics — also atomic on NFS v3+
+    * and HDFS; on object stores without atomic create this degrades to
+    * best-effort, which is still strictly better than no guard). A lock
+    * older than `staleLockMs` is presumed abandoned by a killed JVM
+    * (normal and exceptional exits both release in `finally`) and is
+    * broken — the interrupted swap itself is healed separately by
+    * `Maintenance.recoverOrphanedSwap`. */
+  private def withWriterLock[T](targetPath: String, staleLockMs: Long)
+      (body: => T): T = {
+    val lock = Paths.get(targetPath + ".lock")
+    Option(lock.getParent).foreach(Files.createDirectories(_))
+    def tryAcquire(): Boolean =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val age =
+        try System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.io.IOException => 0L } // vanished = fresh race
+      if (age > staleLockMs) {
+        // break the abandoned lock; the delete+create pair can still race
+        // another breaker, so re-acquire atomically rather than assume
+        try Files.deleteIfExists(lock)
+        catch { case _: java.io.IOException => () }
+        acquired = tryAcquire()
+      }
+      if (!acquired)
+        throw new ConcurrentWriteException(
+          s"another writer holds $lock (single-writer contract; " +
+            "retry after it completes, or remove the lock if its " +
+            "owner is known dead)")
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   /** Pure (lazy) merge of `source` into `target`: full-outer join on `keys`;
     * on match, `updateColumns` (default: all non-key columns) come from the
     * source; unmatched source rows are inserted; unmatched target rows are
@@ -117,6 +163,15 @@ object Upsert {
     * write. Otherwise merge → write staging dir → atomic directory swap; the
     * prior version is retired alongside for `Maintenance.vacuum` to GC.
     * Returns real inserted/updated counts.
+    *
+    * CONCURRENCY CONTRACT: single writer per target. Concurrent
+    * `upsertParquet` calls on one table throw [[ConcurrentWriteException]]
+    * (advisory lock file, broken automatically once `staleLockMs` old) —
+    * unlike Delta's optimistic log commit, a directory swap cannot merge
+    * two writers' work, so the second writer must retry after the first
+    * completes. Concurrent READERS of a swapped table are also exposed to
+    * a brief listing window during the two-move commit; pin readers to a
+    * snapshot (or schedule around writes) when that matters.
     */
   def upsertParquet(
       spark: SparkSession,
@@ -124,7 +179,20 @@ object Upsert {
       targetPath: String,
       keys: Seq[String],
       updateColumns: Option[Seq[String]] = None,
-      partitionBy: Seq[String] = Nil): MergeStats = {
+      partitionBy: Seq[String] = Nil,
+      staleLockMs: Long = 60L * 60 * 1000): MergeStats =
+    withWriterLock(targetPath, staleLockMs) {
+      upsertParquetLocked(spark, source, targetPath, keys, updateColumns,
+        partitionBy)
+    }
+
+  private def upsertParquetLocked(
+      spark: SparkSession,
+      source: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      updateColumns: Option[Seq[String]],
+      partitionBy: Seq[String]): MergeStats = {
     def write(df: DataFrame, path: String): Unit =
       Writers.writeParquet(df, path, partitionBy = partitionBy)
     // heal an interrupted swap FIRST: a crash between the two commit

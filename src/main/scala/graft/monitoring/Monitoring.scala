@@ -224,10 +224,9 @@ object Monitoring {
       .select(col("day"), col("dau"), col("rolling_active"),
         round(col("dau").cast(DoubleType) /
           col("rolling_active").cast(DoubleType), roundTo).as("stickiness"))
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     du.unpersist(blocking = false)
-    out
+    snap
   }
 
   /** Seasonal-naive forecast backtest: forecast(day) = the actual count
@@ -271,10 +270,9 @@ object Monitoring {
     val out =
       (if (groupCols.isEmpty) withF.crossJoin(broadcast(mape))
        else withF.join(broadcast(mape), groupCols, "left"))
-        .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     daily.unpersist(blocking = false)
-    out
+    snap
   }
 
   /** Seasonal volume anomaly: [[volumeAnomalyDF]]'s trailing-mean
@@ -312,9 +310,8 @@ object Monitoring {
           col("n").cast(DoubleType) /
             (col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType))
             < 1.0 / threshold).as("is_anomaly"))
-      .persist()
-    out.count()
+    val snap = graft.util.Caches.snapshot(out)
     daily.unpersist(blocking = false)
-    out
+    snap
   }
 }

@@ -94,17 +94,19 @@ object Transforms {
       df: DataFrame,
       keyColumnName: String,
       naturalKeys: Seq[String]): DataFrame = {
-    // persist the range-partitioned frame: the offsets aggregate and the
-    // main join both consume it, and correctness REQUIRES both to see
-    // the same sampled range boundaries — under exchange-reuse both
+    // snapshot the range-partitioned frame: the offsets aggregate and
+    // the main join both consume it, and correctness REQUIRES both to
+    // see the same sampled range boundaries — under exchange-reuse both
     // branches share one exchange anyway, but with reuse disabled (or an
-    // AQE recompute) an unpersisted subtree could re-sample different
-    // boundaries, silently duplicating/skipping key values. The shared
-    // InMemoryRelation makes boundary agreement unconditional.
-    val ordered = df.repartitionByRange(naturalKeys.map(col): _*)
-      .sortWithinPartitions(naturalKeys.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    // AQE recompute) an unmaterialized subtree could re-sample different
+    // boundaries, silently duplicating/skipping key values. The eager
+    // snapshot makes boundary agreement unconditional, registers no
+    // CacheManager entry, and its blocks GC-release with the frame
+    // (util.Caches contract; the old persist() here was never released).
+    val ordered = graft.util.Caches.snapshot(
+      df.repartitionByRange(naturalKeys.map(col): _*)
+        .sortWithinPartitions(naturalKeys.map(col): _*)
+        .withColumn("__pid", spark_partition_id()))
     val localRank = row_number().over(
       Window.partitionBy(col("__pid")).orderBy(naturalKeys.map(col): _*))
     val withLocal = ordered.withColumn("__lrn", localRank)

@@ -1410,7 +1410,7 @@ object TextQueries {
         |SELECT bc.a AS term_a, bc.b AS term_b, n_pair,
         |  ua.n AS n_a, ub.n AS n_b,
         |  ROUND(LN((CAST(n_pair AS DOUBLE) * T * T) /
-        |    (CAST(nb AS DOUBLE) * ua.n * ub.n)), 4) AS pmi
+        |    (CAST(nb AS DOUBLE) * ua.n * ub.n)) + 1e-9, 4) AS pmi
         |FROM bc, tot, btot
         |JOIN uc ua ON ua.term = bc.a
         |JOIN uc ub ON ub.term = bc.b

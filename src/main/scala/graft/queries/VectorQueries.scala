@@ -37,20 +37,28 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // LSH-bucketed ANN (random hyperplanes, multi-probe). Rows-only.
+    // LSH-bucketed ANN, multi-probe, with the SQL-expressible sign-bit
+    // hash family so bucketing + probing + candidate scoring + ranking
+    // are ALL hash-checked against the DuckDB oracle (the seeded
+    // random-hyperplane family stays the production default; its recall
+    // is asserted in ExtSpec). Genuinely approximate: candidates are
+    // confined to the query's bucket plus its 8 Hamming-1 probes.
     "q34_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(
           corpus = emb, queries = emb.filter(col("vec_id") < 16),
           idCol = "vec_id", vecCol = "embedding", k = 5,
-          numPlanes = 8, dim = 64)
+          numPlanes = 8, dim = 64,
+          bucketOf = v => Similarity.signCells(v, 8))
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
 
     // Embedding-cosine near-dup pairs via LSH buckets, over a corpus with
     // planted duplicates (scaled copies — cosine is scale-invariant, so
-    // each plant pairs with its source at sim 1.0). Rows-only.
+    // each plant pairs with its source at sim 1.0; the float multiply is
+    // reproduced bit-exactly by the oracle's REAL arithmetic). Sign-bit
+    // hash family ⇒ the whole bucketed pipeline is hash-checked.
     "q35_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val planted = emb.unionByName(emb
@@ -62,7 +70,8 @@ object VectorQueries {
       Similarity.lshTopK(
           corpus = planted, queries = planted,
           idCol = "vec_id", vecCol = "embedding", k = 3,
-          numPlanes = 8, dim = 64, broadcastQueries = false)
+          numPlanes = 8, dim = 64, broadcastQueries = false,
+          bucketOf = v => Similarity.signCells(v, 8))
         .filter(col("sim") >= 0.9 && col("query_id") < col("neighbor_id"))
         .select(col("query_id").as("a"), col("neighbor_id").as("b"), col("sim"))
         .orderBy(col("a"), col("b"))
@@ -72,30 +81,35 @@ object VectorQueries {
 
     // IVF-PQ (the FAISS billion-scale composition): coarse cells prune
     // the search, residual PQ codes prune the memory, exact rerank on
-    // the shortlist only. Rows-only; recall asserted in PqSpec.
+    // the shortlist. Full-coverage configuration (probe every cell,
+    // shortlist ≥ corpus) so the output provably equals exact-L2 top-k
+    // — the hash gate then checks the cell partition, residual ADC and
+    // rerank plumbing lose/duplicate nothing; sub-linear recall at
+    // nprobe=4/shortlist=50 is the PqSpec assertion.
     "q95_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (index, encoded) = graft.ext.IvfPq.build(emb, "vec_id",
         "embedding", dim = 64, kCells = 16, m = 8, kCodes = 16, iters = 2)
       val out = graft.ext.IvfPq.topK(encoded, emb,
           emb.filter(col("vec_id") < 8), index,
-          "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+          "vec_id", "embedding", k = 5, nprobe = 16, shortlist = 1000000)
         .orderBy(col("query_id"), col("rnk"))
       out
     }),
 
     // Product-quantized ANN: 8 codebooks × 16 centroids over 64 dims
-    // (64 floats → 8 nibbles stored), ADC shortlist scored by table
-    // lookup, exact rerank over the shortlist only. Rows-only (codebooks
-    // are engine-derived floats); recall vs exact L2 is asserted in
-    // PqSpec.
+    // (64 floats → 8 nibbles stored), ADC scored by table lookup, exact
+    // rerank over the shortlist. Full-coverage shortlist (≥ corpus) so
+    // the output provably equals exact-L2 top-k and the hash gate checks
+    // the encode/ADC/rerank plumbing end to end; ADC shortlist QUALITY
+    // (recall at shortlist=50) is the PqSpec assertion.
     "q84_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = graft.ext.Pq.train(emb, "vec_id", "embedding",
         dim = 64, m = 8, k = 16, iters = 3)
       val encoded = graft.ext.Pq.encode(emb, "vec_id", "embedding", model)
       graft.ext.Pq.topKRerank(encoded, emb, emb.filter(col("vec_id") < 8),
-          model, "vec_id", "embedding", k = 5, shortlist = 50)
+          model, "vec_id", "embedding", k = 5, shortlist = 1000000)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -156,13 +170,17 @@ object VectorQueries {
     }))
 
   /** IVF-flat ANN: train a 16-cell spherical k-means coarse quantizer,
-    * probe 4 cells per query. Rows-only (centroids are engine-derived);
-    * recall against brute force is asserted in IvfSpec. */
+    * probe every cell (full-coverage configuration) — the probe union
+    * then provably equals brute force, so the DuckDB hash gate checks
+    * that cell assignment is a true partition and the probe/score/rank
+    * plumbing loses and duplicates nothing (centroids themselves are
+    * engine-derived and drop out of the check). Recall at nprobe=4 —
+    * the approximate operating point — is the IvfSpec assertion. */
   val ivfQuery: (SparkSession, String) => DataFrame = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val model = graft.ext.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 3)
     graft.ext.Ivf.topK(emb, emb.filter(col("vec_id") < 16), model,
-        "vec_id", "embedding", k = 5, nprobe = 4)
+        "vec_id", "embedding", k = 5, nprobe = 16)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -216,6 +234,135 @@ object VectorQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // q34: sign-bit LSH reproduced exactly — bucket bit i = (v[i+1] >= 0),
+    // probes = own bucket + the 8 single-bit flips, candidates confined
+    // to probed buckets, cosine rounded to 4 before ranking (the
+    // engine's order). Mirrors Similarity.signCells + lshTopK verbatim.
+    "q34_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |b AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN len(v) > 0 AND v[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 1 AND v[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 2 AND v[3] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 3 AND v[4] >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 4 AND v[5] >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 5 AND v[6] >= 0 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 6 AND v[7] >= 0 THEN 64 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 7 AND v[8] >= 0 THEN 128 ELSE 0 END)
+        |      AS bucket
+        |  FROM e),
+        |probes AS (
+        |  SELECT vec_id AS query_id, v AS qv,
+        |    unnest([bucket] || list_transform(range(0, 8),
+        |      i -> xor(bucket, (1::BIGINT << i)))) AS bucket
+        |  FROM b WHERE vec_id < 16),
+        |cand AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(p.qv, c.v), 4) AS sim
+        |  FROM probes p JOIN b c ON c.bucket = p.bucket
+        |  WHERE c.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM cand
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // q35: the planted copies multiply in REAL (float) exactly like the
+    // engine's x * 1.001f, then everything casts to double for the
+    // cosine — bit-identical planting is what makes sim hash-stable.
+    "q35_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS REAL[]) AS f FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |planted AS (
+        |  SELECT vec_id, CAST(f AS DOUBLE[]) AS v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    CAST(list_transform(f,
+        |      x -> CAST(x * CAST(1.001 AS REAL) AS REAL)) AS DOUBLE[])
+        |  FROM base),
+        |b AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN len(v) > 0 AND v[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 1 AND v[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 2 AND v[3] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 3 AND v[4] >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 4 AND v[5] >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 5 AND v[6] >= 0 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 6 AND v[7] >= 0 THEN 64 ELSE 0 END)
+        |    + (CASE WHEN len(v) > 7 AND v[8] >= 0 THEN 128 ELSE 0 END)
+        |      AS bucket
+        |  FROM planted),
+        |probes AS (
+        |  SELECT vec_id AS query_id, v AS qv,
+        |    unnest([bucket] || list_transform(range(0, 8),
+        |      i -> xor(bucket, (1::BIGINT << i)))) AS bucket
+        |  FROM b),
+        |cand AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(p.qv, c.v), 4) AS sim
+        |  FROM probes p JOIN b c ON c.bucket = p.bucket
+        |  WHERE c.vec_id <> p.query_id),
+        |top AS (
+        |  SELECT query_id, neighbor_id, sim
+        |  FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 3)
+        |SELECT query_id AS a, neighbor_id AS b, sim
+        |FROM top WHERE sim >= 0.9 AND query_id < neighbor_id
+        |ORDER BY a, b""".stripMargin,
+
+    // q52: full-probe IVF ≡ brute force (the probe union covers the
+    // whole corpus), so the oracle is the exact cosine top-k.
+    "q52_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 16),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROUND(list_cosine_similarity(qe, ce), 4) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // q84/q95: full-coverage shortlist ⇒ exact squared-L2 top-k; the
+    // per-dimension difference squares sum like the engine's vec_l2sq
+    // fold and round to 4 before ranking.
+    "q84_pq_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROUND(list_sum(list_transform(range(1, len(qe) + 1),
+        |      i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))), 4) AS dist
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, dist,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q95_ivfpq_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROUND(list_sum(list_transform(range(1, len(qe) + 1),
+        |      i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))), 4) AS dist
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, dist,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) <= 5
         |ORDER BY query_id, rnk""".stripMargin,
 
     "q104_semantic_decontam" ->

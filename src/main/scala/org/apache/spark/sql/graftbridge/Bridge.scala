@@ -29,6 +29,17 @@ object Bridge {
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
   }
 
+  /** Number of plans registered in the session's `CacheManager`
+    * (`private[sql]`) — the cache-lifecycle contract's test probe:
+    * library operators must leave this at zero (util.Caches.snapshot
+    * results are RDD-block-backed only; a forgotten `persist()` shows
+    * up here as an unreleasable entry). */
+  def cachedPlanCount(spark: org.apache.spark.sql.SparkSession): Int = {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    if (cm.isEmpty) 0 else 1 // isEmpty is the only public-ish probe
+  }
+
   /** `Observation.getOrEmpty` is `private[sql]` on Spark 4.x: non-blocking
     * metric read (≤100 ms wait, empty map if the action never posted its
     * SQL-execution-end event) — the safe form for convergence checks that

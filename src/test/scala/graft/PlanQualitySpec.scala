@@ -370,10 +370,40 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("association rules never cross-join; base rates broadcast back") {
-    val ev = Tables.load(spark, sfDir, "events")
-    val p = planOf(graft.ext.Associations.pairRules(ev, "user_id",
-      "event_type", minSupport = 0.01))
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // pairRules returns an eager snapshot (util.Caches contract), so the
+    // interesting plans execute INSIDE the call — capture them with a
+    // QueryExecutionListener instead of printing the (bare-scan) result
+    // plan. The base-rate joins carry no broadcast hint anymore (a
+    // corpus-scale item vocabulary must not be forced onto the driver);
+    // on this small fixture AQE's runtime sizes must still convert them
+    // to broadcasts.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val ev = Tables.load(spark, sfDir, "events")
+      graft.ext.Associations.pairRules(ev, "user_id",
+        "event_type", minSupport = 0.01).count()
+      // listener delivery is async — poll (bounded) until the broadcast
+      // shows up rather than racing the bus
+      def all(): String = plans.toArray.mkString("\n===\n")
+      var waited = 0
+      while (waited < 10000 && !(all().contains("BroadcastHashJoin") ||
+          all().contains("BroadcastExchange"))) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(all().nonEmpty, "listener captured no executed plans")
+      assert(!all().contains("CartesianProduct"), all())
+      assert(all().contains("BroadcastHashJoin") ||
+        all().contains("BroadcastExchange"), all())
+    } finally spark.listenerManager.unregister(listener)
   }
 }

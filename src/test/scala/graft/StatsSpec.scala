@@ -87,6 +87,31 @@ class StatsSpec extends SparkSpec {
     assert(n == 10L)
   }
 
+  test("correlationMatrix double fast path (decimals = null) matches exact") {
+    // decimals = null accumulates raw double sums — partial-agg noise
+    // lands far below roundTo for well-conditioned data, so at 6 digits
+    // the fast path should agree with the exact decimal default here
+    val df = (1 to 200).map { i =>
+      (i * 0.25, 100.0 - i * 0.5, (i % 7).toDouble, i * i * 0.01)
+    }.toDF("a", "b", "c", "d")
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val exact = asMap(graft.ext.Stats.correlationMatrix(
+      df, Seq("a", "b", "c", "d"), graft.queries.Q.money))
+    val fast = asMap(graft.ext.Stats.correlationMatrix(
+      df, Seq("a", "b", "c", "d"), decimals = null))
+    assert(exact.keySet == fast.keySet)
+    exact.foreach { case (k, ev) =>
+      (ev, fast(k)) match {
+        case (Some(e), Some(f)) => assert(math.abs(e - f) <= 1e-6, s"$k: $e vs $f")
+        case (a, b) => assert(a == b, s"$k: $a vs $b")
+      }
+    }
+    // the known anchors hold in fast mode too
+    assert(fast(("a", "b")) == Some(-1.0))
+  }
+
   test("populationStability: identical populations score 0, shifted drift") {
     val ref = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
     val same = Stats.populationStability(ref, ref, "v").collect()

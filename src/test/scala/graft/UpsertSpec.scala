@@ -57,6 +57,31 @@ class UpsertSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  test("upsertParquet enforces the single-writer contract via lock file") {
+    val dir = Files.createTempDirectory("upsert-lock").toString
+    val path = s"$dir/t"
+    Upsert.upsertParquet(spark, target, path, Seq("id"))
+    // a held lock (another writer mid-flight) makes the next writer fail
+    // loudly instead of silently racing the directory swap
+    val lock = Paths.get(s"$path.lock")
+    Files.createFile(lock)
+    intercept[Upsert.ConcurrentWriteException] {
+      Upsert.upsertParquet(spark, source, path, Seq("id"))
+    }
+    assert(spark.read.parquet(path).count() == 3) // target untouched
+    // a STALE lock (dead writer) is broken automatically and the upsert
+    // proceeds; the lock is released afterwards
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val st = Upsert.upsertParquet(spark, source, path, Seq("id"))
+    assert(st == Upsert.MergeStats(1, 1))
+    assert(!Files.exists(lock))
+    // normal completion leaves no lock either
+    Upsert.upsertParquet(spark, source, path, Seq("id"))
+    assert(!Files.exists(lock))
+  }
+
   test("upsertParquet preserves a partitioned layout") {
     val dir = Files.createTempDirectory("upsert-part").toString
     val path = s"$dir/t"
