@@ -4,6 +4,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local("graft-bench", cpus.toInt)
+    // the per-query cache drain below unpersists localCheckpoint blocks,
+    // which logs a WARN per RDD ("lineage has been truncated") — correct
+    // and intended here (the frames are dropped), but ~150 queries of it
+    // drowns the breakdown lines the humans read. Errors still surface.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session once (JIT, codegen compiler, shuffle machinery,
     // parquet footer cache) so per-query timings measure the queries, not
     // first-job startup.

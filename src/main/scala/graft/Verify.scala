@@ -33,6 +33,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same harness hygiene as Bench: don't let one query's snapshot
+      // blocks ride along for the remaining ~150 dumps
+      graft.util.Caches.clearAll(spark)
     }
     // full JSON escaping (graft.util.Fmt) — a tab or CR in builder-
     // authored SQL would otherwise make the driver's json.load fail and
