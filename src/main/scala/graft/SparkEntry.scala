@@ -33,10 +33,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Temporal.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ GoldQueries.queries ++
-      FintechQueries.queries ++ OpsQueries.queries
+      FintechQueries.queries ++ OpsQueries.queries ++
+      VersionedQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Temporal.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ GoldQueries.oracles ++
-      FintechQueries.oracles ++ OpsQueries.oracles
+      FintechQueries.oracles ++ OpsQueries.oracles ++
+      VersionedQueries.oracles
 }

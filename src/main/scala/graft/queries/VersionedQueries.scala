@@ -1,0 +1,124 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{VersionedTable => VT}
+import graft.queries.Q.t
+
+/** Driver-gate queries for the versioned-table layer (the Delta-equivalent
+  * log surface: time travel, RESTORE, MERGE-through-the-log, file-granular
+  * DELETE, change feed). Each query builds a real on-disk versioned table
+  * in a scratch dir from deterministic slices of the parquet inputs, reads
+  * historical versions back through the commit log, and returns aggregates
+  * the DuckDB oracle reproduces from the same slice algebra — so the whole
+  * log machinery (atomic commits, checkpoint replay, snapshot resolution)
+  * sits inside the hash-checked path, not just ScalaTest.
+  *
+  * The scratch table is deleted before returning; results are snapshot-
+  * materialized first (graft.util.Caches contract) so the returned frame
+  * does not depend on the deleted files.
+  */
+object VersionedQueries {
+
+  private def withScratch[T](body: String => DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft-vq")
+    try graft.util.Caches.snapshot(body(dir.resolve("t").toString))
+    finally {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Time travel across a commit history: bootstrap, append, MERGE,
+    // file-granular DELETE, RESTORE — then read EVERY version back through
+    // the log and aggregate it. One row per version; the oracle recomputes
+    // each version's state from the same deterministic key-slice algebra.
+    "q151_time_travel" -> ((s, dir) => withScratch { tbl =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 1), tbl)    // v1
+      val src = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U"))
+      VT.merge(s, src, tbl, Seq("o_orderkey"))                       // v2
+      VT.deleteWhere(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v3
+      VT.restore(s, tbl, 1)                                          // v4
+      (0L to 4L).map { v =>
+        VT.snapshot(s, tbl, Some(v)).agg(
+          count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_.union(_))
+        .select(col("version"), col("n"), col("total"))
+        .orderBy(col("version"))
+    }),
+
+    // Change feed (CDF) between two versions: v0 bootstrap, v1 MERGE
+    // (updates + inserts), v2 DELETE; the diff v0→v2 classifies every key
+    // as insert / update_postimage / delete with the correct payload side.
+    "q152_change_feed" -> ((s, dir) => withScratch { tbl =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)     // v0
+      val src = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+      VT.merge(s, src, tbl, Seq("c_custkey"))                        // v1
+      VT.deleteWhere(s, tbl, col("c_custkey") % 10 === 4)            // v2
+      VT.changeFeed(s, tbl, 0, 2, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    // Version states derived from the same slice algebra the Spark side
+    // commits: v0 = keys≡0 (mod 3); v1 = +keys≡1; v2 = MERGE of the
+    // (key%5=0, price+1000, status 'U') source into v1; v3 = v2 minus
+    // (status F ∧ key%7=0); v4 = RESTORE to v1.
+    "q151_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 3 IN (0, 1)),
+        |v2 AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN t.o_orderkey % 5 = 0 THEN 'U' ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN t.o_orderkey % 5 = 0 THEN t.o_totalprice + 1000.0 ELSE t.o_totalprice END AS o_totalprice
+        |  FROM v1 t
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 2),
+        |states AS (
+        |  SELECT 0 AS version, * FROM base WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT 1, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v2
+        |    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+        |  UNION ALL SELECT 4, * FROM v1)
+        |SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM states GROUP BY version ORDER BY version""".stripMargin,
+
+    // Closed-form CDF: inserts are odd multiples of 3 (absent from the
+    // even-key v0); updates are multiples of 6 that survive the key%10=4
+    // delete; deletes are the key%10=4 rows of v0 with their PRE-image
+    // values (the v1 update to some of them is invisible to a v0→v2 diff).
+    "q152_change_feed" ->
+      """SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal,
+        |  'insert' AS _change_type
+        |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 50.0, 'update_postimage'
+        |FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'delete'
+        |FROM customer WHERE c_custkey % 10 = 4
+        |ORDER BY c_custkey""".stripMargin)
+}
