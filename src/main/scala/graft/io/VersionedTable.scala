@@ -67,7 +67,9 @@ object VersionedTable {
       op: String,
       add: Seq[String],
       remove: Seq[String],
-      schemaJson: String)
+      schemaJson: String,
+      txnApp: Option[String] = None,
+      txnId: Option[Long] = None)
 
   // ---------------------------------------------------------------- log IO
 
@@ -81,9 +83,14 @@ object VersionedTable {
 
   private def commitJson(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(Fmt.jsonString).mkString("[", ",", "]")
+    val txn = (c.txnApp, c.txnId) match {
+      case (Some(app), Some(id)) =>
+        s""","txnApp":${Fmt.jsonString(app)},"txnId":$id"""
+      case _ => ""
+    }
     s"""{"version":${c.version},"ts":${c.ts},"op":${Fmt.jsonString(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
-      s""""schema":${Fmt.jsonString(c.schemaJson)}}"""
+      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn}"""
   }
 
   private def parseCommit(p: Path): Commit = {
@@ -92,8 +99,18 @@ object VersionedTable {
       n.get(field).elements().asScala.map(_.asText()).toSeq
     Commit(n.get("version").asLong(), n.get("ts").asLong(),
       n.get("op").asText(), strs("add"), strs("remove"),
-      n.get("schema").asText())
+      n.get("schema").asText(),
+      txnApp = Option(n.get("txnApp")).map(_.asText()),
+      txnId = Option(n.get("txnId")).map(_.asLong()))
   }
+
+  /** The committed version carrying transaction (`txnApp`, `txnId`), if
+    * any — the idempotent-write bookkeeping (Delta's txnAppId/txnVersion):
+    * a replayed writer finds its own earlier commit here and skips. */
+  def txnCommit(table: String, txnApp: String, txnId: Long): Option[Commit] =
+    versions(table).iterator
+      .map(v => parseCommit(versionFile(table, v)))
+      .find(c => c.txnApp.contains(txnApp) && c.txnId.contains(txnId))
 
   /** All committed version numbers, ascending. */
   private def versions(table: String): Seq[Long] = {
@@ -141,9 +158,18 @@ object VersionedTable {
 
   // ------------------------------------------------------------- snapshots
 
-  /** (file list, schema JSON) at version `v`, replayed from the nearest
-    * checkpoint at or below `v`. */
-  private def stateAt(table: String, v: Long): (Seq[String], String) = {
+  /** Replayed table state at a version: live files, current schema, and
+    * the distinct schema lineage (last = current; >1 ⇒ the live files may
+    * span schema versions and reads need `mergeSchema`). */
+  private final case class TableState(files: Seq[String],
+      schemas: Seq[String]) {
+    def schemaJson: String = schemas.lastOption.getOrElse("")
+    def mixedSchemas: Boolean = schemas.size > 1
+  }
+
+  /** State at version `v`, replayed from the nearest checkpoint at or
+    * below `v` — O(CheckpointEvery) commits read, not O(v). */
+  private def stateAt(table: String, v: Long): TableState = {
     val ckDir = logPath(table)
     val ck: Option[Long] =
       if (!Files.exists(ckDir)) None
@@ -156,28 +182,31 @@ object VersionedTable {
           .filter(_ <= v).maxOption
         finally l.close()
       }
-    var files = scala.collection.mutable.LinkedHashSet.empty[String]
-    var schema = ""
+    val files = scala.collection.mutable.LinkedHashSet.empty[String]
+    val schemas = scala.collection.mutable.LinkedHashSet.empty[String]
     ck.foreach { c =>
       val n = mapper.readTree(Files.readAllBytes(checkpointFile(table, c)))
       files ++= n.get("files").elements().asScala.map(_.asText())
-      schema = n.get("schema").asText()
+      schemas ++= n.get("schemas").elements().asScala.map(_.asText())
     }
     versions(table).filter(x => x > ck.getOrElse(-1L) && x <= v).foreach { x =>
       val c = parseCommit(versionFile(table, x))
       files --= c.remove
       files ++= c.add
-      if (c.schemaJson.nonEmpty) schema = c.schemaJson
+      if (c.schemaJson.nonEmpty) {
+        schemas -= c.schemaJson // move-to-end: last element = current
+        schemas += c.schemaJson
+      }
     }
-    (files.toSeq, schema)
+    TableState(files.toSeq, schemas.toSeq)
   }
 
   private def maybeCheckpoint(table: String, v: Long): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
-      val (files, schema) = stateAt(table, v)
+      val st = stateAt(table, v)
+      def arr(xs: Seq[String]) = xs.map(Fmt.jsonString).mkString("[", ",", "]")
       val json =
-        s"""{"version":$v,"files":${files.map(Fmt.jsonString)
-          .mkString("[", ",", "]")},"schema":${Fmt.jsonString(schema)}}"""
+        s"""{"version":$v,"files":${arr(st.files)},"schemas":${arr(st.schemas)}}"""
       val tmp = logPath(table).resolve(s".tmp-${UUID.randomUUID()}.ck.tmp")
       Files.writeString(tmp, json)
       // checkpoints are derived data — last writer wins is fine
@@ -187,20 +216,26 @@ object VersionedTable {
 
   /** Read the table as of `version` (default: latest). An empty table (or
     * a version whose file set is empty) comes back as an empty frame with
-    * the schema recorded in the log — not an error. */
+    * the schema recorded in the log — not an error. Schema evolution:
+    * when the live files span schema versions (tracked in the log, not
+    * probed from footers), the read unions columns via `mergeSchema` —
+    * tables with a single schema lineage skip that footer-merge cost. */
   def snapshot(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no commits at $table"))
     require(versions(table).contains(v), s"version $v not in log at $table")
-    val (files, schemaJson) = stateAt(table, v)
-    if (files.isEmpty) {
-      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val st = stateAt(table, v)
+    if (st.files.isEmpty) {
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-    } else
-      spark.read.parquet(
-        files.map(f => Paths.get(table, f).toString): _*)
+    } else {
+      val r = if (st.mixedSchemas)
+        spark.read.option("mergeSchema", "true")
+      else spark.read
+      r.parquet(st.files.map(f => Paths.get(table, f).toString): _*)
+    }
   }
 
   /** Time travel by timestamp: the newest version committed at or before
@@ -260,9 +295,16 @@ object VersionedTable {
 
   private def commitLoop(table: String, op: String, add: Seq[String],
       removeAt: Long => Seq[String], schemaJson: String,
-      readVersion: Option[Long], maxRetries: Int = 20): Commit = {
+      readVersion: Option[Long], txn: Option[(String, Long)] = None,
+      maxRetries: Int = 20): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
+      // idempotence: if this transaction already committed (earlier run,
+      // or a racer we just lost a slot to), return ITS commit — the data
+      // files this attempt wrote stay orphaned for vacuum to GC
+      txn.foreach { case (app, id) =>
+        txnCommit(table, app, id).foreach(return _)
+      }
       val next = latestVersion(table).map(_ + 1).getOrElse(0L)
       // serializable ops: any commit beyond the version we read from is a
       // real conflict — our add/remove sets were derived from stale state
@@ -273,7 +315,8 @@ object VersionedTable {
               "was committed concurrently; re-read and retry")
       }
       val c = Commit(next, System.currentTimeMillis(), op, add,
-        removeAt(next), schemaJson)
+        removeAt(next), schemaJson,
+        txnApp = txn.map(_._1), txnId = txn.map(_._2))
       if (tryPublish(table, next, commitJson(c))) {
         maybeCheckpoint(table, next)
         return c
@@ -292,6 +335,43 @@ object VersionedTable {
     commitLoop(table, "append", files, _ => Nil, df.schema.json, None)
   }
 
+  /** Idempotent append keyed by (`txnApp`, `txnId`) — Delta's
+    * txnAppId/txnVersion contract. A replay of an already-committed
+    * transaction (streaming micro-batch retry, job restart) writes no new
+    * state: the existing commit is found (pre-checked before the data
+    * write, re-checked inside the claim loop against racers) and returned.
+    * This is what makes [[versionedSink]] exactly-once: foreachBatch is
+    * at-least-once, and the txn check collapses replays. */
+  def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
+      txnApp: String, txnId: Long): Commit =
+    txnCommit(table, txnApp, txnId).getOrElse {
+      Files.createDirectories(Paths.get(table))
+      val files = writeDataFiles(df, table)
+      commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
+        txn = Some((txnApp, txnId)))
+    }
+
+  /** Exactly-once streaming ingestion into a versioned table: each
+    * micro-batch lands as one idempotent txn-tracked append commit
+    * (`txnApp` = the sink's app id, `txnId` = the batch id), so a
+    * checkpoint-replayed batch after a crash finds its own commit and
+    * writes nothing — the lakehouse streaming-sink contract the plain
+    * parquet `appendSink` cannot give. Readers time-travel mid-stream:
+    * every micro-batch is a queryable version. */
+  def versionedSink(stream: DataFrame, table: String, checkpoint: String,
+      appId: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIdempotent(batch.sparkSession, batch, table, appId, batchId)
+        ()
+      }
+      .start()
+
   /** Replace the table contents (CREATE OR REPLACE semantics). Version-
     * conflict-checked against the state the caller last observed when
     * `expectVersion` is given; a bootstrap overwrite of an empty table
@@ -302,7 +382,7 @@ object VersionedTable {
     val read = expectVersion.orElse(latestVersion(table))
     val files = writeDataFiles(df, table)
     commitLoop(table, "overwrite", files,
-      _ => read.map(v => stateAt(table, v)._1).getOrElse(Nil),
+      _ => read.map(v => stateAt(table, v).files).getOrElse(Nil),
       df.schema.json, readVersion = read)
   }
 
@@ -350,13 +430,14 @@ object VersionedTable {
   def restore(spark: SparkSession, table: String, version: Long): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
-    val (files, schema) = stateAt(table, version)
+    val st = stateAt(table, version)
+    val (files, schema) = (st.files, st.schemaJson)
     files.find(f => !Files.exists(Paths.get(table, f))).foreach { f =>
       throw new IllegalStateException(
         s"cannot restore $table to $version: data file $f was vacuumed")
     }
     commitLoop(table, "restore", files,
-      _ => stateAt(table, rv)._1, schema, readVersion = Some(rv))
+      _ => stateAt(table, rv).files, schema, readVersion = Some(rv))
   }
 
   /** OPTIMIZE-style compaction as a commit: coalesce the current snapshot
@@ -367,7 +448,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no table at $table"))
     val snap = snapshot(spark, table, Some(rv)).coalesce(targetFiles)
     val added = writeDataFiles(snap, table)
-    commitLoop(table, "optimize", added, _ => stateAt(table, rv)._1,
+    commitLoop(table, "optimize", added, _ => stateAt(table, rv).files,
       snap.schema.json, readVersion = Some(rv))
   }
 
@@ -381,13 +462,12 @@ object VersionedTable {
       nowMs: Long = System.currentTimeMillis()): Int = {
     val vs = versions(table)
     if (vs.isEmpty) return 0
-    val live = stateAt(table, vs.last)._1.toSet
+    val live = stateAt(table, vs.last).files.toSet
     // newest commit ts in which each file still appears in the state
     val lastSeen = scala.collection.mutable.Map.empty[String, Long]
     vs.foreach { v =>
       val c = parseCommit(versionFile(table, v))
-      val (files, _) = stateAt(table, v)
-      files.foreach(f => lastSeen(f) = c.ts)
+      stateAt(table, v).files.foreach(f => lastSeen(f) = c.ts)
     }
     var removed = 0
     val l = Files.list(Paths.get(table))
@@ -411,11 +491,15 @@ object VersionedTable {
 
   /** Change feed between two versions (Delta CDF): key-matched diff of the
     * two snapshots. Emits `insert` / `delete` / `update_postimage` rows —
-    * inserts and updates carry the new values, deletes the old. One
-    * key-shuffled full-outer join; no per-version file diffing needed
+    * and, with `includePreimage`, an `update_preimage` row per update (the
+    * Delta CDF shape; preimages are what make downstream aggregates
+    * RETRACTABLE — see [[graft.ops.IncrementalAgg.applyChangeFeed]]).
+    * Inserts/postimages carry the new values, deletes/preimages the old.
+    * One key-shuffled full-outer join; no per-version file diffing needed
     * because snapshots are cheap manifest reads. */
   def changeFeed(spark: SparkSession, table: String, fromVersion: Long,
-      toVersion: Long, keys: Seq[String]): DataFrame = {
+      toVersion: Long, keys: Seq[String],
+      includePreimage: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "change feed needs merge keys")
     val before = snapshot(spark, table, Some(fromVersion))
     val after = snapshot(spark, table, Some(toVersion))
@@ -431,16 +515,20 @@ object VersionedTable {
     val beforeHere = col("__b_present").isNotNull
     val changed = dataCols.map(c => !(col(c) <=> col(s"__b_$c")))
       .foldLeft(lit(false))(_ || _)
-    val tpe = when(afterHere && !beforeHere, "insert")
-      .when(!afterHere && beforeHere, "delete")
-      .when(changed, "update_postimage")
-    val out = j.withColumn("_change_type", tpe).filter(col("_change_type").isNotNull)
-    val emit = keys.map(k =>
-      when(col("_change_type") === "delete", col(s"__b_$k"))
-        .otherwise(col(k)).as(k)) ++
-      dataCols.map(c =>
-        when(col("_change_type") === "delete", col(s"__b_$c"))
-          .otherwise(col(c)).as(c)) :+ col("_change_type")
-    out.select(emit: _*)
+    def rowStruct(fromBefore: Boolean, tpe: String) = struct(
+      keys.map(k => (if (fromBefore) col(s"__b_$k") else col(k)).as(k)) ++
+        dataCols.map(c => (if (fromBefore) col(s"__b_$c") else col(c)).as(c)) :+
+        lit(tpe).as("_change_type"): _*)
+    val updateRows =
+      if (includePreimage) array(rowStruct(fromBefore = true, "update_preimage"),
+        rowStruct(fromBefore = false, "update_postimage"))
+      else array(rowStruct(fromBefore = false, "update_postimage"))
+    // unchanged rows fall to the null otherwise-branch; explode(null) = no rows
+    val rows = when(afterHere && !beforeHere,
+        array(rowStruct(fromBefore = false, "insert")))
+      .when(!afterHere && beforeHere,
+        array(rowStruct(fromBefore = true, "delete")))
+      .when(afterHere && beforeHere && changed, updateRows)
+    j.select(explode(rows).as("__r")).select(col("__r.*"))
   }
 }

@@ -58,4 +58,57 @@ object IncrementalAgg {
       col("max_v").as("max_value"),
       (col("sum_v").cast(DoubleType) / col("n").cast(DoubleType))
         .as("avg_value")): _*)
+
+  /** RETRACTABLE state from raw rows: (keys*, n, sum_v). Counts and
+    * decimal sums form a group (every delta has an inverse), so this
+    * state — unlike [[aggState]]'s min/max — can absorb deletes and
+    * updates, not just appends. */
+  def sumState(df: DataFrame, keys: Seq[String], valueCol: String,
+      decimals: DecimalType = DecimalType(18, 2)): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast(decimals)).as("sum_v"))
+
+  /** Fold a change feed ([[graft.io.VersionedTable.changeFeed]] with
+    * `includePreimage=true`) into a retractable [[sumState]]: inserts and
+    * update-postimages add (+1, +v); deletes and update-preimages retract
+    * (−1, −v). Keys whose count reaches zero drop out — the maintained
+    * state is EXACTLY `sumState` of the new table version, without
+    * rescanning it. At 100 TB this is the materialized-view refresh that
+    * costs O(changes), not O(table): one keyed aggregate over the (small)
+    * change feed, one keyed merge against the (key-cardinality) state.
+    * Exactness is inherited from the decimal group algebra — the q153
+    * oracle checks maintained ≡ recomputed bit-for-bit. */
+  def applyChangeFeed(state: DataFrame, cdf: DataFrame, keys: Seq[String],
+      valueCol: String,
+      decimals: DecimalType = DecimalType(18, 2)): DataFrame = {
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    val delta = cdf
+      .filter(sign.isNotNull)
+      .groupBy(keys.map(col): _*).agg(
+        sum(sign).as("n"),
+        sum(col(valueCol).cast(decimals) * sign.cast(decimals)).as("sum_v"))
+      // deltas leave the per-group scale at `decimals` (the multiply
+      // widens, sum widens again) — realign so the union with the state
+      // and the final sums keep one exact fixed-point type
+      .select(keys.map(col) ++ Seq(col("n"),
+        col("sum_v").cast(decimals).as("sum_v")): _*)
+    val aligned = state.select(keys.map(col) ++ Seq(col("n"),
+      col("sum_v").cast(decimals).as("sum_v")): _*)
+    aligned.unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_v")).cast(decimals).as("sum_v"))
+      .filter(col("n") > 0)
+  }
+
+  /** Reader-facing view of a retractable [[sumState]]. */
+  def finalizeSums(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      col("n"),
+      col("sum_v").cast(DoubleType).as("sum_value"),
+      (col("sum_v").cast(DoubleType) / col("n").cast(DoubleType))
+        .as("avg_value")): _*)
 }

@@ -64,7 +64,8 @@ object VersionedQueries {
 
     // Change feed (CDF) between two versions: v0 bootstrap, v1 MERGE
     // (updates + inserts), v2 DELETE; the diff v0→v2 classifies every key
-    // as insert / update_postimage / delete with the correct payload side.
+    // as insert / update pre+postimage / delete with the correct payload
+    // side (preimages carry v0 values, postimages v2 values).
     "q152_change_feed" -> ((s, dir) => withScratch { tbl =>
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -73,8 +74,38 @@ object VersionedQueries {
         .withColumn("c_acctbal", col("c_acctbal") + 50.0)
       VT.merge(s, src, tbl, Seq("c_custkey"))                        // v1
       VT.deleteWhere(s, tbl, col("c_custkey") % 10 === 4)            // v2
-      VT.changeFeed(s, tbl, 0, 2, Seq("c_custkey"))
-        .orderBy(col("c_custkey"))
+      VT.changeFeed(s, tbl, 0, 2, Seq("c_custkey"),
+          includePreimage = true)
+        .orderBy(col("c_custkey"), col("_change_type"))
+    }),
+
+    // Incremental materialized-view maintenance THROUGH the log: bootstrap
+    // a per-status sum state at v0, then fold the v0→v2 change feed into
+    // it — updates RETRACT their preimage from the old status group and
+    // add the postimage to the new one (the merge flips 'F'/'O' rows to
+    // 'U'), deletes retract outright. The maintained state must equal a
+    // full recompute of the final version bit-for-bit (decimal group
+    // algebra) — which is exactly what the oracle computes from the same
+    // slice algebra, never having seen the incremental path.
+    "q153_incremental_gold" -> ((s, dir) => withScratch { tbl =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
+      val src = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U"))
+      VT.merge(s, src, tbl, Seq("o_orderkey"))                       // v1
+      VT.deleteWhere(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v2
+      val state0 = graft.ops.IncrementalAgg.sumState(
+        VT.snapshot(s, tbl, Some(0)), Seq("o_orderstatus"), "o_totalprice")
+      val cdf = VT.changeFeed(s, tbl, 0, 2, Seq("o_orderkey"),
+        includePreimage = true)
+      graft.ops.IncrementalAgg.finalizeSums(
+          graft.ops.IncrementalAgg.applyChangeFeed(
+            state0, cdf, Seq("o_orderstatus"), "o_totalprice"),
+          Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -108,17 +139,42 @@ object VersionedQueries {
 
     // Closed-form CDF: inserts are odd multiples of 3 (absent from the
     // even-key v0); updates are multiples of 6 that survive the key%10=4
-    // delete; deletes are the key%10=4 rows of v0 with their PRE-image
+    // delete — emitted twice (preimage with v0 values, postimage with
+    // +50); deletes are the key%10=4 rows of v0 with their PRE-image
     // values (the v1 update to some of them is invisible to a v0→v2 diff).
     "q152_change_feed" ->
       """SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal,
         |  'insert' AS _change_type
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 1
         |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'update_preimage'
+        |FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4
+        |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal + 50.0, 'update_postimage'
         |FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal, 'delete'
         |FROM customer WHERE c_custkey % 10 = 4
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey, _change_type""".stripMargin,
+
+    // Full recompute of the FINAL version's per-status aggregate from the
+    // slice algebra — equality with the incrementally-maintained state IS
+    // the check (exact decimal algebra; updates moved rows across status
+    // groups, so a sign error or missing preimage shows immediately).
+    "q153_incremental_gold" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0),
+        |v2 AS (
+        |  SELECT * FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -172,6 +172,126 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("change feed with preimages emits both update sides") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)
+      VT.merge(spark, df(2 -> "B"), t, Seq("id"))
+      val cdf = VT.changeFeed(spark, t, 0, 1, Seq("id"),
+          includePreimage = true)
+        .orderBy("id", "_change_type").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      assert(cdf == Seq((2, "B", "update_postimage"),
+        (2, "b", "update_preimage")))
+    }
+  }
+
+  test("idempotent txn append: replayed batch commits nothing new") {
+    withTable { t =>
+      val c1 = VT.appendIdempotent(spark, df(1 -> "a"), t, "app", 0L)
+      val c2 = VT.appendIdempotent(spark, df(2 -> "b"), t, "app", 1L)
+      // replay batch 0 with DIFFERENT data — the original commit wins
+      val c3 = VT.appendIdempotent(spark, df(9 -> "z"), t, "app", 0L)
+      assert(c3.version == c1.version && c3.add == c1.add)
+      assert(VT.latestVersion(t).contains(c2.version))
+      assert(VT.snapshot(spark, t).orderBy("id").as[(Int, String)]
+        .collect().toSeq == Seq(1 -> "a", 2 -> "b"))
+      // a different app id is a different transaction
+      VT.appendIdempotent(spark, df(3 -> "c"), t, "other", 0L)
+      assert(VT.snapshot(spark, t).count() == 3)
+    }
+  }
+
+  test("schema evolution: snapshot unions columns across commit schemas") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)
+      VT.append(spark,
+        Seq((2, "b", 7.5)).toDF("id", "v", "score"), t)
+      val snap = VT.snapshot(spark, t)
+      assert(snap.columns.toSet == Set("id", "v", "score"))
+      val rows = snap.orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          Option(r.get(r.fieldIndex("score"))))).toSeq
+      assert(rows == Seq((1, "a", None), (2, "b", Some(7.5))))
+      // v0 alone predates the evolution — no phantom column
+      assert(VT.snapshot(spark, t, Some(0)).columns.toSeq == Seq("id", "v"))
+    }
+  }
+
+  test("applyChangeFeed maintains a sum state identical to recompute") {
+    withTable { t =>
+      val rows = Seq((1, "x", 10.0), (2, "x", 20.0), (3, "y", 30.0),
+        (4, "y", 40.0)).toDF("id", "grp", "v")
+      VT.append(spark, rows, t)                                     // v0
+      // move id=3 from y to x with a new value; insert id=5; delete id=1
+      VT.merge(spark, Seq((3, "x", 35.0), (5, "y", 50.0))
+        .toDF("id", "grp", "v"), t, Seq("id"))                      // v1
+      VT.deleteWhere(spark, t, col("id") === 1)                     // v2
+      val state0 = graft.ops.IncrementalAgg.sumState(
+        VT.snapshot(spark, t, Some(0)), Seq("grp"), "v")
+      val cdf = VT.changeFeed(spark, t, 0, 2, Seq("id"),
+        includePreimage = true)
+      val maintained = graft.ops.IncrementalAgg.finalizeSums(
+        graft.ops.IncrementalAgg.applyChangeFeed(
+          state0, cdf, Seq("grp"), "v"), Seq("grp"))
+      val recomputed = graft.ops.IncrementalAgg.finalizeSums(
+        graft.ops.IncrementalAgg.sumState(
+          VT.snapshot(spark, t, Some(2)), Seq("grp"), "v"), Seq("grp"))
+      val m = maintained.orderBy("grp").collect().map(_.toSeq).toSeq
+      val r = recomputed.orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(m == r)
+      // x: {2->20, 3->35}; y: {4->40, 5->50}
+      assert(m.map(row => (row.head, row(1))) ==
+        Seq(("x", 2L), ("y", 2L)))
+    }
+  }
+
+  test("applyChangeFeed drops groups retracted to zero") {
+    withTable { t =>
+      VT.append(spark, Seq((1, "only", 5.0)).toDF("id", "grp", "v"), t)
+      VT.deleteWhere(spark, t, col("id") === 1)
+      val state0 = graft.ops.IncrementalAgg.sumState(
+        VT.snapshot(spark, t, Some(0)), Seq("grp"), "v")
+      val cdf = VT.changeFeed(spark, t, 0, 1, Seq("id"),
+        includePreimage = true)
+      assert(graft.ops.IncrementalAgg.applyChangeFeed(
+        state0, cdf, Seq("grp"), "v").count() == 0)
+    }
+  }
+
+  test("versionedSink: exactly-once streaming appends through the log") {
+    withTable { t =>
+      val src = Files.createTempDirectory("vt-src").toString
+      val ckpt = Files.createTempDirectory("vt-ckpt").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id INT, v STRING")
+      def run(rows: Seq[(Int, String)], f: String): Unit = {
+        if (rows.nonEmpty) rows.toDF("id", "v").write.parquet(s"$src/$f")
+        val q = VT.versionedSink(
+          spark.readStream.schema(schema).parquet(s"$src/*"), t, ckpt,
+          appId = "vt-test")
+        q.awaitTermination(60000)
+      }
+      run(Seq(1 -> "a", 2 -> "b"), "b1")
+      run(Seq(3 -> "c"), "b2")
+      assert(VT.snapshot(spark, t).count() == 3)
+      val committed = VT.latestVersion(t).get
+      // restart with no new files: checkpoint replays nothing new and the
+      // txn guard keeps the log unchanged
+      run(Nil, "none")
+      assert(VT.latestVersion(t).contains(committed))
+      assert(VT.snapshot(spark, t).orderBy("id").as[(Int, String)]
+        .collect().toSeq == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+      // simulate a batch replay after checkpoint loss: same app, same
+      // batch ids → idempotent, still 3 rows
+      val ckpt2 = Files.createTempDirectory("vt-ckpt2").toString
+      val q = VT.versionedSink(
+        spark.readStream.schema(schema).parquet(s"$src/*"), t, ckpt2,
+        appId = "vt-test")
+      q.awaitTermination(60000)
+      assert(VT.snapshot(spark, t).count() == 3)
+    }
+  }
+
   test("snapshotAsOf picks the newest commit at or before the timestamp") {
     withTable { t =>
       val c0 = VT.append(spark, df(1 -> "a"), t)
