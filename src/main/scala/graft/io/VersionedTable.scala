@@ -61,6 +61,11 @@ object VersionedTable {
   private val CheckpointEvery = 10
   private val mapper = new ObjectMapper()
 
+  /** Per-file column stats: file → column → (min, max) as strings cast
+    * from the column values (absent column or all-null file = no entry =
+    * never pruned). */
+  type FileStats = Map[String, Map[String, (String, String)]]
+
   final case class Commit(
       version: Long,
       ts: Long,
@@ -69,7 +74,8 @@ object VersionedTable {
       remove: Seq[String],
       schemaJson: String,
       txnApp: Option[String] = None,
-      txnId: Option[Long] = None)
+      txnId: Option[Long] = None,
+      stats: FileStats = Map.empty)
 
   // ---------------------------------------------------------------- log IO
 
@@ -81,6 +87,13 @@ object VersionedTable {
   private def checkpointFile(table: String, v: Long): Path =
     logPath(table).resolve(f"$v%020d.checkpoint")
 
+  private def statsJson(stats: FileStats): String =
+    stats.map { case (f, cols) =>
+      s"${Fmt.jsonString(f)}:" + cols.map { case (c, (lo, hi)) =>
+        s"${Fmt.jsonString(c)}:[${Fmt.jsonString(lo)},${Fmt.jsonString(hi)}]"
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+
   private def commitJson(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(Fmt.jsonString).mkString("[", ",", "]")
     val txn = (c.txnApp, c.txnId) match {
@@ -88,10 +101,19 @@ object VersionedTable {
         s""","txnApp":${Fmt.jsonString(app)},"txnId":$id"""
       case _ => ""
     }
+    val st = if (c.stats.isEmpty) "" else s""","stats":${statsJson(c.stats)}"""
     s"""{"version":${c.version},"ts":${c.ts},"op":${Fmt.jsonString(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
-      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn}"""
+      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st}"""
   }
+
+  private def parseStats(node: com.fasterxml.jackson.databind.JsonNode): FileStats =
+    if (node == null) Map.empty
+    else node.properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala.map { ce =>
+        ce.getKey -> (ce.getValue.get(0).asText(), ce.getValue.get(1).asText())
+      }.toMap
+    }.toMap
 
   private def parseCommit(p: Path): Commit = {
     val n = mapper.readTree(Files.readAllBytes(p))
@@ -101,7 +123,8 @@ object VersionedTable {
       n.get("op").asText(), strs("add"), strs("remove"),
       n.get("schema").asText(),
       txnApp = Option(n.get("txnApp")).map(_.asText()),
-      txnId = Option(n.get("txnId")).map(_.asLong()))
+      txnId = Option(n.get("txnId")).map(_.asLong()),
+      stats = parseStats(n.get("stats")))
   }
 
   /** The committed version carrying transaction (`txnApp`, `txnId`), if
@@ -162,7 +185,7 @@ object VersionedTable {
     * the distinct schema lineage (last = current; >1 ⇒ the live files may
     * span schema versions and reads need `mergeSchema`). */
   private final case class TableState(files: Seq[String],
-      schemas: Seq[String]) {
+      schemas: Seq[String], fileStats: FileStats) {
     def schemaJson: String = schemas.lastOption.getOrElse("")
     def mixedSchemas: Boolean = schemas.size > 1
   }
@@ -184,21 +207,26 @@ object VersionedTable {
       }
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val schemas = scala.collection.mutable.LinkedHashSet.empty[String]
+    var stats: FileStats = Map.empty
     ck.foreach { c =>
       val n = mapper.readTree(Files.readAllBytes(checkpointFile(table, c)))
       files ++= n.get("files").elements().asScala.map(_.asText())
       schemas ++= n.get("schemas").elements().asScala.map(_.asText())
+      stats = stats ++ parseStats(n.get("stats"))
     }
     versions(table).filter(x => x > ck.getOrElse(-1L) && x <= v).foreach { x =>
       val c = parseCommit(versionFile(table, x))
       files --= c.remove
+      stats = stats -- c.remove
       files ++= c.add
+      stats = stats ++ c.stats
       if (c.schemaJson.nonEmpty) {
         schemas -= c.schemaJson // move-to-end: last element = current
         schemas += c.schemaJson
       }
     }
-    TableState(files.toSeq, schemas.toSeq)
+    TableState(files.toSeq, schemas.toSeq,
+      stats.view.filterKeys(files.contains).toMap)
   }
 
   private def maybeCheckpoint(table: String, v: Long): Unit =
@@ -206,7 +234,8 @@ object VersionedTable {
       val st = stateAt(table, v)
       def arr(xs: Seq[String]) = xs.map(Fmt.jsonString).mkString("[", ",", "]")
       val json =
-        s"""{"version":$v,"files":${arr(st.files)},"schemas":${arr(st.schemas)}}"""
+        s"""{"version":$v,"files":${arr(st.files)},"schemas":${arr(st.schemas)},""" +
+          s""""stats":${statsJson(st.fileStats)}}"""
       val tmp = logPath(table).resolve(s".tmp-${UUID.randomUUID()}.ck.tmp")
       Files.writeString(tmp, json)
       // checkpoints are derived data — last writer wins is fine
@@ -235,6 +264,60 @@ object VersionedTable {
         spark.read.option("mergeSchema", "true")
       else spark.read
       r.parquet(st.files.map(f => Paths.get(table, f).toString): _*)
+    }
+  }
+
+  /** Manifest-level data skipping (Delta's stats-based pruning): read the
+    * snapshot restricted to `lo <= column <= hi` (either bound optional),
+    * consulting the per-file min/max recorded at write time — files whose
+    * range cannot intersect are never handed to Spark, so the scan's task
+    * count tracks the SELECTED data, not the table. On a 100 TB table
+    * clustered on the filter column ([[compact]] with `clusterBy`), a
+    * narrow range touches a handful of files; the driver does string/
+    * decimal compares over the manifest, zero I/O. Files without stats
+    * for the column (older commits, all-null files) are kept —
+    * conservative, never wrong. The residual filter is still applied, so
+    * results are exact regardless of stats quality. */
+  def snapshotWhere(spark: SparkSession, table: String, column: String,
+      lo: Option[Any] = None, hi: Option[Any] = None,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"no commits at $table"))
+    val st = stateAt(table, v)
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val numeric = schema.find(_.name == column).exists(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // numeric columns compare as exact decimals (a double round-trip
+    // could mis-prune a boundary file); everything else lexically —
+    // correct for strings and for Spark's sortable date/timestamp casts
+    def cmp(a: String, b: String): Int =
+      if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      else a.compareTo(b)
+    val loS = lo.map(_.toString)
+    val hiS = hi.map(_.toString)
+    val keep = st.files.filter { f =>
+      st.fileStats.get(f).flatMap(_.get(column)) match {
+        case Some((fMin, fMax)) =>
+          hiS.forall(h => cmp(fMin, h) <= 0) &&
+            loS.forall(l => cmp(fMax, l) >= 0)
+        case None => true // no stats: cannot exclude
+      }
+    }
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else {
+        val r = if (st.mixedSchemas)
+          spark.read.option("mergeSchema", "true")
+        else spark.read
+        r.parquet(keep.map(f => Paths.get(table, f).toString): _*)
+      }
+    val c = col(column)
+    (loS, hiS) match {
+      case (Some(l), Some(h)) => base.filter(c >= lit(lo.get) && c <= lit(hi.get))
+      case (Some(l), None) => base.filter(c >= lit(lo.get))
+      case (None, Some(h)) => base.filter(c <= lit(hi.get))
+      case _ => base
     }
   }
 
@@ -296,6 +379,7 @@ object VersionedTable {
   private def commitLoop(table: String, op: String, add: Seq[String],
       removeAt: Long => Seq[String], schemaJson: String,
       readVersion: Option[Long], txn: Option[(String, Long)] = None,
+      stats: FileStats = Map.empty,
       maxRetries: Int = 20): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
@@ -316,7 +400,7 @@ object VersionedTable {
       }
       val c = Commit(next, System.currentTimeMillis(), op, add,
         removeAt(next), schemaJson,
-        txnApp = txn.map(_._1), txnId = txn.map(_._2))
+        txnApp = txn.map(_._1), txnId = txn.map(_._2), stats = stats)
       if (tryPublish(table, next, commitJson(c))) {
         maybeCheckpoint(table, next)
         return c
@@ -327,12 +411,44 @@ object VersionedTable {
       s"could not claim a log slot for $op on $table after $maxRetries tries")
   }
 
+  /** Per-file min/max of `statsFor` columns over freshly written files —
+    * ONE narrow aggregate over just-written data (file-local map-side
+    * combine, no shuffle of consequence), keyed by `_metadata.file_path`.
+    * Values are stored as strings; all-null columns yield no entry. */
+  private def computeStats(spark: SparkSession, table: String,
+      files: Seq[String], statsFor: Seq[String]): FileStats = {
+    if (statsFor.isEmpty || files.isEmpty) return Map.empty
+    val df = spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    val cols = statsFor.filter(df.columns.contains)
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast(StringType).as(s"__min_$c"),
+      max(col(c)).cast(StringType).as(s"__max_$c")))
+    df.groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
+          .getFileName.toString
+        name -> cols.flatMap { c =>
+          (Option(r.getAs[String](s"__min_$c")),
+            Option(r.getAs[String](s"__max_$c"))) match {
+            case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+            case _ => None
+          }
+        }.toMap
+      }.toMap
+  }
+
   /** Blind append: new files join the current file set. Never conflicts —
-    * racing appenders serialize through slot claims. Returns the commit. */
-  def append(spark: SparkSession, df: DataFrame, table: String): Commit = {
+    * racing appenders serialize through slot claims. Returns the commit.
+    * `statsFor` columns get per-file min/max recorded in the commit for
+    * manifest-level data skipping ([[snapshotWhere]]). */
+  def append(spark: SparkSession, df: DataFrame, table: String,
+      statsFor: Seq[String] = Nil): Commit = {
     Files.createDirectories(Paths.get(table))
     val files = writeDataFiles(df, table)
-    commitLoop(table, "append", files, _ => Nil, df.schema.json, None)
+    commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
+      stats = computeStats(spark, table, files, statsFor))
   }
 
   /** Idempotent append keyed by (`txnApp`, `txnId`) — Delta's
@@ -343,12 +459,13 @@ object VersionedTable {
     * This is what makes [[versionedSink]] exactly-once: foreachBatch is
     * at-least-once, and the txn check collapses replays. */
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
-      txnApp: String, txnId: Long): Commit =
+      txnApp: String, txnId: Long, statsFor: Seq[String] = Nil): Commit =
     txnCommit(table, txnApp, txnId).getOrElse {
       Files.createDirectories(Paths.get(table))
       val files = writeDataFiles(df, table)
       commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
-        txn = Some((txnApp, txnId)))
+        txn = Some((txnApp, txnId)),
+        stats = computeStats(spark, table, files, statsFor))
     }
 
   /** Exactly-once streaming ingestion into a versioned table: each
@@ -377,13 +494,15 @@ object VersionedTable {
     * `expectVersion` is given; a bootstrap overwrite of an empty table
     * needs no check. */
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
-      expectVersion: Option[Long] = None): Commit = {
+      expectVersion: Option[Long] = None,
+      statsFor: Seq[String] = Nil): Commit = {
     Files.createDirectories(Paths.get(table))
     val read = expectVersion.orElse(latestVersion(table))
     val files = writeDataFiles(df, table)
     commitLoop(table, "overwrite", files,
       _ => read.map(v => stateAt(table, v).files).getOrElse(Nil),
-      df.schema.json, readVersion = read)
+      df.schema.json, readVersion = read,
+      stats = computeStats(spark, table, files, statsFor))
   }
 
   /** MERGE into the versioned table: read the snapshot, [[Upsert.merge]]
@@ -443,13 +562,24 @@ object VersionedTable {
   /** OPTIMIZE-style compaction as a commit: coalesce the current snapshot
     * into `targetFiles` new files, retire the old ones. Time travel to
     * pre-compaction versions still works until vacuum. */
-  def compact(spark: SparkSession, table: String, targetFiles: Int): Commit = {
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+      clusterBy: Seq[String] = Nil, statsFor: Seq[String] = Nil): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
-    val snap = snapshot(spark, table, Some(rv)).coalesce(targetFiles)
+    val base = snapshot(spark, table, Some(rv))
+    // Z-ORDER approximation through the log (Maintenance.clusterBy for
+    // versioned tables): range-repartition + local sort so each output
+    // file owns a narrow key range — exactly what makes the recorded
+    // min/max stats selective for snapshotWhere pruning.
+    val snap =
+      if (clusterBy.isEmpty) base.coalesce(targetFiles)
+      else base.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     val added = writeDataFiles(snap, table)
     commitLoop(table, "optimize", added, _ => stateAt(table, rv).files,
-      snap.schema.json, readVersion = Some(rv))
+      snap.schema.json, readVersion = Some(rv),
+      stats = computeStats(spark, table, added,
+        if (statsFor.nonEmpty) statsFor else clusterBy))
   }
 
   /** GC data files that (a) are not referenced by the LATEST version and

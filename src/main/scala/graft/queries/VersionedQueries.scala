@@ -87,6 +87,23 @@ object VersionedQueries {
     // full recompute of the final version bit-for-bit (decimal group
     // algebra) — which is exactly what the oracle computes from the same
     // slice algebra, never having seen the incremental path.
+    // Manifest-stats data skipping: write with per-file min/max recorded
+    // in the commit log, Z-order-approximate compact on the key, then
+    // answer a narrow key-range aggregate through snapshotWhere — the
+    // driver hash-checks the values; VersionedTableSpec asserts the file
+    // pruning itself (inputFiles strictly shrinks, residual exactness).
+    "q154_pruned_scan" -> ((s, dir) => withScratch { tbl =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base, tbl, statsFor = Seq("o_orderkey"))
+      VT.compact(s, tbl, targetFiles = 8, clusterBy = Seq("o_orderkey"))
+      VT.snapshotWhere(s, tbl, "o_orderkey",
+          lo = Some(1000L), hi = Some(5000L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q153_incremental_gold" -> ((s, dir) => withScratch { tbl =>
       val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -156,6 +173,14 @@ object VersionedQueries {
         |SELECT c_custkey, c_name, c_acctbal, 'delete'
         |FROM customer WHERE c_custkey % 10 = 4
         |ORDER BY c_custkey, _change_type""".stripMargin,
+
+    // plain range recompute — the pruned manifest read must not change
+    // a single value
+    "q154_pruned_scan" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Full recompute of the FINAL version's per-status aggregate from the
     // slice algebra — equality with the incrementally-maintained state IS

@@ -292,6 +292,66 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("snapshotWhere prunes files by manifest stats, results exact") {
+    withTable { t =>
+      val rows = (0 until 100).map(i => (i, s"r$i"))
+      // three appends with disjoint id ranges, stats recorded per file
+      VT.append(spark, rows.slice(0, 30).toDF("id", "v"), t,
+        statsFor = Seq("id"))
+      VT.append(spark, rows.slice(30, 70).toDF("id", "v"), t,
+        statsFor = Seq("id"))
+      VT.append(spark, rows.slice(70, 100).toDF("id", "v"), t,
+        statsFor = Seq("id"))
+      val all = VT.snapshot(spark, t)
+      val pruned = VT.snapshotWhere(spark, t, "id",
+        lo = Some(35), hi = Some(45))
+      // exact same answer as a plain filter over the full snapshot
+      assert(pruned.orderBy("id").as[(Int, String)].collect().toSeq ==
+        all.filter(col("id").between(35, 45)).orderBy("id")
+          .as[(Int, String)].collect().toSeq)
+      // and it reads strictly fewer files than the table holds (a plain
+      // filter over the full snapshot still lists every file — manifest
+      // stats are what Spark alone cannot prune by here)
+      assert(pruned.inputFiles.length < all.inputFiles.length)
+      assert(all.filter(col("id").between(35, 45)).inputFiles.length ==
+        all.inputFiles.length)
+      // a range outside every file's stats reads nothing
+      assert(VT.snapshotWhere(spark, t, "id",
+        lo = Some(1000), hi = Some(2000)).inputFiles.isEmpty)
+    }
+  }
+
+  test("clustered compact makes stats selective; stats survive checkpoints") {
+    withTable { t =>
+      // interleaved ids so pre-compaction files all overlap on id
+      (0 until 12).foreach { i =>
+        VT.append(spark,
+          Seq((i, s"a$i"), (i + 50, s"b$i")).toDF("id", "v"), t,
+          statsFor = Seq("id"))
+      } // 12 commits → checkpoint at v10 exercised with stats
+      VT.compact(spark, t, targetFiles = 4, clusterBy = Seq("id"))
+      val narrow = VT.snapshotWhere(spark, t, "id",
+        lo = Some(0), hi = Some(5))
+      assert(narrow.orderBy("id").as[(Int, String)].collect().toSeq ==
+        (0 to 5).map(i => (i, s"a$i")))
+      // range-clustered files: a 6-id slice of 24 rows over 4 files
+      // touches at most 2
+      assert(narrow.inputFiles.length <= 2)
+    }
+  }
+
+  test("files without stats are kept conservatively") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t) // no statsFor
+      VT.append(spark, Seq((100, "z")).toDF("id", "v"), t,
+        statsFor = Seq("id"))
+      val out = VT.snapshotWhere(spark, t, "id", lo = Some(0), hi = Some(10))
+      // stats-less file must be scanned (and the residual filter applied)
+      assert(out.as[(Int, String)].collect().toSeq == Seq(1 -> "a"))
+      assert(out.inputFiles.length == 1) // the id=100 file was pruned
+    }
+  }
+
   test("snapshotAsOf picks the newest commit at or before the timestamp") {
     withTable { t =>
       val c0 = VT.append(spark, df(1 -> "a"), t)
