@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,8 +44,21 @@ object Preference {
     * Cost per round is O(pairs), pairs ≤ items², typically ≪ log size.
     * Runs EXACTLY `iters` rounds (deterministic, oracle-reproducible —
     * the q94 contract). */
+  /** Pair-count tables at or below this size run the MM loop on the
+    * driver (one collect, zero per-round Spark jobs) instead of 10
+    * rounds of keyed joins. The gate bounds driver memory the same way
+    * [[Dedup]]'s connected-components union-find gate does: 100k pairs
+    * ≈ a few MB collected, while the distributed loop at that size is
+    * ~5 s of pure job-scheduling overhead (measured: 10 rounds over an
+    * 8-item event-type table cost 5.5 s distributed, <1 s local). Real
+    * leaderboards (items = models/documents, pairs ≤ items²) almost
+    * always fit; a corpus-scale item set exceeds the gate and takes the
+    * distributed loop unchanged. */
+  val MaxLocalPairs = 100000
+
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
-      loserCol: String, iters: Int = 10, roundTo: Int = 6): DataFrame = {
+      loserCol: String, iters: Int = 10, roundTo: Int = 6,
+      maxLocalPairs: Int = MaxLocalPairs): DataFrame = {
     require(iters > 0, "iters must be > 0")
     val comps = comparisons
       .select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
@@ -66,6 +81,64 @@ object Preference {
       .persist()
     val nItems = items.count() // materializes both persisted tables
     require(nItems > 0, "no decided comparisons")
+
+    // size-gated driver fast path: the MM loop over a collected pair
+    // table (sorted — deterministic double summation order). Arithmetic
+    // mirrors the distributed loop op-for-op (IEEE double division,
+    // W/Σ, final Σs normalization, HALF_UP round via BigDecimal.valueOf
+    // — Spark's own double-round semantics), so both paths agree to the
+    // last ulp except for float-summation order, which sits far inside
+    // the round(6) grid for MM fixpoint values.
+    if (pairs.count() <= maxLocalPairs) {
+      val spark = comparisons.sparkSession
+      val itemRows = items.orderBy(col("item")).collect()
+      val itemIdx: Map[Any, Int] =
+        itemRows.iterator.map(_.get(0)).zipWithIndex.toMap
+      val winsArr = itemRows.map(_.getLong(1))
+      val pairRows = pairs.orderBy(col("__a"), col("__b")).collect()
+      val pa = pairRows.map(r => itemIdx(r.get(0)))
+      val pb = pairRows.map(r => itemIdx(r.get(1)))
+      val pn = pairRows.map(_.getDouble(2))
+      val n = itemRows.length
+      var sLoc = Array.fill(n)(1.0 / n)
+      for (_ <- 1 to iters) {
+        val denom = new Array[Double](n)
+        var k = 0
+        while (k < pa.length) {
+          denom(pa(k)) += pn(k) / (sLoc(pa(k)) + sLoc(pb(k)))
+          k += 1
+        }
+        val next = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          next(i) = winsArr(i).toDouble / denom(i)
+          i += 1
+        }
+        sLoc = next
+      }
+      val z = sLoc.sum
+      val nComp = new Array[Double](n)
+      var k = 0
+      while (k < pa.length) { nComp(pa(k)) += pn(k); k += 1 }
+      val outRows = itemRows.indices.map { i =>
+        val strength = java.math.BigDecimal.valueOf(sLoc(i) / z)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+        org.apache.spark.sql.Row(
+          itemRows(i).get(0), winsArr(i), nComp(i).toLong, strength)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        items.schema("item"),
+        org.apache.spark.sql.types.StructField("wins",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_comp",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("strength",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val out = spark.createDataFrame(
+        new java.util.ArrayList(outRows.asJava), schema)
+      pairs.unpersist(); items.unpersist()
+      return out
+    }
 
     var s = graft.util.Iterate.checkpointCut(items.select(col("item"),
       lit(1.0 / nItems).as("__s")))

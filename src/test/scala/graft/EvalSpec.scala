@@ -140,6 +140,30 @@ class EvalSpec extends SparkSpec {
     assert(s("A") > s("B") && s("B") > s("C"))
   }
 
+  test("bradleyTerry: driver fast path matches the distributed loop") {
+    // 12 items, seeded random outcomes — run both paths (maxLocalPairs
+    // = -1 forces the distributed loop) and demand identical rounded
+    // output; also covers a zero-win item pair (L0 never wins)
+    val rnd = new scala.util.Random(7)
+    val comps = (Seq.tabulate(300) { _ =>
+      val a = "I" + rnd.nextInt(11)
+      val b = "I" + ((rnd.nextInt(10) + 1 + rnd.nextInt(11)) % 11)
+      if (a == b) ("I1", "I2") else (a, b)
+    } ++ Seq(("I3", "L0"), ("I4", "L0"))).toDF("winner", "loser")
+    val local = Preference.bradleyTerry(comps, "winner", "loser",
+      iters = 10).orderBy("item").collect()
+    val dist = Preference.bradleyTerry(comps, "winner", "loser",
+      iters = 10, maxLocalPairs = -1).orderBy("item").collect()
+    assert(local.length == dist.length && local.length >= 12)
+    local.zip(dist).foreach { case (l, d) =>
+      assert(l.getAs[String]("item") == d.getAs[String]("item"))
+      assert(l.getAs[Long]("wins") == d.getAs[Long]("wins"))
+      assert(l.getAs[Long]("n_comp") == d.getAs[Long]("n_comp"))
+      assert(l.getAs[Double]("strength") == d.getAs[Double]("strength"),
+        s"strength mismatch for ${l.getAs[String]("item")}")
+    }
+  }
+
   test("bradleyTerry: zero-win item lands at strength 0") {
     val comps = Seq(("A", "B"), ("A", "B"), ("C", "B"))
       .toDF("winner", "loser")
