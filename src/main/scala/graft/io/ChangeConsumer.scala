@@ -1,0 +1,136 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{VersionedTable => VT}
+
+/** Read-side CDC consumption of a [[VersionedTable]] — the "stream from
+  * the table" half of the log contract ([[VersionedTable.versionedSink]]
+  * is the write half; the reference gets both from Delta's
+  * `readChangeFeed` / `txnAppId` machinery,
+  * `/root/reference/src/utils/spark_utils.py:285-344` context).
+  *
+  * A consumer owns a CURSOR — the last source version it fully
+  * processed — persisted in its checkpoint dir. Each [[processChanges]]
+  * cycle reads the cursor, diffs cursor→latest through
+  * [[VersionedTable.changeFeed]] (or takes the bootstrap snapshot on
+  * first contact), hands the change frame to the caller, and advances
+  * the cursor ATOMICALLY only after the handler returns. Crash anywhere
+  * ⇒ the next cycle replays the same version range: the handler runs
+  * AT-LEAST-ONCE, and becomes exactly-once end-to-end when its effect
+  * is guarded by the destination's (`txnApp`, `txnId`) contract — which
+  * is precisely what [[mirror]] and [[maintainSumState]] do, keying the
+  * destination commit on the source version range just processed.
+  *
+  * Scale shape: a cycle's cost is one manifest-diff change feed (keyed
+  * shuffle of the two snapshots — no log replay of intermediate
+  * versions) plus the handler; the cursor file is O(bytes). Polling
+  * this in a loop gives incremental micro-batch semantics without a
+  * long-lived streaming query — the Trigger.AvailableNow idiom for
+  * log-structured sources.
+  */
+object ChangeConsumer {
+
+  private def cursorFile(checkpointDir: String) =
+    Paths.get(checkpointDir, "cursor")
+
+  /** Last fully-processed source version, if any cycle ever completed. */
+  def cursor(checkpointDir: String): Option[Long] = {
+    val p = cursorFile(checkpointDir)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.toLong)
+    else None
+  }
+
+  /** Atomic cursor advance: write-temp + ATOMIC_MOVE, the same publish
+    * discipline as the commit log — a crash mid-advance leaves the OLD
+    * cursor intact (replay), never a torn file. */
+  private def advance(checkpointDir: String, v: Long): Unit = {
+    Files.createDirectories(Paths.get(checkpointDir))
+    val tmp = Paths.get(checkpointDir, s".cursor-tmp-${v}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, cursorFile(checkpointDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One consumption cycle. Returns the processed (fromVersion, to)
+    * range — `fromVersion = None` on the bootstrap cycle, where the
+    * handler receives the full `to`-snapshot shaped as a change feed
+    * (every row `_change_type = 'insert'`) — or None when the consumer
+    * is already caught up (no handler call, no cursor write).
+    *
+    * The handler runs at-least-once per range (see object doc); make
+    * its effect idempotent or txn-guard it on the destination. */
+  def processChanges(spark: SparkSession, table: String, keys: Seq[String],
+      checkpointDir: String, includePreimage: Boolean = true)(
+      fn: (DataFrame, Option[Long], Long) => Unit): Option[(Option[Long], Long)] = {
+    val to = VT.latestVersion(table).getOrElse(return None)
+    val from = cursor(checkpointDir)
+    if (from.contains(to)) return None
+    from.foreach { f =>
+      require(f <= to, s"cursor $f is beyond $table's latest version $to " +
+        "(checkpoint from a different table?)")
+    }
+    val feed = from match {
+      case Some(f) =>
+        VT.changeFeed(spark, table, f, to, keys, includePreimage)
+      case None =>
+        VT.snapshot(spark, table, Some(to))
+          .withColumn("_change_type", lit("insert"))
+    }
+    fn(feed, from, to)
+    advance(checkpointDir, to)
+    Some((from, to))
+  }
+
+  /** Keep `dst` a row-level replica of `src` (same keys ⇒ same rows),
+    * one [[VersionedTable.applyChanges]] commit per cycle — file-
+    * granular on the destination, exactly-once under replay (the dst
+    * commit is keyed on the processed source version). Returns the dst
+    * commit, or None when already caught up. */
+  def mirror(spark: SparkSession, src: String, dst: String,
+      keys: Seq[String], checkpointDir: String,
+      statsFor: Seq[String] = Nil): Option[VT.Commit] = {
+    var out: Option[VT.Commit] = None
+    processChanges(spark, src, keys, checkpointDir) { (feed, _, to) =>
+      out = Some(VT.applyChanges(spark, feed, dst, keys,
+        txnApp = s"mirror:$dst", txnId = to, statsFor = statsFor))
+    }
+    out
+  }
+
+  /** Maintain a grouped sum/count state table
+    * ([[graft.ops.IncrementalAgg.sumState]] shape) over `src` — the
+    * incremental-materialized-view loop: bootstrap aggregates the full
+    * snapshot ONCE; every later cycle folds only the change feed into
+    * the existing state (updates retract preimages, deletes retract
+    * rows), an O(changes) refresh regardless of table size. The state
+    * overwrite is txn-keyed on the processed source version, so a
+    * crashed-and-replayed cycle never double-folds a delta. Exact
+    * decimal algebra ⇒ the maintained state is bit-identical to a full
+    * recompute (the q131/q153 invariant, asserted in
+    * VersionedTableSpec). */
+  def maintainSumState(spark: SparkSession, src: String, stateTable: String,
+      rowKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
+      checkpointDir: String): Option[VT.Commit] = {
+    var out: Option[VT.Commit] = None
+    processChanges(spark, src, rowKeys, checkpointDir) { (feed, from, to) =>
+      val newState = from match {
+        case None =>
+          graft.ops.IncrementalAgg.sumState(
+            feed.drop("_change_type"), groupKeys, valueCol)
+        case Some(_) =>
+          graft.ops.IncrementalAgg.applyChangeFeed(
+            VT.snapshot(spark, stateTable), feed, groupKeys, valueCol)
+      }
+      out = Some(VT.overwrite(spark, newState, stateTable,
+        txn = Some((s"maintain:$stateTable", to))))
+    }
+    out
+  }
+}

@@ -492,17 +492,83 @@ object VersionedTable {
   /** Replace the table contents (CREATE OR REPLACE semantics). Version-
     * conflict-checked against the state the caller last observed when
     * `expectVersion` is given; a bootstrap overwrite of an empty table
-    * needs no check. */
+    * needs no check. With `txn`, the overwrite is idempotent under the
+    * (`txnApp`, `txnId`) contract exactly like [[appendIdempotent]]: a
+    * replayed overwrite finds its own commit and writes nothing — the
+    * guard incremental-refresh jobs need, since re-folding a delta into
+    * an already-folded state would double-count
+    * ([[ChangeConsumer.maintainSumState]]). */
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
       expectVersion: Option[Long] = None,
+      statsFor: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Commit =
+    txn.flatMap(t => txnCommit(table, t._1, t._2)).getOrElse {
+      Files.createDirectories(Paths.get(table))
+      val read = expectVersion.orElse(latestVersion(table))
+      val files = writeDataFiles(df, table)
+      commitLoop(table, "overwrite", files,
+        _ => read.map(v => stateAt(table, v).files).getOrElse(Nil),
+        df.schema.json, readVersion = read, txn = txn,
+        stats = computeStats(spark, table, files, statsFor))
+    }
+
+  /** Apply a change-feed frame (`_change_type` ∈ insert /
+    * update_preimage / update_postimage / delete, the [[changeFeed]]
+    * shape) to this table as ONE idempotent commit — the row-level CDC
+    * sink that keeps a downstream mirror in sync with an upstream
+    * versioned table without rewriting it.
+    *
+    * File-granular, the [[deleteWhere]] discipline: only data files that
+    * CONTAIN a changed key are rewritten (survivor rows re-written minus
+    * changed keys, plus the new/updated rows); untouched files carry
+    * over by reference. On a selective change set this touches a sliver
+    * of a 100 TB mirror. The (`txnApp`, `txnId`) guard makes replays
+    * no-ops, so an at-least-once driver loop
+    * ([[ChangeConsumer.processChanges]]) yields an exactly-once mirror. */
+  def applyChanges(spark: SparkSession, feed: DataFrame, table: String,
+      keys: Seq[String], txnApp: String, txnId: Long,
       statsFor: Seq[String] = Nil): Commit = {
-    Files.createDirectories(Paths.get(table))
-    val read = expectVersion.orElse(latestVersion(table))
-    val files = writeDataFiles(df, table)
-    commitLoop(table, "overwrite", files,
-      _ => read.map(v => stateAt(table, v).files).getOrElse(Nil),
-      df.schema.json, readVersion = read,
-      stats = computeStats(spark, table, files, statsFor))
+    require(keys.nonEmpty, "applyChanges needs row keys")
+    txnCommit(table, txnApp, txnId).getOrElse {
+      Files.createDirectories(Paths.get(table))
+      val upserts = feed.filter(col("_change_type")
+        .isin("insert", "update_postimage")).drop("_change_type")
+      // preimages are informational; every other change type names a key
+      // whose dst row (if any) must go — updates retire the old row,
+      // inserts guard against re-inserting a key the dst already holds
+      val changedKeys = feed
+        .filter(col("_change_type") =!= "update_preimage")
+        .select(keys.map(col): _*).distinct()
+      latestVersion(table) match {
+        case None =>
+          val files = writeDataFiles(upserts, table)
+          commitLoop(table, "apply_changes", files, _ => Nil,
+            upserts.schema.json, None, txn = Some((txnApp, txnId)),
+            stats = computeStats(spark, table, files, statsFor))
+        case Some(v) =>
+          val snap = snapshot(spark, table, Some(v))
+          // materialize the metadata pseudo-column BEFORE the join — it
+          // only resolves directly against the scan relation
+          val hitPaths = snap
+            .select(col("*"), col("_metadata.file_path").as("__fp"))
+            .join(changedKeys, keys, "left_semi")
+            .select(col("__fp")).distinct()
+            .collect().map(_.getString(0)).toSeq // bounded by file count
+          val survivors =
+            if (hitPaths.isEmpty) upserts
+            else spark.read.parquet(hitPaths.map(p =>
+                new java.net.URI(p).getPath): _*)
+              .join(changedKeys, keys, "left_anti")
+              .unionByName(upserts)
+          val hitNames = hitPaths.map(p =>
+            Paths.get(new java.net.URI(p).getPath).getFileName.toString)
+          val added = writeDataFiles(survivors, table)
+          commitLoop(table, "apply_changes", added, _ => hitNames,
+            snap.schema.json, readVersion = Some(v),
+            txn = Some((txnApp, txnId)),
+            stats = computeStats(spark, table, added, statsFor))
+      }
+    }
   }
 
   /** MERGE into the versioned table: read the snapshot, [[Upsert.merge]]

@@ -104,6 +104,49 @@ object VersionedQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // CDC consumer loop: a versioned source evolves under MERGE + DELETE
+    // while two cursor-checkpointed consumers follow it — a row-level
+    // MIRROR (file-granular applyChanges commits) and an incrementally
+    // MAINTAINED per-segment sum state (bootstrap aggregate, then
+    // O(changes) change-feed folds). Two full consumption cycles run
+    // inside the query, so the cursor advance, bootstrap-vs-delta
+    // branch, and txn-guarded destination commits are all on the hashed
+    // path. Output: the same per-segment aggregate read back from BOTH
+    // destinations — the oracle computes it once from the slice algebra
+    // and expects the two tagged copies to agree exactly.
+    "q155_cdc_mirror" -> ((s, dir) => withScratch { tbl =>
+      val root = java.nio.file.Paths.get(tbl).getParent
+      val dst = root.resolve("dst").toString
+      val state = root.resolve("state").toString
+      val ckM = root.resolve("ckm").toString
+      val ckS = root.resolve("cks").toString
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)     // v0
+      // cycle 1: both consumers bootstrap from the v0 snapshot
+      graft.io.ChangeConsumer.mirror(s, tbl, dst, Seq("c_custkey"), ckM)
+      graft.io.ChangeConsumer.maintainSumState(s, tbl, state,
+        Seq("c_custkey"), Seq("c_mktsegment"), "c_acctbal", ckS)
+      val src = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+      VT.merge(s, src, tbl, Seq("c_custkey"))                        // v1
+      VT.deleteWhere(s, tbl, col("c_custkey") % 10 === 4)            // v2
+      // cycle 2: incremental — change feed v0→v2 into both destinations
+      graft.io.ChangeConsumer.mirror(s, tbl, dst, Seq("c_custkey"), ckM)
+      graft.io.ChangeConsumer.maintainSumState(s, tbl, state,
+        Seq("c_custkey"), Seq("c_mktsegment"), "c_acctbal", ckS)
+      val fromMirror = VT.snapshot(s, dst)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("total"))
+        .withColumn("consumer", lit("mirror"))
+      val fromState = VT.snapshot(s, state)
+        .select(col("c_mktsegment"), col("n"),
+          col("sum_v").cast("double").as("total"))
+        .withColumn("consumer", lit("state"))
+      fromMirror.unionByName(fromState)
+        .orderBy(col("consumer"), col("c_mktsegment"))
+    }),
+
     "q153_incremental_gold" -> ((s, dir) => withScratch { tbl =>
       val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -173,6 +216,25 @@ object VersionedQueries {
         |SELECT c_custkey, c_name, c_acctbal, 'delete'
         |FROM customer WHERE c_custkey % 10 = 4
         |ORDER BY c_custkey, _change_type""".stripMargin,
+
+    // One aggregate from the slice algebra (final state = keys with
+    // %2=0 or %3=0, +50 on %3=0, minus %10=4), emitted twice — the
+    // mirror and the maintained state must both land on it exactly.
+    "q155_cdc_mirror" ->
+      """WITH fin AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 50.0 ELSE 0.0 END AS bal
+        |  FROM customer
+        |  WHERE (c_custkey % 2 = 0 OR c_custkey % 3 = 0)
+        |    AND c_custkey % 10 <> 4),
+        |agg AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM fin GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n, total, s.consumer
+        |FROM agg CROSS JOIN (
+        |  SELECT 'mirror' AS consumer UNION ALL SELECT 'state') s
+        |ORDER BY s.consumer, c_mktsegment""".stripMargin,
 
     // plain range recompute — the pruned manifest read must not change
     // a single value

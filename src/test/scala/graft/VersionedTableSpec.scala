@@ -372,4 +372,132 @@ class VersionedTableSpec extends SparkSpec {
       assert(snap.columns.toSeq == Seq("id", "v"))
     }
   }
+
+  // ---------- applyChanges / ChangeConsumer ----------
+
+  private def feedOf(rows: (Int, String, String)*) =
+    rows.toDF("id", "v", "_change_type")
+
+  test("applyChanges: inserts, updates and deletes land; files untouched " +
+    "by the change set carry over by reference") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b").coalesce(1), t) // file A — hit
+      VT.append(spark, df(3 -> "c", 4 -> "d").coalesce(1), t) // file B — not
+      val before = VT.snapshot(spark, t).inputFiles.toSet
+      VT.applyChanges(spark,
+        feedOf((2, "B", "update_postimage"), (2, "b", "update_preimage"),
+          (5, "e", "insert"), (1, "a", "delete")),
+        t, Seq("id"), txnApp = "test", txnId = 1)
+      val snap = VT.snapshot(spark, t)
+      assert(snap.orderBy("id").as[(Int, String)].collect().toSeq ==
+        Seq(2 -> "B", 3 -> "c", 4 -> "d", 5 -> "e"))
+      val after = snap.inputFiles.toSet
+      // the un-hit file (3,4) must survive as the SAME physical file
+      val carried = before.intersect(after)
+      assert(carried.size == 1, s"expected exactly file B carried: $carried")
+    }
+  }
+
+  test("applyChanges replay with the same txn commits nothing new") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)
+      val feed = feedOf((2, "b", "insert"))
+      val c1 = VT.applyChanges(spark, feed, t, Seq("id"), "app", 7)
+      val c2 = VT.applyChanges(spark, feed, t, Seq("id"), "app", 7)
+      assert(c1.version == c2.version)
+      assert(VT.latestVersion(t).contains(c1.version))
+      assert(VT.snapshot(spark, t).count() == 2)
+    }
+  }
+
+  test("mirror: bootstrap + incremental cycles replicate the source; " +
+    "caught-up cycle is a no-op") {
+    withTable { src =>
+      withTable { dst =>
+        val ckpt = Files.createTempDirectory("graft-cc").toString
+        VT.append(spark, df(1 -> "a", 2 -> "b"), src)
+        assert(graft.io.ChangeConsumer.mirror(
+          spark, src, dst, Seq("id"), ckpt).nonEmpty)
+        assert(VT.snapshot(spark, dst).orderBy("id").as[(Int, String)]
+          .collect().toSeq == Seq(1 -> "a", 2 -> "b"))
+        // caught up: no handler call, no dst commit
+        assert(graft.io.ChangeConsumer.mirror(
+          spark, src, dst, Seq("id"), ckpt).isEmpty)
+        // evolve src: update 2, delete 1, insert 3 — then one cycle
+        VT.merge(spark, df(2 -> "B", 3 -> "c"), src, Seq("id"))
+        VT.deleteWhere(spark, src, col("id") === 1)
+        assert(graft.io.ChangeConsumer.mirror(
+          spark, src, dst, Seq("id"), ckpt).nonEmpty)
+        assert(VT.snapshot(spark, dst).orderBy("id").as[(Int, String)]
+          .collect().toSeq == Seq(2 -> "B", 3 -> "c"))
+      }
+    }
+  }
+
+  test("mirror crash-replay: cursor loss re-runs the cycle but the txn " +
+    "guard keeps the mirror exactly-once") {
+    withTable { src =>
+      withTable { dst =>
+        val ckpt = Files.createTempDirectory("graft-cc").toString
+        VT.append(spark, df(1 -> "a"), src)
+        graft.io.ChangeConsumer.mirror(spark, src, dst, Seq("id"), ckpt)
+        VT.append(spark, df(2 -> "b"), src)
+        graft.io.ChangeConsumer.mirror(spark, src, dst, Seq("id"), ckpt)
+        val vAfter = VT.latestVersion(dst)
+        // simulate a crash AFTER the dst commit, BEFORE the cursor write:
+        // roll the cursor back one cycle and replay
+        Files.write(java.nio.file.Paths.get(ckpt, "cursor"),
+          "0".getBytes("UTF-8"))
+        graft.io.ChangeConsumer.mirror(spark, src, dst, Seq("id"), ckpt)
+        assert(VT.latestVersion(dst) == vAfter) // no new dst commit
+        assert(VT.snapshot(spark, dst).orderBy("id").as[(Int, String)]
+          .collect().toSeq == Seq(1 -> "a", 2 -> "b"))
+        assert(graft.io.ChangeConsumer.cursor(ckpt).contains(1L))
+      }
+    }
+  }
+
+  test("maintainSumState: incremental refresh equals full recompute; " +
+    "replay never double-folds a delta") {
+    withTable { src =>
+      withTable { state =>
+        val ckpt = Files.createTempDirectory("graft-cc").toString
+        val rows = Seq((1, "x", 10.0), (2, "x", 20.0), (3, "y", 5.0))
+          .toDF("id", "grp", "amt")
+        VT.append(spark, rows, src)
+        graft.io.ChangeConsumer.maintainSumState(spark, src, state,
+          rowKeys = Seq("id"), groupKeys = Seq("grp"), valueCol = "amt",
+          checkpointDir = ckpt)
+        // evolve: update id 2 to grp y (retract from x, add to y),
+        // delete id 3, insert id 4
+        VT.merge(spark,
+          Seq((2, "y", 25.0), (4, "x", 7.0)).toDF("id", "grp", "amt"),
+          src, Seq("id"))
+        VT.deleteWhere(spark, src, col("id") === 3)
+        graft.io.ChangeConsumer.maintainSumState(spark, src, state,
+          Seq("id"), Seq("grp"), "amt", ckpt)
+        val maintained = VT.snapshot(spark, state)
+          .orderBy("grp").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            r.getDecimal(2).toPlainString)).toSeq
+        val recomputed = graft.ops.IncrementalAgg.sumState(
+            VT.snapshot(spark, src), Seq("grp"), "amt")
+          .orderBy("grp").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            r.getDecimal(2).toPlainString)).toSeq
+        assert(maintained == recomputed)
+        assert(maintained == Seq(("x", 2L, "17.00"), ("y", 1L, "25.00")))
+        // crash replay: state committed, cursor lost — the txn guard must
+        // keep the state identical (no double fold)
+        val vState = VT.latestVersion(state)
+        Files.write(java.nio.file.Paths.get(ckpt, "cursor"),
+          "0".getBytes("UTF-8"))
+        graft.io.ChangeConsumer.maintainSumState(spark, src, state,
+          Seq("id"), Seq("grp"), "amt", ckpt)
+        assert(VT.latestVersion(state) == vState)
+        assert(graft.io.ChangeConsumer.cursor(ckpt)
+          == Some(VT.latestVersion(src).get))
+      }
+    }
+  }
 }
