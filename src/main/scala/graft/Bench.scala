@@ -59,6 +59,15 @@ object Bench {
       // eviction + GC pressure (r7: 19 phantom >2x "regressions", q58
       // measured 87 s in-sweep vs 7.6 s in a fresh session).
       graft.util.Caches.clearAll(spark)
+      // nudge the ContextCleaner: shuffle files and broadcast blocks are
+      // reclaimed only after their weak references are enqueued by a GC.
+      // Without this, the 150+-query sweep holds thousands of dead
+      // shuffle/broadcast entries until the JVM happens to collect, and
+      // iteration-heavy queries late in the sweep (q83's 30 L-BFGS
+      // rounds: 15 s in-sweep vs 7.6 s fresh) pay the memory pressure.
+      // Runs OUTSIDE the timed window — it isolates measurements, it
+      // does not make any query faster for real users.
+      System.gc()
       (name, t, ok)
     }
     // a failed query must NOT contribute its elapsed-until-crash to the

@@ -390,6 +390,85 @@ object ScaleSmoke {
         println(s"[scale] WARNING: q96 job count grew with data ($j1 -> $j2) — beyond log-round growth; a data-dependent action leaked in")
     }
 
+    // Versioned table + CDC at volume: a 2M-row source in 64 range-
+    // clustered files, a 100-commit log (checkpointed every 10), and an
+    // incremental mirror cycle whose cost must track the DELTA, not the
+    // table. The three invariants checked: (a) snapshot resolution stays
+    // flat as the log grows (checkpoint replay, not full-log replay);
+    // (b) a range-confined MERGE + mirror cycle reads/writes a sliver of
+    // the 64 files (manifest-diff change feed + file-granular
+    // applyChanges); (c) incremental maintainSumState beats the full
+    // recompute it is algebraically equal to.
+    locally {
+      val vtRoot = java.nio.file.Files.createTempDirectory("graft-scale-vt")
+      try {
+        val src = vtRoot.resolve("src").toString
+        val dst = vtRoot.resolve("dst").toString
+        val state = vtRoot.resolve("state").toString
+        val ckM = vtRoot.resolve("ckm").toString
+        val ckS = vtRoot.resolve("cks").toString
+        val base = spark.range(2000000).select(col("id"),
+          pmod(col("id"), lit(1000)).as("grp"),
+          (pmod(col("id") * 7, lit(10000)).cast(DoubleType) / 100.0).as("amt"))
+        time("2M versioned bootstrap (64 range-clustered files)") {
+          io.VersionedTable.append(spark,
+            base.repartitionByRange(64, col("id"))
+              .sortWithinPartitions(col("id")), src)
+          io.VersionedTable.snapshot(spark, src).count() }
+        time("100 small append commits (log grows to 101)") {
+          (1 to 100).foreach { i =>
+            io.VersionedTable.append(spark,
+              spark.range(2000000L + i * 10, 2000000L + i * 10 + 10)
+                .select(col("id"), pmod(col("id"), lit(1000)).as("grp"),
+                  lit(0.5).as("amt")).coalesce(1), src) }
+          io.VersionedTable.latestVersion(src).get }
+        time("snapshot count after 101 commits (checkpointed replay)") {
+          io.VersionedTable.snapshot(spark, src).count() }
+        time("CDC bootstrap mirror (2M rows)") {
+          io.ChangeConsumer.mirror(spark, src, dst, Seq("id"), ckM)
+          io.VersionedTable.snapshot(spark, dst).count() }
+        io.ChangeConsumer.maintainSumState(spark, src, state,
+          Seq("id"), Seq("grp"), "amt", ckS)
+        // range-confined delta: update ids [0, 20000) — lives in ~1 of
+        // the 64 clustered files
+        io.VersionedTable.merge(spark,
+          base.filter(col("id") < 20000)
+            .withColumn("amt", col("amt") + 1.0), src, Seq("id"))
+        val dstFilesBefore = io.VersionedTable
+          .snapshot(spark, dst).inputFiles.length
+        time("CDC incremental mirror (1% range delta)") {
+          io.ChangeConsumer.mirror(spark, src, dst, Seq("id"), ckM)
+          io.VersionedTable.snapshot(spark, dst).count() }
+        val hist = io.VersionedTable.history(spark, dst)
+          .orderBy(col("version").desc).limit(1).collect().head
+        println(f"[scale] incremental mirror rewrote ${hist.getLong(4)}%d" +
+          f" of $dstFilesBefore%d dst files (+${hist.getLong(3)}%d new)")
+        if (hist.getLong(4) > dstFilesBefore / 4)
+          println("[scale] WARNING: range-delta mirror rewrote >25% of " +
+            "dst files — file-granular applyChanges regressed")
+        time("CDC incremental maintainSumState (1% delta fold)") {
+          io.ChangeConsumer.maintainSumState(spark, src, state,
+            Seq("id"), Seq("grp"), "amt", ckS)
+          io.VersionedTable.snapshot(spark, state).count() }
+        // apples-to-apples baseline: the recompute ALSO pays a state-
+        // table commit (the fold's fixed overhead is the commit, its
+        // variable cost is O(delta); the recompute's variable cost is
+        // O(table) — crossover favors the fold as the table grows)
+        time("full sumState recompute + commit (the path the fold replaces)") {
+          io.VersionedTable.overwrite(spark,
+            graft.ops.IncrementalAgg.sumState(
+              io.VersionedTable.snapshot(spark, src), Seq("grp"), "amt"),
+            vtRoot.resolve("state-full").toString)
+          io.VersionedTable.snapshot(spark,
+            vtRoot.resolve("state-full").toString).count() }
+      } finally {
+        val walk = java.nio.file.Files.walk(vtRoot)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+
     // 5M-event sequence assembly: cap-before-collect must bound state
     val evs = spark.range(5000000).select(
       pmod(col("id"), lit(200000L)).as("user_id"),

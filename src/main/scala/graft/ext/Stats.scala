@@ -198,19 +198,40 @@ object Stats {
       decimals: DecimalType = DecimalType(18, 2),
       roundTo: Int = 6): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
-    val acc: Column => Column =
-      if (decimals == null) _.cast(DoubleType) else _.cast(decimals)
     val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
-    val sums =
-      Seq(count(lit(1)).as("__n")) ++
-        cols.map(c => sum(acc(col(c))).cast(DoubleType)
-          .as(s"__s_$c")) ++
-        (for { i <- cols.indices; j <- i until cols.size } yield {
-          val (a, b) = (cols(i), cols(j))
-          sum(acc(col(a)) * acc(col(b)))
-            .cast(DoubleType).as(s"__p_${a}_$b")
-        })
-    val one = complete.agg(sums.head, sums.tail: _*)
+    val k = cols.size
+    val one =
+      if (decimals == null) {
+        // double fast path: raw double moment sums (see scaladoc)
+        val sums =
+          Seq(count(lit(1)).as("__n")) ++
+            cols.map(c => sum(col(c).cast(DoubleType)).as(s"__s_$c")) ++
+            (for { i <- cols.indices; j <- i until k } yield {
+              val (a, b) = (cols(i), cols(j))
+              sum(col(a).cast(DoubleType) * col(b).cast(DoubleType))
+                .as(s"__p_${a}_$b")
+            })
+        complete.agg(sums.head, sums.tail: _*)
+      } else {
+        // exact path: one imperative 128-bit integer moment aggregate
+        // over unscaled decimal values — bit-identical to the
+        // sum(decimal·decimal) formulation (same integer arithmetic)
+        // at a fraction of the per-row cost (no BigDecimal in the loop)
+        val m = graft.functions.DecimalMomentsAgg.moments(
+          cols.map(c => col(c).cast(decimals)), decimals.scale)
+        val named =
+          Seq(element_at(col("__m"), 1).cast("long").as("__n")) ++
+            cols.zipWithIndex.map { case (c, i) =>
+              element_at(col("__m"), 2 + i).cast(DoubleType).as(s"__s_$c")
+            } ++
+            (for { i <- cols.indices; j <- i until k } yield {
+              val (a, b) = (cols(i), cols(j))
+              val p = i * k - i * (i - 1) / 2 + (j - i) // upper-tri offset
+              element_at(col("__m"), 2 + k + p).cast(DoubleType)
+                .as(s"__p_${a}_$b")
+            })
+        complete.agg(m.as("__m")).select(named: _*)
+      }
     val nD = col("__n").cast(DoubleType)
     def varN(c: String): Column =
       nD * col(s"__p_${c}_$c") - col(s"__s_$c") * col(s"__s_$c")

@@ -98,8 +98,11 @@ object ChangeConsumer {
       statsFor: Seq[String] = Nil): Option[VT.Commit] = {
     var out: Option[VT.Commit] = None
     processChanges(spark, src, keys, checkpointDir) { (feed, _, to) =>
+      // always record key stats on what we write: they are what lets the
+      // NEXT cycle's applyChanges prune its hit-file scan by manifest
       out = Some(VT.applyChanges(spark, feed, dst, keys,
-        txnApp = s"mirror:$dst", txnId = to, statsFor = statsFor))
+        txnApp = s"mirror:$dst", txnId = to,
+        statsFor = (statsFor ++ keys).distinct))
     }
     out
   }

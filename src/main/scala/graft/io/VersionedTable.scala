@@ -278,24 +278,22 @@ object VersionedTable {
     * for the column (older commits, all-null files) are kept —
     * conservative, never wrong. The residual filter is still applied, so
     * results are exact regardless of stats quality. */
-  def snapshotWhere(spark: SparkSession, table: String, column: String,
-      lo: Option[Any] = None, hi: Option[Any] = None,
-      version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(latestVersion(table)).getOrElse(
-      throw new IllegalArgumentException(s"no commits at $table"))
-    val st = stateAt(table, v)
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+  /** Files of `st` whose recorded [min,max] for `column` may intersect
+    * [lo,hi] (either bound optional); files without stats are kept —
+    * conservative, never wrong. Numeric columns compare as exact
+    * decimals (a double round-trip could mis-prune a boundary file);
+    * everything else lexically — correct for strings and for Spark's
+    * sortable date/timestamp casts. */
+  private def filesInRange(st: TableState, schema: StructType,
+      column: String, lo: Option[Any], hi: Option[Any]): Seq[String] = {
     val numeric = schema.find(_.name == column).exists(f =>
       f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    // numeric columns compare as exact decimals (a double round-trip
-    // could mis-prune a boundary file); everything else lexically —
-    // correct for strings and for Spark's sortable date/timestamp casts
     def cmp(a: String, b: String): Int =
       if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
       else a.compareTo(b)
     val loS = lo.map(_.toString)
     val hiS = hi.map(_.toString)
-    val keep = st.files.filter { f =>
+    st.files.filter { f =>
       st.fileStats.get(f).flatMap(_.get(column)) match {
         case Some((fMin, fMax)) =>
           hiS.forall(h => cmp(fMin, h) <= 0) &&
@@ -303,6 +301,16 @@ object VersionedTable {
         case None => true // no stats: cannot exclude
       }
     }
+  }
+
+  def snapshotWhere(spark: SparkSession, table: String, column: String,
+      lo: Option[Any] = None, hi: Option[Any] = None,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"no commits at $table"))
+    val st = stateAt(table, v)
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val keep = filesInRange(st, schema, column, lo, hi)
     val base =
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -313,10 +321,10 @@ object VersionedTable {
         r.parquet(keep.map(f => Paths.get(table, f).toString): _*)
       }
     val c = col(column)
-    (loS, hiS) match {
-      case (Some(l), Some(h)) => base.filter(c >= lit(lo.get) && c <= lit(hi.get))
-      case (Some(l), None) => base.filter(c >= lit(lo.get))
-      case (None, Some(h)) => base.filter(c <= lit(hi.get))
+    (lo, hi) match {
+      case (Some(l), Some(h)) => base.filter(c >= lit(l) && c <= lit(h))
+      case (Some(l), None) => base.filter(c >= lit(l))
+      case (None, Some(h)) => base.filter(c <= lit(h))
       case _ => base
     }
   }
@@ -546,14 +554,11 @@ object VersionedTable {
             upserts.schema.json, None, txn = Some((txnApp, txnId)),
             stats = computeStats(spark, table, files, statsFor))
         case Some(v) =>
-          val snap = snapshot(spark, table, Some(v))
-          // materialize the metadata pseudo-column BEFORE the join — it
-          // only resolves directly against the scan relation
-          val hitPaths = snap
-            .select(col("*"), col("_metadata.file_path").as("__fp"))
-            .join(changedKeys, keys, "left_semi")
-            .select(col("__fp")).distinct()
-            .collect().map(_.getString(0)).toSeq // bounded by file count
+          val st = stateAt(table, v)
+          val schema = DataType.fromJson(st.schemaJson)
+            .asInstanceOf[StructType]
+          val hitPaths =
+            hitFilePaths(spark, table, st, schema, changedKeys, keys)
           val survivors =
             if (hitPaths.isEmpty) upserts
             else spark.read.parquet(hitPaths.map(p =>
@@ -562,26 +567,85 @@ object VersionedTable {
               .unionByName(upserts)
           val hitNames = hitPaths.map(p =>
             Paths.get(new java.net.URI(p).getPath).getFileName.toString)
-          val added = writeDataFiles(survivors, table)
+          // keep the file count proportional to the files TOUCHED, not
+          // to the join's shuffle-partition count — without this every
+          // 1-file delta fragments the mirror by `shuffle.partitions`
+          // new files and the table degrades cycle by cycle
+          val added = writeDataFiles(
+            survivors.coalesce(math.max(1, hitNames.size)), table)
           commitLoop(table, "apply_changes", added, _ => hitNames,
-            snap.schema.json, readVersion = Some(v),
+            schema.json, readVersion = Some(v),
             txn = Some((txnApp, txnId)),
             stats = computeStats(spark, table, added, statsFor))
       }
     }
   }
 
-  /** MERGE into the versioned table: read the snapshot, [[Upsert.merge]]
-    * the source in, commit the merged state. Optimistic: a concurrent
-    * commit between read and publish raises, nothing is lost. */
+  /** Data files of version-state `st` that may contain a key from
+    * `changedKeys`: manifest stats pre-prune (single-key change sets
+    * against recorded per-file min/max — files outside the changed-key
+    * range are skipped without a scan), then an exact semi-join over the
+    * surviving candidates. Returns absolute paths; bounded by file
+    * count. */
+  private def hitFilePaths(spark: SparkSession, table: String,
+      st: TableState, schema: StructType, changedKeys: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    val candidates =
+      if (keys.size == 1 && st.fileStats.nonEmpty) {
+        val b = changedKeys
+          .agg(min(col(keys.head)), max(col(keys.head))).collect()(0)
+        if (b.isNullAt(0)) Nil // no changed keys at all
+        else filesInRange(st, schema, keys.head,
+          Some(b.get(0)), Some(b.get(1)))
+      } else st.files
+    if (candidates.isEmpty) Seq.empty
+    else spark.read
+      .parquet(candidates.map(f => Paths.get(table, f).toString): _*)
+      // materialize the metadata pseudo-column BEFORE the join — it
+      // only resolves directly against the scan relation
+      .select(col("*"), col("_metadata.file_path").as("__fp"))
+      .join(changedKeys, keys, "left_semi")
+      .select(col("__fp")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** MERGE into the versioned table, file-granular (the Delta MERGE
+    * shape): only data files CONTAINING a source key are read and
+    * rewritten ([[Upsert.merge]] of their rows against the source —
+    * updates + inserts land in the new files); every other file carries
+    * over by reference. A selective MERGE into a 100 TB table touches
+    * the files the keys live in, nothing else — and, because untouched
+    * files survive as-is, a downstream [[changeFeed]] over the commit
+    * diffs only the touched sliver too. With single-column keys and
+    * recorded stats ([[append]]'s `statsFor`), candidate files are
+    * pre-pruned by manifest min/max before any scan. Optimistic: a
+    * concurrent commit between read and publish raises, nothing lost. */
   def merge(spark: SparkSession, source: DataFrame, table: String,
       keys: Seq[String],
       updateColumns: Option[Seq[String]] = None): Commit = {
+    require(keys.nonEmpty, "merge needs keys")
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table to merge into"))
-    val merged = Upsert.merge(snapshot(spark, table, Some(rv)), source, keys,
-      updateColumns)
-    overwrite(spark, merged, table, expectVersion = Some(rv))
+    val st = stateAt(table, rv)
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val hitPaths = hitFilePaths(spark, table, st, schema, srcKeys, keys)
+    val hitRows =
+      if (hitPaths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.parquet(hitPaths.map(p =>
+        new java.net.URI(p).getPath): _*)
+    val merged = Upsert.merge(hitRows, source, keys, updateColumns)
+    val hitNames = hitPaths.map(p =>
+      Paths.get(new java.net.URI(p).getPath).getFileName.toString)
+    // file-count discipline: a surgical update is sized to the files it
+    // touched (no per-merge fragmentation by shuffle-partition count); a
+    // pure-insert merge (no hits) keeps its natural write parallelism
+    val added = writeDataFiles(
+      if (hitNames.nonEmpty) merged.coalesce(math.max(1, hitNames.size))
+      else merged, table)
+    commitLoop(table, "merge", added, _ => hitNames, schema.json,
+      readVersion = Some(rv))
   }
 
   /** File-granular DELETE: rewrite ONLY the files that contain matching
@@ -685,20 +749,52 @@ object VersionedTable {
     removed
   }
 
-  /** Change feed between two versions (Delta CDF): key-matched diff of the
-    * two snapshots. Emits `insert` / `delete` / `update_postimage` rows —
+  /** Change feed between two versions (Delta CDF): key-matched diff
+    * restricted to the files that actually CHANGED between the two
+    * manifests. Emits `insert` / `delete` / `update_postimage` rows —
     * and, with `includePreimage`, an `update_preimage` row per update (the
     * Delta CDF shape; preimages are what make downstream aggregates
     * RETRACTABLE — see [[graft.ops.IncrementalAgg.applyChangeFeed]]).
     * Inserts/postimages carry the new values, deletes/preimages the old.
-    * One key-shuffled full-outer join; no per-version file diffing needed
-    * because snapshots are cheap manifest reads. */
+    *
+    * Scale: the manifest diff turns the join from O(table) into
+    * O(changed files). A row living in a file carried over by reference
+    * cannot have changed, so only `from`'s removed files (the before
+    * side) and `to`'s added files (the after side) are read and
+    * key-joined — with file-granular writers ([[deleteWhere]],
+    * [[applyChanges]]) that is the data that moved, a sliver of a
+    * 100 TB table. Rows rewritten byte-identically into new files
+    * (compaction, RESTORE) land in the join but are filtered as
+    * unchanged — correct, merely costlier (O(rewritten files)).
+    * Assumes `keys` identify rows uniquely (the merge-key contract):
+    * a duplicate key straddling a carried and a changed file would
+    * mis-classify. Both sides are conformed to the `to` version's
+    * schema (missing columns read as null) so schema-evolved histories
+    * diff cleanly. */
   def changeFeed(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Long, keys: Seq[String],
       includePreimage: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "change feed needs merge keys")
-    val before = snapshot(spark, table, Some(fromVersion))
-    val after = snapshot(spark, table, Some(toVersion))
+    val vs = versions(table)
+    require(vs.contains(fromVersion), s"version $fromVersion not in log")
+    require(vs.contains(toVersion), s"version $toVersion not in log")
+    val stFrom = stateAt(table, fromVersion)
+    val stTo = stateAt(table, toVersion)
+    val schema = DataType.fromJson(stTo.schemaJson).asInstanceOf[StructType]
+    val fromSet = stFrom.files.toSet
+    val toSet = stTo.files.toSet
+    def readSide(files: Seq[String]): DataFrame = {
+      val base =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => Paths.get(table, f).toString): _*)
+      base.select(schema.fields.map(f =>
+        (if (base.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+    }
+    val before = readSide(stFrom.files.filterNot(toSet))
+    val after = readSide(stTo.files.filterNot(fromSet))
     val dataCols = after.columns.filterNot(keys.contains).toSeq
     // explicit presence markers (not key nullability): a legitimately NULL
     // key value must not masquerade as an absent row

@@ -87,6 +87,40 @@ class StatsSpec extends SparkSpec {
     assert(n == 10L)
   }
 
+  test("DecimalMomentsAgg equals sum(decimal·decimal) exactly across " +
+    "partitions, skipping null rows listwise") {
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(5000) { i =>
+      val nullRow = i % 97 == 0
+      (if (nullRow) None else Some(rnd.nextInt(2000000) / 100.0 - 5000.0),
+        Some(rnd.nextInt(900000) / 100.0),
+        Some(rnd.nextDouble() * 42.0))
+    }
+    val df = rows.toDF("a", "b", "c").repartition(7)
+      .filter(col("a").isNotNull) // listwise upstream, as correlationMatrix does
+    val dt = DecimalType(18, 2)
+    val m = df.select(graft.functions.DecimalMomentsAgg.moments(
+      Seq(col("a").cast(dt), col("b").cast(dt), col("c").cast(dt)), 2)
+      .as("m")).collect().head.getSeq[java.math.BigDecimal](0)
+    val ref = df.agg(
+      count(lit(1)), sum(col("a").cast(dt)), sum(col("b").cast(dt)),
+      sum(col("c").cast(dt)),
+      sum(col("a").cast(dt) * col("a").cast(dt)),
+      sum(col("a").cast(dt) * col("b").cast(dt)),
+      sum(col("a").cast(dt) * col("c").cast(dt)),
+      sum(col("b").cast(dt) * col("b").cast(dt)),
+      sum(col("b").cast(dt) * col("c").cast(dt)),
+      sum(col("c").cast(dt) * col("c").cast(dt))).collect().head
+    assert(m.size == 10)
+    assert(m.head.longValueExact() == ref.getLong(0))
+    (1 until 10).foreach { i =>
+      val exp = ref.getDecimal(i)
+      assert(m(i).compareTo(exp) == 0,
+        s"slot $i: got ${m(i)}, want $exp")
+    }
+  }
+
   test("correlationMatrix double fast path (decimals = null) matches exact") {
     // decimals = null accumulates raw double sums — partial-agg noise
     // lands far below roundTo for well-conditioned data, so at 6 digits

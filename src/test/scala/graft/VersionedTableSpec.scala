@@ -373,6 +373,67 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("merge rewrites only files containing source keys; inserts ride " +
+    "along; untouched files carry over") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b").coalesce(1), t) // file A
+      VT.append(spark, df(3 -> "c", 4 -> "d").coalesce(1), t) // file B
+      val before = VT.snapshot(spark, t).inputFiles.toSet
+      val c = VT.merge(spark, df(2 -> "B", 9 -> "i"), t, Seq("id"))
+      assert(c.op == "merge" && c.remove.size == 1, // only file A retired
+        s"expected 1 removed file, got ${c.remove}")
+      val snap = VT.snapshot(spark, t)
+      assert(snap.orderBy("id").as[(Int, String)].collect().toSeq ==
+        Seq(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d", 9 -> "i"))
+      assert(snap.inputFiles.toSet.intersect(before).size == 1,
+        "file B must survive as the same physical file")
+    }
+  }
+
+  test("merge into a clustered stats-tracked table prunes candidate " +
+    "files by manifest range before scanning") {
+    withTable { t =>
+      // 4 range-clustered files with id stats; a merge touching only the
+      // [0,24] range must retire exactly one file
+      val base = spark.range(100).selectExpr("cast(id as int) as id",
+        "concat('v', id) as v")
+      VT.append(spark, base.repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"), t, statsFor = Seq("id"))
+      val c = VT.merge(spark,
+        Seq(10 -> "X", 20 -> "Y").toDF("id", "v"), t, Seq("id"))
+      assert(c.remove.size == 1, s"stats prune failed: ${c.remove}")
+      assert(c.add.size == 1)
+      assert(VT.snapshot(spark, t).count() == 100)
+      assert(VT.snapshot(spark, t).filter(col("id") === 10)
+        .select("v").as[String].collect().toSeq == Seq("X"))
+    }
+  }
+
+  test("changeFeed reads only files that changed between the manifests") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b").coalesce(1), t) // v0: file A
+      VT.append(spark, df(3 -> "c").coalesce(1), t)           // v1: +file B
+      val v0Files = VT.snapshot(spark, t, Some(0)).inputFiles.toSet
+      // v0→v1 is a pure append: the feed must scan ONLY the new file
+      val feed01 = VT.changeFeed(spark, t, 0, 1, Seq("id"))
+      assert(feed01.inputFiles.toSet.intersect(v0Files).isEmpty,
+        "append-only diff read a carried file")
+      assert(feed01.orderBy("id").select("id", "v", "_change_type")
+        .as[(Int, String, String)].collect().toSeq ==
+        Seq((3, "c", "insert")))
+      // v1→v2 deletes from file A: the feed must not scan file B
+      val v1OnlyFile = VT.snapshot(spark, t, Some(1)).inputFiles.toSet
+        .diff(v0Files)
+      VT.deleteWhere(spark, t, col("id") === 1)               // v2
+      val feed12 = VT.changeFeed(spark, t, 1, 2, Seq("id"))
+      assert(feed12.inputFiles.toSet.intersect(v1OnlyFile).isEmpty,
+        "delete diff read the untouched file")
+      assert(feed12.orderBy("id").select("id", "v", "_change_type")
+        .as[(Int, String, String)].collect().toSeq ==
+        Seq((1, "a", "delete")))
+    }
+  }
+
   // ---------- applyChanges / ChangeConsumer ----------
 
   private def feedOf(rows: (Int, String, String)*) =
