@@ -51,18 +51,39 @@ object QualityClassifier {
   def train(labeled: DataFrame, textCol: String, labelCol: String,
       dim: Int = 256, maxIter: Int = 100, regParam: Double = 1e-3,
       hash: Column => Column = xxhash64(_)): LinearTextModel = {
+    // right-size the seed's partitioning for the iteration loop: every
+    // L-BFGS step is a treeAggregate whose task count is the partition
+    // count, and a small seed spread over 32 scan partitions pays ~30×
+    // per-task scheduling overhead per iteration (measured: a 5k-row
+    // seed fit 3.9 s at 32 partitions). repartition, NOT coalesce — a
+    // coalesce would collapse the featurization itself to `parts`
+    // threads (measured 5× slower); the shuffle barrier keeps the
+    // featurization scan fully parallel and moves only the compact
+    // (label, vector) rows. One count() up front is cheaper than one
+    // wasted iteration; ~50k rows per task keeps million-row seeds
+    // parallel.
+    val n = labeled.count()
+    val parts = math.max(1L, math.min(32L, n / 50000L)).toInt
     val feats = labeled.select(
-      col(labelCol).cast("double").as("label"),
-      org.apache.spark.ml.functions.array_to_vector(
-        meanHashFeatures(col(textCol), dim, hash)).as("features"))
+        col(labelCol).cast("double").as("label"),
+        org.apache.spark.ml.functions.array_to_vector(
+          meanHashFeatures(col(textCol), dim, hash)).as("features"))
+      .repartition(parts)
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
       .setMaxIter(maxIter)
       .setRegParam(regParam)
       .setElasticNetParam(0.0) // pure L2 — dense weights broadcast fine
       .setStandardization(false)
       .setFitIntercept(true)
-    val m = lr.fit(feats)
-    LinearTextModel(m.coefficients.toArray.toSeq, m.intercept, dim)
+    // persist the featurized seed for the duration of the fit: without
+    // it every L-BFGS iteration re-runs the tokenize+hash featurization
+    // scan (spark.ml only caches internally under some configurations —
+    // don't depend on it). Released before returning (Caches contract).
+    feats.persist()
+    try {
+      val m = lr.fit(feats)
+      LinearTextModel(m.coefficients.toArray.toSeq, m.intercept, dim)
+    } finally { feats.unpersist(blocking = false); () }
   }
 
   /** P(quality=1) as a pure Column: `sigmoid(b + (Σ_tok w[bucket(tok)]) /

@@ -712,6 +712,28 @@ object VersionedTable {
         if (statsFor.nonEmpty) statsFor else clusterBy))
   }
 
+  /** OPTIMIZE sized by bytes instead of a file count (the Delta
+    * `maxFileSize` shape): target file count = ⌈live bytes /
+    * targetBytes⌉, measured from the actual on-disk sizes of the
+    * current snapshot's files — callers say "1 GiB files" once instead
+    * of re-deriving a count as the table grows. Skips the rewrite
+    * entirely (returns None) when the table already has that many files
+    * or fewer and no clustering was requested — OPTIMIZE on an
+    * optimized table must not rewrite 100 TB for nothing. */
+  def compactBySize(spark: SparkSession, table: String,
+      targetBytes: Long = 1L << 30, clusterBy: Seq[String] = Nil,
+      statsFor: Seq[String] = Nil): Option[Commit] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val rv = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no table at $table"))
+    val files = stateAt(table, rv).files
+    if (files.isEmpty) return None
+    val totalBytes = files.map(f => Files.size(Paths.get(table, f))).sum
+    val target = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    if (clusterBy.isEmpty && files.size <= target) None
+    else Some(compact(spark, table, target.toInt, clusterBy, statsFor))
+  }
+
   /** GC data files that (a) are not referenced by the LATEST version and
     * (b) were retired longer than `retainMs` ago (judged by every commit
     * still referencing them being older than the horizon). Also sweeps

@@ -373,6 +373,31 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("compactBySize merges to the byte-derived file count and no-ops " +
+    "when already compact") {
+    withTable { t =>
+      (1 to 6).foreach { i =>
+        VT.append(spark, df(i -> ("v" + i)).coalesce(1), t) }
+      val files = VT.snapshot(spark, t).inputFiles
+      assert(files.length == 6)
+      val total = files.map(p =>
+        Files.size(java.nio.file.Paths.get(new java.net.URI(p).getPath))).sum
+      // targetBytes > half the table → 2 output files
+      val c = VT.compactBySize(spark, t, targetBytes = total / 2 + 1)
+      assert(c.nonEmpty && c.get.op == "optimize")
+      assert(VT.snapshot(spark, t).inputFiles.length == 2)
+      assert(VT.snapshot(spark, t).count() == 6)
+      // huge target → everything into one file
+      assert(VT.compactBySize(spark, t, targetBytes = 1L << 30).nonEmpty)
+      assert(VT.snapshot(spark, t).inputFiles.length == 1)
+      // already at the derived count: no rewrite commit
+      val v = VT.latestVersion(t)
+      assert(VT.compactBySize(spark, t, targetBytes = 1L << 30).isEmpty)
+      assert(VT.latestVersion(t) == v)
+      assert(VT.snapshot(spark, t).orderBy("id").count() == 6)
+    }
+  }
+
   test("merge rewrites only files containing source keys; inserts ride " +
     "along; untouched files carry over") {
     withTable { t =>
