@@ -561,10 +561,14 @@ object VersionedTable {
             hitFilePaths(spark, table, st, schema, changedKeys, keys)
           val survivors =
             if (hitPaths.isEmpty) upserts
-            else spark.read.parquet(hitPaths.map(p =>
-                new java.net.URI(p).getPath): _*)
+            // allowMissingColumns: under schema evolution the hit files
+            // (old physical schema) and the feed (source's to-version
+            // schema) may differ — absent sides null-fill, the CDC
+            // convention for columns that predate/postdate a row
+            else spark.read.option("mergeSchema", "true")
+              .parquet(hitPaths.map(p => new java.net.URI(p).getPath): _*)
               .join(changedKeys, keys, "left_anti")
-              .unionByName(upserts)
+              .unionByName(upserts, allowMissingColumns = true)
           val hitNames = hitPaths.map(p =>
             Paths.get(new java.net.URI(p).getPath).getFileName.toString)
           // keep the file count proportional to the files TOUCHED, not
@@ -630,11 +634,18 @@ object VersionedTable {
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val hitPaths = hitFilePaths(spark, table, st, schema, srcKeys, keys)
-    val hitRows =
+    // conform hit rows to the LOG schema, not the hit files' physical
+    // one: under schema evolution an old file lacks newer columns, and
+    // merging against its raw shape would silently drop the source's
+    // values for them (spec: "schema-evolved history")
+    val raw =
       if (hitPaths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.parquet(hitPaths.map(p =>
-        new java.net.URI(p).getPath): _*)
+      else spark.read.option("mergeSchema", "true").parquet(
+        hitPaths.map(p => new java.net.URI(p).getPath): _*)
+    val hitRows = raw.select(schema.fields.map(f =>
+      (if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
     val merged = Upsert.merge(hitRows, source, keys, updateColumns)
     val hitNames = hitPaths.map(p =>
       Paths.get(new java.net.URI(p).getPath).getFileName.toString)
@@ -644,7 +655,9 @@ object VersionedTable {
     val added = writeDataFiles(
       if (hitNames.nonEmpty) merged.coalesce(math.max(1, hitNames.size))
       else merged, table)
-    commitLoop(table, "merge", added, _ => hitNames, schema.json,
+    // record the MERGED schema (a source can itself evolve the table —
+    // the overwrite-based merge recorded the post-merge shape too)
+    commitLoop(table, "merge", added, _ => hitNames, merged.schema.json,
       readVersion = Some(rv))
   }
 

@@ -543,6 +543,63 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("changeFeed across a schema-evolved history conforms both sides " +
+    "to the to-version schema") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)                  // v0
+      VT.append(spark, Seq((3, "c", 30L)).toDF("id", "v", "w"), t) // v1: +w
+      // update row 1 under the evolved schema
+      VT.merge(spark, Seq((1, "A", 10L)).toDF("id", "v", "w"), t,
+        Seq("id"))                                                 // v2
+      val feed = VT.changeFeed(spark, t, 0, 2, Seq("id"),
+        includePreimage = true)
+      val rows = feed.orderBy("id", "_change_type")
+        .select("id", "v", "w", "_change_type").collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toSeq
+      // row 1: update with preimage (old w unknown → null), row 3: insert
+      // ("update_postimage" < "update_preimage" lexically)
+      assert(rows == Seq(
+        (1, "A", 10L, "update_postimage"),
+        (1, "a", -1L, "update_preimage"),
+        (3, "c", 30L, "insert")))
+    }
+  }
+
+  test("two mirror consumers racing on one destination stay exactly-once") {
+    withTable { src =>
+      withTable { dst =>
+        val ckpt = Files.createTempDirectory("graft-cc").toString
+        VT.append(spark, df(1 -> "a", 2 -> "b"), src)
+        import java.util.concurrent.{CountDownLatch, Executors}
+        val pool = Executors.newFixedThreadPool(2)
+        val gate = new CountDownLatch(1)
+        val results = (0 until 2).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              gate.await()
+              // both threads share the checkpoint AND the destination:
+              // whichever applies second must collapse onto the first's
+              // txn commit, and the cursor lands at the same version
+              graft.io.ChangeConsumer.mirror(
+                spark, src, dst, Seq("id"), ckpt).isDefined
+            }
+          })
+        }
+        gate.countDown()
+        results.foreach(_.get())
+        pool.shutdown()
+        assert(VT.snapshot(spark, dst).orderBy("id").as[(Int, String)]
+          .collect().toSeq == Seq(1 -> "a", 2 -> "b"))
+        // exactly one apply commit in the dst history
+        val applies = VT.history(spark, dst)
+          .filter(col("op") === "apply_changes").count()
+        assert(applies == 1L, s"expected 1 apply commit, got $applies")
+        assert(graft.io.ChangeConsumer.cursor(ckpt).contains(0L))
+      }
+    }
+  }
+
   test("maintainSumState: incremental refresh equals full recompute; " +
     "replay never double-folds a delta") {
     withTable { src =>
