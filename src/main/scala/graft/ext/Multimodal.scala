@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * ImageIO reads (PNG/JPEG/BMP/GIF). Audio decode is REAL for the
   * formats the JDK ships codecs for (`javax.sound.sampled`: WAV/AIFF/AU
   * PCM): sample rate, channels, duration and mean amplitude from the
-  * actual frames. Multi-frame video containers the JDK can read
-  * (animated GIF) decode REAL frames via `readFramesBounded`. True
-  * video codecs (mp4/webm…) are STUBBED — this container ships no media
-  * libraries: `decodeStub` derives deterministic pseudo-features from
-  * the bytes, and undecodable payloads fall back to it too. Every
+  * actual frames. VIDEO decode is REAL for MOTION-JPEG in AVI (the
+  * [[Avi]] RIFF walk yields per-frame JPEG payloads the JDK's own JPEG
+  * codec decompresses — header-true dims, duration and per-frame
+  * rasters) and for multi-frame containers ImageIO reads (animated
+  * GIF). Interframe video codecs (H.264/VP9/AV1 in mp4/webm…) are
+  * STUBBED — they need entropy/motion decode no JDK API provides and
+  * this container ships no media libraries: `decodeStub` derives
+  * deterministic pseudo-features from the bytes, and undecodable
+  * payloads fall back to it too. Every
   * Spark-side contract — schema, binary payload handling, per-partition
   * batching, feature/resize/frame-sample signatures — is real and
   * tested; swapping `decodeStub` for a JNI/JavaCV call is a
@@ -179,6 +183,14 @@ object Multimodal {
   private[graft] def readFramesBounded(bytes: Array[Byte],
       maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
     if (bytes.isEmpty || maxFrames <= 0) return Nil
+    // MJPEG-in-AVI: real video decode, pure JDK — the container walk
+    // ([[Avi.parse]]) yields per-frame JPEG payloads, each decompressed
+    // through the same bounded single-image path (bomb guard included)
+    if (Avi.isAvi(bytes))
+      return Avi.parse(bytes, maxFrames) match {
+        case Some((_, frames)) => frames.flatMap(readImageBounded)
+        case None => Nil
+      }
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -263,11 +275,47 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Dispatch: real codec where one exists (images and PCM audio, via the
-    * JDK), stub for video and undecodable payloads. */
+  /** Real video features where the container is decodable without
+    * external codecs: MJPEG-AVI gets header-true dimensions and duration
+    * (frames × µs/frame) plus first-frame raster stats; other JDK-
+    * readable multi-frame containers (animated GIF shipped as video)
+    * get first-frame dims/stats with duration 0 (GIF frame timing lives
+    * in extension blocks out of scope here). None for true interframe
+    * codecs — the caller stubs. */
+  private[graft] def decodeVideo(a: MediaAsset): Option[MediaFeatures] = {
+    val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
+    val (dims, frames) =
+      if (Avi.isAvi(bytes))
+        Avi.parse(bytes, 1) match {
+          case Some((h, fs)) =>
+            (Some((h.width, h.height,
+              h.totalFrames.toLong * h.usPerFrame / 1000L)),
+              fs.flatMap(readImageBounded))
+          case None => (None, Nil)
+        }
+      else (None, readFramesBounded(bytes, 1))
+    frames.headOption.map { img =>
+      val (mean, hash) = sampleRaster(img)
+      val (w, h, dur) = dims.getOrElse((img.getWidth, img.getHeight, 0L))
+      MediaFeatures(
+        asset_id = a.asset_id,
+        media_type = a.media_type,
+        n_bytes = bytes.length.toLong,
+        width = w,
+        height = h,
+        duration_ms = dur,
+        mean_intensity = mean,
+        feature_hash = hash)
+    }
+  }
+
+  /** Dispatch: real codec where one exists (images, PCM audio, MJPEG-AVI
+    * and JDK-readable multi-frame video via [[decodeVideo]]), stub for
+    * interframe video codecs and undecodable payloads. */
   private[ext] def decode(a: MediaAsset): MediaFeatures =
     if (a.media_type == "image") decodeImage(a).getOrElse(decodeStub(a))
     else if (a.media_type == "audio") decodeAudio(a).getOrElse(decodeStub(a))
+    else if (a.media_type == "video") decodeVideo(a).getOrElse(decodeStub(a))
     else decodeStub(a)
 
   /** Batched feature extraction: one decoder context per partition (the
@@ -535,9 +583,18 @@ object Multimodal {
           }
           img
         }
-        val gif = writeAnimatedGif(frames)
-        MediaAsset(id, "video", gif, s"synthetic-gif://$id",
-          gif.length.toLong)
+        // alternate containers so BOTH real multi-frame decode paths run
+        // end-to-end: animated GIF (ImageIO sequence reader) on even
+        // ids, MJPEG-AVI (the RIFF walk + JPEG frame decode) on odd
+        if (id % 2 == 0) {
+          val gif = writeAnimatedGif(frames)
+          MediaAsset(id, "video", gif, s"synthetic-gif://$id",
+            gif.length.toLong)
+        } else {
+          val avi = Avi.write(frames.map(Avi.jpegBytes), w, h)
+          MediaAsset(id, "video", avi, s"synthetic-mjpeg://$id",
+            avi.length.toLong)
+        }
       }
     }
   }

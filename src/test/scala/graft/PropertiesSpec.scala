@@ -304,6 +304,73 @@ class PropertiesSpec extends SparkSpec {
     assert(sql.toSeq == en.toSeq)
   }
 
+  test("CDC mirror and maintained state track the source under arbitrary " +
+    "commit sequences") {
+    import graft.io.{ChangeConsumer => CC, VersionedTable => VT}
+    // op encoding: (kind % 3, m in 2..5) — append fresh rows / merge
+    // (update ids % m, insert fresh) / delete ids % m == 1
+    val opGen = for {
+      kind <- Gen.chooseNum(0, 2)
+      m <- Gen.chooseNum(2, 5)
+    } yield (kind, m)
+    val opsGen = Gen.listOfN(3, opGen)
+    check("cdcTracksSource", Prop.forAll(opsGen) { ops =>
+      val root = java.nio.file.Files.createTempDirectory("graft-prop-cdc")
+      try {
+        val (src, dst, state) = (root.resolve("s").toString,
+          root.resolve("d").toString, root.resolve("st").toString)
+        val (ckm, cks) = (root.resolve("cm").toString,
+          root.resolve("cs").toString)
+        def rows(from: Int, n: Int) = (from until from + n)
+          .map(i => (i, "g" + (i % 7), (i * 37 % 1000) / 100.0))
+          .toDF("id", "grp", "amt")
+        var nextId = 100
+        VT.append(spark, rows(0, 100), src)
+        def sync(): Boolean = {
+          CC.mirror(spark, src, dst, Seq("id"), ckm)
+          CC.maintainSumState(spark, src, state,
+            Seq("id"), Seq("grp"), "amt", cks)
+          val want = VT.snapshot(spark, src).orderBy("id")
+            .as[(Int, String, Double)].collect().toSeq
+          val got = VT.snapshot(spark, dst).orderBy("id")
+            .as[(Int, String, Double)].collect().toSeq
+          val wantState = graft.ops.IncrementalAgg.sumState(
+              VT.snapshot(spark, src), Seq("grp"), "amt")
+            .orderBy("grp").collect()
+            .map(r => (r.getString(0), r.getLong(1),
+              r.getDecimal(2).toPlainString)).toSeq
+          val gotState = VT.snapshot(spark, state)
+            .orderBy("grp").collect()
+            .map(r => (r.getString(0), r.getLong(1),
+              r.getDecimal(2).toPlainString)).toSeq
+          want == got && wantState == gotState
+        }
+        var ok = sync() // bootstrap cycle
+        ops.foreach { case (kind, m) =>
+          kind match {
+            case 0 =>
+              VT.append(spark, rows(nextId, 10), src); nextId += 10
+            case 1 =>
+              val upd = VT.snapshot(spark, src)
+                .filter(col("id") % m === 0)
+                .withColumn("amt", col("amt") + 1.0)
+                .unionByName(rows(nextId, 5)); nextId += 5
+              VT.merge(spark, upd, src, Seq("id"))
+            case 2 =>
+              VT.deleteWhere(spark, src, col("id") % m === 1)
+          }
+          ok = ok && sync() // one consumer cycle per commit
+        }
+        ok
+      } finally {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    })
+  }
+
   test("winnow_hashes fast mode keeps set semantics across partitionings") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).limit(100)

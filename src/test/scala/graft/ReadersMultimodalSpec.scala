@@ -290,6 +290,43 @@ class ReadersMultimodalSpec extends SparkSpec {
       Multimodal.sampleRaster(raw.head)._2)
   }
 
+  test("multimodal: MJPEG-AVI roundtrip — real frames, header-true " +
+    "features, malformed input falls back safely") {
+    import spark.implicits._
+    val docs = Seq(1L).toDF("doc_id") // odd id → AVI container
+    val a = Multimodal.syntheticVideoAssets(docs, framesPer = 3)
+      .collect().head
+    assert(a.source_uri.startsWith("synthetic-mjpeg://"))
+    assert(graft.ext.Avi.isAvi(a.content))
+    // container parse: header carries dims + timing, 3 JPEG frames
+    val Some((hdr, frames)) = graft.ext.Avi.parse(a.content, 10)
+    assert(hdr.width == 48 && hdr.height == 32 && hdr.totalFrames == 3)
+    val imgs = Multimodal.readFramesBounded(a.content, 10)
+    assert(imgs.size == 3)
+    assert(imgs.head.getWidth == 48 && imgs.head.getHeight == 32)
+    assert(frames.forall(f => (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8),
+      "frame payloads must be JPEG streams")
+    // frame cap: 2 of 3, first frame always included
+    assert(graft.ext.Avi.parse(a.content, 2).get._2.size == 2)
+    // features: real dims + duration from the header (3 × 33333 µs)
+    val feats = Multimodal.decodeVideo(a).get
+    assert(feats.width == 48 && feats.height == 32)
+    assert(feats.duration_ms == 3L * 33333 / 1000)
+    assert(feats.mean_intensity > 0.0)
+    // malformed payloads: truncated AVI and garbage both yield None →
+    // the dispatch stubs instead of throwing
+    val truncated = a.content.take(40)
+    assert(graft.ext.Avi.parse(truncated, 10).isEmpty)
+    assert(Multimodal.decodeVideo(
+      a.copy(content = truncated)).isEmpty)
+    assert(Multimodal.decodeVideo(
+      a.copy(content = Array.fill[Byte](64)(7))).isEmpty)
+    // jpeg re-decode equals the source raster's sample hash (JPEG is
+    // lossy: compare via the full pipeline instead — frames decode and
+    // differ per phase)
+    assert(imgs.map(i => Multimodal.sampleRaster(i)._2).distinct.size == 3)
+  }
+
   test("multimodal: frame sampling emits framesPer rows per video asset") {
     val docs = Tables.load(spark, sfDir, "documents")
     val assets = Multimodal.assetsFromDocuments(spark, docs)
