@@ -704,18 +704,34 @@ object VersionedTable {
 
   /** OPTIMIZE-style compaction as a commit: coalesce the current snapshot
     * into `targetFiles` new files, retire the old ones. Time travel to
-    * pre-compaction versions still works until vacuum. */
+    * pre-compaction versions still works until vacuum.
+    *
+    * `clusterBy` with `zorder = false` range-partitions + locally sorts
+    * on the columns lexicographically — perfect manifest pruning on the
+    * LEADING column, none on the others. `zorder = true` (numeric
+    * columns only) clusters on the interleaved-bit key instead
+    * ([[graft.ext.Layout.zorderKey]], Delta's OPTIMIZE ZORDER BY): rows
+    * close in EVERY dimension share files, so the recorded min/max
+    * stats prune [[snapshotWhere]] on ANY of the clustered columns —
+    * ~√-selective per dimension instead of all-or-nothing. */
   def compact(spark: SparkSession, table: String, targetFiles: Int,
-      clusterBy: Seq[String] = Nil, statsFor: Seq[String] = Nil): Commit = {
+      clusterBy: Seq[String] = Nil, statsFor: Seq[String] = Nil,
+      zorder: Boolean = false): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
     val base = snapshot(spark, table, Some(rv))
-    // Z-ORDER approximation through the log (Maintenance.clusterBy for
-    // versioned tables): range-repartition + local sort so each output
-    // file owns a narrow key range — exactly what makes the recorded
-    // min/max stats selective for snapshotWhere pruning.
+    // range-repartition + local sort so each output file owns a narrow
+    // key range — exactly what makes the recorded min/max stats
+    // selective for snapshotWhere pruning.
     val snap =
       if (clusterBy.isEmpty) base.coalesce(targetFiles)
+      else if (zorder) {
+        val keyed = graft.ext.Layout.zorderKey(base, clusterBy,
+          keyCol = "__zkey")
+        keyed.repartitionByRange(targetFiles, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      }
       else base.repartitionByRange(targetFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val added = writeDataFiles(snap, table)
@@ -735,7 +751,7 @@ object VersionedTable {
     * optimized table must not rewrite 100 TB for nothing. */
   def compactBySize(spark: SparkSession, table: String,
       targetBytes: Long = 1L << 30, clusterBy: Seq[String] = Nil,
-      statsFor: Seq[String] = Nil): Option[Commit] = {
+      statsFor: Seq[String] = Nil, zorder: Boolean = false): Option[Commit] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
@@ -744,7 +760,8 @@ object VersionedTable {
     val totalBytes = files.map(f => Files.size(Paths.get(table, f))).sum
     val target = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     if (clusterBy.isEmpty && files.size <= target) None
-    else Some(compact(spark, table, target.toInt, clusterBy, statsFor))
+    else Some(compact(spark, table, target.toInt, clusterBy, statsFor,
+      zorder))
   }
 
   /** GC data files that (a) are not referenced by the LATEST version and

@@ -373,6 +373,39 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("zorder compact prunes snapshotWhere on EVERY clustered " +
+    "dimension; lexicographic only on the leading one") {
+    withTable { t =>
+      // 100×100 grid: 10k rows over two independent dimensions
+      val grid = spark.range(10000).selectExpr(
+        "cast(id % 100 as bigint) as x",
+        "cast(id div 100 as bigint) as y",
+        "id as payload")
+      VT.append(spark, grid, t)
+      VT.compact(spark, t, targetFiles = 16, clusterBy = Seq("x", "y"),
+        statsFor = Seq("x", "y"), zorder = true)
+      val total = VT.snapshot(spark, t).inputFiles.length
+      assert(total == 16)
+      // a narrow band on EACH dimension must skip files AND stay exact
+      Seq("x", "y").foreach { c =>
+        val pruned = VT.snapshotWhere(spark, t, c,
+          lo = Some(10L), hi = Some(19L))
+        assert(pruned.inputFiles.length < total,
+          s"no pruning on $c: ${pruned.inputFiles.length} of $total")
+        assert(pruned.count() == 1000L)
+      }
+      // contrast: lexicographic (x, y) clustering cannot prune on y —
+      // every x-range file spans the full y domain
+      VT.compact(spark, t, targetFiles = 16, clusterBy = Seq("x", "y"),
+        statsFor = Seq("x", "y"))
+      val lexY = VT.snapshotWhere(spark, t, "y",
+        lo = Some(10L), hi = Some(19L))
+      assert(lexY.inputFiles.length == total,
+        "lexicographic clustering unexpectedly pruned the trailing dim")
+      assert(lexY.count() == 1000L)
+    }
+  }
+
   test("compactBySize merges to the byte-derived file count and no-ops " +
     "when already compact") {
     withTable { t =>
