@@ -147,6 +147,26 @@ object VersionedQueries {
         .orderBy(col("consumer"), col("c_mktsegment"))
     }),
 
+    // True Z-ORDER through the log: cluster orders on the interleaved
+    // (o_custkey, o_orderkey) key, then answer a range predicate on the
+    // TRAILING dimension through snapshotWhere — the read that
+    // lexicographic clustering cannot prune (VersionedTableSpec proves
+    // the file-skip contrast; the driver hash-checks that the pruned
+    // read is VALUE-exact against a plain recompute).
+    "q156_zorder_scan" -> ((s, dir) => withScratch { tbl =>
+      val base = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      VT.append(s, base, tbl)
+      VT.compact(s, tbl, targetFiles = 16,
+        clusterBy = Seq("o_custkey", "o_orderkey"),
+        statsFor = Seq("o_custkey", "o_orderkey"), zorder = true)
+      VT.snapshotWhere(s, tbl, "o_orderkey",
+          lo = Some(200L), hi = Some(999L))
+        .groupBy((col("o_custkey") % 10).as("cust_band"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("cust_band"))
+    }),
+
     "q153_incremental_gold" -> ((s, dir) => withScratch { tbl =>
       val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -235,6 +255,15 @@ object VersionedQueries {
         |FROM agg CROSS JOIN (
         |  SELECT 'mirror' AS consumer UNION ALL SELECT 'state') s
         |ORDER BY s.consumer, c_mktsegment""".stripMargin,
+
+    // plain range recompute — the z-order-pruned trailing-dimension
+    // read must not change a single value
+    "q156_zorder_scan" ->
+      """SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_band,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 200 AND 999
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // plain range recompute — the pruned manifest read must not change
     // a single value
