@@ -461,6 +461,15 @@ object ScaleSmoke {
             vtRoot.resolve("state-full").toString)
           io.VersionedTable.snapshot(spark,
             vtRoot.resolve("state-full").toString).count() }
+        // true Z-ORDER rewrite of the whole 2M-row table (interleaved
+        // (id, grp) key): one stats pass + one range shuffle + sort —
+        // the OPTIMIZE ZORDER cost shape, last so it cannot disturb the
+        // CDC delta-locality measurements above
+        time("true Z-ORDER compact 2M rows (2 dims, 16 files)") {
+          io.VersionedTable.compact(spark, src, targetFiles = 16,
+            clusterBy = Seq("id", "grp"), statsFor = Seq("id", "grp"),
+            zorder = true)
+          io.VersionedTable.snapshot(spark, src).count() }
       } finally {
         val walk = java.nio.file.Files.walk(vtRoot)
         try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

