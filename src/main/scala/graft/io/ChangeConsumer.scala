@@ -88,6 +88,35 @@ object ChangeConsumer {
     Some((from, to))
   }
 
+  /** Continuous consumption: poll the source log and run
+    * [[processChanges]] cycles until `maxCycles` ranges have been
+    * processed or `idleStop` consecutive polls find nothing new (0 =
+    * never stop on idle — the daemon form; pair with a finite
+    * `maxCycles` in tests). Returns the number of cycles processed.
+    * This is deliberately a plain driver loop, not a streaming query:
+    * the commit log is its own reliable cursor-addressable source, so
+    * micro-batch semantics need no executor-side state — the
+    * Trigger.AvailableNow idiom generalized to a poll interval. */
+  def follow(spark: SparkSession, table: String, keys: Seq[String],
+      checkpointDir: String, pollMs: Long = 1000L, maxCycles: Int = 1,
+      idleStop: Int = 1, includePreimage: Boolean = true)(
+      fn: (DataFrame, Option[Long], Long) => Unit): Int = {
+    require(maxCycles > 0, "maxCycles must be positive")
+    var cycles = 0
+    var idle = 0
+    while (cycles < maxCycles && (idleStop == 0 || idle < idleStop)) {
+      processChanges(spark, table, keys, checkpointDir,
+        includePreimage)(fn) match {
+        case Some(_) => cycles += 1; idle = 0
+        case None =>
+          idle += 1
+          if (cycles < maxCycles && (idleStop == 0 || idle < idleStop))
+            Thread.sleep(pollMs)
+      }
+    }
+    cycles
+  }
+
   /** Keep `dst` a row-level replica of `src` (same keys ⇒ same rows),
     * one [[VersionedTable.applyChanges]] commit per cycle — file-
     * granular on the destination, exactly-once under replay (the dst

@@ -356,6 +356,9 @@ class PlanQualitySpec extends SparkSpec {
     // global aggregate: a single-partition exchange, no keyed shuffle
     assert(countOcc(corr, "Exchange hashpartitioning") == 0, corr)
     assert(!corr.contains("CartesianProduct"), corr)
+    // the exact path runs the ONE imperative 128-bit moment aggregate,
+    // not k(k+1)/2 BigDecimal product sums
+    assert(corr.toLowerCase.contains("decimalmoments"), corr)
   }
 
   test("decayed sums and Welch's t ride one keyed/group exchange each") {

@@ -633,6 +633,31 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("follow processes each pending range once and stops when idle") {
+    withTable { src =>
+      val ckpt = Files.createTempDirectory("graft-cc").toString
+      VT.append(spark, df(1 -> "a"), src)
+      VT.append(spark, df(2 -> "b"), src)
+      var seen = List.empty[(Option[Long], Long)]
+      // first call: one catch-up cycle (0-cursor absent → bootstrap at
+      // latest), then idle poll finds nothing and stops
+      val n1 = graft.io.ChangeConsumer.follow(spark, src, Seq("id"), ckpt,
+        pollMs = 10, maxCycles = 5) { (_, from, to) =>
+        seen ::= ((from, to))
+      }
+      assert(n1 == 1 && seen == List((None, 1L)))
+      // two more commits, follow again: ONE cycle covers both versions
+      VT.append(spark, df(3 -> "c"), src)
+      VT.append(spark, df(4 -> "d"), src)
+      val n2 = graft.io.ChangeConsumer.follow(spark, src, Seq("id"), ckpt,
+        pollMs = 10, maxCycles = 5) { (_, from, to) =>
+        seen ::= ((from, to))
+      }
+      assert(n2 == 1 && seen.head == (Some(1L), 3L))
+      assert(graft.io.ChangeConsumer.cursor(ckpt).contains(3L))
+    }
+  }
+
   test("maintainSumState: incremental refresh equals full recompute; " +
     "replay never double-folds a delta") {
     withTable { src =>
