@@ -50,6 +50,35 @@ object Multimodal {
       mean_intensity: Double, // stub: byte-mean proxy
       feature_hash: Long)
 
+  /** Spread a compute-dominant stage across every core: codec work costs
+    * seconds-per-gigabyte while the rows themselves are small, so the
+    * file-size-driven partitioning the scan chose (`maxPartitionBytes`
+    * can only see bytes, not decode cost) routinely under-splits — a
+    * 100 MB asset manifest is one partition, and every decode in the
+    * job lands on one core of the whole cluster. When the input has
+    * fewer partitions than `defaultParallelism`, repartition up to it;
+    * already-well-split inputs (the 100 TB many-file case) pass through
+    * untouched, so the shuffle is only paid exactly when the
+    * alternative is idle executors. */
+  private def spread[T](ds: Dataset[T]): Dataset[T] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Only inspect partitioning when the lineage is narrow (scan-rooted):
+    // on a plan that already shuffled (explicit repartition, aggregate,
+    // join …) the layout was chosen upstream — and, under AQE, asking the
+    // RDD for its partition count would EXECUTE those shuffle stages just
+    // to answer, running the upstream compute twice.
+    val shuffled = ds.queryExecution.analyzed.find {
+      case _: Repartition | _: RepartitionByExpression | _: Aggregate |
+          _: Join | _: Sort | _: Window | _: Distinct => true
+      case _ => false
+    }.isDefined
+    if (shuffled) ds
+    else {
+      val target = ds.sparkSession.sparkContext.defaultParallelism
+      if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+    }
+  }
+
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -323,7 +352,7 @@ object Multimodal {
     * nothing materialises per partition. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
+    spread(assets).mapPartitions { it =>
       // real codec init happens lazily per partition (ImageIO scanners are
       // process-wide; an expensive per-codec context would be built HERE)
       it.map(decode)
@@ -385,7 +414,7 @@ object Multimodal {
     * on non-image payloads). One pass, no shuffle. */
   def perceptualHashes(assets: Dataset[MediaAsset]): DataFrame = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
+    spread(assets).mapPartitions { it =>
       it.map { a =>
         val dh =
           if (a.media_type == "image")
@@ -470,7 +499,7 @@ object Multimodal {
     * fallback contract as [[perceptualHashes]]). */
   def audioFingerprints(assets: Dataset[MediaAsset]): DataFrame = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
+    spread(assets).mapPartitions { it =>
       it.map { a =>
         val sig =
           if (a.media_type == "audio")
@@ -499,7 +528,7 @@ object Multimodal {
     * installed reader handles (true video — the documented stub). */
   def sampleFrames(assets: Dataset[MediaAsset], framesPer: Int): DataFrame = {
     import assets.sparkSession.implicits._
-    assets.filter(_.media_type == "video").flatMap { a =>
+    spread(assets.filter(_.media_type == "video")).flatMap { a =>
       val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
       val frames = readFramesBounded(bytes, framesPer)
       if (frames.nonEmpty)
@@ -524,7 +553,8 @@ object Multimodal {
     * media files; per-row cost is a bounded 48×32 render. */
   def syntheticImageAssets(docs: DataFrame, groups: Int = 50): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast(LongType)).as[Long].mapPartitions { it =>
+    spread(docs.select(col("doc_id").cast(LongType)).as[Long])
+      .mapPartitions { it =>
       it.map { id =>
         val freq = 2 + (id % groups)          // group pattern
         val shift = ((id / groups) % 3) * 12  // near-dup jitter within group
@@ -561,7 +591,8 @@ object Multimodal {
   def syntheticVideoAssets(docs: DataFrame, groups: Int = 50,
       framesPer: Int = 3): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast(LongType)).as[Long].mapPartitions { it =>
+    spread(docs.select(col("doc_id").cast(LongType)).as[Long])
+      .mapPartitions { it =>
       it.map { id =>
         val freq = 2 + (id % groups)
         val w = 48; val h = 32
@@ -626,7 +657,8 @@ object Multimodal {
     * The audio twin of [[syntheticImageAssets]]. */
   def syntheticAudioAssets(docs: DataFrame, groups: Int = 50): Dataset[MediaAsset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast(LongType)).as[Long].mapPartitions { it =>
+    spread(docs.select(col("doc_id").cast(LongType)).as[Long])
+      .mapPartitions { it =>
       it.map { id =>
         val envHz = 2.0 + (id % groups)       // group envelope pattern
         val gain = 1.0 - ((id / groups) % 3) * 0.25 // volume jitter

@@ -104,6 +104,81 @@ object IncrementalAgg {
       .filter(col("n") > 0)
   }
 
+  /** Retractable COUNT(DISTINCT) state — the aggregate single-level IVM
+    * cannot maintain (a delete only removes a value from the distinct set
+    * if it was the LAST row carrying it, which the distinct count alone
+    * cannot know). The standard two-level construction: keep the
+    * MULTIPLICITY of every (keys, value) pair; a pair drops out of the
+    * state exactly when its multiplicity reaches zero, and the distinct
+    * count per key group is the number of surviving pairs.
+    *
+    * State size is Σ per-key distinct cardinality — the irreducible cost
+    * of EXACT distinct maintenance (any engine pays it; Delta/Materialize
+    * keep the same relation). When the value domain is unbounded at
+    * 100 TB, use [[hllState]] instead: bounded bytes per key, mergeable,
+    * but approximate and append-only. */
+  def distinctState(df: DataFrame, keys: Seq[String],
+      distinctCol: String): DataFrame =
+    df.groupBy((keys :+ distinctCol).map(col): _*)
+      .agg(count(lit(1)).as("m"))
+
+  /** Fold a change feed (`includePreimage=true`) into a [[distinctState]]:
+    * one keyed aggregate over the (small) feed, one keyed merge against
+    * the state — O(changes) + O(state), never a rescan of the table.
+    * Updates that move a value between key groups retract the preimage
+    * pair and insert the postimage pair; same-pair updates cancel to a
+    * net-zero delta and leave the state row untouched. */
+  def applyChangeFeedDistinct(state: DataFrame, cdf: DataFrame,
+      keys: Seq[String], distinctCol: String): DataFrame = {
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    val delta = cdf
+      .filter(sign.isNotNull)
+      .groupBy((keys :+ distinctCol).map(col): _*)
+      .agg(sum(sign).as("m"))
+    state.unionByName(delta)
+      .groupBy((keys :+ distinctCol).map(col): _*)
+      .agg(sum(col("m")).as("m"))
+      .filter(col("m") > 0)
+  }
+
+  /** Reader-facing distinct counts from a [[distinctState]]: surviving
+    * pairs per key group. Exact — the q157 oracle checks the maintained
+    * count against DuckDB's COUNT(DISTINCT) over a full recompute. */
+  def finalizeDistinct(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
+
+  /** Approximate distinct state: one Apache DataSketches HLL sketch per
+    * key group (`hll_sketch_agg` — Spark-native, codegen'd). Bounded
+    * bytes per key regardless of value cardinality and mergeable across
+    * partitions/days ([[mergeHllStates]]), which makes it the 100 TB
+    * default for distinct-over-time rollups; the trade is ~1–2% relative
+    * error (lgConfigK=12) and NO retraction — sketches are append-only,
+    * so deletes require re-sketching the affected key groups. */
+  def hllState(df: DataFrame, keys: Seq[String], distinctCol: String,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgConfigK)).as("hll"))
+
+  /** Merge HLL states (k-way, associative, commutative): union + one
+    * keyed `hll_union_agg` — daily folds and backfills alike. */
+  def mergeHllStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      // second arg: allow merging sketches of differing lgConfigK
+      // (downgrades to the smaller config) — states built by this module
+      // share one config, so fail loudly instead
+      .agg(hll_union_agg(col("hll"), lit(false)).as("hll"))
+  }
+
+  /** Reader-facing estimates from an HLL state. */
+  def finalizeHll(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      hll_sketch_estimate(col("hll")).as("n_distinct_approx"): _*)
+
   /** Reader-facing view of a retractable [[sumState]]. */
   def finalizeSums(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) ++ Seq(

@@ -186,6 +186,33 @@ object VersionedQueries {
             state0, cdf, Seq("o_orderstatus"), "o_totalprice"),
           Seq("o_orderstatus"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Incremental COUNT(DISTINCT) maintenance — the aggregate plain IVM
+    // cannot keep (a delete removes a value only when its LAST carrier
+    // row goes): two-level multiplicity state folded through the same
+    // append/MERGE/DELETE change feed as q153. The MERGE moves rows
+    // across status groups (preimage retraction) and the DELETE removes
+    // some customers' last rows (multiplicity → 0), so both retraction
+    // paths sit inside the hash-checked result.
+    "q157_incremental_distinct" -> ((s, dir) => withScratch { tbl =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
+      val src = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+      VT.merge(s, src, tbl, Seq("o_orderkey"))                       // v1
+      VT.deleteWhere(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v2
+      val state0 = graft.ops.IncrementalAgg.distinctState(
+        VT.snapshot(s, tbl, Some(0)), Seq("o_orderstatus"), "o_custkey")
+      val cdf = VT.changeFeed(s, tbl, 0, 2, Seq("o_orderkey"),
+        includePreimage = true)
+      graft.ops.IncrementalAgg.finalizeDistinct(
+          graft.ops.IncrementalAgg.applyChangeFeedDistinct(
+            state0, cdf, Seq("o_orderstatus"), "o_custkey"),
+          Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +319,24 @@ object VersionedQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Full recompute of the FINAL version's per-status distinct-customer
+    // count from the same slice algebra — equality with the maintained
+    // multiplicity state IS the check (a missing preimage retraction or
+    // a multiplicity-zero row that fails to drop shows immediately).
+    "q157_incremental_distinct" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_custkey
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_custkey
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0),
+        |v2 AS (
+        |  SELECT * FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+        |SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
         |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -455,6 +455,65 @@ class OpsSpec extends SparkSpec {
     assert(left == right && left == direct)
   }
 
+  test("IncrementalAgg: distinct state retracts through a change feed") {
+    import graft.ops.IncrementalAgg._
+    val keys = Seq("g")
+    // base: g=A carries users 1 (twice), 2; g=B carries users 2, 3
+    val base = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("g", "u")
+    val state0 = distinctState(base, keys, "u")
+    // feed: delete ONE copy of (A,1) — distinct must NOT drop (m 2→1);
+    // delete (A,2) — last carrier, distinct drops; insert (B,9);
+    // update moves (B,3) to (A,3): preimage retraction + postimage insert
+    val cdf = Seq(
+      ("delete", "A", 1L), ("delete", "A", 2L), ("insert", "B", 9L),
+      ("update_preimage", "B", 3L), ("update_postimage", "A", 3L))
+      .toDF("_change_type", "g", "u")
+    val got = finalizeDistinct(
+      applyChangeFeedDistinct(state0, cdf, keys, "u"), keys)
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    // final rows: A:{1,3}, B:{2,9}
+    assert(got == Seq(("A", 2L), ("B", 2L)))
+    // maintained state ≡ recomputed state from the final rows, exactly
+    val finalRows = Seq(("A", 1L), ("A", 3L), ("B", 2L), ("B", 9L))
+      .toDF("g", "u")
+    val maintained = applyChangeFeedDistinct(state0, cdf, keys, "u")
+      .orderBy("g", "u").collect().toSeq
+    val recomputed = distinctState(finalRows, keys, "u")
+      .orderBy("g", "u").collect().toSeq
+    assert(maintained == recomputed)
+  }
+
+  test("IncrementalAgg: HLL sketch states merge to the union estimate") {
+    import graft.ops.IncrementalAgg._
+    val keys = Seq("g")
+    val full = spark.range(20000).select(
+      (col("id") % 2).cast("string").as("g"),
+      // overlapping value domains across the two halves: distinct ≈ 10k/group
+      (col("id") % 10000).as("u"))
+    val parts = Seq(0, 1, 2).map(i => full.filter(col("id") % 3 === i))
+    val merged = finalizeHll(
+      mergeHllStates(parts.map(hllState(_, keys, "u")), keys), keys)
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    val exact = full.groupBy("g").agg(countDistinct(col("u")).as("n"))
+      .orderBy("g").as[(String, Long)].collect().toMap
+    assert(merged.size == 2)
+    merged.foreach { case (g, est) =>
+      val ex = exact(g).toDouble
+      assert(math.abs(est - ex) / ex < 0.05,
+        s"group $g: estimate $est vs exact $ex")
+    }
+    // merge order invariance: ((a ⊕ b) ⊕ c) == (a ⊕ (b ⊕ c)) estimates
+    val s = parts.map(hllState(_, keys, "u"))
+    val left = finalizeHll(mergeHllStates(
+      Seq(mergeHllStates(Seq(s(0), s(1)), keys), s(2)), keys), keys)
+      .orderBy("g").collect().toSeq
+    val right = finalizeHll(mergeHllStates(
+      Seq(s(0), mergeHllStates(Seq(s(1), s(2)), keys)), keys), keys)
+      .orderBy("g").collect().toSeq
+    assert(left == right)
+  }
+
   test("IncrementalAgg: empty delta is the merge identity") {
     import graft.ops.IncrementalAgg._
     val full = Tables.load(spark, sfDir, "events")
