@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, StringType}
 
 /** Scale smoke: run the heavy operators on synthetic volumes 20–40× the
   * sf0.1 bench (2M transactions, 100k documents, 200k embeddings) and
@@ -354,6 +354,37 @@ object ScaleSmoke {
           / 100.0).as("value"))
       ext.Features.velocityFeatures(ev, "user_id", "ts", "event_id",
         "value").count() }
+
+    // mergeable aggregate states at volume: the per-day-fold shapes.
+    // distinct IVM state is one keyed aggregate + one keyed merge (cost
+    // tracks the delta); HLL/KLL states are bounded bytes per key and
+    // fold associatively — the 100 TB rollup primitives
+    locally {
+      val rows = spark.range(2000000).select(
+        pmod(col("id"), lit(1000L)).cast(StringType).as("g"),
+        pmod(xxhash64(col("id"), lit("u")), lit(100000L)).as("u"),
+        (pmod(col("id") * 7, lit(10000)).cast(DoubleType) / 100.0).as("v"))
+      val half1 = rows.filter(col("id") % 2 === 0)
+      val half2 = rows.filter(col("id") % 2 === 1)
+      time("2M-row distinct IVM: state + 1M-row insert-feed fold") {
+        val st = ops.IncrementalAgg.distinctState(half1, Seq("g"), "u")
+        val feed = half2.withColumn("_change_type", lit("insert"))
+        ops.IncrementalAgg.finalizeDistinct(
+          ops.IncrementalAgg.applyChangeFeedDistinct(
+            st, feed, Seq("g"), "u"), Seq("g")).count() }
+      time("2M-row HLL distinct states (1000 keys, 2-way merge)") {
+        ops.IncrementalAgg.finalizeHll(
+          ops.IncrementalAgg.mergeHllStates(
+            Seq(ops.IncrementalAgg.hllState(half1, Seq("g"), "u"),
+              ops.IncrementalAgg.hllState(half2, Seq("g"), "u")),
+            Seq("g")), Seq("g")).count() }
+      time("2M-row KLL quantile states (1000 keys, 2-way merge)") {
+        ops.IncrementalAgg.finalizeQuantiles(
+          ops.IncrementalAgg.mergeQuantileStates(
+            Seq(ops.IncrementalAgg.quantileState(half1, Seq("g"), "v"),
+              ops.IncrementalAgg.quantileState(half2, Seq("g"), "v")),
+            Seq("g")), Seq("g")).count() }
+    }
 
     // q96 flagship composition at 2 volumes: with computeStats=false the
     // driver choreography is FIXED — the Spark job count must not grow

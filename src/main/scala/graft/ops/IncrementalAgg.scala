@@ -179,6 +179,42 @@ object IncrementalAgg {
     state.select(keys.map(col) :+
       hll_sketch_estimate(col("hll")).as("n_distinct_approx"): _*)
 
+  /** Approximate quantile state: one mergeable KLL sketch per key group
+    * ([[graft.functions.KllSketchAgg]] — the DataSketches library Spark
+    * itself ships). `percentile_approx` answers a one-shot query but its
+    * state is not storable; this state is a binary column, so per-day
+    * percentile rollups fold like sums — one pass per new partition plus
+    * a kilobyte-state merge, never a rescan. ~1.65% normalized rank
+    * error at the default k=200; append-only (no retraction), like
+    * [[hllState]]. */
+  def quantileState(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Int = 200): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.KllSketchAgg.sketch(
+        col(valueCol).cast(DoubleType), k).as("kll"))
+
+  /** Merge KLL quantile states (k-way, associative, commutative). */
+  def mergeQuantileStates(states: Seq[DataFrame], keys: Seq[String],
+      k: Int = 200): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.KllSketchAgg.mergeSketches(col("kll"), k)
+        .as("kll"))
+  }
+
+  /** Reader-facing quantiles from a [[quantileState]]: one
+    * `q_<percent>` double column per requested probability. */
+  def finalizeQuantiles(state: DataFrame, keys: Seq[String],
+      probabilities: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    val qs = graft.functions.KllSketchAgg.quantiles(col("kll"),
+      probabilities)
+    state.select(keys.map(col) ++ probabilities.zipWithIndex.map {
+      case (p, i) =>
+        element_at(qs, i + 1).as(s"q_${(p * 100).round}")
+    }: _*)
+  }
+
   /** Reader-facing view of a retractable [[sumState]]. */
   def finalizeSums(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) ++ Seq(

@@ -40,6 +40,31 @@ object Streams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Native session-window aggregation (`session_window` — Spark's
+    * built-in merging-window state store): per-user sessions that close
+    * after `gap` of inactivity, with event counts and exact decimal
+    * value sums. The built-in operator handles out-of-order arrival by
+    * MERGING overlapping window fragments in the state store — the
+    * declarative twin of [[sessionize]], which keeps imperative
+    * `flatMapGroupsWithState` state for custom per-session logic the
+    * built-in cannot express (running gap statistics, mid-session
+    * emission). Convention difference: the built-in's `session_end` is
+    * last-event-time + gap (the window's close), while [[sessionize]]
+    * reports the last event itself — callers comparing the two subtract
+    * the gap. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming twin of WF1 keyed dedup: exactly-once per key within the
     * watermark horizon (state is GC'd past it). */
   def dedupByKey(events: DataFrame, keys: Seq[String],
@@ -452,6 +477,61 @@ object Streams {
     graft.ext.HeavyHitters.frequentExact(counts, "token", "cnt",
         minFreqRatio)
       .withColumnRenamed("weight", "freq")
+  }
+
+  /** Streaming sketch rollup: reduce each micro-batch to per-(hour,
+    * event_type) MERGEABLE sketch partials — an HLL sketch of the user
+    * domain, a KLL sketch of the value distribution, an exact row count
+    * — and append them to a versioned metrics table txn-keyed on the
+    * batch id (exactly-once under checkpoint replay, the
+    * [[graft.io.VersionedTable.appendIdempotent]] contract). The raw
+    * stream is never stored: each batch contributes kilobytes per
+    * group, and [[sketchRollupRead]] folds partials at read time — the
+    * observability shape for a 100 TB ingest (distinct-user and latency
+    * percentile dashboards over any time range without ever rescanning
+    * events). */
+  def sketchRollupSink(events: DataFrame, table: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .select(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"), col("user_id"),
+            col("value").cast("double").as("__v"))
+          .groupBy(col("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            hll_sketch_agg(col("user_id"), lit(12)).as("users_hll"),
+            graft.functions.KllSketchAgg.sketch(col("__v")).as("value_kll"))
+        graft.io.VersionedTable.appendIdempotent(batch.sparkSession,
+          partial, table, "sketch-rollup", batchId)
+        ()
+      }
+      .start()
+
+  /** Fold everything [[sketchRollupSink]] has ingested into one row per
+    * (hour, event_type): exact counts, HLL distinct-user estimates, KLL
+    * value quantiles at `probabilities`. The store holds per-batch
+    * partials — one `hll_union_agg`/KLL-merge pass over kilobyte states,
+    * never the raw events. */
+  def sketchRollupRead(spark: SparkSession, table: String,
+      probabilities: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    val merged = graft.io.VersionedTable.snapshot(spark, table)
+      .groupBy(col("hour"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        hll_union_agg(col("users_hll"), lit(false)).as("users_hll"),
+        graft.functions.KllSketchAgg.mergeSketches(col("value_kll"))
+          .as("value_kll"))
+    val qs = graft.functions.KllSketchAgg.quantiles(col("value_kll"),
+      probabilities)
+    merged.select(Seq(col("hour"), col("event_type"), col("n"),
+      hll_sketch_estimate(col("users_hll")).as("n_users_approx")) ++
+      probabilities.zipWithIndex.map { case (p, i) =>
+        element_at(qs, i + 1).as(s"q_${(p * 100).round}")
+      }: _*)
   }
 
   /** Stream-stream inner join: each left event picks up right-side events

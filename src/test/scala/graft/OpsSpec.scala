@@ -514,6 +514,41 @@ class OpsSpec extends SparkSpec {
     assert(left == right)
   }
 
+  test("IncrementalAgg: KLL quantile states merge within rank-error bound") {
+    import graft.ops.IncrementalAgg._
+    val keys = Seq("g")
+    // two groups with different, known distributions over 30k values
+    val full = spark.range(30000).select(
+      (col("id") % 2).cast("string").as("g"),
+      (col("id") % 10007).cast("double").as("v"))
+    val parts = Seq(0, 1, 2).map(i => full.filter(col("id") % 3 === i))
+    val merged = finalizeQuantiles(
+      mergeQuantileStates(parts.map(quantileState(_, keys, "v")), keys),
+      keys, Seq(0.5, 0.95))
+      .orderBy("g").collect()
+    val exact = full.groupBy("g").agg(
+        expr("percentile(v, array(0.5D, 0.95D))").as("qs"))
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(merged.length == 2)
+    merged.foreach { r =>
+      val ex = exact(r.getString(0))
+      // KLL k=200: ~1.65% normalized rank error; values are ranks/10007
+      // here, so value error tracks rank error — allow 3%
+      assert(math.abs(r.getDouble(1) - ex(0)) / 10007.0 < 0.03,
+        s"p50: ${r.getDouble(1)} vs ${ex(0)}")
+      assert(math.abs(r.getDouble(2) - ex(1)) / 10007.0 < 0.03,
+        s"p95: ${r.getDouble(2)} vs ${ex(1)}")
+    }
+    // single-pass state equals the merged partition states' accuracy too
+    val direct = finalizeQuantiles(quantileState(full, keys, "v"), keys,
+      Seq(0.5, 0.95)).orderBy("g").collect()
+    direct.foreach { r =>
+      val ex = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - ex(0)) / 10007.0 < 0.03)
+    }
+  }
+
   test("IncrementalAgg: empty delta is the merge identity") {
     import graft.ops.IncrementalAgg._
     val full = Tables.load(spark, sfDir, "events")

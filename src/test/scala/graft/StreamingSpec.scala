@@ -346,4 +346,73 @@ class StreamingSpec extends SparkSpec {
     assert(got(1)._4 == 2) // user1 session B: 2 events
     assert(got(2)._4 == 1) // user2: 1 event
   }
+
+  test("native session_window agrees with stateful sessionize modulo gap") {
+    val dir = Files.createTempDirectory("sw-stream").toString
+    def ev(id: Long, user: Long, minute: Long, v: Double) =
+      Streams.Event(id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"), user, "click", v)
+    val rows = Seq(ev(1, 1, 0, 1.5), ev(2, 1, 10, 2.5), ev(3, 1, 120, 1.0),
+      ev(4, 1, 125, 4.0), ev(5, 2, 30, 3.0), ev(6, 99, 2000, 0.0))
+    rows.toDS().toDF().write.mode("overwrite").parquet(dir)
+    val stream = Streams.sessionWindowAgg(Streams.eventsStream(spark, dir),
+      gap = "30 minutes", watermark = "0 seconds")
+    runToMemory(stream, "swagg")
+    val got = spark.table("swagg")
+      .filter(col("user_id").isin(1L, 2L))
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+    assert(got.length == 3)
+    // session bounds: start = first event; end = last event + gap
+    assert(got(0)._2 == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(got(0)._3 == Timestamp.valueOf("2024-01-01 00:40:00"))
+    assert(got(0)._4 == 2 && got(0)._5 == 4.0)
+    assert(got(1)._2 == Timestamp.valueOf("2024-01-01 02:00:00"))
+    assert(got(1)._4 == 2 && got(1)._5 == 5.0)
+    assert(got(2)._4 == 1 && got(2)._5 == 3.0)
+  }
+
+  test("sketch rollup sink: partials fold to whole-stream stats; replay-safe") {
+    val src = Files.createTempDirectory("skr-src").toString
+    val table = Files.createTempDirectory("skr-store").toString + "/metrics"
+    val ckpt = Files.createTempDirectory("skr-ckpt").toString
+    // two micro-batches over the same hour + one other hour; user ids
+    // overlap across batches so only a true sketch merge dedups them
+    def ev(id: Long, user: Long, sec: Int, typ: String, v: Double) =
+      (id, Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d"), user, typ, v)
+    val b1 = (0 until 200).map(i => ev(i, i % 50, i, "click", i.toDouble))
+    val b2 = (200 until 400).map(i =>
+      ev(i, i % 80, i, "click", i.toDouble)) :+
+      (400L, Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "view", 1.0)
+    def run(rows: Seq[(Long, Timestamp, Long, String, Double)], f: String): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$src/$f")
+      val q = Streams.sketchRollupSink(
+        spark.readStream.schema(Streams.eventsSchema).parquet(s"$src/*"),
+        table, ckpt)
+      q.awaitTermination(60000)
+    }
+    run(b1, "b1")
+    run(b2, "b2")
+    val versionsAfter = graft.io.VersionedTable.latestVersion(table).get
+    def read: Map[(Timestamp, String), (Long, Long, Double, Double)] =
+      Streams.sketchRollupRead(spark, table, Seq(0.5, 0.95))
+        .as[(Timestamp, String, Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val first = read
+    val clicks = first((Timestamp.valueOf("2024-01-01 10:00:00"), "click"))
+    assert(clicks._1 == 400)        // exact count across both batches
+    // distinct users = 80 (batch-2 ids 0..79 cover batch-1's 0..49):
+    // HLL at lgK=12 is exact-ish at this cardinality
+    assert(math.abs(clicks._2 - 80L) <= 2, s"users ${clicks._2}")
+    // values 0..399 uniformly: p50 ≈ 200, p95 ≈ 380 (KLL exact at n=400)
+    assert(math.abs(clicks._3 - 200.0) < 8 && math.abs(clicks._4 - 380.0) < 8)
+    assert(first((Timestamp.valueOf("2024-01-01 11:00:00"), "view"))._1 == 1)
+    // replay with no new files: no new versions, identical answers
+    val q3 = Streams.sketchRollupSink(
+      spark.readStream.schema(Streams.eventsSchema).parquet(s"$src/*"),
+      table, ckpt)
+    q3.awaitTermination(60000)
+    assert(graft.io.VersionedTable.latestVersion(table).get == versionsAfter)
+    assert(read((Timestamp.valueOf("2024-01-01 10:00:00"), "click"))._1 == 400)
+  }
 }
