@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg, SimHashAgg, VecDot, VecL2Sq, WinnowHashes}
+import graft.functions.{GramMixHashes, GramPosHashes, KllQuantiles, KllSketchAgg, MinHashAgg, MisraGriesAgg, SimHashAgg, VecDot, VecL2Sq, WinnowHashes}
 
 /** SQL surface for the engine's native expressions — `spark.sql(...)`
   * callers get the same codegen'd/imperative kernels the Column API uses:
@@ -18,6 +18,9 @@ import graft.functions.{GramMixHashes, GramPosHashes, MinHashAgg, MisraGriesAgg,
   *  - `simhash_agg(hash)`        aggregate: 64-bit SimHash of a hash column
   *  - `minhash_agg(hash, k)`     aggregate: k-slot one-permutation MinHash
   *  - `misra_gries_agg(item[, weight], capacity)` aggregate: frequent-item candidates
+  *  - `kll_sketch_agg(value[, k])`  aggregate: mergeable KLL quantile sketch
+  *  - `kll_merge_agg(sketch[, k])`  aggregate: merge stored KLL sketches
+  *  - `kll_quantiles(sketch, p...)` quantile values from a sketch
   *
   * Two registration paths:
   *  - `spark.sql.extensions=graft.GraftExtensions` at session build
@@ -89,6 +92,36 @@ object GraftExtensions {
       "misra_gries_agg(item[, weight], capacity) takes 2 or 3 arguments")
   }
 
+  private def mkKllSketch(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(value) =>
+      KllSketchAgg(value, k = 200, mergeMode = false)
+    case Seq(value, k) =>
+      KllSketchAgg(value, intLit(k, "kll_sketch_agg", "k"),
+        mergeMode = false)
+    case _ => throw new IllegalArgumentException(
+      "kll_sketch_agg(value[, k]) takes 1 or 2 arguments")
+  }
+  private def mkKllMerge(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(sketch) =>
+      KllSketchAgg(sketch, k = 200, mergeMode = true)
+    case Seq(sketch, k) =>
+      KllSketchAgg(sketch, intLit(k, "kll_merge_agg", "k"),
+        mergeMode = true)
+    case _ => throw new IllegalArgumentException(
+      "kll_merge_agg(sketch[, k]) takes 1 or 2 arguments")
+  }
+  private def mkKllQuantiles(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2,
+      "kll_quantiles(sketch, p...) needs at least one probability")
+    val ps = exprs.tail.map {
+      case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"kll_quantiles: probabilities must be numeric literals, got $other")
+    }
+    KllQuantiles(exprs.head, ps)
+  }
+
   private type Descriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -105,7 +138,10 @@ object GraftExtensions {
     descriptor("winnow_hashes", classOf[WinnowHashes], mkWinnow),
     descriptor("simhash_agg", classOf[SimHashAgg], mkSimHash),
     descriptor("minhash_agg", classOf[MinHashAgg], mkMinHash),
-    descriptor("misra_gries_agg", classOf[MisraGriesAgg], mkMisraGries))
+    descriptor("misra_gries_agg", classOf[MisraGriesAgg], mkMisraGries),
+    descriptor("kll_sketch_agg", classOf[KllSketchAgg], mkKllSketch),
+    descriptor("kll_merge_agg", classOf[KllSketchAgg], mkKllMerge),
+    descriptor("kll_quantiles", classOf[KllQuantiles], mkKllQuantiles))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -45,6 +45,25 @@ object Temporal {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Native session_window in batch mode (the same merging-window
+    // operator the streaming sessionizer uses): per-user sessions that
+    // close after 30 minutes of inactivity. Merge rule is STRICT
+    // containment — an event exactly `gap` after the previous one starts
+    // a NEW session (window [t, t+gap) does not contain t+gap), so the
+    // oracle's island break is diff >= gap, unlike q21's stateful
+    // convention (> gap). session_end = last event + gap (window close).
+    "q158_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Ordered funnel signup → view → click → purchase: stage i counts
     // users whose first stage-i event is strictly after their stage-(i-1)
     // entry. Chained user-keyed joins over shrinking survivor frames.
@@ -745,6 +764,30 @@ object Temporal {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // Gaps-and-islands twin of the native session_window operator.
+    // Break at >= 1800s (strict window containment — see the query
+    // comment); µs-exact arithmetic via epoch_us mirrors Spark's
+    // microsecond TimestampType; session_end = last event + gap.
+    "q158_session_window" ->
+      s"""WITH flags AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) >= 1800000000
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM events WHERE ts IS NOT NULL
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flags)
+         |SELECT user_id,
+         |  MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
 
     "q108_funnel" ->
       """WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events

@@ -409,4 +409,44 @@ class PlanQualitySpec extends SparkSpec {
         all().contains("BroadcastExchange"), all())
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("distinct IVM fold is two keyed aggregates — no table rescan joins") {
+    import graft.ops.IncrementalAgg._
+    val st = spark.range(1000).selectExpr("CAST(id % 7 AS STRING) AS g",
+      "id % 97 AS u", "1L AS m")
+    val feed = spark.range(100).selectExpr("'insert' AS _change_type",
+      "CAST(id % 7 AS STRING) AS g", "id % 101 AS u")
+    val p = planOf(applyChangeFeedDistinct(st, feed, Seq("g"), "u"))
+    // one exchange keys the feed delta, one keys the state∪delta merge;
+    // a join or a third exchange would mean the fold rescans something
+    assert(countOcc(p, "Exchange hashpartitioning") <= 2, p)
+    assert(!p.contains("Join"), p)
+    // map-side combine before both exchanges
+    assert(countOcc(p, "HashAggregate") >= 4, p)
+  }
+
+  test("sketch states aggregate map-side; quantile read is agg-only") {
+    import graft.ops.IncrementalAgg._
+    val rows = spark.range(1000).selectExpr("CAST(id % 7 AS STRING) AS g",
+      "id % 97 AS u", "CAST(id AS DOUBLE) AS v")
+    val ph = planOf(hllState(rows, Seq("g"), "u"))
+    assert(countOcc(ph, "Exchange") == 1 && !ph.contains("Join"), ph)
+    val pq = planOf(finalizeQuantiles(
+      mergeQuantileStates(Seq(quantileState(rows, Seq("g"), "v"),
+        quantileState(rows, Seq("g"), "v")), Seq("g")), Seq("g")))
+    // per-input sketch agg → union → merge agg: group-key exchanges only,
+    // and the imperative aggregates keep ObjectHashAggregate (no
+    // sort-based fallback on real group counts)
+    assert(!pq.contains("Join") && !pq.contains("CartesianProduct"), pq)
+    assert(pq.contains("ObjectHashAggregate"), pq)
+  }
+
+  test("native session_window is one user-keyed exchange, no self-join") {
+    val p = planOf(SparkEntry.queries("q158_session_window")(spark, sfDir))
+    // the merging-window operator sorts within the user partition; the
+    // gaps-and-islands rewrite it replaces needs a window + a second
+    // aggregate pass
+    assert(!p.contains("Join"), p)
+    assert(countOcc(p, "Exchange hashpartitioning") == 1, p)
+  }
 }

@@ -162,6 +162,25 @@ class PropertiesSpec extends SparkSpec {
     assert(viaSql == 32.0 && viaCol == 32.0)
   }
 
+  test("kll_* SQL functions: sketch, store, merge, query from pure SQL") {
+    GraftExtensions.register(spark)
+    spark.range(10000).select((col("id") % 100).as("g"),
+        col("id").cast("double").as("v"))
+      .createOrReplaceTempView("kll_rows")
+    // per-group sketches (the storable partial), then a SQL-side merge +
+    // quantile read — the whole rollup path without leaving SQL
+    spark.sql("""SELECT g % 2 AS band, kll_sketch_agg(v) AS s
+                 FROM kll_rows GROUP BY g % 2""")
+      .createOrReplaceTempView("kll_states")
+    val qs = spark.sql(
+      """SELECT band, kll_quantiles(kll_merge_agg(s), 0.5D) AS q
+        |FROM kll_states GROUP BY band""".stripMargin)
+      .select(col("band"), element_at(col("q"), 1).as("p50"))
+      .as[(Long, Double)].collect().toMap
+    // both bands see ~uniform 0..9999 → p50 near 5000 (±2% rank error)
+    assert(math.abs(qs(0L) - 5000.0) < 300 && math.abs(qs(1L) - 5000.0) < 300)
+  }
+
   test("vec_l2sq matches the HOF fold bit-exactly, from Column and SQL") {
     GraftExtensions.register(spark)
     val df = spark.range(50).select(col("id"),
