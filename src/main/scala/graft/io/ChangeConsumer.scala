@@ -165,4 +165,51 @@ object ChangeConsumer {
     }
     out
   }
+
+  /** Adapt an EXTERNAL CDC stream (the Debezium/DMS envelope shape:
+    * `{"op": "c"|"r"|"u"|"d", "before": {...}, "after": {...}}` as a
+    * JSON string column) into this engine's change-feed schema, so
+    * third-party database changes flow into the same IVM machinery the
+    * native log feeds ([[graft.ops.IncrementalAgg.applyChangeFeed]],
+    * [[VersionedTable.applyChanges]]): creates/reads emit the after
+    * image as `insert`, updates emit `update_preimage` + postimage,
+    * deletes emit the before image as `delete`. One narrow pass — parse,
+    * per-row channel array, explode — no shuffle.
+    *
+    * Permissive: malformed JSON and unknown ops contribute nothing
+    * (PERMISSIVE from_json yields an all-null struct, so the channel
+    * array is empty). No valid envelope lacks an op — audit rejects
+    * separately with
+    * `df.where(from_json(col(c), envelopeSchema(s)).getField("op").isNull)`. */
+  def fromCdcEnvelope(df: DataFrame, envelopeCol: String,
+      rowSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.Column
+    val parsed = df.select(
+      from_json(col(envelopeCol), envelopeSchema(rowSchema)).as("__e"))
+    def entry(row: Column, tpe: String): Column =
+      struct(row.as("row"), lit(tpe).as("t"))
+    val channels =
+      when(col("__e.op").isin("c", "r"),
+        array(entry(col("__e.after"), "insert")))
+      .when(col("__e.op") === "u",
+        array(entry(col("__e.before"), "update_preimage"),
+          entry(col("__e.after"), "update_postimage")))
+      .when(col("__e.op") === "d",
+        array(entry(col("__e.before"), "delete")))
+      .otherwise(array())
+    parsed.select(explode(channels).as("__x"))
+      .select(col("__x.row.*"), col("__x.t").as("_change_type"))
+  }
+
+  /** The envelope struct [[fromCdcEnvelope]] parses — exposed so callers
+    * can screen corrupt records with the same schema. */
+  def envelopeSchema(rowSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("before", rowSchema),
+      org.apache.spark.sql.types.StructField("after", rowSchema),
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType)))
 }

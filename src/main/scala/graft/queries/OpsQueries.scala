@@ -13,6 +13,23 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Privacy audit: k-anonymity + distinct-l-diversity per
+    // quasi-identifier class over customer microdata (nation, market
+    // segment, $2000 balance band). TPC-H carries no genuinely sensitive
+    // attribute, so the sensitive stand-in is a deterministic 7-value
+    // derivation of the key — the audit math is what's under test.
+    "q159_k_anonymity" -> ((s, dir) => {
+      val quasi = Seq("c_nationkey", "c_mktsegment", "bal_band")
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_band",
+          graft.ext.Privacy.generalizeNumeric(col("c_acctbal"), 2000L))
+        .withColumn("sens", pmod(col("c_custkey"), lit(7L)))
+      graft.ext.Privacy.kAnonymity(cust, quasi, k = 5)
+        .join(graft.ext.Privacy.lDiversity(cust, quasi, "sens", l = 3)
+          .drop("n"), quasi)
+        .orderBy(quasi.map(col): _*)
+    }),
+
     // Grid-bucketed range join: orders priced into overlapping price
     // bands. Money compared in integer CENTS (playbook rule: integer
     // bucket thresholds — float band edges drift between engines).
@@ -252,6 +269,20 @@ object OpsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q159_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 2000) AS BIGINT) * 2000 AS bal_band,
+        |    c_custkey % 7 AS sens
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment, bal_band,
+        |  COUNT(*) AS n,
+        |  COUNT(*) >= 5 AS k_anonymous,
+        |  CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct,
+        |  COUNT(DISTINCT sens) >= 3 AS l_diverse
+        |FROM c GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // normalized char count hashed exactly; the losslessness flags are
     // computed Spark-side over the actual BPE tokens, expected TRUE

@@ -213,6 +213,50 @@ object VersionedQueries {
             state0, cdf, Seq("o_orderstatus"), "o_custkey"),
           Seq("o_orderstatus"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // External CDC ingestion: Debezium-shaped JSON envelopes (creates,
+    // full before/after updates, deletes — synthesized with to_json and
+    // parsed back, so the real parser runs) adapted into the engine's
+    // change-feed schema and folded into a sum state. The oracle
+    // recomputes the final per-status aggregate from the same envelope
+    // algebra — a dropped preimage, a misrouted op code, or a parse
+    // regression all flip the hash.
+    "q160_cdc_envelope" -> ((s, dir) => {
+      val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val row = struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val nullRow = lit(null).cast(rowSchema)
+      def env(op: String, before: org.apache.spark.sql.Column,
+          after: org.apache.spark.sql.Column) =
+        to_json(struct(lit(op).as("op"), before.as("before"),
+          after.as("after")))
+      val creates = base.filter(col("o_orderkey") % 3 === 1)
+        .select(env("c", nullRow, row).as("envelope"))
+      val updates = base
+        .filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 === 0)
+        .select(env("u", row, struct(col("o_orderkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))).as("envelope"))
+      val deletes = base
+        .filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 =!= 0 &&
+          col("o_orderkey") % 7 === 0 && col("o_orderstatus") === "F")
+        .select(env("d", row, nullRow).as("envelope"))
+      val junk = s.range(3).select(lit("{not json").as("envelope"))
+      val feed = graft.io.ChangeConsumer.fromCdcEnvelope(
+        creates.unionByName(updates).unionByName(deletes).unionByName(junk),
+        "envelope", rowSchema)
+      val state0 = graft.ops.IncrementalAgg.sumState(
+        base.filter(col("o_orderkey") % 3 === 0),
+        Seq("o_orderstatus"), "o_totalprice")
+      graft.ops.IncrementalAgg.finalizeSums(
+          graft.ops.IncrementalAgg.applyChangeFeed(
+            state0, feed, Seq("o_orderstatus"), "o_totalprice"),
+          Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -338,5 +382,25 @@ object VersionedQueries {
         |  SELECT * FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
         |SELECT o_orderstatus,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
-        |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Final state from the envelope algebra: base = keys≡0 (mod 3);
+    // updates move key%5=0 rows to ('U', price+1000); deletes remove
+    // (key%7=0, %5≠0, status F); creates add keys≡1 (mod 3).
+    "q160_cdc_envelope" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |    AND NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -170,4 +170,53 @@ class DataQualitySpec extends SparkSpec {
     assert(r.results.length == 5)
     assert(r.results.forall(_.totalCount == li.count()))
   }
+
+  test("Privacy: k-anonymity flags small classes, nulls form a class") {
+    import graft.ext.Privacy
+    import spark.implicits._
+    val rows = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"),      // class of 3
+      ("US", "B"),                                // class of 1 — violator
+      ("DE", "A"), ("DE", "A"),                   // class of 2
+      (null.asInstanceOf[String], "A"),           // null QI class of 1
+      (null.asInstanceOf[String], "A"))           // ... of 2
+      .toDF("country", "tier")
+    val ka = Privacy.kAnonymity(rows, Seq("country", "tier"), k = 2)
+      .orderBy("country", "tier")
+      .as[(Option[String], String, Long, Boolean)].collect().toSeq
+    assert(ka == Seq(
+      (None, "A", 2L, true), (Some("DE"), "A", 2L, true),
+      (Some("US"), "A", 3L, true), (Some("US"), "B", 1L, false)))
+    val s = Privacy.kAnonymitySummary(rows, Seq("country", "tier"), k = 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(s == ((4L, 1L, 1L, 1L))) // 4 classes, 1 violating, 1 row, k=1
+  }
+
+  test("Privacy: l-diversity catches homogeneous classes; generalization " +
+      "widens classes until the realized k clears the bar") {
+    import graft.ext.Privacy
+    import spark.implicits._
+    // class (US) is 3 rows but ALL share diagnosis d1 — k-anonymous at
+    // k=3 yet 1-diverse; class (DE) has 2 distinct values
+    val rows = Seq(("US", "d1"), ("US", "d1"), ("US", "d1"),
+      ("DE", "d1"), ("DE", "d2"))
+      .toDF("country", "dx")
+    val ld = Privacy.lDiversity(rows, Seq("country"), "dx", l = 2)
+      .orderBy("country").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(ld == Seq(("DE", 2L, 2L, true), ("US", 3L, 1L, false)))
+    // remediation loop: ages 30..49, one row each — every width-5 band
+    // holds 5 rows, width-10 holds 10; realized k scales with the band
+    val ages = (30 until 50).map(a => Tuple1(a)).toDF("age")
+    def realizedK(width: Long): Long =
+      Privacy.kAnonymitySummary(
+        ages.select(Privacy.generalizeNumeric(col("age"), width).as("band")),
+        Seq("band"), k = 6)
+        .select(col("realized_k")).as[Long].head()
+    assert(realizedK(5) == 5L && realizedK(10) == 10L)
+    // negative values band consistently (floor, not truncation)
+    val neg = Seq(-1, -5, 4).map(Tuple1(_)).toDF("v")
+      .select(Privacy.generalizeNumeric(col("v"), 5L).as("band"))
+      .as[Long].collect().toSeq.sorted
+    assert(neg == Seq(-5L, -5L, 0L))
+  }
 }

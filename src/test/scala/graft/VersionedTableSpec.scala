@@ -701,4 +701,44 @@ class VersionedTableSpec extends SparkSpec {
       }
     }
   }
+
+  test("fromCdcEnvelope: op routing, corrupt and unknown envelopes drop") {
+    val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v DOUBLE")
+    val envs = Seq(
+      """{"op":"c","after":{"id":1,"v":10.0}}""",
+      """{"op":"r","after":{"id":2,"v":20.0}}""",          // snapshot read
+      """{"op":"u","before":{"id":1,"v":10.0},"after":{"id":1,"v":11.0}}""",
+      """{"op":"d","before":{"id":2,"v":20.0}}""",
+      """{"op":"t"}""",                                     // unknown op
+      """{broken json"""                                    // corrupt
+    ).toDF("envelope")
+    val feed = graft.io.ChangeConsumer
+      .fromCdcEnvelope(envs, "envelope", rowSchema)
+      .orderBy("id", "_change_type")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(feed == Seq(
+      (1L, 10.0, "insert"),
+      (1L, 11.0, "update_postimage"),
+      (1L, 10.0, "update_preimage"),
+      (2L, 20.0, "delete"),
+      (2L, 20.0, "insert")))
+    // the adapted feed drives the standard IVM fold end-to-end
+    val state0 = graft.ops.IncrementalAgg.sumState(
+      Seq.empty[(Long, Double)].toDF("id", "v"), Seq("id"), "v")
+    val folded = graft.ops.IncrementalAgg.applyChangeFeed(
+        state0, feed.toDF("id", "v", "_change_type"), Seq("id"), "v")
+      .orderBy("id")
+      .select(col("id"), col("n"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // id 1: insert + update → one row at 11.0; id 2: insert + delete → gone
+    assert(folded == Seq((1L, 1L, 11.0)))
+    // corrupt screening with the exposed schema finds exactly the bad row
+    // (PERMISSIVE from_json yields an all-null struct, never a null
+    // column — no valid envelope lacks an op, so key the screen on it)
+    assert(envs.where(from_json(col("envelope"),
+      graft.io.ChangeConsumer.envelopeSchema(rowSchema))
+      .getField("op").isNull)
+      .count() == 1)
+  }
 }
