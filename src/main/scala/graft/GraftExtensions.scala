@@ -115,7 +115,17 @@ object GraftExtensions {
       "kll_quantiles(sketch, p...) needs at least one probability")
     val ps = exprs.tail.map {
       case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
-      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      // the natural SQL spelling kll_quantiles(s, 0.5) parses 0.5 as
+      // DECIMAL(1,1), which Catalyst stores as sql.types.Decimal (NOT
+      // java BigDecimal — that arm would be dead code)
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      // and 0/1 (exact rank endpoints) parse as integer literals
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+        v.toDouble
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) =>
+        v.toDouble
+      case Literal(v: Float, org.apache.spark.sql.types.FloatType) =>
+        v.toDouble
       case other => throw new IllegalArgumentException(
         s"kll_quantiles: probabilities must be numeric literals, got $other")
     }

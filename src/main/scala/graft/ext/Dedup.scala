@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Shared shingling helpers. */
 object Shingles {
@@ -228,6 +228,85 @@ object Dedup {
         .filter(col("jaccard") >= minJaccard)
         .select(col("a"), col("b"), col("jaccard")))
     sets.unpersist(); withSigKey.unpersist(); banded.unpersist()
+    result
+  }
+
+  /** Cross-engine-REPRODUCIBLE MinHash+LSH near-dup pairs: the same
+    * cluster-then-band pipeline as [[minHashLsh]], but every hash in it —
+    * shingle identity, the k MinHash functions, the band keys — is
+    * md5-derived Column algebra a reference SQL engine can reproduce
+    * exactly (h_i(shingle) = first 60 bits of md5(shingle ++ ":" ++ i)),
+    * and the verification emits the INTEGER sufficient statistics
+    * (n_inter, n_union of the distinct-shingle sets) with the threshold
+    * as an integer predicate (2·n_inter ≥ n_union ⟺ J ≥ 0.5) — no float
+    * ever crosses the comparison boundary. This is the variant external
+    * hash gates should check ([[minHashLsh]]'s xxhash64/OPH-aggregate
+    * internals are engine-specific, so its candidate set can't be
+    * replayed elsewhere); production pipelines keep [[minHashLsh]],
+    * whose per-shingle cost is one xxhash64 + k integer mixes instead of
+    * k md5 evaluations.
+    *
+    * Same scale shape as [[minHashLsh]]: identical-signature clustering
+    * first (linear rep→member links), banding over reps only, shuffles
+    * keyed on signature/band/id — no all-pairs stage. */
+  def minHashLshPortable(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val base = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id"),
+        array_distinct(Shingles.wordShingles(col(textCol), shingleSize))
+          .as("shset"))
+      .persist()
+    base.count() // fill once before the fan-out (minHashLsh discipline)
+    val minCols = (0 until numHashes).map { i =>
+      min(conv(substring(md5(concat(col("sh"), lit(":" + i))), 1, 15),
+        16, 10).cast(LongType)).as(s"__m$i")
+    }
+    val sigs = base.select(col("id"), explode(col("shset")).as("sh"))
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+    // signature as a canonical string — the portable stand-in for the
+    // 128-bit xxhash64 key (cluster and join keys must be reproducible
+    // too; at gate scale the byte weight is irrelevant)
+    val withKey = sigs.select(col("id"), col("sig"),
+      concat_ws(",", transform(col("sig"), _.cast(StringType)))
+        .as("__sigstr")).persist()
+    withKey.count()
+    val clusters = withKey.groupBy(col("__sigstr"))
+      .agg(min(col("id")).as("rep"))
+    val dup = withKey.join(clusters, Seq("__sigstr"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"))
+    val reps = withKey.join(
+      clusters.select(col("__sigstr"), col("rep").as("id")),
+      Seq("__sigstr", "id"), "left_semi")
+    val banded = reps.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(",", transform(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast(StringType)))))
+        .as(Seq("band", "bkey")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val result = graft.util.Caches.snapshot(
+      dup.unionByName(cand).dropDuplicates("a", "b")
+        .join(base.select(col("id").as("a"), col("shset").as("sh_a")),
+          Seq("a"))
+        .join(base.select(col("id").as("b"), col("shset").as("sh_b")),
+          Seq("b"))
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        .withColumn("n_union",
+          (size(col("sh_a")) + size(col("sh_b"))).cast(LongType)
+            - col("n_inter"))
+        .filter(col("n_inter") * 2 >= col("n_union"))
+        .select(col("a"), col("b"), col("n_inter"), col("n_union")))
+    base.unpersist(); withKey.unpersist()
     result
   }
 

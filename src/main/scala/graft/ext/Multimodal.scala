@@ -62,17 +62,24 @@ object Multimodal {
     * alternative is idle executors. */
   private def spread[T](ds: Dataset[T]): Dataset[T] = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    // Only inspect partitioning when the lineage is narrow (scan-rooted):
-    // on a plan that already shuffled (explicit repartition, aggregate,
-    // join …) the layout was chosen upstream — and, under AQE, asking the
-    // RDD for its partition count would EXECUTE those shuffle stages just
-    // to answer, running the upstream compute twice.
-    val shuffled = ds.queryExecution.analyzed.find {
-      case _: Repartition | _: RepartitionByExpression | _: Aggregate |
-          _: Join | _: Sort | _: Window | _: Distinct => true
+    // Only inspect partitioning when the lineage is PROVABLY narrow
+    // (scan-rooted with row-local transforms): on any other plan the
+    // layout was chosen upstream — and, under AQE, asking the RDD for
+    // its partition count would EXECUTE the upstream shuffle stages just
+    // to answer, running that compute twice. This is an ALLOWLIST, not a
+    // shuffle denylist: a denylist silently re-executes whatever node
+    // class it forgot (Deduplicate, MapGroups, Except, GlobalLimit, and
+    // every operator a future Spark adds), while an unknown node here
+    // costs at most some idle cores on an under-split input.
+    def narrow(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case n @ (_: Project | _: Filter | _: TypedFilter |
+          _: SerializeFromObject | _: DeserializeToObject |
+          _: MapElements | _: SubqueryAlias | _: LocalLimit) =>
+        n.children.forall(narrow)
       case _ => false
-    }.isDefined
-    if (shuffled) ds
+    }
+    if (!narrow(ds.queryExecution.analyzed)) ds
     else {
       val target = ds.sparkSession.sparkContext.defaultParallelism
       if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds

@@ -56,6 +56,28 @@ object Privacy {
       .withColumn("l_diverse", col("l_distinct") >= l)
   }
 
+  /** Combined k-anonymity + distinct-l-diversity audit in ONE aggregate:
+    * (quasi*, n, k_anonymous, l_distinct, l_diverse). Prefer this over
+    * joining [[kAnonymity]] and [[lDiversity]] outputs on the quasi
+    * columns: `groupBy` keeps NULL quasi values as their own class (as
+    * documented), but a re-join on those columns uses null-UNSAFE
+    * equality and silently drops every class containing a NULL — and the
+    * single groupBy is one shuffle instead of two plus a join anyway. */
+  def audit(df: DataFrame, quasi: Seq[String], sensitive: String,
+      k: Long, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("l_distinct"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("l_distinct") >= l)
+      .select(quasi.map(col) ++
+        Seq(col("n"), col("k_anonymous"), col("l_distinct"),
+          col("l_diverse")): _*)
+  }
+
   /** Generalization helper for the remediation loop: coarsen a numeric
     * column into `width`-sized bands (floor semantics, so negatives band
     * consistently). Re-run the audit on the banded column; widen until

@@ -249,29 +249,38 @@ object TextModel {
     * `minCount` are emitted (PMI of rare pairs is pure noise — the
     * standard floor). Output: (term_a, term_b, n_pair, n_a, n_b, pmi).
     *
-    * Determinism: one `ln` of a ratio of integer-derived doubles,
-    * multiplied in a FIXED written order — no float aggregation — plus a
-    * +1e-9 nudge before rounding. The nudge is the cross-engine guard:
-    * libm `ln` implementations are only 1-ulp-accurate, so a PMI value
-    * sitting exactly on the `roundTo` half-way grid (r7: one of 900 rows
-    * at a .00005 boundary) can round differently per engine; shifting
-    * both sides 1e-9 off the grid makes a flip require the true value to
-    * land within ~1 ulp of (boundary − 1e-9) — probability ~1e-8 per
-    * row instead of a live failure. 1e-9 is far below any meaningful
-    * PMI resolution and far above double ulp at PMI magnitudes.
-    *
     * Scale: bigram and unigram counts are keyed aggregates with map-side
     * combine (distributed frames, never collected); the two count
     * re-attaches shuffle the SURVIVING pair set (already floored by
     * `minCount`) on each term; T and B are single-row broadcasts. */
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
-      minCount: Long = 5, roundTo: Int = 4): DataFrame = {
+      minCount: Long = 5, roundTo: Int = 4): DataFrame =
+    pmiCollocationCounts(docs, idCol, textCol, minCount)
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round(log(
+          (col("n_pair").cast("double") * col("t_total") * col("t_total")) /
+            (col("b_total").cast("double") * col("n_a") * col("n_b"))),
+          roundTo).as("pmi"))
+
+  /** The integer sufficient statistics behind [[pmiCollocations]]:
+    * (term_a, term_b, n_pair, n_a, n_b, t_total, b_total) — everything
+    * needed to reconstruct PMI, all BIGINT. This is the cross-engine
+    * reproducible surface: `round(ln(...), k)` of a ratio of large
+    * integers can legitimately flip its last digit between libm
+    * implementations when the true value lands within ~1 ulp of a
+    * rounding-grid boundary (it did, twice, on the external hash gate),
+    * so hash-gated consumers compare THESE exact counts and let the
+    * float score live only in the analyst-facing [[pmiCollocations]]
+    * view. Same plan shape as pmiCollocations minus the `ln`. */
+  def pmiCollocationCounts(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 5): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     val pairs = bigrams(docs, idCol, textCol)
     val toks = tokens(docs, idCol, textCol)
     val uc = toks.groupBy(col("term")).agg(count(lit(1)).as("__cu"))
-    val tot = toks.agg(count(lit(1)).as("__T"))
-    val btot = pairs.agg(count(lit(1)).as("__B"))
+    val tot = toks.agg(count(lit(1)).as("t_total"))
+    val btot = pairs.agg(count(lit(1)).as("b_total"))
     pairs.groupBy(col("w1").as("term_a"), col("w2").as("term_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
@@ -282,12 +291,7 @@ object TextModel {
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(btot))
       .select(col("term_a"), col("term_b"), col("n_pair"),
-        col("n_a"), col("n_b"),
-        round(log(
-          (col("n_pair").cast("double") * col("__T") * col("__T")) /
-            (col("__B").cast("double") * col("n_a") * col("n_b")))
-          + lit(1e-9),
-          roundTo).as("pmi"))
+        col("n_a"), col("n_b"), col("t_total"), col("b_total"))
   }
 
   /** Per-doc n-gram novelty: the share of a doc's DISTINCT word
@@ -302,11 +306,15 @@ object TextModel {
     * Output: (idCol, n_grams, n_unique, novelty = n_unique / n_grams
     * rounded to `roundTo`).
     *
-    * Scale design: the q31/vocabulary shape — per-doc distinct grams ride
-    * the scan (one HOF pass per row), then one gram-keyed df aggregate
-    * (map-side combined; grams are already distinct per doc so df is a
-    * plain count), one gram-keyed re-attach, and a doc-keyed final
-    * aggregate. No all-pairs stage, nothing collected. */
+    * Scale design: the per-doc distinct grams ride the scan (one HOF
+    * pass per row), then ONE gram-keyed shuffle computes each gram's
+    * corpus df as a window count over the exploded frame (grams are
+    * already distinct per doc, so `count(*) over (partition by gram)` IS
+    * the document frequency), and a doc-keyed final aggregate folds it
+    * back. A single pass over the tokenize/explode — the earlier
+    * df-aggregate + re-attach join shape ran the whole explode twice
+    * (both join inputs derived from the same un-snapshotted frame). No
+    * all-pairs stage, nothing collected. */
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, roundTo: Int = 6): DataFrame = {
     require(n >= 1, "n must be >= 1")
@@ -315,8 +323,8 @@ object TextModel {
       .select(col(idCol),
         explode(array_distinct(Shingles.wordShingles(col(textCol), n)))
           .as("__gram"))
-    val dfc = dg.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
-    dg.join(dfc, Seq("__gram"))
+    dg.withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("__gram"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))

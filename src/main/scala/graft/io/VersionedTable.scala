@@ -35,9 +35,12 @@ import graft.util.Fmt
   * out — exactly the Delta time-travel/retention contract.
   *
   * Concurrency (the reason this exists next to [[Upsert]]):
-  *  - commits publish by ATOMIC link/move of a fully-written temp file to
-  *    the next version slot; the filesystem arbitrates racing writers
-  *    (first claim wins, loser observes `FileAlreadyExistsException`);
+  *  - commits publish through a pluggable [[CommitArbiter]] (default:
+  *    ATOMIC hard-link/move of a fully-written temp file to the next
+  *    version slot — the filesystem arbitrates racing writers, first
+  *    claim wins). The default arbiter is correct on POSIX filesystems
+  *    ONLY; S3/GCS-style object stores need an external-arbitration
+  *    implementation — see [[CommitArbiter]];
   *  - [[append]] has no logical conflicts — a losing appender simply
   *    re-claims the next slot (bounded retries);
   *  - snapshot-replacing commits ([[overwrite]], [[merge]], [[deleteWhere]],
@@ -150,33 +153,19 @@ object VersionedTable {
 
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
 
-  /** Atomic publish of version `v`: write the full content to a temp file,
-    * then hard-link it into the version slot (atomic create-exclusive with
-    * content already in place — no reader ever sees a torn commit). Falls
-    * back to create-exclusive + copy where the filesystem has no links.
-    * Returns false when the slot was already claimed by another writer. */
+  /** The slot-claim arbiter — how "first writer wins a version slot" is
+    * decided. Default is the POSIX hard-link/move arbiter (correct on
+    * local disk and link-faithful NFS); object-store deployments MUST
+    * install an external-arbitration implementation first — see
+    * [[CommitArbiter]] for the full filesystem contract. */
+  @volatile var commitArbiter: CommitArbiter = CommitArbiter.PosixLink
+
+  /** Atomic publish of version `v` via [[commitArbiter]]. Returns false
+    * when the slot was already claimed by another writer. */
   private def tryPublish(table: String, v: Long, json: String): Boolean = {
     val dir = logPath(table)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}.json.tmp")
-    Files.writeString(tmp, json)
-    val target = versionFile(table, v)
-    try {
-      try { Files.createLink(target, tmp); true }
-      catch {
-        case _: UnsupportedOperationException =>
-          // no hard links (some object-store mounts): claim the slot with
-          // an exclusive create, then move content over it. The window
-          // where the slot exists but is empty is healed on the read side
-          // (empty/torn commit files are retried briefly, then ignored as
-          // uncommitted).
-          Files.createFile(target)
-          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
-          true
-      }
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
+    commitArbiter.tryClaim(dir, versionFile(table, v), json)
   }
 
   // ------------------------------------------------------------- snapshots

@@ -206,14 +206,17 @@ object IncrementalAgg {
   /** Reader-facing quantiles from a [[quantileState]]: one
     * `q_<percent>` double column per requested probability. */
   def finalizeQuantiles(state: DataFrame, keys: Seq[String],
-      probabilities: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
-    val qs = graft.functions.KllSketchAgg.quantiles(col("kll"),
-      probabilities)
-    state.select(keys.map(col) ++ probabilities.zipWithIndex.map {
-      case (p, i) =>
-        element_at(qs, i + 1).as(s"q_${(p * 100).round}")
-    }: _*)
-  }
+      probabilities: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
+    // project the quantile ARRAY once, then pick elements from that
+    // column — element_at over a repeated KllQuantiles expression would
+    // deserialize and query the sketch once per probability per row
+    // (the expression is CodegenFallback, so no CSE saves it)
+    state.withColumn("__qs",
+        graft.functions.KllSketchAgg.quantiles(col("kll"), probabilities))
+      .select(keys.map(col) ++ probabilities.zipWithIndex.map {
+        case (p, i) =>
+          element_at(col("__qs"), i + 1).as(s"q_${(p * 100).round}")
+      }: _*)
 
   /** Reader-facing view of a retractable [[sumState]]. */
   def finalizeSums(state: DataFrame, keys: Seq[String]): DataFrame =

@@ -24,9 +24,10 @@ object OpsQueries {
         .withColumn("bal_band",
           graft.ext.Privacy.generalizeNumeric(col("c_acctbal"), 2000L))
         .withColumn("sens", pmod(col("c_custkey"), lit(7L)))
-      graft.ext.Privacy.kAnonymity(cust, quasi, k = 5)
-        .join(graft.ext.Privacy.lDiversity(cust, quasi, "sens", l = 3)
-          .drop("n"), quasi)
+      // one combined aggregate — a re-join of the two single-audit
+      // outputs on the quasi columns would be null-unsafe (NULL quasi
+      // classes are legal and must survive the audit)
+      graft.ext.Privacy.audit(cust, quasi, "sens", k = 5, l = 3)
         .orderBy(quasi.map(col): _*)
     }),
 

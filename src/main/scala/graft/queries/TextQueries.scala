@@ -208,12 +208,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash+LSH near-dup pairs over planted dups (rows-only; ~1 pair per
-    // source doc expected, jaccard near 1).
+    // MinHash+LSH near-dup pairs over planted dups, via the PORTABLE
+    // md5-hash-family variant so the whole pipeline — shingle sets, the
+    // 32 minhash functions, banding, candidate join, exact-Jaccard
+    // verification — is reproduced in DuckDB and hash-gated. The gated
+    // payload is the integer pair statistics (n_inter, n_union) with the
+    // J >= 0.5 floor as 2*n_inter >= n_union (the q111 lesson: never put
+    // a rounded float on the hash boundary). The production operator
+    // (Dedup.minHashLsh, xxhash64 + OPH aggregate — engine-specific
+    // hashes, so its candidate set is not replayable in SQL) stays
+    // hash-gated through its q57/q70/q112 compositions and
+    // recall-asserted in ExtSpec.
     "q29_minhash_pairs" -> ((s, dir) => {
-      Dedup.minHashLsh(withPlantedNearDups(t(s, dir, "documents")),
-          "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 4,
-          minJaccard = 0.5)
+      Dedup.minHashLshPortable(withPlantedNearDups(t(s, dir, "documents")),
+          "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 4)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -583,9 +591,14 @@ object TextQueries {
     }),
 
     // PMI collocations over adjacent token pairs (phrase discovery),
-    // floored at 5 occurrences.
+    // floored at 5 occurrences. The GATE compares the integer sufficient
+    // statistics (pair/unigram/total counts) rather than the rounded
+    // float PMI: round(ln(...), 4) flipped one row's last digit across
+    // libm implementations two rounds running, and the counts determine
+    // the score exactly. TextModel.pmiCollocations keeps emitting pmi
+    // for library users.
     "q111_pmi_collocations" -> ((s, dir) => {
-      graft.ext.TextModel.pmiCollocations(t(s, dir, "documents"),
+      graft.ext.TextModel.pmiCollocationCounts(t(s, dir, "documents"),
           "doc_id", "text", minCount = 5)
         .orderBy(col("term_a"), col("term_b"))
     }),
@@ -1425,9 +1438,7 @@ object TextQueries {
         |  FROM bi GROUP BY 1, 2),
         |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi)
         |SELECT bc.a AS term_a, bc.b AS term_b, n_pair,
-        |  ua.n AS n_a, ub.n AS n_b,
-        |  ROUND(LN((CAST(n_pair AS DOUBLE) * T * T) /
-        |    (CAST(nb AS DOUBLE) * ua.n * ub.n)) + 1e-9, 4) AS pmi
+        |  ua.n AS n_a, ub.n AS n_b, T AS t_total, nb AS b_total
         |FROM bc, tot, btot
         |JOIN uc ua ON ua.term = bc.a
         |JOIN uc ub ON ub.term = bc.b
@@ -1582,6 +1593,70 @@ object TextQueries {
         |SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
         |FROM rep WHERE n > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // Full replay of the portable MinHash+LSH pipeline: md5-family
+    // minhash signatures, identical-signature clustering (rep->member
+    // links), 8x4 banding over reps, bucket-join candidates, exact
+    // integer Jaccard verification (2*n_inter >= n_union <=> J >= 0.5).
+    "q29_minhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 1000000, text || ' zyxqj' FROM documents)
+        |  WHERE text IS NOT NULL AND trim(text) <> ''),
+        |toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+        |  FROM corpus),
+        |shs AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(range(1, len(tk) - 1),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)
+        |    AS shset
+        |  FROM toks),
+        |hv AS (
+        |  SELECT s.doc_id, f.i,
+        |    MIN(('0x' || substr(md5(g.sh || ':' || f.i), 1, 15))::BIGINT) AS m
+        |  FROM shs s, LATERAL (SELECT unnest(s.shset) AS sh) g,
+        |    (SELECT unnest(range(0, 32)) AS i) f
+        |  GROUP BY s.doc_id, f.i),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(list(m ORDER BY i),
+        |      x -> CAST(x AS VARCHAR)), ',') AS sigstr,
+        |    list(m ORDER BY i) AS sig
+        |  FROM hv GROUP BY doc_id),
+        |clustered AS (SELECT sigstr, MIN(doc_id) AS rep FROM sigs GROUP BY sigstr),
+        |dup AS (
+        |  SELECT c.rep AS a, s.doc_id AS b
+        |  FROM sigs s JOIN clustered c USING (sigstr) WHERE s.doc_id <> c.rep),
+        |reps AS (
+        |  SELECT s.doc_id, s.sig FROM sigs s
+        |  JOIN clustered c ON c.sigstr = s.sigstr AND c.rep = s.doc_id),
+        |bands AS (
+        |  SELECT doc_id, bb.b AS band,
+        |    array_to_string(list_transform(
+        |      list_slice(sig, bb.b * 4 + 1, bb.b * 4 + 4),
+        |      x -> CAST(x AS VARCHAR)), ',') AS bkey
+        |  FROM reps, (SELECT unnest(range(0, 8)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |allc AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM dup UNION ALL SELECT a, b FROM cand)),
+        |ver AS (
+        |  SELECT allc.a, allc.b,
+        |    CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT) AS n_inter,
+        |    CAST(len(sa.shset) + len(sb.shset)
+        |      - len(list_intersect(sa.shset, sb.shset)) AS BIGINT) AS n_union
+        |  FROM allc
+        |  JOIN shs sa ON sa.doc_id = allc.a
+        |  JOIN shs sb ON sb.doc_id = allc.b)
+        |SELECT a, b, n_inter, n_union FROM ver
+        |WHERE 2 * n_inter >= n_union
+        |ORDER BY a, b""".stripMargin,
 
     "q30_simhash_pairs" ->
       """WITH

@@ -24,6 +24,20 @@ import graft.queries.Q.t
   */
 object VersionedQueries {
 
+  /** Fixture slices. These queries gate LOG machinery — commit
+    * arbitration, checkpoint replay, snapshot resolution, change-feed
+    * classification — whose cost and coverage are per-COMMIT, not
+    * per-row; rebuilding every scratch table from the full orders table
+    * spent ~26 s of the r9 bench on fixture I/O that exercised nothing
+    * extra. A capped key range keeps every code path (append / MERGE /
+    * DELETE / RESTORE / compact / Z-order / CDF / both retraction arms)
+    * live while the tables stay small. The SAME cap appears in each
+    * oracle's base relation. */
+  private def ordersSlice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+  private def customerSlice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") < 5000)
+
   private def withScratch[T](body: String => DataFrame): DataFrame = {
     val dir = Files.createTempDirectory("graft-vq")
     try graft.util.Caches.snapshot(body(dir.resolve("t").toString))
@@ -42,7 +56,7 @@ object VersionedQueries {
     // the log and aggregate it. One row per version; the oracle recomputes
     // each version's state from the same deterministic key-slice algebra.
     "q151_time_travel" -> ((s, dir) => withScratch { tbl =>
-      val base = t(s, dir, "orders")
+      val base = ordersSlice(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
       VT.append(s, base.filter(col("o_orderkey") % 3 === 1), tbl)    // v1
@@ -67,7 +81,7 @@ object VersionedQueries {
     // as insert / update pre+postimage / delete with the correct payload
     // side (preimages carry v0 values, postimages v2 values).
     "q152_change_feed" -> ((s, dir) => withScratch { tbl =>
-      val cust = t(s, dir, "customer")
+      val cust = customerSlice(s, dir)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)     // v0
       val src = cust.filter(col("c_custkey") % 3 === 0)
@@ -93,7 +107,7 @@ object VersionedQueries {
     // driver hash-checks the values; VersionedTableSpec asserts the file
     // pruning itself (inputFiles strictly shrinks, residual exactness).
     "q154_pruned_scan" -> ((s, dir) => withScratch { tbl =>
-      val base = t(s, dir, "orders")
+      val base = ordersSlice(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       VT.append(s, base, tbl, statsFor = Seq("o_orderkey"))
       VT.compact(s, tbl, targetFiles = 8, clusterBy = Seq("o_orderkey"))
@@ -120,7 +134,7 @@ object VersionedQueries {
       val state = root.resolve("state").toString
       val ckM = root.resolve("ckm").toString
       val ckS = root.resolve("cks").toString
-      val cust = t(s, dir, "customer")
+      val cust = customerSlice(s, dir)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)     // v0
       // cycle 1: both consumers bootstrap from the v0 snapshot
@@ -154,7 +168,7 @@ object VersionedQueries {
     // the file-skip contrast; the driver hash-checks that the pruned
     // read is VALUE-exact against a plain recompute).
     "q156_zorder_scan" -> ((s, dir) => withScratch { tbl =>
-      val base = t(s, dir, "orders")
+      val base = ordersSlice(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       VT.append(s, base, tbl)
       VT.compact(s, tbl, targetFiles = 16,
@@ -168,7 +182,7 @@ object VersionedQueries {
     }),
 
     "q153_incremental_gold" -> ((s, dir) => withScratch { tbl =>
-      val base = t(s, dir, "orders")
+      val base = ordersSlice(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
       val src = base.filter(col("o_orderkey") % 5 === 0)
@@ -196,7 +210,7 @@ object VersionedQueries {
     // some customers' last rows (multiplicity → 0), so both retraction
     // paths sit inside the hash-checked result.
     "q157_incremental_distinct" -> ((s, dir) => withScratch { tbl =>
-      val base = t(s, dir, "orders")
+      val base = ordersSlice(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
       val src = base.filter(col("o_orderkey") % 5 === 0)
@@ -225,7 +239,7 @@ object VersionedQueries {
     "q160_cdc_envelope" -> ((s, dir) => {
       val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
-      val base = t(s, dir, "orders")
+      val base = ordersSlice(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val row = struct(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"))
@@ -267,7 +281,8 @@ object VersionedQueries {
     // (status F ∧ key%7=0); v4 = RESTORE to v1.
     "q151_time_travel" ->
       """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey < 20000),
         |v1 AS (SELECT * FROM base WHERE o_orderkey % 3 IN (0, 1)),
         |v2 AS (
         |  SELECT t.o_orderkey,
@@ -296,16 +311,19 @@ object VersionedQueries {
     "q152_change_feed" ->
       """SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal,
         |  'insert' AS _change_type
-        |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 1
+        |FROM customer
+        |WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 1 AND c_custkey < 5000
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal, 'update_preimage'
-        |FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4
+        |FROM customer
+        |WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4 AND c_custkey < 5000
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal + 50.0, 'update_postimage'
-        |FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4
+        |FROM customer
+        |WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4 AND c_custkey < 5000
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal, 'delete'
-        |FROM customer WHERE c_custkey % 10 = 4
+        |FROM customer WHERE c_custkey % 10 = 4 AND c_custkey < 5000
         |ORDER BY c_custkey, _change_type""".stripMargin,
 
     // One aggregate from the slice algebra (final state = keys with
@@ -317,7 +335,7 @@ object VersionedQueries {
         |    c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 50.0 ELSE 0.0 END AS bal
         |  FROM customer
         |  WHERE (c_custkey % 2 = 0 OR c_custkey % 3 = 0)
-        |    AND c_custkey % 10 <> 4),
+        |    AND c_custkey % 10 <> 4 AND c_custkey < 5000),
         |agg AS (
         |  SELECT c_mktsegment, COUNT(*) AS n,
         |    CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -353,10 +371,11 @@ object VersionedQueries {
         |  SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey < 20000
         |  UNION ALL
         |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0),
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey < 20000),
         |v2 AS (
         |  SELECT * FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
         |SELECT o_orderstatus, COUNT(*) AS n,
@@ -374,10 +393,11 @@ object VersionedQueries {
         |  SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |    o_custkey
-        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey < 20000
         |  UNION ALL
         |  SELECT o_orderkey, 'U' AS o_orderstatus, o_custkey
-        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0),
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey < 20000),
         |v2 AS (
         |  SELECT * FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
         |SELECT o_orderstatus,
@@ -393,11 +413,11 @@ object VersionedQueries {
         |    CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
         |  FROM orders
-        |  WHERE o_orderkey % 3 = 0
+        |  WHERE o_orderkey % 3 = 0 AND o_orderkey < 20000
         |    AND NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0 AND o_orderstatus = 'F')
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey < 20000)
         |SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

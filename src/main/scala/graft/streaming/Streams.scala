@@ -525,13 +525,17 @@ object Streams {
         hll_union_agg(col("users_hll"), lit(false)).as("users_hll"),
         graft.functions.KllSketchAgg.mergeSketches(col("value_kll"))
           .as("value_kll"))
-    val qs = graft.functions.KllSketchAgg.quantiles(col("value_kll"),
-      probabilities)
-    merged.select(Seq(col("hour"), col("event_type"), col("n"),
-      hll_sketch_estimate(col("users_hll")).as("n_users_approx")) ++
-      probabilities.zipWithIndex.map { case (p, i) =>
-        element_at(qs, i + 1).as(s"q_${(p * 100).round}")
-      }: _*)
+    // one projected quantile array, not one KllQuantiles eval per
+    // probability (CodegenFallback — each copy re-deserializes the
+    // sketch; see IncrementalAgg.finalizeQuantiles)
+    merged.withColumn("__qs",
+        graft.functions.KllSketchAgg.quantiles(col("value_kll"),
+          probabilities))
+      .select(Seq(col("hour"), col("event_type"), col("n"),
+        hll_sketch_estimate(col("users_hll")).as("n_users_approx")) ++
+        probabilities.zipWithIndex.map { case (p, i) =>
+          element_at(col("__qs"), i + 1).as(s"q_${(p * 100).round}")
+        }: _*)
   }
 
   /** Stream-stream inner join: each left event picks up right-side events

@@ -192,6 +192,28 @@ class DataQualitySpec extends SparkSpec {
     assert(s == ((4L, 1L, 1L, 1L))) // 4 classes, 1 violating, 1 row, k=1
   }
 
+  test("Privacy.audit: one-aggregate combined audit keeps NULL quasi " +
+      "classes (the join-based composition silently dropped them)") {
+    import graft.ext.Privacy
+    import spark.implicits._
+    val rows = Seq(
+      ("US", "d1"), ("US", "d1"), ("US", "d2"),
+      (null.asInstanceOf[String], "d1"),
+      (null.asInstanceOf[String], "d2"))
+      .toDF("country", "dx")
+    val out = Privacy.audit(rows, Seq("country"), "dx", k = 2, l = 2)
+      .orderBy("country")
+      .as[(Option[String], Long, Boolean, Long, Boolean)].collect().toSeq
+    // the NULL class MUST be present — null-unsafe re-join loses it
+    assert(out == Seq(
+      (None, 2L, true, 2L, true),
+      (Some("US"), 3L, true, 2L, true)))
+    // and the combined columns agree with the two single audits
+    val ka = Privacy.kAnonymity(rows, Seq("country"), k = 2)
+    val ld = Privacy.lDiversity(rows, Seq("country"), "dx", l = 2)
+    assert(ka.count() == 2 && ld.count() == 2)
+  }
+
   test("Privacy: l-diversity catches homogeneous classes; generalization " +
       "widens classes until the realized k clears the bar") {
     import graft.ext.Privacy

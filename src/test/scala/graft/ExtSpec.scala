@@ -142,6 +142,37 @@ class ExtSpec extends SparkSpec {
     assert(planted.forall(_.getAs[Double]("jaccard") > 0.8))
   }
 
+  test("minHashLshPortable: planted pairs found; integer stats exact; " +
+      "threshold is the integer predicate") {
+    val pairs = Dedup.minHashLshPortable(docsWithDups, "doc_id", "text",
+      shingleSize = 3, bands = 8, rowsPerBand = 4).collect()
+    val planted = pairs.filter(r =>
+      r.getAs[Long]("b") == r.getAs[Long]("a") + 1000L)
+    assert(planted.length >= 45) // ≥90% recall of the 50 planted pairs
+    // every emitted pair satisfies the integer floor 2*inter >= union,
+    // and planted pairs (one appended token ⇒ ≤3 changed shingles) are
+    // near-identical sets
+    assert(pairs.forall(r =>
+      2 * r.getAs[Long]("n_inter") >= r.getAs[Long]("n_union")))
+    assert(planted.forall { r =>
+      val j = r.getAs[Long]("n_inter").toDouble / r.getAs[Long]("n_union")
+      j > 0.8
+    })
+    // spot-check the stats against a direct shingle-set computation
+    val sets = Dedup.shingleSets(
+      docsWithDups.filter(col("text").isNotNull &&
+        trim(col("text")) =!= ""), "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[scala.collection.Seq[Long]]("shset").toSet).toMap
+    planted.take(5).foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val inter = sets(a).intersect(sets(b)).size.toLong
+      val union = sets(a).union(sets(b)).size.toLong
+      assert(r.getAs[Long]("n_inter") == inter &&
+        r.getAs[Long]("n_union") == union)
+    }
+  }
+
   test("simHashPairs: planted near-dups within small hamming distance") {
     val pairs = Dedup.simHashPairs(docsWithDups, "doc_id", "text",
       maxHamming = 6).collect()

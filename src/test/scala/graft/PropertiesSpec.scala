@@ -179,6 +179,17 @@ class PropertiesSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     // both bands see ~uniform 0..9999 → p50 near 5000 (±2% rank error)
     assert(math.abs(qs(0L) - 5000.0) < 300 && math.abs(qs(1L) - 5000.0) < 300)
+    // the NATURAL SQL spellings: a bare decimal literal (0.5 parses as
+    // DECIMAL(1,1) → Catalyst Decimal, not java BigDecimal) and integer
+    // rank endpoints 0 / 1 — all must be accepted as probabilities
+    val nat = spark.sql(
+      """SELECT kll_quantiles(kll_sketch_agg(v), 0, 0.5, 1) AS q
+        |FROM kll_rows""".stripMargin)
+      .select(element_at(col("q"), 1), element_at(col("q"), 2),
+        element_at(col("q"), 3))
+      .as[(Double, Double, Double)].head()
+    assert(nat._1 == 0.0 && math.abs(nat._2 - 5000.0) < 300 &&
+      nat._3 == 9999.0)
   }
 
   test("vec_l2sq matches the HOF fold bit-exactly, from Column and SQL") {

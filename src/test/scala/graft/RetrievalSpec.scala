@@ -619,6 +619,15 @@ class RetrievalSpec extends SparkSpec {
       "text", minCount = 2).collect()
     assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("a", "b")))
+    // the integer sufficient statistics (the hash-gate surface) carry
+    // the totals the float view folds into the score
+    val counts = graft.ext.TextModel.pmiCollocationCounts(docs, "doc_id",
+        "text", minCount = 1)
+      .orderBy("term_a", "term_b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(counts == Seq(
+      ("a", "b", 2L, 2L, 2L, 4L, 3L),
+      ("b", "a", 1L, 2L, 2L, 4L, 3L)))
   }
 
   // ---------- hard-negative mining ----------

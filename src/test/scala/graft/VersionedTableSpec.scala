@@ -105,6 +105,32 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("commitArbiter is pluggable: commits route through the installed " +
+      "arbiter; a slot denial surfaces as the lost-race path") {
+    import java.nio.file.Path
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val denyFirst = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val spy = new graft.io.CommitArbiter {
+      def tryClaim(dir: Path, target: Path, json: String): Boolean = {
+        seen.incrementAndGet()
+        // deny exactly one claim: append must retry the NEXT slot —
+        // the loser-observes-a-loss contract, driven through a custom
+        // arbiter instead of a real filesystem race
+        if (denyFirst.getAndSet(false)) false
+        else graft.io.CommitArbiter.PosixLink.tryClaim(dir, target, json)
+      }
+    }
+    val prev = VT.commitArbiter
+    try {
+      VT.commitArbiter = spy
+      withTable { t =>
+        VT.append(spark, df(1 -> "a"), t)
+        assert(seen.get() >= 2) // denied claim + successful retry
+        assert(VT.snapshot(spark, t).count() == 1)
+      }
+    } finally VT.commitArbiter = prev
+  }
+
   test("stale overwrite raises ConcurrentWriteException, loses nothing") {
     withTable { t =>
       VT.append(spark, df(1 -> "a"), t)                   // v0
