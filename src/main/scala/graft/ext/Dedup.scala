@@ -234,17 +234,19 @@ object Dedup {
   /** Cross-engine-REPRODUCIBLE MinHash+LSH near-dup pairs: the same
     * cluster-then-band pipeline as [[minHashLsh]], but every hash in it —
     * shingle identity, the k MinHash functions, the band keys — is
-    * md5-derived Column algebra a reference SQL engine can reproduce
-    * exactly (h_i(shingle) = first 60 bits of md5(shingle ++ ":" ++ i)),
-    * and the verification emits the INTEGER sufficient statistics
-    * (n_inter, n_union of the distinct-shingle sets) with the threshold
-    * as an integer predicate (2·n_inter ≥ n_union ⟺ J ≥ 0.5) — no float
-    * ever crosses the comparison boundary. This is the variant external
-    * hash gates should check ([[minHashLsh]]'s xxhash64/OPH-aggregate
-    * internals are engine-specific, so its candidate set can't be
-    * replayed elsewhere); production pipelines keep [[minHashLsh]],
-    * whose per-shingle cost is one xxhash64 + k integer mixes instead of
-    * k md5 evaluations.
+    * Column algebra a reference SQL engine can reproduce exactly: ONE
+    * md5 per shingle (h = first 60 bits, reduced mod p = 2^31−1), then
+    * h_i = ((2i+3)·h + i) mod p — multiply-mod-prime permutations whose
+    * products stay under 2^38, so they compute identically in engines
+    * that ERROR on 64-bit overflow instead of wrapping (the reason a
+    * splitmix/xxhash mix can't be the portable family). Verification
+    * emits the INTEGER sufficient statistics (n_inter, n_union of the
+    * distinct-shingle sets) with the threshold as an integer predicate
+    * (2·n_inter ≥ n_union ⟺ J ≥ 0.5) — no float ever crosses the
+    * comparison boundary. This is the variant external hash gates check
+    * ([[minHashLsh]]'s xxhash64/OPH-aggregate internals are
+    * engine-specific, so its candidate set can't be replayed elsewhere);
+    * production pipelines keep [[minHashLsh]].
     *
     * Same scale shape as [[minHashLsh]]: identical-signature clustering
     * first (linear rep→member links), banding over reps only, shuffles
@@ -259,11 +261,15 @@ object Dedup {
           .as("shset"))
       .persist()
     base.count() // fill once before the fan-out (minHashLsh discipline)
+    val p = 2147483647L // 2^31 − 1; (2k+3)·h + k < 2^38 — overflow-free
     val minCols = (0 until numHashes).map { i =>
-      min(conv(substring(md5(concat(col("sh"), lit(":" + i))), 1, 15),
-        16, 10).cast(LongType)).as(s"__m$i")
+      min((lit(2L * i + 3) * col("__hb") + lit(i.toLong)) % p)
+        .as(s"__m$i")
     }
     val sigs = base.select(col("id"), explode(col("shset")).as("sh"))
+      .select(col("id"),
+        (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType)
+          % p).as("__hb"))
       .groupBy(col("id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),

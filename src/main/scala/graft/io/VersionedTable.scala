@@ -436,14 +436,29 @@ object VersionedTable {
       }.toMap
   }
 
+  /** Optimized-write sizing (Delta/Databricks `optimizeWrite`): an AQE
+    * REBALANCE shuffle before the file write, so output files target
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (64 MB default)
+    * regardless of the input plan's partitioning. Without it every
+    * append emits one file PER INPUT PARTITION — a streaming
+    * [[versionedSink]] writing shuffle-partition-count near-empty files
+    * per micro-batch is exactly how a 100 TB table degrades into the
+    * small-file swamp that OPTIMIZE then has to mop up. Cost: one extra
+    * shuffle of the appended delta (never of the table) — the standard
+    * optimize-write trade; pass `optimizeWrite = false` for bulk loads
+    * whose partitioning is already file-sized. */
+  private def sized(df: DataFrame, optimizeWrite: Boolean): DataFrame =
+    if (optimizeWrite) df.hint("rebalance") else df
+
   /** Blind append: new files join the current file set. Never conflicts —
     * racing appenders serialize through slot claims. Returns the commit.
     * `statsFor` columns get per-file min/max recorded in the commit for
-    * manifest-level data skipping ([[snapshotWhere]]). */
+    * manifest-level data skipping ([[snapshotWhere]]); file sizing via
+    * [[sized]]. */
   def append(spark: SparkSession, df: DataFrame, table: String,
-      statsFor: Seq[String] = Nil): Commit = {
+      statsFor: Seq[String] = Nil, optimizeWrite: Boolean = true): Commit = {
     Files.createDirectories(Paths.get(table))
-    val files = writeDataFiles(df, table)
+    val files = writeDataFiles(sized(df, optimizeWrite), table)
     commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
       stats = computeStats(spark, table, files, statsFor))
   }
@@ -456,10 +471,11 @@ object VersionedTable {
     * This is what makes [[versionedSink]] exactly-once: foreachBatch is
     * at-least-once, and the txn check collapses replays. */
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
-      txnApp: String, txnId: Long, statsFor: Seq[String] = Nil): Commit =
+      txnApp: String, txnId: Long, statsFor: Seq[String] = Nil,
+      optimizeWrite: Boolean = true): Commit =
     txnCommit(table, txnApp, txnId).getOrElse {
       Files.createDirectories(Paths.get(table))
-      val files = writeDataFiles(df, table)
+      val files = writeDataFiles(sized(df, optimizeWrite), table)
       commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
         txn = Some((txnApp, txnId)),
         stats = computeStats(spark, table, files, statsFor))
@@ -498,11 +514,12 @@ object VersionedTable {
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
       expectVersion: Option[Long] = None,
       statsFor: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Commit =
+      txn: Option[(String, Long)] = None,
+      optimizeWrite: Boolean = true): Commit =
     txn.flatMap(t => txnCommit(table, t._1, t._2)).getOrElse {
       Files.createDirectories(Paths.get(table))
       val read = expectVersion.orElse(latestVersion(table))
-      val files = writeDataFiles(df, table)
+      val files = writeDataFiles(sized(df, optimizeWrite), table)
       commitLoop(table, "overwrite", files,
         _ => read.map(v => stateAt(table, v).files).getOrElse(Nil),
         df.schema.json, readVersion = read, txn = txn,

@@ -1615,12 +1615,15 @@ object TextQueries {
         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)
         |    AS shset
         |  FROM toks),
+        |hb AS (
+        |  SELECT s.doc_id,
+        |    ('0x' || substr(md5(g.sh), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM shs s, LATERAL (SELECT unnest(s.shset) AS sh) g),
         |hv AS (
-        |  SELECT s.doc_id, f.i,
-        |    MIN(('0x' || substr(md5(g.sh || ':' || f.i), 1, 15))::BIGINT) AS m
-        |  FROM shs s, LATERAL (SELECT unnest(s.shset) AS sh) g,
-        |    (SELECT unnest(range(0, 32)) AS i) f
-        |  GROUP BY s.doc_id, f.i),
+        |  SELECT doc_id, f.i,
+        |    MIN(((2 * f.i + 3) * h + f.i) % 2147483647) AS m
+        |  FROM hb, (SELECT unnest(range(0, 32)) AS i) f
+        |  GROUP BY doc_id, f.i),
         |sigs AS (
         |  SELECT doc_id,
         |    array_to_string(list_transform(list(m ORDER BY i),

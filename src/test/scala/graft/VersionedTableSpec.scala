@@ -91,6 +91,21 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("optimized write coalesces a many-partition tiny append to few " +
+      "files; optimizeWrite=false preserves input partitioning") {
+    withTable { t =>
+      val wide = spark.range(0, 1000, 1, 32)
+        .selectExpr("id", "CAST(id AS STRING) AS v")
+      val c = VT.append(spark, wide.toDF(), t)
+      // AQE rebalance folds 32 near-empty partitions into ~1 file —
+      // the anti-small-file contract for streaming micro-batch appends
+      assert(c.add.size <= 4, s"optimized append wrote ${c.add.size} files")
+      val c2 = VT.append(spark, wide.toDF(), t, optimizeWrite = false)
+      assert(c2.add.size == 32) // raw mode: one file per input partition
+      assert(VT.snapshot(spark, t).count() == 2000)
+    }
+  }
+
   test("concurrent appends both land (optimistic slot retry)") {
     withTable { t =>
       VT.append(spark, df(0 -> "seed"), t)
