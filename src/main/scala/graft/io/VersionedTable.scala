@@ -436,6 +436,70 @@ object VersionedTable {
       }.toMap
   }
 
+  /** A write was rejected because its schema conflicts with the table's —
+    * the write-side half of the lakehouse schema contract (Delta's
+    * enforcement): a bad producer must fail AT WRITE TIME, loudly, not
+    * poison every future read with a mergeSchema type clash. */
+  final class SchemaEnforcementException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Current-table schema as a name → type-catalogString map (empty map
+    * for an empty/absent table — first writer sets the schema freely).
+    * catalogString deliberately ignores nullability: null-ness differs
+    * freely between frames computed different ways and is handled by the
+    * read side, while a TYPE change is always a corruption. */
+  private def currentSchemaMap(table: String): Map[String, String] =
+    latestVersion(table).map { v =>
+      val json = stateAt(table, v).schemaJson
+      if (json.isEmpty) Map.empty[String, String]
+      else DataType.fromJson(json).asInstanceOf[StructType]
+        .fields.map(f => f.name -> f.dataType.catalogString).toMap
+    }.getOrElse(Map.empty)
+
+  /** Append-side schema enforcement: a column shared with the table must
+    * keep its exact type (always rejected otherwise — type evolution
+    * goes through [[overwrite]] with `overwriteSchema = true`); columns
+    * NEW to the table require an explicit `mergeSchema = true` (Delta's
+    * `.option("mergeSchema")` opt-in); columns the incoming frame lacks
+    * are fine — historical files already read null for them. */
+  private def enforceAppendSchema(table: String, incoming: StructType,
+      mergeSchema: Boolean): Unit = {
+    val cur = currentSchemaMap(table)
+    if (cur.isEmpty) return
+    val conflicts = incoming.fields
+      .filter(f => cur.get(f.name).exists(_ != f.dataType.catalogString))
+    if (conflicts.nonEmpty)
+      throw new SchemaEnforcementException(
+        "append changes column types on " + table + ": " +
+          conflicts.map(f =>
+            s"${f.name}: ${cur(f.name)} -> ${f.dataType.catalogString}")
+            .mkString(", ") +
+          "; type changes require overwrite(overwriteSchema = true)")
+    val added = incoming.fields.map(_.name).filterNot(cur.contains)
+    if (added.nonEmpty && !mergeSchema)
+      throw new SchemaEnforcementException(
+        "append adds new columns to " + table + ": " +
+          added.mkString(", ") + "; pass mergeSchema = true to evolve " +
+          "the schema (historical files read the new columns as null)")
+  }
+
+  /** Overwrite-side enforcement: overwrite REPLACES the live file set,
+    * so the table's schema becomes the frame's — any name/type drift
+    * from the current schema requires `overwriteSchema = true`. */
+  private def enforceOverwriteSchema(table: String, incoming: StructType,
+      overwriteSchema: Boolean): Unit = {
+    if (overwriteSchema) return
+    val cur = currentSchemaMap(table)
+    if (cur.isEmpty) return
+    val inc = incoming.fields.map(f => f.name -> f.dataType.catalogString)
+    if (inc.toMap != cur)
+      throw new SchemaEnforcementException(
+        "overwrite changes the schema of " + table +
+          s" (table: ${cur.toSeq.sortBy(_._1).mkString(", ")}; frame: " +
+          s"${inc.sortBy(_._1).mkString(", ")}); pass " +
+          "overwriteSchema = true to replace it")
+  }
+
   /** Optimized-write sizing (Delta/Databricks `optimizeWrite`): an AQE
     * REBALANCE shuffle before the file write, so output files target
     * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (64 MB default)
@@ -456,8 +520,10 @@ object VersionedTable {
     * manifest-level data skipping ([[snapshotWhere]]); file sizing via
     * [[sized]]. */
   def append(spark: SparkSession, df: DataFrame, table: String,
-      statsFor: Seq[String] = Nil, optimizeWrite: Boolean = true): Commit = {
+      statsFor: Seq[String] = Nil, optimizeWrite: Boolean = true,
+      mergeSchema: Boolean = false): Commit = {
     Files.createDirectories(Paths.get(table))
+    enforceAppendSchema(table, df.schema, mergeSchema)
     val files = writeDataFiles(sized(df, optimizeWrite), table)
     commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
       stats = computeStats(spark, table, files, statsFor))
@@ -472,9 +538,10 @@ object VersionedTable {
     * at-least-once, and the txn check collapses replays. */
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
       txnApp: String, txnId: Long, statsFor: Seq[String] = Nil,
-      optimizeWrite: Boolean = true): Commit =
+      optimizeWrite: Boolean = true, mergeSchema: Boolean = false): Commit =
     txnCommit(table, txnApp, txnId).getOrElse {
       Files.createDirectories(Paths.get(table))
+      enforceAppendSchema(table, df.schema, mergeSchema)
       val files = writeDataFiles(sized(df, optimizeWrite), table)
       commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
         txn = Some((txnApp, txnId)),
@@ -515,9 +582,11 @@ object VersionedTable {
       expectVersion: Option[Long] = None,
       statsFor: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      optimizeWrite: Boolean = true): Commit =
+      optimizeWrite: Boolean = true,
+      overwriteSchema: Boolean = false): Commit =
     txn.flatMap(t => txnCommit(table, t._1, t._2)).getOrElse {
       Files.createDirectories(Paths.get(table))
+      enforceOverwriteSchema(table, df.schema, overwriteSchema)
       val read = expectVersion.orElse(latestVersion(table))
       val files = writeDataFiles(sized(df, optimizeWrite), table)
       commitLoop(table, "overwrite", files,

@@ -67,7 +67,13 @@ object IncrementalAgg {
       decimals: DecimalType = DecimalType(18, 2)): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sum(col(valueCol).cast(decimals)).as("sum_v"))
+      // realign the agg-widened sum to the canonical state type: the
+      // bootstrap state and every applyChangeFeed refresh must carry the
+      // SAME sum_v type, or a state table alternates schemas between
+      // full and incremental writes (versioned-table schema enforcement
+      // rejects exactly that drift). `decimals` IS the state's
+      // fixed-point type — size it to the table, not the delta.
+      sum(col(valueCol).cast(decimals)).cast(decimals).as("sum_v"))
 
   /** Fold a change feed ([[graft.io.VersionedTable.changeFeed]] with
     * `includePreimage=true`) into a retractable [[sumState]]: inserts and

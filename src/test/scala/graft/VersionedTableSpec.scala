@@ -245,8 +245,18 @@ class VersionedTableSpec extends SparkSpec {
   test("schema evolution: snapshot unions columns across commit schemas") {
     withTable { t =>
       VT.append(spark, df(1 -> "a"), t)
+      // new column requires the explicit mergeSchema opt-in (enforcement)
+      intercept[VT.SchemaEnforcementException] {
+        VT.append(spark, Seq((2, "b", 7.5)).toDF("id", "v", "score"), t)
+      }
+      // and a TYPE change is rejected even with mergeSchema
+      intercept[VT.SchemaEnforcementException] {
+        VT.append(spark, Seq((2, 9L)).toDF("id", "v"), t,
+          mergeSchema = true)
+      }
       VT.append(spark,
-        Seq((2, "b", 7.5)).toDF("id", "v", "score"), t)
+        Seq((2, "b", 7.5)).toDF("id", "v", "score"), t,
+        mergeSchema = true)
       val snap = VT.snapshot(spark, t)
       assert(snap.columns.toSet == Set("id", "v", "score"))
       val rows = snap.orderBy("id")
@@ -621,7 +631,8 @@ class VersionedTableSpec extends SparkSpec {
     "to the to-version schema") {
     withTable { t =>
       VT.append(spark, df(1 -> "a", 2 -> "b"), t)                  // v0
-      VT.append(spark, Seq((3, "c", 30L)).toDF("id", "v", "w"), t) // v1: +w
+      VT.append(spark, Seq((3, "c", 30L)).toDF("id", "v", "w"), t,
+        mergeSchema = true)                                        // v1: +w
       // update row 1 under the evolved schema
       VT.merge(spark, Seq((1, "A", 10L)).toDF("id", "v", "w"), t,
         Seq("id"))                                                 // v2
