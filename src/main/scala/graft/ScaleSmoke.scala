@@ -442,9 +442,14 @@ object ScaleSmoke {
           pmod(col("id"), lit(1000)).as("grp"),
           (pmod(col("id") * 7, lit(10000)).cast(DoubleType) / 100.0).as("amt"))
         time("2M versioned bootstrap (64 range-clustered files)") {
+          // optimizeWrite=false: the bootstrap's partitioning IS the
+          // point — a rebalance would collapse the 64 range-clustered
+          // files and every delta-locality measurement below would
+          // silently measure a full-table rewrite instead
           io.VersionedTable.append(spark,
             base.repartitionByRange(64, col("id"))
-              .sortWithinPartitions(col("id")), src)
+              .sortWithinPartitions(col("id")), src,
+            optimizeWrite = false)
           io.VersionedTable.snapshot(spark, src).count() }
         time("100 small append commits (log grows to 101)") {
           (1 to 100).foreach { i =>

@@ -377,9 +377,18 @@ object VersionedTable {
       removeAt: Long => Seq[String], schemaJson: String,
       readVersion: Option[Long], txn: Option[(String, Long)] = None,
       stats: FileStats = Map.empty,
-      maxRetries: Int = 20): Commit = {
+      maxRetries: Int = 20,
+      revalidate: () => Unit = () => ()): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
+      // re-run caller validation EVERY attempt: a writer that loses the
+      // slot race re-derives against the log as it now stands, and a
+      // racer may have changed what the pre-write check validated (two
+      // first-writers with conflicting schemas both saw an empty table —
+      // only the slot loser can catch the conflict, and only HERE). A
+      // throw orphans this attempt's data files for vacuum, same as the
+      // txn-dedup path.
+      revalidate()
       // idempotence: if this transaction already committed (earlier run,
       // or a racer we just lost a slot to), return ITS commit — the data
       // files this attempt wrote stay orphaned for vacuum to GC
@@ -443,17 +452,27 @@ object VersionedTable {
   final class SchemaEnforcementException(msg: String)
     extends IllegalArgumentException(msg)
 
-  /** Current-table schema as a name → type-catalogString map (empty map
-    * for an empty/absent table — first writer sets the schema freely).
-    * catalogString deliberately ignores nullability: null-ness differs
-    * freely between frames computed different ways and is handled by the
-    * read side, while a TYPE change is always a corruption. */
+  /** Table schema as a name → type-catalogString map, merged across the
+    * FULL live-schema lineage — not just the latest commit's schema
+    * (empty map for an empty/absent table — first writer sets the schema
+    * freely). The lineage matters: after a subset-schema append (legal —
+    * missing columns read as null), the latest commit's schema no longer
+    * lists columns that still live in earlier files; judging "new
+    * column" against it alone would let a TYPE change slip through as an
+    * apparently-new column and poison every future mergeSchema read.
+    * When lineage schemas disagree on a type (pre-enforcement history),
+    * the latest wins. catalogString deliberately ignores nullability:
+    * null-ness differs freely between frames computed different ways and
+    * is handled by the read side, while a TYPE change is always a
+    * corruption. */
   private def currentSchemaMap(table: String): Map[String, String] =
     latestVersion(table).map { v =>
-      val json = stateAt(table, v).schemaJson
-      if (json.isEmpty) Map.empty[String, String]
-      else DataType.fromJson(json).asInstanceOf[StructType]
-        .fields.map(f => f.name -> f.dataType.catalogString).toMap
+      stateAt(table, v).schemas.foldLeft(Map.empty[String, String]) {
+        (acc, json) =>
+          if (json.isEmpty) acc
+          else acc ++ DataType.fromJson(json).asInstanceOf[StructType]
+            .fields.map(f => f.name -> f.dataType.catalogString)
+      }
     }.getOrElse(Map.empty)
 
   /** Append-side schema enforcement: a column shared with the table must
@@ -526,7 +545,8 @@ object VersionedTable {
     enforceAppendSchema(table, df.schema, mergeSchema)
     val files = writeDataFiles(sized(df, optimizeWrite), table)
     commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
-      stats = computeStats(spark, table, files, statsFor))
+      stats = computeStats(spark, table, files, statsFor),
+      revalidate = () => enforceAppendSchema(table, df.schema, mergeSchema))
   }
 
   /** Idempotent append keyed by (`txnApp`, `txnId`) — Delta's
@@ -545,7 +565,9 @@ object VersionedTable {
       val files = writeDataFiles(sized(df, optimizeWrite), table)
       commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
         txn = Some((txnApp, txnId)),
-        stats = computeStats(spark, table, files, statsFor))
+        stats = computeStats(spark, table, files, statsFor),
+        revalidate =
+          () => enforceAppendSchema(table, df.schema, mergeSchema))
     }
 
   /** Exactly-once streaming ingestion into a versioned table: each
@@ -589,10 +611,17 @@ object VersionedTable {
       enforceOverwriteSchema(table, df.schema, overwriteSchema)
       val read = expectVersion.orElse(latestVersion(table))
       val files = writeDataFiles(sized(df, optimizeWrite), table)
+      // no revalidate needed for the versioned path: with `read` set, an
+      // interleaved commit makes the loop throw ConcurrentWriteException
+      // before any racer's schema could slip through; for the bootstrap
+      // race (read = None, empty table) revalidate closes the same
+      // two-first-writers window append has
       commitLoop(table, "overwrite", files,
         _ => read.map(v => stateAt(table, v).files).getOrElse(Nil),
         df.schema.json, readVersion = read, txn = txn,
-        stats = computeStats(spark, table, files, statsFor))
+        stats = computeStats(spark, table, files, statsFor),
+        revalidate =
+          () => enforceOverwriteSchema(table, df.schema, overwriteSchema))
     }
 
   /** Apply a change-feed frame (`_change_type` ∈ insert /

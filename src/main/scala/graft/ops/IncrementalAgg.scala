@@ -21,14 +21,19 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object IncrementalAgg {
 
   /** Build per-key mergeable state from raw rows: (keys*, n, sum_v
-    * DECIMAL, min_v, max_v). One shuffle with map-side combine.
+    * DECIMAL(38,2), min_v, max_v). One shuffle with map-side combine.
     * `decimals` must hold the input's fixed-point values (monetary
-    * DECIMAL(18,2) default — the Q.scala convention). */
+    * DECIMAL(18,2) default — the Q.scala convention); the stored sum is
+    * realigned to max-precision (38,2) so the state schema is IDENTICAL
+    * whether it came from one build or any chain of [[mergeStates]]
+    * folds — a state table must not alternate types between write
+    * paths (versioned-table schema enforcement rejects that drift). */
   def aggState(df: DataFrame, keys: Seq[String], valueCol: String,
       decimals: DecimalType = DecimalType(18, 2)): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sum(col(valueCol).cast(decimals)).as("sum_v"),
+      sum(col(valueCol).cast(decimals)).cast(DecimalType(38, 2))
+        .as("sum_v"),
       min(col(valueCol).cast(DoubleType)).as("min_v"),
       max(col(valueCol).cast(DoubleType)).as("max_v"))
 
@@ -64,15 +69,18 @@ object IncrementalAgg {
     * state — unlike [[aggState]]'s min/max — can absorb deletes and
     * updates, not just appends. */
   def sumState(df: DataFrame, keys: Seq[String], valueCol: String,
-      decimals: DecimalType = DecimalType(18, 2)): DataFrame =
+      decimals: DecimalType = DecimalType(38, 2)): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
       // realign the agg-widened sum to the canonical state type: the
       // bootstrap state and every applyChangeFeed refresh must carry the
       // SAME sum_v type, or a state table alternates schemas between
       // full and incremental writes (versioned-table schema enforcement
-      // rejects exactly that drift). `decimals` IS the state's
-      // fixed-point type — size it to the table, not the delta.
+      // rejects exactly that drift). The default is (38,2) — max
+      // precision — so the realigning cast can NEVER overflow-null a
+      // group total (a narrower canonical type would silently null any
+      // group summing past its precision under non-ANSI casts; 10^36
+      // cents is beyond any physical table).
       sum(col(valueCol).cast(decimals)).cast(decimals).as("sum_v"))
 
   /** Fold a change feed ([[graft.io.VersionedTable.changeFeed]] with
@@ -87,7 +95,7 @@ object IncrementalAgg {
     * oracle checks maintained ≡ recomputed bit-for-bit. */
   def applyChangeFeed(state: DataFrame, cdf: DataFrame, keys: Seq[String],
       valueCol: String,
-      decimals: DecimalType = DecimalType(18, 2)): DataFrame = {
+      decimals: DecimalType = DecimalType(38, 2)): DataFrame = {
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
@@ -95,10 +103,14 @@ object IncrementalAgg {
       .filter(sign.isNotNull)
       .groupBy(keys.map(col): _*).agg(
         sum(sign).as("n"),
-        sum(col(valueCol).cast(decimals) * sign.cast(decimals)).as("sum_v"))
-      // deltas leave the per-group scale at `decimals` (the multiply
-      // widens, sum widens again) — realign so the union with the state
-      // and the final sums keep one exact fixed-point type
+        // retraction as NEGATION, not a ±1 decimal multiply: negation
+        // keeps the operand's exact type, while a decimal multiply
+        // widens (and at max precision would force a scale-losing
+        // adjustment). Exact at any `decimals`.
+        sum(when(sign > 0, col(valueCol).cast(decimals))
+          .otherwise(-col(valueCol).cast(decimals))).as("sum_v"))
+      // realign the agg-widened sum so the union with the state and the
+      // final sums keep one exact fixed-point type
       .select(keys.map(col) ++ Seq(col("n"),
         col("sum_v").cast(decimals).as("sum_v")): _*)
     val aligned = state.select(keys.map(col) ++ Seq(col("n"),

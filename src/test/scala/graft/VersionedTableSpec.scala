@@ -106,6 +106,57 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("schema enforcement judges the FULL lineage: a type change can't " +
+      "masquerade as a new column after a subset-schema append") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)                     // (id, v)
+      VT.append(spark, Seq(Tuple1(2)).toDF("id"), t)        // subset: (id)
+      // v is absent from the LATEST commit schema but lives in v0's
+      // files — re-typing it must still be rejected, even with the
+      // evolution flag
+      intercept[VT.SchemaEnforcementException] {
+        VT.append(spark, Seq((3, 9L)).toDF("id", "v"), t, mergeSchema = true)
+      }
+      // and re-appending it with the ORIGINAL type is not "evolution" —
+      // no mergeSchema needed
+      VT.append(spark, df(3 -> "c"), t)
+      assert(VT.snapshot(spark, t).count() == 3)
+    }
+  }
+
+  test("slot-race revalidation: a loser whose racer set a conflicting " +
+      "schema fails loudly instead of committing mixed types") {
+    import java.nio.file.Path
+    val conflicting = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType))).json
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racer = new graft.io.CommitArbiter {
+      def tryClaim(dir: Path, target: Path, json: String): Boolean = {
+        if (fired.getAndSet(true)) {
+          graft.io.CommitArbiter.PosixLink.tryClaim(dir, target, json)
+        } else {
+          // a racing first-writer wins the slot with a STRING-typed id
+          // commit; this writer observes the loss and must re-validate
+          val theirs =
+            s"""{"version":0,"ts":0,"op":"append","add":[],""" +
+              s""""remove":[],"schema":${graft.util.Fmt.jsonString(conflicting)}}"""
+          graft.io.CommitArbiter.PosixLink.tryClaim(dir, target, theirs)
+          false
+        }
+      }
+    }
+    val prev = VT.commitArbiter
+    try {
+      VT.commitArbiter = racer
+      withTable { t =>
+        intercept[VT.SchemaEnforcementException] {
+          VT.append(spark, df(1 -> "a"), t) // id is INT here
+        }
+      }
+    } finally VT.commitArbiter = prev
+  }
+
   test("concurrent appends both land (optimistic slot retry)") {
     withTable { t =>
       VT.append(spark, df(0 -> "seed"), t)
