@@ -96,25 +96,40 @@ object Multimodal {
   /** STUB decoder — deterministic fake standing in for the real codec
     * (===> replace with an actual image/audio decode when libs exist).
     * Derives stable pseudo-dimensions/intensity from the payload bytes so
-    * tests and oracles are reproducible. */
+    * tests and oracles are reproducible.
+    *
+    * The derivation is deliberately ENGINE-PORTABLE integer algebra — a
+    * position-weighted byte sum mod 2^31−1 (weights 31^(i mod 8) mod p;
+    * every product ≤ 256·2^31 < 2^40, every partial sum < 2^60 — no
+    * 64-bit overflow, so a reference SQL engine reproduces it exactly
+    * from the same bytes) rather than a wrapping multiplicative fold,
+    * which only exists in languages with defined wraparound. That lets
+    * the q45 gate hash-check the whole binary-asset plumbing (schema,
+    * batched mapPartitions, type routing) against a DuckDB replay. */
   private[ext] def decodeStub(a: MediaAsset): MediaFeatures = {
     val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
-    var h = 1125899906842597L // deterministic FNV-ish fold
+    val P = 2147483647L // 2^31 − 1
+    // 31^j mod P for j in 0..7
+    val W = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+      887503681L, 1742810335L)
+    var acc = 0L
     var sum = 0L
     var i = 0
     while (i < bytes.length) {
-      h = h * 31 + bytes(i)
-      sum += bytes(i) & 0xFF
+      val b = (bytes(i) & 0xFF).toLong
+      acc = (acc + (b + 1L) * W(i & 7)) % P
+      sum += b
       i += 1
     }
+    val h = acc
     val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
     MediaFeatures(
       asset_id = a.asset_id,
       media_type = a.media_type,
       n_bytes = bytes.length.toLong,
-      width = 64 + (math.abs(h) % 1024).toInt,
-      height = 64 + (math.abs(h / 1024) % 1024).toInt,
-      duration_ms = if (a.media_type == "image") 0L else math.abs(h) % 600000L,
+      width = 64 + (h % 1024).toInt,
+      height = 64 + ((h / 1024) % 1024).toInt,
+      duration_ms = if (a.media_type == "image") 0L else h % 600000L,
       mean_intensity = mean,
       feature_hash = h)
   }

@@ -106,11 +106,19 @@ object FintechQueries {
     }),
 
     // multimodal plumbing: binary assets → per-partition batched feature
-    // extraction (decode stubbed, Spark contract real)
+    // extraction. The decode stub's derivation is engine-portable
+    // integer algebra (position-weighted byte sum mod 2^31-1), so the
+    // DuckDB oracle replays the WHOLE path — UTF-8 payload bytes,
+    // type routing, pseudo-dimension/duration/intensity math — and the
+    // gate hash-checks every value. Ints cast to BIGINT for the
+    // column-type compare.
     "q45_media_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.assetsFromDocuments(s, Q.t(s, dir, "documents")))
-        .toDF().orderBy(col("asset_id"))
+        .toDF()
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))
+        .orderBy(col("asset_id"))
     }),
 
     // multimodal frame sampling (flatMap/generator shape over binary):
@@ -152,6 +160,46 @@ object FintechQueries {
     * mirror Spark's cast chain; ratios are exact-numerator ÷ count with an
     * explicit double division (queries.Q parity rules). */
   val oracles: Map[String, String] = Map(
+
+    // Full replay of the portable stub decode: UTF-8 payload bytes via
+    // encode(), per-byte hex extraction, the position-weighted sum mod
+    // 2^31-1 (weights 31^(pos%8) mod p — products < 2^40, partials <
+    // 2^60, overflow-free), and the derived dims/duration/intensity.
+    "q45_media_features" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]
+        |      AS media_type,
+        |    encode(text) AS content
+        |  FROM documents),
+        |hx AS (SELECT asset_id, hex(content) AS hs,
+        |         octet_length(content) AS n FROM assets),
+        |b AS (
+        |  SELECT asset_id, p.pos,
+        |    ('0x' || substr(hs, CAST(p.pos * 2 + 1 AS BIGINT), 2))::BIGINT AS bv
+        |  FROM hx, LATERAL (SELECT unnest(range(0, n)) AS pos) p),
+        |hs AS (
+        |  SELECT asset_id,
+        |    CAST(SUM((bv + 1) * CASE CAST(pos % 8 AS INTEGER)
+        |      WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961
+        |      WHEN 3 THEN 29791 WHEN 4 THEN 923521 WHEN 5 THEN 28629151
+        |      WHEN 6 THEN 887503681 ELSE 1742810335 END)
+        |      % 2147483647 AS BIGINT) AS h,
+        |    CAST(SUM(bv) AS BIGINT) AS sumb
+        |  FROM b GROUP BY asset_id)
+        |SELECT a.asset_id, a.media_type,
+        |  CAST(COALESCE(octet_length(a.content), 0) AS BIGINT) AS n_bytes,
+        |  64 + COALESCE(h.h, 0) % 1024 AS width,
+        |  64 + (COALESCE(h.h, 0) // 1024) % 1024 AS height,
+        |  CASE WHEN a.media_type = 'image' THEN 0
+        |       ELSE COALESCE(h.h, 0) % 600000 END AS duration_ms,
+        |  CASE WHEN COALESCE(octet_length(a.content), 0) = 0 THEN 0.0
+        |       ELSE CAST(h.sumb AS DOUBLE)
+        |         / CAST(octet_length(a.content) AS DOUBLE) END
+        |    AS mean_intensity,
+        |  COALESCE(h.h, 0) AS feature_hash
+        |FROM assets a LEFT JOIN hs h USING (asset_id)
+        |ORDER BY a.asset_id""".stripMargin,
     "q40_fintech_daily" ->
       s"""SELECT transaction_date, status, COUNT(*) AS n_transactions,
          |  CAST(CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS DOUBLE) AS total_amount_usd,
