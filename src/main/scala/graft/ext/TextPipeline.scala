@@ -116,7 +116,13 @@ object TextPipeline {
       targetTokens: Long = 0L, // 0 ⇒ natural size (one epoch of everything)
       packBudget: Long = 2048,
       shuffleSeed: Long = 0L,
-      computeStats: Boolean = true): TrainingDataResult = {
+      computeStats: Boolean = true,
+      // the composition's only remaining engine-specific ingredient is
+      // its seeded hash (mixture fraction bucket, curriculum spread
+      // tiebreak, pack shuffle key). Inject TextStats.md5Hash64 and the
+      // WHOLE pipeline output becomes replayable in a reference SQL
+      // engine (the q96 gate); xxhash64 stays the production default.
+      hash: Column => Column = xxhash64(_)): TrainingDataResult = {
     val cur = curate(docs, idCol, textCol, minQuality = minQuality,
       nearDupJaccard = nearDupJaccard, computeStats = computeStats)
     val clean = benchmark match {
@@ -141,7 +147,7 @@ object TextPipeline {
     val sampled =
       if (target == 0) scored.withColumn("epoch", lit(1))
       else Sampling.mixtureSample(scored, sourceCol, idCol, "n_tokens",
-        mixtureAlpha, target)
+        mixtureAlpha, target, hash = hash)
     // epoch-qualified id keeps repeated docs distinct through packing
     // and shuffling (they are separate training rows); __spread (a
     // seeded hash of the epoch-qualified id) tiebreaks INSIDE each
@@ -151,7 +157,8 @@ object TextPipeline {
     val withKey = sampled
       .withColumn("__eid",
         concat_ws(":", col(idCol).cast("string"), col("epoch").cast("string")))
-      .withColumn("__spread", xxhash64(col("__eid"), lit(shuffleSeed)))
+      .withColumn("__spread",
+        hash(concat_ws(":", col("__eid"), lit(shuffleSeed.toString))))
     val packOrder = Seq(col("quality").desc, col("__spread"), col("__eid"))
     val packed = Packing.packByBudgetOrdered(withKey,
       packOrder, "n_tokens", packBudget)
@@ -160,7 +167,7 @@ object TextPipeline {
     // of the pack id permutes pack order; within a pack, rows keep the
     // exact curriculum order packing used.
     val shuffled = packed
-      .withColumn("shuffle_key", xxhash64(
+      .withColumn("shuffle_key", hash(
         concat_ws(":", col("pack_id").cast("string"),
           lit(shuffleSeed.toString))))
       .orderBy(col("shuffle_key") +: col("pack_id") +: packOrder: _*)

@@ -551,18 +551,25 @@ object TextQueries {
 
     // Flagship composition: curate → decontaminate (docs sharing a
     // 13-gram with the doc_id%97 benchmark) → temperature mixture →
-    // curriculum pack → epoch shuffle, one call. Rows-only (the near-dup
-    // stage is LSH-based); every constituent stage is oracle-checked
-    // individually (q57/q62/q86/q92/q65).
+    // curriculum pack → epoch shuffle, one call — HASH-GATED end to end
+    // with the md5 hash family injected (mixture bucket, curriculum
+    // spread, shuffle key all replayable in DuckDB; near-dup survivors
+    // equal the exact-Jaccard pair-graph rule on this corpus — the
+    // q57/q58 oracle argument). The oracle recomputes every stage from
+    // raw documents: one mismatch anywhere in the five-stage pipeline
+    // flips the hash.
     "q96_training_data" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.ext.TextPipeline.prepareTrainingData(docs, "doc_id", "text",
           sourceCol = "source",
           benchmark = Some(docs.filter(col("doc_id") % 97 === 0)),
-          computeStats = false)
+          computeStats = false,
+          hash = TextStats.md5Hash64)
         .data
-        .select(col("doc_id"), col("source"), col("epoch"),
+        .select(col("doc_id"), col("source"),
+          col("epoch").cast("long").as("epoch"),
           col("pack_id"), col("shuffle_key"))
+        .orderBy(col("doc_id"), col("epoch"))
     }),
 
     // Curriculum packing: order by (quality desc, doc_id) and walk the
@@ -2009,6 +2016,109 @@ object TextQueries {
          |SELECT e.doc_id, e.lang, e.n_chars FROM exact e
          |WHERE e.doc_id NOT IN (SELECT id FROM cc WHERE comp < id)
          |ORDER BY e.doc_id""".stripMargin,
+
+    // Full five-stage replay of the flagship training-data composition:
+    // curate (q58 fragment) → 13-gram benchmark decontamination →
+    // temperature mixture with the md5 fraction bucket (q86 fragment) →
+    // curriculum pack over (quality DESC, md5 spread, eid) → md5 pack
+    // shuffle keys. Near-dup survivors = exact-Jaccard pair-graph CC
+    // (recall-complete at 0.8 on this corpus — the q57/q58 argument).
+    "q96_training_data" ->
+      s"""WITH RECURSIVE
+         |sig AS (
+         |  SELECT doc_id, source, text,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm,
+         |    CAST(length(text) AS BIGINT) AS len_chars,
+         |    CASE WHEN text IS NULL THEN 0
+         |      ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) END AS n_words,
+         |    CASE WHEN length(text) > 0
+         |      THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |      ELSE CAST(1 AS DOUBLE) END AS digit_ratio,
+         |    regexp_extract_all(lower(text), '\\S+') AS tk
+         |  FROM documents),
+         |rep AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(rsh) > 0
+         |      THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(rsh)) AS DOUBLE)/CAST(len(rsh) AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END AS repetition
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+         |           ELSE list_transform(range(1, len(tk) - 1),
+         |                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS rsh
+         |    FROM sig)),
+         |qual AS (
+         |  SELECT s.*,
+         |    (CASE WHEN s.n_words BETWEEN 20 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+         |     + CASE WHEN s.digit_ratio < 0.3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+         |     + CASE WHEN s.len_chars >= 100 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS quality
+         |  FROM sig s),
+         |filtered AS (
+         |  SELECT q.* FROM qual q JOIN rep r ON r.doc_id = q.doc_id
+         |  WHERE length(q.norm) >= 50 AND q.quality >= 0.7
+         |    AND r.repetition <= 0.5),
+         |exact AS (
+         |  SELECT * FROM filtered
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY norm)),
+         |sh AS (SELECT doc_id, $shingleList AS s FROM exact),
+         |$ccTail,
+         |cur AS (SELECT e.* FROM exact e
+         |  WHERE e.doc_id NOT IN (SELECT id FROM cc WHERE comp < id)),
+         |bt AS (SELECT regexp_extract_all(lower(text), '\\S+') AS tk
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |cg AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(tk) <= 13 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_transform(range(1, len(tk) - 11),
+         |                i -> array_to_string(tk[i:i+12], ' ')) END) AS g
+         |  FROM cur),
+         |bg AS (SELECT DISTINCT g FROM (SELECT unnest(
+         |    CASE WHEN len(tk) <= 13 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_transform(range(1, len(tk) - 11),
+         |                i -> array_to_string(tk[i:i+12], ' ')) END) AS g
+         |  FROM bt)),
+         |clean AS (
+         |  SELECT doc_id, source, quality,
+         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS n_tokens
+         |  FROM cur
+         |  WHERE doc_id NOT IN (
+         |    SELECT DISTINCT c.doc_id FROM cg c JOIN bg b ON c.g = b.g)),
+         |tgt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM clean),
+         |per AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS stok
+         |  FROM clean WHERE source IS NOT NULL GROUP BY source),
+         |ptot AS (SELECT CAST(SUM(stok) AS DOUBLE) AS ptotal FROM per),
+         |pa AS (SELECT source, stok,
+         |    POW(CAST(stok AS DOUBLE) / ptotal, 0.5) AS pa
+         |  FROM per CROSS JOIN ptot),
+         |z AS (SELECT SUM(pa) AS z FROM pa),
+         |rates AS (SELECT source,
+         |    ROUND(CAST(total AS DOUBLE) * (pa / z) / CAST(stok AS DOUBLE), 6) AS rate
+         |  FROM pa CROSS JOIN z CROSS JOIN tgt),
+         |d AS (SELECT c.*,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+         |  FROM clean c),
+         |repn AS (SELECT d.*,
+         |    CAST(FLOOR(rate) AS INT) +
+         |      (CASE WHEN b < ROUND((rate - FLOOR(rate)) * 1000000.0, 0)
+         |            THEN 1 ELSE 0 END) AS nrep
+         |  FROM d JOIN rates USING (source)),
+         |sampled AS (SELECT doc_id, source, quality, n_tokens,
+         |    CAST(unnest(generate_series(1, nrep)) AS BIGINT) AS epoch
+         |  FROM repn WHERE nrep > 0),
+         |wk AS (SELECT *,
+         |    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS eid
+         |  FROM sampled),
+         |spreadk AS (SELECT *,
+         |    ('0x' || substr(md5(eid || ':' || '0'), 1, 15))::BIGINT AS spr
+         |  FROM wk),
+         |cum AS (SELECT *,
+         |    COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, spr, eid
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bsum
+         |  FROM spreadk),
+         |packed AS (SELECT *, CAST(bsum // 2048 AS BIGINT) AS pack_id
+         |  FROM cum)
+         |SELECT doc_id, source, epoch, pack_id,
+         |  ('0x' || substr(md5(CAST(pack_id AS VARCHAR) || ':' || '0'), 1, 15))::BIGINT AS shuffle_key
+         |FROM packed ORDER BY doc_id, epoch""".stripMargin,
 
     "q54_repetition" ->
       """WITH t AS (
