@@ -78,7 +78,11 @@ object VersionedTable {
       schemaJson: String,
       txnApp: Option[String] = None,
       txnId: Option[Long] = None,
-      stats: FileStats = Map.empty)
+      stats: FileStats = Map.empty,
+      // deletion-vector sidecar files added/retired by this commit
+      // (absent in pre-DV commits — parse defaults to empty)
+      dvAdd: Seq[String] = Nil,
+      dvRemove: Seq[String] = Nil)
 
   // ---------------------------------------------------------------- log IO
 
@@ -105,9 +109,11 @@ object VersionedTable {
       case _ => ""
     }
     val st = if (c.stats.isEmpty) "" else s""","stats":${statsJson(c.stats)}"""
+    val dv = (if (c.dvAdd.isEmpty) "" else s""","dvAdd":${arr(c.dvAdd)}""") +
+      (if (c.dvRemove.isEmpty) "" else s""","dvRemove":${arr(c.dvRemove)}""")
     s"""{"version":${c.version},"ts":${c.ts},"op":${Fmt.jsonString(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
-      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st}"""
+      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv}"""
   }
 
   private def parseStats(node: com.fasterxml.jackson.databind.JsonNode): FileStats =
@@ -121,13 +127,15 @@ object VersionedTable {
   private def parseCommit(p: Path): Commit = {
     val n = mapper.readTree(Files.readAllBytes(p))
     def strs(field: String): Seq[String] =
-      n.get(field).elements().asScala.map(_.asText()).toSeq
+      Option(n.get(field)).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Nil)
     Commit(n.get("version").asLong(), n.get("ts").asLong(),
       n.get("op").asText(), strs("add"), strs("remove"),
       n.get("schema").asText(),
       txnApp = Option(n.get("txnApp")).map(_.asText()),
       txnId = Option(n.get("txnId")).map(_.asLong()),
-      stats = parseStats(n.get("stats")))
+      stats = parseStats(n.get("stats")),
+      dvAdd = strs("dvAdd"), dvRemove = strs("dvRemove"))
   }
 
   /** The committed version carrying transaction (`txnApp`, `txnId`), if
@@ -174,7 +182,8 @@ object VersionedTable {
     * the distinct schema lineage (last = current; >1 ⇒ the live files may
     * span schema versions and reads need `mergeSchema`). */
   private final case class TableState(files: Seq[String],
-      schemas: Seq[String], fileStats: FileStats) {
+      schemas: Seq[String], fileStats: FileStats,
+      dv: Seq[String] = Nil) {
     def schemaJson: String = schemas.lastOption.getOrElse("")
     def mixedSchemas: Boolean = schemas.size > 1
   }
@@ -196,11 +205,14 @@ object VersionedTable {
       }
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val schemas = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dv = scala.collection.mutable.LinkedHashSet.empty[String]
     var stats: FileStats = Map.empty
     ck.foreach { c =>
       val n = mapper.readTree(Files.readAllBytes(checkpointFile(table, c)))
       files ++= n.get("files").elements().asScala.map(_.asText())
       schemas ++= n.get("schemas").elements().asScala.map(_.asText())
+      Option(n.get("dv")).foreach(d =>
+        dv ++= d.elements().asScala.map(_.asText()))
       stats = stats ++ parseStats(n.get("stats"))
     }
     versions(table).filter(x => x > ck.getOrElse(-1L) && x <= v).foreach { x =>
@@ -209,13 +221,15 @@ object VersionedTable {
       stats = stats -- c.remove
       files ++= c.add
       stats = stats ++ c.stats
+      dv --= c.dvRemove
+      dv ++= c.dvAdd
       if (c.schemaJson.nonEmpty) {
         schemas -= c.schemaJson // move-to-end: last element = current
         schemas += c.schemaJson
       }
     }
     TableState(files.toSeq, schemas.toSeq,
-      stats.view.filterKeys(files.contains).toMap)
+      stats.view.filterKeys(files.contains).toMap, dv.toSeq)
   }
 
   private def maybeCheckpoint(table: String, v: Long): Unit =
@@ -224,7 +238,7 @@ object VersionedTable {
       def arr(xs: Seq[String]) = xs.map(Fmt.jsonString).mkString("[", ",", "]")
       val json =
         s"""{"version":$v,"files":${arr(st.files)},"schemas":${arr(st.schemas)},""" +
-          s""""stats":${statsJson(st.fileStats)}}"""
+          s""""dv":${arr(st.dv)},"stats":${statsJson(st.fileStats)}}"""
       val tmp = logPath(table).resolve(s".tmp-${UUID.randomUUID()}.ck.tmp")
       Files.writeString(tmp, json)
       // checkpoints are derived data — last writer wins is fine
@@ -244,16 +258,101 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no commits at $table"))
     require(versions(table).contains(v), s"version $v not in log at $table")
     val st = stateAt(table, v)
-    if (st.files.isEmpty) {
+    readState(spark, table, st, st.files)
+  }
+
+  /** Read `files` of state `st`, minus any rows the state's deletion
+    * vectors retire. With no DVs this is the plain parquet scan (no
+    * metadata columns, no join); with DVs the scan carries the parquet
+    * `_metadata` file/row-position columns and LEFT-ANTI joins the
+    * (small, broadcast) DV entry set — pushdown and pruning on the scan
+    * are unaffected. */
+  private def readState(spark: SparkSession, table: String,
+      st: TableState, files: Seq[String]): DataFrame = {
+    if (files.isEmpty) {
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema)
-    } else {
-      val r = if (st.mixedSchemas)
-        spark.read.option("mergeSchema", "true")
-      else spark.read
-      r.parquet(st.files.map(f => Paths.get(table, f).toString): _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
+    val r = if (st.mixedSchemas)
+      spark.read.option("mergeSchema", "true")
+    else spark.read
+    val base = r.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    if (st.dv.isEmpty) base
+    else {
+      val cols = base.columns.toSeq
+      base
+        .withColumn("__fn", element_at(
+          split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .join(broadcast(dvEntries(spark, table, st.dv)),
+          col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
+          "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
+  /** The distinct (file, row position) pairs retired by `dvFiles`. */
+  private def dvEntries(spark: SparkSession, table: String,
+      dvFiles: Seq[String]): DataFrame =
+    spark.read.parquet(dvFiles.map(f => Paths.get(table, f).toString): _*)
+      .select(col("file_name").as("__dv_fn"),
+        col("row_index").as("__dv_ri"))
+      .distinct()
+
+  private def requireNoDv(st: TableState, op: String, table: String): Unit =
+    if (st.dv.nonEmpty)
+      throw new IllegalStateException(
+        s"$op on $table requires materialized deletes, but " +
+          s"${st.dv.size} deletion-vector file(s) are active — run " +
+          "compact() first (it applies and clears the DVs)")
+
+  /** Row-level DELETE as a deletion-vector commit: the matching rows'
+    * (file, row position) pairs are written to a small DV sidecar and
+    * recorded in the log; NO data file is read back or rewritten. Reads
+    * ([[snapshot]]/[[snapshotWhere]]/[[changeFeed]]) subtract DV rows;
+    * [[compact]] materializes and clears them. This is the Delta
+    * deletion-vector shape: on a 100 TB table a selective delete costs
+    * one predicate scan plus kilobytes of sidecar — [[deleteWhere]]'s
+    * file rewrite, megabytes-cheap as it is, still rewrites every file
+    * that contains one matching row.
+    *
+    * Trade-offs (same as Delta's): reads pay a (broadcast) anti-join
+    * while DVs are active, and rewriting ops (MERGE / rewrite-DELETE /
+    * applyChanges) refuse to run over active DVs — materialize with
+    * [[compact]] first. Serializable: commits at the version it read,
+    * so an interleaved writer raises [[Upsert.ConcurrentWriteException]]. */
+  def deleteWhereDeferred(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column): Commit = {
+    val rv = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no table at $table"))
+    val st = stateAt(table, rv)
+    if (st.files.isEmpty)
+      return commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
+        readVersion = Some(rv))
+    val r = if (st.mixedSchemas)
+      spark.read.option("mergeSchema", "true")
+    else spark.read
+    val withPos = r
+      .parquet(st.files.map(f => Paths.get(table, f).toString): _*)
+      .withColumn("__fn",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__ri", col("_metadata.row_index"))
+    // apply EXISTING DVs first so an already-deleted row can't be
+    // re-deleted (keeps per-(file,row) entries unique across sidecars —
+    // the invariant changeFeed's dv-growth diff relies on)
+    val live =
+      if (st.dv.isEmpty) withPos
+      else withPos.join(broadcast(dvEntries(spark, table, st.dv)),
+        col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
+        "left_anti")
+    val hits = live.filter(cond)
+      .select(col("__fn").as("file_name"), col("__ri").as("row_index"))
+    if (hits.isEmpty)
+      return commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
+        readVersion = Some(rv))
+    val dvFiles = writeDataFiles(hits.coalesce(1), table, tag = "dv")
+    commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
+      readVersion = Some(rv), dvAdd = dvFiles)
   }
 
   /** Manifest-level data skipping (Delta's stats-based pruning): read the
@@ -300,15 +399,7 @@ object VersionedTable {
     val st = stateAt(table, v)
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val keep = filesInRange(st, schema, column, lo, hi)
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else {
-        val r = if (st.mixedSchemas)
-          spark.read.option("mergeSchema", "true")
-        else spark.read
-        r.parquet(keep.map(f => Paths.get(table, f).toString): _*)
-      }
+    val base = readState(spark, table, st, keep)
     val c = col(column)
     (lo, hi) match {
       case (Some(l), Some(h)) => base.filter(c >= lit(l) && c <= lit(h))
@@ -350,7 +441,8 @@ object VersionedTable {
     * referenced by any commit — invisible until the commit that adds them;
     * a crash here leaves orphans that [[vacuum]] GCs). Returns the relative
     * file names. */
-  private def writeDataFiles(df: DataFrame, table: String): Seq[String] = {
+  private def writeDataFiles(df: DataFrame, table: String,
+      tag: String = "part"): Seq[String] = {
     val id = UUID.randomUUID().toString.take(12)
     val tmp = Paths.get(table, s"_tmp-$id")
     df.write.mode("overwrite").parquet(tmp.toString)
@@ -360,7 +452,7 @@ object VersionedTable {
         .filter(_.endsWith(".parquet")).toSeq.sorted
       finally l.close()
     val named = parts.zipWithIndex.map { case (p, i) =>
-      val name = f"$id-part$i%04d.snappy.parquet"
+      val name = f"$id-$tag$i%04d.snappy.parquet"
       Files.move(tmp.resolve(p), Paths.get(table, name),
         StandardCopyOption.ATOMIC_MOVE)
       name
@@ -378,7 +470,9 @@ object VersionedTable {
       readVersion: Option[Long], txn: Option[(String, Long)] = None,
       stats: FileStats = Map.empty,
       maxRetries: Int = 20,
-      revalidate: () => Unit = () => ()): Commit = {
+      revalidate: () => Unit = () => (),
+      dvAdd: Seq[String] = Nil,
+      dvRemove: Seq[String] = Nil): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
       // re-run caller validation EVERY attempt: a writer that loses the
@@ -406,7 +500,8 @@ object VersionedTable {
       }
       val c = Commit(next, System.currentTimeMillis(), op, add,
         removeAt(next), schemaJson,
-        txnApp = txn.map(_._1), txnId = txn.map(_._2), stats = stats)
+        txnApp = txn.map(_._1), txnId = txn.map(_._2), stats = stats,
+        dvAdd = dvAdd, dvRemove = dvRemove)
       if (tryPublish(table, next, commitJson(c))) {
         maybeCheckpoint(table, next)
         return c
@@ -621,7 +716,10 @@ object VersionedTable {
         df.schema.json, readVersion = read, txn = txn,
         stats = computeStats(spark, table, files, statsFor),
         revalidate =
-          () => enforceOverwriteSchema(table, df.schema, overwriteSchema))
+          () => enforceOverwriteSchema(table, df.schema, overwriteSchema),
+        // a full replace retires any active deletion vectors with the
+        // files they applied to
+        dvRemove = read.map(v => stateAt(table, v).dv).getOrElse(Nil))
     }
 
   /** Apply a change-feed frame (`_change_type` ∈ insert /
@@ -659,6 +757,8 @@ object VersionedTable {
             stats = computeStats(spark, table, files, statsFor))
         case Some(v) =>
           val st = stateAt(table, v)
+          // hit-file rewrite reads raw files — active DVs would resurrect
+          requireNoDv(st, "applyChanges", table)
           val schema = DataType.fromJson(st.schemaJson)
             .asInstanceOf[StructType]
           val hitPaths =
@@ -735,6 +835,8 @@ object VersionedTable {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table to merge into"))
     val st = stateAt(table, rv)
+    // hit-file rewrite reads raw files — active DVs would resurrect
+    requireNoDv(st, "merge", table)
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val hitPaths = hitFilePaths(spark, table, st, schema, srcKeys, keys)
@@ -773,6 +875,9 @@ object VersionedTable {
       cond: org.apache.spark.sql.Column): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
+    // the survivor rewrite reads hit files RAW — running it over active
+    // DVs would resurrect their deleted rows
+    requireNoDv(stateAt(table, rv), "deleteWhere", table)
     val snap = snapshot(spark, table, Some(rv))
     val hitPaths = snap.filter(cond)
       .select(col("_metadata.file_path").as("fp")).distinct()
@@ -798,12 +903,17 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no table at $table"))
     val st = stateAt(table, version)
     val (files, schema) = (st.files, st.schemaJson)
-    files.find(f => !Files.exists(Paths.get(table, f))).foreach { f =>
-      throw new IllegalStateException(
-        s"cannot restore $table to $version: data file $f was vacuumed")
+    (files ++ st.dv).find(f => !Files.exists(Paths.get(table, f))).foreach {
+      f =>
+        throw new IllegalStateException(
+          s"cannot restore $table to $version: file $f was vacuumed")
     }
+    // restore the DV state along with the file set: the target version's
+    // sidecars come back, the current version's retire
+    val cur = stateAt(table, rv)
     commitLoop(table, "restore", files,
-      _ => stateAt(table, rv).files, schema, readVersion = Some(rv))
+      _ => cur.files, schema, readVersion = Some(rv),
+      dvAdd = st.dv, dvRemove = cur.dv.filterNot(st.dv.toSet))
   }
 
   /** OPTIMIZE-style compaction as a commit: coalesce the current snapshot
@@ -839,10 +949,15 @@ object VersionedTable {
       else base.repartitionByRange(targetFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val added = writeDataFiles(snap, table)
-    commitLoop(table, "optimize", added, _ => stateAt(table, rv).files,
+    // compact reads through snapshot(), which applies active deletion
+    // vectors — the rewrite MATERIALIZES them, so the commit retires
+    // every DV sidecar along with the old data files
+    val preSt = stateAt(table, rv)
+    commitLoop(table, "optimize", added, _ => preSt.files,
       snap.schema.json, readVersion = Some(rv),
       stats = computeStats(spark, table, added,
-        if (statsFor.nonEmpty) statsFor else clusterBy))
+        if (statsFor.nonEmpty) statsFor else clusterBy),
+      dvRemove = preSt.dv)
   }
 
   /** OPTIMIZE sized by bytes instead of a file count (the Delta
@@ -878,12 +993,16 @@ object VersionedTable {
       nowMs: Long = System.currentTimeMillis()): Int = {
     val vs = versions(table)
     if (vs.isEmpty) return 0
-    val live = stateAt(table, vs.last).files.toSet
+    val lastState = stateAt(table, vs.last)
+    // DV sidecars are .parquet files too: they count as live while the
+    // latest state references them, and age out by lastSeen like data
+    val live = (lastState.files ++ lastState.dv).toSet
     // newest commit ts in which each file still appears in the state
     val lastSeen = scala.collection.mutable.Map.empty[String, Long]
     vs.foreach { v =>
       val c = parseCommit(versionFile(table, v))
-      stateAt(table, v).files.foreach(f => lastSeen(f) = c.ts)
+      val st = stateAt(table, v)
+      (st.files ++ st.dv).foreach(f => lastSeen(f) = c.ts)
     }
     var removed = 0
     val l = Files.list(Paths.get(table))
@@ -939,18 +1058,62 @@ object VersionedTable {
     val schema = DataType.fromJson(stTo.schemaJson).asInstanceOf[StructType]
     val fromSet = stFrom.files.toSet
     val toSet = stTo.files.toSet
-    def readSide(files: Seq[String]): DataFrame = {
-      val base =
-        if (files.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        else spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => Paths.get(table, f).toString): _*)
+    def conform(base: DataFrame): DataFrame =
       base.select(schema.fields.map(f =>
         (if (base.columns.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+    // each side reads at ITS version's deletion-vector state: a row a DV
+    // had already retired at `from` must not resurface as a delete when
+    // its file is rewritten, and a row DV-retired by `to` must not
+    // appear as an insert in a file added in the range
+    def readSide(files: Seq[String], dv: Seq[String]): DataFrame = {
+      if (files.isEmpty)
+        return conform(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema))
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => Paths.get(table, f).toString): _*)
+      val applied =
+        if (dv.isEmpty) base
+        else {
+          val cols = base.columns.toSeq
+          base
+            .withColumn("__fn", element_at(
+              split(col("_metadata.file_path"), "/"), -1))
+            .withColumn("__ri", col("_metadata.row_index"))
+            .join(broadcast(dvEntries(spark, table, dv)),
+              col("__fn") === col("__dv_fn") &&
+                col("__ri") === col("__dv_ri"),
+              "left_anti")
+            .select(cols.map(col): _*)
+        }
+      conform(applied)
     }
-    val before = readSide(stFrom.files.filterNot(toSet))
-    val after = readSide(stTo.files.filterNot(fromSet))
+    val before = readSide(stFrom.files.filterNot(toSet), stFrom.dv)
+    val after = readSide(stTo.files.filterNot(fromSet), stTo.dv)
+    // rows retired by DV sidecars added in (from, to] against files
+    // CARRIED ACROSS the range are invisible to the file diff — they are
+    // pure deletes, read back by position from the carried files (DV
+    // entries are unique per (file, row) across sidecars: a deferred
+    // delete only targets rows live under the existing DVs)
+    val newDvFiles = stTo.dv.filterNot(stFrom.dv.toSet)
+    val carried = stFrom.files.filter(toSet)
+    val dvDeletes: Option[DataFrame] =
+      if (newDvFiles.isEmpty || carried.isEmpty) None
+      else {
+        val entries = dvEntries(spark, table, newDvFiles)
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(carried.map(f => Paths.get(table, f).toString): _*)
+        val cols = base.columns.toSeq
+        Some(conform(base
+          .withColumn("__fn", element_at(
+            split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(broadcast(entries),
+            col("__fn") === col("__dv_fn") &&
+              col("__ri") === col("__dv_ri"),
+            "left_semi")
+          .select(cols.map(col): _*)))
+      }
     val dataCols = after.columns.filterNot(keys.contains).toSeq
     // explicit presence markers (not key nullability): a legitimately NULL
     // key value must not masquerade as an absent row
@@ -977,6 +1140,13 @@ object VersionedTable {
       .when(!afterHere && beforeHere,
         array(rowStruct(fromBefore = true, "delete")))
       .when(afterHere && beforeHere && changed, updateRows)
-    j.select(explode(rows).as("__r")).select(col("__r.*"))
+    val diffed = j.select(explode(rows).as("__r")).select(col("__r.*"))
+    dvDeletes match {
+      case None => diffed
+      case Some(del) =>
+        diffed.unionByName(del
+          .select((keys ++ dataCols).map(col): _*)
+          .withColumn("_change_type", lit("delete")))
+    }
   }
 }

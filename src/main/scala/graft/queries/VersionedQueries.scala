@@ -181,6 +181,29 @@ object VersionedQueries {
         .orderBy(col("cust_band"))
     }),
 
+    // Deferred row-level DELETE (deletion vectors): v0 bootstrap, two DV
+    // commits (no data file rewritten — the deletes live in sidecars the
+    // reads subtract), then a compaction that materializes them. One row
+    // per version; the oracle recomputes each LOGICAL state from the
+    // slice algebra — v3 (post-compact) must equal v2 exactly, proving
+    // materialization is a logical no-op.
+    "q161_deletion_vectors" -> ((s, dir) => withScratch { tbl =>
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
+      VT.deleteWhereDeferred(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v1
+      VT.deleteWhereDeferred(s, tbl, col("o_orderkey") % 5 === 0)    // v2
+      VT.compact(s, tbl, targetFiles = 4)                            // v3
+      (0L to 3L).map { v =>
+        VT.snapshot(s, tbl, Some(v)).agg(
+          count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_.union(_))
+        .select(col("version"), col("n"), col("total"))
+        .orderBy(col("version"))
+    }),
+
     "q153_incremental_gold" -> ((s, dir) => withScratch { tbl =>
       val base = ordersSlice(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -279,6 +302,25 @@ object VersionedQueries {
     // commits: v0 = keys≡0 (mod 3); v1 = +keys≡1; v2 = MERGE of the
     // (key%5=0, price+1000, status 'U') source into v1; v3 = v2 minus
     // (status F ∧ key%7=0); v4 = RESTORE to v1.
+    // Logical states of the DV history: v1 = v0 minus (F AND key%7=0),
+    // v2 = v1 minus key%5=0, v3 = v2 (compaction materializes, changes
+    // nothing logically).
+    "q161_deletion_vectors" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey < 20000 AND o_orderkey % 3 = 0),
+        |v1 AS (SELECT * FROM base
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)),
+        |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 5 <> 0),
+        |states AS (
+        |  SELECT 0 AS version, * FROM base
+        |  UNION ALL SELECT 1, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v2)
+        |SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM states GROUP BY version ORDER BY version""".stripMargin,
+
     "q151_time_travel" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

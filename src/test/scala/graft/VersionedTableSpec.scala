@@ -157,6 +157,98 @@ class VersionedTableSpec extends SparkSpec {
     } finally VT.commitArbiter = prev
   }
 
+  test("deletion vectors: deferred delete rewrites nothing, reads " +
+      "subtract, time travel sees pre-delete rows") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)            // v0
+      VT.append(spark, df(3 -> "c", 4 -> "d"), t)            // v1
+      val filesBefore = VT.snapshot(spark, t).inputFiles.toSet
+      val c = VT.deleteWhereDeferred(spark, t, col("id") % 2 === 0) // v2
+      assert(c.add.isEmpty && c.remove.isEmpty && c.dvAdd.nonEmpty)
+      // no DATA file touched — the delete is a sidecar (which the read
+      // plan scans for the anti-join, hence the -dv filter here)
+      assert(VT.snapshot(spark, t).inputFiles.toSet
+        .filterNot(_.contains("-dv")) == filesBefore)
+      assert(VT.snapshot(spark, t).select("id").as[Int].collect().sorted
+        .toSeq == Seq(1, 3))
+      // pre-delete version unaffected
+      assert(VT.snapshot(spark, t, Some(1)).count() == 4)
+      // a second deferred delete composes (and cannot re-delete)
+      VT.deleteWhereDeferred(spark, t, col("id") <= 3)       // v3
+      assert(VT.snapshot(spark, t).count() == 0)
+      // snapshotWhere applies DVs too
+      VT.append(spark, df(10 -> "j"), t)                     // v4
+      assert(VT.snapshotWhere(spark, t, "id", lo = Some(0L))
+        .count() == 1)
+    }
+  }
+
+  test("deletion vectors: compact materializes and clears; rewriting ops " +
+      "refuse to run over active DVs") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t)  // v0
+      VT.deleteWhereDeferred(spark, t, col("id") === 2)      // v1
+      // raw-file rewriters would resurrect DV'd rows — they must refuse
+      intercept[IllegalStateException] {
+        VT.merge(spark, df(9 -> "z"), t, Seq("id"))
+      }
+      intercept[IllegalStateException] {
+        VT.deleteWhere(spark, t, col("id") === 1)
+      }
+      VT.compact(spark, t, targetFiles = 1)                  // v2
+      assert(VT.snapshot(spark, t).select("id").as[Int].collect().sorted
+        .toSeq == Seq(1, 3))
+      // DVs are gone: merge works again
+      VT.merge(spark, df(9 -> "z"), t, Seq("id"))            // v3
+      assert(VT.snapshot(spark, t).count() == 3)
+      // and time travel to the DV version still subtracts
+      assert(VT.snapshot(spark, t, Some(1)).count() == 2)
+    }
+  }
+
+  test("deletion vectors: changeFeed emits DV deletes with payload; " +
+      "restore brings DV state back and forth") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t)  // v0
+      VT.deleteWhereDeferred(spark, t, col("id") === 2)      // v1
+      val feed = VT.changeFeed(spark, t, 0, 1, Seq("id"))
+        .select("id", "v", "_change_type")
+        .as[(Int, String, String)].collect().toSeq
+      assert(feed == Seq((2, "b", "delete")))
+      // a delete already DV'd at `from` must NOT re-surface in a wider
+      // range that also rewrites the files
+      VT.compact(spark, t, targetFiles = 1)                  // v2
+      val feed2 = VT.changeFeed(spark, t, 1, 2, Seq("id")).count()
+      assert(feed2 == 0) // compaction materialized — no logical change
+      VT.restore(spark, t, 1)                                // v3: DV back
+      assert(VT.snapshot(spark, t).count() == 2)
+      VT.restore(spark, t, 0)                                // v4: pre-DV
+      assert(VT.snapshot(spark, t).count() == 3)
+    }
+  }
+
+  test("deletion vectors: vacuum keeps live DV sidecars, ages out " +
+      "materialized ones") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)            // v0
+      val c = VT.deleteWhereDeferred(spark, t, col("id") === 1) // v1
+      val dvFile = c.dvAdd.head
+      // live DV is never GC'd regardless of horizon
+      VT.vacuum(t, retainMs = 0L,
+        nowMs = System.currentTimeMillis() + 1000000L)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t, dvFile)))
+      assert(VT.snapshot(spark, t).count() == 1)
+      // after materialization the sidecar ages out with the old files
+      VT.compact(spark, t, targetFiles = 1)                  // v2
+      VT.vacuum(t, retainMs = 0L,
+        nowMs = System.currentTimeMillis() + 1000000L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t, dvFile)))
+      assert(VT.snapshot(spark, t).count() == 1)
+    }
+  }
+
   test("concurrent appends both land (optimistic slot retry)") {
     withTable { t =>
       VT.append(spark, df(0 -> "seed"), t)
