@@ -69,6 +69,28 @@ object VersionedTable {
     * never pruned). */
   type FileStats = Map[String, Map[String, (String, String)]]
 
+  /** Isolation level for the read-modify-write ops (MERGE, DELETE,
+    * OPTIMIZE, applyChanges) — Delta's two levels, same semantics.
+    * Pure appends are unaffected (they conflict with nothing and always
+    * retry the slot race). */
+  sealed trait Isolation
+  object Isolation {
+    /** The default (as in Delta): interleaved commits that are blind
+      * add-only appends (no removes, no deletion-vector changes, no
+      * schema change) REBASE — the op's remove/DV sets were derived at
+      * its read version and an append cannot invalidate them, so the op
+      * commits on top rather than aborting. The documented anomaly: rows
+      * appended concurrently are not seen by the op's predicate/join
+      * (a concurrent MERGE + blind append can momentarily duplicate a
+      * key; the next MERGE collapses it). Anything beyond a blind append
+      * is a real conflict and still throws. At 100 TB this is the
+      * difference between a nightly OPTIMIZE that finishes and one that
+      * loses every race to a streaming ingest append. */
+    case object WriteSerializable extends Isolation
+    /** Strict: ANY interleaved commit aborts the op. */
+    case object Serializable extends Isolation
+  }
+
   final case class Commit(
       version: Long,
       ts: Long,
@@ -224,6 +246,16 @@ object VersionedTable {
       dv --= c.dvRemove
       dv ++= c.dvAdd
       if (c.schemaJson.nonEmpty) {
+        // the lineage tracks schemas of LIVE files: when this commit's
+        // adds are the entire live set (overwrite, full compaction,
+        // delete-all), every older schema's files are gone — RESET the
+        // lineage instead of accumulating forever. Without this,
+        // (a) overwrite(overwriteSchema = true) can never truly re-type
+        // a dead column (the stale entry keeps poisoning enforcement)
+        // and (b) mixedSchemas stays true after a compaction unified
+        // the files, taxing every read with footer-merge for nothing.
+        val addSet = c.add.toSet
+        if (files.forall(addSet.contains)) schemas.clear()
         schemas -= c.schemaJson // move-to-end: last element = current
         schemas += c.schemaJson
       }
@@ -278,26 +310,43 @@ object VersionedTable {
     else spark.read
     val base = r.parquet(files.map(f => Paths.get(table, f).toString): _*)
     if (st.dv.isEmpty) base
-    else {
-      val cols = base.columns.toSeq
-      base
-        .withColumn("__fn", element_at(
-          split(col("_metadata.file_path"), "/"), -1))
-        .withColumn("__ri", col("_metadata.row_index"))
-        .join(broadcast(dvEntries(spark, table, st.dv)),
-          col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
-          "left_anti")
-        .select(cols.map(col): _*)
-    }
+    else dvJoin(base, dvEntries(spark, table, st.dv), "left_anti")
   }
 
-  /** The distinct (file, row position) pairs retired by `dvFiles`. */
+  /** The distinct (file, row position) pairs retired by `dvFiles`; the
+    * empty file list yields the empty entry set (no parquet read). */
   private def dvEntries(spark: SparkSession, table: String,
       dvFiles: Seq[String]): DataFrame =
-    spark.read.parquet(dvFiles.map(f => Paths.get(table, f).toString): _*)
+    if (dvFiles.isEmpty)
+      spark.range(0).select(lit("").as("__dv_fn"), lit(0L).as("__dv_ri"))
+    else spark.read.parquet(dvFiles.map(f => Paths.get(table, f).toString): _*)
       .select(col("file_name").as("__dv_fn"),
         col("row_index").as("__dv_ri"))
       .distinct()
+
+  /** `base` with the parquet file-name / row-position metadata columns
+    * attached — the DV join key. */
+  private def withFilePos(base: DataFrame): DataFrame = base
+    .withColumn("__fn",
+      element_at(split(col("_metadata.file_path"), "/"), -1))
+    .withColumn("__ri", col("_metadata.row_index"))
+
+  /** `base` anti- (survivors) or semi- (victims) joined against a DV
+    * entry set on (file, row position); the entry side is kilobytes, so
+    * always broadcast. THE one definition of the position-matching logic
+    * for every DV-subtract site (snapshot read, deferred delete, change
+    * feed) — it must not drift between them. `keepPos` retains the
+    * `__fn`/`__ri` columns for callers that need the positions after the
+    * join (the deferred delete writes them to the sidecar). */
+  private def dvJoin(base: DataFrame, entries: DataFrame,
+      joinType: String, keepPos: Boolean = false): DataFrame = {
+    val cols = base.columns.toSeq
+    val joined = withFilePos(base).join(broadcast(entries),
+      col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
+      joinType)
+    if (keepPos) joined.select((cols ++ Seq("__fn", "__ri")).map(col): _*)
+    else joined.select(cols.map(col): _*)
+  }
 
   private def requireNoDv(st: TableState, op: String, table: String): Unit =
     if (st.dv.nonEmpty)
@@ -319,40 +368,50 @@ object VersionedTable {
     * Trade-offs (same as Delta's): reads pay a (broadcast) anti-join
     * while DVs are active, and rewriting ops (MERGE / rewrite-DELETE /
     * applyChanges) refuse to run over active DVs — materialize with
-    * [[compact]] first. Serializable: commits at the version it read,
-    * so an interleaved writer raises [[Upsert.ConcurrentWriteException]]. */
+    * [[compact]] first. Optimistic, [[Isolation.WriteSerializable]] by
+    * default: interleaved blind appends rebase (the sidecar targets only
+    * files that existed at the read version); any other interleaved
+    * writer raises [[Upsert.ConcurrentWriteException]]. */
   def deleteWhereDeferred(spark: SparkSession, table: String,
-      cond: org.apache.spark.sql.Column): Commit = {
+      cond: org.apache.spark.sql.Column,
+      isolation: Isolation = Isolation.WriteSerializable): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
     val st = stateAt(table, rv)
     if (st.files.isEmpty)
       return commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
-        readVersion = Some(rv))
+        readVersion = Some(rv),
+        rebaseOverAdds = isolation == Isolation.WriteSerializable)
     val r = if (st.mixedSchemas)
       spark.read.option("mergeSchema", "true")
     else spark.read
-    val withPos = r
-      .parquet(st.files.map(f => Paths.get(table, f).toString): _*)
-      .withColumn("__fn",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__ri", col("_metadata.row_index"))
+    val base = r.parquet(st.files.map(f => Paths.get(table, f).toString): _*)
     // apply EXISTING DVs first so an already-deleted row can't be
-    // re-deleted (keeps per-(file,row) entries unique across sidecars —
-    // the invariant changeFeed's dv-growth diff relies on)
+    // re-deleted (keeps per-(file,row) entries unique within one state's
+    // sidecar set — the invariant one snapshot's anti-join relies on)
     val live =
-      if (st.dv.isEmpty) withPos
-      else withPos.join(broadcast(dvEntries(spark, table, st.dv)),
-        col("__fn") === col("__dv_fn") && col("__ri") === col("__dv_ri"),
-        "left_anti")
+      if (st.dv.isEmpty) withFilePos(base)
+      else dvJoin(base, dvEntries(spark, table, st.dv), "left_anti",
+        keepPos = true)
     val hits = live.filter(cond)
       .select(col("__fn").as("file_name"), col("__ri").as("row_index"))
-    if (hits.isEmpty)
-      return commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
-        readVersion = Some(rv))
+    // ONE predicate scan: write the candidate sidecar straight out, then
+    // check the written (kilobyte) file's row count — an isEmpty pre-check
+    // would recompute the whole scan + anti-join a second time for the
+    // write. A zero-match delete removes the orphan sidecar and commits
+    // a no-op (the commit still serializes against concurrent writers).
     val dvFiles = writeDataFiles(hits.coalesce(1), table, tag = "dv")
+    val matched = spark.read
+      .parquet(dvFiles.map(f => Paths.get(table, f).toString): _*).count()
+    if (matched == 0L) {
+      dvFiles.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      return commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
+        readVersion = Some(rv),
+        rebaseOverAdds = isolation == Isolation.WriteSerializable)
+    }
     commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
-      readVersion = Some(rv), dvAdd = dvFiles)
+      readVersion = Some(rv), dvAdd = dvFiles,
+      rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }
 
   /** Manifest-level data skipping (Delta's stats-based pruning): read the
@@ -465,6 +524,18 @@ object VersionedTable {
     named
   }
 
+  /** Same column names and types, nullability/metadata ignored — the
+    * schema-compatibility bar for rebasing over a blind append. Raw JSON
+    * equality is too strict: a parquet round-trip flips non-nullable
+    * in-memory fields to nullable, and that difference conflicts with
+    * nothing. */
+  private def sameColumnShape(a: String, b: String): Boolean =
+    a == b || scala.util.Try {
+      def shape(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+        .fields.map(f => (f.name, f.dataType.sql)).toSeq
+      shape(a) == shape(b)
+    }.getOrElse(false)
+
   private def commitLoop(table: String, op: String, add: Seq[String],
       removeAt: Long => Seq[String], schemaJson: String,
       readVersion: Option[Long], txn: Option[(String, Long)] = None,
@@ -472,9 +543,26 @@ object VersionedTable {
       maxRetries: Int = 20,
       revalidate: () => Unit = () => (),
       dvAdd: Seq[String] = Nil,
-      dvRemove: Seq[String] = Nil): Commit = {
+      dvRemoveAt: Long => Seq[String] = _ => Nil,
+      rebaseOverAdds: Boolean = false): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
+      // idempotence FIRST: if this transaction already committed (an
+      // earlier run, or a racer we just lost a slot to), return ITS
+      // commit — the data files this attempt wrote stay orphaned for
+      // vacuum to GC. Running validation before this check would let a
+      // racer's schema change fail a replay whose transaction is in fact
+      // already durable.
+      txn.foreach { case (app, id) =>
+        txnCommit(table, app, id).foreach(return _)
+      }
+      // pin the target slot BEFORE revalidating: any racer that commits
+      // after this read lands in `next` or later, so our tryPublish
+      // below loses the slot and the loop re-runs validation against the
+      // racer's commit. (Revalidating before reading the slot leaves a
+      // window where a racer's commit is neither validated against nor
+      // collided with.)
+      val next = latestVersion(table).map(_ + 1).getOrElse(0L)
       // re-run caller validation EVERY attempt: a writer that loses the
       // slot race re-derives against the log as it now stands, and a
       // racer may have changed what the pre-write check validated (two
@@ -483,25 +571,32 @@ object VersionedTable {
       // throw orphans this attempt's data files for vacuum, same as the
       // txn-dedup path.
       revalidate()
-      // idempotence: if this transaction already committed (earlier run,
-      // or a racer we just lost a slot to), return ITS commit — the data
-      // files this attempt wrote stay orphaned for vacuum to GC
-      txn.foreach { case (app, id) =>
-        txnCommit(table, app, id).foreach(return _)
-      }
-      val next = latestVersion(table).map(_ + 1).getOrElse(0L)
-      // serializable ops: any commit beyond the version we read from is a
-      // real conflict — our add/remove sets were derived from stale state
+      // read-modify-write ops derived their add/remove/DV sets from the
+      // state at readVersion, so a commit landed beyond it is a conflict
+      // — UNLESS the op runs at WriteSerializable isolation and every
+      // interleaved commit is a blind add-only append (no removes, no DV
+      // changes, no schema change): an append cannot invalidate a
+      // remove/DV set derived at readVersion, so the op REBASES over it
+      // and commits on top (see [[Isolation.WriteSerializable]]).
       readVersion.foreach { rv =>
-        if (next != rv + 1)
-          throw new Upsert.ConcurrentWriteException(
-            s"$op read version $rv of $table but version ${next - 1} " +
-              "was committed concurrently; re-read and retry")
+        if (next != rv + 1) {
+          val blindAppends = rebaseOverAdds &&
+            versions(table).filter(v => v > rv && v < next)
+              .map(v => parseCommit(versionFile(table, v)))
+              .forall(c => c.remove.isEmpty && c.dvAdd.isEmpty &&
+                c.dvRemove.isEmpty &&
+                (c.schemaJson.isEmpty ||
+                  sameColumnShape(c.schemaJson, schemaJson)))
+          if (!blindAppends)
+            throw new Upsert.ConcurrentWriteException(
+              s"$op read version $rv of $table but version ${next - 1} " +
+                "was committed concurrently; re-read and retry")
+        }
       }
       val c = Commit(next, System.currentTimeMillis(), op, add,
         removeAt(next), schemaJson,
         txnApp = txn.map(_._1), txnId = txn.map(_._2), stats = stats,
-        dvAdd = dvAdd, dvRemove = dvRemove)
+        dvAdd = dvAdd, dvRemove = dvRemoveAt(next))
       if (tryPublish(table, next, commitJson(c))) {
         maybeCheckpoint(table, next)
         return c
@@ -565,8 +660,13 @@ object VersionedTable {
       stateAt(table, v).schemas.foldLeft(Map.empty[String, String]) {
         (acc, json) =>
           if (json.isEmpty) acc
+          // keys lowercased: Spark resolves columns case-insensitively
+          // by default, so `V BIGINT` against existing `v string` is a
+          // TYPE CHANGE (and would make col("v") ambiguous on the next
+          // mergeSchema read), not a new column
           else acc ++ DataType.fromJson(json).asInstanceOf[StructType]
-            .fields.map(f => f.name -> f.dataType.catalogString)
+            .fields.map(f =>
+              f.name.toLowerCase -> f.dataType.catalogString)
       }
     }.getOrElse(Map.empty)
 
@@ -581,15 +681,18 @@ object VersionedTable {
     val cur = currentSchemaMap(table)
     if (cur.isEmpty) return
     val conflicts = incoming.fields
-      .filter(f => cur.get(f.name).exists(_ != f.dataType.catalogString))
+      .filter(f =>
+        cur.get(f.name.toLowerCase).exists(_ != f.dataType.catalogString))
     if (conflicts.nonEmpty)
       throw new SchemaEnforcementException(
         "append changes column types on " + table + ": " +
           conflicts.map(f =>
-            s"${f.name}: ${cur(f.name)} -> ${f.dataType.catalogString}")
+            s"${f.name}: ${cur(f.name.toLowerCase)} -> " +
+              f.dataType.catalogString)
             .mkString(", ") +
           "; type changes require overwrite(overwriteSchema = true)")
-    val added = incoming.fields.map(_.name).filterNot(cur.contains)
+    val added = incoming.fields.map(_.name)
+      .filterNot(n => cur.contains(n.toLowerCase))
     if (added.nonEmpty && !mergeSchema)
       throw new SchemaEnforcementException(
         "append adds new columns to " + table + ": " +
@@ -605,7 +708,8 @@ object VersionedTable {
     if (overwriteSchema) return
     val cur = currentSchemaMap(table)
     if (cur.isEmpty) return
-    val inc = incoming.fields.map(f => f.name -> f.dataType.catalogString)
+    val inc = incoming.fields.map(f =>
+      f.name.toLowerCase -> f.dataType.catalogString)
     if (inc.toMap != cur)
       throw new SchemaEnforcementException(
         "overwrite changes the schema of " + table +
@@ -706,20 +810,21 @@ object VersionedTable {
       enforceOverwriteSchema(table, df.schema, overwriteSchema)
       val read = expectVersion.orElse(latestVersion(table))
       val files = writeDataFiles(sized(df, optimizeWrite), table)
-      // no revalidate needed for the versioned path: with `read` set, an
-      // interleaved commit makes the loop throw ConcurrentWriteException
-      // before any racer's schema could slip through; for the bootstrap
-      // race (read = None, empty table) revalidate closes the same
-      // two-first-writers window append has
+      // the remove set is derived from the slot the commit actually
+      // LANDS in, not the version observed before the loop: a bootstrap
+      // overwrite (read = None) that loses its slot race must replace
+      // the racer's files on retry — a stale-read remove set would
+      // silently union the two writers' rows instead. (With `read` set
+      // the serializable check pins next = read + 1, so the two
+      // derivations agree.) Ditto the DV retire set: a full replace
+      // clears whatever sidecars are active at the predecessor.
       commitLoop(table, "overwrite", files,
-        _ => read.map(v => stateAt(table, v).files).getOrElse(Nil),
+        v => if (v == 0) Nil else stateAt(table, v - 1).files,
         df.schema.json, readVersion = read, txn = txn,
         stats = computeStats(spark, table, files, statsFor),
         revalidate =
           () => enforceOverwriteSchema(table, df.schema, overwriteSchema),
-        // a full replace retires any active deletion vectors with the
-        // files they applied to
-        dvRemove = read.map(v => stateAt(table, v).dv).getOrElse(Nil))
+        dvRemoveAt = v => if (v == 0) Nil else stateAt(table, v - 1).dv)
     }
 
   /** Apply a change-feed frame (`_change_type` ∈ insert /
@@ -737,7 +842,8 @@ object VersionedTable {
     * ([[ChangeConsumer.processChanges]]) yields an exactly-once mirror. */
   def applyChanges(spark: SparkSession, feed: DataFrame, table: String,
       keys: Seq[String], txnApp: String, txnId: Long,
-      statsFor: Seq[String] = Nil): Commit = {
+      statsFor: Seq[String] = Nil,
+      isolation: Isolation = Isolation.WriteSerializable): Commit = {
     require(keys.nonEmpty, "applyChanges needs row keys")
     txnCommit(table, txnApp, txnId).getOrElse {
       Files.createDirectories(Paths.get(table))
@@ -749,12 +855,18 @@ object VersionedTable {
       val changedKeys = feed
         .filter(col("_change_type") =!= "update_preimage")
         .select(keys.map(col): _*).distinct()
+      // same write-time bar as append/merge: a feed whose shared columns
+      // re-type the table fails loudly; new feed columns are the CDC
+      // schema-evolution path (hence mergeSchema = true)
+      enforceAppendSchema(table, upserts.schema, mergeSchema = true)
       latestVersion(table) match {
         case None =>
           val files = writeDataFiles(upserts, table)
           commitLoop(table, "apply_changes", files, _ => Nil,
             upserts.schema.json, None, txn = Some((txnApp, txnId)),
-            stats = computeStats(spark, table, files, statsFor))
+            stats = computeStats(spark, table, files, statsFor),
+            revalidate = () =>
+              enforceAppendSchema(table, upserts.schema, mergeSchema = true))
         case Some(v) =>
           val st = stateAt(table, v)
           // hit-file rewrite reads raw files — active DVs would resurrect
@@ -784,7 +896,10 @@ object VersionedTable {
           commitLoop(table, "apply_changes", added, _ => hitNames,
             schema.json, readVersion = Some(v),
             txn = Some((txnApp, txnId)),
-            stats = computeStats(spark, table, added, statsFor))
+            stats = computeStats(spark, table, added, statsFor),
+            revalidate = () =>
+              enforceAppendSchema(table, upserts.schema, mergeSchema = true),
+            rebaseOverAdds = isolation == Isolation.WriteSerializable)
       }
     }
   }
@@ -826,11 +941,13 @@ object VersionedTable {
     * files survive as-is, a downstream [[changeFeed]] over the commit
     * diffs only the touched sliver too. With single-column keys and
     * recorded stats ([[append]]'s `statsFor`), candidate files are
-    * pre-pruned by manifest min/max before any scan. Optimistic: a
-    * concurrent commit between read and publish raises, nothing lost. */
+    * pre-pruned by manifest min/max before any scan. Optimistic,
+    * [[Isolation.WriteSerializable]] by default: interleaved blind
+    * appends rebase; anything else raises, nothing lost. */
   def merge(spark: SparkSession, source: DataFrame, table: String,
       keys: Seq[String],
-      updateColumns: Option[Seq[String]] = None): Commit = {
+      updateColumns: Option[Seq[String]] = None,
+      isolation: Isolation = Isolation.WriteSerializable): Commit = {
     require(keys.nonEmpty, "merge needs keys")
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table to merge into"))
@@ -853,6 +970,12 @@ object VersionedTable {
       (if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
     val merged = Upsert.merge(hitRows, source, keys, updateColumns)
+    // the same write-time enforcement append has: a source whose shared
+    // columns coerce to a different type (INT source vs BIGINT table —
+    // Upsert.merge's when(...) widens silently) must fail HERE, not
+    // poison the log. Genuinely NEW source columns remain legal (the
+    // documented merge evolution path), hence mergeSchema = true.
+    enforceAppendSchema(table, merged.schema, mergeSchema = true)
     val hitNames = hitPaths.map(p =>
       Paths.get(new java.net.URI(p).getPath).getFileName.toString)
     // file-count discipline: a surgical update is sized to the files it
@@ -864,7 +987,10 @@ object VersionedTable {
     // record the MERGED schema (a source can itself evolve the table —
     // the overwrite-based merge recorded the post-merge shape too)
     commitLoop(table, "merge", added, _ => hitNames, merged.schema.json,
-      readVersion = Some(rv))
+      readVersion = Some(rv),
+      revalidate =
+        () => enforceAppendSchema(table, merged.schema, mergeSchema = true),
+      rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }
 
   /** File-granular DELETE: rewrite ONLY the files that contain matching
@@ -872,7 +998,8 @@ object VersionedTable {
     * On a selective predicate this touches a sliver of the table — the
     * 100 TB-shaped delete. */
   def deleteWhere(spark: SparkSession, table: String,
-      cond: org.apache.spark.sql.Column): Commit = {
+      cond: org.apache.spark.sql.Column,
+      isolation: Isolation = Isolation.WriteSerializable): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
     // the survivor rewrite reads hit files RAW — running it over active
@@ -884,14 +1011,16 @@ object VersionedTable {
       .collect().map(_.getString(0)).toSeq // bounded by file count
     if (hitPaths.isEmpty)
       return commitLoop(table, "delete", Nil, _ => Nil, snap.schema.json,
-        readVersion = Some(rv))
+        readVersion = Some(rv),
+        rebaseOverAdds = isolation == Isolation.WriteSerializable)
     val hitNames = hitPaths.map(p => Paths.get(new java.net.URI(p).getPath)
       .getFileName.toString)
     val survivors = spark.read.parquet(hitPaths.map(p =>
       new java.net.URI(p).getPath): _*).filter(!cond)
     val added = writeDataFiles(survivors, table)
     commitLoop(table, "delete", added, _ => hitNames, snap.schema.json,
-      readVersion = Some(rv))
+      readVersion = Some(rv),
+      rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }
 
   /** RESTORE to `version` (Delta `RESTORE TABLE ... TO VERSION AS OF`):
@@ -913,7 +1042,7 @@ object VersionedTable {
     val cur = stateAt(table, rv)
     commitLoop(table, "restore", files,
       _ => cur.files, schema, readVersion = Some(rv),
-      dvAdd = st.dv, dvRemove = cur.dv.filterNot(st.dv.toSet))
+      dvAdd = st.dv, dvRemoveAt = _ => cur.dv.filterNot(st.dv.toSet))
   }
 
   /** OPTIMIZE-style compaction as a commit: coalesce the current snapshot
@@ -930,7 +1059,8 @@ object VersionedTable {
     * ~√-selective per dimension instead of all-or-nothing. */
   def compact(spark: SparkSession, table: String, targetFiles: Int,
       clusterBy: Seq[String] = Nil, statsFor: Seq[String] = Nil,
-      zorder: Boolean = false): Commit = {
+      zorder: Boolean = false,
+      isolation: Isolation = Isolation.WriteSerializable): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
     val base = snapshot(spark, table, Some(rv))
@@ -957,7 +1087,8 @@ object VersionedTable {
       snap.schema.json, readVersion = Some(rv),
       stats = computeStats(spark, table, added,
         if (statsFor.nonEmpty) statsFor else clusterBy),
-      dvRemove = preSt.dv)
+      dvRemoveAt = _ => preSt.dv,
+      rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }
 
   /** OPTIMIZE sized by bytes instead of a file count (the Delta
@@ -966,21 +1097,26 @@ object VersionedTable {
     * current snapshot's files — callers say "1 GiB files" once instead
     * of re-deriving a count as the table grows. Skips the rewrite
     * entirely (returns None) when the table already has that many files
-    * or fewer and no clustering was requested — OPTIMIZE on an
-    * optimized table must not rewrite 100 TB for nothing. */
+    * or fewer, no clustering was requested, AND no deletion vectors are
+    * active — OPTIMIZE on an optimized table must not rewrite 100 TB for
+    * nothing, but active DVs force the rewrite: OPTIMIZE is the
+    * materialization point that clears them and unblocks
+    * merge/deleteWhere/applyChanges, so a maintenance job calling only
+    * this entry point must never leave a table permanently DV-blocked. */
   def compactBySize(spark: SparkSession, table: String,
       targetBytes: Long = 1L << 30, clusterBy: Seq[String] = Nil,
-      statsFor: Seq[String] = Nil, zorder: Boolean = false): Option[Commit] = {
+      statsFor: Seq[String] = Nil, zorder: Boolean = false,
+      isolation: Isolation = Isolation.WriteSerializable): Option[Commit] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
-    val files = stateAt(table, rv).files
-    if (files.isEmpty) return None
-    val totalBytes = files.map(f => Files.size(Paths.get(table, f))).sum
+    val st = stateAt(table, rv)
+    if (st.files.isEmpty) return None
+    val totalBytes = st.files.map(f => Files.size(Paths.get(table, f))).sum
     val target = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
-    if (clusterBy.isEmpty && files.size <= target) None
+    if (clusterBy.isEmpty && st.files.size <= target && st.dv.isEmpty) None
     else Some(compact(spark, table, target.toInt, clusterBy, statsFor,
-      zorder))
+      zorder, isolation))
   }
 
   /** GC data files that (a) are not referenced by the LATEST version and
@@ -1066,55 +1202,75 @@ object VersionedTable {
     // had already retired at `from` must not resurface as a delete when
     // its file is rewritten, and a row DV-retired by `to` must not
     // appear as an insert in a file added in the range
-    def readSide(files: Seq[String], dv: Seq[String]): DataFrame = {
+    def readSide(files: Seq[String], dv: Seq[String],
+        mixed: Boolean): DataFrame = {
       if (files.isEmpty)
         return conform(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema))
-      val base = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => Paths.get(table, f).toString): _*)
-      val applied =
+      val r = if (mixed) spark.read.option("mergeSchema", "true")
+      else spark.read
+      val base = r.parquet(files.map(f => Paths.get(table, f).toString): _*)
+      conform(
         if (dv.isEmpty) base
-        else {
-          val cols = base.columns.toSeq
-          base
-            .withColumn("__fn", element_at(
-              split(col("_metadata.file_path"), "/"), -1))
-            .withColumn("__ri", col("_metadata.row_index"))
-            .join(broadcast(dvEntries(spark, table, dv)),
-              col("__fn") === col("__dv_fn") &&
-                col("__ri") === col("__dv_ri"),
-              "left_anti")
-            .select(cols.map(col): _*)
-        }
-      conform(applied)
+        else dvJoin(base, dvEntries(spark, table, dv), "left_anti"))
     }
-    val before = readSide(stFrom.files.filterNot(toSet), stFrom.dv)
-    val after = readSide(stTo.files.filterNot(fromSet), stTo.dv)
-    // rows retired by DV sidecars added in (from, to] against files
-    // CARRIED ACROSS the range are invisible to the file diff — they are
-    // pure deletes, read back by position from the carried files (DV
-    // entries are unique per (file, row) across sidecars: a deferred
-    // delete only targets rows live under the existing DVs)
-    val newDvFiles = stTo.dv.filterNot(stFrom.dv.toSet)
+    val before = readSide(stFrom.files.filterNot(toSet), stFrom.dv,
+      stFrom.mixedSchemas)
+    val after = readSide(stTo.files.filterNot(fromSet), stTo.dv,
+      stTo.mixedSchemas)
     val carried = stFrom.files.filter(toSet)
-    val dvDeletes: Option[DataFrame] =
-      if (newDvFiles.isEmpty || carried.isEmpty) None
-      else {
-        val entries = dvEntries(spark, table, newDvFiles)
-        val base = spark.read.option("mergeSchema", "true")
-          .parquet(carried.map(f => Paths.get(table, f).toString): _*)
-        val cols = base.columns.toSeq
-        Some(conform(base
-          .withColumn("__fn", element_at(
-            split(col("_metadata.file_path"), "/"), -1))
-          .withColumn("__ri", col("_metadata.row_index"))
-          .join(broadcast(entries),
-            col("__fn") === col("__dv_fn") &&
-              col("__ri") === col("__dv_ri"),
-            "left_semi")
-          .select(cols.map(col): _*)))
-      }
     val dataCols = after.columns.filterNot(keys.contains).toSeq
+    // DV corrections over files CARRIED across the range — invisible to
+    // the file diff, yet sidecars added in (from, to] retire rows in them
+    // (pure deletes) and sidecars REMOVED in the range (RESTORE)
+    // resurrect rows (pure inserts). The diff is ENTRY-level, not
+    // sidecar-file-level: across a restore a fresh sidecar may re-cover
+    // the exact (file, row) an old sidecar covered — logically identical
+    // states whose sidecar file sets differ — and a file-level diff would
+    // emit a phantom second delete. Only the carried files actually NAMED
+    // by the diffed entries are read back (by position): O(touched
+    // files), not O(carried files) — the sidecars themselves are
+    // kilobytes, and the touched-file list is a driver-side collect of
+    // file NAMES, same scaling class as the manifest itself.
+    def dvCorrections(): Seq[DataFrame] = {
+      if (carried.isEmpty || stTo.dv.toSet == stFrom.dv.toSet) return Nil
+      val carriedDf = {
+        import spark.implicits._
+        carried.toDF("__cf")
+      }
+      def entriesOverCarried(dv: Seq[String]): DataFrame =
+        dvEntries(spark, table, dv)
+          .join(broadcast(carriedDf), col("__dv_fn") === col("__cf"),
+            "left_semi")
+      def entryDiff(a: Seq[String], b: Seq[String]): DataFrame =
+        entriesOverCarried(a).join(
+          broadcast(entriesOverCarried(b)
+            .withColumnRenamed("__dv_fn", "__o_fn")
+            .withColumnRenamed("__dv_ri", "__o_ri")),
+          col("__dv_fn") === col("__o_fn") &&
+            col("__dv_ri") === col("__o_ri"),
+          "left_anti")
+      // `entries` is evaluated twice (touched-file collect + semi-join)
+      // — sidecars are kilobytes, recomputing beats a persist lifecycle
+      def correction(entries: DataFrame, tpe: String): Option[DataFrame] = {
+        val touched = entries.select("__dv_fn").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (touched.isEmpty) None
+        else {
+          val r = if (stTo.mixedSchemas || stFrom.mixedSchemas)
+            spark.read.option("mergeSchema", "true")
+          else spark.read
+          val base = r.parquet(
+            touched.map(f => Paths.get(table, f).toString): _*)
+          Some(conform(dvJoin(base, entries, "left_semi"))
+            .select((keys ++ dataCols).map(col): _*)
+            .withColumn("_change_type", lit(tpe)))
+        }
+      }
+      // deletes: entries at `to` absent at `from`; inserts: the reverse
+      correction(entryDiff(stTo.dv, stFrom.dv), "delete").toSeq ++
+        correction(entryDiff(stFrom.dv, stTo.dv), "insert").toSeq
+    }
     // explicit presence markers (not key nullability): a legitimately NULL
     // key value must not masquerade as an absent row
     val b = before.select(before.columns.map(c =>
@@ -1141,12 +1297,6 @@ object VersionedTable {
         array(rowStruct(fromBefore = true, "delete")))
       .when(afterHere && beforeHere && changed, updateRows)
     val diffed = j.select(explode(rows).as("__r")).select(col("__r.*"))
-    dvDeletes match {
-      case None => diffed
-      case Some(del) =>
-        diffed.unionByName(del
-          .select((keys ++ dataCols).map(col): _*)
-          .withColumn("_change_type", lit("delete")))
-    }
+    dvCorrections().foldLeft(diffed)(_ unionByName _)
   }
 }

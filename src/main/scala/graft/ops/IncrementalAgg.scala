@@ -21,18 +21,21 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object IncrementalAgg {
 
   /** Build per-key mergeable state from raw rows: (keys*, n, sum_v
-    * DECIMAL(38,2), min_v, max_v). One shuffle with map-side combine.
-    * `decimals` must hold the input's fixed-point values (monetary
-    * DECIMAL(18,2) default — the Q.scala convention); the stored sum is
-    * realigned to max-precision (38,2) so the state schema is IDENTICAL
-    * whether it came from one build or any chain of [[mergeStates]]
-    * folds — a state table must not alternate types between write
-    * paths (versioned-table schema enforcement rejects that drift). */
+    * DECIMAL(38, decimals.scale), min_v, max_v). One shuffle with
+    * map-side combine. `decimals` must hold the input's fixed-point
+    * values (monetary DECIMAL(18,2) default — the Q.scala convention);
+    * the stored sum is realigned to max precision AT THE INPUT'S SCALE
+    * (38,2 would silently round a scale-4 rate sum) so the state schema
+    * is IDENTICAL whether it came from one build or any chain of
+    * [[mergeStates]] folds — a state table must not alternate types
+    * between write paths (versioned-table schema enforcement rejects
+    * that drift). */
   def aggState(df: DataFrame, keys: Seq[String], valueCol: String,
       decimals: DecimalType = DecimalType(18, 2)): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sum(col(valueCol).cast(decimals)).cast(DecimalType(38, 2))
+      sum(col(valueCol).cast(decimals))
+        .cast(DecimalType(38, decimals.scale))
         .as("sum_v"),
       min(col(valueCol).cast(DoubleType)).as("min_v"),
       max(col(valueCol).cast(DoubleType)).as("max_v"))

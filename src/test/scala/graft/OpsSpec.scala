@@ -455,6 +455,19 @@ class OpsSpec extends SparkSpec {
     assert(left == right && left == direct)
   }
 
+  test("IncrementalAgg: aggState keeps the caller's decimal SCALE — a " +
+      "scale-4 rate sum is not rounded to cents") {
+    import graft.ops.IncrementalAgg._
+    import org.apache.spark.sql.types.DecimalType
+    val rates = Seq(("eur", 1.0843), ("eur", 0.9121), ("usd", 1.0001))
+      .toDF("ccy", "rate")
+    val st = aggState(rates, Seq("ccy"), "rate", DecimalType(18, 4))
+    assert(st.schema("sum_v").dataType == DecimalType(38, 4))
+    val eur = st.filter(col("ccy") === "eur")
+      .select(col("sum_v").cast("string")).head().getString(0)
+    assert(eur == "1.9964") // 38,2 realignment would have made it 2.00
+  }
+
   test("IncrementalAgg: distinct state retracts through a change feed") {
     import graft.ops.IncrementalAgg._
     val keys = Seq("g")

@@ -249,6 +249,125 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("deletion vectors: changeFeed diffs DV ENTRIES, not sidecar " +
+      "files — restore resurrection emits inserts, restore + re-delete " +
+      "emits nothing") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t)  // v0
+      VT.deleteWhereDeferred(spark, t, col("id") === 2)      // v1
+      VT.restore(spark, t, 0)                                // v2: DV gone
+      // rows resurrected by DROPPING a sidecar over a carried file are
+      // pure inserts — a sidecar-file-level diff (added files only)
+      // misses them entirely
+      val feed12 = VT.changeFeed(spark, t, 1, 2, Seq("id"))
+        .select("id", "v", "_change_type")
+        .as[(Int, String, String)].collect().toSeq
+      assert(feed12 == Seq((2, "b", "insert")))
+      VT.deleteWhereDeferred(spark, t, col("id") === 2)      // v3: fresh
+      // v1 and v3 are logically IDENTICAL states whose sidecar file sets
+      // differ (the re-delete wrote a fresh sidecar covering the same
+      // (file, row)) — a file-level diff emits a phantom second delete
+      assert(VT.changeFeed(spark, t, 1, 3, Seq("id")).count() == 0)
+      // and the plain re-delete range still reports the one delete
+      val feed23 = VT.changeFeed(spark, t, 2, 3, Seq("id"))
+        .select("id", "v", "_change_type")
+        .as[(Int, String, String)].collect().toSeq
+      assert(feed23 == Seq((2, "b", "delete")))
+    }
+  }
+
+  test("deletion vectors: compactBySize at target file count still " +
+      "materializes active DVs (never leaves the table DV-blocked)") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t)  // v0
+      VT.compact(spark, t, targetFiles = 1)                  // v1
+      assert(VT.compactBySize(spark, t).isEmpty) // no DVs: no-op is right
+      VT.deleteWhereDeferred(spark, t, col("id") === 2)      // v2
+      // one file <= target, but the DV must still be materialized
+      assert(VT.compactBySize(spark, t).nonEmpty)            // v3
+      VT.merge(spark, df(9 -> "z"), t, Seq("id"))            // unblocked
+      assert(VT.snapshot(spark, t).select("id").as[Int].collect().sorted
+        .toSeq == Seq(1, 3, 9))
+    }
+  }
+
+  test("deletion vectors: zero-match deferred delete commits a no-op " +
+      "with no sidecar left behind") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)                      // v0
+      val c = VT.deleteWhereDeferred(spark, t, col("id") === 999) // v1
+      assert(c.dvAdd.isEmpty && c.add.isEmpty && c.remove.isEmpty)
+      assert(VT.latestVersion(t).contains(1L))
+      assert(VT.snapshot(spark, t).count() == 1)
+      val l = Files.list(java.nio.file.Paths.get(t))
+      try {
+        import scala.jdk.CollectionConverters._
+        assert(!l.iterator().asScala.exists(
+          _.getFileName.toString.contains("-dv")))
+      } finally l.close()
+    }
+  }
+
+  // injects a REAL interleaved commit at the moment the op under test
+  // tries to claim its log slot: the first claim loses after `race` runs,
+  // forcing the op through the conflict/rebase path on its retry
+  private def withRacer[T](race: => Unit)(body: => T): T = {
+    import java.nio.file.Path
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racer = new graft.io.CommitArbiter {
+      def tryClaim(dir: Path, target: Path, json: String): Boolean =
+        if (fired.getAndSet(true))
+          graft.io.CommitArbiter.PosixLink.tryClaim(dir, target, json)
+        else { race; false } // the nested op claims THIS slot for real
+    }
+    val prev = VT.commitArbiter
+    try { VT.commitArbiter = racer; body }
+    finally VT.commitArbiter = prev
+  }
+
+  test("WriteSerializable: OPTIMIZE rebases over an interleaved blind " +
+      "append instead of aborting") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)            // v0
+      withRacer(VT.append(spark, df(9 -> "z"), t)) {         // steals v1
+        VT.compact(spark, t, targetFiles = 1)                // rebases: v2
+      }
+      assert(VT.latestVersion(t).contains(2L))
+      // compacted rows AND the racer's appended row both survive
+      assert(VT.snapshot(spark, t).select("id").as[Int].collect().sorted
+        .toSeq == Seq(1, 2, 9))
+    }
+  }
+
+  test("Serializable isolation: the same interleaved append aborts") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)                      // v0
+      withRacer(VT.append(spark, df(9 -> "z"), t)) {
+        intercept[Upsert.ConcurrentWriteException] {
+          VT.compact(spark, t, targetFiles = 1,
+            isolation = VT.Isolation.Serializable)
+        }
+      }
+      // the racer's append still landed; nothing was lost or corrupted
+      assert(VT.snapshot(spark, t).count() == 2)
+    }
+  }
+
+  test("WriteSerializable: an interleaved NON-append (DV delete) is a " +
+      "real conflict and still aborts") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)            // v0
+      withRacer(VT.deleteWhereDeferred(spark, t, col("id") === 1)) {
+        intercept[Upsert.ConcurrentWriteException] {
+          VT.merge(spark, df(2 -> "B"), t, Seq("id"))
+        }
+      }
+      // racer's deferred delete landed; the failed merge changed nothing
+      assert(VT.snapshot(spark, t).select("id").as[Int].collect().toSeq
+        == Seq(2))
+    }
+  }
+
   test("concurrent appends both land (optimistic slot retry)") {
     withTable { t =>
       VT.append(spark, df(0 -> "seed"), t)
@@ -408,6 +527,83 @@ class VersionedTableSpec extends SparkSpec {
       assert(rows == Seq((1, "a", None), (2, "b", Some(7.5))))
       // v0 alone predates the evolution — no phantom column
       assert(VT.snapshot(spark, t, Some(0)).columns.toSeq == Seq("id", "v"))
+    }
+  }
+
+  test("schema enforcement: overwrite(overwriteSchema) truly re-types — " +
+      "a dead column's old type does not haunt the lineage") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)                      // v: string
+      // drop v entirely, then re-add it with a NEW type: legal, because
+      // the overwrite removed every file that carried the old type
+      VT.overwrite(spark, Seq(1).toDF("id"), t,
+        overwriteSchema = true)
+      VT.append(spark, Seq((2, 9L)).toDF("id", "v"), t,
+        mergeSchema = true)                                  // v: bigint
+      val snap = VT.snapshot(spark, t)
+      assert(snap.columns.toSet == Set("id", "v"))
+      assert(snap.schema("v").dataType ==
+        org.apache.spark.sql.types.LongType)
+    }
+  }
+
+  test("schema enforcement: merge rejects a source that coerces a " +
+      "column's type instead of committing the widened schema") {
+    withTable { t =>
+      VT.append(spark, Seq((1, 10)).toDF("id", "n"), t)      // n: int
+      intercept[VT.SchemaEnforcementException] {
+        // LONG source n would silently widen n to BIGINT via the
+        // merge expression's type coercion
+        VT.merge(spark, Seq((1, 99L)).toDF("id", "n"), t, Seq("id"))
+      }
+      // a well-typed source still merges, and NEW columns still evolve
+      VT.merge(spark, Seq((1, 99, "x")).toDF("id", "n", "tag"), t,
+        Seq("id"))
+      assert(VT.snapshot(spark, t).select("n").as[Int].head() == 99)
+    }
+  }
+
+  test("schema enforcement: a case-variant column is a type change, " +
+      "not a new column (Spark resolves names case-insensitively)") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)                      // v: string
+      intercept[VT.SchemaEnforcementException] {
+        VT.append(spark, Seq((2, 9L)).toDF("id", "V"), t,
+          mergeSchema = true)
+      }
+      // same case-variant NAME with the same type is fine (no clash)
+      VT.append(spark, Seq((2, "b")).toDF("id", "V"), t)
+      assert(VT.snapshot(spark, t).count() == 2)
+    }
+  }
+
+  test("bootstrap overwrite race: the slot loser REPLACES the racer's " +
+      "rows instead of unioning with them") {
+    withTable { t =>
+      withRacer(VT.overwrite(spark, df(9 -> "z"), t)) {      // steals v0
+        VT.overwrite(spark, df(1 -> "a"), t)                 // lands v1
+      }
+      assert(VT.latestVersion(t).contains(1L))
+      // replace semantics: only the last overwrite's rows survive
+      assert(VT.snapshot(spark, t).as[(Int, String)].collect().toSeq ==
+        Seq(1 -> "a"))
+      // and the racer's version stays readable (its own rows only)
+      assert(VT.snapshot(spark, t, Some(0)).as[(Int, String)].collect()
+        .toSeq == Seq(9 -> "z"))
+    }
+  }
+
+  test("idempotent replay survives a later re-typing overwrite: the " +
+      "txn check answers before schema validation can throw") {
+    withTable { t =>
+      val c1 = VT.appendIdempotent(spark, df(1 -> "a"), t, "app", 7L)
+      VT.overwrite(spark, Seq((1, 5L)).toDF("id", "v"), t,
+        overwriteSchema = true) // v re-typed string -> bigint
+      // replaying txn 7 with the OLD frame must return the original
+      // commit, not trip enforcement against the new schema
+      val replay = VT.appendIdempotent(spark, df(1 -> "a"), t, "app", 7L)
+      assert(replay.version == c1.version)
+      assert(VT.snapshot(spark, t).count() == 1)
     }
   }
 
