@@ -104,7 +104,12 @@ object VersionedTable {
       // deletion-vector sidecar files added/retired by this commit
       // (absent in pre-DV commits — parse defaults to empty)
       dvAdd: Seq[String] = Nil,
-      dvRemove: Seq[String] = Nil)
+      dvRemove: Seq[String] = Nil,
+      // table-property changes carried by this commit (Delta's
+      // TBLPROPERTIES metadata channel; CHECK constraints live here
+      // under the `constraint.` prefix)
+      propsSet: Map[String, String] = Map.empty,
+      propsUnset: Seq[String] = Nil)
 
   // ---------------------------------------------------------------- log IO
 
@@ -133,9 +138,15 @@ object VersionedTable {
     val st = if (c.stats.isEmpty) "" else s""","stats":${statsJson(c.stats)}"""
     val dv = (if (c.dvAdd.isEmpty) "" else s""","dvAdd":${arr(c.dvAdd)}""") +
       (if (c.dvRemove.isEmpty) "" else s""","dvRemove":${arr(c.dvRemove)}""")
+    val pr = (if (c.propsSet.isEmpty) ""
+      else s""","propsSet":""" + c.propsSet.map { case (k, v) =>
+        s"${Fmt.jsonString(k)}:${Fmt.jsonString(v)}"
+      }.mkString("{", ",", "}")) +
+      (if (c.propsUnset.isEmpty) ""
+      else s""","propsUnset":${arr(c.propsUnset)}""")
     s"""{"version":${c.version},"ts":${c.ts},"op":${Fmt.jsonString(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
-      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv}"""
+      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv$pr}"""
   }
 
   private def parseStats(node: com.fasterxml.jackson.databind.JsonNode): FileStats =
@@ -157,7 +168,11 @@ object VersionedTable {
       txnApp = Option(n.get("txnApp")).map(_.asText()),
       txnId = Option(n.get("txnId")).map(_.asLong()),
       stats = parseStats(n.get("stats")),
-      dvAdd = strs("dvAdd"), dvRemove = strs("dvRemove"))
+      dvAdd = strs("dvAdd"), dvRemove = strs("dvRemove"),
+      propsSet = Option(n.get("propsSet")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty),
+      propsUnset = strs("propsUnset"))
   }
 
   /** The committed version carrying transaction (`txnApp`, `txnId`), if
@@ -205,7 +220,8 @@ object VersionedTable {
     * span schema versions and reads need `mergeSchema`). */
   private final case class TableState(files: Seq[String],
       schemas: Seq[String], fileStats: FileStats,
-      dv: Seq[String] = Nil) {
+      dv: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty) {
     def schemaJson: String = schemas.lastOption.getOrElse("")
     def mixedSchemas: Boolean = schemas.size > 1
   }
@@ -229,6 +245,7 @@ object VersionedTable {
     val schemas = scala.collection.mutable.LinkedHashSet.empty[String]
     val dv = scala.collection.mutable.LinkedHashSet.empty[String]
     var stats: FileStats = Map.empty
+    var props = Map.empty[String, String]
     ck.foreach { c =>
       val n = mapper.readTree(Files.readAllBytes(checkpointFile(table, c)))
       files ++= n.get("files").elements().asScala.map(_.asText())
@@ -236,6 +253,9 @@ object VersionedTable {
       Option(n.get("dv")).foreach(d =>
         dv ++= d.elements().asScala.map(_.asText()))
       stats = stats ++ parseStats(n.get("stats"))
+      Option(n.get("props")).foreach(pn =>
+        props = props ++ pn.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()))
     }
     versions(table).filter(x => x > ck.getOrElse(-1L) && x <= v).foreach { x =>
       val c = parseCommit(versionFile(table, x))
@@ -245,6 +265,7 @@ object VersionedTable {
       stats = stats ++ c.stats
       dv --= c.dvRemove
       dv ++= c.dvAdd
+      props = props -- c.propsUnset ++ c.propsSet
       if (c.schemaJson.nonEmpty) {
         // the lineage tracks schemas of LIVE files: when this commit's
         // adds are the entire live set (overwrite, full compaction,
@@ -261,16 +282,20 @@ object VersionedTable {
       }
     }
     TableState(files.toSeq, schemas.toSeq,
-      stats.view.filterKeys(files.contains).toMap, dv.toSeq)
+      stats.view.filterKeys(files.contains).toMap, dv.toSeq, props)
   }
 
   private def maybeCheckpoint(table: String, v: Long): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
       val st = stateAt(table, v)
       def arr(xs: Seq[String]) = xs.map(Fmt.jsonString).mkString("[", ",", "]")
+      val propsJson = st.props.map { case (k, pv) =>
+        s"${Fmt.jsonString(k)}:${Fmt.jsonString(pv)}"
+      }.mkString("{", ",", "}")
       val json =
         s"""{"version":$v,"files":${arr(st.files)},"schemas":${arr(st.schemas)},""" +
-          s""""dv":${arr(st.dv)},"stats":${statsJson(st.fileStats)}}"""
+          s""""dv":${arr(st.dv)},"props":$propsJson,""" +
+          s""""stats":${statsJson(st.fileStats)}}"""
       val tmp = logPath(table).resolve(s".tmp-${UUID.randomUUID()}.ck.tmp")
       Files.writeString(tmp, json)
       // checkpoints are derived data — last writer wins is fine
@@ -480,6 +505,108 @@ object VersionedTable {
     snapshot(spark, table, Some(v))
   }
 
+  // -------------------------------------------- table metadata/constraints
+
+  /** Table properties at `version` (default latest) — Delta's
+    * TBLPROPERTIES channel, replayed from the log like the file set. */
+  def properties(table: String,
+      version: Option[Long] = None): Map[String, String] =
+    version.orElse(latestVersion(table))
+      .map(v => stateAt(table, v).props).getOrElse(Map.empty)
+
+  /** Set table properties as one commit (last writer wins per key —
+    * property changes are not read-modify-write, so racers just
+    * serialize through slot claims like appends). */
+  def setProperties(table: String, props: Map[String, String]): Commit = {
+    require(props.nonEmpty, "no properties to set")
+    Files.createDirectories(logPath(table))
+    commitLoop(table, "set_props", Nil, _ => Nil, schemaJson = "",
+      readVersion = None, propsSet = props)
+  }
+
+  /** Remove table properties (missing keys are a no-op). */
+  def unsetProperties(table: String, keys: Seq[String]): Commit = {
+    require(keys.nonEmpty, "no properties to unset")
+    commitLoop(table, "unset_props", Nil, _ => Nil, schemaJson = "",
+      readVersion = None, propsUnset = keys)
+  }
+
+  private val ConstraintPrefix = "constraint."
+
+  /** A write was rejected because rows violate a CHECK constraint —
+    * Delta's `ADD CONSTRAINT ... CHECK` write-time contract. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Active CHECK constraints (name → SQL expression) at the latest
+    * version. */
+  def checkConstraints(table: String): Map[String, String] =
+    properties(table).collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the CURRENT
+    * snapshot satisfies `expr` (one scan — rows where the expression is
+    * FALSE violate; NULL passes, the SQL CHECK convention), then records
+    * it as a `constraint.<name>` property. Every subsequent
+    * append/overwrite/merge/applyChanges validates its incoming rows and
+    * throws [[ConstraintViolationException]] on the first offender.
+    * Serializable: committed at the version whose data was validated, so
+    * a concurrent write raises rather than sneaking unvalidated rows
+    * under the new contract. RESTORE to a pre-constraint version can
+    * resurrect violating rows (as in Delta) — re-validate after restores
+    * if that matters. */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+      expression: String): Commit = {
+    require(name.nonEmpty && !name.contains('.'), s"bad constraint name $name")
+    val rv = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no table at $table"))
+    val snap = snapshot(spark, table, Some(rv))
+    val offending = snap.filter(!coalesce(expr(expression), lit(true)))
+    if (!offending.isEmpty)
+      throw new ConstraintViolationException(
+        s"cannot add constraint $name to $table: existing rows violate " +
+          s"($expression), e.g. " +
+          offending.limit(1).collect().headOption.fold("")(_.toString))
+    commitLoop(table, "add_constraint", Nil, _ => Nil, schemaJson = "",
+      readVersion = Some(rv),
+      propsSet = Map(ConstraintPrefix + name -> expression))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT. */
+  def dropCheckConstraint(table: String, name: String): Commit =
+    unsetProperties(table, Seq(ConstraintPrefix + name))
+
+  /** Validate `df` against the table's CHECK constraints before a write
+    * lands. Rows are checked against the TABLE'S column view: columns
+    * the frame lacks (legal subset-schema append) read as null, so a
+    * constraint on an absent column passes — exactly what the stored
+    * rows will read back. One combined pass for the happy path; the
+    * per-constraint re-check runs only after a violation was found. */
+  private def enforceConstraints(table: String, df: DataFrame): Unit = {
+    val cs = checkConstraints(table)
+    if (cs.isEmpty) return
+    val have = df.columns.map(_.toLowerCase).toSet
+    val tableCols = currentSchemaMap(table).keySet
+    val probe = tableCols.diff(have).foldLeft(df)(
+      (d, c) => d.withColumn(c, lit(null)))
+    def violated(e: String) = !coalesce(expr(e), lit(true))
+    val bad = probe.filter(cs.values.map(violated).reduce(_ || _))
+    if (!bad.isEmpty) {
+      val row = bad.limit(1).cache()
+      try {
+        val broken = cs.filter { case (_, e) =>
+          !row.filter(violated(e)).isEmpty }
+        throw new ConstraintViolationException(
+          s"write to $table violates CHECK constraint(s) " +
+            broken.map { case (n, e) => s"$n ($e)" }.mkString(", ") +
+            "; offending row: " +
+            row.collect().headOption.fold("")(_.toString))
+      } finally row.unpersist()
+    }
+  }
+
   /** Commit history as a DataFrame (Delta `DESCRIBE HISTORY`). */
   def history(spark: SparkSession, table: String): DataFrame = {
     val rows = versions(table).map { v =>
@@ -544,7 +671,9 @@ object VersionedTable {
       revalidate: () => Unit = () => (),
       dvAdd: Seq[String] = Nil,
       dvRemoveAt: Long => Seq[String] = _ => Nil,
-      rebaseOverAdds: Boolean = false): Commit = {
+      rebaseOverAdds: Boolean = false,
+      propsSet: Map[String, String] = Map.empty,
+      propsUnset: Seq[String] = Nil): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
       // idempotence FIRST: if this transaction already committed (an
@@ -596,7 +725,8 @@ object VersionedTable {
       val c = Commit(next, System.currentTimeMillis(), op, add,
         removeAt(next), schemaJson,
         txnApp = txn.map(_._1), txnId = txn.map(_._2), stats = stats,
-        dvAdd = dvAdd, dvRemove = dvRemoveAt(next))
+        dvAdd = dvAdd, dvRemove = dvRemoveAt(next),
+        propsSet = propsSet, propsUnset = propsUnset)
       if (tryPublish(table, next, commitJson(c))) {
         maybeCheckpoint(table, next)
         return c
