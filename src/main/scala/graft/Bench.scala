@@ -124,7 +124,13 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map(n => graft.util.Fmt.jsonString(shortKey(n)))
         .mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$failedJson,"sf":${graft.util.Fmt.jsonString(sfDir)}}""")
+    // record the active ANN operating point so trend tooling can segment:
+    // the q52/q84/q95 timings under "sublinear" (nprobe=4/shortlist=50,
+    // what a real user runs) are not comparable to the full-coverage
+    // configs the correctness gate verifies (which equal exact top-k)
+    val annCfg = if (sys.props.get("graft.ann.sublinear")
+      .exists(_.equalsIgnoreCase("true"))) "sublinear" else "full"
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ann":"$annCfg","queries":$qs$failedJson,"sf":${graft.util.Fmt.jsonString(sfDir)}}""")
     spark.stop()
   }
 }

@@ -109,7 +109,14 @@ object VersionedTable {
       // TBLPROPERTIES metadata channel; CHECK constraints live here
       // under the `constraint.` prefix)
       propsSet: Map[String, String] = Map.empty,
-      propsUnset: Seq[String] = Nil)
+      propsUnset: Seq[String] = Nil,
+      // FULL live-file schema lineage after this commit (last = current).
+      // Only RESTORE sets it: its file set is the target version's — files
+      // that may span schema versions — and a single schemaJson cannot
+      // describe that. When present it REPLACES the replayed lineage
+      // wholesale (see [[stateAt]]); absent (every other op) the lineage
+      // evolves incrementally from schemaJson.
+      schemaLineage: Seq[String] = Nil)
 
   // ---------------------------------------------------------------- log IO
 
@@ -144,9 +151,11 @@ object VersionedTable {
       }.mkString("{", ",", "}")) +
       (if (c.propsUnset.isEmpty) ""
       else s""","propsUnset":${arr(c.propsUnset)}""")
+    val lin = if (c.schemaLineage.isEmpty) ""
+      else s""","schemaLineage":${arr(c.schemaLineage)}"""
     s"""{"version":${c.version},"ts":${c.ts},"op":${Fmt.jsonString(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
-      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv$pr}"""
+      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv$pr$lin}"""
   }
 
   private def parseStats(node: com.fasterxml.jackson.databind.JsonNode): FileStats =
@@ -172,7 +181,8 @@ object VersionedTable {
       propsSet = Option(n.get("propsSet")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
-      propsUnset = strs("propsUnset"))
+      propsUnset = strs("propsUnset"),
+      schemaLineage = strs("schemaLineage"))
   }
 
   /** The committed version carrying transaction (`txnApp`, `txnId`), if
@@ -266,7 +276,16 @@ object VersionedTable {
       dv --= c.dvRemove
       dv ++= c.dvAdd
       props = props -- c.propsUnset ++ c.propsSet
-      if (c.schemaJson.nonEmpty) {
+      if (c.schemaLineage.nonEmpty) {
+        // RESTORE: the commit carries the target state's FULL lineage —
+        // its re-added files may span schema versions, so the
+        // single-schema reset below (meant for overwrite/compact, whose
+        // fresh files are homogeneous) would collapse the lineage to one
+        // entry, silently dropping columns that live only in older files
+        // from mergeSchema reads and from type enforcement.
+        schemas.clear()
+        schemas ++= c.schemaLineage
+      } else if (c.schemaJson.nonEmpty) {
         // the lineage tracks schemas of LIVE files: when this commit's
         // adds are the entire live set (overwrite, full compaction,
         // delete-all), every older schema's files are gone — RESET the
@@ -673,7 +692,8 @@ object VersionedTable {
       dvRemoveAt: Long => Seq[String] = _ => Nil,
       rebaseOverAdds: Boolean = false,
       propsSet: Map[String, String] = Map.empty,
-      propsUnset: Seq[String] = Nil): Commit = {
+      propsUnset: Seq[String] = Nil,
+      schemaLineage: Seq[String] = Nil): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
       // idempotence FIRST: if this transaction already committed (an
@@ -714,6 +734,11 @@ object VersionedTable {
               .map(v => parseCommit(versionFile(table, v)))
               .forall(c => c.remove.isEmpty && c.dvAdd.isEmpty &&
                 c.dvRemove.isEmpty &&
+                // a property commit is a REAL conflict, not a blind
+                // append: rebasing a MERGE/DELETE over an interleaved
+                // addCheckConstraint would land its rows unvalidated
+                // under the just-added contract
+                c.propsSet.isEmpty && c.propsUnset.isEmpty &&
                 (c.schemaJson.isEmpty ||
                   sameColumnShape(c.schemaJson, schemaJson)))
           if (!blindAppends)
@@ -726,7 +751,8 @@ object VersionedTable {
         removeAt(next), schemaJson,
         txnApp = txn.map(_._1), txnId = txn.map(_._2), stats = stats,
         dvAdd = dvAdd, dvRemove = dvRemoveAt(next),
-        propsSet = propsSet, propsUnset = propsUnset)
+        propsSet = propsSet, propsUnset = propsUnset,
+        schemaLineage = schemaLineage)
       if (tryPublish(table, next, commitJson(c))) {
         maybeCheckpoint(table, next)
         return c
@@ -872,10 +898,16 @@ object VersionedTable {
       mergeSchema: Boolean = false): Commit = {
     Files.createDirectories(Paths.get(table))
     enforceAppendSchema(table, df.schema, mergeSchema)
+    enforceConstraints(table, df)
     val files = writeDataFiles(sized(df, optimizeWrite), table)
     commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
       stats = computeStats(spark, table, files, statsFor),
-      revalidate = () => enforceAppendSchema(table, df.schema, mergeSchema))
+      revalidate = () => {
+        enforceAppendSchema(table, df.schema, mergeSchema)
+        // re-check constraints too: a slot-race winner may have just
+        // ADDED one, and our rows must honor it before landing on top
+        enforceConstraints(table, df)
+      })
   }
 
   /** Idempotent append keyed by (`txnApp`, `txnId`) — Delta's
@@ -891,12 +923,15 @@ object VersionedTable {
     txnCommit(table, txnApp, txnId).getOrElse {
       Files.createDirectories(Paths.get(table))
       enforceAppendSchema(table, df.schema, mergeSchema)
+      enforceConstraints(table, df)
       val files = writeDataFiles(sized(df, optimizeWrite), table)
       commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
         txn = Some((txnApp, txnId)),
         stats = computeStats(spark, table, files, statsFor),
-        revalidate =
-          () => enforceAppendSchema(table, df.schema, mergeSchema))
+        revalidate = () => {
+          enforceAppendSchema(table, df.schema, mergeSchema)
+          enforceConstraints(table, df)
+        })
     }
 
   /** Exactly-once streaming ingestion into a versioned table: each
@@ -938,6 +973,10 @@ object VersionedTable {
     txn.flatMap(t => txnCommit(table, t._1, t._2)).getOrElse {
       Files.createDirectories(Paths.get(table))
       enforceOverwriteSchema(table, df.schema, overwriteSchema)
+      // CHECK constraints survive an overwrite (Delta: they live in table
+      // metadata, not in the replaced data) — the fresh contents must
+      // satisfy them like any other write
+      enforceConstraints(table, df)
       val read = expectVersion.orElse(latestVersion(table))
       val files = writeDataFiles(sized(df, optimizeWrite), table)
       // the remove set is derived from the slot the commit actually
@@ -952,8 +991,10 @@ object VersionedTable {
         v => if (v == 0) Nil else stateAt(table, v - 1).files,
         df.schema.json, readVersion = read, txn = txn,
         stats = computeStats(spark, table, files, statsFor),
-        revalidate =
-          () => enforceOverwriteSchema(table, df.schema, overwriteSchema),
+        revalidate = () => {
+          enforceOverwriteSchema(table, df.schema, overwriteSchema)
+          enforceConstraints(table, df)
+        },
         dvRemoveAt = v => if (v == 0) Nil else stateAt(table, v - 1).dv)
     }
 
@@ -989,14 +1030,20 @@ object VersionedTable {
       // re-type the table fails loudly; new feed columns are the CDC
       // schema-evolution path (hence mergeSchema = true)
       enforceAppendSchema(table, upserts.schema, mergeSchema = true)
+      // only the upserts can introduce violations: survivor rows were in
+      // the table already, and every active constraint validated the full
+      // snapshot when it was added
+      enforceConstraints(table, upserts)
       latestVersion(table) match {
         case None =>
           val files = writeDataFiles(upserts, table)
           commitLoop(table, "apply_changes", files, _ => Nil,
             upserts.schema.json, None, txn = Some((txnApp, txnId)),
             stats = computeStats(spark, table, files, statsFor),
-            revalidate = () =>
-              enforceAppendSchema(table, upserts.schema, mergeSchema = true))
+            revalidate = () => {
+              enforceAppendSchema(table, upserts.schema, mergeSchema = true)
+              enforceConstraints(table, upserts)
+            })
         case Some(v) =>
           val st = stateAt(table, v)
           // hit-file rewrite reads raw files — active DVs would resurrect
@@ -1027,8 +1074,10 @@ object VersionedTable {
             schema.json, readVersion = Some(v),
             txn = Some((txnApp, txnId)),
             stats = computeStats(spark, table, added, statsFor),
-            revalidate = () =>
-              enforceAppendSchema(table, upserts.schema, mergeSchema = true),
+            revalidate = () => {
+              enforceAppendSchema(table, upserts.schema, mergeSchema = true)
+              enforceConstraints(table, upserts)
+            },
             rebaseOverAdds = isolation == Isolation.WriteSerializable)
       }
     }
@@ -1106,6 +1155,10 @@ object VersionedTable {
     // poison the log. Genuinely NEW source columns remain legal (the
     // documented merge evolution path), hence mergeSchema = true.
     enforceAppendSchema(table, merged.schema, mergeSchema = true)
+    // validate the MERGED rows, not the source: a partial-column update
+    // (updateColumns) combines old and new values, and the combination
+    // can violate a cross-column CHECK even when each input passes alone
+    enforceConstraints(table, merged)
     val hitNames = hitPaths.map(p =>
       Paths.get(new java.net.URI(p).getPath).getFileName.toString)
     // file-count discipline: a surgical update is sized to the files it
@@ -1118,8 +1171,10 @@ object VersionedTable {
     // the overwrite-based merge recorded the post-merge shape too)
     commitLoop(table, "merge", added, _ => hitNames, merged.schema.json,
       readVersion = Some(rv),
-      revalidate =
-        () => enforceAppendSchema(table, merged.schema, mergeSchema = true),
+      revalidate = () => {
+        enforceAppendSchema(table, merged.schema, mergeSchema = true)
+        enforceConstraints(table, merged)
+      },
       rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }
 
@@ -1170,9 +1225,15 @@ object VersionedTable {
     // restore the DV state along with the file set: the target version's
     // sidecars come back, the current version's retire
     val cur = stateAt(table, rv)
+    // carry the target state's FULL schema lineage: the re-added files
+    // may span schema versions, and a lone schemaJson would let stateAt's
+    // full-replacement reset collapse the lineage to one entry —
+    // mergeSchema reads would then drop columns living only in older
+    // files, and currentSchemaMap would forget their types
     commitLoop(table, "restore", files,
       _ => cur.files, schema, readVersion = Some(rv),
-      dvAdd = st.dv, dvRemoveAt = _ => cur.dv.filterNot(st.dv.toSet))
+      dvAdd = st.dv, dvRemoveAt = _ => cur.dv.filterNot(st.dv.toSet),
+      schemaLineage = st.schemas)
   }
 
   /** OPTIMIZE-style compaction as a commit: coalesce the current snapshot

@@ -1132,4 +1132,116 @@ class VersionedTableSpec extends SparkSpec {
       .getField("op").isNull)
       .count() == 1)
   }
+  // ------------------------------------------------ CHECK constraint writes
+
+  test("CHECK constraint: every write path rejects violating rows") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)
+      VT.addCheckConstraint(spark, t, "small_id", "id < 100")
+      // append
+      intercept[VT.ConstraintViolationException] {
+        VT.append(spark, df(500 -> "z"), t)
+      }
+      // idempotent append (fresh txn id — the violation is pre-commit)
+      intercept[VT.ConstraintViolationException] {
+        VT.appendIdempotent(spark, df(500 -> "z"), t, "app", 1L)
+      }
+      // overwrite (constraints survive a full replace, as in Delta)
+      intercept[VT.ConstraintViolationException] {
+        VT.overwrite(spark, df(500 -> "z"), t)
+      }
+      // merge — validated on the MERGED rows
+      intercept[VT.ConstraintViolationException] {
+        VT.merge(spark, df(500 -> "z"), t, Seq("id"))
+      }
+      // applyChanges — violating insert in the feed
+      intercept[VT.ConstraintViolationException] {
+        VT.applyChanges(spark,
+          df(500 -> "z").withColumn("_change_type", lit("insert")),
+          t, Seq("id"), "cdc", 1L)
+      }
+      // nothing landed: table still holds exactly the two original rows
+      assert(VT.snapshot(spark, t).count() == 2)
+      // valid writes still pass
+      VT.append(spark, df(3 -> "c"), t)
+      VT.merge(spark, df(4 -> "d"), t, Seq("id"))
+      assert(VT.snapshot(spark, t).count() == 4)
+    }
+  }
+
+  test("CHECK constraint: a column the frame lacks reads as null and " +
+      "passes (SQL CHECK convention), matching what stored rows read back") {
+    withTable { t =>
+      VT.append(spark, Seq((1, "a", 5)).toDF("id", "v", "score"), t)
+      VT.addCheckConstraint(spark, t, "pos_score", "score > 0")
+      // subset-schema append: no score column — stored rows read null,
+      // null CHECK passes
+      VT.append(spark, df(2 -> "b"), t)
+      assert(VT.snapshot(spark, t).count() == 2)
+      // but a present-and-violating score still fails
+      intercept[VT.ConstraintViolationException] {
+        VT.append(spark, Seq((3, "c", -1)).toDF("id", "v", "score"), t)
+      }
+    }
+  }
+
+  test("CHECK constraint added by a slot-race winner is honored by the " +
+      "loser's revalidation") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)
+      intercept[VT.ConstraintViolationException] {
+        withRacer(VT.addCheckConstraint(spark, t, "small_id", "id < 100")) {
+          VT.append(spark, df(500 -> "z"), t)
+        }
+      }
+      // the constraint commit landed; the violating append never did
+      assert(VT.checkConstraints(t).contains("small_id"))
+      assert(VT.snapshot(spark, t).count() == 1)
+    }
+  }
+
+  test("WriteSerializable: an interleaved property commit is a real " +
+      "conflict for a merge, not a blind append to rebase over") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)
+      withRacer(VT.setProperties(t, Map("owner" -> "ops"))) {
+        intercept[Upsert.ConcurrentWriteException] {
+          VT.merge(spark, df(1 -> "A"), t, Seq("id"))
+        }
+      }
+      // the property commit landed; the merge changed nothing
+      assert(VT.properties(t).get("owner").contains("ops"))
+      assert(VT.snapshot(spark, t).as[(Int, String)].collect().toSeq ==
+        Seq(1 -> "a"))
+    }
+  }
+
+  // --------------------------------------------- restore × schema lineage
+
+  test("restore carries the target's FULL schema lineage: columns living " +
+      "only in older files survive the restore") {
+    withTable { t =>
+      // v0: full schema (id, v, extra); v1: legal subset append (id, v)
+      VT.append(spark, Seq((1, "a", "e1")).toDF("id", "v", "extra"), t)
+      VT.append(spark, df(2 -> "b"), t)
+      // v2: overwrite with a DIFFERENT schema — resets the lineage
+      VT.overwrite(spark, Seq(Tuple1(9)).toDF("id"), t,
+        overwriteSchema = true)
+      // v3: restore to the mixed-schema version
+      VT.restore(spark, t, 1L)
+      // the restored snapshot must still see `extra` (it lives only in
+      // the v0 file; the v1 file's schema — the lineage's last — lacks it)
+      val snap = VT.snapshot(spark, t)
+      assert(snap.columns.toSet == Set("id", "v", "extra"))
+      assert(snap.orderBy("id").select("id", "v", "extra")
+        .as[(Int, String, Option[String])].collect().toSeq ==
+        Seq((1, "a", Some("e1")), (2, "b", None)))
+      // and enforcement must still know extra's TYPE: re-typing it is a
+      // schema violation, not an innocent new column
+      intercept[VT.SchemaEnforcementException] {
+        VT.append(spark, Seq((3, "c", 7)).toDF("id", "v", "extra"), t,
+          mergeSchema = true)
+      }
+    }
+  }
 }
