@@ -116,7 +116,11 @@ object VersionedTable {
       // describe that. When present it REPLACES the replayed lineage
       // wholesale (see [[stateAt]]); absent (every other op) the lineage
       // evolves incrementally from schemaJson.
-      schemaLineage: Seq[String] = Nil)
+      schemaLineage: Seq[String] = Nil,
+      // Bloom-index sidecar files added by this commit (per-data-file
+      // point-lookup filters — see [[computeBlooms]]); absent in
+      // pre-bloom commits, parse defaults to empty
+      bloomAdd: Seq[String] = Nil)
 
   // ---------------------------------------------------------------- log IO
 
@@ -153,9 +157,11 @@ object VersionedTable {
       else s""","propsUnset":${arr(c.propsUnset)}""")
     val lin = if (c.schemaLineage.isEmpty) ""
       else s""","schemaLineage":${arr(c.schemaLineage)}"""
+    val bl = if (c.bloomAdd.isEmpty) ""
+      else s""","bloomAdd":${arr(c.bloomAdd)}"""
     s"""{"version":${c.version},"ts":${c.ts},"op":${Fmt.jsonString(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
-      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv$pr$lin}"""
+      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv$pr$lin$bl}"""
   }
 
   private def parseStats(node: com.fasterxml.jackson.databind.JsonNode): FileStats =
@@ -182,7 +188,8 @@ object VersionedTable {
         .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
       propsUnset = strs("propsUnset"),
-      schemaLineage = strs("schemaLineage"))
+      schemaLineage = strs("schemaLineage"),
+      bloomAdd = strs("bloomAdd"))
   }
 
   /** The committed version carrying transaction (`txnApp`, `txnId`), if
@@ -231,7 +238,8 @@ object VersionedTable {
   private final case class TableState(files: Seq[String],
       schemas: Seq[String], fileStats: FileStats,
       dv: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      blooms: Seq[String] = Nil) {
     def schemaJson: String = schemas.lastOption.getOrElse("")
     def mixedSchemas: Boolean = schemas.size > 1
   }
@@ -254,6 +262,7 @@ object VersionedTable {
     val files = scala.collection.mutable.LinkedHashSet.empty[String]
     val schemas = scala.collection.mutable.LinkedHashSet.empty[String]
     val dv = scala.collection.mutable.LinkedHashSet.empty[String]
+    val blooms = scala.collection.mutable.LinkedHashSet.empty[String]
     var stats: FileStats = Map.empty
     var props = Map.empty[String, String]
     ck.foreach { c =>
@@ -262,6 +271,8 @@ object VersionedTable {
       schemas ++= n.get("schemas").elements().asScala.map(_.asText())
       Option(n.get("dv")).foreach(d =>
         dv ++= d.elements().asScala.map(_.asText()))
+      Option(n.get("blooms")).foreach(b =>
+        blooms ++= b.elements().asScala.map(_.asText()))
       stats = stats ++ parseStats(n.get("stats"))
       Option(n.get("props")).foreach(pn =>
         props = props ++ pn.properties().asScala
@@ -275,6 +286,13 @@ object VersionedTable {
       stats = stats ++ c.stats
       dv --= c.dvRemove
       dv ++= c.dvAdd
+      // bloom sidecars are keyed by data-file name inside: entries whose
+      // file died are simply never consulted, so the list only needs a
+      // RESET when a commit replaces the whole live set (overwrite /
+      // compact / restore) — mirroring the schema-lineage reset below
+      if (c.add.nonEmpty && files.forall(c.add.toSet.contains))
+        blooms.clear()
+      blooms ++= c.bloomAdd
       props = props -- c.propsUnset ++ c.propsSet
       if (c.schemaLineage.nonEmpty) {
         // RESTORE: the commit carries the target state's FULL lineage —
@@ -301,7 +319,8 @@ object VersionedTable {
       }
     }
     TableState(files.toSeq, schemas.toSeq,
-      stats.view.filterKeys(files.contains).toMap, dv.toSeq, props)
+      stats.view.filterKeys(files.contains).toMap, dv.toSeq, props,
+      blooms.toSeq)
   }
 
   private def maybeCheckpoint(table: String, v: Long): Unit =
@@ -313,7 +332,7 @@ object VersionedTable {
       }.mkString("{", ",", "}")
       val json =
         s"""{"version":$v,"files":${arr(st.files)},"schemas":${arr(st.schemas)},""" +
-          s""""dv":${arr(st.dv)},"props":$propsJson,""" +
+          s""""dv":${arr(st.dv)},"blooms":${arr(st.blooms)},"props":$propsJson,""" +
           s""""stats":${statsJson(st.fileStats)}}"""
       val tmp = logPath(table).resolve(s".tmp-${UUID.randomUUID()}.ck.tmp")
       Files.writeString(tmp, json)
@@ -338,23 +357,76 @@ object VersionedTable {
   }
 
   /** Read `files` of state `st`, minus any rows the state's deletion
-    * vectors retire. With no DVs this is the plain parquet scan (no
-    * metadata columns, no join); with DVs the scan carries the parquet
-    * `_metadata` file/row-position columns and LEFT-ANTI joins the
-    * (small, broadcast) DV entry set — pushdown and pruning on the scan
-    * are unaffected. */
+    * vectors retire. The scan is planned over a [[GraftFileIndex]], so
+    * every pushed-down data filter prunes files against the log's per-file
+    * min/max stats at PLANNING time (Delta's stats-based skipping) — no
+    * caller cooperation needed; [[snapshotWhere]] remains as the explicit
+    * API but plain `snapshot(...).filter(...)` now skips identically.
+    *
+    * The scan schema is the UNION of the live files' schema lineage
+    * (tracked in the log, not probed from footers) — mixed-schema
+    * snapshots skip the per-file footer `mergeSchema` pass entirely, and
+    * files predating a column read it back as null, exactly as before.
+    *
+    * With no DVs this is a plain parquet scan (no metadata columns, no
+    * join); with DVs the scan carries the parquet `_metadata`
+    * file/row-position columns and LEFT-ANTI joins the (small, broadcast)
+    * DV entry set — pushdown and pruning on the scan are unaffected. */
   private def readState(spark: SparkSession, table: String,
       st: TableState, files: Seq[String]): DataFrame = {
     if (files.isEmpty) {
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
-    val r = if (st.mixedSchemas)
-      spark.read.option("mergeSchema", "true")
-    else spark.read
-    val base = r.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    val dataSchema = unionSchema(st.schemas)
+    // bloom sidecars load lazily, only when a scan actually pushes an
+    // equality/IN probe down to listFiles — a full-scan read never pays
+    val bloomFn: (String, String) =>
+        Option[org.apache.spark.util.sketch.BloomFilter] =
+      if (st.blooms.isEmpty) (_, _) => None
+      else {
+        lazy val loaded = loadBlooms(table, st.blooms)
+        (f, c) => loaded.get((f, c))
+      }
+    val fi = new GraftFileIndex(table, files, st.fileStats, dataSchema,
+      spark.conf.get("spark.sql.session.timeZone"), bloomFn)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      fi, StructType(Nil), dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat, Map.empty[String, String])(spark)
+    val base = spark.baseRelationToDataFrame(rel)
     if (st.dv.isEmpty) base
     else dvJoin(base, dvEntries(spark, table, st.dv), "left_anti")
+  }
+
+  /** Union of a schema lineage (oldest → newest): first-seen field order
+    * and spelling, later lineage entries append their new columns. Names
+    * unify CASE-INSENSITIVELY — the same resolution [[enforceAppendSchema]]
+    * applies, so a case-variant re-spelling is one column, not two (two
+    * same-insensitive fields in one scan schema would be an ambiguity
+    * error). Same-name same-type is guaranteed by write-time enforcement —
+    * a clash would have thrown at the write. Nullability: a column absent
+    * from ANY lineage entry must read as nullable (files predating it
+    * return null), and the vectorized parquet reader refuses to fabricate
+    * nulls for a required column — so absence from any entry forces
+    * `nullable = true`; columns in every entry keep the OR of their
+    * recorded nullabilities. */
+  private def unionSchema(schemas: Seq[String]): StructType = {
+    val parsed =
+      schemas.map(s => DataType.fromJson(s).asInstanceOf[StructType])
+    if (parsed.sizeIs == 1) return parsed.head
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, (StructField, Int, Boolean)] // lc → (first, count, anyNullable)
+    parsed.foreach(_.fields.foreach { f =>
+      val k = f.name.toLowerCase
+      seen.updateWith(k) {
+        case Some((first, n, nul)) => Some((first, n + 1, nul || f.nullable))
+        case None => Some((f, 1, f.nullable))
+      }
+    })
+    StructType(seen.values.map { case (f, n, nul) =>
+      f.copy(nullable = nul || n < parsed.size)
+    }.toSeq)
   }
 
   /** The distinct (file, row position) pairs retired by `dvFiles`; the
@@ -693,7 +765,8 @@ object VersionedTable {
       rebaseOverAdds: Boolean = false,
       propsSet: Map[String, String] = Map.empty,
       propsUnset: Seq[String] = Nil,
-      schemaLineage: Seq[String] = Nil): Commit = {
+      schemaLineage: Seq[String] = Nil,
+      bloomAdd: Seq[String] = Nil): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
       // idempotence FIRST: if this transaction already committed (an
@@ -752,7 +825,7 @@ object VersionedTable {
         txnApp = txn.map(_._1), txnId = txn.map(_._2), stats = stats,
         dvAdd = dvAdd, dvRemove = dvRemoveAt(next),
         propsSet = propsSet, propsUnset = propsUnset,
-        schemaLineage = schemaLineage)
+        schemaLineage = schemaLineage, bloomAdd = bloomAdd)
       if (tryPublish(table, next, commitJson(c))) {
         maybeCheckpoint(table, next)
         return c
@@ -790,6 +863,103 @@ object VersionedTable {
         }.toMap
       }.toMap
   }
+
+  // ---------------------------------------------------------- bloom index
+
+  /** Per-file Bloom point-lookup index over `bloomFor` columns of freshly
+    * written files — Delta's Bloom-filter-index shape: min/max stats
+    * cannot prune an equality probe on a column the files are NOT
+    * clustered on (every file's range spans the probe), which is exactly
+    * the needle-in-a-haystack lookup a 100 TB table needs. One narrow
+    * aggregate over just-written data builds a
+    * [[org.apache.spark.util.sketch.BloomFilter]] per (file, column) —
+    * fed `xxhash64(col)`, the SAME hash [[GraftFileIndex]] applies to the
+    * probe literal at planning time, so a negative answer is proof the
+    * file holds no matching row (no false negatives; false positives just
+    * keep a file). Filters are sized for the LARGEST file in the batch at
+    * `fpp` (one counts pass, then one build pass — numBits is a plan-time
+    * constant), capped at 64 Mbit so a pathological batch cannot write a
+    * gigabyte sidecar.
+    *
+    * Storage: ONE JSON sidecar per commit in the table dir
+    * (`<uuid>-bloom.json`, entries keyed by data-file name), listed in
+    * the commit's `bloomAdd` — the log itself stays a lean manifest.
+    * Entries for files later rewritten (MERGE / DELETE) die silently with
+    * their files; a full-replacement commit (overwrite / OPTIMIZE /
+    * restore) RESETS the sidecar list, so rebuilding the index is part of
+    * the regular compaction cadence, as in Delta. */
+  private def computeBlooms(spark: SparkSession, table: String,
+      files: Seq[String], bloomFor: Seq[String],
+      fpp: Double): Seq[String] = {
+    if (bloomFor.isEmpty || files.isEmpty) return Nil
+    require(fpp > 0 && fpp < 1, s"bloomFpp must be in (0,1), got $fpp")
+    val df = spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    val cols = bloomFor.filter(df.columns.contains)
+    if (cols.isEmpty) return Nil
+    // pass 1: size for the largest file (numBits is a plan constant)
+    val maxRows = df.groupBy(col("_metadata.file_path"))
+      .count().agg(max(col("count"))).head().getLong(0)
+    val items = math.max(1L, maxRows)
+    // n * ln(1/p) / ln(2)^2, the standard optimal-bits formula
+    val numBits = math.min(1L << 26,
+      math.max(64L, (items * math.log(1.0 / fpp) /
+        (math.log(2) * math.log(2))).ceil.toLong))
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    // pass 2: one grouped aggregate builds every (file, column) filter
+    val aggs = cols.map { c =>
+      Bridge.column(new BloomFilterAggregate(
+        new XxHash64(Seq(Bridge.expression(col(c)))),
+        Literal(items), Literal(numBits)).toAggregateExpression())
+        .as(s"__bf_$c")
+    }
+    val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val enc = java.util.Base64.getEncoder
+    val entries = rows.toSeq.flatMap { r =>
+      val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString
+      cols.flatMap { c =>
+        Option(r.getAs[Array[Byte]](s"__bf_$c")).map { b =>
+          s"""{"file":${Fmt.jsonString(name)},"column":${Fmt.jsonString(c)},""" +
+            s""""bloom":${Fmt.jsonString(enc.encodeToString(b))}}"""
+        }
+      }
+    }
+    if (entries.isEmpty) return Nil
+    val sidecar = s"${UUID.randomUUID().toString.take(12)}-bloom.json"
+    val tmp = Paths.get(table, s".tmp-$sidecar")
+    Files.writeString(tmp,
+      entries.mkString("""{"entries":[""", ",", "]}"))
+    Files.move(tmp, Paths.get(table, sidecar), StandardCopyOption.ATOMIC_MOVE)
+    Seq(sidecar)
+  }
+
+  /** Loaded bloom sidecars, keyed by absolute sidecar path — sidecar
+    * files are immutable once committed, so entries never invalidate
+    * (vacuumed sidecars just stop being referenced by any state). */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def loadBlooms(table: String, sidecars: Seq[String])
+      : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+    sidecars.flatMap { sc =>
+      val p = Paths.get(table, sc).toAbsolutePath.toString
+      bloomCache.computeIfAbsent(p, { key =>
+        val kp = Paths.get(key)
+        if (!Files.exists(kp)) Map.empty
+        else {
+          val n = mapper.readTree(Files.readAllBytes(kp))
+          val dec = java.util.Base64.getDecoder
+          Option(n.get("entries")).map(_.elements().asScala.map { e =>
+            (e.get("file").asText(), e.get("column").asText()) ->
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                dec.decode(e.get("bloom").asText()))
+          }.toMap).getOrElse(Map.empty)
+        }
+      })
+    }.toMap
 
   /** A write was rejected because its schema conflicts with the table's —
     * the write-side half of the lakehouse schema contract (Delta's
@@ -895,13 +1065,15 @@ object VersionedTable {
     * [[sized]]. */
   def append(spark: SparkSession, df: DataFrame, table: String,
       statsFor: Seq[String] = Nil, optimizeWrite: Boolean = true,
-      mergeSchema: Boolean = false): Commit = {
+      mergeSchema: Boolean = false, bloomFor: Seq[String] = Nil,
+      bloomFpp: Double = 0.03): Commit = {
     Files.createDirectories(Paths.get(table))
     enforceAppendSchema(table, df.schema, mergeSchema)
     enforceConstraints(table, df)
     val files = writeDataFiles(sized(df, optimizeWrite), table)
     commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
       stats = computeStats(spark, table, files, statsFor),
+      bloomAdd = computeBlooms(spark, table, files, bloomFor, bloomFpp),
       revalidate = () => {
         enforceAppendSchema(table, df.schema, mergeSchema)
         // re-check constraints too: a slot-race winner may have just
@@ -919,7 +1091,8 @@ object VersionedTable {
     * at-least-once, and the txn check collapses replays. */
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
       txnApp: String, txnId: Long, statsFor: Seq[String] = Nil,
-      optimizeWrite: Boolean = true, mergeSchema: Boolean = false): Commit =
+      optimizeWrite: Boolean = true, mergeSchema: Boolean = false,
+      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03): Commit =
     txnCommit(table, txnApp, txnId).getOrElse {
       Files.createDirectories(Paths.get(table))
       enforceAppendSchema(table, df.schema, mergeSchema)
@@ -928,6 +1101,7 @@ object VersionedTable {
       commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
         txn = Some((txnApp, txnId)),
         stats = computeStats(spark, table, files, statsFor),
+        bloomAdd = computeBlooms(spark, table, files, bloomFor, bloomFpp),
         revalidate = () => {
           enforceAppendSchema(table, df.schema, mergeSchema)
           enforceConstraints(table, df)
@@ -969,7 +1143,8 @@ object VersionedTable {
       statsFor: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       optimizeWrite: Boolean = true,
-      overwriteSchema: Boolean = false): Commit =
+      overwriteSchema: Boolean = false,
+      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03): Commit =
     txn.flatMap(t => txnCommit(table, t._1, t._2)).getOrElse {
       Files.createDirectories(Paths.get(table))
       enforceOverwriteSchema(table, df.schema, overwriteSchema)
@@ -991,6 +1166,7 @@ object VersionedTable {
         v => if (v == 0) Nil else stateAt(table, v - 1).files,
         df.schema.json, readVersion = read, txn = txn,
         stats = computeStats(spark, table, files, statsFor),
+        bloomAdd = computeBlooms(spark, table, files, bloomFor, bloomFpp),
         revalidate = () => {
           enforceOverwriteSchema(table, df.schema, overwriteSchema)
           enforceConstraints(table, df)
@@ -1233,7 +1409,11 @@ object VersionedTable {
     commitLoop(table, "restore", files,
       _ => cur.files, schema, readVersion = Some(rv),
       dvAdd = st.dv, dvRemoveAt = _ => cur.dv.filterNot(st.dv.toSet),
-      schemaLineage = st.schemas)
+      schemaLineage = st.schemas,
+      // the restore's adds cover the whole live set, so stateAt RESETS
+      // the bloom list — re-adding the target's sidecars restores its
+      // point-lookup index along with its files
+      bloomAdd = st.blooms)
   }
 
   /** OPTIMIZE-style compaction as a commit: coalesce the current snapshot
@@ -1251,7 +1431,8 @@ object VersionedTable {
   def compact(spark: SparkSession, table: String, targetFiles: Int,
       clusterBy: Seq[String] = Nil, statsFor: Seq[String] = Nil,
       zorder: Boolean = false,
-      isolation: Isolation = Isolation.WriteSerializable): Commit = {
+      isolation: Isolation = Isolation.WriteSerializable,
+      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
     val base = snapshot(spark, table, Some(rv))
@@ -1278,6 +1459,7 @@ object VersionedTable {
       snap.schema.json, readVersion = Some(rv),
       stats = computeStats(spark, table, added,
         if (statsFor.nonEmpty) statsFor else clusterBy),
+      bloomAdd = computeBlooms(spark, table, added, bloomFor, bloomFpp),
       dvRemoveAt = _ => preSt.dv,
       rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }
@@ -1321,15 +1503,16 @@ object VersionedTable {
     val vs = versions(table)
     if (vs.isEmpty) return 0
     val lastState = stateAt(table, vs.last)
-    // DV sidecars are .parquet files too: they count as live while the
-    // latest state references them, and age out by lastSeen like data
-    val live = (lastState.files ++ lastState.dv).toSet
+    // DV sidecars are .parquet files too, and bloom sidecars are
+    // `-bloom.json`: both count as live while the latest state references
+    // them, and age out by lastSeen like data
+    val live = (lastState.files ++ lastState.dv ++ lastState.blooms).toSet
     // newest commit ts in which each file still appears in the state
     val lastSeen = scala.collection.mutable.Map.empty[String, Long]
     vs.foreach { v =>
       val c = parseCommit(versionFile(table, v))
       val st = stateAt(table, v)
-      (st.files ++ st.dv).foreach(f => lastSeen(f) = c.ts)
+      (st.files ++ st.dv ++ st.blooms).foreach(f => lastSeen(f) = c.ts)
     }
     var removed = 0
     val l = Files.list(Paths.get(table))
@@ -1342,7 +1525,8 @@ object VersionedTable {
           .forEach(f => Files.delete(f))
         finally walk.close()
         removed += 1
-      } else if (n.endsWith(".parquet") && !live.contains(n) &&
+      } else if ((n.endsWith(".parquet") || n.endsWith("-bloom.json")) &&
+        !live.contains(n) &&
         lastSeen.get(n).forall(_ < nowMs - retainMs)) {
         Files.delete(p)
         removed += 1

@@ -93,17 +93,50 @@ object VersionedQueries {
         .orderBy(col("c_custkey"), col("_change_type"))
     }),
 
-    // Incremental materialized-view maintenance THROUGH the log: bootstrap
-    // a per-status sum state at v0, then fold the v0→v2 change feed into
-    // it — updates RETRACT their preimage from the old status group and
-    // add the postimage to the new one (the merge flips 'F'/'O' rows to
-    // 'U'), deletes retract outright. The maintained state must equal a
-    // full recompute of the final version bit-for-bit (decimal group
-    // algebra) — which is exactly what the oracle computes from the same
-    // slice algebra, never having seen the incremental path.
+    // Catalyst-INTEGRATED data skipping: the snapshot read is planned over
+    // a GraftFileIndex, so a PLAIN .filter(...) — no snapshotWhere
+    // cooperation, composite predicate (range AND IN) — prunes files
+    // against the log's per-file min/max at planning time, THROUGH an
+    // active deletion-vector anti-join. GraftFileIndexSpec asserts the
+    // file counts actually shrink; the driver hash-checks value exactness
+    // here (skipping must only ever remove provably-empty work).
+    "q162_auto_skipping" -> ((s, dir) => withScratch { tbl =>
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base, tbl, statsFor = Seq("o_orderkey"))
+      VT.compact(s, tbl, targetFiles = 8, clusterBy = Seq("o_orderkey"),
+        statsFor = Seq("o_orderkey"))
+      VT.deleteWhereDeferred(s, tbl, col("o_orderkey") % 11 === 0)
+      VT.snapshot(s, tbl)
+        .filter(col("o_orderkey").between(300, 900) &&
+          col("o_orderstatus").isin("O", "F"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Per-file BLOOM point-lookup skipping: the table is clustered on
+    // o_orderkey, so every file's o_custkey RANGE spans the whole domain —
+    // min/max can never prune the probe. The compact-time Bloom index on
+    // o_custkey answers each file definitively (no false negatives);
+    // BloomSkipSpec asserts the scan counts, the driver hash-checks that
+    // skipping never changes a value.
+    "q163_bloom_skipping" -> ((s, dir) => withScratch { tbl =>
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      VT.append(s, base, tbl, statsFor = Seq("o_orderkey"))
+      VT.compact(s, tbl, targetFiles = 8, clusterBy = Seq("o_orderkey"),
+        statsFor = Seq("o_orderkey"), bloomFor = Seq("o_custkey"))
+      VT.snapshot(s, tbl)
+        .filter(col("o_custkey").isin(37, 911))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Manifest-stats data skipping: write with per-file min/max recorded
-    // in the commit log, Z-order-approximate compact on the key, then
-    // answer a narrow key-range aggregate through snapshotWhere — the
+    // in the commit log, cluster-compact on the key, then answer a narrow
+    // key-range aggregate through the explicit snapshotWhere API — the
     // driver hash-checks the values; VersionedTableSpec asserts the file
     // pruning itself (inputFiles strictly shrinks, residual exactness).
     "q154_pruned_scan" -> ((s, dir) => withScratch { tbl =>
@@ -204,6 +237,14 @@ object VersionedQueries {
         .orderBy(col("version"))
     }),
 
+    // Incremental materialized-view maintenance THROUGH the log: bootstrap
+    // a per-status sum state at v0, then fold the v0→v2 change feed into
+    // it — updates RETRACT their preimage from the old status group and
+    // add the postimage to the new one (the merge flips 'F'/'O' rows to
+    // 'U'), deletes retract outright. The maintained state must equal a
+    // full recompute of the final version bit-for-bit (decimal group
+    // algebra) — which is exactly what the oracle computes from the same
+    // slice algebra, never having seen the incremental path.
     "q153_incremental_gold" -> ((s, dir) => withScratch { tbl =>
       val base = ordersSlice(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -395,6 +436,25 @@ object VersionedQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey BETWEEN 200 AND 999
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // plain recompute of the slice algebra (DV-deleted keys excluded) —
+    // the planner-pruned read must not change a single value
+    "q162_auto_skipping" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 300 AND 900 AND o_orderkey < 20000
+        |  AND o_orderkey % 11 <> 0 AND o_orderstatus IN ('O', 'F')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // plain recompute — the Bloom-skipped point lookup must not change
+    // a single value
+    "q163_bloom_skipping" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey < 20000 AND o_custkey IN (37, 911)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // plain range recompute — the pruned manifest read must not change
     // a single value

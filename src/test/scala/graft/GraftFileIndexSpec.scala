@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.io.{VersionedTable => VT}
+
+/** Catalyst-integrated data skipping: ANY pushed-down filter over a
+  * versioned-table snapshot must prune files against the log's per-file
+  * min/max stats at planning time — no `snapshotWhere` cooperation — and
+  * pruning must never change results (conservative on unknowns). */
+class GraftFileIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withTable[T](body: String => T): T = {
+    val dir = Files.createTempDirectory("graft-fi")
+    try body(dir.resolve("t").toString)
+    finally {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  /** All file scans in an executed plan, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec and QueryStageExec are leaves to `collect`). */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] =
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+    }.flatten
+
+  /** Files the DATA scan read (scans that project `col`; the DV-sidecar
+    * scan projects file_name/row_index and is excluded on purpose). */
+  private def filesScanned(df: DataFrame, col: String): Long = {
+    df.collect()
+    allScans(df.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains(col))
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  /** Four one-file appends with disjoint id ranges [0,99], [100,199], ... */
+  private def fourFiles(t: String): Unit =
+    (0 until 4).foreach { i =>
+      VT.append(spark,
+        spark.range(i * 100, i * 100 + 100)
+          .select(col("id").cast("int").as("id"),
+            concat(lit("k"), col("id")).as("v")),
+        t, statsFor = Seq("id", "v"))
+    }
+
+  test("pushed-down filters prune files at planning time") {
+    withTable { t =>
+      fourFiles(t)
+      val snap = VT.snapshot(spark, t)
+      assert(filesScanned(snap, "id") == 4) // no filter: all files
+      val eq = snap.filter(col("id") === 250)
+      assert(eq.count() == 1 && filesScanned(eq, "id") == 1)
+      val range = snap.filter(col("id") >= 150 && col("id") < 210)
+      assert(range.count() == 60 && filesScanned(range, "id") == 2)
+      val in = snap.filter(col("id").isin(5, 305))
+      assert(in.count() == 2 && filesScanned(in, "id") == 2)
+      val none = snap.filter(col("id") > 1000)
+      assert(none.count() == 0 && filesScanned(none, "id") == 0)
+      // literal-on-the-left comparisons prune the same way
+      val flip = snap.filter(lit(150) <= col("id") && lit(210) > col("id"))
+      assert(flip.count() == 60 && filesScanned(flip, "id") == 2)
+    }
+  }
+
+  test("string stats prune equality and prefix predicates") {
+    withTable { t =>
+      // two files: v in [k0..k99] and [k100..k199] — lexical ranges overlap
+      // (k15 < k2), so use disjoint alpha prefixes instead
+      VT.append(spark, Seq(("a1", 1), ("b2", 2)).toDF("v", "n"), t,
+        statsFor = Seq("v"))
+      VT.append(spark, Seq(("m1", 3), ("p2", 4)).toDF("v", "n"), t,
+        statsFor = Seq("v"))
+      val snap = VT.snapshot(spark, t)
+      val eq = snap.filter(col("v") === "b2")
+      assert(eq.count() == 1 && filesScanned(eq, "v") == 1)
+      val pre = snap.filter(col("v").startsWith("m"))
+      assert(pre.count() == 1 && filesScanned(pre, "v") == 1)
+      val preMiss = snap.filter(col("v").startsWith("z"))
+      assert(preMiss.count() == 0 && filesScanned(preMiss, "v") == 0)
+    }
+  }
+
+  test("date stats prune through the literal Cast rendering") {
+    withTable { t =>
+      VT.append(spark, Seq("2024-01-05", "2024-01-20").toDF("d")
+        .select(to_date(col("d")).as("d")), t, statsFor = Seq("d"))
+      VT.append(spark, Seq("2024-03-05", "2024-03-20").toDF("d")
+        .select(to_date(col("d")).as("d")), t, statsFor = Seq("d"))
+      val snap = VT.snapshot(spark, t)
+      val hit = snap.filter(col("d") >= lit(java.sql.Date.valueOf("2024-03-01")))
+      assert(hit.count() == 2 && filesScanned(hit, "d") == 1)
+    }
+  }
+
+  test("conservative: stats-less files, unknown shapes, IsNull never prune") {
+    withTable { t =>
+      VT.append(spark, Seq((1, "a")).toDF("id", "v"), t) // NO statsFor
+      VT.append(spark, Seq((100, "b")).toDF("id", "v"), t,
+        statsFor = Seq("id"))
+      val snap = VT.snapshot(spark, t)
+      // stats-less file is kept even though the filter excludes its rows
+      val f = snap.filter(col("id") > 50)
+      assert(f.count() == 1 && filesScanned(f, "id") == 2)
+      // unknown expression shape (arithmetic on the column): all kept
+      val u = snap.filter(col("id") % 2 === 0)
+      assert(u.count() == 1 && filesScanned(u, "id") == 2)
+      // IsNull can be satisfied by rows min/max never saw: all kept
+      val n = snap.filter(col("v").isNull)
+      assert(n.count() == 0 && filesScanned(n, "id") == 2)
+    }
+  }
+
+  test("pruning composes with deletion vectors and time travel") {
+    withTable { t =>
+      fourFiles(t)
+      VT.deleteWhereDeferred(spark, t, col("id") === 250)
+      val f = VT.snapshot(spark, t).filter(col("id").between(200, 299))
+      // DV anti-join subtracts the deleted row; data scan still pruned
+      assert(f.count() == 99 && filesScanned(f, "id") == 1)
+      // the pre-delete version still sees the row, equally pruned
+      val v3 = VT.snapshot(spark, t, Some(3)).filter(col("id") === 250)
+      assert(v3.count() == 1 && filesScanned(v3, "id") == 1)
+    }
+  }
+
+  test("pruned results equal unpruned results (conservativeness oracle)") {
+    withTable { t =>
+      fourFiles(t)
+      val snap = VT.snapshot(spark, t)
+      val all = snap.collect().toSeq
+      for (pred <- Seq(col("id") <= 37, col("id") === 399,
+          col("id") > 150 && col("id") < 152, col("v") === "k123",
+          col("id").isin(0, 100, 200, 300), !(col("id") < 350))) {
+        val got = snap.filter(pred).collect().toSeq
+        // same predicate over the already-materialized rows: what a scan
+        // with zero skipping would have produced
+        val brute = spark.createDataFrame(
+          spark.sparkContext.parallelize(all), snap.schema)
+          .filter(pred).collect().toSeq
+        assert(got.sortBy(_.getInt(0)) == brute.sortBy(_.getInt(0)),
+          s"pruned read diverged for $pred")
+      }
+    }
+  }
+
+  test("mixed-schema snapshot reads union columns without footer merge") {
+    withTable { t =>
+      VT.append(spark, Seq((1, "a", 9)).toDF("id", "v", "extra"), t,
+        statsFor = Seq("id"))
+      VT.append(spark, Seq((100, "b")).toDF("id", "v"), t,
+        statsFor = Seq("id"))
+      val snap = VT.snapshot(spark, t)
+      assert(snap.columns.toSet == Set("id", "v", "extra"))
+      assert(snap.orderBy("id").as[(Int, String, Option[Int])]
+        .collect().toSeq == Seq((1, "a", Some(9)), (100, "b", None)))
+      // stats pruning works across the schema boundary too
+      val f = snap.filter(col("id") < 50)
+      assert(f.count() == 1 && filesScanned(f, "id") == 1)
+    }
+  }
+}
