@@ -31,8 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    file (`unknown → may-match`);
   *  - min/max are over NON-NULL values, which is exactly right: a
   *    comparison predicate is null-rejecting, so null rows can never
-  *    satisfy it, and `IsNull` (which nulls CAN satisfy) is answered
-  *    `true` because the manifest carries no null counts.
+  *    satisfy it; per-file row/null counts (recorded alongside min/max)
+  *    additionally prune `IsNull` on zero-null files, `IsNotNull` and
+  *    every null-rejecting predicate on all-null files.
   * The residual filter always still runs on the surviving files, so
   * results are exact regardless of stats quality — skipping only ever
   * removes provably-empty work.
@@ -179,12 +180,32 @@ final class GraftFileIndex(
         if fieldType.get(a.name).contains(StringType) =>
       mayStartWith(a, l, fs)
 
-    // IsNull needs null counts the manifest lacks; IsNotNull would need
-    // an all-null marker (an all-null file simply has NO stats entry,
-    // which is indistinguishable from stats-not-collected) — keep both.
-    case _: IsNull | _: IsNotNull => true
+    // null counts ride the stats map under reserved keys ([[VersionedTable
+    // .nullsKey]]): a file recorded with ZERO nulls cannot satisfy IsNull,
+    // one with zero NON-nulls cannot satisfy IsNotNull; absent counts
+    // (pre-counts commits) keep the file.
+    case IsNull(a: Attribute) =>
+      nullCount(a, fs).forall(_ > 0L)
+    case IsNotNull(a: Attribute) => hasNonNull(a, fs)
     case _ => true // unknown shape: cannot exclude
   }
+
+  /** Recorded null count of `attr` in this file, if the writer kept
+    * counts for it. */
+  private def nullCount(a: Attribute,
+      fs: Map[String, (String, String)]): Option[Long] =
+    fs.get(VersionedTable.nullsKey(a.name)).map(_._1.toLong)
+
+  /** Can this file hold a NON-null value of `attr`? False only when the
+    * recorded counts prove every row is null (or the file is empty) —
+    * no null-rejecting predicate (=, <, IN, startsWith, IsNotNull) can
+    * then match, even though an all-null column has no min/max entry. */
+  private def hasNonNull(a: Attribute,
+      fs: Map[String, (String, String)]): Boolean =
+    (fs.get(VersionedTable.RowsKey).map(_._1.toLong), nullCount(a, fs)) match {
+      case (Some(rows), Some(nulls)) => rows - nulls > 0L
+      case _ => true
+    }
 
   /** `attr = lit` may hold iff lit ∈ [min, max] AND (when a Bloom index
     * exists for this file+column) the filter admits the probe hash —
@@ -196,7 +217,7 @@ final class GraftFileIndex(
         cmp(dt, lo, v) <= 0 && cmp(dt, hi, v) >= 0
       case _ => true
     }
-    inRange && bloomMayContain(a, l, name)
+    inRange && hasNonNull(a, fs) && bloomMayContain(a, l, name)
   }
 
   /** Probe the (file, column) Bloom filter with `xxhash64(lit)` — the
@@ -217,25 +238,26 @@ final class GraftFileIndex(
   /** Predicates satisfiable only by large values: test `cmp(max, lit)`. */
   private def mayCmp(a: Attribute, l: Literal,
       fs: Map[String, (String, String)])(ok: Int => Boolean): Boolean =
-    (range(a, fs), render(l)) match {
+    hasNonNull(a, fs) && ((range(a, fs), render(l)) match {
       case (Some((_, hi, dt)), Some(v)) => ok(cmp(dt, hi, v))
       case _ => true
-    }
+    })
 
   /** Predicates satisfiable only by small values: test `cmp(min, lit)`. */
   private def mayCmpMin(a: Attribute, l: Literal,
       fs: Map[String, (String, String)])(ok: Int => Boolean): Boolean =
-    (range(a, fs), render(l)) match {
+    hasNonNull(a, fs) && ((range(a, fs), render(l)) match {
       case (Some((lo, _, dt)), Some(v)) => ok(cmp(dt, lo, v))
       case _ => true
-    }
+    })
 
   /** `startswith(attr, p)`: a match lies in [p, next(p)) — keep the file
     * iff that interval intersects [min, max]. `next(p)` bumps the last
     * char; a last char at Char.MaxValue has no successor → keep. */
   private def mayStartWith(a: Attribute, l: Literal,
       fs: Map[String, (String, String)]): Boolean =
-    (range(a, fs), Option(l.value).map(_.asInstanceOf[UTF8String].toString)
+    hasNonNull(a, fs) && ((range(a, fs), Option(l.value)
+      .map(_.asInstanceOf[UTF8String].toString)
       .filter(_.nonEmpty)) match {
       case (Some((lo, hi, _)), Some(p)) =>
         if (p.last == Char.MaxValue) hi.compareTo(p) >= 0
@@ -244,5 +266,5 @@ final class GraftFileIndex(
           hi.compareTo(p) >= 0 && lo.compareTo(next) < 0
         }
       case _ => true
-    }
+    })
 }

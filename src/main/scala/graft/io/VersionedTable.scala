@@ -836,10 +836,25 @@ object VersionedTable {
       s"could not claim a log slot for $op on $table after $maxRetries tries")
   }
 
-  /** Per-file min/max of `statsFor` columns over freshly written files —
-    * ONE narrow aggregate over just-written data (file-local map-side
-    * combine, no shuffle of consequence), keyed by `_metadata.file_path`.
-    * Values are stored as strings; all-null columns yield no entry. */
+  /** Reserved pseudo-column keys inside the per-file stats map: row and
+    * per-column null counts ride the SAME map as min/max (stored as
+    * `(n, n)` string pairs), so ONE codec / checkpoint / replay / merge
+    * path serves all file statistics — the Delta stats triple
+    * (minValues, maxValues, nullCount + numRecords) in a flat encoding.
+    * Real column names never collide: writers reject leading-`__` names
+    * nowhere, but [[filesInRange]]/[[GraftFileIndex]] look stats up BY
+    * QUERY column name, so a hypothetical `__rows` data column simply
+    * shadows its own pruning, never another column's. */
+  private[io] val RowsKey = "__rows"
+  private[io] def nullsKey(c: String) = s"__nulls_$c"
+
+  /** Per-file min/max + null counts of `statsFor` columns (and the file
+    * row count) over freshly written files — ONE narrow aggregate over
+    * just-written data (file-local map-side combine, no shuffle of
+    * consequence), keyed by `_metadata.file_path`. Values are stored as
+    * strings; all-null columns yield no min/max entry but DO record
+    * their null count, which is what lets the planner prune them for
+    * null-rejecting predicates. */
   private def computeStats(spark: SparkSession, table: String,
       files: Seq[String], statsFor: Seq[String]): FileStats = {
     if (statsFor.isEmpty || files.isEmpty) return Map.empty
@@ -848,19 +863,27 @@ object VersionedTable {
     if (cols.isEmpty) return Map.empty
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast(StringType).as(s"__min_$c"),
-      max(col(c)).cast(StringType).as(s"__max_$c")))
+      max(col(c)).cast(StringType).as(s"__max_$c"),
+      count(col(c)).as(s"__cnt_$c"))) :+ count(lit(1)).as("__n")
     df.groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
           .getFileName.toString
-        name -> cols.flatMap { c =>
+        val rows = r.getAs[Long]("__n")
+        val minMax = cols.flatMap { c =>
           (Option(r.getAs[String](s"__min_$c")),
             Option(r.getAs[String](s"__max_$c"))) match {
             case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
             case _ => None
           }
-        }.toMap
+        }
+        val counts = (RowsKey -> (rows.toString, rows.toString)) +:
+          cols.map { c =>
+            val nulls = rows - r.getAs[Long](s"__cnt_$c")
+            nullsKey(c) -> (nulls.toString, nulls.toString)
+          }
+        name -> (minMax ++ counts).toMap
       }.toMap
   }
 

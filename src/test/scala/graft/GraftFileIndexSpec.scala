@@ -138,6 +138,28 @@ class GraftFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("row/null counts prune IsNull, IsNotNull, and all-null files") {
+    withTable { t =>
+      // file A: v fully populated; file B: v ALL null (so B has no v
+      // min/max entry — only its null count makes it prunable)
+      VT.append(spark, Seq((1, Some("a")), (2, Some("b"))).toDF("id", "v"),
+        t, statsFor = Seq("id", "v"))
+      VT.append(spark,
+        Seq((3, None: Option[String]), (4, None: Option[String]))
+          .toDF("id", "v"),
+        t, statsFor = Seq("id", "v"))
+      val snap = VT.snapshot(spark, t)
+      val isNull = snap.filter(col("v").isNull)   // A pruned: zero nulls
+      assert(isNull.count() == 2 && filesScanned(isNull, "v") == 1)
+      val isNot = snap.filter(col("v").isNotNull) // B pruned: all null
+      assert(isNot.count() == 2 && filesScanned(isNot, "v") == 1)
+      val eq = snap.filter(col("v") === "a")      // B pruned despite no min/max
+      assert(eq.count() == 1 && filesScanned(eq, "v") == 1)
+      val gt = snap.filter(col("id") > 2 && col("v") <= "z") // null-rejecting <= prunes B
+      assert(gt.count() == 0 && filesScanned(gt, "v") == 0)
+    }
+  }
+
   test("pruned results equal unpruned results (conservativeness oracle)") {
     withTable { t =>
       fourFiles(t)
