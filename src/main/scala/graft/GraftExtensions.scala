@@ -30,8 +30,10 @@ import graft.functions.{GramMixHashes, GramPosHashes, KllQuantiles, KllSketchAgg
   *    route, handy in tests/notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(e.injectFunction)
+    GraftExtensions.tableDescriptors.foreach(e.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -153,10 +155,122 @@ object GraftExtensions {
     descriptor("kll_merge_agg", classOf[KllSketchAgg], mkKllMerge),
     descriptor("kll_quantiles", classOf[KllQuantiles], mkKllQuantiles))
 
+  // -------------------------------------------- table-valued functions
+
+  /** SQL time travel over [[graft.io.VersionedTable]] — the
+    * table-valued-function surface (Delta's `table@v`/`TIMESTAMP AS OF`
+    * niche, expressed through Spark's own TVF machinery so it needs no
+    * parser extension):
+    *
+    *  - `graft_snapshot('/path'[, version])`     snapshot read (planned
+    *    over the manifest FileIndex: stats/Bloom skipping, DV subtract)
+    *  - `graft_snapshot_at('/path', ts_millis)`  newest version at/before
+    *  - `graft_history('/path')`                 the commit log as a table
+    *  - `graft_changes('/path', from, to, 'k1,k2'[, include_preimage])`
+    *    change feed between versions, keyed on the CSV column list
+    *
+    * All arguments must be literals (they resolve to a PLAN, not a row
+    * expression). The builder expands to the SAME analyzed plan the Scala
+    * API produces — one read path, two front doors. */
+  private def strLit(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal, got $other")
+    }
+
+  private def longLit(e: Expression, fn: String, arg: String): Long =
+    e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+
+  private def boolLit(e: Expression, fn: String, arg: String): Boolean =
+    e match {
+      case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a boolean literal, got $other")
+    }
+
+  private def activeSession: SparkSession =
+    SparkSession.getActiveSession.getOrElse(throw new IllegalStateException(
+      "graft TVFs need an active SparkSession"))
+
+  private def mkSnapshotTvf(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "graft_snapshot(path[, version]) takes 1 or 2 arguments")
+    val path = strLit(exprs.head, "graft_snapshot", "path")
+    val v = exprs.lift(1).map(longLit(_, "graft_snapshot", "version"))
+    org.apache.spark.sql.graftbridge.Bridge.analyzedPlan(
+      graft.io.VersionedTable.snapshot(activeSession, path, v))
+  }
+
+  private def mkSnapshotAtTvf(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2,
+      "graft_snapshot_at(path, ts_millis) takes 2 arguments")
+    org.apache.spark.sql.graftbridge.Bridge.analyzedPlan(
+      graft.io.VersionedTable.snapshotAsOf(activeSession,
+        strLit(exprs.head, "graft_snapshot_at", "path"),
+        longLit(exprs(1), "graft_snapshot_at", "ts_millis")))
+  }
+
+  private def mkHistoryTvf(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1, "graft_history(path) takes 1 argument")
+    org.apache.spark.sql.graftbridge.Bridge.analyzedPlan(
+      graft.io.VersionedTable.history(activeSession,
+        strLit(exprs.head, "graft_history", "path")))
+  }
+
+  private def mkChangesTvf(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 4 || exprs.length == 5,
+      "graft_changes(path, from, to, keysCsv[, include_preimage]) " +
+        "takes 4 or 5 arguments")
+    val keys = strLit(exprs(3), "graft_changes", "keysCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "graft_changes: keysCsv names no columns")
+    org.apache.spark.sql.graftbridge.Bridge.analyzedPlan(
+      graft.io.VersionedTable.changeFeed(activeSession,
+        strLit(exprs.head, "graft_changes", "path"),
+        longLit(exprs(1), "graft_changes", "from"),
+        longLit(exprs(2), "graft_changes", "to"),
+        keys,
+        includePreimage = exprs.lift(4)
+          .exists(boolLit(_, "graft_changes", "include_preimage"))))
+  }
+
+  private type TableDescriptor = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  private def tableDescriptor(name: String,
+      build: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : TableDescriptor =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(graft.io.VersionedTable.getClass.getName, name),
+      build)
+
+  private[graft] val tableDescriptors: Seq[TableDescriptor] = Seq(
+    tableDescriptor("graft_snapshot", mkSnapshotTvf),
+    tableDescriptor("graft_snapshot_at", mkSnapshotAtTvf),
+    tableDescriptor("graft_history", mkHistoryTvf),
+    tableDescriptor("graft_changes", mkChangesTvf))
+
   /** Register on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, _, build) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, build, "scala_udf")
     }
+    tableDescriptors.foreach { case (id, _, build) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        id.funcName, build, "scala_udf")
+    }
+  }
 }

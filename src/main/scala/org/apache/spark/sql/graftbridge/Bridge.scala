@@ -40,6 +40,15 @@ object Bridge {
     if (cm.isEmpty) 0 else 1 // isEmpty is the only public-ish probe
   }
 
+  /** The ANALYZED logical plan of a DataFrame (`queryExecution` is on the
+    * classic Dataset only) — what a table-valued-function builder must
+    * return: TVFs expand to a PLAN, and the analyzed form re-traverses
+    * cleanly inside the enclosing query's resolution. */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
   /** `Observation.getOrEmpty` is `private[sql]` on Spark 4.x: non-blocking
     * metric read (≤100 ms wait, empty map if the action never posted its
     * SQL-execution-end event) — the safe form for convergence checks that
