@@ -959,6 +959,28 @@ object VersionedTable {
     Seq(sidecar)
   }
 
+  /** Columns the table currently tracks min/max stats for — the REAL
+    * column names in the live manifest (reserved `__` count keys
+    * excluded). The basis for STICKY stats: once a column is indexed,
+    * every later write keeps indexing it (Delta collects stats on every
+    * write; an index that silently decayed on MERGE/DELETE/CDC rewrites
+    * would rot skipping until the next OPTIMIZE). */
+  private def trackedStatColumns(st: TableState): Seq[String] =
+    st.fileStats.values.flatMap(_.keys)
+      .filter(c => c != RowsKey && !c.startsWith("__nulls_"))
+      .toSeq.distinct
+
+  /** Columns the table currently keeps Bloom indexes for — discovered
+    * from the live sidecars (driver-side, cached; kilobytes). */
+  private def trackedBloomColumns(table: String, st: TableState)
+      : Seq[String] =
+    loadBlooms(table, st.blooms).keys.map(_._2).toSeq.distinct
+
+  /** Explicit request wins; otherwise inherit what the table tracks. */
+  private def effectiveCols(requested: Seq[String],
+      tracked: => Seq[String]): Seq[String] =
+    if (requested.nonEmpty) requested else tracked
+
   /** Loaded bloom sidecars, keyed by absolute sidecar path — sidecar
     * files are immutable once committed, so entries never invalidate
     * (vacuumed sidecars just stop being referenced by any state). */
@@ -1093,10 +1115,17 @@ object VersionedTable {
     Files.createDirectories(Paths.get(table))
     enforceAppendSchema(table, df.schema, mergeSchema)
     enforceConstraints(table, df)
+    // sticky indexing: an un-annotated append to a stats/bloom-tracked
+    // table keeps tracking the same columns
+    lazy val prior = latestVersion(table).map(stateAt(table, _))
+    val sf = effectiveCols(statsFor,
+      prior.map(trackedStatColumns).getOrElse(Nil))
+    val bfc = effectiveCols(bloomFor,
+      prior.map(trackedBloomColumns(table, _)).getOrElse(Nil))
     val files = writeDataFiles(sized(df, optimizeWrite), table)
     commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
-      stats = computeStats(spark, table, files, statsFor),
-      bloomAdd = computeBlooms(spark, table, files, bloomFor, bloomFpp),
+      stats = computeStats(spark, table, files, sf),
+      bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
       revalidate = () => {
         enforceAppendSchema(table, df.schema, mergeSchema)
         // re-check constraints too: a slot-race winner may have just
@@ -1120,11 +1149,16 @@ object VersionedTable {
       Files.createDirectories(Paths.get(table))
       enforceAppendSchema(table, df.schema, mergeSchema)
       enforceConstraints(table, df)
+      lazy val prior = latestVersion(table).map(stateAt(table, _))
+      val sf = effectiveCols(statsFor,
+        prior.map(trackedStatColumns).getOrElse(Nil))
+      val bfc = effectiveCols(bloomFor,
+        prior.map(trackedBloomColumns(table, _)).getOrElse(Nil))
       val files = writeDataFiles(sized(df, optimizeWrite), table)
       commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
         txn = Some((txnApp, txnId)),
-        stats = computeStats(spark, table, files, statsFor),
-        bloomAdd = computeBlooms(spark, table, files, bloomFor, bloomFpp),
+        stats = computeStats(spark, table, files, sf),
+        bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
         revalidate = () => {
           enforceAppendSchema(table, df.schema, mergeSchema)
           enforceConstraints(table, df)
@@ -1176,6 +1210,11 @@ object VersionedTable {
       // satisfy them like any other write
       enforceConstraints(table, df)
       val read = expectVersion.orElse(latestVersion(table))
+      lazy val prior = read.map(stateAt(table, _))
+      val sf = effectiveCols(statsFor,
+        prior.map(trackedStatColumns).getOrElse(Nil))
+      val bfc = effectiveCols(bloomFor,
+        prior.map(trackedBloomColumns(table, _)).getOrElse(Nil))
       val files = writeDataFiles(sized(df, optimizeWrite), table)
       // the remove set is derived from the slot the commit actually
       // LANDS in, not the version observed before the loop: a bootstrap
@@ -1188,8 +1227,8 @@ object VersionedTable {
       commitLoop(table, "overwrite", files,
         v => if (v == 0) Nil else stateAt(table, v - 1).files,
         df.schema.json, readVersion = read, txn = txn,
-        stats = computeStats(spark, table, files, statsFor),
-        bloomAdd = computeBlooms(spark, table, files, bloomFor, bloomFpp),
+        stats = computeStats(spark, table, files, sf),
+        bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
         revalidate = () => {
           enforceOverwriteSchema(table, df.schema, overwriteSchema)
           enforceConstraints(table, df)
@@ -1239,6 +1278,7 @@ object VersionedTable {
           commitLoop(table, "apply_changes", files, _ => Nil,
             upserts.schema.json, None, txn = Some((txnApp, txnId)),
             stats = computeStats(spark, table, files, statsFor),
+            bloomAdd = Nil,
             revalidate = () => {
               enforceAppendSchema(table, upserts.schema, mergeSchema = true)
               enforceConstraints(table, upserts)
@@ -1272,7 +1312,10 @@ object VersionedTable {
           commitLoop(table, "apply_changes", added, _ => hitNames,
             schema.json, readVersion = Some(v),
             txn = Some((txnApp, txnId)),
-            stats = computeStats(spark, table, added, statsFor),
+            stats = computeStats(spark, table, added,
+              effectiveCols(statsFor, trackedStatColumns(st))),
+            bloomAdd = computeBlooms(spark, table, added,
+              trackedBloomColumns(table, st), 0.03),
             revalidate = () => {
               enforceAppendSchema(table, upserts.schema, mergeSchema = true)
               enforceConstraints(table, upserts)
@@ -1370,6 +1413,11 @@ object VersionedTable {
     // the overwrite-based merge recorded the post-merge shape too)
     commitLoop(table, "merge", added, _ => hitNames, merged.schema.json,
       readVersion = Some(rv),
+      // sticky indexing: the rewrite re-records whatever the table
+      // tracks for its new files — skipping must not decay under MERGE
+      stats = computeStats(spark, table, added, trackedStatColumns(st)),
+      bloomAdd = computeBlooms(spark, table, added,
+        trackedBloomColumns(table, st), 0.03),
       revalidate = () => {
         enforceAppendSchema(table, merged.schema, mergeSchema = true)
         enforceConstraints(table, merged)
@@ -1386,9 +1434,10 @@ object VersionedTable {
       isolation: Isolation = Isolation.WriteSerializable): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
+    val preSt = stateAt(table, rv)
     // the survivor rewrite reads hit files RAW — running it over active
     // DVs would resurrect their deleted rows
-    requireNoDv(stateAt(table, rv), "deleteWhere", table)
+    requireNoDv(preSt, "deleteWhere", table)
     val snap = snapshot(spark, table, Some(rv))
     val hitPaths = snap.filter(cond)
       .select(col("_metadata.file_path").as("fp")).distinct()
@@ -1404,6 +1453,9 @@ object VersionedTable {
     val added = writeDataFiles(survivors, table)
     commitLoop(table, "delete", added, _ => hitNames, snap.schema.json,
       readVersion = Some(rv),
+      stats = computeStats(spark, table, added, trackedStatColumns(preSt)),
+      bloomAdd = computeBlooms(spark, table, added,
+        trackedBloomColumns(table, preSt), 0.03),
       rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }
 
@@ -1481,8 +1533,13 @@ object VersionedTable {
     commitLoop(table, "optimize", added, _ => preSt.files,
       snap.schema.json, readVersion = Some(rv),
       stats = computeStats(spark, table, added,
-        if (statsFor.nonEmpty) statsFor else clusterBy),
-      bloomAdd = computeBlooms(spark, table, added, bloomFor, bloomFpp),
+        if (statsFor.nonEmpty) statsFor
+        else if (clusterBy.nonEmpty)
+          (clusterBy ++ trackedStatColumns(preSt)).distinct
+        else trackedStatColumns(preSt)),
+      bloomAdd = computeBlooms(spark, table, added,
+        effectiveCols(bloomFor, trackedBloomColumns(table, preSt)),
+        bloomFpp),
       dvRemoveAt = _ => preSt.dv,
       rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }

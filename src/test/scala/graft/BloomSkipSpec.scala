@@ -126,6 +126,33 @@ class BloomSkipSpec extends SparkSpec {
     }
   }
 
+  test("stats and bloom tracking are STICKY: un-annotated writes keep " +
+      "indexing, MERGE re-indexes its rewritten files") {
+    withTable { t =>
+      VT.append(spark, Seq((1, "aa"), (2, "bb")).toDF("id", "tag"), t,
+        statsFor = Seq("id"), bloomFor = Seq("tag"), bloomFpp = 0.001)
+      // plain append, NO statsFor/bloomFor — inherits both
+      VT.append(spark, Seq((100, "mm"), (101, "nn")).toDF("id", "tag"), t)
+      val snap = VT.snapshot(spark, t)
+      val range = snap.filter(col("id") < 50) // needs stats on file 2
+      assert(range.count() == 2 && filesScanned(range, "id") == 1)
+      val probe = snap.filter(col("tag") === "mm") // needs bloom on file 2
+      assert(probe.count() == 1 && filesScanned(probe, "tag") == 1)
+      // MERGE rewrites file 1 — the fresh file is re-indexed immediately
+      VT.merge(spark, Seq((1, "zz")).toDF("id", "tag"), t, Seq("id"))
+      val snap2 = VT.snapshot(spark, t)
+      val merged = snap2.filter(col("tag") === "zz")
+      assert(merged.count() == 1 && filesScanned(merged, "tag") == 1)
+      val gone = snap2.filter(col("tag") === "aa")
+      assert(gone.count() == 0 && filesScanned(gone, "tag") == 0)
+      // file-granular DELETE: survivors keep their index too
+      VT.deleteWhere(spark, t, col("id") === 101)
+      val snap3 = VT.snapshot(spark, t)
+      val kept = snap3.filter(col("tag") === "mm")
+      assert(kept.count() == 1 && filesScanned(kept, "tag") == 1)
+    }
+  }
+
   test("vacuum GCs bloom sidecars with their retired files") {
     withTable { t =>
       fourFiles(t, bloom = true)
@@ -136,11 +163,15 @@ class BloomSkipSpec extends SparkSpec {
           _.getFileName.toString.endsWith("-bloom.json"))
         finally l.close()
       }
-      assert(sidecars == 4)
+      // 4 append sidecars + 1 from the overwrite (sticky inheritance:
+      // the overwrite re-indexed its own fresh file)
+      assert(sidecars == 5)
       assert(VT.vacuum(t, retainMs = 0L) > 0)
-      assert(sidecars == 0)
-      // post-vacuum reads of the live version still work (no bloom)
+      // only the live version's sidecar survives
+      assert(sidecars == 1)
       assert(VT.snapshot(spark, t).count() == 1)
+      val probe = VT.snapshot(spark, t).filter(col("tag") === "zz")
+      assert(probe.count() == 1 && filesScanned(probe, "tag") == 1)
     }
   }
 }
