@@ -22,6 +22,13 @@ import graft.functions.{GramMixHashes, GramPosHashes, KllQuantiles, KllSketchAgg
   *  - `kll_merge_agg(sketch[, k])`  aggregate: merge stored KLL sketches
   *  - `kll_quantiles(sketch, p...)` quantile values from a sketch
   *
+  * Table-valued functions (SQL time travel over versioned tables —
+  * see [[GraftExtensions.tableDescriptors]]):
+  *
+  *  - `graft_snapshot(path[, version])`, `graft_snapshot_at(path, ts)`
+  *  - `graft_history(path)`
+  *  - `graft_changes(path, from, to, keysCsv[, include_preimage])`
+  *
   * Two registration paths:
   *  - `spark.sql.extensions=graft.GraftExtensions` at session build
   *    (the SparkSessionExtensions route — survives `spark.sql(...)` from

@@ -112,10 +112,20 @@ final class GraftFileIndex(
     case _ => false
   }
 
+  /** String stats were computed by Spark's min/max, which order
+    * UTF8Strings by UTF-8 BYTE order (= code-point order) — Java's
+    * UTF-16 `String.compareTo` disagrees for strings mixing
+    * [U+E000, U+FFFF] chars with supplementary-plane chars (surrogate
+    * units sort below E000), and a mismatched order here would MIS-PRUNE
+    * a file (wrong results, not just a missed skip). Compare exactly the
+    * way the stats were made. */
+  private def utf8Cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
     case _: NumericType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    case _ => a.compareTo(b)
+    case _ => utf8Cmp(a, b)
   }
 
   /** `CAST(lit AS STRING)` — the exact rendering [[VersionedTable]] used
@@ -251,19 +261,25 @@ final class GraftFileIndex(
       case _ => true
     })
 
-  /** `startswith(attr, p)`: a match lies in [p, next(p)) — keep the file
-    * iff that interval intersects [min, max]. `next(p)` bumps the last
-    * char; a last char at Char.MaxValue has no successor → keep. */
+  /** `startswith(attr, p)`: a match lies in [p, next(p)) in CODE-POINT
+    * order — keep the file iff that interval intersects [min, max].
+    * `next(p)` bumps the last code point (skipping the surrogate gap —
+    * a looser upper bound only keeps more files, never fewer); a last
+    * code point at U+10FFFF has no successor → only the lower bound
+    * prunes. */
   private def mayStartWith(a: Attribute, l: Literal,
       fs: Map[String, (String, String)]): Boolean =
     hasNonNull(a, fs) && ((range(a, fs), Option(l.value)
       .map(_.asInstanceOf[UTF8String].toString)
       .filter(_.nonEmpty)) match {
       case (Some((lo, hi, _)), Some(p)) =>
-        if (p.last == Char.MaxValue) hi.compareTo(p) >= 0
+        val cps = p.codePoints().toArray
+        val last = cps.last
+        if (last >= 0x10FFFF) utf8Cmp(hi, p) >= 0
         else {
-          val next = p.init + (p.last + 1).toChar
-          hi.compareTo(p) >= 0 && lo.compareTo(next) < 0
+          val bumped = if (last + 1 == 0xD800) 0xE000 else last + 1
+          val next = new String(cps.init :+ bumped, 0, cps.length)
+          utf8Cmp(hi, p) >= 0 && utf8Cmp(lo, next) < 0
         }
       case _ => true
     })

@@ -551,9 +551,13 @@ object VersionedTable {
       column: String, lo: Option[Any], hi: Option[Any]): Seq[String] = {
     val numeric = schema.find(_.name == column).exists(f =>
       f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // string compare MUST be UTF-8 byte order — the order Spark's
+    // min/max used when the stats were written (UTF-16 compareTo
+    // disagrees around the surrogate range and would mis-prune)
     def cmp(a: String, b: String): Int =
       if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-      else a.compareTo(b)
+      else org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     val loS = lo.map(_.toString)
     val hiS = hi.map(_.toString)
     st.files.filter { f =>

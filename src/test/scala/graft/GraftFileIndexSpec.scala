@@ -180,6 +180,28 @@ class GraftFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("string pruning compares in UTF-8 byte order (code points), " +
+      "not UTF-16 — supplementary-plane values are never mis-pruned") {
+    withTable { t =>
+      // file 1: ASCII values; file 2: emoji (U+1F600, supplementary).
+      // In UTF-16 order "" > "😀…" (surrogate units sort below
+      // E000); in the UTF-8 order Spark's min/max used, "" < "😀…".
+      // A UTF-16 comparator would prune file 2 for `>= ""` and
+      // silently DROP its rows.
+      VT.append(spark, Seq(("alpha", 1), ("beta", 2)).toDF("v", "n"), t,
+        statsFor = Seq("v"))
+      VT.append(spark, Seq(("😀x", 3), ("😀y", 4))
+        .toDF("v", "n"), t, statsFor = Seq("v"))
+      val snap = VT.snapshot(spark, t)
+      val f = snap.filter(col("v") >= "")
+      assert(f.count() == 2, "supplementary-plane rows were mis-pruned")
+      assert(filesScanned(f, "v") == 1) // ASCII file pruned, emoji kept
+      // and the same guarantee through the explicit manifest API
+      assert(VT.snapshotWhere(spark, t, "v",
+        lo = Some(""), hi = None).count() == 2)
+    }
+  }
+
   test("mixed-schema snapshot reads union columns without footer merge") {
     withTable { t =>
       VT.append(spark, Seq((1, "a", 9)).toDF("id", "v", "extra"), t,
