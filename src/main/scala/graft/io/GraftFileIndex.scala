@@ -93,8 +93,12 @@ final class GraftFileIndex(
     val kept =
       if (dataFilters.isEmpty) statuses.map(_._2)
       else statuses.collect {
-        case (name, st) if dataFilters.forall(
-          mayMatch(_, name, stats.getOrElse(name, Map.empty))) => st
+        // a stats value the evaluator cannot interpret (double columns
+        // render Infinity/NaN, which is not BigDecimal-parseable) must
+        // KEEP the file, never fail the read — Try per (filter, file)
+        case (name, st) if dataFilters.forall(f =>
+          scala.util.Try(mayMatch(f, name, stats.getOrElse(name, Map.empty)))
+            .getOrElse(true)) => st
       }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
@@ -136,15 +140,27 @@ final class GraftFileIndex(
     else scala.util.Try(
       Cast(lit, StringType, Some(zoneId)).eval(InternalRow.empty)
     ).toOption.flatMap(v => Option(v).map(_.toString))
+      .filterNot(exoticTemporal(lit.dataType, _))
+
+  /** Does this date/timestamp rendering sort faithfully? Years outside
+    * [0, 9999] render with a sign ("+10000-…", "-0044-…") and break the
+    * lexical order ('+' < '9'); such stats must not prune. */
+  private def exoticTemporal(dt: DataType, v: String): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType =>
+      v.startsWith("+") || v.startsWith("-")
+    case _ => false
+  }
 
   /** Range of `attr` in this file, as (min, max, type) — None when the
-    * column is unknown, stats are absent, or the type's rendering is not
-    * order-faithful. */
+    * column is unknown, stats are absent, the type's rendering is not
+    * order-faithful, or a temporal bound falls outside the lexically
+    * faithful year range. */
   private def range(attr: Attribute, fs: Map[String, (String, String)])
       : Option[(String, String, DataType)] =
     for {
       dt <- fieldType.get(attr.name) if comparable(dt)
       (lo, hi) <- fs.get(attr.name)
+      if !exoticTemporal(dt, lo) && !exoticTemporal(dt, hi)
     } yield (lo, hi, dt)
 
   /** May any row of file `name` with stats `fs` satisfy `e`? `true` =

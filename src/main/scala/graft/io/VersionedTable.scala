@@ -563,8 +563,11 @@ object VersionedTable {
     st.files.filter { f =>
       st.fileStats.get(f).flatMap(_.get(column)) match {
         case Some((fMin, fMax)) =>
-          hiS.forall(h => cmp(fMin, h) <= 0) &&
-            loS.forall(l => cmp(fMax, l) >= 0)
+          // unparseable stats (double Infinity/NaN renderings) keep the
+          // file rather than failing the read
+          scala.util.Try(
+            hiS.forall(h => cmp(fMin, h) <= 0) &&
+              loS.forall(l => cmp(fMax, l) >= 0)).getOrElse(true)
         case None => true // no stats: cannot exclude
       }
     }

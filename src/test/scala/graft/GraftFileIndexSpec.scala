@@ -202,6 +202,23 @@ class GraftFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("Infinity/NaN double stats keep the file instead of failing " +
+      "the read") {
+    withTable { t =>
+      VT.append(spark, Seq((1, 1.5), (2, 2.5)).toDF("id", "x"), t,
+        statsFor = Seq("x"))
+      VT.append(spark,
+        Seq((3, Double.PositiveInfinity), (4, Double.NaN)).toDF("id", "x"),
+        t, statsFor = Seq("x")) // stats render "Infinity"/"NaN"
+      val snap = VT.snapshot(spark, t)
+      val f = snap.filter(col("x") > 2.0) // must not throw at planning
+      assert(f.count() == 3) // 2.5, Infinity, NaN (NaN > everything)
+      // the parseable file still prunes normally
+      val low = snap.filter(col("x") < 1.0)
+      assert(low.count() == 0 && filesScanned(low, "x") <= 1)
+    }
+  }
+
   test("mixed-schema snapshot reads union columns without footer merge") {
     withTable { t =>
       VT.append(spark, Seq((1, "a", 9)).toDF("id", "v", "extra"), t,
