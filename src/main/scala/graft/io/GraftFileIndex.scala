@@ -64,7 +64,14 @@ final class GraftFileIndex(
 
   private val statuses: Seq[(String, FileStatus)] = fileNames.map { n =>
     val p = java.nio.file.Paths.get(tableDir, n)
-    val len = java.nio.file.Files.size(p)
+    // file length from the MANIFEST when the commit recorded it (exact —
+    // data files are immutable), falling back to a filesystem stat for
+    // pre-size-stats commits: a million-file snapshot then costs zero
+    // per-file HEAD requests to plan
+    val len = stats.getOrElse(n, Map.empty)
+      .get(VersionedTable.BytesKey)
+      .flatMap(b => scala.util.Try(b._1.toLong).toOption)
+      .getOrElse(java.nio.file.Files.size(p))
     n -> new FileStatus(len, false, 1, 128L * 1024 * 1024,
       0L /* mtime: immutable once committed */, new HPath(p.toUri))
   }
@@ -195,8 +202,11 @@ final class GraftFileIndex(
     case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists(v => mayEq(a, v.asInstanceOf[Literal], name, fs))
     // large IN lists arrive optimized to InSet with INTERNAL values —
-    // re-wrap each as a typed Literal so rendering is uniform
-    case InSet(a: Attribute, set) =>
+    // re-wrap each as a typed Literal so rendering is uniform. Cap the
+    // per-file work: a 10k-value set over a million-file manifest is
+    // O(set × files) driver-side — past the cap, skipping can't pay for
+    // its own planning cost, so keep the file.
+    case InSet(a: Attribute, set) if set.size <= 256 =>
       fieldType.get(a.name) match {
         case Some(dt) => set.exists(v => mayEq(a, Literal(v, dt), name, fs))
         case None => true

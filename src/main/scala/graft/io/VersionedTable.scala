@@ -853,7 +853,21 @@ object VersionedTable {
     * QUERY column name, so a hypothetical `__rows` data column simply
     * shadows its own pruning, never another column's. */
   private[io] val RowsKey = "__rows"
+  private[io] val BytesKey = "__bytes"
   private[io] def nullsKey(c: String) = s"__nulls_$c"
+
+  /** On-disk size of each just-written file, recorded in the commit under
+    * [[BytesKey]] — reads then build their FileStatus list from the
+    * MANIFEST instead of stat-ing every file (N object-store HEAD
+    * requests per snapshot at scale; Delta records `size` in add actions
+    * for the same reason). Sizes are exact forever: data files are
+    * immutable once committed. */
+  private def withSizes(table: String, files: Seq[String],
+      computed: FileStats): FileStats =
+    files.map { f =>
+      val sz = Files.size(Paths.get(table, f)).toString
+      f -> (computed.getOrElse(f, Map.empty) + (BytesKey -> (sz, sz)))
+    }.toMap
 
   /** Per-file min/max + null counts of `statsFor` columns (and the file
     * row count) over freshly written files — ONE narrow aggregate over
@@ -974,7 +988,7 @@ object VersionedTable {
     * would rot skipping until the next OPTIMIZE). */
   private def trackedStatColumns(st: TableState): Seq[String] =
     st.fileStats.values.flatMap(_.keys)
-      .filter(c => c != RowsKey && !c.startsWith("__nulls_"))
+      .filterNot(_.startsWith("__")) // reserved count/size keys
       .toSeq.distinct
 
   /** Columns the table currently keeps Bloom indexes for — discovered
@@ -1131,7 +1145,7 @@ object VersionedTable {
       prior.map(trackedBloomColumns(table, _)).getOrElse(Nil))
     val files = writeDataFiles(sized(df, optimizeWrite), table)
     commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
-      stats = computeStats(spark, table, files, sf),
+      stats = withSizes(table, files, computeStats(spark, table, files, sf)),
       bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
       revalidate = () => {
         enforceAppendSchema(table, df.schema, mergeSchema)
@@ -1164,7 +1178,8 @@ object VersionedTable {
       val files = writeDataFiles(sized(df, optimizeWrite), table)
       commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
         txn = Some((txnApp, txnId)),
-        stats = computeStats(spark, table, files, sf),
+        stats = withSizes(table, files,
+          computeStats(spark, table, files, sf)),
         bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
         revalidate = () => {
           enforceAppendSchema(table, df.schema, mergeSchema)
@@ -1234,7 +1249,8 @@ object VersionedTable {
       commitLoop(table, "overwrite", files,
         v => if (v == 0) Nil else stateAt(table, v - 1).files,
         df.schema.json, readVersion = read, txn = txn,
-        stats = computeStats(spark, table, files, sf),
+        stats = withSizes(table, files,
+          computeStats(spark, table, files, sf)),
         bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
         revalidate = () => {
           enforceOverwriteSchema(table, df.schema, overwriteSchema)
@@ -1284,8 +1300,8 @@ object VersionedTable {
           val files = writeDataFiles(upserts, table)
           commitLoop(table, "apply_changes", files, _ => Nil,
             upserts.schema.json, None, txn = Some((txnApp, txnId)),
-            stats = computeStats(spark, table, files, statsFor),
-            bloomAdd = Nil,
+            stats = withSizes(table, files,
+              computeStats(spark, table, files, statsFor)),
             revalidate = () => {
               enforceAppendSchema(table, upserts.schema, mergeSchema = true)
               enforceConstraints(table, upserts)
@@ -1319,8 +1335,8 @@ object VersionedTable {
           commitLoop(table, "apply_changes", added, _ => hitNames,
             schema.json, readVersion = Some(v),
             txn = Some((txnApp, txnId)),
-            stats = computeStats(spark, table, added,
-              effectiveCols(statsFor, trackedStatColumns(st))),
+            stats = withSizes(table, added, computeStats(spark, table,
+              added, effectiveCols(statsFor, trackedStatColumns(st)))),
             bloomAdd = computeBlooms(spark, table, added,
               trackedBloomColumns(table, st), 0.03),
             revalidate = () => {
@@ -1422,7 +1438,8 @@ object VersionedTable {
       readVersion = Some(rv),
       // sticky indexing: the rewrite re-records whatever the table
       // tracks for its new files — skipping must not decay under MERGE
-      stats = computeStats(spark, table, added, trackedStatColumns(st)),
+      stats = withSizes(table, added,
+        computeStats(spark, table, added, trackedStatColumns(st))),
       bloomAdd = computeBlooms(spark, table, added,
         trackedBloomColumns(table, st), 0.03),
       revalidate = () => {
@@ -1460,7 +1477,8 @@ object VersionedTable {
     val added = writeDataFiles(survivors, table)
     commitLoop(table, "delete", added, _ => hitNames, snap.schema.json,
       readVersion = Some(rv),
-      stats = computeStats(spark, table, added, trackedStatColumns(preSt)),
+      stats = withSizes(table, added,
+        computeStats(spark, table, added, trackedStatColumns(preSt))),
       bloomAdd = computeBlooms(spark, table, added,
         trackedBloomColumns(table, preSt), 0.03),
       rebaseOverAdds = isolation == Isolation.WriteSerializable)
@@ -1539,11 +1557,11 @@ object VersionedTable {
     val preSt = stateAt(table, rv)
     commitLoop(table, "optimize", added, _ => preSt.files,
       snap.schema.json, readVersion = Some(rv),
-      stats = computeStats(spark, table, added,
+      stats = withSizes(table, added, computeStats(spark, table, added,
         if (statsFor.nonEmpty) statsFor
         else if (clusterBy.nonEmpty)
           (clusterBy ++ trackedStatColumns(preSt)).distinct
-        else trackedStatColumns(preSt)),
+        else trackedStatColumns(preSt))),
       bloomAdd = computeBlooms(spark, table, added,
         effectiveCols(bloomFor, trackedBloomColumns(table, preSt)),
         bloomFpp),
