@@ -464,6 +464,50 @@ object VersionedTable {
     else joined.select(cols.map(col): _*)
   }
 
+  // ------------------------------------------- streaming-source hooks
+  // (package-private surface for [[VersionedStreamSource]] — the v1
+  // Structured Streaming source tailing this log)
+
+  /** Commits with `fromExclusive < version <= toInclusive`, in order. */
+  private[io] def commitsIn(table: String, fromExclusive: Long,
+      toInclusive: Long): Seq[Commit] =
+    versions(table).filter(v => v > fromExclusive && v <= toInclusive)
+      .map(v => parseCommit(versionFile(table, v)))
+
+  /** The pieces of the state at `v` a streaming source's initial
+    * snapshot batch needs: live files, their manifest stats, the
+    * union scan schema, and the active DV sidecars. */
+  private[io] def snapshotParts(table: String, v: Long)
+      : (Seq[String], FileStats, StructType, Seq[String]) = {
+    val st = stateAt(table, v)
+    (st.files, st.fileStats, unionSchema(st.schemas), st.dv)
+  }
+
+  /** [[readState]]'s streaming twin: scan `files` through a
+    * [[GraftFileIndex]] (manifest stats still prune pushed-down filters
+    * per micro-batch) but surface the relation with `isStreaming = true`
+    * so `MicroBatchExecution` accepts it, minus any rows `dvFiles`
+    * retire (a stream–batch broadcast anti-join — supported shape). The
+    * schema is the SOURCE'S frozen schema, not the state's: every batch
+    * of one streaming query must agree column-for-column, so files
+    * predating a column read nulls and later-added columns are ignored
+    * until the query restarts against the evolved schema. */
+  private[io] def streamingScan(spark: SparkSession, table: String,
+      files: Seq[String], fileStats: FileStats, schema: StructType,
+      dvFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftStreamingShim
+    if (files.isEmpty) return GraftStreamingShim.emptyStreaming(spark, schema)
+    val fi = new GraftFileIndex(table, files, fileStats, schema,
+      spark.conf.get("spark.sql.session.timeZone"))
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      fi, StructType(Nil), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat, Map.empty[String, String])(spark)
+    val base = GraftStreamingShim.streamingRelation(spark, rel)
+    if (dvFiles.isEmpty) base
+    else dvJoin(base, dvEntries(spark, table, dvFiles), "left_anti")
+  }
+
   private def requireNoDv(st: TableState, op: String, table: String): Unit =
     if (st.dv.nonEmpty)
       throw new IllegalStateException(

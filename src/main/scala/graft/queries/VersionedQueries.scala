@@ -300,6 +300,40 @@ object VersionedQueries {
     // recomputes the final per-status aggregate from the same envelope
     // algebra — a dropped preimage, a misrouted op code, or a parse
     // regression all flip the hash.
+    // The STREAMING source over the commit log, oracle-checked
+    // end-to-end: a real MicroBatchExecution tails the scratch table —
+    // initial snapshot batch (deletion vectors subtracted) plus a
+    // mid-flight append picked up as a tail batch — into a memory sink,
+    // and the delivered rows must hash-match the batch recompute of the
+    // same slice algebra. Exactly-once delivery IS the gate: a replayed
+    // or dropped batch shifts every count.
+    "q164_versioned_stream" -> ((s, dir) => withScratch { tbl =>
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)     // v0
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 1), tbl)     // v1
+      VT.deleteWhereDeferred(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)  // v2
+      val name = s"q164_stream_${System.nanoTime()}"
+      val q = s.readStream.format("graft-versioned").load(tbl)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", s"$tbl.ck").start()
+      try {
+        q.processAllAvailable() // snapshot batch: v0+v1 minus the DV
+        VT.append(s, base.filter(col("o_orderkey") % 3 === 2), tbl)   // v3
+        q.processAllAvailable() // tail batch: v3's files only
+      } finally q.stop()
+      val out = s.table(name)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+      val rows = out.collect()
+      val schema = out.schema
+      s.catalog.dropTempView(name)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q160_cdc_envelope" -> ((s, dir) => {
       val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
@@ -338,6 +372,24 @@ object VersionedQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // Batch recompute of what the stream must deliver exactly once: the
+    // v2 snapshot state (mods 0/1 minus the DV-deleted keys) plus the
+    // tail append (mod 2) — grouped per status with exact decimal sums,
+    // so batch boundaries and file order cannot affect the hash.
+    "q164_versioned_stream" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey < 20000),
+        |snap AS (SELECT * FROM base WHERE o_orderkey % 3 IN (0, 1)
+        |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)),
+        |delivered AS (
+        |  SELECT * FROM snap
+        |  UNION ALL SELECT * FROM base WHERE o_orderkey % 3 = 2)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM delivered GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // Version states derived from the same slice algebra the Spark side
     // commits: v0 = keys≡0 (mod 3); v1 = +keys≡1; v2 = MERGE of the

@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.io.{VersionedTable => VT}
+
+/** The v1 streaming source over the versioned-table commit log
+  * (io/VersionedStreamSource.scala): snapshot-then-tail, change-commit
+  * refusal/skip, optimize transparency, rate limiting, checkpoint
+  * restart without replay. */
+class VersionedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def withDirs[T](body: (String, String) => T): T = {
+    val dir = Files.createTempDirectory("graft-vstream")
+    try body(dir.resolve("t").toString, dir.resolve("ck").toString)
+    finally {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  private def df(pairs: (Int, String)*) = pairs.toDF("id", "v")
+
+  private def start(table: String, ck: String, name: String,
+      options: Map[String, String] = Map.empty) =
+    spark.readStream.format("graft-versioned").options(options).load(table)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ck).start()
+
+  private def freshName(): String = { n += 1; s"vstream_$n" }
+
+  private def sinkRows(name: String): Seq[(Int, String)] =
+    spark.table(name).orderBy("id").as[(Int, String)].collect().toSeq
+
+  test("initial snapshot then tail of appends") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)
+      VT.append(spark, df(3 -> "c"), t)
+      val name = freshName()
+      val q = start(t, ck, name)
+      try {
+        q.processAllAvailable()
+        assert(sinkRows(name) == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+        VT.append(spark, df(4 -> "d"), t)
+        VT.append(spark, df(5 -> "e"), t)
+        q.processAllAvailable()
+        assert(sinkRows(name) ==
+          Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d", 5 -> "e"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("checkpoint restart resumes past the committed offset, no replay") {
+    withDirs { (t, ck) =>
+      // the memory sink refuses recovery, so restart goes through the
+      // (recoverable) file sink — which also proves the offsets written
+      // to a real checkpoint round-trip through SerializedOffset
+      val out = s"$ck.out"
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-versioned").load(t)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      VT.append(spark, df(1 -> "a"), t)
+      run()
+      assert(spark.read.parquet(out).orderBy("id")
+        .as[(Int, String)].collect().toSeq == Seq(1 -> "a"))
+      // appended while the query is down
+      VT.append(spark, df(2 -> "b"), t)
+      run()
+      // exactly once across the restart: the committed snapshot batch is
+      // not replayed, the down-time append is picked up
+      assert(spark.read.parquet(out).orderBy("id")
+        .as[(Int, String)].collect().toSeq == Seq(1 -> "a", 2 -> "b"))
+    }
+  }
+
+  test("data-changing commit fails the stream with a pointed error") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)
+      val name = freshName()
+      val q = start(t, ck, name)
+      try {
+        q.processAllAvailable()
+        VT.deleteWhere(spark, t, col("id") === 1)
+        val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+        val msg = Option(ex.cause).fold(ex.getMessage)(_.getMessage)
+        assert(msg.contains("skipChangeCommits"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("skipChangeCommits tails straight through deletes and merges") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)
+      val name = freshName()
+      val q = start(t, ck, name, Map("skipChangeCommits" -> "true"))
+      try {
+        q.processAllAvailable()
+        VT.deleteWhere(spark, t, col("id") === 1) // skipped wholesale
+        VT.append(spark, df(3 -> "c"), t) // still served
+        q.processAllAvailable()
+        assert(sinkRows(name) == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("optimize rewrites are invisible to the tail (dataChange=false)") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a"), t)
+      val name = freshName()
+      val q = start(t, ck, name)
+      try {
+        q.processAllAvailable()
+        VT.append(spark, df(2 -> "b"), t)
+        VT.compact(spark, t, targetFiles = 1)
+        VT.append(spark, df(3 -> "c"), t)
+        q.processAllAvailable()
+        // compaction moved rows 1-2 into a fresh file; serving it would
+        // duplicate them
+        assert(sinkRows(name) == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("startingVersion replays the log as appends, no snapshot batch") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a"), t) // v0
+      VT.append(spark, df(2 -> "b"), t) // v1
+      VT.append(spark, df(3 -> "c"), t) // v2
+      val name = freshName()
+      val q = start(t, ck, name, Map("startingVersion" -> "1"))
+      try {
+        q.processAllAvailable()
+        assert(sinkRows(name) == Seq(2 -> "b", 3 -> "c"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("startingVersion=latest serves only commits after query start") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a"), t)
+      val name = freshName()
+      val q = start(t, ck, name, Map("startingVersion" -> "latest"))
+      try {
+        q.processAllAvailable()
+        assert(sinkRows(name).isEmpty)
+        VT.append(spark, df(2 -> "b"), t)
+        q.processAllAvailable()
+        assert(sinkRows(name) == Seq(2 -> "b"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("maxFilesPerTrigger paces the tail one version per batch") {
+    withDirs { (t, ck) =>
+      // three single-file commits
+      Seq(1 -> "a", 2 -> "b", 3 -> "c").foreach { p =>
+        VT.append(spark, df(p).repartition(1), t)
+      }
+      val name = freshName()
+      val q = start(t, ck, name,
+        Map("startingVersion" -> "0", "maxFilesPerTrigger" -> "1"))
+      try {
+        q.processAllAvailable()
+        assert(sinkRows(name) == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+        // each version admitted alone: >= 3 non-empty batches ran
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("initial snapshot subtracts active deletion vectors") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t)
+      VT.deleteWhereDeferred(spark, t, col("id") === 2)
+      val name = freshName()
+      val q = start(t, ck, name)
+      try {
+        q.processAllAvailable()
+        assert(sinkRows(name) == Seq(1 -> "a", 3 -> "c"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("streaming agg end-to-end equals the batch answer") {
+    withDirs { (t, ck) =>
+      VT.append(spark,
+        Seq((1, "x", 10L), (2, "y", 5L), (3, "x", 7L)).toDF("id", "k", "n"),
+        t)
+      val name = freshName()
+      val q = spark.readStream.format("graft-versioned").load(t)
+        .groupBy($"k").agg(sum($"n").as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        VT.append(spark, Seq((4, "y", 3L)).toDF("id", "k", "n"), t)
+        q.processAllAvailable()
+        val got = spark.table(name).orderBy("k")
+          .as[(String, Long)].collect().toSeq
+        assert(got == Seq("x" -> 17L, "y" -> 8L))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("schema binds from the log; table must pre-exist") {
+    withDirs { (t, _) =>
+      val ex = intercept[Exception] {
+        spark.readStream.format("graft-versioned").load(t)
+      }
+      assert(ex.getMessage.contains("no versioned table"))
+    }
+  }
+}
