@@ -252,6 +252,17 @@ object GraftExtensions {
           .exists(boolLit(_, "graft_changes", "include_preimage"))))
   }
 
+  private def mkTableChangesTvf(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3,
+      "graft_table_changes(path, from, to) takes 3 arguments")
+    org.apache.spark.sql.graftbridge.Bridge.analyzedPlan(
+      graft.io.VersionedTable.tableChanges(activeSession,
+        strLit(exprs.head, "graft_table_changes", "path"),
+        longLit(exprs(1), "graft_table_changes", "from"),
+        longLit(exprs(2), "graft_table_changes", "to")))
+  }
+
   private type TableDescriptor = (FunctionIdentifier, ExpressionInfo,
     Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
 
@@ -267,7 +278,8 @@ object GraftExtensions {
     tableDescriptor("graft_snapshot", mkSnapshotTvf),
     tableDescriptor("graft_snapshot_at", mkSnapshotAtTvf),
     tableDescriptor("graft_history", mkHistoryTvf),
-    tableDescriptor("graft_changes", mkChangesTvf))
+    tableDescriptor("graft_changes", mkChangesTvf),
+    tableDescriptor("graft_table_changes", mkTableChangesTvf))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -65,7 +65,24 @@ final class VersionedStreamSource(
     startExclusive: Option[Long],
     skipChangeCommits: Boolean,
     maxFilesPerTrigger: Option[Int],
+    // readChangeFeed=true (Delta's option of the same name): serve
+    // CHANGE ENVELOPES instead of rows — appends as `insert` rows,
+    // MERGE/DELETE/CDC-apply commits from their write-time change-data
+    // sidecars ([[VersionedTable.CdfProp]] must have been set when they
+    // were written), each stamped with `_change_type` /
+    // `_commit_version` / `_commit_timestamp`. The initial snapshot
+    // arrives as inserts at its version. Updates and deletes thus
+    // BECOME streamable — the append-only refusal below applies to the
+    // plain-row mode only.
+    readChangeFeed: Boolean,
     override val schema: StructType) extends Source {
+
+  /** Data-column schema (the bound schema minus the three envelope
+    * metadata columns in change-feed mode). */
+  private val dataSchema: StructType =
+    if (!readChangeFeed) schema
+    else StructType(schema.fields.filterNot(f =>
+      VersionedStreamSource.MetaCols.contains(f.name)))
 
   /** Highest version handed out so far. Purely an admission cursor —
     * correctness lives in the engine's offset log (restart re-seeds this
@@ -94,9 +111,18 @@ final class VersionedStreamSource(
     }
   }
 
+  /** Files commit `c` contributes to a batch in the ACTIVE mode —
+    * change-data sidecars + synthesized-insert adds in change-feed mode,
+    * plain adds otherwise. */
+  private def servedFiles(c: VT.Commit): Int =
+    if (readChangeFeed)
+      scala.util.Try(VT.changeFilesOf(table, c).fold(0)(_._1.size))
+        .getOrElse(0)
+    else scala.util.Try(addsOf(c).size).getOrElse(0)
+
   /** Rate-limited end version for a batch starting after
     * `fromExclusive`: admit whole versions until the NEXT one would push
-    * the cumulative add-file count past the cap (never splitting a
+    * the cumulative served-file count past the cap (never splitting a
     * commit, always admitting at least one). Admission must not throw on
     * a change commit — it is admitted and [[getBatch]] raises the
     * user-facing error. */
@@ -110,7 +136,7 @@ final class VersionedStreamSource(
         var open = true
         while (it.hasNext && open) {
           val c = it.next()
-          val k = scala.util.Try(addsOf(c).size).getOrElse(0)
+          val k = servedFiles(c)
           if (end > fromExclusive && n + k > cap) open = false
           else { end = c.version; n += k }
         }
@@ -133,22 +159,72 @@ final class VersionedStreamSource(
     }
   }
 
+  /** `_change_type` / `_commit_version` / `_commit_timestamp` stamps on
+    * a change-feed batch slice. `insertType` tags sidecar-less adds. */
+  private def stamped(df: DataFrame, insertType: Boolean, version: Long,
+      ts: Long): DataFrame = {
+    val typed =
+      if (insertType)
+        df.withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("insert"))
+      else df
+    typed
+      .withColumn("_commit_version",
+        org.apache.spark.sql.functions.lit(version))
+      .withColumn("_commit_timestamp",
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.lit(ts)))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = off(end)
     lastEnd = Some(lastEnd.fold(endV)(math.max(_, endV)))
     start.map(off).orElse(startExclusive) match {
       case None =>
         val (files, stats, _, dv) = VT.snapshotParts(table, endV)
-        VT.streamingScan(spark, table, files, stats, schema, dv)
+        val base = VT.streamingScan(spark, table, files, stats,
+          dataSchema, dv)
+        if (!readChangeFeed) base
+        // change-feed bootstrap: the whole current state as inserts,
+        // attributed to the snapshot version (Delta's CDF-stream shape)
+        else stamped(base, insertType = true, endV,
+          VT.commitsIn(table, endV - 1, endV).headOption
+            .fold(0L)(_.ts))
       case Some(f) =>
         val commits = VT.commitsIn(table, f, endV)
-        val adds = commits.flatMap(addsOf)
-        // per-file stats come from the ADDING commit, not the end state:
-        // a later (skipped) compaction may have already retired these
-        // files from the live state, but their bytes are still on disk
-        // until vacuum and their manifest stats still prune
-        val stats = commits.foldLeft(Map.empty: VT.FileStats)(_ ++ _.stats)
-        VT.streamingScan(spark, table, adds, stats, schema, Nil)
+        if (!readChangeFeed) {
+          val adds = commits.flatMap(addsOf)
+          // per-file stats come from the ADDING commit, not the end
+          // state: a later (skipped) compaction may have already retired
+          // these files from the live state, but their bytes are still
+          // on disk until vacuum and their manifest stats still prune
+          val stats = commits.foldLeft(Map.empty: VT.FileStats)(_ ++ _.stats)
+          VT.streamingScan(spark, table, adds, stats, schema, Nil)
+        } else {
+          // change-feed tail: one envelope slice per commit (versions
+          // stamp differently, so slices don't merge into one scan);
+          // sidecar files carry `_change_type` themselves, adds get it
+          // synthesized. A data-changing commit with no sidecar throws
+          // (skipChangeCommits swallows it, as in plain-row mode).
+          val cdfSchema = StructType(dataSchema.fields :+
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType))
+          val parts = commits.flatMap { c =>
+            val cf =
+              if (skipChangeCommits)
+                scala.util.Try(VT.changeFilesOf(table, c))
+                  .getOrElse(None)
+              else VT.changeFilesOf(table, c)
+            cf.collect { case (files, synth) if files.nonEmpty =>
+              val base = VT.streamingScan(spark, table, files, c.stats,
+                if (synth) dataSchema else cdfSchema, Nil)
+              stamped(base, insertType = synth, c.version, c.ts)
+            }
+          }
+          parts.reduceOption(_.unionByName(_)).getOrElse(
+            org.apache.spark.sql.graftshim.GraftStreamingShim
+              .emptyStreaming(spark, schema))
+        }
     }
   }
 
@@ -172,6 +248,9 @@ final class VersionedStreamSourceProvider
       "graft-versioned source needs the table directory: " +
         ".load(<dir>) or .option(\"path\", <dir>)"))
 
+  private def cdf(params: Map[String, String]): Boolean =
+    params.get("readChangeFeed").exists(_.toBoolean)
+
   private def logSchema(params: Map[String, String]): StructType = {
     val t = tablePath(params)
     val v = VT.latestVersion(t).getOrElse(
@@ -179,7 +258,9 @@ final class VersionedStreamSourceProvider
         s"no versioned table at $t — the stream's schema comes from " +
           "the commit log, so the table must exist before readStream " +
           "binds"))
-    VT.snapshotParts(t, v)._3
+    val data = VT.snapshotParts(t, v)._3
+    if (!cdf(params)) data
+    else StructType(data.fields ++ VersionedStreamSource.MetaFields)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -203,6 +284,22 @@ final class VersionedStreamSourceProvider
     new VersionedStreamSource(sqlContext.sparkSession, t, startExclusive,
       parameters.get("skipChangeCommits").exists(_.toBoolean),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
+      cdf(parameters),
       schema.getOrElse(logSchema(parameters)))
   }
+}
+
+object VersionedStreamSource {
+  /** Envelope metadata columns of change-feed mode (Delta CDF's). */
+  val MetaCols: Set[String] =
+    Set("_change_type", "_commit_version", "_commit_timestamp")
+
+  private[io] val MetaFields: Seq[org.apache.spark.sql.types.StructField] =
+    Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType))
 }

@@ -120,7 +120,12 @@ object VersionedTable {
       // Bloom-index sidecar files added by this commit (per-data-file
       // point-lookup filters — see [[computeBlooms]]); absent in
       // pre-bloom commits, parse defaults to empty
-      bloomAdd: Seq[String] = Nil)
+      bloomAdd: Seq[String] = Nil,
+      // change-data sidecar files written by this commit (row-level
+      // pre/post-image envelopes captured at WRITE time — Delta's
+      // `_change_data` design; see [[tableChanges]]); only data-changing
+      // ops on a CDF-enabled table carry them, parse defaults to empty
+      cdcAdd: Seq[String] = Nil)
 
   // ---------------------------------------------------------------- log IO
 
@@ -159,9 +164,11 @@ object VersionedTable {
       else s""","schemaLineage":${arr(c.schemaLineage)}"""
     val bl = if (c.bloomAdd.isEmpty) ""
       else s""","bloomAdd":${arr(c.bloomAdd)}"""
+    val cd = if (c.cdcAdd.isEmpty) ""
+      else s""","cdcAdd":${arr(c.cdcAdd)}"""
     s"""{"version":${c.version},"ts":${c.ts},"op":${Fmt.jsonString(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
-      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv$pr$lin$bl}"""
+      s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv$pr$lin$bl$cd}"""
   }
 
   private def parseStats(node: com.fasterxml.jackson.databind.JsonNode): FileStats =
@@ -189,7 +196,8 @@ object VersionedTable {
         .getOrElse(Map.empty),
       propsUnset = strs("propsUnset"),
       schemaLineage = strs("schemaLineage"),
-      bloomAdd = strs("bloomAdd"))
+      bloomAdd = strs("bloomAdd"),
+      cdcAdd = strs("cdcAdd"))
   }
 
   /** The committed version carrying transaction (`txnApp`, `txnId`), if
@@ -508,6 +516,108 @@ object VersionedTable {
     else dvJoin(base, dvEntries(spark, table, dvFiles), "left_anti")
   }
 
+  // --------------------------------------- change data feed (write-time)
+  // Delta's `_change_data` design (concept reference:
+  // delta.enableChangeDataFeed; the reference repo consumes it through
+  // `readChangeFeed`, /root/reference/src/utils/spark_utils.py:285-344
+  // context): when the table property below is set, every data-CHANGING
+  // write captures its row-level envelopes (update_preimage /
+  // update_postimage / delete / insert) into parquet sidecars named by
+  // the commit (`cdcAdd`). Readers then serve changes by SCANNING those
+  // sidecars — O(changed rows), no key joins, no keys needed — where the
+  // manifest-diff [[changeFeed]] must recompute the diff per read.
+  // Appends carry no sidecar: their adds ARE the insert envelopes, which
+  // readers synthesize for free. Capture costs one extra pass over the
+  // touched sliver at write time, paid once, amortized over every
+  // downstream consumer — the right trade for a 100 TB table feeding
+  // many incremental readers.
+
+  /** Table property enabling write-time change capture (set it via
+    * [[setProperties]] BEFORE the writes whose changes you need). */
+  val CdfProp = "graft.changeDataFeed"
+
+  private def cdfEnabled(props: Map[String, String]): Boolean =
+    props.get(CdfProp).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Write `envelope` (data columns + `_change_type`) as this commit's
+    * change-data sidecar files. `hint` keeps the sidecar file count
+    * proportional to the files the write touched, not to
+    * shuffle.partitions. */
+  private def writeCdc(envelope: DataFrame, table: String,
+      hint: Int): Seq[String] =
+    writeDataFiles(envelope.coalesce(math.max(1, hint)), table, tag = "cdc")
+
+  /** How a change reader serves commit `c`: `None` — nothing to serve
+    * (metadata-only, no-op, or an `optimize` rewrite that moved rows
+    * without changing them); `Some((files, synthesizeInserts))` — scan
+    * these parquet files, adding `_change_type = 'insert'` when they are
+    * plain data files of a blind append (sidecar-less adds), as-is when
+    * they are change-data sidecars already carrying the column. Throws
+    * for a data-changing commit with no sidecar: its removes cannot be
+    * reconstructed after the fact (enable [[CdfProp]] before the write,
+    * or fall back to the key-based [[changeFeed]]). RESTORE always
+    * throws — its adds are files a tailing reader already served, so
+    * re-serving them as inserts would double-count. */
+  private[io] def changeFilesOf(table: String,
+      c: Commit): Option[(Seq[String], Boolean)] = {
+    val pureAdd = c.remove.isEmpty && c.dvAdd.isEmpty && c.dvRemove.isEmpty
+    if (c.cdcAdd.nonEmpty) Some((c.cdcAdd, false))
+    else if (c.op == "optimize") None
+    else if (c.add.isEmpty && pureAdd) None // metadata / no-op commit
+    else if (pureAdd && c.op != "restore") Some((c.add, true))
+    else throw new IllegalStateException(
+      s"version ${c.version} of $table ('${c.op}') changed existing " +
+        s"rows without a change-data sidecar — set table property " +
+        s"$CdfProp=true before such writes, or use the key-based " +
+        "changeFeed")
+  }
+
+  /** Change feed served from WRITE-TIME sidecars (Delta's
+    * `table_changes`): every row-level change committed in versions
+    * `(fromVersion, toVersion]`, as `_change_type`-tagged envelopes with
+    * `_commit_version` / `_commit_timestamp` attribution — no keys
+    * needed, unlike the manifest-diff [[changeFeed]]. Appends stream
+    * their add files as inserts directly; MERGE / DELETE / CDC-apply
+    * commits must have been written with [[CdfProp]] set (throws
+    * otherwise, naming the offending version). Cost: a scan of O(changed
+    * rows) — the sidecars and the appended files — never the table. */
+  def tableChanges(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no versioned table at $table")
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    require(vs.contains(toVersion), s"version $toVersion not in log")
+    val schema = unionSchema(stateAt(table, toVersion).schemas)
+    val metas = Seq("_change_type", "_commit_version", "_commit_timestamp")
+    val parts = commitsIn(table, fromVersion, toVersion).flatMap { c =>
+      changeFilesOf(table, c).collect {
+        case (files, synth) if files.nonEmpty =>
+          val base = spark.read.option("mergeSchema", "true")
+            .parquet(files.map(f => Paths.get(table, f).toString): _*)
+          (if (synth) base.withColumn("_change_type", lit("insert"))
+          else base)
+            .withColumn("_commit_version", lit(c.version))
+            .withColumn("_commit_timestamp", timestamp_millis(lit(c.ts)))
+      }
+    }
+    val u = parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val full = StructType(schema.fields ++ Seq(
+          StructField("_change_type", org.apache.spark.sql.types.StringType),
+          StructField("_commit_version", org.apache.spark.sql.types.LongType),
+          StructField("_commit_timestamp",
+            org.apache.spark.sql.types.TimestampType)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
+      }
+    // conform to the to-version schema: sidecars from before a column
+    // evolution null-fill it, like any schema-evolved history read
+    u.select((schema.fields.map(f =>
+      (if (u.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType)).as(f.name)).toSeq ++
+      metas.map(col)): _*)
+  }
+
   private def requireNoDv(st: TableState, op: String, table: String): Unit =
     if (st.dv.nonEmpty)
       throw new IllegalStateException(
@@ -553,7 +663,8 @@ object VersionedTable {
       if (st.dv.isEmpty) withFilePos(base)
       else dvJoin(base, dvEntries(spark, table, st.dv), "left_anti",
         keepPos = true)
-    val hits = live.filter(cond)
+    val matchedRows = live.filter(cond)
+    val hits = matchedRows
       .select(col("__fn").as("file_name"), col("__ri").as("row_index"))
     // ONE predicate scan: write the candidate sidecar straight out, then
     // check the written (kilobyte) file's row count — an isEmpty pre-check
@@ -569,9 +680,16 @@ object VersionedTable {
         readVersion = Some(rv),
         rebaseOverAdds = isolation == Isolation.WriteSerializable)
     }
+    // change capture (CDF): the rows the new DV entries retire — a
+    // second predicate pass over the live scan, paid only when enabled
+    val cdc =
+      if (!cdfEnabled(st.props)) Nil
+      else writeCdc(matchedRows.drop("__fn", "__ri")
+        .withColumn("_change_type", lit("delete")), table, 1)
     commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
       readVersion = Some(rv), dvAdd = dvFiles,
-      rebaseOverAdds = isolation == Isolation.WriteSerializable)
+      rebaseOverAdds = isolation == Isolation.WriteSerializable,
+      cdcAdd = cdc)
   }
 
   /** Manifest-level data skipping (Delta's stats-based pruning): read the
@@ -817,7 +935,8 @@ object VersionedTable {
       propsSet: Map[String, String] = Map.empty,
       propsUnset: Seq[String] = Nil,
       schemaLineage: Seq[String] = Nil,
-      bloomAdd: Seq[String] = Nil): Commit = {
+      bloomAdd: Seq[String] = Nil,
+      cdcAdd: Seq[String] = Nil): Commit = {
     var attempt = 0
     while (attempt < maxRetries) {
       // idempotence FIRST: if this transaction already committed (an
@@ -876,7 +995,8 @@ object VersionedTable {
         txnApp = txn.map(_._1), txnId = txn.map(_._2), stats = stats,
         dvAdd = dvAdd, dvRemove = dvRemoveAt(next),
         propsSet = propsSet, propsUnset = propsUnset,
-        schemaLineage = schemaLineage, bloomAdd = bloomAdd)
+        schemaLineage = schemaLineage, bloomAdd = bloomAdd,
+        cdcAdd = cdcAdd)
       if (tryPublish(table, next, commitJson(c))) {
         maybeCheckpoint(table, next)
         return c
@@ -1376,6 +1496,40 @@ object VersionedTable {
           // new files and the table degrades cycle by cycle
           val added = writeDataFiles(
             survivors.coalesce(math.max(1, hitNames.size)), table)
+          // change capture (CDF): old rows in the hit files split into
+          // deletes (feed said delete) and update pre-images (feed
+          // upserted their key); the feed's upserts split into
+          // post-images (key existed) and inserts (key is new). Assumes
+          // the feed is key-compacted — one final op per key — which is
+          // what [[changeFeed]]/[[ChangeConsumer]] produce.
+          val cdc =
+            if (!cdfEnabled(st.props)) Nil
+            else {
+              val old =
+                if (hitPaths.isEmpty)
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[Row], schema)
+                else spark.read.option("mergeSchema", "true").parquet(
+                  hitPaths.map(p => new java.net.URI(p).getPath): _*)
+              val deleteKeys = feed
+                .filter(col("_change_type") === "delete")
+                .select(keys.map(col): _*).distinct()
+              val upsertKeys = upserts.select(keys.map(col): _*).distinct()
+              val oldKeys = old.select(keys.map(col): _*).distinct()
+              val del = old.join(deleteKeys, keys, "left_semi")
+                .withColumn("_change_type", lit("delete"))
+              val pre = old.join(upsertKeys, keys, "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+              val post = upserts.join(oldKeys, keys, "left_semi")
+                .withColumn("_change_type", lit("update_postimage"))
+              val ins = upserts.join(oldKeys, keys, "left_anti")
+                .withColumn("_change_type", lit("insert"))
+              writeCdc(del
+                .unionByName(pre, allowMissingColumns = true)
+                .unionByName(post, allowMissingColumns = true)
+                .unionByName(ins, allowMissingColumns = true),
+                table, hitNames.size)
+            }
           commitLoop(table, "apply_changes", added, _ => hitNames,
             schema.json, readVersion = Some(v),
             txn = Some((txnApp, txnId)),
@@ -1387,7 +1541,8 @@ object VersionedTable {
               enforceAppendSchema(table, upserts.schema, mergeSchema = true)
               enforceConstraints(table, upserts)
             },
-            rebaseOverAdds = isolation == Isolation.WriteSerializable)
+            rebaseOverAdds = isolation == Isolation.WriteSerializable,
+            cdcAdd = cdc)
       }
     }
   }
@@ -1476,6 +1631,29 @@ object VersionedTable {
     val added = writeDataFiles(
       if (hitNames.nonEmpty) merged.coalesce(math.max(1, hitNames.size))
       else merged, table)
+    // change capture (CDF): pre-images come from the hit rows whose key
+    // the source names; post-images and inserts are read BACK from the
+    // just-written files (byte-identical to what landed, and no second
+    // evaluation of the merge join) and split on whether the key existed
+    val cdc =
+      if (!cdfEnabled(st.props)) Nil
+      else {
+        val landed = spark.read.option("mergeSchema", "true").parquet(
+          added.map(f => Paths.get(table, f).toString): _*)
+        val hitKeys = hitRows.select(keys.map(col): _*).distinct()
+        val pre = hitRows.join(srcKeys, keys, "left_semi")
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = landed.join(srcKeys, keys, "left_semi")
+          .join(hitKeys, keys, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = landed.join(srcKeys, keys, "left_semi")
+          .join(hitKeys, keys, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        writeCdc(pre
+          .unionByName(post, allowMissingColumns = true)
+          .unionByName(ins, allowMissingColumns = true),
+          table, hitNames.size)
+      }
     // record the MERGED schema (a source can itself evolve the table —
     // the overwrite-based merge recorded the post-merge shape too)
     commitLoop(table, "merge", added, _ => hitNames, merged.schema.json,
@@ -1490,7 +1668,8 @@ object VersionedTable {
         enforceAppendSchema(table, merged.schema, mergeSchema = true)
         enforceConstraints(table, merged)
       },
-      rebaseOverAdds = isolation == Isolation.WriteSerializable)
+      rebaseOverAdds = isolation == Isolation.WriteSerializable,
+      cdcAdd = cdc)
   }
 
   /** File-granular DELETE: rewrite ONLY the files that contain matching
@@ -1516,16 +1695,29 @@ object VersionedTable {
         rebaseOverAdds = isolation == Isolation.WriteSerializable)
     val hitNames = hitPaths.map(p => Paths.get(new java.net.URI(p).getPath)
       .getFileName.toString)
-    val survivors = spark.read.parquet(hitPaths.map(p =>
-      new java.net.URI(p).getPath): _*).filter(!cond)
+    val hitScan = spark.read.parquet(hitPaths.map(p =>
+      new java.net.URI(p).getPath): _*)
+    // SQL DELETE semantics: only rows where the predicate is TRUE go —
+    // a NULL predicate keeps the row. (A bare `!cond` filter would drop
+    // NULL-cond rows from the survivors, silently deleting them — and
+    // disagreeing with [[deleteWhereDeferred]], whose DV entries come
+    // from `filter(cond)` and so only ever name TRUE rows.)
+    val survivors = hitScan.filter(!coalesce(cond, lit(false)))
     val added = writeDataFiles(survivors, table)
+    // change capture (CDF): the deleted rows are exactly the TRUE-cond
+    // rows of the hit files — one extra pass over the touched sliver
+    val cdc =
+      if (!cdfEnabled(preSt.props)) Nil
+      else writeCdc(hitScan.filter(cond)
+        .withColumn("_change_type", lit("delete")), table, hitNames.size)
     commitLoop(table, "delete", added, _ => hitNames, snap.schema.json,
       readVersion = Some(rv),
       stats = withSizes(table, added,
         computeStats(spark, table, added, trackedStatColumns(preSt))),
       bloomAdd = computeBlooms(spark, table, added,
         trackedBloomColumns(table, preSt), 0.03),
-      rebaseOverAdds = isolation == Isolation.WriteSerializable)
+      rebaseOverAdds = isolation == Isolation.WriteSerializable,
+      cdcAdd = cdc)
   }
 
   /** RESTORE to `version` (Delta `RESTORE TABLE ... TO VERSION AS OF`):
@@ -1662,6 +1854,11 @@ object VersionedTable {
       val c = parseCommit(versionFile(table, v))
       val st = stateAt(table, v)
       (st.files ++ st.dv ++ st.blooms).foreach(f => lastSeen(f) = c.ts)
+      // change-data sidecars belong to their commit, never to a state:
+      // without this they would look unreferenced and be GC'd instantly.
+      // They age out by commit time like Delta's change files — a change
+      // reader stalled past the retention window must restart anyway.
+      c.cdcAdd.foreach(f => lastSeen(f) = c.ts)
     }
     var removed = 0
     val l = Files.list(Paths.get(table))
@@ -1676,7 +1873,13 @@ object VersionedTable {
         removed += 1
       } else if ((n.endsWith(".parquet") || n.endsWith("-bloom.json")) &&
         !live.contains(n) &&
-        lastSeen.get(n).forall(_ < nowMs - retainMs)) {
+        lastSeen.get(n).forall(_ < nowMs - retainMs) &&
+        // a file NO commit ever referenced is either an orphan of a
+        // failed write (GC it once old) or an IN-FLIGHT write racing
+        // this vacuum (its commitLoop hasn't published yet — deleting it
+        // now would poison the commit): age unreferenced files by mtime
+        (lastSeen.contains(n) ||
+          Files.getLastModifiedTime(p).toMillis < nowMs - retainMs)) {
         Files.delete(p)
         removed += 1
       }

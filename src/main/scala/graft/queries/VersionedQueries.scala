@@ -334,6 +334,102 @@ object VersionedQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // WRITE-TIME change data feed (the `_change_data` sidecar design):
+    // with the table property set, MERGE and DV-DELETE capture their
+    // row-level envelopes at commit time, and tableChanges serves the
+    // whole history KEYLESSLY by scanning sidecars + append files —
+    // no diff recompute. The gate aggregates per change type, so a
+    // missing envelope class, a wrong payload side (pre vs post), or a
+    // mis-attributed version all flip the hash.
+    "q165_cdf_sidecars" -> ((s, dir) => withScratch { tbl =>
+      val cust = customerSlice(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+      VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)    // v0
+      VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
+      val src = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+      VT.merge(s, src, tbl, Seq("c_custkey"))                       // v2
+      VT.deleteWhereDeferred(s, tbl, col("c_custkey") % 10 === 4)   // v3
+      VT.tableChanges(s, tbl, -1, 3)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).as("key_sum"),
+          Q.dsum(col("c_acctbal")).as("bal_sum"))
+        .orderBy(col("change_type"))
+    }),
+
+    // STREAMING change data feed: a real MicroBatchExecution tails the
+    // table with readChangeFeed=true — the initial snapshot arrives as
+    // insert envelopes, then a MERGE and a deletion-vector DELETE land
+    // mid-flight and stream as sidecar-backed change batches. The oracle
+    // recomputes every envelope class from the slice algebra; a replayed
+    // batch, a dropped envelope, or a wrong payload side flips the hash.
+    "q166_cdf_stream" -> ((s, dir) => withScratch { tbl =>
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)   // v0
+      VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
+      val name = s"q166_stream_${System.nanoTime()}"
+      val q = s.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true").load(tbl)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", s"$tbl.ck").start()
+      try {
+        q.processAllAvailable() // snapshot batch: v0 state as inserts
+        val src = base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("o_orderstatus", lit("U"))
+        VT.merge(s, src, tbl, Seq("o_orderkey"))                    // v2
+        VT.deleteWhereDeferred(s, tbl,
+          col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v3
+        q.processAllAvailable() // change tail: v2 + v3 envelopes
+      } finally q.stop()
+      val out = s.table(name)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Q.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("change_type"))
+      val rows = out.collect()
+      val schema = out.schema
+      s.catalog.dropTempView(name)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("change_type"))
+    }),
+
+    // Streaming MATERIALIZED VIEW: a change-feed stream maintains a
+    // keyed sum-state table across two runs — bootstrap from the
+    // snapshot-as-inserts batch, then an incremental refresh folding a
+    // MERGE (group keys MOVE: pre retracts from the old status, post
+    // adds to 'U') and a DV-DELETE (pure retraction) — and the final
+    // state must hash-match the DuckDB recompute of the final table.
+    // A double-applied batch, a missed retraction, or a group that
+    // failed to drop at n=0 all flip the hash.
+    "q167_streaming_mv" -> ((s, dir) => withScratch { tbl =>
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)   // v0
+      VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
+      val state = s"$tbl.state"
+      def run(): Unit = {
+        val q = graft.streaming.Streams.materializedViewSink(
+          s, tbl, state, Seq("o_orderstatus"), "o_totalprice", s"$tbl.ck")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // bootstrap
+      val src = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit("U"))
+      VT.merge(s, src, tbl, Seq("o_orderkey"))                      // v2
+      VT.deleteWhereDeferred(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v3
+      run() // incremental refresh: O(changes), no source rescan
+      VT.snapshot(s, state)
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_v").cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q160_cdc_envelope" -> ((s, dir) => {
       val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
@@ -372,6 +468,97 @@ object VersionedQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // Every envelope class recomputed from the slice algebra: v0's
+    // bootstrap appends are inserts; the merge splits its source into
+    // update pre+post (key existed: even ∩ mod-3) and inserts (odd ∩
+    // mod-3, +50 payload); the DV delete names the post-merge state's
+    // mod-10-4 rows. Aggregated per change type with exact decimal sums.
+    "q165_cdf_sidecars" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 5000),
+        |v0 AS (SELECT * FROM base WHERE c_custkey % 2 = 0),
+        |src AS (SELECT c_custkey, c_acctbal + 50.0 AS c_acctbal
+        |  FROM base WHERE c_custkey % 3 = 0),
+        |pre AS (SELECT * FROM v0 WHERE c_custkey % 3 = 0),
+        |post AS (SELECT * FROM src WHERE c_custkey % 2 = 0),
+        |ins AS (SELECT * FROM src WHERE c_custkey % 2 <> 0),
+        |v2 AS (
+        |  SELECT c_custkey, CASE WHEN c_custkey % 3 = 0
+        |    THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal FROM v0
+        |  UNION ALL SELECT * FROM ins),
+        |del AS (SELECT * FROM v2 WHERE c_custkey % 10 = 4),
+        |env AS (
+        |  SELECT 'insert' AS change_type, * FROM v0
+        |  UNION ALL SELECT 'insert', * FROM ins
+        |  UNION ALL SELECT 'update_preimage', * FROM pre
+        |  UNION ALL SELECT 'update_postimage', * FROM post
+        |  UNION ALL SELECT 'delete', * FROM del)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM env GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    // The final view state the streaming MV must converge to: the final
+    // source table (merge applied, F/mod-7 rows deleted) aggregated per
+    // status with exact decimal sums. The maintained state reached it
+    // via bootstrap + retractions, never a rescan — but the VALUES must
+    // be bit-identical to this recompute.
+    "q167_streaming_mv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey < 20000),
+        |snap AS (SELECT * FROM base WHERE k % 3 = 0),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN 'U' ELSE st END AS st,
+        |    CASE WHEN k % 5 = 0 THEN p + 1000.0 ELSE p END AS p
+        |  FROM snap
+        |  UNION ALL
+        |  SELECT k, 'U' AS st, p + 1000.0 AS p FROM base
+        |  WHERE k % 5 = 0 AND k % 3 <> 0),
+        |v3 AS (SELECT * FROM v2 WHERE NOT (st = 'F' AND k % 7 = 0))
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM v3 GROUP BY st ORDER BY st""".stripMargin,
+
+    // What the change-feed STREAM must deliver exactly once: the v1
+    // snapshot (mod-3 rows) as inserts, the merge's pre/post/insert
+    // split on whether the mod-5 source key existed, and the DV
+    // delete's F-status mod-7 rows evaluated against the POST-merge
+    // state (updated rows are 'U', so they never match).
+    "q166_cdf_stream" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey < 20000),
+        |snap AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+        |src AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0),
+        |pre AS (SELECT * FROM snap WHERE o_orderkey % 5 = 0),
+        |post AS (SELECT * FROM src WHERE o_orderkey % 3 = 0),
+        |ins AS (SELECT * FROM src WHERE o_orderkey % 3 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM snap
+        |  UNION ALL SELECT * FROM ins),
+        |del AS (SELECT * FROM v2
+        |  WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0),
+        |env AS (
+        |  SELECT 'insert' AS change_type, o_orderkey, o_totalprice FROM snap
+        |  UNION ALL SELECT 'insert', o_orderkey, o_totalprice FROM ins
+        |  UNION ALL SELECT 'update_preimage', o_orderkey, o_totalprice
+        |    FROM pre
+        |  UNION ALL SELECT 'update_postimage', o_orderkey, o_totalprice
+        |    FROM post
+        |  UNION ALL SELECT 'delete', o_orderkey, o_totalprice FROM del)
+        |SELECT change_type, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM env GROUP BY change_type ORDER BY change_type""".stripMargin,
 
     // Batch recompute of what the stream must deliver exactly once: the
     // v2 snapshot state (mods 0/1 minus the DV-deleted keys) plus the

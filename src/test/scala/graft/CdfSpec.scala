@@ -1,0 +1,260 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{VersionedTable => VT}
+
+/** Write-time change data feed (io/VersionedTable.scala `cdcAdd` +
+  * `tableChanges`; io/VersionedStreamSource.scala `readChangeFeed`):
+  * envelope capture on MERGE / DELETE / DV-DELETE / CDC-apply, the
+  * keyless sidecar-backed batch reader, vacuum retention of sidecars,
+  * and change envelopes through a real streaming query. */
+class CdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshName(): String = { n += 1; s"cdf_$n" }
+
+  private def withDirs[T](body: (String, String) => T): T = {
+    val dir = Files.createTempDirectory("graft-cdf")
+    try body(dir.resolve("t").toString, dir.resolve("ck").toString)
+    finally {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  private def df(pairs: (Int, String)*) = pairs.toDF("id", "v")
+
+  private def enable(t: String): Unit =
+    VT.setProperties(t, Map(VT.CdfProp -> "true"))
+
+  private def envelopes(t: String, from: Long, to: Long): Seq[(Int, String, String, Long)] =
+    VT.tableChanges(spark, t, from, to)
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Int, String, String, Long)].collect().toSeq
+      .sortBy(r => (r._4, r._3, r._1))
+
+  test("merge captures update pre/post images and inserts") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t) // v0
+      enable(t)                                             // v1
+      VT.merge(spark, df(2 -> "B", 4 -> "D"), t, Seq("id")) // v2
+      assert(envelopes(t, 1, 2) == Seq(
+        (4, "D", "insert", 2L),
+        (2, "B", "update_postimage", 2L),
+        (2, "b", "update_preimage", 2L)))
+      // and from the table start: v0's appends surface as inserts
+      assert(envelopes(t, -1, 2).count(_._3 == "insert") == 4)
+    }
+  }
+
+  test("deleteWhere captures delete envelopes; NULL predicate keeps rows") {
+    withDirs { (t, _) =>
+      VT.append(spark,
+        Seq((1, "a"), (2, null), (3, "c")).toDF("id", "v").repartition(1), t)
+      enable(t)
+      // predicate is NULL for id=2 (null v): SQL DELETE must keep it
+      VT.deleteWhere(spark, t, col("v") < "c")
+      val left = VT.snapshot(spark, t).select("id")
+        .as[Int].collect().toSeq.sorted
+      assert(left == Seq(2, 3))
+      val env = envelopes(t, 1, 2)
+      assert(env == Seq((1, "a", "delete", 2L)))
+    }
+  }
+
+  test("deferred (deletion-vector) delete captures delete envelopes") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t)
+      enable(t)
+      VT.deleteWhereDeferred(spark, t, col("id") % 2 === 1)
+      assert(envelopes(t, 1, 2) == Seq(
+        (1, "a", "delete", 2L), (3, "c", "delete", 2L)))
+    }
+  }
+
+  test("applyChanges captures delete / update pre+post / insert") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t) // v0
+      enable(t)                                             // v1
+      val feed = Seq(
+        (1, null.asInstanceOf[String], "delete"),
+        (2, "B", "update_postimage"),
+        (4, "D", "insert")).toDF("id", "v", "_change_type")
+      VT.applyChanges(spark, feed, t, Seq("id"), "cdfspec", 1L) // v2
+      assert(envelopes(t, 1, 2) == Seq(
+        (1, "a", "delete", 2L),
+        (4, "D", "insert", 2L),
+        (2, "B", "update_postimage", 2L),
+        (2, "b", "update_preimage", 2L)))
+      // table state agrees with the envelope algebra
+      assert(VT.snapshot(spark, t).orderBy("id").as[(Int, String)]
+        .collect().toSeq == Seq(2 -> "B", 3 -> "c", 4 -> "D"))
+    }
+  }
+
+  test("change commit without sidecar throws; appends never need one") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)  // v0: fine keyless
+      VT.merge(spark, df(2 -> "B"), t, Seq("id"))  // v1: CDF off!
+      val e = intercept[IllegalStateException] {
+        VT.tableChanges(spark, t, -1, 1).collect()
+      }
+      assert(e.getMessage.contains("version 1"))
+      assert(e.getMessage.contains(VT.CdfProp))
+      // the append-only prefix still reads
+      assert(envelopes(t, -1, 0) ==
+        Seq((1, "a", "insert", 0L), (2, "b", "insert", 0L)))
+    }
+  }
+
+  test("optimize is invisible to the change feed") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a"), t)
+      enable(t)
+      VT.append(spark, df(2 -> "b"), t)
+      VT.compact(spark, t, targetFiles = 1)
+      VT.merge(spark, df(1 -> "A"), t, Seq("id"))
+      val env = envelopes(t, 1, 4)
+      assert(env == Seq(
+        (2, "b", "insert", 2L),
+        (1, "A", "update_postimage", 4L),
+        (1, "a", "update_preimage", 4L)))
+    }
+  }
+
+  test("vacuum keeps cdc sidecars in retention, GCs them after") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)
+      enable(t)
+      VT.deleteWhereDeferred(spark, t, col("id") === 1)
+      def cdcFiles: Seq[String] = {
+        val l = Files.list(java.nio.file.Paths.get(t))
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.contains("-cdc")).toSeq
+        } finally l.close()
+      }
+      assert(cdcFiles.nonEmpty)
+      // within retention: survives
+      VT.vacuum(t, retainMs = 3600L * 1000)
+      assert(cdcFiles.nonEmpty)
+      assert(envelopes(t, 1, 2) == Seq((1, "a", "delete", 2L)))
+      // far future: aged out
+      VT.vacuum(t, retainMs = 3600L * 1000,
+        nowMs = System.currentTimeMillis() + 7200L * 1000)
+      assert(cdcFiles.isEmpty)
+    }
+  }
+
+  test("streaming readChangeFeed: snapshot as inserts, then change tail") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b", 3 -> "c"), t)
+      enable(t)
+      val name = freshName()
+      val q = spark.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        val snap = spark.table(name)
+          .select(col("id"), col("_change_type"), col("_commit_version"))
+          .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+        assert(snap == Seq((1, "insert", 1L), (2, "insert", 1L),
+          (3, "insert", 1L)))
+        VT.merge(spark, df(2 -> "B", 4 -> "D"), t, Seq("id")) // v2
+        VT.deleteWhereDeferred(spark, t, col("id") === 3)     // v3
+        q.processAllAvailable()
+        val tail = spark.table(name)
+          .filter(col("_commit_version") > 1)
+          .select(col("id"), col("v"), col("_change_type"),
+            col("_commit_version"))
+          .as[(Int, String, String, Long)].collect().toSeq
+          .sortBy(r => (r._4, r._3, r._1))
+        assert(tail == Seq(
+          (4, "D", "insert", 2L),
+          (2, "B", "update_postimage", 2L),
+          (2, "b", "update_preimage", 2L),
+          (3, "c", "delete", 3L)))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("streaming readChangeFeed restart is exactly-once") {
+    withDirs { (t, ck) =>
+      // memory sink refuses recovery — restart through a file sink
+      val out = s"$ck.out"
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-versioned")
+          .option("readChangeFeed", "true").load(t)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      VT.append(spark, df(1 -> "a"), t)
+      enable(t)
+      run()
+      VT.merge(spark, df(1 -> "A"), t, Seq("id")) // while down
+      run()
+      // exactly-once: the snapshot insert once, the merge's pre+post
+      // once — no replayed snapshot on restart
+      val rows = spark.read.parquet(out)
+        .select(col("_change_type")).as[String].collect().toSeq.sorted
+      assert(rows == Seq("insert", "update_postimage", "update_preimage"))
+    }
+  }
+
+  test("materialized view maintained by the change-feed stream " +
+    "equals recompute") {
+    withDirs { (t, ck) =>
+      val state = s"$ck.state"
+      def run(): Unit = {
+        val q = graft.streaming.Streams.materializedViewSink(
+          spark, t, state, Seq("v"), "id", ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      VT.append(spark, df(1 -> "a", 2 -> "a", 3 -> "b"), t)
+      enable(t)
+      run() // bootstrap: snapshot-as-inserts builds the view from empty
+      def view(): Seq[(String, Long, Double)] =
+        VT.snapshot(spark, state)
+          .select(col("v"), col("n"), col("sum_v").cast("double"))
+          .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(view() == Seq(("a", 2L, 3.0), ("b", 1L, 3.0)))
+      // updates move weight between groups; deletes retract; a group
+      // whose count reaches zero drops out
+      VT.merge(spark, df(2 -> "b", 4 -> "c"), t, Seq("id"))
+      VT.deleteWhereDeferred(spark, t, col("v") === "a")
+      run()
+      assert(view() == Seq(("b", 2L, 5.0), ("c", 1L, 4.0)))
+      // and the maintained state equals the full recompute
+      val recomputed = graft.ops.IncrementalAgg.sumState(
+        VT.snapshot(spark, t), Seq("v"), "id")
+        .select(col("v"), col("n"), col("sum_v").cast("double"))
+        .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(view() == recomputed)
+    }
+  }
+
+  test("schema evolution: pre-evolution sidecars null-fill new columns") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)            // v0
+      enable(t)                                              // v1
+      VT.deleteWhere(spark, t, col("id") === 1)              // v2
+      VT.append(spark, Seq((3, "c", 30)).toDF("id", "v", "w"),
+        t, mergeSchema = true)                               // v3
+      val env = VT.tableChanges(spark, t, 1, 3)
+        .select(col("id"), col("w"), col("_change_type"))
+        .as[(Int, Option[Int], String)].collect().toSeq.sortBy(_._1)
+      assert(env == Seq((1, None, "delete"), (3, Some(30), "insert")))
+    }
+  }
+}

@@ -88,6 +88,22 @@ class TvfSpec extends SparkSpec {
     }
   }
 
+  test("graft_table_changes serves the write-time (keyless) change feed") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)             // v0
+      VT.setProperties(t, Map(VT.CdfProp -> "true"))          // v1
+      VT.merge(spark, df(2 -> "B", 3 -> "c"), t, Seq("id"))   // v2
+      val changes = spark.sql(
+        s"""SELECT id, v, _change_type, _commit_version
+           |FROM graft_table_changes('$t', 1, 2)
+           |ORDER BY id, _change_type""".stripMargin)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(changes == Seq(
+        (2, "B", "update_postimage", 2L), (2, "b", "update_preimage", 2L),
+        (3, "c", "insert", 2L)))
+    }
+  }
+
   test("TVF args must be literals; bad arity raises") {
     withTable { t =>
       VT.append(spark, df(1 -> "a"), t)
