@@ -497,6 +497,37 @@ object ScaleSmoke {
             vtRoot.resolve("state-full").toString)
           io.VersionedTable.snapshot(spark,
             vtRoot.resolve("state-full").toString).count() }
+        // WRITE-TIME CDF at 2M rows: enable capture, land range-confined
+        // merges, and measure (a) the capture overhead on the write,
+        // (b) the keyless envelope read, (c) the streaming MV bootstrap
+        // and its incremental refresh — (a)-(c) must track the DELTA
+        // (and the MV bootstrap the snapshot), never re-pay the table
+        io.VersionedTable.setProperties(src,
+          Map(io.VersionedTable.CdfProp -> "true"))
+        val vBeforeCdf = io.VersionedTable.latestVersion(src).get
+        time("merge 1% delta WITH change capture (envelope sidecars)") {
+          io.VersionedTable.merge(spark,
+            base.filter(col("id") >= 40000 && col("id") < 60000)
+              .withColumn("amt", col("amt") + 2.0), src, Seq("id"))
+          io.VersionedTable.latestVersion(src).get }
+        time("tableChanges over the merge (keyless sidecar scan)") {
+          io.VersionedTable.tableChanges(spark, src, vBeforeCdf,
+            io.VersionedTable.latestVersion(src).get).count() }
+        val mvState = vtRoot.resolve("mv").toString
+        val ckMv = vtRoot.resolve("ckmv").toString
+        time("streaming MV bootstrap (2M snapshot as inserts)") {
+          val q = streaming.Streams.materializedViewSink(spark, src,
+            mvState, Seq("grp"), "amt", ckMv)
+          try q.processAllAvailable() finally q.stop()
+          io.VersionedTable.snapshot(spark, mvState).count() }
+        io.VersionedTable.merge(spark,
+          base.filter(col("id") >= 60000 && col("id") < 80000)
+            .withColumn("amt", col("amt") + 3.0), src, Seq("id"))
+        time("streaming MV incremental refresh (1% delta, retractions)") {
+          val q = streaming.Streams.materializedViewSink(spark, src,
+            mvState, Seq("grp"), "amt", ckMv)
+          try q.processAllAvailable() finally q.stop()
+          io.VersionedTable.snapshot(spark, mvState).count() }
         // true Z-ORDER rewrite of the whole 2M-row table (interleaved
         // (id, grp) key): one stats pass + one range shuffle + sort —
         // the OPTIMIZE ZORDER cost shape, last so it cannot disturb the

@@ -231,6 +231,18 @@ object Multimodal {
     * describe the patch, not the composited frame (the synthetic
     * generator emits full frames; full compositing needs the disposal
     * metadata and is out of scope for feature hashing). */
+  /** One AVI frame payload → raster: raw DIB frames (uncompressed
+    * BI_RGB / BI_RLE8 streams) through the pure-JDK [[Avi.dibImage]]
+    * (bomb-guarded by the HEADER dims, exactly like the codec path
+    * guards ImageIO headers), codec frames (MJPEG) through the bounded
+    * ImageIO decode. */
+  private def aviFrame(h: Avi.Header,
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (h.isDib) {
+      if (h.width.toLong * h.height > 100000000L) None
+      else Avi.dibImage(h, payload)
+    } else readImageBounded(payload)
+
   private[graft] def readFramesBounded(bytes: Array[Byte],
       maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
     if (bytes.isEmpty || maxFrames <= 0) return Nil
@@ -239,7 +251,7 @@ object Multimodal {
     // through the same bounded single-image path (bomb guard included)
     if (Avi.isAvi(bytes))
       return Avi.parse(bytes, maxFrames) match {
-        case Some((_, frames)) => frames.flatMap(readImageBounded)
+        case Some((h, frames)) => frames.flatMap(aviFrame(h, _))
         case None => Nil
       }
     try {
@@ -341,7 +353,7 @@ object Multimodal {
           case Some((h, fs)) =>
             (Some((h.width, h.height,
               h.totalFrames.toLong * h.usPerFrame / 1000L)),
-              fs.flatMap(readImageBounded))
+              fs.flatMap(aviFrame(h, _)))
           case None => (None, Nil)
         }
       else (None, readFramesBounded(bytes, 1))

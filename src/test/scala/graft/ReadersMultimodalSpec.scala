@@ -327,6 +327,52 @@ class ReadersMultimodalSpec extends SparkSpec {
     assert(imgs.map(i => Multimodal.sampleRaster(i)._2).distinct.size == 3)
   }
 
+  test("multimodal: uncompressed (BI_RGB) AVI roundtrips EXACTLY; " +
+    "RLE8 decodes runs, absolute mode and escapes") {
+    import graft.ext.Avi
+    // 24-bpp BI_RGB: odd width (5) forces real row padding; pixel
+    // values chosen to catch BGR/RGB swaps and top/bottom flips
+    val src = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5)
+      src.setRGB(x, y, (x * 50 << 16) | (y * 80 << 8) | (x + y))
+    val avi = Avi.writeDib(
+      Seq(Avi.dib24Bytes(src), Avi.dib24Bytes(src)), 5, 3)
+    assert(Avi.isAvi(avi))
+    val Some((hdr, frames)) = Avi.parse(avi, 10)
+    assert(hdr.isDib && hdr.bitCount == 24 && hdr.compression == 0)
+    assert(frames.size == 2)
+    val img = Avi.dibImage(hdr, frames.head).get
+    // uncompressed → BIT-EXACT roundtrip, unlike lossy MJPEG
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == (src.getRGB(x, y) & 0xFFFFFF))
+    // the full video pipeline decodes it too (dims + nonzero raster)
+    val imgs = graft.ext.Multimodal.readFramesBounded(avi, 10)
+    assert(imgs.size == 2 && imgs.head.getWidth == 5)
+    // RLE8: palette {0→black, 1→red, 2→blue}; row 0 (bottom): run of
+    // 3×red then absolute mode 3 literals (blue, red, blue) + pad;
+    // EOL; row 1: delta skip 2 then 2×blue; end of bitmap
+    val pal = Array[Byte](0, 0, 0, 0, /*1:*/ 0, 0, -1, 0, /*2:*/ -1, 0, 0, 0)
+    val rle = Array[Byte](3, 1, 0, 3, 2, 1, 2, 0 /*pad*/, 0, 0,
+      0, 2, 2, 0, 2, 2, 0, 1)
+    val avi8 = Avi.writeDib(Seq(rle), 6, 2, bitCount = 8,
+      compression = 1, palette = pal)
+    val Some((h8, fs8)) = Avi.parse(avi8, 10)
+    assert(h8.isDib && h8.compression == 1 && h8.bitCount == 8)
+    assert(h8.palette.length == 12)
+    val i8 = Avi.dibImage(h8, fs8.head).get
+    val red = 0xFF0000
+    val blue = 0x0000FF
+    // bottom row (y=1 in image coords): red,red,red,blue,red,blue
+    assert((0 until 6).map(i8.getRGB(_, 1) & 0xFFFFFF) ==
+      Seq(red, red, red, blue, red, blue))
+    // top row (y=0): delta skipped 2 (black), then blue, blue, rest black
+    assert((0 until 6).map(i8.getRGB(_, 0) & 0xFFFFFF) ==
+      Seq(0, 0, blue, blue, 0, 0))
+    // malformed RLE (truncated mid-run) still decodes without throwing
+    assert(Avi.dibImage(h8, rle.take(3)).isDefined)
+  }
+
   test("multimodal: frame sampling emits framesPer rows per video asset") {
     val docs = Tables.load(spark, sfDir, "documents")
     val assets = Multimodal.assetsFromDocuments(spark, docs)
