@@ -430,6 +430,40 @@ object VersionedQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Streaming TYPE-2 SCD maintenance: the change-feed stream keeps a
+    // versioned dimension of validity windows — bootstrap opens every
+    // key, a MERGE closes updated keys' versions and opens new ones
+    // (inserting brand-new keys), a DV-DELETE closes without reopening.
+    // Hashing per is_current (count, key sum, balance sum) pins the
+    // whole timeline algebra: a version not closed, a delete that
+    // reopened, or a payload on the wrong side flips the hash.
+    // (Validity TIMESTAMPS are wall-clock commit times — deliberately
+    // excluded from the gate; CdfSpec asserts the windows tile.)
+    "q168_scd2_stream" -> ((s, dir) => withScratch { tbl =>
+      val cust = customerSlice(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+      VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)    // v0
+      VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
+      val dim = s"$tbl.dim"
+      def run(): Unit = {
+        val q = graft.streaming.Streams.scd2Sink(
+          s, tbl, dim, "c_custkey", s"$tbl.ck")
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // bootstrap: every snapshot key opens
+      val src = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+      VT.merge(s, src, tbl, Seq("c_custkey"))                       // v2
+      VT.deleteWhereDeferred(s, tbl, col("c_custkey") % 10 === 4)   // v3
+      run() // one batch spanning both commits
+      VT.snapshot(s, dim)
+        .groupBy(col("is_current"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).as("key_sum"),
+          Q.dsum(col("c_acctbal")).as("bal_sum"))
+        .orderBy(col("is_current"))
+    }),
+
     "q160_cdc_envelope" -> ((s, dir) => {
       val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
@@ -520,6 +554,33 @@ object VersionedQueries {
         |SELECT st AS o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM v3 GROUP BY st ORDER BY st""".stripMargin,
+
+    // The dimension's version rows by currency. CLOSED versions: the
+    // bootstrap rows of keys later updated (mod-3) or deleted (mod-10-4)
+    // at their ORIGINAL balance, plus the v2-opened (+50) rows of keys
+    // the delete then closed (mod-3 ∩ mod-10-4). CURRENT versions:
+    // untouched bootstrap keys at original balance, plus surviving
+    // mod-3 versions at +50 (including the odd keys the merge inserted).
+    "q168_scd2_stream" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_acctbal AS b FROM customer
+        |  WHERE c_custkey < 5000),
+        |v0 AS (SELECT * FROM base WHERE k % 2 = 0),
+        |closed AS (
+        |  SELECT k, b FROM v0 WHERE k % 3 = 0 OR k % 10 = 4
+        |  UNION ALL
+        |  SELECT k, b + 50.0 FROM base WHERE k % 3 = 0 AND k % 10 = 4),
+        |cur AS (
+        |  SELECT k, b FROM v0 WHERE k % 3 <> 0 AND k % 10 <> 4
+        |  UNION ALL
+        |  SELECT k, b + 50.0 FROM base WHERE k % 3 = 0 AND k % 10 <> 4),
+        |env AS (
+        |  SELECT FALSE AS is_current, * FROM closed
+        |  UNION ALL SELECT TRUE AS is_current, * FROM cur)
+        |SELECT is_current, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM env GROUP BY is_current ORDER BY is_current""".stripMargin,
 
     // What the change-feed STREAM must deliver exactly once: the v1
     // snapshot (mod-3 rows) as inserts, the merge's pre/post/insert

@@ -522,6 +522,87 @@ object Streams {
       }
       .start()
 
+  /** Streaming TYPE-2 SCD maintenance: tail a versioned table's change
+    * feed and keep a versioned DIMENSION table of
+    * `[effective_from, effective_to)` validity windows — the streaming
+    * twin of [[graft.ops.Scd2.build]], fed by envelopes instead of a
+    * change-log relation. Per micro-batch:
+    *
+    *  - inserts / update-postimages OPEN a version at their commit
+    *    timestamp; an earlier version of the same key (in the batch via
+    *    a `lead` over commit order, or already open in the dimension)
+    *    CLOSES at that instant;
+    *  - deletes close the key's open version and open nothing — the key
+    *    simply has no current row until re-inserted.
+    *
+    * The dimension updates land through file-granular
+    * [[graft.io.VersionedTable.applyChanges]] keyed on
+    * `(key, effective_from)` and txn-keyed on the batch id — only files
+    * holding touched keys rewrite, and a checkpoint-replayed batch finds
+    * its own earlier commit (exactly-once). The first batch is the
+    * source snapshot as inserts, so the dimension bootstraps itself with
+    * every key's initial open version. Cost per refresh: O(changed keys)
+    * against the open slice of the dimension — never a source rescan.
+    * (Validity bounds are COMMIT timestamps, as in Delta CDF-driven SCD:
+    * wall-clock at commit, monotone per table.) */
+  def scd2Sink(spark: SparkSession, sourceTable: String, dimTable: String,
+      key: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .load(sourceTable)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val metas = graft.io.VersionedStreamSource.MetaCols
+        val dataCols = batch.columns.filterNot(metas.contains).toSeq
+        val ev = batch
+          .filter(col("_change_type")
+            .isin("insert", "update_postimage", "delete"))
+        if (!ev.isEmpty) { // preimage-only / empty batches are no-ops
+          // per-key commit-ordered timeline WITHIN the batch: a later
+          // event in the same batch closes the version the earlier one
+          // opened (ties impossible — one final op per key per commit)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key)).orderBy(col("_commit_version"))
+          val timeline = ev
+            .withColumn("__next_ts",
+              lead(col("_commit_timestamp"), 1).over(w))
+            .withColumn("__first", row_number().over(w) === 1)
+          val opens = timeline
+            .filter(col("_change_type") =!= "delete")
+            .select(dataCols.map(col) ++ Seq(
+              col("_commit_timestamp").as("effective_from"),
+              col("__next_ts").as("effective_to"),
+              col("__next_ts").isNull.as("is_current")): _*)
+          // each key's FIRST event in the batch closes the version
+          // already open in the dimension (if any) at that instant
+          val firstEv = timeline.filter(col("__first"))
+            .select(col(key), col("_commit_timestamp").as("__close_ts"))
+          val closes =
+            if (graft.io.VersionedTable.latestVersion(dimTable).isEmpty)
+              None
+            else Some(graft.io.VersionedTable.snapshot(s, dimTable)
+              .filter(col("is_current"))
+              .join(firstEv, Seq(key))
+              .withColumn("effective_to", col("__close_ts"))
+              .withColumn("is_current", lit(false))
+              .drop("__close_ts")
+              .withColumn("_change_type", lit("update_postimage")))
+          val inserts = opens.withColumn("_change_type", lit("insert"))
+          val feed = closes.fold(inserts)(c =>
+            c.unionByName(inserts, allowMissingColumns = true))
+          graft.io.VersionedTable.applyChanges(s, feed, dimTable,
+            Seq(key, "effective_from"), "graft-scd2", batchId)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming sketch rollup: reduce each micro-batch to per-(hour,
     * event_type) MERGEABLE sketch partials — an HLL sketch of the user
     * domain, a KLL sketch of the value distribution, an exact row count

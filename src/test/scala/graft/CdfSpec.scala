@@ -244,6 +244,47 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("scd2Sink maintains type-2 validity windows from the change stream") {
+    withDirs { (t, ck) =>
+      val dim = s"$ck.dim"
+      def run(): Unit = {
+        val q = graft.streaming.Streams.scd2Sink(spark, t, dim, "id", ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)
+      enable(t)
+      run() // bootstrap: every key gets its initial open version
+      assert(VT.snapshot(spark, dim).filter(col("is_current")).count() == 2)
+      VT.merge(spark, df(2 -> "B", 3 -> "c"), t, Seq("id"))        // v2
+      VT.deleteWhereDeferred(spark, t,
+        col("id") === 1 || col("id") === 2)                        // v3
+      run() // one batch spanning BOTH commits: within-batch ordering
+      val rows = VT.snapshot(spark, dim)
+        .select(col("id"), col("v"), col("is_current"),
+          col("effective_to").isNull.as("open"))
+        .as[(Int, String, Boolean, Boolean)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+      assert(rows == Seq(
+        (1, "a", false, false),   // deleted: closed, nothing current
+        (2, "B", false, false),   // opened at v2, closed by v3 delete
+        (2, "b", false, false),   // bootstrap version closed at v2
+        (3, "c", true, true)))    // inserted at v2, still current
+      // windows tile: b's close instant IS B's open instant, and B
+      // closes at the delete's commit time (> its open)
+      val k2 = VT.snapshot(spark, dim).filter(col("id") === 2)
+        .select(col("v"), col("effective_from"), col("effective_to"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+          r.getTimestamp(2))).sortBy(_._1)
+      // sorted: k2(0) = "B" (v2 open, v3 close), k2(1) = "b" (bootstrap)
+      assert(k2(1)._3 == k2(0)._2)        // "b".to == "B".from — they tile
+      assert(!k2(0)._3.before(k2(0)._2))  // B closes at/after it opens
+      // idle rerun: no new commits, dimension untouched
+      val v = VT.latestVersion(dim)
+      run()
+      assert(VT.latestVersion(dim) == v)
+    }
+  }
+
   test("schema evolution: pre-evolution sidecars null-fill new columns") {
     withDirs { (t, _) =>
       VT.append(spark, df(1 -> "a", 2 -> "b"), t)            // v0
