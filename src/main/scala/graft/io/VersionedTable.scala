@@ -1402,6 +1402,23 @@ object VersionedTable {
       val bfc = effectiveCols(bloomFor,
         prior.map(trackedBloomColumns(table, _)).getOrElse(Nil))
       val files = writeDataFiles(sized(df, optimizeWrite), table)
+      // change capture (CDF): an overwrite retires every prior row and
+      // lands every new one — envelopes are the prior snapshot as
+      // deletes plus the written files as inserts (Delta's shape for
+      // CDF-enabled INSERT OVERWRITE). O(old + new): the honest cost of
+      // change-feeding a full replacement; selective writers should
+      // MERGE/DELETE instead, which capture O(delta).
+      val cdc = prior match {
+        case Some(p) if cdfEnabled(p.props) =>
+          val old = readState(spark, table, p, p.files)
+            .withColumn("_change_type", lit("delete"))
+          val fresh = spark.read.parquet(
+            files.map(f => Paths.get(table, f).toString): _*)
+            .withColumn("_change_type", lit("insert"))
+          writeCdc(old.unionByName(fresh, allowMissingColumns = true),
+            table, files.size)
+        case _ => Nil
+      }
       // the remove set is derived from the slot the commit actually
       // LANDS in, not the version observed before the loop: a bootstrap
       // overwrite (read = None) that loses its slot race must replace
@@ -1420,7 +1437,8 @@ object VersionedTable {
           enforceOverwriteSchema(table, df.schema, overwriteSchema)
           enforceConstraints(table, df)
         },
-        dvRemoveAt = v => if (v == 0) Nil else stateAt(table, v - 1).dv)
+        dvRemoveAt = v => if (v == 0) Nil else stateAt(table, v - 1).dv,
+        cdcAdd = cdc)
     }
 
   /** Apply a change-feed frame (`_change_type` ∈ insert /

@@ -99,6 +99,24 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("overwrite captures delete-all + insert-all; restore always throws") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)  // v0
+      enable(t)                                    // v1
+      VT.deleteWhereDeferred(spark, t, col("id") === 2) // v2: DV
+      VT.overwrite(spark, df(3 -> "c"), t)         // v3: full replace
+      // DV-retired row 2 is ALREADY deleted at v2 — the overwrite's
+      // envelope must not re-delete it
+      assert(envelopes(t, 2, 3) == Seq(
+        (1, "a", "delete", 3L), (3, "c", "insert", 3L)))
+      VT.restore(spark, t, 0)                      // v4: history rewrite
+      val e = intercept[IllegalStateException] {
+        VT.tableChanges(spark, t, 3, 4).collect()
+      }
+      assert(e.getMessage.contains("restore"))
+    }
+  }
+
   test("change commit without sidecar throws; appends never need one") {
     withDirs { (t, _) =>
       VT.append(spark, df(1 -> "a", 2 -> "b"), t)  // v0: fine keyless
