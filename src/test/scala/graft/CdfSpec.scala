@@ -303,6 +303,67 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("merge envelopes survive a WriteSerializable rebase over a " +
+    "racing blind append") {
+    withDirs { (t, _) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)          // v0
+      enable(t)                                            // v1
+      // a REAL interleaved append lands at the instant the merge tries
+      // to claim its slot — the merge must rebase, and its sidecar must
+      // still describe exactly the MERGE's changes (the racer's rows
+      // stream as their own version's inserts)
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val racer = new graft.io.CommitArbiter {
+        def tryClaim(dir: java.nio.file.Path, target: java.nio.file.Path,
+            json: String): Boolean =
+          if (fired.getAndSet(true))
+            graft.io.CommitArbiter.PosixLink.tryClaim(dir, target, json)
+          else { VT.append(spark, df(9 -> "z"), t); false } // steals v2
+      }
+      val prev = VT.commitArbiter
+      try {
+        VT.commitArbiter = racer
+        VT.merge(spark, df(2 -> "B"), t, Seq("id"))        // rebases → v3
+      } finally VT.commitArbiter = prev
+      assert(VT.latestVersion(t).contains(3L))
+      assert(envelopes(t, 2, 3) == Seq(
+        (2, "B", "update_postimage", 3L),
+        (2, "b", "update_preimage", 3L)))
+      assert(envelopes(t, 1, 3) == Seq(
+        (9, "z", "insert", 2L),
+        (2, "B", "update_postimage", 3L),
+        (2, "b", "update_preimage", 3L)))
+      assert(VT.snapshot(spark, t).orderBy("id").as[(Int, String)]
+        .collect().toSeq == Seq(1 -> "a", 2 -> "B", 9 -> "z"))
+    }
+  }
+
+  test("readChangeFeed composes with startingVersion: envelopes from " +
+    "that version, no snapshot batch") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)        // v0
+      enable(t)                                          // v1
+      VT.merge(spark, df(2 -> "B"), t, Seq("id"))        // v2
+      VT.append(spark, df(3 -> "c"), t)                  // v3
+      val name = freshName()
+      val q = spark.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2").load(t)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .select(col("id"), col("_change_type"), col("_commit_version"))
+          .as[(Int, String, Long)].collect().toSeq.sortBy(r => (r._3, r._2))
+        // v0/v1 never served (no snapshot); v2's envelopes + v3's insert
+        assert(rows == Seq(
+          (2, "update_postimage", 2L), (2, "update_preimage", 2L),
+          (3, "insert", 3L)))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
   test("schema evolution: pre-evolution sidecars null-fill new columns") {
     withDirs { (t, _) =>
       VT.append(spark, df(1 -> "a", 2 -> "b"), t)            // v0
