@@ -1308,7 +1308,8 @@ object VersionedTable {
     val bfc = effectiveCols(bloomFor,
       prior.map(trackedBloomColumns(table, _)).getOrElse(Nil))
     val files = writeDataFiles(sized(df, optimizeWrite), table)
-    commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
+    val c = commitLoop(table, "append", files, _ => Nil, df.schema.json,
+      None,
       stats = withSizes(table, files, computeStats(spark, table, files, sf)),
       bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
       revalidate = () => {
@@ -1317,6 +1318,8 @@ object VersionedTable {
         // ADDED one, and our rows must honor it before landing on top
         enforceConstraints(table, df)
       })
+    maybeAutoCompact(spark, table)
+    c
   }
 
   /** Idempotent append keyed by (`txnApp`, `txnId`) — Delta's
@@ -1340,7 +1343,8 @@ object VersionedTable {
       val bfc = effectiveCols(bloomFor,
         prior.map(trackedBloomColumns(table, _)).getOrElse(Nil))
       val files = writeDataFiles(sized(df, optimizeWrite), table)
-      commitLoop(table, "append", files, _ => Nil, df.schema.json, None,
+      val c = commitLoop(table, "append", files, _ => Nil, df.schema.json,
+        None,
         txn = Some((txnApp, txnId)),
         stats = withSizes(table, files,
           computeStats(spark, table, files, sf)),
@@ -1349,6 +1353,8 @@ object VersionedTable {
           enforceAppendSchema(table, df.schema, mergeSchema)
           enforceConstraints(table, df)
         })
+      maybeAutoCompact(spark, table)
+      c
     }
 
   /** Exactly-once streaming ingestion into a versioned table: each
@@ -1849,6 +1855,93 @@ object VersionedTable {
     if (clusterBy.isEmpty && st.files.size <= target && st.dv.isEmpty) None
     else Some(compact(spark, table, target.toInt, clusterBy, statsFor,
       zorder, isolation))
+  }
+
+  /** Coalesce ONLY the snapshot's SMALL files (< `smallBytes`, from the
+    * manifest's recorded sizes — no filesystem stats for size-stats
+    * commits) into ~`targetBytes` outputs, leaving well-sized files
+    * untouched: the small-file maintenance a streaming ingest needs
+    * (every micro-batch commit lands a few small files; a week of
+    * 1-minute batches is ten thousand of them), WITHOUT the full-table
+    * rewrite `compact` does — at 100 TB the difference is the whole job.
+    * Commits as `optimize` (dataChange = false): a tailing stream never
+    * re-serves the moved rows, the change feed skips it.
+    *
+    * Files covered by an active deletion vector are left alone (a raw
+    * rewrite would resurrect their deleted rows; sidecars may also cover
+    * untouched files, so they cannot be retired piecemeal) — the full
+    * [[compact]] remains the DV materialization point. Returns None when
+    * fewer than `minFiles` eligible small files exist. */
+  def compactSmallFiles(spark: SparkSession, table: String,
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
+      minFiles: Int = 8,
+      isolation: Isolation = Isolation.WriteSerializable): Option[Commit] = {
+    require(smallBytes > 0 && targetBytes > 0 && minFiles > 1,
+      "smallBytes/targetBytes must be positive, minFiles > 1")
+    val rv = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no table at $table"))
+    val st = stateAt(table, rv)
+    val dvCovered: Set[String] =
+      if (st.dv.isEmpty) Set.empty
+      else dvEntries(spark, table, st.dv).select(col("__dv_fn"))
+        .distinct().collect().map(_.getString(0)).toSet
+    def sizeOf(f: String): Long =
+      st.fileStats.get(f).flatMap(_.get(BytesKey))
+        .flatMap(b => scala.util.Try(b._1.toLong).toOption)
+        .getOrElse(scala.util.Try(Files.size(Paths.get(table, f)))
+          .getOrElse(Long.MaxValue))
+    val small = st.files.filter(f =>
+      !dvCovered.contains(f) && sizeOf(f) < smallBytes)
+    if (small.size < minFiles) return None
+    val bytes = small.map(sizeOf).sum
+    val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val r = if (st.mixedSchemas) spark.read.option("mergeSchema", "true")
+      else spark.read
+    val merged = r
+      .parquet(small.map(f => Paths.get(table, f).toString): _*)
+      .coalesce(target)
+    val added = writeDataFiles(merged, table)
+    Some(commitLoop(table, "optimize", added, _ => small,
+      merged.schema.json, readVersion = Some(rv),
+      // sticky indexing, same as every rewrite: the new files re-record
+      // whatever the table tracks
+      stats = withSizes(table, added,
+        computeStats(spark, table, added, trackedStatColumns(st))),
+      bloomAdd = computeBlooms(spark, table, added,
+        trackedBloomColumns(table, st), 0.03),
+      rebaseOverAdds = isolation == Isolation.WriteSerializable))
+  }
+
+  /** Table property enabling POST-APPEND auto-compaction (Delta's
+    * autoCompact): when `true`, every append/appendIdempotent commit is
+    * followed by an opportunistic [[compactSmallFiles]] pass —
+    * best-effort, so a concurrent writer winning the race never fails
+    * the append that triggered it. Thresholds tune through the
+    * companion properties (defaults: 16 files / 32 MiB small /
+    * 128 MiB target). */
+  val AutoCompactProp = "graft.autoCompact"
+  val AutoCompactMinFilesProp = "graft.autoCompact.minFiles"
+  val AutoCompactSmallBytesProp = "graft.autoCompact.smallBytes"
+  val AutoCompactTargetBytesProp = "graft.autoCompact.targetBytes"
+
+  private def maybeAutoCompact(spark: SparkSession, table: String): Unit = {
+    val props = properties(table)
+    if (!props.get(AutoCompactProp).exists(_.trim.equalsIgnoreCase("true")))
+      return
+    def longProp(k: String, dflt: Long): Long =
+      props.get(k).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+        .getOrElse(dflt)
+    try {
+      compactSmallFiles(spark, table,
+        smallBytes = longProp(AutoCompactSmallBytesProp, 32L << 20),
+        targetBytes = longProp(AutoCompactTargetBytesProp, 128L << 20),
+        minFiles = longProp(AutoCompactMinFilesProp, 16L).toInt)
+      ()
+    } catch {
+      // opportunistic: a racer claiming the slot (or a concurrent
+      // rewrite) just means someone else is maintaining the table
+      case _: Upsert.ConcurrentWriteException => ()
+    }
   }
 
   /** GC data files that (a) are not referenced by the LATEST version and

@@ -464,6 +464,34 @@ object VersionedQueries {
         .orderBy(col("is_current"))
     }),
 
+    // Auto-compaction under a streaming-ingest append pattern: six
+    // 1-file commits against a table with `graft.autoCompact = true`
+    // must fold into few files WITHOUT changing a single value — the
+    // query requires the file count actually dropped (loud failure if
+    // the trigger broke), and the hash gate proves reads through the
+    // rewritten files are exact. The oracle is the plain union algebra:
+    // compaction is invisible or it is wrong.
+    "q169_auto_compact" -> ((s, dir) => withScratch { tbl =>
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VT.append(s, base.filter(col("o_orderkey") % 6 === 0), tbl)   // v0
+      VT.setProperties(tbl, Map(
+        VT.AutoCompactProp -> "true",
+        VT.AutoCompactMinFilesProp -> "4"))                         // v1
+      (1 to 5).foreach(i =>
+        VT.append(s, base.filter(col("o_orderkey") % 6 === i)
+          .coalesce(1), tbl))
+      val nFiles = VT.snapshot(s, tbl).inputFiles.length
+      require(nFiles < 6,
+        s"auto-compaction never fired: $nFiles files after 6 appends")
+      VT.snapshot(s, tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Q.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q160_cdc_envelope" -> ((s, dir) => {
       val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
@@ -554,6 +582,15 @@ object VersionedQueries {
         |SELECT st AS o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM v3 GROUP BY st ORDER BY st""".stripMargin,
+
+    // The whole table regardless of how many files it folded into —
+    // compaction must be value-invisible.
+    "q169_auto_compact" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey < 20000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // The dimension's version rows by currency. CLOSED versions: the
     // bootstrap rows of keys later updated (mod-3) or deleted (mod-10-4)

@@ -1244,4 +1244,55 @@ class VersionedTableSpec extends SparkSpec {
       }
     }
   }
+
+  test("compactSmallFiles coalesces only small files, skips DV-covered " +
+    "ones, no-ops below the threshold") {
+    withTable { t =>
+      (0 until 6).foreach(i =>
+        VT.append(spark, df(i -> s"v$i").coalesce(1), t))
+      // inputFiles lists the DV sidecar's scan too — count data files
+      def files: Seq[String] = VT.snapshot(spark, t).inputFiles.toSeq
+        .filterNot(_.contains("-dv"))
+      assert(files.size == 6)
+      // below the threshold: nothing happens, no commit spent
+      assert(VT.compactSmallFiles(spark, t, minFiles = 10).isEmpty)
+      assert(VT.latestVersion(t).contains(5L))
+      // a DV covering one file exempts it from the rewrite
+      VT.deleteWhereDeferred(spark, t, col("id") === 3) // v6
+      val c = VT.compactSmallFiles(spark, t, minFiles = 2).get // v7
+      assert(c.op == "optimize")
+      assert(c.remove.size == 5) // the 5 uncovered small files
+      assert(files.size == 2)    // 1 coalesced + the DV-covered one
+      // rows exactly preserved (DV subtraction still applies on read)
+      assert(VT.snapshot(spark, t).orderBy("id").as[(Int, String)]
+        .collect().toSeq ==
+        Seq(0 -> "v0", 1 -> "v1", 2 -> "v2", 4 -> "v4", 5 -> "v5"))
+      // time travel before the rewrite still works
+      assert(VT.snapshot(spark, t, Some(5)).count() == 6)
+    }
+  }
+
+  test("autoCompact property: appends opportunistically fold small files") {
+    withTable { t =>
+      VT.append(spark, df(0 -> "a").coalesce(1), t)
+      VT.setProperties(t, Map(
+        VT.AutoCompactProp -> "true",
+        VT.AutoCompactMinFilesProp -> "4"))
+      (1 until 4).foreach(i =>
+        VT.append(spark, df(i -> s"v$i").coalesce(1), t))
+      // the 4th append crossed the threshold: a trailing optimize commit
+      // folded the table back to one file, transparently to readers
+      val hist = VT.history(spark, t).orderBy("version")
+        .select("op").as[String].collect().toSeq
+      assert(hist.last == "optimize")
+      assert(VT.snapshot(spark, t).inputFiles.length == 1)
+      assert(VT.snapshot(spark, t).orderBy("id").as[(Int, String)]
+        .collect().toSeq ==
+        Seq(0 -> "a", 1 -> "v1", 2 -> "v2", 3 -> "v3"))
+      // steady state: the next append leaves 2 files (1 compacted + 1
+      // new — under the threshold again, no rewrite storm)
+      VT.append(spark, df(9 -> "z").coalesce(1), t)
+      assert(VT.snapshot(spark, t).inputFiles.length == 2)
+    }
+  }
 }
