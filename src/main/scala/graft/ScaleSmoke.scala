@@ -460,6 +460,28 @@ object ScaleSmoke {
           io.VersionedTable.latestVersion(src).get }
         time("snapshot count after 101 commits (checkpointed replay)") {
           io.VersionedTable.snapshot(spark, src).count() }
+        // the v1 streaming source over the same 101-commit log: the
+        // snapshot batch must deliver all 2M+1k rows once, and the
+        // per-commit offset walk (getOffset = a dir listing + manifest
+        // reads) must not dominate — this is the tail a 100 TB ingest
+        // consumer actually runs
+        time("stream 101-commit log: snapshot + tail into memory sink") {
+          val q = spark.readStream.format("graft-versioned").load(src)
+            .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+            .writeStream.format("memory").queryName("smoke_vstream")
+            .outputMode("complete")
+            .option("checkpointLocation",
+              vtRoot.resolve("ckstream").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            spark.table("smoke_vstream")
+              .agg(sum(col("n"))).collect()(0).getLong(0)
+          } finally {
+            q.stop()
+            spark.catalog.dropTempView("smoke_vstream")
+          }
+        }
         time("CDC bootstrap mirror (2M rows)") {
           io.ChangeConsumer.mirror(spark, src, dst, Seq("id"), ckM)
           io.VersionedTable.snapshot(spark, dst).count() }
