@@ -593,6 +593,15 @@ object VersionedTable {
     val parts = commitsIn(table, fromVersion, toVersion).flatMap { c =>
       changeFilesOf(table, c).collect {
         case (files, synth) if files.nonEmpty =>
+          // fail with the RETENTION story, not a scan-time
+          // file-not-found: sidecars (and retired append files) age out
+          // with vacuum, and a reader stalled past the window must
+          // restart from a fresh snapshot — Delta's contract too
+          files.filterNot(f => Files.exists(Paths.get(table, f)))
+            .headOption.foreach(f => throw new IllegalStateException(
+              s"change file $f of $table version ${c.version} was " +
+                "vacuumed — the requested range is beyond the retention " +
+                "window; reprocess from a current snapshot"))
           val base = spark.read.option("mergeSchema", "true")
             .parquet(files.map(f => Paths.get(table, f).toString): _*)
           (if (synth) base.withColumn("_change_type", lit("insert"))

@@ -169,6 +169,13 @@ class CdfSpec extends SparkSpec {
       VT.vacuum(t, retainMs = 3600L * 1000,
         nowMs = System.currentTimeMillis() + 7200L * 1000)
       assert(cdcFiles.isEmpty)
+      // reading past the retention window names the cause, not a raw
+      // scan-time file-not-found
+      val e = intercept[IllegalStateException] {
+        VT.tableChanges(spark, t, 1, 2).collect()
+      }
+      assert(e.getMessage.contains("vacuumed"))
+      assert(e.getMessage.contains("retention"))
     }
   }
 
