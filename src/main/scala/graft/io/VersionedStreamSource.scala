@@ -99,8 +99,12 @@ final class VersionedStreamSource(
     c.op match {
       case _ if c.add.isEmpty && pureAdd => Nil // metadata-only commit
       case "optimize" => Nil // rewrite without data change
-      case "append" if pureAdd => c.add
-      case "apply_changes" if pureAdd => c.add // CDC apply, inserts only
+      // ANY blind add-only commit serves as appends — including a
+      // pure-insert MERGE (no hits) and a CDC apply of inserts: what
+      // matters is the ACTIONS (no removes, no DV change), not the op
+      // name. RESTORE is the exception: its adds are files a tailing
+      // reader already served — re-serving them double-counts.
+      case op if pureAdd && op != "restore" => c.add
       case _ if skipChangeCommits => Nil
       case op => throw new IllegalStateException(
         s"streaming read of $table hit version ${c.version} ('$op'), " +
@@ -228,7 +232,18 @@ final class VersionedStreamSource(
     }
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** Seed the admission cursor from the engine: on a checkpoint
+    * restart whose last batch already committed, `MicroBatchExecution`
+    * calls `commit(restoredOffset)` before the first `getOffset` — and
+    * without this seed the first getOffset would take the
+    * initial-snapshot branch and hand the ENTIRE accumulated backlog to
+    * one batch, bypassing `maxFilesPerTrigger` exactly when its pacing
+    * matters most. (When the last batch was uncommitted, the getBatch
+    * replay seeds the cursor instead.) */
+  override def commit(end: Offset): Unit = {
+    val v = off(end)
+    lastEnd = Some(lastEnd.fold(v)(math.max(_, v)))
+  }
 
   override def stop(): Unit = ()
 

@@ -505,6 +505,14 @@ object VersionedTable {
       dvFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftStreamingShim
     if (files.isEmpty) return GraftStreamingShim.emptyStreaming(spark, schema)
+    // a stream resumed past the vacuum retention window must fail with
+    // the RETENTION story at planning time, not a raw executor
+    // FileNotFoundException mid-batch (same contract as tableChanges)
+    files.filterNot(f => Files.exists(Paths.get(table, f)))
+      .headOption.foreach(f => throw new IllegalStateException(
+        s"streaming batch file $f of $table was vacuumed — the " +
+          "checkpoint is beyond the retention window; restart the " +
+          "stream from a fresh checkpoint to reprocess"))
     val fi = new GraftFileIndex(table, files, fileStats, schema,
       spark.conf.get("spark.sql.session.timeZone"))
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
@@ -690,11 +698,16 @@ object VersionedTable {
         rebaseOverAdds = isolation == Isolation.WriteSerializable)
     }
     // change capture (CDF): the rows the new DV entries retire — a
-    // second predicate pass over the live scan, paid only when enabled
+    // second predicate pass over the live scan, paid only when enabled.
+    // The coalesce hint is the TABLE's file count, not 1: a wide delete
+    // on a big table must not funnel every envelope through one write
+    // task (coalesce above the actual partition count is a no-op, so
+    // small deletes still land in few sidecar files).
     val cdc =
       if (!cdfEnabled(st.props)) Nil
       else writeCdc(matchedRows.drop("__fn", "__ri")
-        .withColumn("_change_type", lit("delete")), table, 1)
+        .withColumn("_change_type", lit("delete")), table,
+        math.max(1, st.files.size))
     commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
       readVersion = Some(rv), dvAdd = dvFiles,
       rebaseOverAdds = isolation == Isolation.WriteSerializable,
@@ -1424,14 +1437,20 @@ object VersionedTable {
       // change-feeding a full replacement; selective writers should
       // MERGE/DELETE instead, which capture O(delta).
       val cdc = prior match {
-        case Some(p) if cdfEnabled(p.props) =>
+        // an empty write of an empty table changes nothing — and a
+        // zero-path parquet read cannot even infer a schema
+        case Some(p) if cdfEnabled(p.props) &&
+            (p.files.nonEmpty || files.nonEmpty) =>
           val old = readState(spark, table, p, p.files)
             .withColumn("_change_type", lit("delete"))
-          val fresh = spark.read.parquet(
-            files.map(f => Paths.get(table, f).toString): _*)
-            .withColumn("_change_type", lit("insert"))
-          writeCdc(old.unionByName(fresh, allowMissingColumns = true),
-            table, files.size)
+          val env =
+            if (files.isEmpty) old // delete-all overwrite
+            else old.unionByName(
+              spark.read.parquet(
+                files.map(f => Paths.get(table, f).toString): _*)
+                .withColumn("_change_type", lit("insert")),
+              allowMissingColumns = true)
+          writeCdc(env, table, math.max(1, files.size))
         case _ => Nil
       }
       // the remove set is derived from the slot the commit actually
@@ -1669,7 +1688,9 @@ object VersionedTable {
     // just-written files (byte-identical to what landed, and no second
     // evaluation of the merge join) and split on whether the key existed
     val cdc =
-      if (!cdfEnabled(st.props)) Nil
+      // an empty source writes nothing (added = Nil) and changes
+      // nothing — skip capture rather than read zero parquet paths
+      if (!cdfEnabled(st.props) || added.isEmpty) Nil
       else {
         val landed = spark.read.option("mergeSchema", "true").parquet(
           added.map(f => Paths.get(table, f).toString): _*)
@@ -1910,8 +1931,16 @@ object VersionedTable {
       .parquet(small.map(f => Paths.get(table, f).toString): _*)
       .coalesce(target)
     val added = writeDataFiles(merged, table)
+    // schemaJson stays EMPTY: a partial rewrite must not touch the
+    // schema lineage. Committing the merged subset's schema would
+    // move-to-end it as the table's CURRENT schema — when the small
+    // files predate an evolution, that silently regresses st.schemaJson
+    // and every later merge/read keyed off it. (The full compact
+    // rewrites the whole live set, so recording its schema is correct
+    // there.) The rewritten file's columns are all in the lineage
+    // already — they came from lineage-member files.
     Some(commitLoop(table, "optimize", added, _ => small,
-      merged.schema.json, readVersion = Some(rv),
+      schemaJson = "", readVersion = Some(rv),
       // sticky indexing, same as every rewrite: the new files re-record
       // whatever the table tracks
       stats = withSizes(table, added,
@@ -1947,9 +1976,12 @@ object VersionedTable {
         minFiles = longProp(AutoCompactMinFilesProp, 16L).toInt)
       ()
     } catch {
-      // opportunistic: a racer claiming the slot (or a concurrent
-      // rewrite) just means someone else is maintaining the table
-      case _: Upsert.ConcurrentWriteException => ()
+      // opportunistic means OPPORTUNISTIC: the append that triggered
+      // this pass already committed durably, so NOTHING here may fail
+      // it — a lost slot race, a file a concurrent compact+vacuum just
+      // retired, a transient Spark failure all just mean this pass
+      // didn't happen; the next append tries again
+      case scala.util.control.NonFatal(_) => ()
     }
   }
 

@@ -537,7 +537,9 @@ object Streams {
     *
     * The dimension updates land through file-granular
     * [[graft.io.VersionedTable.applyChanges]] keyed on
-    * `(key, effective_from)` and txn-keyed on the batch id — only files
+    * `(key, since_version)` — the opening commit version, unique where
+    * same-millisecond commits would collide a timestamp identity — and
+    * txn-keyed on the batch id — only files
     * holding touched keys rewrite, and a checkpoint-replayed batch finds
     * its own earlier commit (exactly-once). The first batch is the
     * source snapshot as inserts, so the dimension bootstraps itself with
@@ -573,9 +575,15 @@ object Streams {
             .withColumn("__next_ts",
               lead(col("_commit_timestamp"), 1).over(w))
             .withColumn("__first", row_number().over(w) === 1)
+          // `since_version` — the opening COMMIT VERSION — is the
+          // dimension's row identity alongside the key: versions are
+          // unique and monotone per table, where two commits can share
+          // a wall-clock millisecond and would collide a
+          // (key, effective_from) identity
           val opens = timeline
             .filter(col("_change_type") =!= "delete")
             .select(dataCols.map(col) ++ Seq(
+              col("_commit_version").as("since_version"),
               col("_commit_timestamp").as("effective_from"),
               col("__next_ts").as("effective_to"),
               col("__next_ts").isNull.as("is_current")): _*)
@@ -597,7 +605,7 @@ object Streams {
           val feed = closes.fold(inserts)(c =>
             c.unionByName(inserts, allowMissingColumns = true))
           graft.io.VersionedTable.applyChanges(s, feed, dimTable,
-            Seq(key, "effective_from"), "graft-scd2", batchId)
+            Seq(key, "since_version"), "graft-scd2", batchId)
         }
         ()
       }

@@ -40,6 +40,37 @@ class VersionedStreamSpec extends SparkSpec {
   private def sinkRows(name: String): Seq[(Int, String)] =
     spark.table(name).orderBy("id").as[(Int, String)].collect().toSeq
 
+  test("a pure-insert MERGE (no hits) streams as appends; commit() " +
+    "seeds the pacing cursor for restarts") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a"), t)                       // v0
+      val name = freshName()
+      val q = start(t, ck, name)
+      try {
+        q.processAllAvailable()
+        // a MERGE whose keys are all NEW rewrites nothing — its commit
+        // is a blind add and must stream, not kill the tail
+        VT.merge(spark, df(2 -> "b", 3 -> "c"), t, Seq("id")) // v1
+        q.processAllAvailable()
+        assert(sinkRows(name) == Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+      // restart-pacing: the engine re-seeds a restored source through
+      // commit(offset); getOffset must then PACE the backlog from
+      // there instead of taking the initial-snapshot (unpaced) branch
+      (0 until 4).foreach(i => VT.append(spark, df((10 + i) -> "x"), t))
+      val src = new graft.io.VersionedStreamSource(spark, t,
+        startExclusive = None, skipChangeCommits = false,
+        maxFilesPerTrigger = Some(1), readChangeFeed = false,
+        schema = VT.snapshot(spark, t).schema)
+      src.commit(org.apache.spark.sql.execution.streaming.runtime
+        .LongOffset(1L)) // the restored checkpoint offset
+      val next = src.getOffset.get.json.trim.toLong
+      assert(next < VT.latestVersion(t).get,
+        s"backlog served unpaced: offset $next")
+      assert(next == 2L) // one 1-file commit admitted past v1
+    }
+  }
+
   test("initial snapshot then tail of appends") {
     withDirs { (t, ck) =>
       VT.append(spark, df(1 -> "a", 2 -> "b"), t)

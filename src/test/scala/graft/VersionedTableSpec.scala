@@ -1272,6 +1272,36 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("compactSmallFiles does not regress the schema lineage when the " +
+    "small files predate an evolution") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a").coalesce(1), t)           // old schema
+      VT.append(spark, df(2 -> "b").coalesce(1), t)           // old schema
+      VT.append(spark, Seq((3, "c", 30)).toDF("id", "v", "w")
+        .coalesce(1), t, mergeSchema = true)                  // evolved
+      // every fixture file is tiny, so the rewrite folds all three —
+      // the empty-schemaJson commit must leave the lineage alone
+      // regardless of which files it touched
+      assert(VT.compactSmallFiles(spark, t, minFiles = 2).isDefined)
+      // the evolved column survives reads...
+      val snap = VT.snapshot(spark, t)
+      assert(snap.columns.contains("w"))
+      assert(snap.orderBy("id").select("id", "w")
+        .as[(Int, Option[Int])].collect().toSeq ==
+        Seq((1, None), (2, None), (3, Some(30))))
+      // ...and schema enforcement still knows w's type: re-typing it
+      // must fail, proving the lineage was not collapsed/regressed
+      intercept[VT.SchemaEnforcementException] {
+        VT.append(spark, Seq((4, "d", "oops")).toDF("id", "v", "w"), t,
+          mergeSchema = true)
+      }
+      // a fresh append with the evolved schema still lands cleanly
+      VT.append(spark, Seq((5, "e", 50)).toDF("id", "v", "w"), t,
+        mergeSchema = true)
+      assert(VT.snapshot(spark, t).count() == 4)
+    }
+  }
+
   test("autoCompact property: appends opportunistically fold small files") {
     withTable { t =>
       VT.append(spark, df(0 -> "a").coalesce(1), t)
