@@ -371,6 +371,55 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("scd2Sink reopens a key deleted in an earlier batch") {
+    withDirs { (t, ck) =>
+      val dim = s"$ck.dim"
+      def run(): Unit = {
+        val q = graft.streaming.Streams.scd2Sink(spark, t, dim, "id", ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      VT.append(spark, df(1 -> "a"), t)
+      enable(t)
+      run()
+      VT.deleteWhereDeferred(spark, t, col("id") === 1)
+      run() // closed, nothing current
+      assert(VT.snapshot(spark, dim).filter(col("is_current")).count() == 0)
+      VT.append(spark, df(1 -> "a2"), t) // the key returns
+      run()
+      val k1 = VT.snapshot(spark, dim).orderBy("since_version")
+        .select(col("v"), col("is_current"))
+        .as[(String, Boolean)].collect().toSeq
+      assert(k1 == Seq(("a", false), ("a2", true)))
+    }
+  }
+
+  test("maxFilesPerTrigger paces the change-feed tail by served files") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a"), t)
+      enable(t)
+      (2 to 4).foreach(i => VT.append(spark, df(i -> s"v$i").coalesce(1), t))
+      VT.merge(spark, df(2 -> "B"), t, Seq("id"))
+      val name = freshName()
+      val q = spark.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .option("maxFilesPerTrigger", "1").load(t)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        // 4 served versions (3 appends + the merge's sidecar), capped
+        // at one file per batch → one version per micro-batch
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+        val rows = spark.table(name)
+          .select(col("id"), col("_change_type"))
+          .as[(Int, String)].collect().toSeq.sorted
+        assert(rows == Seq((2, "insert"), (2, "update_postimage"),
+          (2, "update_preimage"), (3, "insert"), (4, "insert")))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
   test("schema evolution: pre-evolution sidecars null-fill new columns") {
     withDirs { (t, _) =>
       VT.append(spark, df(1 -> "a", 2 -> "b"), t)            // v0
