@@ -38,6 +38,35 @@ object ChangeConsumer {
   private def cursorFile(checkpointDir: String) =
     Paths.get(checkpointDir, "cursor")
 
+  // the IN-FLIGHT range's end version, pinned BEFORE the handler runs:
+  // a crash between the handler's destination commit and the cursor
+  // advance must replay the EXACT same (from, to] range — recomputing
+  // `to` from the (possibly advanced) log would extend the range, the
+  // destination's (txnApp, txnId = to) guard would no longer match, and
+  // the handler would double-apply the already-committed prefix
+  private def pendingFile(checkpointDir: String) =
+    Paths.get(checkpointDir, "pending")
+
+  private def pending(checkpointDir: String): Option[Long] = {
+    val p = pendingFile(checkpointDir)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.toLong)
+    else None
+  }
+
+  private def pin(checkpointDir: String, v: Long): Unit = {
+    Files.createDirectories(Paths.get(checkpointDir))
+    // tmp name unique PER WRITER: two consumers racing the same
+    // checkpoint legally pin the same version, and a shared tmp name
+    // would let one racer move the other's file out from under it
+    val tmp = Paths.get(checkpointDir,
+      s".pending-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pendingFile(checkpointDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Last fully-processed source version, if any cycle ever completed. */
   def cursor(checkpointDir: String): Option[Long] = {
     val p = cursorFile(checkpointDir)
@@ -52,7 +81,10 @@ object ChangeConsumer {
     * cursor intact (replay), never a torn file. */
   private def advance(checkpointDir: String, v: Long): Unit = {
     Files.createDirectories(Paths.get(checkpointDir))
-    val tmp = Paths.get(checkpointDir, s".cursor-tmp-${v}")
+    // per-writer tmp name, same rationale as [[pin]]: racing consumers
+    // advancing to the same version must not steal each other's tmp
+    val tmp = Paths.get(checkpointDir,
+      s".cursor-tmp-$v-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, cursorFile(checkpointDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -69,13 +101,18 @@ object ChangeConsumer {
   def processChanges(spark: SparkSession, table: String, keys: Seq[String],
       checkpointDir: String, includePreimage: Boolean = true)(
       fn: (DataFrame, Option[Long], Long) => Unit): Option[(Option[Long], Long)] = {
-    val to = VT.latestVersion(table).getOrElse(return None)
     val from = cursor(checkpointDir)
+    // a crashed cycle left its pinned end version: REPLAY that exact
+    // range (the destination's txn guard then dedupes), never a fresh
+    // (and possibly longer) one — see [[pendingFile]]
+    val to = pending(checkpointDir).filterNot(p => from.contains(p))
+      .getOrElse(VT.latestVersion(table).getOrElse(return None))
     if (from.contains(to)) return None
     from.foreach { f =>
       require(f <= to, s"cursor $f is beyond $table's latest version $to " +
         "(checkpoint from a different table?)")
     }
+    pin(checkpointDir, to)
     val feed = from match {
       case Some(f) =>
         VT.changeFeed(spark, table, f, to, keys, includePreimage)

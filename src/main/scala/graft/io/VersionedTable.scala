@@ -180,7 +180,28 @@ object VersionedTable {
     }.toMap
 
   private def parseCommit(p: Path): Commit = {
-    val n = mapper.readTree(Files.readAllBytes(p))
+    // the arbiter's no-hardlink fallback claims a slot with an EMPTY
+    // createFile and fills it with a move a moment later — a reader in
+    // that window (or after a claimer crashed between the two calls)
+    // sees zero bytes or a torn prefix. Retry briefly to ride out the
+    // window; if the slot never fills, fail NAMING it (a permanently
+    // torn slot needs the operator, not an NPE from a missing field).
+    var n: com.fasterxml.jackson.databind.JsonNode = null
+    var tries = 0
+    while (n == null && tries <= 20) {
+      val bytes = Files.readAllBytes(p)
+      val t =
+        if (bytes.isEmpty) null
+        else scala.util.Try(mapper.readTree(bytes)).getOrElse(null)
+      if (t != null && t.has("version")) n = t
+      else { tries += 1; if (tries <= 20) Thread.sleep(25) }
+    }
+    if (n == null)
+      throw new IllegalStateException(
+        s"commit slot $p is empty or torn after ${tries * 25} ms — a " +
+          "claimer likely died between claiming the slot and publishing " +
+          "its content; remove the file to drop the claim (no data was " +
+          "committed under it)")
     def strs(field: String): Seq[String] =
       Option(n.get(field)).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Nil)
@@ -204,7 +225,11 @@ object VersionedTable {
     * any — the idempotent-write bookkeeping (Delta's txnAppId/txnVersion):
     * a replayed writer finds its own earlier commit here and skips. */
   def txnCommit(table: String, txnApp: String, txnId: Long): Option[Commit] =
-    versions(table).iterator
+    // DESCENDING: a replayed transaction is almost always among the
+    // newest commits (a crashed micro-batch retries immediately), so
+    // the found case is O(recent); the not-found case stays a full log
+    // scan — the price of exactness without a txn high-water checkpoint
+    versions(table).reverseIterator
       .map(v => parseCommit(versionFile(table, v)))
       .find(c => c.txnApp.contains(txnApp) && c.txnId.contains(txnId))
 
@@ -380,11 +405,19 @@ object VersionedTable {
     * join); with DVs the scan carries the parquet `_metadata`
     * file/row-position columns and LEFT-ANTI joins the (small, broadcast)
     * DV entry set — pushdown and pruning on the scan are unaffected. */
+  /** The state's recorded schema — empty struct for a table whose log
+    * holds only metadata commits so far (e.g. `setProperties` enabling
+    * CDF before the first data write): parsing the empty schemaJson
+    * would throw a raw Jackson error. */
+  private def stateSchema(st: TableState): StructType =
+    if (st.schemaJson.isEmpty) StructType(Nil)
+    else DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+
   private def readState(spark: SparkSession, table: String,
       st: TableState, files: Seq[String]): DataFrame = {
     if (files.isEmpty) {
-      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], stateSchema(st))
     }
     val dataSchema = unionSchema(st.schemas)
     // bloom sidecars load lazily, only when a scan actually pushes an
@@ -588,7 +621,19 @@ object VersionedTable {
     * their add files as inserts directly; MERGE / DELETE / CDC-apply
     * commits must have been written with [[CdfProp]] set (throws
     * otherwise, naming the offending version). Cost: a scan of O(changed
-    * rows) — the sidecars and the appended files — never the table. */
+    * rows) — the sidecars and the appended files — never the table.
+    *
+    * Semantics vs [[changeFeed]]: this is the per-commit HISTORY — a
+    * key updated in three commits of the range yields three
+    * pre/post-image pairs, and an insert-then-delete yields both
+    * envelopes. [[changeFeed]] is the NET state diff between the two
+    * versions (the same key yields one pair; insert-then-delete yields
+    * nothing). Retraction folds
+    * ([[graft.ops.IncrementalAgg.applyChangeFeed]]) converge identically
+    * on either (the algebra is associative); key-compacted consumers
+    * ([[applyChanges]], [[ChangeConsumer]] mirrors) need the NET form —
+    * feed them [[changeFeed]], or reduce this history to last-op-per-key
+    * first. */
   def tableChanges(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
     val vs = versions(table)
@@ -732,9 +777,41 @@ object VersionedTable {
     * everything else lexically — correct for strings and for Spark's
     * sortable date/timestamp casts. */
   private def filesInRange(st: TableState, schema: StructType,
-      column: String, lo: Option[Any], hi: Option[Any]): Seq[String] = {
-    val numeric = schema.find(_.name == column).exists(f =>
-      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      column: String, lo: Option[Any], hi: Option[Any],
+      zoneId: String): Seq[String] = {
+    // type from the UNION of the schema lineage, not just the latest
+    // commit's: a subset-schema append can move-to-end a schema missing
+    // this column, and falling back to lexical compare on a numeric
+    // column would mis-prune ("10" < "2")
+    val numeric = unionSchema(st.schemas).find(_.name == column)
+      .orElse(schema.find(_.name == column)).exists(f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // bounds must render EXACTLY as the stats writer rendered values —
+    // CAST(v AS STRING) under the session timezone. JVM toString
+    // disagrees for timestamps ('2024-01-01 12:34:56.0' vs the cast's
+    // '2024-01-01 12:34:56'; java8 Instant renders with 'T' and 'Z')
+    // and would silently mis-prune. Same discipline as GraftFileIndex.
+    def render(v: Any): Option[String] = scala.util.Try {
+      val l = org.apache.spark.sql.catalyst.expressions.Literal(v)
+      val s = org.apache.spark.sql.catalyst.expressions
+        .Cast(l, StringType, Some(zoneId))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      (l.dataType, Option(s).map(_.toString))
+    }.toOption.flatMap {
+      // signed-year temporals ('+10000-…', '-0044-…') break lexical
+      // order — such a bound must not prune anything
+      case (dt, Some(s))
+        if (dt == org.apache.spark.sql.types.DateType ||
+          dt == org.apache.spark.sql.types.TimestampType) &&
+          (s.startsWith("+") || s.startsWith("-")) => None
+      case (_, so) => so
+    }
+    val loR = lo.map(render)
+    val hiR = hi.map(render)
+    // an unrenderable bound cannot prune faithfully: keep everything
+    if (loR.exists(_.isEmpty) || hiR.exists(_.isEmpty)) return st.files
+    val loS = loR.flatten
+    val hiS = hiR.flatten
     // string compare MUST be UTF-8 byte order — the order Spark's
     // min/max used when the stats were written (UTF-16 compareTo
     // disagrees around the surrogate range and would mis-prune)
@@ -742,8 +819,6 @@ object VersionedTable {
       if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
       else org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
-    val loS = lo.map(_.toString)
-    val hiS = hi.map(_.toString)
     st.files.filter { f =>
       st.fileStats.get(f).flatMap(_.get(column)) match {
         case Some((fMin, fMax)) =>
@@ -763,8 +838,9 @@ object VersionedTable {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no commits at $table"))
     val st = stateAt(table, v)
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    val keep = filesInRange(st, schema, column, lo, hi)
+    val schema = stateSchema(st)
+    val keep = filesInRange(st, schema, column, lo, hi,
+      spark.conf.get("spark.sql.session.timeZone"))
     val base = readState(spark, table, st, keep)
     val c = col(column)
     (lo, hi) match {
@@ -1004,7 +1080,11 @@ object VersionedTable {
                 // addCheckConstraint would land its rows unvalidated
                 // under the just-added contract
                 c.propsSet.isEmpty && c.propsUnset.isEmpty &&
-                (c.schemaJson.isEmpty ||
+                // OUR schemaJson empty = this op records no schema
+                // (partial compaction): any append's schema is then
+                // compatible — comparing against "" would always fail
+                // and spuriously conflict every rebase
+                (c.schemaJson.isEmpty || schemaJson.isEmpty ||
                   sameColumnShape(c.schemaJson, schemaJson)))
           if (!blindAppends)
             throw new Upsert.ConcurrentWriteException(
@@ -1179,9 +1259,29 @@ object VersionedTable {
 
   /** Columns the table currently keeps Bloom indexes for — discovered
     * from the live sidecars (driver-side, cached; kilobytes). */
+  /** Column NAMES a bloom sidecar tracks — parsed once per JVM and
+    * cached as strings, never decoding the base64 filters: sticky-column
+    * discovery runs on EVERY write, and the old path (loadBlooms over
+    * all live sidecars) deserialized and permanently cached every filter
+    * — up to 8 MB per (file, column) — just to read a list of names. */
+  private val bloomColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   private def trackedBloomColumns(table: String, st: TableState)
       : Seq[String] =
-    loadBlooms(table, st.blooms).keys.map(_._2).toSeq.distinct
+    st.blooms.flatMap { sc =>
+      val p = Paths.get(table, sc).toAbsolutePath.toString
+      bloomColsCache.computeIfAbsent(p, { key =>
+        val kp = Paths.get(key)
+        if (!Files.exists(kp)) Nil
+        else scala.util.Try {
+          val n = mapper.readTree(Files.readAllBytes(kp))
+          Option(n.get("entries")).map(_.elements().asScala
+            .map(_.get("column").asText()).toSeq.distinct)
+            .getOrElse(Seq.empty[String])
+        }.getOrElse(Seq.empty[String])
+      })
+    }.distinct
 
   /** Explicit request wins; otherwise inherit what the table tracks. */
   private def effectiveCols(requested: Seq[String],
@@ -1526,6 +1626,22 @@ object VersionedTable {
           val st = stateAt(table, v)
           // hit-file rewrite reads raw files — active DVs would resurrect
           requireNoDv(st, "applyChanges", table)
+          if (st.schemaJson.isEmpty) {
+            // metadata-only log so far (e.g. setProperties enabling CDF
+            // before the first data write): this IS the bootstrap write
+            val files = writeDataFiles(upserts, table)
+            commitLoop(table, "apply_changes", files, _ => Nil,
+              upserts.schema.json, readVersion = Some(v),
+              txn = Some((txnApp, txnId)),
+              stats = withSizes(table, files,
+                computeStats(spark, table, files, statsFor)),
+              revalidate = () => {
+                enforceAppendSchema(table, upserts.schema,
+                  mergeSchema = true)
+                enforceConstraints(table, upserts)
+              },
+              rebaseOverAdds = isolation == Isolation.WriteSerializable)
+          } else {
           val schema = DataType.fromJson(st.schemaJson)
             .asInstanceOf[StructType]
           val hitPaths =
@@ -1595,6 +1711,7 @@ object VersionedTable {
             },
             rebaseOverAdds = isolation == Isolation.WriteSerializable,
             cdcAdd = cdc)
+          }
       }
     }
   }
@@ -1614,7 +1731,8 @@ object VersionedTable {
           .agg(min(col(keys.head)), max(col(keys.head))).collect()(0)
         if (b.isNullAt(0)) Nil // no changed keys at all
         else filesInRange(st, schema, keys.head,
-          Some(b.get(0)), Some(b.get(1)))
+          Some(b.get(0)), Some(b.get(1)),
+          spark.conf.get("spark.sql.session.timeZone"))
       } else st.files
     if (candidates.isEmpty) Seq.empty
     else spark.read
@@ -1649,6 +1767,10 @@ object VersionedTable {
     val st = stateAt(table, rv)
     // hit-file rewrite reads raw files — active DVs would resurrect
     requireNoDv(st, "merge", table)
+    if (st.schemaJson.isEmpty)
+      throw new IllegalStateException(
+        s"merge into $table: the log holds only metadata commits — " +
+          "bootstrap the table with append or applyChanges first")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val hitPaths = hitFilePaths(spark, table, st, schema, srcKeys, keys)
@@ -1800,6 +1922,12 @@ object VersionedTable {
       _ => cur.files, schema, readVersion = Some(rv),
       dvAdd = st.dv, dvRemoveAt = _ => cur.dv.filterNot(st.dv.toSet),
       schemaLineage = st.schemas,
+      // carry the target state's per-file STATS too: the replay removes
+      // the retired files' entries, and without re-recording them here
+      // the restored table would lose every min/max/null/size stat —
+      // skipping goes dark AND trackedStatColumns turns empty, so
+      // sticky indexing silently stops on all later writes
+      stats = st.fileStats,
       // the restore's adds cover the whole live set, so stateAt RESETS
       // the bloom list — re-adding the target's sidecars restores its
       // point-lookup index along with its files
@@ -2000,12 +2128,26 @@ object VersionedTable {
     // `-bloom.json`: both count as live while the latest state references
     // them, and age out by lastSeen like data
     val live = (lastState.files ++ lastState.dv ++ lastState.blooms).toSet
-    // newest commit ts in which each file still appears in the state
+    // newest commit ts in which each file still appears in the state —
+    // computed by ONE incremental forward replay of the commits this
+    // loop parses anyway (mirroring stateAt's file/DV/bloom algebra);
+    // calling stateAt per version would re-list the log and re-read a
+    // checkpoint V times — O(V²)-ish on a long log for zero benefit
     val lastSeen = scala.collection.mutable.Map.empty[String, Long]
+    val rFiles = scala.collection.mutable.LinkedHashSet.empty[String]
+    val rDv = scala.collection.mutable.LinkedHashSet.empty[String]
+    val rBlooms = scala.collection.mutable.LinkedHashSet.empty[String]
     vs.foreach { v =>
       val c = parseCommit(versionFile(table, v))
-      val st = stateAt(table, v)
-      (st.files ++ st.dv ++ st.blooms).foreach(f => lastSeen(f) = c.ts)
+      rFiles --= c.remove
+      rFiles ++= c.add
+      rDv --= c.dvRemove
+      rDv ++= c.dvAdd
+      if (c.add.nonEmpty && rFiles.forall(c.add.toSet.contains))
+        rBlooms.clear()
+      rBlooms ++= c.bloomAdd
+      (rFiles.iterator ++ rDv.iterator ++ rBlooms.iterator)
+        .foreach(f => lastSeen(f) = c.ts)
       // change-data sidecars belong to their commit, never to a state:
       // without this they would look unreferenced and be GC'd instantly.
       // They age out by commit time like Delta's change files — a change
@@ -2070,6 +2212,10 @@ object VersionedTable {
     require(vs.contains(toVersion), s"version $toVersion not in log")
     val stFrom = stateAt(table, fromVersion)
     val stTo = stateAt(table, toVersion)
+    if (stTo.schemaJson.isEmpty)
+      throw new IllegalStateException(
+        s"changeFeed on $table: no data commits at or before version " +
+          s"$toVersion (metadata-only log) — nothing to diff yet")
     val schema = DataType.fromJson(stTo.schemaJson).asInstanceOf[StructType]
     val fromSet = stFrom.files.toSet
     val toSet = stTo.files.toSet

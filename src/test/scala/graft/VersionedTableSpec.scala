@@ -1302,6 +1302,119 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("compactSmallFiles rebases over a racing blind append " +
+    "(empty-schema commit must not fail the shape check)") {
+    withTable { t =>
+      (0 until 3).foreach(i =>
+        VT.append(spark, df(i -> s"v$i").coalesce(1), t))
+      withRacer(VT.append(spark, df(9 -> "z"), t)) {
+        assert(VT.compactSmallFiles(spark, t, minFiles = 2).isDefined)
+      }
+      assert(VT.snapshot(spark, t).select("id").as[Int].collect().sorted
+        .toSeq == Seq(0, 1, 2, 9))
+    }
+  }
+
+  test("ChangeConsumer replays the PINNED range after a crash, even " +
+    "when the log advanced meanwhile") {
+    withTable { t =>
+      val ck = s"$t.consumer"
+      VT.append(spark, df(1 -> "a"), t)                     // v0
+      val ranges = scala.collection.mutable.ArrayBuffer
+        .empty[(Option[Long], Long)]
+      def cycle(fail: Boolean): Option[(Option[Long], Long)] =
+        graft.io.ChangeConsumer.processChanges(spark, t, Seq("id"), ck) {
+          (_, f, to) =>
+            ranges += ((f, to))
+            if (fail) throw new RuntimeException("crash before advance")
+        }
+      cycle(fail = false) // bootstrap (None, 0]
+      VT.append(spark, df(2 -> "b"), t)                     // v1
+      intercept[RuntimeException] { cycle(fail = true) }    // pins to=1
+      VT.append(spark, df(3 -> "c"), t)                     // v2 lands
+      // the retry must replay EXACTLY (0, 1] — the pinned range — so a
+      // txn-guarded destination keyed on to=1 dedupes; extending to 2
+      // here would double-apply the (0,1] delta downstream
+      assert(cycle(fail = false) == Some((Some(0L), 1L)))
+      // and the next cycle picks up the rest
+      assert(cycle(fail = false) == Some((Some(1L), 2L)))
+      assert(ranges.toSeq == Seq(
+        (None, 0L), (Some(0L), 1L), (Some(0L), 1L), (Some(1L), 2L)))
+    }
+  }
+
+  test("snapshotWhere prunes correctly on timestamp bounds (CAST " +
+    "rendering, not JVM toString)") {
+    withTable { t =>
+      val rows = Seq(
+        (1, java.sql.Timestamp.valueOf("2024-01-01 12:34:56")),
+        (2, java.sql.Timestamp.valueOf("2024-06-15 00:00:00")),
+        (3, java.sql.Timestamp.valueOf("2024-12-31 23:59:59")))
+        .toDF("id", "ts")
+      // one file per row so pruning decisions are per-row-visible
+      rows.collect().foreach { r =>
+        VT.append(spark,
+          Seq((r.getInt(0), r.getTimestamp(1))).toDF("id", "ts")
+            .coalesce(1), t, statsFor = Seq("ts"))
+      }
+      // lo equals file 2's max EXACTLY: JVM Timestamp.toString renders
+      // '…00:00:00.0' which compares ABOVE the stat's '…00:00:00' and
+      // used to mis-prune the file containing the boundary row
+      val hit = VT.snapshotWhere(spark, t, "ts",
+        lo = Some(java.sql.Timestamp.valueOf("2024-06-15 00:00:00")))
+      assert(hit.select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+      val lohi = VT.snapshotWhere(spark, t, "ts",
+        lo = Some(java.sql.Timestamp.valueOf("2024-01-01 12:34:56")),
+        hi = Some(java.sql.Timestamp.valueOf("2024-06-15 00:00:00")))
+      assert(lohi.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    }
+  }
+
+  test("snapshotWhere keeps numeric comparison after a subset-schema " +
+    "append hides the column from the latest commit's schema") {
+    withTable { t =>
+      VT.append(spark, Seq((1, 2), (2, 10)).toDF("id", "v").coalesce(1),
+        t, statsFor = Seq("v"))
+      // legal subset append: latest schemaJson no longer contains v
+      VT.append(spark, Seq(Tuple1(3)).toDF("id").coalesce(1), t)
+      // lexical compare would prune the v=10 file ("10" < "2"): the
+      // union-lineage type lookup must keep it numeric
+      val got = VT.snapshotWhere(spark, t, "v", lo = Some(2))
+        .select("id").as[Int].collect().sorted.toSeq
+      assert(got == Seq(1, 2))
+    }
+  }
+
+  test("restore carries the target state's per-file stats") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t, statsFor = Seq("id"))
+      VT.append(spark, df(3 -> "c"), t)
+      VT.overwrite(spark, df(9 -> "z"), t)
+      val c = VT.restore(spark, t, 1L)
+      assert(c.stats.nonEmpty, "restore must re-record the target stats")
+      // and the restored table still prunes on them
+      val got = VT.snapshotWhere(spark, t, "id", lo = Some(3))
+        .select("id").as[Int].collect().toSeq
+      assert(got == Seq(3))
+    }
+  }
+
+  test("metadata-only table: snapshot is empty, applyChanges bootstraps, " +
+    "merge fails with the no-data story") {
+    withTable { t =>
+      VT.setProperties(t, Map(VT.CdfProp -> "true")) // v0, no data
+      assert(VT.snapshot(spark, t).count() == 0)
+      val e = intercept[IllegalStateException] {
+        VT.merge(spark, df(1 -> "a"), t, Seq("id"))
+      }
+      assert(e.getMessage.contains("metadata"))
+      val feed = Seq((1, "a", "insert")).toDF("id", "v", "_change_type")
+      VT.applyChanges(spark, feed, t, Seq("id"), "meta-boot", 1L)
+      assert(VT.snapshot(spark, t).as[(Int, String)].collect().toSeq ==
+        Seq(1 -> "a"))
+    }
+  }
+
   test("autoCompact property: appends opportunistically fold small files") {
     withTable { t =>
       VT.append(spark, df(0 -> "a").coalesce(1), t)
