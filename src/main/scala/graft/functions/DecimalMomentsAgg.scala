@@ -172,13 +172,17 @@ case class DecimalMomentsAgg(
 }
 
 object DecimalMomentsAgg {
-  /** Aggregate Column over k decimal columns (all `DecimalType(≤18,
-    * inScale)`): exact [n, sums…, pair-products…] as
-    * `array<decimal(38, 2·inScale)>`. Callers pass the decimal columns
-    * directly; the unscaled extraction happens here. */
+  /** Aggregate Column over k decimal columns: exact [n, sums…,
+    * pair-products…] as `array<decimal(38, 2·inScale)>`. Callers pass
+    * the columns directly; each is CAST to `DecimalType(18, inScale)`
+    * here before the unscaled extraction — without that cast a column
+    * of a different scale (or a double) would extract unscaled longs at
+    * the WRONG magnitude and every sum/product would be silently off by
+    * powers of ten. */
   def moments(cols: Seq[Column], inScale: Int): Column =
     Bridge.column(DecimalMomentsAgg(
       cols.map(c => org.apache.spark.sql.catalyst.expressions.UnscaledValue(
-        Bridge.expression(c))),
+        Bridge.expression(c.cast(
+          org.apache.spark.sql.types.DecimalType(18, inScale))))),
       inScale).toAggregateExpression())
 }

@@ -94,33 +94,34 @@ object Streams {
         return Iterator(Session(userId, new Timestamp(s.start),
           new Timestamp(s.end), s.n))
       }
-      var closed = List.empty[Session]
-      // order within the micro-batch; cross-batch order is handled by the
-      // watermark (events older than it never arrive)
-      val sorted = evs.toSeq.sortBy(_.ts.getTime)
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.end <= gapSeconds * 1000 =>
-            // min on start: a legal in-watermark event can predate the
-            // session's first-seen event (cross-batch disorder) — losing
-            // it would misreport session_start vs the batch twin (q21)
-            cur = Some(SessionState(math.min(s.start, t),
-              math.max(s.end, t), s.n + 1))
-          case Some(s) =>
-            closed ::= Session(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n)
-            cur = Some(SessionState(t, t, 1))
-          case None =>
-            cur = Some(SessionState(t, t, 1))
-        }
+      // true gap-and-islands over the open state plus this batch's
+      // events, IN TIME ORDER: an in-watermark straggler that predates
+      // the open session by more than the gap forms (or extends) an
+      // EARLIER island instead of being glued onto the open one — the
+      // old single-cursor fold compared only `t - end <= gap`, whose
+      // negative delta merged arbitrarily old events and silently
+      // diverged from the batch twin (q21). All islands but the newest
+      // close now (bounded state: one open session per key); the newest
+      // stays open for the timeout to emit.
+      val gapMs = gapSeconds * 1000
+      val intervals =
+        (state.getOption.map(s => (s.start, s.end, s.n)).toList ++
+          evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
+          .sortBy(iv => (iv._1, iv._2))
+      val mergedDesc = intervals.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((hs, he, hn) :: tl, (s2, e2, n2)) if s2 - he <= gapMs =>
+          (hs, math.max(he, e2), hn + n2) :: tl
+        case (acc, iv) => iv :: acc
       }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+      val asc = mergedDesc.reverse
+      val closed = asc.dropRight(1).map { case (s0, e0, n0) =>
+        Session(userId, new Timestamp(s0), new Timestamp(e0), n0)
       }
-      closed.reverseIterator
+      asc.lastOption.foreach { case (s0, e0, n0) =>
+        state.update(SessionState(s0, e0, n0))
+        state.setTimeoutTimestamp(e0 + gapMs)
+      }
+      closed.iterator
     }
 
     events.withWatermark("ts", watermark)
@@ -128,6 +129,20 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Replay-safe micro-batch landing — the idempotence contract every
+    * continuous sink here shares: the batch's rows land in their own
+    * `ingest_batch=<id>` partition via dynamic-partition OVERWRITE, so
+    * a checkpoint-replayed batch REWRITES its partition instead of
+    * double-appending. A zero-row frame touches no partitions (a free
+    * no-op — callers need no emptiness probe for the write itself). */
+  private def writeBatchPartition(df: DataFrame, dir: String,
+      batchId: Long): Unit =
+    df.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(dir)
 
   /** Continuous MERGE into a parquet lakehouse table — the standard
     * CDC-ingest sink shape: each micro-batch is reduced to its latest row
@@ -277,21 +292,19 @@ object Streams {
           val survivors = batch.join(matched, Seq(idCol), "left_anti")
             .persist()
           if (survivors.count() > 0) {
-            def appendPartition(df: DataFrame, dir: String): Unit =
-              df.withColumn("ingest_batch", lit(batchId))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(dir)
-            appendPartition(survivors, corpusDir)
+            writeBatchPartition(survivors, corpusDir, batchId)
             val delta = graft.ext.Dedup.buildNearDupIndex(survivors, idCol,
               textCol, shingleSize, bands, rowsPerBand, maxBucketSize)
-            appendPartition(delta.sets, setsDir)
-            appendPartition(
-              delta.banded.select("band", "band_hash", "id"), bandedDir)
+            writeBatchPartition(delta.sets, setsDir, batchId)
+            writeBatchPartition(
+              delta.banded.select("band", "band_hash", "id"), bandedDir,
+              batchId)
           }
           survivors.unpersist()
-          matchedFrame.unpersist(blocking = false)
+          // matchedFrame is a Caches.snapshot frame: Dataset.unpersist
+          // would be a silent no-op (its blocks are localCheckpoint
+          // RDDs, not CacheManager entries) — release them explicitly
+          graft.util.Caches.release(matchedFrame)
         }
         ()
       }
@@ -351,11 +364,7 @@ object Streams {
           val survivors = batch.join(matched, Seq(idCol), "left_anti")
             .persist()
           if (survivors.count() > 0)
-            survivors.withColumn("ingest_batch", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ingest_batch")
-              .parquet(corpusDir)
+            writeBatchPartition(survivors, corpusDir, batchId)
           survivors.unpersist()
         }
         ()
@@ -387,16 +396,16 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val survivors = batch
+          // no survivor emptiness probe: it would re-score the whole
+          // batch just to decide, and a zero-row frame under dynamic
+          // partition overwrite touches no partitions anyway (the
+          // tokenCountSink rationale) — worst case was a full extra
+          // scoring pass on exactly the all-filtered low-quality floods
+          // this sink exists to absorb
+          writeBatchPartition(batch
             .withColumn(scoreCol,
               graft.ext.QualityClassifier.scoreColumn(col(textCol), model))
-            .filter(col(scoreCol) >= minScore)
-          if (!survivors.isEmpty)
-            survivors.withColumn("ingest_batch", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ingest_batch")
-              .parquet(corpusDir)
+            .filter(col(scoreCol) >= minScore), corpusDir, batchId)
         }
         ()
       }
@@ -432,17 +441,12 @@ object Streams {
         // no emptiness probe at all: a zero-row frame under dynamic
         // partition overwrite touches no partitions (a free no-op), and
         // probing would cost an extra pass over the batch
-        batch
+        writeBatchPartition(batch
           .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
           .select(explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
             .as("token"))
           .groupBy(col("token"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(countsDir)
+          .agg(count(lit(1)).as("cnt")), countsDir, batchId)
         ()
       }
       .start()
@@ -507,6 +511,11 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // metadata-only / optimize source commits arrive as empty
+        // batches: folding them would still read and REWRITE the whole
+        // state table for nothing — and on an auto-compacted source
+        // that is a full state rewrite per compaction
+        if (!batch.isEmpty) {
         val prev = graft.io.VersionedTable.latestVersion(stateTable) match {
           // bootstrap: an empty state with the CANONICAL schema — the
           // snapshot-as-inserts first batch then builds the full view
@@ -518,6 +527,7 @@ object Streams {
           prev, batch, keys, valueCol)
         graft.io.VersionedTable.overwrite(s, next, stateTable,
           txn = Some(("graft-mv", batchId)))
+        }
         ()
       }
       .start()
@@ -660,13 +670,25 @@ object Streams {
     // one projected quantile array, not one KllQuantiles eval per
     // probability (CodegenFallback — each copy re-deserializes the
     // sketch; see IncrementalAgg.finalizeQuantiles)
+    // percent labels when exact (q_95), per-mille with a 'p' marker
+    // otherwise (q_995p = 99.5%): (p*100).round alone labeled 0.995,
+    // 0.999 and 1.0 all "q_100" — duplicate column names that break any
+    // downstream select with AMBIGUOUS_REFERENCE
+    def label(p: Double): String = {
+      val pm = math.round(p * 1000)
+      if (pm % 10 == 0) s"q_${pm / 10}" else s"q_${pm}p"
+    }
+    val labels = probabilities.map(label)
+    require(labels.distinct.size == labels.size,
+      s"quantile labels collide: $labels — probabilities closer than " +
+        "0.001 need distinct rounding")
     merged.withColumn("__qs",
         graft.functions.KllSketchAgg.quantiles(col("value_kll"),
           probabilities))
       .select(Seq(col("hour"), col("event_type"), col("n"),
         hll_sketch_estimate(col("users_hll")).as("n_users_approx")) ++
-        probabilities.zipWithIndex.map { case (p, i) =>
-          element_at(col("__qs"), i + 1).as(s"q_${(p * 100).round}")
+        labels.zipWithIndex.map { case (l, i) =>
+          element_at(col("__qs"), i + 1).as(l)
         }: _*)
   }
 
@@ -717,10 +739,13 @@ object Streams {
     require(bins >= 2, "bins must be >= 2")
     val probs = (1 until bins).map(_.toDouble / bins)
     val refRows = reference.filter(col(valueCol).isNotNull)
-    val cuts: Seq[Double] = refRows
+    val cuts: Seq[Double] = Option(refRows
       .agg(percentile(col(valueCol).cast("double"),
         typedlit(probs)).as("c"))
-      .head().getSeq[Double](0)
+      .head().getSeq[Double](0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"driftMonitorSink: the reference frame has no non-null " +
+          s"'$valueCol' values — no distribution to bin against"))
     def binOf: Column = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col(valueCol).cast("double") > c, 1).otherwise(0)
     }
@@ -755,12 +780,10 @@ object Streams {
           }
         val spark = batch.sparkSession
         import spark.implicits._
-        Seq((batchId, curTotal.toLong, psi))
-          .toDF("ingest_batch", "n_cur", "psi")
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(metricsDir)
+        writeBatchPartition(
+          Seq((batchId, curTotal.toLong, psi)).toDF("__b", "n_cur", "psi")
+            .drop("__b"),
+          metricsDir, batchId)
         ()
       }
       .start()

@@ -36,6 +36,17 @@ object Caches {
     * `ContextCleaner` once the caller drops the frame. */
   def snapshot(df: DataFrame): DataFrame = Iterate.checkpointCut(df)
 
+  /** Release a [[snapshot]] frame's RDD blocks — the handle a
+    * CONTINUOUS consumer (streaming sink, driver loop) needs:
+    * `Dataset.unpersist` is a no-op on snapshot frames (their storage is
+    * localCheckpoint blocks, not CacheManager entries), and without an
+    * explicit release a long-running stream pins one block set per
+    * micro-batch until GC + ContextCleaner get around to it. Batch
+    * queries need not bother — the bench/driver drain ([[clearAll]])
+    * sweeps everything between queries. */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.releaseSnapshot(df)
+
   /** Drop every cached plan and every persisted/checkpointed RDD block in
     * the session — harness hygiene between measured queries (a benchmark
     * sweep must not let query N's residue tax query N+1's shuffles). */

@@ -29,6 +29,29 @@ object Bridge {
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
   }
 
+  /** Release the RDD blocks behind a [[statsFreeCopy]]/snapshot frame:
+    * `Dataset.unpersist` only consults the CacheManager, which snapshot
+    * frames never enter — their storage is localCheckpoint RDD blocks.
+    * Walks the plan's `LogicalRDD` leaves and unpersists every persisted
+    * RDD in their (checkpoint-truncated, so tiny) lineage. A no-op on
+    * frames with no RDD-backed storage. */
+  def releaseSnapshot(df: org.apache.spark.sql.DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_],
+        seen: java.util.IdentityHashMap[org.apache.spark.rdd.RDD[_], AnyRef])
+        : Unit =
+      if (seen.put(r, this) == null) {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          r.unpersist(blocking = false)
+        r.dependencies.foreach(d => walk(d.rdd, seen))
+      }
+    val seen =
+      new java.util.IdentityHashMap[org.apache.spark.rdd.RDD[_], AnyRef]()
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(walk(_, seen))
+  }
+
   /** Number of plans registered in the session's `CacheManager`
     * (`private[sql]`) — the cache-lifecycle contract's test probe:
     * library operators must leave this at zero (util.Caches.snapshot

@@ -347,6 +347,41 @@ class StreamingSpec extends SparkSpec {
     assert(got(2)._4 == 1) // user2: 1 event
   }
 
+  test("sessionize: an in-watermark straggler older than the open " +
+    "session forms its own island, not a bogus merge") {
+    val dir = Files.createTempDirectory("sess-ooo").toString
+    def ev(id: Long, user: Long, time: String) =
+      Streams.Event(id, Timestamp.valueOf(time), user, "click", 1.0)
+    def land(evs: Streams.Event*): Unit =
+      evs.toSeq.toDS().toDF().write.mode("append").parquet(dir)
+    // batch 1: the open session [12:00:00, 12:00:30]
+    land(ev(1, 1, "2024-01-01 12:00:00"), ev(2, 1, "2024-01-01 12:00:30"))
+    val q = Streams.sessionize(
+      Streams.eventsStream(spark, dir).as[Streams.Event],
+      gapSeconds = 60, watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a legal straggler at 11:52 (>= the 11:50:30 watermark)
+      // — 8 minutes BEFORE the open session with a 60s gap. The old
+      // fold's `t - end <= gap` was satisfied by the negative delta and
+      // glued it on, reporting ONE session of 3 starting 11:52.
+      land(ev(3, 1, "2024-01-01 11:52:00"), ev(4, 99, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      // batch 3: push the watermark far past every gap so timeouts fire
+      land(ev(5, 99, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo").filter(col("user_id") === 1L)
+        .orderBy("session_start")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      assert(got.map(_._4) == Seq(1L, 2L), got.toString) // two sessions
+      assert(got(0)._2 == Timestamp.valueOf("2024-01-01 11:52:00"))
+      assert(got(1)._2 == Timestamp.valueOf("2024-01-01 12:00:00"))
+      assert(got(1)._3 == Timestamp.valueOf("2024-01-01 12:00:30"))
+    } finally { q.stop(); spark.catalog.dropTempView("sess_ooo") }
+  }
+
   test("native session_window agrees with stateful sessionize modulo gap") {
     val dir = Files.createTempDirectory("sw-stream").toString
     def ev(id: Long, user: Long, minute: Long, v: Double) =
