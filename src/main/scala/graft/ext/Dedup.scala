@@ -498,6 +498,16 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // a truncated run returns labels that SPLIT true components —
+    // downstream leak-safe splitting would then scatter one near-dup
+    // cluster across train/eval with no signal. Pointer jumping halves
+    // remaining depth per round, so 10 rounds cover diameter ~2^10;
+    // a graph that still moves needs more rounds, loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations " +
+          "pointer-jumping rounds — the pair graph's diameter exceeds " +
+          s"~2^$maxIterations; raise maxIterations")
     labels
   }
 
@@ -620,8 +630,13 @@ object Dedup {
     // minHashLsh): a new copy of kept boilerplate matches the rep — and
     // rep verification (exact Jaccard vs the rep's shingle set) decides
     val reps = sigReps(sigsFromSets(sets, bands * rowsPerBand))
-    val bounded = boundBuckets(bandify(reps, bands, rowsPerBand),
-      maxBucketSize)
+    // snapshot before boundBuckets: it references the banded frame twice
+    // (scan side + bucket-count side), and unsnapshotted the whole kept
+    // shingle/MinHash pipeline would run twice when the caller
+    // materializes index.banded (minHashLsh persists for the same reason)
+    val banded = graft.util.Caches.snapshot(
+      bandify(reps, bands, rowsPerBand))
+    val bounded = boundBuckets(banded, maxBucketSize)
     NearDupIndex(sets, bounded, bands, rowsPerBand, shingleSize)
   }
 
@@ -701,6 +716,10 @@ object Dedup {
       .join(broadcast(nb.select(col("band"), col("band_hash")).distinct()),
         Seq("band", "band_hash"))
       .persist()
+    // force the cache ONCE before the fan-out (okBuckets + candKept both
+    // scan it) — the same discipline as every other persist in this
+    // function; racing an unfilled cache runs the index join twice
+    keptTouched.count()
     val okBuckets = keptTouched.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__kn")).filter(col("__kn") <= maxBucketSize)
       .select(col("band"), col("band_hash"))
@@ -796,7 +815,14 @@ object Dedup {
     val sh = docs.select(xxhash64(blockCols.map(col): _*).as("blk"),
       col(idCol).as("id"),
       Shingles.shingleHashSet(col(textCol), shingleSize).as("sh"))
+    // materialize the exploded gram-hash rows ONCE: `ex` feeds the size
+    // aggregate AND both sides of the pair self-join, and with no
+    // shuffle boundary below it exchange reuse cannot deduplicate the
+    // tokenize/gram-hash pipeline — unpersisted, the corpus scan ran
+    // three times (the winnowPairs persist rationale)
     val ex = sh.select(col("blk"), col("id"), explode(col("sh")).as("h"))
+      .persist()
+    ex.count()
     // set sizes from the exploded rows (shset holds distinct hashes, so
     // the per-id count IS the set size): the gram-hash subtree then
     // feeds only `ex`, not two extra `sizes` evaluations; empty-set docs
@@ -806,13 +832,15 @@ object Dedup {
       .join(ex.select(col("blk"), col("h"), col("id").as("b")), Seq("blk", "h"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
-    inter
+    val result = graft.util.Caches.snapshot(inter
       .join(sizes.select(col("id").as("a"), col("n").as("n_a")), Seq("a"))
       .join(sizes.select(col("id").as("b"), col("n").as("n_b")), Seq("b"))
       .select(col("a"), col("b"),
         (col("n_inter").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
-          .as("jaccard"))
+          .as("jaccard")))
+    ex.unpersist()
+    result
   }
 
   /** Winnowing-fingerprint near-dup pairs (the MOSS matcher — Schleimer

@@ -81,10 +81,12 @@ object Sampling {
       hash: Column => Column = xxhash64(_)): DataFrame = {
     val pairs = Dedup.minHashLsh(docs, idCol, textCol, shingleSize,
       bands, rowsPerBand, minJaccard)
-    // connectedComponents materializes eagerly, so the pair cache can be
-    // released here (the dedupNearDuplicates discipline)
+    // connectedComponents materializes eagerly, so the pair blocks can
+    // be released here — via Caches.release: minHashLsh returns a
+    // SNAPSHOT frame, and Dataset.unpersist on those is a silent no-op
+    // (localCheckpoint blocks, not CacheManager entries)
     val comps = Dedup.connectedComponents(pairs)
-    pairs.unpersist(blocking = false)
+    graft.util.Caches.release(pairs)
     val grouped = docs
       .join(comps.select(col("id").as(idCol), col("component")),
         Seq(idCol), "left")
@@ -181,7 +183,11 @@ object Sampling {
     // no principled mixture membership).
     val per = df.filter(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol))
-      .agg(sum(col(tokensCol)).as("n_tokens"))
+      // cast + coalesce: a double tokens column must not ClassCast the
+      // getLong, and a source whose tokens are ALL null must read as 0,
+      // not NPE the driver unboxing
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L))
+        .as("n_tokens"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // fixed fold order: no double sum depends on anything
@@ -265,8 +271,11 @@ object Sampling {
       seed: Long = 0): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
     require(bands > 0, "bands must be positive")
+    // a null id cannot be deterministically bucketed (its seeded hash is
+    // null, which would surface as a null-bucket group and NPE the
+    // driver walk) — null-id rows are ineligible, like null scores
     val eligible = col(scoreCol).isNotNull && col(tokensCol).isNotNull &&
-      col(tokensCol) >= 0
+      col(tokensCol) >= 0 && col(idCol).isNotNull
     val band = least(greatest(floor(col(scoreCol) * bands), lit(0)),
       lit(bands - 1)).cast("int")
     val h = TextStats.md5Hash64(

@@ -73,6 +73,12 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: bit i = sign(v · plane_i). */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    // bucket bits live in one LONG: past 64 planes shiftleft wraps
+    // mod 64, colliding plane bits — buckets conflate and the
+    // multi-probe "probe values are pairwise distinct" invariant breaks
+    // (duplicate candidate pairs silently evict real top-k neighbors)
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"numPlanes must be in [1, 64], got $numPlanes")
     // generate the matrix once — regenerating per bit is O(numPlanes²·dim)
     // RNG draws at plan-build time
     val ps = planes(numPlanes, dim, seed)
@@ -280,8 +286,14 @@ object Similarity {
         .agg(sum(col("__v").cast(DoubleType)).as(s"__s_$tag"))
       (meta, dims)
     }
-    val (ma, da) = side(a, "a")
-    val (mb, db) = side(b, "b")
+    // snapshot the 1-row metas: each is consumed twice (broadcast into
+    // the per-dim means AND the final combine), and exchange reuse is
+    // not guaranteed to dedupe the two broadcast subplans under AQE —
+    // unsnapshotted, each corpus paid an extra full scan per call
+    val (ma0, da) = side(a, "a")
+    val (mb0, db) = side(b, "b")
+    val ma = graft.util.Caches.snapshot(ma0)
+    val mb = graft.util.Caches.snapshot(mb0)
     // per-dim means need the corpus sizes: broadcast the 1-row metas
     val dims = da.join(db, Seq("pos"), "full_outer")
       .na.fill(0.0, Seq("__s_a", "__s_b"))
