@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -37,18 +38,30 @@ import graft.io.{VersionedTable => VT}
   *    and their removes cannot be expressed as appends; opt into
   *    `skipChangeCommits=true` to skip them wholesale (downstream then
   *    sees inserts-only, Delta's option of the same name).
-  *  - **Frozen schema.** The source schema is the table's scan schema at
-  *    query bind; files from before a column read nulls, columns added
-  *    after bind surface on restart. (Delta restarts the stream on
-  *    schema change; here the running query just keeps its bound
-  *    schema.)
+  *  - **Frozen schema, loud evolution.** The source schema is the
+  *    table's scan schema at query bind; files from before a column read
+  *    nulls. A commit that EVOLVES the schema past the bound one (new
+  *    column, re-typed column) FAILS the stream by default — serving it
+  *    through the bound schema would silently drop the new column from
+  *    the sink until a manual restart, a silent-data-loss window (Delta
+  *    fails the query on schema change for the same reason; the error
+  *    names the restart as the fix). `failOnSchemaChange=false` opts
+  *    back into serve-through-bound-schema.
+  *  - **`Trigger.AvailableNow`.** The source implements the
+  *    [[SupportsTriggerAvailableNow]] admission contract (as Delta's
+  *    source does): at query start the current latest version is pinned,
+  *    and the engine keeps running PACED micro-batches (respecting
+  *    `maxFilesPerTrigger`) until the pinned version is fully drained,
+  *    then stops — no single-batch fallback, no "may not guarantee
+  *    processing new data" warning, and a backlog bigger than one
+  *    trigger's cap still drains completely before the query ends.
   *
   * Options: `startingVersion` (long — serve from that version as
   * appends, no initial snapshot; or `latest` — only commits after query
   * start), `skipChangeCommits` (bool), `maxFilesPerTrigger` (int — admit
   * versions per batch until their cumulative add-file count would exceed
   * the cap; at least one version per batch, so a single huge commit
-  * still fits).
+  * still fits), `failOnSchemaChange` (bool, default true).
   *
   * Scale shape: `getOffset` is a directory listing + O(new commits)
   * manifest reads, zero data I/O; each batch plans its files through
@@ -75,7 +88,9 @@ final class VersionedStreamSource(
     // BECOME streamable — the append-only refusal below applies to the
     // plain-row mode only.
     readChangeFeed: Boolean,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    failOnSchemaChange: Boolean = true)
+  extends Source with SupportsTriggerAvailableNow {
 
   /** Data-column schema (the bound schema minus the three envelope
     * metadata columns in change-feed mode). */
@@ -130,8 +145,9 @@ final class VersionedStreamSource(
     * commit, always admitting at least one). Admission must not throw on
     * a change commit — it is admitted and [[getBatch]] raises the
     * user-facing error. */
-  private def admit(fromExclusive: Long, latest: Long): Long =
-    maxFilesPerTrigger match {
+  private def admit(fromExclusive: Long, latest: Long,
+      cap0: Option[Int]): Long =
+    cap0 match {
       case None => latest
       case Some(cap) =>
         var end = fromExclusive
@@ -147,6 +163,65 @@ final class VersionedStreamSource(
         end
     }
 
+  /** Version pinned by [[prepareForTriggerAvailableNow]] — under
+    * `Trigger.AvailableNow` the engine drains paced batches up to exactly
+    * this version, then stops; commits landing after the pin wait for the
+    * next run (the "available now" contract). None outside AvailableNow. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  /** Pin the drain target at query start. Called once per run by
+    * `MicroBatchExecution` before any offset is requested, for
+    * `Trigger.AvailableNow` only — the presence of this contract is what
+    * keeps the engine looping batches (instead of falling back to a
+    * single best-effort batch with a no-guarantee warning). */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(VT.latestVersion(table).getOrElse(-1L))
+
+  /** Echo the pacing option into the admission-control contract; the
+    * engine hands it back on every [[latestOffset]] call. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
+      ReadLimit.allAvailable())
+
+  /** Admission under the engine-supplied limit and the AvailableNow pin.
+    * `start` is the engine's restored checkpoint offset (null on a fresh
+    * start) — seeding the cursor from it makes restart pacing exact even
+    * before any `commit()` callback. Returning the unchanged cursor
+    * signals "no new data". */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    Option(start).map(o => o.json.trim.toLong).foreach(s =>
+      lastEnd = Some(lastEnd.fold(s)(math.max(_, s))))
+    val live = VT.latestVersion(table) match {
+      case Some(v) => v
+      case None => return null // table vanished / no commits yet
+    }
+    val latest = availableNowCap.fold(live)(math.min(_, live))
+    if (latest < 0) return null // AvailableNow pinned an empty log
+    val end = lastEnd.orElse(startExclusive) match {
+      case None =>
+        // initial snapshot: one batch for the whole pinned state (the
+        // cap applies to the tail only, as in Delta)
+        latest
+      case Some(f) if f >= latest => f
+      case Some(f) => limit match {
+        case mf: ReadMaxFiles => admit(f, latest, Some(mf.maxFiles()))
+        case _ => admit(f, latest, maxFilesPerTrigger)
+      }
+    }
+    lastEnd = Some(end)
+    LongOffset(end)
+  }
+
+  /** Live log tip for progress reporting — uncapped, so AvailableNow
+    * progress shows how far behind the pinned drain target is. */
+  override def reportLatestOffset(): OffsetV2 =
+    VT.latestVersion(table).map(LongOffset(_)).orNull
+
+  /** v1 offset discovery — same admission as [[latestOffset]] under the
+    * constructor pacing. The engine itself always drives the
+    * [[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]]
+    * path once it sees the interface; this stays for direct drivers and
+    * tests. */
   override def getOffset: Option[Offset] = {
     val latest = VT.latestVersion(table).getOrElse(return None)
     lastEnd.orElse(startExclusive) match {
@@ -157,10 +232,49 @@ final class VersionedStreamSource(
         Some(LongOffset(latest))
       case Some(f) if f >= latest => lastEnd.map(LongOffset(_))
       case Some(f) =>
-        val end = admit(f, latest)
+        val end = admit(f, latest, maxFilesPerTrigger)
         lastEnd = Some(end)
         Some(LongOffset(end))
     }
+  }
+
+  /** Commit schema jsons already proven compatible with the bound
+    * schema — each distinct json is checked once, not once per batch. */
+  private val okSchemas =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private lazy val boundTypes: Map[String, String] =
+    dataSchema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+
+  /** Fail a SERVED commit whose schema evolved past the bound one: its
+    * files carry columns (or re-typed columns) the bound schema would
+    * silently drop from every downstream sink until a manual restart —
+    * the silent-data-loss window Delta closes the same way. Subset
+    * schemas pass (missing columns read as null, no data is lost);
+    * nullability differences are ignored (catalogString). Commits whose
+    * files are NOT served (skipChangeCommits, optimize) are never
+    * checked — nothing of theirs can be dropped. */
+  private def checkSchema(c: VT.Commit): Unit = {
+    if (!failOnSchemaChange) return
+    val json = c.schemaJson
+    if (json == null || json.isEmpty || okSchemas.contains(json)) return
+    val fields = scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType].fields.toSeq
+    ).getOrElse(return) // unparseable: files still read through the bound schema
+    val evolved = fields.filterNot(f =>
+      boundTypes.get(f.name).contains(f.dataType.catalogString))
+    if (evolved.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming read of $table hit version ${c.version}, whose " +
+          s"schema evolved past the one this query bound (new or " +
+          s"re-typed: ${evolved.map(f =>
+            s"${f.name}: ${f.dataType.catalogString}").mkString(", ")}). " +
+          "Serving it through the bound schema would silently drop " +
+          "those columns from the sink. Restart the query to bind the " +
+          "evolved schema, or set failOnSchemaChange=false to serve " +
+          "through the bound schema anyway")
+    okSchemas.add(json)
   }
 
   /** `_change_type` / `_commit_version` / `_commit_timestamp` stamps on
@@ -197,7 +311,11 @@ final class VersionedStreamSource(
       case Some(f) =>
         val commits = VT.commitsIn(table, f, endV)
         if (!readChangeFeed) {
-          val adds = commits.flatMap(addsOf)
+          val adds = commits.flatMap { c =>
+            val a = addsOf(c)
+            if (a.nonEmpty) checkSchema(c)
+            a
+          }
           // per-file stats come from the ADDING commit, not the end
           // state: a later (skipped) compaction may have already retired
           // these files from the live state, but their bytes are still
@@ -220,6 +338,7 @@ final class VersionedStreamSource(
                   .getOrElse(None)
               else VT.changeFilesOf(table, c)
             cf.collect { case (files, synth) if files.nonEmpty =>
+              checkSchema(c)
               val base = VT.streamingScan(spark, table, files, c.stats,
                 if (synth) dataSchema else cdfSchema, Nil)
               stamped(base, insertType = synth, c.version, c.ts)
@@ -283,7 +402,14 @@ final class VersionedStreamSourceProvider
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-versioned derives its schema from " +
       "the table log; a user-specified schema is not supported")
-    (shortName(), logSchema(parameters))
+    val bound = logSchema(parameters)
+    // thread the JUST-BOUND schema to the matching createSource call: the
+    // engine resolves the StreamingRelation's attributes from THIS result
+    // but instantiates the provider again for createSource — re-deriving
+    // there would race a schema-evolving commit landing between the two
+    // calls and fail the query with a confusing attribute mismatch
+    VersionedStreamSourceProvider.bound.put(parameters, bound)
+    (shortName(), bound)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -300,8 +426,25 @@ final class VersionedStreamSourceProvider
       parameters.get("skipChangeCommits").exists(_.toBoolean),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       cdf(parameters),
-      schema.getOrElse(logSchema(parameters)))
+      schema.orElse(Option(
+          VersionedStreamSourceProvider.bound.remove(parameters)))
+        .getOrElse(logSchema(parameters)),
+      failOnSchemaChange =
+        parameters.get("failOnSchemaChange").forall(_.toBoolean))
   }
+}
+
+object VersionedStreamSourceProvider {
+  /** sourceSchema → createSource schema hand-off, keyed by the exact
+    * options map (the engine passes the same map to both calls).
+    * Entries are consumed by createSource; a createSource with no entry
+    * (direct construction, engine internals changed) falls back to
+    * re-deriving from the log, today's behavior. Equal-option concurrent
+    * streams may steal each other's entry — harmless, the values are
+    * equal unless an evolution raced, in which case both outcomes were
+    * legal serializations. */
+  private[io] val bound = new java.util.concurrent.ConcurrentHashMap[
+    Map[String, String], StructType]()
 }
 
 object VersionedStreamSource {

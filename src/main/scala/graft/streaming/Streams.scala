@@ -492,11 +492,25 @@ object Streams {
     * CDF stream's first batch is the source SNAPSHOT as inserts, so the
     * view bootstraps itself from an empty state; from then on every
     * refresh costs O(changes), never a source rescan — the 100 TB
-    * materialized-view shape. State writes are txn-keyed on the batch
-    * id, so a checkpoint-replayed batch finds its own earlier overwrite
-    * and the maintained state stays EXACTLY `sumState(snapshot)` at
-    * every commit boundary (CdfSpec asserts the equivalence; the q167
-    * gate hashes it against the DuckDB recompute). */
+    * materialized-view shape.
+    *
+    * State WRITES are file-granular, not a full-state overwrite: the
+    * batch's envelopes name the touched groups, the fold runs over just
+    * those groups' prior rows (semi-join against the state), and the
+    * refreshed rows land through
+    * [[graft.io.VersionedTable.applyChanges]] keyed on the group keys —
+    * only state files HOLDING a touched group rewrite (manifest stats on
+    * the keys pre-prune the candidates), every other file carries over
+    * by reference. A billion-group state absorbing a 1-row delta
+    * rewrites one file, not the table — write amplification is
+    * O(touched files), where the pre-r12 snapshot→overwrite shape paid
+    * O(state) per trigger and grew the state's own log by a full file
+    * set per batch. Writes are txn-keyed on the batch id, so a
+    * checkpoint-replayed batch finds its own earlier commit and the
+    * maintained state stays EXACTLY `sumState(snapshot)` at every commit
+    * boundary (CdfSpec asserts the equivalence AND that an untouched
+    * state file's name survives a refresh; the q167 gate hashes it
+    * against the DuckDB recompute). */
   def materializedViewSink(spark: SparkSession, sourceTable: String,
       stateTable: String, keys: Seq[String], valueCol: String,
       checkpoint: String,
@@ -516,17 +530,30 @@ object Streams {
         // state table for nothing — and on an auto-compacted source
         // that is a full state rewrite per compaction
         if (!batch.isEmpty) {
+        // the touched groups: only THEIR state rows can change
+        val touched = batch.select(keys.map(col): _*).distinct()
         val prev = graft.io.VersionedTable.latestVersion(stateTable) match {
           // bootstrap: an empty state with the CANONICAL schema — the
           // snapshot-as-inserts first batch then builds the full view
           case None => graft.ops.IncrementalAgg.sumState(
             batch.filter(lit(false)), keys, valueCol)
           case Some(_) => graft.io.VersionedTable.snapshot(s, stateTable)
+            .join(touched, keys, "left_semi")
         }
         val next = graft.ops.IncrementalAgg.applyChangeFeed(
           prev, batch, keys, valueCol)
-        graft.io.VersionedTable.overwrite(s, next, stateTable,
-          txn = Some(("graft-mv", batchId)))
+        // groups whose count reached zero drop out of `next` — they
+        // leave the state as explicit deletes; everything else upserts
+        val gone = prev.join(next.select(keys.map(col): _*),
+            keys, "left_anti")
+          .withColumn("_change_type", lit("delete"))
+        graft.io.VersionedTable.applyChanges(s,
+          next.withColumn("_change_type", lit("insert"))
+            .unionByName(gone),
+          stateTable, keys, "graft-mv", batchId,
+          // sticky key stats: single-key views then pre-prune the hit
+          // candidates from the manifest alone
+          statsFor = keys)
         }
         ()
       }

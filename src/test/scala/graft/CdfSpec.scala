@@ -269,6 +269,55 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("MV refresh rewrites only the state files holding touched groups") {
+    withDirs { (t, ck) =>
+      val state = s"$ck.state"
+      def run(): Unit = {
+        val q = graft.streaming.Streams.materializedViewSink(
+          spark, t, state, Seq("v"), "id", ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      // two group keys PROVEN to hash into different shuffle partitions
+      // (hash-partitioned groups then land in different state files)
+      val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val Seq(ka, kz) = ('a' to 'p').map(_.toString)
+        .map(l => l -> spark.range(1)
+          .select(pmod(hash(lit(l)), lit(numParts))).head.getInt(0))
+        .distinctBy(_._2).take(2).map(_._1)
+      VT.append(spark, df(1 -> ka, 2 -> ka, 3 -> kz), t)
+      enable(t)
+      // bootstrap with AQE partition-coalescing off, so the two groups
+      // hash into SEPARATE state files — the layout the file-granularity
+      // assertion below needs (tiny test data would otherwise coalesce
+      // into one file and make every refresh trivially whole-table)
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val saved = spark.conf.get(coalesceKey)
+      spark.conf.set(coalesceKey, "false")
+      try run() finally spark.conf.set(coalesceKey, saved)
+      val before = VT.snapshot(spark, state).inputFiles.toSet
+      val zFiles = before.filter(f =>
+        spark.read.parquet(f).filter(col("v") === kz).count() > 0)
+      val aFiles = before.filter(f =>
+        spark.read.parquet(f).filter(col("v") === ka).count() > 0)
+      assert(zFiles.nonEmpty && aFiles.nonEmpty &&
+        zFiles.intersect(aFiles).isEmpty,
+        s"groups colocated ($aFiles vs $zFiles) — pick different keys")
+      VT.merge(spark, df(4 -> ka), t, Seq("id")) // touches group ka only
+      run()
+      val after = VT.snapshot(spark, state).inputFiles.toSet
+      // the untouched group's file carried over BY NAME; the touched
+      // group's file was replaced — write amplification is O(touched
+      // files), not O(state)
+      assert(zFiles.subsetOf(after), "untouched state file was rewritten")
+      assert(aFiles.intersect(after).isEmpty,
+        "touched state file should have been replaced")
+      val view = VT.snapshot(spark, state)
+        .select(col("v"), col("n"), col("sum_v").cast("double"))
+        .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(view.sortBy(_._2) == Seq((kz, 1L, 3.0), (ka, 3L, 7.0)))
+    }
+  }
+
   test("scd2Sink maintains type-2 validity windows from the change stream") {
     withDirs { (t, ck) =>
       val dim = s"$ck.dim"

@@ -245,6 +245,114 @@ class VersionedStreamSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow drains the whole backlog in paced batches, " +
+    "then stops on its own") {
+    withDirs { (t, ck) =>
+      // four single-file commits; maxFilesPerTrigger=1 admits ONE per
+      // batch — the single-batch fallback the old source fell into
+      // would stop after v0 and leave three commits undrained
+      Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d").foreach { p =>
+        VT.append(spark, df(p).repartition(1), t)
+      }
+      val name = freshName()
+      val q = spark.readStream.format("graft-versioned")
+        .option("startingVersion", "0").option("maxFilesPerTrigger", "1")
+        .load(t)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q.awaitTermination(120000),
+          "AvailableNow query did not self-terminate")
+        assert(sinkRows(name) ==
+          Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+        // pacing held across the drain: one version per non-empty batch
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("AvailableNow pins its drain target at prepare time; a commit " +
+    "landing after the pin waits for the next run") {
+    withDirs { (t, _) =>
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      VT.append(spark, df(1 -> "a"), t) // v0
+      val src = new graft.io.VersionedStreamSource(spark, t,
+        startExclusive = Some(-1L), skipChangeCommits = false,
+        maxFilesPerTrigger = None, readChangeFeed = false,
+        schema = VT.snapshot(spark, t).schema)
+      src.prepareForTriggerAvailableNow() // pin = v0
+      VT.append(spark, df(2 -> "b"), t) // v1 lands after the pin
+      val end = src.latestOffset(null, ReadLimit.allAvailable())
+      assert(end.json.trim.toLong == 0L, "post-pin commit was admitted")
+      // re-poll returns the unchanged cursor → the engine sees no new
+      // data and ends the run; v1 is the NEXT run's first batch
+      val again = src.latestOffset(end, ReadLimit.allAvailable())
+      assert(again.json.trim.toLong == 0L)
+    }
+  }
+
+  test("an AvailableNow run picks up exactly the commits the previous " +
+    "run left behind") {
+    withDirs { (t, ck) =>
+      val out = s"$ck.out"
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-versioned").load(t)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try assert(q.awaitTermination(120000)) finally q.stop()
+      }
+      VT.append(spark, df(1 -> "a"), t)
+      run()
+      assert(spark.read.parquet(out).orderBy("id")
+        .as[(Int, String)].collect().toSeq == Seq(1 -> "a"))
+      VT.append(spark, df(2 -> "b"), t) // lands between runs
+      run()
+      assert(spark.read.parquet(out).orderBy("id")
+        .as[(Int, String)].collect().toSeq == Seq(1 -> "a", 2 -> "b"))
+    }
+  }
+
+  test("a schema-evolving commit fails the stream with a restart hint") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a"), t)
+      val name = freshName()
+      val q = start(t, ck, name)
+      try {
+        q.processAllAvailable()
+        VT.append(spark, Seq((2, "b", 9L)).toDF("id", "v", "extra"), t,
+          mergeSchema = true)
+        val ex = intercept[StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        val msg = Option(ex.cause).fold(ex.getMessage)(_.getMessage)
+        assert(msg.contains("Restart the query"), msg)
+        assert(msg.contains("extra"), msg)
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
+  test("failOnSchemaChange=false serves evolved commits through the " +
+    "bound schema (documented opt-out)") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a"), t)
+      val name = freshName()
+      val q = start(t, ck, name, Map("failOnSchemaChange" -> "false"))
+      try {
+        q.processAllAvailable()
+        VT.append(spark, Seq((2, "b", 9L)).toDF("id", "v", "extra"), t,
+          mergeSchema = true)
+        q.processAllAvailable()
+        // the evolved column is dropped — exactly the silent window the
+        // default closes; the opt-out accepts it knowingly
+        assert(sinkRows(name) == Seq(1 -> "a", 2 -> "b"))
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
   test("schema binds from the log; table must pre-exist") {
     withDirs { (t, _) =>
       val ex = intercept[Exception] {
