@@ -38,12 +38,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * results are exact regardless of stats quality — skipping only ever
   * removes provably-empty work.
   *
-  * Comparison semantics mirror the manifest encoding (values stored as
-  * `CAST(col AS STRING)` at write time): numerics compare as exact
-  * decimals; strings, dates and timestamps compare lexically (Spark's
-  * canonical renderings are order-faithful). Literals are rendered
-  * through the SAME `Cast` so both sides of every comparison agree. Other
-  * types never prune.
+  * Comparison semantics mirror the manifest encoding: numerics compare
+  * as exact decimals; TIMESTAMP stats are zone-independent UTC micros
+  * and compare numerically (a `CAST AS STRING` encoding would render
+  * under the writer's session timezone and mis-prune for readers in a
+  * different zone); strings, dates and NTZ timestamps are stored as
+  * `CAST(col AS STRING)` and compare lexically (those renderings never
+  * consult the zone and are order-faithful). Literals are rendered
+  * through the SAME encoding so both sides of every comparison agree.
+  * Other types never prune.
   *
   * Driver-side cost: pure in-memory compares over the manifest — zero
   * I/O, O(files × conjuncts), the same scaling class as Delta's
@@ -134,40 +137,63 @@ final class GraftFileIndex(
     UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
 
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
-    case _: NumericType =>
+    // TimestampType stats and probes are both UTC micros (see below) —
+    // integer strings, compared numerically
+    case _: NumericType | TimestampType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => utf8Cmp(a, b)
   }
 
-  /** `CAST(lit AS STRING)` — the exact rendering [[VersionedTable]] used
-    * when it wrote the manifest stats, so comparisons never straddle two
-    * formats. Null literals and failed casts yield None (→ no pruning). */
+  /** The manifest encoding of a probe literal, matching EXACTLY how
+    * [[VersionedTable.computeStats]] wrote the file stats, so comparisons
+    * never straddle two formats. TimestampType renders as its internal
+    * UTC-micros value — zone-independent, where `CAST(ts AS STRING)`
+    * renders under the session timezone and a reader whose zone differs
+    * from the writer's would compare two different renderings and
+    * silently prune files that contain matching rows. Everything else is
+    * `CAST(lit AS STRING)`, which never consults the zone for the
+    * remaining comparable types. Null literals and failed casts yield
+    * None (→ no pruning). */
   private def render(lit: Literal): Option[String] =
     if (lit.value == null) None
-    else scala.util.Try(
-      Cast(lit, StringType, Some(zoneId)).eval(InternalRow.empty)
-    ).toOption.flatMap(v => Option(v).map(_.toString))
-      .filterNot(exoticTemporal(lit.dataType, _))
+    else lit.dataType match {
+      case TimestampType =>
+        scala.util.Try(lit.value.asInstanceOf[Long].toString).toOption
+      case _ => scala.util.Try(
+          Cast(lit, StringType, Some(zoneId)).eval(InternalRow.empty)
+        ).toOption.flatMap(v => Option(v).map(_.toString))
+          .filterNot(exoticTemporal(lit.dataType, _))
+    }
 
-  /** Does this date/timestamp rendering sort faithfully? Years outside
-    * [0, 9999] render with a sign ("+10000-…", "-0044-…") and break the
-    * lexical order ('+' < '9'); such stats must not prune. */
+  /** Does this date/timestamp-NTZ rendering sort faithfully? Years
+    * outside [0, 9999] render with a sign ("+10000-…", "-0044-…") and
+    * break the lexical order ('+' < '9'); such stats must not prune.
+    * (TimestampType never gets here — its micros compare numerically.) */
   private def exoticTemporal(dt: DataType, v: String): Boolean = dt match {
-    case DateType | TimestampType | TimestampNTZType =>
+    case DateType | TimestampNTZType =>
       v.startsWith("+") || v.startsWith("-")
     case _ => false
   }
 
+  /** Recorded TimestampType stats must be in the canonical micros form
+    * to prune: stats written by a pre-micros writer are session-zone
+    * renderings whose zone is unknown — comparing them at all could
+    * mis-prune, so they conservatively keep the file. */
+  private def microsForm(v: String): Boolean =
+    GraftFileIndex.MicrosRe.matches(v)
+
   /** Range of `attr` in this file, as (min, max, type) — None when the
     * column is unknown, stats are absent, the type's rendering is not
-    * order-faithful, or a temporal bound falls outside the lexically
-    * faithful year range. */
+    * order-faithful, or a temporal bound falls outside the faithful
+    * form (signed-year date/NTZ renderings; legacy non-micros timestamp
+    * stats). */
   private def range(attr: Attribute, fs: Map[String, (String, String)])
       : Option[(String, String, DataType)] =
     for {
       dt <- fieldType.get(attr.name) if comparable(dt)
       (lo, hi) <- fs.get(attr.name)
       if !exoticTemporal(dt, lo) && !exoticTemporal(dt, hi)
+      if dt != TimestampType || (microsForm(lo) && microsForm(hi))
     } yield (lo, hi, dt)
 
   /** May any row of file `name` with stats `fs` satisfy `e`? `true` =
@@ -309,4 +335,11 @@ final class GraftFileIndex(
         }
       case _ => true
     })
+}
+
+object GraftFileIndex {
+  /** The canonical TimestampType stats encoding: a (possibly negative)
+    * integer of UTC micros. Anything else is a legacy session-zone
+    * rendering and must not prune. */
+  private[io] val MicrosRe = "-?\\d+".r
 }

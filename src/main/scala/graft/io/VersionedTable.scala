@@ -783,26 +783,36 @@ object VersionedTable {
     // commit's: a subset-schema append can move-to-end a schema missing
     // this column, and falling back to lexical compare on a numeric
     // column would mis-prune ("10" < "2")
-    val numeric = unionSchema(st.schemas).find(_.name == column)
-      .orElse(schema.find(_.name == column)).exists(f =>
-        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    // bounds must render EXACTLY as the stats writer rendered values —
-    // CAST(v AS STRING) under the session timezone. JVM toString
-    // disagrees for timestamps ('2024-01-01 12:34:56.0' vs the cast's
-    // '2024-01-01 12:34:56'; java8 Instant renders with 'T' and 'Z')
-    // and would silently mis-prune. Same discipline as GraftFileIndex.
+    val colType = unionSchema(st.schemas).find(_.name == column)
+      .orElse(schema.find(_.name == column)).map(_.dataType)
+    val numeric =
+      colType.exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val isTs =
+      colType.contains(org.apache.spark.sql.types.TimestampType)
+    // bounds must render EXACTLY as the stats writer rendered values.
+    // TIMESTAMP bounds become zone-independent UTC micros (the canonical
+    // stats form — a session-zone CAST rendering would mis-prune when
+    // reader and writer zones differ); everything else is
+    // CAST(v AS STRING), whose remaining renderings never consult the
+    // zone. JVM toString would disagree for timestamps/Instants and
+    // silently mis-prune. Same discipline as GraftFileIndex.
     def render(v: Any): Option[String] = scala.util.Try {
       val l = org.apache.spark.sql.catalyst.expressions.Literal(v)
-      val s = org.apache.spark.sql.catalyst.expressions
-        .Cast(l, StringType, Some(zoneId))
-        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-      (l.dataType, Option(s).map(_.toString))
+      if (l.dataType == org.apache.spark.sql.types.TimestampType)
+        (l.dataType, Option(l.value).map(_.asInstanceOf[Long].toString))
+      else {
+        val s = org.apache.spark.sql.catalyst.expressions
+          .Cast(l, StringType, Some(zoneId))
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        (l.dataType, Option(s).map(_.toString))
+      }
     }.toOption.flatMap {
-      // signed-year temporals ('+10000-…', '-0044-…') break lexical
-      // order — such a bound must not prune anything
+      // signed-year date renderings ('+10000-…', '-0044-…') break
+      // lexical order — such a bound must not prune anything (timestamp
+      // micros compare numerically, so they are exempt)
       case (dt, Some(s))
         if (dt == org.apache.spark.sql.types.DateType ||
-          dt == org.apache.spark.sql.types.TimestampType) &&
+          dt == org.apache.spark.sql.types.TimestampNTZType) &&
           (s.startsWith("+") || s.startsWith("-")) => None
       case (_, so) => so
     }
@@ -816,18 +826,23 @@ object VersionedTable {
     // min/max used when the stats were written (UTF-16 compareTo
     // disagrees around the surrogate range and would mis-prune)
     def cmp(a: String, b: String): Int =
-      if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      if (numeric || isTs)
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
       else org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // legacy timestamp stats (pre-micros session-zone renderings) keep
+    // their file: their writer zone is unknown, comparing could mis-prune
+    def usable(v: String): Boolean =
+      !isTs || GraftFileIndex.MicrosRe.matches(v)
     st.files.filter { f =>
       st.fileStats.get(f).flatMap(_.get(column)) match {
-        case Some((fMin, fMax)) =>
+        case Some((fMin, fMax)) if usable(fMin) && usable(fMax) =>
           // unparseable stats (double Infinity/NaN renderings) keep the
           // file rather than failing the read
           scala.util.Try(
             hiS.forall(h => cmp(fMin, h) <= 0) &&
               loS.forall(l => cmp(fMax, l) >= 0)).getOrElse(true)
-        case None => true // no stats: cannot exclude
+        case _ => true // no/legacy stats: cannot exclude
       }
     }
   }
@@ -1114,10 +1129,11 @@ object VersionedTable {
     * `(n, n)` string pairs), so ONE codec / checkpoint / replay / merge
     * path serves all file statistics — the Delta stats triple
     * (minValues, maxValues, nullCount + numRecords) in a flat encoding.
-    * Real column names never collide: writers reject leading-`__` names
-    * nowhere, but [[filesInRange]]/[[GraftFileIndex]] look stats up BY
-    * QUERY column name, so a hypothetical `__rows` data column simply
-    * shadows its own pruning, never another column's. */
+    * Real column names never collide: an explicit request to index a
+    * `__`-prefixed column is REJECTED ([[effectiveCols]]) and the stats
+    * collectors skip such names outright ([[computeStats]]/
+    * [[computeBlooms]]), so no data column can ever write under a
+    * reserved key — a `__rows` data column simply is not skippable. */
   private[io] val RowsKey = "__rows"
   private[io] val BytesKey = "__bytes"
   private[io] def nullsKey(c: String) = s"__nulls_$c"
@@ -1146,11 +1162,30 @@ object VersionedTable {
       files: Seq[String], statsFor: Seq[String]): FileStats = {
     if (statsFor.isEmpty || files.isEmpty) return Map.empty
     val df = spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    // reserved `__` keys (row/null/byte counts) share the stats map with
+    // real column names — a data column named like one of them would
+    // store min/max under another column's count key and mis-prune;
+    // writers simply never index such columns (enforced up-stack by
+    // [[rejectReservedStatNames]] for explicit requests)
     val cols = statsFor.filter(df.columns.contains)
+      .filterNot(_.startsWith("__"))
     if (cols.isEmpty) return Map.empty
+    // TIMESTAMP stats are stored as zone-independent UTC micros, not as
+    // CAST(ts AS STRING): the cast renders under the WRITER's session
+    // timezone, and a reader in a different zone comparing its own
+    // rendering against it would silently prune files that DO contain
+    // matching rows. Micros order exactly as the timestamps do and both
+    // sides of every later comparison are plain integers. (DateType and
+    // TimestampNTZ renderings never consult the zone — they stay casts.)
+    val isTs: Set[String] = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+      .map(_.name).toSet
+    def bound(c: String, agg: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      if (isTs(c)) unix_micros(agg).cast(StringType) else agg.cast(StringType)
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast(StringType).as(s"__min_$c"),
-      max(col(c)).cast(StringType).as(s"__max_$c"),
+      bound(c, min(col(c))).as(s"__min_$c"),
+      bound(c, max(col(c))).as(s"__max_$c"),
       count(col(c)).as(s"__cnt_$c"))) :+ count(lit(1)).as("__n")
     df.groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1197,7 +1232,23 @@ object VersionedTable {
     * Entries for files later rewritten (MERGE / DELETE) die silently with
     * their files; a full-replacement commit (overwrite / OPTIMIZE /
     * restore) RESETS the sidecar list, so rebuilding the index is part of
-    * the regular compaction cadence, as in Delta. */
+    * the regular compaction cadence, as in Delta.
+    *
+    * Cost bounds (a wide append must not OOM the driver):
+    *  - filters are sized per SIZE CLASS (power-of-4 row-count buckets),
+    *    not for the batch's largest file — a batch mixing a 128 MB file
+    *    with thousand-row stragglers no longer pays largest-file bits ×
+    *    every file (waste is bounded at 4× within a class; one narrow
+    *    aggregate pass per class, each over only its class's files, so
+    *    total data read is unchanged);
+    *  - the sidecar TOTAL is capped at [[MaxBloomSidecarBytes]]: classes
+    *    are admitted largest-files-first (a hit on a big file skips the
+    *    most I/O) and files past the cap simply get no filter —
+    *    conservative keep on the read side — with a warning naming the
+    *    drop;
+    *  - entries STREAM to the sidecar through `toLocalIterator` (one
+    *    file's filters in driver memory at a time), never a collect of
+    *    every filter + mkString of a multi-GB string. */
   private def computeBlooms(spark: SparkSession, table: String,
       files: Seq[String], bloomFor: Seq[String],
       fpp: Double): Seq[String] = {
@@ -1205,46 +1256,91 @@ object VersionedTable {
     require(fpp > 0 && fpp < 1, s"bloomFpp must be in (0,1), got $fpp")
     val df = spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
     val cols = bloomFor.filter(df.columns.contains)
+      .filterNot(_.startsWith("__")) // reserved-key namespace, never indexed
     if (cols.isEmpty) return Nil
-    // pass 1: size for the largest file (numBits is a plan constant)
-    val maxRows = df.groupBy(col("_metadata.file_path"))
-      .count().agg(max(col("count"))).head().getLong(0)
-    val items = math.max(1L, maxRows)
-    // n * ln(1/p) / ln(2)^2, the standard optimal-bits formula
-    val numBits = math.min(1L << 26,
+    // pass 1: per-file row counts → power-of-4 size classes
+    val counts: Seq[(String, Long)] = df
+      .groupBy(col("_metadata.file_path")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def sizeClass(n: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) / 2
+    def numBits(items: Long): Long = math.min(1L << 26,
+      // n * ln(1/p) / ln(2)^2, the standard optimal-bits formula
       math.max(64L, (items * math.log(1.0 / fpp) /
         (math.log(2) * math.log(2))).ceil.toLong))
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
-    // pass 2: one grouped aggregate builds every (file, column) filter
-    val aggs = cols.map { c =>
-      Bridge.column(new BloomFilterAggregate(
-        new XxHash64(Seq(Bridge.expression(col(c)))),
-        Literal(items), Literal(numBits)).toAggregateExpression())
-        .as(s"__bf_$c")
-    }
-    val rows = df.groupBy(col("_metadata.file_path").as("__fp"))
-      .agg(aggs.head, aggs.tail: _*).collect()
     val enc = java.util.Base64.getEncoder
-    val entries = rows.toSeq.flatMap { r =>
-      val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString
-      cols.flatMap { c =>
-        Option(r.getAs[Array[Byte]](s"__bf_$c")).map { b =>
-          s"""{"file":${Fmt.jsonString(name)},"column":${Fmt.jsonString(c)},""" +
-            s""""bloom":${Fmt.jsonString(enc.encodeToString(b))}}"""
-        }
-      }
-    }
-    if (entries.isEmpty) return Nil
     val sidecar = s"${UUID.randomUUID().toString.take(12)}-bloom.json"
     val tmp = Paths.get(table, s".tmp-$sidecar")
-    Files.writeString(tmp,
-      entries.mkString("""{"entries":[""", ",", "]}"))
+    val w = Files.newBufferedWriter(tmp)
+    var written = 0L // sidecar payload bytes so far
+    var entries = 0L
+    var skipped = 0  // files dropped past the cap
+    try {
+      w.write("""{"entries":[""")
+      // largest classes first: under the cap, a filter on a big file
+      // buys the most skipped I/O per sidecar byte
+      for ((cls, members) <- counts.groupBy(c => sizeClass(c._2)).toSeq
+          .sortBy { case (k, _) => -k }) {
+        val items = math.max(1L, members.map(_._2).max)
+        val bits = numBits(items)
+        // base64 inflates 4/3; header bytes are noise at these sizes
+        val projected = bits / 8 * 4 / 3 * members.size * cols.size
+        if (written + projected > MaxBloomSidecarBytes) {
+          skipped += members.size
+        } else {
+          val sub = spark.read.parquet(
+            members.map(m => new java.net.URI(m._1).getPath): _*)
+          val aggs = cols.map { c =>
+            Bridge.column(new BloomFilterAggregate(
+              new XxHash64(Seq(Bridge.expression(col(c)))),
+              Literal(items), Literal(bits)).toAggregateExpression())
+              .as(s"__bf_$c")
+          }
+          val it = sub.groupBy(col("_metadata.file_path").as("__fp"))
+            .agg(aggs.head, aggs.tail: _*).toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
+              .getFileName.toString
+            cols.foreach { c =>
+              Option(r.getAs[Array[Byte]](s"__bf_$c")).foreach { b =>
+                val payload = enc.encodeToString(b)
+                if (entries > 0) w.write(",")
+                w.write(s"""{"file":${Fmt.jsonString(name)},""" +
+                  s""""column":${Fmt.jsonString(c)},""" +
+                  s""""bloom":${Fmt.jsonString(payload)}}""")
+                written += payload.length
+                entries += 1
+              }
+            }
+          }
+        }
+      }
+      w.write("]}")
+    } finally w.close()
+    if (skipped > 0)
+      log.warn(s"bloom index for $table: sidecar cap " +
+        s"($MaxBloomSidecarBytes bytes) reached after $written bytes — " +
+        s"$skipped of ${counts.size} files get no filter this commit " +
+        "(reads stay correct, those files just never bloom-prune); " +
+        "raise the cap, reduce bloom columns, or compact before indexing")
+    if (entries == 0) { Files.deleteIfExists(tmp); return Nil }
     Files.move(tmp, Paths.get(table, sidecar), StandardCopyOption.ATOMIC_MOVE)
     Seq(sidecar)
   }
+
+  /** Hard cap on one commit's Bloom sidecar payload (operational knob,
+    * like [[commitArbiter]]). 128 MB ≈ 16 full-size (2^26-bit) filters —
+    * far beyond a sane per-commit index, close enough to stop a wide
+    * append × many bloom columns from building a multi-GB sidecar on the
+    * driver; files past the cap simply never bloom-prune. */
+  @volatile var MaxBloomSidecarBytes: Long = 128L * 1024 * 1024
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.io.VersionedTable")
 
   /** Columns the table currently tracks min/max stats for — the REAL
     * column names in the live manifest (reserved `__` count keys
@@ -1283,22 +1379,62 @@ object VersionedTable {
       })
     }.distinct
 
-  /** Explicit request wins; otherwise inherit what the table tracks. */
+  /** Explicit request wins; otherwise inherit what the table tracks.
+    * `__`-prefixed names are rejected loudly: the reserved row/null/byte
+    * count keys live in the same per-file stats map as column names, so
+    * indexing a column literally named `__nulls_x` would store its
+    * min/max under column x's null-count key and mis-prune x. */
   private def effectiveCols(requested: Seq[String],
-      tracked: => Seq[String]): Seq[String] =
+      tracked: => Seq[String]): Seq[String] = {
+    val bad = requested.filter(_.startsWith("__"))
+    require(bad.isEmpty,
+      s"cannot index '__'-prefixed columns (${bad.mkString(", ")}): the " +
+        "prefix is reserved for per-file count keys in the stats map; " +
+        "rename the column to make it skippable")
     if (requested.nonEmpty) requested else tracked
+  }
 
   /** Loaded bloom sidecars, keyed by absolute sidecar path — sidecar
     * files are immutable once committed, so entries never invalidate
-    * (vacuumed sidecars just stop being referenced by any state). */
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
+    * (vacuumed sidecars just stop being referenced by any state). The
+    * cache is a BYTE-BUDGETED LRU: a long-lived driver reading many
+    * snapshot generations would otherwise accumulate every filter it
+    * ever deserialized (up to 8 MB each) without bound. */
+  private object bloomCache {
+    private val BudgetBytes = 256L * 1024 * 1024
+    private var bytes = 0L
+    private val map = new java.util.LinkedHashMap[String,
+      (Long, Map[(String, String), org.apache.spark.util.sketch.BloomFilter])](
+      16, 0.75f, /* accessOrder = */ true)
+
+    def get(key: String, load: String =>
+        Map[(String, String), org.apache.spark.util.sketch.BloomFilter])
+        : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+      synchronized {
+        val hit = map.get(key)
+        if (hit != null) hit._2
+        else {
+          val v = load(key)
+          val sz = v.valuesIterator.map(_.bitSize() / 8).sum
+          map.put(key, (sz, v))
+          bytes += sz
+          val it = map.entrySet().iterator()
+          // evict least-recently-used first; never the entry just added
+          // (a single over-budget sidecar stays cached alone)
+          while (bytes > BudgetBytes && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) { bytes -= e.getValue._1; it.remove() }
+          }
+          v
+        }
+      }
+  }
 
   private def loadBlooms(table: String, sidecars: Seq[String])
       : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
     sidecars.flatMap { sc =>
       val p = Paths.get(table, sc).toAbsolutePath.toString
-      bloomCache.computeIfAbsent(p, { key =>
+      bloomCache.get(p, { key =>
         val kp = Paths.get(key)
         if (!Files.exists(kp)) Map.empty
         else {

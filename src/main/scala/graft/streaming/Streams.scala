@@ -81,7 +81,20 @@ object Streams {
   /** Stateful sessionization (gap-close after `gapSeconds` of inactivity),
     * emitting a session when its gap elapses (event-time timeout). The
     * batch gap-and-island version is q21_sessionize; this one maintains
-    * per-user state bounded by the watermark. */
+    * per-user state bounded by the watermark.
+    *
+    * Bounded-state caveat (the one deliberate divergence from the batch
+    * twin): only the NEWEST island per key stays open in state — every
+    * earlier island closes at batch end. Two in-watermark stragglers that
+    * belong to the SAME earlier island but arrive in DIFFERENT
+    * micro-batches therefore emit as two sessions (possibly overlapping)
+    * where q21's batch gap-and-islands would merge them into one. Keeping
+    * K recent islands open until the watermark passes `end + gap` would
+    * close that window at K× the state; at one open island per key, state
+    * stays O(keys) regardless of how disordered the stream is — the trade
+    * this operator picks. Downstream consumers that must match the batch
+    * semantics exactly should re-merge overlapping sessions per key (a
+    * cheap batch gap-and-islands over the tiny session table). */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
       watermark: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -153,6 +153,80 @@ class BloomSkipSpec extends SparkSpec {
     }
   }
 
+  test("filters are sized per file size class, not for the batch's " +
+    "largest file") {
+    withTable { t =>
+      // ONE commit mixing a 4096-row file with a 4-row file. Explicit
+      // RDD slices pin the two partitions — DataFrame-level tricks
+      // (union of repartition(1)s) get collapsed by the optimizer
+      val slices: Seq[Seq[(Int, String)]] = Seq(
+        (0 until 4096).map(i => (i, s"b$i")),
+        (0 until 4).map(i => (10000 + i, s"s$i")))
+      val mixed = spark.sparkContext.parallelize(slices, 2)
+        .flatMap(identity).toDF("id", "tag")
+      val c = VT.append(spark, mixed, t, optimizeWrite = false,
+        bloomFor = Seq("tag"), bloomFpp = 0.01)
+      assert(c.add.size == 2, s"fixture wrote ${c.add} — need two files")
+      val sc = {
+        val l = Files.list(java.nio.file.Paths.get(t))
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .find(_.endsWith("-bloom.json")).get
+        finally l.close()
+      }
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readAllBytes(java.nio.file.Paths.get(t, sc)))
+      val sizes = node.get("entries").elements().asScala
+        .map(_.get("bloom").asText().length).toSeq.sorted
+      assert(sizes.size == 2)
+      // pow-4 classes: a 4-row file's filter must be far smaller than a
+      // 4096-row file's (the old batch-max sizing made them EQUAL)
+      assert(sizes.head * 8 < sizes.last,
+        s"filters not class-sized: $sizes")
+      // and both still answer probes exactly
+      val snap = VT.snapshot(spark, t)
+      val hit = snap.filter(col("tag") === "s2")
+      assert(hit.count() == 1 && filesScanned(hit, "tag") == 1)
+    }
+  }
+
+  test("the sidecar byte cap drops filters loudly, never correctness") {
+    withTable { t =>
+      val saved = VT.MaxBloomSidecarBytes
+      VT.MaxBloomSidecarBytes = 8 // nothing fits
+      try fourFiles(t, bloom = true)
+      finally VT.MaxBloomSidecarBytes = saved
+      val sidecars = {
+        val l = Files.list(java.nio.file.Paths.get(t))
+        try l.iterator().asScala.count(
+          _.getFileName.toString.endsWith("-bloom.json"))
+        finally l.close()
+      }
+      assert(sidecars == 0, "capped commit still wrote a sidecar")
+      // no filters → conservative keep: every file scans, results exact
+      val snap = VT.snapshot(spark, t)
+      val hit = snap.filter(col("tag") === "t2_7")
+      assert(hit.count() == 1 && filesScanned(hit, "tag") == 4)
+    }
+  }
+
+  test("explicitly indexing a reserved '__'-prefixed column is rejected") {
+    withTable { t =>
+      val df = Seq((1, "a")).toDF("id", "__nulls_id")
+      val e1 = intercept[IllegalArgumentException] {
+        VT.append(spark, df, t, statsFor = Seq("__nulls_id"))
+      }
+      assert(e1.getMessage.contains("reserved"))
+      val e2 = intercept[IllegalArgumentException] {
+        VT.append(spark, df, t, bloomFor = Seq("__rows"))
+      }
+      assert(e2.getMessage.contains("reserved"))
+      // the column itself is storable — it just cannot be indexed, so it
+      // can never shadow another column's count keys
+      VT.append(spark, df, t, statsFor = Seq("id"))
+      assert(VT.snapshot(spark, t).columns.contains("__nulls_id"))
+    }
+  }
+
   test("vacuum GCs bloom sidecars with their retired files") {
     withTable { t =>
       fourFiles(t, bloom = true)

@@ -107,6 +107,40 @@ class GraftFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("timestamp stats prune zone-independently across writer/reader " +
+    "session timezones") {
+    withTable { t =>
+      val tzKey = "spark.sql.session.timeZone"
+      val saved = spark.conf.get(tzKey)
+      def at(s: String) = java.time.Instant.parse(s)
+      try {
+        // writer session: US Pacific
+        spark.conf.set(tzKey, "America/Los_Angeles")
+        VT.append(spark,
+          Seq(at("2024-01-05T10:00:00Z"), at("2024-01-05T11:00:00Z"))
+            .toDF("ts"), t, statsFor = Seq("ts"))
+        VT.append(spark,
+          Seq(at("2024-06-05T10:00:00Z"), at("2024-06-05T11:00:00Z"))
+            .toDF("ts"), t, statsFor = Seq("ts"))
+        // reader session: Japan — stats are UTC micros, so renderings
+        // cannot straddle the two zones
+        spark.conf.set(tzKey, "Asia/Tokyo")
+        val snap = VT.snapshot(spark, t)
+        val late = snap.filter(col("ts") >= lit(at("2024-06-01T00:00:00Z")))
+        assert(late.count() == 2, "zone-skewed stats mis-pruned rows")
+        assert(filesScanned(late, "ts") == 1)
+        val early = snap.filter(col("ts") < lit(at("2024-02-01T00:00:00Z")))
+        assert(early.count() == 2 && filesScanned(early, "ts") == 1)
+        val eq = snap.filter(col("ts") === lit(at("2024-01-05T10:00:00Z")))
+        assert(eq.count() == 1 && filesScanned(eq, "ts") == 1)
+        // the manual range API prunes through the same canonical form
+        val manual = VT.snapshotWhere(spark, t, "ts",
+          lo = Some(at("2024-06-01T00:00:00Z")), hi = None)
+        assert(manual.count() == 2)
+      } finally spark.conf.set(tzKey, saved)
+    }
+  }
+
   test("conservative: stats-less files, unknown shapes, IsNull never prune") {
     withTable { t =>
       VT.append(spark, Seq((1, "a")).toDF("id", "v"), t) // NO statsFor
