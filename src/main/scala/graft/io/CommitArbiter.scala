@@ -70,4 +70,55 @@ object CommitArbiter {
       } finally Files.deleteIfExists(tmp)
     }
   }
+
+  /** The object-store contract stand-in: arbitration decided by ONE atomic
+    * conditional put against a process-wide claim registry — never by
+    * filesystem create-exclusive, which S3/GCS-style stores lack. This is
+    * the exact shape a real backend implements against the store's own
+    * primitive (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, a
+    * DynamoDB/ZooKeeper conditional write): the condition check and the
+    * claim are one atomic step; the winner then materializes the object
+    * all-at-once (tmp + atomic move emulates a PUT becoming visible only
+    * when complete, so readers never see a torn commit).
+    *
+    * A slot whose object already exists from OUTSIDE this registry's
+    * lifetime (an earlier process, a different arbiter) loses — matching
+    * the store's precondition, which tests object existence, not the
+    * caller's memory.
+    *
+    * This arbiter exists to PROVE the trait's contract is satisfiable by
+    * a conditional-put primitive alone: `CommitArbiterContractSpec` runs
+    * the same slot-race and multi-writer table suite against PosixLink
+    * and this arbiter. It is a single-process model (the registry is
+    * in-memory and never shrinks — recreating a table at a previously
+    * claimed path in the same JVM loses its v0 slot), so it is a test
+    * harness and a reference shape, not a deployable backend. */
+  object ConditionalPut extends CommitArbiter {
+    private val slots =
+      new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    def tryClaim(dir: Path, target: Path, json: String): Boolean = {
+      val key = target.toAbsolutePath.normalize.toString
+      var won = false
+      // per-key atomic claim WITH the object materialized inside it: a
+      // real store's conditional PUT is one step — the condition check,
+      // the claim, and the object's visibility are indivisible, so a
+      // loser must never observe its loss before the winner's object is
+      // readable (otherwise a lost-race retry re-reads the log, still
+      // sees no winner, recomputes the SAME slot and spins). The
+      // mapped value is unused; presence of the key IS the claim.
+      slots.computeIfAbsent(key, { _ =>
+        // precondition also fails against an object that predates the
+        // registry (an earlier process / another arbiter): the slot is
+        // owned, just not by us — record the claim, report the loss
+        if (!Files.exists(target)) {
+          val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}.json.tmp")
+          Files.writeString(tmp, json)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          won = true
+        }
+        won
+      })
+      won
+    }
+  }
 }

@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{CommitArbiter, Upsert, VersionedTable => VT}
+
+/** The [[graft.io.CommitArbiter]] contract, run against BOTH shipped
+  * arbiters — the POSIX default and the in-memory conditional-put model
+  * of an object-store backend. This is the harness an external
+  * implementer (S3 `If-None-Match`, GCS generation-match, DynamoDB
+  * conditional write) points their arbiter at: add it to `arbiters`
+  * below and every slot-race law plus the multi-writer table suite runs
+  * against it. Green here = the backend's single conditional-put
+  * primitive is sufficient for the whole multi-writer guarantee.
+  *
+  * Two layers:
+  *  1. raw slot-claim laws (exactly-one-winner, untorn content, loser
+  *     never throws, slots independent, pre-existing objects lose);
+  *  2. the table-level race suite — concurrent appends, WriteSerializable
+  *     rebase over an interleaved commit, Serializable abort, loser
+  *     schema revalidation — re-run with the arbiter installed
+  *     process-wide, proving the table logic needs nothing from the
+  *     storage layer beyond the trait.
+  */
+class CommitArbiterContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val arbiters: Seq[(String, CommitArbiter)] = Seq(
+    "PosixLink" -> CommitArbiter.PosixLink,
+    "ConditionalPut" -> CommitArbiter.ConditionalPut)
+
+  private def withDir[T](body: Path => T): T = {
+    val dir = Files.createTempDirectory("graft-arb")
+    try body(dir)
+    finally {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  private def withArbiter[T](a: CommitArbiter)(body: => T): T = {
+    val prev = VT.commitArbiter
+    try { VT.commitArbiter = a; body }
+    finally VT.commitArbiter = prev
+  }
+
+  private def df(pairs: (Int, String)*) = pairs.toDF("id", "v")
+
+  // ---- layer 1: raw slot-claim laws --------------------------------
+
+  for ((name, arb) <- arbiters) {
+
+    test(s"[$name] a won claim's content is immediately and fully " +
+        "readable") {
+      withDir { d =>
+        val slot = d.resolve("0.json")
+        assert(arb.tryClaim(d, slot, "{\"v\":0}"))
+        assert(Files.readString(slot) == "{\"v\":0}")
+      }
+    }
+
+    test(s"[$name] the second claim on a slot loses without throwing; " +
+        "the winner's content survives untouched") {
+      withDir { d =>
+        val slot = d.resolve("0.json")
+        assert(arb.tryClaim(d, slot, "winner"))
+        assert(!arb.tryClaim(d, slot, "loser"))
+        assert(Files.readString(slot) == "winner")
+      }
+    }
+
+    test(s"[$name] a 32-thread race on one slot has exactly one winner " +
+        "and the slot holds that winner's content") {
+      withDir { d =>
+        val slot = d.resolve("0.json")
+        val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val threads = (0 until 32).map { i =>
+          new Thread(() => {
+            gate.await()
+            try { if (arb.tryClaim(d, slot, s"w$i")) wins.add(s"w$i") }
+            catch { case _: Throwable => errs.incrementAndGet() }
+          })
+        }
+        threads.foreach(_.start()); gate.countDown()
+        threads.foreach(_.join())
+        assert(errs.get() == 0, "a lost race must never throw")
+        assert(wins.size() == 1, s"winners: $wins")
+        assert(Files.readString(slot) == wins.peek())
+      }
+    }
+
+    test(s"[$name] distinct slots arbitrate independently") {
+      withDir { d =>
+        assert((0 until 8).forall(v =>
+          arb.tryClaim(d, d.resolve(s"$v.json"), s"c$v")))
+      }
+    }
+
+    test(s"[$name] a slot whose object pre-exists the arbiter loses") {
+      withDir { d =>
+        val slot = d.resolve("0.json")
+        Files.writeString(slot, "older-process")
+        assert(!arb.tryClaim(d, slot, "usurper"))
+        assert(Files.readString(slot) == "older-process")
+      }
+    }
+  }
+
+  // ---- layer 2: the multi-writer table suite on ConditionalPut -----
+  // (PosixLink is the default arbiter — VersionedTableSpec already runs
+  // this suite against it on every build.)
+
+  private def withTable[T](body: String => T): T =
+    withDir(d => body(d.resolve("t").toString))
+
+  test("[ConditionalPut] concurrent appends both land (optimistic slot " +
+      "retry driven purely by conditional-put losses)") {
+    withArbiter(CommitArbiter.ConditionalPut) {
+      withTable { t =>
+        VT.append(spark, df(0 -> "seed"), t)
+        val threads = (1 to 4).map { i =>
+          new Thread(() => {
+            VT.append(spark, Seq((i, s"w$i")).toDF("id", "v"), t)
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        assert(VT.snapshot(spark, t).count() == 5)
+        assert(VT.latestVersion(t).contains(4L))
+      }
+    }
+  }
+
+  // interposes a REAL interleaved commit at the moment the op under test
+  // claims its slot — the same racer as VersionedTableSpec, but both the
+  // racer's commit and the retry go through ConditionalPut
+  private def withRacer[T](race: => Unit)(body: => T): T = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racer = new CommitArbiter {
+      def tryClaim(dir: Path, target: Path, json: String): Boolean =
+        if (fired.getAndSet(true))
+          CommitArbiter.ConditionalPut.tryClaim(dir, target, json)
+        else { race; false }
+    }
+    withArbiter(racer)(body)
+  }
+
+  test("[ConditionalPut] WriteSerializable: OPTIMIZE rebases over an " +
+      "interleaved blind append") {
+    withTable { t =>
+      withArbiter(CommitArbiter.ConditionalPut) {
+        VT.append(spark, df(1 -> "a", 2 -> "b"), t)          // v0
+      }
+      withRacer(VT.append(spark, df(9 -> "z"), t)) {         // steals v1
+        VT.compact(spark, t, targetFiles = 1)                // rebases: v2
+      }
+      assert(VT.latestVersion(t).contains(2L))
+      assert(VT.snapshot(spark, t).select("id").as[Int].collect().sorted
+        .toSeq == Seq(1, 2, 9))
+    }
+  }
+
+  test("[ConditionalPut] Serializable isolation: the same interleaved " +
+      "append aborts and loses nothing") {
+    withTable { t =>
+      withArbiter(CommitArbiter.ConditionalPut) {
+        VT.append(spark, df(1 -> "a"), t)                    // v0
+      }
+      withRacer(VT.append(spark, df(9 -> "z"), t)) {
+        intercept[Upsert.ConcurrentWriteException] {
+          VT.compact(spark, t, targetFiles = 1,
+            isolation = VT.Isolation.Serializable)
+        }
+      }
+      assert(VT.snapshot(spark, t).count() == 2)
+    }
+  }
+
+  test("[ConditionalPut] a loser whose racer set a conflicting schema " +
+      "revalidates and fails loudly") {
+    val conflicting = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType))).json
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racer = new CommitArbiter {
+      def tryClaim(dir: Path, target: Path, json: String): Boolean =
+        if (fired.getAndSet(true))
+          CommitArbiter.ConditionalPut.tryClaim(dir, target, json)
+        else {
+          val theirs =
+            s"""{"version":0,"ts":0,"op":"append","add":[],""" +
+              s""""remove":[],"schema":${graft.util.Fmt.jsonString(conflicting)}}"""
+          CommitArbiter.ConditionalPut.tryClaim(dir, target, theirs)
+          false
+        }
+    }
+    withArbiter(racer) {
+      withTable { t =>
+        intercept[VT.SchemaEnforcementException] {
+          VT.append(spark, df(1 -> "a"), t) // id is INT here
+        }
+      }
+    }
+  }
+}
