@@ -819,7 +819,11 @@ object Dedup {
     // aggregate AND both sides of the pair self-join, and with no
     // shuffle boundary below it exchange reuse cannot deduplicate the
     // tokenize/gram-hash pipeline — unpersisted, the corpus scan ran
-    // three times (the winnowPairs persist rationale)
+    // three times (the winnowPairs persist rationale). Deliberate scale
+    // trade: at bench scale (sf0.1, ~0.4 s of 1.3 s) the persist costs
+    // more than one rescan saves; at corpus scale the tokenize+gram
+    // rescan it removes dominates by orders of magnitude — eat the
+    // small-input overhead rather than fork the plan on a size guess.
     val ex = sh.select(col("blk"), col("id"), explode(col("sh")).as("h"))
       .persist()
     ex.count()

@@ -106,32 +106,61 @@ object VersionedQueries {
     s.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 
-  /** CUSTOMER CDF fixture — one table, one commit history, three gates:
-    * v0 append (even keys), v1 CDF property, SCD2 bootstrap run, v2 MERGE
-    * (+50 on mod-3), v3 DV-DELETE (mod-10-4), second SCD2 run spanning
-    * both commits. q168 gates the dimension, q165 the write-time change
-    * envelopes (tableChanges -1→3), q152 the DIFF-derived row-level feed
-    * (changeFeed 0→3 — identical classifications to its old private
-    * fixture: the props commit contributes no rows, and the DV delete
-    * classifies exactly as the rewrite delete did). */
+  /** CUSTOMER CDF fixture — one table, one commit history, four gates:
+    * v0 append (even keys), the driver-side cursor consumers' bootstrap
+    * cycle (q155), v1 CDF property, the SCD2 stream's bootstrap batch,
+    * v2 MERGE (+50 on mod-3), v3 DV-DELETE (mod-10-4), one SCD2 batch
+    * spanning both commits, the consumers' incremental cycle. q168 gates
+    * the dimension, q165 the write-time envelopes (tableChanges -1→3),
+    * q152 the DIFF-derived row-level feed (changeFeed 0→3 — identical
+    * classifications to its old private fixture: the props commit
+    * contributes no rows, and the DV delete classifies exactly as the
+    * rewrite delete did), q155 the two cursor-checkpointed consumers.
+    * The SCD2 sink runs as ONE long-lived query triggered across the
+    * commits — its batch composition matches the old stop/restart shape
+    * exactly; the checkpoint-restart path itself stays gated in
+    * CdfSpec. */
   private def buildCustomerCdf(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
     val cust = customerSlice(s, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
     VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)    // v0
+    val root = java.nio.file.Paths.get(tbl).getParent
+    val dst = root.resolve("dst").toString
+    val state = root.resolve("state").toString
+    val ckM = root.resolve("ckm").toString
+    val ckS = root.resolve("cks").toString
+    def consumeCycle(): Unit = {
+      graft.io.ChangeConsumer.mirror(s, tbl, dst, Seq("c_custkey"), ckM)
+      graft.io.ChangeConsumer.maintainSumState(s, tbl, state,
+        Seq("c_custkey"), Seq("c_mktsegment"), "c_acctbal", ckS)
+    }
+    consumeCycle() // both consumers bootstrap from the v0 snapshot
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val dim = s"$tbl.dim"
-    def run(): Unit = {
-      val q = graft.streaming.Streams.scd2Sink(
-        s, tbl, dim, "c_custkey", s"$tbl.ck")
-      try q.processAllAvailable() finally q.stop()
-    }
-    run() // bootstrap: every snapshot key opens
-    val src = cust.filter(col("c_custkey") % 3 === 0)
-      .withColumn("c_acctbal", col("c_acctbal") + 50.0)
-    VT.merge(s, src, tbl, Seq("c_custkey"))                       // v2
-    VT.deleteWhereDeferred(s, tbl, col("c_custkey") % 10 === 4)   // v3
-    run() // one batch spanning both commits
+    val q = graft.streaming.Streams.scd2Sink(
+      s, tbl, dim, "c_custkey", s"$tbl.ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    try {
+      q.processAllAvailable() // bootstrap: every snapshot key opens
+      val src = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+      VT.merge(s, src, tbl, Seq("c_custkey"))                     // v2
+      VT.deleteWhereDeferred(s, tbl, col("c_custkey") % 10 === 4) // v3
+      // both commits fold before this returns — as one batch or two
+      // depending on poll timing; the dim is batch-boundary-independent
+      q.processAllAvailable()
+    } finally q.stop()
+    consumeCycle() // incremental: change feed v1→v3 into both consumers
+    val fromMirror = VT.snapshot(s, dst)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("total"))
+      .withColumn("consumer", lit("mirror"))
+    val fromState = VT.snapshot(s, state)
+      .select(col("c_mktsegment"), col("n"),
+        col("sum_v").cast("double").as("total"))
+      .withColumn("consumer", lit("state"))
     Map(
       "q168_scd2_stream" -> VT.snapshot(s, dim)
         .groupBy(col("is_current"))
@@ -147,7 +176,9 @@ object VersionedQueries {
         .orderBy(col("change_type")),
       "q152_change_feed" -> VT.changeFeed(s, tbl, 0, 3,
           Seq("c_custkey"), includePreimage = true)
-        .orderBy(col("c_custkey"), col("_change_type")))
+        .orderBy(col("c_custkey"), col("_change_type")),
+      "q155_cdc_mirror" -> fromMirror.unionByName(fromState)
+        .orderBy(col("consumer"), col("c_mktsegment")))
   }
 
   /** ORDERS CDF fixture — one table, one history, both streaming
@@ -155,7 +186,9 @@ object VersionedQueries {
     * view sink (q167) bootstrap from the v1 snapshot, then the MERGE and
     * DV-DELETE land mid-flight and both consumers fold them
     * incrementally. Same per-consumer observation points as the old
-    * private fixtures. */
+    * private fixtures; the MV sink runs as ONE long-lived query across
+    * the commits (batch composition identical to the old stop/restart
+    * shape — CdfSpec keeps the restart path gated). */
   private def buildOrdersCdf(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
     val base = ordersSlice(s, dir)
@@ -163,28 +196,26 @@ object VersionedQueries {
     VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)   // v0
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val state = s"$tbl.state"
-    def mvRun(): Unit = {
-      val q = graft.streaming.Streams.materializedViewSink(
-        s, tbl, state, Seq("o_orderstatus"), "o_totalprice", s"$tbl.ckmv")
-      try q.processAllAvailable() finally q.stop()
-    }
+    val mv = graft.streaming.Streams.materializedViewSink(
+      s, tbl, state, Seq("o_orderstatus"), "o_totalprice", s"$tbl.ckmv",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
     val name = s"q166_stream_${System.nanoTime()}"
     val q = s.readStream.format("graft-versioned")
       .option("readChangeFeed", "true").load(tbl)
       .writeStream.format("memory").queryName(name).outputMode("append")
       .option("checkpointLocation", s"$tbl.ck").start()
     try {
-      q.processAllAvailable() // snapshot batch: v0 state as inserts
-      mvRun()                 // MV bootstrap from the same snapshot
+      q.processAllAvailable()  // snapshot batch: v0 state as inserts
+      mv.processAllAvailable() // MV bootstrap from the same snapshot
       val src = base.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
         .withColumn("o_orderstatus", lit("U"))
       VT.merge(s, src, tbl, Seq("o_orderkey"))                    // v2
       VT.deleteWhereDeferred(s, tbl,
         col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v3
-      q.processAllAvailable() // change tail: v2 + v3 envelopes
-    } finally q.stop()
-    mvRun()                   // incremental refresh: O(changes), no rescan
+      q.processAllAvailable()  // change tail: v2 + v3 envelopes
+      mv.processAllAvailable() // incremental refresh: O(changes), no rescan
+    } finally { q.stop(); mv.stop() }
     val q166 = pinned(s, s.table(name)
       .groupBy(col("_change_type").as("change_type"))
       .agg(count(lit(1)).as("n"),
@@ -350,38 +381,9 @@ object VersionedQueries {
     // path. Output: the same per-segment aggregate read back from BOTH
     // destinations — the oracle computes it once from the slice algebra
     // and expects the two tagged copies to agree exactly.
-    "q155_cdc_mirror" -> ((s, dir) => withScratch { tbl =>
-      val root = java.nio.file.Paths.get(tbl).getParent
-      val dst = root.resolve("dst").toString
-      val state = root.resolve("state").toString
-      val ckM = root.resolve("ckm").toString
-      val ckS = root.resolve("cks").toString
-      val cust = customerSlice(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)     // v0
-      // cycle 1: both consumers bootstrap from the v0 snapshot
-      graft.io.ChangeConsumer.mirror(s, tbl, dst, Seq("c_custkey"), ckM)
-      graft.io.ChangeConsumer.maintainSumState(s, tbl, state,
-        Seq("c_custkey"), Seq("c_mktsegment"), "c_acctbal", ckS)
-      val src = cust.filter(col("c_custkey") % 3 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
-      VT.merge(s, src, tbl, Seq("c_custkey"))                        // v1
-      VT.deleteWhere(s, tbl, col("c_custkey") % 10 === 4)            // v2
-      // cycle 2: incremental — change feed v0→v2 into both destinations
-      graft.io.ChangeConsumer.mirror(s, tbl, dst, Seq("c_custkey"), ckM)
-      graft.io.ChangeConsumer.maintainSumState(s, tbl, state,
-        Seq("c_custkey"), Seq("c_mktsegment"), "c_acctbal", ckS)
-      val fromMirror = VT.snapshot(s, dst)
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("total"))
-        .withColumn("consumer", lit("mirror"))
-      val fromState = VT.snapshot(s, state)
-        .select(col("c_mktsegment"), col("n"),
-          col("sum_v").cast("double").as("total"))
-        .withColumn("consumer", lit("state"))
-      fromMirror.unionByName(fromState)
-        .orderBy(col("consumer"), col("c_mktsegment"))
-    }),
+    "q155_cdc_mirror" -> ((s, dir) =>
+      Shared.member(s, dir, "customer-cdf", "q155_cdc_mirror")(
+        buildCustomerCdf)),
 
     // True Z-ORDER through the log: cluster orders on the interleaved
     // (o_custkey, o_orderkey) key, then answer a range predicate on the
@@ -799,20 +801,22 @@ object VersionedQueries {
     // +50); deletes are the key%10=4 rows of v0 with their PRE-image
     // values (the v1 update to some of them is invisible to a v0→v2 diff).
     "q152_change_feed" ->
-      """SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal,
-        |  'insert' AS _change_type
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  c_acctbal + 50.0 AS c_acctbal, 'insert' AS _change_type
         |FROM customer
         |WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 1 AND c_custkey < 5000
         |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, 'update_preimage'
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |  'update_preimage'
         |FROM customer
         |WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4 AND c_custkey < 5000
         |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal + 50.0, 'update_postimage'
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 50.0,
+        |  'update_postimage'
         |FROM customer
         |WHERE c_custkey % 6 = 0 AND c_custkey % 10 <> 4 AND c_custkey < 5000
         |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, 'delete'
+        |SELECT c_custkey, c_name, c_mktsegment, c_acctbal, 'delete'
         |FROM customer WHERE c_custkey % 10 = 4 AND c_custkey < 5000
         |ORDER BY c_custkey, _change_type""".stripMargin,
 

@@ -553,20 +553,25 @@ object Streams {
           case Some(_) => graft.io.VersionedTable.snapshot(s, stateTable)
             .join(touched, keys, "left_semi")
         }
+        // the fold is consumed TWICE (the upsert rows and the gone
+        // anti-join) — persist it, or the groupBy + state join re-runs
+        // per consumer
         val next = graft.ops.IncrementalAgg.applyChangeFeed(
-          prev, batch, keys, valueCol)
-        // groups whose count reached zero drop out of `next` — they
-        // leave the state as explicit deletes; everything else upserts
-        val gone = prev.join(next.select(keys.map(col): _*),
-            keys, "left_anti")
-          .withColumn("_change_type", lit("delete"))
-        graft.io.VersionedTable.applyChanges(s,
-          next.withColumn("_change_type", lit("insert"))
-            .unionByName(gone),
-          stateTable, keys, "graft-mv", batchId,
-          // sticky key stats: single-key views then pre-prune the hit
-          // candidates from the manifest alone
-          statsFor = keys)
+          prev, batch, keys, valueCol).persist()
+        try {
+          // groups whose count reached zero drop out of `next` — they
+          // leave the state as explicit deletes; everything else upserts
+          val gone = prev.join(next.select(keys.map(col): _*),
+              keys, "left_anti")
+            .withColumn("_change_type", lit("delete"))
+          graft.io.VersionedTable.applyChanges(s,
+            next.withColumn("_change_type", lit("insert"))
+              .unionByName(gone),
+            stateTable, keys, "graft-mv", batchId,
+            // sticky key stats: single-key views then pre-prune the hit
+            // candidates from the manifest alone
+            statsFor = keys)
+        } finally next.unpersist()
         }
         ()
       }
