@@ -112,9 +112,11 @@ object CommitArbiter {
         // owned, just not by us — record the claim, report the loss
         if (!Files.exists(target)) {
           val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}.json.tmp")
-          Files.writeString(tmp, json)
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          won = true
+          try {
+            Files.writeString(tmp, json)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+            won = true
+          } finally if (!won) Files.deleteIfExists(tmp)
         }
         won
       })

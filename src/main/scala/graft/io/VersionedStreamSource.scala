@@ -205,6 +205,13 @@ final class VersionedStreamSource(
       case Some(f) if f >= latest => f
       case Some(f) => limit match {
         case mf: ReadMaxFiles => admit(f, latest, Some(mf.maxFiles()))
+        // an EXPLICIT allAvailable (Trigger.Once's SingleBatchExecutor:
+        // "process everything in one batch") overrides the constructor
+        // pacing — re-capping here would end the run with the backlog
+        // only partially drained, as the engine's own "read limit will
+        // be ignored" log line promises it won't be
+        case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+          latest
         case _ => admit(f, latest, maxFilesPerTrigger)
       }
     }
@@ -442,9 +449,24 @@ object VersionedStreamSourceProvider {
     * re-deriving from the log, today's behavior. Equal-option concurrent
     * streams may steal each other's entry — harmless, the values are
     * equal unless an evolution raced, in which case both outcomes were
-    * legal serializations. */
-  private[io] val bound = new java.util.concurrent.ConcurrentHashMap[
-    Map[String, String], StructType]()
+    * legal serializations. BOUNDED (insertion-order eviction at 64): a
+    * `load()` that binds a schema but never starts its query would
+    * otherwise retain its options map + StructType forever in a
+    * long-lived driver; the hand-off window is call-adjacent, so a tiny
+    * buffer loses nothing (an evicted entry just falls back to the
+    * re-derive path). */
+  private[io] object bound {
+    private val map =
+      new java.util.LinkedHashMap[Map[String, String], StructType]() {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Map[String, String], StructType])
+            : Boolean = size() > 64
+      }
+    def put(k: Map[String, String], v: StructType): Unit =
+      synchronized { map.put(k, v); () }
+    def remove(k: Map[String, String]): StructType =
+      synchronized { map.remove(k) }
+  }
 }
 
 object VersionedStreamSource {

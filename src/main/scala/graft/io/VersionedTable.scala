@@ -1286,8 +1286,15 @@ object VersionedTable {
           .sortBy { case (k, _) => -k }) {
         val items = math.max(1L, members.map(_._2).max)
         val bits = numBits(items)
-        // base64 inflates 4/3; header bytes are noise at these sizes
-        val projected = bits / 8 * 4 / 3 * members.size * cols.size
+        // per-entry bytes, OVERestimated never under: the serialized
+        // filter is a 12-byte header + the bit array as longs, base64
+        // inflates 4/3 rounding UP, and the JSON envelope adds ~file
+        // name + column + quoting — for the smallest (64-bit) class the
+        // fixed costs dominate the payload, so a payload-only estimate
+        // admits classes that then overshoot the cap severalfold
+        val serialized = 12L + ((bits + 63) / 64) * 8
+        val perEntry = 4L * ((serialized + 2) / 3) + 96
+        val projected = perEntry * members.size * cols.size
         if (written + projected > MaxBloomSidecarBytes) {
           skipped += members.size
         } else {
@@ -1309,10 +1316,13 @@ object VersionedTable {
               Option(r.getAs[Array[Byte]](s"__bf_$c")).foreach { b =>
                 val payload = enc.encodeToString(b)
                 if (entries > 0) w.write(",")
-                w.write(s"""{"file":${Fmt.jsonString(name)},""" +
+                val entry = s"""{"file":${Fmt.jsonString(name)},""" +
                   s""""column":${Fmt.jsonString(c)},""" +
-                  s""""bloom":${Fmt.jsonString(payload)}}""")
-                written += payload.length
+                  s""""bloom":${Fmt.jsonString(payload)}}"""
+                w.write(entry)
+                // count FULL entry bytes, the same units the admission
+                // projection estimates in
+                written += entry.length
                 entries += 1
               }
             }
@@ -1409,13 +1419,19 @@ object VersionedTable {
 
     def get(key: String, load: String =>
         Map[(String, String), org.apache.spark.util.sketch.BloomFilter])
-        : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+        : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] = {
       synchronized {
         val hit = map.get(key)
-        if (hit != null) hit._2
-        else {
-          val v = load(key)
-          val sz = v.valuesIterator.map(_.bitSize() / 8).sum
+        if (hit != null) return hit._2
+      }
+      // disk I/O + deserialization (up to ~100 MB a sidecar) OUTSIDE the
+      // lock: concurrent planners loading UNRELATED sidecars must not
+      // serialize behind each other. Two racers on the SAME key may
+      // duplicate the load — the loser's copy is dropped, never corrupt
+      val v = load(key)
+      val sz = v.valuesIterator.map(_.bitSize() / 8).sum
+      synchronized {
+        if (!map.containsKey(key)) {
           map.put(key, (sz, v))
           bytes += sz
           val it = map.entrySet().iterator()
@@ -1425,9 +1441,10 @@ object VersionedTable {
             val e = it.next()
             if (e.getKey != key) { bytes -= e.getValue._1; it.remove() }
           }
-          v
         }
+        map.get(key)._2
       }
+    }
   }
 
   private def loadBlooms(table: String, sidecars: Seq[String])
@@ -1788,9 +1805,9 @@ object VersionedTable {
             // (old physical schema) and the feed (source's to-version
             // schema) may differ — absent sides null-fill, the CDC
             // convention for columns that predate/postdate a row
-            else spark.read.option("mergeSchema", "true")
-              .parquet(hitPaths.map(p => new java.net.URI(p).getPath): _*)
-              .join(changedKeys, keys, "left_anti")
+            else keyJoin(spark.read.option("mergeSchema", "true")
+              .parquet(hitPaths.map(p => new java.net.URI(p).getPath): _*),
+              changedKeys, keys, "left_anti")
               .unionByName(upserts, allowMissingColumns = true)
           val hitNames = hitPaths.map(p =>
             Paths.get(new java.net.URI(p).getPath).getFileName.toString)
@@ -1820,13 +1837,13 @@ object VersionedTable {
                 .select(keys.map(col): _*).distinct()
               val upsertKeys = upserts.select(keys.map(col): _*).distinct()
               val oldKeys = old.select(keys.map(col): _*).distinct()
-              val del = old.join(deleteKeys, keys, "left_semi")
+              val del = keyJoin(old, deleteKeys, keys, "left_semi")
                 .withColumn("_change_type", lit("delete"))
-              val pre = old.join(upsertKeys, keys, "left_semi")
+              val pre = keyJoin(old, upsertKeys, keys, "left_semi")
                 .withColumn("_change_type", lit("update_preimage"))
-              val post = upserts.join(oldKeys, keys, "left_semi")
+              val post = keyJoin(upserts, oldKeys, keys, "left_semi")
                 .withColumn("_change_type", lit("update_postimage"))
-              val ins = upserts.join(oldKeys, keys, "left_anti")
+              val ins = keyJoin(upserts, oldKeys, keys, "left_anti")
                 .withColumn("_change_type", lit("insert"))
               writeCdc(del
                 .unionByName(pre, allowMissingColumns = true)
@@ -1852,33 +1869,66 @@ object VersionedTable {
     }
   }
 
+  /** Null-safe key semi/anti join: NULL is a REAL key value on the CDC
+    * paths (a materialized view grouping by an arbitrary column has a
+    * legitimate NULL group), so key-identity comparisons use `<=>` —
+    * a plain column-name join silently never matches null-keyed rows,
+    * which here means an old state row that never retires and a gone
+    * group that never deletes. Right-side key columns are renamed to
+    * positional placeholders to disambiguate; semi/anti joins keep no
+    * right columns, so the rename never leaks. */
+  private[graft] def keyJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], how: String): DataFrame = {
+    val ph = keys.indices.map(i => s"__graft_rk_$i")
+    val r = right.select(keys.map(col): _*).toDF(ph: _*)
+    left.join(r,
+      keys.zip(ph).map { case (k, p) => left(k) <=> r(p) }.reduce(_ && _),
+      how)
+  }
+
   /** Data files of version-state `st` that may contain a key from
     * `changedKeys`: manifest stats pre-prune (single-key change sets
     * against recorded per-file min/max — files outside the changed-key
-    * range are skipped without a scan), then an exact semi-join over the
-    * surviving candidates. Returns absolute paths; bounded by file
-    * count. */
+    * range are skipped without a scan; a NULL changed key additionally
+    * admits every file whose recorded null count for the key column is
+    * nonzero or unknown, since min/max never see nulls), then an exact
+    * null-safe semi-join over the surviving candidates. Returns absolute
+    * paths; bounded by file count. */
   private def hitFilePaths(spark: SparkSession, table: String,
       st: TableState, schema: StructType, changedKeys: DataFrame,
       keys: Seq[String]): Seq[String] = {
     val candidates =
       if (keys.size == 1 && st.fileStats.nonEmpty) {
-        val b = changedKeys
-          .agg(min(col(keys.head)), max(col(keys.head))).collect()(0)
-        if (b.isNullAt(0)) Nil // no changed keys at all
-        else filesInRange(st, schema, keys.head,
-          Some(b.get(0)), Some(b.get(1)),
-          spark.conf.get("spark.sql.session.timeZone"))
+        val k = keys.head
+        val b = changedKeys.agg(min(col(k)), max(col(k)),
+          max(col(k).isNull.cast("int"))).collect()(0)
+        val ranged =
+          if (b.isNullAt(0)) Nil // no non-null changed keys
+          else filesInRange(st, schema, k,
+            Some(b.get(0)), Some(b.get(1)),
+            spark.conf.get("spark.sql.session.timeZone"))
+        val nullable =
+          if (b.isNullAt(2) || b.getInt(2) == 0) Nil // no null changed key
+          else st.files.filter { f =>
+            st.fileStats.get(f).flatMap(_.get(nullsKey(k))) match {
+              case Some((n, _)) =>
+                scala.util.Try(n.toLong > 0).getOrElse(true)
+              case None => true // unknown: cannot exclude
+            }
+          }
+        (ranged ++ nullable).distinct
       } else st.files
     if (candidates.isEmpty) Seq.empty
-    else spark.read
-      .parquet(candidates.map(f => Paths.get(table, f).toString): _*)
-      // materialize the metadata pseudo-column BEFORE the join — it
-      // only resolves directly against the scan relation
-      .select(col("*"), col("_metadata.file_path").as("__fp"))
-      .join(changedKeys, keys, "left_semi")
-      .select(col("__fp")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    else {
+      val scan = spark.read
+        .parquet(candidates.map(f => Paths.get(table, f).toString): _*)
+        // materialize the metadata pseudo-column BEFORE the join — it
+        // only resolves directly against the scan relation
+        .select(col("*"), col("_metadata.file_path").as("__fp"))
+      keyJoin(scan, changedKeys, keys, "left_semi")
+        .select(col("__fp")).distinct()
+        .collect().map(_.getString(0)).toSeq
+    }
   }
 
   /** MERGE into the versioned table, file-granular (the Delta MERGE

@@ -543,15 +543,20 @@ object Streams {
         // state table for nothing — and on an auto-compacted source
         // that is a full state rewrite per compaction
         if (!batch.isEmpty) {
-        // the touched groups: only THEIR state rows can change
+        // the touched groups: only THEIR state rows can change. Joins on
+        // group keys are NULL-SAFE throughout (VersionedTable.keyJoin):
+        // NULL is a legitimate group of an arbitrary grouping column,
+        // and a plain column-name join would never match its state row —
+        // the null group would duplicate instead of folding
         val touched = batch.select(keys.map(col): _*).distinct()
         val prev = graft.io.VersionedTable.latestVersion(stateTable) match {
           // bootstrap: an empty state with the CANONICAL schema — the
           // snapshot-as-inserts first batch then builds the full view
           case None => graft.ops.IncrementalAgg.sumState(
             batch.filter(lit(false)), keys, valueCol)
-          case Some(_) => graft.io.VersionedTable.snapshot(s, stateTable)
-            .join(touched, keys, "left_semi")
+          case Some(_) => graft.io.VersionedTable.keyJoin(
+            graft.io.VersionedTable.snapshot(s, stateTable),
+            touched, keys, "left_semi")
         }
         // the fold is consumed TWICE (the upsert rows and the gone
         // anti-join) — persist it, or the groupBy + state join re-runs
@@ -561,8 +566,8 @@ object Streams {
         try {
           // groups whose count reached zero drop out of `next` — they
           // leave the state as explicit deletes; everything else upserts
-          val gone = prev.join(next.select(keys.map(col): _*),
-              keys, "left_anti")
+          val gone = graft.io.VersionedTable.keyJoin(prev,
+              next.select(keys.map(col): _*), keys, "left_anti")
             .withColumn("_change_type", lit("delete"))
           graft.io.VersionedTable.applyChanges(s,
             next.withColumn("_change_type", lit("insert"))
@@ -651,7 +656,10 @@ object Streams {
               None
             else Some(graft.io.VersionedTable.snapshot(s, dimTable)
               .filter(col("is_current"))
-              .join(firstEv, Seq(key))
+              // null-safe: a null-keyed open version must still close
+              .join(firstEv.withColumnRenamed(key, "__close_k"),
+                col(key) <=> col("__close_k"))
+              .drop("__close_k")
               .withColumn("effective_to", col("__close_ts"))
               .withColumn("is_current", lit(false))
               .drop("__close_ts")

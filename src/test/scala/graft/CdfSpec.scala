@@ -269,6 +269,39 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("materialized view folds a NULL group key instead of duplicating " +
+    "its state row") {
+    withDirs { (t, ck) =>
+      val state = s"$ck.state"
+      def run(): Unit = {
+        val q = graft.streaming.Streams.materializedViewSink(
+          spark, t, state, Seq("v"), "id", ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      // NULL is a legitimate group of an arbitrary grouping column
+      VT.append(spark,
+        Seq[(Int, String)](1 -> "a", 2 -> null, 3 -> null).toDF("id", "v"),
+        t)
+      enable(t)
+      run() // bootstrap: groups a=(1,1) and null=(2,5)
+      def view(): Seq[(Option[String], Long, Double)] =
+        VT.snapshot(spark, state)
+          .select(col("v"), col("n"), col("sum_v").cast("double"))
+          .as[(Option[String], Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(view() == Seq((None, 2L, 5.0), (Some("a"), 1L, 1.0)))
+      // a new null-group row must FOLD into the existing state row —
+      // with null-unsafe key joins it duplicated instead
+      VT.merge(spark,
+        Seq[(Int, String)](4 -> null).toDF("id", "v"), t, Seq("id"))
+      run()
+      assert(view() == Seq((None, 3L, 9.0), (Some("a"), 1L, 1.0)))
+      // retracting every null-group row drops the group entirely
+      VT.deleteWhereDeferred(spark, t, col("v").isNull)
+      run()
+      assert(view() == Seq((Some("a"), 1L, 1.0)))
+    }
+  }
+
   test("MV refresh rewrites only the state files holding touched groups") {
     withDirs { (t, ck) =>
       val state = s"$ck.state"

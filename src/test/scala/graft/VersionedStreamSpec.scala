@@ -273,6 +273,45 @@ class VersionedStreamSpec extends SparkSpec {
     }
   }
 
+  test("an explicit allAvailable read limit overrides the constructor " +
+    "pacing: Trigger.Once drains the whole backlog in its one batch") {
+    withDirs { (t, ck) =>
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d").foreach { p =>
+        VT.append(spark, df(p).repartition(1), t)
+      } // v0..v3, one file each
+      // unit level: the engine's maxFiles limit paces, but an explicit
+      // ReadAllAvailable (SingleBatchExecutor's "read limit will be
+      // ignored" contract) must admit everything
+      val src = new graft.io.VersionedStreamSource(spark, t,
+        startExclusive = Some(0L), skipChangeCommits = false,
+        maxFilesPerTrigger = Some(1), readChangeFeed = false,
+        schema = VT.snapshot(spark, t).schema)
+      val paced = src.latestOffset(null, ReadLimit.maxFiles(1))
+      assert(paced.json.trim.toLong == 1L)
+      val drained = src.latestOffset(paced, ReadLimit.allAvailable())
+      assert(drained.json.trim.toLong == 3L,
+        "allAvailable was re-capped by the constructor pacing")
+      // end to end: Trigger.Once + maxFilesPerTrigger must still process
+      // every commit before the query self-terminates
+      val name = freshName()
+      val q = spark.readStream.format("graft-versioned")
+        .option("startingVersion", "0").option("maxFilesPerTrigger", "1")
+        .load(t)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      try {
+        assert(q.awaitTermination(120000),
+          "Trigger.Once query did not terminate")
+        assert(sinkRows(name) ==
+          Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"),
+          "Trigger.Once left commits undrained")
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+  }
+
   test("AvailableNow pins its drain target at prepare time; a commit " +
     "landing after the pin waits for the next run") {
     withDirs { (t, _) =>

@@ -907,6 +907,33 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("applyChanges treats a NULL key as a real key: the old null-keyed " +
+    "row retires instead of duplicating, stats pruning included") {
+    withTable { t =>
+      // statsFor puts the single-key change set on the min/max pruning
+      // path, whose aggregates never see nulls — the null-count stats
+      // must admit the file holding the null-keyed row
+      VT.append(spark,
+        Seq[(java.lang.Integer, String)]((1, "a"), (null, "n"))
+          .toDF("id", "v"), t, statsFor = Seq("id"))
+      VT.applyChanges(spark,
+        Seq[(java.lang.Integer, String, String)](
+          (null, "N2", "update_postimage")).toDF("id", "v", "_change_type"),
+        t, Seq("id"), txnApp = "nulls", txnId = 1)
+      val rows = VT.snapshot(spark, t)
+        .as[(Option[Int], String)].collect().toSeq.sortBy(_._2)
+      // exactly one null-keyed row, carrying the NEW payload
+      assert(rows == Seq(None -> "N2", Some(1) -> "a"), s"got $rows")
+      // and a delete of the null key removes it
+      VT.applyChanges(spark,
+        Seq[(java.lang.Integer, String, String)]((null, "N2", "delete"))
+          .toDF("id", "v", "_change_type"),
+        t, Seq("id"), txnApp = "nulls", txnId = 2)
+      assert(VT.snapshot(spark, t).as[(Option[Int], String)]
+        .collect().toSeq == Seq(Some(1) -> "a"))
+    }
+  }
+
   test("applyChanges replay with the same txn commits nothing new") {
     withTable { t =>
       VT.append(spark, df(1 -> "a"), t)
