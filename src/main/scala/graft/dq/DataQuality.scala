@@ -88,7 +88,8 @@ private final case class RegisteredCheck(
 final class DataQualityChecker(df: DataFrame, tableName: String) {
 
   private var checks = Vector.empty[RegisteredCheck]
-  private var uniquenessChecks = Vector.empty[(String, Seq[String], Double, Severity.Value)]
+  private var uniquenessChecks =
+    Vector.empty[(String, Seq[String], Double, Severity.Value, Boolean)]
   private var freshnessChecks = Vector.empty[(String, String, Double, Severity.Value)]
   private var referentialChecks = Vector.empty[(String, DataFrame, Seq[String], Double, Severity.Value)]
 
@@ -120,11 +121,33 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
   }
 
   /** Distinct (key-combo) rate = distinct/total ≥ threshold (reference
-    * data_quality.py:321-437; default 1.0 = fully unique). */
+    * data_quality.py:321-437; default 1.0 = fully unique).
+    *
+    * Cost note for 100 TB: each EXACT uniqueness check is a distinct
+    * `count_distinct` column set, and several of them in the one-pass
+    * aggregate plan an `Expand` — the scan is still single, but shuffle
+    * volume multiplies by the number of distinct-aggregate groups, and an
+    * exact distinct over a near-unique key shuffles essentially every
+    * key tuple. Exactness is the right default for a PK audit; for
+    * threshold-style checks (< 1.0) on huge tables prefer
+    * [[checkUniquenessApprox]], which rides the same single pass as a
+    * mergeable HLL partial — no Expand, no full-key shuffle. */
   def checkUniqueness(columns: Seq[String], threshold: Double = 1.0,
       severity: Severity.Value = Severity.Critical): this.type = {
     uniquenessChecks :+= ((s"uniqueness_${columns.mkString("_")}", columns,
-      threshold, severity))
+      threshold, severity, false))
+    this
+  }
+
+  /** [[checkUniqueness]] with `approx_count_distinct` (HLL++, default
+    * rsd ≈ 2.3%): the scale form for threshold-based uniqueness on huge
+    * tables — a mergeable sketch partial per task instead of an Expand +
+    * full-key shuffle. Not for exact PK audits (threshold 1.0 with an
+    * estimator can both false-pass and false-fail). */
+  def checkUniquenessApprox(columns: Seq[String], threshold: Double,
+      severity: Severity.Value = Severity.Critical): this.type = {
+    uniquenessChecks :+= ((s"uniqueness_${columns.mkString("_")}", columns,
+      threshold, severity, true))
     this
   }
 
@@ -175,9 +198,14 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
     this
   }
 
-  /** Arbitrary boolean Column; rows where `condition` is FALSE fail
-    * (reference data_quality.py:440-486 — its extensibility story; no UDFs
-    * needed, any Column algebra works). */
+  /** Arbitrary boolean Column; rows where `condition` is FALSE **or
+    * NULL** fail (reference data_quality.py:440-486 — its extensibility
+    * story; no UDFs needed, any Column algebra works). Deliberately
+    * STRICTER than range/validity (whose nulls belong to completeness):
+    * a custom predicate is arbitrary caller algebra, so an indeterminate
+    * verdict is treated as a violation rather than silently passed —
+    * callers that want null-tolerance state it in the condition
+    * (`c.isNull || cond`). */
   def checkCustom(name: String, condition: Column, column: String = "",
       threshold: Double = 1.0,
       severity: Severity.Value = Severity.Medium): this.type = {
@@ -194,13 +222,15 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
       checks.zipWithIndex.map { case (c, i) =>
         sum(when(c.violation.get, 1L).otherwise(0L)).as(s"__viol_$i")
       } ++
-      uniquenessChecks.zipWithIndex.map { case ((_, cols, _, _), i) =>
+      uniquenessChecks.zipWithIndex.map { case ((_, cols, _, _, approx), i) =>
         // struct wrap: bare count_distinct DROPS any tuple containing a
         // null, so rows with a null key would all count as duplicates
         // (and a composite key with one all-null column would report 0
         // distinct). A struct is non-null even when its fields are null,
         // so null key tuples participate like any other value.
-        count_distinct(struct(cols.map(col): _*)).as(s"__uniq_$i")
+        val key = struct(cols.map(col): _*)
+        (if (approx) approx_count_distinct(key) else count_distinct(key))
+          .as(s"__uniq_$i")
       } ++
       freshnessChecks.zipWithIndex.map { case ((n, ts, _, _), i) =>
         // the age math divides by seconds — an epoch-MILLIS bigint column
@@ -226,12 +256,15 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
         rate(failed) >= c.threshold, total, failed, rate(failed),
         c.threshold, c.severity.toString, c.details)
     }
-    val uniq = uniquenessChecks.zipWithIndex.map { case ((n, cols, th, sev), i) =>
-      val distinct = Option(row.getAs[Long](s"__uniq_$i")).getOrElse(0L)
-      val failed = total - distinct
-      DQCheckResult(n, CheckType.Uniqueness.toString, cols.mkString(","),
-        rate(failed) >= th, total, failed, rate(failed), th, sev.toString,
-        s"distinct=$distinct")
+    val uniq = uniquenessChecks.zipWithIndex.map {
+      case ((n, cols, th, sev, approx), i) =>
+        val distinct = Option(row.getAs[Long](s"__uniq_$i")).getOrElse(0L)
+        // an estimator can overshoot the true distinct count — clamp so
+        // the failure count never goes negative
+        val failed = math.max(0L, total - distinct)
+        DQCheckResult(n, CheckType.Uniqueness.toString, cols.mkString(","),
+          rate(failed) >= th, total, failed, rate(failed), th, sev.toString,
+          s"distinct=$distinct" + (if (approx) " (approx)" else ""))
     }
     val fresh = freshnessChecks.zipWithIndex.map { case ((n, ts, maxH, sev), i) =>
       val maxTs = Option(row.get(row.fieldIndex(s"__fresh_$i")))

@@ -15,13 +15,19 @@ import graft.ops.Transforms
   * regulatory thresholds (base.py:49-50).
   *
   * Scale notes: dimensions get surrogate keys via the scalable two-phase
-  * ranker; the fact join broadcasts both dims; aggregates cast
-  * DECIMAL(18,2) sums back at the gold boundary (SURVEY §7.4 decimal
-  * widening note).
+  * ranker; the fact-dim joins are UNHINTED (AQE broadcasts the dim
+  * projections when they fit — see [[factTransactions]]); aggregate sums
+  * surface as DECIMAL(38,2) at the gold boundary (SURVEY §7.4 decimal
+  * widening note — never narrowed back to the input scale).
   */
 object FintechGold {
 
-  private val money = DecimalType(18, 2)
+  /** Aggregate-output money type: sums come back at the gold boundary as
+    * DECIMAL(38,2), never narrowed to (18,2) — a group total past 10^16
+    * would make the narrowing cast a hard ANSI ArithmeticException (one
+    * hot group kills the whole gold job) where the wide type is exact at
+    * the same scale. IncrementalAgg.sumState documents the same hazard. */
+  private val moneyWide = DecimalType(38, 2)
 
   /** dim_customer: silver customers + surrogate key. */
   def dimCustomer(silverCustomers: DataFrame): DataFrame =
@@ -34,12 +40,19 @@ object FintechGold {
       Seq("merchant_id"))
 
   /** fact_transactions: silver txns with dim surrogate keys attached.
-    * Dims broadcast — the fact side never shuffles for this join. */
+    * The dims are NOT force-broadcast: customer/merchant dimensions are
+    * fact-correlated entity tables (10^8–10^9 rows against 100 TB of
+    * transactions — the same reason they get the SCALABLE surrogate-key
+    * builder), and an explicit hint would bypass AQE's size guard
+    * straight into the 8 GB broadcast cap. AQE broadcasts the two-column
+    * projection automatically whenever it actually fits; past that,
+    * bucket fact and dims on the id columns
+    * ([[graft.io.Writers.writeBucketed]]) for exchange-free joins. */
   def factTransactions(silverTxns: DataFrame, dimCust: DataFrame,
       dimMerch: DataFrame): DataFrame = silverTxns
-    .join(broadcast(dimCust.select(col("customer_id"), col("customer_sk"))),
+    .join(dimCust.select(col("customer_id"), col("customer_sk")),
       Seq("customer_id"), "left")
-    .join(broadcast(dimMerch.select(col("merchant_id"), col("merchant_sk"))),
+    .join(dimMerch.select(col("merchant_id"), col("merchant_sk")),
       Seq("merchant_id"), "left")
 
   /** agg_daily_metrics (base.py:92): per day × status: volume, exact
@@ -48,8 +61,8 @@ object FintechGold {
     .groupBy(col("transaction_date"), col("status"))
     .agg(
       count(lit(1)).as("n_transactions"),
-      sum(col("amount_usd")).cast(money).as("total_amount_usd"),
-      sum(col("fee_amount")).cast(money).as("total_fees"),
+      sum(col("amount_usd")).cast(moneyWide).as("total_amount_usd"),
+      sum(col("fee_amount")).cast(moneyWide).as("total_fees"),
       sum(when(col("is_flagged"), 1L).otherwise(0L)).as("n_flagged"),
       countDistinct(col("customer_id")).as("n_customers"))
 
@@ -61,8 +74,8 @@ object FintechGold {
     // results in any engine (oracle-parity rule, see queries.Q scaladoc)
     val per = silverTxns.groupBy(col("customer_id")).agg(
       count(lit(1)).as("n_transactions"),
-      sum(col("amount_usd")).cast(money).as("total_spend_usd"),
-      (sum(col("amount_usd")).cast(money).cast(DoubleType) /
+      sum(col("amount_usd")).cast(moneyWide).as("total_spend_usd"),
+      (sum(col("amount_usd")).cast(moneyWide).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("avg_transaction_usd"),
       min(col("transaction_date")).as("first_transaction_date"),
       max(col("transaction_date")).as("last_transaction_date"),
@@ -81,9 +94,9 @@ object FintechGold {
       silverMerchants: DataFrame): DataFrame = {
     val per = silverTxns.groupBy(col("merchant_id")).agg(
       count(lit(1)).as("n_transactions"),
-      sum(col("amount_usd")).cast(money).as("total_volume_usd"),
-      sum(col("fee_amount")).cast(money).as("revenue_usd"),
-      (sum(col("amount_usd")).cast(money).cast(DoubleType) /
+      sum(col("amount_usd")).cast(moneyWide).as("total_volume_usd"),
+      sum(col("fee_amount")).cast(moneyWide).as("revenue_usd"),
+      (sum(col("amount_usd")).cast(moneyWide).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("avg_ticket_usd"),
       (sum(when(col("is_flagged"), 1L).otherwise(0L)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("flagged_share"))
@@ -107,15 +120,22 @@ object FintechGold {
     * time) — one shuffle on customer_id. */
   def amlStructuring(silverTxns: DataFrame, windowDays: Int = 7,
       minCount: Int = 3): DataFrame = {
+    // silver timestamps are try_to_timestamp — unparseable bronze rows are
+    // NULL by design, and a RANGE window puts ALL null-order-key rows of a
+    // customer into one shared frame: >= minCount dirty-timestamp rows in
+    // the band (possibly years apart) would spuriously flag as
+    // structuring. Null timestamps cannot evidence a 7-day pattern; they
+    // belong to the DQ completeness screen, not this one.
     val sub = silverTxns.filter(
       col("amount_usd") >= Thresholds.amlStructuringThreshold &&
-        col("amount_usd") < Thresholds.amlCtrThreshold)
+        col("amount_usd") < Thresholds.amlCtrThreshold &&
+        col("transaction_timestamp").isNotNull)
     val w = Window.partitionBy(col("customer_id"))
       .orderBy(col("transaction_timestamp").cast(LongType))
       .rangeBetween(-windowDays.toLong * 86400, 0)
     sub
       .withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("sum_window", sum(col("amount_usd")).over(w).cast(money))
+      .withColumn("sum_window", sum(col("amount_usd")).over(w).cast(moneyWide))
       .filter(col("n_window") >= minCount)
       .select(col("customer_id"), col("transaction_id"),
         col("transaction_timestamp"), col("amount_usd"),

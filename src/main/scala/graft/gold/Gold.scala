@@ -1,7 +1,6 @@
 package graft.gold
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -49,8 +48,12 @@ object Gold {
   /** agg_customer_360 (reference base.py:93): per-customer order stats +
     * first/last activity + spend rank within nation. The left join keeps
     * order-less customers (n_orders=0, spend NULL). One shuffle on
-    * c_custkey for the aggregate, one on c_nationkey for the rank window.
-    */
+    * c_custkey for the aggregate; the rank runs through the two-phase
+    * [[graft.ops.Transforms.rankWithinGroupScalable]] — a raw
+    * `Window.partitionBy(c_nationkey)` would cram each nation's ENTIRE
+    * customer population into one task (25 stragglers at any cluster
+    * size); the unique c_custkey tiebreak makes rank ≡ row_number, so
+    * the two-phase row_number IS the rank. */
   def aggCustomer360(customer: DataFrame, orders: DataFrame): DataFrame = {
     val per = customer
       .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
@@ -60,9 +63,9 @@ object Gold {
         dsum(col("o_totalprice")).as("total_spend"),
         min(col("o_orderdate")).as("first_order"),
         max(col("o_orderdate")).as("last_order"))
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(coalesce(col("total_spend"), lit(0.0)).desc, col("c_custkey"))
-    per.withColumn("spend_rank", rank().over(w).cast(LongType))
+    graft.ops.Transforms.rankWithinGroupScalable(per, "spend_rank",
+      Seq("c_nationkey"),
+      Seq(coalesce(col("total_spend"), lit(0.0)).desc, col("c_custkey")))
   }
 
   /** agg_merchant_performance analogue over suppliers (reference
@@ -79,17 +82,20 @@ object Gold {
       col("net_revenue") / col("volume").cast(DoubleType))
 
   /** fact_transactions analogue (reference base.py:91): lineitem enriched
-    * with order and customer attributes. Customer — a true dimension —
-    * is broadcast; orders is order-of-fact-sized (~¼ of lineitem at
-    * TPC-H ratios), far past any broadcast threshold, so it
-    * shuffle-joins on the natural key. At 100 TB make THAT join
-    * exchange-free by bucketing both tables on the order key
+    * with order and customer attributes. NEITHER side is force-broadcast:
+    * customer scales WITH the fact in TPC-H (SF 100,000 ≈ 15B customers —
+    * an explicit `broadcast()` hint would bypass AQE's size guard and die
+    * on the 8 GB broadcast cap), and orders is order-of-fact-sized. AQE
+    * broadcasts the customer projection automatically whenever it
+    * actually fits the threshold; at 100 TB make both joins exchange-free
+    * by bucketing the tables on their join keys
     * ([[graft.io.Writers.writeBucketed]] — the zero-Exchange co-location
-    * the plan tests assert), not by broadcasting a fact-sized side. */
+    * the plan tests assert). Force-broadcast is reserved for BOUNDED
+    * dimensions (nation, region, date) whose size is independent of SF. */
   def factLineitem(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame): DataFrame = lineitem
     .join(orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"),
       lineitem("l_orderkey") === col("o_orderkey"), "left")
-    .join(broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+    .join(customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
       col("o_custkey") === col("c_custkey"), "left")
 }

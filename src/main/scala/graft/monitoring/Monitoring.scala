@@ -201,7 +201,16 @@ object Monitoring {
     * The exploded frame is (distinct day-user pairs) × windowDays —
     * daily-grain input, so ~windowDays× a frame that is already tiny
     * relative to the raw events. Output: (day, dau, rolling_active,
-    * stickiness), observed days only. */
+    * stickiness), observed days only.
+    *
+    * Cardinality bound: "tiny" assumes a bounded entity domain (users,
+    * accounts). With a near-event-cardinality `userCol` (device ids,
+    * session ids at 100 TB) the exploded exact-distinct shape degrades —
+    * hundreds of billions of exploded rows through one shuffle; there,
+    * keep per-day HLL partials instead and merge windows at read time
+    * ([[graft.ops.IncrementalAgg.hllState]] / `mergeHllStates`, the
+    * bounded-bytes-per-key rollup this module's sketch sink already
+    * uses) at the cost of ~2% error in `rolling_active`. */
   def rollingActiveUsers(df: DataFrame, tsCol: String, userCol: String,
       windowDays: Int = 7, roundTo: Int = 6): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")

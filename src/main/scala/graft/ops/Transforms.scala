@@ -103,14 +103,20 @@ object Transforms {
     // snapshot makes boundary agreement unconditional, registers no
     // CacheManager entry, and its blocks GC-release with the frame
     // (util.Caches contract; the old persist() here was never released).
+    // within-partition ordinal WITHOUT a window: the frame is already
+    // sorted within partitions, so monotonically_increasing_id's low
+    // 33 bits (the per-partition record counter, assigned in row order)
+    // ARE the local rank. A Window.partitionBy(__pid) here would make
+    // Catalyst insert a second full Exchange + sort on __pid — the
+    // materialized frame's partitioning is opaque to the planner — and
+    // double the promised shuffle volume on the hottest dim-build path.
     val ordered = graft.util.Caches.snapshot(
       df.repartitionByRange(naturalKeys.map(col): _*)
         .sortWithinPartitions(naturalKeys.map(col): _*)
-        .withColumn("__pid", spark_partition_id()))
-    val localRank = row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(naturalKeys.map(col): _*))
-    val withLocal = ordered.withColumn("__lrn", localRank)
-    val offsets = withLocal.groupBy("__pid").count()
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__lrn", monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1)) + lit(1L)))
+    val offsets = ordered.groupBy("__pid").count()
       .withColumn("__offset",
         coalesce(
           sum(col("count")).over(
@@ -118,9 +124,60 @@ object Transforms {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__pid"), col("__offset"))
-    withLocal.join(broadcast(offsets), "__pid")
+    ordered.join(broadcast(offsets), "__pid")
       .withColumn(keyColumnName, (col("__offset") + col("__lrn")).cast("long"))
       .drop("__pid", "__lrn", "__offset")
+  }
+
+  /** Scale-safe rank WITHIN a group (ties broken by the order columns —
+    * give them a unique tiebreak and rank ≡ row_number): the two-phase
+    * [[addSurrogateKeyScalable]] construction generalized to a group key.
+    * A raw `Window.partitionBy(group)` puts each group's ENTIRE
+    * population into one task — a 25-nation rank over billions of
+    * customers is 25 straggler tasks no matter how large the cluster —
+    * where this shape is one range shuffle on (group, order) plus a tiny
+    * broadcast of per-(partition, group) offsets.
+    *
+    * A group's rows are contiguous within each range partition (the
+    * range key leads with the group columns), so the local ordinal is
+    * the physical record counter minus the group's first counter in that
+    * partition, and the global rank adds the group's row count in all
+    * earlier partitions. */
+  def rankWithinGroupScalable(
+      df: DataFrame,
+      rankColumnName: String,
+      groupCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val rangeKey = groupCols.map(col) ++ orderCols
+    val ordered = graft.util.Caches.snapshot(
+      df.repartitionByRange(rangeKey: _*)
+        .sortWithinPartitions(rangeKey: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__idx", monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1))))
+    // per-(partition, group): row count and first physical index — tiny
+    // (#partitions × #groups rows), broadcast back
+    val perPart = ordered
+      .groupBy((col("__pid") +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("__n"), min(col("__idx")).as("__first"))
+    val offsets = perPart
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__n")).over(
+            Window.partitionBy(groupCols.map(col): _*)
+              .orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select((col("__pid").as("__opid") +:
+        groupCols.map(c => col(c).as(s"__og_$c"))) ++
+        Seq(col("__offset"), col("__first")): _*)
+    val joinCond = (col("__pid") === col("__opid")) +:
+      groupCols.map(c => col(c) <=> col(s"__og_$c"))
+    ordered.join(broadcast(offsets), joinCond.reduce(_ && _))
+      .withColumn(rankColumnName,
+        (col("__offset") + col("__idx") - col("__first") + 1L).cast("long"))
+      .drop(Seq("__pid", "__idx", "__opid", "__offset", "__first") ++
+        groupCols.map(c => s"__og_$c"): _*)
   }
 
   /** Pipe-delimited string → array column (bronze `fraud_indicators` →

@@ -255,8 +255,8 @@ object FintechQueries {
         |ORDER BY a.asset_id""".stripMargin,
     "q40_fintech_daily" ->
       s"""SELECT transaction_date, status, COUNT(*) AS n_transactions,
-         |  CAST(CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS DOUBLE) AS total_amount_usd,
-         |  CAST(CAST(SUM(fee_amount) AS DECIMAL(18,2)) AS DOUBLE) AS total_fees,
+         |  CAST(CAST(SUM(amount_usd) AS DECIMAL(38,2)) AS DOUBLE) AS total_amount_usd,
+         |  CAST(CAST(SUM(fee_amount) AS DECIMAL(38,2)) AS DOUBLE) AS total_fees,
          |  CAST(SUM(CASE WHEN is_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
          |  COUNT(DISTINCT customer_id) AS n_customers
          |FROM ${st("silver_txns")}
@@ -265,8 +265,8 @@ object FintechQueries {
     "q41_fintech_c360" ->
       s"""WITH per AS (
          |  SELECT customer_id, COUNT(*) AS n_transactions,
-         |    CAST(CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend_usd,
-         |    CAST(CAST(SUM(amount_usd) AS DECIMAL(18,2)) AS DOUBLE)
+         |    CAST(CAST(SUM(amount_usd) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend_usd,
+         |    CAST(CAST(SUM(amount_usd) AS DECIMAL(38,2)) AS DOUBLE)
          |      / CAST(COUNT(*) AS DOUBLE) AS avg_transaction_usd,
          |    MIN(transaction_date) AS first_transaction_date,
          |    MAX(transaction_date) AS last_transaction_date,
@@ -291,11 +291,12 @@ object FintechQueries {
       s"""WITH sub AS (
          |  SELECT customer_id, transaction_id, transaction_timestamp, amount_usd
          |  FROM ${st("silver_txns")}
-         |  WHERE amount_usd >= 9000 AND amount_usd < 10000),
+         |  WHERE amount_usd >= 9000 AND amount_usd < 10000
+         |    AND transaction_timestamp IS NOT NULL),
          |w AS (
          |  SELECT customer_id, transaction_id, transaction_timestamp, amount_usd,
          |    COUNT(*) OVER win AS n_window,
-         |    CAST(SUM(amount_usd) OVER win AS DECIMAL(18,2)) AS sum_window
+         |    CAST(SUM(amount_usd) OVER win AS DECIMAL(38,2)) AS sum_window
          |  FROM sub
          |  WINDOW win AS (PARTITION BY customer_id
          |    ORDER BY CAST(FLOOR(epoch(transaction_timestamp)) AS BIGINT)

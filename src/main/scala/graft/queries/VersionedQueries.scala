@@ -122,9 +122,12 @@ object VersionedQueries {
     * CdfSpec. */
   private def buildCustomerCdf(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
-    val cust = customerSlice(s, dir)
+    // pin the slice driver-side once: every commit, consumer cycle and
+    // oracle-side read otherwise re-scans the parquet through its own
+    // lineage (tiny capped slice — thousands of rows)
+    val cust = pinned(s, customerSlice(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        col("c_acctbal"))
+        col("c_acctbal")))
     VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)    // v0
     val root = java.nio.file.Paths.get(tbl).getParent
     val dst = root.resolve("dst").toString
@@ -191,8 +194,8 @@ object VersionedQueries {
     * shape — CdfSpec keeps the restart path gated). */
   private def buildOrdersCdf(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
-    val base = ordersSlice(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = pinned(s, ordersSlice(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
     VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)   // v0
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val state = s"$tbl.state"
@@ -238,9 +241,9 @@ object VersionedQueries {
     * distinct-count gate, identical to q153's algebra. */
   private def buildIvm(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
-    val base = ordersSlice(s, dir)
+    val base = pinned(s, ordersSlice(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice"), col("o_custkey"))
+        col("o_totalprice"), col("o_custkey")))
     VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
     val src = base.filter(col("o_orderkey") % 5 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
@@ -278,9 +281,9 @@ object VersionedQueries {
     * composite read observes it. */
   private def buildSkipping(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
-    val base = ordersSlice(s, dir)
+    val base = pinned(s, ordersSlice(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"))
+        col("o_orderstatus"), col("o_totalprice")))
     VT.append(s, base, tbl, statsFor = Seq("o_orderkey"))
     VT.compact(s, tbl, targetFiles = 8, clusterBy = Seq("o_orderkey"),
       statsFor = Seq("o_orderkey"), bloomFor = Seq("o_custkey"))

@@ -148,6 +148,23 @@ class DataQualitySpec extends SparkSpec {
     assert(r.results.head.failedCount == 1)
   }
 
+  test("checkUniquenessApprox rides the single pass and never reports a " +
+    "negative failure count when the estimator overshoots") {
+    val df = (1 to 1000).toDF("id")
+    val r = DataQualityChecker(df, "t")
+      .checkUniquenessApprox(Seq("id"), threshold = 0.9)
+      .run()
+    val u = r.results.head
+    assert(u.passed, u.toString) // fully unique, 2.3% rsd ≪ 10% slack
+    assert(u.failedCount >= 0L)
+    assert(u.details.contains("approx"))
+    // a genuinely duplicated key fails the same threshold
+    val dup = (1 to 1000).map(_ % 10).toDF("id")
+    val rd = DataQualityChecker(dup, "t")
+      .checkUniquenessApprox(Seq("id"), threshold = 0.9).run()
+    assert(!rd.results.head.passed)
+  }
+
   test("quickCheck bundles key completeness + uniqueness") {
     val ok = Seq(("A", 1), ("B", 2)).toDF("id", "v")
     assert(DataQualityChecker.quickCheck(ok, "t", Seq("id")).passed)

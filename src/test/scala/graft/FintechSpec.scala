@@ -89,8 +89,9 @@ class FintechSpec extends SparkSpec {
   test("fintech gold daily metrics are exact and complete") {
     val daily = FintechGold.aggDailyMetrics(silverTxns)
     assert(daily.agg(sum("n_transactions")).head().getLong(0) == 5000L)
-    // money sums stay DECIMAL(18,2) at the gold boundary
-    assert(daily.schema("total_amount_usd").dataType == DecimalType(18, 2))
+    // money sums surface WIDE at the gold boundary — a (18,2) narrowing
+    // would turn one hot group past 10^16 into an ANSI ArithmeticException
+    assert(daily.schema("total_amount_usd").dataType == DecimalType(38, 2))
   }
 
   test("customer 360 keeps txn-less customers with null aggregates") {

@@ -35,14 +35,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("fintech fact build broadcasts both dims, never sort-merges") {
+  test("fintech fact-dim joins broadcast ADAPTIVELY when the dims fit — " +
+    "no hint, AQE's size guard decides") {
     val txns = SilverPipeline.transactionsToSilver(
       DataGenerator.transactions(spark, 2000, 100, 20))
     val cust = FintechGold.dimCustomer(SilverPipeline.customersToSilver(
       DataGenerator.customers(spark, 100), asOf = lit("2024-06-01").cast("date")))
     val merch = FintechGold.dimMerchant(SilverPipeline.merchantsToSilver(
       DataGenerator.merchants(spark, 20)))
-    val p = planOf(FintechGold.factTransactions(txns, cust, merch))
+    val fact = FintechGold.factTransactions(txns, cust, merch)
+    // factTransactions must NOT hint the dim joins: a forced broadcast of
+    // the fact-correlated dims would bypass AQE's size guard straight
+    // into the 8 GB cap at scale. (The surrogate-key builders' INTERNAL
+    // offsets broadcast is legitimately hinted — it is #partitions rows
+    // by construction.) Small dims still broadcast — at RUNTIME, once
+    // AQE sees their true size — so execute, then read the final
+    // adaptive plan.
+    fact.collect()
+    // the adaptive plan string carries BOTH the final and the initial
+    // plan; only the final section reflects what actually ran
+    val p = planOf(fact).split("== Initial Plan ==").head
     // the two fact-dim joins themselves (the dims' internal surrogate-key
     // builders contribute additional broadcast joins of their own)
     assert(countOcc(p, "LeftOuter, BuildRight") == 2, p)
