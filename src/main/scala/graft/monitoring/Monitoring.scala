@@ -238,6 +238,45 @@ object Monitoring {
     snap
   }
 
+  /** [[rollingActiveUsers]] for UNBOUNDED entity domains (device ids,
+    * session ids at 100 TB): one shuffle builds a per-day HLL sketch of
+    * the entity set (map-side combined, bounded bytes per day), and the
+    * rolling window is a UNION OF SKETCHES over the tiny day-grain frame
+    * — the raw events are scanned once and never exploded, where the
+    * exact form's (day, user) × windowDays explode degrades with entity
+    * cardinality. ~2% relative error at the default lgConfigK = 12
+    * (DataSketches HLL stays exact in sparse mode, so small domains
+    * match the exact form bit-for-bit). Same output shape:
+    * (day, dau, rolling_active, stickiness), observed days only. */
+  def rollingActiveUsersApprox(df: DataFrame, tsCol: String,
+      userCol: String, windowDays: Int = 7, roundTo: Int = 6,
+      lgConfigK: Int = 12): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val perDay = df.where(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(hll_sketch_agg(col(userCol), lit(lgConfigK)).as("hll"))
+      .persist() // one sketch row per observed day
+    perDay.count()
+    val days = perDay.select(col("day"))
+    val dau = perDay.select(col("day"),
+      hll_sketch_estimate(col("hll")).as("dau"))
+    val rolling = perDay
+      .select(explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1),
+        expr("interval 1 day"))).as("day"), col("hll"))
+      .join(days, Seq("day"), "left_semi") // only observed days report
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("hll"), lit(false)).as("hll"))
+      .select(col("day"), hll_sketch_estimate(col("hll")).as("rolling_active"))
+    val out = dau.join(rolling, Seq("day"))
+      .select(col("day"), col("dau"), col("rolling_active"),
+        round(col("dau").cast(DoubleType) /
+          col("rolling_active").cast(DoubleType), roundTo).as("stickiness"))
+    val snap = graft.util.Caches.snapshot(out)
+    perDay.unpersist(blocking = false)
+    snap
+  }
+
   /** Seasonal-naive forecast backtest: forecast(day) = the actual count
     * on the SAME WEEKDAY LAST WEEK (a calendar join on day−7, not a
     * 7-row lag — row lags silently misalign across gap days), per-day

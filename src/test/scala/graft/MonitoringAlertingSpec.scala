@@ -218,6 +218,24 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(o2("2024-01-05") == ((1L, 3L, 0.333333)))
   }
 
+  test("rollingActiveUsersApprox matches the exact form on a small " +
+    "domain (HLL sparse mode) and never explodes the raw events") {
+    def at(d: String, u: Long) =
+      (java.sql.Timestamp.valueOf(s"2024-01-$d 12:00:00"), u)
+    val df = Seq(at("01", 1L), at("01", 1L), at("03", 2L), at("05", 3L),
+      at("05", 1L), at("20", 4L)).toDF("ts", "user_id")
+    def rows(o: org.apache.spark.sql.DataFrame) =
+      o.collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("rolling_active"))).toMap
+    val exact = rows(graft.monitoring.Monitoring
+      .rollingActiveUsers(df, "ts", "user_id"))
+    val approx = rows(graft.monitoring.Monitoring
+      .rollingActiveUsersApprox(df, "ts", "user_id"))
+    // DataSketches HLL is exact below its sparse threshold, so the two
+    // forms agree bit-for-bit on a small entity domain
+    assert(approx == exact, s"approx $approx vs exact $exact")
+  }
+
   test("seasonalNaiveBacktest: calendar-lag forecast survives gap days") {
     // counts: day1=10, day8=20, day15=40; day9 missing entirely — a
     // 7-ROW lag would misalign day15's forecast; the calendar join
