@@ -72,6 +72,17 @@ object ScaleSmoke {
         ops.SilverPipeline.customersToSilver(
           generator.DataGenerator.customers(spark, 100000),
           asOf = lit("2024-06-01").cast("date"))).count() }
+    // the two-phase rank on a LOW-cardinality group — the shape a raw
+    // Window.partitionBy would collapse to #groups straggler tasks
+    time("2M two-phase rank within 4 status groups") {
+      ops.Transforms.rankWithinGroupScalable(silver, "amt_rank",
+        Seq("status"),
+        Seq(col("amount_usd").desc, col("transaction_id"))).count() }
+    // device_id is near-event-cardinality — the domain where the exact
+    // explode form degrades and the sketch form is the 100 TB answer
+    time("2M rolling active devices (per-day HLL union)") {
+      monitoring.Monitoring.rollingActiveUsersApprox(
+        silver, "transaction_timestamp", "device_id").count() }
     silver.unpersist()
 
     // 100k docs near-dup + text analysis
