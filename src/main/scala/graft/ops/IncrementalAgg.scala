@@ -246,4 +246,63 @@ object IncrementalAgg {
       col("sum_v").cast(DoubleType).as("sum_value"),
       (col("sum_v").cast(DoubleType) / col("n").cast(DoubleType))
         .as("avg_value")): _*)
+
+  /** RETRACTABLE state over SEVERAL measures at once:
+    * (keys*, n, sum_<c> per value column). A real materialized view
+    * rarely maintains one sum — amount + fee + net per merchant is the
+    * normal shape — and maintaining k single-measure states would fold
+    * the change feed k times and store k copies of the group keys. Same
+    * group algebra as [[sumState]] per column (count + decimal sums form
+    * a group; every delta has an inverse), same canonical (38,2)
+    * realignment so bootstrap and refresh writes carry one schema. */
+  def sumStateMulti(df: DataFrame, keys: Seq[String],
+      valueCols: Seq[String],
+      decimals: DecimalType = DecimalType(38, 2)): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      valueCols.map(c =>
+        sum(col(c).cast(decimals)).cast(decimals).as(s"sum_$c")): _*)
+  }
+
+  /** Fold a change feed into a [[sumStateMulti]] — [[applyChangeFeed]]
+    * generalized to k measures for the cost of ONE feed aggregate and
+    * ONE state merge. A null measure value contributes nothing in either
+    * direction (insert and retraction skip it symmetrically, matching
+    * `sum`'s null handling in the bootstrap), so the maintained state
+    * stays exactly `sumStateMulti` of the new version. */
+  def applyChangeFeedMulti(state: DataFrame, cdf: DataFrame,
+      keys: Seq[String], valueCols: Seq[String],
+      decimals: DecimalType = DecimalType(38, 2)): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    val delta = cdf
+      .filter(sign.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("n"),
+        valueCols.map(c =>
+          sum(when(sign > 0, col(c).cast(decimals))
+            .otherwise(-col(c).cast(decimals)))
+            .cast(decimals).as(s"sum_$c")): _*)
+    val aligned = state.select(keys.map(col) ++ (col("n") +:
+      valueCols.map(c => col(s"sum_$c").cast(decimals).as(s"sum_$c"))): _*)
+    aligned.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        valueCols.map(c =>
+          sum(col(s"sum_$c")).cast(decimals).as(s"sum_$c")): _*)
+      .filter(col("n") > 0)
+  }
+
+  /** Reader-facing view of a [[sumStateMulti]]: per measure, the exact
+    * sum and the n-division average as doubles (identical operands ⇒
+    * identical IEEE results in any engine — the oracle-parity rule). */
+  def finalizeSumsMulti(state: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ (col("n") +: valueCols.flatMap(c => Seq(
+      col(s"sum_$c").cast(DoubleType).as(s"sum_$c"),
+      (col(s"sum_$c").cast(DoubleType) / col("n").cast(DoubleType))
+        .as(s"avg_$c")))): _*)
 }

@@ -271,6 +271,22 @@ object VersionedQueries {
               state0, cdf, Seq("o_orderstatus"), "o_custkey"),
             Seq("o_orderstatus"))
           .orderBy(col("o_orderstatus"))
+      },
+      // MULTI-measure IVM: one state maintains BOTH sums through the
+      // same feed fold (a real view is sum(amount)+sum(fee)-shaped, and
+      // k single-measure states would fold the feed k times). Hashed
+      // against the recompute of the final version — a sign error on
+      // either measure, a missing retraction, or a group that failed to
+      // drop flips the hash.
+      "q170_incremental_multisum" -> {
+        val cols = Seq("o_totalprice", "o_custkey")
+        val state0 = graft.ops.IncrementalAgg.sumStateMulti(
+          VT.snapshot(s, tbl, Some(0)), Seq("o_orderstatus"), cols)
+        graft.ops.IncrementalAgg.finalizeSumsMulti(
+            graft.ops.IncrementalAgg.applyChangeFeedMulti(
+              state0, cdf, Seq("o_orderstatus"), cols),
+            Seq("o_orderstatus"), cols)
+          .orderBy(col("o_orderstatus"))
       })
   }
 
@@ -451,6 +467,12 @@ object VersionedQueries {
     // paths sit inside the hash-checked result.
     "q157_incremental_distinct" -> ((s, dir) =>
       Shared.member(s, dir, "ivm", "q157_incremental_distinct")(buildIvm)),
+
+    // Multi-measure retractable IVM (sumStateMulti/applyChangeFeedMulti):
+    // both measures maintained by ONE feed fold, hash-checked against
+    // the DuckDB recompute of the final version.
+    "q170_incremental_multisum" -> ((s, dir) =>
+      Shared.member(s, dir, "ivm", "q170_incremental_multisum")(buildIvm)),
 
     // External CDC ingestion: Debezium-shaped JSON envelopes (creates,
     // full before/after updates, deletes — synthesized with to_json and
@@ -918,6 +940,32 @@ object VersionedQueries {
         |  SELECT * FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
         |SELECT o_orderstatus,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The multi-measure twin of q153: the same final-version recompute,
+    // both measures aggregated with the same exact decimal algebra and
+    // n-division averages.
+    "q170_incremental_multisum" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_custkey
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey < 20000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice, o_custkey
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey < 20000),
+        |v2 AS (
+        |  SELECT * FROM v1 WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_o_totalprice,
+        |  CAST(SUM(CAST(o_custkey AS DECIMAL(38,2))) AS DOUBLE) AS sum_o_custkey,
+        |  CAST(SUM(CAST(o_custkey AS DECIMAL(38,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_o_custkey
         |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Final state from the envelope algebra: base = keys≡0 (mod 3);

@@ -635,6 +635,40 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("applyChangeFeedMulti maintains several measures in one fold, " +
+    "identical to recompute, null measures and zero-groups included") {
+    withTable { t =>
+      val rows = Seq((1, "x", Some(10.0), Some(1.0)),
+        (2, "x", Some(20.0), None), // null fee: skipped symmetrically
+        (3, "y", Some(30.0), Some(3.0)),
+        (4, "z", Some(40.0), Some(4.0))).toDF("id", "grp", "amt", "fee")
+      VT.append(spark, rows, t)                                     // v0
+      // move id=3 y→x; insert id=5; delete id=2 (null-fee row retracts);
+      // delete id=4 (group z drops to zero)
+      VT.merge(spark, Seq((3, "x", 35.0, 3.5), (5, "y", 50.0, 5.0))
+        .toDF("id", "grp", "amt", "fee"), t, Seq("id"))             // v1
+      VT.deleteWhere(spark, t, col("id").isin(2, 4))                // v2
+      val cols = Seq("amt", "fee")
+      val state0 = graft.ops.IncrementalAgg.sumStateMulti(
+        VT.snapshot(spark, t, Some(0)), Seq("grp"), cols)
+      val cdf = VT.changeFeed(spark, t, 0, 2, Seq("id"),
+        includePreimage = true)
+      val maintained = graft.ops.IncrementalAgg.finalizeSumsMulti(
+        graft.ops.IncrementalAgg.applyChangeFeedMulti(
+          state0, cdf, Seq("grp"), cols), Seq("grp"), cols)
+      val recomputed = graft.ops.IncrementalAgg.finalizeSumsMulti(
+        graft.ops.IncrementalAgg.sumStateMulti(
+          VT.snapshot(spark, t, Some(2)), Seq("grp"), cols),
+        Seq("grp"), cols)
+      val m = maintained.orderBy("grp").collect().map(_.toSeq).toSeq
+      val r = recomputed.orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(m == r, s"maintained $m vs recomputed $r")
+      // x: {1->(10,1), 3->(35,3.5)}; y: {5->(50,5)}; z dropped
+      assert(m.map(row => (row.head, row(1), row(2), row(4))) ==
+        Seq(("x", 2L, 45.0, 4.5), ("y", 1L, 50.0, 5.0)))
+    }
+  }
+
   test("applyChangeFeed drops groups retracted to zero") {
     withTable { t =>
       VT.append(spark, Seq((1, "only", 5.0)).toDF("id", "grp", "v"), t)
