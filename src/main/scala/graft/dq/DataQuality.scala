@@ -88,8 +88,9 @@ private final case class RegisteredCheck(
 final class DataQualityChecker(df: DataFrame, tableName: String) {
 
   private var checks = Vector.empty[RegisteredCheck]
+  // (name, columns, threshold, severity, approx rsd — None = exact)
   private var uniquenessChecks =
-    Vector.empty[(String, Seq[String], Double, Severity.Value, Boolean)]
+    Vector.empty[(String, Seq[String], Double, Severity.Value, Option[Double])]
   private var freshnessChecks = Vector.empty[(String, String, Double, Severity.Value)]
   private var referentialChecks = Vector.empty[(String, DataFrame, Seq[String], Double, Severity.Value)]
 
@@ -135,19 +136,25 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
   def checkUniqueness(columns: Seq[String], threshold: Double = 1.0,
       severity: Severity.Value = Severity.Critical): this.type = {
     uniquenessChecks :+= ((s"uniqueness_${columns.mkString("_")}", columns,
-      threshold, severity, false))
+      threshold, severity, None))
     this
   }
 
-  /** [[checkUniqueness]] with `approx_count_distinct` (HLL++, default
-    * rsd ≈ 2.3%): the scale form for threshold-based uniqueness on huge
-    * tables — a mergeable sketch partial per task instead of an Expand +
-    * full-key shuffle. Not for exact PK audits (threshold 1.0 with an
-    * estimator can both false-pass and false-fail). */
+  /** [[checkUniqueness]] with `approx_count_distinct` (HLL++): the scale
+    * form for threshold-based uniqueness on huge tables — a mergeable
+    * sketch partial per task instead of an Expand + full-key shuffle.
+    * `rsd` is the estimator's relative standard deviation (Spark's
+    * default 0.05 = 5%; tighten it — at memory cost — when the threshold
+    * sits within a few σ of the expected distinct rate). Not for exact
+    * PK audits (threshold 1.0 with an estimator can both false-pass and
+    * false-fail). Named `uniqueness_approx_…` so it coexists with the
+    * exact check on the same columns without colliding report keys. */
   def checkUniquenessApprox(columns: Seq[String], threshold: Double,
-      severity: Severity.Value = Severity.Critical): this.type = {
-    uniquenessChecks :+= ((s"uniqueness_${columns.mkString("_")}", columns,
-      threshold, severity, true))
+      severity: Severity.Value = Severity.Critical,
+      rsd: Double = 0.05): this.type = {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
+    uniquenessChecks :+= ((s"uniqueness_approx_${columns.mkString("_")}",
+      columns, threshold, severity, Some(rsd)))
     this
   }
 
@@ -222,14 +229,14 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
       checks.zipWithIndex.map { case (c, i) =>
         sum(when(c.violation.get, 1L).otherwise(0L)).as(s"__viol_$i")
       } ++
-      uniquenessChecks.zipWithIndex.map { case ((_, cols, _, _, approx), i) =>
+      uniquenessChecks.zipWithIndex.map { case ((_, cols, _, _, rsd), i) =>
         // struct wrap: bare count_distinct DROPS any tuple containing a
         // null, so rows with a null key would all count as duplicates
         // (and a composite key with one all-null column would report 0
         // distinct). A struct is non-null even when its fields are null,
         // so null key tuples participate like any other value.
         val key = struct(cols.map(col): _*)
-        (if (approx) approx_count_distinct(key) else count_distinct(key))
+        rsd.fold(count_distinct(key))(r => approx_count_distinct(key, r))
           .as(s"__uniq_$i")
       } ++
       freshnessChecks.zipWithIndex.map { case ((n, ts, _, _), i) =>
@@ -257,14 +264,15 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
         c.threshold, c.severity.toString, c.details)
     }
     val uniq = uniquenessChecks.zipWithIndex.map {
-      case ((n, cols, th, sev, approx), i) =>
+      case ((n, cols, th, sev, rsd), i) =>
         val distinct = Option(row.getAs[Long](s"__uniq_$i")).getOrElse(0L)
         // an estimator can overshoot the true distinct count — clamp so
         // the failure count never goes negative
         val failed = math.max(0L, total - distinct)
         DQCheckResult(n, CheckType.Uniqueness.toString, cols.mkString(","),
           rate(failed) >= th, total, failed, rate(failed), th, sev.toString,
-          s"distinct=$distinct" + (if (approx) " (approx)" else ""))
+          s"distinct=$distinct" +
+            rsd.fold("")(r => s" (approx, rsd=$r)"))
     }
     val fresh = freshnessChecks.zipWithIndex.map { case ((n, ts, maxH, sev), i) =>
       val maxTs = Option(row.get(row.fieldIndex(s"__fresh_$i")))

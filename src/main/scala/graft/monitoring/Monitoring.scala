@@ -247,7 +247,11 @@ object Monitoring {
     * cardinality. ~2% relative error at the default lgConfigK = 12
     * (DataSketches HLL stays exact in sparse mode, so small domains
     * match the exact form bit-for-bit). Same output shape:
-    * (day, dau, rolling_active, stickiness), observed days only. */
+    * (day, dau, rolling_active, stickiness), observed days only.
+    * dau and rolling_active are INDEPENDENT estimates, not monotone
+    * under set inclusion — in dense mode a day's estimate can exceed
+    * its own window union's — so stickiness clamps at 1.0 to preserve
+    * the exact form's (0, 1] ratio contract for alert consumers. */
   def rollingActiveUsersApprox(df: DataFrame, tsCol: String,
       userCol: String, windowDays: Int = 7, roundTo: Int = 6,
       lgConfigK: Int = 12): DataFrame = {
@@ -270,8 +274,9 @@ object Monitoring {
       .select(col("day"), hll_sketch_estimate(col("hll")).as("rolling_active"))
     val out = dau.join(rolling, Seq("day"))
       .select(col("day"), col("dau"), col("rolling_active"),
-        round(col("dau").cast(DoubleType) /
-          col("rolling_active").cast(DoubleType), roundTo).as("stickiness"))
+        least(lit(1.0), round(col("dau").cast(DoubleType) /
+          col("rolling_active").cast(DoubleType), roundTo))
+          .as("stickiness"))
     val snap = graft.util.Caches.snapshot(out)
     perDay.unpersist(blocking = false)
     snap

@@ -117,6 +117,17 @@ object Transforms {
         .withColumn("__lrn", monotonically_increasing_id()
           .bitwiseAND(lit((1L << 33) - 1)) + lit(1L)))
     val offsets = ordered.groupBy("__pid").count()
+      // the 33-bit record counter the ordinals came from WRAPS past
+      // 2^33 rows in one partition (a hot natural key funnels all its
+      // rows to one range partition) — wrapped ordinals would emit
+      // DUPLICATE "unique" keys silently, so fail the query instead the
+      // moment any partition count says it happened
+      .withColumn("count", when(col("count") >= (1L << 33),
+        raise_error(concat(lit("addSurrogateKeyScalable: a range " +
+          "partition holds "), col("count"),
+          lit(" rows — past the 2^33 per-partition ordinal range; " +
+            "key assignment would wrap and collide. Split the hot " +
+            "natural key or salt it.")))).otherwise(col("count")))
       .withColumn("__offset",
         coalesce(
           sum(col("count")).over(
@@ -155,11 +166,20 @@ object Transforms {
         .withColumn("__pid", spark_partition_id())
         .withColumn("__idx", monotonically_increasing_id()
           .bitwiseAND(lit((1L << 33) - 1))))
-    // per-(partition, group): row count and first physical index — tiny
-    // (#partitions × #groups rows), broadcast back
-    val perPart = ordered
+    // per-(partition, group): row count and first physical index —
+    // #partitions × #groups rows. The 33-bit ordinal wrap guard rides
+    // the same aggregate (see addSurrogateKeyScalable: wrapped ordinals
+    // would emit colliding ranks silently).
+    // snapshot the (small) aggregate: the cardinality probe below and
+    // the offsets window both read it without re-aggregating `ordered`
+    val perPart = graft.util.Caches.snapshot(ordered
       .groupBy((col("__pid") +: groupCols.map(col)): _*)
       .agg(count(lit(1)).as("__n"), min(col("__idx")).as("__first"))
+      .withColumn("__n", when(col("__n") >= (1L << 33),
+        raise_error(lit("rankWithinGroupScalable: a range partition " +
+          "holds >= 2^33 rows of one group — past the per-partition " +
+          "ordinal range; ranks would wrap and collide")))
+        .otherwise(col("__n"))))
     val offsets = perPart
       .withColumn("__offset",
         coalesce(
@@ -173,7 +193,15 @@ object Transforms {
         Seq(col("__offset"), col("__first")): _*)
     val joinCond = (col("__pid") === col("__opid")) +:
       groupCols.map(c => col(c) <=> col(s"__og_$c"))
-    ordered.join(broadcast(offsets), joinCond.reduce(_ && _))
+    // broadcast only while the offsets side is PROVABLY broadcastable:
+    // #partitions × #groups is tiny for the low-cardinality groups this
+    // exists for, but a generic caller ranking within a high-cardinality
+    // group would otherwise force a multi-GB build through the driver —
+    // the exact forced-hint-past-AQE's-guard hazard the gold joins shed.
+    // The count is one job over the already-materialized aggregate.
+    val offsetsSide =
+      if (perPart.count() <= (1L << 20)) broadcast(offsets) else offsets
+    ordered.join(offsetsSide, joinCond.reduce(_ && _))
       .withColumn(rankColumnName,
         (col("__offset") + col("__idx") - col("__first") + 1L).cast("long"))
       .drop(Seq("__pid", "__idx", "__opid", "__offset", "__first") ++
