@@ -530,6 +530,38 @@ object Streams {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
+    mvSink(spark, sourceTable, stateTable, keys, checkpoint, trigger,
+      empty => graft.ops.IncrementalAgg.sumState(empty, keys, valueCol),
+      (prev, batch) => graft.ops.IncrementalAgg.applyChangeFeed(
+        prev, batch, keys, valueCol))
+
+  /** [[materializedViewSink]] over SEVERAL measures: one state row per
+    * group carries every sum
+    * ([[graft.ops.IncrementalAgg.sumStateMulti]], columns `sum_<c>`),
+    * maintained by ONE feed fold per micro-batch — the
+    * sum(amount)+sum(fee) views real pipelines keep, without k sinks
+    * tailing the same change feed into k state tables. Identical
+    * exactly-once, file-granularity and null-group semantics. */
+  def materializedViewSinkMulti(spark: SparkSession, sourceTable: String,
+      stateTable: String, keys: Seq[String], valueCols: Seq[String],
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mvSink(spark, sourceTable, stateTable, keys, checkpoint, trigger,
+      empty => graft.ops.IncrementalAgg.sumStateMulti(empty, keys, valueCols),
+      (prev, batch) => graft.ops.IncrementalAgg.applyChangeFeedMulti(
+        prev, batch, keys, valueCols))
+
+  /** Shared micro-batch loop of the MV sinks: `bootstrap` shapes the
+    * canonical EMPTY state (schema only), `fold` applies one batch of
+    * envelopes to the touched slice of the previous state. */
+  private def mvSink(spark: SparkSession, sourceTable: String,
+      stateTable: String, keys: Seq[String], checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      bootstrap: DataFrame => DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft-versioned")
       .option("readChangeFeed", "true")
       .load(sourceTable)
@@ -552,8 +584,7 @@ object Streams {
         val prev = graft.io.VersionedTable.latestVersion(stateTable) match {
           // bootstrap: an empty state with the CANONICAL schema — the
           // snapshot-as-inserts first batch then builds the full view
-          case None => graft.ops.IncrementalAgg.sumState(
-            batch.filter(lit(false)), keys, valueCol)
+          case None => bootstrap(batch.filter(lit(false)))
           case Some(_) => graft.io.VersionedTable.keyJoin(
             graft.io.VersionedTable.snapshot(s, stateTable),
             touched, keys, "left_semi")
@@ -561,8 +592,7 @@ object Streams {
         // the fold is consumed TWICE (the upsert rows and the gone
         // anti-join) — persist it, or the groupBy + state join re-runs
         // per consumer
-        val next = graft.ops.IncrementalAgg.applyChangeFeed(
-          prev, batch, keys, valueCol).persist()
+        val next = fold(prev, batch).persist()
         try {
           // groups whose count reached zero drop out of `next` — they
           // leave the state as explicit deletes; everything else upserts

@@ -269,6 +269,42 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("multi-measure materialized view maintained by the change-feed " +
+    "stream equals recompute across both measures") {
+    withDirs { (t, ck) =>
+      val state = s"$ck.state"
+      def run(): Unit = {
+        val q = graft.streaming.Streams.materializedViewSinkMulti(
+          spark, t, state, Seq("grp"), Seq("amt", "fee"), ck)
+        try q.processAllAvailable() finally q.stop()
+      }
+      VT.append(spark, Seq((1, "x", 10.0, 1.0), (2, "x", 20.0, 2.0),
+        (3, "y", 30.0, 3.0)).toDF("id", "grp", "amt", "fee"), t)
+      enable(t)
+      run() // bootstrap: both sums from the snapshot-as-inserts batch
+      def view(): Seq[(String, Long, Double, Double)] =
+        VT.snapshot(spark, state)
+          .select(col("grp"), col("n"), col("sum_amt").cast("double"),
+            col("sum_fee").cast("double"))
+          .as[(String, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+      assert(view() == Seq(("x", 2L, 30.0, 3.0), ("y", 1L, 30.0, 3.0)))
+      // update moves id=2 to group y; delete retracts group x's last+1
+      VT.merge(spark, Seq((2, "y", 25.0, 2.5)).toDF("id", "grp", "amt", "fee"),
+        t, Seq("id"))
+      VT.deleteWhereDeferred(spark, t, col("id") === 1)
+      run()
+      assert(view() == Seq(("y", 2L, 55.0, 5.5)),
+        "group x must drop at n=0; y must carry both folded measures")
+      // and the maintained state equals the full recompute
+      val recomputed = graft.ops.IncrementalAgg.sumStateMulti(
+        VT.snapshot(spark, t), Seq("grp"), Seq("amt", "fee"))
+        .select(col("grp"), col("n"), col("sum_amt").cast("double"),
+          col("sum_fee").cast("double"))
+        .as[(String, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+      assert(view() == recomputed)
+    }
+  }
+
   test("materialized view folds a NULL group key instead of duplicating " +
     "its state row") {
     withDirs { (t, ck) =>
