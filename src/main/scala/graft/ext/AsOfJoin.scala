@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
   *
   * Tie rule: a right row at exactly left ts matches (≤). Right side should
   * be unique per (keys, ts) — pre-aggregate otherwise (else which duplicate
-  * wins is plan-dependent).
+  * wins is plan-dependent). Right rows with a NULL timestamp are dropped
+  * (they evidence no point in time; unfiltered they'd sort NULLS FIRST and
+  * be handed to every left row with no real predecessor).
+  *
+  * Skew bound: all rows of one key land in ONE window partition — the
+  * linear-scaling claim assumes no single key dominates (AQE's skew
+  * handling covers joins, not window exec). For a dominant key (80% of
+  * facts in USD), pre-split it: salt the LEFT side into s sub-keys and
+  * replicate the (tiny) right side into each — the
+  * [[graft.ops.SkewJoin]] pattern — then as-of join on (key, salt).
   */
 object AsOfJoin {
 
@@ -38,7 +47,12 @@ object AsOfJoin {
     // Align schemas: keys, event time, side marker (right sorts before left
     // at equal ts so "<=" holds), left payload (null on right rows), right
     // payload (null on left rows).
-    val rightU = right.select(
+    // a NULL right timestamp sorts NULLS FIRST ascending: unfiltered,
+    // that row's (non-null) struct would be picked as the "latest
+    // preceding" match for every left row with no real predecessor —
+    // fabricated lookups carrying asof ts = NULL. A null-ts right row
+    // cannot be evidence of any point in time; drop it.
+    val rightU = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         leftCols.filterNot(keys.contains)

@@ -66,6 +66,15 @@ object Ivf {
     val vecs = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      // one NaN element would collapse training: its cell's mean turns
+      // NaN, the NaN centroid then wins every argmax (NaN comparisons
+      // sort GREATEST), and after one iteration EVERY row assigns to
+      // that cell — semDedup's within-cell pairing degenerates to
+      // all-pairs over the whole corpus. Non-finite vectors carry no
+      // trainable direction; drop them up front like nulls.
+      .withColumn("__n", Similarity.dot(col("v"), col("v")))
+      .filter(!isnan(col("__n")) && col("__n") < Double.PositiveInfinity)
+      .drop("__n")
       .persist()
     try {
       val initRows = vecs
@@ -113,13 +122,18 @@ object Ivf {
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
       roundDigits: Int = 4, broadcastQueries: Boolean = true): DataFrame = {
     val cv = col(vecCol).cast("array<double>")
-    // null vectors drop on BOTH sides (mirroring train/build): a null vec
-    // would otherwise land in cell 0 with sim 0.0 and outrank genuinely
-    // dissimilar (negative-cosine) neighbors in every query probing it
+    // null AND non-finite vectors drop on BOTH sides (mirroring train):
+    // a null vec would land in cell 0 with sim 0.0 and outrank genuinely
+    // dissimilar (negative-cosine) neighbors, and a NaN norm passes a
+    // bare > 0 guard (NaN comparisons are TRUE there) and hijacks every
+    // descending rank
+    def finite(n: Column): Column =
+      !isnan(n) && n < Double.PositiveInfinity
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), cv.as("__cv"),
         Similarity.norm(cv).as("__cn"),
         cellId(cv, m).as("cell"))
+      .filter(finite(col("__cn")))
     // top-nprobe cells per query: sort (−sim, idx) structs, slice, explode
     val sims = simArray(cv, m)
     val ranked = array_sort(zip_with(sims,
@@ -130,6 +144,7 @@ object Ivf {
       .select(col(idCol).as("query_id"), cv.as("__qv"),
         Similarity.norm(cv).as("__qn"),
         explode(probes).as("cell"))
+      .filter(finite(col("__qn")))
     val qSide = if (broadcastQueries) broadcast(q) else q
     val scored = qSide.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -137,7 +152,11 @@ object Ivf {
         when(col("__qn") > 0 && col("__cn") > 0,
           Similarity.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
           .otherwise(lit(0.0)), roundDigits))
-      .dropDuplicates("query_id", "neighbor_id")
+    // no pair dedup: a corpus row lives in exactly ONE cell and a
+    // query's nprobe probe cells are pairwise distinct (a slice of a
+    // sorted distinct index array), so each (query, neighbor) joins at
+    // most once — a dropDuplicates here was a provable no-op costing a
+    // full extra shuffle of the corpus-scale scored set
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast(LongType))

@@ -107,7 +107,10 @@ object IvfPq {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(adist, roundDigits).as("adist"))
       .filter(col("adist").isNotNull)
-      .dropDuplicates("query_id", "neighbor_id") // multi-probe overlap
+      // no pair dedup: a corpus row lives in exactly ONE cell and the
+      // query's probe cells are pairwise distinct, so each
+      // (query, neighbor) joins at most once — the old dropDuplicates
+      // was a no-op costing a full extra shuffle of the scored set
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val short = cand.withColumn("__r", row_number().over(ws))

@@ -212,16 +212,25 @@ object Pq {
       element_at(transform(array(sv), s =>
         array(model.codebooks(mm).map(c => distSq(s, c)): _*)), 1)
     }: _*)
-    val q = queries.filter(col(vecCol).isNotNull)
+    // dimension-gate the queries like [[encodeColumn]] gates the
+    // corpus: a short query would build its ADC table from truncated
+    // slices and score finite-but-WRONG distances with no error
+    val q = queries.filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) === model.m * model.subDim)
       .select(col(idCol).as("query_id"), table.as("__tab"))
     // score = Σ_m tab[m][codes[m]]: pure lookups, no vector math — the
     // per-(candidate × query) inner loop, codegen'd ([[VecAdcSum]])
     val adist = graft.functions.VectorFunctions.vec_adc_sum(
       col("codes"), col("__tab"))
-    val scored = encoded.join(broadcast(q),
-        col("query_id") =!= col(idCol))
+    // null-codes/null-adist guards (the IvfPq.topK discipline): encoded
+    // is caller-supplied and keeps NULL codes for wrong-dimension rows;
+    // a NULL adist sorts NULLS FIRST ascending and would occupy rank 1
+    // of every query's top-k
+    val scored = encoded.filter(col("codes").isNotNull)
+      .join(broadcast(q), col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(adist, roundDigits).as("adist"))
+      .filter(col("adist").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast(LongType))

@@ -54,6 +54,29 @@ object RangeJoin {
     cellOf(hi, binWidth, dt) -
       when(pmod(hi, lit(binWidth)) === 0, 1).otherwise(0)
 
+  /** Hard cap on the cells ONE interval may explode to (operational
+    * knob). An open-ended sentinel bound (`hi = Long.MaxValue`, the
+    * common "still valid" encoding) or a merely dirty row at a fine
+    * binWidth would sequence billions of elements — erroring past
+    * Spark's array cap, or ballooning gigabytes from one input row below
+    * it — and kill the whole job obscurely. Fail loudly at the offending
+    * row instead; genuinely huge spans pick a coarser binWidth. 2^21
+    * cells ≈ 24 days at 1-second bins, 2 MB of exploded rows per
+    * interval. */
+  @volatile var MaxCellsPerInterval: Long = 1L << 21
+
+  /** `sequence(lo, hi)` with the [[MaxCellsPerInterval]] guard. */
+  private def cellSeq(loCell: Column, hiCell: Column): Column = {
+    val span = hiCell - loCell + lit(1L)
+    when(span > MaxCellsPerInterval,
+      raise_error(concat(
+        lit("RangeJoin: an interval spans "), span.cast("string"),
+        lit(s" grid cells (cap $MaxCellsPerInterval) — an open-ended " +
+          "sentinel or dirty bound? Use a coarser binWidth, cap the " +
+          "interval, or raise RangeJoin.MaxCellsPerInterval"))))
+      .otherwise(sequence(loCell, hiCell))
+  }
+
   /** Decimal scale for exact types, None for floating ones. */
   private def scaleOf(dt: DataType): Option[Int] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some(0)
@@ -91,7 +114,7 @@ object RangeJoin {
     val cells = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("__cell",
-        explode(sequence(
+        explode(cellSeq(
           cellOf(col(loCol), binWidth, intervals.schema(loCol).dataType),
           lastCell(col(hiCol), binWidth, intervals.schema(hiCol).dataType))))
     val pts = points
@@ -115,7 +138,7 @@ object RangeJoin {
     def cellsOf(df: DataFrame, lo: String, hi: String): DataFrame = df
       .filter(col(hi) > col(lo))
       .withColumn("__cell",
-        explode(sequence(cellOf(col(lo), binWidth, df.schema(lo).dataType),
+        explode(cellSeq(cellOf(col(lo), binWidth, df.schema(lo).dataType),
           lastCell(col(hi), binWidth, df.schema(hi).dataType))))
     // canonical-cell arithmetic must agree with BOTH sides' exploded
     // cells — mixed exact/floating bound sets are rejected up front

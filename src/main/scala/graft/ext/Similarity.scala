@@ -29,11 +29,24 @@ object Similarity {
   /** L2 norm in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** A vector is SCORABLE iff its (cached) norm is a finite positive
+    * double. Spark's comparison semantics make `NaN > 0` TRUE and sort
+    * NaN as the GREATEST double, so an unguarded NaN norm — one NaN
+    * element anywhere in the vector — slips through a bare `> 0` guard,
+    * scores sim = NaN, hijacks rank 1 of every descending top-k AND
+    * passes every `sim >= minCos` dedup filter (mass wrong neighbors,
+    * mass wrongful deletion at corpus scale). Null/empty/zero vectors
+    * carry no direction; an infinite norm cannot rank meaningfully
+    * either. One predicate excludes them all, evaluated on the
+    * once-per-row norm. */
+  private def scorable(n: Column): Column =
+    n.isNotNull && !isnan(n) && n > 0 && n < Double.PositiveInfinity
+
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = norm(a)
     val nb = norm(b)
-    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
+    when(scorable(na) && scorable(nb), d / (na * nb)).otherwise(lit(0.0))
   }
 
   /** Exact brute-force top-k: each query row against every candidate row.
@@ -48,9 +61,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       roundDigits: Int = 4): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+      .filter(scorable(col("__qn"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+      .filter(scorable(col("__cn")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(
         when(col("__qn") > 0 && col("__cn") > 0,
@@ -115,10 +130,15 @@ object Similarity {
     val bucket =
       if (bucketOf != null) bucketOf(col(vecCol))
       else lshBucket(col(vecCol), numPlanes, dim, seed)
+    // unscorable vectors (null/NaN — see [[scorable]]) would all hash
+    // to bucket 0 (every sign test falls to the otherwise arm), pile up
+    // there as skew AND outrank negative-cosine true neighbors at 0.0
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"), bucket.as("bucket"))
+      .filter(scorable(col("__cn")))
     val qBase = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"), bucket.as("qbucket"))
+      .filter(scorable(col("__qn")))
     // multi-probe: also search the numPlanes buckets at Hamming distance 1
     val q0 = qBase.withColumn("bucket", col("qbucket"))
     val q = if (!multiProbe) q0 else q0.unionByName(
@@ -176,6 +196,11 @@ object Similarity {
     val base = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"), cell.as("__cell"))
       .withColumn("__n", norm(col("__v")))
+      // a NaN-norm row would pass `sim >= minCos` for every cellmate
+      // (NaN comparisons are TRUE under these guards' polarity) and
+      // wrongfully delete them — unscorable vectors cannot be dup
+      // evidence in either direction
+      .filter(scorable(col("__n")))
     val a = base.select(col("__cell"), col("__id").as("__a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = base.select(col("__cell"), col("__id").as("__b"),
@@ -232,6 +257,7 @@ object Similarity {
       .select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"), cell.as("__cell"))
       .withColumn("__n", norm(col("__v")))
+      .filter(scorable(col("__n"))) // see [[scorable]]: NaN ≥ minCos
     val d = prep(delta)
     val candidates = prep(kept)
       .select(col("__cell"), col("__id").as("__a"), col("__v").as("__va"),
@@ -276,7 +302,15 @@ object Similarity {
   def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
       roundTo: Int = 6): DataFrame = {
     def side(df: DataFrame, tag: String): (DataFrame, DataFrame) = {
-      val rows = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      // non-finite elements poison every per-dim sum and the norm
+      // average (one NaN → every output metric NaN → the release gate
+      // silently always-passes or always-fails). Finite-only here —
+      // unlike the scoring paths' [[scorable]], ZERO vectors stay in:
+      // they are legitimate mass that pulls the centroid
+      val n0 = norm(col(vecCol))
+      val rows = df.filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) > 0 && !isnan(n0) &&
+        n0 < Double.PositiveInfinity)
       val meta = rows.agg(count(lit(1)).as(s"n_$tag"),
         max(size(col(vecCol))).cast(LongType).as(s"__dim_$tag"),
         avg(norm(col(vecCol))).as(s"__an_$tag"))

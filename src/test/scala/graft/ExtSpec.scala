@@ -27,6 +27,23 @@ class ExtSpec extends SparkSpec {
     assert(out(4).getAs[Any]("asof_px") == null)
   }
 
+  test("asOfBackward drops null-timestamp right rows instead of " +
+    "fabricating matches for rows with no real predecessor") {
+    val quotes = Seq((1L, Some(10L), 1.0), (1L, None, 99.0))
+      .toDF("k", "rts", "px")
+      .select(col("k"),
+        col("rts").cast("timestamp").as("rts"), col("px"))
+    val asks = Seq((1L, 5L), (1L, 15L)).toDF("k", "ts")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"))
+    val out = AsOfJoin.asOfBackward(asks, quotes, Seq("k"), "ts", "rts",
+      Seq("px")).orderBy("ts").collect()
+    // ts=5 precedes every REAL quote → null, never the null-ts row's
+    // 99.0 (which sorts NULLS FIRST and used to win); ts=15 → px@10
+    assert(out(0).getAs[Any]("asof_px") == null)
+    assert(out(0).getAs[Any]("asof_rts") == null)
+    assert(out(1).getAs[Double]("asof_px") == 1.0)
+  }
+
   test("asOfBackward is row-atomic: a NULL in the winning right row stays NULL") {
     val quotes = Seq((1L, 10L, Some(2.0)), (1L, 20L, None))
       .toDF("k", "rts", "px")

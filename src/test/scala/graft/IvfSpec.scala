@@ -93,6 +93,39 @@ class IvfSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("a NaN vector neither collapses training nor hijacks rankings " +
+    "nor wrongfully deletes its cellmates") {
+    val base = emb.select("vec_id", "embedding").limit(200)
+    val dim = 64
+    val nanRow = spark.range(1).select(
+      lit(900001L).as("vec_id"),
+      array((lit(Double.NaN) +: Seq.fill(dim - 1)(lit(1.0f))): _*)
+        .cast("array<float>").as("embedding"))
+    val poisoned = base.unionByName(nanRow)
+    // training excludes the NaN vector: every centroid stays finite and
+    // assignment stays spread (a NaN centroid would win every argmax and
+    // funnel ALL rows into one cell)
+    val m = Ivf.train(poisoned, "vec_id", "embedding", k = 4, iters = 2)
+    assert(m.centroids.forall(_.forall(x => !x.isNaN)))
+    val cells = poisoned.filter(col("embedding").isNotNull)
+      .select(Ivf.cellId(col("embedding").cast("array<double>"), m))
+      .distinct().count()
+    assert(cells > 1, "NaN poisoning collapsed every row into one cell")
+    // brute-force ranking never returns the NaN row (NaN sim would sort
+    // FIRST under desc and take rank 1 of every query)
+    val got = Similarity.bruteForceTopK(poisoned,
+      poisoned.filter(col("vec_id") < 5 || col("vec_id") === 900001L),
+      "vec_id", "embedding", k = 3).collect()
+    assert(!got.exists(_.getAs[Long]("neighbor_id") == 900001L))
+    assert(!got.exists(_.getAs[Long]("query_id") == 900001L))
+    // semDedup never deletes a finite doc on NaN "evidence" (NaN >= minCos
+    // is true under the unguarded comparison polarity)
+    val dropped = Similarity.clusterDupes(poisoned, "vec_id", "embedding",
+      Similarity.signCells(col("embedding").cast("array<double>"), 4),
+      minCos = 0.99).collect()
+    assert(!dropped.exists(_.getAs[Long]("dup_of") == 900001L))
+  }
+
   test("semDedup drops every planted scaled copy, keep-min-id") {
     // scaled copies share the source's direction → same k-means cell,
     // cosine 1.0 → every copy (larger id) drops, every source survives

@@ -33,6 +33,24 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(1L, 3L)) // 8 in, 16 out, 15 in
   }
 
+  test("pointInInterval fails loudly on an interval past the cell cap " +
+    "instead of exploding billions of rows") {
+    val points = Seq((1L, 8L)).toDF("p_id", "v")
+    // the open-ended sentinel encoding: hi = Long.MaxValue at binWidth 1
+    // would sequence ~9.2e18 cells from ONE row
+    val sentinel = Seq((10L, 0L, Long.MaxValue)).toDF("i_id", "lo", "hi")
+    val e = intercept[Exception] {
+      graft.ext.RangeJoin.pointInInterval(
+        points, sentinel, "v", "lo", "hi", binWidth = 1).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("grid cells"),
+      s"wrong failure: ${e.getMessage}")
+    // a sane span at the same binWidth still works
+    val ok = Seq((10L, 0L, 100L)).toDF("i_id", "lo", "hi")
+    assert(graft.ext.RangeJoin.pointInInterval(
+      points, ok, "v", "lo", "hi", binWidth = 1).count() == 1)
+  }
+
   test("pointInInterval honors equality keys") {
     val points = Seq(("a", 5L, 1L), ("b", 5L, 2L)).toDF("grp", "v", "p_id")
     val intervals = Seq(("a", 0L, 10L, 7L)).toDF("grp", "lo", "hi", "i_id")

@@ -156,6 +156,33 @@ class PqSpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("Pq.topK: null-codes corpus rows and wrong-dimension queries " +
+    "cannot hijack or distort rankings") {
+    val clustered = spark.range(300).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        sin((col("id") % 10) * lit(31.0) + j * lit(7.0))).as("embedding"))
+    val badCorpus = spark.range(1).select(lit(77777L).as("vec_id"),
+      transform(sequence(lit(0), lit(3)), j => lit(0.0)).as("embedding"))
+    val model = Pq.train(clustered, "vec_id", "embedding", dim = 16,
+      m = 4, k = 8, iters = 1)
+    // the wrong-dim corpus row encodes to NULL codes; its NULL adist
+    // sorts NULLS FIRST ascending and previously took rank 1 everywhere
+    val encoded = Pq.encode(clustered.unionByName(badCorpus),
+      "vec_id", "embedding", model)
+    val q = clustered.filter(col("vec_id") < 3)
+    val got = Pq.topK(encoded, q, model, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_.getAs[Long]("neighbor_id") == 77777L))
+    // a wrong-dim QUERY would build its ADC table from truncated slices
+    // and score finite-but-wrong distances — it must be excluded, not
+    // silently mis-ranked
+    val badQ = Pq.topK(encoded, badCorpus, model, "vec_id", "embedding",
+      k = 5).collect()
+    assert(badQ.isEmpty)
+  }
+
   test("unrolled and data-driven encode plans produce identical codes") {
     val model = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8,
       k = 16, iters = 2)
