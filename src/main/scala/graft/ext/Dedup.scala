@@ -17,8 +17,14 @@ object Shingles {
     * the split result to a lambda variable evaluates it once per row. */
   def wordShingles(text: Column, n: Int): Column = {
     val tokens = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    // ZERO tokens → ZERO shingles: a blank doc must not mint the ""
+    // shingle — at web scale every blank doc would share it, spuriously
+    // matching any blank benchmark doc in decontamination, clustering
+    // into one giant duplicate group, and making its hash a straggler
+    // hot key in every gram equi-join (native twin: GramHashing)
     element_at(transform(array(tokens), ts =>
-      when(size(ts) <= n, array(concat_ws(" ", ts)))
+      when(size(ts) === 0, array().cast("array<string>"))
+        .when(size(ts) <= n, array(concat_ws(" ", ts)))
         .otherwise(transform(
           sequence(lit(0), size(ts) - n),
           i => concat_ws(" ", slice(ts, i + 1, lit(n)))))), 1)

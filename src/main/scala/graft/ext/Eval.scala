@@ -120,9 +120,23 @@ object Eval {
     val peC = coalesce(col("__ab"), lit(0L)).cast("double") /
       (col("__n").cast("double") * col("__n").cast("double"))
     // left joins from base: a group whose every row lost a label still
-    // reports (n = 0, n_excluded) instead of vanishing
-    base.join(agree, groupCols.toSeq, "left")
-      .join(pe, groupCols.toSeq, "left")
+    // reports (n = 0, n_excluded) instead of vanishing. NULL-SAFE on the
+    // group keys: a NULL group value is a real group (dirty data routes
+    // there), and a plain column-name join would report its agreement as
+    // n = 0 while n_excluded said nothing was dropped
+    def nsJoin(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (groupCols.isEmpty) l.crossJoin(r)
+      else {
+        val ph = groupCols.indices.map(i => s"__gk_$i")
+        val rr = r.select(groupCols.zip(ph).map { case (c, a) =>
+          col(c).as(a) } ++ r.columns.filterNot(groupCols.contains)
+            .map(col): _*)
+        l.join(rr, groupCols.zip(ph).map { case (c, a) =>
+          l(c) <=> rr(a) }.reduce(_ && _), "left")
+          .drop(ph: _*)
+      }
+    nsJoin(nsJoin(base, agree), pe)
       .select(g ++ Seq(
         coalesce(col("__n"), lit(0L)).as("n"), col("n_excluded"),
         round(po, roundTo).as("po"),
@@ -137,26 +151,47 @@ object Eval {
     * DISTINCT score (nPos_s, nNeg_s), and the Mann–Whitney identity
     *   AUC = Σ_s nPos_s·(cumNegBelow_s + nNeg_s/2) / (nPos·nNeg)
     * folds tied scores in exactly (each tie contributes half a win).
-    * The only window runs over the distinct-score frame — cell-sized,
-    * not corpus-sized (a raw-rank formulation would global-sort every
-    * row); one shuffle to build the cells. Rows with null score or
-    * label are excluded; a degenerate single-class input yields null.
+    * The cumulative-negative prefix runs TWO-PHASE over the cell frame
+    * (range partition by score, per-partition running sums, broadcast
+    * per-partition offsets): with a CONTINUOUS score the distinct-score
+    * frame is row-sized, and a bare global-order window would funnel it
+    * through one task — the same single-partition cliff the scalable
+    * surrogate-key builder avoids. Rows with null/NaN score or null
+    * label are excluded (a NaN score cell would sort greatest and
+    * corrupt the prefix); a degenerate single-class input yields null.
     * Output (one row): n_pos, n_neg, auc. */
   def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String,
       roundTo: Int = 6): DataFrame = {
+    val sd = col(scoreCol).cast("double")
     val cells = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .filter(col(scoreCol).isNotNull && !isnan(sd) &&
+        col(labelCol).isNotNull)
+      .groupBy(sd.as("__s"))
       .agg(
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
           .as("__np"),
         sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L))
           .as("__nn"))
-    val w = Window.orderBy(col("__s"))
+    // two-phase prefix sum (identical values to the global window):
+    // range-partition cells by score so partitions are score-ordered,
+    // run the window WITHIN each partition, add each partition's
+    // broadcast exclusive total
+    val ordered = graft.util.Caches.snapshot(cells
+      .repartitionByRange(col("__s"))
+      .sortWithinPartitions(col("__s"))
+      .withColumn("__pid", spark_partition_id()))
+    val offsets = ordered.groupBy("__pid")
+      .agg(sum(col("__nn")).as("__pn"))
+      .withColumn("__poff",
+        coalesce(sum(col("__pn")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    val local = Window.partitionBy(col("__pid")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withCum = cells
+    val withCum = ordered.join(broadcast(offsets), "__pid")
       .withColumn("__cumNegBelow",
-        coalesce(sum(col("__nn")).over(w), lit(0L)))
+        col("__poff") + coalesce(sum(col("__nn")).over(local), lit(0L)))
     withCum.agg(
         sum(col("__np")).as("n_pos"),
         sum(col("__nn")).as("n_neg"),

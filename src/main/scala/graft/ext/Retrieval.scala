@@ -59,13 +59,21 @@ object Retrieval {
     val stats = perDoc.agg(count(lit(1)).as("__n"), statCols: _*)
     val joined = perDoc.crossJoin(broadcast(stats))
     val nD = col("__n").cast("double")
-    val avgdl = col("__sdl").cast("double") / nD
+    // an ALL-blank corpus has avgdl = 0 — under ANSI, dl/avgdl would be
+    // a job-killing 0/0; every doc scores 0 regardless, so any positive
+    // stand-in is exact
+    val avgdl0 = col("__sdl").cast("double") / nD
+    val avgdl = when(avgdl0 > 0, avgdl0).otherwise(lit(1.0))
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl)
     val score = terms.indices.map { i =>
       val tfd = col(tf(i)).cast("double")
       val dfd = col(s"__df$i").cast("double")
       val idf = log(lit(1.0) + (nD - dfd + lit(0.5)) / (dfd + lit(0.5)))
-      idf * (tfd * lit(k1 + 1.0)) / (tfd + norm)
+      // b = 1 and a blank doc give norm = 0 with tf = 0: the term's
+      // score is 0 by limit, but the raw 0/0 throws under ANSI — guard
+      // the quotient (nonzero tf implies a nonzero denominator)
+      when(tfd + norm > 0, idf * (tfd * lit(k1 + 1.0)) / (tfd + norm))
+        .otherwise(lit(0.0))
     }.reduce(_ + _)
     joined.select(col(idCol), round(score, roundTo).as("score"))
   }
@@ -164,12 +172,18 @@ object Retrieval {
       idCol: String, vecCol: String, labelCol: String, k: Int,
       roundDigits: Int = 4): DataFrame = {
     require(k > 0, "k must be > 0")
+    // the Similarity.scorable discipline: a NaN/Infinite norm passes a
+    // bare `> 0` guard (NaN compares greater) and NaN similarity would
+    // take rank 1..k of EVERY query's hard negatives — poisoned
+    // contrastive training data with no error
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(labelCol).as("__ql"), col(vecCol).as("__qv"),
-      Similarity.norm(col(vecCol)).as("__qn")))
+      Similarity.norm(col(vecCol)).as("__qn"))
+      .filter(Similarity.scorable(col("__qn"))))
     val c = corpus.select(col(idCol).as("neg_id"),
       col(labelCol).as("__cl"), col(vecCol).as("__cv"),
       Similarity.norm(col(vecCol)).as("__cn"))
+      .filter(Similarity.scorable(col("__cn")))
     val scored = q.join(c,
         col("query_id") =!= col("neg_id") && !(col("__cl") <=> col("__ql")))
       .withColumn("sim", round(

@@ -39,7 +39,7 @@ object Similarity {
     * carry no direction; an infinite norm cannot rank meaningfully
     * either. One predicate excludes them all, evaluated on the
     * once-per-row norm. */
-  private def scorable(n: Column): Column =
+  private[ext] def scorable(n: Column): Column =
     n.isNotNull && !isnan(n) && n > 0 && n < Double.PositiveInfinity
 
   def cosine(a: Column, b: Column): Column = {

@@ -217,6 +217,13 @@ object Stats {
         // over unscaled decimal values — bit-identical to the
         // sum(decimal·decimal) formulation (same integer arithmetic)
         // at a fraction of the per-row cost (no BigDecimal in the loop)
+        // the unscaled-long moment buffer holds ≤ 18 digits: a wider
+        // exact type cannot ride it (mid-scan overflow or silent row
+        // drops) — fail loudly; wider domains take the double path
+        require(decimals.precision <= 18,
+          s"correlationMatrix exact path supports DECIMAL precision <= " +
+            s"18, got $decimals — pass decimals = null for the double " +
+            "fast path on wider domains")
         val m = graft.functions.DecimalMomentsAgg.moments(
           cols.map(c => col(c).cast(decimals)), decimals.scale)
         val named =
@@ -261,6 +268,16 @@ object Stats {
     * Output: one row per bin (bin 1..`bins`, n_ref, n_cur, p_ref,
     * p_cur, contrib) with the total `psi` repeated on each row.
     *
+    * Scale bound: the reference cuts use Spark's EXACT `percentile`,
+    * whose single-group aggregation state is O(distinct values) — fine
+    * for bounded-domain features (scores, amounts at fixed scale), but
+    * a continuous double over a 100 TB reference concentrates billions
+    * of (value, count) entries in one final-merge buffer. There, draw
+    * the cuts from a mergeable KLL sketch instead
+    * ([[graft.functions.KllSketchAgg]] — bounded bytes at ~1% rank
+    * error; bin SHARES stay exact either way, only cut placement is
+    * approximate) and pass them through a pre-cut binning variant.
+    *
     * Scale: the cut points are ONE bounded driver collect (bins−1
     * doubles — the IVF-centroid pattern); binning is a literal
     * comparison chain riding both scans; shares are one keyed
@@ -270,11 +287,19 @@ object Stats {
       roundTo: Int = 6): DataFrame = {
     require(bins >= 2, "bins must be >= 2")
     val probs = (1 until bins).map(_.toDouble / bins)
-    val cuts: Seq[Double] = ref
+    val cutsRow = ref
       .filter(col(valueCol).isNotNull)
       .agg(percentile(col(valueCol).cast(DoubleType),
         typedlit(probs)).as("c"))
-      .head().getSeq[Double](0)
+      .head()
+    // loud empties: an empty/all-null side has no distribution — the
+    // raw failure was a bare NPE on the null percentile result (ref) or
+    // an ANSI 0/0 in the share division (cur), neither of which names
+    // the real problem to the on-call reader
+    require(!cutsRow.isNullAt(0),
+      s"populationStability: reference side has no non-null '$valueCol' " +
+        "rows — no distribution to draw bin cuts from")
+    val cuts: Seq[Double] = cutsRow.getSeq[Double](0)
     def binOf: Column = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col(valueCol).cast(DoubleType) > c, 1).otherwise(0)
     }
@@ -293,11 +318,19 @@ object Stats {
     val tot = joined.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"))
     val withShares = joined.crossJoin(broadcast(tot))
+      // an EMPTY current side (today's partition has zero rows — the
+      // exact condition a drift monitor exists to catch) would make the
+      // share an ANSI 0/0 crash; floor every bin's share instead, which
+      // reports the MAXIMUM drift the floor allows — loud in the metric,
+      // not in a stack trace. Same guard on ref for symmetry (already
+      // require()d non-empty above, belt and braces).
       .withColumn("__pr", greatest(
-        col("n_ref").cast(DoubleType) / col("__tr").cast(DoubleType),
+        when(col("__tr") > 0,
+          col("n_ref").cast(DoubleType) / col("__tr").cast(DoubleType)),
         lit(floorShare)))
       .withColumn("__pc", greatest(
-        col("n_cur").cast(DoubleType) / col("__tc").cast(DoubleType),
+        when(col("__tc") > 0,
+          col("n_cur").cast(DoubleType) / col("__tc").cast(DoubleType)),
         lit(floorShare)))
       .withColumn("__contrib",
         (col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")))
@@ -521,7 +554,12 @@ object Stats {
     // join and (via `full`) the χ² aggregate — uncached, the raw scan +
     // digit extraction would re-run per branch. Cells are 9 × |groups|
     // at most; the result materialization below releases the cache.
-    val cells = df.filter(col(valueCol).isNotNull && v > 0.0)
+    // NaN passes `v > 0.0` (NaN compares greater) and ±Infinity passes
+    // it outright; both make the digit arithmetic NaN — an ANSI
+    // int-cast crash for one bad value, or silent digit-0 cells that
+    // inflate n and skew every χ² without ANSI. Finite-only.
+    val cells = df.filter(col(valueCol).isNotNull && v > 0.0 &&
+        !isnan(v) && v < Double.PositiveInfinity)
       .groupBy(gcols :+ digit.as("digit"): _*)
       .agg(count(lit(1)).as("n_d"))
       .persist()

@@ -243,7 +243,10 @@ object TextStats {
     // would otherwise inline it into the sliding-window lambda and
     // re-evaluate the whole shingle pipeline once per window position
     val fp = element_at(transform(array(hashes), hs =>
-      when(size(hs) <= window, array_distinct(array(array_min(hs))))
+      // zero grams (blank doc) → zero fingerprints: array_min over the
+      // empty array is NULL and would mint a [null] fingerprint
+      when(size(hs) === 0, array().cast("array<long>"))
+        .when(size(hs) <= window, array_distinct(array(array_min(hs))))
         .otherwise(array_distinct(transform(
           sequence(lit(0), size(hs) - window),
           i => array_min(slice(hs, i + 1, lit(window))))))), 1)

@@ -179,10 +179,17 @@ object DecimalMomentsAgg {
     * of a different scale (or a double) would extract unscaled longs at
     * the WRONG magnitude and every sum/product would be silently off by
     * powers of ten. */
-  def moments(cols: Seq[Column], inScale: Int): Column =
+  def moments(cols: Seq[Column], inScale: Int): Column = {
+    // UnscaledValue extracts a LONG — only decimals up to precision 18
+    // fit one. A wider requested type silently re-cast here would either
+    // throw NUMERIC_VALUE_OUT_OF_RANGE mid-scan (ANSI) or null-and-skip
+    // whole rows (non-ANSI), computing correlations over a silently
+    // truncated population; callers needing wider values use the double
+    // fast path instead. Enforced by the caller (correlationMatrix).
     Bridge.column(DecimalMomentsAgg(
       cols.map(c => org.apache.spark.sql.catalyst.expressions.UnscaledValue(
         Bridge.expression(c.cast(
           org.apache.spark.sql.types.DecimalType(18, inScale))))),
       inScale).toAggregateExpression())
+  }
 }

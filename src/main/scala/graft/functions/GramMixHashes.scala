@@ -64,10 +64,16 @@ private[functions] object GramHashing {
   }
 
   /** All `n`-window folds in position order (index i = gram starting at
-    * token i); docs with ≤ n tokens yield the single whole-doc fold. */
+    * token i); docs with ≤ n tokens yield the single whole-doc fold; a
+    * ZERO-token doc yields NO grams — the empty fold is the constant 0L,
+    * and emitting it would hand every blank doc in a web-scale corpus
+    * the same phantom gram: blank docs would "match" any blank benchmark
+    * doc in decontamination, cluster into one giant spurious duplicate
+    * group, and make 0L a straggler hot key in every gram equi-join. */
   def positional(wh: Array[Long], n: Int): Array[Long] = {
     val m = wh.length
-    if (m <= n) Array(fold(wh, 0, m))
+    if (m == 0) Array.emptyLongArray
+    else if (m <= n) Array(fold(wh, 0, m))
     else {
       val w = m - n + 1
       val out = new Array[Long](w)
@@ -111,6 +117,11 @@ case class GramMixHashes(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val wh = GramHashing.tokenHashes(input.asInstanceOf[UTF8String])
     val out = GramHashing.positional(wh, n)
+    // the dedup epilogue below starts from u = 1 (first element always
+    // kept) — on the EMPTY gram array of a blank doc that would copyOf
+    // back to length 1 and resurrect the phantom 0L gram positional()
+    // just eliminated
+    if (out.isEmpty) return UnsafeArrayData.fromPrimitiveArray(out)
     java.util.Arrays.sort(out)
     var u = 1
     var p = 1
@@ -146,7 +157,8 @@ case class GramMixHashes(child: Expression, n: Int)
   * scale smoke; this loop is O(grams) primitive arithmetic plus one
   * MD5 per gram in exact mode. Windowing semantics mirror the Column
   * form exactly: tokens are `\S+` runs of the lowercased text, ≤ n
-  * tokens yield ONE whole-text gram (empty text: the "" gram), ≤
+  * tokens yield ONE whole-text gram (BLANK text: zero grams, zero
+  * fingerprints — see [[GramHashing.positional]]), ≤
   * `window` grams yield the single global minimum, else minima of each
   * full window, deduped in first-occurrence order. */
 case class WinnowHashes(child: Expression, n: Int, window: Int, md5: Boolean)
@@ -210,7 +222,10 @@ case class WinnowHashes(child: Expression, n: Int, window: Int, md5: Boolean)
         while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
         v >>> 4
       }
-      if (t <= n) Array(gram(0, t))
+      // zero tokens → zero grams (the MD5 of an empty byte run is a
+      // CONSTANT — a phantom gram every blank doc would share)
+      if (t == 0) Array.emptyLongArray
+      else if (t <= n) Array(gram(0, t))
       else {
         val m = t - n + 1
         val out = new Array[Long](m)
@@ -225,6 +240,8 @@ case class WinnowHashes(child: Expression, n: Int, window: Int, md5: Boolean)
       .toLowerCase(java.util.Locale.ROOT)
     val gh = gramHashes(s)
     val m = gh.length
+    // blank doc: no grams, no fingerprints (gh(0) below would throw)
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(gh)
     val mins: Array[Long] =
       if (m <= window) {
         var mn = gh(0); var k = 1

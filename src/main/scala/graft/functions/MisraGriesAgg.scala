@@ -67,7 +67,18 @@ case class MisraGriesAgg(
     * residual from every counter, drop non-positives. On the per-row
     * update path the buffer is exactly capacity+1 entries, where the
     * (capacity+1)-th largest IS the minimum — O(k), no sort; the sort
-    * runs only on merge, where size can exceed capacity+1. */
+    * runs only on merge, where size can exceed capacity+1.
+    *
+    * Amortization bound: on a junk-heavy stream where most tokens are
+    * NEW (distinct ≫ capacity), nearly every update overflows and pays
+    * this O(capacity) pass — O(n·capacity) worst case, vs the textbook
+    * shared-offset/lazy-heap O(1) amortized trim. The trade is
+    * deliberate: the map stays a plain String→Long hash (cheap serde,
+    * simple merge), and capacities here are sized by minFreqRatio
+    * (1e-4–1e-3 ⇒ 1k–10k entries) where the pass is tens of
+    * microseconds; for capacity ≳ 100k on a high-novelty stream,
+    * switch to the shared-offset construction before raising the
+    * cap. */
   private def trim(buf: mutable.HashMap[String, Long]): Unit =
     if (buf.size > capacity) {
       val cut =

@@ -246,4 +246,25 @@ class EvalSpec extends SparkSpec {
     // single class: undefined
     assert(auc(Seq((1.0, true), (2.0, true))) == None)
   }
+
+  test("binaryAuc two-phase prefix equals the driver recompute on a " +
+    "many-partition continuous-score frame; NaN scores are excluded") {
+    import spark.implicits._
+    // 2000 distinct continuous scores spread over many range partitions
+    val rows = (1 to 2000).map { i =>
+      (math.sin(i * 0.7) * 100 + i * 0.001, i % 3 == 0)
+    }
+    val withNaN = rows :+ ((Double.NaN, true))
+    val got = graft.ext.Eval.binaryAuc(
+      spark.createDataFrame(withNaN).toDF("s", "y")
+        .repartition(16), "s", "y").collect().head
+    // driver-side Mann-Whitney over the finite rows only
+    val pos = rows.filter(_._2).map(_._1).sorted
+    val neg = rows.filter(!_._2).map(_._1).sorted
+    val u = pos.map(p => neg.count(_ < p) + neg.count(_ == p) / 2.0).sum
+    val expected = u / (pos.size.toDouble * neg.size.toDouble)
+    assert(got.getAs[Long]("n_pos") == pos.size, "NaN row not excluded")
+    assert(math.abs(got.getAs[Double]("auc") -
+      math.rint(expected * 1e6) / 1e6) < 1e-9)
+  }
 }

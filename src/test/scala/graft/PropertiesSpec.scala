@@ -265,6 +265,17 @@ class PropertiesSpec extends SparkSpec {
     Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
       .toDF("id", "text").createOrReplaceTempView("gdocs")
     // gram set parity with the Column helper
+    // blank/whitespace docs yield ZERO grams — the empty fold is the
+    // constant 0L, and a phantom gram would give every blank doc in a
+    // corpus the same "content", pairing them all in gram-join dedup
+    // and matching any blank benchmark doc in decontamination
+    val blanks = Seq((1L, ""), (2L, "   \t"), (3L, "real text here"))
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.ext.Shingles.wordHashGrams(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(blanks(1L).isEmpty && blanks(2L).isEmpty)
+    assert(blanks(3L).nonEmpty)
     val viaSql = spark.sql(
       "SELECT id, gram_mix_hashes(text, 2) AS g FROM gdocs ORDER BY id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -313,8 +324,8 @@ class PropertiesSpec extends SparkSpec {
       .select(col("doc_id"), explode(col("fingerprint")).as("g"))
       .orderBy("doc_id", "g").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(hof.length == native.length && hof.sameElements(native))
-    // edge shapes: empty text (the "" gram), exactly-n tokens, n..window
-    // gram counts, and non-ASCII content
+    // edge shapes: empty text (ZERO grams — no phantom "" fingerprint),
+    // exactly-n tokens, n..window gram counts, and non-ASCII content
     val edge = Seq((1L, ""), (2L, "one two three"), (3L, "a b c d e f"),
       (4L, "Ünïcode tökens σπλιτ ασ εχπεκτεδ here"),
       (5L, "  \t spaced \n out \r tokens  ")).toDF("doc_id", "text")

@@ -278,7 +278,7 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1).getAs[Int]("n1") == 2)
     assert(out(0).getAs[scala.collection.Seq[Long]]("g3").toSeq ==
       out(1).getAs[scala.collection.Seq[Long]]("g3").toSeq)
-    assert(out(2).getAs[Int]("n1") == 1) // blank doc: the single empty fold
+    assert(out(2).getAs[Int]("n1") == 0) // blank doc: ZERO grams, no phantom
   }
 
   test("incremental matches re-cap ACCUMULATED hot kept buckets") {
