@@ -57,7 +57,11 @@ object Decontam {
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
     val bad = contaminated(corpus, bench, idCol, textCol, n)
       .select(col(idCol))
-    corpus.join(bad, Seq(idCol), "left_anti")
+    // NULL-SAFE anti join: a dirty shard's null-id docs can carry
+    // benchmark text too, and a plain anti join never matches null = null
+    // — the flagged rows would silently SURVIVE decontamination, the
+    // exact leak this operator exists to prevent
+    graft.io.VersionedTable.keyJoin(corpus, bad, Seq(idCol), "left_anti")
   }
 
   /** Serialized Bloom filter over the benchmark's distinct gram hashes,
@@ -100,8 +104,12 @@ object Decontam {
       idCol: String, textCol: String, n: Int = 13): DataFrame =
     // wordHashGrams output is already sorted-deduped (GramMixHashes) — a
     // further array_distinct would be pure per-row tax on the 100 TB pass
+    // coalesce: GramMixHashes null-propagates, and size(null) is the
+    // legacy -1 sentinel (or null under ANSI) — a null-text doc must
+    // report 0 flagged grams, not leak -1 into analyst-facing counts
     corpus.select(col(idCol),
-      size(filter(Shingles.wordHashGrams(col(textCol), n),
+      size(filter(Shingles.wordHashGrams(
+          coalesce(col(textCol), lit("")), n),
         g => mightContainGram(bloom, g))).as("n_flagged_grams"))
 
   /** Exact contamination with the bloom as a pre-screen: output is
@@ -131,7 +139,8 @@ object Decontam {
   def contaminationRate(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
     val totals = corpus.select(col(idCol),
-      size(Shingles.wordHashGrams(col(textCol), n))
+      // coalesce: null text must report 0 grams, not size(null) = -1
+      size(Shingles.wordHashGrams(coalesce(col(textCol), lit("")), n))
         .cast(LongType).as("n_grams"))
     val hits = contaminated(corpus, bench, idCol, textCol, n)
       .select(col(idCol), col("n_hit_grams"))
@@ -166,15 +175,21 @@ object Decontam {
   def semanticScreen(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, minCos: Double,
       roundDigits: Int = 4): DataFrame = {
+    // Similarity.scorable, not a bare > 0: one NaN element in ONE
+    // benchmark vector would make every corpus doc's max_sim NaN (NaN
+    // passes > 0 and aggregates as the greatest double), NaN >= minCos
+    // is TRUE — and semanticDecontaminate would delete the ENTIRE corpus
     val b = broadcast(bench.select(col(vecCol).as("__bv"),
-      Similarity.norm(col(vecCol)).as("__bn")))
+      Similarity.norm(col(vecCol)).as("__bn"))
+      .filter(Similarity.scorable(col("__bn"))))
     val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
       Similarity.norm(col(vecCol)).as("__cn"))
     // LEFT join on a literal-true condition: an empty benchmark must keep
     // every corpus doc (max_sim 0.0), not silently return zero rows
     c.join(b, lit(true), "left")
       .withColumn("__sim", round(
-        when(col("__cn") > 0 && col("__bn") > 0,
+        when(Similarity.scorable(col("__cn")) &&
+            Similarity.scorable(col("__bn")),
           Similarity.dot(col("__cv"), col("__bv")) /
             (col("__cn") * col("__bn")))
           .otherwise(lit(0.0)), roundDigits))
@@ -188,7 +203,8 @@ object Decontam {
     * every doc whose max benchmark cosine reaches `minCos`. */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, minCos: Double): DataFrame =
-    corpus.join(
+    // null-safe for the same reason as [[decontaminate]]
+    graft.io.VersionedTable.keyJoin(corpus,
       semanticScreen(corpus, bench, idCol, vecCol, minCos)
         .filter(col("contaminated")).select(col(idCol)),
       Seq(idCol), "left_anti")

@@ -34,11 +34,26 @@ object Packing {
       budget: Long, packCol: String = "pack_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
     val before = coalesce(
-      sum(col(tokensCol)).over(Window.orderBy(col(idCol))
+      sum(guardedTokens(tokensCol)).over(Window.orderBy(col(idCol))
         .rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
     df.withColumn(packCol, floorDiv(before, budget))
   }
+
+  /** Token counts must be non-negative for the pack math to hold: a
+    * NEGATIVE count makes the running sum non-monotone AND breaks the
+    * floorDiv truncation == floor identity (IntegralDivide truncates
+    * toward zero: -150 div 100 = -1 where floor is -2) — wrong,
+    * possibly negative pack ids with no error. Fail loudly at the
+    * offending row. NULL counts pass as 0 mass (sum skips them) — note
+    * that a long run of zero-mass docs all lands in one pack, so
+    * [[assemblePacks]]' bounded-group claim assumes upstream length
+    * floors (tokenCount > 0 filters) the curation pipeline applies. */
+  private def guardedTokens(tokensCol: String): Column =
+    when(col(tokensCol) < 0, raise_error(concat(
+      lit("packByBudget: negative token count "), col(tokensCol),
+      lit(" — pack assignment would be non-monotone; fix the counter"))))
+      .otherwise(col(tokensCol))
 
   /** Identical assignment without a global window: range-partition by id,
     * per-partition running sum, partition token totals broadcast as
@@ -97,7 +112,7 @@ object Packing {
         .sortWithinPartitions(sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
     val localBefore = coalesce(
-      sum(col(tokensCol)).over(
+      sum(guardedTokens(tokensCol)).over(
         Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))

@@ -26,7 +26,17 @@ object Sampling {
   val Buckets = 1000000L
 
   /** Integer bucket in [0, Buckets) from the id hash. Ids are hashed via
-    * their canonical string form so any engine can reproduce the bucket. */
+    * their canonical string form so any engine can reproduce the bucket.
+    *
+    * NULL-id contract: xxhash64 of an all-null input is its SEED, so
+    * every null-id row lands in ONE constant bucket — sampling and split
+    * decisions for them are all-or-nothing (deterministic, and leak-safe
+    * for splits: identity-less rows stay together, never straddling
+    * train/test), and the constant differs per hash function (md5Hash64
+    * nulls out instead and such rows drop from samples / take the last
+    * split). Rows without identity cannot be independently resampled by
+    * ANY keyed scheme; filter them upstream when per-row inclusion
+    * probabilities matter. */
   def bucket(id: Column, hash: Column => Column = xxhash64(_)): Column =
     pmod(hash(id.cast("string")), lit(Buckets))
 
@@ -274,7 +284,11 @@ object Sampling {
     // a null id cannot be deterministically bucketed (its seeded hash is
     // null, which would surface as a null-bucket group and NPE the
     // driver walk) — null-id rows are ineligible, like null scores
-    val eligible = col(scoreCol).isNotNull && col(tokensCol).isNotNull &&
+    // !isnan: a NaN score passes isNotNull, floor(NaN*bands) = NaN,
+    // greatest(NaN, 0) = NaN (NaN compares greatest) and least clamps it
+    // to the TOP band — unscored garbage would spend the budget FIRST
+    val eligible = col(scoreCol).isNotNull &&
+      !isnan(col(scoreCol).cast("double")) && col(tokensCol).isNotNull &&
       col(tokensCol) >= 0 && col(idCol).isNotNull
     val band = least(greatest(floor(col(scoreCol) * bands), lit(0)),
       lit(bands - 1)).cast("int")
@@ -353,7 +367,11 @@ object Sampling {
       lit(seed.toString))), lit(twoTo53)) + lit(1L)).cast("double") /
       lit(twoTo53.toDouble)
     val key = -log(u) / col(weightCol).cast("double")
-    val eligible = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    // !isnan: NaN > 0 is TRUE in Spark — a NaN weight would enter with
+    // key = NaN (sorts last, but still selected whenever a group has
+    // fewer than k finite-weight rows), as ineligible as a null weight
+    val eligible = df.filter(col(weightCol).isNotNull &&
+        !isnan(col(weightCol).cast("double")) && col(weightCol) > 0)
       .withColumn("__key", key)
     val ranked =
       if (groupCols.isEmpty)

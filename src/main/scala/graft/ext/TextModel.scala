@@ -69,6 +69,15 @@ object TextModel {
   def unigramNll(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.0, roundTo: Int = 4,
       reference: Option[DataFrame] = None): DataFrame = {
+    // with a reference LM, an out-of-reference token has p = 0 at
+    // alpha = 0: -log(0) = Infinity, the micro-nat LongType cast
+    // saturates to Long.MaxValue, and TWO such tokens wrap the per-doc
+    // sum NEGATIVE — the most out-of-distribution garbage would score
+    // as the most fluent. Self-scored corpora (reference = None) never
+    // see a zero count, so alpha = 0 stays legal there.
+    require(reference.isEmpty || alpha > 0,
+      "unigramNll needs alpha > 0 when scoring against a reference LM " +
+        "(out-of-reference tokens have probability 0 otherwise)")
     val toks = tokens(docs, idCol, textCol)
     val refToks = reference.map(tokens(_, idCol, textCol)).getOrElse(toks)
     val counts = refToks.groupBy("term").agg(count(lit(1)).as("__nt"))
@@ -307,14 +316,15 @@ object TextModel {
     * rounded to `roundTo`).
     *
     * Scale design: the per-doc distinct grams ride the scan (one HOF
-    * pass per row), then ONE gram-keyed shuffle computes each gram's
-    * corpus df as a window count over the exploded frame (grams are
-    * already distinct per doc, so `count(*) over (partition by gram)` IS
-    * the document frequency), and a doc-keyed final aggregate folds it
-    * back. A single pass over the tokenize/explode — the earlier
-    * df-aggregate + re-attach join shape ran the whole explode twice
-    * (both join inputs derived from the same un-snapshotted frame). No
-    * all-pairs stage, nothing collected. */
+    * pass per row); gram document frequency is a groupBy + equi-join,
+    * NOT `count(*) over (partition by gram)` — a window partition is
+    * one unsplittable task, so a boilerplate gram present in 1e8 docs
+    * ("all rights reserved") would funnel its entire exploded mass
+    * through a single straggler, where the groupBy gets map-side
+    * partial combine and the join gets AQE skew splitting. Both join
+    * inputs shuffle on __gram from the SAME exploded subtree, so
+    * exchange reuse runs the tokenize/explode once. No all-pairs stage,
+    * nothing collected. */
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, roundTo: Int = 6): DataFrame = {
     require(n >= 1, "n must be >= 1")
@@ -323,8 +333,8 @@ object TextModel {
       .select(col(idCol),
         explode(array_distinct(Shingles.wordShingles(col(textCol), n)))
           .as("__gram"))
-    dg.withColumn("__df",
-        count(lit(1)).over(Window.partitionBy(col("__gram"))))
+    val gdf = dg.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    dg.join(gdf, Seq("__gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
@@ -350,7 +360,13 @@ object TextModel {
     * the xxhash64 default for production throughput. */
   def hashEmbedding(text: Column, dim: Int = 64,
       hash: Column => Column = xxhash64(_)): Column = {
-    val buckets = transform(regexp_extract_all(lower(text), lit("\\S+"), lit(0)),
+    // coalesce: NULL text would null-propagate into the histogram where
+    // size(filter(null, ...)) is the -1 sentinel — every null-text doc
+    // got the constant [-1.0, ...] vector, pairwise cosine exactly 1.0,
+    // a giant fake near-dup cluster. A blank doc instead embeds as the
+    // all-zero vector, which every scoring path excludes as unscorable.
+    val buckets = transform(
+      regexp_extract_all(lower(coalesce(text, lit(""))), lit("\\S+"), lit(0)),
       t => pmod(hash(t), lit(dim)))
     // let-bind the bucket array (transform-over-singleton) so the
     // histogram probes don't re-hash every token once per bucket
