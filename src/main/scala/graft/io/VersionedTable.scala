@@ -253,7 +253,24 @@ object VersionedTable {
     * local disk and link-faithful NFS); object-store deployments MUST
     * install an external-arbitration implementation first — see
     * [[CommitArbiter]] for the full filesystem contract. */
-  @volatile var commitArbiter: CommitArbiter = CommitArbiter.PosixLink
+  @volatile private var arbiter: CommitArbiter = CommitArbiter.PosixLink
+  def commitArbiter: CommitArbiter = arbiter
+  def commitArbiter_=(a: CommitArbiter): Unit = {
+    // ConditionalPut is the contract MODEL (in-memory registry, never
+    // shrinks, keys by absolute path — recreating a table at a reused
+    // path in this JVM permanently loses its v0 slot). It exists for
+    // CommitArbiterContractSpec; installing it process-wide is almost
+    // certainly a mistake, so say so loudly instead of silently losing
+    // commits later.
+    if (a eq CommitArbiter.ConditionalPut)
+      log.warn("CommitArbiter.ConditionalPut installed as the process " +
+        "commit arbiter — it is a single-process contract model (test " +
+        "harness), not a deployable backend: its claim registry never " +
+        "shrinks and a table recreated at a previously used path loses " +
+        "its v0 slot. Use PosixLink on POSIX mounts, or a real " +
+        "conditional-put arbiter for object stores.")
+    arbiter = a
+  }
 
   /** Atomic publish of version `v` via [[commitArbiter]]. Returns false
     * when the slot was already claimed by another writer. */
@@ -1251,9 +1268,12 @@ object VersionedTable {
     *    every filter + mkString of a multi-GB string. */
   private def computeBlooms(spark: SparkSession, table: String,
       files: Seq[String], bloomFor: Seq[String],
-      fpp: Double): Seq[String] = {
+      fpp: Double, maxBytesOpt: Option[Long] = None): Seq[String] = {
     if (bloomFor.isEmpty || files.isEmpty) return Nil
     require(fpp > 0 && fpp < 1, s"bloomFpp must be in (0,1), got $fpp")
+    // resolve the cap ONCE per commit: the global is a process default
+    // another thread may mutate mid-commit — per-call callers pin it
+    val maxBytes = maxBytesOpt.getOrElse(MaxBloomSidecarBytes)
     val df = spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
     val cols = bloomFor.filter(df.columns.contains)
       .filterNot(_.startsWith("__")) // reserved-key namespace, never indexed
@@ -1295,7 +1315,7 @@ object VersionedTable {
         val serialized = 12L + ((bits + 63) / 64) * 8
         val perEntry = 4L * ((serialized + 2) / 3) + 96
         val projected = perEntry * members.size * cols.size
-        if (written + projected > MaxBloomSidecarBytes) {
+        if (written + projected > maxBytes) {
           skipped += members.size
         } else {
           val sub = spark.read.parquet(
@@ -1333,7 +1353,7 @@ object VersionedTable {
     } finally w.close()
     if (skipped > 0)
       log.warn(s"bloom index for $table: sidecar cap " +
-        s"($MaxBloomSidecarBytes bytes) reached after $written bytes — " +
+        s"($maxBytes bytes) reached after $written bytes — " +
         s"$skipped of ${counts.size} files get no filter this commit " +
         "(reads stay correct, those files just never bloom-prune); " +
         "raise the cap, reduce bloom columns, or compact before indexing")
@@ -1342,11 +1362,14 @@ object VersionedTable {
     Seq(sidecar)
   }
 
-  /** Hard cap on one commit's Bloom sidecar payload (operational knob,
-    * like [[commitArbiter]]). 128 MB ≈ 16 full-size (2^26-bit) filters —
-    * far beyond a sane per-commit index, close enough to stop a wide
-    * append × many bloom columns from building a multi-GB sidecar on the
-    * driver; files past the cap simply never bloom-prune. */
+  /** PROCESS-DEFAULT cap on one commit's Bloom sidecar payload
+    * (operational knob, like [[commitArbiter]] — set once at startup;
+    * concurrent writers needing different caps pass the per-call
+    * `bloomMaxBytes` option on append/compact instead of mutating this).
+    * 128 MB ≈ 16 full-size (2^26-bit) filters — far beyond a sane
+    * per-commit index, close enough to stop a wide append × many bloom
+    * columns from building a multi-GB sidecar on the driver; files past
+    * the cap simply never bloom-prune. */
   @volatile var MaxBloomSidecarBytes: Long = 128L * 1024 * 1024
 
   private lazy val log =
@@ -1571,7 +1594,8 @@ object VersionedTable {
   def append(spark: SparkSession, df: DataFrame, table: String,
       statsFor: Seq[String] = Nil, optimizeWrite: Boolean = true,
       mergeSchema: Boolean = false, bloomFor: Seq[String] = Nil,
-      bloomFpp: Double = 0.03): Commit = {
+      bloomFpp: Double = 0.03,
+      bloomMaxBytes: Option[Long] = None): Commit = {
     Files.createDirectories(Paths.get(table))
     enforceAppendSchema(table, df.schema, mergeSchema)
     enforceConstraints(table, df)
@@ -1586,7 +1610,8 @@ object VersionedTable {
     val c = commitLoop(table, "append", files, _ => Nil, df.schema.json,
       None,
       stats = withSizes(table, files, computeStats(spark, table, files, sf)),
-      bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
+      bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp,
+        bloomMaxBytes),
       revalidate = () => {
         enforceAppendSchema(table, df.schema, mergeSchema)
         // re-check constraints too: a slot-race winner may have just
@@ -1607,7 +1632,8 @@ object VersionedTable {
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
       txnApp: String, txnId: Long, statsFor: Seq[String] = Nil,
       optimizeWrite: Boolean = true, mergeSchema: Boolean = false,
-      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03): Commit =
+      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03,
+      bloomMaxBytes: Option[Long] = None): Commit =
     txnCommit(table, txnApp, txnId).getOrElse {
       Files.createDirectories(Paths.get(table))
       enforceAppendSchema(table, df.schema, mergeSchema)
@@ -1623,7 +1649,8 @@ object VersionedTable {
         txn = Some((txnApp, txnId)),
         stats = withSizes(table, files,
           computeStats(spark, table, files, sf)),
-        bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
+        bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp,
+          bloomMaxBytes),
         revalidate = () => {
           enforceAppendSchema(table, df.schema, mergeSchema)
           enforceConstraints(table, df)
@@ -1668,7 +1695,8 @@ object VersionedTable {
       txn: Option[(String, Long)] = None,
       optimizeWrite: Boolean = true,
       overwriteSchema: Boolean = false,
-      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03): Commit =
+      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03,
+      bloomMaxBytes: Option[Long] = None): Commit =
     txn.flatMap(t => txnCommit(table, t._1, t._2)).getOrElse {
       Files.createDirectories(Paths.get(table))
       enforceOverwriteSchema(table, df.schema, overwriteSchema)
@@ -1719,7 +1747,8 @@ object VersionedTable {
         df.schema.json, readVersion = read, txn = txn,
         stats = withSizes(table, files,
           computeStats(spark, table, files, sf)),
-        bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp),
+        bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp,
+          bloomMaxBytes),
         revalidate = () => {
           enforceOverwriteSchema(table, df.schema, overwriteSchema)
           enforceConstraints(table, df)
@@ -2136,7 +2165,8 @@ object VersionedTable {
       clusterBy: Seq[String] = Nil, statsFor: Seq[String] = Nil,
       zorder: Boolean = false,
       isolation: Isolation = Isolation.WriteSerializable,
-      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03): Commit = {
+      bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03,
+      bloomMaxBytes: Option[Long] = None): Commit = {
     val rv = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no table at $table"))
     val base = snapshot(spark, table, Some(rv))
@@ -2168,7 +2198,7 @@ object VersionedTable {
         else trackedStatColumns(preSt))),
       bloomAdd = computeBlooms(spark, table, added,
         effectiveCols(bloomFor, trackedBloomColumns(table, preSt)),
-        bloomFpp),
+        bloomFpp, bloomMaxBytes),
       dvRemoveAt = _ => preSt.dv,
       rebaseOverAdds = isolation == Isolation.WriteSerializable)
   }

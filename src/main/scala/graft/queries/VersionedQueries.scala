@@ -90,6 +90,13 @@ object VersionedQueries {
               .forEach(f => Files.deleteIfExists(f))
             finally walk.close()
           }
+          // a name/group wiring mistake must fail loudly ONCE — without
+          // this the miss NPEs below and, because containsKey stays
+          // false, the expensive fixture silently rebuilds on every retry
+          require(memo.containsKey(key),
+            s"group builder for '$group' did not emit '$name' " +
+              s"(emitted members never include it — check the " +
+              s"Shared.member name against the builder's output map)")
         }
       }
       val (rows, schema) = memo.get(key)

@@ -51,13 +51,15 @@ class BloomSkipSpec extends SparkSpec {
     * VALUE lives in exactly one file — the Bloom operating point. Tags
     * are `t<file>_<i>` plus sentinels `a0`/`z9` in every file pinning
     * the min/max wide open. */
-  private def fourFiles(t: String, bloom: Boolean): Unit =
+  private def fourFiles(t: String, bloom: Boolean,
+      cap: Option[Long] = None): Unit =
     (0 until 4).foreach { i =>
       val rows = (0 until 50).map(j => (i * 100 + j, s"t${i}_$j")) ++
         Seq((i * 100 + 98, "a0"), (i * 100 + 99, "z9"))
       VT.append(spark, rows.toDF("id", "tag"), t,
         statsFor = Seq("id", "tag"),
-        bloomFor = if (bloom) Seq("tag") else Nil, bloomFpp = 0.001)
+        bloomFor = if (bloom) Seq("tag") else Nil, bloomFpp = 0.001,
+        bloomMaxBytes = cap)
     }
 
   test("equality probe on an unclustered column skips via Bloom") {
@@ -191,10 +193,9 @@ class BloomSkipSpec extends SparkSpec {
 
   test("the sidecar byte cap drops filters loudly, never correctness") {
     withTable { t =>
-      val saved = VT.MaxBloomSidecarBytes
-      VT.MaxBloomSidecarBytes = 8 // nothing fits
-      try fourFiles(t, bloom = true)
-      finally VT.MaxBloomSidecarBytes = saved
+      // per-call cap (the global stays untouched — mutating it here raced
+      // any concurrently committing suite): nothing fits under 8 bytes
+      fourFiles(t, bloom = true, cap = Some(8L))
       val sidecars = {
         val l = Files.list(java.nio.file.Paths.get(t))
         try l.iterator().asScala.count(
