@@ -29,18 +29,31 @@ object IvfPq {
 
   /** Train both quantizers and encode the corpus: (Index, encoded
     * (idCol, cell, codes)). The PQ codebooks train on residuals — the
-    * distribution they will encode. */
+    * distribution they will encode.
+    *
+    * `onStage(name, seconds)` fires after each eager stage (ivf-train /
+    * residuals / pq-train / encode) — a timing hook for benchmarks; the
+    * default is free. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       kCells: Int = 16, m: Int = 8, kCodes: Int = 16,
-      iters: Int = 3): (Index, DataFrame) = {
-    val ivf = Ivf.train(corpus, idCol, vecCol, kCells, iters)
+      iters: Int = 3,
+      onStage: (String, Double) => Unit = (_, _) => ()): (Index, DataFrame) = {
+    def staged[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val ivf = staged("ivf-train")(
+      Ivf.train(corpus, idCol, vecCol, kCells, iters))
     val cv = col(vecCol).cast("array<double>")
     val withRes = corpus.filter(col(vecCol).isNotNull)
       .withColumn("__cell", Ivf.cellId(cv, ivf))
       .withColumn("__res", residual(cv, ivf, col("__cell")))
       .persist()
-    withRes.count()
-    val pq = Pq.train(withRes, idCol, "__res", dim, m, kCodes, iters)
+    staged("residuals")(withRes.count())
+    val pq = staged("pq-train")(
+      Pq.train(withRes, idCol, "__res", dim, m, kCodes, iters))
     // drop rows whose codes came back null (wrong-dimension vectors fail
     // Pq.encodeColumn's guard) — a null-codes row would score NULL adist
     // at search time and, under NULLS FIRST ascending, hijack the top of
@@ -51,7 +64,7 @@ object IvfPq {
     // eager snapshot (Caches contract): the encoded index is queried
     // repeatedly — its blocks live exactly as long as the caller holds
     // the frame, with no CacheManager entry to leak
-    val out = graft.util.Caches.snapshot(encoded)
+    val out = staged("encode")(graft.util.Caches.snapshot(encoded))
     withRes.unpersist()
     (Index(ivf, pq), out)
   }

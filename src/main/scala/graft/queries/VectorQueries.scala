@@ -103,15 +103,29 @@ object VectorQueries {
     // nprobe=4/shortlist=50 point (annSublinear above), whose recall is
     // the PqSpec assertion.
     "q95_ivfpq_topk" -> ((s, dir) => {
+      // stage timing (Bench sets graft.bench.stages): q95 has been
+      // bimodal across rounds — per-stage wall clock shows WHICH stage
+      // (kmeans trains / encode / probe+rerank) carries the swing
+      val onStage: (String, Double) => Unit =
+        if (sys.props.get("graft.bench.stages").exists(_ == "true"))
+          (n, sec) => println(
+            "bench-stage q95 " + n + " " + graft.util.Fmt.fmt("%.3f", sec))
+        else (_, _) => ()
       val emb = t(s, dir, "embeddings")
       val (index, encoded) = graft.ext.IvfPq.build(emb, "vec_id",
-        "embedding", dim = 64, kCells = 16, m = 8, kCodes = 16, iters = 2)
+        "embedding", dim = 64, kCells = 16, m = 8, kCodes = 16, iters = 2,
+        onStage = onStage)
+      val t0 = System.nanoTime()
       val out = graft.ext.IvfPq.topK(encoded, emb,
           emb.filter(col("vec_id") < 8), index,
           "vec_id", "embedding", k = 5, nprobe = annNprobe,
           shortlist = annShortlist)
         .orderBy(col("query_id"), col("rnk"))
-      out
+      // the probe+rerank stage is lazy — snapshot it here so its stage
+      // line is real (the gate result is tiny: 40 rows)
+      val pinned = graft.util.Caches.snapshot(out)
+      onStage("probe-rerank", (System.nanoTime() - t0) / 1e9)
+      pinned
     }),
 
     // Product-quantized ANN: 8 codebooks × 16 centroids over 64 dims

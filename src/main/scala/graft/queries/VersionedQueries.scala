@@ -191,18 +191,32 @@ object VersionedQueries {
         .orderBy(col("consumer"), col("c_mktsegment")))
   }
 
-  /** ORDERS CDF fixture — one table, one history, both streaming
-    * consumers: the raw change-feed stream (q166) and the materialized-
-    * view sink (q167) bootstrap from the v1 snapshot, then the MERGE and
-    * DV-DELETE land mid-flight and both consumers fold them
-    * incrementally. Same per-consumer observation points as the old
-    * private fixtures; the MV sink runs as ONE long-lived query across
-    * the commits (batch composition identical to the old stop/restart
-    * shape — CdfSpec keeps the restart path gated). */
+  /** ORDERS CDF fixture — one table, ONE append/props/MERGE/DV-DELETE
+    * history, serving BOTH streaming consumers and all three incremental-
+    * view members (the r12 "ivm" group folded in here: its commit algebra
+    * was commit-for-commit identical — same mod-3 bootstrap, same
+    * mod-5 MERGE, same F∧mod-7 delete — so rebuilding it as a second
+    * table gated nothing extra).
+    *
+    * Streaming members: the raw change-feed stream (q166) and the
+    * materialized-view sink (q167) bootstrap from the v1 snapshot, then
+    * the MERGE and DV-DELETE land mid-flight and both fold them
+    * incrementally — each runs as ONE long-lived query across the
+    * commits (batch composition identical to the old stop/restart shape;
+    * CdfSpec keeps the restart path gated).
+    *
+    * IVM members: sum / distinct-multiplicity / multi-measure states
+    * bootstrap from the v0 snapshot and fold the v0→v3 change feed (the
+    * props commit contributes no rows; the DV delete classifies exactly
+    * as the old rewrite delete did — same precedent as the customer
+    * group). Their oracles recompute the FINAL state from the slice
+    * algebra, so the extra o_custkey column and the version shift are
+    * invisible to every hash. */
   private def buildOrdersCdf(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
     val base = pinned(s, ordersSlice(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_custkey")))
     VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)   // v0
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val state = s"$tbl.state"
@@ -233,37 +247,23 @@ object VersionedQueries {
         Q.dsum(col("o_totalprice")).as("total"))
       .orderBy(col("change_type")))
     s.catalog.dropTempView(name)
+    // batch change feed for the IVM members: v0 bootstrap → v3 final —
+    // SNAPSHOT both shared inputs once (Caches contract): three member
+    // collects would otherwise re-derive the whole feed and re-scan the
+    // v0 state three times each
+    val cdf = graft.util.Caches.snapshot(
+      VT.changeFeed(s, tbl, 0, 3, Seq("o_orderkey"),
+        includePreimage = true))
+    val v0 = graft.util.Caches.snapshot(VT.snapshot(s, tbl, Some(0)))
     Map(
       "q166_cdf_stream" -> q166,
       "q167_streaming_mv" -> VT.snapshot(s, state)
         .select(col("o_orderstatus"), col("n"),
           col("sum_v").cast("double").as("total"))
-        .orderBy(col("o_orderstatus")))
-  }
-
-  /** IVM fixture — one table (union of both members' columns), one
-    * append/MERGE/DELETE history, one change feed folded into BOTH
-    * incremental states (sum and distinct-multiplicity). The unified
-    * MERGE also bumps o_totalprice for q157's rows — invisible to its
-    * distinct-count gate, identical to q153's algebra. */
-  private def buildIvm(s: SparkSession, dir: String, tbl: String)
-      : Map[String, DataFrame] = {
-    val base = pinned(s, ordersSlice(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice"), col("o_custkey")))
-    VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
-    val src = base.filter(col("o_orderkey") % 5 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      .withColumn("o_orderstatus", lit("U"))
-    VT.merge(s, src, tbl, Seq("o_orderkey"))                       // v1
-    VT.deleteWhere(s, tbl,
-      col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v2
-    val cdf = VT.changeFeed(s, tbl, 0, 2, Seq("o_orderkey"),
-      includePreimage = true)
-    Map(
+        .orderBy(col("o_orderstatus")),
       "q153_incremental_gold" -> {
         val state0 = graft.ops.IncrementalAgg.sumState(
-          VT.snapshot(s, tbl, Some(0)), Seq("o_orderstatus"), "o_totalprice")
+          v0, Seq("o_orderstatus"), "o_totalprice")
         graft.ops.IncrementalAgg.finalizeSums(
             graft.ops.IncrementalAgg.applyChangeFeed(
               state0, cdf, Seq("o_orderstatus"), "o_totalprice"),
@@ -272,7 +272,7 @@ object VersionedQueries {
       },
       "q157_incremental_distinct" -> {
         val state0 = graft.ops.IncrementalAgg.distinctState(
-          VT.snapshot(s, tbl, Some(0)), Seq("o_orderstatus"), "o_custkey")
+          v0, Seq("o_orderstatus"), "o_custkey")
         graft.ops.IncrementalAgg.finalizeDistinct(
             graft.ops.IncrementalAgg.applyChangeFeedDistinct(
               state0, cdf, Seq("o_orderstatus"), "o_custkey"),
@@ -288,7 +288,7 @@ object VersionedQueries {
       "q170_incremental_multisum" -> {
         val cols = Seq("o_totalprice", "o_custkey")
         val state0 = graft.ops.IncrementalAgg.sumStateMulti(
-          VT.snapshot(s, tbl, Some(0)), Seq("o_orderstatus"), cols)
+          v0, Seq("o_orderstatus"), cols)
         graft.ops.IncrementalAgg.finalizeSumsMulti(
             graft.ops.IncrementalAgg.applyChangeFeedMulti(
               state0, cdf, Seq("o_orderstatus"), cols),
@@ -331,6 +331,27 @@ object VersionedQueries {
         .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus")))
   }
+
+  /** Bench hook: force each shared-fixture group's build (idempotent —
+    * the memo makes a second call free), so the sweep can time fixture
+    * choreography as its OWN bench keys instead of letting whichever
+    * member runs first absorb its whole group's cost (r12's q152/q166
+    * numbers were group-accounting artifacts; a regression inside any
+    * single gate was invisible under the group total). Keys follow the
+    * bench short-key convention (prefix up to '_', unique). */
+  val fixtureGroups: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "fx1_customer_cdf_fixture" -> ((s: SparkSession, dir: String) => {
+      Shared.member(s, dir, "customer-cdf", "q152_change_feed")(
+        buildCustomerCdf); ()
+    }),
+    "fx2_orders_cdf_fixture" -> ((s: SparkSession, dir: String) => {
+      Shared.member(s, dir, "orders-cdf", "q166_cdf_stream")(
+        buildOrdersCdf); ()
+    }),
+    "fx3_skipping_fixture" -> ((s: SparkSession, dir: String) => {
+      Shared.member(s, dir, "skipping", "q154_pruned_scan")(
+        buildSkipping); ()
+    }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -463,7 +484,8 @@ object VersionedQueries {
     // algebra) — which is exactly what the oracle computes from the same
     // slice algebra, never having seen the incremental path.
     "q153_incremental_gold" -> ((s, dir) =>
-      Shared.member(s, dir, "ivm", "q153_incremental_gold")(buildIvm)),
+      Shared.member(s, dir, "orders-cdf", "q153_incremental_gold")(
+        buildOrdersCdf)),
 
     // Incremental COUNT(DISTINCT) maintenance — the aggregate plain IVM
     // cannot keep (a delete removes a value only when its LAST carrier
@@ -473,13 +495,15 @@ object VersionedQueries {
     // some customers' last rows (multiplicity → 0), so both retraction
     // paths sit inside the hash-checked result.
     "q157_incremental_distinct" -> ((s, dir) =>
-      Shared.member(s, dir, "ivm", "q157_incremental_distinct")(buildIvm)),
+      Shared.member(s, dir, "orders-cdf", "q157_incremental_distinct")(
+        buildOrdersCdf)),
 
     // Multi-measure retractable IVM (sumStateMulti/applyChangeFeedMulti):
     // both measures maintained by ONE feed fold, hash-checked against
     // the DuckDB recompute of the final version.
     "q170_incremental_multisum" -> ((s, dir) =>
-      Shared.member(s, dir, "ivm", "q170_incremental_multisum")(buildIvm)),
+      Shared.member(s, dir, "orders-cdf", "q170_incremental_multisum")(
+        buildOrdersCdf)),
 
     // External CDC ingestion: Debezium-shaped JSON envelopes (creates,
     // full before/after updates, deletes — synthesized with to_json and
