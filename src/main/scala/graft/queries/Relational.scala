@@ -195,6 +195,38 @@ object Relational {
             col("exact_orders") <= 0.05).as("orders_within_rsd"))
     }),
 
+    // Approx-uniqueness DQ at 100 TB: HLL++ sketch partials instead of
+    // the exact check's Expand + full-key shuffle. The ESTIMATE is
+    // engine-specific, so the hashed payload is (a) the pass/fail
+    // decisions at thresholds sitting ≥2σ from the estimate, (b) the
+    // exact twin's rate, and (c) a Spark-side flag that the estimate
+    // lands within 2×rsd of the exact rate — the oracle recomputes the
+    // exact side and expects every flag TRUE. Note the struct-wrapped
+    // distinct counts a NULL key tuple as a value (the exact check
+    // does too), so the oracle adds the null-tuple term for o_custkey.
+    "q172_approx_uniqueness" -> ((s, dir) => {
+      val rep = DataQualityChecker(t(s, dir, "orders"), "orders")
+        .checkUniqueness(Seq("o_orderkey"), threshold = 1.0)
+        .checkUniqueness(Seq("o_custkey"), threshold = 0.01)
+        .checkUniquenessApprox(Seq("o_orderkey"), threshold = 0.9)
+        .checkUniquenessApprox(Seq("o_custkey"), threshold = 0.01)
+        .run().toDF(s)
+      val ex = rep.filter(!col("check_name").contains("approx"))
+        .select(col("column_name"), col("passed").as("exact_passed"),
+          col("pass_rate").as("exact_rate"))
+      val ap = rep.filter(col("check_name").contains("approx"))
+        .select(col("check_name"), col("column_name"), col("passed"),
+          col("threshold"), col("severity"),
+          col("pass_rate").as("approx_rate"))
+      ap.join(ex, Seq("column_name"))
+        .select(col("check_name"), col("column_name"), col("passed"),
+          col("threshold"), col("severity"), col("exact_passed"),
+          round(col("exact_rate"), 6).as("exact_rate"),
+          (abs(col("approx_rate") - col("exact_rate")) <=
+            col("exact_rate") * 0.10 + lit(1e-9)).as("within_2rsd"))
+        .orderBy(col("check_name"))
+    }),
+
     // The DQ centerpiece: 5 checks over orders in ONE aggregate pass.
     "q10_dq_report" -> ((s, dir) => {
       DataQualityChecker(t(s, dir, "orders"), "orders")
@@ -621,6 +653,31 @@ object Relational {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  TRUE AS parts_within_rsd, TRUE AS orders_within_rsd
         |FROM lineitem""".stripMargin,
+
+    // the exact side recomputed (with the struct-distinct null-tuple
+    // term), every contract flag pinned TRUE
+    "q172_approx_uniqueness" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS total,
+        |    COUNT(DISTINCT o_orderkey) +
+        |      MAX(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS d_ok,
+        |    COUNT(DISTINCT o_custkey) +
+        |      MAX(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS d_ck
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'uniqueness_approx_o_custkey' AS check_name,
+        |    'o_custkey' AS column_name, TRUE AS passed,
+        |    CAST(0.01 AS DOUBLE) AS threshold, 'Critical' AS severity,
+        |    TRUE AS exact_passed,
+        |    ROUND(CAST(d_ck AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |      AS exact_rate,
+        |    TRUE AS within_2rsd FROM m
+        |  UNION ALL
+        |  SELECT 'uniqueness_approx_o_orderkey', 'o_orderkey', TRUE,
+        |    CAST(0.9 AS DOUBLE), 'Critical', TRUE,
+        |    ROUND(CAST(d_ok AS DOUBLE) / CAST(total AS DOUBLE), 6), TRUE
+        |  FROM m)
+        |ORDER BY check_name""".stripMargin,
 
     "q10_dq_report" ->
       """WITH m AS (

@@ -255,6 +255,46 @@ object Temporal {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable KLL quantile states (q131's percentile analogue): two
+    // disjoint partial sketches per group, k-way merged, quantiles read
+    // from the MERGED state. Sketch values are engine- and merge-order-
+    // specific, so the hashed payload is the sketch's rank-error
+    // contract instead (like q50b): each returned quantile's true rank,
+    // recomputed against the data, must sit within 5%·n + 1 of the
+    // target rank (k=200 guarantees ~1.65% — 3x headroom, so the flag
+    // is deterministic in practice). A merge that loses data or a
+    // reader off by a compactor level flips a flag red.
+    "q173_kll_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val probs = Seq(0.25, 0.5, 0.75)
+      val parts = Seq(0, 1).map(i =>
+        graft.ops.IncrementalAgg.quantileState(
+          li.filter(col("l_linenumber") % 2 === i),
+          Seq("l_returnflag"), "l_extendedprice"))
+      val merged = graft.ops.IncrementalAgg.mergeQuantileStates(
+        parts, Seq("l_returnflag"))
+      val est = graft.ops.IncrementalAgg.finalizeQuantiles(
+          merged, Seq("l_returnflag"), probs)
+        .select(col("l_returnflag").as("rf"),
+          posexplode(array(col("q_25"), col("q_50"), col("q_75")))
+            .as(Seq("pos", "value")))
+        .select(col("rf"),
+          element_at(typedlit(probs), col("pos") + 1).as("quantile"),
+          col("value"))
+      li.select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("x"))
+        .join(broadcast(est), col("l_returnflag") === col("rf"))
+        .groupBy(col("l_returnflag"), col("quantile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") <= col("value"), 1L).otherwise(0L))
+            .as("rank_le"))
+        .select(col("l_returnflag"), col("quantile"),
+          (abs(col("rank_le").cast("double") -
+            col("quantile") * col("n")) <=
+            col("n").cast("double") * 0.05 + 1.0).as("within_bound"))
+        .orderBy(col("l_returnflag"), col("quantile"))
+    }),
+
     // Per-user rolling velocity features: lag, trailing-3-row mean,
     // 1-hour event count + value sum — one shuffle, all four features
     // on one sort. Every feature value hash-checked.
@@ -290,6 +330,29 @@ object Temporal {
     // Hash-checked.
     "q149_active_users" -> ((s, dir) => {
       Monitoring.rollingActiveUsers(t(s, dir, "events"), "ts", "user_id")
+        .orderBy(col("day"))
+    }),
+
+    // q149's 100 TB form: per-day HLL sketches unioned over the window —
+    // no distinct shuffle, no day-explosion of user rows. The sketch
+    // ESTIMATES are engine-specific, so the hashed payload is the exact
+    // counts plus the estimator's error contract (lgConfigK=12 → rsd
+    // ~1.6%; flags allow 5% + 1): the flags are computed Spark-side
+    // against the exact recompute and the oracle expects TRUE — a
+    // broken sketch union or a degraded estimate flips them red.
+    "q171_approx_active_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = Monitoring.rollingActiveUsers(ev, "ts", "user_id")
+      val approx = Monitoring
+        .rollingActiveUsersApprox(ev, "ts", "user_id")
+        .select(col("day"), col("dau").as("dau_est"),
+          col("rolling_active").as("rolling_est"))
+      exact.join(approx, Seq("day"))
+        .select(col("day"), col("dau"), col("rolling_active"),
+          (abs(col("dau_est") - col("dau")).cast("double") <=
+            col("dau") * 0.05 + 1.0).as("dau_within"),
+          (abs(col("rolling_est") - col("rolling_active")).cast("double") <=
+            col("rolling_active") * 0.05 + 1.0).as("rolling_within"))
         .orderBy(col("day"))
     }),
 
@@ -445,6 +508,35 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    // q149's exact recompute + the error-contract flags pinned TRUE: the
+    // HLL estimates themselves are engine-specific, the CONTRACT is not
+    "q171_approx_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |roll AS (
+        |  SELECT s.day, COUNT(DISTINCT d.user_id) AS rolling_active
+        |  FROM days s JOIN du d ON d.day BETWEEN s.day - 6 AND s.day
+        |  GROUP BY s.day)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(roll.rolling_active AS BIGINT) AS rolling_active,
+        |  TRUE AS dau_within, TRUE AS rolling_within
+        |FROM dau JOIN roll ON dau.day = roll.day
+        |ORDER BY dau.day""".stripMargin,
+
+    // per (group × quantile): the rank-error flag pinned TRUE — the
+    // sketch's returned values are merge-order-specific, the contract
+    // is the gate
+    "q173_kll_rollup" ->
+      """SELECT l_returnflag, q.quantile, TRUE AS within_bound
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+        |CROSS JOIN (SELECT CAST(0.25 AS DOUBLE) AS quantile
+        |  UNION ALL SELECT CAST(0.5 AS DOUBLE)
+        |  UNION ALL SELECT CAST(0.75 AS DOUBLE)) q
+        |ORDER BY l_returnflag, q.quantile""".stripMargin,
+
     // BETWEEN formulation — result-identical to the day-explosion plan
     "q149_active_users" ->
       """WITH du AS (
