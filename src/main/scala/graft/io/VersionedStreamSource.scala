@@ -61,7 +61,10 @@ import graft.io.{VersionedTable => VT}
   * start), `skipChangeCommits` (bool), `maxFilesPerTrigger` (int — admit
   * versions per batch until their cumulative add-file count would exceed
   * the cap; at least one version per batch, so a single huge commit
-  * still fits), `failOnSchemaChange` (bool, default true).
+  * still fits. The cap paces the INITIAL SNAPSHOT too, as in Delta: its
+  * sorted file list streams `cap` files per batch under a compound
+  * `{"v":N,"i":M}` offset — a 100 TB first batch must not land on a
+  * deliberately paced query), `failOnSchemaChange` (bool, default true).
   *
   * Scale shape: `getOffset` is a directory listing + O(new commits)
   * manifest reads, zero data I/O; each batch plans its files through
@@ -99,12 +102,59 @@ final class VersionedStreamSource(
     else StructType(schema.fields.filterNot(f =>
       VersionedStreamSource.MetaCols.contains(f.name)))
 
-  /** Highest version handed out so far. Purely an admission cursor —
-    * correctness lives in the engine's offset log (restart re-seeds this
-    * through the `getBatch` replay of any uncommitted range). */
-  @volatile private var lastEnd: Option[Long] = None
+  import VersionedStreamSource.{Cursor, Done, Partial}
 
-  private def off(o: Offset): Long = o.json.trim.toLong
+  /** Total order: a partial snapshot sorts below its own completion,
+    * completion below any later version. */
+  private def ckey(c: Cursor): (Long, Long) = c match {
+    case Done(v) => (v, Long.MaxValue)
+    case Partial(v, i) => (v, i.toLong)
+  }
+
+  @volatile private var cursor: Option[Cursor] = None
+
+  private def advance(c: Cursor): Unit = synchronized {
+    import scala.math.Ordering.Implicits._
+    if (cursor.forall(cur => ckey(c) > ckey(cur))) cursor = Some(c)
+  }
+
+  /** Offset wire format. A completed version is the bare long (the
+    * format every pre-existing checkpoint holds — they deserialize as
+    * [[Done]]); a mid-snapshot cursor is `{"v":N,"i":M}`. */
+  private def parse(json: String): Cursor = {
+    val t = json.trim
+    if (!t.startsWith("{")) Done(t.toLong)
+    else {
+      def field(k: String): Long =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(t)
+          .getOrElse(throw new IllegalStateException(
+            s"unreadable graft-versioned offset: $t"))
+          .group(1).toLong
+      Partial(field("v"), field("i").toInt)
+    }
+  }
+
+  private def toOffset(c: Cursor): Offset with OffsetV2 = c match {
+    case Done(v) => LongOffset(v)
+    case Partial(v, i) => VersionedStreamSource.PartialSnapshotOffset(v, i)
+  }
+
+  /** The pinned initial snapshot's parts, computed once per version:
+    * SORTED file list (a deterministic slice order is what makes a
+    * partial-snapshot offset replayable), stats, deletion vectors. */
+  @volatile private var snapCache:
+      Option[(Long, Seq[String], VT.FileStats, Seq[String])] = None
+  private def snapshotAt(v: Long)
+      : (Seq[String], VT.FileStats, Seq[String]) = {
+    snapCache match {
+      case Some((cv, f, st, dv)) if cv == v => (f, st, dv)
+      case _ =>
+        val (files, stats, _, dv) = VT.snapshotParts(table, v)
+        val sorted = files.sorted
+        snapCache = Some((v, sorted, stats, dv))
+        (sorted, stats, dv)
+    }
+  }
 
   /** The data files version `c` APPENDS, Nil for commits a tailing
     * reader ignores, or throw for data-changing commits (unless
@@ -183,40 +233,61 @@ final class VersionedStreamSource(
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
       ReadLimit.allAvailable())
 
+  /** One admission step from the current cursor under a file cap.
+    * Mirrors Delta: the cap paces the INITIAL SNAPSHOT too (its sorted
+    * file list streams `cap` files per batch — a 100 TB table behind a
+    * deliberately paced query must not arrive as one batch), then whole
+    * tail versions as before. `cap = None` = everything in one step. */
+  private def step(latest: Long, cap: Option[Int]): Cursor =
+    cursor.orElse(startExclusive.map(Done(_))) match {
+      case None =>
+        cap match {
+          case None => Done(latest)
+          case Some(c) =>
+            val (files, _, _) = snapshotAt(latest)
+            if (files.size <= math.max(1, c)) Done(latest)
+            else Partial(latest, math.max(1, c))
+        }
+      case Some(Partial(v, i)) =>
+        val (files, _, _) = snapshotAt(v)
+        val j = cap.fold(files.size)(c =>
+          math.min(files.size, i + math.max(1, c)))
+        if (j < files.size) Partial(v, j)
+        // uncapped completion (Trigger.Once resuming a paced run): the
+        // rest of the snapshot AND the tail belong to this one batch
+        else if (cap.isEmpty && latest > v) Done(latest)
+        else Done(v)
+      case Some(Done(f)) if f >= latest => Done(f)
+      case Some(Done(f)) => Done(admit(f, latest, cap))
+    }
+
   /** Admission under the engine-supplied limit and the AvailableNow pin.
     * `start` is the engine's restored checkpoint offset (null on a fresh
     * start) — seeding the cursor from it makes restart pacing exact even
     * before any `commit()` callback. Returning the unchanged cursor
     * signals "no new data". */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    Option(start).map(o => o.json.trim.toLong).foreach(s =>
-      lastEnd = Some(lastEnd.fold(s)(math.max(_, s))))
+    Option(start).foreach(o => advance(parse(o.json)))
     val live = VT.latestVersion(table) match {
       case Some(v) => v
       case None => return null // table vanished / no commits yet
     }
     val latest = availableNowCap.fold(live)(math.min(_, live))
     if (latest < 0) return null // AvailableNow pinned an empty log
-    val end = lastEnd.orElse(startExclusive) match {
-      case None =>
-        // initial snapshot: one batch for the whole pinned state (the
-        // cap applies to the tail only, as in Delta)
-        latest
-      case Some(f) if f >= latest => f
-      case Some(f) => limit match {
-        case mf: ReadMaxFiles => admit(f, latest, Some(mf.maxFiles()))
-        // an EXPLICIT allAvailable (Trigger.Once's SingleBatchExecutor:
-        // "process everything in one batch") overrides the constructor
-        // pacing — re-capping here would end the run with the backlog
-        // only partially drained, as the engine's own "read limit will
-        // be ignored" log line promises it won't be
-        case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
-          latest
-        case _ => admit(f, latest, maxFilesPerTrigger)
-      }
+    val cap = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles())
+      // an EXPLICIT allAvailable (Trigger.Once's SingleBatchExecutor:
+      // "process everything in one batch") overrides the constructor
+      // pacing — re-capping here would end the run with the backlog
+      // only partially drained, as the engine's own "read limit will
+      // be ignored" log line promises it won't be
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        None
+      case _ => maxFilesPerTrigger
     }
-    lastEnd = Some(end)
-    LongOffset(end)
+    val next = step(latest, cap)
+    advance(next)
+    toOffset(next)
   }
 
   /** Live log tip for progress reporting — uncapped, so AvailableNow
@@ -231,18 +302,9 @@ final class VersionedStreamSource(
     * tests. */
   override def getOffset: Option[Offset] = {
     val latest = VT.latestVersion(table).getOrElse(return None)
-    lastEnd.orElse(startExclusive) match {
-      case None =>
-        // initial snapshot: one batch for the whole current state (the
-        // cap applies to the tail only, as in Delta)
-        lastEnd = Some(latest)
-        Some(LongOffset(latest))
-      case Some(f) if f >= latest => lastEnd.map(LongOffset(_))
-      case Some(f) =>
-        val end = admit(f, latest, maxFilesPerTrigger)
-        lastEnd = Some(end)
-        Some(LongOffset(end))
-    }
+    val next = step(latest, maxFilesPerTrigger)
+    advance(next)
+    Some(toOffset(next))
   }
 
   /** Commit schema jsons already proven compatible with the bound
@@ -301,60 +363,91 @@ final class VersionedStreamSource(
           org.apache.spark.sql.functions.lit(ts)))
   }
 
+  /** Snapshot files [from, until) of the sorted list at version `v`,
+    * deletion vectors subtracted (the DV anti-join is per-file — entries
+    * for unserved files are inert, so every slice passes the full set).
+    * Change-feed mode stamps the slice as inserts at the snapshot
+    * version, like the unsliced bootstrap. */
+  private def snapshotSlice(v: Long, from: Int, until: Int): DataFrame = {
+    val (files, stats, dv) = snapshotAt(v)
+    val base = VT.streamingScan(spark, table,
+      files.slice(from, until), stats, dataSchema, dv)
+    if (!readChangeFeed) base
+    else stamped(base, insertType = true, v,
+      VT.commitsIn(table, v - 1, v).headOption.fold(0L)(_.ts))
+  }
+
+  /** Tail batch: the data (or change envelopes) of versions (f, endV]. */
+  private def tailBatch(f: Long, endV: Long): DataFrame = {
+    val commits = VT.commitsIn(table, f, endV)
+    if (!readChangeFeed) {
+      val adds = commits.flatMap { c =>
+        val a = addsOf(c)
+        if (a.nonEmpty) checkSchema(c)
+        a
+      }
+      // per-file stats come from the ADDING commit, not the end
+      // state: a later (skipped) compaction may have already retired
+      // these files from the live state, but their bytes are still
+      // on disk until vacuum and their manifest stats still prune
+      val stats = commits.foldLeft(Map.empty: VT.FileStats)(_ ++ _.stats)
+      VT.streamingScan(spark, table, adds, stats, schema, Nil)
+    } else {
+      // change-feed tail: one envelope slice per commit (versions
+      // stamp differently, so slices don't merge into one scan);
+      // sidecar files carry `_change_type` themselves, adds get it
+      // synthesized. A data-changing commit with no sidecar throws
+      // (skipChangeCommits swallows it, as in plain-row mode).
+      val cdfSchema = StructType(dataSchema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType))
+      val parts = commits.flatMap { c =>
+        val cf =
+          if (skipChangeCommits)
+            scala.util.Try(VT.changeFilesOf(table, c))
+              .getOrElse(None)
+          else VT.changeFilesOf(table, c)
+        cf.collect { case (files, synth) if files.nonEmpty =>
+          checkSchema(c)
+          val base = VT.streamingScan(spark, table, files, c.stats,
+            if (synth) dataSchema else cdfSchema, Nil)
+          stamped(base, insertType = synth, c.version, c.ts)
+        }
+      }
+      parts.reduceOption(_.unionByName(_)).getOrElse(
+        org.apache.spark.sql.graftshim.GraftStreamingShim
+          .emptyStreaming(spark, schema))
+    }
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = off(end)
-    lastEnd = Some(lastEnd.fold(endV)(math.max(_, endV)))
-    start.map(off).orElse(startExclusive) match {
-      case None =>
-        val (files, stats, _, dv) = VT.snapshotParts(table, endV)
-        val base = VT.streamingScan(spark, table, files, stats,
-          dataSchema, dv)
-        if (!readChangeFeed) base
+    val endC = parse(end.json)
+    advance(endC)
+    start.map(o => parse(o.json))
+      .orElse(startExclusive.map(Done(_))) match {
+      case None => endC match {
         // change-feed bootstrap: the whole current state as inserts,
         // attributed to the snapshot version (Delta's CDF-stream shape)
-        else stamped(base, insertType = true, endV,
-          VT.commitsIn(table, endV - 1, endV).headOption
-            .fold(0L)(_.ts))
-      case Some(f) =>
-        val commits = VT.commitsIn(table, f, endV)
-        if (!readChangeFeed) {
-          val adds = commits.flatMap { c =>
-            val a = addsOf(c)
-            if (a.nonEmpty) checkSchema(c)
-            a
-          }
-          // per-file stats come from the ADDING commit, not the end
-          // state: a later (skipped) compaction may have already retired
-          // these files from the live state, but their bytes are still
-          // on disk until vacuum and their manifest stats still prune
-          val stats = commits.foldLeft(Map.empty: VT.FileStats)(_ ++ _.stats)
-          VT.streamingScan(spark, table, adds, stats, schema, Nil)
-        } else {
-          // change-feed tail: one envelope slice per commit (versions
-          // stamp differently, so slices don't merge into one scan);
-          // sidecar files carry `_change_type` themselves, adds get it
-          // synthesized. A data-changing commit with no sidecar throws
-          // (skipChangeCommits swallows it, as in plain-row mode).
-          val cdfSchema = StructType(dataSchema.fields :+
-            org.apache.spark.sql.types.StructField("_change_type",
-              org.apache.spark.sql.types.StringType))
-          val parts = commits.flatMap { c =>
-            val cf =
-              if (skipChangeCommits)
-                scala.util.Try(VT.changeFilesOf(table, c))
-                  .getOrElse(None)
-              else VT.changeFilesOf(table, c)
-            cf.collect { case (files, synth) if files.nonEmpty =>
-              checkSchema(c)
-              val base = VT.streamingScan(spark, table, files, c.stats,
-                if (synth) dataSchema else cdfSchema, Nil)
-              stamped(base, insertType = synth, c.version, c.ts)
-            }
-          }
-          parts.reduceOption(_.unionByName(_)).getOrElse(
-            org.apache.spark.sql.graftshim.GraftStreamingShim
-              .emptyStreaming(spark, schema))
-        }
+        case Done(v) => snapshotSlice(v, 0, snapshotAt(v)._1.size)
+        // paced bootstrap: the snapshot's first i files
+        case Partial(v, i) => snapshotSlice(v, 0, i)
+      }
+      case Some(Partial(v, i)) => endC match {
+        case Partial(v2, j) =>
+          require(v2 == v, s"mid-snapshot offset moved tables: $v2 != $v")
+          snapshotSlice(v, i, j)
+        case Done(w) =>
+          // snapshot completion; an uncapped resume (Trigger.Once) may
+          // fold the tail into the same batch
+          val snap = snapshotSlice(v, i, snapshotAt(v)._1.size)
+          if (w <= v) snap else snap.unionByName(tailBatch(v, w))
+      }
+      case Some(Done(f)) => endC match {
+        case Partial(v2, _) => throw new IllegalStateException(
+          s"offset log regressed from completed version $f into a " +
+            s"partial snapshot at $v2 — corrupt checkpoint?")
+        case Done(w) => tailBatch(f, w)
+      }
     }
   }
 
@@ -366,10 +459,7 @@ final class VersionedStreamSource(
     * one batch, bypassing `maxFilesPerTrigger` exactly when its pacing
     * matters most. (When the last batch was uncommitted, the getBatch
     * replay seeds the cursor instead.) */
-  override def commit(end: Offset): Unit = {
-    val v = off(end)
-    lastEnd = Some(lastEnd.fold(v)(math.max(_, v)))
-  }
+  override def commit(end: Offset): Unit = advance(parse(end.json))
 
   override def stop(): Unit = ()
 
@@ -470,6 +560,24 @@ object VersionedStreamSourceProvider {
 }
 
 object VersionedStreamSource {
+  /** Admission cursor: either everything through version `v` has been
+    * handed out ([[Done]]), or the initial snapshot AT `v` is partially
+    * handed out — its first `i` files in the deterministically sorted
+    * snapshot file list ([[Partial]]). Purely an admission cursor —
+    * correctness lives in the engine's offset log (restart re-seeds it
+    * through the `getBatch` replay of any uncommitted range). */
+  private[io] sealed trait Cursor { def v: Long }
+  private[io] final case class Done(v: Long) extends Cursor
+  private[io] final case class Partial(v: Long, i: Int) extends Cursor
+
+  /** Mid-snapshot offset: the initial snapshot at version `v`, first `i`
+    * files (sorted order) served. Completed versions stay bare longs
+    * ([[LongOffset]]), so existing checkpoints read unchanged. */
+  final case class PartialSnapshotOffset(v: Long, i: Int)
+      extends Offset {
+    override def json: String = s"""{"v":$v,"i":$i}"""
+  }
+
   /** Envelope metadata columns of change-feed mode (Delta CDF's). */
   val MetaCols: Set[String] =
     Set("_change_type", "_commit_version", "_commit_timestamp")
