@@ -75,6 +75,7 @@ object Streams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionsState(islands: Seq[SessionState])
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
@@ -83,58 +84,75 @@ object Streams {
     * batch gap-and-island version is q21_sessionize; this one maintains
     * per-user state bounded by the watermark.
     *
-    * Bounded-state caveat (the one deliberate divergence from the batch
-    * twin): only the NEWEST island per key stays open in state — every
-    * earlier island closes at batch end. Two in-watermark stragglers that
-    * belong to the SAME earlier island but arrive in DIFFERENT
-    * micro-batches therefore emit as two sessions (possibly overlapping)
-    * where q21's batch gap-and-islands would merge them into one. Keeping
-    * K recent islands open until the watermark passes `end + gap` would
-    * close that window at K× the state; at one open island per key, state
-    * stays O(keys) regardless of how disordered the stream is — the trade
-    * this operator picks. Downstream consumers that must match the batch
-    * semantics exactly should re-merge overlapping sessions per key (a
-    * cheap batch gap-and-islands over the tiny session table). */
+    * Bounded-state trade, tunable via `maxOpenIslands` (default 1): up to
+    * K islands per key stay open in state; anything older closes at batch
+    * end, and an open island closes for good once the watermark passes
+    * its `end + gap` (no in-watermark event can extend it after that).
+    * At K=1, two in-watermark stragglers that belong to the SAME earlier
+    * island but arrive in DIFFERENT micro-batches emit as two sessions
+    * (possibly overlapping) where q21's batch gap-and-islands would merge
+    * them into one; K≥2 closes exactly that window for up to K−1
+    * concurrently open earlier islands, at K× the per-key state. State
+    * stays O(keys × K) regardless of how disordered the stream is.
+    * Downstream consumers that must match the batch semantics exactly
+    * under deeper disorder than K covers should re-merge overlapping
+    * sessions per key (a cheap batch gap-and-islands over the tiny
+    * session table). */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
-      watermark: String = "10 minutes"): Dataset[Session] = {
+      watermark: String = "10 minutes",
+      maxOpenIslands: Int = 1): Dataset[Session] = {
     import events.sparkSession.implicits._
+    require(maxOpenIslands >= 1,
+      s"maxOpenIslands must be >= 1, got $maxOpenIslands")
 
     def fn(userId: Long, evs: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[Session] = {
+        state: GroupState[SessionsState]): Iterator[Session] = {
+      val gapMs = gapSeconds * 1000
+      val wm = state.getCurrentWatermarkMs()
+      def sess(iv: (Long, Long, Long)): Session =
+        Session(userId, new Timestamp(iv._1), new Timestamp(iv._2), iv._3)
+      def islands: List[(Long, Long, Long)] = state.getOption.toList
+        .flatMap(_.islands.map(s => (s.start, s.end, s.n)))
+      def keepOpen(open: Seq[(Long, Long, Long)]): Unit =
+        if (open.isEmpty) { if (state.exists) state.remove() }
+        else {
+          state.update(SessionsState(open.map(iv =>
+            SessionState(iv._1, iv._2, iv._3))))
+          // earliest pending close; islands past the horizon were closed
+          // above, so this is always > the current watermark
+          state.setTimeoutTimestamp(open.map(_._2 + gapMs).min)
+        }
       if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        return Iterator(Session(userId, new Timestamp(s.start),
-          new Timestamp(s.end), s.n))
+        // close every island whose gap horizon the watermark passed;
+        // younger islands stay open for their own timeout
+        val (expired, open) = islands.partition(_._2 + gapMs <= wm)
+        keepOpen(open)
+        return expired.sortBy(iv => (iv._1, iv._2)).map(sess).iterator
       }
       // true gap-and-islands over the open state plus this batch's
       // events, IN TIME ORDER: an in-watermark straggler that predates
-      // the open session by more than the gap forms (or extends) an
-      // EARLIER island instead of being glued onto the open one — the
+      // the open sessions by more than the gap forms (or extends) an
+      // EARLIER island instead of being glued onto the newest one — the
       // old single-cursor fold compared only `t - end <= gap`, whose
       // negative delta merged arbitrarily old events and silently
-      // diverged from the batch twin (q21). All islands but the newest
-      // close now (bounded state: one open session per key); the newest
-      // stays open for the timeout to emit.
-      val gapMs = gapSeconds * 1000
-      val intervals =
-        (state.getOption.map(s => (s.start, s.end, s.n)).toList ++
-          evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
-          .sortBy(iv => (iv._1, iv._2))
+      // diverged from the batch twin (q21).
+      val intervals = (islands ++ evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
+        .sortBy(iv => (iv._1, iv._2))
       val mergedDesc = intervals.foldLeft(List.empty[(Long, Long, Long)]) {
         case ((hs, he, hn) :: tl, (s2, e2, n2)) if s2 - he <= gapMs =>
           (hs, math.max(he, e2), hn + n2) :: tl
         case (acc, iv) => iv :: acc
       }
       val asc = mergedDesc.reverse
-      val closed = asc.dropRight(1).map { case (s0, e0, n0) =>
-        Session(userId, new Timestamp(s0), new Timestamp(e0), n0)
-      }
-      asc.lastOption.foreach { case (s0, e0, n0) =>
-        state.update(SessionState(s0, e0, n0))
-        state.setTimeoutTimestamp(e0 + gapMs)
-      }
-      closed.iterator
+      // close: everything beyond the newest K, plus any kept island the
+      // watermark already aged past its gap horizon (the newest island
+      // always holds an event from this batch or a live horizon, so at
+      // K=1 this matches the old one-open-island behavior exactly)
+      val keepN = math.min(maxOpenIslands, asc.size)
+      val (older, newest) = asc.splitAt(asc.size - keepN)
+      val (aged, open) = newest.partition(_._2 + gapMs <= wm)
+      keepOpen(open)
+      (older ++ aged).sortBy(iv => (iv._1, iv._2)).map(sess).iterator
     }
 
     events.withWatermark("ts", watermark)

@@ -382,6 +382,49 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("sess_ooo") }
   }
 
+  test("sessionize maxOpenIslands=2: same-island stragglers across two " +
+    "micro-batches merge into ONE session (matching the batch twin)") {
+    val dir = Files.createTempDirectory("sess-k2").toString
+    def ev(id: Long, user: Long, time: String) =
+      Streams.Event(id, Timestamp.valueOf(time), user, "click", 1.0)
+    def land(evs: Streams.Event*): Unit =
+      evs.toSeq.toDS().toDF().write.mode("append").parquet(dir)
+    // batch 1: the open (newest) session [12:00:00, 12:00:30], gap 60s
+    land(ev(1, 1, "2024-01-01 12:00:00"), ev(2, 1, "2024-01-01 12:00:30"))
+    val q = Streams.sessionize(
+      Streams.eventsStream(spark, dir).as[Streams.Event],
+      gapSeconds = 60, watermark = "10 minutes", maxOpenIslands = 2)
+      .toDF().writeStream.format("memory").queryName("sess_k2")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a legal straggler at 11:52:00 opens an EARLIER island.
+      // At K=1 it would close at batch end; at K=2 it stays open.
+      land(ev(3, 1, "2024-01-01 11:52:00"))
+      q.processAllAvailable()
+      // batch 3: a second straggler of the SAME island (within the 60s
+      // gap of 11:52:00) in a DIFFERENT micro-batch — the documented
+      // K=1 split; K=2 must merge it into the still-open island
+      land(ev(4, 1, "2024-01-01 11:52:30"))
+      q.processAllAvailable()
+      // push the watermark past every gap horizon so timeouts fire
+      land(ev(5, 99, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("sess_k2").filter(col("user_id") === 1L)
+        .orderBy("session_start")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      // exactly what q21's batch gap-and-islands computes on these rows:
+      // [11:52:00, 11:52:30] n=2 and [12:00:00, 12:00:30] n=2
+      assert(got.size == 2, got.toString)
+      assert(got(0)._2 == Timestamp.valueOf("2024-01-01 11:52:00") &&
+        got(0)._3 == Timestamp.valueOf("2024-01-01 11:52:30") &&
+        got(0)._4 == 2L, got.toString)
+      assert(got(1)._2 == Timestamp.valueOf("2024-01-01 12:00:00") &&
+        got(1)._3 == Timestamp.valueOf("2024-01-01 12:00:30") &&
+        got(1)._4 == 2L, got.toString)
+    } finally { q.stop(); spark.catalog.dropTempView("sess_k2") }
+  }
+
   test("native session_window agrees with stateful sessionize modulo gap") {
     val dir = Files.createTempDirectory("sw-stream").toString
     def ev(id: Long, user: Long, minute: Long, v: Double) =
