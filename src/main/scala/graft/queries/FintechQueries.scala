@@ -188,6 +188,10 @@ object FintechQueries {
     // sampling, dHash, PCM envelope math are bit-stable across runs.
     // Pinned at sf0.01, the only scale the correctness gate runs at; a
     // regenerated documents table would invalidate them (then re-pin).
+    // DERIVATION + auditable re-pin recipe: FIXTURES.md §4 — the pins
+    // are the Verify dump of these three queries printed by the one-
+    // liner there; never re-pin to green a red gate without a testdata
+    // regeneration in the same commit.
     "q46_media_frames" ->
       """SELECT CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST(n AS BIGINT) AS n, CAST(id_sum AS BIGINT) AS id_sum,
