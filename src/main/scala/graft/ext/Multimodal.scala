@@ -134,13 +134,6 @@ object Multimodal {
       feature_hash = h)
   }
 
-  /** Real image decode via the JDK's own codec: dimensions straight from
-    * the decoded raster; mean intensity = average luminance (0–255,
-    * ITU-R 601 weights) over a bounded deterministic sample grid (≤64×64
-    * points — a 100-megapixel scan costs the same as a thumbnail);
-    * feature_hash folds the same sampled pixels. Returns None when the
-    * bytes aren't a decodable image (ImageIO sniffs magic bytes), letting
-    * the caller fall back to the deterministic stub. */
   /** Decode bytes to a raster with the decompression-bomb guard applied
     * from the HEADER alone: a ~100 KB PNG can declare 60000×60000 and
     * `ImageIO.read` would allocate the full ~14 GB raster (an
@@ -198,6 +191,13 @@ object Multimodal {
     (if (n == 0) 0.0 else sum / n, hash)
   }
 
+  /** Real image decode via the JDK's own codec: dimensions straight from
+    * the decoded raster; mean intensity = average luminance (0–255,
+    * ITU-R 601 weights) over a bounded deterministic sample grid (≤64×64
+    * points — a 100-megapixel scan costs the same as a thumbnail);
+    * feature_hash folds the same sampled pixels. Returns None when the
+    * bytes aren't a decodable image (ImageIO sniffs magic bytes), letting
+    * the caller fall back to the deterministic stub. */
   private[ext] def decodeImage(a: MediaAsset): Option[MediaFeatures] = {
     val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
     try {
@@ -219,18 +219,6 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Real multi-frame decode for containers the JDK can read (animated
-    * GIF — `getNumImages` then per-frame `read`): up to `maxFrames`
-    * frames sampled EVENLY across the container (first frame always
-    * included), with [[readImageBounded]]'s decompression-bomb guard
-    * applied to EVERY sampled frame's header dims. Single-frame formats
-    * yield one frame; Nil for payloads no installed reader recognises
-    * (true video codecs — the only remaining stub territory). Honesty
-    * note: a frame-OPTIMIZED GIF stores later frames as changed-region
-    * patches; `read(i)` returns the patch raster, so dims/hash then
-    * describe the patch, not the composited frame (the synthetic
-    * generator emits full frames; full compositing needs the disposal
-    * metadata and is out of scope for feature hashing). */
   /** One AVI frame payload → raster: raw DIB frames (uncompressed
     * BI_RGB / BI_RLE8 streams) through the pure-JDK [[Avi.dibImage]]
     * (bomb-guarded by the HEADER dims, exactly like the codec path
@@ -243,6 +231,18 @@ object Multimodal {
       else Avi.dibImage(h, payload)
     } else readImageBounded(payload)
 
+  /** Real multi-frame decode for containers the JDK can read (animated
+    * GIF — `getNumImages` then per-frame `read`): up to `maxFrames`
+    * frames sampled EVENLY across the container (first frame always
+    * included), with [[readImageBounded]]'s decompression-bomb guard
+    * applied to EVERY sampled frame's header dims. Single-frame formats
+    * yield one frame; Nil for payloads no installed reader recognises
+    * (true video codecs — the only remaining stub territory). Honesty
+    * note: a frame-OPTIMIZED GIF stores later frames as changed-region
+    * patches; `read(i)` returns the patch raster, so dims/hash then
+    * describe the patch, not the composited frame (the synthetic
+    * generator emits full frames; full compositing needs the disposal
+    * metadata and is out of scope for feature hashing). */
   private[graft] def readFramesBounded(bytes: Array[Byte],
       maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
     if (bytes.isEmpty || maxFrames <= 0) return Nil
@@ -726,15 +726,20 @@ object Multimodal {
     * binary files / object storage). */
   def assetsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
+    // null text → EMPTY payload, not a null one: n_bytes decodes into a
+    // non-nullable Long (one null doc would kill the whole job at decode
+    // time), and an empty byte array takes decode()'s documented
+    // empty-payload path
+    val payload = encode(coalesce(col("text"), lit("")), "UTF-8")
     docs.select(
       col("doc_id").as("asset_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3).cast(IntegerType) + 1).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
+      payload.as("content"),
       concat(lit("synthetic://"), col("doc_id")).as("source_uri"),
       // byte length of the actual payload (length of a binary column is
       // octets; length of the text column would be characters)
-      length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"))
+      length(payload).cast(LongType).as("n_bytes"))
       .as[MediaAsset]
   }
 }

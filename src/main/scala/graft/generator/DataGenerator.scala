@@ -136,9 +136,13 @@ object DataGenerator {
       when(afterHours, (u(id, "sod") * 18000).cast(LongType))
         .otherwise((u(id, "sod") * 86400).cast(LongType))
     // 2024-01-01T00:00:00Z; fixed constant (not Timestamp.valueOf, which
-    // would depend on the JVM default timezone). Structuring bursts land in
-    // the first 14 days.
-    val dayOffset = when(structuring, (u(id, "day") * 14).cast(LongType))
+    // would depend on the JVM default timezone). Structuring bursts land
+    // in the first 14 days — clamped to the corpus window, or a short
+    // `days` would plant its AML rows on dates the rate table and the
+    // normal corpus never reach
+    val burstDays = math.min(14L, days.toLong)
+    val dayOffset = when(structuring,
+        (u(id, "day") * burstDays).cast(LongType))
       .otherwise((u(id, "day") * days).cast(LongType))
     val ts = timestamp_seconds(lit(1704067200L) +
       dayOffset * 86400 + secondOfDay)
@@ -191,7 +195,14 @@ object DataGenerator {
         (u(id, "ip2") * 256).cast(IntegerType),
         (u(id, "ip3") * 256).cast(IntegerType)).as("ip_address"),
       format_string("DEV%08d", (u(id, "dev") * 100000000).cast(LongType)).as("device_id"),
-      date_format(ts, "yyyy-MM-dd HH:mm:ss").as("transaction_timestamp"),
+      // render the instant AS UTC regardless of the session timezone:
+      // date_format alone renders in spark.sql.session.timeZone, which
+      // would shift every string (and the planted after-hours window)
+      // in a non-UTC session — the to_utc_timestamp shift exactly
+      // cancels the session-zone rendering
+      date_format(to_utc_timestamp(ts,
+          spark.sessionState.conf.sessionLocalTimeZone),
+        "yyyy-MM-dd HH:mm:ss").as("transaction_timestamp"),
       lit(baseTs).as("created_at"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.io
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -40,30 +40,78 @@ object Upsert {
   /** Advisory single-writer lock around a table mutation: atomic
     * lock-file create (POSIX `O_EXCL` semantics — also atomic on NFS v3+
     * and HDFS; on object stores without atomic create this degrades to
-    * best-effort, which is still strictly better than no guard). A lock
-    * older than `staleLockMs` is presumed abandoned by a killed JVM
-    * (normal and exceptional exits both release in `finally`) and is
-    * broken — the interrupted swap itself is healed separately by
+    * best-effort, which is still strictly better than no guard).
+    *
+    * Liveness: the holder HEARTBEATS the lock's mtime (daemon thread,
+    * every staleLockMs/4), so a legitimately long mutation — a
+    * multi-hour 100 TB merge — never looks abandoned. A lock older than
+    * `staleLockMs` therefore really is a killed JVM's leftover and is
+    * broken — by an atomic RENAME to a breaker-private tombstone, never
+    * delete+create: exactly one racing breaker can win the rename
+    * (deleteIfExists let a second breaker delete the first's FRESH
+    * lock), and the winner verifies by owner token that it renamed the
+    * lock it observed stale, restoring it if a live writer raced in.
+    * The interrupted swap itself is healed separately by
     * `Maintenance.recoverOrphanedSwap`. */
   private def withWriterLock[T](targetPath: String, staleLockMs: Long)
       (body: => T): T = {
     val lock = Paths.get(targetPath + ".lock")
     Option(lock.getParent).foreach(Files.createDirectories(_))
-    def tryAcquire(): Boolean =
-      try { Files.createFile(lock); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val token = UUID.randomUUID().toString
+    def readToken(p: Path): String =
+      try Files.readString(p) catch { case _: java.io.IOException => "" }
+    // create-exclusive WITH the owner token in place (tmp + hard link,
+    // the CommitArbiter.PosixLink shape) so a breaker can tell whose
+    // lock it renamed; no-hardlink filesystems fall back to
+    // create-then-write (brief empty-token window — breakers treat an
+    // unreadable token as a LIVE lock and restore, the safe side)
+    def tryAcquire(): Boolean = {
+      val tmp = Paths.get(s"$targetPath.lock.tmp-$token")
+      try {
+        Files.writeString(tmp, token)
+        try { Files.createLink(lock, tmp); true }
+        catch {
+          case _: UnsupportedOperationException =>
+            Files.createFile(lock)
+            Files.writeString(lock, token)
+            true
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } finally { Files.deleteIfExists(tmp); () }
+    }
     var acquired = tryAcquire()
     if (!acquired) {
       val age =
         try System.currentTimeMillis() -
           Files.getLastModifiedTime(lock).toMillis
         catch { case _: java.io.IOException => 0L } // vanished = fresh race
+      // an EMPTY token is still breakable when stale: externally created
+      // or fallback-crash locks have no token, and the fallback's brief
+      // empty-token window is always fresh-mtime (excluded by the age
+      // check) — the tombstone compare below still catches a live lock
+      // (nonempty token) renamed by mistake
+      val staleToken = readToken(lock)
       if (age > staleLockMs) {
-        // break the abandoned lock; the delete+create pair can still race
-        // another breaker, so re-acquire atomically rather than assume
-        try Files.deleteIfExists(lock)
-        catch { case _: java.io.IOException => () }
-        acquired = tryAcquire()
+        val tomb = Paths.get(s"$targetPath.lock.broken-$token")
+        val won =
+          try { Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          if (readToken(tomb) == staleToken) {
+            // broke the abandoned lock we observed; claim the slot
+            Files.deleteIfExists(tomb)
+            acquired = tryAcquire()
+          } else {
+            // the file changed owner between our stat and our rename —
+            // we stole a LIVE lock; put it back (if a third writer
+            // claimed the path meanwhile, drop the tombstone: the path
+            // holder wins, we report the conflict)
+            try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.io.IOException =>
+              Files.deleteIfExists(tomb); ()
+            }
+          }
+        }
       }
       if (!acquired)
         throw new ConcurrentWriteException(
@@ -71,7 +119,27 @@ object Upsert {
             "retry after it completes, or remove the lock if its " +
             "owner is known dead)")
     }
-    try body finally Files.deleteIfExists(lock)
+    // heartbeat: a live holder's lock never ages past staleLockMs
+    val period = math.max(1000L, staleLockMs / 4)
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(period)
+          try Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-upsert-lock-heartbeat-$token")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hb.interrupt()
+      // release only OUR lock — if something broke it despite the
+      // heartbeat, the current holder's file must survive our exit
+      if (readToken(lock) == token) { Files.deleteIfExists(lock); () }
+    }
   }
 
   /** Pure (lazy) merge of `source` into `target`: full-outer join on `keys`;
@@ -208,7 +276,17 @@ object Upsert {
       // source could even disagree with what was written
       val obs = org.apache.spark.sql.Observation(
         s"boot_${UUID.randomUUID().toString.take(8)}")
-      write(source.observe(obs, count(lit(1)).as("inserted")), targetPath)
+      // stage + atomic move, like the non-bootstrap swap: a crash
+      // mid-bootstrap must leave the target ABSENT (next run bootstraps
+      // cleanly), never a half-committed directory that a later upsert
+      // reads as the whole table — or a _temporary-only husk that
+      // bricks every later read. Orphaned staging dirs are vacuumed by
+      // the `.staging-` retention rule.
+      val bootStaging =
+        s"$targetPath.staging-${UUID.randomUUID().toString.take(8)}"
+      write(source.observe(obs, count(lit(1)).as("inserted")), bootStaging)
+      Files.move(Paths.get(bootStaging), dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       var m = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
       var waitedMs = 0
       while (m.isEmpty && waitedMs < 5000) {

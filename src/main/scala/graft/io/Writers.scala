@@ -48,12 +48,19 @@ object Writers {
       table: String,
       partitioned: Boolean = false): Unit = {
     // identifiers/literal are interpolated into SQL text: escape the
-    // quoting character of each position (backtick for identifiers,
-    // single quote for the location) so a hostile or merely unusual
-    // name/path can't break out of its quotes
+    // quoting character of each position so a hostile or merely unusual
+    // name/path can't break out of its quotes. Identifiers are
+    // backtick-doubled; the LOCATION literal must use Spark's
+    // BACKSLASH-escaped string dialect — SQL-standard '' doubling is NOT
+    // an escape in Spark ('it''s' lexes as two adjacent tokens, a parse
+    // error after LOCATION), and an unescaped backslash would be eaten
+    // as an escape sequence ('C:\table' → TAB). Escape the escape
+    // character first, then the quote. (With the legacy
+    // spark.sql.parser.escapedStringLiterals=true the backslashes pass
+    // through verbatim — quotes still cannot break out lexically.)
     val db = database.replace("`", "``")
     val tbl = table.replace("`", "``")
-    val loc = path.replace("'", "''")
+    val loc = path.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS `$db`.`$tbl` USING PARQUET LOCATION '$loc'")

@@ -26,6 +26,17 @@ class FintechSpec extends SparkSpec {
     assert(bronzeTxns.columns.toSeq == graft.schemas.Bronze.transactions.fieldNames.toSeq)
   }
 
+  test("generator: a short corpus window clamps the structuring burst " +
+    "inside it (days < 14 must not plant AML rows past the window)") {
+    val short = DataGenerator.transactions(spark, 5000, 200, 50, days = 7)
+    val maxDay = short
+      .agg(max(substring(col("transaction_timestamp"), 1, 10)))
+      .head().getString(0)
+    assert(maxDay <= "2024-01-07", s"timestamps leak past the window: $maxDay")
+    // the structuring pattern itself is still planted
+    assert(short.filter(col("fraud_indicators") === "STRUCTURING").count() > 0)
+  }
+
   test("generator distributions match the reference patterns") {
     val n = silverTxns.count().toDouble
     // fraud rate ≳ 2.5% base (structuring rows add a little)

@@ -373,6 +373,21 @@ class ReadersMultimodalSpec extends SparkSpec {
     assert(Avi.dibImage(h8, rle.take(3)).isDefined)
   }
 
+  test("multimodal: a NULL-text document becomes an EMPTY asset, not a " +
+    "null one — decode stays total") {
+    import spark.implicits._
+    val docs = Seq((0L, "real text"), (1L, null: String))
+      .toDF("doc_id", "text")
+    val assets = Multimodal.assetsFromDocuments(spark, docs)
+    // n_bytes decodes into a non-nullable Long: one null doc must not
+    // kill the job
+    val rows = assets.collect().sortBy(_.asset_id)
+    assert(rows.length == 2)
+    assert(rows(1).n_bytes == 0L && rows(1).content.length == 0)
+    // and features still compute for BOTH (empty payload path)
+    assert(Multimodal.extractFeatures(assets).count() == 2)
+  }
+
   test("multimodal: frame sampling emits framesPer rows per video asset") {
     val docs = Tables.load(spark, sfDir, "documents")
     val assets = Multimodal.assetsFromDocuments(spark, docs)
