@@ -118,7 +118,12 @@ object Packing {
       lit(0L))
     val withLocal = ordered.withColumn("__lsum", localBefore)
     val offsets = withLocal.groupBy("__pid")
-      .agg(sum(col(tokensCol)).as("__ptotal"))
+      // guard HERE too: the window frame above ends at -1, so a
+      // partition-FINAL row's count is never evaluated by it — an
+      // unguarded offsets sum would let one negative count on a
+      // partition boundary silently shift every later partition's packs
+      // instead of failing loudly
+      .agg(sum(guardedTokens(tokensCol)).as("__ptotal"))
       .withColumn("__offset",
         coalesce(
           sum(col("__ptotal")).over(

@@ -166,10 +166,17 @@ object IncrementalAgg {
 
   /** Reader-facing distinct counts from a [[distinctState]]: surviving
     * pairs per key group. Exact — the q157 oracle checks the maintained
-    * count against DuckDB's COUNT(DISTINCT) over a full recompute. */
-  def finalizeDistinct(state: DataFrame, keys: Seq[String]): DataFrame =
+    * count against DuckDB's COUNT(DISTINCT) over a full recompute.
+    * NULL-value pairs stay in the state (they keep an all-null key group
+    * EXISTING, as GROUP BY does) but must not count — SQL's
+    * COUNT(DISTINCT v) skips nulls, and counting the null pair
+    * overcounted every group containing null values by one. */
+  def finalizeDistinct(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val vcol = state.columns
+      .filterNot(c => keys.contains(c) || c == "m").head
     state.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_distinct"))
+      .agg(count(when(col(vcol).isNotNull, lit(1))).as("n_distinct"))
+  }
 
   /** Approximate distinct state: one Apache DataSketches HLL sketch per
     * key group (`hll_sketch_agg` — Spark-native, codegen'd). Bounded
@@ -224,20 +231,36 @@ object IncrementalAgg {
         .as("kll"))
   }
 
+  /** Column label for a quantile probability: percent when exact
+    * (`q_95`), per-mille with a `p` marker otherwise (`q_995p` = 99.5%).
+    * A bare `(p*100).round` labeled 0.995, 0.999 and 1.0 all `q_100` —
+    * duplicate column names that break any downstream select with
+    * AMBIGUOUS_REFERENCE. Shared by [[finalizeQuantiles]] and
+    * `Streams.sketchRollupRead`. */
+  private[graft] def quantileLabel(p: Double): String = {
+    val pm = math.round(p * 1000)
+    if (pm % 10 == 0) s"q_${pm / 10}" else s"q_${pm}p"
+  }
+
   /** Reader-facing quantiles from a [[quantileState]]: one
-    * `q_<percent>` double column per requested probability. */
+    * `q_<percent>` double column per requested probability
+    * ([[quantileLabel]] disambiguates sub-percent probabilities). */
   def finalizeQuantiles(state: DataFrame, keys: Seq[String],
-      probabilities: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
+      probabilities: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    val labels = probabilities.map(quantileLabel)
+    require(labels.distinct.size == labels.size,
+      s"quantile labels collide: $labels — probabilities closer than " +
+        "0.001 need distinct rounding")
     // project the quantile ARRAY once, then pick elements from that
     // column — element_at over a repeated KllQuantiles expression would
     // deserialize and query the sketch once per probability per row
     // (the expression is CodegenFallback, so no CSE saves it)
     state.withColumn("__qs",
         graft.functions.KllSketchAgg.quantiles(col("kll"), probabilities))
-      .select(keys.map(col) ++ probabilities.zipWithIndex.map {
-        case (p, i) =>
-          element_at(col("__qs"), i + 1).as(s"q_${(p * 100).round}")
+      .select(keys.map(col) ++ labels.zipWithIndex.map {
+        case (l, i) => element_at(col("__qs"), i + 1).as(l)
       }: _*)
+  }
 
   /** Reader-facing view of a retractable [[sumState]]. */
   def finalizeSums(state: DataFrame, keys: Seq[String]): DataFrame =

@@ -243,13 +243,19 @@ object Streams {
   private def hasCommittedFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(p) && {
+      val base = p.toUri.getPath
       val it = fs.listFiles(p, true)
       var found = false
       while (!found && it.hasNext) {
         val f = it.next()
-        val name = f.getPath.getName
-        found = f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          !f.getPath.toString.contains("/_temporary/")
+        // reject ANY hidden path segment below p, not just the leaf
+        // name: dynamic-partition-overwrite stages task output under
+        // <dir>/.spark-staging-<job>/..., whose LEAF names look
+        // committed — counting them as data re-bricks the exact replay
+        // this guard exists to heal
+        val rel = f.getPath.toUri.getPath.stripPrefix(base)
+        found = f.isFile && !rel.split('/')
+          .exists(s => s.startsWith("_") || s.startsWith("."))
       }
       found
     }
@@ -330,6 +336,10 @@ object Streams {
             writeBatchPartition(
               delta.banded.select("band", "band_hash", "id"), bandedDir,
               batchId)
+            // delta.banded is a Caches.snapshot frame (buildNearDupIndex
+            // materializes it): without this a continuous stream pins
+            // one localCheckpoint block set per micro-batch forever
+            graft.util.Caches.release(delta.banded)
           }
           survivors.unpersist()
           // matchedFrame is a Caches.snapshot frame: Dataset.unpersist
@@ -741,16 +751,22 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val partial = batch
-          .select(date_trunc("hour", col("ts")).as("hour"),
-            col("event_type"), col("user_id"),
-            col("value").cast("double").as("__v"))
-          .groupBy(col("hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            hll_sketch_agg(col("user_id"), lit(12)).as("users_hll"),
-            graft.functions.KllSketchAgg.sketch(col("__v")).as("value_kll"))
-        graft.io.VersionedTable.appendIdempotent(batch.sparkSession,
-          partial, table, "sketch-rollup", batchId)
+        // empty-batch guard (same as the MV sink): an idle
+        // processing-time trigger must not append one empty commit per
+        // tick — the metrics table's log would grow unboundedly with no
+        // data. Replay-safe: skipping writes nothing to skip.
+        if (!batch.isEmpty) {
+          val partial = batch
+            .select(date_trunc("hour", col("ts")).as("hour"),
+              col("event_type"), col("user_id"),
+              col("value").cast("double").as("__v"))
+            .groupBy(col("hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              hll_sketch_agg(col("user_id"), lit(12)).as("users_hll"),
+              graft.functions.KllSketchAgg.sketch(col("__v")).as("value_kll"))
+          graft.io.VersionedTable.appendIdempotent(batch.sparkSession,
+            partial, table, "sketch-rollup", batchId)
+        }
         ()
       }
       .start()
@@ -771,15 +787,9 @@ object Streams {
     // one projected quantile array, not one KllQuantiles eval per
     // probability (CodegenFallback — each copy re-deserializes the
     // sketch; see IncrementalAgg.finalizeQuantiles)
-    // percent labels when exact (q_95), per-mille with a 'p' marker
-    // otherwise (q_995p = 99.5%): (p*100).round alone labeled 0.995,
-    // 0.999 and 1.0 all "q_100" — duplicate column names that break any
-    // downstream select with AMBIGUOUS_REFERENCE
-    def label(p: Double): String = {
-      val pm = math.round(p * 1000)
-      if (pm % 10 == 0) s"q_${pm / 10}" else s"q_${pm}p"
-    }
-    val labels = probabilities.map(label)
+    // shared disambiguating labels (q_95 / q_995p) — see
+    // IncrementalAgg.quantileLabel
+    val labels = probabilities.map(graft.ops.IncrementalAgg.quantileLabel)
     require(labels.distinct.size == labels.size,
       s"quantile labels collide: $labels — probabilities closer than " +
         "0.001 need distinct rounding")
