@@ -360,8 +360,10 @@ object VersionedQueries {
     // the log and aggregate it. One row per version; the oracle recomputes
     // each version's state from the same deterministic key-slice algebra.
     "q151_time_travel" -> ((s, dir) => withScratch { tbl =>
-      val base = ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // pinned once driver-side (tiny capped slice): every commit would
+      // otherwise re-scan the parquet through its own lineage
+      val base = pinned(s, ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
       VT.append(s, base.filter(col("o_orderkey") % 3 === 1), tbl)    // v1
       val src = base.filter(col("o_orderkey") % 5 === 0)
@@ -439,8 +441,8 @@ object VersionedQueries {
     // the file-skip contrast; the driver hash-checks that the pruned
     // read is VALUE-exact against a plain recompute).
     "q156_zorder_scan" -> ((s, dir) => withScratch { tbl =>
-      val base = ordersSlice(s, dir)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val base = pinned(s, ordersSlice(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")))
       VT.append(s, base, tbl)
       VT.compact(s, tbl, targetFiles = 16,
         clusterBy = Seq("o_custkey", "o_orderkey"),
@@ -459,8 +461,10 @@ object VersionedQueries {
     // slice algebra — v3 (post-compact) must equal v2 exactly, proving
     // materialization is a logical no-op.
     "q161_deletion_vectors" -> ((s, dir) => withScratch { tbl =>
-      val base = ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // pinned once driver-side (tiny capped slice): every commit would
+      // otherwise re-scan the parquet through its own lineage
+      val base = pinned(s, ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
       VT.deleteWhereDeferred(s, tbl,
         col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v1
@@ -520,8 +524,10 @@ object VersionedQueries {
     // same slice algebra. Exactly-once delivery IS the gate: a replayed
     // or dropped batch shifts every count.
     "q164_versioned_stream" -> ((s, dir) => withScratch { tbl =>
-      val base = ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // pinned once driver-side (tiny capped slice): every commit would
+      // otherwise re-scan the parquet through its own lineage
+      val base = pinned(s, ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)     // v0
       VT.append(s, base.filter(col("o_orderkey") % 3 === 1), tbl)     // v1
       VT.deleteWhereDeferred(s, tbl,
@@ -600,8 +606,10 @@ object VersionedQueries {
     // rewritten files are exact. The oracle is the plain union algebra:
     // compaction is invisible or it is wrong.
     "q169_auto_compact" -> ((s, dir) => withScratch { tbl =>
-      val base = ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // pinned once driver-side (tiny capped slice): every commit would
+      // otherwise re-scan the parquet through its own lineage
+      val base = pinned(s, ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
       VT.append(s, base.filter(col("o_orderkey") % 6 === 0), tbl)   // v0
       VT.setProperties(tbl, Map(
         VT.AutoCompactProp -> "true",
@@ -623,8 +631,10 @@ object VersionedQueries {
     "q160_cdc_envelope" -> ((s, dir) => {
       val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
-      val base = ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // pinned once driver-side (tiny capped slice): every commit would
+      // otherwise re-scan the parquet through its own lineage
+      val base = pinned(s, ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
       val row = struct(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"))
       val nullRow = lit(null).cast(rowSchema)
