@@ -149,7 +149,27 @@ final class VersionedStreamSource(
     snapCache match {
       case Some((cv, f, st, dv)) if cv == v => (f, st, dv)
       case _ =>
-        val (files, stats, _, dv) = VT.snapshotParts(table, v)
+        val (files, stats, snapSchema, dv) = VT.snapshotParts(table, v)
+        // the bind→first-trigger gap is a schema-evolution window too:
+        // a column added between sourceSchema and the first batch would
+        // otherwise serve the WHOLE snapshot through the bound schema —
+        // exactly the silent-loss window failOnSchemaChange closes for
+        // tail commits (checkSchema guards only those)
+        if (failOnSchemaChange) {
+          val evolved = snapSchema.fields.filterNot(f =>
+            boundTypes.get(f.name).contains(f.dataType.catalogString))
+          if (evolved.nonEmpty)
+            throw new IllegalStateException(
+              s"streaming read of $table: the snapshot at version $v " +
+                "carries columns the bound schema lacks (" +
+                evolved.map(f =>
+                  s"${f.name}: ${f.dataType.catalogString}")
+                  .mkString(", ") +
+                ") — the table evolved between schema bind and the " +
+                "first batch. Restart the query to bind the evolved " +
+                "schema, or set failOnSchemaChange=false to serve " +
+                "through the bound schema anyway")
+        }
         val sorted = files.sorted
         snapCache = Some((v, sorted, stats, dv))
         (sorted, stats, dv)

@@ -386,9 +386,17 @@ object VersionedTable {
           s""""stats":${statsJson(st.fileStats)}}"""
       val tmp = logPath(table).resolve(s".tmp-${UUID.randomUUID()}.ck.tmp")
       Files.writeString(tmp, json)
-      // checkpoints are derived data — last writer wins is fine
-      Files.move(tmp, checkpointFile(table, v),
-        StandardCopyOption.REPLACE_EXISTING)
+      // checkpoints are derived data — last writer wins is fine; the
+      // move must still be ATOMIC (like every other publish here) so a
+      // concurrent reader never sees a half-copied checkpoint on a
+      // filesystem where plain move degrades to copy+delete
+      try Files.move(tmp, checkpointFile(table, v),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, checkpointFile(table, v),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
     }
 
   /** Read the table as of `version` (default: latest). An empty table (or
@@ -1132,7 +1140,16 @@ object VersionedTable {
         schemaLineage = schemaLineage, bloomAdd = bloomAdd,
         cdcAdd = cdcAdd)
       if (tryPublish(table, next, commitJson(c))) {
-        maybeCheckpoint(table, next)
+        // the commit is DURABLE once published — a failure writing the
+        // derived checkpoint must not fail the caller (a retrying
+        // non-txn writer would append its rows again); readers replay
+        // the log without it, and the next commit retries
+        try maybeCheckpoint(table, next)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"checkpoint write after $table v$next failed " +
+              s"(commit is durable; log replay covers reads): $e")
+        }
         return c
       }
       attempt += 1 // lost the slot race (append only) — re-derive and retry
@@ -1595,7 +1612,18 @@ object VersionedTable {
       statsFor: Seq[String] = Nil, optimizeWrite: Boolean = true,
       mergeSchema: Boolean = false, bloomFor: Seq[String] = Nil,
       bloomFpp: Double = 0.03,
-      bloomMaxBytes: Option[Long] = None): Commit = {
+      bloomMaxBytes: Option[Long] = None): Commit =
+    appendImpl(spark, df, table, statsFor, optimizeWrite, mergeSchema,
+      bloomFor, bloomFpp, bloomMaxBytes, txn = None)
+
+  /** The one append body [[append]] and [[appendIdempotent]] share —
+    * they differ ONLY in the txn key (the two copies had already
+    * required lock-step edits for sticky indexing, revalidation and the
+    * bloom cap; a fix landing in one silently weakens the other). */
+  private def appendImpl(spark: SparkSession, df: DataFrame, table: String,
+      statsFor: Seq[String], optimizeWrite: Boolean, mergeSchema: Boolean,
+      bloomFor: Seq[String], bloomFpp: Double, bloomMaxBytes: Option[Long],
+      txn: Option[(String, Long)]): Commit = {
     Files.createDirectories(Paths.get(table))
     enforceAppendSchema(table, df.schema, mergeSchema)
     enforceConstraints(table, df)
@@ -1609,6 +1637,7 @@ object VersionedTable {
     val files = writeDataFiles(sized(df, optimizeWrite), table)
     val c = commitLoop(table, "append", files, _ => Nil, df.schema.json,
       None,
+      txn = txn,
       stats = withSizes(table, files, computeStats(spark, table, files, sf)),
       bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp,
         bloomMaxBytes),
@@ -1634,30 +1663,9 @@ object VersionedTable {
       optimizeWrite: Boolean = true, mergeSchema: Boolean = false,
       bloomFor: Seq[String] = Nil, bloomFpp: Double = 0.03,
       bloomMaxBytes: Option[Long] = None): Commit =
-    txnCommit(table, txnApp, txnId).getOrElse {
-      Files.createDirectories(Paths.get(table))
-      enforceAppendSchema(table, df.schema, mergeSchema)
-      enforceConstraints(table, df)
-      lazy val prior = latestVersion(table).map(stateAt(table, _))
-      val sf = effectiveCols(statsFor,
-        prior.map(trackedStatColumns).getOrElse(Nil))
-      val bfc = effectiveCols(bloomFor,
-        prior.map(trackedBloomColumns(table, _)).getOrElse(Nil))
-      val files = writeDataFiles(sized(df, optimizeWrite), table)
-      val c = commitLoop(table, "append", files, _ => Nil, df.schema.json,
-        None,
-        txn = Some((txnApp, txnId)),
-        stats = withSizes(table, files,
-          computeStats(spark, table, files, sf)),
-        bloomAdd = computeBlooms(spark, table, files, bfc, bloomFpp,
-          bloomMaxBytes),
-        revalidate = () => {
-          enforceAppendSchema(table, df.schema, mergeSchema)
-          enforceConstraints(table, df)
-        })
-      maybeAutoCompact(spark, table)
-      c
-    }
+    txnCommit(table, txnApp, txnId).getOrElse(
+      appendImpl(spark, df, table, statsFor, optimizeWrite, mergeSchema,
+        bloomFor, bloomFpp, bloomMaxBytes, txn = Some((txnApp, txnId))))
 
   /** Exactly-once streaming ingestion into a versioned table: each
     * micro-batch lands as one idempotent txn-tracked append commit
@@ -1843,9 +1851,13 @@ object VersionedTable {
           // keep the file count proportional to the files TOUCHED, not
           // to the join's shuffle-partition count — without this every
           // 1-file delta fragments the mirror by `shuffle.partitions`
-          // new files and the table degrades cycle by cycle
+          // new files and the table degrades cycle by cycle. A
+          // pure-insert feed (no hits) keeps its natural write
+          // parallelism, like merge — coalesce(1) would funnel a large
+          // insert-only backfill through one task
           val added = writeDataFiles(
-            survivors.coalesce(math.max(1, hitNames.size)), table)
+            if (hitNames.nonEmpty) survivors.coalesce(hitNames.size)
+            else survivors, table)
           // change capture (CDF): old rows in the hit files split into
           // deletes (feed said delete) and update pre-images (feed
           // upserted their key); the feed's upserts split into
@@ -2001,7 +2013,19 @@ object VersionedTable {
     val hitRows = raw.select(schema.fields.map(f =>
       (if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
-    val merged = Upsert.merge(hitRows, source, keys, updateColumns)
+    // merge evolution must be REAL, not a comment: Upsert.merge projects
+    // the TARGET's columns only, so a genuinely new source column would
+    // silently vanish from the output (and the schema check below would
+    // never see it). Pre-extend the hit rows with the source-only
+    // columns as typed nulls — matched rows then take the source's
+    // values, survivors keep null, and the commit records the evolved
+    // schema (untouched files read the column as null via the lineage
+    // union, Delta's autoMerge shape).
+    val srcOnly = source.schema.fields
+      .filterNot(f => schema.fieldNames.contains(f.name))
+    val mergeTarget = srcOnly.foldLeft(hitRows)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val merged = Upsert.merge(mergeTarget, source, keys, updateColumns)
     // the same write-time enforcement append has: a source whose shared
     // columns coerce to a different type (INT source vs BIGINT table —
     // Upsert.merge's when(...) widens silently) must fail HERE, not
@@ -2031,14 +2055,18 @@ object VersionedTable {
       else {
         val landed = spark.read.option("mergeSchema", "true").parquet(
           added.map(f => Paths.get(table, f).toString): _*)
+        // keyJoin (null-safe <=>), like applyChanges' capture: NULL is
+        // a real key value, and a plain column-name join never matches
+        // it — a merge touching a NULL-keyed row would then write NO
+        // envelope and every CDF consumer silently diverges
         val hitKeys = hitRows.select(keys.map(col): _*).distinct()
-        val pre = hitRows.join(srcKeys, keys, "left_semi")
+        val pre = keyJoin(hitRows, srcKeys, keys, "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
-        val post = landed.join(srcKeys, keys, "left_semi")
-          .join(hitKeys, keys, "left_semi")
+        val post = keyJoin(keyJoin(landed, srcKeys, keys, "left_semi"),
+            hitKeys, keys, "left_semi")
           .withColumn("_change_type", lit("update_postimage"))
-        val ins = landed.join(srcKeys, keys, "left_semi")
-          .join(hitKeys, keys, "left_anti")
+        val ins = keyJoin(keyJoin(landed, srcKeys, keys, "left_semi"),
+            hitKeys, keys, "left_anti")
           .withColumn("_change_type", lit("insert"))
         writeCdc(pre
           .unionByName(post, allowMissingColumns = true)
@@ -2086,8 +2114,13 @@ object VersionedTable {
         rebaseOverAdds = isolation == Isolation.WriteSerializable)
     val hitNames = hitPaths.map(p => Paths.get(new java.net.URI(p).getPath)
       .getFileName.toString)
-    val hitScan = spark.read.parquet(hitPaths.map(p =>
-      new java.net.URI(p).getPath): _*)
+    // mergeSchema like every other mixed-lineage rewrite path
+    // (deleteWhereDeferred/merge/applyChanges/compactSmallFiles): a hit
+    // set spanning schema evolution would otherwise infer one footer's
+    // schema and rewrite the other files' survivors WITHOUT their newer
+    // columns — silent, permanent data loss
+    val hitScan = spark.read.option("mergeSchema", "true")
+      .parquet(hitPaths.map(p => new java.net.URI(p).getPath): _*)
     // SQL DELETE semantics: only rows where the predicate is TRUE go —
     // a NULL predicate keeps the row. (A bare `!cond` filter would drop
     // NULL-cond rows from the survivors, silently deleting them — and
@@ -2344,26 +2377,33 @@ object VersionedTable {
     // `-bloom.json`: both count as live while the latest state references
     // them, and age out by lastSeen like data
     val live = (lastState.files ++ lastState.dv ++ lastState.blooms).toSet
-    // newest commit ts in which each file still appears in the state —
-    // computed by ONE incremental forward replay of the commits this
-    // loop parses anyway (mirroring stateAt's file/DV/bloom algebra);
-    // calling stateAt per version would re-list the log and re-read a
-    // checkpoint V times — O(V²)-ish on a long log for zero benefit
+    // retirement timestamp per file — stamped on CHANGE EVENTS (the
+    // commit that removed the reference), not by re-stamping the whole
+    // live set per commit: the latter is O(versions × live files) of
+    // driver map writes (a 100k-commit log over 10k live files is ~10^9
+    // ops), while events total O(adds + removes). Files still
+    // referenced at the end are `live` and never consult lastSeen; a
+    // removal stamp carries the REMOVING commit's ts — ≥ the old
+    // "last state containing it" stamp, so retention only ever gets
+    // more conservative. ONE forward replay of the commits (mirroring
+    // stateAt's file/DV/bloom algebra); calling stateAt per version
+    // would re-list the log and re-read a checkpoint V times.
     val lastSeen = scala.collection.mutable.Map.empty[String, Long]
     val rFiles = scala.collection.mutable.LinkedHashSet.empty[String]
     val rDv = scala.collection.mutable.LinkedHashSet.empty[String]
     val rBlooms = scala.collection.mutable.LinkedHashSet.empty[String]
     vs.foreach { v =>
       val c = parseCommit(versionFile(table, v))
-      rFiles --= c.remove
+      c.remove.foreach(f => if (rFiles.remove(f)) lastSeen(f) = c.ts)
       rFiles ++= c.add
-      rDv --= c.dvRemove
+      c.dvRemove.foreach(f => if (rDv.remove(f)) lastSeen(f) = c.ts)
       rDv ++= c.dvAdd
-      if (c.add.nonEmpty && rFiles.forall(c.add.toSet.contains))
+      if (c.add.nonEmpty && rFiles.forall(c.add.toSet.contains)) {
+        // full replacement retires every prior bloom sidecar
+        rBlooms.foreach(f => lastSeen(f) = c.ts)
         rBlooms.clear()
+      }
       rBlooms ++= c.bloomAdd
-      (rFiles.iterator ++ rDv.iterator ++ rBlooms.iterator)
-        .foreach(f => lastSeen(f) = c.ts)
       // change-data sidecars belong to their commit, never to a state:
       // without this they would look unreferenced and be GC'd instantly.
       // They age out by commit time like Delta's change files — a change

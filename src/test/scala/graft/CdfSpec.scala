@@ -54,6 +54,27 @@ class CdfSpec extends SparkSpec {
     }
   }
 
+  test("merge captures envelopes for NULL-keyed rows (null-safe key " +
+    "joins — a plain column join would write NO envelope)") {
+    withDirs { (t, _) =>
+      VT.append(spark, Seq((Some(1), "a"), (None, "n"), (Some(3), "c"))
+        .toDF("id", "v"), t)                                   // v0
+      enable(t)                                                // v1
+      // the source updates the NULL-keyed row and inserts another key
+      VT.merge(spark, Seq((None: Option[Int], "N2"), (Some(4), "d"))
+        .toDF("id", "v"), t, Seq("id"))                        // v2
+      val env = VT.tableChanges(spark, t, 1, 2)
+        .select(col("id"), col("v"), col("_change_type"))
+        .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+          r.getString(1), r.getString(2))).toSeq
+        .sortBy(e => (e._3, e._1))
+      assert(env == Seq(
+        (4, "d", "insert"),
+        (-1, "N2", "update_postimage"),
+        (-1, "n", "update_preimage")), env.toString)
+    }
+  }
+
   test("deleteWhere captures delete envelopes; NULL predicate keeps rows") {
     withDirs { (t, _) =>
       VT.append(spark,

@@ -401,6 +401,29 @@ class VersionedStreamSpec extends SparkSpec {
     }
   }
 
+  test("schema evolving between bind and the FIRST batch fails the " +
+    "stream (the snapshot is a loss window too, not just the tail)") {
+    withDirs { (t, ck) =>
+      VT.append(spark, df(1 -> "a"), t)
+      // bind the schema NOW ({id, v})...
+      val bound = spark.readStream.format("graft-versioned").load(t)
+      // ...then evolve the table before the query ever plans a batch
+      VT.append(spark, Seq((2, "b", 9L)).toDF("id", "v", "extra"), t,
+        mergeSchema = true)
+      val q = bound.writeStream.format("memory")
+        .queryName(freshName()).outputMode("append")
+        .option("checkpointLocation", ck).start()
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(ex.getMessage.contains("evolved between schema bind") ||
+        Option(ex.getCause).exists(
+          _.getMessage.contains("evolved between schema bind")),
+        ex.getMessage)
+    }
+  }
+
   test("maxFilesPerTrigger paces the INITIAL SNAPSHOT (Delta parity), " +
     "deletion vectors subtracted from every slice") {
     withDirs { (t, ck) =>

@@ -82,6 +82,41 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("deleteWhere across a schema-evolved hit set keeps the newer " +
+    "columns (mergeSchema rewrite, no silent loss)") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)        // file: {id, v}
+      VT.append(spark, Seq((3, "c", 30L), (4, "d", 40L))
+        .toDF("id", "v", "extra"), t, mergeSchema = true) // file: +extra
+      // predicate hits BOTH files: the survivor rewrite must carry
+      // `extra` — a single-footer inference could infer the narrow
+      // schema and rewrite file 2's survivors without it
+      VT.deleteWhere(spark, t, col("id").isin(1, 3))
+      val back = VT.snapshot(spark, t).orderBy("id")
+        .select("id", "v", "extra").collect()
+      assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq(2 -> "b", 4 -> "d"))
+      assert(back(1).getLong(2) == 40L, "evolved column lost in rewrite")
+    }
+  }
+
+  test("merge with a source-only column EVOLVES the schema: matched " +
+    "rows take the values, survivors read null") {
+    withTable { t =>
+      VT.append(spark, df(1 -> "a", 2 -> "b"), t)
+      VT.merge(spark,
+        Seq((2, "b2", 99L), (5, "e", 55L)).toDF("id", "v", "score"),
+        t, Seq("id"))
+      val back = VT.snapshot(spark, t).orderBy("id").collect()
+      assert(back.map(_.getInt(0)).toSeq == Seq(1, 2, 5))
+      val score = back.map(r =>
+        if (r.isNullAt(r.fieldIndex("score"))) -1L
+        else r.getLong(r.fieldIndex("score")))
+      // untouched row null, updated row 99, inserted row 55
+      assert(score.toSeq == Seq(-1L, 99L, 55L), score.mkString(","))
+    }
+  }
+
   test("deleteWhere with no matches commits a no-op") {
     withTable { t =>
       VT.append(spark, df(1 -> "a"), t)
