@@ -54,8 +54,12 @@ object Decontam {
     * LEFT ANTI join on the contaminated id set (itself a sliver of the
     * corpus by construction). */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val bad = contaminated(corpus, bench, idCol, textCol, n)
+      idCol: String, textCol: String, n: Int = 13,
+      // false for eval suites whose exploded gram set is too big to
+      // broadcast (contaminated's flag, plumbed through the dropper
+      // entry point too — degrades to a shuffle hash join)
+      broadcastBench: Boolean = true): DataFrame = {
+    val bad = contaminated(corpus, bench, idCol, textCol, n, broadcastBench)
       .select(col(idCol))
     // NULL-SAFE anti join: a dirty shard's null-id docs can carry
     // benchmark text too, and a plain anti join never matches null = null
@@ -137,14 +141,21 @@ object Decontam {
     * returned (rate 0.0 when clean) via a left join against the hit
     * counts. */
   def contaminationRate(corpus: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+      idCol: String, textCol: String, n: Int = 13,
+      broadcastBench: Boolean = true): DataFrame = {
     val totals = corpus.select(col(idCol),
       // coalesce: null text must report 0 grams, not size(null) = -1
       size(Shingles.wordHashGrams(coalesce(col(textCol), lit("")), n))
         .cast(LongType).as("n_grams"))
-    val hits = contaminated(corpus, bench, idCol, textCol, n)
-      .select(col(idCol), col("n_hit_grams"))
-    totals.join(hits, Seq(idCol), "left")
+    // NULL-SAFE left join (same contract as decontaminate's anti join):
+    // a null-id doc's hit row never matches a plain column join, so the
+    // graded rate would report the doc perfectly CLEAN — the exact
+    // inversion of the leak this module exists to catch
+    val hits = contaminated(corpus, bench, idCol, textCol, n,
+        broadcastBench)
+      .select(col(idCol).as("__hit_id"), col("n_hit_grams"))
+    totals.join(hits, totals(idCol) <=> hits("__hit_id"), "left")
+      .drop("__hit_id")
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
         when(col("n_grams") > 0,

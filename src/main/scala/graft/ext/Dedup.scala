@@ -112,8 +112,13 @@ object Dedup {
     * by broadcast. No all-pairs stage anywhere. */
   def sourceOverlap(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
+    // null text hashes to a null that can never PAIR (null ≠ null in the
+    // join) yet would count in each side's total — a source fully
+    // contained in another but carrying one null-text row would report
+    // overlap < 1.0; null docs carry no content to overlap, drop them
     val h = docs.select(md5(col(textCol)).as("__h"),
-      col(sourceCol).as("__src")).distinct()
+      col(sourceCol).as("__src"))
+      .filter(col("__h").isNotNull).distinct()
     val totals = h.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
     val a = h.select(col("__h"), col("__src").as("source_a"))
     val b = h.select(col("__h"), col("__src").as("source_b"))
@@ -202,17 +207,21 @@ object Dedup {
       xxhash64(col("sig")).as("__sk1"),
       xxhash64(col("sig"), lit(1L)).as("__sk2")).persist()
     withSigKey.count()
+    // min_by carries the rep's own sig array out of the SAME aggregate
+    // (the sigReps shape): recovering it with a left_semi join back
+    // against withSigKey paid one extra shuffle of the full keyed
+    // signature set on the hottest dedup path
     val clusters = withSigKey.groupBy(col("__sk1"), col("__sk2"))
-      .agg(min(col("id")).as("rep"))
-    val dupCand = withSigKey.join(clusters, Seq("__sk1", "__sk2"))
+      .agg(min(col("id")).as("rep"),
+        min_by(col("sig"), col("id")).as("__repsig"))
+    val dupCand = withSigKey
+      .join(clusters.select("__sk1", "__sk2", "rep"), Seq("__sk1", "__sk2"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("a"), col("id").as("b"))
 
     // band-block only distinct signatures, skipping non-discriminating
     // (over-full) buckets — their members remain reachable via other bands
-    val reps = withSigKey.join(
-      clusters.select(col("rep").as("id")), Seq("id"), "left_semi")
-      .select(col("id"), col("sig"))
+    val reps = clusters.select(col("rep").as("id"), col("__repsig").as("sig"))
     val banded = bandify(reps, bands, rowsPerBand).persist()
     banded.count()
     val bounded = boundBuckets(banded, maxBucketSize)
@@ -700,12 +709,11 @@ object Dedup {
     newBand.count()
     // cap hot NEW buckets too (a hot bucket × every kept member is the
     // incremental analogue of the self-join blow-up); reps-only banding
-    // means identical-content floods no longer trip this cap
-    val nb = newBand.join(
-      newBand.groupBy(col("band"), col("band_hash"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
-        .select(col("band"), col("band_hash")),
-      Seq("band", "band_hash"))
+    // means identical-content floods no longer trip this cap. SAME
+    // helper as the batch path — a drifted copy of the cap rule would
+    // make the incremental index stop being interchangeable with a
+    // re-dedup (the invariant the shared helpers protect)
+    val nb = boundBuckets(newBand, maxBucketSize)
     // the DELTA side broadcasts (it's small by contract): the index
     // streams map-side through the join — no corpus-sized shuffle per
     // increment. The kept side RE-APPLIES the bucket cap on the touched

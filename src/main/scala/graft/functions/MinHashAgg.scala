@@ -53,7 +53,14 @@ case class MinHashAgg(
     if (v != null) {
       val h = v.asInstanceOf[Long]
       val bin = (h & (k - 1)).toInt
-      // rank within the bin: the remaining (shifted) bits, made unsigned
+      // rank within the bin: the remaining (shifted) bits, made unsigned.
+      // Known, ACCEPTED alias: h ∈ {-1L, -2L} ranks to Long.MaxValue —
+      // the empty-bin sentinel — so such a shingle never occupies its
+      // bin (probability 2^-63 per shingle). Left as-is deliberately:
+      // the mapping is replayed bit-for-bit by the SQL oracle twins
+      // (q29 et al.), and fixing the alias only on the native side
+      // would trade a 2^-63 rank miss for a real cross-engine
+      // divergence; fix both sides together or neither.
       val r = (h >>> 1) // keep comparisons simple & non-negative
       if (r < buf(bin)) buf(bin) = r
     }

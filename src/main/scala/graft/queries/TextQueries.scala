@@ -1461,7 +1461,8 @@ object TextQueries {
         |  UNION ALL
         |  SELECT doc_id + 2000000, text, 'crawl_mix2' FROM documents
         |  WHERE doc_id % 7 = 0),
-        |h AS (SELECT DISTINCT md5(text) AS h, source FROM planted),
+        |h AS (SELECT DISTINCT md5(text) AS h, source FROM planted
+        |  WHERE text IS NOT NULL),
         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
         |p AS (
         |  SELECT a.source AS source_a, b.source AS source_b,

@@ -320,6 +320,67 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq("😀😀", "a"))
   }
 
+  test("bpe incremental trainer ≡ the naive full-recount reference " +
+    "(selection order and merge application bit-for-bit)") {
+    // the reference algorithm the incremental heap version replaced:
+    // full pair recount + full word rescan per round
+    def naive(freq: Seq[(String, Long)], numMerges: Int)
+        : Seq[(String, String)] = {
+      val words = freq.map { case (w, n) =>
+        (graft.functions.BpeEncode.codePointSymbols(w), n)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var round = 0
+      while (round < numMerges) {
+        val pc = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        words.foreach { case (syms, n) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            pc.update((syms(i), syms(i + 1)),
+              pc.getOrElse((syms(i), syms(i + 1)), 0L) + n)
+            i += 1
+          }
+        }
+        if (pc.isEmpty) round = numMerges
+        else {
+          val (best, _) = pc.maxBy { case ((a, b), n) => (n, a, b) }(
+            Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+              Ordering.String.reverse))
+          out += best
+          words.foreach { case (syms, _) =>
+            var j = 0
+            while (j < syms.length - 1) {
+              if (syms(j) == best._1 && syms(j + 1) == best._2) {
+                syms(j) = best._1 + best._2
+                syms.remove(j + 1)
+              } else j += 1
+            }
+          }
+          round += 1
+        }
+      }
+      out.toSeq
+    }
+    // several corpora with ties, overlapping runs, multi-word reuse
+    val corpora = Seq(
+      Seq("aaab aaab", "aaab aab aab"),
+      Seq("abab abab baba", "aabb bbaa abab"),
+      Seq("the cat sat on the mat", "the cat", "mat mat mat"),
+      Seq("xxxxxx", "xxx xx x", "yxy xyx yyx"))
+    corpora.foreach { corpus =>
+      val docs = corpus.toDF("text")
+      val got = graft.ext.Bpe.train(docs, "text", numMerges = 12)
+      val words = docs
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").count()
+        .orderBy(col("count").desc, col("w"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == naive(words, 12), s"diverged on $corpus")
+    }
+  }
+
   test("bpe train caps the word table but still merges head pairs") {
     val docs = (0 until 200).map(i => s"zz$i common common").toDF("text")
     val merges = graft.ext.Bpe.train(docs, "text", numMerges = 1,
