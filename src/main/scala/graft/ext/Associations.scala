@@ -54,12 +54,17 @@ object Associations {
     // re-attach joins shuffle it by item key, and AQE still converts to
     // broadcast at runtime when the counts frame is actually small.
     val itemCounts = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    // INTEGER support floor: `n_co >= minSupport·n` compared in doubles
+    // dropped pairs sitting exactly AT the documented boundary
+    // (0.07·100 = 7.000000000000001 as a double excludes n_co = 7);
+    // counts are integers, so the boundary must be one too
+    val minCo = math.ceil(minSupport * nEntities - 1e-9).toLong
     val co = kept.select(col("__e"), col("__i").as("item_a"))
       .join(kept.select(col("__e"), col("__i").as("item_b")), Seq("__e"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co").cast("double") >= lit(minSupport * nEntities))
+      .filter(col("n_co") >= minCo)
     val nD = lit(nEntities.toDouble)
     val out = co
       .join(itemCounts.select(col("__i").as("item_a"),

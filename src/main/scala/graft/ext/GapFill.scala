@@ -12,15 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object GapFill {
 
-  /** Fill missing days per key over each key's [min, max] date span:
-    * generate the full daily spine per key (sequence-explode — narrow
-    * after one tiny per-key min/max aggregate), left-join the observed
-    * rows back on (key, date), and default the `fillZero` columns to 0
-    * while `fillForward` columns carry the last observed value
-    * (`last(ignoreNulls)` running window). Two shuffles on the key —
-    * the spine join and the forward-fill window share partitioning.
-    * Output: one row per key per day, `is_filled` flagging synthesized
-    * rows. */
   /** Linear interpolation of null observations between their known
     * neighbors (per key, time-ordered): sensor dropouts and sparse
     * metric samples get v(t) = v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀) from the
@@ -57,6 +48,15 @@ object GapFill {
         col(valueCol).isNull && col("value_filled").isNotNull)
   }
 
+  /** Fill missing days per key over each key's [min, max] date span:
+    * generate the full daily spine per key (sequence-explode — narrow
+    * after one tiny per-key min/max aggregate), left-join the observed
+    * rows back on (key, date), and default the `fillZero` columns to 0
+    * while `fillForward` columns carry the last observed value
+    * (`last(ignoreNulls)` running window). Two shuffles on the key —
+    * the spine join and the forward-fill window share partitioning.
+    * Output: one row per key per day, `is_filled` flagging synthesized
+    * rows. */
   def daily(df: DataFrame, keyCol: String, dateCol: String,
       fillZero: Seq[String] = Nil,
       fillForward: Seq[String] = Nil): DataFrame = {

@@ -203,9 +203,13 @@ object Graph {
     * high in-degree is a sink). One shuffle per direction on the
     * vertex id. */
   def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("id"))
+    // null endpoints drop like every other Graph operator — a null key
+    // never matches in the full_outer join, so unfiltered input emitted
+    // TWO phantom id=null rows (one per side) instead of none
+    val e = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+    val out = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("out_degree"))
-    val in = edges.groupBy(col("dst").as("id"))
+    val in = e.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("in_degree"))
     out.join(in, Seq("id"), "full_outer")
       .select(col("id"),

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Multi-dimensional data layout (Z-ordering) — the data-skipping
   * complement to partitioning: sorting by an interleaved-bit key keeps
@@ -31,9 +31,28 @@ object Layout {
     require(cols.nonEmpty, "at least one column")
     require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits > 63")
     val buckets = 1L << bits
+    // fractional columns must quantize on their REAL values: the old
+    // cast-to-BIGINT truncation collapsed a [0,1) double score column to
+    // one bucket (min=max=0) — zero pruning on that dimension, and an
+    // all-fractional key degenerated to a constant that funneled the
+    // whole frame into one range partition. Integral columns keep the
+    // exact DECIMAL path below (bit-reproducible across engines).
+    val isFractional: Map[String, Boolean] = {
+      val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.map(c => c -> (types.get(c) match {
+        case Some(org.apache.spark.sql.types.DoubleType) |
+             Some(org.apache.spark.sql.types.FloatType) => true
+        case Some(_: org.apache.spark.sql.types.DecimalType) => true
+        case _ => false
+      })).toMap
+    }
     val statCols = cols.flatMap { c =>
-      Seq(min(col(c).cast(LongType)).as(s"__min_$c"),
-        max(col(c).cast(LongType)).as(s"__max_$c"))
+      if (isFractional(c))
+        Seq(min(col(c).cast(DoubleType)).as(s"__min_$c"),
+          max(col(c).cast(DoubleType)).as(s"__max_$c"))
+      else
+        Seq(min(col(c).cast(LongType)).as(s"__min_$c"),
+          max(col(c).cast(LongType)).as(s"__max_$c"))
     }
     val stats = df.agg(statCols.head, statCols.tail: _*)
     val joined = df.crossJoin(broadcast(stats))
@@ -48,11 +67,22 @@ object Layout {
     // (span ≤ 2^64 needs bits ≤ 62; multi-column keys sit far below).
     require(BigInt(2).pow(64) * BigInt(buckets) < BigInt(10).pow(38),
       s"bits=$bits too wide for exact DECIMAL(38,0) quantization")
-    def bucket(c: String): Column = expr(
-      s"((CAST(CAST(`$c` AS BIGINT) AS DECIMAL(38,0)) - " +
-        s"CAST(`__min_$c` AS DECIMAL(38,0))) * ${buckets}L) div " +
-        s"(CAST(`__max_$c` AS DECIMAL(38,0)) - " +
-        s"CAST(`__min_$c` AS DECIMAL(38,0)) + 1L)")
+    def bucket(c: String): Column =
+      if (isFractional(c)) {
+        // double min-max quantization (bucket boundaries are ~1-ulp
+        // engine-specific — harmless for a LAYOUT key: pruning reads
+        // the ORIGINAL columns' file stats, a boundary row just lands
+        // in the neighboring cluster)
+        val span = col(s"__max_$c") - col(s"__min_$c")
+        when(span > 0,
+          least(floor((col(c).cast(DoubleType) - col(s"__min_$c")) /
+            span * buckets), lit(buckets - 1)))
+          .otherwise(lit(0L)).cast(LongType)
+      } else expr(
+        s"((CAST(CAST(`$c` AS BIGINT) AS DECIMAL(38,0)) - " +
+          s"CAST(`__min_$c` AS DECIMAL(38,0))) * ${buckets}L) div " +
+          s"(CAST(`__max_$c` AS DECIMAL(38,0)) - " +
+          s"CAST(`__min_$c` AS DECIMAL(38,0)) + 1L)")
     val key = cols.zipWithIndex.map { case (c, j) =>
       val q = bucket(c)
       (0 until bits).map { i =>

@@ -32,15 +32,19 @@ object Quantize {
     * extremes: the max element is ±127 exactly). */
   def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    // let-bind max|v| (lambda capture would re-reduce the array per element)
-    val q = element_at(transform(array(maxAbs(v)), m =>
-      transform(v, x =>
-        when(m > 0 && finite(x.cast(DoubleType)),
-          round(x.cast(DoubleType) * lit(127.0) / m, 0).cast("long"))
-          .otherwise(lit(0L)))), 1)
-    df.select(col(idCol),
-      (coalesce(maxAbs(v), lit(0.0)) / lit(127.0)).as("scale"),
-      q.as("qvec"))
+    // let-bind max|v| ONCE for BOTH outputs (lambda capture would
+    // re-reduce the array per element; a separate scale column would
+    // re-reduce it per row — the struct carries scale and codes out of
+    // a single reduction)
+    val both = element_at(transform(array(coalesce(maxAbs(v), lit(0.0))),
+      m => struct(
+        (m / lit(127.0)).as("scale"),
+        transform(v, x =>
+          when(m > 0 && finite(x.cast(DoubleType)),
+            round(x.cast(DoubleType) * lit(127.0) / m, 0).cast("long"))
+            .otherwise(lit(0L))).as("qvec"))), 1)
+    df.select(col(idCol), both.getField("scale").as("scale"),
+      both.getField("qvec").as("qvec"))
   }
 
   /** Mean absolute dequantization error per vector — the quality audit
@@ -52,17 +56,20 @@ object Quantize {
     * elements contribute 0 error, matching their quantize-to-0 rule. */
   def int8Error(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val err = element_at(transform(array(maxAbs(v)), m =>
-      when(size(v) > 0 && m > 0,
-        aggregate(
-          filter(v, x => finite(x.cast(DoubleType))),
-          lit(0.0), (acc, x) => acc + abs(
-            x.cast(DoubleType) -
-              round(x.cast(DoubleType) * lit(127.0) / m, 0) * (m / lit(127.0)))) /
-          size(v))
-        .otherwise(lit(0.0))), 1)
-    df.select(col(idCol),
-      (coalesce(maxAbs(v), lit(0.0)) / lit(127.0)).as("scale"),
-      err.as("mean_abs_err"))
+    // same single-reduction shape as [[int8]]
+    val both = element_at(transform(array(coalesce(maxAbs(v), lit(0.0))),
+      m => struct(
+        (m / lit(127.0)).as("scale"),
+        when(size(v) > 0 && m > 0,
+          aggregate(
+            filter(v, x => finite(x.cast(DoubleType))),
+            lit(0.0), (acc, x) => acc + abs(
+              x.cast(DoubleType) -
+                round(x.cast(DoubleType) * lit(127.0) / m, 0) *
+                  (m / lit(127.0)))) /
+            size(v))
+          .otherwise(lit(0.0)).as("mean_abs_err"))), 1)
+    df.select(col(idCol), both.getField("scale").as("scale"),
+      both.getField("mean_abs_err").as("mean_abs_err"))
   }
 }

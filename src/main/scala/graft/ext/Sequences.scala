@@ -41,12 +41,29 @@ object Sequences {
       .withColumn("__rk", row_number().over(w))
       .withColumn("__tot", count(lit(1)).over(wAll))
       .filter(col("__rk") <= maxLen)
+    // sort with an explicit comparator over the ORDER columns only:
+    // natural struct ordering would demand the payload field be
+    // orderable too, failing analysis for map-typed payloads that never
+    // needed to participate in the comparison (orderCols form the
+    // promised total order). Nulls sort FIRST per field, matching the
+    // struct ordering this replaced.
+    def cmp(l: Column, r: Column): Column =
+      orderCols.foldRight(lit(0): Column) { (c, acc) =>
+        val (lf, rf) = (l.getField(c), r.getField(c))
+        when(lf.isNull && rf.isNull, acc)
+          .when(lf.isNull, -1)
+          .when(rf.isNull, 1)
+          .when(lf < rf, -1)
+          .when(lf > rf, 1)
+          .otherwise(acc)
+      }
     capped
       .groupBy(col(entityCol))
       .agg(max(col("__tot")).as("n_events"),
         transform(
           array_sort(collect_list(struct(
-            orderCols.map(col) :+ payload.as("__p"): _*))),
+            orderCols.map(col) :+ payload.as("__p"): _*)),
+            (l, r) => cmp(l, r)),
           e => e.getField("__p")).as("seq"))
   }
 
@@ -145,10 +162,14 @@ object Sequences {
       orderCols: Seq[String], stateCol: String, depth: Int = 3,
       roundTo: Int = 6): DataFrame = {
     require(depth > 0, "depth must be > 0")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(entityCol))
+    val w = Window.partitionBy(col(entityCol))
       .orderBy(orderCols.map(col): _*)
+    // null entities drop from BOTH sides: countDistinct skips nulls, so
+    // an un-filtered path build emitted a null-entity path counted in a
+    // numerator whose denominator never saw it — shares no longer summed
+    // to 1 (same null-key discipline as pairRules/Graph)
     val paths = events
+      .filter(col(entityCol).isNotNull)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= depth)
       .groupBy(col(entityCol))
@@ -158,7 +179,8 @@ object Sequences {
         e => e.getField("__s"))).as("path"))
     // total entities straight from the input (every entity with a row
     // has a path), so the path frame isn't computed twice
-    val total = events.agg(countDistinct(col(entityCol)).as("__t"))
+    val total = events.filter(col(entityCol).isNotNull)
+      .agg(countDistinct(col(entityCol)).as("__t"))
     paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_entities"))
       .crossJoin(broadcast(total))
@@ -183,10 +205,15 @@ object Sequences {
   def transitionMatrix(events: DataFrame, entityCol: String,
       orderCols: Seq[String], stateCol: String,
       roundTo: Int = 6): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(entityCol))
+    val w = Window.partitionBy(col(entityCol))
       .orderBy(orderCols.map(col): _*)
+    // a null ORIGIN state would survive into `trans` and count in the
+    // __na lift denominator yet silently vanish at the fromTot equi-join
+    // (null keys never match) — emitted lifts were then computed against
+    // a universe including the dropped mass. Null states carry no
+    // transition semantics; drop them from both ends.
     val trans = events
+      .filter(col(stateCol).isNotNull)
       .withColumn("__next", lead(col(stateCol), 1).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col(stateCol).as("state"), col("__next").as("next"))

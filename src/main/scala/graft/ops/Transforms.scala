@@ -175,11 +175,19 @@ object Transforms {
     val perPart = graft.util.Caches.snapshot(ordered
       .groupBy((col("__pid") +: groupCols.map(col)): _*)
       .agg(count(lit(1)).as("__n"), min(col("__idx")).as("__first"))
-      .withColumn("__n", when(col("__n") >= (1L << 33),
+      // guard the PARTITION total, not the per-group slice: the 33-bit
+      // record counter is per TASK, so a range partition holding
+      // several groups can wrap while every individual group stays
+      // under 2^33 (addSurrogateKeyScalable counts per __pid alone for
+      // exactly this reason). Window over the tiny aggregate.
+      .withColumn("__ptotal", sum(col("__n")).over(
+        Window.partitionBy(col("__pid"))))
+      .withColumn("__n", when(col("__ptotal") >= (1L << 33),
         raise_error(lit("rankWithinGroupScalable: a range partition " +
-          "holds >= 2^33 rows of one group — past the per-partition " +
-          "ordinal range; ranks would wrap and collide")))
-        .otherwise(col("__n"))))
+          "holds >= 2^33 rows — past the per-partition ordinal range; " +
+          "ranks would wrap and collide")))
+        .otherwise(col("__n")))
+      .drop("__ptotal"))
     val offsets = perPart
       .withColumn("__offset",
         coalesce(

@@ -810,7 +810,7 @@ object Temporal {
         |FROM co
         |JOIN ic na ON co.item_a = na.i
         |JOIN ic nb ON co.item_b = nb.i, t
-        |WHERE CAST(co.n_co AS DOUBLE) >= 0.01 * t.n
+        |WHERE co.n_co >= CEIL(0.01 * t.n - 1e-9)
         |ORDER BY item_a, item_b""".stripMargin,
 
     // first-depth states by (ts, event_id), shares over all users
@@ -818,7 +818,7 @@ object Temporal {
       """WITH r AS (
         |  SELECT user_id, event_type,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |p AS (
         |  SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
         |  FROM r WHERE rk <= 3 GROUP BY user_id),

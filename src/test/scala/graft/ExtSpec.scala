@@ -693,6 +693,19 @@ class ExtSpec extends SparkSpec {
     assert(ex == Set((Seq("b"), "c"), (Seq("b", "c"), "d")))
   }
 
+  test("userSequences carries a MAP payload (comparator sorts on order " +
+    "columns only — natural struct ordering rejected map fields)") {
+    val events = Seq(
+      (1L, 20L, 101L, Map("k" -> "b")), (1L, 10L, 100L, Map("k" -> "a")),
+      (1L, 30L, 102L, Map("k" -> "c")))
+      .toDF("user_id", "ts", "event_id", "props")
+    val seqs = graft.ext.Sequences.userSequences(events, "user_id",
+      Seq("ts", "event_id"), col("props"), maxLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Map[String, String]](2)).toMap
+    assert(seqs(1L).map(_("k")) == Seq("a", "b", "c"))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged exactly") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String))
       .toDF("doc_id", "text")
