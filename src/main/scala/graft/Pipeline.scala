@@ -37,8 +37,13 @@ object Pipeline {
   def transactionChecks(df: DataFrame): DataQualityChecker = {
     def blank(c: String): Column = col(c).isNull || trim(col(c)) === ""
     DataQualityChecker(df, "transactions")
+      // every column Silver.transactions declares non-nullable is
+      // completeness-screened: validity checks EXEMPT nulls, so an
+      // unscreened null transaction_type/currency sailed into silver
+      // against the declared typing contract with no quarantine record
       .checkCompleteness(Seq("transaction_id", "customer_id", "merchant_id",
-        "amount", "status", "transaction_timestamp"),
+        "amount", "currency", "transaction_type", "status",
+        "transaction_timestamp"),
         Thresholds.dqCompletenessThreshold)
       .checkUniqueness(Seq("transaction_id"), Thresholds.dqUniquenessThreshold)
       .checkCustom("amount_in_bounds",
@@ -52,7 +57,7 @@ object Pipeline {
       .checkCustom("timestamp_parseable",
         when(blank("transaction_timestamp"), lit(true)).otherwise(
           try_to_timestamp(col("transaction_timestamp"),
-            lit("yyyy-MM-dd HH:mm:ss")).isNotNull),
+            lit(graft.ops.SilverPipeline.TsFormat)).isNotNull),
         column = "transaction_timestamp")
       .checkValidity("status", Enums.transactionStatuses)
       .checkValidity("transaction_type", Enums.transactionTypes)
@@ -125,8 +130,12 @@ object Pipeline {
       else AlertSeverity.P4
     Some(Alert(
       title = s"DQ failures on ${report.tableName}",
+      // Fmt.fmt, not the f-interpolator: a comma-decimal default locale
+      // would render "rate 0,9500" into the alert payload (the one-copy
+      // locale rule every other formatter here follows)
       message = failed.map(c =>
-        f"${c.checkName}: ${c.failedCount} failed (rate ${c.passRate}%.4f < ${c.threshold})")
+        s"${c.checkName}: ${c.failedCount} failed (rate " +
+          s"${graft.util.Fmt.fmt("%.4f", c.passRate)} < ${c.threshold})")
         .mkString("; "),
       severity = sev,
       pipelineName = pipelineName,

@@ -34,8 +34,13 @@ object Tables {
     // values either way under the UTC session
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // the ns→µs rewrite applies ONLY to the table known to carry
+    // TIMESTAMP(NANOS) (events — read as LongType under nanosAsLong):
+    // keying on column name/type alone would silently divide a future
+    // table's genuine epoch-micros/seconds BIGINT ts by 1000 and
+    // reinterpret it, corrupting every temporal read with no error
     val df = raw.schema.find(_.name == "ts") match {
-      case Some(f) if f.dataType == LongType =>
+      case Some(f) if f.dataType == LongType && name == "events" =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }

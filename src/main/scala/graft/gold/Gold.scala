@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object Gold {
 
   private val money = DecimalType(18, 2)
-  /** Exact-decimal sum surfaced as double. */
-  def dsum(c: Column): Column = sum(c.cast(money)).cast(DoubleType)
+  /** Exact-decimal sum surfaced as double — THE one definition
+    * (`queries.Q.dsum`), re-exported for gold callers: an inlined copy
+    * here drifted apart from the oracle twin (`Q.sqlDsum`) once before
+    * a parity fix could reach both. */
+  def dsum(c: Column): Column = graft.queries.Q.dsum(c)
 
   /** dim_date from the fact's date span (reference `dim_date`,
     * base.py:88). Day-of-week is 0=Sunday..6=Saturday. */
@@ -74,9 +77,9 @@ object Gold {
     .groupBy(col("l_suppkey"))
     .agg(
       count(lit(1)).as("volume"),
-      sum(col("l_extendedprice").cast(money) *
-        (lit(1).cast(money) - col("l_discount").cast(money)))
-        .cast(DoubleType).as("net_revenue"),
+      // Q.revenueSum — the one copy whose oracle twin is Q.sqlRevenueSum
+      graft.queries.Q.revenueSum(col("l_extendedprice"), col("l_discount"))
+        .as("net_revenue"),
       countDistinct(col("l_partkey")).as("n_parts"))
     .withColumn("avg_ticket",
       col("net_revenue") / col("volume").cast(DoubleType))

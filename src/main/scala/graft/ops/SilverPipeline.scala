@@ -25,9 +25,25 @@ object SilverPipeline {
   // reference's PySpark non-ANSI cast semantics — rather than throw, which
   // is what a plain cast/to_timestamp does under Spark 4's default ANSI
   // mode. On parseable data try_* is value-identical to the plain forms.
-  private def parseBool(c: Column): Column = lower(trim(c)) === "true"
+  // the full Spark/PySpark boolean-cast domain with a NULL fallback:
+  // `=== "true"` mapped '1'/'t'/'yes' — and every junk string — to
+  // FALSE, so a feed encoding flags as 1/0 silently zeroed n_flagged /
+  // fraud_rate with no quarantine signal (the try-semantics contract
+  // above says unparseable must become NULL, not a value)
+  private def parseBool(c: Column): Column = {
+    val s = lower(trim(c))
+    when(s.isin("true", "t", "yes", "y", "1"), lit(true))
+      .when(s.isin("false", "f", "no", "n", "0"), lit(false))
+      .otherwise(lit(null).cast("boolean"))
+  }
+  /** THE bronze timestamp format — shared with the DQ parseability
+    * screen (Pipeline.transactionChecks): two drifting copies would
+    * re-open the __HIVE_DEFAULT_PARTITION__ loss hole the screen closes
+    * (a row passing the screen's format but failing silver's lands in
+    * the null partition and vanishes from date-pruned reads). */
+  val TsFormat = "yyyy-MM-dd HH:mm:ss"
   private def parseTs(c: Column): Column =
-    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss"))
+    try_to_timestamp(c, lit(TsFormat))
   private def parseDate(c: Column): Column = try_to_date(c, "yyyy-MM-dd")
 
   /** Age in whole years at `asOf` (reference silver.py:80 derived col).

@@ -33,17 +33,29 @@ object SkewJoin {
     // semantics
     require(supportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/left_semi joins, got $joinType")
-    // per-row salt: hash of the whole row PLUS a per-row ordinal —
-    // row-content alone would give identical rows identical salts, and
-    // duplicate-heavy hot keys (50M copies of one event row) would all
-    // land in a single salt bucket, recreating the straggler this
-    // function exists to break. monotonically_increasing_id is stable
-    // within a task attempt; salt placement does not affect join
-    // RESULTS, only distribution, so retry-nondeterminism is harmless.
-    val allCols = skewed.columns.map(col).toIndexedSeq
+    // per-row salt: a DETERMINISTIC content hash, never
+    // monotonically_increasing_id. Salt placement doesn't change which
+    // small-side row a skewed row matches — but a NONDETERMINISTIC salt
+    // is not retry-safe: when the skewed frame is itself a shuffle
+    // output (nondeterministic intra-partition row order), a partial
+    // map-stage retry re-salts rows after some reducers already fetched
+    // the first attempt's buckets, emitting a row twice or zero times
+    // (the SPARK-23207 class of corruption; Spark's full-stage rollback
+    // covers round-robin repartition, not arbitrary nondeterministic
+    // keys). Content-hashing gives identical rows identical salts —
+    // BIT-IDENTICAL duplicate floods collapse to one bucket; pre-
+    // aggregate such feeds (count per row-value) before joining, which
+    // is the right shape for them anyway. Map-typed columns are
+    // unhashable and excluded.
+    require(!skewed.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "saltedJoin: input already carries a __salt column — rename it " +
+        "(the internal salt would silently overwrite it)")
+    val hashable = skewed.schema.fields
+      .filterNot(_.dataType.catalogString.contains("map<"))
+      .map(f => col(f.name)).toIndexedSeq
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(allCols :+ monotonically_increasing_id(): _*),
-        lit(saltFactor.toLong)))
+      pmod(xxhash64(hashable: _*), lit(saltFactor.toLong)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
