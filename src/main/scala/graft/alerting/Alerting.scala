@@ -54,10 +54,18 @@ final class AlertManager(
     history += alert
     if (dryRun) return Seq("dry-run")
     val channels = mutable.ArrayBuffer.empty[String]
+    // NonFatal only: swallowing an OutOfMemoryError would keep running a
+    // corrupted VM, and an InterruptedException must re-assert the
+    // interrupt so a cancelled driver thread actually stops — the goal
+    // (a flaky webhook must not abort the P1 page) needs neither
     def attempt(name: String, url: String, payload: String): Unit =
       try { if (poster.post(url, payload)) channels += name }
       catch {
-        case e: Throwable =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          System.err.println(s"[alerting] $name post interrupted: " +
+            s"${e.getMessage}")
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[alerting] $name post failed: ${e.getMessage}")
       }
     slackWebhookUrl.foreach(attempt("slack", _, slackPayload(alert)))

@@ -102,7 +102,14 @@ final class DataQualityChecker(df: DataFrame, tableName: String) {
   private def nullOrEmpty(c: String): Column = {
     val base = col(c).isNull ||
       (col(c).cast(StringType).isNotNull && trim(col(c).cast(StringType)) === "")
-    df.schema.find(_.name == c).map(_.dataType) match {
+    // case-INSENSITIVE type lookup (exact match first), matching Spark's
+    // default column resolution: a case-mismatched name still resolves
+    // col(c), but an exact-only schema lookup would silently skip the
+    // isnan gate and count NaN rows as complete
+    val dt = df.schema.find(_.name == c)
+      .orElse(df.schema.find(_.name.equalsIgnoreCase(c)))
+      .map(_.dataType)
+    dt match {
       case Some(DoubleType) | Some(FloatType) => base || isnan(col(c))
       case _ => base
     }

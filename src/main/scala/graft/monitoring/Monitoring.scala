@@ -115,6 +115,16 @@ object Monitoring {
 
   def isFresh(df: DataFrame, tsCol: String, maxAgeHours: Double,
       nowMs: Long = System.currentTimeMillis()): Boolean = {
+    // demand a real timestamp, like DataQualityChecker's freshness
+    // check: an epoch-MILLIS bigint column would make the age hugely
+    // negative — a months-stale table reporting fresh FOREVER — and a
+    // DATE column crashes the cast; callers with numeric epochs cast
+    // explicitly, stating their unit
+    val dt = df.schema.find(_.name.equalsIgnoreCase(tsCol)).map(_.dataType)
+    require(dt.exists(
+      _.isInstanceOf[org.apache.spark.sql.types.TimestampType]),
+      s"isFresh needs a TIMESTAMP column, got " +
+        s"${dt.map(_.catalogString).getOrElse("<missing>")} for $tsCol")
     val row = df.agg(max(col(tsCol)).cast(LongType)).head()
     // empty/all-null table has no newest row → stale, not an NPE
     if (row.isNullAt(0)) return false
@@ -349,20 +359,17 @@ object Monitoring {
     val cohort = daily
       .groupBy(dayofweek(col("day")).as("dow"))
       .agg(sum(col("n")).as("__cs"), count(lit(1)).as("__cc"))
+    // one definition each for the baseline and the ratio (identical
+    // plan; a future baseline change — trimmed mean, smoothing — must
+    // not need four synchronized edits)
+    val mean = col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType)
+    val ratio = col("n").cast(DoubleType) / mean
     val out = daily.withColumn("dow", dayofweek(col("day")))
       .join(broadcast(cohort), Seq("dow"))
       .select(col("day"), col("dow"), col("n"),
-        round(col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType),
-          roundTo).as("dow_mean"),
-        round(col("n").cast(DoubleType) /
-          (col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType)),
-          roundTo).as("ratio"),
-        (col("n").cast(DoubleType) /
-          (col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType))
-          > threshold ||
-          col("n").cast(DoubleType) /
-            (col("__cs").cast(DoubleType) / col("__cc").cast(DoubleType))
-            < 1.0 / threshold).as("is_anomaly"))
+        round(mean, roundTo).as("dow_mean"),
+        round(ratio, roundTo).as("ratio"),
+        (ratio > threshold || ratio < 1.0 / threshold).as("is_anomaly"))
     val snap = graft.util.Caches.snapshot(out)
     daily.unpersist(blocking = false)
     snap
