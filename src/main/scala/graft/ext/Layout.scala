@@ -74,9 +74,15 @@ object Layout {
         // the ORIGINAL columns' file stats, a boundary row just lands
         // in the neighboring cluster)
         val span = col(s"__max_$c") - col(s"__min_$c")
-        when(span > 0,
-          least(floor((col(c).cast(DoubleType) - col(s"__min_$c")) /
-            span * buckets), lit(buckets - 1)))
+        // null value → null bucket (like the integral path, whose
+        // DECIMAL expr nulls the whole key): without the guard,
+        // `least` IGNORES the null from floor() and returns
+        // buckets-1, silently clustering null rows with max-value
+        // rows and loosening file stats on this dimension
+        when(col(c).isNull, lit(null).cast(LongType))
+          .when(span > 0,
+            least(floor((col(c).cast(DoubleType) - col(s"__min_$c")) /
+              span * buckets), lit(buckets - 1)))
           .otherwise(lit(0L)).cast(LongType)
       } else expr(
         s"((CAST(CAST(`$c` AS BIGINT) AS DECIMAL(38,0)) - " +

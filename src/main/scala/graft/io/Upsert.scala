@@ -72,9 +72,17 @@ object Upsert {
         try { Files.createLink(lock, tmp); true }
         catch {
           case _: UnsupportedOperationException =>
-            Files.createFile(lock)
-            Files.writeString(lock, token)
-            true
+            // no-hardlink fallback: create-exclusive may ALSO lose the
+            // race — map that to false here (the handler cases are
+            // siblings, so the outer FileAlreadyExistsException case
+            // would not catch a throw from inside this one)
+            try {
+              Files.createFile(lock)
+              Files.writeString(lock, token)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       } finally { Files.deleteIfExists(tmp); () }
@@ -103,12 +111,30 @@ object Upsert {
             acquired = tryAcquire()
           } else {
             // the file changed owner between our stat and our rename —
-            // we stole a LIVE lock; put it back (if a third writer
-            // claimed the path meanwhile, drop the tombstone: the path
-            // holder wins, we report the conflict)
-            try Files.move(tomb, lock, StandardCopyOption.ATOMIC_MOVE)
-            catch { case _: java.io.IOException =>
-              Files.deleteIfExists(tomb); ()
+            // we stole a LIVE lock; put it back. The restore must FAIL
+            // when a third writer has already claimed the path (the
+            // path holder wins): rename(2) silently REPLACES an
+            // existing target on POSIX, so restore via hard link
+            // (create-exclusive semantics), falling back to
+            // create-exclusive + copy on no-hardlink filesystems. Only
+            // when the create succeeded is the tombstone consumed.
+            try { Files.createLink(lock, tomb); Files.delete(tomb) }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                // a third writer holds the path — it wins; the stolen
+                // owner's heartbeat will recreate/err on its side
+                Files.deleteIfExists(tomb); ()
+              case _: UnsupportedOperationException =>
+                try {
+                  Files.createFile(lock)
+                  Files.writeString(lock, readToken(tomb))
+                  Files.deleteIfExists(tomb); ()
+                } catch {
+                  case _: java.nio.file.FileAlreadyExistsException =>
+                    Files.deleteIfExists(tomb); ()
+                }
+              case _: java.io.IOException =>
+                Files.deleteIfExists(tomb); ()
             }
           }
         }

@@ -43,10 +43,11 @@ object SkewJoin {
     // (the SPARK-23207 class of corruption; Spark's full-stage rollback
     // covers round-robin repartition, not arbitrary nondeterministic
     // keys). Content-hashing gives identical rows identical salts —
-    // BIT-IDENTICAL duplicate floods collapse to one bucket; pre-
-    // aggregate such feeds (count per row-value) before joining, which
-    // is the right shape for them anyway. Map-typed columns are
-    // unhashable and excluded.
+    // BIT-IDENTICAL duplicate floods collapse to one bucket — use
+    // [[saltedJoinPreAgg]] for such feeds (it collapses the flood
+    // map-side before the join), and [[saltSkewHistogram]] to DETECT
+    // the condition instead of discovering it as a straggler task.
+    // Map-typed columns are unhashable and excluded.
     require(!skewed.columns.contains("__salt") &&
       !small.columns.contains("__salt"),
       "saltedJoin: input already carries a __salt column — rename it " +
@@ -59,5 +60,63 @@ object SkewJoin {
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Duplicate-flood variant: BIT-IDENTICAL rows all content-hash to one
+    * salt bucket, which silently reinstates the single-task straggler
+    * [[saltedJoin]] exists to break. This path collapses identical rows
+    * to (row, multiplicity) FIRST — a map-side-combining aggregation
+    * that crushes the flood before it ever reaches the join — salts the
+    * now-unique rows, joins, and re-expands each output row by its
+    * multiplicity. Exact multiset semantics for the supported join
+    * types: identical skewed rows match identical small-side rows, so
+    * expansion after the join reproduces the plain join's output.
+    * Requires every skewed column hashable (no map types — groupBy
+    * would reject them). */
+  def saltedJoinPreAgg(
+      skewed: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(!skewed.schema.fields.exists(
+      _.dataType.catalogString.contains("map<")),
+      "saltedJoinPreAgg needs all skewed columns groupable (no map types)")
+    require(!skewed.columns.contains("__dup") &&
+      !small.columns.contains("__dup"),
+      "saltedJoinPreAgg: input already carries a __dup column — rename it")
+    val counted = skewed
+      .groupBy(skewed.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__dup"))
+    val joined = saltedJoin(counted, small, keys, saltFactor, joinType)
+    joined
+      .withColumn("__i", explode(sequence(lit(1L), col("__dup"))))
+      .drop("__dup", "__i")
+  }
+
+  /** Salt-distribution diagnostic: for the `sampleFraction`-sampled hot
+    * keys (those with ≥ `minRows` sampled rows), how many DISTINCT salt
+    * buckets do their rows actually land in? A hot key whose
+    * `distinct_salts` is near 1 is a duplicate flood — content-hash
+    * salting cannot spread it (see [[saltedJoin]]'s salt note); route
+    * it through [[saltedJoinPreAgg]]. Runs one sampled aggregation —
+    * call it when tuning, not on every join. */
+  def saltSkewHistogram(
+      skewed: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      sampleFraction: Double = 0.001,
+      minRows: Long = 100L): DataFrame = {
+    val hashable = skewed.schema.fields
+      .filterNot(_.dataType.catalogString.contains("map<"))
+      .map(f => col(f.name)).toIndexedSeq
+    skewed.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .withColumn("__salt",
+        pmod(xxhash64(hashable: _*), lit(saltFactor.toLong)))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("sampled_rows"),
+        countDistinct(col("__salt")).as("distinct_salts"))
+      .where(col("sampled_rows") >= minRows)
+      .orderBy(col("sampled_rows").desc)
   }
 }

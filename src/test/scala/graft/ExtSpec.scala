@@ -138,6 +138,38 @@ class ExtSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("saltedJoinPreAgg matches the plain join on a duplicate flood") {
+    // 900 BIT-IDENTICAL rows — content-hash salting collapses them to
+    // one bucket; the pre-agg path crushes them map-side instead
+    val left = ((1 to 900).map(_ => (1L, 7)) ++
+      (901 to 1000).map(i => (i.toLong, i))).toDF("k", "v")
+    val right = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    for (jt <- Seq("inner", "left", "left_semi")) {
+      val plain = left.join(right, Seq("k"), jt)
+      val pre = graft.ops.SkewJoin.saltedJoinPreAgg(
+        left, right, Seq("k"), 8, jt)
+      assert(pre.columns.toSeq == plain.columns.toSeq, jt)
+      val pc = plain.groupBy(plain.columns.map(col).toIndexedSeq: _*)
+        .count().orderBy(plain.columns.head, plain.columns.tail: _*)
+        .collect().toSeq
+      val sc = pre.groupBy(pre.columns.map(col).toIndexedSeq: _*)
+        .count().orderBy(pre.columns.head, pre.columns.tail: _*)
+        .collect().toSeq
+      assert(pc == sc, jt)
+    }
+  }
+
+  test("saltSkewHistogram flags a duplicate flood as single-bucket") {
+    val left = ((1 to 5000).map(_ => (1L, 7)) ++          // flood: 1 value
+      (1 to 5000).map(i => (2L, i))).toDF("k", "v")        // hot but varied
+    val hist = graft.ops.SkewJoin
+      .saltSkewHistogram(left, Seq("k"), 8, sampleFraction = 0.5,
+        minRows = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hist(1L) == 1L)  // bit-identical rows → one salt bucket
+    assert(hist(2L) > 1L)   // varied rows spread across buckets
+  }
+
   // ---------- dedup ----------
 
   private def docsWithDups = {

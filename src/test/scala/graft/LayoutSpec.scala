@@ -79,4 +79,24 @@ class LayoutSpec extends SparkSpec {
       .select("a", "b", "zkey").as[(Long, Long, Long)].collect().toSet
     assert(k1 == k2)
   }
+
+  test("zorderKey nulls the key for null values on BOTH numeric paths") {
+    // fractional path: least() ignores the null from floor(), so an
+    // unguarded null value landed in the TOP bucket with the max rows —
+    // it must null the key like the integral path's DECIMAL expr does
+    val frac = Seq(Some(0.0), Some(0.5), Some(1.0), None).toDF("x")
+    val fk = Layout.zorderKey(frac, Seq("x"), bits = 4)
+      .select(col("x"), col("zkey")).collect()
+      .map(r => Option(r.get(0)) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(fk(None).isEmpty, "null fractional value must null the z-key")
+    assert(fk(Some(1.0)).contains(15L))
+    assert(fk(Some(0.0)).contains(0L))
+    val ints = Seq(Some(0L), Some(100L), None).toDF("x")
+    val ik = Layout.zorderKey(ints, Seq("x"), bits = 4)
+      .select(col("x"), col("zkey")).collect()
+      .map(r => Option(r.get(0)) -> r.isNullAt(1)).toMap
+    assert(ik(None), "null integral value must null the z-key")
+    assert(!ik(Some(100L)))
+  }
 }
