@@ -493,6 +493,39 @@ object ScaleSmoke {
             spark.catalog.dropTempView("smoke_vstream")
           }
         }
+        // PACED initial snapshot (the r13 compound-offset mechanism) at
+        // the same 2M-row volume: maxFilesPerTrigger=8 over the ~64-file
+        // snapshot must admit the bootstrap in MANY micro-batches (the
+        // 100 TB stall/OOM guard the option exists for), deliver exactly
+        // the same row set once, and cost no more than a small constant
+        // over the unpaced drain (per-batch planning + offset commits).
+        time("stream 101-commit log PACED (maxFilesPerTrigger=8)") {
+          val q = spark.readStream.format("graft-versioned")
+            .option("maxFilesPerTrigger", "8").load(src)
+            .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+            .writeStream.format("memory").queryName("smoke_vstream_paced")
+            .outputMode("complete")
+            .option("checkpointLocation",
+              vtRoot.resolve("ckstream-paced").toString)
+            .start()
+          try {
+            q.processAllAvailable()
+            val batches = q.recentProgress.count(_.numInputRows > 0)
+            val total = spark.table("smoke_vstream_paced")
+              .agg(sum(col("n"))).collect()(0).getLong(0)
+            require(batches > 1,
+              s"paced snapshot arrived in $batches batch(es) — " +
+                "maxFilesPerTrigger did not slice the bootstrap")
+            require(total == 2001000L,
+              s"paced drain delivered $total rows, expected 2001000")
+            println(s"[scale] paced snapshot drained in $batches " +
+              "non-empty micro-batches (unpaced: 1-2)")
+            total
+          } finally {
+            q.stop()
+            spark.catalog.dropTempView("smoke_vstream_paced")
+          }
+        }
         time("CDC bootstrap mirror (2M rows)") {
           io.ChangeConsumer.mirror(spark, src, dst, Seq("id"), ckM)
           io.VersionedTable.snapshot(spark, dst).count() }

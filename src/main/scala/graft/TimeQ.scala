@@ -7,6 +7,12 @@ package graft
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev tool: always show per-stage breakdowns (the -D route dies at
+    // sbt's fork boundary); set SPARK_GRAFT_SUBLINEAR=true to time the
+    // ANN queries at Bench's sub-linear operating point
+    System.setProperty("graft.bench.stages", "true")
+    if (sys.env.get("SPARK_GRAFT_SUBLINEAR").exists(_ == "true"))
+      System.setProperty("graft.ann.sublinear", "true")
     val spark = GraftSession.local("graft-timeq", 32)
     spark.range(1000000).selectExpr("sum(id)").collect()
     args.foreach { name =>

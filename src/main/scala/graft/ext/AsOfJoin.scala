@@ -52,7 +52,17 @@ object AsOfJoin {
     // preceding" match for every left row with no real predecessor —
     // fabricated lookups carrying asof ts = NULL. A null-ts right row
     // cannot be evidence of any point in time; drop it.
-    val rightU = right.filter(col(rightTs).isNotNull).select(
+    // NULL-key right rows drop too: the contract is an equi-JOIN on the
+    // keys, and SQL join semantics never match NULL = NULL — but the
+    // window's partitionBy GROUPS nulls together, so an unfiltered
+    // null-key right row would be handed to every null-key left row
+    // (semantics a join-based as-of, e.g. DuckDB's ASOF, disagrees
+    // with). Null-key LEFT rows still pass through — partitioned alone,
+    // they fill with nulls, exactly a left join's answer.
+    val rightU = right
+      .filter(col(rightTs).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         leftCols.filterNot(keys.contains)

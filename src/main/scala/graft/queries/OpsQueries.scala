@@ -194,6 +194,121 @@ object OpsQueries {
             ((col("doc_id") * 13 + 1) % 300).as("dst")))
       graft.ext.Graph.triangleStats(edges)
         .orderBy(col("id"))
+    }),
+
+    // PERMISSIVE CSV corrupt-record channel (SURVEY §2.1 S1 — reference
+    // spark_utils.py:104-105): a deterministic mixed-validity CSV is
+    // synthesized from the orders slice (three planted corruption shapes:
+    // non-numeric decimal, under-full row, over-full row), written to
+    // scratch, and read back through Readers.readCsv with an explicit
+    // schema. The gate hashes the corrupt/clean split AND the PERMISSIVE
+    // salvage semantics: corrupt rows keep their parseable prefix (the
+    // key always parses; the over-full shape even keeps its amount), so
+    // the corrupt bucket's key/amount sums replay in the oracle from the
+    // same mod-7 algebra. Clean rows aggregate per status with exact
+    // decimal sums — a row mis-flagged in either direction flips a count
+    // and a sum.
+    "q174_csv_corrupt" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-csv")
+      try {
+        val base = t(s, dir, "orders")
+          .filter(col("o_orderkey") < 4000)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            col("o_totalprice").cast("decimal(12,2)").cast("string")
+              .as("amt"))
+        val line = when(col("k") % 7 === 0,
+            concat_ws(",", col("k"), col("st"), lit("xx")))
+          .when(col("k") % 7 === 1, concat_ws(",", col("k"), col("st")))
+          .when(col("k") % 7 === 2,
+            concat_ws(",", col("k"), col("st"), col("amt"), lit("extra")))
+          .otherwise(concat_ws(",", col("k"), col("st"), col("amt")))
+        val path = scratch.resolve("mixed").toString
+        base.select(line.as("value")).write.text(path)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderstatus STRING, amt DECIMAL(12,2)")
+        // snapshot the parse ONCE before branching: the corrupt and clean
+        // branches require different column sets, and CSV corrupt
+        // classification is column-pruning-dependent (a branch that needs
+        // fewer columns does not flag token-count mismatches) — two
+        // independent scans would classify the same row differently and
+        // DROP it from both branches (observed at sf0.01: 1,144 rows
+        // vanished). One materialized full-schema parse is the documented
+        // Spark pattern for filtering on _corrupt_record.
+        val df = graft.util.Caches.snapshot(
+          graft.io.Readers.readCsv(s, path, Some(schema), header = false))
+        val corruptCol = col(graft.io.Readers.CorruptRecordColumn)
+        val out = df.filter(corruptCol.isNotNull)
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            Q.dsum(col("amt")).as("total"))
+          .select(lit("~corrupt").as("bucket"), col("n"), col("key_sum"),
+            col("total"))
+          .unionByName(df.filter(corruptCol.isNull)
+            .groupBy(col("o_orderstatus").as("bucket"))
+            .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+              Q.dsum(col("amt")).as("total")))
+          .orderBy(col("bucket"))
+        // snapshot before the scratch dir (the frame's input files) is
+        // deleted on the way out
+        graft.util.Caches.snapshot(out)
+      } finally {
+        val walk = java.nio.file.Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }),
+
+    // PERMISSIVE JSON corrupt-record channel (SURVEY §2.1 S2 — reference
+    // spark_utils.py:150-151): mixed-validity JSON lines synthesized from
+    // the customer slice — structurally invalid JSON (whole row nulls),
+    // a type-mismatched decimal (other fields salvaged), and a MISSING
+    // field (legal JSON: null value, NOT corrupt — the shape that
+    // separates the quarantine channel from ordinary sparseness). Same
+    // gate algebra as q174: the corrupt bucket's key sum counts only the
+    // salvageable shape, clean buckets aggregate per segment.
+    "q175_json_corrupt" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-json")
+      try {
+        val base = t(s, dir, "customer")
+          .filter(col("c_custkey") < 3000)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").cast("decimal(12,2)").as("bal"))
+        val good = to_json(struct(col("k").as("c_custkey"),
+          col("seg").as("c_mktsegment"), col("bal").as("c_acctbal")))
+        val badType = to_json(struct(col("k").as("c_custkey"),
+          col("seg").as("c_mktsegment"), lit("notnum").as("c_acctbal")))
+        val missing = to_json(struct(col("k").as("c_custkey"),
+          col("seg").as("c_mktsegment")))
+        val line = when(col("k") % 5 === 0, concat(lit("{oops "), good))
+          .when(col("k") % 5 === 1, badType)
+          .when(col("k") % 5 === 2, missing)
+          .otherwise(good)
+        val path = scratch.resolve("mixed").toString
+        base.select(line.as("value")).write.text(path)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DECIMAL(12,2)")
+        // same single-parse snapshot as q174: corrupt classification must
+        // come from ONE full-schema parse, never re-derived per branch
+        val df = graft.util.Caches.snapshot(
+          graft.io.Readers.readJson(s, path, Some(schema)))
+        val corruptCol = col(graft.io.Readers.CorruptRecordColumn)
+        val out = df.filter(corruptCol.isNotNull)
+          .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"),
+            Q.dsum(col("c_acctbal")).as("total"))
+          .select(lit("~corrupt").as("bucket"), col("n"), col("key_sum"),
+            col("total"))
+          .unionByName(df.filter(corruptCol.isNull)
+            .groupBy(col("c_mktsegment").as("bucket"))
+            .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"),
+              Q.dsum(col("c_acctbal")).as("total")))
+          .orderBy(col("bucket"))
+        graft.util.Caches.snapshot(out)
+      } finally {
+        val walk = java.nio.file.Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
     }))
 
   /** One unrolled power-iteration step: r_{k+1}(v) = (1-d)/n + d ·
@@ -270,6 +385,54 @@ object OpsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // Replays the mod-7 corruption algebra: rows 0/1/2 are planted
+    // corrupt (the key always salvages; only the over-full shape 2
+    // salvages its amount), everything else is clean and aggregates per
+    // status. PERMISSIVE prefix-salvage semantics are thus hash-pinned:
+    // a reader that nulled the whole corrupt row (or mis-flagged a clean
+    // one) flips key_sum/total.
+    "q174_csv_corrupt" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt
+        |  FROM orders WHERE o_orderkey < 4000),
+        |corrupt AS (
+        |  SELECT '~corrupt' AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CASE WHEN k % 7 = 2
+        |      THEN CAST(amt AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+        |  FROM base WHERE k % 7 IN (0, 1, 2)),
+        |clean AS (
+        |  SELECT st AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM base WHERE k % 7 NOT IN (0, 1, 2) GROUP BY st)
+        |SELECT * FROM corrupt UNION ALL SELECT * FROM clean
+        |ORDER BY bucket""".stripMargin,
+
+    // Mod-5 algebra: 0 = invalid JSON (nothing salvages — key_sum counts
+    // only shape 1, total is NULL), 1 = type-mismatched decimal (key and
+    // segment salvage), 2 = MISSING field (clean, null balance — its
+    // keys count toward the segment but contribute no balance).
+    "q175_json_corrupt" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer WHERE c_custkey < 3000),
+        |corrupt AS (
+        |  SELECT '~corrupt' AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN k % 5 = 1 THEN k END) AS BIGINT) AS key_sum,
+        |    CAST(NULL AS DOUBLE) AS total
+        |  FROM base WHERE k % 5 IN (0, 1)),
+        |clean AS (
+        |  SELECT seg AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CASE WHEN k % 5 <> 2
+        |      THEN CAST(bal AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+        |  FROM base WHERE k % 5 NOT IN (0, 1) GROUP BY seg)
+        |SELECT * FROM corrupt UNION ALL SELECT * FROM clean
+        |ORDER BY bucket""".stripMargin,
 
     "q159_k_anonymity" ->
       """WITH c AS (

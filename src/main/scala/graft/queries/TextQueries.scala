@@ -524,21 +524,35 @@ object TextQueries {
     // AUC ≥ 0.9 (threshold-calibration-free; measured 0.985 at sf0.01).
     // A broken featurizer, trainer, or scorer flips the flag red.
     "q83_quality_classifier" -> ((s, dir) => {
+      // stage timing (Bench sets graft.bench.stages): splits the fit
+      // (featurize + L-BFGS) from the score+AUC pass, so a regression
+      // shows WHICH half moved
+      val onStage: (String, Double) => Unit =
+        if (sys.props.get("graft.bench.stages").exists(_ == "true"))
+          (n, sec) => println(
+            "bench-stage q83 " + n + " " + graft.util.Fmt.fmt("%.3f", sec))
+        else (_, _) => ()
       val docs = t(s, dir, "documents").filter(col("text").isNotNull)
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
       val rate = size(filter(toks, x => x === lit("spark"))).cast("double") /
         greatest(size(toks), lit(1)).cast("double")
-      // maxIter 15: L-BFGS on this seed reaches auc 0.9973 (4-decimal
-      // identical to 100 iters at sf0.1) by iteration ~10; the checked
+      // maxIter 8: L-BFGS on this seed reaches auc 0.9973 (4-decimal
+      // identical to 100 iters at sf0.1) by iteration ~8; the checked
       // output (n_pos/n_neg/auc_ok ≥ 0.9) is iteration-insensitive far
       // before that, and every extra gradient pass was pure cost
+      val t0 = System.nanoTime()
       val model = graft.ext.QualityClassifier.distill(
-        docs, "text", rate, threshold = 0.03, dim = 256, maxIter = 15)
+        docs, "text", rate, threshold = 0.03, dim = 256, maxIter = 8)
+      onStage("fit", (System.nanoTime() - t0) / 1e9)
+      val t1 = System.nanoTime()
       val scored = docs.select(
         (rate >= 0.03).cast("int").as("lab"),
         graft.ext.QualityClassifier.scoreColumn(col("text"), model).as("p"))
-      graft.ext.Eval.binaryAuc(scored, "p", "lab")
-        .select(col("n_pos"), col("n_neg"), (col("auc") >= 0.9).as("auc_ok"))
+      val out = graft.util.Caches.snapshot(
+        graft.ext.Eval.binaryAuc(scored, "p", "lab")
+          .select(col("n_pos"), col("n_neg"), (col("auc") >= 0.9).as("auc_ok")))
+      onStage("score-auc", (System.nanoTime() - t1) / 1e9)
+      out
     }),
 
     // Okapi BM25 lexical scoring against a fixed query; fixed-order term

@@ -107,10 +107,19 @@ object VersionedQueries {
 
   /** Pin a mid-choreography read: collect NOW (before later commits or
     * teardown can change what a lazy plan would see) and hand back a
-    * local frame. */
+    * local frame. For SEMANTIC pins only — a read that a later commit
+    * or view drop would change. Do NOT use it on the immutable testdata
+    * slices: r13 pinned those too ("avoid per-commit re-scans") and the
+    * six standalone versioned gates slowed 1.17-1.88x fresh-JVM —
+    * LocalRelation rows re-serialize from the driver into EVERY job of
+    * the choreography (5-7 commits + reads each), which costs more than
+    * the tiny pruned parquet scans it avoided; reverting base pinning
+    * restored the r12 floors exactly (r14 A/B, SCALING.md). coalesce(1):
+    * a LocalRelation otherwise fans out to defaultParallelism partitions
+    * (32 under Bench) and every downstream write pays the fan-out. */
   private def pinned(s: SparkSession, df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema).coalesce(1)
   }
 
   /** CUSTOMER CDF fixture — one table, one commit history, four gates:
@@ -129,12 +138,12 @@ object VersionedQueries {
     * CdfSpec. */
   private def buildCustomerCdf(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
-    // pin the slice driver-side once: every commit, consumer cycle and
-    // oracle-side read otherwise re-scans the parquet through its own
-    // lineage (tiny capped slice — thousands of rows)
-    val cust = pinned(s, customerSlice(s, dir)
+    // the slice stays a plain pruned scan: the source parquet is
+    // immutable, and re-deriving it per commit is cheaper than shipping
+    // LocalRelation rows driver->tasks in every job (see pinned())
+    val cust = customerSlice(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        col("c_acctbal")))
+        col("c_acctbal"))
     VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)    // v0
     val root = java.nio.file.Paths.get(tbl).getParent
     val dst = root.resolve("dst").toString
@@ -214,9 +223,9 @@ object VersionedQueries {
     * invisible to every hash. */
   private def buildOrdersCdf(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
-    val base = pinned(s, ordersSlice(s, dir)
+    val base = ordersSlice(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice"), col("o_custkey")))
+        col("o_totalprice"), col("o_custkey"))
     VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)   // v0
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val state = s"$tbl.state"
@@ -304,9 +313,9 @@ object VersionedQueries {
     * composite read observes it. */
   private def buildSkipping(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
-    val base = pinned(s, ordersSlice(s, dir)
+    val base = ordersSlice(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice")))
+        col("o_orderstatus"), col("o_totalprice"))
     VT.append(s, base, tbl, statsFor = Seq("o_orderkey"))
     VT.compact(s, tbl, targetFiles = 8, clusterBy = Seq("o_orderkey"),
       statsFor = Seq("o_orderkey"), bloomFor = Seq("o_custkey"))
@@ -360,10 +369,8 @@ object VersionedQueries {
     // the log and aggregate it. One row per version; the oracle recomputes
     // each version's state from the same deterministic key-slice algebra.
     "q151_time_travel" -> ((s, dir) => withScratch { tbl =>
-      // pinned once driver-side (tiny capped slice): every commit would
-      // otherwise re-scan the parquet through its own lineage
-      val base = pinned(s, ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
       VT.append(s, base.filter(col("o_orderkey") % 3 === 1), tbl)    // v1
       val src = base.filter(col("o_orderkey") % 5 === 0)
@@ -441,8 +448,8 @@ object VersionedQueries {
     // the file-skip contrast; the driver hash-checks that the pruned
     // read is VALUE-exact against a plain recompute).
     "q156_zorder_scan" -> ((s, dir) => withScratch { tbl =>
-      val base = pinned(s, ordersSlice(s, dir)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")))
+      val base = ordersSlice(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       VT.append(s, base, tbl)
       VT.compact(s, tbl, targetFiles = 16,
         clusterBy = Seq("o_custkey", "o_orderkey"),
@@ -461,10 +468,8 @@ object VersionedQueries {
     // slice algebra — v3 (post-compact) must equal v2 exactly, proving
     // materialization is a logical no-op.
     "q161_deletion_vectors" -> ((s, dir) => withScratch { tbl =>
-      // pinned once driver-side (tiny capped slice): every commit would
-      // otherwise re-scan the parquet through its own lineage
-      val base = pinned(s, ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)    // v0
       VT.deleteWhereDeferred(s, tbl,
         col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v1
@@ -524,10 +529,8 @@ object VersionedQueries {
     // same slice algebra. Exactly-once delivery IS the gate: a replayed
     // or dropped batch shifts every count.
     "q164_versioned_stream" -> ((s, dir) => withScratch { tbl =>
-      // pinned once driver-side (tiny capped slice): every commit would
-      // otherwise re-scan the parquet through its own lineage
-      val base = pinned(s, ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)     // v0
       VT.append(s, base.filter(col("o_orderkey") % 3 === 1), tbl)     // v1
       VT.deleteWhereDeferred(s, tbl,
@@ -606,10 +609,8 @@ object VersionedQueries {
     // rewritten files are exact. The oracle is the plain union algebra:
     // compaction is invisible or it is wrong.
     "q169_auto_compact" -> ((s, dir) => withScratch { tbl =>
-      // pinned once driver-side (tiny capped slice): every commit would
-      // otherwise re-scan the parquet through its own lineage
-      val base = pinned(s, ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       VT.append(s, base.filter(col("o_orderkey") % 6 === 0), tbl)   // v0
       VT.setProperties(tbl, Map(
         VT.AutoCompactProp -> "true",
@@ -631,10 +632,8 @@ object VersionedQueries {
     "q160_cdc_envelope" -> ((s, dir) => {
       val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
-      // pinned once driver-side (tiny capped slice): every commit would
-      // otherwise re-scan the parquet through its own lineage
-      val base = pinned(s, ordersSlice(s, dir)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      val base = ordersSlice(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val row = struct(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"))
       val nullRow = lit(null).cast(rowSchema)

@@ -44,6 +44,24 @@ class ExtSpec extends SparkSpec {
     assert(out(1).getAs[Double]("asof_px") == 1.0)
   }
 
+  test("asOfBackward: NULL keys never match (join semantics, not " +
+    "window-group semantics)") {
+    val quotes = Seq((Option(1L), 10L, 1.0), (Option.empty[Long], 10L, 99.0))
+      .toDF("k", "rts", "px")
+      .select(col("k"), col("rts").cast("timestamp").as("rts"), col("px"))
+    val asks = Seq((Option(1L), 15L), (Option.empty[Long], 15L))
+      .toDF("k", "ts")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"))
+    val out = AsOfJoin.asOfBackward(asks, quotes, Seq("k"), "ts", "rts",
+      Seq("px")).orderBy(col("k").asc_nulls_first).collect()
+    // the null-key LEFT row survives (left-join answer: null fill) but
+    // must NOT pick up the null-key right row — NULL = NULL is not a
+    // join match, and a join-based as-of (DuckDB ASOF) agrees
+    assert(out(0).getAs[Any]("k") == null)
+    assert(out(0).getAs[Any]("asof_px") == null)
+    assert(out(1).getAs[Double]("asof_px") == 1.0)
+  }
+
   test("asOfBackward is row-atomic: a NULL in the winning right row stays NULL") {
     val quotes = Seq((1L, 10L, Some(2.0)), (1L, 20L, None))
       .toDF("k", "rts", "px")
