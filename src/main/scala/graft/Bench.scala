@@ -1,8 +1,5 @@
 package graft
 object Bench {
-  /** The end-of-sweep q95 re-sample's key (see below). */
-  private val RepeatName = "q95r_ivfpq_repeat"
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -104,8 +101,7 @@ object Bench {
     }
     locally {
       val names = SparkEntry.queries.keys.toSeq ++
-        graft.queries.VersionedQueries.fixtureGroups.map(_._1) :+
-        RepeatName
+        graft.queries.VersionedQueries.fixtureGroups.map(_._1)
       val dup = names.groupBy(machineKey).filter(_._2.size > 1)
       require(dup.isEmpty, s"duplicate bench machine keys: $dup")
     }
@@ -156,24 +152,11 @@ object Bench {
       System.gc()
       (name, t, ok)
     }
-    // q95 has been bimodal across rounds (8.9→4.0→8.0 s with no change
-    // on its plan path): a second sample at the END of the sweep, under
-    // its own key, separates JVM/GC session state (samples disagree)
-    // from plan cost (samples agree). Stage-level timings print above
-    // via graft.bench.stages.
-    val repeat = SparkEntry.queries.get("q95_ivfpq_topk").map { fn =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $RepeatName failed: ${e.getMessage}")
-          false
-      }
-      val t = (System.nanoTime() - t0) / 1e9
-      graft.util.Caches.clearAll(spark)
-      System.gc()
-      (RepeatName, t, ok)
-    }
-    val sweep = timed ++ repeat
+    // (r13 ran an end-of-sweep q95 repeat under its own key to separate
+    // JVM/GC session state from plan cost; both samples agreed twice and
+    // the bimodality was attributed to k-means training — diagnostic
+    // retired in r14, freeing its ~4-5 s and its key-space.)
+    val sweep = timed
     // a failed query must NOT contribute its elapsed-until-crash to the
     // machine line — a plan-time throw looks like a 100x speedup to the
     // driver's trend view; it goes to the `failed` list instead
@@ -231,9 +214,6 @@ object Bench {
     }
     val (fxRes, qRes) = results.toSeq.sortBy(_._1)
       .partition(_._1.startsWith("fx"))
-    val qs = (qRes ++ fxRes)
-      .map { case (k, v) => "\"" + machineKey(k) + "\":" + fAdaptive(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // failed queries surface as MISSING keys plus an explicit list (the
     // key is absent only when something broke, never silently)
@@ -242,18 +222,35 @@ object Bench {
       else failed.map(n => graft.util.Fmt.jsonString(machineKey(n)))
         .mkString(""","failed":[""", ",", "]")
     val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
-    // "sub"/"full" (not the long form): every key fights for the same
-    // 1925-char window; the full word is in bench_full.json
-    val annShort = if (annCfg == "sublinear") "sub" else "full"
-    val line = s"""{"metric":"total","value":${graft.util.Fmt.fmt("%.1f", total)},"unit":"sec","ann":"$annShort","queries":$qs$failedJson,"sf":${graft.util.Fmt.jsonString(sfBase)}}"""
-    // tripwire for future growth: past ~1925 chars the driver's tail
-    // window clips the HEAD of this line (r5-r13: parsed=null, first keys
-    // lost) — warn loudly so the overflow is fixed the round it appears,
-    // not discovered in the judge's artifact
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING machine line ${line.length} chars" +
-        " — approaching the 1925-char driver tail window; shrink keys or" +
-        " precision before it clips")
+    // the ANN operating point rides a plain-text line (and
+    // bench_full.json), not the machine line — every byte there fights
+    // for the same 1925-char window
+    println(s"bench-ann $annCfg")
+    def mkLine(f: Double => String) = {
+      val entries = (qRes ++ fxRes)
+        .map { case (k, v) => "\"" + machineKey(k) + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${graft.util.Fmt.fmt("%.1f", total)},"unit":"sec","queries":$entries$failedJson,"sf":${graft.util.Fmt.jsonString(sfBase)}}"""
+    }
+    // Self-healing against query-count growth: past ~1925 chars the
+    // driver's tail window clips the HEAD of this line (rounds 5-13:
+    // parsed=null, first keys lost). If the preferred precision would
+    // clip, degrade to 0.1 s resolution for every value — coarse beats
+    // clipped, and bench_full.json always carries full precision.
+    val preferred = mkLine(fAdaptive)
+    val line =
+      if (preferred.length <= 1900) preferred
+      else {
+        val coarse = mkLine(v => {
+          val s1 = graft.util.Fmt.fmt("%.1f", v)
+          val t1 = s1.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+          if (t1.isEmpty) "0" else t1
+        })
+        System.err.println(s"[bench] machine line ${preferred.length} chars" +
+          s" would clip in the 1925-char tail window; degraded every value" +
+          s" to 0.1 s resolution (${coarse.length} chars)")
+        coarse
+      }
     println(line)
     spark.stop()
   }

@@ -258,6 +258,116 @@ object OpsQueries {
       }
     }),
 
+    // Partitioned write + schema-merge read (SURVEY §2.2 W1 — reference
+    // spark_utils.py:203-245's mergeSchema contract), previously
+    // ScalaTest-only: batch 1 (even keys) writes partitioned by status,
+    // batch 2 (odd keys) APPENDS with an evolved schema (+bonus column),
+    // and the mergeSchema read must union the column (nulls on old
+    // files) AND recover the partition values from directory names
+    // without corruption. The aggregate replays in the oracle from the
+    // same mod-2 algebra — a dropped partition dir, a mis-typed
+    // partition value, or a lost evolved column flips a sum.
+    "q176_partitioned_rt" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-w1")
+      try {
+        val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(12,2)").as("amt"))
+        val path = scratch.resolve("t").toString
+        graft.io.Writers.writeParquet(
+          base.filter(col("o_orderkey") % 2 === 0), path,
+          partitionBy = Seq("o_orderstatus"))
+        graft.io.Writers.writeParquet(
+          base.filter(col("o_orderkey") % 2 === 1)
+            .withColumn("bonus", col("o_orderkey") * 3),
+          path, mode = "append", partitionBy = Seq("o_orderstatus"))
+        val out = graft.io.Writers.readMerged(s, path)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            Q.dsum(col("amt")).as("total"), sum(col("bonus")).as("bonus_sum"))
+          .orderBy(col("o_orderstatus"))
+        graft.util.Caches.snapshot(out)
+      } finally {
+        val walk = java.nio.file.Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }),
+
+    // EP2 upsertParquet END-TO-END on disk (bootstrap write -> staged
+    // merge -> atomic directory swap, advisory writer lock, observed
+    // merge stats), previously ScalaTest-only: bootstrap the mod-3
+    // survivors partitioned by status, upsert the even-key source
+    // (price+1000, status 'U' — rows MOVE partitions), read the swapped
+    // table back. The '~stats' row hashes the REAL inserted/updated
+    // counts (observed on the staging write, not recounted); the final
+    // state replays q13's merge algebra in the oracle. A partition-value
+    // type corruption, a lost swap, or wrong stats all flip the hash.
+    "q177_upsert_parquet" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ep2")
+      try {
+        val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val path = scratch.resolve("t").toString
+        graft.io.Upsert.upsertParquet(s,
+          base.filter(col("o_orderkey") % 3 =!= 0), path,
+          keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+        val stats = graft.io.Upsert.upsertParquet(s,
+          base.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+            .withColumn("o_orderstatus", lit("U")),
+          path, keys = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+        val out = s.read.parquet(path)
+          .groupBy(col("o_orderstatus").as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            Q.dsum(col("o_totalprice")).as("total"))
+          .unionByName(s.range(1).select(lit("~stats").as("bucket"),
+            lit(stats.inserted).as("n"), lit(stats.updated).as("key_sum"),
+            lit(null).cast("double").as("total")))
+          .orderBy(col("bucket"))
+        graft.util.Caches.snapshot(out)
+      } finally {
+        val walk = java.nio.file.Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }),
+
+    // CSV WRITE/READ round trip (SURVEY §2.1/§2.2 S5's CSV sink shape):
+    // timestamps, decimals and keys written to CSV by the engine and
+    // read back through Readers.readCsv with an explicit schema must
+    // aggregate identically to the parquet source — the gate pins the
+    // write format <-> read parse agreement (the classic silent-loss
+    // spot: timestamp format mismatches shift values instead of
+    // failing). Grouped per DAY so the timestamp survives the round
+    // trip on the hashed path itself.
+    "q178_csv_roundtrip" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-csvrt")
+      try {
+        val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice").cast("decimal(12,2)").as("amt"))
+        val path = scratch.resolve("t").toString
+        base.write.option("header", "true").csv(path)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderdate TIMESTAMP, amt DECIMAL(12,2)")
+        val out = graft.io.Readers.readCsv(s, path, Some(schema))
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            Q.dsum(col("amt")).as("total"))
+          .orderBy(col("day"))
+        graft.util.Caches.snapshot(out)
+      } finally {
+        val walk = java.nio.file.Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }),
+
     // PERMISSIVE JSON corrupt-record channel (SURVEY §2.1 S2 — reference
     // spark_utils.py:150-151): mixed-validity JSON lines synthesized from
     // the customer slice — structurally invalid JSON (whole row nulls),
@@ -410,6 +520,64 @@ object OpsQueries {
         |  FROM base WHERE k % 7 NOT IN (0, 1, 2) GROUP BY st)
         |SELECT * FROM corrupt UNION ALL SELECT * FROM clean
         |ORDER BY bucket""".stripMargin,
+
+    // Replays the two-batch evolution: even keys carry no bonus (NULL
+    // through the schema merge), odd keys carry key*3.
+    "q176_partitioned_rt" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt
+        |  FROM orders WHERE o_orderkey < 20000),
+        |u AS (
+        |  SELECT k, st, amt, CAST(NULL AS BIGINT) AS bonus FROM base
+        |  WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT k, st, amt, k * 3 AS bonus FROM base WHERE k % 2 = 1)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(SUM(bonus) AS BIGINT) AS bonus_sum
+        |FROM u GROUP BY st ORDER BY st""".stripMargin,
+
+    // q13's merge algebra on the on-disk swap path, plus the real
+    // inserted/updated counts in the '~stats' row: inserted = source
+    // keys absent from the bootstrap (even AND mod-3), updated = the
+    // rest of the source (even, not mod-3).
+    "q177_upsert_parquet" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey < 20000),
+        |t0 AS (SELECT * FROM base WHERE k % 3 <> 0),
+        |src AS (SELECT k, p + 1000.0 AS p, 'U' AS st FROM base
+        |  WHERE k % 2 = 0),
+        |merged AS (
+        |  SELECT COALESCE(s.k, t.k) AS k,
+        |    CASE WHEN s.k IS NOT NULL THEN s.p ELSE t.p END AS p,
+        |    CASE WHEN s.k IS NOT NULL THEN s.st ELSE t.st END AS st
+        |  FROM t0 t FULL OUTER JOIN src s ON t.k = s.k),
+        |agg AS (
+        |  SELECT st AS bucket, COUNT(*) AS n,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM merged GROUP BY st),
+        |stats AS (
+        |  SELECT '~stats' AS bucket,
+        |    CAST(SUM(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN k % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS key_sum,
+        |    CAST(NULL AS DOUBLE) AS total
+        |  FROM base WHERE k % 2 = 0)
+        |SELECT * FROM agg UNION ALL SELECT * FROM stats
+        |ORDER BY bucket""".stripMargin,
+
+    // the parquet-source recompute the CSV round trip must land on
+    "q178_csv_roundtrip" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey < 20000
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     // Mod-5 algebra: 0 = invalid JSON (nothing salvages — key_sum counts
     // only shape 1, total is NULL), 1 = type-mismatched decimal (key and

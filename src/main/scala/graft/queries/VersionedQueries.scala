@@ -38,6 +38,34 @@ object VersionedQueries {
   private def customerSlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_custkey") < 5000)
 
+  /** Stage timer for the fixture choreographies (Bench/TimeQ set
+    * graft.bench.stages): prints `bench-stage <fx> <name> <sec>` so a
+    * fixture regression names its SEGMENT (commit vs stream-fold vs
+    * consumer cycle), not just its total. Zero cost when unset. */
+  private def stage[T](fx: String, name: String)(body: => T): T =
+    if (sys.props.get("graft.bench.stages").contains("true")) {
+      val t0 = System.nanoTime()
+      try body finally println("bench-stage " + fx + " " + name + " " +
+        graft.util.Fmt.fmt("%.3f", (System.nanoTime() - t0) / 1e9))
+    } else body
+
+  /** Run a fixture choreography under a small shuffle-partition count,
+    * restoring the session value after. The scratch tables are a few
+    * thousand rows, but every commit/fold/consumer-cycle job inherits
+    * the session's 32 shuffle partitions — dozens of near-empty tasks
+    * per job across the ~10 sequential jobs of a choreography is pure
+    * scheduling overhead (the q47 lesson: size the partitions to the
+    * state). Values are partitioning-independent (the hash gate proves
+    * it); only wall clock changes. Streaming STATE partitions pin into
+    * each query's checkpoint at first start, so the setting covers the
+    * .start() calls too. */
+  private def withFewPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   private def withScratch[T](body: String => DataFrame): DataFrame = {
     val dir = Files.createTempDirectory("graft-vq")
     try graft.util.Caches.snapshot(body(dir.resolve("t").toString))
@@ -78,7 +106,8 @@ object VersionedQueries {
         if (!memo.containsKey(key)) {
           val scratch = Files.createTempDirectory("graft-vq")
           try {
-            val outs = build(s, dir, scratch.resolve("t").toString)
+            val outs = withFewPartitions(s) {
+              build(s, dir, scratch.resolve("t").toString) }
             outs.foreach { case (n, df) =>
               // collect in the member's declared order; the gate compare
               // sorts rows anyway, but keep dumps deterministic
@@ -144,7 +173,8 @@ object VersionedQueries {
     val cust = customerSlice(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("c_acctbal"))
-    VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl)    // v0
+    stage("fx1", "v0-append") {
+      VT.append(s, cust.filter(col("c_custkey") % 2 === 0), tbl) }  // v0
     val root = java.nio.file.Paths.get(tbl).getParent
     val dst = root.resolve("dst").toString
     val state = root.resolve("state").toString
@@ -155,23 +185,30 @@ object VersionedQueries {
       graft.io.ChangeConsumer.maintainSumState(s, tbl, state,
         Seq("c_custkey"), Seq("c_mktsegment"), "c_acctbal", ckS)
     }
-    consumeCycle() // both consumers bootstrap from the v0 snapshot
+    // both consumers bootstrap from the v0 snapshot
+    stage("fx1", "consumers-bootstrap") { consumeCycle() }
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val dim = s"$tbl.dim"
-    val q = graft.streaming.Streams.scd2Sink(
-      s, tbl, dim, "c_custkey", s"$tbl.ck",
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    val q = stage("fx1", "scd2-start") {
+      graft.streaming.Streams.scd2Sink(
+        s, tbl, dim, "c_custkey", s"$tbl.ck",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    }
     try {
-      q.processAllAvailable() // bootstrap: every snapshot key opens
+      // bootstrap: every snapshot key opens
+      stage("fx1", "scd2-bootstrap") { q.processAllAvailable() }
       val src = cust.filter(col("c_custkey") % 3 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 50.0)
-      VT.merge(s, src, tbl, Seq("c_custkey"))                     // v2
-      VT.deleteWhereDeferred(s, tbl, col("c_custkey") % 10 === 4) // v3
+      stage("fx1", "merge-v2") {
+        VT.merge(s, src, tbl, Seq("c_custkey")) }                 // v2
+      stage("fx1", "delete-v3") {
+        VT.deleteWhereDeferred(s, tbl, col("c_custkey") % 10 === 4) } // v3
       // both commits fold before this returns — as one batch or two
       // depending on poll timing; the dim is batch-boundary-independent
-      q.processAllAvailable()
+      stage("fx1", "scd2-fold") { q.processAllAvailable() }
     } finally q.stop()
-    consumeCycle() // incremental: change feed v1→v3 into both consumers
+    // incremental: change feed v1→v3 into both consumers
+    stage("fx1", "consumers-incremental") { consumeCycle() }
     val fromMirror = VT.snapshot(s, dst)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("total"))
@@ -226,28 +263,39 @@ object VersionedQueries {
     val base = ordersSlice(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_custkey"))
-    VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl)   // v0
+    stage("fx2", "v0-append") {
+      VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl) } // v0
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val state = s"$tbl.state"
-    val mv = graft.streaming.Streams.materializedViewSink(
-      s, tbl, state, Seq("o_orderstatus"), "o_totalprice", s"$tbl.ckmv",
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    val mv = stage("fx2", "mv-start") {
+      graft.streaming.Streams.materializedViewSink(
+        s, tbl, state, Seq("o_orderstatus"), "o_totalprice", s"$tbl.ckmv",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    }
     val name = s"q166_stream_${System.nanoTime()}"
-    val q = s.readStream.format("graft-versioned")
-      .option("readChangeFeed", "true").load(tbl)
-      .writeStream.format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation", s"$tbl.ck").start()
+    val q = stage("fx2", "cdf-stream-start") {
+      s.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true").load(tbl)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", s"$tbl.ck").start()
+    }
     try {
-      q.processAllAvailable()  // snapshot batch: v0 state as inserts
-      mv.processAllAvailable() // MV bootstrap from the same snapshot
+      // snapshot batch: v0 state as inserts
+      stage("fx2", "cdf-bootstrap") { q.processAllAvailable() }
+      // MV bootstrap from the same snapshot
+      stage("fx2", "mv-bootstrap") { mv.processAllAvailable() }
       val src = base.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
         .withColumn("o_orderstatus", lit("U"))
-      VT.merge(s, src, tbl, Seq("o_orderkey"))                    // v2
-      VT.deleteWhereDeferred(s, tbl,
-        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v3
-      q.processAllAvailable()  // change tail: v2 + v3 envelopes
-      mv.processAllAvailable() // incremental refresh: O(changes), no rescan
+      stage("fx2", "merge-v2") {
+        VT.merge(s, src, tbl, Seq("o_orderkey")) }                // v2
+      stage("fx2", "delete-v3") {
+        VT.deleteWhereDeferred(s, tbl,
+          col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) } // v3
+      // change tail: v2 + v3 envelopes
+      stage("fx2", "cdf-fold") { q.processAllAvailable() }
+      // incremental refresh: O(changes), no rescan
+      stage("fx2", "mv-fold") { mv.processAllAvailable() }
     } finally { q.stop(); mv.stop() }
     val q166 = pinned(s, s.table(name)
       .groupBy(col("_change_type").as("change_type"))
