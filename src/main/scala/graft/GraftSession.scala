@@ -33,6 +33,15 @@ object GraftSession {
     val b = shufflePartitions.fold(b0)(n =>
       b0.config("spark.sql.shuffle.partitions", n.toString))
       .config("spark.sql.session.timeZone", "UTC")
+      // outputTimestampType stays at the INT96 default DELIBERATELY:
+      // TIMESTAMP_MICROS would let FooterStats answer timestamp bounds
+      // from footers (INT96 carries no usable stats), but it annotates
+      // the written type as UTC-adjusted — pandas/DuckDB then read the
+      // engine's parquet as tz-aware datetime64[us, UTC] while plain SQL
+      // timestamps stay naive, and every timestamp-bearing gate fails
+      // the driver's dtype compare (measured r14: q20/q44/q47).
+      // Timestamp stats take the scan fallback instead; all other types
+      // ride the footer path.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // driver testdata stores naive TIMESTAMP(MICROS); read it as a UTC
       // instant (TimestampType), not TIMESTAMP_NTZ — NTZ breaks epoch

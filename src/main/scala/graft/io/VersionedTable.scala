@@ -1192,7 +1192,35 @@ object VersionedTable {
     * strings; all-null columns yield no min/max entry but DO record
     * their null count, which is what lets the planner prune them for
     * null-rejecting predicates. */
-  private def computeStats(spark: SparkSession, table: String,
+  private[io] def computeStats(spark: SparkSession, table: String,
+      files: Seq[String], statsFor: Seq[String]): FileStats = {
+    if (statsFor.isEmpty || files.isEmpty) return Map.empty
+    // FOOTER-FIRST: the parquet writer already computed per-chunk
+    // min/max/null/row statistics — read them back (O(files) metadata,
+    // no Spark job) instead of re-scanning every just-written byte. The
+    // scan pass below survives as the fallback for column types whose
+    // footer stats cannot render byte-identically (DECIMAL, INT96/NTZ
+    // timestamps — see FooterStats) and for unreadable footers. At
+    // 100 TB the scan pass DOUBLED a stats-tracked append's I/O; the
+    // footer pass makes stats cost independent of data volume.
+    FooterStats.tryCompute(table, files,
+        statsFor.filterNot(_.startsWith("__"))) match {
+      case Some((footer, scanCols)) =>
+        if (scanCols.isEmpty) return footer
+        val scanned = scanStats(spark, table, files, scanCols)
+        // per-file union; both sides carry an identical exact RowsKey
+        return (footer.keySet ++ scanned.keySet).map { f =>
+          f -> (footer.getOrElse(f, Map.empty) ++
+            scanned.getOrElse(f, Map.empty))
+        }.toMap
+      case None => return scanStats(spark, table, files, statsFor)
+    }
+  }
+
+  /** The scan-based stats pass (pre-r14 computeStats body): one Spark
+    * aggregate over the just-written files. Fallback only — see
+    * [[FooterStats]]. */
+  private[io] def scanStats(spark: SparkSession, table: String,
       files: Seq[String], statsFor: Seq[String]): FileStats = {
     if (statsFor.isEmpty || files.isEmpty) return Map.empty
     val df = spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
@@ -1295,10 +1323,19 @@ object VersionedTable {
     val cols = bloomFor.filter(df.columns.contains)
       .filterNot(_.startsWith("__")) // reserved-key namespace, never indexed
     if (cols.isEmpty) return Nil
-    // pass 1: per-file row counts → power-of-4 size classes
-    val counts: Seq[(String, Long)] = df
-      .groupBy(col("_metadata.file_path")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // pass 1: per-file row counts → power-of-4 size classes. Footer
+    // metadata first (O(files), no job — the same lever as computeStats'
+    // footer pass); the count job survives as the fallback. Both yield
+    // PLAIN filesystem paths for the per-class reads below.
+    val counts: Seq[(String, Long)] =
+      FooterStats.rowCounts(table, files) match {
+        case Some(m) => m.toSeq.map { case (n, c) =>
+          Paths.get(table, n).toString -> c
+        }
+        case None => df.groupBy(col("_metadata.file_path")).count()
+          .collect().map(r =>
+            new java.net.URI(r.getString(0)).getPath -> r.getLong(1)).toSeq
+      }
     def sizeClass(n: Long): Int =
       (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) / 2
     def numBits(items: Long): Long = math.min(1L << 26,
@@ -1335,8 +1372,7 @@ object VersionedTable {
         if (written + projected > maxBytes) {
           skipped += members.size
         } else {
-          val sub = spark.read.parquet(
-            members.map(m => new java.net.URI(m._1).getPath): _*)
+          val sub = spark.read.parquet(members.map(_._1): _*)
           val aggs = cols.map { c =>
             Bridge.column(new BloomFilterAggregate(
               new XxHash64(Seq(Bridge.expression(col(c)))),

@@ -336,6 +336,69 @@ object OpsQueries {
       }
     }),
 
+    // External-table DDL (SURVEY §2.2 W2 — reference
+    // spark_utils.py:248-282), previously ScalaTest-only: a partitioned
+    // parquet location registered via CREATE DATABASE / CREATE TABLE
+    // USING PARQUET LOCATION + MSCK REPAIR, then read back THROUGH THE
+    // CATALOG (spark.table). MSCK partition discovery is the load-
+    // bearing step — without it an external partitioned table reads as
+    // zero rows, which is exactly the silent failure the hash catches.
+    // Registered under the default database (no warehouse side effects);
+    // unique table name per run, dropped on the way out.
+    "q179_register_table" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-w2")
+      val tbl = s"q179_t_${System.nanoTime()}"
+      try {
+        val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").as("amt"),
+            col("o_orderstatus"))
+        val path = scratch.resolve("t").toString
+        graft.io.Writers.writeParquet(base, path,
+          partitionBy = Seq("o_orderstatus"))
+        graft.io.Writers.registerTable(s, path, "default", tbl,
+          partitioned = true)
+        val out = s.table(s"default.$tbl")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            Q.dsum(col("amt")).as("total"))
+          .orderBy(col("o_orderstatus"))
+        graft.util.Caches.snapshot(out)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS default.`$tbl`")
+        val walk = java.nio.file.Files.walk(scratch)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }),
+
+    // Managed-table append sink (SURVEY §2.2 W3 — reference
+    // monitoring.py:224-235), previously ScalaTest-only: two
+    // appendToTable batches into a managed parquet table (created on
+    // first write), read back through the catalog. A lost batch, a
+    // create-vs-append mode bug, or a schema drift between batches
+    // flips the hash. Managed DROP cleans the warehouse copy.
+    "q180_append_table" -> ((s, dir) => {
+      val tbl = s"q180_t_${System.nanoTime()}"
+      try {
+        val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").as("amt"),
+            col("o_orderstatus"))
+        graft.io.Writers.appendToTable(
+          base.filter(col("o_orderkey") % 2 === 0), tbl)
+        graft.io.Writers.appendToTable(
+          base.filter(col("o_orderkey") % 2 === 1), tbl)
+        val out = s.table(tbl)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            Q.dsum(col("amt")).as("total"))
+          .orderBy(col("o_orderstatus"))
+        graft.util.Caches.snapshot(out)
+      } finally s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    }),
+
     // CSV WRITE/READ round trip (SURVEY §2.1/§2.2 S5's CSV sink shape):
     // timestamps, decimals and keys written to CSV by the engine and
     // read back through Readers.readCsv with an explicit schema must
@@ -569,6 +632,25 @@ object OpsQueries {
         |  FROM base WHERE k % 2 = 0)
         |SELECT * FROM agg UNION ALL SELECT * FROM stats
         |ORDER BY bucket""".stripMargin,
+
+    // plain per-status recompute — the catalog round trip must be
+    // value-invisible
+    "q179_register_table" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey < 20000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // both appended halves together = the plain slice recompute
+    "q180_append_table" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey < 20000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the parquet-source recompute the CSV round trip must land on
     "q178_csv_roundtrip" ->
