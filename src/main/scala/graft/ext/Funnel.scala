@@ -25,8 +25,13 @@ object Funnel {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
+    // a NULL user is not a user: unfiltered it would count into stage 0
+    // (groupBy keeps the null group) but could never convert (the stage
+    // joins drop null keys), silently deflating pct_of_first — the
+    // entryPaths/transitionMatrix null-key rule applies here too
+    val evs = events.filter(col(userCol).isNotNull)
     // survivors(i): (user, __t) = first time the user completed stage i
-    var survivors = events
+    var survivors = evs
       .filter(col(typeCol) === stages.head && col(tsCol).isNotNull)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("__t"))
@@ -36,7 +41,7 @@ object Funnel {
         col("n_users"))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
       val prev = survivors.withColumnRenamed("__t", "__tprev")
-      survivors = events
+      survivors = evs
         .filter(col(typeCol) === st && col(tsCol).isNotNull)
         .join(prev, Seq(userCol))
         .filter(col(tsCol) > col("__tprev"))
@@ -68,11 +73,15 @@ object Funnel {
     * so the join input is bounded by users × active-days, not raw events;
     * cohort sizes re-attach via broadcast (one row per cohort day). Null
     * timestamps are excluded (they belong to completeness checks, not the
-    * activity baseline). */
+    * activity baseline), and so are NULL users: unfiltered, a null user
+    * would inflate its cohort_day's n_cohort (groupBy keeps the null
+    * group) while never counting active (the activity join drops null
+    * keys) — a silently deflated retention denominator. */
   def retention(events: DataFrame, userCol: String, tsCol: String,
       maxOffset: Int): DataFrame = {
     require(maxOffset >= 0, "maxOffset >= 0")
-    val nonNull = events.filter(col(tsCol).isNotNull)
+    val nonNull = events.filter(col(tsCol).isNotNull &&
+      col(userCol).isNotNull)
     val firstDay = nonNull.groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("cohort_day"))
     val activeDays = nonNull

@@ -65,8 +65,22 @@ object GapFill {
     val spine = spans.select(col(keyCol),
       explode(sequence(col("__d0"), col("__d1"),
         expr("interval 1 day"))).as(dateCol))
-    val joined = spine.join(
-      df.withColumn("__obs", lit(1)), Seq(keyCol, dateCol), "left")
+    // NULL-SAFE key equality: the spine's null-key row EXISTS because the
+    // input has a null-key group (groupBy kept it) — a plain equi-join
+    // would then never match those observations back, silently turning
+    // every real null-key row into a zero-filled synthetic one. <=> keeps
+    // the null group behaving like any other key, consistent with the
+    // window fills below (partitionBy also groups nulls).
+    val obs = df.withColumn("__obs", lit(1))
+    val projected: Seq[org.apache.spark.sql.Column] =
+      Seq(col(s"__sp.$keyCol").as(keyCol),
+        col(s"__sp.$dateCol").as(dateCol)) ++
+        obs.columns.filterNot(c => c == keyCol || c == dateCol)
+          .map(c => col(s"__ob.$c").as(c))
+    val joined = spine.alias("__sp").join(obs.alias("__ob"),
+        col(s"__sp.$keyCol") <=> col(s"__ob.$keyCol") &&
+          col(s"__sp.$dateCol") <=> col(s"__ob.$dateCol"), "left")
+      .select(projected: _*)
     val zeroed = fillZero.foldLeft(joined) { (acc, c) =>
       acc.withColumn(c, coalesce(col(c), lit(0L)))
     }

@@ -129,6 +129,18 @@ object VersionedTable {
 
   // ---------------------------------------------------------------- log IO
 
+  /** Prop-gated (graft.bench.stages) micro-timer for the write ops'
+    * internal segments: prints `bench-stage vt <op>.<seg> <sec>` so a
+    * per-commit cost regression names its segment (hit-scan vs write vs
+    * CDF capture vs stats vs commit), not just the op total. Zero cost
+    * when the property is unset. */
+  private def opStage[T](op: String, seg: String)(body: => T): T =
+    if (sys.props.get("graft.bench.stages").contains("true")) {
+      val t0 = System.nanoTime()
+      try body finally println("bench-stage vt " + op + "." + seg + " " +
+        Fmt.fmt("%.3f", (System.nanoTime() - t0) / 1e9))
+    } else body
+
   private def logPath(table: String): Path = Paths.get(table, LogDir)
 
   private def versionFile(table: String, v: Long): Path =
@@ -2036,7 +2048,8 @@ object VersionedTable {
           "bootstrap the table with append or applyChanges first")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val hitPaths = hitFilePaths(spark, table, st, schema, srcKeys, keys)
+    val hitPaths = opStage("merge", "hit-scan") {
+      hitFilePaths(spark, table, st, schema, srcKeys, keys) }
     // conform hit rows to the LOG schema, not the hit files' physical
     // one: under schema evolution an old file lacks newer columns, and
     // merging against its raw shape would silently drop the source's
@@ -2077,9 +2090,9 @@ object VersionedTable {
     // file-count discipline: a surgical update is sized to the files it
     // touched (no per-merge fragmentation by shuffle-partition count); a
     // pure-insert merge (no hits) keeps its natural write parallelism
-    val added = writeDataFiles(
+    val added = opStage("merge", "write") { writeDataFiles(
       if (hitNames.nonEmpty) merged.coalesce(math.max(1, hitNames.size))
-      else merged, table)
+      else merged, table) }
     // change capture (CDF): pre-images come from the hit rows whose key
     // the source names; post-images and inserts are read BACK from the
     // just-written files (byte-identical to what landed, and no second
@@ -2088,7 +2101,7 @@ object VersionedTable {
       // an empty source writes nothing (added = Nil) and changes
       // nothing — skip capture rather than read zero parquet paths
       if (!cdfEnabled(st.props) || added.isEmpty) Nil
-      else {
+      else opStage("merge", "cdf-capture") {
         val landed = spark.read.option("mergeSchema", "true").parquet(
           added.map(f => Paths.get(table, f).toString): _*)
         // keyJoin (null-safe <=>), like applyChanges' capture: NULL is
@@ -2111,20 +2124,24 @@ object VersionedTable {
       }
     // record the MERGED schema (a source can itself evolve the table —
     // the overwrite-based merge recorded the post-merge shape too)
+    val mergeStats = opStage("merge", "stats") { withSizes(table, added,
+      computeStats(spark, table, added, trackedStatColumns(st))) }
+    val mergeBlooms = opStage("merge", "blooms") { computeBlooms(spark,
+      table, added, trackedBloomColumns(table, st), 0.03) }
+    opStage("merge", "commit") {
     commitLoop(table, "merge", added, _ => hitNames, merged.schema.json,
       readVersion = Some(rv),
       // sticky indexing: the rewrite re-records whatever the table
       // tracks for its new files — skipping must not decay under MERGE
-      stats = withSizes(table, added,
-        computeStats(spark, table, added, trackedStatColumns(st))),
-      bloomAdd = computeBlooms(spark, table, added,
-        trackedBloomColumns(table, st), 0.03),
+      stats = mergeStats,
+      bloomAdd = mergeBlooms,
       revalidate = () => {
         enforceAppendSchema(table, merged.schema, mergeSchema = true)
         enforceConstraints(table, merged)
       },
       rebaseOverAdds = isolation == Isolation.WriteSerializable,
       cdcAdd = cdc)
+    }
   }
 
   /** File-granular DELETE: rewrite ONLY the files that contain matching

@@ -28,6 +28,12 @@ object Scd2 {
   def build(changes: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     changes
+      // a null-ts change evidences no point in time (the AsOfJoin rule):
+      // unfiltered it sorts NULLS FIRST and becomes the key's "oldest"
+      // version with effective_from = null — a version `lookup`'s
+      // validity predicate can never match, yet flagged is_current when
+      // it is the only row. Drop it.
+      .filter(col(tsCol).isNotNull)
       .withColumn("effective_from", col(tsCol))
       .withColumn("effective_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)

@@ -939,7 +939,8 @@ object Temporal {
         |  COALESCE(d.n, 0) AS n,
         |  (d.n IS NULL) AS is_filled
         |FROM spine s LEFT JOIN daily d
-        |  ON s.event_type = d.event_type AND s.day = d.day
+        |  ON s.event_type IS NOT DISTINCT FROM d.event_type
+        |  AND s.day IS NOT DISTINCT FROM d.day
         |ORDER BY s.event_type, s.day""".stripMargin,
 
     "q91_event_sequences" ->

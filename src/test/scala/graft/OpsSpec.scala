@@ -511,6 +511,67 @@ class OpsSpec extends SparkSpec {
       (d(2), 2L, 1L, 1L, 1.0)))   // user 3 back on day 4
   }
 
+  test("Scd2.build drops null-ts changes instead of minting an " +
+    "unreachable oldest version") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val chg = Seq((1L, Option(ts(0)), "a"), (1L, Option.empty[java.sql.Timestamp], "junk"),
+      (2L, Option.empty[java.sql.Timestamp], "only-junk"))
+      .toDF("k", "ts", "v")
+    val dim = graft.ops.Scd2.build(chg, "k", "ts").collect()
+    // key 1 keeps ONLY its real change (current); key 2 vanishes — a
+    // null-ts change evidences no point in time, and before the filter
+    // it became an is_current version lookup could never match
+    assert(dim.length == 1)
+    assert(dim.head.getAs[Long]("k") == 1L &&
+      dim.head.getAs[String]("v") == "a" &&
+      dim.head.getAs[Boolean]("is_current"))
+  }
+
+  test("funnel and retention exclude NULL users (a null key is not a user)") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (Option(1L), ts(0), "signup"), (Option(1L), ts(1), "view"),
+      // a null-user signup: without the filter it counts into stage 0
+      // (inflating the denominator) but can never convert
+      (Option.empty[Long], ts(0), "signup"),
+      (Option.empty[Long], ts(1), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val f = graft.ext.Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("signup", "view")).collect()
+    val byStage = f.map(r => r.getAs[String]("stage") ->
+      r.getAs[Long]("n_users")).toMap
+    assert(byStage == Map("signup" -> 1L, "view" -> 1L))
+    assert(f.forall(_.getAs[Double]("pct_of_first") == 1.0))
+    val r = graft.ext.Funnel.retention(events, "user_id", "ts", 14)
+      .collect()
+    // one real user, one cohort row at offset 0, denominator 1 (the null
+    // user must not inflate n_cohort)
+    assert(r.length == 1 && r.head.getAs[Long]("n_cohort") == 1L &&
+      r.head.getAs[Double]("retention") == 1.0)
+  }
+
+  test("GapFill.daily: null-key observations survive the spine join " +
+    "(null-safe key equality)") {
+    val d = (i: Int) => java.sql.Date.valueOf(f"2024-03-$i%02d")
+    val df = Seq(
+      (Option("a"), d(1), 5L), (Option("a"), d(3), 7L),
+      // a null-key group: its own span creates spine rows, so its
+      // observations must match back instead of zero-filling
+      (Option.empty[String], d(1), 9L), (Option.empty[String], d(2), 11L))
+      .toDF("k", "day", "n")
+    val out = graft.ext.GapFill.daily(df, "k", "day", fillZero = Seq("n"))
+      .orderBy(col("k").asc_nulls_first, col("day")).collect()
+    val nullRows = out.filter(_.isNullAt(0))
+    assert(nullRows.map(r => (r.getDate(1).toString, r.getLong(2),
+      r.getBoolean(3))).toSeq == Seq(
+      ("2024-03-01", 9L, false), ("2024-03-02", 11L, false)))
+    val aRows = out.filterNot(_.isNullAt(0))
+    assert(aRows.map(r => (r.getDate(1).toString, r.getLong(2),
+      r.getBoolean(3))).toSeq == Seq(
+      ("2024-03-01", 5L, false), ("2024-03-02", 0L, true),
+      ("2024-03-03", 7L, false)))
+  }
+
   test("IncrementalAgg: merged partition states equal the full recompute") {
     import graft.ops.IncrementalAgg._
     val full = Tables.load(spark, sfDir, "events")
