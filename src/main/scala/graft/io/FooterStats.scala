@@ -40,6 +40,29 @@ import org.apache.spark.sql.types._
   */
 private[io] object FooterStats {
 
+  /** Bounded parallelism for driver-side footer reads: a commit of
+    * thousands of files must not serialize thousands of ~ms metadata
+    * opens (10k files ≈ tens of seconds single-threaded), and must not
+    * spawn unbounded threads either. Shared fixed pool, daemon threads. */
+  private lazy val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-footer-stats")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Map `files` through `f` on the footer pool, preserving order;
+    * rethrows the first failure. */
+  private def parMap[T](files: Seq[String])(f: String => T): Seq[T] = {
+    import scala.jdk.CollectionConverters._
+    val tasks: java.util.List[java.util.concurrent.Callable[T]] =
+      files.map(file => new java.util.concurrent.Callable[T] {
+        override def call(): T = f(file)
+      }).asJava
+    pool.invokeAll(tasks).asScala.toSeq.map(_.get())
+  }
+
   /** Spark types whose footer statistics render byte-identically to the
     * scan path's `CAST(v AS STRING)` (TIMESTAMP handled separately —
     * micros — and only when physically INT64). */
@@ -56,7 +79,7 @@ private[io] object FooterStats {
       : Option[(Map[String, Map[String, (String, String)]], Seq[String])] =
     try {
       val conf = new Configuration()
-      val perFile = files.map { f =>
+      val perFile = parMap(files) { f =>
         val p = Paths.get(table, f)
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(new HPath(p.toUri), conf))
@@ -65,7 +88,10 @@ private[io] object FooterStats {
           val meta = footer.getFileMetaData
           val sparkJson = meta.getKeyValueMetaData
             .get("org.apache.spark.sql.parquet.row.metadata")
-          if (sparkJson == null) return None
+          // no Spark schema metadata: signal "fall back" via exception
+          // (parMap rethrows; tryCompute's NonFatal catch returns None)
+          if (sparkJson == null)
+            throw new IllegalStateException(s"no spark schema in $f")
           val sparkSchema =
             DataType.fromJson(sparkJson).asInstanceOf[StructType]
           val blocks = footer.getBlocks.asScala.toSeq
@@ -142,7 +168,7 @@ private[io] object FooterStats {
       : Option[Map[String, Long]] =
     try {
       val conf = new Configuration()
-      Some(files.map { f =>
+      Some(parMap(files) { f =>
         val p = Paths.get(table, f)
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(new HPath(p.toUri), conf))
