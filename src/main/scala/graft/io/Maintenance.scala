@@ -27,14 +27,21 @@ object Maintenance {
     * read+rewrite would flatten `col=value` directories into data columns
     * with partition-type inference applied, silently corrupting string
     * partition keys ("007" → int 7) and destroying the pruning layout. */
-  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
-    recoverOrphanedSwap(path)
-    val staging = s"$path.staging-compact"
-    val (df, parts) = readPreservingLayout(spark, path)
-    val w = df.coalesce(targetFiles).write.mode("overwrite")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging)
-    swap(path, staging)
-  }
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+      staleLockMs: Long = 60L * 60 * 1000): Unit =
+    // the SAME writer lock as upsertParquet: maintenance is a writer.
+    // Unlocked, a compact that read the table before a concurrent
+    // upsert's swap and swapped AFTER it would silently replace the
+    // merged table with compacted PRE-merge data — a lost update on the
+    // scheduled-maintenance-vs-ingest race every deployment runs.
+    Upsert.withWriterLock(path, staleLockMs) {
+      recoverOrphanedSwap(path)
+      val staging = s"$path.staging-compact"
+      val (df, parts) = readPreservingLayout(spark, path)
+      val w = df.coalesce(targetFiles).write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging)
+      swap(path, staging)
+    }
 
   /** ZORDER-approximation: cluster rows so min/max stats prune on `cols`.
     * A true Z-curve interleaves bits of all columns; lexicographic
@@ -42,17 +49,19 @@ object Maintenance {
     * column and good pruning on followers, with zero custom code.
     * Partition-layout-preserving like [[compact]]. */
   def clusterBy(spark: SparkSession, path: String, cols: Seq[String],
-      targetFiles: Int): Unit = {
-    recoverOrphanedSwap(path)
-    val staging = s"$path.staging-cluster"
-    val (df, parts) = readPreservingLayout(spark, path)
-    val w = df
-      .repartitionByRange(targetFiles, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*)
-      .write.mode("overwrite")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging)
-    swap(path, staging)
-  }
+      targetFiles: Int, staleLockMs: Long = 60L * 60 * 1000): Unit =
+    // same lost-update race as [[compact]] — serialize under the lock
+    Upsert.withWriterLock(path, staleLockMs) {
+      recoverOrphanedSwap(path)
+      val staging = s"$path.staging-cluster"
+      val (df, parts) = readPreservingLayout(spark, path)
+      val w = df
+        .repartitionByRange(targetFiles, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+        .write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging)
+      swap(path, staging)
+    }
 
   /** Read a parquet table so a rewrite round-trips its partition layout
     * EXACTLY: partition columns are discovered from the `col=value`

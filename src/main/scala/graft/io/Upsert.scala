@@ -52,8 +52,13 @@ object Upsert {
     * lock), and the winner verifies by owner token that it renamed the
     * lock it observed stale, restoring it if a live writer raced in.
     * The interrupted swap itself is healed separately by
-    * `Maintenance.recoverOrphanedSwap`. */
-  private def withWriterLock[T](targetPath: String, staleLockMs: Long)
+    * `Maintenance.recoverOrphanedSwap`.
+    *
+    * private[io]: Maintenance.compact/clusterBy rewrite the same
+    * directory through the same two-move swap and MUST serialize with
+    * upserts under this lock — an unlocked compact racing an upsert can
+    * read pre-merge data and swap LAST, silently erasing the merge. */
+  private[io] def withWriterLock[T](targetPath: String, staleLockMs: Long)
       (body: => T): T = {
     val lock = Paths.get(targetPath + ".lock")
     Option(lock.getParent).foreach(Files.createDirectories(_))

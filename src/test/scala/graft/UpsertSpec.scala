@@ -82,6 +82,26 @@ class UpsertSpec extends SparkSpec {
     assert(!Files.exists(lock))
   }
 
+  test("compact and clusterBy serialize under the SAME writer lock as " +
+    "upsert (an unlocked maintenance swap could erase a racing merge)") {
+    val dir = Files.createTempDirectory("maint-lock").toString
+    val path = s"$dir/t"
+    Upsert.upsertParquet(spark, target, path, Seq("id"))
+    val lock = Paths.get(s"$path.lock")
+    Files.createFile(lock)
+    intercept[Upsert.ConcurrentWriteException] {
+      Maintenance.compact(spark, path, targetFiles = 1)
+    }
+    intercept[Upsert.ConcurrentWriteException] {
+      Maintenance.clusterBy(spark, path, Seq("id"), targetFiles = 1)
+    }
+    assert(spark.read.parquet(path).count() == 3) // table untouched
+    Files.delete(lock)
+    Maintenance.compact(spark, path, targetFiles = 1)
+    assert(!Files.exists(lock)) // released on completion
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("upsertParquet preserves a partitioned layout") {
     val dir = Files.createTempDirectory("upsert-part").toString
     val path = s"$dir/t"
