@@ -194,7 +194,19 @@ private[io] object FooterStats {
           if (x.isNaN) None else Some(x.toString)
         case (BooleanType, x: java.lang.Boolean) => Some(x.toString)
         case (StringType, x: org.apache.parquet.io.api.Binary) =>
-          Some(x.toStringUsingUTF8)
+          // accept a string bound ONLY when its bytes round-trip UTF-8
+          // exactly: a writer with statistics truncation enabled stores
+          // an INCREMENTED max whose bytes may not be valid UTF-8, and a
+          // lossy decode (U+FFFD substitution) is not order-faithful —
+          // pruning against it could drop matching files. (This engine's
+          // writer does not truncate — probed: 108-byte bounds round-trip
+          // exactly — so this guard only fires on foreign writers.)
+          val bytes = x.getBytes
+          val decoded = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          if (java.util.Arrays.equals(
+              decoded.getBytes(java.nio.charset.StandardCharsets.UTF_8), bytes))
+            Some(decoded)
+          else None
         case (DateType, x: java.lang.Integer) =>
           Some(java.time.LocalDate.ofEpochDay(x.longValue).toString)
         case _ => None
