@@ -611,6 +611,89 @@ object ScaleSmoke {
       }
     }
 
+    // FOOTER-STATS COMMIT AT VOLUME (r14 next-round #6): FooterStatsSpec
+    // proves footer ≡ scan parity at toy volume; this stage proves the
+    // SCALE claim — a 2M-row stats-tracked append (bigint key + the
+    // fintech DECIMAL money column) computes its per-file bounds from
+    // parquet footers with ZERO extra Spark jobs after the write itself
+    // (listener-counted vs an identical stats-less append), and the
+    // recorded bounds genuinely prune a range probe on both columns.
+    locally {
+      val vtRoot = java.nio.file.Files.createTempDirectory("graft-scale-fs")
+      try {
+        // amount rides id so BOTH columns are range-clustered across the
+        // 64 files — the decimal bounds must prune, not just exist
+        val data = spark.range(2000000).select(col("id"),
+          (col("id").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            / 100).as("amount"))
+          .repartitionByRange(64, col("id")).sortWithinPartitions(col("id"))
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        // listener events are async — settle the bus (outside the timed
+        // windows) before each counter read
+        def settledJobs(): Int = {
+          org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+          jobs.get()
+        }
+        try {
+          val plain = vtRoot.resolve("plain").toString
+          val stats = vtRoot.resolve("stats").toString
+          jobs.set(0)
+          time("2M append baseline (no stats)") {
+            io.VersionedTable.append(spark, data, plain,
+              optimizeWrite = false)
+            0L
+          }
+          val jobsPlain = settledJobs()
+          jobs.set(0)
+          var statsSec = 0.0
+          locally {
+            val t0 = System.nanoTime()
+            io.VersionedTable.append(spark, data, stats,
+              statsFor = Seq("id", "amount"), optimizeWrite = false)
+            statsSec = (System.nanoTime() - t0) / 1e9
+            println(f"[scale] 2M append WITH footer stats (id+decimal)" +
+              f"          $statsSec%8.2f s  (64 files)")
+          }
+          val jobsStats = settledJobs()
+          require(jobsStats == jobsPlain,
+            s"stats-tracked append ran $jobsStats jobs vs $jobsPlain " +
+              "baseline — the footer pass launched Spark work " +
+              "(the double-read write path is back)")
+          println(s"[scale] footer stats pass: 0 extra Spark jobs " +
+            s"($jobsStats == $jobsPlain baseline) — stats cost is " +
+            "O(files) driver metadata, independent of data volume")
+          // the footer-sourced bounds must PRUNE: a 1-file-wide id probe
+          // and a matching decimal-amount probe each read ≪ 64 files
+          val idProbe = io.VersionedTable.snapshotWhere(spark, stats,
+            "id", lo = Some(100000L), hi = Some(110000L))
+          require(idProbe.count() == 10001L)
+          require(idProbe.inputFiles.length <= 2,
+            s"id probe read ${idProbe.inputFiles.length} of 64 files")
+          val amtProbe = io.VersionedTable.snapshotWhere(spark, stats,
+            "amount", lo = Some(new java.math.BigDecimal("1000.00")),
+            hi = Some(new java.math.BigDecimal("1100.00")))
+          require(amtProbe.count() == 10001L)
+          require(amtProbe.inputFiles.length <= 2,
+            s"decimal probe read ${amtProbe.inputFiles.length} of 64 files")
+          println(s"[scale] footer-sourced bounds prune: id probe " +
+            s"${idProbe.inputFiles.length}/64 files, decimal probe " +
+            s"${amtProbe.inputFiles.length}/64 files")
+        } finally spark.sparkContext.removeSparkListener(listener)
+      } finally {
+        val walk = java.nio.file.Files.walk(vtRoot)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+
     // 5M-event sequence assembly: cap-before-collect must bound state
     val evs = spark.range(5000000).select(
       pmod(col("id"), lit(200000L)).as("user_id"),

@@ -1210,20 +1210,32 @@ object VersionedTable {
     // FOOTER-FIRST: the parquet writer already computed per-chunk
     // min/max/null/row statistics — read them back (O(files) metadata,
     // no Spark job) instead of re-scanning every just-written byte. The
-    // scan pass below survives as the fallback for column types whose
-    // footer stats cannot render byte-identically (DECIMAL, INT96/NTZ
-    // timestamps — see FooterStats) and for unreadable footers. At
-    // 100 TB the scan pass DOUBLED a stats-tracked append's I/O; the
-    // footer pass makes stats cost independent of data volume.
+    // scan pass below survives as the fallback for column shapes whose
+    // footer stats cannot render byte-identically (INT96/NTZ timestamps,
+    // foreign physical encodings — see FooterStats) and, PER FILE, for
+    // unreadable footers (one corrupt file must not re-scan the whole
+    // commit). At 100 TB the scan pass DOUBLED a stats-tracked append's
+    // I/O; the footer pass makes stats cost independent of data volume.
     FooterStats.tryCompute(table, files,
         statsFor.filterNot(_.startsWith("__"))) match {
-      case Some((footer, scanCols)) =>
-        if (scanCols.isEmpty) return footer
-        val scanned = scanStats(spark, table, files, scanCols)
-        // per-file union; both sides carry an identical exact RowsKey
-        return (footer.keySet ++ scanned.keySet).map { f =>
+      case Some((footer, scanCols, scanFiles)) =>
+        if (scanCols.isEmpty && scanFiles.isEmpty) return footer
+        // two narrow fallback scans: the routed-away COLUMNS over every
+        // file, and every column over the footer-unreadable FILES (their
+        // footer map carries nothing, so the scan supplies RowsKey too)
+        val colScanFiles = files.filterNot(scanFiles.contains)
+        val colScan =
+          if (scanCols.isEmpty || colScanFiles.isEmpty) Map.empty: FileStats
+          else scanStats(spark, table, colScanFiles, scanCols)
+        val fileScan =
+          if (scanFiles.isEmpty) Map.empty: FileStats
+          else scanStats(spark, table, scanFiles, statsFor)
+        // per-file union; overlapping sides carry an identical exact
+        // RowsKey, so merge order cannot change any value
+        return (footer.keySet ++ colScan.keySet ++ fileScan.keySet).map { f =>
           f -> (footer.getOrElse(f, Map.empty) ++
-            scanned.getOrElse(f, Map.empty))
+            colScan.getOrElse(f, Map.empty) ++
+            fileScan.getOrElse(f, Map.empty))
         }.toMap
       case None => return scanStats(spark, table, files, statsFor)
     }

@@ -72,6 +72,13 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
+  /** Block until the listener bus has delivered every queued event
+    * (`waitUntilEmpty` is `private[spark]`) — the probe job-count
+    * assertions need: listener events are async, so a count read
+    * immediately after an action races the bus. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** `Observation.getOrEmpty` is `private[sql]` on Spark 4.x: non-blocking
     * metric read (≤100 ms wait, empty map if the action never posted its
     * SQL-execution-end event) — the safe form for convergence checks that

@@ -107,6 +107,29 @@ class GraftFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("decimal stats (footer-written money bounds) prune pushed-down filters") {
+    withTable { t =>
+      // two files with disjoint amount ranges; the bounds come from the
+      // FOOTER pass (DECIMAL is footer-answerable as of r15 — the
+      // fintech money type must prune without the write path re-reading
+      // its own bytes), and the planner-side evaluator must compare the
+      // scale-rendered strings numerically ("100.00" < "19.99" lexically)
+      VT.append(spark, Seq("10.00", "19.99").toDF("x")
+        .select(col("x").cast("decimal(18,2)").as("amt")), t,
+        statsFor = Seq("amt"))
+      VT.append(spark, Seq("100.00", "250.50").toDF("x")
+        .select(col("x").cast("decimal(18,2)").as("amt")), t,
+        statsFor = Seq("amt"))
+      val snap = VT.snapshot(spark, t)
+      val hit = snap.filter(col("amt") >= lit(new java.math.BigDecimal("50.00")))
+      assert(hit.count() == 2 && filesScanned(hit, "amt") == 1)
+      val eq = snap.filter(col("amt") === lit(new java.math.BigDecimal("19.99")))
+      assert(eq.count() == 1 && filesScanned(eq, "amt") == 1)
+      val none = snap.filter(col("amt") > lit(new java.math.BigDecimal("9999")))
+      assert(none.count() == 0 && filesScanned(none, "amt") == 0)
+    }
+  }
+
   test("timestamp stats prune zone-independently across writer/reader " +
     "session timezones") {
     withTable { t =>

@@ -55,10 +55,12 @@ class FooterStatsSpec extends graft.SparkSpec {
       .coalesce(1)
     val (table, files) = withMicros { writeScratch(df) }
     val cols = Seq("l", "i", "d", "f", "s", "b", "dt", "ts")
-    val (footer, fallback) = FooterStats.tryCompute(table, files, cols).get
+    val (footer, fallback, badFiles) =
+      FooterStats.tryCompute(table, files, cols).get
     // INT64-micros write: NOTHING may fall back — every requested column
     // must be footer-answerable
     assert(fallback.isEmpty, s"unexpected fallback columns: $fallback")
+    assert(badFiles.isEmpty, s"unexpected fallback files: $badFiles")
     val scanned = VersionedTable.scanStats(spark, table, files, cols)
     assert(files.nonEmpty)
     files.foreach { f =>
@@ -81,7 +83,7 @@ class FooterStatsSpec extends graft.SparkSpec {
         .select(col("ts0").cast("timestamp").as("ts"), lit(1L).as("l"))
         .coalesce(1)
       val (table, files) = writeScratch(df)
-      val (footer, fallback) =
+      val (footer, fallback, _) =
         FooterStats.tryCompute(table, files, Seq("ts", "l")).get
       assert(fallback == Seq("ts"))
       assert(footer(files.head).contains("l"))
@@ -102,33 +104,220 @@ class FooterStatsSpec extends graft.SparkSpec {
   test("NaN pages omit float/double bounds instead of guessing (conservative keep)") {
     val df = Seq(1.5, Double.NaN, -2.0).toDF("d").coalesce(1)
     val (table, files) = writeScratch(df)
-    val (footer, _) = FooterStats.tryCompute(table, files, Seq("d")).get
+    val (footer, _, _) = FooterStats.tryCompute(table, files, Seq("d")).get
     val fm = footer(files.head)
     assert(!fm.contains("d"),
       s"NaN-bearing column must carry NO footer bounds, got ${fm.get("d")}")
     assert(fm.contains(VersionedTable.RowsKey))
   }
 
-  test("decimal columns route to the scan fallback") {
-    val df = Seq("12.34", "99.99").toDF("x")
-      .select(col("x").cast("decimal(12,2)").as("dec"),
-        lit(1L).as("l"))
-      .coalesce(1)
+  /** Footer ≡ scan for every column, and nothing routed away. */
+  private def assertDecimalParity(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): Unit = {
     val (table, files) = writeScratch(df)
-    val (footer, fallback) =
-      FooterStats.tryCompute(table, files, Seq("dec", "l")).get
-    assert(fallback == Seq("dec"))
-    assert(footer(files.head).contains("l"))
-    // and the composed computeStats (footer + scan fallback) equals the
-    // pure scan for both columns
-    val composed =
-      VersionedTable.computeStats(spark, table, files, Seq("dec", "l"))
-    val scanned = VersionedTable.scanStats(spark, table, files, Seq("dec", "l"))
+    val (footer, fallback, badFiles) =
+      FooterStats.tryCompute(table, files, cols).get
+    assert(fallback.isEmpty, s"unexpected fallback columns: $fallback")
+    assert(badFiles.isEmpty, s"unexpected fallback files: $badFiles")
+    val scanned = VersionedTable.scanStats(spark, table, files, cols)
     files.foreach { f =>
-      scanned(f).foreach { case (k, v) =>
-        assert(composed(f)(k) == v, s"composed stat '$k' differs")
+      assert(footer(f).keySet == scanned(f).keySet,
+        s"stat keys differ for $f:\nfooter ${footer(f).keySet.toSeq.sorted}" +
+          s"\nscan   ${scanned(f).keySet.toSeq.sorted}")
+      footer(f).foreach { case (k, v) =>
+        assert(v == scanned(f)(k),
+          s"stat '$k' differs: footer $v vs scan ${scanned(f)(k)}")
       }
     }
+  }
+
+  test("decimal bounds are byte-identical to scan bounds across all three physical widths") {
+    // precision 9 → INT32, 18 → INT64, 38 → FIXED_LEN_BYTE_ARRAY; signs,
+    // trailing-zero scale fill, and a null row all on the hashed path.
+    // DECIMAL is THE fintech money type — re-scanning it defeated the
+    // footer win on exactly this domain's hottest tables (VERDICT r14 #2).
+    val df = Seq("12.34", "-99999.99", "0.01", "5")
+      .toDF("x")
+      .select(
+        col("x").cast("decimal(9,2)").as("dec9"),
+        col("x").cast("decimal(18,2)").as("dec18"),
+        col("x").cast("decimal(38,10)").as("dec38"),
+        lit(1L).as("l"))
+      .unionByName(Seq("1").toDF("x").select(
+        lit(null).cast("decimal(9,2)").as("dec9"),
+        lit(null).cast("decimal(18,2)").as("dec18"),
+        lit(null).cast("decimal(38,10)").as("dec38"),
+        lit(2L).as("l")))
+      .coalesce(1)
+    assertDecimalParity(df, Seq("dec9", "dec18", "dec38", "l"))
+  }
+
+  test("decimal parity holds on tiny values where java toString would go scientific") {
+    // CAST(decimal AS STRING) in Spark 4 renders PLAIN notation at the
+    // declared scale ("-0.00000003"), where java BigDecimal.toString
+    // would print "-3E-8". The footer renderer must agree byte-for-byte
+    // or reader-side comparisons go lexical-garbage.
+    val df = Seq("0.00000001", "-0.00000003", "0.5")
+      .toDF("x")
+      .select(col("x").cast("decimal(10,8)").as("tiny"))
+      .coalesce(1)
+    assertDecimalParity(df, Seq("tiny"))
+  }
+
+  test("decimal parity holds under the legacy writer format (FLBA at every precision)") {
+    val key = "spark.sql.parquet.writeLegacyFormat"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = Seq("12.34", "-0.07", "99999.99").toDF("x")
+        .select(col("x").cast("decimal(12,2)").as("dec"))
+        .coalesce(1)
+      assertDecimalParity(df, Seq("dec"))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("TIMESTAMP_MILLIS routes to the scan fallback (unit-mismatch guard)") {
+    // An INT64 chunk annotated MILLIS holds raw millis; recording them as
+    // micros would prune files 1000× off. The routing must demand the
+    // TIMESTAMP(MICROS, adjustedToUTC) annotation, not just INT64.
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MILLIS")
+    try {
+      val df = Seq("2023-05-01 10:30:00").toDF("ts0")
+        .select(col("ts0").cast("timestamp").as("ts"), lit(1L).as("l"))
+        .coalesce(1)
+      val (table, files) = writeScratch(df)
+      val (footer, fallback, _) =
+        FooterStats.tryCompute(table, files, Seq("ts", "l")).get
+      assert(fallback == Seq("ts"),
+        s"MILLIS timestamps must route to the scan pass, got: $fallback")
+      assert(footer(files.head).contains("l"))
+      // composed path still yields the full scan's answer for ts
+      val composed =
+        VersionedTable.computeStats(spark, table, files, Seq("ts", "l"))
+      val scanned =
+        VersionedTable.scanStats(spark, table, files, Seq("ts", "l"))
+      files.foreach { f =>
+        scanned(f).foreach { case (k, v) =>
+          assert(composed(f)(k) == v, s"composed stat '$k' differs")
+        }
+      }
+    } finally
+      spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+  }
+
+  test("one unreadable footer degrades alone; the rest of the commit keeps footer stats") {
+    val df = spark.range(90).select(col("id").as("l"))
+      .repartitionByRange(3, col("l"))
+    val (table, files) = writeScratch(df)
+    assert(files.size == 3)
+    // corrupt ONE file's trailing magic — its footer becomes unreadable
+    val victim = files(1)
+    val p = java.nio.file.Paths.get(table, victim)
+    val bytes = Files.readAllBytes(p)
+    java.util.Arrays.fill(bytes, bytes.length - 4, bytes.length, 'X'.toByte)
+    Files.write(p, bytes)
+    val (footer, fallback, badFiles) =
+      FooterStats.tryCompute(table, files, Seq("l")).get
+    // pre-r15 this was a wholesale None → the WHOLE commit re-scanned
+    assert(badFiles == Seq(victim))
+    assert(fallback.isEmpty)
+    val goodFiles = files.filterNot(_ == victim)
+    val scanned = VersionedTable.scanStats(spark, table, goodFiles, Seq("l"))
+    goodFiles.foreach(f => assert(footer(f) == scanned(f)))
+    assert(!footer.contains(victim))
+  }
+
+  test("a foreign-writer file (no Spark schema metadata) degrades alone, end to end") {
+    // parquet-mr's example writer: a perfectly valid file this engine did
+    // not write — readable by Spark's scan, but carrying no
+    // org.apache.spark.sql.parquet.row.metadata for the parity proof.
+    val dir = Files.createTempDirectory("footerstats-foreign")
+    val sub = dir.resolve("t")
+    spark.range(10).select(col("id").as("l")).coalesce(1)
+      .write.parquet(sub.toString)
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message m { optional int64 l; }")
+    val hconf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, hconf)
+    val foreignPath = sub.resolve("zz-foreign.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(foreignPath.toUri))
+      .withConf(hconf)
+      .build()
+    try Seq(100L, 250L).foreach { v =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      g.add("l", v)
+      w.write(g)
+    } finally w.close()
+    val l = Files.list(sub)
+    val files =
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally l.close()
+    assert(files.size == 2)
+    val (footer, fallback, badFiles) =
+      FooterStats.tryCompute(sub.toString, files, Seq("l")).get
+    assert(badFiles == Seq("zz-foreign.parquet"))
+    assert(fallback.isEmpty)
+    // end-to-end composed stats equal the pure scan for EVERY file —
+    // the foreign file's answers come from its own narrow scan pass
+    val composed =
+      VersionedTable.computeStats(spark, sub.toString, files, Seq("l"))
+    val scanned =
+      VersionedTable.scanStats(spark, sub.toString, files, Seq("l"))
+    files.foreach { f =>
+      scanned(f).foreach { case (k, v) =>
+        assert(composed(f)(k) == v, s"composed stat '$k' differs for $f")
+      }
+    }
+    assert(footer(files.head).contains("l"))
+  }
+
+  test("a stats-tracked commit on a decimal-bearing table runs ZERO extra Spark jobs") {
+    // The Done-criterion for the r14 DECIMAL item: a commit indexing the
+    // money column must pay its write job(s) and NOTHING else — bounds
+    // come from footers (O(files) driver metadata), not a re-scan of the
+    // just-written bytes. Counted against an identical stats-less append.
+    val dir = Files.createTempDirectory("footerstats-jobs")
+    val df = spark.range(1000).select(col("id"),
+      (col("id").cast("decimal(18,2)") / 100).as("amount"))
+      .coalesce(2)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      VersionedTable.append(spark, df, dir.resolve("plain").toString,
+        optimizeWrite = false)
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+      val baseline = jobs.get()
+      jobs.set(0)
+      VersionedTable.append(spark, df, dir.resolve("stats").toString,
+        statsFor = Seq("id", "amount"), optimizeWrite = false)
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+      assert(jobs.get() == baseline,
+        s"stats-tracked decimal append ran ${jobs.get()} jobs vs " +
+          s"$baseline baseline — the stats pass launched Spark work")
+      // and the bounds it recorded are the real scan-parity bounds
+      val t = dir.resolve("stats").toString
+      val l = Files.list(java.nio.file.Paths.get(t))
+      val files =
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+        finally l.close()
+      val scanned = VersionedTable.scanStats(spark, t, files,
+        Seq("id", "amount"))
+      val (footer, fb, bf) =
+        FooterStats.tryCompute(t, files, Seq("id", "amount")).get
+      assert(fb.isEmpty && bf.isEmpty)
+      files.foreach(f => assert(footer(f) == scanned(f)))
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("multi-file commit: per-file bounds stay per-file") {
@@ -136,7 +325,7 @@ class FooterStatsSpec extends graft.SparkSpec {
       .repartitionByRange(4, col("l"))
     val (table, files) = writeScratch(df)
     assert(files.size == 4)
-    val (footer, _) = FooterStats.tryCompute(table, files, Seq("l")).get
+    val (footer, _, _) = FooterStats.tryCompute(table, files, Seq("l")).get
     val scanned = VersionedTable.scanStats(spark, table, files, Seq("l"))
     files.foreach(f => assert(footer(f) == scanned(f)))
     // bounds genuinely differ across files (range-clustered)
