@@ -60,9 +60,16 @@ object GapFill {
   def daily(df: DataFrame, keyCol: String, dateCol: String,
       fillZero: Seq[String] = Nil,
       fillForward: Seq[String] = Nil): DataFrame = {
-    val spans = df.groupBy(col(keyCol))
-      .agg(min(col(dateCol)).as("__d0"), max(col(dateCol)).as("__d1"))
-    val spine = spans.select(col(keyCol),
+    // backtick-quote every USER-SUPPLIED name that goes through col()
+    // (doubling embedded backticks, Spark's escape): a column name
+    // containing a dot would otherwise parse as a nested-field path and
+    // fail to resolve. (Handle-based resolution — spine(name)/obs(name) —
+    // would dodge the parse but trips DetectAmbiguousSelfJoin on this
+    // spine-derives-from-obs self-join; quoting keeps both properties.)
+    def q(n: String) = "`" + n.replace("`", "``") + "`"
+    val spans = df.groupBy(col(q(keyCol)))
+      .agg(min(col(q(dateCol))).as("__d0"), max(col(q(dateCol))).as("__d1"))
+    val spine = spans.select(col(q(keyCol)),
       explode(sequence(col("__d0"), col("__d1"),
         expr("interval 1 day"))).as(dateCol))
     // NULL-SAFE key equality: the spine's null-key row EXISTS because the
@@ -73,21 +80,21 @@ object GapFill {
     // window fills below (partitionBy also groups nulls).
     val obs = df.withColumn("__obs", lit(1))
     val projected: Seq[org.apache.spark.sql.Column] =
-      Seq(col(s"__sp.$keyCol").as(keyCol),
-        col(s"__sp.$dateCol").as(dateCol)) ++
+      Seq(col(s"__sp.${q(keyCol)}").as(keyCol),
+        col(s"__sp.${q(dateCol)}").as(dateCol)) ++
         obs.columns.filterNot(c => c == keyCol || c == dateCol)
-          .map(c => col(s"__ob.$c").as(c))
+          .map(c => col(s"__ob.${q(c)}").as(c))
     val joined = spine.alias("__sp").join(obs.alias("__ob"),
-        col(s"__sp.$keyCol") <=> col(s"__ob.$keyCol") &&
-          col(s"__sp.$dateCol") <=> col(s"__ob.$dateCol"), "left")
+        col(s"__sp.${q(keyCol)}") <=> col(s"__ob.${q(keyCol)}") &&
+          col(s"__sp.${q(dateCol)}") <=> col(s"__ob.${q(dateCol)}"), "left")
       .select(projected: _*)
     val zeroed = fillZero.foldLeft(joined) { (acc, c) =>
-      acc.withColumn(c, coalesce(col(c), lit(0L)))
+      acc.withColumn(c, coalesce(col(q(c)), lit(0L)))
     }
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+    val w = Window.partitionBy(col(q(keyCol))).orderBy(col(q(dateCol)))
       .rowsBetween(Window.unboundedPreceding, 0)
     val forwarded = fillForward.foldLeft(zeroed) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      acc.withColumn(c, last(col(q(c)), ignoreNulls = true).over(w))
     }
     forwarded
       .withColumn("is_filled", col("__obs").isNull)

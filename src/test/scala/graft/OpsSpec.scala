@@ -572,6 +572,20 @@ class OpsSpec extends SparkSpec {
       ("2024-03-03", 7L, false)))
   }
 
+  test("GapFill.daily: column names containing dots resolve (handle-based " +
+    "projection, no string-path interpolation)") {
+    val d = (i: Int) => java.sql.Date.valueOf(f"2024-03-$i%02d")
+    val df = Seq(("a", d(1), 5L, 2L), ("a", d(3), 7L, 3L))
+      .toDF("the.key", "obs.day", "metric.n", "metric.z")
+    val out = graft.ext.GapFill.daily(df, "the.key", "obs.day",
+        fillZero = Seq("metric.z"), fillForward = Seq("metric.n"))
+      .orderBy(col("`obs.day`")).collect()
+    assert(out.map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3),
+      r.getBoolean(4))).toSeq == Seq(
+      ("2024-03-01", 5L, 2L, false), ("2024-03-02", 5L, 0L, true),
+      ("2024-03-03", 7L, 3L, false)))
+  }
+
   test("IncrementalAgg: merged partition states equal the full recompute") {
     import graft.ops.IncrementalAgg._
     val full = Tables.load(spark, sfDir, "events")
