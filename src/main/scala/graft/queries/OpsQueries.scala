@@ -347,7 +347,12 @@ object OpsQueries {
     // unique table name per run, dropped on the way out.
     "q179_register_table" -> ((s, dir) => {
       val scratch = java.nio.file.Files.createTempDirectory("graft-w2")
-      val tbl = s"q179_t_${System.nanoTime()}"
+      // fixed scratch name + drop-if-exists on the way IN: no wall-clock
+      // input anywhere in the gate layer (the nanoTime suffix was one
+      // more moving part in a determinism-obsessed harness; a crashed
+      // prior run's leftover is cleaned here instead of leaking)
+      val tbl = "q179_w2_scratch"
+      s.sql(s"DROP TABLE IF EXISTS default.`$tbl`")
       try {
         val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
           .select(col("o_orderkey"),
@@ -380,7 +385,10 @@ object OpsQueries {
     // create-vs-append mode bug, or a schema drift between batches
     // flips the hash. Managed DROP cleans the warehouse copy.
     "q180_append_table" -> ((s, dir) => {
-      val tbl = s"q180_t_${System.nanoTime()}"
+      // fixed name + drop-if-exists (see q179): a leftover managed table
+      // from a crashed run would otherwise double the first append
+      val tbl = "q180_w3_scratch"
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
       try {
         val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
           .select(col("o_orderkey"),

@@ -412,7 +412,10 @@ object Temporal {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .write.mode("overwrite").parquet(src)
-      val name = s"q47_hourly_${System.nanoTime()}"
+      // fixed sink name (no wall-clock input in the gate layer); a
+      // leftover view from a crashed prior run is dropped on the way in
+      val name = "q47_hourly_sink"
+      if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
       // size the streaming STATE partitions to the state, not the batch
       // default: the agg holds ~hours×event_types keys, and each state
       // partition pays per-batch checkpoint I/O whether or not it holds
@@ -447,6 +450,58 @@ object Temporal {
         .forEach(p => java.nio.file.Files.delete(p))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Streaming stateful dedup (§2.10's last ScalaTest-only surface,
+    // VERDICT r14 #4), oracle-checked: a deterministic replay through
+    // `dropDuplicatesWithinWatermark`. Batch files: the events slice
+    // split in two, then a third file RE-SENDING every user_id%3==0 row
+    // byte-identically; maxFilesPerTrigger=1 forces one file per
+    // micro-batch, so the planted duplicates arrive in a LATER batch
+    // than their originals and only cross-batch dedup STATE can drop
+    // them — a lost state store, a key-expiry bug, or an emit-twice bug
+    // each flips the row count and the hash. The watermark delay
+    // exceeds the table's whole event-time span (nothing evicts
+    // mid-replay) and duplicate copies are identical bytes, so the
+    // keep-first output is batch-boundary-independent: exactly the
+    // distinct events, which is what the batch oracle states.
+    "q181_stream_dedup" -> ((s, dir) => {
+      val srcDir = java.nio.file.Files.createTempDirectory("q181-events")
+      val src = srcDir.toString
+      val base = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      base.coalesce(2).write.mode("overwrite").parquet(src)
+      base.filter(col("user_id") % 3 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      val name = "q181_dedup_sink"
+      if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+      // state partitions sized to the state (the q47 lesson)
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try graft.streaming.Streams
+          .dedupByKey(
+            graft.streaming.Streams.eventsStream(s, src,
+              maxFilesPerTrigger = Some(1)),
+            keys = Seq("event_id"), watermark = "36500 days")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      val finished = q.awaitTermination(120000)
+      q.stop()
+      require(finished,
+        "q181 stream did not finish within 120 s — partial result discarded")
+      val rows = s.table(name).orderBy(col("event_id")).collect()
+      val schema = s.table(name).schema
+      s.catalog.dropTempView(name)
+      java.nio.file.Files.walk(srcDir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("event_id"))
     }))
 
   /** One unrolled Bradley–Terry MM round: s'_i = W_i / Σ_j n_ij/(s_i+s_j)
@@ -1024,6 +1079,15 @@ object Temporal {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // q181: the replay feeds events plus byte-identical re-sends of the
+    // user_id%3==0 slice through dropDuplicatesWithinWatermark keyed on
+    // event_id with an un-evictable watermark — the deduped stream must
+    // equal exactly the distinct events (event_id is unique in the
+    // table, so that is the table itself)
+    "q181_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q53_parse_props" ->
       """SELECT event_type, COUNT(*) AS n,

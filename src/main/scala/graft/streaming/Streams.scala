@@ -22,9 +22,16 @@ object Streams {
   val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
 
-  /** File-based streaming source over an events directory. */
-  def eventsStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(path)
+  /** File-based streaming source over an events directory.
+    * `maxFilesPerTrigger` caps files per micro-batch (AvailableNow honors
+    * it) — the lever replay harnesses use to force MULTI-batch drains so
+    * cross-batch state actually gets exercised. */
+  def eventsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
+  }
 
   /** Tumbling-window hourly aggregation with late-data watermark. The
     * money sum goes through DECIMAL(18,2) — exact, so the streaming result
