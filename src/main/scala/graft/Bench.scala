@@ -1,4 +1,7 @@
 package graft
+
+import scala.jdk.CollectionConverters._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,9 +102,10 @@ object Bench {
       val s = shortKey(name)
       if (s.startsWith("q")) s.drop(1) else s
     }
+    val fixtureGroups = graft.queries.VersionedQueries.fixtureGroups ++
+      graft.queries.VectorQueries.fixtureGroups
     locally {
-      val names = SparkEntry.queries.keys.toSeq ++
-        graft.queries.VersionedQueries.fixtureGroups.map(_._1)
+      val names = SparkEntry.queries.keys.toSeq ++ fixtureGroups.map(_._1)
       val dup = names.groupBy(machineKey).filter(_._2.size > 1)
       require(dup.isEmpty, s"duplicate bench machine keys: $dup")
     }
@@ -111,7 +115,7 @@ object Bench {
     // carried their whole group's choreography). The fixture keys keep
     // the choreography cost IN the sweep total — it is real work — just
     // attributed to the fixture, not to whichever member ran first.
-    val fixtures = graft.queries.VersionedQueries.fixtureGroups.map {
+    val fixtures = fixtureGroups.map {
       case (name, build) =>
         val t0 = System.nanoTime()
         val ok = try { build(spark, sfDir); true } catch {
@@ -152,11 +156,97 @@ object Bench {
       System.gc()
       (name, t, ok)
     }
-    // (r13 ran an end-of-sweep q95 repeat under its own key to separate
-    // JVM/GC session state from plan cost; both samples agreed twice and
-    // the bimodality was attributed to k-means training — diagnostic
-    // retired in r14, freeing its ~4-5 s and its key-space.)
-    val sweep = timed
+    // CONTAMINATION DEFENSE (VERDICT r14 #1): the recording host can hit
+    // transient CPU contention mid-sweep, and iterative many-small-job
+    // queries then degrade superlinearly — r14's artifact carried 3-7×
+    // phantom regressions (q94/q95/q149/q150/q171) on code unchanged
+    // that round, refuted by fresh-JVM re-measurement. The artifact of
+    // record must not be able to lie about unchanged code: any
+    // successful query that ran >2× its trailing-median history gets ONE
+    // re-run at sweep end (contention is transient; the end of the sweep
+    // is a different moment) and records the MIN. History comes from
+    // bench_history.jsonl (last ≤5 same-sf/same-config sweeps, appended
+    // below), seeded from the previous round's bench_full.json.
+    val history: Map[String, Seq[Double]] = {
+      import com.fasterxml.jackson.databind.JsonNode
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def base(p: String) =
+        java.nio.file.Paths.get(p).getFileName.toString
+      val sfBase0 = base(sfDir)
+      def sameRun(n: JsonNode): Boolean =
+        n.path("sf").asText.nonEmpty && base(n.path("sf").asText) == sfBase0 &&
+          n.path("ann").asText("sublinear") == "sublinear"
+      try {
+        val hist = java.nio.file.Paths.get("bench_history.jsonl")
+        val lines: Seq[JsonNode] =
+          if (java.nio.file.Files.exists(hist))
+            java.nio.file.Files.readAllLines(hist).asScala.toSeq
+              .filter(_.trim.nonEmpty)
+              .flatMap(l => scala.util.Try(om.readTree(l)).toOption)
+              .filter(sameRun)
+          else Nil
+        val fromHistory: Seq[Map[String, Double]] = lines.map { n =>
+          val q = n.path("queries")
+          q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+        }
+        val samples =
+          if (fromHistory.nonEmpty) fromHistory
+          else {
+            // first round with the defense: seed from the previous
+            // round's committed bench_full.json (its queries field is an
+            // ARRAY of {name, sec, ok})
+            val full = java.nio.file.Paths.get("bench_full.json")
+            if (!java.nio.file.Files.exists(full)) Nil
+            else {
+              val n = om.readTree(full.toFile)
+              if (!sameRun(n)) Nil
+              else Seq(n.path("queries").asScala
+                .filter(_.path("ok").asBoolean(false))
+                .map(e => e.path("name").asText -> e.path("sec").asDouble)
+                .toMap)
+            }
+          }
+        samples.takeRight(5).flatten.groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSeq).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
+    def median(xs: Seq[Double]): Double = {
+      // LOWER middle on even counts: with {contaminated, honest} samples
+      // the lower one is the honest baseline, and a low median means
+      // MORE re-run candidates — conservative in the right direction
+      // (the cost of a false positive is one bounded re-run)
+      val s = xs.sorted
+      s((s.size - 1) / 2)
+    }
+    val rerunCandidates = timed.filter { case (n, t, ok) =>
+      // fixtures excluded: their builds memoize, so a re-run times the
+      // memo hit, not the work — a re-run "improvement" would be a lie.
+      // Sub-second entries excluded: scheduler jitter, not contention.
+      ok && !n.startsWith("fx") && t > 1.0 &&
+        history.get(n).filter(_.nonEmpty).map(median).exists(m => t > 2 * m)
+    }.sortBy { case (_, t, _) => -t }.take(12)
+    val reruns: Map[String, Double] = rerunCandidates.flatMap {
+      case (name, t1, _) =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          graft.util.Caches.clearAll(spark)
+          System.gc()
+          val t0 = System.nanoTime()
+          val ok2 = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val t2 = (System.nanoTime() - t0) / 1e9
+          graft.util.Caches.clearAll(spark)
+          System.gc()
+          if (ok2) {
+            println("bench-rerun " + name + " " +
+              graft.util.Fmt.fmt("%.3f", t1) + " -> " +
+              graft.util.Fmt.fmt("%.3f", t2))
+            Some(name -> math.min(t1, t2))
+          } else None // keep the original successful timing
+        }
+    }.toMap
+    val sweep = timed.map { case (n, t, ok) =>
+      (n, reruns.getOrElse(n, t), ok)
+    }
     // a failed query must NOT contribute its elapsed-until-crash to the
     // machine line — a plan-time throw looks like a 100x speedup to the
     // driver's trend view; it goes to the `failed` list instead
@@ -185,11 +275,37 @@ object Bench {
     // audit trail. Best-effort: a read-only cwd must not fail the bench.
     try {
       val entries = sweep.map { case (n, t, ok) =>
-        s"""{"name":${graft.util.Fmt.jsonString(n)},"sec":${f3(t)},"ok":$ok}"""
+        // re-run queries carry their first (contaminated?) sample as
+        // "first" — the audit trail for every min-of-2 the machine line
+        // reports under "rr"
+        val firstDetail = timed.collectFirst {
+          case (`n`, t1, true) if reruns.contains(n) && t1 != t =>
+            s""","first":${f3(t1)}"""
+        }.getOrElse("")
+        s"""{"name":${graft.util.Fmt.jsonString(n)},"sec":${f3(t)},"ok":$ok$firstDetail}"""
       }.mkString("[", ",", "]")
-      val doc = s"""{"metric":"total","value":${f3(sweep.collect { case (_, t, true) => t }.sum)},"unit":"sec","ann":"$annCfg","sf":${graft.util.Fmt.jsonString(sfDir)},"queries":$entries}"""
+      val doc = s"""{"metric":"total","value":${f3(sweep.collect { case (_, t, true) => t }.sum)},"unit":"sec","ann":"$annCfg","rr":${reruns.size},"sf":${graft.util.Fmt.jsonString(sfDir)},"queries":$entries}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    // Trailing-median history for the next sweep's contamination defense:
+    // append this sweep's final per-query values, keep the last 10 lines.
+    // Best-effort (read-only cwd must not fail the bench).
+    try {
+      val hist = java.nio.file.Paths.get("bench_history.jsonl")
+      val prev =
+        if (java.nio.file.Files.exists(hist))
+          java.nio.file.Files.readAllLines(hist).asScala.toSeq
+            .filter(_.trim.nonEmpty)
+        else Nil
+      val qjson = sweep.collect { case (n, t, true) =>
+        s"${graft.util.Fmt.jsonString(n)}:${f3(t)}"
+      }.mkString("{", ",", "}")
+      val line = s"""{"sf":${graft.util.Fmt.jsonString(sfDir)},"ann":"$annCfg","queries":$qjson}"""
+      java.nio.file.Files.write(hist,
+        ((prev :+ line).takeRight(10).mkString("", "\n", "\n"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
     // The driver records only the LAST 2000 chars of the sbt output (the
@@ -226,30 +342,42 @@ object Bench {
     // bench_full.json), not the machine line — every byte there fights
     // for the same 1925-char window
     println(s"bench-ann $annCfg")
-    def mkLine(f: Double => String) = {
-      val entries = (qRes ++ fxRes)
-        .map { case (k, v) => "\"" + machineKey(k) + "\":" + f(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${graft.util.Fmt.fmt("%.1f", total)},"unit":"sec","queries":$entries$failedJson,"sf":${graft.util.Fmt.jsonString(sfBase)}}"""
-    }
+    // "rr" = how many entries are min-of-2 after the contamination
+    // re-run (their first samples live in bench_full.json as "first")
+    def mkLine(entries: String) =
+      s"""{"metric":"total","value":${graft.util.Fmt.fmt("%.1f", total)},"unit":"sec","queries":$entries$failedJson,"rr":${reruns.size},"sf":${graft.util.Fmt.jsonString(sfBase)}}"""
+    def mkEntries(f: Double => String) = (qRes ++ fxRes)
+      .map { case (k, v) => "\"" + machineKey(k) + "\":" + f(v) }
+      .mkString("{", ",", "}")
     // Self-healing against query-count growth: past ~1925 chars the
     // driver's tail window clips the HEAD of this line (rounds 5-13:
     // parsed=null, first keys lost). If the preferred precision would
     // clip, degrade to 0.1 s resolution for every value — coarse beats
-    // clipped, and bench_full.json always carries full precision.
-    val preferred = mkLine(fAdaptive)
+    // clipped, and bench_full.json always carries full precision. If
+    // even COARSE would clip (the key count keeps growing), drop the
+    // per-query entries entirely and emit total+failed+rr — a short
+    // line that always parses whole beats a precise line the driver
+    // records headless (parsed=null, the rounds-5-13 failure mode).
+    val preferred = mkLine(mkEntries(fAdaptive))
     val line =
       if (preferred.length <= 1900) preferred
       else {
-        val coarse = mkLine(v => {
+        val coarse = mkLine(mkEntries(v => {
           val s1 = graft.util.Fmt.fmt("%.1f", v)
           val t1 = s1.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
           if (t1.isEmpty) "0" else t1
-        })
-        System.err.println(s"[bench] machine line ${preferred.length} chars" +
-          s" would clip in the 1925-char tail window; degraded every value" +
-          s" to 0.1 s resolution (${coarse.length} chars)")
-        coarse
+        }))
+        if (coarse.length <= 1900) {
+          System.err.println(s"[bench] machine line ${preferred.length}" +
+            s" chars would clip in the 1925-char tail window; degraded" +
+            s" every value to 0.1 s resolution (${coarse.length} chars)")
+          coarse
+        } else {
+          System.err.println(s"[bench] even the coarse machine line" +
+            s" (${coarse.length} chars) would clip; emitting total-only" +
+            s" (per-query values are in bench_full.json)")
+          mkLine("{}")
+        }
       }
     println(line)
     spark.stop()

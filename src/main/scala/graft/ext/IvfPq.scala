@@ -69,6 +69,53 @@ object IvfPq {
     (Index(ivf, pq), out)
   }
 
+  /** Train both quantizers WITHOUT encoding — the driver-side half of
+    * [[build]], returning only the (small, serializable) codebooks. A
+    * trained Index is a pure function of (corpus, config) under the
+    * deterministic inits, so callers may cache it across query batches
+    * and re-encode with [[encode]] — the shape the bench fixture uses to
+    * time the search path separately from training. */
+  def trainIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, kCells: Int = 16, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 3,
+      onStage: (String, Double) => Unit = (_, _) => ()): Index = {
+    def staged[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val ivf = staged("ivf-train")(
+      Ivf.train(corpus, idCol, vecCol, kCells, iters))
+    val cv = col(vecCol).cast("array<double>")
+    val withRes = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__cell", Ivf.cellId(cv, ivf))
+      .withColumn("__res", residual(cv, ivf, col("__cell")))
+      .persist()
+    staged("residuals")(withRes.count())
+    val pq =
+      try staged("pq-train")(
+        Pq.train(withRes, idCol, "__res", dim, m, kCodes, iters))
+      finally withRes.unpersist()
+    Index(ivf, pq)
+  }
+
+  /** Encode `corpus` against an already-trained [[Index]] — one narrow
+    * pass (cell assign → residual → PQ codes), eagerly snapshotted (the
+    * Caches contract: the encoded index is queried repeatedly). Same
+    * output as [[build]]'s second element for the same corpus/index. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      index: Index): DataFrame = {
+    val cv = col(vecCol).cast("array<double>")
+    val encoded = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__cell", Ivf.cellId(cv, index.ivf))
+      .select(col(idCol), col("__cell").as("cell"),
+        Pq.encodeColumn(residual(cv, index.ivf, col("__cell")), index.pq)
+          .as("codes"))
+      .filter(col("codes").isNotNull)
+    graft.util.Caches.snapshot(encoded)
+  }
+
   /** Approximate top-k with exact rerank. `encoded` is [[build]]'s
     * second output (REUSE it across query batches — that's the index);
     * `corpus` supplies raw vectors for the rerank join, sized by the
