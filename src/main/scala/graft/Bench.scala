@@ -167,6 +167,11 @@ object Bench {
     // is a different moment) and records the MIN. History comes from
     // bench_history.jsonl (last ≤5 same-sf/same-config sweeps, appended
     // below), seeded from the previous round's bench_full.json.
+    // the ANN operating point of THIS run — history lines must match it
+    // (sublinear vs full q52/q84/q95 timings differ by design, not by
+    // contention; comparing across configs would flag phantoms)
+    val annCfg = if (sys.props.get("graft.ann.sublinear")
+      .exists(_.equalsIgnoreCase("true"))) "sublinear" else "full"
     val history: Map[String, Seq[Double]] = {
       import com.fasterxml.jackson.databind.JsonNode
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -175,7 +180,7 @@ object Bench {
       val sfBase0 = base(sfDir)
       def sameRun(n: JsonNode): Boolean =
         n.path("sf").asText.nonEmpty && base(n.path("sf").asText) == sfBase0 &&
-          n.path("ann").asText("sublinear") == "sublinear"
+          n.path("ann").asText("") == annCfg
       try {
         val hist = java.nio.file.Paths.get("bench_history.jsonl")
         val lines: Seq[JsonNode] =
@@ -218,13 +223,21 @@ object Bench {
       val s = xs.sorted
       s((s.size - 1) / 2)
     }
-    val rerunCandidates = timed.filter { case (n, t, ok) =>
+    val allCandidates = timed.filter { case (n, t, ok) =>
       // fixtures excluded: their builds memoize, so a re-run times the
       // memo hit, not the work — a re-run "improvement" would be a lie.
       // Sub-second entries excluded: scheduler jitter, not contention.
       ok && !n.startsWith("fx") && t > 1.0 &&
         history.get(n).filter(_.nonEmpty).map(median).exists(m => t > 2 * m)
-    }.sortBy { case (_, t, _) => -t }.take(12)
+    }.sortBy { case (_, t, _) => -t }
+    val rerunCandidates = allCandidates.take(12)
+    // saturation must be VISIBLE: candidates beyond the cap keep their
+    // (possibly contaminated) timings in the artifact AND the history —
+    // a reader has to be able to tell "defended" from "cap hit"
+    if (allCandidates.size > rerunCandidates.size)
+      System.err.println(s"[bench] contamination re-run cap hit: " +
+        s"${allCandidates.size} candidates, 12 re-run; NOT re-run: " +
+        allCandidates.drop(12).map(_._1).mkString(", "))
     val reruns: Map[String, Double] = rerunCandidates.flatMap {
       case (name, t1, _) =>
         SparkEntry.queries.get(name).flatMap { fn =>
@@ -262,12 +275,9 @@ object Bench {
     sweep.foreach { case (k, v, ok) =>
       println(s"bench $k ${if (ok) f3(v) else "FAILED"}")
     }
-    // record the active ANN operating point so trend tooling can segment:
-    // the q52/q84/q95 timings under "sublinear" (nprobe=4/shortlist=50,
-    // what a real user runs) are not comparable to the full-coverage
-    // configs the correctness gate verifies (which equal exact top-k)
-    val annCfg = if (sys.props.get("graft.ann.sublinear")
-      .exists(_.equalsIgnoreCase("true"))) "sublinear" else "full"
+    // (annCfg — the active ANN operating point — is computed above the
+    // history block; trend tooling segments by it because sublinear and
+    // full-coverage q52/q84/q95 timings are not comparable)
     // Full-fidelity artifact: the complete sweep (full query names,
     // 3-decimal seconds, ok flags, config) written to bench_full.json in
     // the working tree, immune to the driver's tail-window truncation.

@@ -18,6 +18,22 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Stats {
 
+  /** Null-safe equi-join on `keys`: a NULL group key is a real group
+    * (dirty data routes there — the recurring audit lens), and a plain
+    * usingColumns join drops its rows SILENTLY (null = null is never
+    * true in an equi-join). Right-side key columns are aliased to
+    * placeholders, matched with <=>, and dropped after; `bcastRight`
+    * broadcasts the (per-group, small) right side. */
+  private def nsJoin(l: DataFrame, r: DataFrame, keys: Seq[String],
+      how: String = "inner", bcastRight: Boolean = true): DataFrame = {
+    val ph = keys.indices.map(i => s"__nsk_$i")
+    val rr = r.select(keys.zip(ph).map { case (c, a) => col(c).as(a) } ++
+      r.columns.filterNot(keys.contains).map(col): _*)
+    val right = if (bcastRight) broadcast(rr) else rr
+    l.join(right, keys.zip(ph).map { case (c, a) => l(c) <=> rr(a) }
+      .reduce(_ && _), how).drop(ph: _*)
+  }
+
   /** Per-group simple linear regression (closed form) of `yCol` on
     * `xCol`: slope, intercept, r², n.
     *
@@ -80,13 +96,16 @@ object Stats {
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       nSigmas: Double = 3.0, roundTo: Int = 6): DataFrame = {
     val gcols = groupCols.map(col)
+    // nsJoin throughout: a null-key group's median/MAD exist (groupBy
+    // kept the group) — a name-based equi-join would never match them
+    // back and the group would VANISH from the profile
     val med = df.groupBy(gcols: _*)
       .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
-    val withMed = df.join(broadcast(med), groupCols)
+    val withMed = nsJoin(df, med, groupCols)
       .withColumn("__adev", abs(col(valueCol) - col("__med")))
     val mad = withMed.groupBy(gcols: _*)
       .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
-    withMed.join(broadcast(mad), groupCols)
+    nsJoin(withMed, mad, groupCols)
       .groupBy(gcols: _*)
       .agg(
         count(lit(1)).as("n"),
@@ -111,14 +130,15 @@ object Stats {
   def robustScale(df: DataFrame, groupCols: Seq[String], valueCol: String,
       roundTo: Int = 6): DataFrame = {
     val gcols = groupCols.map(col)
+    // nsJoin: null-key groups keep their rows (see madOutliers)
     val med = df.groupBy(gcols: _*)
       .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
-    val withMed = df.join(broadcast(med), groupCols)
+    val withMed = nsJoin(df, med, groupCols)
     val mad = withMed
       .withColumn("__adev", abs(col(valueCol) - col("__med")))
       .groupBy(gcols: _*)
       .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
-    withMed.join(broadcast(mad), groupCols)
+    nsJoin(withMed, mad, groupCols)
       .withColumn("robust_z", round(
         when(col("__mad") > 0.0,
           (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad"))),
@@ -463,10 +483,17 @@ object Stats {
     val eligible = df.filter(col(valueCol).isNotNull &&
       col(labelCol).isNotNull)
     val probs = (1 until bins).map(_.toDouble / bins)
-    val cuts: Seq[Double] = eligible
+    val cutsRow = eligible
       .agg(percentile(col(valueCol).cast(DoubleType),
         typedlit(probs)).as("c"))
-      .head().getSeq[Double](0)
+      .head()
+    // loud empty (the populationStability discipline): an input with no
+    // complete (value, label) pair has no distribution to cut — the raw
+    // failure was a bare NPE on the null percentile row
+    require(!cutsRow.isNullAt(0),
+      s"weightOfEvidence: no rows with non-null '$valueCol' AND " +
+        s"'$labelCol' — no distribution to draw bin cuts from")
+    val cuts: Seq[Double] = cutsRow.getSeq[Double](0)
     val binOf = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col(valueCol).cast(DoubleType) > c, 1).otherwise(0)
     }
@@ -569,8 +596,12 @@ object Stats {
     val scaffold = groups.crossJoin(broadcast(
       df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))))
     val pExp = log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
-    val full = scaffold
-      .join(cells, groupCols :+ "digit", "left")
+    // nsJoin: the null-key group's scaffold rows must match its observed
+    // cells back (digit is non-null on both sides; the group keys are
+    // the null-safe part) — a name join would zero-fill every digit of
+    // a REAL null-key group and null its χ²
+    val full = nsJoin(scaffold, cells, groupCols :+ "digit",
+        how = "left", bcastRight = false)
       .na.fill(0L, Seq("n_d"))
       .withColumn("__pexp", pExp)
     val chi2 = full.groupBy(gcols: _*)
@@ -578,7 +609,7 @@ object Stats {
         (col("n_d").cast(DoubleType) - col("n").cast(DoubleType) * col("__pexp")) *
           (col("n_d").cast(DoubleType) - col("n").cast(DoubleType) * col("__pexp")) /
           (col("n").cast(DoubleType) * col("__pexp"))).as("__chi2"))
-    val out = full.join(broadcast(chi2), groupCols)
+    val out = nsJoin(full, chi2, groupCols)
       .select(gcols ++ Seq(col("digit"), col("n_d"),
         round(col("n_d").cast(DoubleType) / col("n").cast(DoubleType),
           roundTo).as("p_obs"),

@@ -153,10 +153,11 @@ private[io] object FooterStats {
   }
 
   /** Read stats for `statsFor` columns of `files` under `table` from
-    * footers. Returns None when NOTHING could be read (every footer
-    * failed, or the first readable file carries no Spark schema
-    * metadata) — the caller then runs the scan pass for all columns and
-    * all files. Otherwise returns
+    * footers. Returns None only when NO file yields a usable footer
+    * (every read failed or lacked Spark schema metadata — each such
+    * file degrades alone via the per-file catch, so a single bad file
+    * lands in the scan-files list, not here) — the caller then runs the
+    * scan pass for all columns and all files. Otherwise returns
     * (per-file stats, columns needing the scan fallback for ALL files,
     * files needing the scan fallback for ALL columns). The per-FILE
     * degrade keeps one corrupt/foreign footer from silently re-scanning

@@ -410,6 +410,42 @@ class StatsSpec extends SparkSpec {
     assert(ba.getAs[Double]("strength") == 0.75)
   }
 
+  test("null-key groups survive madOutliers / robustScale / benfordDeviation " +
+    "(null-safe join-back — the audit-pass-8 lens)") {
+    // a null group key is a REAL group (dirty data routes there); the
+    // per-group median/MAD/χ² joins must match its rows back instead of
+    // silently dropping the whole group (null = null never equi-joins)
+    val df = Seq(
+      (Option("a"), 1.0), (Option("a"), 2.0), (Option("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 12.0),
+      (Option.empty[String], 14.0))
+      .toDF("k", "v")
+    val mo = Stats.madOutliers(df, Seq("k"), "v").collect()
+    assert(mo.length == 2, s"expected 2 groups, got ${mo.length}")
+    val nullRow = mo.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("n") == 3L &&
+      nullRow.getAs[Double]("median") == 12.0)
+    val rs = Stats.robustScale(df, Seq("k"), "v").collect()
+    assert(rs.length == 6, s"expected all 6 rows, got ${rs.length}")
+    assert(rs.count(_.isNullAt(0)) == 3)
+    val bd = Stats.benfordDeviation(
+      df.withColumn("v", col("v") * 10), Seq("k"), "v").collect()
+    // 9 digit rows per group, null group included, with its real counts
+    assert(bd.length == 18)
+    val nullD1 = bd.find(r => r.isNullAt(0) && r.getAs[Int]("digit") == 1).get
+    assert(nullD1.getAs[Long]("n_d") == 3L) // 100, 120, 140 all lead with 1
+    assert(!nullD1.isNullAt(nullD1.fieldIndex("chi2")))
+  }
+
+  test("weightOfEvidence fails loudly on an input with no complete pairs") {
+    val empty = Seq((Option.empty[java.lang.Double], Option.empty[Boolean]))
+      .toDF("v", "l")
+    val e = intercept[IllegalArgumentException] {
+      Stats.weightOfEvidence(empty, "v", "l")
+    }
+    assert(e.getMessage.contains("no distribution"))
+  }
+
   test("chiSquareIndependence: independent table scores 0, dependent scores n") {
     // perfectly independent 2x2: chi2 = 0
     val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
