@@ -261,6 +261,10 @@ object Sampling {
       lit(Buckets.toDouble), 0)
     val repeats = whole +
       when(bucket(col(idCol), hash) < fracThreshold, 1).otherwise(0)
+    // null-source docs drop here BY DESIGN, consistently with
+    // mixtureWeights, which excludes them from the rate table too ("no
+    // principled mixture membership" — their mass shapes no weight, so
+    // they belong in no sample); the equi-join IS the exclusion
     df.join(broadcast(rates), Seq(sourceCol))
       .withColumn("__n", repeats)
       .filter(col("__n") > 0)

@@ -330,9 +330,19 @@ object Monitoring {
         .agg(round(avg(
           abs(col("n").cast(DoubleType) - col("forecast").cast(DoubleType)) /
             col("n").cast(DoubleType)), roundTo).as("mape"))
+    // NULL-SAFE mape join-back (the forecast join above already uses <=>
+    // on the group keys — this one must too, or a null-key group's rows
+    // report mape = null despite a computed value)
     val out =
       (if (groupCols.isEmpty) withF.crossJoin(broadcast(mape))
-       else withF.join(broadcast(mape), groupCols, "left"))
+       else {
+         val mapeR = mape.select(groupCols.map(c =>
+           col(c).as(s"__m_$c")) :+ col("mape"): _*)
+         withF.join(broadcast(mapeR),
+             groupCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _),
+             "left")
+           .drop(groupCols.map(c => s"__m_$c"): _*)
+       })
     val snap = graft.util.Caches.snapshot(out)
     daily.unpersist(blocking = false)
     snap

@@ -976,4 +976,21 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(first == again)
   }
+
+  test("mixtureSample excludes null-source docs consistently with the weights") {
+    // mixtureWeights excludes null sources from the rate table BY
+    // DESIGN ("no principled mixture membership") — so their mass
+    // shapes no weight AND their docs appear in no sample; this pins
+    // the two halves of that contract to stay consistent
+    val df = ((1 to 50).map(i => (i.toLong, Option("a"), 100L)) ++
+      (51 to 100).map(i => (i.toLong, Option.empty[String], 100L)))
+      .toDF("doc_id", "src", "toks")
+    val w = Sampling.mixtureWeights(df, "src", "toks",
+      alpha = 1.0, targetTokens = 5000L).collect()
+    assert(w.length == 1 && w.head.getString(0) == "a")
+    val sample = Sampling.mixtureSample(df, "src", "doc_id", "toks",
+      alpha = 1.0, targetTokens = 5000L)
+    assert(sample.filter(col("src").isNull).count() == 0L)
+    assert(sample.count() == 50L) // source a at natural rate 1.0
+  }
 }

@@ -257,6 +257,27 @@ class MonitoringAlertingSpec extends SparkSpec {
     assert(out.values.forall(_._3 == 0.5))     // MAPE over the two
   }
 
+  test("seasonalNaiveBacktest: a null-key group keeps its mape " +
+    "(null-safe join-back)") {
+    // the forecast join was already <=> on group keys; the mape join
+    // must be too, or the null group's rows read mape = null despite a
+    // computed value
+    def at(d: String, n: Int) = (1 to n).map(_ =>
+      java.sql.Timestamp.valueOf(s"2024-01-$d 12:00:00"))
+    val df = (at("01", 10).map(t => (Option.empty[String], t)) ++
+      at("08", 20).map(t => (Option.empty[String], t)) ++
+      at("01", 5).map(t => (Option("k"), t)) ++
+      at("08", 10).map(t => (Option("k"), t)))
+      .toDF("g", "ts")
+    val out = graft.monitoring.Monitoring
+      .seasonalNaiveBacktest(df, "ts", groupCols = Seq("g"))
+      .collect()
+    val nullRows = out.filter(_.isNullAt(0))
+    assert(nullRows.length == 2)
+    // |20-10|/20 = 0.5 over the one forecastable day
+    assert(nullRows.forall(_.getAs[Double]("mape") == 0.5))
+  }
+
   test("seasonalAnomalyDF flags only the day that breaks its weekday rhythm") {
     // 7 Mondays at 20 events, the last at 100 (the spike); one Tuesday
     // cohort of a single day — ratio exactly 1, never anomalous
