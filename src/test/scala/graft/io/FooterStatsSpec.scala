@@ -320,6 +320,60 @@ class FooterStatsSpec extends graft.SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("PROPERTY: footer decimal bounds equal scan bounds for random values at random scales") {
+    // the DECIMAL footer path, property-checked: whatever precision/
+    // scale the writer declares and whatever physical width that selects
+    // (INT32 ≤ 9 digits, INT64 ≤ 18, FLBA above), the footer-rendered
+    // bounds must be byte-identical to CAST(dec AS STRING) from the scan
+    // pass. Random signed unscaled values sized to the precision.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen: Gen[(Int, Int, List[BigInt])] = for {
+      precision <- Gen.oneOf(5, 9, 10, 18, 20, 38)
+      scale <- Gen.choose(0, math.min(precision, 10))
+      n <- Gen.choose(1, 6)
+      values <- Gen.listOfN(n, for {
+        digits <- Gen.choose(1, precision)
+        v <- Gen.choose(0L, math.min(Long.MaxValue,
+          math.pow(10, math.min(digits, 17)).toLong))
+        neg <- Gen.oneOf(true, false)
+      } yield if (neg) -BigInt(v) else BigInt(v))
+    } yield (precision, scale, values)
+    val prop = Prop.forAll(caseGen) {
+      case (precision, scale, unscaled) =>
+        val dir = Files.createTempDirectory("prop-fstats")
+        try {
+          val t = dir.resolve("t").toString
+          unscaled.map(u =>
+              new java.math.BigDecimal(new java.math.BigInteger(u.toString),
+                scale).toPlainString)
+            .toDF("x")
+            .select(col("x").cast(s"decimal($precision,$scale)").as("dec"))
+            .coalesce(1)
+            .write.parquet(t)
+          val l = Files.list(java.nio.file.Paths.get(t))
+          val files =
+            try l.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toList.sorted
+            finally l.close()
+          val (footer, fb, bad) =
+            FooterStats.tryCompute(t, files, Seq("dec")).get
+          val scanned = VersionedTable.scanStats(spark, t, files, Seq("dec"))
+          fb.isEmpty && bad.isEmpty &&
+            files.forall(f => footer(f) == scanned(f))
+        } finally {
+          val walk = Files.walk(dir)
+          try walk.sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1),
+      prop)
+    assert(res.passed, s"footerDecimalParity: ${res.status}")
+  }
+
   test("multi-file commit: per-file bounds stay per-file") {
     val df = spark.range(100).select(col("id").as("l"))
       .repartitionByRange(4, col("l"))
