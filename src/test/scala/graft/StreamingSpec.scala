@@ -53,6 +53,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() == 100)
   }
 
+  test("dedup state is TTL'd by the watermark: a key re-emits after expiry, " +
+    "a within-horizon duplicate still drops") {
+    // the bounded-state trade the scaladoc documents ("state is GC'd
+    // past the watermark horizon"), pinned: after the watermark passes a
+    // key's sighting + delay, the state is gone and the SAME key emits
+    // again; a duplicate whose original sighting is still inside the
+    // horizon keeps being dropped. Cross-batch via maxFilesPerTrigger=1.
+    val dir = Files.createTempDirectory("dup-ttl").toString
+    def ev(id: Long, t: String) =
+      (id, Timestamp.valueOf(t), 1L, "e", 1.0)
+    def batch(name: String, rows: (Long, Timestamp, Long, String, Double)*)
+        : Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(s"$dir/$name")
+      Thread.sleep(1200) // distinct mtimes pin the file-source batch order
+    }
+    // batch 1: key 1 at 00:00, key 99 at 01:00 → watermark 00:50 after
+    // the batch (10-minute delay)
+    batch("b1", ev(1, "2024-01-01 00:00:00"), ev(99, "2024-01-01 01:00:00"))
+    // batch 2 runs UNDER watermark 00:50: key 99's re-send at its
+    // original time is not late (01:00 ≥ 00:50) and its state is alive
+    // (expiry 01:10) — dropped; key 1's state (expiry 00:10 < 00:50) is
+    // evicted during this batch. Key 50 advances the watermark to 01:20.
+    batch("b2", ev(99, "2024-01-01 01:00:00"), ev(50, "2024-01-01 01:30:00"))
+    // batch 3: key 1 again, long past its evicted sighting — re-emits
+    // (the documented TTL trade: dedup is guaranteed only within the
+    // watermark horizon; state past it is GC'd)
+    batch("b3", ev(1, "2024-01-01 02:00:00"))
+    val stream = Streams.dedupByKey(
+      Streams.eventsStream(spark, s"$dir/*", maxFilesPerTrigger = Some(1)),
+      Seq("event_id"), watermark = "10 minutes")
+    runToMemory(stream, "dedup_ttl")
+    val got = spark.table("dedup_ttl")
+      .groupBy("event_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got(99L) == 1L, s"within-horizon duplicate re-emitted: $got")
+    assert(got(1L) == 2L, s"expired key did not re-emit: $got")
+    assert(got(50L) == 1L, got.toString)
+  }
+
   test("streaming parquet sink with checkpoint resumes without duplicates") {
     val out = Files.createTempDirectory("sink").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
