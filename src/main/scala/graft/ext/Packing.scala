@@ -90,6 +90,39 @@ object Packing {
         sum(col(tokensCol)).as("n_tokens"))
   }
 
+  /** Per-pack member SPAN table: one row per (pack, member) with the
+    * member's 0-based token offset and length inside the concatenated
+    * pack — the attention-reset / loss-mask boundary artifact a trainer
+    * consumes alongside [[assemblePacks]]' pack_text (cross-document
+    * attention inside a packed example is masked at exactly these
+    * boundaries; without the table the trainer would have to re-tokenize
+    * the pack to find them). `orderCols` must be the same total order
+    * packing used; `sepTokens` accounts for a k-token separator joined
+    * between members (offset shifts by (rank−1)·k).
+    *
+    * Output: (packCol, member_rank 1-based, idCol, start, len).
+    * Scale: one window partitioned by pack — groups are budget-bounded
+    * by construction, and the running sum rides the same shuffle the
+    * assembly pass uses. Null token counts carry 0 mass (matching
+    * [[packByBudget]]'s cumsum, where `sum` skips them). */
+  def packSpans(packed: DataFrame, idCol: String, orderCols: Seq[Column],
+      tokensCol: String, packCol: String = "pack_id",
+      sepTokens: Int = 0): DataFrame = {
+    require(sepTokens >= 0, "sepTokens must be >= 0")
+    require(orderCols.nonEmpty, "at least one order column")
+    val w = Window.partitionBy(col(packCol)).orderBy(orderCols: _*)
+    val len = coalesce(guardedTokens(tokensCol).cast("long"), lit(0L))
+    packed
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__before", coalesce(
+        sum(guardedTokens(tokensCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(packCol), col("__rank").as("member_rank"), col(idCol),
+        (col("__before") + (col("__rank") - 1L) * lit(sepTokens.toLong))
+          .as("start"),
+        len.as("len"))
+  }
+
   /** [[packByBudgetScalable]] generalized to an arbitrary TOTAL order —
     * the curriculum-packing shape: sort by (quality desc, id) and the
     * cumulative token budget walks the curriculum, so early packs hold

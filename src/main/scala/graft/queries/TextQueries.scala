@@ -318,6 +318,22 @@ object TextQueries {
         .orderBy(col("pack_id"))
     }),
 
+    // Pack member SPANS (attention-reset / loss-mask boundaries): the
+    // trainer-facing twin of q99 — one row per (pack, member) with the
+    // member's token offset inside the concatenated pack, here with a
+    // 2-token separator between members so the sepTokens shift is on
+    // the hashed path too. A wrong sort, a dropped member, or an
+    // off-by-one in the running offset flips the hash.
+    "q182_pack_spans" -> ((s, dir) => {
+      val tc = t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))
+      val packed = graft.ext.Packing.packByBudgetScalable(
+        tc, "doc_id", "n_tokens", 2048)
+      graft.ext.Packing.packSpans(packed, "doc_id",
+          Seq(col("doc_id")), "n_tokens", sepTokens = 2)
+        .orderBy(col("pack_id"), col("member_rank"))
+    }),
+
     // Deterministic train/val/test split (md5-bucket variant → the
     // assignment itself is DuckDB-hash-checked).
     "q59_hash_split" -> ((s, dir) => {
@@ -1378,6 +1394,33 @@ object TextQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+
+    // q182: q99's pack assignment, then within-pack rank + running token
+    // sum + the (rank-1)*2 separator shift — the span arithmetic mirrored
+    "q182_pack_spans" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+        |  FROM tc),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(FLOOR(CAST(b AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+        |  FROM c)
+        |SELECT pack_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY pack_id ORDER BY doc_id)
+        |    AS BIGINT) AS member_rank,
+        |  doc_id,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_id ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (ROW_NUMBER() OVER (PARTITION BY pack_id ORDER BY doc_id) - 1) * 2
+        |    AS BIGINT) AS start,
+        |  n_tokens AS len
+        |FROM p ORDER BY pack_id, member_rank""".stripMargin,
 
     "q59_hash_split" ->
       """SELECT doc_id, lang,

@@ -149,6 +149,38 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("packSpans tile each pack exactly: start 0, contiguous offsets, lens sum") {
+    val packGen = for {
+      budget <- Gen.chooseNum(10L, 500L)
+      sep <- Gen.chooseNum(0, 3)
+      toks <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 100L))
+    } yield (budget, sep, toks.take(100))
+    check("packSpans", Prop.forAll(packGen) { case (budget, sep, toks) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "n_tokens")
+      val packed = graft.ext.Packing
+        .packByBudgetScalable(df, "id", "n_tokens", budget)
+      val spans = graft.ext.Packing
+        .packSpans(packed, "id", Seq(col("id")), "n_tokens",
+          sepTokens = sep)
+        .select("pack_id", "member_rank", "id", "start", "len")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (p, ms) => p -> ms.sortBy(_._2).toList }
+      spans.forall { case (_, ms) =>
+        // ranks are 1..n, the first span starts at 0, each next starts
+        // where the previous ended plus the separator, and every doc's
+        // span length is its token count
+        ms.map(_._2) == (1L to ms.size.toLong).toList &&
+          ms.head._4 == 0L &&
+          ms.sliding(2).forall {
+            case List(a, b) => b._4 == a._4 + a._5 + sep
+            case _ => true
+          } &&
+          ms.forall { case (_, _, id, _, len) => len == toks(id.toInt) }
+      }
+    })
+  }
+
   test("vec_dot SQL function matches the Column API") {
     GraftExtensions.register(spark)
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
