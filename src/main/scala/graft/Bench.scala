@@ -75,10 +75,7 @@ object Bench {
         spark.catalog.dropTempView(name)
         ()
       } finally {
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(dir)
       }
     } catch { case _: Throwable => () }
     graft.util.Caches.clearAll(spark)
@@ -236,8 +233,9 @@ object Bench {
     // a reader has to be able to tell "defended" from "cap hit"
     if (allCandidates.size > rerunCandidates.size)
       System.err.println(s"[bench] contamination re-run cap hit: " +
-        s"${allCandidates.size} candidates, 12 re-run; NOT re-run: " +
-        allCandidates.drop(12).map(_._1).mkString(", "))
+        s"${allCandidates.size} candidates, ${rerunCandidates.size} " +
+        "re-run; NOT re-run: " +
+        allCandidates.drop(rerunCandidates.size).map(_._1).mkString(", "))
     val reruns: Map[String, Double] = rerunCandidates.flatMap {
       case (name, t1, _) =>
         SparkEntry.queries.get(name).flatMap { fn =>

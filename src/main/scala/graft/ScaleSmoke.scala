@@ -604,10 +604,7 @@ object ScaleSmoke {
             zorder = true)
           io.VersionedTable.snapshot(spark, src).count() }
       } finally {
-        val walk = java.nio.file.Files.walk(vtRoot)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(vtRoot)
       }
     }
 
@@ -687,10 +684,7 @@ object ScaleSmoke {
             s"${amtProbe.inputFiles.length}/64 files")
         } finally spark.sparkContext.removeSparkListener(listener)
       } finally {
-        val walk = java.nio.file.Files.walk(vtRoot)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(vtRoot)
       }
     }
 

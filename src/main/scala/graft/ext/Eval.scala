@@ -123,19 +123,13 @@ object Eval {
     // reports (n = 0, n_excluded) instead of vanishing. NULL-SAFE on the
     // group keys: a NULL group value is a real group (dirty data routes
     // there), and a plain column-name join would report its agreement as
-    // n = 0 while n_excluded said nothing was dropped
+    // n = 0 while n_excluded said nothing was dropped. Shared definition
+    // in [[graft.util.Joins]]; bcastRight = false keeps this site's
+    // original plan shape (group-cardinality frames, no hint).
     def nsJoin(l: org.apache.spark.sql.DataFrame,
         r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      if (groupCols.isEmpty) l.crossJoin(r)
-      else {
-        val ph = groupCols.indices.map(i => s"__gk_$i")
-        val rr = r.select(groupCols.zip(ph).map { case (c, a) =>
-          col(c).as(a) } ++ r.columns.filterNot(groupCols.contains)
-            .map(col): _*)
-        l.join(rr, groupCols.zip(ph).map { case (c, a) =>
-          l(c) <=> rr(a) }.reduce(_ && _), "left")
-          .drop(ph: _*)
-      }
+      graft.util.Joins.nullSafeEqui(l, r, groupCols, how = "left",
+        bcastRight = false)
     nsJoin(nsJoin(base, agree), pe)
       .select(g ++ Seq(
         coalesce(col("__n"), lit(0L)).as("n"), col("n_excluded"),

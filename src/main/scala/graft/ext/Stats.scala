@@ -18,21 +18,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Stats {
 
-  /** Null-safe equi-join on `keys`: a NULL group key is a real group
-    * (dirty data routes there — the recurring audit lens), and a plain
-    * usingColumns join drops its rows SILENTLY (null = null is never
-    * true in an equi-join). Right-side key columns are aliased to
-    * placeholders, matched with <=>, and dropped after; `bcastRight`
-    * broadcasts the (per-group, small) right side. */
+  /** Null-safe group join-back — see [[graft.util.Joins.nullSafeEqui]]
+    * (one shared definition; empty groupCols degrade to the one-row
+    * cross join, the global-profile shape). */
   private def nsJoin(l: DataFrame, r: DataFrame, keys: Seq[String],
-      how: String = "inner", bcastRight: Boolean = true): DataFrame = {
-    val ph = keys.indices.map(i => s"__nsk_$i")
-    val rr = r.select(keys.zip(ph).map { case (c, a) => col(c).as(a) } ++
-      r.columns.filterNot(keys.contains).map(col): _*)
-    val right = if (bcastRight) broadcast(rr) else rr
-    l.join(right, keys.zip(ph).map { case (c, a) => l(c) <=> rr(a) }
-      .reduce(_ && _), how).drop(ph: _*)
-  }
+      how: String = "inner", bcastRight: Boolean = true): DataFrame =
+    graft.util.Joins.nullSafeEqui(l, r, keys, how, bcastRight)
 
   /** Per-group simple linear regression (closed form) of `yCol` on
     * `xCol`: slope, intercept, r², n.

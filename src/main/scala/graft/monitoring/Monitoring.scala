@@ -332,17 +332,10 @@ object Monitoring {
             col("n").cast(DoubleType)), roundTo).as("mape"))
     // NULL-SAFE mape join-back (the forecast join above already uses <=>
     // on the group keys — this one must too, or a null-key group's rows
-    // report mape = null despite a computed value)
-    val out =
-      (if (groupCols.isEmpty) withF.crossJoin(broadcast(mape))
-       else {
-         val mapeR = mape.select(groupCols.map(c =>
-           col(c).as(s"__m_$c")) :+ col("mape"): _*)
-         withF.join(broadcast(mapeR),
-             groupCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _),
-             "left")
-           .drop(groupCols.map(c => s"__m_$c"): _*)
-       })
+    // report mape = null despite a computed value); shared definition,
+    // empty groupCols degrade to the one-row cross join
+    val out = graft.util.Joins.nullSafeEqui(withF, mape, groupCols,
+      how = "left")
     val snap = graft.util.Caches.snapshot(out)
     daily.unpersist(blocking = false)
     snap

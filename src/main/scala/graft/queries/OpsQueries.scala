@@ -251,10 +251,7 @@ object OpsQueries {
         // deleted on the way out
         graft.util.Caches.snapshot(out)
       } finally {
-        val walk = java.nio.file.Files.walk(scratch)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(scratch)
       }
     }),
 
@@ -288,10 +285,7 @@ object OpsQueries {
           .orderBy(col("o_orderstatus"))
         graft.util.Caches.snapshot(out)
       } finally {
-        val walk = java.nio.file.Files.walk(scratch)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(scratch)
       }
     }),
 
@@ -329,10 +323,7 @@ object OpsQueries {
           .orderBy(col("bucket"))
         graft.util.Caches.snapshot(out)
       } finally {
-        val walk = java.nio.file.Files.walk(scratch)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(scratch)
       }
     }),
 
@@ -371,10 +362,7 @@ object OpsQueries {
         graft.util.Caches.snapshot(out)
       } finally {
         s.sql(s"DROP TABLE IF EXISTS default.`$tbl`")
-        val walk = java.nio.file.Files.walk(scratch)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(scratch)
       }
     }),
 
@@ -432,10 +420,7 @@ object OpsQueries {
           .orderBy(col("day"))
         graft.util.Caches.snapshot(out)
       } finally {
-        val walk = java.nio.file.Files.walk(scratch)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(scratch)
       }
     }),
 
@@ -485,10 +470,7 @@ object OpsQueries {
           .orderBy(col("bucket"))
         graft.util.Caches.snapshot(out)
       } finally {
-        val walk = java.nio.file.Files.walk(scratch)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+        graft.util.Fs.deleteRecursively(scratch)
       }
     }))
 

@@ -445,12 +445,7 @@ object Temporal {
       val rows = s.table(name).orderBy(col("hour"), col("event_type")).collect()
       val schema = s.table(name).schema
       s.catalog.dropTempView(name)
-      locally {
-        val walk = java.nio.file.Files.walk(srcDir)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.util.Fs.deleteRecursively(srcDir)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("hour"), col("event_type"))
     }),
@@ -500,12 +495,7 @@ object Temporal {
       val rows = s.table(name).orderBy(col("event_id")).collect()
       val schema = s.table(name).schema
       s.catalog.dropTempView(name)
-      locally {
-        val walk = java.nio.file.Files.walk(srcDir)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally walk.close()
-      }
+      graft.util.Fs.deleteRecursively(srcDir)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("event_id"))
     }))

@@ -70,10 +70,7 @@ object VersionedQueries {
     val dir = Files.createTempDirectory("graft-vq")
     try graft.util.Caches.snapshot(body(dir.resolve("t").toString))
     finally {
-      val walk = Files.walk(dir)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
+      graft.util.Fs.deleteRecursively(dir)
     }
   }
 
@@ -113,12 +110,7 @@ object VersionedQueries {
               // sorts rows anyway, but keep dumps deterministic
               memo.put((dir, s"$group/$n"), (df.collect().toSeq, df.schema))
             }
-          } finally {
-            val walk = Files.walk(scratch)
-            try walk.sorted(Comparator.reverseOrder[Path]())
-              .forEach(f => Files.deleteIfExists(f))
-            finally walk.close()
-          }
+          } finally graft.util.Fs.deleteRecursively(scratch)
           // a name/group wiring mistake must fail loudly ONCE — without
           // this the miss NPEs below and, because containsKey stays
           // false, the expensive fixture silently rebuilds on every retry

@@ -437,6 +437,20 @@ class StatsSpec extends SparkSpec {
     assert(!nullD1.isNullAt(nullD1.fieldIndex("chi2")))
   }
 
+  test("groupCols = Nil yields the global profile (degenerate cross join)") {
+    // the shared nullSafeEqui helper must keep the empty-keys shape the
+    // pre-helper code had (a one-row cross join against the global
+    // aggregate), not crash on an empty join condition
+    val df = Seq(1.0, 2.0, 3.0, 100.0).toDF("v")
+    val mo = Stats.madOutliers(df, Nil, "v").collect()
+    assert(mo.length == 1 && mo.head.getAs[Long]("n") == 4L &&
+      mo.head.getAs[Long]("n_outliers") == 1L)
+    assert(Stats.robustScale(df, Nil, "v").count() == 4L)
+    val bd = Stats.benfordDeviation(df, Nil, "v").collect()
+    assert(bd.length == 9 &&
+      bd.map(_.getAs[Long]("n_d")).sum == 4L)
+  }
+
   test("weightOfEvidence fails loudly on an input with no complete pairs") {
     val empty = Seq((Option.empty[java.lang.Double], Option.empty[Boolean]))
       .toDF("v", "l")
