@@ -461,4 +461,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(countOcc(p, "Exchange hashpartitioning") == 1, p)
   }
+
+  test("packSpans adds exactly one pack-keyed exchange past the assignment " +
+    "and no join") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars").as("n_tokens"))
+    val packed = graft.ext.Packing
+      .packByBudgetScalable(docs, "doc_id", "n_tokens", 2048)
+    // the assignment itself: one range partition + the broadcast offset
+    // join (two-phase cumsum), asserted elsewhere — snapshot it so the
+    // span plan below shows ONLY the span pass's own work
+    val pinned = graft.util.Caches.snapshot(packed)
+    val p = planOf(graft.ext.Packing.packSpans(pinned, "doc_id",
+      Seq(col("doc_id")), "n_tokens", sepTokens = 2))
+    // one hash exchange on pack_id for the bounded-group window — the
+    // 100 TB shape: groups are budget-capped, no global sort, no join
+    assert(countOcc(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("IvfPq.encode is a narrow pass: no keyed exchange, no join in the " +
+    "encode plan") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val index = graft.ext.IvfPq.trainIndex(emb, "vec_id", "embedding",
+      dim = 64, kCells = 4, m = 8, kCodes = 4, iters = 1)
+    // encode snapshots eagerly; the plan of interest is the snapshot's
+    // ORIGIN — build it unsnapshotted here via the same expressions
+    val cv = col("embedding").cast("array<double>")
+    val cell = graft.ext.Ivf.cellId(cv, index.ivf)
+    val p = planOf(emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), cell.as("cell")))
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
