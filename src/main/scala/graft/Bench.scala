@@ -189,7 +189,11 @@ object Bench {
           else Nil
         val fromHistory: Seq[Map[String, Double]] = lines.map { n =>
           val q = n.path("queries")
-          q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+          // fields() not properties(): properties() is Jackson 2.15+ and
+          // its absence on an older shaded Jackson is a NoSuchMethodError
+          // — an Error, not NonFatal — that would crash the whole bench
+          // instead of degrading this best-effort block to empty history
+          q.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
         }
         val samples =
           if (fromHistory.nonEmpty) fromHistory
@@ -220,44 +224,81 @@ object Bench {
       val s = xs.sorted
       s((s.size - 1) / 2)
     }
+    val medians: Map[String, Double] = history.collect {
+      case (n, xs) if xs.nonEmpty => n -> median(xs)
+    }
     val allCandidates = timed.filter { case (n, t, ok) =>
       // fixtures excluded: their builds memoize, so a re-run times the
       // memo hit, not the work — a re-run "improvement" would be a lie.
       // Sub-second entries excluded: scheduler jitter, not contention.
       ok && !n.startsWith("fx") && t > 1.0 &&
-        history.get(n).filter(_.nonEmpty).map(median).exists(m => t > 2 * m)
-    }.sortBy { case (_, t, _) => -t }
+        medians.get(n).exists(m => t > 2 * m)
+    }.sortBy { case (n, t, _) =>
+      // prioritize by OVERSHOOT RATIO, not absolute time: when the cap
+      // saturates, a 5× phantom on a 2 s query matters more than a 2.1×
+      // on a 6 s one — the worst lies get corrected first (r15 nit)
+      -(t / medians(n))
+    }
     val rerunCandidates = allCandidates.take(12)
     // saturation must be VISIBLE: candidates beyond the cap keep their
-    // (possibly contaminated) timings in the artifact AND the history —
-    // a reader has to be able to tell "defended" from "cap hit"
+    // (possibly contaminated) timings in the artifact AND carry a
+    // `suspect` flag in bench_full.json (computed below on final values)
     if (allCandidates.size > rerunCandidates.size)
       System.err.println(s"[bench] contamination re-run cap hit: " +
         s"${allCandidates.size} candidates, ${rerunCandidates.size} " +
         "re-run; NOT re-run: " +
         allCandidates.drop(rerunCandidates.size).map(_._1).mkString(", "))
+    def runOnce(name: String): Option[Double] =
+      SparkEntry.queries.get(name).flatMap { fn =>
+        graft.util.Caches.clearAll(spark)
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok2 = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val t2 = (System.nanoTime() - t0) / 1e9
+        graft.util.Caches.clearAll(spark)
+        System.gc()
+        if (ok2) Some(t2) else None // on failure keep the original timing
+      }
     val reruns: Map[String, Double] = rerunCandidates.flatMap {
       case (name, t1, _) =>
-        SparkEntry.queries.get(name).flatMap { fn =>
-          graft.util.Caches.clearAll(spark)
-          System.gc()
-          val t0 = System.nanoTime()
-          val ok2 = try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          val t2 = (System.nanoTime() - t0) / 1e9
-          graft.util.Caches.clearAll(spark)
-          System.gc()
-          if (ok2) {
-            println("bench-rerun " + name + " " +
-              graft.util.Fmt.fmt("%.3f", t1) + " -> " +
-              graft.util.Fmt.fmt("%.3f", t2))
-            Some(name -> math.min(t1, t2))
-          } else None // keep the original successful timing
+        runOnce(name).map { t2 =>
+          println("bench-rerun " + name + " " +
+            graft.util.Fmt.fmt("%.3f", t1) + " -> " +
+            graft.util.Fmt.fmt("%.3f", t2))
+          val m1 = math.min(t1, t2)
+          // SECOND STAGE (r15 #1): still >2× the trailing clean-sweep
+          // median after one re-run means the contention is sustained,
+          // not transient — one more sample at a third moment; the min
+          // of three is the best estimate this host can produce. What
+          // remains elevated after that is flagged `suspect` below.
+          val best = if (medians.get(name).exists(m => m1 > 2 * m)) {
+            runOnce(name).map { t3 =>
+              println("bench-rerun2 " + name + " " +
+                graft.util.Fmt.fmt("%.3f", m1) + " -> " +
+                graft.util.Fmt.fmt("%.3f", t3))
+              math.min(m1, t3)
+            }.getOrElse(m1)
+          } else m1
+          name -> best
         }
     }.toMap
     val sweep = timed.map { case (n, t, ok) =>
       (n, reruns.getOrElse(n, t), ok)
     }
+    // SUSPECT = any successful entry whose FINAL recorded value is still
+    // >2× its trailing clean-sweep median — covers re-run survivors, cap
+    // overflow, and failed re-runs alike. Flagged per-entry in
+    // bench_full.json and counted in the machine line ("sus"): a reader
+    // can tell "defended" from "this number may still be a host lie"
+    // without cross-referencing anything.
+    val suspects: Set[String] = sweep.collect {
+      case (n, t, true) if !n.startsWith("fx") && t > 1.0 &&
+        medians.get(n).exists(m => t > 2 * m) => n
+    }.toSet
+    if (suspects.nonEmpty)
+      System.err.println("[bench] still >2x trailing median after " +
+        s"defense (flagged suspect): ${suspects.toSeq.sorted.mkString(", ")}")
     // a failed query must NOT contribute its elapsed-until-crash to the
     // machine line — a plan-time throw looks like a 100x speedup to the
     // driver's trend view; it goes to the `failed` list instead
@@ -290,7 +331,9 @@ object Bench {
           case (`n`, t1, true) if reruns.contains(n) && t1 != t =>
             s""","first":${f3(t1)}"""
         }.getOrElse("")
-        s"""{"name":${graft.util.Fmt.jsonString(n)},"sec":${f3(t)},"ok":$ok$firstDetail}"""
+        val suspectDetail =
+          if (suspects.contains(n)) s""","suspect":true""" else ""
+        s"""{"name":${graft.util.Fmt.jsonString(n)},"sec":${f3(t)},"ok":$ok$firstDetail$suspectDetail}"""
       }.mkString("[", ",", "]")
       val doc = s"""{"metric":"total","value":${f3(sweep.collect { case (_, t, true) => t }.sum)},"unit":"sec","ann":"$annCfg","rr":${reruns.size},"sf":${graft.util.Fmt.jsonString(sfDir)},"queries":$entries}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -307,8 +350,15 @@ object Bench {
           java.nio.file.Files.readAllLines(hist).asScala.toSeq
             .filter(_.trim.nonEmpty)
         else Nil
-      val qjson = sweep.collect { case (n, t, true) =>
-        s"${graft.util.Fmt.jsonString(n)}:${f3(t)}"
+      // suspect entries stay OUT of the history: a still-contaminated
+      // value entering the trailing-median pool would inflate the very
+      // baseline the next sweep's defense compares against. A genuine
+      // regression excluded here keeps its old (lower) median, so it is
+      // re-flagged and re-measured every sweep until a code diff owns it
+      // — the right failure mode.
+      val qjson = sweep.collect {
+        case (n, t, true) if !suspects.contains(n) =>
+          s"${graft.util.Fmt.jsonString(n)}:${f3(t)}"
       }.mkString("{", ",", "}")
       val line = s"""{"sf":${graft.util.Fmt.jsonString(sfDir)},"ann":"$annCfg","queries":$qjson}"""
       java.nio.file.Files.write(hist,
@@ -350,10 +400,14 @@ object Bench {
     // bench_full.json), not the machine line — every byte there fights
     // for the same 1925-char window
     println(s"bench-ann $annCfg")
-    // "rr" = how many entries are min-of-2 after the contamination
-    // re-run (their first samples live in bench_full.json as "first")
+    // "rr" = how many entries are min-of-N after the contamination
+    // re-runs (first samples live in bench_full.json as "first"); "sus"
+    // (present only when nonzero — machine-line bytes are scarce) = how
+    // many entries REMAIN >2x their trailing median even after the
+    // defense, each flagged "suspect":true in bench_full.json
+    val susJson = if (suspects.isEmpty) "" else s""","sus":${suspects.size}"""
     def mkLine(entries: String) =
-      s"""{"metric":"total","value":${graft.util.Fmt.fmt("%.1f", total)},"unit":"sec","queries":$entries$failedJson,"rr":${reruns.size},"sf":${graft.util.Fmt.jsonString(sfBase)}}"""
+      s"""{"metric":"total","value":${graft.util.Fmt.fmt("%.1f", total)},"unit":"sec","queries":$entries$failedJson,"rr":${reruns.size}$susJson,"sf":${graft.util.Fmt.jsonString(sfBase)}}"""
     def mkEntries(f: Double => String) = (qRes ++ fxRes)
       .map { case (k, v) => "\"" + machineKey(k) + "\":" + f(v) }
       .mkString("{", ",", "}")

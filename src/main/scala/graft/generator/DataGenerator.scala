@@ -25,18 +25,26 @@ object DataGenerator {
 
   val Seed = 42
 
+  /** Caller's seed, threaded implicitly so every hash helper derives from
+    * it without plumbing an explicit arg through ~40 call sites. Default
+    * [[Seed]] keeps byte-identical output for every pre-existing caller
+    * (the oracle gates hash generated data). */
+  private final case class GenSeed(v: Int) extends AnyVal
+
   /** Uniform [0,1) from the row id and a salt: top 53 bits of xxhash64. */
-  private def u(id: Column, salt: String): Column =
-    shiftrightunsigned(xxhash64(id, lit(salt), lit(Seed)), 11).cast(DoubleType) /
+  private def u(id: Column, salt: String)(implicit seed: GenSeed): Column =
+    shiftrightunsigned(xxhash64(id, lit(salt), lit(seed.v)), 11).cast(DoubleType) /
       lit(9007199254740992.0) // 2^53
 
   /** Uniform pick from a value list. */
-  private def pick(id: Column, salt: String, values: Seq[String]): Column =
+  private def pick(id: Column, salt: String, values: Seq[String])(
+      implicit seed: GenSeed): Column =
     element_at(typedlit(values),
       (u(id, salt) * values.size).cast(IntegerType) + 1)
 
   /** Standard normal via Box–Muller on two hash uniforms. */
-  private def gaussian(id: Column, salt: String): Column =
+  private def gaussian(id: Column, salt: String)(
+      implicit seed: GenSeed): Column =
     sqrt(lit(-2.0) * log(lit(1.0) - u(id, salt + "_u1"))) *
       cos(lit(2.0 * math.Pi) * u(id, salt + "_u2"))
 
@@ -50,7 +58,8 @@ object DataGenerator {
 
   private val baseTs = "2024-01-01 00:00:00"
 
-  def customers(spark: SparkSession, n: Long): DataFrame = {
+  def customers(spark: SparkSession, n: Long, seed: Int = Seed): DataFrame = {
+    implicit val gs: GenSeed = GenSeed(seed)
     val id = col("id")
     val firstNames = Seq("John", "Jane", "Alex", "Maria", "Wei", "Yuki",
       "Hans", "Ana", "Raj", "Emma")
@@ -78,7 +87,8 @@ object DataGenerator {
       lit(baseTs).as("updated_at"))
   }
 
-  def merchants(spark: SparkSession, n: Long): DataFrame = {
+  def merchants(spark: SparkSession, n: Long, seed: Int = Seed): DataFrame = {
+    implicit val gs: GenSeed = GenSeed(seed)
     val id = col("id")
     val mccs = Seq("5411", "5812", "5999", "4111", "7995", "6011", "5732")
     val cats = Seq("GROCERY", "RESTAURANT", "RETAIL", "TRANSPORT", "GAMBLING",
@@ -102,7 +112,9 @@ object DataGenerator {
   }
 
   /** 90 days × 9 currencies = 810 rows by default (generator.py:586-601). */
-  def exchangeRates(spark: SparkSession, days: Int = 90): DataFrame = {
+  def exchangeRates(spark: SparkSession, days: Int = 90,
+      seed: Int = Seed): DataFrame = {
+    implicit val gs: GenSeed = GenSeed(seed)
     val id = col("id")
     val nCur = Enums.currencies.size
     spark.range(days.toLong * nCur).select(
@@ -117,7 +129,8 @@ object DataGenerator {
 
   /** Bronze transactions with the reference's fraud/AML patterns baked in. */
   def transactions(spark: SparkSession, n: Long, nCustomers: Long,
-      nMerchants: Long, days: Int = 90): DataFrame = {
+      nMerchants: Long, days: Int = 90, seed: Int = Seed): DataFrame = {
+    implicit val gs: GenSeed = GenSeed(seed)
     val id = col("id")
     // base lognormal(3.5, 1.5) capped [0.01, 50000] (generator.py:451-453)
     val baseAmount = least(greatest(

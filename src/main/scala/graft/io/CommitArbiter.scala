@@ -20,12 +20,15 @@ import java.util.UUID
   *    rename: a blind PUT silently overwrites a racing writer's commit and
   *    corrupts the log. This is exactly why Delta Lake requires a LogStore
   *    / commit-coordinator service on S3. Deploying [[VersionedTable]]
-  *    against an object store requires an arbiter backed by an external
-  *    arbitration primitive — a DynamoDB/ZooKeeper/DB conditional put, or
-  *    S3's newer `If-None-Match` conditional write — implementing this
-  *    trait. None ships here (zero extra dependencies by design); the
-  *    default arbiter is correct for everything a single-cluster POSIX
-  *    deployment mounts.
+  *    against an object store means installing [[ObjectStoreArbiter]]
+  *    over the store's conditional-put primitive (S3 `If-None-Match: *`,
+  *    GCS `ifGenerationMatch=0`, a DynamoDB/ZooKeeper conditional write)
+  *    — implement the 3-method [[ObjectStore]] trait with the SDK of
+  *    choice; the arbiter's claim/retry/ambiguity logic and its contract
+  *    suite come for free (no store SDK ships here — zero extra
+  *    dependencies by design; [[InMemoryObjectStore]] proves the contract
+  *    offline). The default arbiter is correct for everything a
+  *    single-cluster POSIX deployment mounts.
   *
   * Install a custom arbiter process-wide with
   * `VersionedTable.commitArbiter = myArbiter` before the first commit.

@@ -202,6 +202,18 @@ private[io] object FooterStats {
       val schema0 = good.headOption.map(_._2).getOrElse(return None)
       def sparkType(c: String): Option[DataType] =
         schema0.find(_.name == c).map(_.dataType)
+      // statsFor names TOP-LEVEL columns; match chunks on single-element
+      // column paths, never on the dot-rendered path — a top-level column
+      // literally named "a.b" (dots are legal Spark field names, cf.
+      // GapFill's backtick quoting) renders identically to a NESTED path
+      // a.b from some other struct column, and toDotString matching would
+      // validate it against the wrong chunk's stats
+      def chunkIsCol(
+          ch: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+          c: String): Boolean = {
+        val p = ch.getPath.toArray
+        p.length == 1 && p(0) == c
+      }
       val (candidates, scanCols0) =
         statsFor.partition(c => sparkType(c).exists(footerCandidate))
       // physical-shape validation over EVERY chunk of every readable
@@ -213,8 +225,7 @@ private[io] object FooterStats {
         val dt = sparkType(c).get
         good.exists { case (_, _, blocks, _) =>
           blocks.exists(_.getColumns.asScala.exists(ch =>
-            ch.getPath.toDotString == c &&
-              !physicalOk(dt, ch.getPrimitiveType)))
+            chunkIsCol(ch, c) && !physicalOk(dt, ch.getPrimitiveType)))
         }
       }
       val cols = candidates.filterNot(physBad.contains)
@@ -224,7 +235,7 @@ private[io] object FooterStats {
         cols.foreach { c =>
           schema.find(_.name == c).foreach { field =>
             val chunks = blocks.flatMap(
-              _.getColumns.asScala.find(_.getPath.toDotString == c))
+              _.getColumns.asScala.find(chunkIsCol(_, c)))
             // every block must expose this column with usable statistics;
             // a single silent gap means the footer cannot answer for the
             // whole file — omit (conservative keep), never guess

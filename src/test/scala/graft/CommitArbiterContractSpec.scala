@@ -5,7 +5,8 @@ import java.util.Comparator
 
 import org.apache.spark.sql.functions._
 
-import graft.io.{CommitArbiter, Upsert, VersionedTable => VT}
+import graft.io.{CommitArbiter, InMemoryObjectStore, ObjectStore,
+  ObjectStoreArbiter, Upsert, VersionedTable => VT}
 
 /** The [[graft.io.CommitArbiter]] contract, run against BOTH shipped
   * arbiters — the POSIX default and the in-memory conditional-put model
@@ -30,7 +31,12 @@ class CommitArbiterContractSpec extends SparkSpec {
 
   private val arbiters: Seq[(String, CommitArbiter)] = Seq(
     "PosixLink" -> CommitArbiter.PosixLink,
-    "ConditionalPut" -> CommitArbiter.ConditionalPut)
+    "ConditionalPut" -> CommitArbiter.ConditionalPut,
+    // the deployable object-store shape (VERDICT r12–r15 #3): conditional
+    // put against a store client, in-memory fake here — every slot law
+    // and the table race suite below runs against the SAME code a real
+    // S3/GCS backend would reuse, only the 3-method store trait swapped
+    "ObjectStore" -> new ObjectStoreArbiter(new InMemoryObjectStore))
 
   private def withDir[T](body: Path => T): T = {
     val dir = Files.createTempDirectory("graft-arb")
@@ -179,6 +185,140 @@ class CommitArbiterContractSpec extends SparkSpec {
         }
       }
       assert(VT.snapshot(spark, t).count() == 2)
+    }
+  }
+
+  // ---- layer 3: the object-store arbiter's retry taxonomy -----------
+  // (what a 429/503, a landed 500 and a lost 500 each do to a claim — the
+  // contract a real S3/GCS backend inherits by implementing ObjectStore)
+
+  private def bytesOf(s: String) =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  test("[ObjectStore] putIfAbsent / putIfMatch CAS laws: absent creates, " +
+      "present fails, stale etag fails, fresh etag swaps and rotates") {
+    val st = new InMemoryObjectStore
+    val ObjectStore.Created(e1) = st.putIfAbsent("k", bytesOf("v1"))
+    assert(st.putIfAbsent("k", bytesOf("v2")) ==
+      ObjectStore.PreconditionFailed)
+    assert(st.get("k").map(b => new String(b.bytes)) == Some("v1"))
+    // CAS: stale tag refused, current tag swaps and the tag rotates
+    assert(st.putIfMatch("k", bytesOf("v3"), "etag-bogus") ==
+      ObjectStore.PreconditionFailed)
+    val ObjectStore.Created(e2) = st.putIfMatch("k", bytesOf("v3"), e1)
+    assert(e2 != e1)
+    assert(st.get("k").map(b => new String(b.bytes)) == Some("v3"))
+    assert(st.putIfMatch("k", bytesOf("v4"), e1) ==
+      ObjectStore.PreconditionFailed, "a superseded tag must stay stale")
+    // CAS on a missing key is a precondition failure, not a create
+    assert(st.putIfMatch("nope", bytesOf("x"), e2) ==
+      ObjectStore.PreconditionFailed)
+  }
+
+  test("[ObjectStore] transient faults (429/503) are retried with " +
+      "backoff and the claim still wins") {
+    withDir { d =>
+      val st = new InMemoryObjectStore
+      val arb = new ObjectStoreArbiter(st, backoffMs = 0L)
+      st.injectPutFaults(InMemoryObjectStore.TransientBefore,
+        InMemoryObjectStore.TransientBefore)
+      val slot = d.resolve("0.json")
+      assert(arb.tryClaim(d, slot, "{\"v\":0}"))
+      assert(Files.readString(slot) == "{\"v\":0}")
+      assert(st.conditionalPuts == 3L, "2 faulted attempts + 1 real put")
+    }
+  }
+
+  test("[ObjectStore] exhausted transient retries throw — a store outage " +
+      "is a loud commit failure, never a silent lost slot") {
+    withDir { d =>
+      val st = new InMemoryObjectStore
+      val arb = new ObjectStoreArbiter(st, maxTransientRetries = 2,
+        backoffMs = 0L)
+      st.injectPutFaults(Seq.fill(3)(
+        InMemoryObjectStore.TransientBefore: InMemoryObjectStore.Fault): _*)
+      intercept[ObjectStore.TransientStoreException] {
+        arb.tryClaim(d, d.resolve("0.json"), "x")
+      }
+    }
+  }
+
+  test("[ObjectStore] a LANDED ambiguous outcome (500 after the put " +
+      "applied) adjudicates to a WIN by content read-back — no blind " +
+      "retry that would misread its own slot as lost") {
+    withDir { d =>
+      val st = new InMemoryObjectStore
+      val arb = new ObjectStoreArbiter(st, backoffMs = 0L)
+      st.injectPutFaults(InMemoryObjectStore.AmbiguousLanded)
+      val slot = d.resolve("0.json")
+      assert(arb.tryClaim(d, slot, "mine"))
+      assert(Files.readString(slot) == "mine")
+      assert(st.conditionalPuts == 1L,
+        "adjudication must read back, not re-put")
+    }
+  }
+
+  test("[ObjectStore] a LOST ambiguous outcome (500, nothing landed) " +
+      "retries and wins; ambiguous against a slot someone else owns " +
+      "adjudicates to a loss") {
+    withDir { d =>
+      val st = new InMemoryObjectStore
+      val arb = new ObjectStoreArbiter(st, backoffMs = 0L)
+      st.injectPutFaults(InMemoryObjectStore.AmbiguousLost)
+      val slot = d.resolve("0.json")
+      assert(arb.tryClaim(d, slot, "mine"))
+      assert(Files.readString(slot) == "mine")
+    }
+    withDir { d =>
+      val st = new InMemoryObjectStore
+      val arb = new ObjectStoreArbiter(st, backoffMs = 0L)
+      val slot = d.resolve("0.json")
+      assert(arb.tryClaim(d, slot, "winner"))
+      Files.deleteIfExists(slot) // force re-arbitration via the store
+      st.injectPutFaults(InMemoryObjectStore.AmbiguousLanded)
+      assert(!arb.tryClaim(d, slot, "loser"),
+        "read-back must see the winner's bytes and report the loss")
+      // the losing claim HEALS the winner's content into the local mirror
+      assert(Files.readString(slot) == "winner")
+    }
+  }
+
+  test("[ObjectStore] concurrent appends all land through the " +
+      "object-store arbiter (the multi-writer table suite, unchanged)") {
+    withArbiter(new ObjectStoreArbiter(new InMemoryObjectStore)) {
+      withTable { t =>
+        VT.append(spark, df(0 -> "seed"), t)
+        val threads = (1 to 4).map { i =>
+          new Thread(() => {
+            VT.append(spark, Seq((i, s"w$i")).toDF("id", "v"), t)
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        assert(VT.snapshot(spark, t).count() == 5)
+        assert(VT.latestVersion(t).contains(4L))
+      }
+    }
+  }
+
+  test("[ObjectStore] WriteSerializable rebase over an interleaved " +
+      "append, both commits through the store arbiter") {
+    val arb = new ObjectStoreArbiter(new InMemoryObjectStore)
+    withTable { t =>
+      withArbiter(arb) {
+        VT.append(spark, df(1 -> "a", 2 -> "b"), t) // v0
+      }
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val racer = new CommitArbiter {
+        def tryClaim(dir: Path, target: Path, json: String): Boolean =
+          if (fired.getAndSet(true)) arb.tryClaim(dir, target, json)
+          else { VT.append(spark, df(9 -> "z"), t); false }
+      }
+      withArbiter(racer) {
+        VT.compact(spark, t, targetFiles = 1) // rebases: v2
+      }
+      assert(VT.latestVersion(t).contains(2L))
+      assert(VT.snapshot(spark, t).select("id").as[Int].collect().sorted
+        .toSeq == Seq(1, 2, 9))
     }
   }
 
