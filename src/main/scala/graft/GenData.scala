@@ -92,8 +92,12 @@ object GenData {
     util.Fs.deleteRecursively(tmp)
     df.coalesce(partitions).write.option("header", "true")
       .csv(tmp.toString)
-    val parts = Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val listing = Files.list(tmp)
+    val parts =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.toString)
+      finally listing.close()
     if (partitions == 1 && parts.size == 1) {
       Files.move(parts.head, target)
       util.Fs.deleteRecursively(tmp)

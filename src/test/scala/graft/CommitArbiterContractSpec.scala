@@ -283,6 +283,43 @@ class CommitArbiterContractSpec extends SparkSpec {
     }
   }
 
+  test("[ObjectStore] a 16-thread slot race WITH faults firing mid-race " +
+      "still has exactly one winner and untorn content") {
+    withDir { d =>
+      val st = new InMemoryObjectStore
+      val arb = new ObjectStoreArbiter(st, backoffMs = 0L)
+      // interleave every fault kind into the race; the queue is consumed
+      // by whichever thread's put happens to hit it — adjudication must
+      // hold no matter who draws the landed-500 or the SlowDown
+      st.injectPutFaults(
+        InMemoryObjectStore.TransientBefore,
+        InMemoryObjectStore.AmbiguousLost,
+        InMemoryObjectStore.AmbiguousLanded,
+        InMemoryObjectStore.TransientBefore,
+        InMemoryObjectStore.AmbiguousLanded)
+      val slot = d.resolve("0.json")
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 16).map { i =>
+        new Thread(() => {
+          gate.await()
+          try { if (arb.tryClaim(d, slot, s"w$i")) wins.add(s"w$i") }
+          catch { case _: Throwable => errs.incrementAndGet() }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown()
+      threads.foreach(_.join())
+      assert(errs.get() == 0, "faulted losses must never throw")
+      assert(wins.size() == 1, s"winners: $wins")
+      // the slot holds the winner's bytes, both in the store and in the
+      // healed local mirror
+      assert(Files.readString(slot) == wins.peek())
+      assert(st.get(slot.toAbsolutePath.normalize.toString)
+        .map(b => new String(b.bytes)) == Some(wins.peek()))
+    }
+  }
+
   test("[ObjectStore] concurrent appends all land through the " +
       "object-store arbiter (the multi-writer table suite, unchanged)") {
     withArbiter(new ObjectStoreArbiter(new InMemoryObjectStore)) {

@@ -61,6 +61,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("generator frames compile to exchange-free range projections — " +
+    "embarrassingly parallel generation at any n") {
+    // the scaladoc's scale claim: every column derives from counter-based
+    // hashing over spark.range(n), so generation is a narrow map with no
+    // shuffle — a billion-row GenData run parallelizes by partition count
+    // alone. A rand()/window/join sneaking in would show as an Exchange.
+    Seq(
+      DataGenerator.customers(spark, 100),
+      DataGenerator.merchants(spark, 50),
+      DataGenerator.exchangeRates(spark, 30),
+      DataGenerator.transactions(spark, 500, 100, 20)
+    ).foreach { df =>
+      val p = planOf(df)
+      assert(!p.contains("Exchange"), p)
+    }
+  }
+
   test("as-of join runs on a single keyed shuffle") {
     val txns = spark.range(100).select(col("id"),
       lit("USD").as("ccy"), (col("id") * 1000).as("ts"))
