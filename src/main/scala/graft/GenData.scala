@@ -136,8 +136,11 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val c = try parse(args.toIndexedSeq) catch {
       case e: IllegalArgumentException =>
-        System.err.println(e.getMessage)
-        sys.exit(2)
+        // --help prints usage and exits 0, argparse-style; a genuine
+        // arg error exits 2
+        val isHelp = args.contains("--help") || args.contains("-h")
+        (if (isHelp) System.out else System.err).println(e.getMessage)
+        sys.exit(if (isHelp) 0 else 2)
     }
     val spark = GraftSession.local("graft-gendata",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
