@@ -350,15 +350,22 @@ object Bench {
           java.nio.file.Files.readAllLines(hist).asScala.toSeq
             .filter(_.trim.nonEmpty)
         else Nil
-      // suspect entries stay OUT of the history: a still-contaminated
-      // value entering the trailing-median pool would inflate the very
-      // baseline the next sweep's defense compares against. A genuine
-      // regression excluded here keeps its old (lower) median, so it is
-      // re-flagged and re-measured every sweep until a code diff owns it
-      // — the right failure mode.
+      // a suspect's MEASURED value stays out of the history — a
+      // still-contaminated sample entering the trailing-median pool would
+      // inflate the very baseline the next sweep defends against. But the
+      // key must not VANISH from history either: with a 5-line window,
+      // five consecutive suspect sweeps would age the query out of the
+      // median pool entirely, and a median-less query can be neither
+      // flagged nor re-run — a persistent regression would silently
+      // become the new unflagged baseline on sweep six (review catch,
+      // r16). So suspects carry their trailing MEDIAN forward instead:
+      // the clean level stays alive, the query stays flaggable every
+      // sweep until a code diff owns it, and bench_full.json still
+      // records the true measured value.
       val qjson = sweep.collect {
-        case (n, t, true) if !suspects.contains(n) =>
-          s"${graft.util.Fmt.jsonString(n)}:${f3(t)}"
+        case (n, t, true) =>
+          val v = if (suspects.contains(n)) medians(n) else t
+          s"${graft.util.Fmt.jsonString(n)}:${f3(v)}"
       }.mkString("{", ",", "}")
       val line = s"""{"sf":${graft.util.Fmt.jsonString(sfDir)},"ann":"$annCfg","queries":$qjson}"""
       java.nio.file.Files.write(hist,

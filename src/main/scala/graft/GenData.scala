@@ -47,9 +47,17 @@ object GenData {
       |10000 customers, 500 merchants, 100000 transactions, 90 rate days,
       |1 output partition = one CSV file per dataset).""".stripMargin
 
+  /** Thrown for --help/-h: usage on stdout, exit 0 — distinct from a
+    * genuine argument error (usage on stderr, exit 2). */
+  final class HelpRequested(msg: String) extends IllegalArgumentException(msg)
+
   /** Pure argparse (exposed for the spec): unknown flags and non-numeric
-    * values fail loudly with the usage string, like argparse does. */
+    * values fail loudly with the usage string, like argparse does.
+    * --help anywhere wins over other args (argparse precedence) — it must
+    * never be silently consumed as another flag's VALUE. */
   def parse(args: Seq[String]): Config = {
+    if (args.exists(a => a == "--help" || a == "-h"))
+      throw new HelpRequested(usage)
     def num[T](flag: String, v: String, f: String => T): T =
       try f(v) catch {
         case _: NumberFormatException =>
@@ -73,8 +81,6 @@ object GenData {
       case "--partitions" :: v :: t =>
         loop(t, c.copy(partitions =
           math.max(1, num("--partitions", v, _.toInt))))
-      case ("--help" | "-h") :: _ =>
-        throw new IllegalArgumentException(usage)
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown arg '$other'\n$usage")
     }
@@ -82,51 +88,64 @@ object GenData {
   }
 
   /** Write `df` as `<outDir>/<name>.csv` — a single file when
-    * `partitions == 1` (the reference's contract), a directory of part
-    * files otherwise (the scale path). Returns the row count. */
+    * `partitions == 1` (the reference's contract), a directory of
+    * `partitions` part files otherwise (the scale path). `repartition`,
+    * not `coalesce`: coalesce can only REDUCE the source's partition
+    * count (the generators inherit default parallelism), so `--partitions
+    * 64` on a 4-core driver session would silently write 4 files — the
+    * one shuffle buys the promised write-side fan-out. */
   private def writeCsv(df: DataFrame, outDir: Path, name: String,
-      partitions: Int): Long = {
+      partitions: Int): Unit = {
     val target = outDir.resolve(s"$name.csv")
     util.Fs.deleteRecursively(target)
     val tmp = outDir.resolve(s".$name.csv.tmp")
     util.Fs.deleteRecursively(tmp)
-    df.coalesce(partitions).write.option("header", "true")
-      .csv(tmp.toString)
+    val shaped =
+      if (partitions == 1) df.coalesce(1) else df.repartition(partitions)
+    shaped.write.option("header", "true").csv(tmp.toString)
     val listing = Files.list(tmp)
     val parts =
       try listing.iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-"))
         .toSeq.sortBy(_.toString)
       finally listing.close()
-    if (partitions == 1 && parts.size == 1) {
-      Files.move(parts.head, target)
+    if (partitions == 1 && parts.size <= 1) {
+      parts.headOption match {
+        case Some(p) => Files.move(p, target)
+        // zero part files (an empty dataset): the single-FILE contract
+        // still holds — an empty file, not a directory of _SUCCESS
+        case None => Files.createFile(target); ()
+      }
       util.Fs.deleteRecursively(tmp)
     } else {
       // directory-of-parts: keep Spark's layout (with _SUCCESS) under the
       // dataset name so any downstream spark.read.csv(dir) just works
       Files.move(tmp, target)
     }
-    df.count()
+    ()
   }
 
   def run(spark: SparkSession, c: Config): Map[String, Long] = {
     val out = Paths.get(c.outputDir)
     Files.createDirectories(out)
     val g = generator.DataGenerator
+    writeCsv(g.customers(spark, c.customers, c.seed), out, "customers",
+      c.partitions)
+    writeCsv(g.merchants(spark, c.merchants, c.seed), out, "merchants",
+      c.partitions)
+    writeCsv(g.transactions(spark, c.transactions, c.customers, c.merchants,
+      days = c.rateDays, seed = c.seed), out, "transactions", c.partitions)
+    writeCsv(g.exchangeRates(spark, c.rateDays, c.seed), out,
+      "exchange_rates", c.partitions)
+    // counts are fixed by construction (pure projections over range(n)) —
+    // recounting would re-run the whole generation pipeline a second time
+    // per dataset, doubling the work at the CLI's billion-row scale
     val written = Seq(
-      "customers" -> writeCsv(
-        g.customers(spark, c.customers, c.seed), out, "customers",
-        c.partitions),
-      "merchants" -> writeCsv(
-        g.merchants(spark, c.merchants, c.seed), out, "merchants",
-        c.partitions),
-      "transactions" -> writeCsv(
-        g.transactions(spark, c.transactions, c.customers, c.merchants,
-          days = c.rateDays, seed = c.seed), out, "transactions",
-        c.partitions),
-      "exchange_rates" -> writeCsv(
-        g.exchangeRates(spark, c.rateDays, c.seed), out, "exchange_rates",
-        c.partitions))
+      "customers" -> math.max(c.customers, 0L),
+      "merchants" -> math.max(c.merchants, 0L),
+      "transactions" -> math.max(c.transactions, 0L),
+      "exchange_rates" ->
+        math.max(c.rateDays.toLong, 0L) * config.Enums.currencies.size)
     written.foreach { case (name, n) =>
       println(f"  $name%-15s $n%,d records -> ${c.outputDir}/$name.csv")
     }
@@ -135,12 +154,12 @@ object GenData {
 
   def main(args: Array[String]): Unit = {
     val c = try parse(args.toIndexedSeq) catch {
+      // --help prints usage to stdout and exits 0, argparse-style;
+      // a genuine arg error goes to stderr and exits 2
+      case e: HelpRequested =>
+        println(e.getMessage); sys.exit(0)
       case e: IllegalArgumentException =>
-        // --help prints usage and exits 0, argparse-style; a genuine
-        // arg error exits 2
-        val isHelp = args.contains("--help") || args.contains("-h")
-        (if (isHelp) System.out else System.err).println(e.getMessage)
-        sys.exit(if (isHelp) 0 else 2)
+        System.err.println(e.getMessage); sys.exit(2)
     }
     val spark = GraftSession.local("graft-gendata",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -32,7 +34,14 @@ class GenDataSpec extends SparkSpec {
     assert(c == GenData.Config("/tmp/x", 7, 50L, 10L, 200L, 14, 3))
     intercept[IllegalArgumentException](GenData.parse(Seq("--bogus")))
     intercept[IllegalArgumentException](GenData.parse(Seq("--seed", "x")))
-    intercept[IllegalArgumentException](GenData.parse(Seq("--help")))
+    // --help wins over everything else (argparse precedence): it is a
+    // distinct HelpRequested (exit 0), fires even when another arg is
+    // malformed, and is never consumed as a flag's value
+    intercept[GenData.HelpRequested](GenData.parse(Seq("--help")))
+    intercept[GenData.HelpRequested](
+      GenData.parse(Seq("--seed", "abc", "--help")))
+    intercept[GenData.HelpRequested](
+      GenData.parse(Seq("--output-dir", "--help")))
   }
 
   test("tiny generated set round-trips through the q178 CSV fixture path " +
@@ -80,17 +89,39 @@ class GenDataSpec extends SparkSpec {
     assert(d42a != d7, "a different seed must change the data")
   }
 
-  test("--partitions > 1 writes a directory of parts any " +
-    "spark.read.csv(dir) consumes (the scale path)") {
+  test("--partitions > 1 writes a directory of EXACTLY that many parts " +
+    "(repartitions UP past the source parallelism) that " +
+    "spark.read.csv(dir) consumes") {
     val dir = Files.createTempDirectory("graft-gendata-p")
     try {
       val c = GenData.Config(outputDir = dir.toString, customers = 40L,
-        merchants = 8L, transactions = 100L, rateDays = 7, partitions = 2)
+        merchants = 8L, transactions = 100L, rateDays = 7, partitions = 8)
       GenData.run(spark, c)
       val t = dir.resolve("transactions.csv")
       assert(Files.isDirectory(t), "partitions>1 must keep the directory")
+      // the scale lever must actually fan out: coalesce would cap at the
+      // source's partition count, writing fewer files than requested
+      val listing = Files.list(t)
+      val nParts =
+        try listing.iterator().asScala
+          .count(_.getFileName.toString.startsWith("part-"))
+        finally listing.close()
+      assert(nParts == 8, s"expected 8 part files, got $nParts")
       val back = spark.read.option("header", "true").csv(t.toString)
       assert(back.count() == 100L)
+    } finally util.Fs.deleteRecursively(dir)
+  }
+
+  test("an empty dataset still honors the single-FILE contract") {
+    val dir = Files.createTempDirectory("graft-gendata-e")
+    try {
+      val c = GenData.Config(outputDir = dir.toString, customers = 0L,
+        merchants = 1L, transactions = 1L, rateDays = 1)
+      val counts = GenData.run(spark, c)
+      assert(counts("customers") == 0L)
+      val f = dir.resolve("customers.csv")
+      assert(Files.isRegularFile(f),
+        "an empty dataset must not degrade to a directory")
     } finally util.Fs.deleteRecursively(dir)
   }
 }
