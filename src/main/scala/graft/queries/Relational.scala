@@ -179,9 +179,13 @@ object Relational {
 
     // A4 at 100 TB: HLL sketches — no exact-distinct shuffle. The sketch
     // ESTIMATES are engine-specific, so the hashed payload is the exact
-    // distincts plus the sketch's error contract (default rsd 5%): the
-    // flags are computed Spark-side against the exact counts and the
-    // oracle expects TRUE — a broken/degraded sketch flips them red.
+    // distincts plus the sketch's error contract: flags computed
+    // Spark-side against the exact counts, oracle expects TRUE — a
+    // broken/degraded sketch flips them red. The bound is 2×rsd (10%),
+    // the same 2σ convention as q172: rsd is a STANDARD error, not a
+    // hard bound, and pinning 1σ gates on where this dataset's hash
+    // draws happen to land (measured: sf0.001 l_orderkey estimates at
+    // 6.4% error — a correct sketch, red under a 1σ pin).
     "q09b_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
           approx_count_distinct(col("l_partkey")).as("ap"),
@@ -190,9 +194,9 @@ object Relational {
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .select(col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")).cast("double") /
-            col("exact_parts") <= 0.05).as("parts_within_rsd"),
+            col("exact_parts") <= 0.10).as("parts_within_rsd"),
           (abs(col("ao") - col("exact_orders")).cast("double") /
-            col("exact_orders") <= 0.05).as("orders_within_rsd"))
+            col("exact_orders") <= 0.10).as("orders_within_rsd"))
     }),
 
     // Approx-uniqueness DQ at 100 TB: HLL++ sketch partials instead of
