@@ -208,6 +208,12 @@ object Bench {
               if (!sameRun(n)) Nil
               else Seq(n.path("queries").asScala
                 .filter(_.path("ok").asBoolean(false))
+                // a suspect entry's sec is BY DESIGN the still-
+                // contaminated measured value (the honest median lives
+                // only in bench_history.jsonl, which is absent on this
+                // seed path) — seeding medians from it would rebaseline
+                // the defense on the contamination it flagged
+                .filterNot(_.path("suspect").asBoolean(false))
                 .map(e => e.path("name").asText -> e.path("sec").asDouble)
                 .toMap)
             }

@@ -81,11 +81,19 @@ object GenData {
       case "--partitions" :: v :: t =>
         loop(t, c.copy(partitions =
           math.max(1, num("--partitions", v, _.toInt))))
+      // a KNOWN flag as the last token: say "expects a value", not
+      // "unknown arg" (argparse: "expected one argument")
+      case flag :: Nil if valueFlags.contains(flag) =>
+        throw new IllegalArgumentException(
+          s"$flag expects a value\n$usage")
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown arg '$other'\n$usage")
     }
     loop(args.toList, Config())
   }
+
+  private val valueFlags = Set("--output-dir", "--seed", "--customers",
+    "--merchants", "--transactions", "--rate-days", "--partitions")
 
   /** Write `df` as `<outDir>/<name>.csv` — a single file when
     * `partitions == 1` (the reference's contract), a directory of
@@ -113,8 +121,14 @@ object GenData {
       parts.headOption match {
         case Some(p) => Files.move(p, target)
         // zero part files (an empty dataset): the single-FILE contract
-        // still holds — an empty file, not a directory of _SUCCESS
-        case None => Files.createFile(target); ()
+        // still holds, WITH the header line — the reference's DictWriter
+        // always writes one, and a header-less empty CSV reads back as a
+        // zero-COLUMN frame that breaks schema-dependent consumers
+        case None =>
+          Files.write(target,
+            (df.columns.mkString(",") + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ()
       }
       util.Fs.deleteRecursively(tmp)
     } else {

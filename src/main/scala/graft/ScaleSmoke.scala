@@ -20,11 +20,19 @@ object ScaleSmoke {
     "null", "count")
 
   /** n synthetic docs, 50–250 words each, from counter-based hashing. */
-  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame =
+    syntheticDocs(spark, 0L, n)
+
+  /** Id-ranged variant: text derives from the id alone, so
+    * `syntheticDocs(s, lo, hi)` equals `syntheticDocs(s, hi)` filtered to
+    * `[lo, hi)` — WITHOUT generating the `[0, lo)` prefix (generating a
+    * corpus-sized frame to slice off a delta would bill O(corpus) work
+    * to an O(delta) measurement). */
+  def syntheticDocs(spark: SparkSession, lo: Long, hi: Long): DataFrame = {
     val nWords = (pmod(xxhash64(col("id"), lit("nw")), lit(200)) + 50)
       .cast(IntegerType)
     val words = typedlit(vocab)
-    spark.range(n).select(
+    spark.range(lo, hi).select(
       col("id").as("doc_id"),
       concat_ws(" ", transform(sequence(lit(0), nWords - 1),
         i => element_at(words,
@@ -641,6 +649,14 @@ object ScaleSmoke {
         try {
           val plain = vtRoot.resolve("plain").toString
           val stats = vtRoot.resolve("stats").toString
+          // throwaway warm-up append BEFORE any counter read: lazy-init
+          // work (first-write codec path, output-committer classload)
+          // must not land inside the BASELINE count, where it would both
+          // inflate jobsPlain and let a real one-extra-job regression in
+          // the stats path slide under the <= bound (review catch, r16)
+          io.VersionedTable.append(spark,
+            spark.range(64).toDF("id"), vtRoot.resolve("warm").toString,
+            optimizeWrite = false)
           jobs.set(0)
           time("2M append baseline (no stats)") {
             io.VersionedTable.append(spark, data, plain,
@@ -730,8 +746,7 @@ object ScaleSmoke {
       // docs (guaranteed ≥0.8 matches) — both match paths exercised
       def delta(gen: Int): DataFrame = {
         val lo = 100000L + 1000L * (gen - 1)
-        val fresh = syntheticDocs(spark, lo + 1000L)
-          .filter(col("doc_id") >= lo)
+        val fresh = syntheticDocs(spark, lo, lo + 1000L)
         val dups = kept.filter(col("doc_id") < 1000)
           .withColumn("doc_id", col("doc_id") + 10000000L * gen)
         fresh.unionByName(dups)

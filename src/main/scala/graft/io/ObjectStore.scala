@@ -90,10 +90,17 @@ final class InMemoryObjectStore extends ObjectStore {
   private val etagSeq = new AtomicLong(0L)
   private val putFaults =
     new java.util.concurrent.ConcurrentLinkedQueue[Fault]()
+  private val getFaults =
+    new java.util.concurrent.ConcurrentLinkedQueue[Fault]()
   private val putCalls = new AtomicLong(0L)
 
   /** Enqueue faults for upcoming conditional puts (either kind). */
   def injectPutFaults(fs: Fault*): Unit = fs.foreach(putFaults.add)
+
+  /** Enqueue TRANSIENT faults for upcoming gets — a 503 hits the
+    * read-back just as easily as the write (only TransientBefore is
+    * meaningful for a read: it either returns or it doesn't). */
+  def injectGetFaults(fs: Fault*): Unit = fs.foreach(getFaults.add)
 
   /** How many conditional-put calls reached the store (retry visibility
     * for the spec). */
@@ -144,8 +151,13 @@ final class InMemoryObjectStore extends ObjectStore {
     })
   }
 
-  override def get(key: String): Option[Blob] =
+  override def get(key: String): Option[Blob] = {
+    getFaults.poll() match {
+      case null => ()
+      case _ => throw new TransientStoreException(s"503 SlowDown on GET $key")
+    }
     Option(objects.get(key)).map(b => Blob(b.bytes.clone(), b.etag))
+  }
 }
 
 object InMemoryObjectStore {

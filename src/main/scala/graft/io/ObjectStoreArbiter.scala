@@ -56,14 +56,27 @@ final class ObjectStoreArbiter(
     if (Files.exists(target)) return false // predates the store (law 5)
     var transientLeft = maxTransientRetries
     var sleep = backoffMs
+    def retryAfter(e: RuntimeException): Unit = {
+      transientLeft -= 1
+      if (transientLeft < 0) throw e
+      if (sleep > 0) Thread.sleep(sleep)
+      sleep = math.min(sleep * 2, 1000L)
+    }
+    // GETs ride the SAME transient-retry budget as the puts (a 503 can
+    // hit the read-back just as easily as the write). Exhaustion here
+    // rethrows: during ambiguous adjudication a dead store means the
+    // claim's fate is genuinely unknown — failing LOUD is the only
+    // honest answer (the caller must not blind-retry the commit; see
+    // the class scaladoc's step 4).
+    def getWithRetry(k: String): Option[Blob] = {
+      while (true) {
+        try return store.get(k)
+        catch { case e: TransientStoreException => retryAfter(e) }
+      }
+      None // unreachable
+    }
     var decided: Option[Boolean] = None
     while (decided.isEmpty) {
-      def retryAfter(e: RuntimeException): Unit = {
-        transientLeft -= 1
-        if (transientLeft < 0) throw e
-        if (sleep > 0) Thread.sleep(sleep)
-        sleep = math.min(sleep * 2, 1000L)
-      }
       try {
         decided = Some(store.putIfAbsent(key, bytes) match {
           case Created(_) => true
@@ -72,7 +85,7 @@ final class ObjectStoreArbiter(
       } catch {
         case e: TransientStoreException => retryAfter(e)
         case e: AmbiguousOutcomeException =>
-          store.get(key) match {
+          getWithRetry(key) match {
             case Some(blob) =>
               decided = Some(java.util.Arrays.equals(blob.bytes, bytes))
             case None =>
@@ -84,8 +97,13 @@ final class ObjectStoreArbiter(
     if (decided.contains(true)) materialize(dir, target, bytes)
     else if (!Files.exists(target))
       // heal the winner's content into the local mirror (no-op if the
-      // file already exists — never clobber an older-process slot)
-      store.get(key).foreach(b => materialize(dir, target, b.bytes))
+      // file already exists — never clobber an older-process slot).
+      // BEST-EFFORT: the loss is already decided by the store's 412, and
+      // the trait forbids throwing on an ordinary race loss — a failed
+      // heal only delays the local mirror (the next claim attempt or a
+      // store-side reader converges it), so store errors are swallowed.
+      try getWithRetry(key).foreach(b => materialize(dir, target, b.bytes))
+      catch { case scala.util.control.NonFatal(_) => () }
     decided.contains(true)
   }
 

@@ -283,6 +283,39 @@ class CommitArbiterContractSpec extends SparkSpec {
     }
   }
 
+  test("[ObjectStore] a transient GET during ambiguous adjudication is " +
+      "retried — a 503 on the read-back must not abort a claim whose " +
+      "put landed") {
+    withDir { d =>
+      val st = new InMemoryObjectStore
+      val arb = new ObjectStoreArbiter(st, backoffMs = 0L)
+      // put lands then throws ambiguous; the first read-back 503s, the
+      // retried read-back sees our bytes → win
+      st.injectPutFaults(InMemoryObjectStore.AmbiguousLanded)
+      st.injectGetFaults(InMemoryObjectStore.TransientBefore)
+      val slot = d.resolve("0.json")
+      assert(arb.tryClaim(d, slot, "mine"))
+      assert(Files.readString(slot) == "mine")
+    }
+  }
+
+  test("[ObjectStore] a store failure during the loser's best-effort " +
+      "heal never turns an ordinary race loss into a throw") {
+    withDir { d =>
+      val st = new InMemoryObjectStore
+      val arb = new ObjectStoreArbiter(st, maxTransientRetries = 1,
+        backoffMs = 0L)
+      val slot = d.resolve("0.json")
+      assert(arb.tryClaim(d, slot, "winner"))
+      Files.deleteIfExists(slot) // force the loser onto the heal path
+      // exhaust the retry budget on the heal GETs: the loss is already
+      // decided by the store's 412, so tryClaim still returns false
+      st.injectGetFaults(InMemoryObjectStore.TransientBefore,
+        InMemoryObjectStore.TransientBefore, InMemoryObjectStore.TransientBefore)
+      assert(!arb.tryClaim(d, slot, "loser"))
+    }
+  }
+
   test("[ObjectStore] a 16-thread slot race WITH faults firing mid-race " +
       "still has exactly one winner and untorn content") {
     withDir { d =>

@@ -42,6 +42,10 @@ class GenDataSpec extends SparkSpec {
       GenData.parse(Seq("--seed", "abc", "--help")))
     intercept[GenData.HelpRequested](
       GenData.parse(Seq("--output-dir", "--help")))
+    // a KNOWN flag with a missing value names the real problem
+    val e = intercept[IllegalArgumentException](
+      GenData.parse(Seq("--customers", "50", "--seed")))
+    assert(e.getMessage.contains("--seed expects a value"), e.getMessage)
   }
 
   test("tiny generated set round-trips through the q178 CSV fixture path " +
@@ -122,6 +126,12 @@ class GenDataSpec extends SparkSpec {
       val f = dir.resolve("customers.csv")
       assert(Files.isRegularFile(f),
         "an empty dataset must not degrade to a directory")
+      // the header line survives (DictWriter parity): reading back with
+      // header=true yields an empty frame WITH the customer columns, not
+      // a zero-column frame that breaks schema-dependent consumers
+      val back = spark.read.option("header", "true").csv(f.toString)
+      assert(back.count() == 0L)
+      assert(back.columns.contains("customer_id"), back.columns.toSeq)
     } finally util.Fs.deleteRecursively(dir)
   }
 }
