@@ -110,7 +110,10 @@ object GenData {
     util.Fs.deleteRecursively(tmp)
     val shaped =
       if (partitions == 1) df.coalesce(1) else df.repartition(partitions)
-    shaped.write.option("header", "true").csv(tmp.toString)
+    // emptyValue="": render empty strings bare (`,,`) like the
+    // reference's csv.DictWriter, not Spark's default quoted `""`
+    shaped.write.option("header", "true").option("emptyValue", "")
+      .csv(tmp.toString)
     val listing = Files.list(tmp)
     val parts =
       try listing.iterator().asScala

@@ -78,6 +78,13 @@ class GenDataSpec extends SparkSpec {
       assert(row.getDecimal(0).doubleValue >= 0.01)
       assert(row.getDecimal(1).doubleValue <= 50000.0)
       assert(row.getLong(2) == 200L)
+      // DictWriter parity: empty strings render bare (`,,` — the
+      // unflagged rows' empty fraud_indicators), never Spark's `""`
+      val raw = new String(Files.readAllBytes(
+        dir.resolve("transactions.csv")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(raw.contains(",,"), "expected bare empty fields")
+      assert(!raw.contains("\"\""), "found quoted empty fields")
     } finally util.Fs.deleteRecursively(dir)
   }
 
