@@ -94,11 +94,8 @@ object Bench {
     // duplicate machine keys would silently drop a timing from the parsed
     // JSON dict — fail loudly BEFORE the (many-minute) measurement loop:
     // the keys are static in SparkEntry.queries
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    def machineKey(name: String): String = {
-      val s = shortKey(name)
-      if (s.startsWith("q")) s.drop(1) else s
-    }
+    def machineKey(name: String): String =
+      graft.util.BenchDefense.machineKey(name)
     val fixtureGroups = graft.queries.VersionedQueries.fixtureGroups ++
       graft.queries.VectorQueries.fixtureGroups
     locally {
@@ -164,6 +161,12 @@ object Bench {
     // is a different moment) and records the MIN. History comes from
     // bench_history.jsonl (last ≤5 same-sf/same-config sweeps, appended
     // below), seeded from the previous round's bench_full.json.
+    // Every DECISION below (medians, candidate selection + overshoot
+    // ordering, min-of-3 trigger, suspect set, history median-carry,
+    // seed-path suspect filter, machine-line degrade ladder) lives in
+    // graft.util.BenchDefense as pure functions with a deterministic spec
+    // (VERDICT r16 #1) — this main supplies only the I/O.
+    import graft.util.{BenchDefense => D}
     // the ANN operating point of THIS run — history lines must match it
     // (sublinear vs full q52/q84/q95 timings differ by design, not by
     // contention; comparing across configs would flag phantoms)
@@ -206,54 +209,35 @@ object Bench {
             else {
               val n = om.readTree(full.toFile)
               if (!sameRun(n)) Nil
-              else Seq(n.path("queries").asScala
-                .filter(_.path("ok").asBoolean(false))
-                // a suspect entry's sec is BY DESIGN the still-
-                // contaminated measured value (the honest median lives
-                // only in bench_history.jsonl, which is absent on this
-                // seed path) — seeding medians from it would rebaseline
-                // the defense on the contamination it flagged
-                .filterNot(_.path("suspect").asBoolean(false))
-                .map(e => e.path("name").asText -> e.path("sec").asDouble)
-                .toMap)
+              // BenchDefense.seedPool drops failed AND suspect entries —
+              // a suspect's sec is by design the still-contaminated
+              // measured value (see its scaladoc + BenchDefenseSpec)
+              else Seq(D.seedPool(n.path("queries").asScala.map { e =>
+                (e.path("name").asText, e.path("sec").asDouble,
+                  e.path("ok").asBoolean(false),
+                  e.path("suspect").asBoolean(false))
+              }.toSeq))
             }
           }
         samples.takeRight(5).flatten.groupBy(_._1)
           .view.mapValues(_.map(_._2).toSeq).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     }
-    def median(xs: Seq[Double]): Double = {
-      // LOWER middle on even counts: with {contaminated, honest} samples
-      // the lower one is the honest baseline, and a low median means
-      // MORE re-run candidates — conservative in the right direction
-      // (the cost of a false positive is one bounded re-run)
-      val s = xs.sorted
-      s((s.size - 1) / 2)
-    }
-    val medians: Map[String, Double] = history.collect {
-      case (n, xs) if xs.nonEmpty => n -> median(xs)
-    }
-    val allCandidates = timed.filter { case (n, t, ok) =>
-      // fixtures excluded: their builds memoize, so a re-run times the
-      // memo hit, not the work — a re-run "improvement" would be a lie.
-      // Sub-second entries excluded: scheduler jitter, not contention.
-      ok && !n.startsWith("fx") && t > 1.0 &&
-        medians.get(n).exists(m => t > 2 * m)
-    }.sortBy { case (n, t, _) =>
-      // prioritize by OVERSHOOT RATIO, not absolute time: when the cap
-      // saturates, a 5× phantom on a 2 s query matters more than a 2.1×
-      // on a 6 s one — the worst lies get corrected first (r15 nit)
-      -(t / medians(n))
-    }
-    val rerunCandidates = allCandidates.take(12)
+    // medians / candidate selection / overshoot ordering / re-run cap:
+    // pure policy in BenchDefense (fixtures excluded because their builds
+    // memoize; sub-second entries are scheduler jitter, not contention;
+    // worst overshoot ratios re-run first when the cap saturates)
+    val medians: Map[String, Double] = D.medians(history)
+    val entries = timed.map { case (n, t, ok) => D.Entry(n, t, ok) }
+    val (rerunCandidates, overflow) = D.candidates(entries, medians, cap = 12)
     // saturation must be VISIBLE: candidates beyond the cap keep their
     // (possibly contaminated) timings in the artifact AND carry a
     // `suspect` flag in bench_full.json (computed below on final values)
-    if (allCandidates.size > rerunCandidates.size)
+    if (overflow.nonEmpty)
       System.err.println(s"[bench] contamination re-run cap hit: " +
-        s"${allCandidates.size} candidates, ${rerunCandidates.size} " +
-        "re-run; NOT re-run: " +
-        allCandidates.drop(rerunCandidates.size).map(_._1).mkString(", "))
+        s"${rerunCandidates.size + overflow.size} candidates, " +
+        s"${rerunCandidates.size} re-run; NOT re-run: " +
+        overflow.map(_.name).mkString(", "))
     def runOnce(name: String): Option[Double] =
       SparkEntry.queries.get(name).flatMap { fn =>
         graft.util.Caches.clearAll(spark)
@@ -266,27 +250,28 @@ object Bench {
         System.gc()
         if (ok2) Some(t2) else None // on failure keep the original timing
       }
+    // SECOND STAGE (r15 #1) lives inside BenchDefense.settle: min-of-2,
+    // then — still >2× the trailing median — one more sample at a third
+    // moment, min-of-3; a failed FIRST re-run keeps the original timing
+    // (settle returns None → no reruns entry). The sample buffer exists
+    // only to reconstruct the bench-rerun audit lines.
     val reruns: Map[String, Double] = rerunCandidates.flatMap {
-      case (name, t1, _) =>
-        runOnce(name).map { t2 =>
-          println("bench-rerun " + name + " " +
-            graft.util.Fmt.fmt("%.3f", t1) + " -> " +
-            graft.util.Fmt.fmt("%.3f", t2))
-          val m1 = math.min(t1, t2)
-          // SECOND STAGE (r15 #1): still >2× the trailing clean-sweep
-          // median after one re-run means the contention is sustained,
-          // not transient — one more sample at a third moment; the min
-          // of three is the best estimate this host can produce. What
-          // remains elevated after that is flagged `suspect` below.
-          val best = if (medians.get(name).exists(m => m1 > 2 * m)) {
-            runOnce(name).map { t3 =>
-              println("bench-rerun2 " + name + " " +
-                graft.util.Fmt.fmt("%.3f", m1) + " -> " +
-                graft.util.Fmt.fmt("%.3f", t3))
-              math.min(m1, t3)
-            }.getOrElse(m1)
-          } else m1
-          name -> best
+      case D.Entry(name, t1, _) =>
+        val taken = scala.collection.mutable.ArrayBuffer[Double]()
+        val best = D.settle(t1, medians.get(name), () => {
+          val r = runOnce(name); r.foreach(taken += _); r
+        })
+        best.map { b =>
+          taken.headOption.foreach { t2 =>
+            println("bench-rerun " + name + " " +
+              graft.util.Fmt.fmt("%.3f", t1) + " -> " +
+              graft.util.Fmt.fmt("%.3f", t2))
+          }
+          if (taken.size > 1)
+            println("bench-rerun2 " + name + " " +
+              graft.util.Fmt.fmt("%.3f", math.min(t1, taken(0))) + " -> " +
+              graft.util.Fmt.fmt("%.3f", taken(1)))
+          name -> b
         }
     }.toMap
     val sweep = timed.map { case (n, t, ok) =>
@@ -298,10 +283,8 @@ object Bench {
     // bench_full.json and counted in the machine line ("sus"): a reader
     // can tell "defended" from "this number may still be a host lie"
     // without cross-referencing anything.
-    val suspects: Set[String] = sweep.collect {
-      case (n, t, true) if !n.startsWith("fx") && t > 1.0 &&
-        medians.get(n).exists(m => t > 2 * m) => n
-    }.toSet
+    val suspects: Set[String] = D.suspects(
+      sweep.map { case (n, t, ok) => D.Entry(n, t, ok) }, medians)
     if (suspects.nonEmpty)
       System.err.println("[bench] still >2x trailing median after " +
         s"defense (flagged suspect): ${suspects.toSeq.sorted.mkString(", ")}")
@@ -356,23 +339,16 @@ object Bench {
           java.nio.file.Files.readAllLines(hist).asScala.toSeq
             .filter(_.trim.nonEmpty)
         else Nil
-      // a suspect's MEASURED value stays out of the history — a
-      // still-contaminated sample entering the trailing-median pool would
-      // inflate the very baseline the next sweep defends against. But the
-      // key must not VANISH from history either: with a 5-line window,
-      // five consecutive suspect sweeps would age the query out of the
-      // median pool entirely, and a median-less query can be neither
-      // flagged nor re-run — a persistent regression would silently
-      // become the new unflagged baseline on sweep six (review catch,
-      // r16). So suspects carry their trailing MEDIAN forward instead:
-      // the clean level stays alive, the query stays flaggable every
-      // sweep until a code diff owns it, and bench_full.json still
-      // records the true measured value.
-      val qjson = sweep.collect {
-        case (n, t, true) =>
-          val v = if (suspects.contains(n)) medians(n) else t
+      // median-carry for suspects (BenchDefense.historyValues — see its
+      // scaladoc for why a suspect's measured value stays out of the pool
+      // but the key never ages out; bench_full.json still records the
+      // true measured value)
+      val qjson = D.historyValues(
+        sweep.map { case (n, t, ok) => D.Entry(n, t, ok) },
+        suspects, medians)
+        .map { case (n, v) =>
           s"${graft.util.Fmt.jsonString(n)}:${f3(v)}"
-      }.mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
       val line = s"""{"sf":${graft.util.Fmt.jsonString(sfDir)},"ann":"$annCfg","queries":$qjson}"""
       java.nio.file.Files.write(hist,
         ((prev :+ line).takeRight(10).mkString("", "\n", "\n"))
@@ -394,20 +370,6 @@ object Bench {
     //     overflow clips the header first, never the fx choreography
     //     numbers the judge audits.
     // Measured at r13's 179 keys: 1852 chars, ~74 char headroom.
-    def fAdaptive(v: Double): String = {
-      val s = graft.util.Fmt.fmt(if (v >= 1) "%.1f" else "%.2f", v)
-      val trimmed = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      if (trimmed.isEmpty) "0" else trimmed
-    }
-    val (fxRes, qRes) = results.toSeq.sortBy(_._1)
-      .partition(_._1.startsWith("fx"))
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // failed queries surface as MISSING keys plus an explicit list (the
-    // key is absent only when something broke, never silently)
-    val failedJson =
-      if (failed.isEmpty) ""
-      else failed.map(n => graft.util.Fmt.jsonString(machineKey(n)))
-        .mkString(""","failed":[""", ",", "]")
     val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
     // the ANN operating point rides a plain-text line (and
     // bench_full.json), not the machine line — every byte there fights
@@ -417,44 +379,22 @@ object Bench {
     // re-runs (first samples live in bench_full.json as "first"); "sus"
     // (present only when nonzero — machine-line bytes are scarce) = how
     // many entries REMAIN >2x their trailing median even after the
-    // defense, each flagged "suspect":true in bench_full.json
-    val susJson = if (suspects.isEmpty) "" else s""","sus":${suspects.size}"""
-    def mkLine(entries: String) =
-      s"""{"metric":"total","value":${graft.util.Fmt.fmt("%.1f", total)},"unit":"sec","queries":$entries$failedJson,"rr":${reruns.size}$susJson,"sf":${graft.util.Fmt.jsonString(sfBase)}}"""
-    def mkEntries(f: Double => String) = (qRes ++ fxRes)
-      .map { case (k, v) => "\"" + machineKey(k) + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    // Self-healing against query-count growth: past ~1925 chars the
-    // driver's tail window clips the HEAD of this line (rounds 5-13:
-    // parsed=null, first keys lost). If the preferred precision would
-    // clip, degrade to 0.1 s resolution for every value — coarse beats
-    // clipped, and bench_full.json always carries full precision. If
-    // even COARSE would clip (the key count keeps growing), drop the
-    // per-query entries entirely and emit total+failed+rr — a short
-    // line that always parses whole beats a precise line the driver
-    // records headless (parsed=null, the rounds-5-13 failure mode).
-    val preferred = mkLine(mkEntries(fAdaptive))
-    val line =
-      if (preferred.length <= 1900) preferred
-      else {
-        val coarse = mkLine(mkEntries(v => {
-          val s1 = graft.util.Fmt.fmt("%.1f", v)
-          val t1 = s1.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-          if (t1.isEmpty) "0" else t1
-        }))
-        if (coarse.length <= 1900) {
-          System.err.println(s"[bench] machine line ${preferred.length}" +
-            s" chars would clip in the 1925-char tail window; degraded" +
-            s" every value to 0.1 s resolution (${coarse.length} chars)")
-          coarse
-        } else {
-          System.err.println(s"[bench] even the coarse machine line" +
-            s" (${coarse.length} chars) would clip; emitting total-only" +
-            s" (per-query values are in bench_full.json)")
-          mkLine("{}")
-        }
-      }
-    println(line)
+    // defense, each flagged "suspect":true in bench_full.json. Line
+    // assembly + the self-healing degrade ladder (adaptive → 0.1 s →
+    // integer seconds → total-only; coarse beats clipped, keyed beats
+    // keyless, short-but-whole beats headless) is pure policy in
+    // BenchDefense.machineLine, spec-pinned at worst case against the
+    // driver's ~1925-char tail window.
+    val ml = D.machineLine(results, failed, reruns.size, suspects.size,
+      sfBase)
+    if (ml.degraded > 0)
+      System.err.println("[bench] preferred machine line would clip in" +
+        " the 1925-char tail window; degraded to " + (ml.degraded match {
+          case 1 => "0.1 s resolution"
+          case 2 => "integer seconds"
+          case _ => "total-only (per-query values are in bench_full.json)"
+        }) + s" (${ml.line.length} chars)")
+    println(ml.line)
     spark.stop()
   }
 }

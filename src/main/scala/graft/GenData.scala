@@ -120,7 +120,13 @@ object GenData {
         .filter(_.getFileName.toString.startsWith("part-"))
         .toSeq.sortBy(_.toString)
       finally listing.close()
-    if (partitions == 1 && parts.size <= 1) {
+    // coalesce(1) guarantees a single part file today; if Spark ever emits
+    // more, the single-FILE reference contract would silently degrade to a
+    // directory — fail loudly instead (ADVICE r16)
+    if (partitions == 1) require(parts.size <= 1,
+      s"$name: coalesce(1) emitted ${parts.size} part files — " +
+        "single-file contract broken")
+    if (partitions == 1) {
       parts.headOption match {
         case Some(p) => Files.move(p, target)
         // zero part files (an empty dataset): the single-FILE contract

@@ -10,6 +10,18 @@ object Verify {
       case Array(s, o, rest @ _*) => (s, o, rest.toSet)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // GRAFT_ARBITER=objectstore installs the object-store commit arbiter
+    // process-wide for the WHOLE dump (VERDICT r16 #5): every versioned
+    // gate then claims its commit slots through conditional-put +
+    // ambiguous-outcome adjudication instead of POSIX hard links, proving
+    // no code path outside the contract suite silently assumes the POSIX
+    // arbiter. The in-memory store is the offline stand-in for an SDK.
+    if (sys.env.get("GRAFT_ARBITER").contains("objectstore")) {
+      graft.io.VersionedTable.commitArbiter =
+        new graft.io.ObjectStoreArbiter(new graft.io.InMemoryObjectStore)
+      System.err.println("[verify] ObjectStoreArbiter installed " +
+        "process-wide (GRAFT_ARBITER=objectstore)")
+    }
     val spark = GraftSession.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
     val absOut = Paths.get(outDir).toAbsolutePath.toString

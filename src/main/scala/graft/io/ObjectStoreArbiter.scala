@@ -27,10 +27,16 @@ import java.util.UUID
   *     won; assuming loss abandons a slot you may own). Adjudicate by
   *     reading the object back: our exact bytes → we won; different
   *     bytes → someone else won; absent → the put never landed, retry.
-  *     Sound because commit JSON is writer-unique by construction (the
-  *     `add` list carries UUID-named part files), so byte-equality
+  *     Sound because commit JSON is writer-unique by construction:
+  *     [[VersionedTable]] stamps every commit with a per-writer UUID
+  *     `nonce` (data commits are additionally unique via UUID-named part
+  *     files, but metadata-only commits — setProperties, empty deferred
+  *     deletes — need the nonce: two writers racing the same version with
+  *     identical op/props in the same `ts` millisecond would otherwise be
+  *     byte-identical and BOTH adjudicate as winners). Byte-equality then
   *     identifies the author — the same idempotency trick Delta's
-  *     S3 LogStore and the Iceberg commit path rely on.
+  *     S3 LogStore and the Iceberg commit path rely on. Callers supplying
+  *     their own JSON must preserve that writer-uniqueness invariant.
   *
   * Exhausted transient retries THROW (a store outage is not a lost race —
   * the commit must fail loudly, not silently lose a slot); the trait's

@@ -178,7 +178,17 @@ object VersionedTable {
       else s""","bloomAdd":${arr(c.bloomAdd)}"""
     val cd = if (c.cdcAdd.isEmpty) ""
       else s""","cdcAdd":${arr(c.cdcAdd)}"""
-    s"""{"version":${c.version},"ts":${c.ts},"op":${Fmt.jsonString(c.op)},""" +
+    // per-writer nonce: the object-store arbiter adjudicates an ambiguous
+    // put by byte-equality read-back, which is only sound if commit JSON
+    // is writer-unique. Data commits are (UUID-named add files), but
+    // metadata-only commits (setProperties, empty deferred deletes) could
+    // collide byte-for-byte when two writers race the same version with
+    // identical op/props in the same millisecond (`ts` is ms-resolution)
+    // — both would then adjudicate themselves winners. The nonce makes
+    // EVERY commit writer-unique; readers ignore the field.
+    val nonce = java.util.UUID.randomUUID().toString
+    s"""{"version":${c.version},"ts":${c.ts},"nonce":${Fmt.jsonString(nonce)},""" +
+      s""""op":${Fmt.jsonString(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},""" +
       s""""schema":${Fmt.jsonString(c.schemaJson)}$txn$st$dv$pr$lin$bl$cd}"""
   }

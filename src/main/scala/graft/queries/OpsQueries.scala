@@ -10,6 +10,13 @@ import graft.queries.Q.t
   * prep. Oracle-parity notes per query inline.
   */
 object OpsQueries {
+  // Per-process scratch suffix (VERDICT r16 #4): catalog scratch tables
+  // carried fixed names, so two harness processes sharing a cwd (and thus
+  // a metastore) would drop each other's scratch mid-run. A per-JVM UUID
+  // isolates processes; drop-on-entry still cleans same-process re-runs,
+  // and names never enter result hashes (dump determinism unaffected).
+  private val scratchSuffix: String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -338,11 +345,10 @@ object OpsQueries {
     // unique table name per run, dropped on the way out.
     "q179_register_table" -> ((s, dir) => {
       val scratch = java.nio.file.Files.createTempDirectory("graft-w2")
-      // fixed scratch name + drop-if-exists on the way IN: no wall-clock
-      // input anywhere in the gate layer (the nanoTime suffix was one
-      // more moving part in a determinism-obsessed harness; a crashed
-      // prior run's leftover is cleaned here instead of leaking)
-      val tbl = "q179_w2_scratch"
+      // per-process name + drop-if-exists on the way IN: same-process
+      // re-runs clean a crashed predecessor's leftover, and concurrent
+      // harnesses in one cwd can't drop each other's scratch
+      val tbl = s"q179_w2_scratch_$scratchSuffix"
       s.sql(s"DROP TABLE IF EXISTS default.`$tbl`")
       try {
         val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
@@ -373,9 +379,10 @@ object OpsQueries {
     // create-vs-append mode bug, or a schema drift between batches
     // flips the hash. Managed DROP cleans the warehouse copy.
     "q180_append_table" -> ((s, dir) => {
-      // fixed name + drop-if-exists (see q179): a leftover managed table
-      // from a crashed run would otherwise double the first append
-      val tbl = "q180_w3_scratch"
+      // per-process name + drop-if-exists (see q179): a leftover managed
+      // table from a crashed same-process run would otherwise double the
+      // first append
+      val tbl = s"q180_w3_scratch_$scratchSuffix"
       s.sql(s"DROP TABLE IF EXISTS `$tbl`")
       try {
         val base = t(s, dir, "orders").filter(col("o_orderkey") < 20000)

@@ -16,6 +16,9 @@ import Q._
   * oracle-hashed by a batch SQL engine).
   */
 object Temporal {
+  // per-process scratch suffix — see OpsQueries.scratchSuffix rationale
+  private val scratchSuffix: String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   type QFn = (SparkSession, String) => DataFrame
 
@@ -412,9 +415,10 @@ object Temporal {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .write.mode("overwrite").parquet(src)
-      // fixed sink name (no wall-clock input in the gate layer); a
-      // leftover view from a crashed prior run is dropped on the way in
-      val name = "q47_hourly_sink"
+      // per-process sink name (VERDICT r16 #4 — two harnesses in one
+      // session-sharing context must not drop each other's view); a
+      // leftover from a crashed same-process run is dropped on the way in
+      val name = s"q47_hourly_sink_$scratchSuffix"
       if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
       // size the streaming STATE partitions to the state, not the batch
       // default: the agg holds ~hours×event_types keys, and each state
@@ -472,7 +476,7 @@ object Temporal {
       base.coalesce(2).write.mode("overwrite").parquet(src)
       base.filter(col("user_id") % 3 === 0)
         .coalesce(1).write.mode("append").parquet(src)
-      val name = "q181_dedup_sink"
+      val name = s"q181_dedup_sink_$scratchSuffix"
       if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
       // state partitions sized to the state (the q47 lesson)
       val prevSp = s.conf.get("spark.sql.shuffle.partitions")

@@ -79,7 +79,17 @@ object VersionedQueries {
   private def inParallel(tasks: (() => Unit)*): Unit = {
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val threads = tasks.map(t => new Thread(() => {
-      try t() catch { case e: Throwable => err.compareAndSet(null, e); () }
+      // NonFatal only (ADVICE r16): a fatal error (OOM, StackOverflow) in
+      // one worker must not be deferred while siblings keep running
+      // against a possibly-corrupted JVM — let it propagate to the
+      // thread's default handler immediately AND record it for the
+      // caller's rethrow.
+      try t() catch {
+        case scala.util.control.NonFatal(e) =>
+          if (!err.compareAndSet(null, e)) err.get().addSuppressed(e)
+        case e: Throwable =>
+          err.compareAndSet(null, e); throw e
+      }
     }))
     threads.foreach(_.start()); threads.foreach(_.join())
     val e = err.get()
@@ -211,30 +221,38 @@ object VersionedQueries {
     stage("fx1", "consumers-bootstrap") { consumeCycle() }
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val dim = s"$tbl.dim"
-    val q = stage("fx1", "scd2-start") {
-      graft.streaming.Streams.scd2Sink(
-        s, tbl, dim, "c_custkey", s"$tbl.ck",
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    // the SCD2 sink runs as checkpoint-resumed AvailableNow batches
+    // (VERDICT r16 #6), not one long-lived ProcessingTime(50ms) query:
+    // the polling thread lists the log every 50 ms for the whole
+    // choreography — pure contention amplification on a busy host — while
+    // AvailableNow drains exactly what has landed and terminates. Each
+    // run resumes the same checkpoint (the restart path CdfSpec gates);
+    // batch composition stays boundary-independent, so q168's hash is
+    // unchanged. This is also the honest deployment shape: periodic
+    // AvailableNow refreshes are how incremental sinks actually run.
+    def runScd2(): Unit = {
+      val q = graft.streaming.Streams.scd2Sink(
+        s, tbl, dim, "c_custkey", s"$tbl.ck")
+      val finished = try q.awaitTermination(120000) finally q.stop()
+      require(finished, "fx1 scd2 AvailableNow run did not finish in 120 s")
     }
-    try {
-      // bootstrap: every snapshot key opens
-      stage("fx1", "scd2-bootstrap") { q.processAllAvailable() }
-      val src = cust.filter(col("c_custkey") % 3 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 50.0)
-      stage("fx1", "merge-v2") {
-        VT.merge(s, src, tbl, Seq("c_custkey")) }                 // v2
-      stage("fx1", "delete-v3") {
-        VT.deleteWhereDeferred(s, tbl, col("c_custkey") % 10 === 4) } // v3
-      // both commits fold before this returns — as one batch or two
-      // depending on poll timing; the dim is batch-boundary-independent.
-      // The cursor consumers' incremental cycle (v1→v3) reads the same
-      // landed commits into separate outputs, so it overlaps the fold —
-      // the two halves were the fixture's two largest stages (r15: 3.5 s
-      // + 4.5 s in-sweep) and share no state beyond the read-only log
-      stage("fx1", "scd2-fold+consumers-incr") {
-        inParallel(() => q.processAllAvailable(), () => consumeCycle())
-      }
-    } finally q.stop()
+    // bootstrap: every snapshot key opens
+    stage("fx1", "scd2-bootstrap") { runScd2() }
+    val src = cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 50.0)
+    stage("fx1", "merge-v2") {
+      VT.merge(s, src, tbl, Seq("c_custkey")) }                   // v2
+    stage("fx1", "delete-v3") {
+      VT.deleteWhereDeferred(s, tbl, col("c_custkey") % 10 === 4) } // v3
+    // both commits fold before this returns — as one batch or two
+    // depending on source grouping; the dim is batch-boundary-independent.
+    // The cursor consumers' incremental cycle (v1→v3) reads the same
+    // landed commits into separate outputs, so it overlaps the fold —
+    // the two halves were the fixture's two largest stages (r15: 3.5 s
+    // + 4.5 s in-sweep) and share no state beyond the read-only log
+    stage("fx1", "scd2-fold+consumers-incr") {
+      inParallel(() => runScd2(), () => consumeCycle())
+    }
     val fromMirror = VT.snapshot(s, dst)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("total"))
@@ -293,10 +311,16 @@ object VersionedQueries {
       VT.append(s, base.filter(col("o_orderkey") % 3 === 0), tbl) } // v0
     VT.setProperties(tbl, Map(VT.CdfProp -> "true"))              // v1
     val state = s"$tbl.state"
-    val mv = stage("fx2", "mv-start") {
-      graft.streaming.Streams.materializedViewSink(
-        s, tbl, state, Seq("o_orderstatus"), "o_totalprice", s"$tbl.ckmv",
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+    // the MV sink runs as checkpoint-resumed AvailableNow batches (same
+    // rationale as fx1's scd2 — no 50 ms polling thread riding the whole
+    // choreography). The q166 change-feed stream MUST stay long-lived:
+    // its memory sink cannot recover rows across a restart (bootstrap
+    // inserts would vanish from the in-memory table).
+    def runMv(): Unit = {
+      val m = graft.streaming.Streams.materializedViewSink(
+        s, tbl, state, Seq("o_orderstatus"), "o_totalprice", s"$tbl.ckmv")
+      val finished = try m.awaitTermination(120000) finally m.stop()
+      require(finished, "fx2 MV AvailableNow run did not finish in 120 s")
     }
     val name = s"q166_stream_${System.nanoTime()}"
     val q = stage("fx2", "cdf-stream-start") {
@@ -309,8 +333,7 @@ object VersionedQueries {
       // snapshot batches: v0 state as inserts into BOTH streams — separate
       // sinks/checkpoints over the same read-only snapshot, so concurrent
       stage("fx2", "bootstrap-both") {
-        inParallel(() => q.processAllAvailable(),
-          () => mv.processAllAvailable())
+        inParallel(() => q.processAllAvailable(), () => runMv())
       }
       val src = base.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
@@ -323,10 +346,9 @@ object VersionedQueries {
       // change tail (v2 + v3 envelopes) and the MV's O(changes)
       // incremental refresh fold the same landed commits concurrently
       stage("fx2", "fold-both") {
-        inParallel(() => q.processAllAvailable(),
-          () => mv.processAllAvailable())
+        inParallel(() => q.processAllAvailable(), () => runMv())
       }
-    } finally { q.stop(); mv.stop() }
+    } finally q.stop()
     val q166 = pinned(s, s.table(name)
       .groupBy(col("_change_type").as("change_type"))
       .agg(count(lit(1)).as("n"),

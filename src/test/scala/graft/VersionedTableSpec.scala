@@ -1534,4 +1534,41 @@ class VersionedTableSpec extends SparkSpec {
       assert(VT.snapshot(spark, t).inputFiles.length == 2)
     }
   }
+
+  test("commit JSON is writer-unique even for metadata-only commits " +
+    "(per-writer nonce, ADVICE r16): two identical setProperties in the " +
+    "same millisecond must never be byte-identical, or the object-store " +
+    "arbiter's ambiguous-500 read-back adjudication would declare BOTH " +
+    "racers winners of one slot") {
+    def metadataCommitBytes(): String = withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)
+      VT.setProperties(t, Map("k" -> "v"))
+      val slot = java.nio.file.Paths.get(t, "_graft_log")
+        .resolve(f"${1L}%020d.json")
+      new String(Files.readAllBytes(slot),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val a = metadataCommitBytes()
+    val b = metadataCommitBytes()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (na, nb) = (om.readTree(a), om.readTree(b))
+    // the nonce is present, a UUID, and differs per writer; with ts and
+    // nonce stripped the two commits ARE identical — the nonce is what
+    // carries the uniqueness, not timestamp luck
+    assert(na.hasNonNull("nonce") && nb.hasNonNull("nonce"))
+    assert(na.get("nonce").asText != nb.get("nonce").asText)
+    def strip(n: com.fasterxml.jackson.databind.JsonNode) = {
+      val o = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      o.remove("nonce"); o.remove("ts"); o.toString
+    }
+    assert(strip(na) == strip(nb))
+    // readers ignore the field: parse-back still sees the op/props
+    withTable { t =>
+      VT.append(spark, df(1 -> "a"), t)
+      VT.setProperties(t, Map("k" -> "v"))
+      assert(VT.snapshot(spark, t).count() == 1)
+      assert(VT.history(spark, t).orderBy("version")
+        .select("op").as[String].collect().last == "set_props")
+    }
+  }
 }
