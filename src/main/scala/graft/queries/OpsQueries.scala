@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,13 +12,43 @@ import graft.queries.Q.t
   * prep. Oracle-parity notes per query inline.
   */
 object OpsQueries {
-  // Per-process scratch suffix (VERDICT r16 #4): catalog scratch tables
-  // carried fixed names, so two harness processes sharing a cwd (and thus
-  // a metastore) would drop each other's scratch mid-run. A per-JVM UUID
-  // isolates processes; drop-on-entry still cleans same-process re-runs,
-  // and names never enter result hashes (dump determinism unaffected).
-  private val scratchSuffix: String =
-    java.util.UUID.randomUUID().toString.take(8)
+  // Per-process scratch suffix (VERDICT r16 #4): q180's MANAGED scratch
+  // table carried a fixed name, so two harness processes sharing a cwd —
+  // and therefore one spark-warehouse/ directory (the catalog itself is
+  // in-memory per process; the FILES are the shared resource) — would
+  // write the same warehouse path and clobber each other mid-run. The
+  // suffix is the JVM PID, not a UUID, so a crashed predecessor's
+  // leftover is identifiable and reapable (a UUID suffix would turn the
+  // old self-healing drop-on-entry into an unbounded cross-crash leak of
+  // warehouse files — review catch, r17). Names never enter result
+  // hashes (dump determinism unaffected).
+  private val scratchSuffix: String = ProcessHandle.current().pid().toString
+
+  /** Reap warehouse directories left by CRASHED harness processes: any
+    * `<prefix><pid>` dir whose pid is no longer alive is a leak (its
+    * process can never drop it); a live pid's dir belongs to a concurrent
+    * harness and is left alone. Best-effort — reaping must never fail the
+    * gate that triggered it. */
+  private def reapDeadScratch(s: SparkSession, prefix: String): Unit =
+    try {
+      val whConf = s.conf.get("spark.sql.warehouse.dir")
+      val wh = java.nio.file.Paths.get(
+        if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath
+        else whConf)
+      if (java.nio.file.Files.isDirectory(wh)) {
+        val l = java.nio.file.Files.list(wh)
+        try l.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(prefix))
+          .foreach { p =>
+            val pid = p.getFileName.toString.stripPrefix(prefix)
+            val dead = pid.nonEmpty && pid.forall(_.isDigit) &&
+              !ProcessHandle.of(pid.toLong)
+                .map[Boolean](_.isAlive).orElse(false)
+            if (dead) graft.util.Fs.deleteRecursively(p)
+          }
+        finally l.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -379,9 +411,11 @@ object OpsQueries {
     // create-vs-append mode bug, or a schema drift between batches
     // flips the hash. Managed DROP cleans the warehouse copy.
     "q180_append_table" -> ((s, dir) => {
-      // per-process name + drop-if-exists (see q179): a leftover managed
-      // table from a crashed same-process run would otherwise double the
-      // first append
+      // per-process (PID) name + drop-if-exists (see q179); crashed
+      // predecessors' warehouse leftovers are reaped by pid liveness —
+      // a leftover would otherwise double the first append (same
+      // process) or leak files forever (dead process)
+      reapDeadScratch(s, "q180_w3_scratch_")
       val tbl = s"q180_w3_scratch_$scratchSuffix"
       s.sql(s"DROP TABLE IF EXISTS `$tbl`")
       try {

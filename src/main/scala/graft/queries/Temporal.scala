@@ -16,9 +16,13 @@ import Q._
   * oracle-hashed by a batch SQL engine).
   */
 object Temporal {
-  // per-process scratch suffix — see OpsQueries.scratchSuffix rationale
-  private val scratchSuffix: String =
-    java.util.UUID.randomUUID().toString.take(8)
+  // Per-process scratch suffix (VERDICT r16 #4). Temp views are
+  // session-scoped (they die with the process and are invisible to other
+  // processes), so unlike OpsQueries' managed-table case nothing leaks
+  // or collides across processes — the suffix only guards the view names
+  // against a second harness sharing this SparkSession in-process. No
+  // reaping needed; drop-on-entry covers same-session re-runs.
+  private val scratchSuffix: String = ProcessHandle.current().pid().toString
 
   type QFn = (SparkSession, String) => DataFrame
 

@@ -192,10 +192,10 @@ object VersionedQueries {
     * classifications to its old private fixture: the props commit
     * contributes no rows, and the DV delete classifies exactly as the
     * rewrite delete did), q155 the two cursor-checkpointed consumers.
-    * The SCD2 sink runs as ONE long-lived query triggered across the
-    * commits — its batch composition matches the old stop/restart shape
-    * exactly; the checkpoint-restart path itself stays gated in
-    * CdfSpec. */
+    * The SCD2 sink runs as two checkpoint-resumed AvailableNow batches
+    * (bootstrap, then fold after v2/v3) — no polling thread rides the
+    * choreography, and the restart path this shape exercises stays gated
+    * in CdfSpec; the dim is batch-boundary-independent either way. */
   private def buildCustomerCdf(s: SparkSession, dir: String, tbl: String)
       : Map[String, DataFrame] = {
     // the slice stays a plain pruned scan: the source parquet is
@@ -290,10 +290,11 @@ object VersionedQueries {
     *
     * Streaming members: the raw change-feed stream (q166) and the
     * materialized-view sink (q167) bootstrap from the v1 snapshot, then
-    * the MERGE and DV-DELETE land mid-flight and both fold them
-    * incrementally — each runs as ONE long-lived query across the
-    * commits (batch composition identical to the old stop/restart shape;
-    * CdfSpec keeps the restart path gated).
+    * the MERGE and DV-DELETE land and both fold them incrementally. The
+    * MV sink runs as two checkpoint-resumed AvailableNow batches (no
+    * polling thread; CdfSpec keeps the restart path gated); q166 stays
+    * ONE long-lived query because its memory sink cannot recover rows
+    * across a restart.
     *
     * IVM members: sum / distinct-multiplicity / multi-measure states
     * bootstrap from the v0 snapshot and fold the v0→v3 change feed (the

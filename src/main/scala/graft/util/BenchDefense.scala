@@ -143,8 +143,12 @@ object BenchDefense {
     * 1843 chars), so one more realistic sweep shape away from total-only.
     * Whole seconds keep every key present (a missing key reads as a
     * failure) at ~1.5 fewer chars each — coarse-but-keyed beats
-    * total-only. */
-  def fInt(v: Double): String = trim(Fmt.fmt("%.0f", v))
+    * total-only. NO trim here: trim exists to strip a decimal tail
+    * ("9.90" → "9.9") and stops at the '.', but a %.0f string has no
+    * point, so trimming would strip SIGNIFICANT zeros (10 → "1",
+    * 100 → "1") — a 10x under-report in the artifact (review catch,
+    * r17). */
+  def fInt(v: Double): String = Fmt.fmt("%.0f", v)
 
   private def trim(s: String): String = {
     val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse

@@ -275,6 +275,12 @@ class BenchDefenseSpec extends AnyFunSuite {
     val in = parse(integer.line)
     assert(in.path("queries").size == 60)
     assert(in.path("queries").path("101").asInt == 6) // %.0f rounds 5.5
+    // values rounding to a multiple of 10 keep their significant zeros
+    // at the integer rung — the decimal-tail trim must never touch a
+    // pointless %.0f string (10.2 → "1" would 10x-under-report)
+    assert(D.fInt(10.2) == "10")
+    assert(D.fInt(100.0) == "100")
+    assert(D.fInt(0.4) == "0")
     // even integers can't fit 10k keys in 1900 chars -> total-only
     val huge = (1 to 10000).map(i => f"q${i + 10000}_n" -> 5.0).toMap
     val to = D.machineLine(huge, Seq("q1_x"), 3, 2, "sf0.1")

@@ -20,17 +20,25 @@ OUT_BASE="${1:-/tmp/graft-dualsf}"
 SFS=("/root/testdata/sf0.001" "/root/testdata/sf0.01")
 
 # one sbt invocation per SF (runMain compiles on the first call and reuses
-# classes on the second)
+# classes on the second). Verify CATCHES per-query exceptions (stderr line,
+# exit 0, no dump dir) — so a "[verify] ... failed" line must fail THIS
+# gate loudly (review catch, r17; selfcheck.py additionally flags any
+# oracle key with no dump as MISSING-OUTPUT).
+FAIL=0
 for SF in "${SFS[@]}"; do
   SF_NAME="$(basename "$SF")"
   OUT="$OUT_BASE/$SF_NAME"
   rm -rf "$OUT" "${OUT}_inputs"
   mkdir -p "$OUT"
   echo "=== Verify dump @ $SF_NAME -> $OUT"
-  sbt -batch "runMain graft.Verify $SF $OUT"
+  LOG="$OUT_BASE/verify_$SF_NAME.log"
+  sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$LOG"
+  if grep -E "\[verify\] .* failed" "$LOG"; then
+    echo "!!! Verify reported per-query failures at $SF_NAME (above)"
+    FAIL=1
+  fi
 done
 
-FAIL=0
 for SF in "${SFS[@]}"; do
   SF_NAME="$(basename "$SF")"
   OUT="$OUT_BASE/$SF_NAME"

@@ -60,6 +60,14 @@ for name in names:
         results[name] = ("ERROR", str(e))
         print(f"{name:28s} ERROR {e}")
 
+# a query that THREW inside Verify writes no outDir subdir, so iterating
+# dirs alone would silently pass it (review catch, r17) — every oracle key
+# must have a dump, or the gate's "all green" claim is a lie by omission
+for name in sorted(set(oracles) - set(names)):
+    results[name] = ("MISSING-OUTPUT",)
+    print(f"{name:28s} MISSING OUTPUT (oracle present, no parquet dump — "
+          "the query likely threw in Verify)")
+
 n_ok = sum(1 for v in results.values() if v[0] == "ok")
 n_ro = sum(1 for v in results.values() if v[0] == "rows-only")
 n_bad = len(results) - n_ok - n_ro
