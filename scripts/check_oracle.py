@@ -77,6 +77,14 @@ for qdir in sorted(glob.glob(os.path.join(outdir, "q*"))):
     else:
         passes.append(name)
 
+# a query that THREW inside Verify writes no outDir subdir (Verify logs to
+# stderr and exits 0), so globbing dumped dirs alone would silently pass it
+# — every oracle key must have a dump (same fix as tools/selfcheck.py)
+dumped = {os.path.basename(d) for d in glob.glob(os.path.join(outdir, "q*"))}
+for name in sorted(set(oracles) - dumped):
+    fails.append((name, "MISSING OUTPUT (oracle present, no parquet dump — "
+                  "the query likely threw in Verify)"))
+
 print(f"PASS ({len(passes)}): {' '.join(passes)}")
 print(f"ROWS-ONLY ({len(rows_only)}): {' '.join(f'{n}={r}' for n, r in rows_only)}")
 if fails:

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Own a flagged bench regression: rebaseline one query's trailing-median
+history at its latest measured value.
+
+The contamination defense median-carries a suspect's history forever, so a
+persistent regression is re-flagged every sweep "until a code diff owns
+it" (SCALING.md, r16) — by design, the defense itself can never decide
+that a slowdown is legitimate. This is the owning step: once the
+regression is attributed to an accepted code change (worktree A/B, diff
+scope), run
+
+    python3 tools/accept_regression.py <query_name>
+
+It takes the query's measured value from bench_full.json (the true
+measurement the suspect flag preserved) and sets it in every
+matching-(sf, ann) line of bench_history.jsonl, so the trailing median
+moves to the accepted level immediately and the suspect flag clears on
+the next sweep. Commit the rewritten history: the git diff IS the audit
+trail of the owning decision — never run this to make a host-noise flag
+go away (that is exactly the lie the defense exists to prevent; noise
+clears itself on the next quiet sweep).
+"""
+import argparse
+import json
+import os
+import sys
+
+ap = argparse.ArgumentParser(
+    description="rebaseline one query's bench history at its latest "
+                "measured value (the manual 'owning' step for a real, "
+                "accepted regression)")
+ap.add_argument("query", help="full query name, e.g. q94_pagerank")
+ap.add_argument("--full", default="bench_full.json",
+                help="sweep artifact holding the measured value")
+ap.add_argument("--history", default="bench_history.jsonl",
+                help="trailing-median history to rewrite")
+a = ap.parse_args()
+
+full = json.load(open(a.full))
+entry = next((e for e in full["queries"] if e["name"] == a.query), None)
+if entry is None:
+    sys.exit(f"{a.query}: not in {a.full}")
+if not entry.get("ok", False):
+    sys.exit(f"{a.query}: failed in the recorded sweep — nothing to accept")
+if not entry.get("suspect", False):
+    print(f"note: {a.query} is not flagged suspect in {a.full} "
+          "(the defense already settled it); accepting its value anyway")
+
+val = round(entry["sec"], 3)
+sf_base = os.path.basename(full.get("sf", "") or "")
+ann = full.get("ann", "")
+
+lines = [l for l in open(a.history).read().splitlines() if l.strip()]
+out, touched, olds = [], 0, []
+for l in lines:
+    n = json.loads(l)
+    same = (os.path.basename(n.get("sf", "")) == sf_base
+            and n.get("ann", "") == ann)
+    if same and a.query in n.get("queries", {}):
+        olds.append(n["queries"][a.query])
+        n["queries"][a.query] = val
+        touched += 1
+        out.append(json.dumps(n, separators=(",", ":")))
+    else:
+        out.append(l)
+if touched == 0:
+    sys.exit(f"{a.query}: no matching (sf={sf_base}, ann={ann}) history "
+             f"lines in {a.history} — nothing to rebaseline")
+
+with open(a.history, "w") as f:
+    f.write("\n".join(out) + "\n")
+med = sorted(olds)[(len(olds) - 1) // 2]
+print(f"{a.query}: accepted {val:.3f}s (trailing median was {med:.3f}s); "
+      f"rewrote {touched} history line(s). Commit {a.history} to record "
+      "the owning decision.")
