@@ -172,55 +172,34 @@ object Bench {
     // contention; comparing across configs would flag phantoms)
     val annCfg = if (sys.props.get("graft.ann.sublinear")
       .exists(_.equalsIgnoreCase("true"))) "sublinear" else "full"
+    // History parsing (same-run filter, 5-line window, malformed-line
+    // tolerance) and the bench_full seed fallback are pure policy in
+    // BenchDefense too (historyPool/seedFromFull, spec-pinned); only the
+    // file reads live here.
     val history: Map[String, Seq[Double]] = {
-      import com.fasterxml.jackson.databind.JsonNode
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      def base(p: String) =
-        java.nio.file.Paths.get(p).getFileName.toString
-      val sfBase0 = base(sfDir)
-      def sameRun(n: JsonNode): Boolean =
-        n.path("sf").asText.nonEmpty && base(n.path("sf").asText) == sfBase0 &&
-          n.path("ann").asText("") == annCfg
+      val sfBase0 = java.nio.file.Paths.get(sfDir).getFileName.toString
       try {
         val hist = java.nio.file.Paths.get("bench_history.jsonl")
-        val lines: Seq[JsonNode] =
+        val lines: Seq[String] =
           if (java.nio.file.Files.exists(hist))
             java.nio.file.Files.readAllLines(hist).asScala.toSeq
-              .filter(_.trim.nonEmpty)
-              .flatMap(l => scala.util.Try(om.readTree(l)).toOption)
-              .filter(sameRun)
           else Nil
-        val fromHistory: Seq[Map[String, Double]] = lines.map { n =>
-          val q = n.path("queries")
-          // fields() not properties(): properties() is Jackson 2.15+ and
-          // its absence on an older shaded Jackson is a NoSuchMethodError
-          // — an Error, not NonFatal — that would crash the whole bench
-          // instead of degrading this best-effort block to empty history
-          q.fields().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+        val pool = D.historyPool(lines, sfBase0, annCfg)
+        if (pool.nonEmpty) pool
+        else {
+          // first round with the defense: seed from the previous round's
+          // committed bench_full.json (seedFromFull drops failed AND
+          // suspect entries — a suspect's sec is by design the still-
+          // contaminated measured value)
+          val full = java.nio.file.Paths.get("bench_full.json")
+          if (!java.nio.file.Files.exists(full)) Map.empty
+          else D.seedFromFull(
+              new String(java.nio.file.Files.readAllBytes(full),
+                java.nio.charset.StandardCharsets.UTF_8),
+              sfBase0, annCfg)
+            .map(_.view.mapValues(Seq(_)).toMap)
+            .getOrElse(Map.empty)
         }
-        val samples =
-          if (fromHistory.nonEmpty) fromHistory
-          else {
-            // first round with the defense: seed from the previous
-            // round's committed bench_full.json (its queries field is an
-            // ARRAY of {name, sec, ok})
-            val full = java.nio.file.Paths.get("bench_full.json")
-            if (!java.nio.file.Files.exists(full)) Nil
-            else {
-              val n = om.readTree(full.toFile)
-              if (!sameRun(n)) Nil
-              // BenchDefense.seedPool drops failed AND suspect entries —
-              // a suspect's sec is by design the still-contaminated
-              // measured value (see its scaladoc + BenchDefenseSpec)
-              else Seq(D.seedPool(n.path("queries").asScala.map { e =>
-                (e.path("name").asText, e.path("sec").asDouble,
-                  e.path("ok").asBoolean(false),
-                  e.path("suspect").asBoolean(false))
-              }.toSeq))
-            }
-          }
-        samples.takeRight(5).flatten.groupBy(_._1)
-          .view.mapValues(_.map(_._2).toSeq).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     }
     // medians / candidate selection / overshoot ordering / re-run cap:

@@ -118,6 +118,63 @@ object BenchDefense {
       case (n, sec, true, false) => n -> sec
     }.toMap
 
+  // ------------------------------------------------- history parsing
+
+  /** Parse bench_history.jsonl lines into the trailing-median sample
+    * pool: same-(sf, ann) lines only — sublinear and full-coverage ANN
+    * timings differ by design, and cross-SF samples are not comparable —
+    * clipped to the last `window` matching lines, malformed lines
+    * skipped (a corrupt history line must degrade the defense, never
+    * crash the bench). Pure given the line strings; Bench supplies the
+    * file read. */
+  def historyPool(lines: Seq[String], sfBase: String, ann: String,
+      window: Int = 5): Map[String, Seq[Double]] = {
+    import scala.jdk.CollectionConverters._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val samples: Seq[Map[String, Double]] = lines
+      .filter(_.trim.nonEmpty)
+      .flatMap(l => scala.util.Try(om.readTree(l)).toOption)
+      .filter(n => sameRun(n, sfBase, ann))
+      .map { n =>
+        // fields() not properties(): properties() is Jackson 2.15+ and
+        // its absence on an older shaded Jackson is a NoSuchMethodError
+        // — an Error, not NonFatal — that would crash the whole bench
+        // instead of degrading this best-effort block to empty history
+        n.path("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toMap
+      }
+    samples.takeRight(window).flatten.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+  }
+
+  /** Seed pool from a previous round's bench_full.json document when no
+    * history lines exist: None when the artifact is for a different
+    * (sf, ann) run or unparseable — the defense then starts cold, which
+    * only costs re-runs, never correctness. Suspect/failed entries are
+    * dropped by [[seedPool]]. */
+  def seedFromFull(json: String, sfBase: String,
+      ann: String): Option[Map[String, Double]] = {
+    import scala.jdk.CollectionConverters._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    scala.util.Try(om.readTree(json)).toOption
+      .filter(n => sameRun(n, sfBase, ann))
+      .map { n =>
+        seedPool(n.path("queries").elements().asScala.map { e =>
+          (e.path("name").asText, e.path("sec").asDouble,
+            e.path("ok").asBoolean(false),
+            e.path("suspect").asBoolean(false))
+        }.toSeq)
+      }
+  }
+
+  private def sameRun(n: com.fasterxml.jackson.databind.JsonNode,
+      sfBase: String, ann: String): Boolean = {
+    val sf = n.path("sf").asText
+    sf.nonEmpty &&
+      java.nio.file.Paths.get(sf).getFileName.toString == sfBase &&
+      n.path("ann").asText("") == ann
+  }
+
   // ---------------------------------------------------- machine line
 
   /** Driver machine key: queries drop the redundant "q" prefix and

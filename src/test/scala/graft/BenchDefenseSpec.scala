@@ -198,6 +198,43 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(seeded == Map("q1_a" -> 2.0))
   }
 
+  // ------------------------------------------------------- history parsing
+
+  test("historyPool: same-(sf, ann) lines only, last-5 window, malformed " +
+    "lines skipped — a corrupt history degrades the defense, never " +
+    "crashes the bench") {
+    def line(sf: String, ann: String, v: Double) =
+      s"""{"sf":"$sf","ann":"$ann","queries":{"q1_a":$v}}"""
+    val lines = Seq(
+      line("/x/sf0.1", "sublinear", 1.0), // oldest matching (clipped by window)
+      "{not json",                        // malformed: skipped
+      line("sf0.01", "sublinear", 99.0),  // other SF: excluded
+      line("sf0.1", "full", 88.0),        // other ANN config: excluded
+      line("sf0.1", "sublinear", 2.0),
+      line("sf0.1", "sublinear", 3.0),
+      line("/y/sf0.1", "sublinear", 4.0), // sf matched on BASENAME
+      line("sf0.1", "sublinear", 5.0),
+      line("sf0.1", "sublinear", 6.0))
+    val pool = D.historyPool(lines, "sf0.1", "sublinear", window = 5)
+    // six matching lines; the window keeps the LAST five (1.0 aged out)
+    assert(pool == Map("q1_a" -> Seq(2.0, 3.0, 4.0, 5.0, 6.0)))
+  }
+
+  test("seedFromFull: parses the bench_full.json shape, rejects a " +
+    "different (sf, ann) artifact, and drops failed + suspect entries") {
+    val doc =
+      """{"metric":"total","value":9.9,"unit":"sec","ann":"sublinear",
+        |"rr":1,"sf":"/root/testdata/sf0.1","queries":[
+        |{"name":"q1_a","sec":2.0,"ok":true},
+        |{"name":"q2_b","sec":9.0,"ok":true,"suspect":true},
+        |{"name":"q3_c","sec":4.0,"ok":false}]}""".stripMargin
+    assert(D.seedFromFull(doc, "sf0.1", "sublinear")
+      .contains(Map("q1_a" -> 2.0)))
+    assert(D.seedFromFull(doc, "sf0.01", "sublinear").isEmpty) // other SF
+    assert(D.seedFromFull(doc, "sf0.1", "full").isEmpty) // other ANN
+    assert(D.seedFromFull("{broken", "sf0.1", "sublinear").isEmpty)
+  }
+
   // ----------------------------------------------------------- machine line
 
   test("machineKey drops the q prefix and the suffix; fixture keys " +
