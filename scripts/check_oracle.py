@@ -79,8 +79,12 @@ for qdir in sorted(glob.glob(os.path.join(outdir, "q*"))):
 
 # a query that THREW inside Verify writes no outDir subdir (Verify logs to
 # stderr and exits 0), so globbing dumped dirs alone would silently pass it
-# — every oracle key must have a dump (same fix as tools/selfcheck.py)
-dumped = {os.path.basename(d) for d in glob.glob(os.path.join(outdir, "q*"))}
+# — every oracle key must have a dump (same fix as tools/selfcheck.py).
+# Enumerate ALL subdirs, not a q* glob: an oracle key with any other
+# prefix would otherwise read as permanently missing even when its dump
+# exists (a false red gate)
+dumped = {d for d in os.listdir(outdir)
+          if os.path.isdir(os.path.join(outdir, d))}
 for name in sorted(set(oracles) - dumped):
     fails.append((name, "MISSING OUTPUT (oracle present, no parquet dump — "
                   "the query likely threw in Verify)"))

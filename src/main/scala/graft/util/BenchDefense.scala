@@ -131,17 +131,27 @@ object BenchDefense {
       window: Int = 5): Map[String, Seq[Double]] = {
     import scala.jdk.CollectionConverters._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // ONE Try per line covering parse AND field extraction: the contract
+    // is per-line tolerance — a bad line (truncated JSON, a pathological
+    // "sf" value) must drop ALONE, never collapse the rest of the pool
+    // (review catch, r17: an escaping exception here would skip the
+    // remaining valid lines AND the seed fallback, silently running the
+    // whole defense median-less)
     val samples: Seq[Map[String, Double]] = lines
       .filter(_.trim.nonEmpty)
-      .flatMap(l => scala.util.Try(om.readTree(l)).toOption)
-      .filter(n => sameRun(n, sfBase, ann))
-      .map { n =>
-        // fields() not properties(): properties() is Jackson 2.15+ and
-        // its absence on an older shaded Jackson is a NoSuchMethodError
-        // — an Error, not NonFatal — that would crash the whole bench
-        // instead of degrading this best-effort block to empty history
-        n.path("queries").fields().asScala
-          .map(e => e.getKey -> e.getValue.asDouble).toMap
+      .flatMap { l =>
+        scala.util.Try {
+          val n = om.readTree(l)
+          if (!sameRun(n, sfBase, ann)) None
+          else Some(
+            // fields() not properties(): properties() is Jackson 2.15+
+            // and its absence on an older shaded Jackson is a
+            // NoSuchMethodError — an Error, not NonFatal — that would
+            // crash the whole bench instead of degrading this
+            // best-effort block to empty history
+            n.path("queries").fields().asScala
+              .map(e => e.getKey -> e.getValue.asDouble).toMap)
+        }.toOption.flatten
       }
     samples.takeRight(window).flatten.groupBy(_._1)
       .view.mapValues(_.map(_._2).toSeq).toMap
@@ -170,8 +180,11 @@ object BenchDefense {
   private def sameRun(n: com.fasterxml.jackson.databind.JsonNode,
       sfBase: String, ann: String): Boolean = {
     val sf = n.path("sf").asText
+    // getFileName is NULL for root paths ("/") — Option-wrap so a
+    // pathological sf value reads as not-same-run instead of an NPE
     sf.nonEmpty &&
-      java.nio.file.Paths.get(sf).getFileName.toString == sfBase &&
+      Option(java.nio.file.Paths.get(sf).getFileName)
+        .map(_.toString).contains(sfBase) &&
       n.path("ann").asText("") == ann
   }
 

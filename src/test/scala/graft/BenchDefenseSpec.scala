@@ -208,6 +208,8 @@ class BenchDefenseSpec extends AnyFunSuite {
     val lines = Seq(
       line("/x/sf0.1", "sublinear", 1.0), // oldest matching (clipped by window)
       "{not json",                        // malformed: skipped
+      line("/", "sublinear", 77.0),       // root sf: getFileName is null —
+                                          // must drop ALONE, not NPE the pool
       line("sf0.01", "sublinear", 99.0),  // other SF: excluded
       line("sf0.1", "full", 88.0),        // other ANN config: excluded
       line("sf0.1", "sublinear", 2.0),

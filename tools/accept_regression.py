@@ -36,7 +36,12 @@ ap.add_argument("--history", default="bench_history.jsonl",
                 help="trailing-median history to rewrite")
 a = ap.parse_args()
 
-full = json.load(open(a.full))
+try:
+    full = json.load(open(a.full))
+except FileNotFoundError:
+    sys.exit(f"{a.full}: not found — run a bench sweep first")
+except json.JSONDecodeError as e:
+    sys.exit(f"{a.full}: unparseable ({e})")
 entry = next((e for e in full["queries"] if e["name"] == a.query), None)
 if entry is None:
     sys.exit(f"{a.query}: not in {a.full}")
@@ -50,10 +55,22 @@ val = round(entry["sec"], 3)
 sf_base = os.path.basename(full.get("sf", "") or "")
 ann = full.get("ann", "")
 
-lines = [l for l in open(a.history).read().splitlines() if l.strip()]
-out, touched, olds = [], 0, []
+try:
+    lines = [l for l in open(a.history).read().splitlines() if l.strip()]
+except FileNotFoundError:
+    sys.exit(f"{a.history}: not found — nothing to rebaseline")
+out, touched, olds, skipped = [], 0, [], 0
 for l in lines:
-    n = json.loads(l)
+    # per-line tolerance, mirroring BenchDefense.historyPool: a corrupt
+    # line is skipped by the bench, so it can persist in the committed
+    # file indefinitely — the owning tool must pass it through untouched
+    # rather than crash on it
+    try:
+        n = json.loads(l)
+    except json.JSONDecodeError:
+        skipped += 1
+        out.append(l)
+        continue
     same = (os.path.basename(n.get("sf", "")) == sf_base
             and n.get("ann", "") == ann)
     if same and a.query in n.get("queries", {}):
@@ -69,7 +86,15 @@ if touched == 0:
 
 with open(a.history, "w") as f:
     f.write("\n".join(out) + "\n")
-med = sorted(olds)[(len(olds) - 1) // 2]
-print(f"{a.query}: accepted {val:.3f}s (trailing median was {med:.3f}s); "
-      f"rewrote {touched} history line(s). Commit {a.history} to record "
-      "the owning decision.")
+if skipped:
+    print(f"note: {skipped} malformed history line(s) passed through "
+          "untouched (the bench skips them too)")
+# report the median the defense was actually using: LAST-5 window of
+# matching lines, lower middle — the same semantics as
+# BenchDefense.historyPool + median (not the all-time median, which can
+# misstate the baseline the suspect flag was computed against)
+window = olds[-5:]
+med = sorted(window)[(len(window) - 1) // 2]
+print(f"{a.query}: accepted {val:.3f}s (defense trailing median was "
+      f"{med:.3f}s); rewrote {touched} history line(s). Commit "
+      f"{a.history} to record the owning decision.")
