@@ -45,12 +45,23 @@ object BenchDefense {
   def medians(history: Map[String, Seq[Double]]): Map[String, Double] =
     history.collect { case (n, xs) if xs.nonEmpty => n -> median(xs) }
 
-  /** Whether an entry is defense-eligible: successful, not a fixture
+  /** Whether an entry is RE-RUN-eligible: successful, not a fixture
     * (fixture builds memoize — a re-run times the memo hit, not the work),
     * above the 1 s scheduler-jitter floor, and >2x its trailing median. */
   def eligible(e: Entry, meds: Map[String, Double]): Boolean =
     e.ok && !e.name.startsWith("fx") && e.sec > 1.0 &&
       meds.get(e.name).exists(m => e.sec > 2 * m)
+
+  /** Whether an entry's final value is elevated enough to FLAG — same
+    * predicate as [[eligible]] but WITHOUT the fixture exclusion:
+    * fixtures can't honestly re-run, but a hot sweep's fixture value must
+    * still read as "may be a host lie" in the artifact and must
+    * median-carry in history rather than poison the pool (r17: fx1 swung
+    * 6.9→14.3 s on identical code across one session's sweeps, and the
+    * old fx-excluded suspect set let the 14.3 enter the trailing-median
+    * baseline unguarded). */
+  def elevated(e: Entry, meds: Map[String, Double]): Boolean =
+    e.ok && e.sec > 1.0 && meds.get(e.name).exists(m => e.sec > 2 * m)
 
   /** Re-run candidates ordered by OVERSHOOT RATIO descending (when the cap
     * saturates, a 5x phantom on a 2 s query matters more than a 2.1x on a
@@ -83,10 +94,10 @@ object BenchDefense {
 
   /** SUSPECT = any successful entry whose FINAL recorded value is still
     * >2x its trailing clean-sweep median — covers re-run survivors, cap
-    * overflow, and failed re-runs alike (same predicate as [[eligible]],
-    * applied to post-defense values). */
+    * overflow, failed re-runs, AND fixtures (which are never re-run but
+    * flag and median-carry like everything else; see [[elevated]]). */
   def suspects(sweep: Seq[Entry], meds: Map[String, Double]): Set[String] =
-    sweep.filter(eligible(_, meds)).map(_.name).toSet
+    sweep.filter(elevated(_, meds)).map(_.name).toSet
 
   /** The value an entry contributes to the NEXT sweep's history pool: a
     * suspect's measured value stays out (a still-contaminated sample would

@@ -133,6 +133,18 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(D.suspects(sweep, meds) == Set("q1_a"))
   }
 
+  test("fixtures are never re-run candidates (memoized builds — a re-run " +
+    "times the memo hit) but DO flag suspect and median-carry: a hot " +
+    "sweep's fixture value must not poison the trailing-median pool") {
+    val meds = Map("fx1" -> 6.9)
+    val timed = Seq(Entry("fx1", 14.3, ok = true)) // the r17 observed swing
+    assert(D.candidates(timed, meds, cap = 12)._1.isEmpty)
+    assert(D.candidates(timed, meds, cap = 12)._2.isEmpty)
+    val sus = D.suspects(timed, meds)
+    assert(sus == Set("fx1"))
+    assert(D.historyValues(timed, sus, meds).toMap == Map("fx1" -> 6.9))
+  }
+
   // --------------------------------------------------- history median-carry
 
   test("historyValues: suspects carry their trailing MEDIAN forward, " +
