@@ -114,7 +114,9 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { build(spark, sfDir); true } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            // stdout, not stderr: EVERY bench print rides one stream so
+            // ordering vs the machine line is deterministic (r17 lesson)
+            println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
         val t = (System.nanoTime() - t0) / 1e9
@@ -127,7 +129,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
       val t = (System.nanoTime() - t0) / 1e9
@@ -209,11 +211,17 @@ object Bench {
     val medians: Map[String, Double] = D.medians(history)
     val entries = timed.map { case (n, t, ok) => D.Entry(n, t, ok) }
     val (rerunCandidates, overflow) = D.candidates(entries, medians, cap = 12)
+    // Notices (cap-hit, suspects, degrade) are COLLECTED here and emitted
+    // at the very end via BenchDefense.tailEmission, on stdout, BEFORE the
+    // breakdown and machine line: r17's artifact was parsed:null because a
+    // notice on stderr interleaved AFTER the stdout machine line in the
+    // driver's merged capture and clipped its head out of the tail window.
+    val notices = scala.collection.mutable.ArrayBuffer[String]()
     // saturation must be VISIBLE: candidates beyond the cap keep their
     // (possibly contaminated) timings in the artifact AND carry a
     // `suspect` flag in bench_full.json (computed below on final values)
     if (overflow.nonEmpty)
-      System.err.println(s"[bench] contamination re-run cap hit: " +
+      notices += (s"[bench] contamination re-run cap hit: " +
         s"${rerunCandidates.size + overflow.size} candidates, " +
         s"${rerunCandidates.size} re-run; NOT re-run: " +
         overflow.map(_.name).mkString(", "))
@@ -265,7 +273,7 @@ object Bench {
     val suspects: Set[String] = D.suspects(
       sweep.map { case (n, t, ok) => D.Entry(n, t, ok) }, medians)
     if (suspects.nonEmpty)
-      System.err.println("[bench] still >2x trailing median after " +
+      notices += ("[bench] still >2x trailing median after " +
         s"defense (flagged suspect): ${suspects.toSeq.sorted.mkString(", ")}")
     // a failed query must NOT contribute its elapsed-until-crash to the
     // machine line — a plan-time throw looks like a 100x speedup to the
@@ -276,11 +284,12 @@ object Bench {
     // would emit `"q":0,123` and corrupt the one JSON line the driver
     // parses
     def f3(v: Double): String = graft.util.Fmt.fmt("%.3f", v)
-    // Human-readable breakdown with FULL query names, printed BEFORE the
-    // machine line (plain text, no braces, so a tail-window parser can
-    // never mistake a truncated breakdown line for the JSON line).
-    sweep.foreach { case (k, v, ok) =>
-      println(s"bench $k ${if (ok) f3(v) else "FAILED"}")
+    // Human-readable breakdown with FULL query names, emitted BEFORE the
+    // machine line via tailEmission below (plain text, no braces, so a
+    // tail-window parser can never mistake a truncated breakdown line for
+    // the JSON line).
+    val breakdown = sweep.map { case (k, v, ok) =>
+      s"bench $k ${if (ok) f3(v) else "FAILED"}"
     }
     // (annCfg — the active ANN operating point — is computed above the
     // history block; trend tooling segments by it because sublinear and
@@ -350,30 +359,33 @@ object Bench {
     //     numbers the judge audits.
     // Measured at r13's 179 keys: 1852 chars, ~74 char headroom.
     val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
-    // the ANN operating point rides a plain-text line (and
-    // bench_full.json), not the machine line — every byte there fights
-    // for the same 1925-char window
-    println(s"bench-ann $annCfg")
     // "rr" = how many entries are min-of-N after the contamination
     // re-runs (first samples live in bench_full.json as "first"); "sus"
-    // (present only when nonzero — machine-line bytes are scarce) = how
-    // many entries REMAIN >2x their trailing median even after the
-    // defense, each flagged "suspect":true in bench_full.json. Line
-    // assembly + the self-healing degrade ladder (adaptive → 0.1 s →
-    // integer seconds → total-only; coarse beats clipped, keyed beats
-    // keyless, short-but-whole beats headless) is pure policy in
-    // BenchDefense.machineLine, spec-pinned at worst case against the
-    // driver's ~1925-char tail window.
+    // (always present, r17 #7) = how many entries REMAIN >2x their
+    // trailing median even after the defense, each flagged
+    // "suspect":true in bench_full.json. Line assembly + the self-healing
+    // degrade ladder (adaptive → 0.1 s → integer seconds → total-only;
+    // coarse beats clipped, keyed beats keyless, short-but-whole beats
+    // headless) is pure policy in BenchDefense.machineLine, spec-pinned
+    // at worst case against the driver's ~1925-char tail window.
     val ml = D.machineLine(results, failed, reruns.size, suspects.size,
       sfBase)
     if (ml.degraded > 0)
-      System.err.println("[bench] preferred machine line would clip in" +
+      notices += ("[bench] preferred machine line would clip in" +
         " the 1925-char tail window; degraded to " + (ml.degraded match {
           case 1 => "0.1 s resolution"
           case 2 => "integer seconds"
           case _ => "total-only (per-query values are in bench_full.json)"
         }) + s" (${ml.line.length} chars)")
-    println(ml.line)
+    // Stop Spark BEFORE the tail emission: nothing — not even a shutdown
+    // log line — may hit either stream after the machine line. The tail
+    // is then one ordered stdout emission (notices, breakdown, ann line,
+    // machine line LAST — the ann line rides plain text, not the machine
+    // line: every byte there fights for the same tail window), assembled
+    // by the spec-pinned BenchDefense.tailEmission; these are the LAST
+    // statements in main.
     spark.stop()
+    D.tailEmission(notices.toSeq, breakdown, s"bench-ann $annCfg", ml.line)
+      .foreach(println)
   }
 }

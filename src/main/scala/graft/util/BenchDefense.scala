@@ -258,7 +258,11 @@ object BenchDefense {
       if (failed.isEmpty) ""
       else failed.map(n => Fmt.jsonString(machineKey(n)))
         .mkString(""","failed":[""", ",", "]")
-    val susJson = if (susCount == 0) "" else s""","sus":$susCount"""
+    // "sus" is ALWAYS present (r17 verdict #7): omitting it at zero saved
+    // ~8 chars but made "no suspects" indistinguishable from "field not
+    // emitted by this version" in the driver's trend view; the integer
+    // rung bought the headroom back
+    val susJson = s""","sus":$susCount"""
     def mkLine(entries: String) =
       s"""{"metric":"total","value":${Fmt.fmt("%.1f", total)},"unit":"sec","queries":$entries$failedJson,"rr":$rrCount$susJson,"sf":${Fmt.jsonString(sfBase)}}"""
     def mkEntries(f: Double => String) = (qRes ++ fxRes)
@@ -271,4 +275,28 @@ object BenchDefense {
       case i => MachineLine(ladder(i), i)
     }
   }
+
+  // ------------------------------------------------------- tail emission
+
+  /** The bench tail's COMPLETE stdout emission, in order: notices first
+    * (cap-hit, suspect, degrade — bytes before the machine line clip
+    * harmlessly, the tail window drops the HEAD of the capture), then the
+    * per-query breakdown, then the ann line, then the machine line LAST.
+    *
+    * Why a function for four concatenations: BENCH_r17.json was
+    * `parsed: null` because the degrade notice — then a
+    * `System.err.println` adjacent to the stdout machine line —
+    * interleaved AFTER the line in the driver's merged capture and pushed
+    * its head out of the ~2000-char tail window. stdout/stderr ordering
+    * through sbt is nondeterministic at flush granularity, so any
+    * stderr write near the end is a coin flip; BenchDefenseSpec pinned the
+    * ladder lengths perfectly and still could not see it. Same-stream
+    * emission assembled in ONE place makes "machine line last, nothing
+    * after" a structural property the spec pins (tailEmission order)
+    * instead of a convention the next edit can silently break. Bench
+    * prints exactly these lines, in this order, after `spark.stop()`, and
+    * returns. */
+  def tailEmission(notices: Seq[String], breakdown: Seq[String],
+      annLine: String, machineLine: String): Seq[String] =
+    notices ++ breakdown ++ Seq(annLine, machineLine)
 }

@@ -342,9 +342,38 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(n.path("failed").get(0).asText == "1")
   }
 
-  test("sus field is omitted when zero (machine-line bytes are scarce)") {
+  test("sus field is ALWAYS present, zero included (r17 #7: omitting it " +
+    "at zero made 'no suspects' indistinguishable from 'field not " +
+    "emitted by this version' in the driver's trend view)") {
     val ml = D.machineLine(Map("q1_a" -> 1.0), Nil, 0, 0, "sf0.1")
-    assert(!ml.line.contains("\"sus\""))
+    assert(parse(ml.line).path("sus").asInt == 0)
     assert(parse(ml.line).path("rr").asInt == 0)
+    val ml2 = D.machineLine(Map("q1_a" -> 1.0), Nil, 1, 3, "sf0.1")
+    assert(parse(ml2.line).path("sus").asInt == 3)
+  }
+
+  // ---------------------------------------------------------- tail emission
+
+  test("tailEmission: machine line LAST, notices strictly before the " +
+    "breakdown, ann line immediately before the machine line — the " +
+    "order that makes head-clipping harmless (r17's parsed:null was a " +
+    "stderr notice interleaving AFTER the stdout machine line)") {
+    val notices = Seq("[bench] cap hit", "[bench] degraded to 0.1 s")
+    val breakdown = Seq("bench q1_a 1.234", "bench q2_b 2.345")
+    val machine = """{"metric":"total","value":3.6}"""
+    val out = D.tailEmission(notices, breakdown, "bench-ann sublinear",
+      machine)
+    assert(out.last == machine, "machine line must be the final element")
+    assert(out(out.size - 2) == "bench-ann sublinear")
+    assert(out.take(2) == notices)
+    assert(out.slice(2, 4) == breakdown)
+    assert(out.size == notices.size + breakdown.size + 2)
+  }
+
+  test("tailEmission with no notices still ends on the machine line and " +
+    "keeps every breakdown line") {
+    val out = D.tailEmission(Nil, Seq("bench q1_a 1.0"), "bench-ann full",
+      "{}")
+    assert(out == Seq("bench q1_a 1.0", "bench-ann full", "{}"))
   }
 }
