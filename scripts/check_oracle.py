@@ -33,8 +33,13 @@ def norm_cell(v):
     return v
 
 fails, passes, rows_only = [], [], []
-for qdir in sorted(glob.glob(os.path.join(outdir, "q*"))):
-    name = os.path.basename(qdir)
+# iterate EVERY dumped subdir, not a q* glob: a non-'q'-prefixed oracle key
+# with a dump would otherwise be neither compared nor flagged missing —
+# silently never PASS nor FAIL (ADVICE r17)
+dumped = sorted(d for d in os.listdir(outdir)
+                if os.path.isdir(os.path.join(outdir, d)))
+for name in dumped:
+    qdir = os.path.join(outdir, name)
     files = glob.glob(os.path.join(qdir, "*.parquet"))
     if not files:
         fails.append((name, "no parquet output"))
@@ -78,14 +83,9 @@ for qdir in sorted(glob.glob(os.path.join(outdir, "q*"))):
         passes.append(name)
 
 # a query that THREW inside Verify writes no outDir subdir (Verify logs to
-# stderr and exits 0), so globbing dumped dirs alone would silently pass it
-# — every oracle key must have a dump (same fix as tools/selfcheck.py).
-# Enumerate ALL subdirs, not a q* glob: an oracle key with any other
-# prefix would otherwise read as permanently missing even when its dump
-# exists (a false red gate)
-dumped = {d for d in os.listdir(outdir)
-          if os.path.isdir(os.path.join(outdir, d))}
-for name in sorted(set(oracles) - dumped):
+# stderr and exits 0), so iterating dumped dirs alone would silently pass
+# it — every oracle key must have a dump (same fix as tools/selfcheck.py)
+for name in sorted(set(oracles) - set(dumped)):
     fails.append((name, "MISSING OUTPUT (oracle present, no parquet dump — "
                   "the query likely threw in Verify)"))
 

@@ -59,7 +59,14 @@ try:
     lines = [l for l in open(a.history).read().splitlines() if l.strip()]
 except FileNotFoundError:
     sys.exit(f"{a.history}: not found — nothing to rebaseline")
-out, touched, olds, skipped = [], 0, [], 0
+out, touched, skipped = [], 0, 0
+# per matching-(sf, ann) line: the query's OLD value, or None when the
+# line lacks the key — the defense's trailing median windows the last 5
+# MATCHING LINES first and then extracts the key (BenchDefense.historyPool
+# + median), so the informational baseline below must do the same
+# (ADVICE r17: olds[-5:] over key-bearing lines misstates the baseline
+# when a recent matching line lacks the key)
+matched_old = []
 for l in lines:
     # per-line tolerance, mirroring BenchDefense.historyPool: a corrupt
     # line is skipped by the bench, so it can persist in the committed
@@ -73,8 +80,9 @@ for l in lines:
         continue
     same = (os.path.basename(n.get("sf", "")) == sf_base
             and n.get("ann", "") == ann)
+    if same:
+        matched_old.append(n.get("queries", {}).get(a.query))
     if same and a.query in n.get("queries", {}):
-        olds.append(n["queries"][a.query])
         n["queries"][a.query] = val
         touched += 1
         out.append(json.dumps(n, separators=(",", ":")))
@@ -90,11 +98,17 @@ if skipped:
     print(f"note: {skipped} malformed history line(s) passed through "
           "untouched (the bench skips them too)")
 # report the median the defense was actually using: LAST-5 window of
-# matching lines, lower middle — the same semantics as
-# BenchDefense.historyPool + median (not the all-time median, which can
-# misstate the baseline the suspect flag was computed against)
-window = olds[-5:]
-med = sorted(window)[(len(window) - 1) // 2]
-print(f"{a.query}: accepted {val:.3f}s (defense trailing median was "
-      f"{med:.3f}s); rewrote {touched} history line(s). Commit "
-      f"{a.history} to record the owning decision.")
+# matching LINES first, then the query's values from those lines, lower
+# middle — the same semantics as BenchDefense.historyPool + median (not
+# the all-time median, nor a window over key-bearing lines only, both of
+# which can misstate the baseline the suspect flag was computed against)
+window = [v for v in matched_old[-5:] if v is not None]
+if window:
+    med = sorted(window)[(len(window) - 1) // 2]
+    base = f"defense trailing median was {med:.3f}s"
+else:
+    base = ("the query had no value in the defense's last-5 line window "
+            "— it was median-less, so never flagged")
+print(f"{a.query}: accepted {val:.3f}s ({base}); rewrote {touched} "
+      f"history line(s). Commit {a.history} to record the owning "
+      "decision.")
