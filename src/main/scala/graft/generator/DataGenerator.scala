@@ -42,6 +42,32 @@ object DataGenerator {
     element_at(typedlit(values),
       (u(id, salt) * values.size).cast(IntegerType) + 1)
 
+  /** Weighted pick — the reference's `random.choices(values, weights)`
+    * (generator.py:301-313, :403): one hash uniform walked through the
+    * cumulative weight thresholds. */
+  private def pickWeighted(id: Column, salt: String, values: Seq[String],
+      weights: Seq[Double])(implicit seed: GenSeed): Column = {
+    require(values.size == weights.size && values.nonEmpty)
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / weights.sum)
+    val uu = u(id, salt)
+    values.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, (v, c)) =>
+        Some(acc.fold(when(uu < c, v))(_.when(uu < c, v)))
+      }
+      .fold(lit(values.last))(_.otherwise(values.last))
+  }
+
+  /** Beta(2, 8) draw — the reference's `random.betavariate(2, 8)` risk
+    * score shape (generator.py:308): for integer parameters,
+    * Beta(k, n+1−k) is the k-th order statistic of n iid uniforms, so the
+    * 2nd-smallest of 9 hash uniforms IS an exact Beta(2,8) sample — pure
+    * column expressions, no rejection loop, deterministic under any
+    * partitioning. */
+  private def beta28(id: Column, salt: String)(
+      implicit seed: GenSeed): Column =
+    element_at(array_sort(array((1 to 9).map(i => u(id, s"${salt}_$i")): _*)),
+      2)
+
   /** Standard normal via Box–Muller on two hash uniforms. */
   private def gaussian(id: Column, salt: String)(
       implicit seed: GenSeed): Column =
@@ -75,38 +101,90 @@ object DataGenerator {
       pick(id, "co", Enums.countries).as("country"),
       concat(lit("City"), (u(id, "ci") * 100).cast(IntegerType).cast("string")).as("city"),
       format_string("%05d", (u(id, "pc") * 100000).cast(LongType)).as("postal_code"),
-      date_format(date_add(lit("1950-01-01").cast("date"),
-        (u(id, "dob") * 18262).cast(IntegerType)), "yyyy-MM-dd").as("date_of_birth"),
-      pick(id, "seg", Enums.customerSegments).as("segment"),
-      pick(id, "kyc", Enums.kycStatuses).as("kyc_status"),
-      date_format(date_add(lit("2020-01-01").cast("date"),
-        (u(id, "kvd") * 1460).cast(IntegerType)), "yyyy-MM-dd").as("kyc_verified_date"),
-      (u(id, "rs") * 101).cast(IntegerType).cast("string").as("risk_score"),
-      when(u(id, "pep") < 0.02, "True").otherwise("False").as("is_pep"),
+      // ages 18–80 at the fixed 2024-01-01 anchor (generator.py:328-330
+      // draws randint(18*365, 80*365) days before now; a fixed anchor
+      // keeps generation deterministic)
+      date_format(date_sub(lit("2024-01-01").cast("date"),
+        lit(18 * 365) + (u(id, "dob") * (62 * 365)).cast(IntegerType)),
+        "yyyy-MM-dd").as("date_of_birth"),
+      // segment weights 10/50/25/10/5 (generator.py:311-313)
+      pickWeighted(id, "seg", Enums.customerSegments,
+        Seq(0.10, 0.50, 0.25, 0.10, 0.05)).as("segment"),
+      // KYC weights 85/8/4/3 (generator.py:301-303)
+      pickWeighted(id, "kyc", Enums.kycStatuses,
+        Seq(0.85, 0.08, 0.04, 0.03)).as("kyc_status"),
+      // verified date exists ONLY for VERIFIED customers, 1–14 days after
+      // creation (generator.py:305-307)
+      when(pickWeighted(id, "kyc", Enums.kycStatuses,
+          Seq(0.85, 0.08, 0.04, 0.03)) === "VERIFIED",
+        date_format(date_add(lit(baseTs).cast("date"),
+          lit(1) + (u(id, "kvd") * 14).cast(IntegerType)), "yyyy-MM-dd"))
+        .as("kyc_verified_date"),
+      // Beta(2,8)-skewed 0–99 risk score (generator.py:308: most are low)
+      (beta28(id, "rs") * 100).cast(IntegerType).cast("string")
+        .as("risk_score"),
+      // PEP rate 0.5% (generator.py:316)
+      when(u(id, "pep") < 0.005, "True").otherwise("False").as("is_pep"),
       lit(baseTs).as("created_at"),
       lit(baseTs).as("updated_at"))
   }
 
+  /** The reference's MCC triples (generator.py:188-204): code, category,
+    * and risk tier are ONE consistent pick — a gambling merchant is HIGH
+    * risk by construction, never independently LOW. */
+  private val MccTriples: Seq[(String, String, String)] = Seq(
+    ("5411", "Grocery Stores", "LOW"),
+    ("5812", "Restaurants", "LOW"),
+    ("5912", "Drug Stores", "LOW"),
+    ("5541", "Gas Stations", "LOW"),
+    ("5311", "Department Stores", "LOW"),
+    ("5732", "Electronics Stores", "MEDIUM"),
+    ("5945", "Hobby & Toy Stores", "LOW"),
+    ("7011", "Hotels & Lodging", "MEDIUM"),
+    ("4511", "Airlines", "MEDIUM"),
+    ("7512", "Car Rentals", "MEDIUM"),
+    ("5999", "Miscellaneous Retail", "MEDIUM"),
+    ("7995", "Gambling", "HIGH"),
+    ("5962", "Direct Marketing", "HIGH"),
+    ("6051", "Crypto Exchanges", "HIGH"),
+    ("4829", "Wire Transfers", "HIGH"))
+
   def merchants(spark: SparkSession, n: Long, seed: Int = Seed): DataFrame = {
     implicit val gs: GenSeed = GenSeed(seed)
     val id = col("id")
-    val mccs = Seq("5411", "5812", "5999", "4111", "7995", "6011", "5732")
-    val cats = Seq("GROCERY", "RESTAURANT", "RETAIL", "TRANSPORT", "GAMBLING",
-      "ATM", "ELECTRONICS")
+    // one index pick drives the whole MCC triple (generator.py:369)
+    val mccIdx = (u(id, "mcc") * MccTriples.size).cast(IntegerType) + 1
+    val mccCode = element_at(typedlit(MccTriples.map(_._1)), mccIdx)
+    val mccCat = element_at(typedlit(MccTriples.map(_._2)), mccIdx)
+    val riskTier = element_at(typedlit(MccTriples.map(_._3)), mccIdx)
+    // fee = risk-tier base (LOW .015 / MEDIUM .025 / HIGH .035) ± 0.005
+    // (generator.py:383-384)
+    val feeBase = when(riskTier === "LOW", 0.015)
+      .when(riskTier === "MEDIUM", 0.025).otherwise(0.035)
+    // monthly volume uniform [10k, 5M], avg ticket = volume / a uniform
+    // 100–10000 txn count (generator.py:387-388)
+    val monthlyVolume = (lit(10000.0) + u(id, "mv") * 4990000.0)
+    val avgTicket = monthlyVolume /
+      (lit(100) + (u(id, "tk") * 9901).cast(IntegerType))
     spark.range(n).select(
       format_string("MERCH%05d", id).as("merchant_id"),
       concat(lit("Merchant "), id.cast("string")).as("merchant_name"),
-      pick(id, "mcc", mccs).as("mcc_code"),
-      pick(id, "mcc", cats).as("mcc_category"),
+      mccCode.as("mcc_code"),
+      mccCat.as("mcc_category"),
       pick(id, "co", Enums.countries).as("country"),
-      pick(id, "cur", Enums.currencies).as("currency"),
-      pick(id, "rt", Enums.riskTiers).as("risk_tier"),
-      money2(round(exp(lit(3.0) + gaussian(id, "ticket")), 2)).as("avg_ticket_size"),
-      (u(id, "mv") * 1000000).cast(IntegerType).cast("string").as("monthly_volume"),
+      // USD merchants at home; others settle in a major currency
+      // (generator.py:379)
+      when(pick(id, "co", Enums.countries) === "US", "USD")
+        .otherwise(pick(id, "cur", Enums.currencies.take(5))).as("currency"),
+      riskTier.as("risk_tier"),
+      money2(avgTicket).as("avg_ticket_size"),
+      monthlyVolume.cast(IntegerType).cast("string").as("monthly_volume"),
       date_format(date_add(lit("2018-01-01").cast("date"),
         (u(id, "ob") * 2190).cast(IntegerType)), "yyyy-MM-dd").as("onboarding_date"),
-      pick(id, "st", Enums.merchantStatuses).as("status"),
-      dec4(u(id, "fr") * 0.03).as("fee_rate"),
+      // status weights 95/3/2 (generator.py:396-398)
+      pickWeighted(id, "st", Enums.merchantStatuses, Seq(0.95, 0.03, 0.02))
+        .as("status"),
+      dec4(feeBase + (u(id, "fr") - 0.5) * 0.01).as("fee_rate"),
       lit(baseTs).as("created_at"),
       lit(baseTs).as("updated_at"))
   }

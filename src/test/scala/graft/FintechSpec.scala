@@ -80,8 +80,11 @@ class FintechSpec extends SparkSpec {
   test("silver customers: age derived against a pinned as-of date") {
     val cust = SilverPipeline.customersToSilver(
       DataGenerator.customers(spark, 100), asOf = lit("2024-06-01").cast("date"))
+    // generator draws ages 18-80 at the 2024-01-01 anchor
+    // (reference generator.py:328-330); vs the 2024-06-01 as-of that is
+    // [18, 81)
     val ages = cust.select("age").as[Int].collect()
-    assert(ages.forall(a => a >= 23 && a <= 75))
+    assert(ages.forall(a => a >= 18 && a <= 81))
     assert(cust.schema("age").dataType == IntegerType)
   }
 

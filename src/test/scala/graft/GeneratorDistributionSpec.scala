@@ -1,19 +1,31 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.generator.DataGenerator
 
 /** Statistical distribution-parity gates for the generator (VERDICT r16
-  * #2): GenDataSpec pins defaults/seeding/CSV contracts structurally, but
-  * the SURVEY §1.4 semantics the reference encodes as BUSINESS MEANING —
-  * lognormal(3.5, 1.5) amounts capped [0.01, 50000]
+  * #2 txns; r17 #5 dims): GenDataSpec pins defaults/seeding/CSV contracts
+  * structurally, but the SURVEY §1.4 semantics the reference encodes as
+  * BUSINESS MEANING — lognormal(3.5, 1.5) amounts capped [0.01, 50000]
   * (reference generator.py:451-453), the 2.5% fraud base rate (:38),
-  * structuring concentrated at $9–10k (:511-515), and is_cross_border ⇔
-  * merchant_country ≠ customer_country (:495-497) — were asserted
-  * nowhere. These gates run on a seeded 100k-transaction sample, so a
-  * distribution change that silently breaks reference semantics fails the
-  * suite.
+  * is_cross_border ⇔ merchant_country ≠ customer_country (:495-497), the
+  * weighted KYC/segment/status enums and Beta(2,8) risk scores
+  * (:301-316, :396-398), and the MCC→risk-tier→fee coupling (:188-204,
+  * :369-384) — were asserted nowhere. These gates run on seeded 100k
+  * samples, so a distribution change that silently breaks the semantics
+  * fails the suite.
+  *
+  * One DOCUMENTED INTENTIONAL DEVIATION (ADVICE r17): the reference has
+  * no dedicated structuring cohort — it flags amounts that NATURALLY land
+  * in (9000, 10000) with a 30%-probability UNUSUAL_AMOUNT indicator
+  * (generator.py:511-515). This repo's generator instead plants a ~0.5%
+  * all-flagged STRUCTURING cohort concentrated on a few offender
+  * customers in a two-week burst, so the AML structuring screen
+  * (repeat-offender window join) has guaranteed, deterministic positives
+  * at every SF. The structuring gates below pin the REPO's semantics,
+  * not the reference's.
   *
   * Tolerances: boolean rates get ±4σ binomial bands (at n=100k,
   * p=0.025 → σ≈0.049%, so ±0.2%); quantiles of the lognormal get bands
@@ -87,8 +99,9 @@ class GeneratorDistributionSpec extends SparkSpec {
   }
 
   test("structuring rows sit at ~0.5% of the corpus, are ALL flagged, " +
-    "and every amount lands in [9000, 10000) — the just-under-the-CTR " +
-    "pattern (generator.py:511-515)") {
+    "and every amount lands in [9000, 10000) — the repo's DELIBERATE " +
+    "planted-cohort deviation from the reference's probabilistic " +
+    "UNUSUAL_AMOUNT flagging (see class scaladoc)") {
     val r = txns.agg(
       sum(when(col("fraud_indicators") === "STRUCTURING", 1).otherwise(0))
         .as("n"),
@@ -119,6 +132,158 @@ class GeneratorDistributionSpec extends SparkSpec {
       "is_cross_border must equal (merchant_country != customer_country)")
     val xb = r.getAs[Long]("xb")
     assert(xb > 0L && xb < N, "both cross-border branches must occur")
+  }
+
+  // ------------------------------------------------------ dimension gates
+  // (VERDICT r17 #5: the customer/merchant semantics the reference encodes
+  // — weighted enums, Beta(2,8) risk, age bounds, MCC→tier→fee coupling —
+  // had structural but not statistical gates)
+
+  private val NC = 100000L
+
+  private lazy val custs = {
+    val df = DataGenerator.customers(spark, NC).select(
+      col("segment"), col("kyc_status"), col("kyc_verified_date"),
+      col("risk_score").cast("int").as("risk_score"), col("is_pep"),
+      col("date_of_birth").cast("date").as("dob"))
+    df.cache(); df.count(); df
+  }
+
+  private def rate(df: org.apache.spark.sql.DataFrame, cond: Column): Double =
+    df.agg(avg(when(cond, 1.0).otherwise(0.0))).head().getDouble(0)
+
+  test("customer KYC statuses follow the 85/8/4/3 weights " +
+    "(generator.py:301-303); ±4σ binomial bands at n=100k") {
+    val r = custs.groupBy("kyc_status").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1).toDouble / NC).toMap
+    // 4σ: VERIFIED σ=0.113% → ±0.46%; PENDING 0.086% → ±0.35%;
+    // REJECTED 0.062% → ±0.25%; EXPIRED 0.054% → ±0.22%
+    assert(math.abs(r("VERIFIED") - 0.85) < 0.0046, s"VERIFIED ${r("VERIFIED")}")
+    assert(math.abs(r("PENDING") - 0.08) < 0.0035, s"PENDING ${r("PENDING")}")
+    assert(math.abs(r("REJECTED") - 0.04) < 0.0025, s"REJECTED ${r("REJECTED")}")
+    assert(math.abs(r("EXPIRED") - 0.03) < 0.0022, s"EXPIRED ${r("EXPIRED")}")
+  }
+
+  test("customer segments follow the 10/50/25/10/5 weights " +
+    "(generator.py:311-313)") {
+    val r = custs.groupBy("segment").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1).toDouble / NC).toMap
+    val bands = Map("HIGH_VALUE" -> 0.10, "REGULAR" -> 0.50,
+      "OCCASIONAL" -> 0.25, "NEW" -> 0.10, "CHURNING" -> 0.05)
+    bands.foreach { case (seg, p) =>
+      val tol = 4 * math.sqrt(p * (1 - p) / NC)
+      assert(math.abs(r(seg) - p) < tol, f"$seg ${r(seg)}%.4f vs $p (±$tol%.4f)")
+    }
+  }
+
+  test("kyc_verified_date exists IFF VERIFIED, 1-14 days after creation " +
+    "(generator.py:305-307)") {
+    val r = custs.agg(
+      sum(when(col("kyc_status") === "VERIFIED" &&
+        col("kyc_verified_date").isNull, 1).otherwise(0)).as("vNull"),
+      sum(when(col("kyc_status") =!= "VERIFIED" &&
+        col("kyc_verified_date").isNotNull, 1).otherwise(0)).as("nvSet"),
+      sum(when(col("kyc_verified_date").isNotNull &&
+        (col("kyc_verified_date") < "2024-01-02" ||
+          col("kyc_verified_date") > "2024-01-15"), 1).otherwise(0))
+        .as("outOfWindow")).head()
+    assert(r.getAs[Long]("vNull") == 0L, "VERIFIED rows need a date")
+    assert(r.getAs[Long]("nvSet") == 0L, "non-VERIFIED rows must have none")
+    assert(r.getAs[Long]("outOfWindow") == 0L,
+      "verified dates must land 1-14 days after the 2024-01-01 creation")
+  }
+
+  test("risk scores are Beta(2,8)-skewed toward low values " +
+    "(generator.py:308): mean ≈ 20, ~98% below 50, bounded [0, 99]") {
+    val r = custs.agg(avg("risk_score").as("mean"),
+      min("risk_score").as("lo"), max("risk_score").as("hi"),
+      avg(when(col("risk_score") < 50, 1.0).otherwise(0.0)).as("under50"))
+      .head()
+    // Beta(2,8): mean 0.2 (score 20), sd 0.1206 → SE of the n=100k mean
+    // ≈ 0.038 score points; band widened to ±1.5 for the int() floor bias
+    // (E[floor(100X)] ≈ 19.5)
+    val m = r.getAs[Double]("mean")
+    assert(m > 18.0 && m < 21.5, f"risk mean $m%.2f outside [18, 21.5]")
+    assert(r.getAs[Int]("lo") >= 0 && r.getAs[Int]("hi") <= 99)
+    // P(X < 0.5) = I_0.5(2,8) = 1 - 10/512 ≈ 0.9805; 4σ ≈ ±0.17%
+    val u50 = r.getAs[Double]("under50")
+    assert(u50 > 0.975 && u50 < 0.986, f"under-50 share $u50%.4f")
+    // the skew itself: a UNIFORM distribution would put ~50% below 50
+    assert(u50 > 0.9, "risk scores must be low-skewed, not uniform")
+  }
+
+  test("PEP rate ≈ 0.5% (generator.py:316) and ages span [18, 80] at the " +
+    "2024-01-01 anchor (generator.py:328-330)") {
+    val pep = rate(custs, col("is_pep") === "True")
+    // 4σ at p=0.005, n=100k: ±0.09%
+    assert(pep > 0.0041 && pep < 0.0059, f"PEP rate $pep%.4f")
+    val r = custs.agg(
+      min(datediff(lit("2024-01-01").cast("date"), col("dob"))).as("loD"),
+      max(datediff(lit("2024-01-01").cast("date"), col("dob"))).as("hiD"))
+      .head()
+    val (loY, hiY) = (r.getAs[Int]("loD") / 365.25, r.getAs[Int]("hiD") / 365.25)
+    assert(loY >= 17.9 && hiY <= 80.1, f"ages [$loY%.1f, $hiY%.1f] out of [18, 80]")
+    // both tails present at n=100k (uniform over the 62-year span)
+    assert(loY < 19.0 && hiY > 78.0, f"age tails missing: [$loY%.1f, $hiY%.1f]")
+  }
+
+  private lazy val merchs = {
+    val df = DataGenerator.merchants(spark, NC).select(
+      col("mcc_code"), col("mcc_category"), col("risk_tier"),
+      col("fee_rate").cast("double").as("fee_rate"), col("status"),
+      col("monthly_volume").cast("long").as("monthly_volume"))
+    df.cache(); df.count(); df
+  }
+
+  test("merchant MCC code, category and risk tier are ONE consistent " +
+    "triple from the reference table (generator.py:188-204, :369) — " +
+    "e.g. Gambling is always HIGH, never an independent draw") {
+    // the 15 valid triples, uniformly drawn: distinct observed triples
+    // must be a subset, and the tier marginals must match the table's
+    // 6/5/4 LOW/MEDIUM/HIGH composition
+    val valid = Set(
+      ("5411", "LOW"), ("5812", "LOW"), ("5912", "LOW"), ("5541", "LOW"),
+      ("5311", "LOW"), ("5732", "MEDIUM"), ("5945", "LOW"),
+      ("7011", "MEDIUM"), ("4511", "MEDIUM"), ("7512", "MEDIUM"),
+      ("5999", "MEDIUM"), ("7995", "HIGH"), ("5962", "HIGH"),
+      ("6051", "HIGH"), ("4829", "HIGH"))
+    val seen = merchs.select("mcc_code", "risk_tier").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seen.subsetOf(valid), s"invalid (mcc, tier) pairs: ${seen -- valid}")
+    assert(seen.size == 15, s"only ${seen.size}/15 triples drawn at n=100k")
+    val tiers = merchs.groupBy("risk_tier").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1).toDouble / NC).toMap
+    assert(math.abs(tiers("LOW") - 6.0 / 15) < 0.007, s"LOW ${tiers("LOW")}")
+    assert(math.abs(tiers("MEDIUM") - 5.0 / 15) < 0.007, s"MEDIUM ${tiers("MEDIUM")}")
+    assert(math.abs(tiers("HIGH") - 4.0 / 15) < 0.007, s"HIGH ${tiers("HIGH")}")
+  }
+
+  test("merchant fee rate = risk-tier base ±0.005 on EVERY row " +
+    "(generator.py:383-384) and the tiers are separable by fee alone") {
+    val base = when(col("risk_tier") === "LOW", 0.015)
+      .when(col("risk_tier") === "MEDIUM", 0.025).otherwise(0.035)
+    val bad = merchs.filter(
+      abs(col("fee_rate") - base) > 0.00501).count() // dec4 rounding slack
+    assert(bad == 0L, s"$bad rows outside base ± 0.005")
+    // HIGH tier must always out-fee LOW (bands don't overlap)
+    val r = merchs.groupBy("risk_tier").agg(
+      min("fee_rate").as("lo"), max("fee_rate").as("hi")).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r("LOW")._2 < r("MEDIUM")._1 + 0.0051)
+    assert(r("MEDIUM")._2 < r("HIGH")._1 + 0.0051)
+  }
+
+  test("merchant status follows the 95/3/2 weights (generator.py:396-398)" +
+    " and monthly volume spans [10k, 5M] (generator.py:387)") {
+    val st = merchs.groupBy("status").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1).toDouble / NC).toMap
+    assert(math.abs(st("ACTIVE") - 0.95) < 0.0028, s"ACTIVE ${st("ACTIVE")}")
+    assert(math.abs(st("SUSPENDED") - 0.03) < 0.0022, s"SUSPENDED ${st("SUSPENDED")}")
+    assert(math.abs(st("TERMINATED") - 0.02) < 0.0018, s"TERMINATED ${st("TERMINATED")}")
+    val r = merchs.agg(min("monthly_volume").as("lo"),
+      max("monthly_volume").as("hi")).head()
+    assert(r.getAs[Long]("lo") >= 10000L && r.getAs[Long]("hi") <= 5000000L)
+    assert(r.getAs[Long]("hi") > 4500000L, "upper volume tail missing")
   }
 
   test("the distribution contracts hold under a NON-DEFAULT seed too " +

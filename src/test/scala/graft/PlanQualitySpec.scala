@@ -73,8 +73,13 @@ class PlanQualitySpec extends SparkSpec {
       DataGenerator.exchangeRates(spark, 30),
       DataGenerator.transactions(spark, 500, 100, 20)
     ).foreach { df =>
-      val p = planOf(df)
-      assert(!p.contains("Exchange"), p)
+      // inspect plan NODES, not the plan string: the merchant projection
+      // legitimately carries the literal "Crypto Exchanges" MCC category,
+      // which a substring check misreads as a shuffle
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty, df.queryExecution.executedPlan.toString)
     }
   }
 
