@@ -211,17 +211,20 @@ object Bench {
     val medians: Map[String, Double] = D.medians(history)
     val entries = timed.map { case (n, t, ok) => D.Entry(n, t, ok) }
     val (rerunCandidates, overflow) = D.candidates(entries, medians, cap = 12)
-    // Notices (cap-hit, suspects, degrade) are COLLECTED here and emitted
-    // at the very end via BenchDefense.tailEmission, on stdout, BEFORE the
-    // breakdown and machine line: r17's artifact was parsed:null because a
+    // Every notice rides STDOUT: r17's artifact was parsed:null because a
     // notice on stderr interleaved AFTER the stdout machine line in the
     // driver's merged capture and clipped its head out of the tail window.
+    // Mid-run notices (cap-hit, suspects) print IMMEDIATELY — same stream
+    // means deterministic order, minutes before the machine line, and a
+    // crash during the re-run stage can't discard them (review catch,
+    // r18); only the degrade notice, computed at the very end, rides the
+    // tail emission.
     val notices = scala.collection.mutable.ArrayBuffer[String]()
     // saturation must be VISIBLE: candidates beyond the cap keep their
     // (possibly contaminated) timings in the artifact AND carry a
     // `suspect` flag in bench_full.json (computed below on final values)
     if (overflow.nonEmpty)
-      notices += (s"[bench] contamination re-run cap hit: " +
+      println(s"[bench] contamination re-run cap hit: " +
         s"${rerunCandidates.size + overflow.size} candidates, " +
         s"${rerunCandidates.size} re-run; NOT re-run: " +
         overflow.map(_.name).mkString(", "))
@@ -273,7 +276,7 @@ object Bench {
     val suspects: Set[String] = D.suspects(
       sweep.map { case (n, t, ok) => D.Entry(n, t, ok) }, medians)
     if (suspects.nonEmpty)
-      notices += ("[bench] still >2x trailing median after " +
+      println("[bench] still >2x trailing median after " +
         s"defense (flagged suspect): ${suspects.toSeq.sorted.mkString(", ")}")
     // a failed query must NOT contribute its elapsed-until-crash to the
     // machine line — a plan-time throw looks like a 100x speedup to the
@@ -383,8 +386,11 @@ object Bench {
     // machine line LAST — the ann line rides plain text, not the machine
     // line: every byte there fights for the same tail window), assembled
     // by the spec-pinned BenchDefense.tailEmission; these are the LAST
-    // statements in main.
-    spark.stop()
+    // statements in main. A stop() failure must not cost the artifact
+    // (review catch, r18: an unguarded throw here would skip the whole
+    // emission — the exact parsed:null failure this structure prevents).
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(_) => () }
     D.tailEmission(notices.toSeq, breakdown, s"bench-ann $annCfg", ml.line)
       .foreach(println)
   }

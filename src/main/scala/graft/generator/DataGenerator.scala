@@ -84,6 +84,12 @@ object DataGenerator {
 
   private val baseTs = "2024-01-01 00:00:00"
 
+  /** The one KYC-status expression (weights 85/8/4/3, generator.py:
+    * 301-303) — shared by the status column and the verified-date
+    * condition so the two can never decouple. */
+  private def kycStatus(id: Column)(implicit seed: GenSeed): Column =
+    pickWeighted(id, "kyc", Enums.kycStatuses, Seq(0.85, 0.08, 0.04, 0.03))
+
   def customers(spark: SparkSession, n: Long, seed: Int = Seed): DataFrame = {
     implicit val gs: GenSeed = GenSeed(seed)
     val id = col("id")
@@ -110,13 +116,13 @@ object DataGenerator {
       // segment weights 10/50/25/10/5 (generator.py:311-313)
       pickWeighted(id, "seg", Enums.customerSegments,
         Seq(0.10, 0.50, 0.25, 0.10, 0.05)).as("segment"),
-      // KYC weights 85/8/4/3 (generator.py:301-303)
-      pickWeighted(id, "kyc", Enums.kycStatuses,
-        Seq(0.85, 0.08, 0.04, 0.03)).as("kyc_status"),
+      // KYC weights 85/8/4/3 (generator.py:301-303); ONE bound Column
+      // drives both the status and the date condition so they can never
+      // drift apart
+      kycStatus(id).as("kyc_status"),
       // verified date exists ONLY for VERIFIED customers, 1–14 days after
       // creation (generator.py:305-307)
-      when(pickWeighted(id, "kyc", Enums.kycStatuses,
-          Seq(0.85, 0.08, 0.04, 0.03)) === "VERIFIED",
+      when(kycStatus(id) === "VERIFIED",
         date_format(date_add(lit(baseTs).cast("date"),
           lit(1) + (u(id, "kvd") * 14).cast(IntegerType)), "yyyy-MM-dd"))
         .as("kyc_verified_date"),

@@ -75,11 +75,17 @@ class PlanQualitySpec extends SparkSpec {
     ).foreach { df =>
       // inspect plan NODES, not the plan string: the merchant projection
       // legitimately carries the literal "Crypto Exchanges" MCC category,
-      // which a substring check misreads as a shuffle
-      val exchanges = df.queryExecution.executedPlan.collect {
+      // which a substring check misreads as a shuffle. AQE guard (review
+      // catch, r18): a plan that CONTAINS an exchange gets wrapped in
+      // AdaptiveSparkPlanExec — a LEAF node, so collecting Exchange alone
+      // would pass vacuously in exactly the regression case this gate
+      // exists to catch. An adaptive wrapper on a generator frame is
+      // itself proof of a shuffle/subquery, so both node kinds fail.
+      val offending = df.queryExecution.executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
       }
-      assert(exchanges.isEmpty, df.queryExecution.executedPlan.toString)
+      assert(offending.isEmpty, df.queryExecution.executedPlan.toString)
     }
   }
 

@@ -97,12 +97,17 @@ with open(a.history, "w") as f:
 if skipped:
     print(f"note: {skipped} malformed history line(s) passed through "
           "untouched (the bench skips them too)")
-# report the median the defense was actually using: LAST-5 window of
-# matching LINES first, then the query's values from those lines, lower
-# middle — the same semantics as BenchDefense.historyPool + median (not
-# the all-time median, nor a window over key-bearing lines only, both of
-# which can misstate the baseline the suspect flag was computed against)
-window = [v for v in matched_old[-5:] if v is not None]
+# report the median the defense was actually using AT FLAG TIME: the
+# flagging sweep computed its medians BEFORE appending its own history
+# line, so the window is the last 5 matching lines EXCLUDING the final
+# one (the flagged sweep's own append — present whenever this tool runs
+# in its intended place, right after the sweep that flagged). Then the
+# query's values from those lines, lower middle — the same semantics as
+# BenchDefense.historyPool + median (not the all-time median, nor a
+# window over key-bearing lines only, nor a window that counts the
+# post-flag append; each misstates the baseline the flag was computed
+# against)
+window = [v for v in matched_old[:-1][-5:] if v is not None]
 if window:
     med = sorted(window)[(len(window) - 1) // 2]
     base = f"defense trailing median was {med:.3f}s"

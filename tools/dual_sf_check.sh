@@ -24,6 +24,15 @@ cd "$(dirname "$0")/.."
 OUT_BASE="${1:-/tmp/graft-dualsf}"
 SFS=("/root/testdata/sf0.001" "/root/testdata/sf0.01")
 ARBITERS=(${GRAFT_ARBITERS:-posix objectstore})
+# fail loudly on a typo'd arbiter name: an unknown value would otherwise
+# run a plain posix leg while every log line and the final green claim
+# carried the bogus name — a false coverage statement
+for ARB in "${ARBITERS[@]}"; do
+  case "$ARB" in
+    posix|objectstore) ;;
+    *) echo "!!! unknown arbiter '$ARB' (valid: posix objectstore)"; exit 2 ;;
+  esac
+done
 
 FAIL=0
 

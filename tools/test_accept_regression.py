@@ -147,43 +147,56 @@ with open(os.path.join(d, "bench_full.json"), "w") as f:
 r = run(d, "q1_a")
 check("missing bench_history.jsonl exits nonzero", r.returncode != 0)
 
-# --- trailing median mirrors BenchDefense.historyPool (ADVICE r17) ----------
-# 7 matching lines; the 5-line window holds the LAST FIVE MATCHING LINES,
-# one of which lacks the key — the median is over the 4 values present in
-# that window {4,5,6,7} -> lower middle 5, NOT the last-5 key-bearing
-# values {3,4,5,6,7} -> 5 ... distinguish with an asymmetric tail:
-# last five lines carry {2.0, (none), 8.0, 9.0, 10.0} -> window values
-# {2,8,9,10}, lower-middle = 8; a key-bearing-lines window would be
-# {1.0, 2.0, 8.0, 9.0, 10.0} -> median 8 too — sharpen: make the OLDEST
-# key-bearing value large so the two windows disagree:
-# lines (old->new): {q:50}, {q:2}, {no key}, {q:8}, {q:9}, {q:10}
-#   matching-LINES window (last 5): values {2, 8, 9, 10} -> lower mid 8
-#   key-bearing window (last 5 values): {50, 2, 8, 9, 10} -> median 8
-# still equal — use 4 values where parity differs:
-# lines: {q:50}, {no key}, {q:2}, {q:3}, {no key}, {q:100}
-#   line window (last 5): values {2, 3, 100} -> median 3
-#   key-bearing values window (last 5): {50, 2, 3, 100} -> lower mid 3
-# equal AGAIN (median is robust). Force divergence via window CONTENTS:
-# 6 key-bearing values, first is the outlier, a no-key line pushes it out:
-# lines: {q:100}, {q:1}, {q:1}, {no key}, {q:1}, {q:1}
-#   line window (last 5): {1, 1, 1, 1} -> 1.000
-#   key-bearing window (last 5 values): {100, 1, 1, 1, 1} -> 1.000
-# The lower-middle median makes most shapes agree; assert the DOCUMENTED
-# semantics directly instead: with ALL of the last 5 matching lines
-# lacking the key (older lines have it), the tool must report
-# "median-less", not a median scavenged from older lines.
+# --- trailing median mirrors the FLAG-TIME window (ADVICE r17 + r18) --------
+# The flagging sweep computes its medians from the last 5 matching lines
+# and THEN appends its own line; by the time this tool runs, that append
+# is the final matching line. The reported median must therefore window
+# matched_old[:-1][-5:]: exclude the post-flag append, take the last 5
+# matching LINES (not the last 5 key-bearing values), then the key's
+# values from those lines.
+#
+# Shape that distinguishes all three candidate semantics —
+# lines (old->new): {q:9}, {no key}, {q:1}, {q:1}, {q:1}, {q:1}, append {q:5}
+#   flag-time window  = lines[1:6]      -> values {1,1,1,1}      -> 1.000
+#   naive last-5-lines = lines[2:7]     -> values {1,1,1,5}      -> 1.000
+#   last-5 key-bearing values           -> {1,1,1,1,5}           -> 1.000
+# (medians are robust; most shapes agree) — so assert the boundary cases
+# instead, where the semantics differ observably:
+# (a) append-exclusion: ONE matching line total (the append itself) ->
+#     flag-time window is empty -> "median-less", even though the line
+#     carries the key;
+append_only = hist_line({"q1_a": 5.0})
+d = scratch(full_doc([{"name": "q1_a", "sec": 5.0, "ok": True,
+                       "suspect": True}]), [append_only])
+r = run(d, "q1_a")
+check("single matching line (the flagged sweep's own append) -> "
+      "median-less (the append is excluded from the flag-time window)",
+      r.returncode == 0 and "median-less" in r.stdout, r.stdout)
+# (b) line-window semantics: ALL of the 5 pre-append matching lines lack
+#     the key (older lines have it) -> median-less, never a median
+#     scavenged from older key-bearing lines
 old_keyed = hist_line({"q1_a": 7.7})
 recent = [hist_line({"q2_b": 1.0}) for _ in range(5)]
+append = hist_line({"q1_a": 5.0})
 d = scratch(full_doc([{"name": "q1_a", "sec": 5.0, "ok": True,
                        "suspect": True}]),
-            [old_keyed] + recent)
+            [old_keyed] + recent + [append])
 r = run(d, "q1_a")
-check("median window is the last-5 MATCHING LINES (key aged out of the "
-      "window -> reported median-less, value still accepted)",
+check("median window is the last-5 MATCHING LINES before the append "
+      "(key aged out -> reported median-less, value still accepted)",
       r.returncode == 0 and "median-less" in r.stdout
       and "7.7" not in r.stdout, r.stdout)
 check("aged-out case still rewrites the old keyed line",
       json.loads(read_hist(d).splitlines()[0])["queries"]["q1_a"] == 5.0)
+# (c) the normal flow: 5 keyed pre-append lines + the append -> median of
+#     the five pre-append values, NOT influenced by the append's value
+pre = [hist_line({"q1_a": v}) for v in (2.0, 2.2, 2.4, 2.6, 2.8)]
+d = scratch(full_doc([{"name": "q1_a", "sec": 9.0, "ok": True,
+                       "suspect": True}]),
+            pre + [hist_line({"q1_a": 9.0})])
+r = run(d, "q1_a")
+check("normal flow reports the pre-append lower-middle median (2.400)",
+      "2.400" in r.stdout, r.stdout)
 
 print()
 if failures:
