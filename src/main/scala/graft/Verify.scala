@@ -22,6 +22,16 @@ object Verify {
       System.err.println("[verify] ObjectStoreArbiter installed " +
         "process-wide (GRAFT_ARBITER=objectstore)")
     }
+    // the durable variant: same arbiter, hard-link-versioned directory
+    // store — every versioned gate's commits then arbitrate through
+    // PERSISTENT store objects (r18; see io.FileObjectStore)
+    if (sys.env.get("GRAFT_ARBITER").contains("fileobjectstore")) {
+      val root = Files.createTempDirectory("graft-verify-fos")
+      graft.io.VersionedTable.commitArbiter =
+        new graft.io.ObjectStoreArbiter(new graft.io.FileObjectStore(root))
+      System.err.println("[verify] ObjectStoreArbiter(FileObjectStore) " +
+        s"installed process-wide at $root (GRAFT_ARBITER=fileobjectstore)")
+    }
     val spark = GraftSession.local("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
     val absOut = Paths.get(outDir).toAbsolutePath.toString

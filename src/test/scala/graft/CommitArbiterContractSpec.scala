@@ -5,8 +5,8 @@ import java.util.Comparator
 
 import org.apache.spark.sql.functions._
 
-import graft.io.{CommitArbiter, InMemoryObjectStore, ObjectStore,
-  ObjectStoreArbiter, Upsert, VersionedTable => VT}
+import graft.io.{CommitArbiter, FileObjectStore, InMemoryObjectStore,
+  ObjectStore, ObjectStoreArbiter, Upsert, VersionedTable => VT}
 
 /** The [[graft.io.CommitArbiter]] contract, run against BOTH shipped
   * arbiters — the POSIX default and the in-memory conditional-put model
@@ -36,7 +36,12 @@ class CommitArbiterContractSpec extends SparkSpec {
     // put against a store client, in-memory fake here — every slot law
     // and the table race suite below runs against the SAME code a real
     // S3/GCS backend would reuse, only the 3-method store trait swapped
-    "ObjectStore" -> new ObjectStoreArbiter(new InMemoryObjectStore))
+    "ObjectStore" -> new ObjectStoreArbiter(new InMemoryObjectStore),
+    // the DURABLE second backend: hard-link-versioned directory store —
+    // same arbiter code, state survives the process (laws + races below
+    // prove the trait against persistent storage, not just a map)
+    "FileObjectStore" -> new ObjectStoreArbiter(new FileObjectStore(
+      Files.createTempDirectory("graft-fos-arb"))))
 
   private def withDir[T](body: Path => T): T = {
     val dir = Files.createTempDirectory("graft-arb")
@@ -414,6 +419,127 @@ class CommitArbiterContractSpec extends SparkSpec {
       withTable { t =>
         intercept[VT.SchemaEnforcementException] {
           VT.append(spark, df(1 -> "a"), t) // id is INT here
+        }
+      }
+    }
+  }
+
+  // ---- layer 4: the durable file-backed store ------------------------
+  // (r18: the in-memory store proves the arbiter's taxonomy; this one
+  // proves the 3-method contract against PERSISTENT storage — CAS laws,
+  // cross-instance visibility, thread races, and the table suite)
+
+  test("[FileObjectStore] CAS laws match the in-memory reference: " +
+      "absent creates, present fails, stale tag fails, fresh tag swaps " +
+      "and rotates, CAS on a missing key is a precondition failure") {
+    withDir { d =>
+      val st = new FileObjectStore(d)
+      val ObjectStore.Created(e1) = st.putIfAbsent("k", bytesOf("v1"))
+      assert(st.putIfAbsent("k", bytesOf("v2")) ==
+        ObjectStore.PreconditionFailed)
+      assert(st.get("k").map(b => new String(b.bytes)) == Some("v1"))
+      assert(st.putIfMatch("k", bytesOf("v3"), "etag-bogus") ==
+        ObjectStore.PreconditionFailed)
+      val ObjectStore.Created(e2) = st.putIfMatch("k", bytesOf("v3"), e1)
+      assert(e2 != e1)
+      assert(st.get("k").map(b => new String(b.bytes)) == Some("v3"))
+      assert(st.putIfMatch("k", bytesOf("v4"), e1) ==
+        ObjectStore.PreconditionFailed, "a superseded tag must stay stale")
+      assert(st.putIfMatch("nope", bytesOf("x"), e2) ==
+        ObjectStore.PreconditionFailed)
+    }
+  }
+
+  test("[FileObjectStore] state survives the instance: a store REOPENED " +
+      "over the same root sees the committed objects, loses put-if-absent " +
+      "races it did not witness, and CAS-es from the durable tag") {
+    withDir { d =>
+      val first = new FileObjectStore(d)
+      val ObjectStore.Created(e1) = first.putIfAbsent("k", bytesOf("v1"))
+      // a brand-new instance — the second-process model the in-memory
+      // store structurally cannot express
+      val second = new FileObjectStore(d)
+      assert(second.get("k").map(b => new String(b.bytes)) == Some("v1"))
+      assert(second.putIfAbsent("k", bytesOf("mine")) ==
+        ObjectStore.PreconditionFailed,
+        "an object committed before this instance existed must still win")
+      val ObjectStore.Created(e2) = second.putIfMatch("k", bytesOf("v2"), e1)
+      // and the FIRST instance observes the second's advance
+      assert(first.get("k").map(b => (new String(b.bytes), b.etag)) ==
+        Some(("v2", e2)))
+      assert(first.putIfMatch("k", bytesOf("v3"), e1) ==
+        ObjectStore.PreconditionFailed)
+    }
+  }
+
+  test("[FileObjectStore] keys with path separators and over-long keys " +
+      "store cleanly and independently") {
+    withDir { d =>
+      val st = new FileObjectStore(d)
+      val longKey = "k/" + ("x" * 500)
+      assert(st.putIfAbsent("/a/b/0.json", bytesOf("one")) !=
+        ObjectStore.PreconditionFailed)
+      assert(st.putIfAbsent(longKey, bytesOf("two")) !=
+        ObjectStore.PreconditionFailed)
+      assert(st.get("/a/b/0.json").map(b => new String(b.bytes)) ==
+        Some("one"))
+      assert(st.get(longKey).map(b => new String(b.bytes)) == Some("two"))
+      assert(st.get("k/" + ("x" * 499)).isEmpty,
+        "a DIFFERENT long key must not collide")
+    }
+  }
+
+  test("[FileObjectStore] a 32-thread putIfAbsent race has exactly one " +
+      "winner; a 32-thread CAS race from one tag advances exactly once") {
+    withDir { d =>
+      val st = new FileObjectStore(d)
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ts = (0 until 32).map { i =>
+        new Thread(() => {
+          gate.await()
+          st.putIfAbsent("k", bytesOf(s"w$i")) match {
+            case ObjectStore.Created(_) => wins.add(i); ()
+            case _ => ()
+          }
+        })
+      }
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      assert(wins.size() == 1, s"winners: $wins")
+      assert(st.get("k").map(b => new String(b.bytes)) ==
+        Some(s"w${wins.peek()}"))
+      val tag = st.get("k").get.etag
+      val casWins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate2 = new java.util.concurrent.CountDownLatch(1)
+      val ts2 = (0 until 32).map { i =>
+        new Thread(() => {
+          gate2.await()
+          st.putIfMatch("k", bytesOf(s"c$i"), tag) match {
+            case ObjectStore.Created(_) => casWins.incrementAndGet(); ()
+            case _ => ()
+          }
+        })
+      }
+      ts2.foreach(_.start()); gate2.countDown(); ts2.foreach(_.join())
+      assert(casWins.get() == 1, "exactly one CAS from a shared tag wins")
+    }
+  }
+
+  test("[FileObjectStore] concurrent appends all land through the " +
+      "file-backed arbiter (the multi-writer table suite on durable " +
+      "storage)") {
+    withDir { storeRoot =>
+      withArbiter(new ObjectStoreArbiter(new FileObjectStore(storeRoot))) {
+        withTable { t =>
+          VT.append(spark, df(0 -> "seed"), t)
+          val threads = (1 to 4).map { i =>
+            new Thread(() => {
+              VT.append(spark, Seq((i, s"w$i")).toDF("id", "v"), t)
+            })
+          }
+          threads.foreach(_.start()); threads.foreach(_.join())
+          assert(VT.snapshot(spark, t).count() == 5)
+          assert(VT.latestVersion(t).contains(4L))
         }
       }
     }

@@ -29,8 +29,8 @@ ARBITERS=(${GRAFT_ARBITERS:-posix objectstore})
 # carried the bogus name — a false coverage statement
 for ARB in "${ARBITERS[@]}"; do
   case "$ARB" in
-    posix|objectstore) ;;
-    *) echo "!!! unknown arbiter '$ARB' (valid: posix objectstore)"; exit 2 ;;
+    posix|objectstore|fileobjectstore) ;;
+    *) echo "!!! unknown arbiter '$ARB' (valid: posix objectstore fileobjectstore)"; exit 2 ;;
   esac
 done
 
@@ -58,14 +58,14 @@ for ARB in "${ARBITERS[@]}"; do
     mkdir -p "$OUT"
     echo "=== Verify dump @ $SF_NAME arbiter=$ARB -> $OUT"
     LOG="$OUT_BASE/verify_${ARB}_$SF_NAME.log"
-    if [ "$ARB" = "objectstore" ]; then
-      GRAFT_ARBITER=objectstore sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$LOG"
-      if ! grep -q "ObjectStoreArbiter installed" "$LOG"; then
-        echo "!!! objectstore leg did not install the arbiter (env lost?)"
+    if [ "$ARB" = "posix" ]; then
+      sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$LOG"
+    else
+      GRAFT_ARBITER="$ARB" sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$LOG"
+      if ! grep -q "ObjectStoreArbiter.*installed" "$LOG"; then
+        echo "!!! $ARB leg did not install the arbiter (env lost?)"
         FAIL=1
       fi
-    else
-      sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tee "$LOG"
     fi
     if grep -E "\[verify\] .* failed" "$LOG"; then
       echo "!!! Verify reported per-query failures at $SF_NAME/$ARB (above)"
