@@ -107,15 +107,42 @@ final class FileObjectStore(root: Path) extends ObjectStore {
       case _: NumberFormatException => return PreconditionFailed
     }
     currentSeq(d) match {
-      case Some(cur) if cur == want => tryLink(d, want + 1, bytes)
+      case Some(cur) if cur == want =>
+        val out = tryLink(d, want + 1, bytes)
+        // bound the version history: a long-lived pointer object CAS-ed
+        // millions of times (a latest-version hint updated per commit)
+        // would otherwise grow its key dir without limit and every
+        // currentSeq listing with it. Keep a trailing window of 8
+        // superseded versions — wide enough that a reader that listed
+        // max=s can still open s unless EIGHT further CAS-es landed
+        // inside its list-to-read window (and get() retries one re-list
+        // if that ever happens) — and delete older ones, best-effort
+        // (two pruners racing just both succeed at idempotent deletes).
+        out match {
+          case Created(_) =>
+            var old = want + 1 - 9
+            while (old >= 0 && Files.deleteIfExists(d.resolve(old.toString)))
+              old -= 1
+          case _ => ()
+        }
+        out
       case _ => PreconditionFailed // absent key, stale or future etag
     }
   }
 
   override def get(key: String): Option[Blob] = {
     val d = keyDir(key)
-    currentSeq(d).map { seq =>
+    // one retry on a pruned-underfoot version: between our listing and
+    // the read, 8+ CAS-es must land for the listed max to be deleted —
+    // re-list once and read the fresher current (termination is
+    // practical, not theoretical: a workload that advances a pointer 8+
+    // times within EVERY list-to-read window of this reader forever is
+    // not a read path, it is a livelock by construction)
+    def read(): Option[Blob] = currentSeq(d).map { seq =>
       Blob(Files.readAllBytes(d.resolve(seq.toString)), seq.toString)
+    }
+    try read() catch {
+      case _: java.nio.file.NoSuchFileException => read()
     }
   }
 }

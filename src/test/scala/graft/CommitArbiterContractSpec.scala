@@ -525,6 +525,36 @@ class CommitArbiterContractSpec extends SparkSpec {
     }
   }
 
+  test("[FileObjectStore] a pointer key CAS-ed many times keeps a " +
+      "BOUNDED version history (trailing window of 8) and still reads " +
+      "the latest — a per-commit latest-version hint can't grow its key " +
+      "dir without limit") {
+    withDir { d =>
+      val st = new FileObjectStore(d)
+      var tag = st.putIfAbsent("ptr", bytesOf("v0")) match {
+        case ObjectStore.Created(e) => e
+        case o => fail(s"seed put: $o")
+      }
+      (1 to 30).foreach { i =>
+        tag = st.putIfMatch("ptr", bytesOf(s"v$i"), tag) match {
+          case ObjectStore.Created(e) => e
+          case o => fail(s"CAS $i: $o")
+        }
+      }
+      assert(st.get("ptr").map(b => new String(b.bytes)) == Some("v30"))
+      // key dir: current version + <= 8 superseded + no tmp residue
+      val files = Files.list(d.resolve(
+        java.net.URLEncoder.encode("ptr", "UTF-8")))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally files.close()
+      assert(names.size <= 9, s"unbounded version history: $names")
+      assert(!names.exists(_.startsWith(".tmp")), s"tmp residue: $names")
+      assert(names.contains("30"))
+    }
+  }
+
   test("[FileObjectStore] concurrent appends all land through the " +
       "file-backed arbiter (the multi-writer table suite on durable " +
       "storage)") {
