@@ -2498,7 +2498,13 @@ object VersionedTable {
         removed += 1
       } else if ((n.endsWith(".parquet") || n.endsWith("-bloom.json")) &&
         !live.contains(n) &&
-        lastSeen.get(n).forall(_ < nowMs - retainMs) &&
+        // INCLUSIVE boundary: a file retired exactly retainMs ago IS
+        // retainMs old. Strict < made vacuum(retainMs = 0) skip a file
+        // whose removing commit landed in the SAME millisecond as the
+        // vacuum call — a once-in-a-quiet-host test flake (r18, full
+        // suite: BloomSkipSpec's retire-then-vacuum ran sub-ms), and for
+        // any real retention the boundary ms is immaterial
+        lastSeen.get(n).forall(_ <= nowMs - retainMs) &&
         // a file NO commit ever referenced is either an orphan of a
         // failed write (GC it once old) or an IN-FLIGHT write racing
         // this vacuum (its commitLoop hasn't published yet — deleting it
