@@ -114,15 +114,29 @@ final class FileObjectStore(root: Path) extends ObjectStore {
         // would otherwise grow its key dir without limit and every
         // currentSeq listing with it. Keep a trailing window of 8
         // superseded versions — wide enough that a reader that listed
-        // max=s can still open s unless EIGHT further CAS-es landed
-        // inside its list-to-read window (and get() retries one re-list
-        // if that ever happens) — and delete older ones, best-effort
-        // (two pruners racing just both succeed at idempotent deletes).
+        // max=s can still open s unless NINE further CAS-es landed
+        // inside its list-to-read window (and get() re-lists if that
+        // ever happens) — and delete older ones by LISTING the dir, not
+        // by walking down until the first miss: a walk-down strands
+        // everything below a gap (a pruner killed mid-walk, or history
+        // accumulated before pruning existed) forever. The listing is
+        // the same O(dir) cost currentSeq already paid this call, and
+        // racing pruners just both succeed at idempotent deletes.
         out match {
           case Created(_) =>
-            var old = want + 1 - 9
-            while (old >= 0 && Files.deleteIfExists(d.resolve(old.toString)))
-              old -= 1
+            val cut = want + 1 - 9
+            if (cut >= 0) {
+              val s = Files.list(d)
+              try {
+                val it = s.iterator()
+                while (it.hasNext) {
+                  val p = it.next()
+                  val keep = try p.getFileName.toString.toLong > cut
+                  catch { case _: NumberFormatException => true }
+                  if (!keep) Files.deleteIfExists(p)
+                }
+              } finally s.close()
+            }
           case _ => ()
         }
         out
@@ -132,17 +146,27 @@ final class FileObjectStore(root: Path) extends ObjectStore {
 
   override def get(key: String): Option[Blob] = {
     val d = keyDir(key)
-    // one retry on a pruned-underfoot version: between our listing and
-    // the read, 8+ CAS-es must land for the listed max to be deleted —
-    // re-list once and read the fresher current (termination is
-    // practical, not theoretical: a workload that advances a pointer 8+
-    // times within EVERY list-to-read window of this reader forever is
-    // not a read path, it is a livelock by construction)
+    // retry on a pruned-underfoot version: between our listing and the
+    // read, 9+ CAS-es must land for the listed max to be deleted —
+    // re-list and read the fresher current. Bounded at 3 attempts, then
+    // surface the documented TRANSIENT class (it is one: the very next
+    // read succeeds unless the writer keeps outrunning every
+    // list-to-read window) — never a raw NIO exception the arbiter's
+    // taxonomy doesn't know (review catch, r18: getWithRetry handles
+    // TransientStoreException; a naked NoSuchFileException would crash
+    // ambiguous adjudication instead of retrying).
     def read(): Option[Blob] = currentSeq(d).map { seq =>
       Blob(Files.readAllBytes(d.resolve(seq.toString)), seq.toString)
     }
-    try read() catch {
-      case _: java.nio.file.NoSuchFileException => read()
+    var left = 3
+    while (true) {
+      try return read() catch {
+        case e: java.nio.file.NoSuchFileException =>
+          left -= 1
+          if (left <= 0) throw new TransientStoreException(
+            s"version pruned underfoot 3x on $key (${e.getMessage})")
+      }
     }
+    None // unreachable
   }
 }

@@ -2490,7 +2490,10 @@ object VersionedTable {
     try l.iterator().asScala.toSeq.foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("_tmp-") && Files.isDirectory(p) &&
-        Files.getLastModifiedTime(p).toMillis < nowMs - retainMs) {
+        // inclusive, like the lastSeen check below: exactly-retainMs-old
+        // is old enough (the strict form left a same-millisecond flake
+        // at retainMs = 0)
+        Files.getLastModifiedTime(p).toMillis <= nowMs - retainMs) {
         val walk = Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(f => Files.delete(f))
@@ -2510,7 +2513,7 @@ object VersionedTable {
         // this vacuum (its commitLoop hasn't published yet — deleting it
         // now would poison the commit): age unreferenced files by mtime
         (lastSeen.contains(n) ||
-          Files.getLastModifiedTime(p).toMillis < nowMs - retainMs)) {
+          Files.getLastModifiedTime(p).toMillis <= nowMs - retainMs)) {
         Files.delete(p)
         removed += 1
       }

@@ -1,7 +1,6 @@
 package graft
 
 import java.nio.file.{Files, Path}
-import java.util.Comparator
 
 import org.apache.spark.sql.functions._
 
@@ -43,16 +42,8 @@ class CommitArbiterContractSpec extends SparkSpec {
     "FileObjectStore" -> new ObjectStoreArbiter(new FileObjectStore(
       Files.createTempDirectory("graft-fos-arb"))))
 
-  private def withDir[T](body: Path => T): T = {
-    val dir = Files.createTempDirectory("graft-arb")
-    try body(dir)
-    finally {
-      val walk = Files.walk(dir)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
-  }
+  private def withDir[T](body: Path => T): T =
+    TestDirs.withTempDir("graft-arb")(body)
 
   private def withArbiter[T](a: CommitArbiter)(body: => T): T = {
     val prev = VT.commitArbiter

@@ -1,7 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path}
-import java.util.Comparator
+import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -15,30 +14,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * The children handshake ("ready" on stdout, then busy-wait for a go
   * file the parent creates only once BOTH are ready) so the races
   * genuinely overlap instead of resolving in JVM-startup order. The
-  * child main (graft.ArbiterRace) needs no SparkSession — slot
-  * arbitration is pure NIO — so the whole test runs in seconds.
+  * child main (graft.ArbiterRace, test scope) needs no SparkSession —
+  * slot arbitration is pure NIO — so the whole test runs in seconds.
   *
   * Works because Test/fork := true hands this JVM the full test
-  * classpath in java.class.path; the spec skips (with a message) if a
-  * child JVM cannot be launched at all, rather than failing on an
-  * environment quirk. */
+  * classpath in java.class.path. Child stderr is inherited, so a child
+  * crash leaves its stack trace in the test log; a child that dies
+  * before "ready" FAILS the test (that is a code regression in exactly
+  * the components this spec guards), while an environment that cannot
+  * launch a JVM at all cancels it. */
 class CrossProcessArbiterSpec extends AnyFunSuite {
-
-  private def withDir[T](body: Path => T): T = {
-    val dir = Files.createTempDirectory("graft-xproc")
-    try body(dir)
-    finally {
-      val walk = Files.walk(dir)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
-  }
 
   test("two JVMs racing 64 slots on one FileObjectStore: every slot has " +
     "exactly one winner across processes and the slot file holds that " +
     "winner's bytes (loser healed, never clobbered)") {
-    withDir { d =>
+    TestDirs.withTempDir("graft-xproc") { d =>
       val store = d.resolve("store")
       val slots = d.resolve("slots")
       val go = d.resolve("go")
@@ -48,21 +38,32 @@ class CrossProcessArbiterSpec extends AnyFunSuite {
       def launch(id: String): (Process, java.io.BufferedReader) = {
         val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.ArbiterRace",
           store.toString, slots.toString, id, nSlots.toString, go.toString)
-        pb.redirectErrorStream(false)
-        val p = pb.start()
+        // a child crash must be diagnosable from the test log
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = try pb.start() catch {
+          case e: java.io.IOException =>
+            cancel(s"cannot launch a child JVM here: $e")
+        }
         (p, new java.io.BufferedReader(
           new java.io.InputStreamReader(p.getInputStream)))
       }
       val (pa, ra) = launch("A")
       val (pb2, rb) = launch("B")
       try {
-        // wait for both children's "ready", then fire the shared gate
-        def awaitReady(r: java.io.BufferedReader, p: Process): Boolean = {
-          val line = r.readLine() // blocks until the child prints
-          p.isAlive && line == "ready"
-        }
-        assume(awaitReady(ra, pa) && awaitReady(rb, pb2),
-          "child JVMs did not come up — cannot exercise the cross-process race")
+        // bounded pre-ready wait: a wedged child fails the test at the
+        // deadline instead of hanging the suite in readLine(); a child
+        // that DIED pre-ready is a startup regression in the arbiter
+        // stack and fails with its exit code (stderr is in the log)
+        def awaitReady(r: java.io.BufferedReader, p: Process,
+            id: String): Unit =
+          TestDirs.readLineWithin(r, p, 30000) match {
+            case Some("ready") => ()
+            case other =>
+              fail(s"child $id did not reach 'ready' (got $other; " +
+                s"alive=${p.isAlive}" +
+                (if (!p.isAlive) s", exit=${p.exitValue()}" else "") + ")")
+          }
+        awaitReady(ra, pa, "A"); awaitReady(rb, pb2, "B")
         Files.createFile(go)
         assert(pa.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
           pb2.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
@@ -78,23 +79,27 @@ class CrossProcessArbiterSpec extends AnyFunSuite {
           out
         }
         val (wa, wb) = (wins(ra), wins(rb))
-        // exactly-one-winner, across PROCESSES: disjoint and complete
+        // exactly-one-winner, across PROCESSES: disjoint and complete —
+        // these are the SOUNDNESS assertions and stay hard
         assert((wa & wb).isEmpty, s"slots won by BOTH writers: ${wa & wb}")
         assert(wa ++ wb == (0 until nSlots).toSet,
           s"unclaimed slots: ${(0 until nSlots).toSet -- wa -- wb}")
-        // both writers actually won something — a race where one JVM took
-        // every slot would mean the gate handshake failed to overlap them
-        // (would not be UNSOUND, but it would gut the test's point)
-        assert(wa.nonEmpty && wb.nonEmpty,
-          s"degenerate race: A=${wa.size} B=${wb.size} — no overlap")
         // every slot file holds its winner's exact bytes (winner wrote it
         // or the loser healed it from the store; either way content must
-        // be the winner's)
+        // be the winner's) — still a soundness assertion, so it runs
+        // BEFORE the overlap claim below can cancel the test
         (0 until nSlots).foreach { s =>
           val expectOwner = if (wa.contains(s)) "A" else "B"
           assert(Files.readString(slots.resolve(s"$s.json")) ==
             s"$expectOwner:$s", s"slot $s content mismatch")
         }
+        // overlap is a SCHEDULING property, not a soundness one: on an
+        // oversubscribed host one child's threads can be descheduled for
+        // the few ms the other needs to take all 64 slots — arbitration
+        // was still correct, so cancel (don't fail) the overlap claim
+        assume(wa.nonEmpty && wb.nonEmpty,
+          s"degenerate race (A=${wa.size} B=${wb.size}) — host skew, " +
+            "no cross-process overlap to assert this run")
       } finally {
         pa.destroyForcibly(); pb2.destroyForcibly(); ()
       }

@@ -1,7 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path}
-import java.util.Comparator
+import java.nio.file.Files
 
 import graft.io.{VersionedTable => VT}
 
@@ -21,17 +20,6 @@ import graft.io.{VersionedTable => VT}
   * dense version chain plus exact row content.
   */
 class CrossProcessTableSpec extends SparkSpec {
-
-  private def withDir[T](body: Path => T): T = {
-    val dir = Files.createTempDirectory("graft-xproc-tbl")
-    try body(dir)
-    finally {
-      val walk = Files.walk(dir)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
-  }
 
   /** The child needs the parent's --add-opens set (Spark 4 on JDK 17)
     * — forward them from this JVM's own launch arguments instead of
@@ -55,7 +43,7 @@ class CrossProcessTableSpec extends SparkSpec {
   test("two Spark JVMs appending 6 commits each to one table through " +
     "the file-backed arbiter: dense version chain 0..11, all 12 rows " +
     "present, no commit lost or duplicated") {
-    withDir { d =>
+    TestDirs.withTempDir("graft-xproc-tbl") { d =>
       val store = d.resolve("store")
       val table = d.resolve("t").toString
       val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -77,14 +65,24 @@ class CrossProcessTableSpec extends SparkSpec {
       val (pa, ra) = launch("A")
       val (pb2, rb) = launch("B")
       try {
-        def awaitReady(r: java.io.BufferedReader, p: Process): Boolean = {
-          var line = r.readLine()
-          while (line != null && line != "ready" && p.isAlive)
-            line = r.readLine() // skip any stray pre-ready output
-          line == "ready"
+        // bounded pre-ready wait (a stalled child Spark boot must fail
+        // the test at the deadline, not hang the suite in readLine);
+        // stray pre-ready output lines are skipped
+        def awaitReady(r: java.io.BufferedReader, p: Process,
+            id: String): Unit = {
+          val end = System.currentTimeMillis() + 120000
+          var line = TestDirs.readLineWithin(r, p,
+            end - System.currentTimeMillis())
+          while (line.exists(_ != "ready") && p.isAlive &&
+              System.currentTimeMillis() < end)
+            line = TestDirs.readLineWithin(r, p,
+              end - System.currentTimeMillis())
+          if (!line.contains("ready"))
+            fail(s"child $id did not reach 'ready' (last=$line, " +
+              s"alive=${p.isAlive}" +
+              (if (!p.isAlive) s", exit=${p.exitValue()}" else "") + ")")
         }
-        assume(awaitReady(ra, pa) && awaitReady(rb, pb2),
-          "child Spark JVMs did not come up — cannot exercise the race")
+        awaitReady(ra, pa, "A"); awaitReady(rb, pb2, "B")
         Files.createFile(java.nio.file.Paths.get(table + ".go"))
         assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
           pb2.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
