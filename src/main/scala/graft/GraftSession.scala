@@ -30,6 +30,27 @@ object GraftSession {
     val b0 = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small shuffle partitions to the advisory byte size
+      // instead of preserving one partition per core: with
+      // parallelismFirst at its true default, AQE keeps
+      // default-parallelism partitions however tiny they are, so every
+      // reduce stage of a small shuffle pays per-task scheduling for
+      // near-empty tasks — and at cluster scale the same flag is what
+      // keeps partitions in the 64 MB+ range the shuffle machinery
+      // prefers (Spark's own tuning guide recommends false). Measured
+      // (r18 opt, local[32] sf0.1, min-of-3 warm): q58 6.2→5.0 s,
+      // q96 9.0→7.4 s, q70 6.4→5.4 s with the cached-plan flag below.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      // Let AQE re-partition CACHED plans too: the dedup/curation
+      // pipelines persist intermediates at every fan-out, and with this
+      // flag at its false default every stage under a persist keeps the
+      // full session shuffle-partition count — the coalescing above
+      // never reaches the hottest (cached) subtrees. Values are
+      // partitioning-independent by design (the oracle hash gates prove
+      // it per query).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
     val b = shufflePartitions.fold(b0)(n =>
       b0.config("spark.sql.shuffle.partitions", n.toString))
       .config("spark.sql.session.timeZone", "UTC")

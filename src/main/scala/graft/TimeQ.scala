@@ -13,7 +13,15 @@ object TimeQ {
     System.setProperty("graft.bench.stages", "true")
     if (sys.env.get("SPARK_GRAFT_SUBLINEAR").exists(_ == "true"))
       System.setProperty("graft.ann.sublinear", "true")
-    val spark = GraftSession.local("graft-timeq", 32)
+    val spark = GraftSession.local("graft-timeq",
+      sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32))
+    // dev experiments: SPARK_GRAFT_TIMEQ_CONF="k=v,k=v" applied to the
+    // session (runtime-settable SQL confs only) before the timed runs
+    sys.env.get("SPARK_GRAFT_TIMEQ_CONF").foreach(_.split(',')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.range(1000000).selectExpr("sum(id)").collect()
     args.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -180,6 +180,7 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       minJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    import graft.util.Stages.{time => stageT}
     val numHashes = bands * rowsPerBand
     // persisted: sets feed both signature building and (twice) the exact
     // verification join; banded feeds both sides of the candidate
@@ -189,7 +190,7 @@ object Dedup {
     // force each cached stage ONCE before fan-out: the final action would
     // otherwise launch its branch stages concurrently and they'd race to
     // fill the cache, recomputing the shingle pipeline per branch
-    sets.count()
+    stageT("lsh", "shingle-sets") { sets.count() }
     val sigs = sigsFromSets(sets, numHashes)
 
     // identical signatures cluster first: linear rep→member candidates
@@ -206,7 +207,7 @@ object Dedup {
     val withSigKey = sigs.select(col("id"), col("sig"),
       xxhash64(col("sig")).as("__sk1"),
       xxhash64(col("sig"), lit(1L)).as("__sk2")).persist()
-    withSigKey.count()
+    stageT("lsh", "signatures") { withSigKey.count() }
     // min_by carries the rep's own sig array out of the SAME aggregate
     // (the sigReps shape): recovering it with a left_semi join back
     // against withSigKey paid one extra shuffle of the full keyed
@@ -223,7 +224,7 @@ object Dedup {
     // (over-full) buckets — their members remain reachable via other bands
     val reps = clusters.select(col("rep").as("id"), col("__repsig").as("sig"))
     val banded = bandify(reps, bands, rowsPerBand).persist()
-    banded.count()
+    stageT("lsh", "banding") { banded.count() }
     val bounded = boundBuckets(banded, maxBucketSize)
     val bandCand = bounded
       .select(col("band"), col("band_hash"), col("id").as("a"))
@@ -235,13 +236,16 @@ object Dedup {
     // eager snapshot: materialize the (small) verified pair set, then
     // release the intermediate caches — repeated calls in a long-lived
     // session must not accumulate cached blocks (util.Caches contract)
-    val result = graft.util.Caches.snapshot(
-      dupCand.unionByName(bandCand).dropDuplicates("a", "b")
-        .join(sets.select(col("id").as("a"), col("shset").as("sh_a")), Seq("a"))
-        .join(sets.select(col("id").as("b"), col("shset").as("sh_b")), Seq("b"))
-        .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("a"), col("b"), col("jaccard")))
+    val result = stageT("lsh", "candidates+verify") {
+      graft.util.Caches.snapshot(
+        dupCand.unionByName(bandCand).dropDuplicates("a", "b")
+          .join(sets.select(col("id").as("a"), col("shset").as("sh_a")),
+            Seq("a"))
+          .join(sets.select(col("id").as("b"), col("shset").as("sh_b")),
+            Seq("b"))
+          .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("a"), col("b"), col("jaccard"))) }
     sets.unpersist(); withSigKey.unpersist(); banded.unpersist()
     result
   }
@@ -296,14 +300,21 @@ object Dedup {
       concat_ws(",", transform(col("sig"), _.cast(StringType)))
         .as("__sigstr")).persist()
     withKey.count()
+    // min_by carries the rep's own sig array out of the SAME aggregate
+    // (the minHashLsh cluster shape): all rows of a __sigstr group share
+    // one sig array (the string is the canonical rendering), so the old
+    // left_semi join back against withKey re-shuffled the whole keyed
+    // signature set only to recover a value the aggregate already held
+    // (r18 opt — one corpus-keyed shuffle removed from the gate path)
     val clusters = withKey.groupBy(col("__sigstr"))
-      .agg(min(col("id")).as("rep"))
-    val dup = withKey.join(clusters, Seq("__sigstr"))
+      .agg(min(col("id")).as("rep"),
+        min_by(col("sig"), col("id")).as("__repsig"))
+    val dup = withKey
+      .join(clusters.select(col("__sigstr"), col("rep")), Seq("__sigstr"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("a"), col("id").as("b"))
-    val reps = withKey.join(
-      clusters.select(col("__sigstr"), col("rep").as("id")),
-      Seq("__sigstr", "id"), "left_semi")
+    val reps = clusters.select(col("rep").as("id"),
+      col("__repsig").as("sig"))
     val banded = reps.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         concat_ws(",", transform(
@@ -572,7 +583,8 @@ object Dedup {
       rowsPerBand, minJaccard)
     // pairs is a Caches.snapshot — no CacheManager entry; its blocks are
     // GC-released once this frame goes out of scope after the clustering
-    val comps = connectedComponents(pairs)
+    val comps = graft.util.Stages.time("lsh", "connected-components") {
+      connectedComponents(pairs) }
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -672,9 +684,10 @@ object Dedup {
   def incrementalNearDupMatches(newDocs: DataFrame, index: NearDupIndex,
       idCol: String, textCol: String, minJaccard: Double,
       maxBucketSize: Int): DataFrame = {
+    import graft.util.Stages.{time => stageT}
     val newSets = shingleSets(newDocs, idCol, textCol, index.shingleSize)
       .persist()
-    newSets.count()
+    stageT("incdup", "new-sets") { newSets.count() }
     // duplicate-heavy DELTA guard (mirrors the batch path's sigReps): band
     // ONE representative per distinct signature. Banding members
     // individually means a delta carrying >maxBucketSize copies of the
@@ -697,16 +710,16 @@ object Dedup {
       .agg(min(col("id")).as("rep_id"),
         min_by(col("sig"), col("id")).as("sig"))
       .persist()
-    reps.count()
+    stageT("incdup", "new-sigs+reps") { reps.count() }
     val memberOf = newSigs
       .join(reps.select(col("__sk1"), col("__sk2"), col("rep_id")),
         Seq("__sk1", "__sk2"))
       .select(col("id"), col("rep_id"))
       .persist()
-    memberOf.count()
+    stageT("incdup", "member-of") { memberOf.count() }
     val newBand = bandify(reps.select(col("rep_id").as("id"), col("sig")),
       index.bands, index.rowsPerBand).persist()
-    newBand.count()
+    stageT("incdup", "new-banding") { newBand.count() }
     // cap hot NEW buckets too (a hot bucket × every kept member is the
     // incremental analogue of the self-join blow-up); reps-only banding
     // means identical-content floods no longer trip this cap. SAME
@@ -733,7 +746,7 @@ object Dedup {
     // force the cache ONCE before the fan-out (okBuckets + candKept both
     // scan it) — the same discipline as every other persist in this
     // function; racing an unfilled cache runs the index join twice
-    keptTouched.count()
+    stageT("incdup", "kept-touched") { keptTouched.count() }
     val okBuckets = keptTouched.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__kn")).filter(col("__kn") <= maxBucketSize)
       .select(col("band"), col("band_hash"))
@@ -767,15 +780,16 @@ object Dedup {
     val candIds = expanded.unionByName(intraGroup)
       .dropDuplicates("new_id", "matched_id")
     // eager snapshot, then release the delta-side caches
-    val result = graft.util.Caches.snapshot(allSets
-      .select(col("id").as("matched_id"), col("shset").as("sh_m"))
-      .join(broadcast(candIds), Seq("matched_id"))
-      .join(broadcast(newSets.select(col("id").as("new_id"),
-        col("shset").as("sh_n"))), Seq("new_id"))
-      .withColumn("jaccard", Shingles.jaccard(col("sh_n"), col("sh_m")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("new_id"), col("matched_id"), col("jaccard"),
-        col("matched_kept")))
+    val result = stageT("incdup", "verify") {
+      graft.util.Caches.snapshot(allSets
+        .select(col("id").as("matched_id"), col("shset").as("sh_m"))
+        .join(broadcast(candIds), Seq("matched_id"))
+        .join(broadcast(newSets.select(col("id").as("new_id"),
+          col("shset").as("sh_n"))), Seq("new_id"))
+        .withColumn("jaccard", Shingles.jaccard(col("sh_n"), col("sh_m")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("new_id"), col("matched_id"), col("jaccard"),
+          col("matched_kept"))) }
     newSets.unpersist(); newBand.unpersist(); reps.unpersist()
     memberOf.unpersist(); newSigs.unpersist(); keptTouched.unpersist()
     result
@@ -789,11 +803,14 @@ object Dedup {
       idCol: String, textCol: String, shingleSize: Int = 3, bands: Int = 8,
       rowsPerBand: Int = 4, minJaccard: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
-    val idx0 = buildNearDupIndex(kept, idCol, textCol, shingleSize, bands,
-      rowsPerBand, maxBucketSize)
-    val idx = idx0.copy(sets = idx0.sets.persist(),
-      banded = idx0.banded.persist())
-    idx.sets.count(); idx.banded.count()
+    val idx = graft.util.Stages.time("incdup", "index-build") {
+      val idx0 = buildNearDupIndex(kept, idCol, textCol, shingleSize, bands,
+        rowsPerBand, maxBucketSize)
+      val i = idx0.copy(sets = idx0.sets.persist(),
+        banded = idx0.banded.persist())
+      i.sets.count(); i.banded.count()
+      i
+    }
     val result = incrementalNearDupMatches(newDocs, idx, idCol, textCol,
       minJaccard, maxBucketSize)
     idx.sets.unpersist(); idx.banded.unpersist()

@@ -43,6 +43,7 @@ object TextPipeline {
     // curated frame skip them (-1 sentinel)
     def maybeCount(df: DataFrame): Long = if (computeStats) df.count() else -1L
 
+    import graft.util.Stages.{time => stage}
     val input = maybeCount(docs)
     val filtered = docs
       .withColumn("__norm", TextStats.normalizeText(t))
@@ -52,13 +53,22 @@ object TextPipeline {
         langOk)
       .persist()
     // the materializing counts double as (free) stage stats
-    val afterFilter = filtered.count()
+    val afterFilter = stage("curate", "rule-filter") { filtered.count() }
 
-    // exact dedup: survivors are min-id per content hash
-    val keep = Dedup.exactDedup(filtered, idCol, "__norm")
-      .select(col("keep_id").as(idCol))
-    val exact = filtered.join(keep, Seq(idCol), "left_semi").persist()
-    val afterExact = exact.count()
+    // exact dedup: survivors are min-id per content hash. Same rule as
+    // [[Dedup.exactDedup]] (min id per md5(__norm)) expressed as ONE
+    // shuffle: rank rows within their content-hash group and keep rank 1
+    // — ids are unique, so the rank-1 row IS the row the old
+    // groupBy(min id) + semi-join kept, at a third of the shuffles
+    // (r18 opt; the groupBy + semi-join form shuffled the corpus three
+    // times: hash agg, then both SMJ sides on the id).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("__norm"))).orderBy(col(idCol))
+    val exact = filtered
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
+    val afterExact = stage("curate", "exact-dedup") { exact.count() }
     filtered.unpersist()
 
     // eager snapshot (Caches contract), taken while `exact` is still
@@ -66,9 +76,9 @@ object TextPipeline {
     // release would recompute the whole filter+dedup chain over the
     // corpus. No CacheManager entry rides out with the result; its
     // blocks GC-release once the caller drops the frame.
-    val near = graft.util.Caches.snapshot(
+    val near = stage("curate", "near-dedup") { graft.util.Caches.snapshot(
       Dedup.dedupNearDuplicates(exact, idCol, textCol,
-        minJaccard = nearDupJaccard).drop("__norm"))
+        minJaccard = nearDupJaccard).drop("__norm")) }
     val afterNear0 = near.count() // cheap: scans the snapshot blocks
     exact.unpersist()
     val afterNear = if (computeStats) afterNear0 else -1L
@@ -123,8 +133,10 @@ object TextPipeline {
       // WHOLE pipeline output becomes replayable in a reference SQL
       // engine (the q96 gate); xxhash64 stays the production default.
       hash: Column => Column = xxhash64(_)): TrainingDataResult = {
-    val cur = curate(docs, idCol, textCol, minQuality = minQuality,
-      nearDupJaccard = nearDupJaccard, computeStats = computeStats)
+    import graft.util.Stages.{time => stage}
+    val cur = stage("tdata", "curate") {
+      curate(docs, idCol, textCol, minQuality = minQuality,
+        nearDupJaccard = nearDupJaccard, computeStats = computeStats) }
     val clean = benchmark match {
       case Some(bench) =>
         val hits = Decontam.contaminatedScreened(cur.curated, bench,
@@ -140,14 +152,14 @@ object TextPipeline {
     // rates, sampling); the persist populates lazily on the first of
     // those actions, so the explicit count here is REPORTING only.
     val afterDecon = if (computeStats) scored.count() else -1L
-    val target =
+    val target = stage("tdata", "decontam+target") {
       if (targetTokens > 0) targetTokens
       else scored.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-        .head().getLong(0)
-    val sampled =
+        .head().getLong(0) }
+    val sampled = stage("tdata", "mixture-rates") {
       if (target == 0) scored.withColumn("epoch", lit(1))
       else Sampling.mixtureSample(scored, sourceCol, idCol, "n_tokens",
-        mixtureAlpha, target, hash = hash)
+        mixtureAlpha, target, hash = hash) }
     // epoch-qualified id keeps repeated docs distinct through packing
     // and shuffling (they are separate training rows); __spread (a
     // seeded hash of the epoch-qualified id) tiebreaks INSIDE each
@@ -160,8 +172,9 @@ object TextPipeline {
       .withColumn("__spread",
         hash(concat_ws(":", col("__eid"), lit(shuffleSeed.toString))))
     val packOrder = Seq(col("quality").desc, col("__spread"), col("__eid"))
-    val packed = Packing.packByBudgetOrdered(withKey,
-      packOrder, "n_tokens", packBudget)
+    val packed = stage("tdata", "pack-range-sort") {
+      Packing.packByBudgetOrdered(withKey, packOrder, "n_tokens",
+        packBudget) }
     // shuffle PACKS, not rows: a pack IS the training example, so its
     // members must stay adjacent in the emitted order. The seeded hash
     // of the pack id permutes pack order; within a pack, rows keep the
@@ -176,7 +189,8 @@ object TextPipeline {
     // curate's afterNear); stats run over the snapshot blocks. Distinct
     // packs — NOT max(pack_id)+1: a doc larger than the budget spills
     // past whole budget windows, leaving empty pack ids.
-    val out = graft.util.Caches.snapshot(shuffled)
+    val out = stage("tdata", "mix+pack+shuffle") {
+      graft.util.Caches.snapshot(shuffled) }
     val (nRows, nPacks) =
       if (computeStats) {
         val r = out.agg(count(lit(1)), countDistinct(col("pack_id"))).head()

@@ -772,38 +772,46 @@ object VersionedTable {
       if (st.dv.isEmpty) withFilePos(base)
       else dvJoin(base, dvEntries(spark, table, st.dv), "left_anti",
         keepPos = true)
-    val matchedRows = live.filter(cond)
-    val hits = matchedRows
-      .select(col("__fn").as("file_name"), col("__ri").as("row_index"))
-    // ONE predicate scan: write the candidate sidecar straight out, then
-    // check the written (kilobyte) file's row count — an isEmpty pre-check
-    // would recompute the whole scan + anti-join a second time for the
-    // write. A zero-match delete removes the orphan sidecar and commits
-    // a no-op (the commit still serializes against concurrent writers).
-    val dvFiles = writeDataFiles(hits.coalesce(1), table, tag = "dv")
-    val matched = spark.read
-      .parquet(dvFiles.map(f => Paths.get(table, f).toString): _*).count()
-    if (matched == 0L) {
-      dvFiles.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
-      return commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
-        readVersion = Some(rv),
-        rebaseOverAdds = isolation == Isolation.WriteSerializable)
-    }
-    // change capture (CDF): the rows the new DV entries retire — a
-    // second predicate pass over the live scan, paid only when enabled.
-    // The coalesce hint is the TABLE's file count, not 1: a wide delete
-    // on a big table must not funnel every envelope through one write
-    // task (coalesce above the actual partition count is a no-op, so
-    // small deletes still land in few sidecar files).
-    val cdc =
-      if (!cdfEnabled(st.props)) Nil
-      else writeCdc(matchedRows.drop("__fn", "__ri")
-        .withColumn("_change_type", lit("delete")), table,
-        math.max(1, st.files.size))
-    commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
-      readVersion = Some(rv), dvAdd = dvFiles,
-      rebaseOverAdds = isolation == Isolation.WriteSerializable,
-      cdcAdd = cdc)
+    // with CDF on, the matched sliver feeds TWO writes (the DV sidecar
+    // and the delete envelopes) — persist it so the second write reads
+    // the cached sliver instead of re-running the whole predicate scan
+    // + DV anti-join over every live file (r18 opt; without CDF there
+    // is exactly one action, so the persist would be pure overhead)
+    val matchedRows = if (cdfEnabled(st.props)) live.filter(cond).persist()
+      else live.filter(cond)
+    try {
+      val hits = matchedRows
+        .select(col("__fn").as("file_name"), col("__ri").as("row_index"))
+      // ONE predicate scan: write the candidate sidecar straight out, then
+      // check the written (kilobyte) file's row count — an isEmpty pre-check
+      // would recompute the whole scan + anti-join a second time for the
+      // write. A zero-match delete removes the orphan sidecar and commits
+      // a no-op (the commit still serializes against concurrent writers).
+      val dvFiles = writeDataFiles(hits.coalesce(1), table, tag = "dv")
+      val matched = spark.read
+        .parquet(dvFiles.map(f => Paths.get(table, f).toString): _*).count()
+      if (matched == 0L) {
+        dvFiles.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+        return commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
+          readVersion = Some(rv),
+          rebaseOverAdds = isolation == Isolation.WriteSerializable)
+      }
+      // change capture (CDF): the rows the new DV entries retire — read
+      // from the persisted sliver, paid only when enabled.
+      // The coalesce hint is the TABLE's file count, not 1: a wide delete
+      // on a big table must not funnel every envelope through one write
+      // task (coalesce above the actual partition count is a no-op, so
+      // small deletes still land in few sidecar files).
+      val cdc =
+        if (!cdfEnabled(st.props)) Nil
+        else writeCdc(matchedRows.drop("__fn", "__ri")
+          .withColumn("_change_type", lit("delete")), table,
+          math.max(1, st.files.size))
+      commitLoop(table, "delete_dv", Nil, _ => Nil, st.schemaJson,
+        readVersion = Some(rv), dvAdd = dvFiles,
+        rebaseOverAdds = isolation == Isolation.WriteSerializable,
+        cdcAdd = cdc)
+    } finally matchedRows.unpersist(blocking = false)
   }
 
   /** Manifest-level data skipping (Delta's stats-based pruning): read the
@@ -1855,14 +1863,24 @@ object VersionedTable {
     require(keys.nonEmpty, "applyChanges needs row keys")
     txnCommit(table, txnApp, txnId).getOrElse {
       Files.createDirectories(Paths.get(table))
-      val upserts = feed.filter(col("_change_type")
+      // persisted: the caller's feed is often itself an expensive
+      // derivation (a changeFeed classification over commit diffs), and
+      // unpersisted it re-evaluated once per consumer below — the
+      // survivor write, the changed-key bounds agg + hit semi-join, and
+      // every CDF capture join: ~6 evaluations per apply (r18 opt).
+      // Released in the finally at the bottom of this block.
+      val feedP = feed.persist()
+      val upserts = feedP.filter(col("_change_type")
         .isin("insert", "update_postimage")).drop("_change_type")
       // preimages are informational; every other change type names a key
       // whose dst row (if any) must go — updates retire the old row,
-      // inserts guard against re-inserting a key the dst already holds
-      val changedKeys = feed
+      // inserts guard against re-inserting a key the dst already holds.
+      // Persisted too: the distinct is a shuffle, and hitFilePaths alone
+      // consumes it twice (bounds aggregate + exact semi-join).
+      val changedKeys = feedP
         .filter(col("_change_type") =!= "update_preimage")
-        .select(keys.map(col): _*).distinct()
+        .select(keys.map(col): _*).distinct().persist()
+      try {
       // same write-time bar as append/merge: a feed whose shared columns
       // re-type the table fails loudly; new feed columns are the CDC
       // schema-evolution path (hence mergeSchema = true)
@@ -1906,15 +1924,24 @@ object VersionedTable {
             .asInstanceOf[StructType]
           val hitPaths =
             hitFilePaths(spark, table, st, schema, changedKeys, keys)
+          // persisted: the touched-file sliver feeds the survivor
+          // anti-join AND (under CDF) the capture's old-row joins —
+          // unpersisted, each consumer re-read the hit parquet files
+          // end to end (the merge hitRows rationale, r18 opt)
+          val hitScan =
+            if (hitPaths.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                schema)
+            else spark.read.option("mergeSchema", "true")
+              .parquet(hitPaths.map(p => new java.net.URI(p).getPath): _*)
+              .persist()
           val survivors =
             if (hitPaths.isEmpty) upserts
             // allowMissingColumns: under schema evolution the hit files
             // (old physical schema) and the feed (source's to-version
             // schema) may differ — absent sides null-fill, the CDC
             // convention for columns that predate/postdate a row
-            else keyJoin(spark.read.option("mergeSchema", "true")
-              .parquet(hitPaths.map(p => new java.net.URI(p).getPath): _*),
-              changedKeys, keys, "left_anti")
+            else keyJoin(hitScan, changedKeys, keys, "left_anti")
               .unionByName(upserts, allowMissingColumns = true)
           val hitNames = hitPaths.map(p =>
             Paths.get(new java.net.URI(p).getPath).getFileName.toString)
@@ -1933,36 +1960,46 @@ object VersionedTable {
           // upserted their key); the feed's upserts split into
           // post-images (key existed) and inserts (key is new). Assumes
           // the feed is key-compacted — one final op per key — which is
-          // what [[changeFeed]]/[[ChangeConsumer]] produce.
+          // what [[changeFeed]]/[[ChangeConsumer]] produce. Each split
+          // is ONE join (r18 opt): the old rows inner-join a typed
+          // key-op table (the op the feed named for that key — a
+          // non-compacted feed naming a key twice matches twice, which
+          // is byte-for-byte what the old semi-join pair emitted); the
+          // upserts LEFT-join the distinct old keys with an explicit
+          // marker (null-safe join, so only `__hit` — never the right
+          // key's nullness — distinguishes post-image from insert).
           val cdc =
             if (!cdfEnabled(st.props)) Nil
             else {
-              val old =
-                if (hitPaths.isEmpty)
-                  spark.createDataFrame(
-                    spark.sparkContext.emptyRDD[Row], schema)
-                else spark.read.option("mergeSchema", "true").parquet(
-                  hitPaths.map(p => new java.net.URI(p).getPath): _*)
-              val deleteKeys = feed
-                .filter(col("_change_type") === "delete")
-                .select(keys.map(col): _*).distinct()
-              val upsertKeys = upserts.select(keys.map(col): _*).distinct()
-              val oldKeys = old.select(keys.map(col): _*).distinct()
-              val del = keyJoin(old, deleteKeys, keys, "left_semi")
-                .withColumn("_change_type", lit("delete"))
-              val pre = keyJoin(old, upsertKeys, keys, "left_semi")
-                .withColumn("_change_type", lit("update_preimage"))
-              val post = keyJoin(upserts, oldKeys, keys, "left_semi")
-                .withColumn("_change_type", lit("update_postimage"))
-              val ins = keyJoin(upserts, oldKeys, keys, "left_anti")
-                .withColumn("_change_type", lit("insert"))
-              writeCdc(del
-                .unionByName(pre, allowMissingColumns = true)
-                .unionByName(post, allowMissingColumns = true)
-                .unionByName(ins, allowMissingColumns = true),
+              val old = hitScan
+              val ph = keys.indices.map(i => s"__graft_ck_$i")
+              val keyOps = feedP
+                .filter(col("_change_type") =!= "update_preimage")
+                .select(keys.map(col) :+
+                  when(col("_change_type") === "delete", lit("delete"))
+                    .otherwise(lit("update_preimage")).as("__ct"): _*)
+                .distinct()
+                .toDF(ph :+ "__ct": _*)
+              val oldPart = old.join(keyOps,
+                  keys.zip(ph).map { case (k, p) =>
+                    old(k) <=> keyOps(p) }.reduce(_ && _))
+                .withColumn("_change_type", col("__ct"))
+                .drop(ph :+ "__ct": _*)
+              val oldKeysM = old.select(keys.map(col): _*).distinct()
+                .toDF(ph: _*).withColumn("__hit", lit(true))
+              val postIns = upserts.join(oldKeysM,
+                  keys.zip(ph).map { case (k, p) =>
+                    upserts(k) <=> oldKeysM(p) }.reduce(_ && _),
+                  "left")
+                .withColumn("_change_type",
+                  when(col("__hit"), lit("update_postimage"))
+                    .otherwise(lit("insert")))
+                .drop(ph :+ "__hit": _*)
+              writeCdc(oldPart
+                .unionByName(postIns, allowMissingColumns = true),
                 table, hitNames.size)
             }
-          commitLoop(table, "apply_changes", added, _ => hitNames,
+          try commitLoop(table, "apply_changes", added, _ => hitNames,
             schema.json, readVersion = Some(v),
             txn = Some((txnApp, txnId)),
             stats = withSizes(table, added, computeStats(spark, table,
@@ -1975,7 +2012,12 @@ object VersionedTable {
             },
             rebaseOverAdds = isolation == Isolation.WriteSerializable,
             cdcAdd = cdc)
+          finally hitScan.unpersist(blocking = false)
           }
+      }
+      } finally {
+        changedKeys.unpersist(blocking = false)
+        feedP.unpersist(blocking = false)
       }
     }
   }
@@ -2069,7 +2111,11 @@ object VersionedTable {
         s"merge into $table: the log holds only metadata commits — " +
           "bootstrap the table with append or applyChanges first")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // persisted: the distinct source keys drive the hit scan (bounds agg
+    // + semi-join) AND all three CDF capture joins below — unpersisted,
+    // the caller's source plan (arbitrary — often itself a join) would
+    // re-evaluate per consumer, five times per MERGE (r18 opt)
+    val srcKeys = source.select(keys.map(col): _*).distinct().persist()
     val hitPaths = opStage("merge", "hit-scan") {
       hitFilePaths(spark, table, st, schema, srcKeys, keys) }
     // conform hit rows to the LOG schema, not the hit files' physical
@@ -2081,9 +2127,15 @@ object VersionedTable {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.option("mergeSchema", "true").parquet(
         hitPaths.map(p => new java.net.URI(p).getPath): _*)
+    // persisted: the touched-file sliver feeds the merge join, the CDF
+    // pre-image semi-join AND the hit-key set (evaluated twice more by
+    // the old post/ins joins) — unpersisted, each consumer re-read the
+    // hit parquet files end to end, four scans of the touched sliver
+    // per MERGE (r18 opt; at scale the sliver is the expensive part)
     val hitRows = raw.select(schema.fields.map(f =>
       (if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+      .persist()
     // merge evolution must be REAL, not a comment: Upsert.merge projects
     // the TARGET's columns only, so a genuinely new source column would
     // silently vanish from the output (and the schema check below would
@@ -2130,18 +2182,30 @@ object VersionedTable {
         // a real key value, and a plain column-name join never matches
         // it — a merge touching a NULL-keyed row would then write NO
         // envelope and every CDF consumer silently diverges
-        val hitKeys = hitRows.select(keys.map(col): _*).distinct()
         val pre = keyJoin(hitRows, srcKeys, keys, "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
-        val post = keyJoin(keyJoin(landed, srcKeys, keys, "left_semi"),
-            hitKeys, keys, "left_semi")
-          .withColumn("_change_type", lit("update_postimage"))
-        val ins = keyJoin(keyJoin(landed, srcKeys, keys, "left_semi"),
-            hitKeys, keys, "left_anti")
-          .withColumn("_change_type", lit("insert"))
+        // post + ins in ONE pass: the touched landed rows LEFT-join the
+        // (distinct) hit-key set with an explicit marker — a marked row
+        // had a pre-image (update_postimage), an unmarked one did not
+        // (insert). The old semi + anti pair computed the same split
+        // while scanning `landed` and re-deriving the hit keys twice
+        // each (r18 opt). The marker column must be explicit: the join
+        // is null-safe, so a matched NULL key still leaves the right
+        // key columns null — only `__hit` distinguishes the arms.
+        val ph = keys.indices.map(i => s"__graft_hk_$i")
+        val hitKeysM = hitRows.select(keys.map(col): _*).distinct()
+          .toDF(ph: _*).withColumn("__hit", lit(true))
+        val touched = keyJoin(landed, srcKeys, keys, "left_semi")
+        val postIns = touched.join(hitKeysM,
+            keys.zip(ph).map { case (k, p) =>
+              touched(k) <=> hitKeysM(p) }.reduce(_ && _),
+            "left")
+          .withColumn("_change_type",
+            when(col("__hit"), lit("update_postimage"))
+              .otherwise(lit("insert")))
+          .drop(ph :+ "__hit": _*)
         writeCdc(pre
-          .unionByName(post, allowMissingColumns = true)
-          .unionByName(ins, allowMissingColumns = true),
+          .unionByName(postIns, allowMissingColumns = true),
           table, hitNames.size)
       }
     // record the MERGED schema (a source can itself evolve the table —
@@ -2150,19 +2214,22 @@ object VersionedTable {
       computeStats(spark, table, added, trackedStatColumns(st))) }
     val mergeBlooms = opStage("merge", "blooms") { computeBlooms(spark,
       table, added, trackedBloomColumns(table, st), 0.03) }
-    opStage("merge", "commit") {
-    commitLoop(table, "merge", added, _ => hitNames, merged.schema.json,
-      readVersion = Some(rv),
-      // sticky indexing: the rewrite re-records whatever the table
-      // tracks for its new files — skipping must not decay under MERGE
-      stats = mergeStats,
-      bloomAdd = mergeBlooms,
-      revalidate = () => {
-        enforceAppendSchema(table, merged.schema, mergeSchema = true)
-        enforceConstraints(table, merged)
-      },
-      rebaseOverAdds = isolation == Isolation.WriteSerializable,
-      cdcAdd = cdc)
+    try opStage("merge", "commit") {
+      commitLoop(table, "merge", added, _ => hitNames, merged.schema.json,
+        readVersion = Some(rv),
+        // sticky indexing: the rewrite re-records whatever the table
+        // tracks for its new files — skipping must not decay under MERGE
+        stats = mergeStats,
+        bloomAdd = mergeBlooms,
+        revalidate = () => {
+          enforceAppendSchema(table, merged.schema, mergeSchema = true)
+          enforceConstraints(table, merged)
+        },
+        rebaseOverAdds = isolation == Isolation.WriteSerializable,
+        cdcAdd = cdc)
+    } finally {
+      srcKeys.unpersist(blocking = false)
+      hitRows.unpersist(blocking = false)
     }
   }
 
@@ -2193,9 +2260,14 @@ object VersionedTable {
     // (deleteWhereDeferred/merge/applyChanges/compactSmallFiles): a hit
     // set spanning schema evolution would otherwise infer one footer's
     // schema and rewrite the other files' survivors WITHOUT their newer
-    // columns — silent, permanent data loss
-    val hitScan = spark.read.option("mergeSchema", "true")
+    // columns — silent, permanent data loss.
+    // Persisted when CDF is on: the survivor rewrite AND the delete-
+    // envelope capture both consume it — one scan of the touched
+    // sliver, not two (the deleteWhereDeferred rationale, r18 opt)
+    val hitScan0 = spark.read.option("mergeSchema", "true")
       .parquet(hitPaths.map(p => new java.net.URI(p).getPath): _*)
+    val hitScan =
+      if (cdfEnabled(preSt.props)) hitScan0.persist() else hitScan0
     // SQL DELETE semantics: only rows where the predicate is TRUE go —
     // a NULL predicate keeps the row. (A bare `!cond` filter would drop
     // NULL-cond rows from the survivors, silently deleting them — and
@@ -2209,7 +2281,7 @@ object VersionedTable {
       if (!cdfEnabled(preSt.props)) Nil
       else writeCdc(hitScan.filter(cond)
         .withColumn("_change_type", lit("delete")), table, hitNames.size)
-    commitLoop(table, "delete", added, _ => hitNames, snap.schema.json,
+    try commitLoop(table, "delete", added, _ => hitNames, snap.schema.json,
       readVersion = Some(rv),
       stats = withSizes(table, added,
         computeStats(spark, table, added, trackedStatColumns(preSt))),
@@ -2217,6 +2289,7 @@ object VersionedTable {
         trackedBloomColumns(table, preSt), 0.03),
       rebaseOverAdds = isolation == Isolation.WriteSerializable,
       cdcAdd = cdc)
+    finally hitScan.unpersist(blocking = false)
   }
 
   /** RESTORE to `version` (Delta `RESTORE TABLE ... TO VERSION AS OF`):

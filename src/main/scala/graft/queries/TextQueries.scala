@@ -144,9 +144,14 @@ object TextQueries {
     // The grouped two-phase cut must equal the oracle's global-order
     // running-sum prefix exactly.
     "q102_budget_select" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(col("doc_id"),
-        TextStats.qualityScore(col("text")).as("score"),
-        TextStats.tokenCount(col("text")).as("toks"))
+      // snapshot the scored projection ONCE: the regex-heavy quality/
+      // token pass otherwise re-runs for every downstream action (the
+      // total agg here + selectByTokenBudget's group walk, boundary
+      // window and final filter — 4 corpus scans measured, r18 opt)
+      val scored = graft.util.Caches.snapshot(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("score"),
+          TextStats.tokenCount(col("text")).as("toks")))
       val total = scored
         .filter(col("score").isNotNull && col("toks").isNotNull &&
           col("toks") >= 0)
