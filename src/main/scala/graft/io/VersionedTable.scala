@@ -2050,8 +2050,15 @@ object VersionedTable {
   private def hitFilePaths(spark: SparkSession, table: String,
       st: TableState, schema: StructType, changedKeys: DataFrame,
       keys: Seq[String]): Seq[String] = {
+    // the bounds aggregate only pays off when at least one file records
+    // min/max (or a null count) for the key column — fileStats.nonEmpty
+    // alone is true on EVERY table (withSizes always records sizes), so
+    // a stat-less table paid one collect job per MERGE/apply just to
+    // keep every candidate anyway (r18 opt)
+    def keyHasStats(k: String): Boolean = st.fileStats.valuesIterator
+      .exists(m => m.contains(k) || m.contains(nullsKey(k)))
     val candidates =
-      if (keys.size == 1 && st.fileStats.nonEmpty) {
+      if (keys.size == 1 && keyHasStats(keys.head)) {
         val k = keys.head
         val b = changedKeys.agg(min(col(k)), max(col(k)),
           max(col(k).isNull.cast("int"))).collect()(0)
