@@ -50,9 +50,16 @@ object Tables {
     // serialize all work onto one core — spread them across the cluster at
     // load. Relational tables stay as scanned: their per-row work is
     // cheap, their aggregates/joins parallelize at the shuffle anyway, and
-    // an unconditional repartition costs more than it buys. At real scale
-    // inputs arrive multi-row-group and no spread is needed.
-    if (cpuDense(name)) df.repartition(spark.sparkContext.defaultParallelism)
+    // an unconditional repartition costs more than it buys. GATED on the
+    // scan actually being under-split (the Multimodal.spread contract,
+    // r19): at real scale inputs arrive multi-row-group with ≥cores scan
+    // partitions, and an unconditional repartition(defaultParallelism)
+    // there is a full shuffle of the table that also CAPS scan
+    // parallelism at the driver JVM's core count. The partition probe is
+    // safe here — `df` is scan-rooted with row-local transforms only.
+    val target = spark.sparkContext.defaultParallelism
+    if (cpuDense(name) && df.rdd.getNumPartitions < target)
+      df.repartition(target)
     else df
   }
 

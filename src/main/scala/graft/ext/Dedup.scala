@@ -136,26 +136,41 @@ object Dedup {
           least(col("n_a"), col("n_b")).cast(DoubleType), 6).as("overlap"))
   }
 
-  /** Per-doc shingle-hash sets (id, shset: array<long>). */
+  /** Per-doc shingle-hash sets (id, shset: array<long>), tokenless docs
+    * dropped. `rlike("\\S")` (≥1 non-whitespace char — the exact
+    * complement of the tokenizer's `\s` class, and false for NULL text)
+    * is equivalent to `size(shset) > 0` but runs on the RAW text column:
+    * filtering on the computed shset instead would push the predicate
+    * below the projection and evaluate the whole gram-hash pipeline
+    * twice per row (the guide §4.4 duplication). Dropping these rows is
+    * output-neutral for every consumer — the explode-based signature
+    * aggregation dropped them implicitly (no rows → no group), and the
+    * verification joins are inner joins on candidate ids, which only
+    * ever name docs that HAVE signatures. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-      Shingles.shingleHashSet(col(textCol), shingleSize).as("shset"))
+    docs.filter(col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"),
+        Shingles.shingleHashSet(col(textCol), shingleSize).as("shset"))
 
-  /** MinHash signature per doc: explode the shingle-hash set and reduce
-    * with the one-permutation MinHash aggregate
-    * (graft.functions.MinHashAgg — one mask+compare per shingle instead of
-    * k hash evaluations; rotation densification for short docs). One
-    * shuffle on the doc id with map-side combine.
+  /** MinHash signature per doc, computed ROW-LOCALLY over the shingle-hash
+    * set (graft.functions.MinHashArray — the one-permutation kernel folded
+    * over the array in place). Bit-identical to the old explode +
+    * MinHashAgg aggregation (shared MinHashOph kernel; min is
+    * order-independent) at zero shuffles instead of one per call — the
+    * signature is a pure per-row function, so the explode + two-stage
+    * aggregate bought nothing but an exchange of the whole corpus
+    * (guide §2.4). Docs with EMPTY shingle sets are dropped, exactly as
+    * `explode` dropped them (no rows → no group → no signature).
     * Returns (id, sig: array<long>[numHashes]). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
     sigsFromSets(shingleSets(docs, idCol, textCol, shingleSize), numHashes)
 
   private def sigsFromSets(sets: DataFrame, numHashes: Int): DataFrame =
-    sets.select(col("id"), explode(col("shset")).as("h"))
-      .groupBy(col("id"))
-      .agg(graft.functions.MinHashAgg.minhash(col("h"), numHashes).as("sig"))
+    sets.select(col("id"),
+      graft.functions.MinHashArray.minhash(col("shset"), numHashes)
+        .as("sig"))
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
     * Jaccard over shingle-hash sets. `numHashes = bands * rowsPerBand`.
@@ -182,40 +197,43 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     import graft.util.Stages.{time => stageT}
     val numHashes = bands * rowsPerBand
-    // persisted: sets feed both signature building and (twice) the exact
-    // verification join; banded feeds both sides of the candidate
-    // self-join — without caching each branch would recompute the whole
-    // shingle/signature pipeline
-    val sets = shingleSets(docs, idCol, textCol, shingleSize).persist()
-    // force each cached stage ONCE before fan-out: the final action would
+    // ONE narrow cached projection carries the shingle sets, the
+    // row-local MinHash signatures AND the 128-bit signature keys
+    // (r19: MinHashArray removed the explode+aggregate shuffle, which
+    // also collapses the former sets/withSigKey cache pair into one
+    // frame and one fill action). It feeds the cluster aggregate, the
+    // member join and (twice) the exact verification join. Tokenless
+    // docs are dropped inside shingleSets, exactly as the exploded
+    // aggregation dropped them; such docs never joined a candidate pair.
+    //
+    // Signature grouping/joining rides a 128-bit hash of the signature
+    // (two independent xxhash64 streams), not the array itself: the
+    // 32-long array key is ~16× the bytes and element-wise to compare
+    // on the hottest dedup shuffle, while a 128-bit collision needs
+    // ~2^64 DISTINCT signatures before the birthday bound bites (at
+    // 10^9 distinct sigs the any-collision probability is ~10^-21). A
+    // single 64-bit key would NOT be safe here (birthday-collides at
+    // ~10^9 with real probability, silently merging unrelated groups).
+    val keyed = shingleSets(docs, idCol, textCol, shingleSize)
+      .select(col("id"), col("shset"),
+        graft.functions.MinHashArray.minhash(col("shset"), numHashes)
+          .as("sig"))
+      .select(col("id"), col("shset"), col("sig"),
+        xxhash64(col("sig")).as("__sk1"),
+        xxhash64(col("sig"), lit(1L)).as("__sk2"))
+      .persist()
+    // force the cache ONCE before fan-out: the final action would
     // otherwise launch its branch stages concurrently and they'd race to
     // fill the cache, recomputing the shingle pipeline per branch
-    stageT("lsh", "shingle-sets") { sets.count() }
-    val sigs = sigsFromSets(sets, numHashes)
-
-    // identical signatures cluster first: linear rep→member candidates
-    // instead of a quadratic band bucket (duplicate-heavy corpora).
-    // Group/join on a 128-bit hash of the signature (two independent
-    // xxhash64 streams), not the array itself: the 32-long array key is
-    // ~16× the bytes and element-wise to compare on the hottest dedup
-    // shuffle, while a 128-bit collision needs ~2^64 DISTINCT signatures
-    // before the birthday bound bites (at 10^9 distinct sigs the
-    // any-collision probability is ~10^-21) — the same practical safety
-    // at a fraction of the shuffle weight. A single 64-bit key would NOT
-    // be safe here (birthday-collides at ~10^9 with real probability,
-    // silently merging unrelated groups); 128 bits is the floor.
-    val withSigKey = sigs.select(col("id"), col("sig"),
-      xxhash64(col("sig")).as("__sk1"),
-      xxhash64(col("sig"), lit(1L)).as("__sk2")).persist()
-    stageT("lsh", "signatures") { withSigKey.count() }
+    stageT("lsh", "sets+signatures") { keyed.count() }
     // min_by carries the rep's own sig array out of the SAME aggregate
     // (the sigReps shape): recovering it with a left_semi join back
-    // against withSigKey paid one extra shuffle of the full keyed
+    // against keyed paid one extra shuffle of the full keyed
     // signature set on the hottest dedup path
-    val clusters = withSigKey.groupBy(col("__sk1"), col("__sk2"))
+    val clusters = keyed.groupBy(col("__sk1"), col("__sk2"))
       .agg(min(col("id")).as("rep"),
         min_by(col("sig"), col("id")).as("__repsig"))
-    val dupCand = withSigKey
+    val dupCand = keyed
       .join(clusters.select("__sk1", "__sk2", "rep"), Seq("__sk1", "__sk2"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("a"), col("id").as("b"))
@@ -235,18 +253,23 @@ object Dedup {
 
     // eager snapshot: materialize the (small) verified pair set, then
     // release the intermediate caches — repeated calls in a long-lived
-    // session must not accumulate cached blocks (util.Caches contract)
+    // session must not accumulate cached blocks (util.Caches contract).
+    // Only the band side needs the pair dedup: a band pair can repeat
+    // across bands, while dupCand pairs are unique by construction (one
+    // signature group per id) and DISJOINT from band pairs (a dupCand
+    // `b` is a non-rep member; band pairs join reps only) — so dupCand
+    // rows skip the dropDuplicates exchange entirely (guide §2.4).
     val result = stageT("lsh", "candidates+verify") {
       graft.util.Caches.snapshot(
-        dupCand.unionByName(bandCand).dropDuplicates("a", "b")
-          .join(sets.select(col("id").as("a"), col("shset").as("sh_a")),
+        dupCand.unionByName(bandCand.dropDuplicates("a", "b"))
+          .join(keyed.select(col("id").as("a"), col("shset").as("sh_a")),
             Seq("a"))
-          .join(sets.select(col("id").as("b"), col("shset").as("sh_b")),
+          .join(keyed.select(col("id").as("b"), col("shset").as("sh_b")),
             Seq("b"))
           .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= minJaccard)
           .select(col("a"), col("b"), col("jaccard"))) }
-    sets.unpersist(); withSigKey.unpersist(); banded.unpersist()
+    keyed.unpersist(); banded.unpersist()
     result
   }
 
@@ -344,16 +367,23 @@ object Dedup {
 
   /** 64-bit SimHash per doc from token hashes: bit j of the signature is
     * set iff more tokens have bit j set than clear (count-weighted).
-    * Explode → ONE imperative mergeable aggregate
-    * (graft.functions.SimHashAgg: 65-long buffer, map-side combine) —
-    * one shuffle on the doc id. */
+    * Computed ROW-LOCALLY (graft.functions.SimHashArray folds the
+    * per-token hash array in place) — bit-identical to the old explode +
+    * SimHashAgg aggregation at ZERO shuffles instead of one corpus-keyed
+    * exchange per call (guide §2.4; the r19 MinHashArray twin). The
+    * `rlike("\\S")` filter (≥1 token; false for NULL text) reproduces
+    * explode's implicit drop of tokenless docs — without it an empty doc
+    * would emit signature 0L and spuriously cluster with any genuine
+    * doc whose bit-majorities all tie low. */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       hash: Column => Column = xxhash64(_)): DataFrame =
-    docs.select(col(idCol),
-      explode(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))).as("tok"))
-      .select(col(idCol), hash(col("tok")).as("h"))
-      .groupBy(col(idCol))
-      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("simhash"))
+    docs.filter(col(textCol).rlike("\\S"))
+      .select(col(idCol),
+        transform(
+          regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)),
+          t => hash(t)).as("__hs"))
+      .select(col(idCol),
+        graft.functions.SimHashArray.simhash(col("__hs")).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming`, candidates via 4×16-bit
     * band blocking (any pair within Hamming distance 3 shares at least one
@@ -651,8 +681,17 @@ object Dedup {
 
   def buildNearDupIndex(kept: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      maxBucketSize: Int = 1000): NearDupIndex = {
-    val sets = shingleSets(kept, idCol, textCol, shingleSize)
+      maxBucketSize: Int = 1000): NearDupIndex =
+    buildIndexFromSets(shingleSets(kept, idCol, textCol, shingleSize),
+      shingleSize, bands, rowsPerBand, maxBucketSize)
+
+  /** [[buildNearDupIndex]] over already-derived (and possibly cached)
+    * shingle sets — lets a caller that persists the sets anyway (the
+    * throwaway-index overload below) pay ONE kept pass instead of two
+    * (the banded snapshot then reads the cache instead of re-running
+    * the whole shingle pipeline). */
+  private def buildIndexFromSets(sets: DataFrame, shingleSize: Int,
+      bands: Int, rowsPerBand: Int, maxBucketSize: Int): NearDupIndex = {
     // band one rep per distinct signature (duplicate-heavy guard, same as
     // minHashLsh): a new copy of kept boilerplate matches the rep — and
     // rep verification (exact Jaccard vs the rep's shingle set) decides
@@ -685,9 +724,20 @@ object Dedup {
       idCol: String, textCol: String, minJaccard: Double,
       maxBucketSize: Int): DataFrame = {
     import graft.util.Stages.{time => stageT}
-    val newSets = shingleSets(newDocs, idCol, textCol, index.shingleSize)
+    // ONE narrow cached projection carries the delta's shingle sets,
+    // row-local MinHash signatures and 128-bit signature keys (r19: the
+    // explode+aggregate signature shuffle is gone — MinHashArray — and
+    // with it the separate newSets/newSigs cache pair and one fill
+    // action per call). Feeds reps, memberOf and the verify attach.
+    val newKeyed = shingleSets(newDocs, idCol, textCol, index.shingleSize)
+      .select(col("id"), col("shset"),
+        graft.functions.MinHashArray.minhash(col("shset"),
+          index.bands * index.rowsPerBand).as("sig"))
+      .select(col("id"), col("shset"), col("sig"),
+        xxhash64(col("sig")).as("__sk1"),
+        xxhash64(col("sig"), lit(1L)).as("__sk2"))
       .persist()
-    stageT("incdup", "new-sets") { newSets.count() }
+    stageT("incdup", "new-sets+sigs") { newKeyed.count() }
     // duplicate-heavy DELTA guard (mirrors the batch path's sigReps): band
     // ONE representative per distinct signature. Banding members
     // individually means a delta carrying >maxBucketSize copies of the
@@ -695,28 +745,21 @@ object Dedup {
     // drops them all, and every copy silently survives. Non-rep members
     // inherit their rep's candidates (plus a member→rep candidate), all
     // exact-Jaccard verified against each member's own shingle set.
-    // persisted: newSigs feeds BOTH reps and memberOf — without the cache
-    // the delta's explode+MinHash shuffle would run twice per call. The
-    // reps.count() action below populates it (actions here are
-    // sequential — no branch race). Signature grouping/joining is on the
-    // compact 128-bit hash key (see minHashLsh's cluster step), with the
-    // rep's own sig array riding along via min_by for banding.
-    val newSigs = sigsFromSets(newSets, index.bands * index.rowsPerBand)
-      .select(col("id"), col("sig"),
-        xxhash64(col("sig")).as("__sk1"),
-        xxhash64(col("sig"), lit(1L)).as("__sk2"))
-      .persist()
-    val reps = newSigs.groupBy(col("__sk1"), col("__sk2"))
+    // Signature grouping/joining is on the compact 128-bit hash key (see
+    // minHashLsh's cluster step), with the rep's own sig array riding
+    // along via min_by for banding.
+    val reps = newKeyed.groupBy(col("__sk1"), col("__sk2"))
       .agg(min(col("id")).as("rep_id"),
         min_by(col("sig"), col("id")).as("sig"))
       .persist()
-    stageT("incdup", "new-sigs+reps") { reps.count() }
-    val memberOf = newSigs
+    stageT("incdup", "new-reps") { reps.count() }
+    // NOT persisted (r19): both consumers (candidate expansion and the
+    // member→rep intra pairs) join two already-cached inputs — letting
+    // the tiny join evaluate twice is cheaper than a fill action per call
+    val memberOf = newKeyed
       .join(reps.select(col("__sk1"), col("__sk2"), col("rep_id")),
         Seq("__sk1", "__sk2"))
       .select(col("id"), col("rep_id"))
-      .persist()
-    stageT("incdup", "member-of") { memberOf.count() }
     val newBand = bandify(reps.select(col("rep_id").as("id"), col("sig")),
       index.bands, index.rowsPerBand).persist()
     stageT("incdup", "new-banding") { newBand.count() }
@@ -771,7 +814,8 @@ object Dedup {
     val intraGroup = memberOf.filter(col("id") =!= col("rep_id"))
       .select(col("id").as("new_id"), col("rep_id").as("matched_id"),
         lit(false).as("matched_kept"))
-    val allSets = index.sets.unionByName(newSets)
+    val allSets = index.sets
+      .unionByName(newKeyed.select(col("id"), col("shset")))
     // broadcast ID-ONLY candidate pairs into the kept-set attach (the
     // kept shingle sets stream map-side); the new side's shingle sets
     // attach AFTER, as their own delta-sized broadcast. Attaching sh_n
@@ -784,14 +828,14 @@ object Dedup {
       graft.util.Caches.snapshot(allSets
         .select(col("id").as("matched_id"), col("shset").as("sh_m"))
         .join(broadcast(candIds), Seq("matched_id"))
-        .join(broadcast(newSets.select(col("id").as("new_id"),
+        .join(broadcast(newKeyed.select(col("id").as("new_id"),
           col("shset").as("sh_n"))), Seq("new_id"))
         .withColumn("jaccard", Shingles.jaccard(col("sh_n"), col("sh_m")))
         .filter(col("jaccard") >= minJaccard)
         .select(col("new_id"), col("matched_id"), col("jaccard"),
           col("matched_kept"))) }
-    newSets.unpersist(); newBand.unpersist(); reps.unpersist()
-    memberOf.unpersist(); newSigs.unpersist(); keptTouched.unpersist()
+    newKeyed.unpersist(); newBand.unpersist(); reps.unpersist()
+    keptTouched.unpersist()
     result
   }
 
@@ -804,11 +848,17 @@ object Dedup {
       rowsPerBand: Int = 4, minJaccard: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     val idx = graft.util.Stages.time("incdup", "index-build") {
-      val idx0 = buildNearDupIndex(kept, idCol, textCol, shingleSize, bands,
+      // persist + fill the kept shingle sets BEFORE the banded snapshot
+      // runs: built the other way around, the snapshot evaluated the
+      // whole kept shingle pipeline once for the banded table and the
+      // sets fill paid a SECOND full kept pass right after (r19 — one
+      // kept scan per throwaway index, not two)
+      val sets = shingleSets(kept, idCol, textCol, shingleSize).persist()
+      sets.count()
+      val idx0 = buildIndexFromSets(sets, shingleSize, bands,
         rowsPerBand, maxBucketSize)
-      val i = idx0.copy(sets = idx0.sets.persist(),
-        banded = idx0.banded.persist())
-      i.sets.count(); i.banded.count()
+      val i = idx0.copy(banded = idx0.banded.persist())
+      i.banded.count()
       i
     }
     val result = incrementalNearDupMatches(newDocs, idx, idCol, textCol,

@@ -95,11 +95,15 @@ object Graph {
       dm = org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty(obs)
         .get("dm") match {
           case Some(v: java.lang.Double) => v.doubleValue()
-          case Some(null) | None =>
+          case Some(v: java.lang.Number) => v.doubleValue()
+          // anything else (null, absent, or a non-numeric surprise from
+          // a metrics-plumbing change) takes the safe explicit-aggregate
+          // path — a glitch there must degrade to one extra job, never
+          // fail the whole pageRank with a NumberFormatException
+          case _ =>
             next.filter(col("__dang"))
               .agg(coalesce(sum(col("rank")), lit(0.0)))
               .head().getDouble(0)
-          case Some(other) => other.toString.toDouble
         }
       used += 1
       if (tol > 0) {

@@ -45,15 +45,22 @@ object TextPipeline {
 
     import graft.util.Stages.{time => stage}
     val input = maybeCount(docs)
-    val filtered = docs
+    val filtered0 = docs
       .withColumn("__norm", TextStats.normalizeText(t))
       .filter(length(col("__norm")) >= minChars &&
         TextStats.qualityScore(t) >= minQuality &&
         TextStats.repetitionRatio(t) <= maxRepetition &&
         langOk)
-      .persist()
+    // `filtered` has exactly ONE downstream consumer (the exact-dedup
+    // window below), so its persist+count buys nothing but the
+    // afterRuleFilter stat — with stats off, skip the extra corpus
+    // materialization pass entirely and let exact's fill run the filter
+    // chain once (r19; guide §1.2 — don't compute what you throw away)
+    val filtered = if (computeStats) filtered0.persist() else filtered0
     // the materializing counts double as (free) stage stats
-    val afterFilter = stage("curate", "rule-filter") { filtered.count() }
+    val afterFilter =
+      if (computeStats) stage("curate", "rule-filter") { filtered.count() }
+      else -1L
 
     // exact dedup: survivors are min-id per content hash. Same rule as
     // [[Dedup.exactDedup]] (min id per md5(__norm)) expressed as ONE
@@ -62,6 +69,20 @@ object TextPipeline {
     // groupBy(min id) + semi-join kept, at a third of the shuffles
     // (r18 opt; the groupBy + semi-join form shuffled the corpus three
     // times: hash agg, then both SMJ sides on the id).
+    //
+    // PRECONDITION (the curate contract): idCol is unique per row. With
+    // duplicate ids the old form kept EVERY row bearing the surviving
+    // id while row_number keeps one arbitrary row among tied ids.
+    //
+    // Skew bound (r19 audit): the window has no partial aggregation, so
+    // ONE task sees every copy of a given content hash — a corpus that
+    // is mostly copies of one document serializes that group on a
+    // single task. Kept deliberately: the skew unit is rows-per-
+    // identical-document (cheap — the window only ranks by id), AQE
+    // splits cannot help any form keyed on the same hash, and the
+    // alternative (salted two-level min + a semi-join on the survivor
+    // ids) pays TWO more corpus-scale shuffles on every healthy corpus
+    // to shave one straggler task on a pathological one.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("__norm"))).orderBy(col(idCol))
     val exact = filtered
@@ -69,7 +90,7 @@ object TextPipeline {
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
     val afterExact = stage("curate", "exact-dedup") { exact.count() }
-    filtered.unpersist()
+    if (computeStats) { filtered.unpersist(); () }
 
     // eager snapshot (Caches contract), taken while `exact` is still
     // cached: the plan anti-joins against exact, and materializing after

@@ -96,3 +96,67 @@ object SimHashAgg {
     Bridge.column(
       SimHashAgg(Bridge.expression(tokenHash)).toAggregateExpression())
 }
+
+/** Row-local SimHash over a token-hash ARRAY column — the same signature
+  * [[SimHashAgg]] produces from the exploded rows (bit-majority counts
+  * are order-independent), without the explode + two-stage aggregation:
+  * the signature is a pure per-row function of the token-hash multiset,
+  * so computing it needs NO shuffle (guide §2.4 — remove shuffles
+  * outright; the r19 twin of [[MinHashArray]]). NULL elements are
+  * skipped exactly as the aggregate skips NULL inputs; an empty (or
+  * all-null) array yields signature 0L — callers that relied on
+  * `explode` dropping tokenless docs must filter them out themselves
+  * (a genuine document can also legitimately hash to 0L, so 0 is NOT
+  * an empty-doc marker). */
+case class SimHashArray(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with Serializable {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_array input must be ARRAY<BIGINT> (64-bit token " +
+            s"hashes), got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val counts = new Array[Long](64)
+    var n = 0L
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) { counts(j) += (h >>> j) & 1L; j += 1 }
+        n += 1L
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) * 2 > n) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashArray =
+    copy(child = c)
+}
+
+object SimHashArray {
+  /** Row-local Column form: SimHash of a token-hash array column
+    * (bit-identical to `simhash_agg` over the exploded elements). */
+  def simhash(tokenHashes: Column): Column =
+    Bridge.column(SimHashArray(Bridge.expression(tokenHashes)))
+}

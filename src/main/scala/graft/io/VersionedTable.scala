@@ -1868,8 +1868,14 @@ object VersionedTable {
       // unpersisted it re-evaluated once per consumer below — the
       // survivor write, the changed-key bounds agg + hit semi-join, and
       // every CDF capture join: ~6 evaluations per apply (r18 opt).
-      // Released in the finally at the bottom of this block.
-      val feedP = feed.persist()
+      // Released in the finally at the bottom of this block — UNLESS the
+      // caller already persisted this exact frame (e.g. replaying one
+      // changeFeed into several mirrors): Spark's CacheManager is
+      // plan-keyed, not reference-counted, so persist+unpersist here
+      // would silently drop the caller's cache after the first apply.
+      val feedOwned =
+        feed.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      val feedP = if (feedOwned) feed.persist() else feed
       val upserts = feedP.filter(col("_change_type")
         .isin("insert", "update_postimage")).drop("_change_type")
       // preimages are informational; every other change type names a key
@@ -1973,28 +1979,33 @@ object VersionedTable {
             else {
               val old = hitScan
               val ph = keys.indices.map(i => s"__graft_ck_$i")
+              // working/marker columns use the same collision-resistant
+              // __graft_ prefix as the key placeholders: a DATA column
+              // literally named "__hit"/"__ct" is legal in a feed, and a
+              // bare col() reference would then be ambiguous and fail
+              // the whole CDC write with an AnalysisException
               val keyOps = feedP
                 .filter(col("_change_type") =!= "update_preimage")
                 .select(keys.map(col) :+
                   when(col("_change_type") === "delete", lit("delete"))
-                    .otherwise(lit("update_preimage")).as("__ct"): _*)
+                    .otherwise(lit("update_preimage")).as("__graft_ct"): _*)
                 .distinct()
-                .toDF(ph :+ "__ct": _*)
+                .toDF(ph :+ "__graft_ct": _*)
               val oldPart = old.join(keyOps,
                   keys.zip(ph).map { case (k, p) =>
                     old(k) <=> keyOps(p) }.reduce(_ && _))
-                .withColumn("_change_type", col("__ct"))
-                .drop(ph :+ "__ct": _*)
+                .withColumn("_change_type", col("__graft_ct"))
+                .drop(ph :+ "__graft_ct": _*)
               val oldKeysM = old.select(keys.map(col): _*).distinct()
-                .toDF(ph: _*).withColumn("__hit", lit(true))
+                .toDF(ph: _*).withColumn("__graft_hit", lit(true))
               val postIns = upserts.join(oldKeysM,
                   keys.zip(ph).map { case (k, p) =>
                     upserts(k) <=> oldKeysM(p) }.reduce(_ && _),
                   "left")
                 .withColumn("_change_type",
-                  when(col("__hit"), lit("update_postimage"))
+                  when(col("__graft_hit"), lit("update_postimage"))
                     .otherwise(lit("insert")))
-                .drop(ph :+ "__hit": _*)
+                .drop(ph :+ "__graft_hit": _*)
               writeCdc(oldPart
                 .unionByName(postIns, allowMissingColumns = true),
                 table, hitNames.size)
@@ -2017,7 +2028,7 @@ object VersionedTable {
       }
       } finally {
         changedKeys.unpersist(blocking = false)
-        feedP.unpersist(blocking = false)
+        if (feedOwned) feedP.unpersist(blocking = false)
       }
     }
   }
@@ -2198,19 +2209,21 @@ object VersionedTable {
         // while scanning `landed` and re-deriving the hit keys twice
         // each (r18 opt). The marker column must be explicit: the join
         // is null-safe, so a matched NULL key still leaves the right
-        // key columns null — only `__hit` distinguishes the arms.
+        // key columns null — only the marker distinguishes the arms.
+        // Marker named with the __graft_ placeholder prefix: a DATA
+        // column "__hit" is legal and a bare name would be ambiguous.
         val ph = keys.indices.map(i => s"__graft_hk_$i")
         val hitKeysM = hitRows.select(keys.map(col): _*).distinct()
-          .toDF(ph: _*).withColumn("__hit", lit(true))
+          .toDF(ph: _*).withColumn("__graft_hit", lit(true))
         val touched = keyJoin(landed, srcKeys, keys, "left_semi")
         val postIns = touched.join(hitKeysM,
             keys.zip(ph).map { case (k, p) =>
               touched(k) <=> hitKeysM(p) }.reduce(_ && _),
             "left")
           .withColumn("_change_type",
-            when(col("__hit"), lit("update_postimage"))
+            when(col("__graft_hit"), lit("update_postimage"))
               .otherwise(lit("insert")))
-          .drop(ph :+ "__hit": _*)
+          .drop(ph :+ "__graft_hit": _*)
         writeCdc(pre
           .unionByName(postIns, allowMissingColumns = true),
           table, hitNames.size)

@@ -278,6 +278,51 @@ class PropertiesSpec extends SparkSpec {
     assert(e2.getMessage.contains("BIGINT"))
   }
 
+  test("minhash_array equals minhash_agg over the exploded elements") {
+    // the r19 shuffle-removal rewrite (row-local signatures) is only
+    // sound if the array form is BIT-IDENTICAL to the aggregate the
+    // near-dup pipelines used before — pin it over randomized hash sets,
+    // including short docs (densification path) and negative hashes
+    val arrGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check("minhash array/agg parity", Prop.forAll(arrGen) { hs =>
+      val df = Seq((1L, hs.distinct)).toDF("id", "shset")
+      val viaArray = df.select(
+        graft.functions.MinHashArray.minhash(col("shset"), 32).as("sig"))
+        .head().getSeq[Long](0)
+      val viaAgg = df.select(col("id"), explode(col("shset")).as("h"))
+        .groupBy(col("id"))
+        .agg(graft.functions.MinHashAgg.minhash(col("h"), 32).as("sig"))
+        .head().getSeq[Long](1)
+      viaArray == viaAgg
+    })
+    // empty set: the array form densifies to all -1; callers filter
+    // size(shset) > 0 to reproduce explode's drop — pin the sentinel so
+    // a silent behavior change there cannot hide
+    val empty = Seq((1L, Seq.empty[Long])).toDF("id", "shset")
+      .select(graft.functions.MinHashArray.minhash(col("shset"), 8).as("sig"))
+      .head().getSeq[Long](0)
+    assert(empty == Seq.fill(8)(-1L))
+  }
+
+  test("simhash_array equals simhash_agg over the exploded elements") {
+    // same pinning rationale as the minhash parity test above: the
+    // row-local rewrite must be bit-identical to the aggregate,
+    // including duplicate hashes (multiset counts) and exact bit ties
+    val arrGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check("simhash array/agg parity", Prop.forAll(arrGen) { hs =>
+      val df = Seq((1L, hs ++ hs.take(2))).toDF("id", "hs") // force dups
+      val viaArray = df.select(
+        graft.functions.SimHashArray.simhash(col("hs"))).head().getLong(0)
+      val viaAgg = df.select(col("id"), explode(col("hs")).as("h"))
+        .groupBy(col("id"))
+        .agg(graft.functions.SimHashAgg.simhash(col("h")))
+        .head().getLong(1)
+      viaArray == viaAgg
+    })
+  }
+
   test("misra_gries candidates sort in UTF-8 binary order, not UTF-16") {
     GraftExtensions.register(spark)
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes but AFTER it in UTF-16
