@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default heap sized for a local[32] driver+executor JVM on this
+  // class of host (128 GiB sandbox): at 8g, 32 concurrent decode/agg
+  // tasks thrash G1 (measured r19: q46 spent 26 s in GC per run at 8g,
+  // 1 s at 24g). Still env-overridable for smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

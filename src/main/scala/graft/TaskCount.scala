@@ -1,5 +1,6 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.spark.scheduler._
@@ -30,9 +31,17 @@ object TaskCount {
     val taskNanos = new AtomicLong
     val deserNanos = new AtomicLong
     val gcMillis = new AtomicLong
+    // per-stage attribution: stageId -> (name, tasks, runMs, cpuMs)
+    val byStage = new ConcurrentHashMap[Int, (String, Long, Long, Long)]()
+    val stageNames = new ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         { jobs.incrementAndGet(); () }
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+        stageNames.put(s.stageInfo.stageId,
+          s.stageInfo.name.takeWhile(_ != '\n').take(60))
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         { stages.incrementAndGet(); () }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -42,6 +51,10 @@ object TaskCount {
           taskNanos.addAndGet(m.executorRunTime * 1000000L)
           deserNanos.addAndGet(m.executorDeserializeTime * 1000000L)
           gcMillis.addAndGet(m.jvmGCTime)
+          byStage.merge(t.stageId,
+            (stageNames.getOrDefault(t.stageId, "?"), 1L,
+              m.executorRunTime, m.executorCpuTime / 1000000L),
+            (a, b) => (a._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
         }
         ()
       }
@@ -55,6 +68,7 @@ object TaskCount {
       Thread.sleep(500)
       jobs.set(0); stages.set(0); tasks.set(0)
       taskNanos.set(0); deserNanos.set(0); gcMillis.set(0)
+      byStage.clear(); stageNames.clear()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -64,6 +78,12 @@ object TaskCount {
         f"taskTime=${taskNanos.get / 1e9}%.2f s " +
         f"deser=${deserNanos.get / 1e9}%.2f s " +
         f"gc=${gcMillis.get / 1e3}%.2f s ($n rows)")
+      import scala.jdk.CollectionConverters._
+      byStage.asScala.toSeq.sortBy(-_._2._3).take(6).foreach {
+        case (sid, (nm, nt, runMs, cpuMs)) =>
+          println(f"[taskcount]   stage $sid%4d tasks=$nt%4d " +
+            f"run=${runMs / 1e3}%7.2f s cpu=${cpuMs / 1e3}%7.2f s  $nm")
+      }
     }
     spark.stop()
   }

@@ -31,6 +31,78 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's DEFAULT stream cache is DISK-backed: every
+  // createImageInputStream / write(OutputStream) spools the payload
+  // through a FileCache temp FILE — one create/write/delete in
+  // java.io.tmpdir per decoded or encoded asset, even when the bytes
+  // are already an in-memory array. Under a many-core executor the
+  // decode tasks then serialize on temp-file creation (measured r19,
+  // local[32] sf0.1: q82's aggregate task time 151-205 s vs 7.6-12 s at
+  // 8 threads — ~15× CPU inflation that vanished with the memory
+  // cache). All payloads on this path are in-memory byte arrays, so the
+  // memory cache is strictly better at any scale. JVM-global by API
+  // design; executors touch this object before any ImageIO call.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  // javax.sound's STATIC entry points (AudioSystem.getAudioInputStream /
+  // AudioSystem.write) re-run a ServiceLoader provider scan on EVERY
+  // call, under one global class lock — and inside a Spark task the
+  // scan walks the executor classloader's whole classpath for
+  // META-INF/services entries. 32 decode tasks then convoy on that
+  // lock: measured r19 (TaskCount per-stage, local[32] sf0.1), q90's
+  // fingerprint stage ran 32 tasks × ~3 s WALL with only ~0.1 s CPU
+  // each — 62-97 s of aggregate blocked time for ~1 s of decode work.
+  // Loading the SPI providers ONCE and iterating them directly is the
+  // same first-accepting-reader contract AudioSystem implements (each
+  // JDK audio format is accepted by exactly one shipped reader, so
+  // provider order cannot change which one decodes), minus the per-call
+  // scan and lock.
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+      .iterator().asScala.toSeq
+  }
+  private lazy val audioWriters
+      : Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+        classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+      .iterator().asScala.toSeq
+  }
+
+  /** [[javax.sound.sampled.AudioSystem.getAudioInputStream]] minus the
+    * per-call provider scan: first reader that accepts the (markable)
+    * stream wins; None when no installed reader recognises the bytes —
+    * callers fall back to the stub exactly as they did on
+    * UnsupportedAudioFileException. */
+  private def audioInputStream(bytes: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    audioReaders.iterator.flatMap { r =>
+      try Some(r.getAudioInputStream(in))
+      catch {
+        // the SPI contract: a rejecting reader resets the stream
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      }
+    }.nextOption()
+  }
+
+  /** [[javax.sound.sampled.AudioSystem.write]] (WAVE to a stream) minus
+    * the per-call provider scan — same first-supporting-writer rule. */
+  private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(t, ais)) match {
+      case Some(w) => w.write(ais, t, out); ()
+      case None => throw new IllegalArgumentException(
+        "no installed WAVE writer supports this stream")
+    }
+  }
+
   /** Asset row: opaque payload + typed metadata (the lakehouse pattern for
     * multimodal training data: bytes in the column, facts in metadata). */
   final case class MediaAsset(
@@ -292,8 +364,7 @@ object Multimodal {
     val bytes = Option(a.content).getOrElse(Array.emptyByteArray)
     if (bytes.isEmpty) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = audioInputStream(bytes).getOrElse(return None)
       try {
         val fmt = ais.getFormat
         val frames = ais.getFrameLength
@@ -482,8 +553,7 @@ object Multimodal {
   private[ext] def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
     if (bytes.isEmpty) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = audioInputStream(bytes).getOrElse(return None)
       try {
         val fmt = ais.getFormat
         val frames = ais.getFrameLength
@@ -711,10 +781,9 @@ object Multimodal {
           i += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
+        writeWave(
           new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(data), fmt, n.toLong),
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong), bos)
         val wav = bos.toByteArray
         MediaAsset(id, "audio", wav, s"synthetic-wav://$id", wav.length.toLong)
       }
