@@ -34,9 +34,28 @@ object TaskCount {
     // per-stage attribution: stageId -> (name, tasks, runMs, cpuMs)
     val byStage = new ConcurrentHashMap[Int, (String, Long, Long, Long)]()
     val stageNames = new ConcurrentHashMap[Int, String]()
+    // job callsites with wall attribution: jobId -> (site, t0)
+    val jobSites = new ConcurrentHashMap[Int, (String, Long)]()
+    val bySite = new ConcurrentHashMap[String, (Long, Long)]() // n, wallMs
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(j.stageInfos.lastOption
+            .map(_.name.takeWhile(_ != '\n').take(60)))
+          .getOrElse("?")
+        jobSites.put(j.jobId, (site, System.nanoTime()))
+        ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(jobSites.remove(j.jobId)).foreach { case (site, t0) =>
+          val ms = (System.nanoTime() - t0) / 1000000L
+          bySite.merge(site, (1L, ms),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
+        ()
+      }
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
         stageNames.put(s.stageInfo.stageId,
           s.stageInfo.name.takeWhile(_ != '\n').take(60))
@@ -61,14 +80,20 @@ object TaskCount {
     }
     spark.sparkContext.addSparkListener(listener)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val fixtures = (graft.queries.VersionedQueries.fixtureGroups ++
+      graft.queries.VectorQueries.fixtureGroups).toMap
     args.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame =
+        SparkEntry.queries.getOrElse(name,
+          // fixture keys profile their build (counted as 0 rows)
+          (s, d) => { fixtures(name)(s, d); s.range(0).toDF() })
       // settle listener events from the previous query (the bus is
       // private[spark]; a short quiesce is enough for a dev profiler)
       Thread.sleep(500)
       jobs.set(0); stages.set(0); tasks.set(0)
       taskNanos.set(0); deserNanos.set(0); gcMillis.set(0)
-      byStage.clear(); stageNames.clear()
+      byStage.clear(); stageNames.clear(); bySite.clear(); jobSites.clear()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -83,6 +108,10 @@ object TaskCount {
         case (sid, (nm, nt, runMs, cpuMs)) =>
           println(f"[taskcount]   stage $sid%4d tasks=$nt%4d " +
             f"run=${runMs / 1e3}%7.2f s cpu=${cpuMs / 1e3}%7.2f s  $nm")
+      }
+      bySite.asScala.toSeq.sortBy(-_._2._2).take(10).foreach {
+        case (site, (nj, wallMs)) =>
+          println(f"[taskcount]   jobs $nj%3d wall=${wallMs / 1e3}%7.2f s  $site")
       }
     }
     spark.stop()
