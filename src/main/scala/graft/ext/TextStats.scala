@@ -89,14 +89,16 @@ object TextStats {
   }
 
   /** Within-document repetition: 1 − distinct/total word n-grams (the
-    * Gopher/C4-style duplicated-n-gram quality filter). Let-bound so the
-    * shingle pipeline runs once per row. */
+    * Gopher/C4-style duplicated-n-gram quality filter). Native one-pass
+    * expression ([[graft.functions.GramRepetition]], r19): the HOF form
+    * built every shingle STRING through interpreted per-window lambdas —
+    * on the curate rule filter that dominated the whole projection.
+    * Values identical to the string form absent a within-doc 64-bit gram
+    * fold collision (the q62/q78 hash-equality caveat). */
   def repetitionRatio(text: Column, n: Int = 3): Column =
-    element_at(transform(array(Shingles.wordShingles(text, n)), sh =>
-      when(size(sh) > 0,
-        lit(1.0) - size(array_distinct(sh)).cast(DoubleType) /
-          size(sh).cast(DoubleType))
-        .otherwise(lit(0.0))), 1)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.GramRepetition(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), n))
 
   /** PII-style redaction: emails, 16-digit card-ish numbers, then
     * US-format phone numbers, replaced with typed placeholders. Regexes are

@@ -137,6 +137,49 @@ case class GramMixHashes(child: Expression, n: Int)
       newChild: Expression): GramMixHashes = copy(child = newChild)
 }
 
+/** Within-document repetition ratio — `1 − distinct/total` word n-grams
+  * (the Gopher/C4 duplicated-n-gram quality signal) — in ONE imperative
+  * pass per row. The Column form built every n-gram STRING through an
+  * interpreted `transform`/`slice`/`concat_ws` lambda per window (the
+  * exact overhead [[GramMixHashes]] removed from the dedup pipelines;
+  * this is its counting twin for the curation rule filter). Gram
+  * identity is the 64-bit [[GramHashing]] fold — equal strings always
+  * fold equal, so the ratio is identical to the string form absent a
+  * within-document fold collision (the established q62/q78 hash-equality
+  * caveat; ~2⁻⁶⁴ per gram pair within one doc). Windowing mirrors
+  * `Shingles.wordShingles`: ≤ n tokens → one whole-text gram (ratio 0
+  * when unique), ZERO tokens → ratio 0.0, null text → null. */
+case class GramRepetition(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+  require(n > 0, "gram size must be positive")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_repetition needs a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val wh = GramHashing.tokenHashes(input.asInstanceOf[UTF8String])
+    val grams = GramHashing.positional(wh, n)
+    val total = grams.length
+    if (total == 0) return 0.0
+    java.util.Arrays.sort(grams)
+    var distinct = 1
+    var i = 1
+    while (i < total) {
+      if (grams(i) != grams(i - 1)) distinct += 1
+      i += 1
+    }
+    1.0 - distinct.toDouble / total.toDouble
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramRepetition = copy(child = newChild)
+}
+
 /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03) in ONE
   * imperative pass per row: tokenize → per-position gram hash →
   * monotonic-deque sliding-window minima → first-occurrence dedup.

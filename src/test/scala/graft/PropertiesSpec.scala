@@ -323,6 +323,32 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("gram_repetition equals the string-shingle HOF formulation") {
+    // the r19 native rewrite must reproduce 1 - distinct/total over the
+    // SAME windowing as Shingles.wordShingles, including short docs
+    // (single whole-text gram), repeated grams, and blank text
+    val docGen = for {
+      words <- Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "a"))
+      reps <- Gen.chooseNum(1, 3)
+    } yield (words ++ words.take(words.length / reps)).mkString(" ")
+    check("gram repetition parity", Prop.forAll(docGen) { text =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      val native = df.select(
+        graft.ext.TextStats.repetitionRatio(col("t"), 3)).head().getDouble(0)
+      val sh = graft.ext.Shingles.wordShingles(col("t"), 3)
+      val hof = df.select(element_at(transform(array(sh), s =>
+        when(size(s) > 0,
+          lit(1.0) - size(array_distinct(s)).cast("double") /
+            size(s).cast("double")).otherwise(lit(0.0))), 1))
+        .head().getDouble(0)
+      native == hof
+    })
+    // null text stays null (the q54 contract)
+    val nullRow = Seq(Tuple1(null: String)).toDF("t")
+      .select(graft.ext.TextStats.repetitionRatio(col("t"), 3)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("misra_gries candidates sort in UTF-8 binary order, not UTF-16") {
     GraftExtensions.register(spark)
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes but AFTER it in UTF-16
