@@ -15,20 +15,16 @@ object Shingles {
     * referencing the raw `split(...)` inside the per-shingle lambda would
     * re-run the regex split once PER SHINGLE — O(tokens²) per doc. Binding
     * the split result to a lambda variable evaluates it once per row. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val tokens = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
-    // ZERO tokens → ZERO shingles: a blank doc must not mint the ""
-    // shingle — at web scale every blank doc would share it, spuriously
-    // matching any blank benchmark doc in decontamination, clustering
-    // into one giant duplicate group, and making its hash a straggler
-    // hot key in every gram equi-join (native twin: GramHashing)
-    element_at(transform(array(tokens), ts =>
-      when(size(ts) === 0, array().cast("array<string>"))
-        .when(size(ts) <= n, array(concat_ws(" ", ts)))
-        .otherwise(transform(
-          sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))), 1)
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    // native one-pass form (r19): the HOF formulation interpreted a
+    // lambda and allocated a token slice per WINDOW. Output strings are
+    // byte-identical (WordShingleStrings lowercases through the same
+    // UTF8String.toLowerCase the Column lower() evaluates; ZERO tokens →
+    // ZERO shingles — a blank doc must not mint the "" shingle, which
+    // every blank doc at web scale would share as a straggler hot key)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WordShingleStrings(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), n))
 
   /** Distinct 64-bit hashes of a doc's word shingles — the compact set
     * representation all near-dup math runs on (8-byte longs instead of

@@ -137,6 +137,79 @@ case class GramMixHashes(child: Expression, n: Int)
       newChild: Expression): GramMixHashes = copy(child = newChild)
 }
 
+/** Word n-gram STRINGS in position order — the native twin of the
+  * `transform(sequence(...), i => concat_ws(" ", slice(tokens, i+1, n)))`
+  * Column formulation, which interprets a lambda and allocates a token
+  * slice per WINDOW (the [[GramMixHashes]] overhead, here on the paths
+  * that need the actual shingle strings: the portable/oracle-checkable
+  * dedup and novelty pipelines). BYTE-IDENTICAL output by construction:
+  * lowercasing goes through `UTF8String.toLowerCase` — the exact
+  * function the Column form's `lower()` evaluates — and tokens are the
+  * maximal runs of non-`\s` chars (the Java regex class `\S+` matches).
+  * ≤ n tokens yield ONE whole-text gram; zero tokens yield an empty
+  * array; null text stays null. Duplicates kept (callers apply
+  * `array_distinct` exactly as before). */
+case class WordShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+  require(n > 0, "gram size must be positive")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs a string input, got ${child.dataType.sql}")
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    // lowercase through the SAME code path the Column form's lower()
+    // takes — any locale/unicode quirk then lands identically on both
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val len = s.length
+    val starts = new scala.collection.mutable.ArrayBuilder.ofInt
+    val ends = new scala.collection.mutable.ArrayBuilder.ofInt
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        starts += i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        ends += i
+      }
+    }
+    val st = starts.result(); val en = ends.result()
+    val m = st.length
+    def gram(from: Int, until: Int): UTF8String = {
+      val sb = new java.lang.StringBuilder(en(until - 1) - st(from))
+      var k = from
+      while (k < until) {
+        if (k > from) sb.append(' ')
+        sb.append(s, st(k), en(k))
+        k += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    val out: Array[AnyRef] =
+      if (m == 0) Array.empty
+      else if (m <= n) Array(gram(0, m))
+      else {
+        val w = m - n + 1
+        val a = new Array[AnyRef](w)
+        var k = 0
+        while (k < w) { a(k) = gram(k, k + n); k += 1 }
+        a
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordShingleStrings = copy(child = newChild)
+}
+
 /** Within-document repetition ratio — `1 − distinct/total` word n-grams
   * (the Gopher/C4 duplicated-n-gram quality signal) — in ONE imperative
   * pass per row. The Column form built every n-gram STRING through an

@@ -349,6 +349,36 @@ class PropertiesSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("word_shingles equals the HOF slice/concat_ws formulation") {
+    // the r19 native rewrite must emit BYTE-identical shingle strings:
+    // same lowercasing (it reuses UTF8String.toLowerCase), same \S+
+    // tokenization, same windowing (<= n tokens -> one whole-text gram,
+    // zero tokens -> zero grams), duplicates kept in position order.
+    // Exercise unicode, mixed whitespace and blank/short docs.
+    val piece = Gen.oneOf("The", "ÄÖÜ", "İstanbul", "ß", "𝒜𝓑", "a-b",
+      "x", "1 2", "", " ", "\t", "\n", "tok tok")
+    val docGen = Gen.listOf(piece).map(_.mkString(" "))
+    def hof(text: org.apache.spark.sql.Column, n: Int) = {
+      val tokens = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+      element_at(transform(array(tokens), ts =>
+        when(size(ts) === 0, array().cast("array<string>"))
+          .when(size(ts) <= n, array(concat_ws(" ", ts)))
+          .otherwise(transform(
+            sequence(lit(0), size(ts) - n),
+            i => concat_ws(" ", slice(ts, i + 1, lit(n)))))), 1)
+    }
+    check("word shingles parity", Prop.forAll(docGen) { text =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      val native = df.select(graft.ext.Shingles.wordShingles(col("t"), 3))
+        .head().getSeq[String](0)
+      val viaHof = df.select(hof(col("t"), 3)).head().getSeq[String](0)
+      native == viaHof
+    })
+    // null text stays null
+    assert(Seq(Tuple1(null: String)).toDF("t")
+      .select(graft.ext.Shingles.wordShingles(col("t"), 3)).head().isNullAt(0))
+  }
+
   test("misra_gries candidates sort in UTF-8 binary order, not UTF-16") {
     GraftExtensions.register(spark)
     // U+FFFD sorts BEFORE U+1F600 in UTF-8 bytes but AFTER it in UTF-16
